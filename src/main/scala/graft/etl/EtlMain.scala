@@ -1,0 +1,51 @@
+package graft.etl
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point — the reference's `bin/google-sheets-etl` role, wired to
+  * the REAL sequence the stale reference CLI intended (SURVEY.md §0.1):
+  * loadConfiguration → setUpAccounting → findSomeUpdatedSpreadsheets →
+  * loadSomeUpdatedSpreadsheets → verifyOldestSpreadsheet.
+  *
+  * Usage: EtlMain <fixturesDir> <etlConfig.json> <warehouseDir>
+  *
+  * The grid source here is the zero-egress [[LocalGridSource]]; a Google
+  * REST source would slot in behind the same [[GridSource]] trait
+  * (reference: bin/google-sheets-etl:15-39 for the argv contract it mirrors).
+  */
+object EtlMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length != 3) {
+      System.err.println("usage: EtlMain <fixturesDir> <etlConfig.json> <warehouseDir>")
+      sys.exit(1)
+    }
+    val Array(fixturesDir, configPath, warehouse) = args
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
+      .appName("graft-etl")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val meta = new MetaStore(spark, s"$warehouse/meta")
+      val targets = new TargetStore(spark, s"$warehouse/tables")
+      val tasks = new Tasks(new LocalGridSource(fixturesDir), meta, targets)
+      tasks.loadConfiguration(configPath)
+      meta.setUpAccounting()
+      val found = tasks.findSomeUpdatedSpreadsheets()
+      println(s"[graft-etl] discovered $found spreadsheet(s)")
+      val loaded = tasks.loadSomeUpdatedSpreadsheets()
+      loaded.foreach(j => println(
+        s"[graft-etl] loaded ${j.googleSpreadsheetId}/${j.sheetName} -> ${j.targetTable}"))
+      println(s"[graft-etl] loaded ${loaded.size} sheet(s)")
+      val ok = tasks.verifyOldestSpreadsheet()
+      println(s"[graft-etl] access audit: ${if (ok) "ok" else "INACCESSIBLE"}")
+      loaded.map(_.targetTable).distinct.foreach { t =>
+        println(s"[graft-etl] $t now has ${targets.read(t).count()} row(s)")
+      }
+    } finally spark.stop()
+  }
+}

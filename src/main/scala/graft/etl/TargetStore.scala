@@ -1,0 +1,71 @@
+package graft.etl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Target-table storage (R18, R22, R23; SURVEY.md §1.1.3).
+  *
+  * Each target table is a parquet directory partitioned by
+  * `_origin_etl_job_id`, so the reference's delete-then-reload
+  * (`DELETE FROM t WHERE _origin_etl_job_id = ?` + chunked INSERTs,
+  * reference: src/DatabaseAgentMysql.php:254-289) becomes a *dynamic
+  * partition overwrite* — a metadata-only swap of one job's partition that
+  * never touches other jobs' data. At 100 TB / thousands of jobs this is
+  * the only shape that keeps reloads O(changed sheet), not O(table).
+  *
+  * Schema evolution is additive-only (reference:
+  * src/DatabaseAgentMysql.php:171-178): new columns simply appear in new
+  * partition files; reads use `mergeSchema` so old partitions surface the
+  * new columns as null. Columns are never dropped or retyped — all data
+  * columns are StringType (SURVEY.md §1.2: stringly-typed end-to-end; the
+  * reference's VARCHAR(100) truncation is disabled, so no cap here either).
+  */
+final class TargetStore(spark: SparkSession, root: String) {
+
+  def path(targetTable: String): String = s"$root/$targetTable"
+
+  /** Load one job's rows (R21–R23): `rows` are post-skip, null-padded,
+    * all-string projections; `columnNames` are the already-normalized output
+    * names (R12). `_origin_row` is the 0-based post-skip position
+    * (SURVEY.md §7.4) — assigned here from the grid's row order.
+    */
+  def loadJobRows(
+      targetTable: String,
+      jobId: Long,
+      columnNames: Seq[String],
+      rows: Seq[Seq[Option[String]]]): Unit = {
+    val schema = StructType(
+      StructField("_origin_etl_job_id", LongType, nullable = false) +:
+      StructField("_origin_row", LongType, nullable = false) +:
+      columnNames.map(StructField(_, StringType, nullable = true)))
+    val sparkRows = rows.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(jobId +: i.toLong +: r.map(_.orNull))
+    }
+    // Grids are driver-bounded (Sheets API model); parallelize suffices.
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(sparkRows.toSeq, math.max(1, rows.size / 100000 + 1)),
+      schema)
+    replaceJobPartition(targetTable, df)
+  }
+
+  /** Partition-overwrite write (R22+R23): replaces exactly the partitions
+    * present in `df` (one job id), leaving all others untouched.
+    */
+  def replaceJobPartition(targetTable: String, df: DataFrame): Unit =
+    df.write
+      .partitionBy("_origin_etl_job_id")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(path(targetTable))
+
+  /** Read a target table with additive schema merged across partitions. */
+  def read(targetTable: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path(targetTable))
+
+  def exists(targetTable: String): Boolean = {
+    val p = new Path(path(targetTable))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+}

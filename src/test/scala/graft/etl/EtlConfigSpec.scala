@@ -1,0 +1,63 @@
+package graft.etl
+
+import org.scalatest.funsuite.AnyFunSuite
+
+class EtlConfigSpec extends AnyFunSuite {
+
+  private val json =
+    """{
+      |  "$schema": "./config-schema.json",
+      |  "1b33RL2nQJxdaHYxVmkk4lo3K1IKjSD3_ggnokrZCkx8": {
+      |    "2019 Expirations": {
+      |      "targetTable": "certification_course_renewals_2019",
+      |      "columnMapping": {"name": "Name", "email": "Émail Address", "flag": 3},
+      |      "headerRow": 0,
+      |      "skipRows": 1
+      |    },
+      |    "Sheet2": {
+      |      "targetTable": "t2",
+      |      "columnMapping": {"a": 0}
+      |    }
+      |  }
+      |}""".stripMargin
+
+  test("parses nested config, skips $schema, preserves mapping order") {
+    val configs = EtlConfig.fromJson(json)
+    assert(configs.size == 2)
+    val c = configs.find(_.sheetName == "2019 Expirations").get
+    assert(c.googleSpreadsheetId == "1b33RL2nQJxdaHYxVmkk4lo3K1IKjSD3_ggnokrZCkx8")
+    assert(c.targetTable == "certification_course_renewals_2019")
+    assert(c.columnMapping ==
+      Seq("name" -> Right("Name"), "email" -> Right("Émail Address"), "flag" -> Left(3)))
+    assert(c.headerRow == 0 && c.skipRows == 1)
+  }
+
+  test("defaults headerRow=0 skipRows=1 when omitted") {
+    val c = EtlConfig.fromJson(json).find(_.sheetName == "Sheet2").get
+    assert(c.headerRow == 0 && c.skipRows == 1)
+    assert(c.columnMapping == Seq("a" -> Left(0)))
+  }
+}
+
+class RetrySpec extends AnyFunSuite {
+  test("backoff delay formula: 1000·2^n + jitter(0..1000)") {
+    assert(Retry.delayMillis(0, _ => 0) == 1000L)
+    assert(Retry.delayMillis(3, _ => 0) == 8000L)
+    assert(Retry.delayMillis(2, _ => 999) == 4999L)
+  }
+
+  test("retries at most 5 times then rethrows; success stops retrying") {
+    var calls = 0
+    val e = intercept[RuntimeException] {
+      Retry(sleep = _ => ()) { calls += 1; throw new RuntimeException("boom") }
+    }
+    assert(e.getMessage == "boom" && calls == 6) // 1 try + 5 retries
+    calls = 0
+    val ok = Retry(sleep = _ => ()) { calls += 1; if (calls < 3) throw new RuntimeException; 42 }
+    assert(ok == 42 && calls == 3)
+  }
+
+  test("retryable statuses match the reference's set") {
+    assert(Retry.RetryStatuses == Set(429, 500, 502, 503, 504))
+  }
+}
