@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Testdata table readers (TESTDATA.md). Plain parquet scans — filters and
+  * projections placed on top reach the scan via Catalyst pushdown, which is
+  * the whole point: every query here must show PushedFilters/ReadSchema
+  * pruning in `.explain("formatted")` before it counts as done.
+  */
+object Tables {
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses natively;
+    // with spark.sql.legacy.parquet.nanosAsLong=true (set in every session
+    // builder of this project) it reads as nanos-since-epoch LongType, which
+    // we truncate to µs — the same truncation DuckDB's CAST(ts AS TIMESTAMP)
+    // applies, keeping oracle comparisons exact.
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" &&
+        df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    else df
+  }
+}

@@ -1,0 +1,279 @@
+package graft.queries
+
+import graft.Tables
+import graft.etl.Normalize
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operator inventory (SURVEY.md §2) exercised over the testdata
+  * star schema, each with a DuckDB oracle.
+  *
+  * Oracle-determinism rules used throughout (the driver hash-compares
+  * values):
+  *  - double aggregation is never done directly: per-row double arithmetic
+  *    (bit-identical across engines) is cast to DECIMAL, summed exactly
+  *    (order-independent), and only then cast back to double;
+  *  - every LIMIT sits on a total order (explicit tie-break keys);
+  *  - `events.ts` is nanosecond parquet: Spark truncates to µs on read, so
+  *    oracles compare/order via CAST(ts AS TIMESTAMP) (same truncation);
+  *  - every computed column is aliased identically on both sides.
+  */
+object Relational {
+
+  /** Exact, order-independent sum of a per-row double expression. */
+  private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
+  private val DSum = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // R-groupBy/partial-agg (SURVEY §2.1 aggregations; TPC-H Q1 shape)
+    "q01_pricing_agg" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"),
+          (dsum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+    }),
+
+    // top-k over join + agg (sort/limit with total order; TPC-H Q3 shape)
+    "q02_topk_revenue" -> ((s, dir) => {
+      val c = Tables(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), to_date(col("o_orderdate")).as("o_orderdate"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // multi-way join through dims (broadcast) + agg (TPC-H Q5 shape)
+    "q03_region_revenue" -> ((s, dir) => {
+      val l = Tables(s, dir, "lineitem")
+      val o = Tables(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val cu = Tables(s, dir, "customer")
+      val n = Tables(s, dir, "nation")
+      val r = Tables(s, dir, "region")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cu), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // pushdown-friendly filter + global agg (TPC-H Q6 shape)
+    "q04_filter_sum" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n"))
+    }),
+
+    // R14 argmax checkpoint: greatest (modified, id) tuple via orderBy+limit 1
+    "q05_argmax_checkpoint" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .orderBy(desc("o_orderdate"), desc("o_orderkey"))
+        .limit(1)
+        .select(to_date(col("o_orderdate")).as("greatest_date"), col("o_orderkey"))
+    }),
+
+    // R15 min-by audit pick: smallest (ts, id)
+    "q06_minby_audit" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .orderBy(asc("ts"), asc("event_id"))
+        .limit(1)
+        .select("event_id", "user_id", "event_type")
+    }),
+
+    // R16 anti-join: configured-but-never-loaded analogue
+    "q07_anti_join" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    // semi-join (EXISTS) + agg
+    "q08_semi_join" -> ((s, dir) => {
+      Tables(s, dir, "customer")
+        .join(Tables(s, dir, "orders").filter(col("o_orderstatus") === "F"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    // R17/R20 upsert last-writer-wins: latest row per key via window dedup
+    "q09_upsert_lastwins" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("user_id", "event_id", "event_type", "value")
+    }),
+
+    // window rank per group with total tie-break
+    "q10_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    }),
+
+    // set op: UNION distinct across two sources
+    "q11_set_union" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").select(col("l_returnflag").as("v"))
+        .union(Tables(s, dir, "orders").select(col("o_orderstatus").as("v")))
+        .distinct()
+    }),
+
+    // R1 keyset-cursor pagination filter: (ts, id) >= cursor tuple
+    "q12_keyset_cursor" -> ((s, dir) => {
+      val t0 = lit("2024-01-15 00:00:00").cast("timestamp")
+      Tables(s, dir, "events")
+        .filter(col("ts") > t0 || (col("ts") === t0 && col("event_id") >= 5000))
+        .agg(count(lit(1)).as("n"), min("event_id").as("min_id"),
+          max("event_id").as("max_id"))
+    }),
+
+    // R16 tuple-IN semi-filter
+    "q13_tuple_in" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .filter(expr("(l_returnflag, l_linestatus) IN (('A','F'),('N','O'),('R','F'))"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // R32 existence/count check
+    "q14_count_check" -> ((s, dir) => {
+      Tables(s, dir, "lineitem").agg(count(lit(1)).as("n"))
+        .select(lit("lineitem").as("tbl"), col("n"))
+    }),
+
+    // R3 content hash (sha-256, the grid-hash primitive)
+    "q15_content_hash" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(col("doc_id"), sha2(col("text"), 256).as("h"))
+    }),
+
+    // R12 column normalization surfaced as output schema
+    "q16_normalize_cols" -> ((s, dir) => {
+      val names = Normalize.columnNames(Seq("Région Näme", "2019 total", "#"))
+      Tables(s, dir, "region").select(
+        col("r_name").as(names(0)),
+        col("r_regionkey").as(names(1)),
+        col("r_name").as(names(2)))
+    }))
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |${DSum.format("l_quantity")} AS sum_qty,
+         |${DSum.format("l_extendedprice")} AS sum_base_price,
+         |${DSum.format("l_extendedprice*(1.0-l_discount)")} AS sum_disc_price,
+         |COUNT(*) AS count_order,
+         |${DSum.format("l_quantity")}/COUNT(*) AS avg_qty
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_topk_revenue" ->
+      s"""SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+         |${DSum.format("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+         |GROUP BY l_orderkey, CAST(o_orderdate AS DATE)
+         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q03_region_revenue" ->
+      s"""SELECT r_name, n_name,
+         |${DSum.format("l_extendedprice*(1.0-l_discount)")} AS revenue,
+         |COUNT(*) AS n_items
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+         |GROUP BY r_name, n_name""".stripMargin,
+
+    "q04_filter_sum" ->
+      s"""SELECT ${DSum.format("l_extendedprice*l_discount")} AS revenue, COUNT(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+         |AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+
+    "q05_argmax_checkpoint" ->
+      """SELECT CAST(o_orderdate AS DATE) AS greatest_date, o_orderkey
+        |FROM orders ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1""".stripMargin,
+
+    "q06_minby_audit" ->
+      """SELECT event_id, user_id, event_type FROM events
+        |ORDER BY CAST(ts AS TIMESTAMP), event_id LIMIT 1""".stripMargin,
+
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q08_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment""".stripMargin,
+
+    "q09_upsert_lastwins" ->
+      """SELECT user_id, event_id, event_type, value FROM (
+        |  SELECT user_id, event_id, event_type, value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+        |  FROM events) t WHERE rn = 1""".stripMargin,
+
+    "q10_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t WHERE rn <= 3""".stripMargin,
+
+    "q11_set_union" ->
+      """SELECT l_returnflag AS v FROM lineitem
+        |UNION SELECT o_orderstatus AS v FROM orders""".stripMargin,
+
+    "q12_keyset_cursor" ->
+      """SELECT COUNT(*) AS n, MIN(event_id) AS min_id, MAX(event_id) AS max_id
+        |FROM events
+        |WHERE CAST(ts AS TIMESTAMP) > TIMESTAMP '2024-01-15 00:00:00'
+        |OR (CAST(ts AS TIMESTAMP) = TIMESTAMP '2024-01-15 00:00:00' AND event_id >= 5000)""".stripMargin,
+
+    "q13_tuple_in" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n FROM lineitem
+        |WHERE (l_returnflag, l_linestatus) IN (('A','F'),('N','O'),('R','F'))
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q14_count_check" ->
+      "SELECT 'lineitem' AS tbl, COUNT(*) AS n FROM lineitem",
+
+    "q15_content_hash" ->
+      "SELECT doc_id, sha256(text) AS h FROM documents",
+
+    "q16_normalize_cols" ->
+      """SELECT r_name AS "region name", r_regionkey AS "_2019 total", r_name AS "_"
+        |FROM region""".stripMargin)
+}
