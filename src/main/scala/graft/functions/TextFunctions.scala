@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline scalar functions for large-scale training-data prep, all
+  * composed from codegen'd built-ins (no UDFs — every expression here stays
+  * inside whole-stage codegen and is oracle-mirrorable in ANSI SQL).
+  *
+  * Determinism contract: everything integer-derived or per-row IEEE double —
+  * no aggregation-order dependence, so results hash-match DuckDB exactly.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of the lowercased, trimmed text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  /** Word n-grams joined by single spaces; empty array when < n tokens.
+    * (Guarded: Spark's `sequence(1, 0)` would generate a DESCENDING range.)
+    */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    val gram = (i: Column) =>
+      concat_ws(" ", (0 until n).map(k => element_at(toks, i + lit(k))): _*)
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(toks) - lit(n - 1)), gram))
+  }
+
+  /** Character k-shingles of the lowercased trimmed text. */
+  def charShingles(text: Column, k: Int): Column = {
+    val t = lower(trim(text))
+    when(length(t) < k, array(t))
+      .otherwise(transform(sequence(lit(1), length(t) - lit(k - 1)),
+        i => t.substr(i, lit(k))))
+  }
+
+  /** Engine-portable 32-bit string hash: the first 8 hex chars of SHA-256,
+    * read as an unsigned int in a long. Chosen over murmur/xxhash because
+    * every SQL engine computes the identical value (DuckDB:
+    * `CAST('0x'||substr(sha256(s),1,8) AS BIGINT)`), which keys the oracle
+    * parity of every sketch built on it. Seeded variants append `#<seed>`.
+    */
+  def portableHash(s: Column, seed: Int = 0): Column = {
+    val keyed = if (seed == 0) s else concat(s, lit(s"#$seed"))
+    conv(substring(sha2(keyed, 256), 1, 8), 16, 10).cast("long")
+  }
+
+  /** Count of tokens matching a stopword set (language-ID / quality input). */
+  def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stopwords: _*))).cast("long")
+
+  /** Language-ID by stopword-hit argmax with a fixed tie-break priority
+    * (en > es > de > fr) — an n-gram-heuristic classifier shape, all ints.
+    */
+  val stopwordsByLang: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "a"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "ein"),
+    "fr" -> Seq("le", "les", "et", "des", "une", "dans"))
+
+  def langScores(toks: Column): Seq[(String, Column)] =
+    stopwordsByLang.map { case (lang, words) => lang -> stopwordHits(toks, words) }
+
+  /** BPE-ish token count: alnum runs plus isolated non-alnum-non-space
+    * symbols — the standard cheap proxy for subword token counts.
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0))).cast("long")
+}

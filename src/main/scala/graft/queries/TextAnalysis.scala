@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis + dedup operators over `documents` (the training-data
+  * pipeline surface), each DuckDB-oracle-mirrored.
+  *
+  * Scale notes: everything here is per-row (embarrassingly parallel, no
+  * shuffle) except q21 (hash groupBy — one shuffle on the hash key) and
+  * q22 (candidate generation by shared rare n-gram — the join key is the
+  * n-gram, so work is proportional to true collisions, not |docs|²; at
+  * 100 TB the same plan holds with the n-gram length tuned up so bucket
+  * sizes stay bounded).
+  */
+object TextAnalysis {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // language-ID: stopword-hit argmax with fixed tie-break priority
+    "q17_lang_id" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val scores = langScores(toks)
+      val Seq(en, es, de, fr) = scores.map(_._2)
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        en.as("s_en"), es.as("s_es"), de.as("s_de"), fr.as("s_fr"),
+        when(en >= greatest(es, de, fr), "en")
+          .when(es >= greatest(de, fr), "es")
+          .when(de >= fr, "de")
+          .otherwise("fr").as("lang_guess"))
+    }),
+
+    // quality scoring: length/punct/stopword ratios, all int-derived doubles
+    "q18_quality_score" -> ((s, dir) => {
+      val t = trim(col("text"))
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("long")
+      val nChars = length(t).cast("long")
+      val alnumSpace = length(regexp_replace(t, "[^a-zA-Z0-9 ]", "")).cast("long")
+      val stops = stopwordHits(toks, stopwordsByLang.head._2)
+      val stopRatio = stops.cast("double") / nTok.cast("double")
+      val punctRatio = (nChars - alnumSpace).cast("double") / nChars.cast("double")
+      val lenScore = least(lit(1.0), nTok.cast("double") / lit(50.0))
+      Tables(s, dir, "documents").select(
+        col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars"),
+        stopRatio.as("stopword_ratio"), punctRatio.as("punct_ratio"),
+        (stopRatio * lit(0.4) + lenScore * lit(0.6)).as("quality"))
+    }),
+
+    // token counting: whitespace + BPE-ish regex tokens
+    "q19_token_count" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_ws_tokens"),
+        regexTokenCount(col("text")).as("n_re_tokens"))
+    }),
+
+    // document fingerprint: min portable-hash over char 8-shingles
+    "q20_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        array_min(transform(charShingles(col("text"), 8),
+          s => portableHash(s))).as("fingerprint"))
+    }),
+
+    // exact dedup: keep min doc_id per content hash
+    "q21_dedup_exact" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .groupBy(sha2(col("text"), 256).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_dups"))
+        .select("keep_id", "n_dups")
+    }),
+
+    // near-dup by word-3gram Jaccard, candidates via shared word-6gram
+    "q22_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          array_distinct(wordNgrams(col("tk"), 3)).as("g3"),
+          array_distinct(wordNgrams(col("tk"), 6)).as("g6"))
+      val keys = docs.select(col("doc_id"), explode(col("g6")).as("g"))
+      val cand = keys.alias("a").join(keys.alias("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val withSets = cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("g3").as("ga")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("g3").as("gb")), "doc_b")
+      withSets
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+        .withColumn("uni",
+          size(col("ga")).cast("long") + size(col("gb")).cast("long") - col("inter"))
+        .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
+        .filter(col("jaccard") >= 0.2)
+        .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+    }))
+
+  private def sqlStops(lang: String): String =
+    stopwordsByLang.toMap.apply(lang).map(w => s"'$w'").mkString("(", ",", ")")
+
+  // DuckDB mirrors. Shared fragments:
+  private val Toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+
+  def oracleSql: Map[String, String] = Map(
+    "q17_lang_id" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("en")})) AS s_en,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("es")})) AS s_es,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("de")})) AS s_de,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("fr")})) AS s_fr FROM t)
+         |SELECT doc_id, s_en, s_es, s_de, s_fr,
+         |  CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+         |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_guess
+         |FROM s""".stripMargin,
+
+    "q18_quality_score" ->
+      s"""WITH t AS (SELECT doc_id, trim(text) AS tt, $Toks AS tk FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(tk) AS n_tokens, length(tt) AS n_chars,
+         |  length(regexp_replace(tt, '[^a-zA-Z0-9 ]', '', 'g')) AS alnum_space,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("en")})) AS stops FROM t)
+         |SELECT doc_id, n_tokens, n_chars,
+         |  CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stopword_ratio,
+         |  CAST(n_chars - alnum_space AS DOUBLE)/CAST(n_chars AS DOUBLE) AS punct_ratio,
+         |  (CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.4
+         |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality
+         |FROM m""".stripMargin,
+
+    "q19_token_count" ->
+      s"""SELECT doc_id,
+         |  len($Toks) AS n_ws_tokens,
+         |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\\s]')) AS n_re_tokens
+         |FROM documents""".stripMargin,
+
+    "q20_fingerprint" ->
+      """WITH t AS (SELECT doc_id, lower(trim(text)) AS tt FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN length(tt) < 8 THEN [tt]
+        |  ELSE [substr(tt, i, 8) for i in range(1, length(tt)-7+1)] END AS ss FROM t)
+        |SELECT doc_id,
+        |  list_min(list_transform(ss,
+        |    s -> CAST('0x'||substr(sha256(s),1,8) AS BIGINT))) AS fingerprint
+        |FROM sh""".stripMargin,
+
+    "q21_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_dups
+        |FROM documents GROUP BY sha256(text)""".stripMargin,
+
+    "q22_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(tk) < 3 THEN []
+         |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2] for i in range(1, len(tk)-2+1)] END) AS g3,
+         |  list_distinct(CASE WHEN len(tk) < 6 THEN []
+         |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]
+         |          for i in range(1, len(tk)-5+1)] END) AS g6 FROM t),
+         |k AS (SELECT doc_id, unnest(g6) AS gg FROM g),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM k a JOIN k b ON a.gg = b.gg AND a.doc_id < b.doc_id),
+         |j AS (SELECT doc_a, doc_b,
+         |  len(list_filter(x.g3, e -> list_contains(y.g3, e))) AS inter,
+         |  len(x.g3) + len(y.g3)
+         |    - len(list_filter(x.g3, e -> list_contains(y.g3, e))) AS uni
+         |  FROM cand JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b)
+         |SELECT doc_a, doc_b, inter, uni,
+         |  CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
+         |FROM j WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= 0.2""".stripMargin)
+}
