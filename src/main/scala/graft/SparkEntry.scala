@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.Relational.queries ++
     graft.queries.TextAnalysis.queries ++
-    graft.queries.Events.queries
+    graft.queries.Events.queries ++
+    graft.queries.Similarity.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.Relational.oracleSql ++
     graft.queries.TextAnalysis.oracleSql ++
-    graft.queries.Events.oracleSql
+    graft.queries.Events.oracleSql ++
+    graft.queries.Similarity.oracleSql
 }

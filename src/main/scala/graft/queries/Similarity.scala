@@ -1,0 +1,254 @@
+package graft.queries
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search + sketch dedup: minhash+LSH banding, simhash, cosine
+  * near-dup, brute-force ANN and hyperplane-LSH ANN over the `embeddings`
+  * table (64-dim float vectors).
+  *
+  * Cross-engine float determinism: every dot product is a *sequential
+  * left-to-right* fold over the array (Spark `aggregate` ∘ `zip_with`;
+  * DuckDB `list_aggregate(...,'sum')` — both plain sequential loops), with
+  * elements cast to double first, so sums are bit-identical and no rounding
+  * fudge is needed. Hash-derived quantities use [[portableHash]] (sha-256
+  * prefix) which both engines compute identically.
+  *
+  * Scale notes: brute-force pair generation (q28) and full-scan top-k (q29)
+  * are the small-N baselines; the banding/bucketing variants (q25, q27,
+  * q30) are the 100 TB shapes — candidate work scales with true collisions
+  * because the join key is the band/bucket, and the per-row sketches are
+  * embarrassingly parallel projections with no shuffle.
+  */
+object Similarity {
+
+  // ---- Spark-side primitives ---------------------------------------------
+
+  /** Sequential-fold dot product in double (order-fixed, engine-portable). */
+  private def dotd(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  private def normd(a: Column): Column = sqrt(dotd(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dotd(a, b) / (normd(a) * normd(b))
+
+  /** Seeded portable hash (see TextFunctions.portableHash). */
+  private def seededHash(s: Column, seed: Column): Column =
+    conv(substring(sha2(concat(s, lit("#"), seed.cast("string")), 256), 1, 8), 16, 10)
+      .cast("long")
+
+  /** 32-bit simhash over the distinct whitespace tokens of `text`. */
+  private def simhash32(text: Column): Column = {
+    val th = transform(array_distinct(tokens(text)), t => portableHash(t))
+    val vote = (b: Int) => aggregate(th, lit(0L), (acc, h) =>
+      acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+    (0 until 32).map(b => when(vote(b) > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1):
+    * hash32("plane<p>_<i>") / 2^31 - 1. Constant-folded by Catalyst.
+    */
+  private def planeComp(p: Int, i: Int): Column =
+    portableHash(lit(s"plane${p}_$i")).cast("double") / lit(2147483648.0) - lit(1.0)
+
+  /** Unrolled (left-assoc) dot of a 64-dim vector column with plane p. */
+  private def planeDot(p: Int, v: Column): Column =
+    (1 to 64).map(i => planeComp(p, i) * element_at(v, i).cast("double"))
+      .reduce(_ + _)
+
+  /** Hyperplane-LSH bucket id from `planes` sign bits. */
+  private def lshBucket(v: Column, planes: Int): Column =
+    (0 until planes).map(p => when(planeDot(p, v) >= 0.0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  private val MinhashFns = 12
+  private val BandSize = 4 // 3 bands of 4
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // minhash + LSH banding near-dup candidates with estimated Jaccard
+    "q25_minhash_lsh" -> ((s, dir) => {
+      val g3 = array_distinct(wordNgrams(tokens(col("text")), 3))
+      val sig = transform(sequence(lit(1), lit(MinhashFns)),
+        j => array_min(transform(col("g3"), g => seededHash(g, j))))
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), g3.as("g3")).filter(size(col("g3")) > 0)
+        .select(col("doc_id"), sig.as("sg"))
+      val bands = docs.select(col("doc_id"), explode(array(
+        (0 until MinhashFns / BandSize).map(b => struct(
+          lit(b).as("b"),
+          array_join(transform(slice(col("sg"), b * BandSize + 1, BandSize),
+            x => x.cast("string")), ",").as("bk"))): _*)).as("x"))
+        .select(col("doc_id"), col("x.b").as("b"), col("x.bk").as("bk"))
+      val cand = bands.alias("a").join(bands.alias("b"),
+          col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("sg").as("sa")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("sg").as("sb")), "doc_b")
+        .withColumn("matches",
+          size(filter(zip_with(col("sa"), col("sb"), (x, y) => x === y),
+            x => x)).cast("long"))
+        .select(col("doc_a"), col("doc_b"), col("matches"),
+          (col("matches").cast("double") / lit(MinhashFns.toDouble)).as("est_jaccard"))
+    }),
+
+    // per-document 32-bit simhash
+    "q26_simhash" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+    }),
+
+    // simhash near-dup pairs: byte-band candidates, hamming <= 8
+    "q27_simhash_pairs" -> ((s, dir) => {
+      val sim = Tables(s, dir, "documents")
+        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+      val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
+        (0 until 4).map(b => struct(lit(b).as("b"),
+          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bk"))): _*)).as("x"))
+        .select(col("doc_id"), col("simhash"), col("x.b").as("b"), col("x.bk").as("bk"))
+      bands.alias("a").join(bands.alias("b"),
+          col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+        .distinct()
+        .withColumn("hamming",
+          expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+        .filter(col("hamming") <= 8)
+        .select("doc_a", "doc_b", "hamming")
+    }),
+
+    // embedding cosine near-dup: brute-force pairs above threshold
+    "q28_cosine_neardup" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"), col("label"))
+      e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+          col("a.label").as("label_a"), col("b.label").as("label_b"),
+          cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+        .filter(col("cos") >= 0.35)
+    }),
+
+    // brute-force ANN: top-10 by cosine to the vec_id=0 query vector
+    "q29_ann_topk" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(q))
+        .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(10)
+    }),
+
+    // LSH ANN: 6 hyperplane sign bits -> bucket; rank within query's bucket
+    "q30_ann_lsh" -> ((s, dir) => {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          lshBucket(col("embedding"), 6).as("bucket"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+      e.join(broadcast(q), col("bucket") === col("qbucket"))
+        .select(col("vec_id"), col("bucket"),
+          cosine(col("embedding"), col("qv")).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(10)
+    }))
+
+  // ---- DuckDB mirrors ----------------------------------------------------
+
+  private def sqlHash(s: String): String =
+    s"CAST('0x'||substr(sha256($s),1,8) AS BIGINT)"
+
+  /** Sequential-fold dot in double (mirrors dotd). */
+  private def sqlDot(a: String, b: String): String =
+    s"list_aggregate(list_transform(range(1, len($a)+1), " +
+      s"i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), 'sum')"
+
+  private def sqlCos(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  private def sqlPlaneDot(p: Int, v: String): String =
+    (1 to 64).map(i =>
+      s"(CAST(${sqlHash(s"'plane${p}_$i'")} AS DOUBLE)/CAST(2147483648 AS DOUBLE) - 1.0)" +
+      s"*CAST($v[$i] AS DOUBLE)").mkString(" + ")
+
+  private def sqlBucket(v: String, planes: Int): String =
+    (0 until planes).map(p =>
+      s"(CASE WHEN ${sqlPlaneDot(p, v)} >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+
+  private val Toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+  private val SqlG3 =
+    s"""list_distinct(CASE WHEN len(tk) < 3 THEN []
+       |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2] for i in range(1, len(tk)-2+1)] END)""".stripMargin
+
+  private val SqlSimhash =
+    """list_aggregate(list_transform(range(0, 32), b ->
+      |  CASE WHEN list_aggregate(list_transform(th, h ->
+      |    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
+      |  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END), 'sum')""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "q25_minhash_lsh" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |g AS (SELECT doc_id, $SqlG3 AS g3 FROM t),
+         |sig AS (SELECT doc_id,
+         |  [list_min(list_transform(g3, x -> ${sqlHash("x||'#'||j")})) for j in range(1, ${MinhashFns + 1})] AS sg
+         |  FROM g WHERE len(g3) > 0),
+         |bands AS (SELECT doc_id, b,
+         |  array_to_string(sg[(b*$BandSize+1):(b*$BandSize+$BandSize)], ',') AS bk
+         |  FROM sig, range(0, ${MinhashFns / BandSize}) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |m AS (SELECT doc_a, doc_b,
+         |  len(list_filter(range(1, ${MinhashFns + 1}), i -> x.sg[i] = y.sg[i])) AS matches
+         |  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
+         |SELECT doc_a, doc_b, matches,
+         |  CAST(matches AS DOUBLE)/${MinhashFns}.0 AS est_jaccard FROM m""".stripMargin,
+
+    "q26_simhash" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(list_distinct($Toks), x -> ${sqlHash("x")}) AS th
+         |  FROM documents)
+         |SELECT doc_id, $SqlSimhash AS simhash FROM t""".stripMargin,
+
+    "q27_simhash_pairs" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(list_distinct($Toks), x -> ${sqlHash("x")}) AS th
+         |  FROM documents),
+         |s AS (SELECT doc_id, $SqlSimhash AS simhash FROM t),
+         |bands AS (SELECT doc_id, simhash, b, (simhash >> (8*b)) & 255 AS bk
+         |  FROM s, range(0, 4) t(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8""".stripMargin,
+
+    "q28_cosine_neardup" ->
+      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  a.label AS label_a, b.label AS label_b,
+         |  ${sqlCos("a.embedding", "b.embedding")} AS cos
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
+
+    "q29_ann_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, ${sqlCos("embedding", "qv")} AS cos
+         |FROM embeddings, q
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q30_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  ${sqlBucket("embedding", 6)} AS bucket FROM embeddings),
+         |q AS (SELECT embedding AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
+         |SELECT vec_id, bucket, ${sqlCos("embedding", "qv")} AS cos
+         |FROM e, q WHERE bucket = qbucket
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)
+}
