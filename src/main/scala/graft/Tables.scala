@@ -23,4 +23,14 @@ object Tables {
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
     else df
   }
+
+  /** Table scan rebalanced across all cores. The local fixture files are a
+    * single parquet row-group, so the scan yields ONE partition and any
+    * CPU-heavy sketch/pair stage on top runs single-threaded. Used only
+    * where per-row compute dwarfs the one-time row exchange (sketches,
+    * pair generation); at cluster scale the scan already yields thousands
+    * of partitions and the repartition is a cheap width adjustment.
+    */
+  def wide(spark: SparkSession, dir: String, name: String): DataFrame =
+    apply(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
 }

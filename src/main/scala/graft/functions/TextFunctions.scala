@@ -44,6 +44,17 @@ object TextFunctions {
     conv(substring(sha2(keyed, 256), 1, 8), 16, 10).cast("long")
   }
 
+  /** Driver-side [[portableHash]] of a literal string — the identical
+    * value (first 4 bytes of SHA-256, read unsigned), for baking derived
+    * constants into plans without a foldable sha-expression forest.
+    */
+  def portableHashLocal(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
   /** Count of tokens matching a stopword set (language-ID / quality input). */
   def stopwordHits(toks: Column, stopwords: Seq[String]): Column =
     size(filter(toks, t => t.isin(stopwords: _*))).cast("long")

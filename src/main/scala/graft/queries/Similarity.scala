@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions.vecDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -10,8 +11,9 @@ import org.apache.spark.sql.functions._
   * table (64-dim float vectors).
   *
   * Cross-engine float determinism: every dot product is a *sequential
-  * left-to-right* fold over the array (Spark `aggregate` ∘ `zip_with`;
-  * DuckDB `list_aggregate(...,'sum')` — both plain sequential loops), with
+  * left-to-right* fold over the array seeded with 0.0 (Spark: the native
+  * [[graft.functions.VecDot]] expression; DuckDB
+  * `list_aggregate(...,'sum')` — the same IEEE operation sequence), with
   * elements cast to double first, so sums are bit-identical and no rounding
   * fudge is needed. Hash-derived quantities use [[portableHash]] (sha-256
   * prefix) which both engines compute identically.
@@ -26,20 +28,24 @@ object Similarity {
 
   // ---- Spark-side primitives ---------------------------------------------
 
-  /** Sequential-fold dot product in double (order-fixed, engine-portable). */
-  private def dotd(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-
-  private def normd(a: Column): Column = sqrt(dotd(a, a))
-
+  /** Dot products go through the native [[graft.functions.VecDot]]
+    * expression — a codegen'd primitive loop with the exact sequential-fold
+    * IEEE semantics of DuckDB's `list_aggregate(..., 'sum')`. Measured at
+    * sf0.1: 2M-pair cosine via built-in array lambdas ≈ 50 s (interpreted
+    * in the join condition); via VecDot < 2 s.
+    */
   private def cosine(a: Column, b: Column): Column =
-    dotd(a, b) / (normd(a) * normd(b))
+    vecDot(a, b) / (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))
 
-  /** Seeded portable hash (see TextFunctions.portableHash). */
-  private def seededHash(s: Column, seed: Column): Column =
-    conv(substring(sha2(concat(s, lit("#"), seed.cast("string")), 256), 1, 8), 16, 10)
-      .cast("long")
+  /** Minhash seed family: one sha-derived 32-bit base hash per n-gram (the
+    * expensive part, computed once), then 12 affine rehashes
+    * `(a_j·h + b_j) mod P` over the 31-bit Mersenne prime — pure int64
+    * arithmetic, exact in both engines. Max intermediate
+    * (P−1)·(2^32−1)+(P−1) < 2^63, so no overflow on either side.
+    */
+  private val MersenneP = 2147483647L
+  private def hashA(j: Int): Long = (j * 2654435761L) % MersenneP
+  private def hashB(j: Int): Long = (j * 40503L) % MersenneP
 
   /** 32-bit simhash over the distinct whitespace tokens of `text`. */
   private def simhash32(text: Column): Column = {
@@ -51,14 +57,17 @@ object Similarity {
   }
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
-    * hash32("plane<p>_<i>") / 2^31 - 1. Constant-folded by Catalyst.
+    * hash32("plane<p>_<i>") / 2^31 - 1. Computed driver-side (same sha-256
+    * prefix as the SQL mirror — integer-exact, /2^31 and −1.0 are exact
+    * IEEE ops) so the plan carries 384 plain double literals instead of a
+    * sha-expression forest for Catalyst to constant-fold on every run.
     */
-  private def planeComp(p: Int, i: Int): Column =
-    portableHash(lit(s"plane${p}_$i")).cast("double") / lit(2147483648.0) - lit(1.0)
+  private def planeComp(p: Int, i: Int): Double =
+    portableHashLocal(s"plane${p}_$i").toDouble / 2147483648.0 - 1.0
 
   /** Unrolled (left-assoc) dot of a 64-dim vector column with plane p. */
   private def planeDot(p: Int, v: Column): Column =
-    (1 to 64).map(i => planeComp(p, i) * element_at(v, i).cast("double"))
+    (1 to 64).map(i => lit(planeComp(p, i)) * element_at(v, i).cast("double"))
       .reduce(_ + _)
 
   /** Hyperplane-LSH bucket id from `planes` sign bits. */
@@ -72,12 +81,28 @@ object Similarity {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // minhash + LSH banding near-dup candidates with estimated Jaccard
     "q25_minhash_lsh" -> ((s, dir) => {
-      val g3 = array_distinct(wordNgrams(tokens(col("text")), 3))
-      val sig = transform(sequence(lit(1), lit(MinhashFns)),
-        j => array_min(transform(col("g3"), g => seededHash(g, j))))
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), g3.as("g3")).filter(size(col("g3")) > 0)
+      // Layered projections, deliberately: an expression referenced inside
+      // a higher-order-function lambda is re-evaluated PER ELEMENT (Spark's
+      // subexpression elimination skips lambda bodies), so tokens/grams
+      // must become named columns before any lambda touches them. The 12
+      // seed columns stay as 12 separate `col("hs")` references so
+      // CollapseProject cannot inline the sha pass into a lambda body.
+      val sig = array((1 to MinhashFns).map(j =>
+        array_min(transform(col("hs"),
+          h => (lit(hashA(j)) * h + lit(hashB(j))) % lit(MersenneP)))): _*)
+      // persist: the signature feeds the band self-join AND two signature
+      // lookups — without it the sketch is recomputed up to 5×. At cluster
+      // scale this is the stage you'd materialize to a staging table.
+      // The filter sits ABOVE the persist: pushed below it, its condition
+      // would re-derive the whole sketch chain per row instead of reading
+      // the cached signature (empty gram set ⇔ array_min = null).
+      val docs = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), array_distinct(wordNgrams(col("tk"), 3)).as("g3"))
+        .select(col("doc_id"), transform(col("g3"), g => portableHash(g)).as("hs"))
         .select(col("doc_id"), sig.as("sg"))
+        .persist()
+        .filter(col("sg").getItem(0).isNotNull)
       val bands = docs.select(col("doc_id"), explode(array(
         (0 until MinhashFns / BandSize).map(b => struct(
           lit(b).as("b"),
@@ -107,32 +132,41 @@ object Similarity {
 
     // simhash near-dup pairs: byte-band candidates, hamming <= 8
     "q27_simhash_pairs" -> ((s, dir) => {
-      val sim = Tables(s, dir, "documents")
+      val sim = Tables.wide(s, dir, "documents")
         .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+        .persist() // sketch feeds both sides of the band self-join
       val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
         (0 until 4).map(b => struct(lit(b).as("b"),
           shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bk"))): _*)).as("x"))
         .select(col("doc_id"), col("simhash"), col("x.b").as("b"), col("x.bk").as("bk"))
+      // hamming filter BEFORE the distinct: a pair collides in up to 4
+      // bands, so filtering first shrinks the dedup shuffle 4× (bit_count
+      // on a long is nearly free; hamming is functionally determined by
+      // the pair, so distinct-after-filter is the same set).
       bands.alias("a").join(bands.alias("b"),
           col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
-        .distinct()
-        .withColumn("hamming",
-          expr("CAST(bit_count(sim_a ^ sim_b) AS BIGINT)"))
+          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+            .cast("long").as("hamming"))
         .filter(col("hamming") <= 8)
-        .select("doc_a", "doc_b", "hamming")
+        .distinct()
     }),
 
-    // embedding cosine near-dup: brute-force pairs above threshold
+    // embedding cosine near-dup: brute-force pairs above threshold.
+    // Norms are computed once per ROW (and the projection persisted), not
+    // per pair — at n vectors that's n sqrt-folds instead of n², and the
+    // per-pair work is a single codegen'd 64-term dot.
     "q28_cosine_neardup" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings").select(
-        col("vec_id"), col("embedding"), col("label"))
+      val e = Tables.wide(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"), col("label"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        .persist()
       e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("a.label").as("label_a"), col("b.label").as("label_b"),
-          cosine(col("a.embedding"), col("b.embedding")).as("cos"))
+          (vecDot(col("a.embedding"), col("b.embedding")) /
+            (col("a.nrm") * col("b.nrm"))).as("cos"))
         .filter(col("cos") >= 0.35)
     }),
 
@@ -148,7 +182,7 @@ object Similarity {
 
     // LSH ANN: 6 hyperplane sign bits -> bucket; rank within query's bucket
     "q30_ann_lsh" -> ((s, dir) => {
-      val e = Tables(s, dir, "embeddings")
+      val e = Tables.wide(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           lshBucket(col("embedding"), 6).as("bucket"))
       val q = e.filter(col("vec_id") === 0)
@@ -198,9 +232,12 @@ object Similarity {
     "q25_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
          |g AS (SELECT doc_id, $SqlG3 AS g3 FROM t),
-         |sig AS (SELECT doc_id,
-         |  [list_min(list_transform(g3, x -> ${sqlHash("x||'#'||j")})) for j in range(1, ${MinhashFns + 1})] AS sg
+         |hh AS (SELECT doc_id, list_transform(g3, x -> ${sqlHash("x")}) AS hs
          |  FROM g WHERE len(g3) > 0),
+         |sig AS (SELECT doc_id, [${(1 to MinhashFns).map(j =>
+              s"list_min(list_transform(hs, h -> (${hashA(j)}*h + ${hashB(j)}) % $MersenneP))")
+              .mkString(",\n         |   ")}] AS sg
+         |  FROM hh),
          |bands AS (SELECT doc_id, b,
          |  array_to_string(sg[(b*$BandSize+1):(b*$BandSize+$BandSize)], ',') AS bk
          |  FROM sig, range(0, ${MinhashFns / BandSize}) t(b)),
@@ -232,11 +269,13 @@ object Similarity {
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8""".stripMargin,
 
     "q28_cosine_neardup" ->
-      s"""SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      s"""WITH e AS (SELECT vec_id, embedding, label,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  a.label AS label_a, b.label AS label_b,
-         |  ${sqlCos("a.embedding", "b.embedding")} AS cos
-         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE ${sqlCos("a.embedding", "b.embedding")} >= 0.35""".stripMargin,
+         |  ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |FROM e a JOIN e b ON a.vec_id < b.vec_id
+         |WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35""".stripMargin,
 
     "q29_ann_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -75,11 +75,12 @@ object TextAnalysis {
 
     // near-dup by word-3gram Jaccard, candidates via shared word-6gram
     "q22_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
+      val docs = Tables.wide(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .select(col("doc_id"),
           array_distinct(wordNgrams(col("tk"), 3)).as("g3"),
           array_distinct(wordNgrams(col("tk"), 6)).as("g6"))
+        .persist() // gram sets feed the candidate self-join + two lookups
       val keys = docs.select(col("doc_id"), explode(col("g6")).as("g"))
       val cand = keys.alias("a").join(keys.alias("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))

@@ -1,0 +1,60 @@
+package graft.functions
+
+import graft.SparkTestSession
+import graft.functions.VectorFunctions.vecDot
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class VectorFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("vec_dot over float arrays equals the sequential double fold") {
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
+      (Array(0.1f, -0.2f), Array(0.3f, 0.4f))).toDF("a", "b")
+    val got = df.select(vecDot($"a", $"b")).as[Double].collect()
+    // expected: left-to-right fold seeded 0.0 over double-widened products
+    def fold(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).foldLeft(0.0) { case (s, (x, y)) => s + x.toDouble * y.toDouble }
+    assert(got(0) == fold(Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)))
+    assert(got(1) == fold(Array(0.1f, -0.2f), Array(0.3f, 0.4f)))
+  }
+
+  test("vec_dot matches the built-in aggregate∘zip_with fold bit-exactly") {
+    val vecs = (0 until 50).map(i =>
+      (i.toLong, Array.tabulate(64)(k => ((i * 31 + k * 7) % 100 - 50) / 13.0f)))
+    val df = vecs.toDF("id", "v")
+    val viaAgg = aggregate(
+      zip_with($"v", $"v", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(vecDot($"v", $"v").as("native"), viaAgg.as("builtin"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, b) => assert(n == b) }
+  }
+
+  test("vec_dot over double arrays and mixed float/double inputs") {
+    val df = Seq((Array(1.5, 2.5), Array(2.0f, 4.0f))).toDF("d", "f")
+    val r = df.select(vecDot($"d", $"f"), vecDot($"f", $"d"), vecDot($"d", $"d"))
+      .as[(Double, Double, Double)].head()
+    assert(r._1 == 1.5 * 2.0 + 2.5 * 4.0)
+    assert(r._2 == r._1)
+    assert(r._3 == 1.5 * 1.5 + 2.5 * 2.5)
+  }
+
+  test("vec_dot folds length to the shorter side and nulls propagate") {
+    val df = Seq(
+      (Some(Array(1.0f, 2.0f, 3.0f)), Some(Array(10.0f))),
+      (None, Some(Array(1.0f)))).toDF("a", "b")
+    val got = df.select(vecDot($"a", $"b")).collect()
+    assert(got(0).getDouble(0) == 10.0)
+    assert(got(1).isNullAt(0))
+  }
+
+  test("vec_dot rejects non-array inputs at analysis") {
+    val df = Seq((1, 2)).toDF("x", "y")
+    val e = intercept[Exception](df.select(vecDot($"x", $"y")).collect())
+    assert(e.getMessage.toLowerCase.contains("vec_dot") ||
+      e.getMessage.toLowerCase.contains("data type mismatch"))
+  }
+}
