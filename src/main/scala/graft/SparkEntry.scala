@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.Relational.queries ++
     graft.queries.TextAnalysis.queries ++
     graft.queries.Events.queries ++
-    graft.queries.Similarity.queries
+    graft.queries.Similarity.queries ++
+    graft.queries.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +30,6 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++
     graft.queries.TextAnalysis.oracleSql ++
     graft.queries.Events.oracleSql ++
-    graft.queries.Similarity.oracleSql
+    graft.queries.Similarity.oracleSql ++
+    graft.queries.Multimodal.oracleSql
 }
