@@ -1,0 +1,108 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming operators over the event stream — the streaming
+  * duals of the batch queries q23/q24 (graft.queries.Events). Each takes a
+  * (possibly streaming) events DataFrame `(event_id, ts timestamp, user_id,
+  * event_type, value, ...)` and returns a transformed DataFrame, so the
+  * same code runs over `readStream` sources in production and over
+  * `MemoryStream` in specs.
+  *
+  * Watermark posture: the reference's only stream (spreadsheet-modification
+  * discovery) needs none — Drive modifiedTime is monotone per file (SURVEY
+  * §2.1). These operators are the training-pipeline extensions, where event
+  * time DOES arrive late; watermarks bound state.
+  *
+  * Scale notes: tumbling/session windows shuffle once on the grouping key;
+  * state store size is bounded by (watermark horizon × key cardinality).
+  * `flatMapGroupsWithState` keeps one small record per open session, not
+  * the events themselves.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour windows per event type, 2-hour watermark — the
+    * streaming dual of q23_event_windows.
+    */
+  def hourlyWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Built-in session windows: 30-minute inactivity gap per user. */
+  def sessionWindows(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("n_events"))
+
+  // ---- custom state: sessionization via flatMapGroupsWithState ----------
+
+  final case class Event(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(sessionStart: Long, lastSeen: Long, nEvents: Long)
+
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+      session_end: Timestamp, n_events: Long)
+
+  private val GapMs = 30L * 60 * 1000
+
+  /** Custom sessionizer: one open-session record per user in the state
+    * store; a session closes when the event-time watermark passes its
+    * last-seen + gap (timeout), or splits when a later event arrives past
+    * the gap. Emits closed sessions only (append mode).
+    */
+  def sessionize(events: Dataset[Event]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) =>
+          if (batch.isEmpty && state.hasTimedOut) {
+            // watermark passed: close and emit the open session
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(userId, new Timestamp(s.sessionStart),
+              new Timestamp(s.lastSeen), s.nEvents))
+          } else {
+            // fold this micro-batch's events (in event-time order) into the
+            // open session, emitting any sessions closed by gap splits
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val closed = Seq.newBuilder[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.lastSeen <= GapMs =>
+                  cur = Some(s.copy(lastSeen = math.max(s.lastSeen, t),
+                    nEvents = s.nEvents + 1))
+                case Some(s) =>
+                  closed += SessionOut(userId, new Timestamp(s.sessionStart),
+                    new Timestamp(s.lastSeen), s.nEvents)
+                  cur = Some(SessionState(t, t, 1))
+                case None =>
+                  cur = Some(SessionState(t, t, 1))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // close when event time passes lastSeen + gap
+              state.setTimeoutTimestamp(s.lastSeen + GapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

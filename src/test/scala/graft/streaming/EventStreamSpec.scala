@@ -1,0 +1,84 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import graft.streaming.EventStream.Event
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import org.scalatest.funsuite.AnyFunSuite
+
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  private val fixture = Seq(
+    Event(0, ts(1), 1, "click", 1.0),
+    Event(1, ts(5), 1, "click", 2.0),
+    Event(2, ts(10), 2, "view", 3.0),
+    Event(3, ts(65), 1, "click", 4.0), // 60-min gap: new session for user 1
+    Event(4, ts(70), 2, "view", 5.0),
+    Event(5, ts(130), 1, "click", 6.0)) // hour 3; pushes watermark forward
+
+  test("hourlyWindows over a MemoryStream matches the batch aggregation") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.hourlyWindows(mem.toDF())
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode("complete").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val got = spark.table("hourly")
+        .select("hour", "event_type", "n", "sum_value")
+        .as[(String, String, Long, Double)].collect().toSet
+      val want = EventStream.hourlyWindows(fixture.toDF())
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    } finally q.stop()
+  }
+
+  test("sessionWindows groups by 30-minute inactivity gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionWindows(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val got = spark.table("sessions")
+        .select($"user_id", $"n_events").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+      // user 1: sessions of 2, 1, 1 events; user 2: 1, 1
+      assert(got(1L) == List(1L, 1L, 2L))
+      assert(got(2L) == List(1L, 1L))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState sessionizer emits closed sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS())
+      .writeStream.format("memory").queryName("fmgs_sessions")
+      .outputMode("append").start()
+    try {
+      // two micro-batches so the watermark from batch 1 closes sessions in 2
+      mem.addData(fixture.take(5): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.drop(5): _*)
+      q.processAllAvailable()
+      // final event at min 130 => watermark 130-120=10min; sessions whose
+      // (lastSeen+30min) <= 10min would close; emit timing aside, gap
+      // splits within a batch must emit immediately:
+      val got = spark.table("fmgs_sessions")
+        .as[EventStream.SessionOut].collect()
+      // user 1's first session (min 1-5, 2 events) closed by the min-65 gap split
+      assert(got.exists(s => s.user_id == 1 && s.n_events == 2))
+      got.foreach(s => assert(s.session_end.getTime >= s.session_start.getTime))
+    } finally q.stop()
+  }
+}
