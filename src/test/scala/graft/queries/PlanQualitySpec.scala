@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the physical-plan properties the 100 TB design depends on: scans
+  * must receive pushed filters and pruned schemas, dimension joins must
+  * broadcast, aggregations must have a map-side partial phase, and top-k
+  * must not global-sort. A correctness-green query that loses one of these
+  * properties is a regression at scale even when small-SF results match.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan.toString
+
+  test("q04 filter+sum: predicates pushed to the parquet scan, schema pruned") {
+    val p = plan("q04_filter_sum")
+    assert(p.contains("PushedFilters: ["))
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") ||
+      p.contains("IsNotNull(l_shipdate"))
+    // projection needs only 4 columns — the scan must not read the rest
+    assert(p.contains("ReadSchema"))
+    assert(!p.contains("l_comment") && !p.contains("l_orderkey"))
+  }
+
+  test("q03 star join: all three dimension joins broadcast, none sort-merge on dims") {
+    val p = plan("q03_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 3)
+    assert(!p.contains("SortMergeJoin") ||
+      p.indexOf("SortMergeJoin") != p.lastIndexOf("BroadcastHashJoin"))
+  }
+
+  test("q01 groupBy: two-phase aggregation (map-side partial before shuffle)") {
+    val p = plan("q01_pricing_agg")
+    assert("HashAggregate".r.findAllIn(p).length >= 2)
+    assert(p.contains("partial_"))
+  }
+
+  test("q05 argmax: top-1 runs as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q05_argmax_checkpoint")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Exchange rangepartitioning"))
+  }
+
+  test("q07 anti-join resolves to a hash anti join") {
+    val p = plan("q07_anti_join")
+    assert(p.contains("LeftAnti"))
+  }
+
+  test("q28 pair scan: single VecDot per pair in the join condition") {
+    val p = plan("q28_cosine_neardup")
+    // the cosine predicate (with the native vec_dot) must sit in the join,
+    // with per-row norms computed below it, not per pair
+    assert(p.toLowerCase.contains("vec_dot"))
+    assert("vec_dot".r.findAllIn(p.toLowerCase).length <= 4)
+  }
+}
