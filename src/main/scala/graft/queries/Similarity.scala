@@ -65,10 +65,13 @@ object Similarity {
   private def planeComp(p: Int, i: Int): Double =
     portableHashLocal(s"plane${p}_$i").toDouble / 2147483648.0 - 1.0
 
-  /** Unrolled (left-assoc) dot of a 64-dim vector column with plane p. */
+  /** Dot of a 64-dim vector column with plane p: native VecDot against the
+    * plane baked as a literal double array. (The sign decides the bucket,
+    * so VecDot's 0.0 seed vs the SQL mirror's plain left-assoc sum is
+    * indistinguishable — +0.0/−0.0 both land in the ≥0 bucket.)
+    */
   private def planeDot(p: Int, v: Column): Column =
-    (1 to 64).map(i => lit(planeComp(p, i)) * element_at(v, i).cast("double"))
-      .reduce(_ + _)
+    vecDot(v, typedLit((1 to 64).map(i => planeComp(p, i))))
 
   /** Hyperplane-LSH bucket id from `planes` sign bits. */
   private def lshBucket(v: Column, planes: Int): Column =
@@ -180,6 +183,51 @@ object Similarity {
         .limit(10)
     }),
 
+    // IVF ANN: coarse quantizer (8 centroid cells, nprobe=2). Centroids
+    // here are the first 8 vectors (a deterministic stand-in for k-means —
+    // the IVF *structure* is the point: assign, invert, probe). They are
+    // collected driver-side (broadcast-scale, like any tiny dim) and baked
+    // as literal arrays, so cell assignment is a SHUFFLE-FREE narrow map:
+    // 8 native dots + an argmax when-chain per row. Probing touches only
+    // the 2 cells nearest the query; the final top-k is TakeOrdered.
+    "q35_ann_ivf" -> ((s, dir) => {
+      val e = Tables.wide(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        .persist()
+      val cents: Array[(Int, Seq[Double], Double)] =
+        e.filter(col("vec_id") < 8).collect().map { r =>
+          (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble), r.getDouble(2))
+        }.sortBy(_._1)
+      // layered: the 8 centroid cosines become named columns, then the
+      // argmax chain reads them (CSE-safe argument positions)
+      val withCos = e.select(col("vec_id") +: col("embedding") +: col("nrm") +:
+        cents.map { case (c, v, cn) =>
+          (vecDot(col("embedding"), typedLit(v)) / (col("nrm") * lit(cn))).as(s"ccos_$c")
+        }.toSeq: _*)
+      val (cellCol, _) = cents.foldLeft((lit(-1), lit(Double.NegativeInfinity))) {
+        case ((bi, bv), (c, _, _)) =>
+          (when(col(s"ccos_$c") > bv, lit(c)).otherwise(bi),
+            greatest(bv, col(s"ccos_$c")))
+      }
+      val cells = withCos.select(col("vec_id"), col("embedding"), col("nrm"),
+        cellCol.cast("long").as("cell"))
+      val qrow = withCos.filter(col("vec_id") === 0)
+      val qCells = qrow.select(explode(array(cents.map { case (c, _, _) =>
+          struct(col(s"ccos_$c").as("ccos"), lit(c.toLong).as("cent_id")) }: _*)).as("x"))
+        .select(col("x.ccos"), col("x.cent_id"))
+        .orderBy(desc("ccos"), asc("cent_id")).limit(2)
+        .select(col("cent_id").as("qcell"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("nrm").as("qn"))
+      cells.join(broadcast(qCells), col("cell") === col("qcell"), "left_semi")
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("cell"),
+          (vecDot(col("embedding"), col("qv")) / (col("nrm") * col("qn"))).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(10)
+    }),
+
     // LSH ANN: 6 hyperplane sign bits -> bucket; rank within query's bucket
     "q30_ann_lsh" -> ((s, dir) => {
       val e = Tables.wide(s, dir, "embeddings")
@@ -282,6 +330,25 @@ object Similarity {
          |SELECT vec_id, ${sqlCos("embedding", "qv")} AS cos
          |FROM embeddings, q
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q35_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+         |c AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
+         |  FROM e WHERE vec_id < 8),
+         |a AS (SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
+         |  ${sqlDot("e.embedding", "c.cvec")}/(e.nrm*c.cnrm) AS ccos
+         |  FROM e CROSS JOIN c),
+         |cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
+         |qc AS (SELECT cent_id FROM a WHERE vec_id = 0
+         |  ORDER BY ccos DESC, cent_id LIMIT 2),
+         |q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+         |SELECT cells.vec_id, cells.cell,
+         |  ${sqlDot("cells.embedding", "q.qv")}/(cells.nrm*q.qn) AS cos
+         |FROM cells, q WHERE cells.cell IN (SELECT cent_id FROM qc)
+         |ORDER BY cos DESC, cells.vec_id LIMIT 10""".stripMargin,
 
     "q30_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding,

@@ -51,6 +51,14 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(got(1).isNullAt(0))
   }
 
+  test("vec_dot is SQL-callable via GraftExtensions") {
+    val got = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+        "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d")
+      .as[Double].head()
+    assert(got == 11.0)
+  }
+
   test("vec_dot rejects non-array inputs at analysis") {
     val df = Seq((1, 2)).toDF("x", "y")
     val e = intercept[Exception](df.select(vecDot($"x", $"y")).collect())
