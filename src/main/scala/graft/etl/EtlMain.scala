@@ -7,19 +7,29 @@ import org.apache.spark.sql.SparkSession
   * loadConfiguration → setUpAccounting → findSomeUpdatedSpreadsheets →
   * loadSomeUpdatedSpreadsheets → verifyOldestSpreadsheet.
   *
-  * Usage: EtlMain <fixturesDir> <etlConfig.json> <warehouseDir>
+  * Usage: EtlMain <source> <etlConfig.json> <warehouseDir>
   *
-  * The grid source here is the zero-egress [[LocalGridSource]]; a Google
-  * REST source would slot in behind the same [[GridSource]] trait
-  * (reference: bin/google-sheets-etl:15-39 for the argv contract it mirrors).
+  * `<source>` selects the grid source behind the [[GridSource]] trait
+  * (reference: bin/google-sheets-etl:15-39 for the argv contract this
+  * mirrors — key file, schema, destination):
+  *   - a directory → zero-egress [[LocalGridSource]] over grid fixtures;
+  *   - a service-account key `.json` file → [[GoogleGridSource]] over the
+  *     Drive + Sheets REST APIs (requires network egress).
   */
 object EtlMain {
   def main(args: Array[String]): Unit = {
     if (args.length != 3) {
-      System.err.println("usage: EtlMain <fixturesDir> <etlConfig.json> <warehouseDir>")
+      System.err.println("usage: EtlMain <fixturesDir|googleKey.json> <etlConfig.json> <warehouseDir>")
       sys.exit(1)
     }
-    val Array(fixturesDir, configPath, warehouse) = args
+    val Array(sourceArg, configPath, warehouse) = args
+    val source: GridSource =
+      if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sourceArg)))
+        new LocalGridSource(sourceArg)
+      else new GoogleGridSource(
+        ServiceAccount.fromJson(java.nio.file.Files.readString(
+          java.nio.file.Paths.get(sourceArg))),
+        new HttpTransport.Default)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .appName("graft-etl")
@@ -33,7 +43,7 @@ object EtlMain {
     try {
       val meta = new MetaStore(spark, s"$warehouse/meta")
       val targets = new TargetStore(spark, s"$warehouse/tables")
-      val tasks = new Tasks(new LocalGridSource(fixturesDir), meta, targets)
+      val tasks = new Tasks(source, meta, targets)
       tasks.loadConfiguration(configPath)
       meta.setUpAccounting()
       val found = tasks.findSomeUpdatedSpreadsheets()
