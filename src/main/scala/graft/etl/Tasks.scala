@@ -6,9 +6,9 @@ package graft.etl
   * (SURVEY.md §2.1 Streaming): a totally-ordered log keyed by
   * `(modifiedTime, id)` with the cursor persisted in the warehouse itself
   * (R14), at-least-once delivery made safe by upsert (R17) + content-hash
-  * skip (R21). The batch loop here is the faithful idiom; a Structured
-  * Streaming source over the same offsets would add nothing but ceremony
-  * (SURVEY.md §7.5).
+  * skip (R21). The batch loop here is the faithful idiom; the same offsets
+  * also back the Structured Streaming variant
+  * ([[GridDiscoveryProvider]], SURVEY.md §7.5).
   *
   * `loadTime` is captured once per run and stamps every `last_seen`
   * (reference: src/DatabaseAgent.php:86).
