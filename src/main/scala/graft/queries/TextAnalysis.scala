@@ -3,6 +3,7 @@ package graft.queries
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis + dedup operators over `documents` (the training-data
@@ -96,6 +97,35 @@ object TextAnalysis {
         .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
         .filter(col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+    }),
+
+    // composed prep pipeline: exact-dedup -> quality score -> language
+    // filter — the realistic end-to-end shape of training-data prep. One
+    // shuffle (the dedup window on the content hash); scoring and filters
+    // are narrow.
+    "q36_prep_pipeline" -> ((s, dir) => {
+      val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+      val deduped = Tables(s, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select("doc_id", "text")
+      val scored = deduped
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          stopwordHits(col("tk"), stopwordsByLang.head._2).as("stops"),
+          col("tk"))
+      val Seq(en, es, de, fr) = langScores(col("tk")).map(_._2)
+      scored
+        .withColumn("lang_guess",
+          when(en >= greatest(es, de, fr), "en")
+            .when(es >= greatest(de, fr), "es")
+            .when(de >= fr, "de").otherwise("fr"))
+        .withColumn("quality",
+          (col("stops").cast("double") / col("n_tokens").cast("double")) * 0.4 +
+            least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.6)
+        .filter(col("lang_guess") === "en" && col("quality") >= 0.5)
+        .select("doc_id", "n_tokens", "quality")
     }))
 
   private def sqlStops(lang: String): String =
@@ -168,5 +198,26 @@ object TextAnalysis {
          |  FROM cand JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b)
          |SELECT doc_a, doc_b, inter, uni,
          |  CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
-         |FROM j WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= 0.2""".stripMargin)
+         |FROM j WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= 0.2""".stripMargin,
+
+    "q36_prep_pipeline" ->
+      s"""WITH dd AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text, ROW_NUMBER() OVER (
+         |    PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM documents) t
+         |  WHERE rn = 1),
+         |sc AS (SELECT doc_id, $Toks AS tk FROM dd),
+         |m AS (SELECT doc_id, len(tk) AS n_tokens,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("en")})) AS stops,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("en")})) AS s_en,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("es")})) AS s_es,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("de")})) AS s_de,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("fr")})) AS s_fr FROM sc),
+         |f AS (SELECT doc_id, n_tokens,
+         |  (CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.4
+         |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality,
+         |  CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+         |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_guess FROM m)
+         |SELECT doc_id, n_tokens, quality FROM f
+         |WHERE lang_guess = 'en' AND quality >= 0.5""".stripMargin)
 }
