@@ -170,6 +170,32 @@ object Relational {
       Tables(s, dir, "documents").select(col("doc_id"), sha2(col("text"), 256).as("h"))
     }),
 
+    // hierarchical rollup (grouping-sets family): per-(flag,status),
+    // per-flag subtotals, and a grand total in one pass
+    "q37_rollup" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // as-of association, window-formulated: each event paired with the
+    // most recent prior-or-same-time 'signup' of the same user. The
+    // scalable shape for as-of at 100 TB: one shuffle on the key, a
+    // running max over the ordered partition — no range-join explosion.
+    "q38_asof_signup" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("asof_signup_us",
+          max(when(col("event_type") === "signup", unix_micros(col("ts"))))
+            .over(w))
+        .filter(col("event_type") =!= "signup")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("ts_s"),
+          col("asof_signup_us"))
+    }),
+
     // R12 column normalization surfaced as output schema
     "q16_normalize_cols" -> ((s, dir) => {
       val names = Normalize.columnNames(Seq("Région Näme", "2019 total", "#"))
@@ -275,5 +301,19 @@ object Relational {
 
     "q16_normalize_cols" ->
       """SELECT r_name AS "region name", r_regionkey AS "_2019 total", r_name AS "_"
-        |FROM region""".stripMargin)
+        |FROM region""".stripMargin,
+
+    "q37_rollup" ->
+      s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+         |${DSum.format("l_quantity")} AS sum_qty
+         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q38_asof_signup" ->
+      """SELECT event_id, user_id,
+        |  strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d %H:%M:%S.%f') AS ts_s,
+        |  MAX(CASE WHEN event_type = 'signup'
+        |        THEN epoch_us(CAST(ts AS TIMESTAMP)) END) OVER (
+        |    PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_signup_us
+        |FROM events QUALIFY event_type != 'signup'""".stripMargin)
 }
