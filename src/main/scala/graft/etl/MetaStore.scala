@@ -1,6 +1,5 @@
 package graft.etl
 
-import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -27,14 +26,17 @@ final case class EtlJobRow(
     google_modified: String,
     raw_columns_rows_hash: String)
 
-/** The ETL accounting store (R14–R17, R19–R20, R25) over parquet snapshots.
+/** The ETL accounting store (R14–R17, R19–R20, R25).
   *
-  * Storage model: each table is a parquet directory rewritten via
-  * write-temp-then-rename (crash window ⇒ idempotent redo, SURVEY.md §7.4 —
-  * the observable "no partial effect" contract of
+  * All accounting LOGIC lives here, expressed as Spark plans; physical
+  * storage is behind the [[MetaStorage]] trait (R27 — the reference's
+  * sqlite/mysql agent split, `src/DatabaseAgent.php:70-81`), so the same
+  * upsert/checkpoint/filter semantics run against any backend.
+  *
+  * The observable "no partial effect" contract of
   * reference: src/DatabaseAgent.php:136-142 is preserved by ordering: target
   * data commits first, the job hash commits last, and a stale hash only
-  * causes a redundant, idempotent reload).
+  * causes a redundant, idempotent reload (SURVEY.md §7.4).
   *
   * Scale note: accounting tables are metadata-scale (1 row per spreadsheet /
   * job), so snapshots coalesce to 1 file; upserts are still expressed as
@@ -42,32 +44,37 @@ final case class EtlJobRow(
   * tracked sheets grows by orders of magnitude (drop the coalesce, keep the
   * plan).
   */
-final class MetaStore(spark: SparkSession, root: String) {
+final class MetaStore(spark: SparkSession, storage: MetaStorage) {
   import spark.implicits._
 
-  val spreadsheetsPath = s"$root/__meta_spreadsheets"
-  val etlJobsPath = s"$root/__meta_etl_jobs"
+  /** Parquet-snapshot convenience constructor (the default backend). */
+  def this(spark: SparkSession, root: String) =
+    this(spark, new SnapshotMetaStorage(spark, root))
+
+  val SpreadsheetsTable = "__meta_spreadsheets"
+  val EtlJobsTable = "__meta_etl_jobs"
+
+  private val spreadsheetsSchema =
+    org.apache.spark.sql.Encoders.product[SpreadsheetSeen].schema
+  private val etlJobsSchema =
+    org.apache.spark.sql.Encoders.product[EtlJobRow].schema
 
   /** Idempotent accounting DDL (R25; reference contract:
     * src/DatabaseAgent.php:119-124 "Calling this method twice shall not
     * cause data loss or error").
     */
   def setUpAccounting(): Unit = {
-    if (!exists(spreadsheetsPath))
-      overwrite(spark.emptyDataset[SpreadsheetSeen].toDF(), spreadsheetsPath)
-    if (!exists(etlJobsPath))
-      overwrite(spark.emptyDataset[EtlJobRow].toDF(), etlJobsPath)
+    if (!storage.exists(SpreadsheetsTable))
+      storage.replace(SpreadsheetsTable, spark.emptyDataset[SpreadsheetSeen].toDF())
+    if (!storage.exists(EtlJobsTable))
+      storage.replace(EtlJobsTable, spark.emptyDataset[EtlJobRow].toDF())
   }
 
-  // Explicit schemas: a fresh snapshot dir may hold zero part files (Spark
-  // skips empty-partition writes), so inference would fail/warn there.
   def spreadsheets: Dataset[SpreadsheetSeen] =
-    spark.read.schema(org.apache.spark.sql.Encoders.product[SpreadsheetSeen].schema)
-      .parquet(spreadsheetsPath).as[SpreadsheetSeen]
+    storage.read(SpreadsheetsTable, spreadsheetsSchema).as[SpreadsheetSeen]
 
   def etlJobs: Dataset[EtlJobRow] =
-    spark.read.schema(org.apache.spark.sql.Encoders.product[EtlJobRow].schema)
-      .parquet(etlJobsPath).as[EtlJobRow]
+    storage.read(EtlJobsTable, etlJobsSchema).as[EtlJobRow]
 
   /** Checkpoint read (R14; reference: src/DatabaseAgentMysql.php:24-35):
     * greatest `(google_modified, google_spreadsheet_id)` lexical tuple.
@@ -118,7 +125,7 @@ final class MetaStore(spark: SparkSession, root: String) {
           Window.partitionBy(col("_id").isNull).orderBy(key))))
       .select("id", "google_spreadsheet_id", "google_modified",
         "google_spreadsheet_name", "last_seen")
-    overwrite(out, spreadsheetsPath)
+    storage.replace(SpreadsheetsTable, out)
   }
 
   def setSpreadsheetSeen(meta: SpreadsheetMeta, lastSeen: Long): Unit =
@@ -162,12 +169,12 @@ final class MetaStore(spark: SparkSession, root: String) {
         val updated = etlJobs.toDF()
           .withColumn("target_table",
             when(col("id") === id, lit(targetTable)).otherwise(col("target_table")))
-        overwrite(updated, etlJobsPath)
+        storage.replace(EtlJobsTable, updated)
         id
       case None =>
         val maxId = etlJobs.agg(coalesce(max("id"), lit(0L))).as[Long].head()
         val row = Seq(EtlJobRow(maxId + 1, sid, sheetName, targetTable, "", "")).toDS().toDF()
-        overwrite(etlJobs.toDF().unionByName(row), etlJobsPath)
+        storage.replace(EtlJobsTable, etlJobs.toDF().unionByName(row))
         maxId + 1
     }
   }
@@ -188,7 +195,7 @@ final class MetaStore(spark: SparkSession, root: String) {
       .withColumn("raw_columns_rows_hash",
         when(col("_hit"), lit(hash)).otherwise(col("raw_columns_rows_hash")))
       .drop("_hit")
-    overwrite(updated, etlJobsPath)
+    storage.replace(EtlJobsTable, updated)
   }
 
   def spreadsheetIdOf(googleSpreadsheetId: String): Long =
@@ -201,27 +208,4 @@ final class MetaStore(spark: SparkSession, root: String) {
     etlJobs.filter(col("spreadsheet_id") === spreadsheetId &&
       col("sheet_name") === sheetName)
       .select("id").as[Long].collect().headOption
-
-  // ---- snapshot plumbing -------------------------------------------------
-
-  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-
-  private def exists(path: String): Boolean = fs.exists(new Path(path))
-
-  /** Write-temp-then-rename snapshot rewrite. The write to `tmp`
-    * materializes the plan (which may read the current snapshot) before the
-    * old snapshot is replaced — no read-while-overwrite hazard.
-    */
-  private def overwrite(df: DataFrame, path: String): Unit = {
-    val tmp = new Path(path + ".tmp")
-    val dst = new Path(path)
-    val old = new Path(path + ".old")
-    // repartition(1), not coalesce: an empty Dataset has zero partitions and
-    // coalesce would write no schema-bearing part file, breaking re-read.
-    df.repartition(1).write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(old, true)
-    if (fs.exists(dst)) fs.rename(dst, old)
-    fs.rename(tmp, dst)
-    fs.delete(old, true)
-  }
 }

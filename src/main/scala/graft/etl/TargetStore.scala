@@ -22,9 +22,19 @@ import org.apache.spark.sql.types._
   * columns are StringType (SURVEY.md §1.2: stringly-typed end-to-end; the
   * reference's VARCHAR(100) truncation is disabled, so no cap here either).
   */
-final class TargetStore(spark: SparkSession, root: String) {
+final class TargetStore(
+    spark: SparkSession,
+    root: String,
+    naming: TableNaming = TableNaming.none) {
 
-  def path(targetTable: String): String = s"$root/$targetTable"
+  /** Warehouse location for a target table, qualified per R26
+    * (reference: src/DatabaseAgentMysql.php:154,193 qualify every target
+    * table through `quotedFullyQualifiedTableName`): `tablePrefix` prepends
+    * to the name, `schema` adds a directory level, so two prefixed/
+    * schema'd configs sharing one warehouse root never collide.
+    */
+  def path(targetTable: String): String =
+    s"$root/${naming.qualifiedPath(targetTable)}"
 
   /** Load one job's rows (R21–R23): `rows` are post-skip, null-padded,
     * all-string projections; `columnNames` are the already-normalized output

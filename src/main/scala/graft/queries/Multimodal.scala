@@ -26,13 +26,19 @@ object Multimodal {
       m.select(col("media_id") +: col("kind") +: cols: _*)
     }),
 
-    // 8-dim feature vector in [0,1): re-hashes of the payload digest
+    // 8-dim feature vector in [0,1): re-hashes of the payload digest.
+    // Emitted exploded as (media_id, feat_idx, feature) rows — scalar cells
+    // only, so the driver's pandas sort/hash compare works (an
+    // array<double> cell is unsortable there). The array shape is still
+    // available via Media.featureCols for programmatic use.
     "q32_media_features" -> ((s, dir) => {
       Media.mediaTable(s, dir)
         .select(col("media_id"), sha2(col("payload"), 256).as("base"))
-        .select(col("media_id"), array((0 until 8).map(i =>
+        .select(col("media_id"), posexplode(array((0 until 8).map(i =>
           conv(substring(sha2(concat(col("base"), lit(s"#$i")), 256), 1, 8), 16, 10)
-            .cast("double") / lit(4294967296.0)): _*).as("features"))
+            .cast("double") / lit(4294967296.0)): _*)))
+        .select(col("media_id"), col("pos").cast("long").as("feat_idx"),
+          col("col").as("feature"))
     }),
 
     // frame sampling: K fixed-size byte windows at even offsets
@@ -80,10 +86,10 @@ object Multimodal {
          |FROM documents""".stripMargin,
 
     "q32_media_features" ->
-      """SELECT doc_id AS media_id,
-        |  [CAST(CAST('0x'||substr(sha256(sha256(text)||'#'||i),1,8) AS BIGINT) AS DOUBLE)
-        |     / 4294967296.0 for i in range(0, 8)] AS features
-        |FROM documents""".stripMargin,
+      """SELECT doc_id AS media_id, i AS feat_idx,
+        |  CAST(CAST('0x'||substr(sha256(sha256(text)||'#'||i),1,8) AS BIGINT) AS DOUBLE)
+        |     / 4294967296.0 AS feature
+        |FROM documents, range(0, 8) t(i)""".stripMargin,
 
     "q33_frame_sample" ->
       s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n_bytes,

@@ -270,11 +270,14 @@ object Similarity {
     s"""list_distinct(CASE WHEN len(tk) < 3 THEN []
        |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2] for i in range(1, len(tk)-2+1)] END)""".stripMargin
 
+  // Outer CAST matters: DuckDB's list 'sum' widens BIGINT -> HUGEINT, and a
+  // HUGEINT result column reaches the driver's pandas compare as float64 —
+  // numerically equal to Spark's int64 but hash-different (round-1 q26 red).
   private val SqlSimhash =
-    """list_aggregate(list_transform(range(0, 32), b ->
+    """CAST(list_aggregate(list_transform(range(0, 32), b ->
       |  CASE WHEN list_aggregate(list_transform(th, h ->
       |    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
-      |  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END), 'sum')""".stripMargin
+      |  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT)""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q25_minhash_lsh" ->
