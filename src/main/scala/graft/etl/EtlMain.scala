@@ -8,6 +8,7 @@ import org.apache.spark.sql.SparkSession
   * loadSomeUpdatedSpreadsheets → verifyOldestSpreadsheet.
   *
   * Usage: EtlMain <source> <etlConfig.json> <warehouseDir>
+  *                [--schema S] [--prefix P] [--meta URL]
   *
   * `<source>` selects the grid source behind the [[GridSource]] trait
   * (reference: bin/google-sheets-etl:15-39 for the argv contract this
@@ -15,14 +16,24 @@ import org.apache.spark.sql.SparkSession
   *   - a directory → zero-egress [[LocalGridSource]] over grid fixtures;
   *   - a service-account key `.json` file → [[GoogleGridSource]] over the
   *     Drive + Sheets REST APIs (requires network egress).
+  *
+  * `--schema` / `--prefix` set [[TableNaming]] (R26) for BOTH the target
+  * and accounting tables — the reference's `$database->schema` /
+  * `$database->tablePrefix` caller-set agent fields
+  * (src/DatabaseAgent.php:53-61, and bin/google-sheets-etl:22 passes a
+  * schema at construction). `--meta URL` selects the accounting backend
+  * via [[MetaStorage.forUrl]] (R27; default: parquet snapshots under
+  * `<warehouseDir>/meta`).
   */
 object EtlMain {
   def main(args: Array[String]): Unit = {
-    if (args.length != 3) {
-      System.err.println("usage: EtlMain <fixturesDir|googleKey.json> <etlConfig.json> <warehouseDir>")
+    val (positional, flags) = parseArgs(args)
+    if (positional.length != 3) {
+      System.err.println("usage: EtlMain <fixturesDir|googleKey.json> <etlConfig.json> <warehouseDir> [--schema S] [--prefix P] [--meta URL]")
       sys.exit(1)
     }
-    val Array(sourceArg, configPath, warehouse) = args
+    val Seq(sourceArg, configPath, warehouse) = positional
+    val naming = TableNaming(flags.get("schema"), flags.get("prefix"))
     val source: GridSource =
       if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sourceArg)))
         new LocalGridSource(sourceArg)
@@ -41,8 +52,9 @@ object EtlMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
-      val meta = new MetaStore(spark, s"$warehouse/meta")
-      val targets = new TargetStore(spark, s"$warehouse/tables")
+      val metaUrl = flags.getOrElse("meta", s"$warehouse/meta")
+      val meta = new MetaStore(spark, MetaStorage.forUrl(spark, metaUrl, naming))
+      val targets = new TargetStore(spark, s"$warehouse/tables", naming)
       val tasks = new Tasks(source, meta, targets)
       tasks.loadConfiguration(configPath)
       meta.setUpAccounting()
@@ -58,5 +70,21 @@ object EtlMain {
         println(s"[graft-etl] $t now has ${targets.read(t).count()} row(s)")
       }
     } finally spark.stop()
+  }
+
+  /** Split argv into positional args and `--name value` flag pairs. */
+  private[etl] def parseArgs(args: Array[String]): (Seq[String], Map[String, String]) = {
+    val pos = Seq.newBuilder[String]
+    val flags = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        require(i + 1 < args.length, s"Missing value for flag $a")
+        flags += (a.stripPrefix("--") -> args(i + 1))
+        i += 2
+      } else { pos += a; i += 1 }
+    }
+    (pos.result(), flags.result())
   }
 }

@@ -48,10 +48,17 @@ object MetaStorage {
     * (`src/DatabaseAgent.php:70-81`):
     *
     *   - `memory:` → [[InMemoryMetaStorage]]
-    *   - `parquet:<root>` or a bare path → [[SnapshotMetaStorage]]
+    *   - `parquet:<root>`, a bare path, or any Hadoop filesystem scheme
+    *     (`hdfs://`, `s3a://`, `file:/`, …) → [[SnapshotMetaStorage]]
+    *     (Path.getFileSystem resolves the scheme, so a remote warehouse
+    *     root needs no `parquet:` prefix);
     *   - anything else → error (the reference prints "Unexpected driver"
     *     and exits).
     */
+  private val FsSchemes =
+    Set("hdfs", "s3a", "s3", "gs", "abfs", "abfss", "wasb", "wasbs",
+      "file", "viewfs", "o3fs", "oss")
+
   def forUrl(spark: SparkSession, url: String,
       naming: TableNaming = TableNaming.none): MetaStorage =
     url match {
@@ -59,6 +66,8 @@ object MetaStorage {
         new InMemoryMetaStorage(spark)
       case u if u.startsWith("parquet:") =>
         new SnapshotMetaStorage(spark, u.stripPrefix("parquet:"), naming)
+      case u if FsSchemes.contains(u.takeWhile(_ != ':')) && u.contains(':') =>
+        new SnapshotMetaStorage(spark, u, naming)
       case u if !u.matches("^[a-z][a-z0-9+.-]*:.*") => // bare path, no scheme
         new SnapshotMetaStorage(spark, u, naming)
       case other =>

@@ -51,6 +51,15 @@ final class MetaStore(spark: SparkSession, storage: MetaStorage) {
   def this(spark: SparkSession, root: String) =
     this(spark, new SnapshotMetaStorage(spark, root))
 
+  /** Snapshot backend with R26 name qualification: schema/prefix apply to
+    * the accounting tables exactly as the reference qualifies them
+    * (src/DatabaseAgentMysql.php:98,111 render accounting DDL through
+    * `quotedFullyQualifiedTableName`), so two prefixed configs sharing one
+    * warehouse root keep separate accounting too.
+    */
+  def this(spark: SparkSession, root: String, naming: TableNaming) =
+    this(spark, new SnapshotMetaStorage(spark, root, naming))
+
   val SpreadsheetsTable = "__meta_spreadsheets"
   val EtlJobsTable = "__meta_etl_jobs"
 

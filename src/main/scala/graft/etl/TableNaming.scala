@@ -54,6 +54,10 @@ final case class TableNaming(
     require(!name.contains('/') && !name.contains('\\') &&
       name != "." && name != "..",
       s"Invalid table identifier (would escape the warehouse root): $name")
+    // `.tmp`/`.old` are SnapshotMetaStorage's staging suffixes — a table so
+    // named would collide with another table's in-flight replace().
+    require(!name.endsWith(".tmp") && !name.endsWith(".old"),
+      s"Invalid table identifier (reserved staging suffix): $name")
     name
   }
 }
