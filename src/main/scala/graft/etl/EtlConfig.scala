@@ -18,40 +18,87 @@ final case class EtlConfig(
     headerRow: Int = 0,
     skipRows: Int = 1)
 
+/** Raised when the config JSON violates the reference's published contract
+  * (`config-schema.json`) — the validation the reference delegates to its
+  * JSON Schema file, surfaced here as a first-parse error instead of a
+  * downstream NPE or silent mis-read.
+  */
+final class EtlConfigException(message: String)
+  extends IllegalArgumentException(message)
+
 object EtlConfig {
   private val mapper = new ObjectMapper()
 
-  /** Parse the nested spreadsheetId → sheetName → job JSON
-    * (reference: src/EtlConfig.php:34-54). Skips the `$schema` key.
-    * Config is tiny → driver-side parse, no Spark involved.
+  /** 44-char spreadsheet-key pattern (config-schema.json:18 / :17). */
+  private val SpreadsheetKey = "^[0-9a-zA-Z_/-]{44}$".r
+
+  /** Parse + validate the nested spreadsheetId → sheetName → job JSON
+    * (reference: src/EtlConfig.php:34-54; contract:
+    * config-schema.json:17-59 — 44-char spreadsheet keys, required
+    * `targetTable` + `columnMapping`, integer `headerRow`/`skipRows`,
+    * string-or-nonnegative-int column specifiers). Skips the `$schema`
+    * key. Config is tiny → driver-side parse, no Spark involved.
     */
   def fromJson(json: String): Seq[EtlConfig] = {
     val root = mapper.readTree(json)
+    if (!root.isObject)
+      throw new EtlConfigException("Config root must be a JSON object")
     root.properties().asScala.iterator.flatMap { e =>
       val spreadsheetId = e.getKey
       if (spreadsheetId == "$schema") Iterator.empty
-      else e.getValue.properties().asScala.iterator.map { s =>
-        val sheetName = s.getKey
-        val cfg = s.getValue
-        EtlConfig(
-          googleSpreadsheetId = spreadsheetId,
-          sheetName = sheetName,
-          targetTable = cfg.get("targetTable").asText(),
-          columnMapping = cfg.get("columnMapping").properties().asScala.iterator.map { m =>
-            m.getKey -> specifier(m.getValue)
-          }.toSeq,
-          headerRow = Option(cfg.get("headerRow")).map(_.asInt()).getOrElse(0),
-          skipRows = Option(cfg.get("skipRows")).map(_.asInt()).getOrElse(1))
+      else {
+        if (SpreadsheetKey.findFirstIn(spreadsheetId).isEmpty)
+          throw new EtlConfigException(
+            s"Invalid spreadsheet key (must match ^[0-9a-zA-Z_/-]{44}$$): $spreadsheetId")
+        if (!e.getValue.isObject)
+          throw new EtlConfigException(
+            s"Spreadsheet entry must be an object of sheets: $spreadsheetId")
+        e.getValue.properties().asScala.iterator.map { s =>
+          job(spreadsheetId, s.getKey, s.getValue)
+        }
       }
     }.toSeq
+  }
+
+  private def job(spreadsheetId: String, sheetName: String, cfg: JsonNode): EtlConfig = {
+    def ctx = s"$spreadsheetId/$sheetName"
+    if (!cfg.isObject)
+      throw new EtlConfigException(s"Sheet entry must be an object: $ctx")
+    val target = cfg.get("targetTable")
+    if (target == null || !target.isTextual)
+      throw new EtlConfigException(s"Missing required string 'targetTable' in $ctx")
+    val mapping = cfg.get("columnMapping")
+    if (mapping == null || !mapping.isObject)
+      throw new EtlConfigException(s"Missing required object 'columnMapping' in $ctx")
+    def intField(name: String, default: Int): Int =
+      Option(cfg.get(name)).map { n =>
+        if (!n.isIntegralNumber)
+          throw new EtlConfigException(s"'$name' must be an integer in $ctx")
+        n.asInt()
+      }.getOrElse(default)
+    EtlConfig(
+      googleSpreadsheetId = spreadsheetId,
+      sheetName = sheetName,
+      targetTable = target.asText(),
+      columnMapping = mapping.properties().asScala.iterator.map { m =>
+        m.getKey -> specifier(m.getValue, ctx)
+      }.toSeq,
+      headerRow = intField("headerRow", 0),
+      skipRows = intField("skipRows", 1))
   }
 
   def fromFile(path: String): Seq[EtlConfig] =
     fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
       java.nio.charset.StandardCharsets.UTF_8))
 
-  private def specifier(n: JsonNode): Either[Int, String] =
-    if (n.isInt || n.isLong) Left(n.asInt())
-    else if (n.isTextual) Right(n.asText())
-    else throw new IllegalArgumentException(s"Invalid column specifier: $n")
+  /** Column specifier: header name (string) or 0-based index (int ≥ 0),
+    * config-schema.json:43-53.
+    */
+  private def specifier(n: JsonNode, ctx: String): Either[Int, String] =
+    if (n.isIntegralNumber) {
+      if (n.asInt() < 0)
+        throw new EtlConfigException(s"Column index must be >= 0 in $ctx: $n")
+      Left(n.asInt())
+    } else if (n.isTextual) Right(n.asText())
+    else throw new EtlConfigException(s"Invalid column specifier in $ctx: $n")
 }

@@ -37,6 +37,52 @@ class EtlConfigSpec extends AnyFunSuite {
     assert(c.headerRow == 0 && c.skipRows == 1)
     assert(c.columnMapping == Seq("a" -> Left(0)))
   }
+
+  // ---- config-schema.json contract (reference: config-schema.json:17-59) --
+
+  private val Key = "1b33RL2nQJxdaHYxVmkk4lo3K1IKjSD3_ggnokrZCkx8"
+
+  private def bad(json: String): String =
+    intercept[EtlConfigException](EtlConfig.fromJson(json)).getMessage
+
+  test("rejects spreadsheet keys that are not 44-char ids") {
+    assert(bad("""{"shortKey": {}}""").contains("Invalid spreadsheet key"))
+    assert(bad(s"""{"${"x" * 45}": {}}""").contains("Invalid spreadsheet key"))
+    assert(bad(s"""{"${"a" * 43}!": {}}""").contains("Invalid spreadsheet key"))
+  }
+
+  test("rejects missing or non-string targetTable with a contract error") {
+    val m = bad(s"""{"$Key": {"S": {"columnMapping": {"a": 0}}}}""")
+    assert(m.contains("Missing required string 'targetTable'") && m.contains(s"$Key/S"))
+    assert(bad(s"""{"$Key": {"S": {"targetTable": 7, "columnMapping": {}}}}""")
+      .contains("targetTable"))
+  }
+
+  test("rejects missing or non-object columnMapping") {
+    assert(bad(s"""{"$Key": {"S": {"targetTable": "t"}}}""")
+      .contains("Missing required object 'columnMapping'"))
+    assert(bad(s"""{"$Key": {"S": {"targetTable": "t", "columnMapping": []}}}""")
+      .contains("columnMapping"))
+  }
+
+  test("rejects non-integer headerRow/skipRows and invalid specifiers") {
+    assert(bad(s"""{"$Key": {"S": {"targetTable": "t",
+      "columnMapping": {"a": 0}, "headerRow": "zero"}}}""")
+      .contains("'headerRow' must be an integer"))
+    assert(bad(s"""{"$Key": {"S": {"targetTable": "t",
+      "columnMapping": {"a": 0}, "skipRows": 1.5}}}""")
+      .contains("'skipRows' must be an integer"))
+    assert(bad(s"""{"$Key": {"S": {"targetTable": "t", "columnMapping": {"a": -1}}}}""")
+      .contains("Column index must be >= 0"))
+    assert(bad(s"""{"$Key": {"S": {"targetTable": "t", "columnMapping": {"a": true}}}}""")
+      .contains("Invalid column specifier"))
+  }
+
+  test("rejects non-object spreadsheet and sheet entries") {
+    assert(bad(s"""{"$Key": 3}""").contains("must be an object of sheets"))
+    assert(bad(s"""{"$Key": {"S": "nope"}}""").contains("Sheet entry must be an object"))
+    assert(bad("""[1,2]""").contains("Config root must be a JSON object"))
+  }
 }
 
 class RetrySpec extends AnyFunSuite {
