@@ -81,6 +81,13 @@ object Similarity {
   private val MinhashFns = 12
   private val BandSize = 4 // 3 bands of 4
 
+  /** LSH hygiene cap (q25): a band key shared by more than this many docs
+    * is a skewed quadratic bucket — it contributes O(n²) candidate pairs
+    * while discriminating nothing — so it is dropped before the band
+    * self-join. The DuckDB oracle applies the identical cap.
+    */
+  val MaxBandDocs = 50
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // minhash + LSH banding near-dup candidates with estimated Jaccard
     "q25_minhash_lsh" -> ((s, dir) => {
@@ -112,7 +119,13 @@ object Similarity {
           array_join(transform(slice(col("sg"), b * BandSize + 1, BandSize),
             x => x.cast("string")), ",").as("bk"))): _*)).as("x"))
         .select(col("doc_id"), col("x.b").as("b"), col("x.bk").as("bk"))
-      val cand = bands.alias("a").join(bands.alias("b"),
+      // band-frequency cap: two-phase count on the join key, then a semi
+      // join — bounds the worst bucket at MaxBandDocs² pairs instead of n².
+      val rareBands = bands.groupBy("b", "bk")
+        .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxBandDocs)
+        .select("b", "bk")
+      val capped = bands.join(rareBands, Seq("b", "bk"), "left_semi")
+      val cand = capped.alias("a").join(capped.alias("b"),
           col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -292,8 +305,10 @@ object Similarity {
          |bands AS (SELECT doc_id, b,
          |  array_to_string(sg[(b*$BandSize+1):(b*$BandSize+$BandSize)], ',') AS bk
          |  FROM sig, range(0, ${MinhashFns / BandSize}) t(b)),
+         |rare AS (SELECT b, bk FROM bands GROUP BY b, bk HAVING COUNT(*) <= $MaxBandDocs),
+         |bc AS (SELECT bands.doc_id, bands.b, bands.bk FROM bands JOIN rare USING (b, bk)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+         |  FROM bc a JOIN bc b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
          |m AS (SELECT doc_a, doc_b,
          |  len(list_filter(range(1, ${MinhashFns + 1}), i -> x.sg[i] = y.sg[i])) AS matches
          |  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)

@@ -18,6 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** LSH hygiene cap (q22): a candidate key shared by more than this many
+    * docs is a skewed quadratic bucket (a stopword-like 6-gram contributes
+    * O(n²) candidate pairs while discriminating nothing), so such keys are
+    * dropped before the self-join. Standard banding practice; the DuckDB
+    * oracle applies the identical cap.
+    */
+  val MaxBucketDocs = 50
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // language-ID: stopword-hit argmax with fixed tie-break priority
     "q17_lang_id" -> ((s, dir) => {
@@ -83,7 +91,15 @@ object TextAnalysis {
           array_distinct(wordNgrams(col("tk"), 6)).as("g6"))
         .persist() // gram sets feed the candidate self-join + two lookups
       val keys = docs.select(col("doc_id"), explode(col("g6")).as("g"))
-      val cand = keys.alias("a").join(keys.alias("b"),
+      // bucket-frequency cap: the semi join keeps only keys under the cap;
+      // the count is a two-phase agg on the same key the self-join shuffles
+      // on, so the extra pass is one map-side-combined aggregation, and the
+      // worst bucket after it is MaxBucketDocs² pairs, not n².
+      val rareKeys = keys.groupBy("g")
+        .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxBucketDocs)
+        .select("g")
+      val capped = keys.join(rareKeys, Seq("g"), "left_semi")
+      val cand = capped.alias("a").join(capped.alias("b"),
           col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
         .distinct()
@@ -189,8 +205,10 @@ object TextAnalysis {
          |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]
          |          for i in range(1, len(tk)-5+1)] END) AS g6 FROM t),
          |k AS (SELECT doc_id, unnest(g6) AS gg FROM g),
+         |rare AS (SELECT gg FROM k GROUP BY gg HAVING COUNT(*) <= $MaxBucketDocs),
+         |kc AS (SELECT k.doc_id, k.gg FROM k JOIN rare USING (gg)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM k a JOIN k b ON a.gg = b.gg AND a.doc_id < b.doc_id),
+         |  FROM kc a JOIN kc b ON a.gg = b.gg AND a.doc_id < b.doc_id),
          |j AS (SELECT doc_a, doc_b,
          |  len(list_filter(x.g3, e -> list_contains(y.g3, e))) AS inter,
          |  len(x.g3) + len(y.g3)

@@ -1,0 +1,39 @@
+package graft.queries
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** LSH bucket-frequency caps (q22 shared-6-gram keys, q25 minhash band
+  * keys): a corpus of hundreds of identical documents used to be a single
+  * quadratic candidate bucket (~45k pairs from 300 docs); with the cap the
+  * hot key is dropped entirely while rare-key near-dups still surface.
+  */
+class BucketCapSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("pathological corpus: hot buckets capped, rare-bucket pairs survive") {
+    import spark.implicits._
+    // 300 identical docs — every 6-gram/band key they produce is shared by
+    // 300 > MaxBucketDocs/MaxBandDocs docs and must be dropped...
+    val hot = (0 until 300).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    // ...while this isolated duplicate pair keeps its (count=2) keys.
+    val pairText = "curious owls ponder ancient manuscripts beneath silver moonlight tonight"
+    val pair = Seq((1000L, pairText), (1001L, pairText))
+    val dir = Files.createTempDirectory("graft-cap").toString
+    (hot ++ pair).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+
+    val q22 = TextAnalysis.queries("q22_ngram_jaccard")(spark, dir).collect()
+    assert(q22.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      == Set((1000L, 1001L)))
+    assert(q22.head.getAs[Double]("jaccard") == 1.0)
+
+    val q25 = Similarity.queries("q25_minhash_lsh")(spark, dir).collect()
+    assert(q25.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      == Set((1000L, 1001L)))
+    assert(q25.head.getAs[Long]("matches") == 12L) // identical minhash signatures
+
+    spark.catalog.clearCache() // drop the queries' persisted intermediates
+  }
+}
