@@ -78,6 +78,26 @@ object Similarity {
     (0 until planes).map(p => when(planeDot(p, v) >= 0.0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  /** q39 banding parameters: NdFamilies independent hyperplane families of
+    * NdPlanes sign bits each (family f uses planes f·NdPlanes … +NdPlanes−1
+    * of the shared deterministic plane sequence). A pair is a candidate if
+    * it shares a bucket in ANY family — the banded-LSH recall amplification
+    * (L bands of k bits), ~0.7 recall at cos 0.35 and >0.98 at cos 0.8.
+    */
+  private val NdFamilies = 8
+  private val NdPlanes = 4
+
+  /** Bucket cap (q39): same hygiene as q22/q25 — a bucket holding more
+    * than this many vectors is a quadratic skew risk and is dropped.
+    */
+  val MaxVecBucket = 50
+
+  /** Family-f bucket id: NdPlanes sign bits from that family's planes. */
+  private def famBucket(f: Int, v: Column): Column =
+    (0 until NdPlanes).map(j =>
+      when(planeDot(f * NdPlanes + j, v) >= 0.0, lit(1L << j)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
   private val MinhashFns = 12
   private val BandSize = 4 // 3 bands of 4
 
@@ -241,6 +261,42 @@ object Similarity {
         .limit(10)
     }),
 
+    // Scale-safe cosine near-dup (the q28 semantics in the 100 TB shape):
+    // hyperplane-LSH banding generates candidates via a bucket equi-join —
+    // work proportional to true bucket collisions, never the n²/2 all-pairs
+    // nested loop — then one exact codegen'd cosine per surviving pair.
+    // q28 stays as the labeled brute-force baseline; this is the plan
+    // you'd run on a real corpus. Candidate buckets are capped like
+    // q22/q25. (LSH is approximate: recall ~0.7 at the 0.35 threshold,
+    // rising toward 1 for true near-dups — the standard trade.)
+    "q39_cosine_neardup_lsh" -> ((s, dir) => {
+      val e = Tables.wide(s, dir, "embeddings").select(
+        col("vec_id"), col("embedding"), col("label"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        .persist() // feeds banding + both candidate-pair lookups
+      val bands = e.select(col("vec_id"), explode(array(
+        (0 until NdFamilies).map(f => struct(
+          lit(f.toLong).as("fam"), famBucket(f, col("embedding")).as("bk"))): _*)).as("x"))
+        .select(col("vec_id"), col("x.fam").as("fam"), col("x.bk").as("bk"))
+      val rare = bands.groupBy("fam", "bk")
+        .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxVecBucket)
+        .select("fam", "bk")
+      val capped = bands.join(rare, Seq("fam", "bk"), "left_semi")
+      val cand = capped.alias("a").join(capped.alias("b"),
+          col("a.fam") === col("b.fam") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+        .distinct()
+      cand
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          col("label").as("label_a"), col("nrm").as("na")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("label").as("label_b"), col("nrm").as("nb")), "vec_b")
+        .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
+          (vecDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+        .filter(col("cos") >= 0.35)
+    }),
+
     // LSH ANN: 6 hyperplane sign bits -> bucket; rank within query's bucket
     "q30_ann_lsh" -> ((s, dir) => {
       val e = Tables.wide(s, dir, "embeddings")
@@ -276,6 +332,12 @@ object Similarity {
   private def sqlBucket(v: String, planes: Int): String =
     (0 until planes).map(p =>
       s"(CASE WHEN ${sqlPlaneDot(p, v)} >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)")
+      .mkString(" + ")
+
+  /** Family-f bucket (mirrors famBucket): NdPlanes sign bits. */
+  private def sqlFamBucket(f: Int, v: String): String =
+    (0 until NdPlanes).map(j =>
+      s"(CASE WHEN ${sqlPlaneDot(f * NdPlanes + j, v)} >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
 
   private val Toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
@@ -367,6 +429,22 @@ object Similarity {
          |  ${sqlDot("cells.embedding", "q.qv")}/(cells.nrm*q.qn) AS cos
          |FROM cells, q WHERE cells.cell IN (SELECT cent_id FROM qc)
          |ORDER BY cos DESC, cells.vec_id LIMIT 10""".stripMargin,
+
+    "q39_cosine_neardup_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+         |bands AS (${(0 until NdFamilies).map(f =>
+              s"SELECT vec_id, CAST($f AS BIGINT) AS fam, " +
+              s"${sqlFamBucket(f, "embedding")} AS bk FROM embeddings")
+              .mkString("\n         |  UNION ALL ")}),
+         |rare AS (SELECT fam, bk FROM bands GROUP BY fam, bk HAVING COUNT(*) <= $MaxVecBucket),
+         |bc AS (SELECT bands.vec_id, bands.fam, bands.bk FROM bands JOIN rare USING (fam, bk)),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bc a JOIN bc b ON a.fam = b.fam AND a.bk = b.bk AND a.vec_id < b.vec_id)
+         |SELECT cand.vec_a, cand.vec_b, x.label AS label_a, y.label AS label_b,
+         |  ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+         |FROM cand JOIN e x ON x.vec_id = cand.vec_a JOIN e y ON y.vec_id = cand.vec_b
+         |WHERE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.35""".stripMargin,
 
     "q30_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, embedding,

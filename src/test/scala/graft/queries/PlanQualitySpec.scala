@@ -16,6 +16,10 @@ class PlanQualitySpec extends AnyFunSuite {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, dir).queryExecution.sparkPlan.toString
 
+  /** Post-EnsureRequirements plan — Exchange nodes only exist here. */
+  private def execPlan(q: String): String =
+    SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+
   test("q04 filter+sum: predicates pushed to the parquet scan, schema pruned") {
     val p = plan("q04_filter_sum")
     assert(p.contains("PushedFilters: ["))
@@ -56,5 +60,32 @@ class PlanQualitySpec extends AnyFunSuite {
     // with per-row norms computed below it, not per pair
     assert(p.toLowerCase.contains("vec_dot"))
     assert("vec_dot".r.findAllIn(p.toLowerCase).length <= 4)
+  }
+
+  test("q21 exact dedup: exactly one shuffle (two-phase agg on the hash key)") {
+    val p = execPlan("q21_dedup_exact")
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_"))
+  }
+
+  test("q36 prep pipeline: exactly one shuffle (the dedup window)") {
+    val p = execPlan("q36_prep_pipeline")
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+  }
+
+  test("q25 minhash banding: candidates via equi-join, never a nested loop") {
+    val p = plan("q25_minhash_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    spark.catalog.clearCache() // q25 persists its sketch projection
+  }
+
+  test("q39 bucketed cosine near-dup: no nested loop, no cartesian product") {
+    // THE property that makes q39 the 100 TB replacement for q28: candidate
+    // generation must be a bucket equi-join (shuffle or broadcast hash),
+    // never the n²/2 pair enumeration q28 is built from.
+    val p = plan("q39_cosine_neardup_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.toLowerCase.contains("vec_dot")) // exact-cosine verify stage present
+    spark.catalog.clearCache()
   }
 }
