@@ -47,6 +47,7 @@ class GridTableProvider extends TableProvider {
 object GridTable {
   val Schema: StructType = StructType(Seq(
     StructField("spreadsheet_id", StringType, nullable = false),
+    StructField("spreadsheet_name", StringType, nullable = false),
     StructField("sheet_name", StringType, nullable = false),
     StructField("modified_time", StringType, nullable = false),
     StructField("_origin_row", LongType, nullable = false),
@@ -92,7 +93,8 @@ final class GridScanBuilder(path: String)
 }
 
 final case class GridPartition(file: String, spreadsheetId: String,
-    sheetName: String, modifiedTime: String) extends InputPartition
+    spreadsheetName: String, sheetName: String, modifiedTime: String)
+  extends InputPartition
 
 final class GridScan(path: String, required: StructType,
     idEq: Option[String], sheetEq: Option[String]) extends Scan with Batch {
@@ -111,7 +113,9 @@ final class GridScan(path: String, required: StructType,
       .filter(_.toString.endsWith(".json")).toSeq.sortBy(_.toString)
       .map { p =>
         val n = mapper.readTree(Files.readAllBytes(p))
-        GridPartition(p.toString, n.get("spreadsheetId").asText(),
+        val id = n.get("spreadsheetId").asText()
+        GridPartition(p.toString, id,
+          Option(n.get("name")).map(_.asText()).getOrElse(id),
           n.get("sheetName").asText(), n.get("modifiedTime").asText())
       }
       // planning-time partition pruning from the pushed equality filters
@@ -128,6 +132,61 @@ final class GridReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new GridReader(p.asInstanceOf[GridPartition], required)
+}
+
+/** [[GridSource]] backed by the DSv2 connector: the whole extract boundary
+  * (discovery list, single-file meta, per-sheet grid) expressed as Spark
+  * scans of [[GridTableProvider]] instead of driver-side file reads.
+  *
+  * Scale shape: discovery is a distributed agg over the scan (max
+  * (modified_time, sheet) per spreadsheet, keyset tuple filter, TakeOrdered
+  * — the same plan family as q12); `meta`/`grid` push their equality
+  * filters into the scan, so planning prunes to exactly the partitions of
+  * the requested spreadsheet/sheet (asserted by GridDataSourceSpec). The
+  * grid collect is driver-bounded by the Sheets API model — one sheet's
+  * cells — like every [[GridSource.grid]] implementation.
+  */
+final class Dsv2GridSource(spark: org.apache.spark.sql.SparkSession, dir: String)
+    extends GridSource {
+  import org.apache.spark.sql.functions.{col, struct, max}
+
+  private def df: org.apache.spark.sql.DataFrame =
+    spark.read.format("graft.etl.GridTableProvider").option("path", dir).load()
+
+  /** Per-spreadsheet latest (modified_time, sheet) — the discovery rollup. */
+  private def rollup(base: org.apache.spark.sql.DataFrame) =
+    base.groupBy(col("spreadsheet_id"))
+      .agg(max(struct(col("modified_time"), col("sheet_name"),
+        col("spreadsheet_name"))).as("m"))
+      .select(col("spreadsheet_id"), col("m.modified_time").as("modified_time"),
+        col("m.spreadsheet_name").as("spreadsheet_name"))
+
+  override def list(cursorModified: String, cursorId: String, count: Int): Seq[SpreadsheetMeta] =
+    rollup(df)
+      // keyset tuple filter, `>=` with id tie-break (reference
+      // src/GoogleSheetsAgent.php:115-119)
+      .filter(col("modified_time") > cursorModified ||
+        (col("modified_time") === cursorModified && col("spreadsheet_id") >= cursorId))
+      .orderBy("modified_time", "spreadsheet_id")
+      .limit(count)
+      .collect().toSeq
+      .map(r => SpreadsheetMeta(r.getString(0), r.getString(1), r.getString(2)))
+
+  override def meta(id: String): Option[SpreadsheetMeta] =
+    rollup(df.filter(col("spreadsheet_id") === id)) // pruned to id's partitions
+      .collect().headOption
+      .map(r => SpreadsheetMeta(r.getString(0), r.getString(1), r.getString(2)))
+
+  override def grid(id: String, sheetName: String): SheetGrid = {
+    val rows = df
+      .filter(col("spreadsheet_id") === id && col("sheet_name") === sheetName)
+      .select("_origin_row", "cells")
+      .orderBy("_origin_row")
+      .collect()
+    if (rows.isEmpty)
+      throw new NoSuchElementException(s"No grid fixture: $id/$sheetName")
+    SheetGrid.fromValues(rows.map(_.getSeq[String](1)).toSeq)
+  }
 }
 
 final class GridReader(p: GridPartition, required: StructType)
@@ -148,6 +207,7 @@ final class GridReader(p: GridPartition, required: StructType)
   override def get(): InternalRow = {
     val values = required.fieldNames.map {
       case "spreadsheet_id" => UTF8String.fromString(p.spreadsheetId)
+      case "spreadsheet_name" => UTF8String.fromString(p.spreadsheetName)
       case "sheet_name" => UTF8String.fromString(p.sheetName)
       case "modified_time" => UTF8String.fromString(p.modifiedTime)
       case "_origin_row" => current._1

@@ -59,6 +59,44 @@ class GridDataSourceSpec extends AnyFunSuite {
     assert(scan.contains("sheet_name") && !scan.contains("cells"))
   }
 
+  test("per-sheet fetch prunes to one input partition of three") {
+    assert(load.select("_origin_row", "cells").rdd.getNumPartitions == 3)
+    val pruned = load.filter(col("spreadsheet_id") === "SHEETA" &&
+        col("sheet_name") === "s1")
+      .select("_origin_row", "cells")
+    // planning-time partition pruning from the pushed equality filters:
+    // the scan plans exactly the one matching (spreadsheet, sheet) file
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("spreadsheet_id=SHEETA"))
+  }
+
+  test("full ETL e2e runs through the DSv2 connector (R28–R31 over a Spark scan)") {
+    val wh = Files.createTempDirectory("graft-dsv2-wh").toString
+    val src = new Dsv2GridSource(spark, dir)
+    // extract-boundary parity with LocalGridSource
+    assert(src.list("2001-01-01T00:00:00Z", "", 10).map(_.id)
+      == Seq("SHEETA", "SHEETB")) // per-spreadsheet max modified, keyset order
+    assert(src.meta("SHEETB").map(_.modifiedTime).contains("2026-05-03T12:00:00.000Z"))
+    assert(src.meta("NOPE").isEmpty)
+
+    val meta = new MetaStore(spark, s"$wh/meta")
+    val targets = new TargetStore(spark, s"$wh/tables")
+    meta.setUpAccounting()
+    val tasks = new Tasks(src, meta, targets, loadTime = 1746100000L)
+    tasks.setConfiguration(Seq(EtlConfig("SHEETA", "s1", "people",
+      Seq("name" -> Right("Name"), "age" -> Right("Age")))))
+    assert(tasks.findSomeUpdatedSpreadsheets() == 2)
+    val loaded = tasks.loadSomeUpdatedSpreadsheets()
+    assert(loaded.map(_.targetTable) == Seq("people"))
+    val rows = targets.read("people").orderBy("_origin_row")
+      .select("name", "age").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(rows == Seq(("Alice", "30"), ("Bob", null))) // ragged row null-padded
+    assert(tasks.verifyOldestSpreadsheet())
+    assert(tasks.loadSomeUpdatedSpreadsheets().isEmpty) // R16/R21 no-op rerun
+  }
+
   test("full pipeline: DSv2 scan feeds the SheetGrid transform semantics") {
     val raw = load.filter(col("spreadsheet_id") === "SHEETA" &&
       col("sheet_name") === "s1").orderBy("_origin_row")
