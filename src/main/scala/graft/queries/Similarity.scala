@@ -98,6 +98,62 @@ object Similarity {
       when(planeDot(f * NdPlanes + j, v) >= 0.0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
+  // ---- q35 coarse quantizer: deterministic spherical k-means -------------
+
+  /** Every `SampleMod`-th vector trains the quantizer (at 100 TB you train
+    * on a sample, not the corpus; the modulus is the deterministic sample).
+    */
+  private val IvfCells = 8
+  private val SampleMod = 5
+  private val KmeansIters = 2
+
+  /** Deterministic seeded k-means over the sample, driver-side: init = the
+    * `IvfCells` lowest-vec_id sample vectors, then `KmeansIters` Lloyd
+    * steps assigning by cosine (argmax, ties to the lowest cell) and
+    * re-centering on the member mean. Every float op is an exact IEEE
+    * mirror of the DuckDB oracle's CTE chain: dots and per-dimension
+    * member sums are sequential left folds (members in vec_id order), the
+    * mean is one double/int64 divide, so both engines derive bit-identical
+    * centroids from the same parquet and the probe results hash-match.
+    * Returns (cell, centroid, centroidNorm).
+    */
+  private def kmeansCentroids(s: SparkSession, dir: String): Array[(Int, Seq[Double], Double)] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    val samp: Array[(Long, Array[Double])] = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") % SampleMod === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .sortBy(_._1)
+    var cents: Array[Array[Double]] = samp.take(IvfCells).map(_._2)
+    for (_ <- 0 until KmeansIters) {
+      val members =
+        Array.fill(IvfCells)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+      for ((_, v) <- samp) { // samp is vec_id-ordered ⇒ member order is too
+        val vn = math.sqrt(dot(v, v))
+        var best = 0; var bestC = Double.NegativeInfinity
+        for (k <- 0 until IvfCells) {
+          val ccos = dot(v, cents(k)) / (vn * math.sqrt(dot(cents(k), cents(k))))
+          if (ccos > bestC) { bestC = ccos; best = k } // strict > = ties to low k
+        }
+        members(best) += v
+      }
+      cents = cents.zipWithIndex.map { case (old, k) =>
+        val ms = members(k)
+        if (ms.isEmpty) old // lost cell keeps its centroid
+        else Array.tabulate(64) { i =>
+          var acc = 0.0; ms.foreach(v => acc += v(i)) // vec_id-ordered fold
+          acc / ms.length
+        }
+      }
+    }
+    cents.zipWithIndex.map { case (c, k) => (k, c.toSeq, math.sqrt(dot(c, c))) }
+  }
+
   private val MinhashFns = 12
   private val BandSize = 4 // 3 bands of 4
 
@@ -217,21 +273,18 @@ object Similarity {
     }),
 
     // IVF ANN: coarse quantizer (8 centroid cells, nprobe=2). Centroids
-    // here are the first 8 vectors (a deterministic stand-in for k-means —
-    // the IVF *structure* is the point: assign, invert, probe). They are
-    // collected driver-side (broadcast-scale, like any tiny dim) and baked
-    // as literal arrays, so cell assignment is a SHUFFLE-FREE narrow map:
-    // 8 native dots + an argmax when-chain per row. Probing touches only
-    // the 2 cells nearest the query; the final top-k is TakeOrdered.
+    // come from [[kmeansCentroids]] — deterministic seeded k-means over a
+    // modulus sample, computed driver-side (quantizer training is always a
+    // sample-then-broadcast step) and baked as literal arrays, so cell
+    // assignment is a SHUFFLE-FREE narrow map: 8 native dots + an argmax
+    // when-chain per row. Probing touches only the 2 cells nearest the
+    // query; the final top-k is TakeOrdered.
     "q35_ann_ivf" -> ((s, dir) => {
       val e = Tables.wide(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
           sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
         .persist()
-      val cents: Array[(Int, Seq[Double], Double)] =
-        e.filter(col("vec_id") < 8).collect().map { r =>
-          (r.getLong(0).toInt, r.getSeq[Float](1).map(_.toDouble), r.getDouble(2))
-        }.sortBy(_._1)
+      val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
       // layered: the 8 centroid cosines become named columns, then the
       // argmax chain reads them (CSE-safe argument positions)
       val withCos = e.select(col("vec_id") +: col("embedding") +: col("nrm") +:
@@ -340,6 +393,35 @@ object Similarity {
       s"(CASE WHEN ${sqlPlaneDot(f * NdPlanes + j, v)} >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
 
+  /** One Lloyd step as chained CTEs (mirrors one [[kmeansCentroids]]
+    * iteration): cosine-argmax assignment with ties to the lowest cell,
+    * then per-dimension member sums over `list(v ORDER BY vec_id)` — the
+    * same sequential fold order as the Scala side — divided by the count.
+    * A cell with no members keeps its previous centroid.
+    */
+  private def sqlKmeansIter(n: Int): String = {
+    val prev = s"c${n - 1}"
+    s"""a$n AS (SELECT s.vec_id, s.v, c.k,
+       |  ${sqlDot("s.v", "c.cvec")} / (sqrt(${sqlDot("s.v", "s.v")}) * sqrt(${sqlDot("c.cvec", "c.cvec")})) AS ccos
+       |  FROM samp s CROSS JOIN $prev c),
+       |asg$n AS (SELECT vec_id, v, k FROM (SELECT vec_id, v, k,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY ccos DESC, k) AS rn FROM a$n) t WHERE rn = 1),
+       |m$n AS (SELECT k, list(v ORDER BY vec_id) AS vs, count(*) AS cnt FROM asg$n GROUP BY k),
+       |c$n AS (SELECT p.k, CASE WHEN m.k IS NULL THEN p.cvec
+       |  ELSE list_transform(range(1, 65), i -> list_aggregate(list_transform(m.vs, vv -> vv[i]), 'sum') / m.cnt)
+       |  END AS cvec FROM $prev p LEFT JOIN m$n m ON m.k = p.k)""".stripMargin
+  }
+
+  /** The full quantizer-training CTE chain ending in centroid table `cq`. */
+  private def sqlKmeans: String =
+    s"""samp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings WHERE vec_id % $SampleMod = 0),
+       |c0 AS (SELECT k, cvec FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k,
+       |  v AS cvec FROM samp) t WHERE k < $IvfCells),
+       |${(1 to KmeansIters).map(sqlKmeansIter).mkString(",\n")},
+       |cq AS (SELECT k AS cent_id, cvec,
+       |  sqrt(${sqlDot("cvec", "cvec")}) AS cnrm FROM c$KmeansIters)""".stripMargin
+
   private val Toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
   private val SqlG3 =
     s"""list_distinct(CASE WHEN len(tk) < 3 THEN []
@@ -414,11 +496,10 @@ object Similarity {
     "q35_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding,
          |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
-         |c AS (SELECT vec_id AS cent_id, embedding AS cvec, nrm AS cnrm
-         |  FROM e WHERE vec_id < 8),
-         |a AS (SELECT e.vec_id, e.embedding, e.nrm, c.cent_id,
-         |  ${sqlDot("e.embedding", "c.cvec")}/(e.nrm*c.cnrm) AS ccos
-         |  FROM e CROSS JOIN c),
+         |$sqlKmeans,
+         |a AS (SELECT e.vec_id, e.embedding, e.nrm, cq.cent_id,
+         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
+         |  FROM e CROSS JOIN cq),
          |cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM
          |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
          |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
