@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
+import graft.functions.SketchFunctions.simHash32
 import graft.functions.VectorFunctions.vecDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -47,14 +48,14 @@ object Similarity {
   private def hashA(j: Int): Long = (j * 2654435761L) % MersenneP
   private def hashB(j: Int): Long = (j * 40503L) % MersenneP
 
-  /** 32-bit simhash over the distinct whitespace tokens of `text`. */
-  private def simhash32(text: Column): Column = {
-    val th = transform(array_distinct(tokens(text)), t => portableHash(t))
-    val vote = (b: Int) => aggregate(th, lit(0L), (acc, h) =>
-      acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
-    (0 until 32).map(b => when(vote(b) > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-  }
+  /** 32-bit simhash over the distinct whitespace tokens of `text`: one
+    * native single-pass vote ([[graft.functions.SimHash32]]) over the
+    * portable token hashes. (The built-in formulation — 32 `aggregate()`
+    * lambdas over the same array — costs 32 interpreted passes per doc;
+    * the native expression is the q26/q27 sketch-CPU hot path.)
+    */
+  private def simhash32(text: Column): Column =
+    simHash32(transform(array_distinct(tokens(text)), t => portableHash(t)))
 
   /** Deterministic pseudo-random hyperplane component in [-1, 1):
     * hash32("plane<p>_<i>") / 2^31 - 1. Computed driver-side (same sha-256
