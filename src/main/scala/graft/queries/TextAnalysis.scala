@@ -82,13 +82,22 @@ object TextAnalysis {
         .select("keep_id", "n_dups")
     }),
 
-    // near-dup by word-3gram Jaccard, candidates via shared word-6gram
+    // near-dup by word-3gram Jaccard, candidates via shared word-6gram.
+    // Shingles are hashed to 64-bit ints first (standard shingle hashing):
+    // join keys and the per-pair intersections compare longs, not ~40-char
+    // gram strings — at corpus scale that's the difference between an
+    // integer shuffle and a string shuffle. The oracle hashes identically,
+    // so counts match exactly (a 32-bit collision would merge the same
+    // pair of grams in both engines).
     "q22_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.wide(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .select(col("doc_id"),
-          array_distinct(wordNgrams(col("tk"), 3)).as("g3"),
-          array_distinct(wordNgrams(col("tk"), 6)).as("g6"))
+          array_distinct(wordNgrams(col("tk"), 3)).as("g3s"),
+          array_distinct(wordNgrams(col("tk"), 6)).as("g6s"))
+        .select(col("doc_id"),
+          transform(col("g3s"), g => portableHash(g)).as("g3"),
+          transform(col("g6s"), g => portableHash(g)).as("g6"))
         .persist() // gram sets feed the candidate self-join + two lookups
       val keys = docs.select(col("doc_id"), explode(col("g6")).as("g"))
       // bucket-frequency cap: the semi join keeps only keys under the cap;
@@ -198,12 +207,15 @@ object TextAnalysis {
 
     "q22_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
-         |g AS (SELECT doc_id,
+         |gs AS (SELECT doc_id,
          |  list_distinct(CASE WHEN len(tk) < 3 THEN []
-         |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2] for i in range(1, len(tk)-2+1)] END) AS g3,
+         |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2] for i in range(1, len(tk)-2+1)] END) AS g3s,
          |  list_distinct(CASE WHEN len(tk) < 6 THEN []
          |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]
-         |          for i in range(1, len(tk)-5+1)] END) AS g6 FROM t),
+         |          for i in range(1, len(tk)-5+1)] END) AS g6s FROM t),
+         |g AS (SELECT doc_id,
+         |  list_transform(g3s, x -> CAST('0x'||substr(sha256(x),1,8) AS BIGINT)) AS g3,
+         |  list_transform(g6s, x -> CAST('0x'||substr(sha256(x),1,8) AS BIGINT)) AS g6 FROM gs),
          |k AS (SELECT doc_id, unnest(g6) AS gg FROM g),
          |rare AS (SELECT gg FROM k GROUP BY gg HAVING COUNT(*) <= $MaxBucketDocs),
          |kc AS (SELECT k.doc_id, k.gg FROM k JOIN rare USING (gg)),
