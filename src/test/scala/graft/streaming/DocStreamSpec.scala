@@ -1,0 +1,48 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+class DocStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  // ~28 English stopword tokens → lang en, quality ≈ 0.4 + 0.6·(28/50) > 0.5
+  private val goodEn = Seq.fill(4)("the and of to in is a").mkString(" ")
+  private val spanish = Seq.fill(4)("el la de que y en un").mkString(" ")
+  private val junk = "zzz"
+
+  test("prep stream dedups on content hash, keeps quality English docs") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.prep(mem.toDF().toDF("doc_id", "ingest_ts", "text"))
+      .writeStream.format("memory").queryName("prep").outputMode("append").start()
+    try {
+      mem.addData((0L, ts(1), goodEn), (1L, ts(2), spanish), (2L, ts(3), junk))
+      q.processAllAvailable()
+      mem.addData((10L, ts(4), goodEn), (11L, ts(5), goodEn + " extra"))
+      q.processAllAvailable()
+      val got = spark.table("prep").select("doc_id")
+        .as[Long].collect().toSet
+      // doc 0 passes; 1 is Spanish, 2 is junk-quality; 10 is a duplicate of
+      // 0's content (dedup state holds its hash); 11 is new and passes
+      assert(got == Set(0L, 11L))
+      val row = spark.table("prep").filter($"doc_id" === 0L).head()
+      assert(row.getAs[Long]("n_tokens") == 28L)
+      assert(row.getAs[Double]("quality") > 0.5)
+    } finally q.stop()
+  }
+
+  test("scored matches the batch q17/q18 expressions on the same rows") {
+    import spark.implicits._
+    val batch = Seq((0L, ts(1), goodEn), (1L, ts(2), spanish), (2L, ts(3), junk))
+      .toDF("doc_id", "ingest_ts", "text")
+    val got = DocStream.scored(batch)
+      .select("doc_id", "lang_guess").as[(Long, String)].collect().toMap
+    assert(got == Map(0L -> "en", 1L -> "es", 2L -> "en")) // junk ties → en priority
+  }
+}
