@@ -90,8 +90,106 @@ case class SimHash32(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Native minhash signature: per affine seed j, the minimum of
+  * `(a_j·h + b_j) mod p` over the input hashes, all seeds in ONE pass.
+  *
+  * The built-in formulation materializes one `transform()`ed array per
+  * seed and `array_min`s each — k array allocations + k traversals per
+  * document. This expression walks the hash array once, maintaining k
+  * running minima in a primitive loop (both codegen and interpreted).
+  *
+  * Semantics parity with the built-ins (and the DuckDB oracle): pure int64
+  * arithmetic, and an EMPTY (or all-null) input yields an array of k NULLs
+  * — exactly what `array_min(transform([], …))` produces, which is what
+  * downstream "no grams" filters key on. Null elements are skipped.
+  */
+case class MinHashAffine(child: Expression, as: Seq[Long], bs: Seq[Long], p: Long)
+    extends UnaryExpression {
+  require(as.length == bs.length && as.nonEmpty, "need one (a,b) per seed")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash requires array<bigint> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "minhash"
+
+  private def k = as.length
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(k)(Long.MaxValue)
+    var seen = false
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen = true
+        val h = arr.getLong(i)
+        var j = 0
+        while (j < k) {
+          val v = (as(j) * h + bs(j)) % p
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (!seen) new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Array.fill[Any](k)(null))
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      mins.map(Long.box(_): Any))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aArr = ctx.addReferenceObj("as", as.toArray, "long[]")
+    val bArr = ctx.addReferenceObj("bs", bs.toArray, "long[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val v = ctx.freshName("v")
+      val mins = ctx.freshName("mins")
+      val seen = ctx.freshName("seen")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |boolean $seen = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$arr.isNullAt($i)) {
+         |    $seen = true;
+         |    long $h = $arr.getLong($i);
+         |    for (int $j = 0; $j < $k; $j++) {
+         |      long $v = ($aArr[$j] * $h + $bArr[$j]) % ${p}L;
+         |      if ($v < $mins[$j]) $mins[$j] = $v;
+         |    }
+         |  }
+         |}
+         |Object[] $out = new Object[$k];
+         |for (int $j = 0; $j < $k; $j++) {
+         |  $out[$j] = $seen ? (Object) java.lang.Long.valueOf($mins[$j]) : null;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashAffine =
+    copy(child = newChild)
+}
+
 object SketchFunctions {
   /** Column-level one-pass simhash over token hashes (see [[SimHash32]]). */
   def simHash32(tokenHashes: Column): Column =
     GraftBridge.column(SimHash32(GraftBridge.expression(tokenHashes)))
+
+  /** Column-level one-pass minhash signature (see [[MinHashAffine]]). */
+  def minHash(tokenHashes: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
+    GraftBridge.column(
+      MinHashAffine(GraftBridge.expression(tokenHashes), as, bs, p))
 }

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import graft.functions.SketchFunctions.simHash32
+import graft.functions.SketchFunctions.{minHash, simHash32}
 import graft.functions.VectorFunctions.vecDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -171,12 +171,12 @@ object Similarity {
       // Layered projections, deliberately: an expression referenced inside
       // a higher-order-function lambda is re-evaluated PER ELEMENT (Spark's
       // subexpression elimination skips lambda bodies), so tokens/grams
-      // must become named columns before any lambda touches them. The 12
-      // seed columns stay as 12 separate `col("hs")` references so
-      // CollapseProject cannot inline the sha pass into a lambda body.
-      val sig = array((1 to MinhashFns).map(j =>
-        array_min(transform(col("hs"),
-          h => (lit(hashA(j)) * h + lit(hashB(j))) % lit(MersenneP)))): _*)
+      // must become named columns before any lambda touches them. The
+      // 12-seed signature is ONE native pass over the hash array
+      // ([[graft.functions.MinHashAffine]]) instead of 12 transform+min
+      // array materializations.
+      val sig = minHash(col("hs"),
+        (1 to MinhashFns).map(hashA), (1 to MinhashFns).map(hashB), MersenneP)
       // persist: the signature feeds the band self-join AND two signature
       // lookups — without it the sketch is recomputed up to 5×. At cluster
       // scale this is the stage you'd materialize to a staging table.

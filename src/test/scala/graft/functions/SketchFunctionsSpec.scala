@@ -58,4 +58,27 @@ class SketchFunctionsSpec extends AnyFunSuite {
     val r = spark.sql("SELECT simhash32(array(CAST(7 AS BIGINT))) AS s").head()
     assert(r.getLong(0) == 7L) // single hash: its set bits win every vote
   }
+
+  private val P = 2147483647L
+  private val As = Seq(2654435761L % P, 40503L, 123457L)
+  private val Bs = Seq(17L, 0L, 999999L)
+
+  test("MinHashAffine equals the per-seed transform+array_min built-ins") {
+    import spark.implicits._
+    val df = Seq(Seq(5L, 4000000000L, 17L), Seq(1L), Seq(2147483646L))
+      .toDF("hs")
+    val builtin = array(As.zip(Bs).map { case (a, b) =>
+      array_min(transform(col("hs"), h => (lit(a) * h + lit(b)) % lit(P)))
+    }: _*)
+    val rows = df.select(SketchFunctions.minHash(col("hs"), As, Bs, P).as("native"),
+      builtin.as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("MinHashAffine: empty input yields all-null signature (no-grams marker)") {
+    import spark.implicits._
+    val r = Seq(Seq.empty[Long]).toDF("hs")
+      .select(SketchFunctions.minHash(col("hs"), As, Bs, P)).head()
+    assert(r.getSeq[Any](0) == Seq(null, null, null))
+  }
 }
