@@ -2,7 +2,6 @@ package graft.etl
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
-import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Target-table storage (R18, R22, R23; SURVEY.md §1.1.3).
