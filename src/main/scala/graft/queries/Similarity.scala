@@ -324,14 +324,18 @@ object Similarity {
     // q22/q25. (LSH is approximate: recall ~0.7 at the 0.35 threshold,
     // rising toward 1 for true near-dups — the standard trade.)
     "q39_cosine_neardup_lsh" -> ((s, dir) => {
+      // The 8 family buckets (32 plane dots/row) are computed INSIDE the
+      // persisted projection: the band relation feeds the frequency-cap
+      // aggregate AND both sides of the candidate self-join, so an
+      // unpersisted bucket column would be recomputed 3× per row.
       val e = Tables.wide(s, dir, "embeddings").select(
         col("vec_id"), col("embedding"), col("label"),
-        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"),
+        array((0 until NdFamilies).map(f =>
+          famBucket(f, col("embedding"))): _*).as("bks"))
         .persist() // feeds banding + both candidate-pair lookups
-      val bands = e.select(col("vec_id"), explode(array(
-        (0 until NdFamilies).map(f => struct(
-          lit(f.toLong).as("fam"), famBucket(f, col("embedding")).as("bk"))): _*)).as("x"))
-        .select(col("vec_id"), col("x.fam").as("fam"), col("x.bk").as("bk"))
+      val bands = e.select(col("vec_id"), posexplode(col("bks")))
+        .select(col("vec_id"), col("pos").cast("long").as("fam"), col("col").as("bk"))
       val rare = bands.groupBy("fam", "bk")
         .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxVecBucket)
         .select("fam", "bk")
