@@ -232,11 +232,18 @@ object Similarity {
         (0 until 4).map(b => struct(lit(b).as("b"),
           shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bk"))): _*)).as("x"))
         .select(col("doc_id"), col("simhash"), col("x.b").as("b"), col("x.bk").as("bk"))
+      // band-frequency cap, same hygiene as q22/q25/q39: a byte-band held
+      // by >MaxBandDocs docs is a quadratic bucket (only 4×256 buckets
+      // exist, so a near-identical cluster WILL pool in one).
+      val rare = bands.groupBy("b", "bk")
+        .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxBandDocs)
+        .select("b", "bk")
+      val capped = bands.join(rare, Seq("b", "bk"), "left_semi")
       // hamming filter BEFORE the distinct: a pair collides in up to 4
       // bands, so filtering first shrinks the dedup shuffle 4× (bit_count
       // on a long is nearly free; hamming is functionally determined by
       // the pair, so distinct-after-filter is the same set).
-      bands.alias("a").join(bands.alias("b"),
+      capped.alias("a").join(capped.alias("b"),
           col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
@@ -477,9 +484,12 @@ object Similarity {
          |s AS (SELECT doc_id, $SqlSimhash AS simhash FROM t),
          |bands AS (SELECT doc_id, simhash, b, (simhash >> (8*b)) & 255 AS bk
          |  FROM s, range(0, 4) t(b)),
+         |rare AS (SELECT b, bk FROM bands GROUP BY b, bk HAVING COUNT(*) <= $MaxBandDocs),
+         |bc AS (SELECT bands.doc_id, bands.simhash, bands.b, bands.bk
+         |  FROM bands JOIN rare USING (b, bk)),
          |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          |    a.simhash AS sim_a, b.simhash AS sim_b
-         |  FROM bands a JOIN bands b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |  FROM bc a JOIN bc b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8""".stripMargin,
 

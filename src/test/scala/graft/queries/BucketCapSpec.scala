@@ -34,6 +34,11 @@ class BucketCapSpec extends AnyFunSuite {
       == Set((1000L, 1001L)))
     assert(q25.head.getAs[Long]("matches") == 12L) // identical minhash signatures
 
+    val q27 = Similarity.queries("q27_simhash_pairs")(spark, dir).collect()
+    assert(q27.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+      == Set((1000L, 1001L))) // identical simhash; hot cluster's bands capped
+    assert(q27.head.getAs[Long]("hamming") == 0L)
+
     spark.catalog.clearCache() // drop the queries' persisted intermediates
   }
 }
