@@ -41,7 +41,11 @@ object TextAnalysis {
           .otherwise("fr").as("lang_guess"))
     }),
 
-    // quality scoring: length/punct/stopword ratios, all int-derived doubles
+    // quality scoring: length/punct/stopword ratios, all int-derived
+    // doubles. Ratios are guarded against empty documents (nChars/nTok =
+    // 0 ⇒ NULL, mirrored in the oracle): under Spark 4's default ANSI
+    // mode an unguarded divide KILLS the job on the first empty doc —
+    // the row-3-billion failure mode DegenerateTextSpec pins down.
     "q18_quality_score" -> ((s, dir) => {
       val t = trim(col("text"))
       val toks = tokens(col("text"))
@@ -49,8 +53,10 @@ object TextAnalysis {
       val nChars = length(t).cast("long")
       val alnumSpace = length(regexp_replace(t, "[^a-zA-Z0-9 ]", "")).cast("long")
       val stops = stopwordHits(toks, stopwordsByLang.head._2)
-      val stopRatio = stops.cast("double") / nTok.cast("double")
-      val punctRatio = (nChars - alnumSpace).cast("double") / nChars.cast("double")
+      val stopRatio = when(nTok > 0,
+        stops.cast("double") / nTok.cast("double")).otherwise(lit(null))
+      val punctRatio = when(nChars > 0,
+        (nChars - alnumSpace).cast("double") / nChars.cast("double")).otherwise(lit(null))
       val lenScore = least(lit(1.0), nTok.cast("double") / lit(50.0))
       Tables(s, dir, "documents").select(
         col("doc_id"), nTok.as("n_tokens"), nChars.as("n_chars"),
@@ -180,9 +186,12 @@ object TextAnalysis {
          |  length(regexp_replace(tt, '[^a-zA-Z0-9 ]', '', 'g')) AS alnum_space,
          |  len(list_filter(tk, x -> x IN ${sqlStops("en")})) AS stops FROM t)
          |SELECT doc_id, n_tokens, n_chars,
-         |  CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS stopword_ratio,
-         |  CAST(n_chars - alnum_space AS DOUBLE)/CAST(n_chars AS DOUBLE) AS punct_ratio,
-         |  (CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.4
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE) END AS stopword_ratio,
+         |  CASE WHEN n_chars > 0
+         |    THEN CAST(n_chars - alnum_space AS DOUBLE)/CAST(n_chars AS DOUBLE) END AS punct_ratio,
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE) END*0.4
          |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality
          |FROM m""".stripMargin,
 

@@ -1,0 +1,44 @@
+package graft.queries
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Degenerate documents — null text, empty text, whitespace-only, single
+  * token — must flow through every document operator without crashing:
+  * real corpora contain all of these, and a 100 TB job that dies on row
+  * 3 billion is the failure mode this guards.
+  */
+class DegenerateTextSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-degen").toString
+    Seq(
+      (0L, null.asInstanceOf[String]),
+      (1L, ""),
+      (2L, "   \t  "),
+      (3L, "solo"),
+      (4L, "the and of to in is a normal document with enough tokens"))
+      .toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private val docQueries = Seq(
+    "q17_lang_id", "q18_quality_score", "q19_token_count", "q20_fingerprint",
+    "q21_dedup_exact", "q22_ngram_jaccard", "q25_minhash_lsh",
+    "q26_simhash", "q27_simhash_pairs", "q36_prep_pipeline")
+
+  for (q <- docQueries) test(s"$q survives null/empty/whitespace/short docs") {
+    val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
+    // pair queries legitimately return no pairs here; per-doc queries must
+    // still emit a row per non-null doc (null text rows may yield nulls
+    // but not crashes)
+    if (!Set("q22_ngram_jaccard", "q25_minhash_lsh", "q27_simhash_pairs",
+        "q36_prep_pipeline").contains(q))
+      assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")
+    spark.catalog.clearCache()
+  }
+}
