@@ -129,15 +129,22 @@ object Similarity {
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .filter { case (_, v) => dot(v, v) > 0 } // zero-norm guard (see q28)
       .sortBy(_._1)
+    // a sample smaller than IvfCells trains that many cells (the SQL
+    // mirror's `WHERE k < IvfCells` truncates identically); an empty
+    // sample (no non-zero vectors) is a contract error, not a hang
     var cents: Array[Array[Double]] = samp.take(IvfCells).map(_._2)
+    require(cents.nonEmpty,
+      "IVF quantizer needs at least one non-zero sample vector")
+    val nCells = cents.length
     for (_ <- 0 until KmeansIters) {
       val members =
-        Array.fill(IvfCells)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+        Array.fill(nCells)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
       for ((_, v) <- samp) { // samp is vec_id-ordered ⇒ member order is too
         val vn = math.sqrt(dot(v, v))
         var best = 0; var bestC = Double.NegativeInfinity
-        for (k <- 0 until IvfCells) {
+        for (k <- 0 until nCells) {
           val ccos = dot(v, cents(k)) / (vn * math.sqrt(dot(cents(k), cents(k))))
           if (ccos > bestC) { bestC = ccos; best = k } // strict > = ties to low k
         }
@@ -258,10 +265,15 @@ object Similarity {
     // per pair — at n vectors that's n sqrt-folds instead of n², and the
     // per-pair work is a single codegen'd 64-term dot.
     "q28_cosine_neardup" -> ((s, dir) => {
+      // nrm > 0: a zero-norm vector has no direction AND is an ANSI
+      // DIVIDE_BY_ZERO job-killer in the cosine — excluded up front (the
+      // filter reads the cached nrm column, above the persist). Same
+      // guard in every cosine operator and its oracle.
       val e = Tables.wide(s, dir, "embeddings").select(
         col("vec_id"), col("embedding"), col("label"),
         sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
         .persist()
+        .filter(col("nrm") > 0)
       e.alias("a").join(e.alias("b"), col("a.vec_id") < col("b.vec_id"))
         .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
           col("a.label").as("label_a"), col("b.label").as("label_b"),
@@ -273,9 +285,14 @@ object Similarity {
     // brute-force ANN: top-10 by cosine to the vec_id=0 query vector
     "q29_ann_topk" -> ((s, dir) => {
       val e = Tables(s, dir, "embeddings")
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        .filter(col("nrm") > 0) // zero-norm guard (see q28)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("nrm").as("qn"))
       e.crossJoin(broadcast(q))
-        .select(col("vec_id"), cosine(col("embedding"), col("qv")).as("cos"))
+        .select(col("vec_id"),
+          (vecDot(col("embedding"), col("qv")) / (col("nrm") * col("qn"))).as("cos"))
         .orderBy(desc("cos"), asc("vec_id"))
         .limit(10)
     }),
@@ -292,6 +309,7 @@ object Similarity {
         .select(col("vec_id"), col("embedding"),
           sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
         .persist()
+        .filter(col("nrm") > 0) // zero-norm guard (see q28)
       val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
       // layered: the 8 centroid cosines become named columns, then the
       // argmax chain reads them (CSE-safe argument positions)
@@ -341,6 +359,7 @@ object Similarity {
         array((0 until NdFamilies).map(f =>
           famBucket(f, col("embedding"))): _*).as("bks"))
         .persist() // feeds banding + both candidate-pair lookups
+        .filter(col("nrm") > 0) // zero-norm guard (see q28)
       val bands = e.select(col("vec_id"), posexplode(col("bks")))
         .select(col("vec_id"), col("pos").cast("long").as("fam"), col("col").as("bk"))
       val rare = bands.groupBy("fam", "bk")
@@ -366,12 +385,15 @@ object Similarity {
     "q30_ann_lsh" -> ((s, dir) => {
       val e = Tables.wide(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          lshBucket(col("embedding"), 6).as("bucket"))
+          lshBucket(col("embedding"), 6).as("bucket"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        .filter(col("nrm") > 0) // zero-norm guard (see q28)
       val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+        .select(col("embedding").as("qv"), col("bucket").as("qbucket"),
+          col("nrm").as("qn"))
       e.join(broadcast(q), col("bucket") === col("qbucket"))
         .select(col("vec_id"), col("bucket"),
-          cosine(col("embedding"), col("qv")).as("cos"))
+          (vecDot(col("embedding"), col("qv")) / (col("nrm") * col("qn"))).as("cos"))
         .orderBy(desc("cos"), asc("vec_id"))
         .limit(10)
     }))
@@ -427,7 +449,8 @@ object Similarity {
   /** The full quantizer-training CTE chain ending in centroid table `cq`. */
   private def sqlKmeans: String =
     s"""samp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE vec_id % $SampleMod = 0),
+       |  FROM embeddings WHERE vec_id % $SampleMod = 0
+       |    AND ${sqlDot("embedding", "embedding")} > 0),
        |c0 AS (SELECT k, cvec FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k,
        |  v AS cvec FROM samp) t WHERE k < $IvfCells),
        |${(1 to KmeansIters).map(sqlKmeansIter).mkString(",\n")},
@@ -494,8 +517,9 @@ object Similarity {
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8""".stripMargin,
 
     "q28_cosine_neardup" ->
-      s"""WITH e AS (SELECT vec_id, embedding, label,
-         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings)
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, label,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0)
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  a.label AS label_a, b.label AS label_b,
          |  ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
@@ -503,14 +527,18 @@ object Similarity {
          |WHERE ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35""".stripMargin,
 
     "q29_ann_topk" ->
-      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
-         |SELECT vec_id, ${sqlCos("embedding", "qv")} AS cos
-         |FROM embeddings, q
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+         |SELECT vec_id, ${sqlDot("embedding", "qv")} / (nrm * qn) AS cos
+         |FROM e, q
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     "q35_ann_ivf" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
          |$sqlKmeans,
          |a AS (SELECT e.vec_id, e.embedding, e.nrm, cq.cent_id,
          |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
@@ -527,11 +555,12 @@ object Similarity {
          |ORDER BY cos DESC, cells.vec_id LIMIT 10""".stripMargin,
 
     "q39_cosine_neardup_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding, label,
-         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings),
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, label,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
          |bands AS (${(0 until NdFamilies).map(f =>
               s"SELECT vec_id, CAST($f AS BIGINT) AS fam, " +
-              s"${sqlFamBucket(f, "embedding")} AS bk FROM embeddings")
+              s"${sqlFamBucket(f, "embedding")} AS bk FROM e")
               .mkString("\n         |  UNION ALL ")}),
          |rare AS (SELECT fam, bk FROM bands GROUP BY fam, bk HAVING COUNT(*) <= $MaxVecBucket),
          |bc AS (SELECT bands.vec_id, bands.fam, bands.bk FROM bands JOIN rare USING (fam, bk)),
@@ -543,10 +572,13 @@ object Similarity {
          |WHERE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.35""".stripMargin,
 
     "q30_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |  ${sqlBucket("embedding", 6)} AS bucket FROM embeddings),
-         |q AS (SELECT embedding AS qv, bucket AS qbucket FROM e WHERE vec_id = 0)
-         |SELECT vec_id, bucket, ${sqlCos("embedding", "qv")} AS cos
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+         |  ${sqlBucket("embedding", 6)} AS bucket,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |q AS (SELECT embedding AS qv, bucket AS qbucket, nrm AS qn
+         |  FROM e WHERE vec_id = 0)
+         |SELECT vec_id, bucket, ${sqlDot("embedding", "qv")} / (nrm * qn) AS cos
          |FROM e, q WHERE bucket = qbucket
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)
 }
