@@ -72,7 +72,12 @@ object EtlMain {
     } finally spark.stop()
   }
 
-  /** Split argv into positional args and `--name value` flag pairs. */
+  private val KnownFlags = Set("schema", "prefix", "meta")
+
+  /** Split argv into positional args and `--name value` flag pairs.
+    * Unknown flags are contract errors — a typo'd `--shcema` silently
+    * ignored would load into the wrong namespace.
+    */
   private[etl] def parseArgs(args: Array[String]): (Seq[String], Map[String, String]) = {
     val pos = Seq.newBuilder[String]
     val flags = Map.newBuilder[String, String]
@@ -80,8 +85,11 @@ object EtlMain {
     while (i < args.length) {
       val a = args(i)
       if (a.startsWith("--")) {
+        val name = a.stripPrefix("--")
+        require(KnownFlags.contains(name),
+          s"Unknown flag $a (known: ${KnownFlags.toSeq.sorted.map("--" + _).mkString(", ")})")
         require(i + 1 < args.length, s"Missing value for flag $a")
-        flags += (a.stripPrefix("--") -> args(i + 1))
+        flags += (name -> args(i + 1))
         i += 2
       } else { pos += a; i += 1 }
     }

@@ -67,5 +67,8 @@ class TableNamingSpec extends AnyFunSuite {
     assert(pos == Seq("src", "cfg.json", "wh"))
     assert(flags == Map("schema" -> "s1", "prefix" -> "p_"))
     intercept[IllegalArgumentException](EtlMain.parseArgs(Array("a", "--meta")))
+    val e = intercept[IllegalArgumentException](
+      EtlMain.parseArgs(Array("a", "--shcema", "x"))) // typo must not be ignored
+    assert(e.getMessage.contains("Unknown flag --shcema"))
   }
 }
