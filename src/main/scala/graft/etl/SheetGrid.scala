@@ -28,6 +28,13 @@ final case class SheetGrid(rows: Vector[Vector[String]], hash: String) {
   def columnSelectorsFromHeaderRow(
       specifiers: Seq[Either[Int, String]],
       headerRow: Int = 0): Seq[Int] = {
+    // contract error, not a raw IndexOutOfBounds: an empty sheet (or a
+    // config pointing past the grid) is a config/data mismatch the
+    // operator needs to read at a glance, wrapped with the spreadsheet
+    // URL by Tasks.loadSheet (R31)
+    if (headerRow < 0 || headerRow >= rows.length)
+      throw new IllegalArgumentException(
+        s"Header row $headerRow out of bounds (grid has ${rows.length} row(s))")
     val row = rows(headerRow)
     specifiers.map {
       case Left(index) =>

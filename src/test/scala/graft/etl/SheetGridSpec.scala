@@ -41,6 +41,18 @@ class SheetGridSpec extends AnyFunSuite {
     assert(e.getMessage == "Column index out of bounds: 5")
   }
 
+  test("empty sheet / headerRow past the grid is a contract error") {
+    val empty = SheetGrid.fromValues(Seq.empty)
+    val e = intercept[IllegalArgumentException] {
+      empty.columnSelectorsFromHeaderRow(Seq(Right("Name")))
+    }
+    assert(e.getMessage == "Header row 0 out of bounds (grid has 0 row(s))")
+    val e2 = intercept[IllegalArgumentException] {
+      grid.columnSelectorsFromHeaderRow(Seq(Right("Name")), headerRow = 99)
+    }
+    assert(e2.getMessage.contains("Header row 99 out of bounds"))
+  }
+
   test("projection null-pads ragged rows; skipRows re-bases to 0") {
     val rows = grid.toRows(Seq(0, 1, 3), skipRows = 1)
     assert(rows == Vector(
