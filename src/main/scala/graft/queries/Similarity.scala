@@ -29,14 +29,13 @@ object Similarity {
 
   // ---- Spark-side primitives ---------------------------------------------
 
-  /** Dot products go through the native [[graft.functions.VecDot]]
-    * expression — a codegen'd primitive loop with the exact sequential-fold
-    * IEEE semantics of DuckDB's `list_aggregate(..., 'sum')`. Measured at
-    * sf0.1: 2M-pair cosine via built-in array lambdas ≈ 50 s (interpreted
-    * in the join condition); via VecDot < 2 s.
-    */
-  private def cosine(a: Column, b: Column): Column =
-    vecDot(a, b) / (sqrt(vecDot(a, a)) * sqrt(vecDot(b, b)))
+  // Dot products go through the native [[graft.functions.VecDot]]
+  // expression — a codegen'd primitive loop with the exact sequential-fold
+  // IEEE semantics of DuckDB's `list_aggregate(..., 'sum')`. Measured at
+  // sf0.1: 2M-pair cosine via built-in array lambdas ≈ 50 s (interpreted
+  // in the join condition); via VecDot < 2 s. Every cosine is written as
+  // vecDot(a,b)/(nrm_a*nrm_b) over per-row norms computed once at the
+  // scan (never per pair), with nrm > 0 guarding ANSI divide-by-zero.
 
   /** Minhash seed family: one sha-derived 32-bit base hash per n-gram (the
     * expensive part, computed once), then 12 affine rehashes
@@ -407,9 +406,6 @@ object Similarity {
   private def sqlDot(a: String, b: String): String =
     s"list_aggregate(list_transform(range(1, len($a)+1), " +
       s"i -> CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE)), 'sum')"
-
-  private def sqlCos(a: String, b: String): String =
-    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
 
   private def sqlPlaneDot(p: Int, v: String): String =
     (1 to 64).map(i =>
