@@ -130,6 +130,36 @@ object TextAnalysis {
         .select("doc_a", "doc_b", "inter", "uni", "jaccard")
     }),
 
+    // corpus vocabulary: top-20 tokens by document frequency. The corpus-
+    // statistics shape: explode distinct tokens (narrow) → two-phase count
+    // (ONE shuffle on the token) → TakeOrdered top-k with a total
+    // tie-break. At 100 TB this is the plan you want verbatim: the
+    // explode is map-side, the count combines before the exchange, and
+    // no global sort ever materializes.
+    "q40_vocab_topk" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(array_distinct(tokens(col("text")))).as("token"))
+        .groupBy("token").agg(count(lit(1)).as("doc_freq"))
+        .orderBy(desc("doc_freq"), asc("token"))
+        .limit(20)
+    }),
+
+    // per-document repetition ratio: 1 − |distinct 2-grams|/|2-grams| —
+    // the standard repeated-text corpus-quality signal. Narrow per-row
+    // array ops, zero shuffles; the ratio guards empty/short docs (ANSI).
+    "q41_repetition" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), wordNgrams(col("tk"), 2).as("g2"))
+        .select(col("doc_id"),
+          size(col("g2")).cast("long").as("n_g2"),
+          size(array_distinct(col("g2"))).cast("long").as("n_distinct"))
+        .withColumn("repetition",
+          when(col("n_g2") > 0, lit(1.0) -
+            col("n_distinct").cast("double") / col("n_g2").cast("double"))
+            .otherwise(lit(null)))
+    }),
+
     // composed prep pipeline: exact-dedup -> quality score -> language
     // filter — the realistic end-to-end shape of training-data prep. One
     // shuffle (the dedup window on the content hash); scoring and filters
@@ -238,6 +268,22 @@ object TextAnalysis {
          |SELECT doc_a, doc_b, inter, uni,
          |  CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
          |FROM j WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= 0.2""".stripMargin,
+
+    "q40_vocab_topk" ->
+      s"""WITH t AS (SELECT doc_id, list_distinct($Toks) AS tk FROM documents),
+         |u AS (SELECT unnest(tk) AS token FROM t)
+         |SELECT token, COUNT(*) AS doc_freq FROM u
+         |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 20""".stripMargin,
+
+    "q41_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []
+         |  ELSE [tk[i]||' '||tk[i+1] for i in range(1, len(tk)-1+1)] END AS g2 FROM t)
+         |SELECT doc_id, len(g2) AS n_g2, len(list_distinct(g2)) AS n_distinct,
+         |  CASE WHEN len(g2) > 0 THEN 1.0 -
+         |    CAST(len(list_distinct(g2)) AS DOUBLE)/CAST(len(g2) AS DOUBLE)
+         |  END AS repetition
+         |FROM g""".stripMargin,
 
     "q36_prep_pipeline" ->
       s"""WITH dd AS (SELECT doc_id, text FROM (

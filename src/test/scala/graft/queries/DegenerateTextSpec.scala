@@ -29,7 +29,8 @@ class DegenerateTextSpec extends AnyFunSuite {
   private val docQueries = Seq(
     "q17_lang_id", "q18_quality_score", "q19_token_count", "q20_fingerprint",
     "q21_dedup_exact", "q22_ngram_jaccard", "q25_minhash_lsh",
-    "q26_simhash", "q27_simhash_pairs", "q36_prep_pipeline")
+    "q26_simhash", "q27_simhash_pairs", "q36_prep_pipeline",
+    "q40_vocab_topk", "q41_repetition")
 
   for (q <- docQueries) test(s"$q survives null/empty/whitespace/short docs") {
     val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
@@ -37,7 +38,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // still emit a row per non-null doc (null text rows may yield nulls
     // but not crashes)
     if (!Set("q22_ngram_jaccard", "q25_minhash_lsh", "q27_simhash_pairs",
-        "q36_prep_pipeline").contains(q))
+        "q36_prep_pipeline", "q40_vocab_topk").contains(q)) // q40 is corpus-level
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")
     spark.catalog.clearCache()
   }

@@ -79,6 +79,13 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache() // q25 persists its sketch projection
   }
 
+  test("q40 vocab top-k: one shuffle, partial count, TakeOrdered (no global sort)") {
+    val p = execPlan("q40_vocab_topk")
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_"))
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+
   test("q39 bucketed cosine near-dup: no nested loop, no cartesian product") {
     // THE property that makes q39 the 100 TB replacement for q28: candidate
     // generation must be a bucket equi-join (shuffle or broadcast hash),
