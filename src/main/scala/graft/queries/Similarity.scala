@@ -82,10 +82,18 @@ object Similarity {
     * NdPlanes sign bits each (family f uses planes f·NdPlanes … +NdPlanes−1
     * of the shared deterministic plane sequence). A pair is a candidate if
     * it shares a bucket in ANY family — the banded-LSH recall amplification
-    * (L bands of k bits), ~0.7 recall at cos 0.35 and >0.98 at cos 0.8.
+    * (L bands of k bits).
+    *
+    * Sizing: 2^NdPlanes buckets per family must keep typical occupancy
+    * UNDER [[MaxVecBucket]] at the target corpus, else the cap (correctly)
+    * drops everything — k=4 did exactly that at sf0.1's 2000 vectors
+    * (16 buckets, ~125 occupancy ⇒ zero candidates). k=6 gives 64 buckets
+    * (~31 occupancy at sf0.1); L=20 holds recall ≈ 0.67 at cos 0.35
+    * (1−(1−p⁶)²⁰, p=1−θ/π) and ≈ 1 for true near-dups. At larger corpora
+    * raise k — each extra plane halves occupancy — and L with it.
     */
-  private val NdFamilies = 8
-  private val NdPlanes = 4
+  private val NdFamilies = 20
+  private val NdPlanes = 6
 
   /** Bucket cap (q39): same hygiene as q22/q25 — a bucket holding more
     * than this many vectors is a quadratic skew risk and is dropped.

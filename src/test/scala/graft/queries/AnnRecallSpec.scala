@@ -40,4 +40,15 @@ class AnnRecallSpec extends AnyFunSuite {
       s"banded-LSH recall collapsed: ${lsh.size}/${brute.size}")
     spark.catalog.clearCache()
   }
+
+  test("q39 still yields candidates at the bench corpus (bucket sizing holds)") {
+    // regression: with 4-plane families (16 buckets) every bucket exceeded
+    // the 50-doc cap at sf0.1's 2000 vectors and q39 returned ZERO rows —
+    // bucket count must keep typical occupancy under the cap at the
+    // largest corpus the bench runs
+    val n = graft.SparkEntry.queries("q39_cosine_neardup_lsh")(
+      spark, "/root/testdata/sf0.1").count()
+    assert(n > 0, "bucket cap dropped every candidate at sf0.1")
+    spark.catalog.clearCache()
+  }
 }
