@@ -41,4 +41,16 @@ class BucketCapSpec extends AnyFunSuite {
 
     spark.catalog.clearCache() // drop the queries' persisted intermediates
   }
+
+  test("caps leave real candidates at the bench corpus (sf0.1)") {
+    // the q39 sizing lesson generalized: a cap plus too-coarse keys can
+    // silently drop EVERY candidate at scale; each capped query must
+    // still produce pairs on the largest corpus the bench runs
+    val dir = "/root/testdata/sf0.1"
+    for (q <- Seq("q22_ngram_jaccard", "q25_minhash_lsh", "q27_simhash_pairs")) {
+      assert(TextAnalysis.queries.getOrElse(q, Similarity.queries(q))(spark, dir).count() > 0,
+        s"$q: cap dropped every candidate at sf0.1")
+      spark.catalog.clearCache()
+    }
+  }
 }
