@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main: runs every SparkEntry query on SPARK_GRAFT_SF_DIR and
   * prints one JSON line the driver records as BENCH_r{N}.json.
@@ -11,10 +11,50 @@ import org.apache.spark.sql.SparkSession
   *   - `spark.catalog.clearCache()` after every repetition, so blocks
   *     persisted inside one query (q22/q25/q27/q28/q35 all persist an
   *     intermediate) never occupy memory or skew GC while another query is
-  *     being timed.
+  *     being timed;
+  *   - failure-honest: a query that throws is reported in an `errors` map
+  *     plus a nonzero `failed` count (and exit code 1), never recorded as a
+  *     ~0 s timing — the instrument must distinguish fast from broken.
   */
 object Bench {
   private val Reps = 3
+
+  /** One timed execution; (seconds, error message if it threw). */
+  private def runOnce(spark: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => DataFrame): (Double, Option[String]) = {
+    val t0 = System.nanoTime()
+    val err =
+      try { fn(spark, sfDir).count(); None }
+      catch { case e: Throwable =>
+        Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
+      }
+    val sec = (System.nanoTime() - t0) / 1e9
+    spark.catalog.clearCache() // drop this query's persisted blocks
+    (sec, err)
+  }
+
+  /** The whole protocol (warmup + Reps medians) over an arbitrary query
+    * map: (per-query medians for queries that ran clean, per-query error
+    * strings for queries that threw in any repetition). Factored out of
+    * `main` so a spec can pin the failure-honesty contract with a
+    * deliberately-broken query.
+    */
+  def timeQueries(spark: SparkSession, sfDir: String,
+      queries: Map[String, (SparkSession, String) => DataFrame])
+      : (Map[String, Double], Map[String, String]) = {
+    // warmup: one untimed pass of every query (JIT, codegen cache, OS page
+    // cache for the parquet files) — first-touch costs don't belong to
+    // whichever query happens to run first.
+    queries.foreach { case (_, fn) => runOnce(spark, sfDir, fn) }
+    val runs = queries.map { case (name, fn) =>
+      val reps = (1 to Reps).map(_ => runOnce(spark, sfDir, fn))
+      val firstErr = reps.flatMap(_._2).headOption
+      val median = reps.map(_._1).sorted.apply(Reps / 2)
+      (name, median, firstErr)
+    }
+    (runs.collect { case (n, sec, None) => n -> sec }.toMap,
+      runs.collect { case (n, _, Some(e)) => n -> e }.toMap)
+  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,27 +68,23 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
-      val sec = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // drop this query's persisted blocks
-      sec
-    }
-
-    // warmup: one untimed pass of every query (JIT, codegen cache, OS page
-    // cache for the parquet files) — first-touch costs don't belong to
-    // whichever query happens to run first.
-    SparkEntry.queries.foreach { case (_, fn) => runOnce(fn) }
-
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to Reps).map(_ => runOnce(fn)).sorted
-      name -> times(Reps / 2) // median
-    }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val (results, errors) = timeQueries(spark, sfDir, SparkEntry.queries)
+    def jstr(s: String): String =
+      "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val qs = results.map { case (k, v) => jstr(k) + ":" + v }
+      .mkString("{", ",", "}")
+    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"failed":${errors.size},"errors":$es,"queries":$qs,"sf":"$sfDir"}""")
+    if (errors.nonEmpty) {
+      errors.foreach { case (n, e) => System.err.println(s"[bench] $n FAILED: $e") }
+      spark.stop()
+      sys.exit(1)
+    }
     spark.stop()
   }
 }

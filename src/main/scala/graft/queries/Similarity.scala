@@ -78,42 +78,79 @@ object Similarity {
     (0 until planes).map(p => when(planeDot(p, v) >= 0.0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
 
-  /** q39 banding parameters: NdFamilies independent hyperplane families of
-    * NdPlanes sign bits each (family f uses planes f·NdPlanes … +NdPlanes−1
-    * of the shared deterministic plane sequence). A pair is a candidate if
-    * it shares a bucket in ANY family — the banded-LSH recall amplification
-    * (L bands of k bits).
+  /** Corpus-adaptive LSH key width: the smallest bit width `w` in
+    * `[lo, hi]` whose `2^w` keyspace keeps expected bucket occupancy
+    * `n / 2^w` at or under `targetOcc` (`hi` when none does — beyond
+    * `2^hi · targetOcc` rows the keyspace stops growing and a wider
+    * sketch/`hi` is needed). Capped LSH only works when the keyspace
+    * grows with the corpus: a fixed width means occupancy eventually
+    * exceeds the frequency cap in EVERY bucket and the query silently
+    * returns zero pairs at exactly the scale the operator exists for.
     *
-    * Sizing: 2^NdPlanes buckets per family must keep typical occupancy
-    * UNDER [[MaxVecBucket]] at the target corpus, else the cap (correctly)
-    * drops everything — k=4 did exactly that at sf0.1's 2000 vectors
-    * (16 buckets, ~125 occupancy ⇒ zero candidates). k=6 gives 64 buckets
-    * (~31 occupancy at sf0.1); L=20 holds recall ≈ 0.67 at cos 0.35
-    * (1−(1−p⁶)²⁰, p=1−θ/π) and ≈ 1 for true near-dups. At larger corpora
-    * raise k — each extra plane halves occupancy — and L with it.
+    * Pure integer arithmetic — `2^w · targetOcc ≥ n` — so the DuckDB
+    * mirrors derive the bit-identical width from `count(*)` (a
+    * `COALESCE(MIN(j), hi)` search over `range(lo, hi+1)`), with no
+    * float `log2` boundary wobble on either side.
+    */
+  private[queries] def adaptiveBits(n: Long, targetOcc: Long, lo: Int, hi: Int): Int =
+    (lo to hi).find(j => (1L << j) * targetOcc >= n).getOrElse(hi)
+
+  /** q39 banding parameters: NdFamilies independent hyperplane families of
+    * k sign bits each (family f uses planes f·k … f·k+k−1 of the shared
+    * deterministic plane sequence). A pair is a candidate if it shares a
+    * bucket in ANY family — the banded-LSH recall amplification (L bands
+    * of k bits).
+    *
+    * Sizing: k is derived from the corpus count per run —
+    * `adaptiveBits(n, VecTargetOcc, NdPlanesMin, NdPlanesMax)` — so
+    * 2^k buckets per family keep typical occupancy UNDER [[MaxVecBucket]]
+    * at ANY corpus. A fixed k=4 silently zeroed q39 at sf0.1's 2000
+    * vectors (16 buckets, ~125 occupancy ⇒ every bucket capped); the
+    * adaptive rule yields the same k=6 the r3 constants hard-coded at
+    * sf0.01/sf0.1 (hash-stable) and k=10 at 20k vectors, up to k=40
+    * (≈ 3.5e13 vectors) before the bound binds. L=20 holds recall ≈ 0.67
+    * at cos 0.35 for k=6 (1−(1−p⁶)²⁰, p=1−θ/π) and ≈ 1 for true
+    * near-dups at any k here; production recall targets at billion-vector
+    * corpora would raise L alongside k — the adaptive k preserves the
+    * invariant this operator actually needs: candidates survive the cap.
     */
   private val NdFamilies = 20
-  private val NdPlanes = 6
+  private val NdPlanesMin = 6
+  private val NdPlanesMax = 40
+  private val VecTargetOcc = 32
 
   /** Bucket cap (q39): same hygiene as q22/q25 — a bucket holding more
     * than this many vectors is a quadratic skew risk and is dropped.
     */
   val MaxVecBucket = 50
 
-  /** Family-f bucket id: NdPlanes sign bits from that family's planes. */
-  private def famBucket(f: Int, v: Column): Column =
-    (0 until NdPlanes).map(j =>
-      when(planeDot(f * NdPlanes + j, v) >= 0.0, lit(1L << j)).otherwise(lit(0L)))
+  /** Planes per q39 family for an n-vector corpus. */
+  private[queries] def ndPlanesFor(n: Long): Int =
+    adaptiveBits(n, VecTargetOcc, NdPlanesMin, NdPlanesMax)
+
+  /** Family-f bucket id: k sign bits from that family's planes. */
+  private def famBucket(f: Int, k: Int, v: Column): Column =
+    (0 until k).map(j =>
+      when(planeDot(f * k + j, v) >= 0.0, lit(1L << j)).otherwise(lit(0L)))
       .reduce(_ + _)
 
   // ---- q35 coarse quantizer: deterministic spherical k-means -------------
 
-  /** Every `SampleMod`-th vector trains the quantizer (at 100 TB you train
-    * on a sample, not the corpus; the modulus is the deterministic sample).
+  /** Every `sampleModFor(n)`-th vector trains the quantizer (at 100 TB you
+    * train on a sample, not the corpus; the modulus is the deterministic
+    * sample). The modulus is derived from the corpus count so the
+    * driver-collected training set is ABSOLUTELY bounded at ~[[SampleCap]]
+    * vectors — a fixed fraction of a 100 TB embeddings table is a driver
+    * OOM, not a sample. Integer ceil-division mirrors the oracle's
+    * `GREATEST(5, (count(*) + 399) // 400)` exactly; at sf0.01/sf0.1 the
+    * formula yields the same modulus 5 the r3 constant hard-coded.
     */
   private val IvfCells = 8
-  private val SampleMod = 5
+  private val SampleCap = 400
   private val KmeansIters = 2
+
+  private[queries] def sampleModFor(n: Long): Long =
+    math.max(5L, (n + SampleCap - 1) / SampleCap)
 
   /** Deterministic seeded k-means over the sample, driver-side: init = the
     * `IvfCells` lowest-vec_id sample vectors, then `KmeansIters` Lloyd
@@ -131,8 +168,9 @@ object Similarity {
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
       acc
     }
+    val sampleMod = sampleModFor(Tables(s, dir, "embeddings").count())
     val samp: Array[(Long, Array[Double])] = Tables(s, dir, "embeddings")
-      .filter(col("vec_id") % SampleMod === 0)
+      .filter(col("vec_id") % sampleMod === 0)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
@@ -178,6 +216,13 @@ object Similarity {
     * self-join. The DuckDB oracle applies the identical cap.
     */
   val MaxBandDocs = 50
+
+  /** q27 band width (bits) for an n-document corpus: smallest w in [8, 16]
+    * with expected occupancy n/2^w ≤ 25, so ~4·occupancy stays under
+    * [[MaxBandDocs]] across the (up to 4) bands. 8 ⇒ 4 bands of 8 bits —
+    * exactly the r3 constants at sf0.01/sf0.1 (hash-stable).
+    */
+  private[queries] def bandWidthFor(n: Long): Int = adaptiveBits(n, 25, 8, 16)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // minhash + LSH banding near-dup candidates with estimated Jaccard
@@ -237,18 +282,27 @@ object Similarity {
         .select(col("doc_id"), simhash32(col("text")).as("simhash"))
     }),
 
-    // simhash near-dup pairs: byte-band candidates, hamming <= 8
+    // simhash near-dup pairs: corpus-adaptive band candidates, hamming <= 8
     "q27_simhash_pairs" -> ((s, dir) => {
+      // Band width grows with the corpus (adaptiveBits): at ≤6.4k docs the
+      // classic 4 bands of 8 bits; past the point where 4·n/2^w occupancy
+      // would exceed the cap, wider bands (up to 2 of 16 bits — 65,536
+      // buckets, good to ~1.6M docs; beyond that a 32-bit sketch has no
+      // more keyspace to give and a 64-bit simhash is the upgrade path).
+      // Without this, cap + fixed 1,024-bucket keyspace = every bucket
+      // dropped and silent zero pairs at ~100× the bench corpus.
+      val w = bandWidthFor(Tables(s, dir, "documents").count())
+      val nb = 32 / w
       val sim = Tables.wide(s, dir, "documents")
         .select(col("doc_id"), simhash32(col("text")).as("simhash"))
         .persist() // sketch feeds both sides of the band self-join
       val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
-        (0 until 4).map(b => struct(lit(b).as("b"),
-          shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L)).as("bk"))): _*)).as("x"))
+        (0 until nb).map(b => struct(lit(b).as("b"),
+          shiftright(col("simhash"), w * b).bitwiseAND(lit((1L << w) - 1)).as("bk"))): _*)).as("x"))
         .select(col("doc_id"), col("simhash"), col("x.b").as("b"), col("x.bk").as("bk"))
-      // band-frequency cap, same hygiene as q22/q25/q39: a byte-band held
-      // by >MaxBandDocs docs is a quadratic bucket (only 4×256 buckets
-      // exist, so a near-identical cluster WILL pool in one).
+      // band-frequency cap, same hygiene as q22/q25/q39: a band key held
+      // by >MaxBandDocs docs is a quadratic bucket (near-identical
+      // clusters WILL pool in one).
       val rare = bands.groupBy("b", "bk")
         .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxBandDocs)
         .select("b", "bk")
@@ -356,15 +410,20 @@ object Similarity {
     // q22/q25. (LSH is approximate: recall ~0.7 at the 0.35 threshold,
     // rising toward 1 for true near-dups — the standard trade.)
     "q39_cosine_neardup_lsh" -> ((s, dir) => {
-      // The 8 family buckets (32 plane dots/row) are computed INSIDE the
-      // persisted projection: the band relation feeds the frequency-cap
-      // aggregate AND both sides of the candidate self-join, so an
-      // unpersisted bucket column would be recomputed 3× per row.
+      // Planes per family are corpus-adaptive (ndPlanesFor): k grows with
+      // the count so per-family occupancy n/2^k stays under the cap at any
+      // corpus — no constant retuning between sf0.01 and a 100× corpus.
+      val k = ndPlanesFor(Tables(s, dir, "embeddings").count())
+      // The NdFamilies family buckets (NdFamilies·k plane dots/row) are
+      // computed INSIDE the persisted projection: the band relation feeds
+      // the frequency-cap aggregate AND both sides of the candidate
+      // self-join, so an unpersisted bucket column would be recomputed 3×
+      // per row.
       val e = Tables.wide(s, dir, "embeddings").select(
         col("vec_id"), col("embedding"), col("label"),
         sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"),
         array((0 until NdFamilies).map(f =>
-          famBucket(f, col("embedding"))): _*).as("bks"))
+          famBucket(f, k, col("embedding"))): _*).as("bks"))
         .persist() // feeds banding + both candidate-pair lookups
         .filter(col("nrm") > 0) // zero-norm guard (see q28)
       val bands = e.select(col("vec_id"), posexplode(col("bks")))
@@ -425,11 +484,29 @@ object Similarity {
       s"(CASE WHEN ${sqlPlaneDot(p, v)} >= 0.0 THEN CAST(${1L << p} AS BIGINT) ELSE 0 END)")
       .mkString(" + ")
 
-  /** Family-f bucket (mirrors famBucket): NdPlanes sign bits. */
-  private def sqlFamBucket(f: Int, v: String): String =
-    (0 until NdPlanes).map(j =>
-      s"(CASE WHEN ${sqlPlaneDot(f * NdPlanes + j, v)} >= 0.0 THEN CAST(${1L << j} AS BIGINT) ELSE 0 END)")
-      .mkString(" + ")
+  /** q39's banding CTEs (mirrors [[ndPlanesFor]] + [[famBucket]]): `kp`
+    * derives the per-family plane count k from `count(*)` with the same
+    * integer search as the Scala side; `pl` generates the shared
+    * deterministic plane sequence relationally (the identical
+    * sha-256-prefix components [[planeComp]] bakes as literals); `bands`
+    * assembles family f's bucket as the sum of sign bits of planes
+    * f·k+j, j < k. Relational — not one unrolled expression per plane —
+    * so ONE SQL text covers every k the corpus count can derive.
+    */
+  private def sqlVecBands: String =
+    s"""kp AS (SELECT CAST(COALESCE(MIN(j), $NdPlanesMax) AS BIGINT) AS k
+       |  FROM range($NdPlanesMin, ${NdPlanesMax + 1}) t(j)
+       |  WHERE (CAST(1 AS BIGINT) << j) * $VecTargetOcc >= (SELECT count(*) FROM embeddings)),
+       |pl AS (SELECT p, list_transform(range(1, 65), i ->
+       |    CAST(${sqlHash("'plane'||p||'_'||i")} AS DOUBLE)
+       |      / CAST(2147483648 AS DOUBLE) - 1.0) AS pvec
+       |  FROM range(0, ${NdFamilies * NdPlanesMax}) t(p)),
+       |bands AS (SELECT e.vec_id, fam.f AS fam,
+       |    SUM(CASE WHEN ${sqlDot("e.embedding", "pl.pvec")} >= 0.0
+       |        THEN (CAST(1 AS BIGINT) << CAST(jj.j AS INTEGER)) ELSE CAST(0 AS BIGINT) END) AS bk
+       |  FROM e, kp, range(0, $NdFamilies) fam(f), range(0, $NdPlanesMax) jj(j), pl
+       |  WHERE jj.j < kp.k AND pl.p = fam.f * kp.k + jj.j
+       |  GROUP BY e.vec_id, fam.f)""".stripMargin
 
   /** One Lloyd step as chained CTEs (mirrors one [[kmeansCentroids]]
     * iteration): cosine-argmax assignment with ties to the lowest cell,
@@ -450,10 +527,15 @@ object Similarity {
        |  END AS cvec FROM $prev p LEFT JOIN m$n m ON m.k = p.k)""".stripMargin
   }
 
-  /** The full quantizer-training CTE chain ending in centroid table `cq`. */
+  /** The full quantizer-training CTE chain ending in centroid table `cq`.
+    * The sample modulus is derived from `count(*)` (integer ceil-division,
+    * mirrors [[sampleModFor]] exactly) so the sample stays ~[[SampleCap]]
+    * rows at any corpus.
+    */
   private def sqlKmeans: String =
     s"""samp AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings WHERE vec_id % $SampleMod = 0
+       |  FROM embeddings WHERE vec_id % (SELECT GREATEST(5,
+       |      (count(*) + ${SampleCap - 1}) // $SampleCap) FROM embeddings) = 0
        |    AND ${sqlDot("embedding", "embedding")} > 0),
        |c0 AS (SELECT k, cvec FROM (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS k,
        |  v AS cvec FROM samp) t WHERE k < $IvfCells),
@@ -509,8 +591,11 @@ object Similarity {
          |  list_transform(list_distinct($Toks), x -> ${sqlHash("x")}) AS th
          |  FROM documents),
          |s AS (SELECT doc_id, $SqlSimhash AS simhash FROM t),
-         |bands AS (SELECT doc_id, simhash, b, (simhash >> (8*b)) & 255 AS bk
-         |  FROM s, range(0, 4) t(b)),
+         |wp AS (SELECT CAST(COALESCE(MIN(j), 16) AS BIGINT) AS w FROM range(8, 17) t(j)
+         |  WHERE (CAST(1 AS BIGINT) << j) * 25 >= (SELECT count(*) FROM documents)),
+         |bands AS (SELECT doc_id, simhash, b,
+         |    (simhash >> CAST(w*b AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1) AS bk
+         |  FROM s, wp, range(0, 4) t(b) WHERE b < 32 // w),
          |rare AS (SELECT b, bk FROM bands GROUP BY b, bk HAVING COUNT(*) <= $MaxBandDocs),
          |bc AS (SELECT bands.doc_id, bands.simhash, bands.b, bands.bk
          |  FROM bands JOIN rare USING (b, bk)),
@@ -562,10 +647,7 @@ object Similarity {
       s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, label,
          |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
          |  WHERE nrm > 0),
-         |bands AS (${(0 until NdFamilies).map(f =>
-              s"SELECT vec_id, CAST($f AS BIGINT) AS fam, " +
-              s"${sqlFamBucket(f, "embedding")} AS bk FROM e")
-              .mkString("\n         |  UNION ALL ")}),
+         |$sqlVecBands,
          |rare AS (SELECT fam, bk FROM bands GROUP BY fam, bk HAVING COUNT(*) <= $MaxVecBucket),
          |bc AS (SELECT bands.vec_id, bands.fam, bands.bk FROM bands JOIN rare USING (fam, bk)),
          |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b

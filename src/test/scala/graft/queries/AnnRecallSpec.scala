@@ -41,6 +41,59 @@ class AnnRecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q25 minhash-LSH recalls >= 0.6 of the exact n-gram Jaccard pairs (q22)") {
+    // the sketch-dedup usefulness bound: a banding regression that kept
+    // hash-parity but stopped finding the exact-Jaccard near-dups would
+    // otherwise pass correctness silently. (Measured 25/25 at sf0.01 —
+    // the corpus's J>=0.2 pairs are all J>=0.8, where 3 bands of 4
+    // minhashes have ~0.8+ collision probability.)
+    val exact = run("q22_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val lsh = run("q25_minhash_lsh").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(exact.nonEmpty, "exact-Jaccard truth set is empty — corpus changed?")
+    assert((lsh & exact).size.toDouble / exact.size >= 0.6,
+      s"minhash-LSH recall collapsed: ${(lsh & exact).size}/${exact.size}")
+    spark.catalog.clearCache()
+  }
+
+  test("q27 finds EVERY hamming<=8 pair that shares an uncapped band (recall 1.0 on the cap contract)") {
+    // q27's completeness is DETERMINISTIC, not probabilistic: banding is
+    // exhaustive over the sketch, so the only pairs it may miss are those
+    // whose every shared band key exceeds MaxBandDocs — the documented
+    // skew-cap trade (a mass-duplicate cluster is deliberately not
+    // enumerated as O(m²) pairs). Against raw hamming<=8 truth the sf0.01
+    // corpus is degenerate — 66k of 125k pairs are within hamming 8, so
+    // the cap drops whole clusters and raw recall is ~0.08 BY DESIGN; the
+    // honest bound is exact-set equality against the cap-contract truth,
+    // which pins every banding ingredient (shift, mask, width, cap, join).
+    val sims = run("q26_simhash").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("simhash")))
+    val w = Similarity.bandWidthFor(sims.length)
+    val nb = 32 / w
+    val mask = (1L << w) - 1
+    def keys(h: Long): Seq[(Int, Long)] =
+      (0 until nb).map(b => (b, (h >> (w * b)) & mask))
+    val freq = sims.iterator.flatMap { case (_, h) => keys(h) }
+      .toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+    val truth = (for {
+      i <- sims.indices.iterator
+      j <- (i + 1) until sims.length
+      (ida, ha) = sims(i)
+      (idb, hb) = sims(j)
+      if java.lang.Long.bitCount(ha ^ hb) <= 8
+      if keys(ha).zip(keys(hb)).exists { case (ka, kb) =>
+        ka == kb && freq(ka) <= Similarity.MaxBandDocs }
+    } yield (math.min(ida, idb), math.max(ida, idb))).toSet
+    val got = run("q27_simhash_pairs").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(truth.nonEmpty, "cap-contract truth set is empty — corpus changed?")
+    assert(got == truth,
+      s"q27 emitted ${got.size} pairs vs ${truth.size} cap-contract truth " +
+      s"(missed ${(truth -- got).size}, extra ${(got -- truth).size})")
+    spark.catalog.clearCache()
+  }
+
   test("q39 still yields candidates at the bench corpus (bucket sizing holds)") {
     // regression: with 4-plane families (16 buckets) every bucket exceeded
     // the 50-doc cap at sf0.1's 2000 vectors and q39 returned ZERO rows —

@@ -79,6 +79,12 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache() // q25 persists its sketch projection
   }
 
+  test("q27 simhash banding: candidates via equi-join, never a nested loop") {
+    val p = plan("q27_simhash_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    spark.catalog.clearCache() // q27 persists its sketch projection
+  }
+
   test("q40 vocab top-k: one shuffle, partial count, TakeOrdered (no global sort)") {
     val p = execPlan("q40_vocab_topk")
     assert("Exchange".r.findAllIn(p).length == 1, p)
