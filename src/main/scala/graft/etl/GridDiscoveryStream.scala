@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -86,15 +86,25 @@ final class DiscoveryScan(path: String) extends Scan {
     new DiscoveryMicroBatchStream(path)
 }
 
-final class DiscoveryMicroBatchStream(path: String) extends MicroBatchStream {
+/** Implements [[SupportsTriggerAvailableNow]] so the stream honors
+  * `Trigger.AvailableNow` natively — the reference's operating mode is
+  * exactly that: a bounded scheduled run that drains everything past the
+  * cursor and exits (src/Tasks.php:34-65, the 300 s CLI bound). Under
+  * AvailableNow the high-water mark is pinned at query start, so files
+  * modified mid-run wait for the next scheduled run instead of extending
+  * this one.
+  */
+final class DiscoveryMicroBatchStream(path: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
   private def source = new LocalGridSource(path)
 
-  override def initialOffset(): Offset = CursorOffset.Epoch
+  /** End offset pinned by prepareForTriggerAvailableNow (AvailableNow). */
+  private var fixedEnd: Option[CursorOffset] = None
 
   /** Latest known (modifiedTime, id) across the source — the stream's
     * high-water mark. A real Google-backed stream would page via R1 here.
     */
-  override def latestOffset(): Offset = {
+  private def scanLatest(): CursorOffset = {
     val all = source.list(GridDiscoveryProvider.EpochModified, "", Int.MaxValue)
     if (all.isEmpty) CursorOffset.Epoch
     else {
@@ -102,6 +112,18 @@ final class DiscoveryMicroBatchStream(path: String) extends MicroBatchStream {
       CursorOffset(m.modifiedTime, m.id)
     }
   }
+
+  override def initialOffset(): Offset = CursorOffset.Epoch
+
+  override def prepareForTriggerAvailableNow(): Unit = fixedEnd = Some(scanLatest())
+
+  override def latestOffset(): Offset = fixedEnd.getOrElse(scanLatest())
+
+  /** SupportsAdmissionControl variant (the engine calls this one when the
+    * interface is present); read limits don't apply to a metadata-scale
+    * listing, so it defers to the same high-water mark.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CursorOffset]
