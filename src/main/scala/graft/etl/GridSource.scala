@@ -92,11 +92,21 @@ object Retry {
   val MaxRetries = 5
   val RetryStatuses: Set[Int] = Set(429, 500, 502, 503, 504)
 
+  /** Default retry predicate: transport-level failures only (the
+    * reference's middleware retries connect exceptions and the
+    * [[RetryStatuses]]; status-based retry needs the caller's response
+    * model, so HTTP callers pass their own predicate — see
+    * [[GoogleGridSource]]). A catch-all default would silently retry
+    * non-transient bugs (parse errors, contract violations) five times
+    * with exponential sleep before surfacing them.
+    */
+  def defaultRetryable(e: Throwable): Boolean = e.isInstanceOf[java.io.IOException]
+
   def delayMillis(retry: Int, jitter: Int => Int = scala.util.Random.nextInt): Long =
     1000L * (1L << retry) + jitter(1000)
 
   def apply[T](maxRetries: Int = MaxRetries,
-               isRetryable: Throwable => Boolean = _ => true,
+               isRetryable: Throwable => Boolean = defaultRetryable,
                sleep: Long => Unit = Thread.sleep)(body: => T): T = {
     var attempt = 0
     while (true) {

@@ -94,13 +94,25 @@ class RetrySpec extends AnyFunSuite {
 
   test("retries at most 5 times then rethrows; success stops retrying") {
     var calls = 0
-    val e = intercept[RuntimeException] {
-      Retry(sleep = _ => ()) { calls += 1; throw new RuntimeException("boom") }
+    val e = intercept[java.io.IOException] {
+      Retry(sleep = _ => ()) { calls += 1; throw new java.io.IOException("boom") }
     }
     assert(e.getMessage == "boom" && calls == 6) // 1 try + 5 retries
     calls = 0
-    val ok = Retry(sleep = _ => ()) { calls += 1; if (calls < 3) throw new RuntimeException; 42 }
+    val ok = Retry(sleep = _ => ()) {
+      calls += 1; if (calls < 3) throw new java.io.IOException; 42 }
     assert(ok == 42 && calls == 3)
+  }
+
+  test("non-transport failures are NOT retried by default") {
+    // the default predicate retries transport errors only — a parse error
+    // or contract violation must surface immediately, not after 5
+    // exponential sleeps
+    var calls = 0
+    intercept[RuntimeException] {
+      Retry(sleep = _ => ()) { calls += 1; throw new RuntimeException("bug") }
+    }
+    assert(calls == 1)
   }
 
   test("retryable statuses match the reference's set") {
