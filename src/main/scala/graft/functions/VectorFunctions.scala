@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.classic.GraftBridge
@@ -88,9 +88,124 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Native banded hyperplane-LSH sketch: all `families` bucket ids of a
+  * vector in ONE pass. Family f's bucket is `planesPerFam` sign bits —
+  * bit j is set iff `dot(vec, plane_{f·planesPerFam+j}) >= 0` — over a
+  * flat row-major plane matrix (`planes(p·dim + i)` = component i of
+  * plane p).
+  *
+  * Why an Expression and not 120 [[VecDot]] calls: the composed form
+  * (`array(fam0..famL)`, each family a when-chain over k VecDots against
+  * a 64-literal array) builds an expression tree with thousands of
+  * literal nodes that Catalyst re-analyzes and re-optimizes on EVERY
+  * query construction, re-reads the vector once per plane, and generates
+  * pages of code. This node carries the matrix as one reference object,
+  * reads the vector once, and emits a primitive triple loop under both
+  * codegen and interpreted eval.
+  *
+  * Determinism contract: each dot is the identical sequential
+  * left-to-right fold seeded 0.0 over `(double) vec[i] * plane[i]` as
+  * [[VecDot]] against the same plane literals, so bucket ids are
+  * bit-identical to the composed form and to the DuckDB mirror
+  * (`list_aggregate(...,'sum')` per plane). `dot >= 0.0` is false for
+  * NaN — same as the composed `when(vecDot >= 0.0, ...)`.
+  */
+case class HyperplaneBands(child: Expression, planes: Array[Double],
+    families: Int, planesPerFam: Int) extends UnaryExpression {
+  require(families > 0 && planesPerFam > 0 && planesPerFam <= 63 &&
+    planes.length % (families * planesPerFam) == 0,
+    "planes must be a flat families*planesPerFam*dim matrix")
+
+  private def dim: Int = planes.length / (families * planesPerFam)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"hyperplane_bands requires array<float>/array<double> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hyperplane_bands"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val vf = isFloat
+    val out = new Array[Long](families)
+    var f = 0
+    while (f < families) {
+      var bucket = 0L
+      var j = 0
+      while (j < planesPerFam) {
+        val base = (f * planesPerFam + j) * dim
+        var s = 0.0
+        var i = 0
+        while (i < n) {
+          val xv = if (vf) v.getFloat(i).toDouble else v.getDouble(i)
+          s += xv * planes(base + i)
+          i += 1
+        }
+        if (s >= 0.0) bucket |= 1L << j
+        j += 1
+      }
+      out(f) = bucket
+      f += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val mat = ctx.addReferenceObj("planes", planes, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val f = ctx.freshName("f")
+      val j = ctx.freshName("j")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val bucket = ctx.freshName("bucket")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($arr.numElements(), $dim);
+         |long[] $out = new long[$families];
+         |for (int $f = 0; $f < $families; $f++) {
+         |  long $bucket = 0L;
+         |  for (int $j = 0; $j < $planesPerFam; $j++) {
+         |    int $base = ($f * $planesPerFam + $j) * $dim;
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      $s += (double) $arr.$get($i) * $mat[$base + $i];
+         |    }
+         |    if ($s >= 0.0) $bucket |= 1L << $j;
+         |  }
+         |  $out[$f] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBands =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-level sequential-fold dot product (see [[VecDot]]). */
   def vecDot(a: Column, b: Column): Column =
     GraftBridge.column(
       VecDot(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Column-level one-pass banded hyperplane sketch (see
+    * [[HyperplaneBands]]). `planes` is flat row-major
+    * (families·planesPerFam)×dim.
+    */
+  def hyperplaneBands(v: Column, planes: Array[Double],
+      families: Int, planesPerFam: Int): Column =
+    GraftBridge.column(HyperplaneBands(
+      GraftBridge.expression(v), planes, families, planesPerFam))
 }

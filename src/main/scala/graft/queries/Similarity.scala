@@ -128,11 +128,18 @@ object Similarity {
   private[queries] def ndPlanesFor(n: Long): Int =
     adaptiveBits(n, VecTargetOcc, NdPlanesMin, NdPlanesMax)
 
-  /** Family-f bucket id: k sign bits from that family's planes. */
-  private def famBucket(f: Int, k: Int, v: Column): Column =
-    (0 until k).map(j =>
-      when(planeDot(f * k + j, v) >= 0.0, lit(1L << j)).otherwise(lit(0L)))
-      .reduce(_ + _)
+  /** All NdFamilies family buckets in one native pass
+    * ([[graft.functions.HyperplaneBands]]): family f's bucket is k sign
+    * bits of planes f·k … f·k+k−1, bit-identical to the composed
+    * when(vecDot ≥ 0) form (same fold, same plane literals) but ONE
+    * expression node instead of NdFamilies·k VecDots over 64-literal
+    * arrays — the composed tree's thousands of literal nodes dominated
+    * q39's per-run plan analysis/optimization time.
+    */
+  private def famBuckets(k: Int, v: Column): Column =
+    graft.functions.VectorFunctions.hyperplaneBands(v,
+      Array.tabulate(NdFamilies * k * 64)(x => planeComp(x / 64, x % 64 + 1)),
+      NdFamilies, k)
 
   // ---- q35 coarse quantizer: deterministic spherical k-means -------------
 
@@ -422,8 +429,7 @@ object Similarity {
       val e = Tables.wide(s, dir, "embeddings").select(
         col("vec_id"), col("embedding"), col("label"),
         sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"),
-        array((0 until NdFamilies).map(f =>
-          famBucket(f, k, col("embedding"))): _*).as("bks"))
+        famBuckets(k, col("embedding")).as("bks"))
         .persist() // feeds banding + both candidate-pair lookups
         .filter(col("nrm") > 0) // zero-norm guard (see q28)
       val bands = e.select(col("vec_id"), posexplode(col("bks")))

@@ -65,4 +65,32 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("vec_dot") ||
       e.getMessage.toLowerCase.contains("data type mismatch"))
   }
+
+  test("hyperplane_bands is bit-identical to the composed when(vecDot >= 0) form") {
+    // the fused sketch must reproduce the composed form EXACTLY — the
+    // oracle mirrors and all persisted q39 hashes key on these bucket ids
+    val fams = 5; val k = 4; val dim = 8
+    val planes = Array.tabulate(fams * k * dim)(x => ((x * 37 % 19) - 9) / 7.0)
+    val vecs = (0 until 100).map(i =>
+      (i.toLong, Array.tabulate(dim)(d => ((i * 13 + d * 5) % 41 - 20) / 9.0f)))
+    val df = vecs.toDF("id", "v")
+    val composed = array((0 until fams).map { f =>
+      (0 until k).map { j =>
+        val pl = (0 until dim).map(i => planes((f * k + j) * dim + i))
+        when(vecDot($"v", typedLit(pl)) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val rows = df.select(
+        VectorFunctions.hyperplaneBands($"v", planes, fams, k).as("fused"),
+        composed.as("composed"))
+      .as[(Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (a, b) => assert(a == b) }
+    // null vector -> null sketch; short vector folds like vecDot
+    val edge = Seq((1L, None), (2L, Some(Array(1.0f))))
+      .toDF("id", "v")
+      .select(VectorFunctions.hyperplaneBands($"v", planes, fams, k).as("s"))
+      .collect()
+    assert(edge(0).isNullAt(0))
+    assert(!edge(1).isNullAt(0))
+  }
 }
