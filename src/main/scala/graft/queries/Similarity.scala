@@ -231,6 +231,14 @@ object Similarity {
     */
   private[queries] def bandWidthFor(n: Long): Int = adaptiveBits(n, 25, 8, 16)
 
+  /** q42 band width over the 64-bit fingerprint: smallest w in {8, 16, 32}
+    * with occupancy n/2^w ≤ 25. Powers of 8 only, so a band never
+    * straddles the lo/hi half boundary; w=32 carries the keyspace to
+    * ~10^11 documents.
+    */
+  private[queries] def bandWidth64For(n: Long): Int =
+    Seq(8, 16, 32).find(j => (1L << j) * 25 >= n).getOrElse(32)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // minhash + LSH banding near-dup candidates with estimated Jaccard
     "q25_minhash_lsh" -> ((s, dir) => {
@@ -325,6 +333,54 @@ object Similarity {
           bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
             .cast("long").as("hamming"))
         .filter(col("hamming") <= 8)
+        .distinct()
+    }),
+
+    // 64-bit simhash near-dup pairs: the q27 semantics with double the
+    // fingerprint — the upgrade path past the 32-bit sketch's band-
+    // keyspace ceiling (~1.6M docs). The fingerprint is a (lo, hi) PAIR
+    // of independent 32-bit simhashes over differently-seeded token
+    // hashes: two bigint columns sidestep every 64-bit sign/overflow
+    // portability trap (DuckDB errors on signed overflow where the JVM
+    // wraps), each half reuses the native one-pass SimHash32 vote, and
+    // hamming is the sum of the halves' bit counts. Bands are 8/16/32
+    // bits wide (corpus-adaptive, never straddling the half boundary);
+    // hamming <= 8 of 64 is the stricter Manku-style threshold.
+    "q42_simhash64_pairs" -> ((s, dir) => {
+      val w = bandWidth64For(Tables(s, dir, "documents").count())
+      val nb = 64 / w
+      val nbLo = 32 / w
+      val mask = (1L << w) - 1
+      // layered projections (see q25): tokens and the distinct set become
+      // named columns before the hash lambdas touch them
+      val sim = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), array_distinct(col("tk")).as("dtk"))
+        .select(col("doc_id"),
+          simHash32(transform(col("dtk"), t => portableHash(t))).as("lo"),
+          simHash32(transform(col("dtk"), t => portableHash(t, 1))).as("hi"))
+        .persist() // sketch feeds both sides of the band self-join
+      val bands = sim.select(col("doc_id"), col("lo"), col("hi"), explode(array(
+        (0 until nb).map { b =>
+          val bk =
+            if (b < nbLo) shiftright(col("lo"), w * b).bitwiseAND(lit(mask))
+            else shiftright(col("hi"), w * (b - nbLo)).bitwiseAND(lit(mask))
+          struct(lit(b).as("b"), bk.as("bk"))
+        }: _*)).as("x"))
+        .select(col("doc_id"), col("lo"), col("hi"),
+          col("x.b").as("b"), col("x.bk").as("bk"))
+      val rare = bands.groupBy("b", "bk")
+        .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxBandDocs)
+        .select("b", "bk")
+      val capped = bands.join(rare, Seq("b", "bk"), "left_semi")
+      capped.alias("a").join(capped.alias("b"),
+          col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+            bit_count(col("a.hi").bitwiseXOR(col("b.hi"))))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 8) // before distinct — see q27
         .distinct()
     }),
 
@@ -610,6 +666,32 @@ object Similarity {
          |  FROM bc a JOIN bc b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
          |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8""".stripMargin,
+
+    "q42_simhash64_pairs" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  list_transform(list_distinct($Toks), x -> ${sqlHash("x")}) AS h1,
+         |  list_transform(list_distinct($Toks), x -> ${sqlHash("x||'#1'")}) AS h2
+         |  FROM documents),
+         |s AS (SELECT doc_id, ${SqlSimhash.replace("th", "h1")} AS lo,
+         |  ${SqlSimhash.replace("th", "h2")} AS hi FROM t),
+         |wp AS (SELECT CAST(COALESCE(MIN(j), 32) AS BIGINT) AS w
+         |  FROM (VALUES (8),(16),(32)) t(j)
+         |  WHERE (CAST(1 AS BIGINT) << j) * 25 >= (SELECT count(*) FROM documents)),
+         |bands AS (SELECT doc_id, lo, hi, b,
+         |    CASE WHEN b < 32 // w
+         |      THEN (lo >> CAST(w*b AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1)
+         |      ELSE (hi >> CAST(w*(b - 32 // w) AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1)
+         |    END AS bk
+         |  FROM s, wp, range(0, 8) t(b) WHERE b < 64 // w),
+         |rare AS (SELECT b, bk FROM bands GROUP BY b, bk HAVING COUNT(*) <= $MaxBandDocs),
+         |bc AS (SELECT bands.doc_id, bands.lo, bands.hi, bands.b, bands.bk
+         |  FROM bands JOIN rare USING (b, bk)),
+         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+         |  FROM bc a JOIN bc b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |  CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 8""".stripMargin,
 
     "q28_cosine_neardup" ->
       s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, label,

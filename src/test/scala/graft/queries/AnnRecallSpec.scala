@@ -94,6 +94,47 @@ class AnnRecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q42 finds EVERY 64-bit hamming<=8 pair that shares an uncapped band") {
+    // same deterministic cap-contract bound as q27, over the (lo, hi)
+    // two-half fingerprint — pins the half-boundary band selection, the
+    // seeded second hash, and the summed hamming
+    import graft.functions.TextFunctions.{portableHash, tokens}
+    import graft.functions.SketchFunctions.simHash32
+    import org.apache.spark.sql.functions._
+    val sims = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), array_distinct(tokens(col("text"))).as("dtk"))
+      .select(col("doc_id"),
+        simHash32(transform(col("dtk"), t => portableHash(t))).as("lo"),
+        simHash32(transform(col("dtk"), t => portableHash(t, 1))).as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val w = Similarity.bandWidth64For(sims.length)
+    val nb = 64 / w
+    val nbLo = 32 / w
+    val mask = (1L << w) - 1
+    def keys(lo: Long, hi: Long): Seq[(Int, Long)] = (0 until nb).map { b =>
+      (b, if (b < nbLo) (lo >> (w * b)) & mask
+          else (hi >> (w * (b - nbLo))) & mask)
+    }
+    val freq = sims.iterator.flatMap { case (_, lo, hi) => keys(lo, hi) }
+      .toSeq.groupBy(identity).map { case (k, v) => k -> v.size }
+    val truth = (for {
+      i <- sims.indices.iterator
+      j <- (i + 1) until sims.length
+      (ida, loa, hia) = sims(i)
+      (idb, lob, hib) = sims(j)
+      if java.lang.Long.bitCount(loa ^ lob) + java.lang.Long.bitCount(hia ^ hib) <= 8
+      if keys(loa, hia).zip(keys(lob, hib)).exists { case (ka, kb) =>
+        ka == kb && freq(ka) <= Similarity.MaxBandDocs }
+    } yield (math.min(ida, idb), math.max(ida, idb))).toSet
+    val got = run("q42_simhash64_pairs").collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(truth.nonEmpty, "cap-contract truth set is empty — corpus changed?")
+    assert(got == truth,
+      s"q42 emitted ${got.size} pairs vs ${truth.size} cap-contract truth " +
+      s"(missed ${(truth -- got).size}, extra ${(got -- truth).size})")
+    spark.catalog.clearCache()
+  }
+
   test("q39 still yields candidates at the bench corpus (bucket sizing holds)") {
     // regression: with 4-plane families (16 buckets) every bucket exceeded
     // the 50-doc cap at sf0.1's 2000 vectors and q39 returned ZERO rows —

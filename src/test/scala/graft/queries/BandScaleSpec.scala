@@ -52,6 +52,15 @@ class BandScaleSpec extends AnyFunSuite {
       assert(n.toDouble / (1L << w) <= 25.0,
         s"q27 occupancy ${n.toDouble / (1L << w)} at n=$n (w=$w)")
     }
+    // the 64-bit fingerprint (q42) carries occupancy control to ~10^11 docs
+    for (n <- Seq(1000L, 1000000L, 1000000000L, 100000000000L)) {
+      val w = Similarity.bandWidth64For(n)
+      assert(n.toDouble / math.pow(2.0, w) <= 25.0,
+        s"q42 occupancy at n=$n (w=$w)")
+    }
+    assert(Similarity.bandWidth64For(500) == 8)
+    assert(Similarity.bandWidth64For(50000) == 16)
+    assert(Similarity.bandWidth64For(1000000000L) == 32)
   }
 
   // ---- 10× corpora: no retuning, candidates survive the cap -------------
@@ -128,6 +137,20 @@ class BandScaleSpec extends AnyFunSuite {
     // identical planted texts have identical sketches (hamming 0) and
     // agree on every band — recovered unless their band keys are capped,
     // which the adaptive width keeps rare
+    val planted = (0 until 50000 by 100).map(m => (m.toLong, (m + 1).toLong)).toSet
+    val found = planted.count(pairs.contains)
+    assert(found >= (planted.size * 9) / 10,
+      s"only $found/${planted.size} planted identical pairs recovered")
+    spark.catalog.clearCache()
+  }
+
+  test("q42 (64-bit fingerprint) yields pairs at 50k documents with no retuning") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-doc64").toString
+    makeDocuments(dir, 50000)
+    assert(Similarity.bandWidth64For(50000) == 16) // 4 bands of 16 bits
+    val pairs = Similarity.queries("q42_simhash64_pairs")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.nonEmpty, "band cap dropped every pair at 50k docs")
     val planted = (0 until 50000 by 100).map(m => (m.toLong, (m + 1).toLong)).toSet
     val found = planted.count(pairs.contains)
     assert(found >= (planted.size * 9) / 10,

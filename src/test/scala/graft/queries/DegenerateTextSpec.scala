@@ -29,8 +29,8 @@ class DegenerateTextSpec extends AnyFunSuite {
   private val docQueries = Seq(
     "q17_lang_id", "q18_quality_score", "q19_token_count", "q20_fingerprint",
     "q21_dedup_exact", "q22_ngram_jaccard", "q25_minhash_lsh",
-    "q26_simhash", "q27_simhash_pairs", "q36_prep_pipeline",
-    "q40_vocab_topk", "q41_repetition",
+    "q26_simhash", "q27_simhash_pairs", "q42_simhash64_pairs",
+    "q36_prep_pipeline", "q40_vocab_topk", "q41_repetition",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -42,6 +42,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // still emit a row per non-null doc (null text rows may yield nulls
     // but not crashes)
     if (!Set("q22_ngram_jaccard", "q25_minhash_lsh", "q27_simhash_pairs",
+        "q42_simhash64_pairs",
         "q36_prep_pipeline", "q40_vocab_topk", // q40 is corpus-level
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))

@@ -85,6 +85,12 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache() // q27 persists its sketch projection
   }
 
+  test("q42 64-bit simhash banding: candidates via equi-join, never a nested loop") {
+    val p = plan("q42_simhash64_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    spark.catalog.clearCache() // q42 persists its sketch projection
+  }
+
   test("q40 vocab top-k: one shuffle, partial count, TakeOrdered (no global sort)") {
     val p = execPlan("q40_vocab_topk")
     assert("Exchange".r.findAllIn(p).length == 1, p)
