@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * loadSomeUpdatedSpreadsheets → verifyOldestSpreadsheet.
   *
   * Usage: EtlMain <source> <etlConfig.json> <warehouseDir>
-  *                [--schema S] [--prefix P] [--meta URL]
+  *                [--schema S] [--prefix P] [--meta URL] [--stream CKPT]
   *
   * `<source>` selects the grid source behind the [[GridSource]] trait
   * (reference: bin/google-sheets-etl:15-39 for the argv contract this
@@ -24,12 +24,21 @@ import org.apache.spark.sql.SparkSession
   * schema at construction). `--meta URL` selects the accounting backend
   * via [[MetaStorage.forUrl]] (R27; default: parquet snapshots under
   * `<warehouseDir>/meta`).
+  *
+  * `--stream CKPT` runs discovery as a Structured Streaming query instead
+  * of the batch loop: [[GridDiscoveryProvider]] under
+  * `Trigger.AvailableNow` drains everything past the checkpointed
+  * `(modifiedTime, id)` offset into `foreachBatch` →
+  * [[Tasks.loadDiscoveredBatch]], then exits — same bounded scheduled-run
+  * model, but the cursor lives in the Spark checkpoint at CKPT rather
+  * than the warehouse argmax (R14). Effects are identical and idempotent
+  * either way (§7.4); directory sources only.
   */
 object EtlMain {
   def main(args: Array[String]): Unit = {
     val (positional, flags) = parseArgs(args)
     if (positional.length != 3) {
-      System.err.println("usage: EtlMain <fixturesDir|googleKey.json> <etlConfig.json> <warehouseDir> [--schema S] [--prefix P] [--meta URL]")
+      System.err.println("usage: EtlMain <fixturesDir|googleKey.json> <etlConfig.json> <warehouseDir> [--schema S] [--prefix P] [--meta URL] [--stream CKPT]")
       sys.exit(1)
     }
     val Seq(sourceArg, configPath, warehouse) = positional
@@ -58,9 +67,33 @@ object EtlMain {
       val tasks = new Tasks(source, meta, targets)
       tasks.loadConfiguration(configPath)
       meta.setUpAccounting()
-      val found = tasks.findSomeUpdatedSpreadsheets()
-      println(s"[graft-etl] discovered $found spreadsheet(s)")
-      val loaded = tasks.loadSomeUpdatedSpreadsheets()
+      val loaded: Seq[EtlConfig] = flags.get("stream") match {
+        case Some(ckpt) =>
+          require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sourceArg)),
+            "--stream requires a fixture-directory source")
+          val acc = Seq.newBuilder[EtlConfig]
+          val q = spark.readStream.format("graft.etl.GridDiscoveryProvider")
+            .option("path", sourceArg).load()
+            .writeStream
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+              val seen = batch.select("spreadsheet_id", "modified_time", "name")
+                .collect()
+                .map(r => SpreadsheetMeta(r.getString(0), r.getString(1), r.getString(2)))
+                .toSeq
+              println(s"[graft-etl] batch $id discovered ${seen.size} spreadsheet(s)")
+              acc ++= tasks.loadDiscoveredBatch(seen)
+              ()
+            }
+            .start()
+          q.awaitTermination() // AvailableNow exits once drained
+          acc.result()
+        case None =>
+          val found = tasks.findSomeUpdatedSpreadsheets()
+          println(s"[graft-etl] discovered $found spreadsheet(s)")
+          tasks.loadSomeUpdatedSpreadsheets()
+      }
       loaded.foreach(j => println(
         s"[graft-etl] loaded ${j.googleSpreadsheetId}/${j.sheetName} -> ${j.targetTable}"))
       println(s"[graft-etl] loaded ${loaded.size} sheet(s)")
@@ -72,7 +105,7 @@ object EtlMain {
     } finally spark.stop()
   }
 
-  private val KnownFlags = Set("schema", "prefix", "meta")
+  private val KnownFlags = Set("schema", "prefix", "meta", "stream")
 
   /** Split argv into positional args and `--name value` flag pairs.
     * Unknown flags are contract errors — a typo'd `--shcema` silently

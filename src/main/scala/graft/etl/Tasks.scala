@@ -50,6 +50,26 @@ final class Tasks(
     jobs
   }
 
+  /** Streaming micro-batch composite — the `foreachBatch` body of the
+    * streaming discovery mode ([[GridDiscoveryProvider]], EtlMain
+    * `--stream`): upsert the batch's discovered spreadsheets as seen
+    * (R17), then filter THIS batch's configured jobs for staleness (R16)
+    * and load them in order (R29/R31). Redelivery-safe: every effect is
+    * an upsert or an idempotent hash-gated reload, so at-least-once
+    * delivery from the stream yields exactly-once observable state —
+    * the same §7.4 protocol the batch loop relies on.
+    */
+  def loadDiscoveredBatch(seen: Seq[SpreadsheetMeta]): Seq[EtlConfig] =
+    if (seen.isEmpty) Nil
+    else {
+      meta.setSpreadsheetsSeen(seen, loadTime)
+      val ids = seen.map(_.id).toSet
+      val jobs = meta.filterExtractable(
+        etlConfigs.filter(c => ids(c.googleSpreadsheetId)))
+      jobs.foreach(loadSheet)
+      jobs
+    }
+
   /** Access audit (R30; reference: src/Tasks.php:67-98): re-verify the
     * least-recently-seen spreadsheet; false ⇒ it became inaccessible.
     * Vacuously true when nothing is tracked.

@@ -70,6 +70,7 @@ class GridDiscoveryStreamSpec extends AnyFunSuite {
     meta.setUpAccounting()
     val tasks = new Tasks(new LocalGridSource(dir.toString), meta, targets,
       loadTime = 1746100000L)
+    tasks.setConfiguration(configs)
     val loadedLog = scala.collection.mutable.ArrayBuffer.empty[String]
 
     def runStream(): Unit = {
@@ -83,15 +84,8 @@ class GridDiscoveryStreamSpec extends AnyFunSuite {
             .collect()
             .map(r => SpreadsheetMeta(r.getString(0), r.getString(1), r.getString(2)))
             .toSeq
-          if (seen.nonEmpty) {
-            meta.setSpreadsheetsSeen(seen, tasks.loadTime)
-            val jobs = meta.filterExtractable(
-              configs.filter(c => seen.exists(_.id == c.googleSpreadsheetId)))
-            jobs.foreach { j =>
-              tasks.loadSheet(j)
-              loadedLog += j.targetTable
-            }
-          }
+          // the production micro-batch composite (EtlMain --stream body)
+          loadedLog ++= tasks.loadDiscoveredBatch(seen).map(_.targetTable)
           ()
         }
         .start()
