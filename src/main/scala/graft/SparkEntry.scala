@@ -22,6 +22,7 @@ object SparkEntry {
     graft.queries.TextAnalysis.queries ++
     graft.queries.Events.queries ++
     graft.queries.Similarity.queries ++
+    graft.queries.Dedup.queries ++
     graft.queries.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -31,5 +32,6 @@ object SparkEntry {
     graft.queries.TextAnalysis.oracleSql ++
     graft.queries.Events.oracleSql ++
     graft.queries.Similarity.oracleSql ++
+    graft.queries.Dedup.oracleSql ++
     graft.queries.Multimodal.oracleSql
 }

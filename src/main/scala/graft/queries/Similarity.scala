@@ -619,6 +619,33 @@ object Similarity {
       |    CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END), 'sum') > 0
       |  THEN CAST(1 AS BIGINT) << b ELSE CAST(0 AS BIGINT) END), 'sum') AS BIGINT)""".stripMargin
 
+  /** q27's CTE chain (sketch → adaptive band width → capped bands →
+    * candidate pairs) and its final pair select, exposed as fragments so
+    * [[Dedup]]'s transitive-closure oracles can reuse the identical pair
+    * semantics as a `pairs AS (...)` CTE — one SQL text, no drift between
+    * the pair operator and the clustering built on it.
+    */
+  private[queries] val SqlSimhashPairCtes: String =
+    s"""t AS (SELECT doc_id,
+       |  list_transform(list_distinct($Toks), x -> ${sqlHash("x")}) AS th
+       |  FROM documents),
+       |s AS (SELECT doc_id, $SqlSimhash AS simhash FROM t),
+       |wp AS (SELECT CAST(COALESCE(MIN(j), 16) AS BIGINT) AS w FROM range(8, 17) t(j)
+       |  WHERE (CAST(1 AS BIGINT) << j) * 25 >= (SELECT count(*) FROM documents)),
+       |bands AS (SELECT doc_id, simhash, b,
+       |    (simhash >> CAST(w*b AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1) AS bk
+       |  FROM s, wp, range(0, 4) t(b) WHERE b < 32 // w),
+       |rare AS (SELECT b, bk FROM bands GROUP BY b, bk HAVING COUNT(*) <= $MaxBandDocs),
+       |bc AS (SELECT bands.doc_id, bands.simhash, bands.b, bands.bk
+       |  FROM bands JOIN rare USING (b, bk)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.simhash AS sim_a, b.simhash AS sim_b
+       |  FROM bc a JOIN bc b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
+
+  private[queries] val SqlSimhashPairSelect: String =
+    """SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q25_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
@@ -649,23 +676,7 @@ object Similarity {
          |SELECT doc_id, $SqlSimhash AS simhash FROM t""".stripMargin,
 
     "q27_simhash_pairs" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  list_transform(list_distinct($Toks), x -> ${sqlHash("x")}) AS th
-         |  FROM documents),
-         |s AS (SELECT doc_id, $SqlSimhash AS simhash FROM t),
-         |wp AS (SELECT CAST(COALESCE(MIN(j), 16) AS BIGINT) AS w FROM range(8, 17) t(j)
-         |  WHERE (CAST(1 AS BIGINT) << j) * 25 >= (SELECT count(*) FROM documents)),
-         |bands AS (SELECT doc_id, simhash, b,
-         |    (simhash >> CAST(w*b AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1) AS bk
-         |  FROM s, wp, range(0, 4) t(b) WHERE b < 32 // w),
-         |rare AS (SELECT b, bk FROM bands GROUP BY b, bk HAVING COUNT(*) <= $MaxBandDocs),
-         |bc AS (SELECT bands.doc_id, bands.simhash, bands.b, bands.bk
-         |  FROM bands JOIN rare USING (b, bk)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |    a.simhash AS sim_a, b.simhash AS sim_b
-         |  FROM bc a JOIN bc b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)
-         |SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
-         |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8""".stripMargin,
+      s"WITH $SqlSimhashPairCtes\n$SqlSimhashPairSelect",
 
     "q42_simhash64_pairs" ->
       s"""WITH t AS (SELECT doc_id,

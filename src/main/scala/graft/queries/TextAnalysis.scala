@@ -26,6 +26,11 @@ object TextAnalysis {
     */
   val MaxBucketDocs = 50
 
+  /** Gopher's "required word" stopword list (Rae et al. 2021 §A1.1): a
+    * document must contain at least 2 of these to pass q45's filter.
+    */
+  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // language-ID: stopword-hit argmax with fixed tie-break priority
     "q17_lang_id" -> ((s, dir) => {
@@ -160,6 +165,40 @@ object TextAnalysis {
             .otherwise(lit(null)))
     }),
 
+    // quality-rule filter: the published Gopher-style document heuristics
+    // (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1) in
+    // their engine-portable subset — word-count bounds, mean word length,
+    // alphabetic-word fraction, distinct-stopword floor. Narrow per-row
+    // array ops over the shared tokenizer, zero shuffles; every ratio is
+    // integer-derived (sums/counts of ints, one double divide), so the
+    // oracle hash-matches without float-fold concerns. Rule thresholds are
+    // the paper's; `pass` is their conjunction, null for null docs on both
+    // engines (3VL), coalesced to false so the verdict column is total.
+    "q45_quality_filter" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_words"),
+          aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t).cast("long"))
+            .as("sum_len"),
+          size(filter(col("tk"), t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
+          size(array_intersect(array_distinct(col("tk")), typedLit(GopherStops)))
+            .cast("long").as("n_stop_distinct"))
+        .select(col("doc_id"), col("n_words"),
+          when(col("n_words") > 0,
+            col("sum_len").cast("double") / col("n_words").cast("double"))
+            .as("mean_word_len"),
+          when(col("n_words") > 0,
+            col("n_alpha").cast("double") / col("n_words").cast("double"))
+            .as("frac_alpha"),
+          col("n_stop_distinct"))
+        .withColumn("pass", coalesce(
+          col("n_words").between(50, 100000) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            col("frac_alpha") > 0.8 &&
+            col("n_stop_distinct") >= 2, lit(false)))
+    }),
+
     // composed prep pipeline: exact-dedup -> quality score -> language
     // filter — the realistic end-to-end shape of training-data prep. One
     // shuffle (the dedup window on the content hash); scoring and filters
@@ -284,6 +323,28 @@ object TextAnalysis {
          |    CAST(len(list_distinct(g2)) AS DOUBLE)/CAST(len(g2) AS DOUBLE)
          |  END AS repetition
          |FROM g""".stripMargin,
+
+    "q45_quality_filter" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |m AS (SELECT doc_id,
+         |  len(tk) AS n_words,
+         |  CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+         |  len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+         |  len(list_filter(${GopherStops.map(w => s"'$w'").mkString("[", ",", "]")},
+         |    w -> list_contains(tk, w))) AS n_stop_distinct
+         |  FROM t),
+         |r AS (SELECT doc_id, n_words,
+         |  CASE WHEN n_words > 0
+         |    THEN CAST(sum_len AS DOUBLE)/CAST(n_words AS DOUBLE) END AS mean_word_len,
+         |  CASE WHEN n_words > 0
+         |    THEN CAST(n_alpha AS DOUBLE)/CAST(n_words AS DOUBLE) END AS frac_alpha,
+         |  n_stop_distinct FROM m)
+         |SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop_distinct,
+         |  COALESCE(n_words BETWEEN 50 AND 100000
+         |    AND mean_word_len BETWEEN 3.0 AND 10.0
+         |    AND frac_alpha > 0.8
+         |    AND n_stop_distinct >= 2, false) AS pass
+         |FROM r""".stripMargin,
 
     "q36_prep_pipeline" ->
       s"""WITH dd AS (SELECT doc_id, text FROM (

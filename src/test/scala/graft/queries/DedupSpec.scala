@@ -1,0 +1,89 @@
+package graft.queries
+
+import graft.SparkTestSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q43/q44 — transitive near-dup clustering. The strongest check available:
+  * exact equality of the converged labels against an independently-computed
+  * union-find over the SAME q27 pair set, on the real sf0.001 corpus. That
+  * pins transitivity (multi-hop merging), min-labeling, singleton handling,
+  * and convergence in one assertion — if the iterative propagation stopped
+  * a round early or merged along a non-edge, some label differs.
+  */
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  /** Plain driver-side union-find (path-halving), small-N ground truth. */
+  private def unionFind(n: Seq[Long], pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map(n.map(i => i -> i): _*)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // label = component MINIMUM: union-by-min above keeps roots minimal
+    n.map(i => i -> find(i)).toMap
+  }
+
+  test("q43 labels equal union-find components of the q27 pair graph") {
+    val pairs = graft.SparkEntry.queries("q27_simhash_pairs")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+    val docs = graft.Tables(spark, dir, "documents")
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val truth = unionFind(docs, pairs)
+    val got = graft.SparkEntry.queries("q43_neardup_clusters")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got.size == docs.size, "q43 must label every document")
+    assert(got == truth)
+    // the test is only meaningful if transitive merging actually occurred:
+    // some same-cluster pair must NOT be a direct q27 pair
+    val direct = pairs.toSet
+    val transitiveMerge = truth.groupBy(_._2).values.exists { comp =>
+      val ids = comp.keys.toSeq.sorted
+      ids.combinations(2).exists { case Seq(u, w) =>
+        !direct((u, w)) && !direct((w, u))
+      }
+    }
+    assert(transitiveMerge,
+      "corpus has no multi-hop component — transitivity untested")
+    spark.catalog.clearCache()
+  }
+
+  test("q44 survivor report is consistent with q43 and covers the corpus") {
+    val labels = graft.SparkEntry.queries("q43_neardup_clusters")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+    val surv = graft.SparkEntry.queries("q44_dedup_survivors")(spark, dir)
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("cluster_size")).toMap
+    val bySize = labels.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    assert(surv == bySize)
+    // every kept doc is its own cluster's minimum (it labels itself)
+    assert(surv.keys.forall(k => labels.toMap.get(k).contains(k)))
+    // sizes sum back to the corpus — nothing dropped, nothing duplicated
+    assert(surv.values.sum == labels.length)
+    spark.catalog.clearCache()
+  }
+
+  test("q43 on a planted 3-chain merges A-B-C into one cluster") {
+    // identical texts A=B and B'=C where B' is doc B re-issued verbatim:
+    // chain A–B (hamming 0) and B–C (hamming 0) with A–C also hamming 0 —
+    // plus a far-away singleton that must NOT join. This pins the merge
+    // direction and singleton preservation deterministically (identical
+    // sketches always share every band; the 4-doc corpus is under every
+    // cap).
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-chain").toString
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((10L, t), (11L, t), (12L, t),
+        (99L, "completely different content about spark catalyst planning"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = graft.SparkEntry.queries("q43_neardup_clusters")(spark, d)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
+    spark.catalog.clearCache()
+  }
+}

@@ -31,6 +31,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q21_dedup_exact", "q22_ngram_jaccard", "q25_minhash_lsh",
     "q26_simhash", "q27_simhash_pairs", "q42_simhash64_pairs",
     "q36_prep_pipeline", "q40_vocab_topk", "q41_repetition",
+    "q43_neardup_clusters", "q44_dedup_survivors", "q45_quality_filter",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -44,6 +45,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     if (!Set("q22_ngram_jaccard", "q25_minhash_lsh", "q27_simhash_pairs",
         "q42_simhash64_pairs",
         "q36_prep_pipeline", "q40_vocab_topk", // q40 is corpus-level
+        "q44_dedup_survivors", // one row per cluster, not per doc
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")

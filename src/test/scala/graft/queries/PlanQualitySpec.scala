@@ -98,6 +98,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q45 quality filter: narrow per-row plan, zero exchanges") {
+    // the rules are per-document array folds over one scan — any Exchange
+    // here means something (a join, a window) crept into a filter that
+    // must stay embarrassingly parallel at 100 TB
+    val p = execPlan("q45_quality_filter")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q43 per-round propagation: label join + min-agg, never a nested loop") {
+    // the converged q43 result is a checkpoint scan (lineage truncated by
+    // design), so pin the plan of one propagation round as built by the
+    // operator: edges ⋈ labels on src must be a hash equi-join and the min
+    // a two-phase aggregate
+    import org.apache.spark.sql.functions._
+    val labels = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("doc_id").as("cluster_id"))
+    val pairs = SparkEntry.queries("q27_simhash_pairs")(spark, dir)
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val round = pairs.join(labels, col("src") === col("doc_id"))
+      .select(col("dst").as("doc_id"), col("cluster_id"))
+      .union(labels)
+      .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
+    val p = round.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_min"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q39 bucketed cosine near-dup: no nested loop, no cartesian product") {
     // THE property that makes q39 the 100 TB replacement for q28: candidate
     // generation must be a bucket equi-join (shuffle or broadcast hash),
