@@ -45,39 +45,86 @@ object Dedup {
 
   /** Converged (doc_id, cluster_id) labels over the q27 near-dup graph:
     * cluster_id = min doc_id reachable through hamming≤8 pairs (documents
-    * with no near-dup partner are their own singleton cluster).
+    * with no near-dup partner are their own singleton cluster). Also
+    * returns the round count (spec-pinned: near-dup graphs converge in a
+    * handful of rounds).
     */
-  private def clusterLabels(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def clusterLabelsWithRounds(s: SparkSession, dir: String)
+      : (DataFrame, Int) = {
     val pairs = Similarity.queries("q27_simhash_pairs")(s, dir)
       .select(col("doc_a"), col("doc_b"))
     // undirected graph = both edge directions; persisted once, read every
     // round (at cluster scale: a staging table partitioned by src)
-    val edges = pairs
+    val edges0 = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .persist()
-    var labels = Tables(s, dir, "documents")
+    // Size the loop's partitioning to the graph, not the session default:
+    // every round shuffles tables proportional to |E|, and a fixed-width
+    // shuffle pays ~width tasks of scheduling latency per round even when
+    // the graph is tiny (7 rounds × 32 empty-ish tasks dwarfed the data
+    // locally). ~500k edges per partition, clamped to the session's
+    // parallelism — at a real corpus this saturates the cluster, at bench
+    // scale it collapses the round to a couple of single-task stages.
+    val p = math.max(1, math.min(s.sparkContext.defaultParallelism,
+      (edges0.count() / 500000L).toInt + 1))
+    val edges = edges0.repartition(p, col("src")).persist()
+    edges.count()
+    edges0.unpersist()
+    // only edge-endpoint documents can ever receive a smaller label:
+    // singletons are final (their own id) the moment the pair set is
+    // known, so the iteration runs over the touched subset — at a real
+    // corpus the overwhelming majority of documents never enters a round
+    val touched = edges.select(col("src").as("doc_id")).distinct()
+    var labels = touched
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
+      .repartition(p, col("doc_id"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // convergence by exact label-mass comparison: labels only ever
+    // DECREASE elementwise, so the label sum strictly decreases until the
+    // fixpoint — one map-side-combined agg over the just-materialized
+    // checkpoint, no join. decimal(38,0): exact at any corpus (an int64
+    // sum would wrap at ~10^7 docs × 10^11 ids).
+    def mass(l: DataFrame): java.math.BigDecimal =
+      l.agg(sum(col("cluster_id").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevMass = mass(labels)
+    var rounds = 0
+    var converged = false
+    while (!converged) {
+      rounds += 1
       // propagate each node's current label to its neighbors, then take
       // the min of (own label, neighbor labels) — partial-aggregated
-      // map-side before the one exchange on doc_id
+      // map-side before the one exchange on doc_id. (AQE stays ON here:
+      // measured at sf0.1 it runtime-broadcasts this join and beats the
+      // static plan by ~25% per round — see PERF.md round 4.)
       val prop = edges.join(labels, col("src") === col("doc_id"))
         .select(col("dst").as("doc_id"), col("cluster_id"))
+      // LAZY checkpoint: the mass probe below materializes the round's
+      // labels AND computes the convergence sum in ONE job — an eager
+      // checkpoint would spend a separate job per round on
+      // materialization. The explicit repartition keeps the agg at the
+      // graph-sized width p (its hash distribution satisfies the
+      // groupBy, so no extra exchange)
       val next = labels.union(prop)
+        .repartition(p, col("doc_id"))
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint() // truncate lineage: plan size stays O(1) per round
-      changed = next.select(col("doc_id"), col("cluster_id").as("nc"))
-        .join(labels, "doc_id")
-        .filter(col("nc") < col("cluster_id"))
-        .count()
+        .localCheckpoint(false) // truncate lineage: plan stays O(1)/round
+      val nextMass = mass(next)
+      converged = nextMass.compareTo(prevMass) == 0
+      prevMass = nextMass
       labels = next
     }
     edges.unpersist()
-    labels
+    // stitch the untouched majority back in as singleton clusters
+    val all = Tables(s, dir, "documents").select(col("doc_id"))
+    val full = all.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    (full, rounds)
   }
+
+  private def clusterLabels(s: SparkSession, dir: String): DataFrame =
+    clusterLabelsWithRounds(s, dir)._1
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // transitive near-dup cluster assignment: every document labeled with
