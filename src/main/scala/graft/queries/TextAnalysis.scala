@@ -199,6 +199,52 @@ object TextAnalysis {
             col("n_stop_distinct") >= 2, lit(false)))
     }),
 
+    // per-document top-3 terms by tf-idf. The idf avoids ln() — libm vs
+    // JVM log differ by ulps across engines — by ranking on the exact
+    // rational tf·N/df realized as ONE IEEE division of exactly-
+    // representable int64s (identical in any engine). Shape: explode →
+    // two-phase (doc,term) count → term-keyed df count reusing the same
+    // relation → equi-join on term → per-doc window top-3. Every shuffle
+    // is on the key it aggregates (term) or ranks (doc_id); nothing
+    // corpus-sized is ever broadcast.
+    "q46_tfidf_top_terms" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count() // corpus size: one count(*), baked as a literal
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .persist() // feeds the df aggregate AND the join below
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("score"), asc("term"))
+      tf.join(df, "term")
+        .withColumn("score",
+          (col("tf") * lit(n)).cast("double") / col("df").cast("double"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "term", "tf", "df", "score")
+    }),
+
+    // per-language document-length quartiles, percentile_disc semantics:
+    // the value at integer rank ceil(q·n) of the per-group value order —
+    // rank selection, never interpolation (interpolated quantiles do
+    // engine-specific float arithmetic; rank selection is exact). One
+    // shuffle: the window and the final agg share the lang key.
+    "q47_length_quartiles" -> ((s, dir) => {
+      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+        .groupBy("lang").agg(
+          max(col("n")).as("n_docs"),
+          // `div`, not `/`: Spark's `/` on int64 yields DOUBLE and the
+          // rank equality would compare against 2.25-style non-integers
+          min(when(col("rn") === expr("(n + 3) div 4"), col("n_chars"))).as("q1_chars"),
+          min(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("median_chars"),
+          min(when(col("rn") === expr("(n * 3 + 3) div 4"), col("n_chars"))).as("q3_chars"))
+    }),
+
     // composed prep pipeline: exact-dedup -> quality score -> language
     // filter — the realistic end-to-end shape of training-data prep. One
     // shuffle (the dedup window on the content hash); scoring and filters
@@ -323,6 +369,29 @@ object TextAnalysis {
          |    CAST(len(list_distinct(g2)) AS DOUBLE)/CAST(len(g2) AS DOUBLE)
          |  END AS repetition
          |FROM g""".stripMargin,
+
+    "q46_tfidf_top_terms" ->
+      s"""WITH t AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+         |  CAST(tf.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE)
+         |    / CAST(df.df AS DOUBLE) AS score
+         |  FROM tf JOIN df USING (term)),
+         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |  ORDER BY score DESC, term) AS rn FROM sc)
+         |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3""".stripMargin,
+
+    "q47_length_quartiles" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT lang, MAX(n) AS n_docs,
+        |  MIN(CASE WHEN rn = (n + 3) // 4 THEN n_chars END) AS q1_chars,
+        |  MIN(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS median_chars,
+        |  MIN(CASE WHEN rn = (n * 3 + 3) // 4 THEN n_chars END) AS q3_chars
+        |FROM r GROUP BY lang""".stripMargin,
 
     "q45_quality_filter" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),

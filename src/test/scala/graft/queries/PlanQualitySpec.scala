@@ -98,6 +98,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q47 length quartiles: ONE shuffle (window and agg share the lang key)") {
+    // rank-selection quantiles exist to be the single-shuffle grouped-
+    // quantile plan; a second exchange means the agg lost the window's
+    // partitioning
+    val p = execPlan("q47_length_quartiles")
+    assert("Exchange".r.findAllIn(p).length == 1, p)
+    assert(p.contains("partial_"))
+  }
+
+  test("q46 tf-idf: equi-joins only, partial aggs, bounded exchanges") {
+    val p = execPlan("q46_tfidf_top_terms")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_"))
+    assert("Exchange".r.findAllIn(p).length <= 5, p)
+    spark.catalog.clearCache() // q46 persists its (doc,term) counts
+  }
+
   test("q45 quality filter: narrow per-row plan, zero exchanges") {
     // the rules are per-document array folds over one scan — any Exchange
     // here means something (a join, a window) crept into a filter that
