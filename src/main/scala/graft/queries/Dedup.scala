@@ -59,6 +59,15 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .persist()
+    val edgeCount = edges0.count()
+    // an all-unique corpus has NO pair graph: every document is its own
+    // singleton and the loop must not start (an empty label table has a
+    // NULL mass — iterating on it is a crash, not a fixpoint)
+    if (edgeCount == 0L) {
+      edges0.unpersist()
+      return (Tables(s, dir, "documents")
+        .select(col("doc_id"), col("doc_id").as("cluster_id")), 0)
+    }
     // Size the loop's partitioning to the graph, not the session default:
     // every round shuffles tables proportional to |E|, and a fixed-width
     // shuffle pays ~width tasks of scheduling latency per round even when
@@ -67,7 +76,7 @@ object Dedup {
     // parallelism — at a real corpus this saturates the cluster, at bench
     // scale it collapses the round to a couple of single-task stages.
     val p = math.max(1, math.min(s.sparkContext.defaultParallelism,
-      (edges0.count() / 500000L).toInt + 1))
+      (edgeCount / 500000L).toInt + 1))
     val edges = edges0.repartition(p, col("src")).persist()
     edges.count()
     edges0.unpersist()

@@ -68,6 +68,27 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q43/q44 on an all-unique corpus: every doc is its own singleton") {
+    // zero near-dup pairs is the COMMON real-corpus case — the loop must
+    // short-circuit (an empty touched set has a null label mass; r4 found
+    // this as a latent NPE the degenerate fixture masked by pairing its
+    // empty/whitespace docs)
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-unique").toString
+    Seq((1L, "alpha bravo charlie delta echo foxtrot"),
+        (2L, "golf hotel india juliet kilo lima"),
+        (3L, "mike november oscar papa quebec romeo"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val (labels, rounds) = Dedup.clusterLabelsWithRounds(spark, d)
+    assert(rounds == 0)
+    assert(labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+    val surv = graft.SparkEntry.queries("q44_dedup_survivors")(spark, d)
+      .collect().map(r => r.getAs[Long]("keep_id") -> r.getAs[Long]("cluster_size")).toMap
+    assert(surv == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    spark.catalog.clearCache()
+  }
+
   test("q43 on a planted 3-chain merges A-B-C into one cluster") {
     // identical texts A=B and B'=C where B' is doc B re-issued verbatim:
     // chain A–B (hamming 0) and B–C (hamming 0) with A–C also hamming 0 —
