@@ -26,10 +26,11 @@ object TextAnalysis {
     */
   val MaxBucketDocs = 50
 
-  /** Gopher's "required word" stopword list (Rae et al. 2021 §A1.1): a
-    * document must contain at least 2 of these to pass q45's filter.
+  /** Gopher's "required word" stopword list (see
+    * [[graft.functions.QualityRules.Stops]]) — referenced here for the
+    * q45 oracle mirror.
     */
-  private val GopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  private def GopherStops = graft.functions.QualityRules.Stops
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // language-ID: stopword-hit argmax with fixed tie-break priority
@@ -166,37 +167,15 @@ object TextAnalysis {
     }),
 
     // quality-rule filter: the published Gopher-style document heuristics
-    // (Rae et al. 2021, "Scaling Language Models: ... Gopher", §A1.1) in
-    // their engine-portable subset — word-count bounds, mean word length,
-    // alphabetic-word fraction, distinct-stopword floor. Narrow per-row
-    // array ops over the shared tokenizer, zero shuffles; every ratio is
-    // integer-derived (sums/counts of ints, one double divide), so the
-    // oracle hash-matches without float-fold concerns. Rule thresholds are
-    // the paper's; `pass` is their conjunction, null for null docs on both
-    // engines (3VL), coalesced to false so the verdict column is total.
+    // via the shared [[graft.functions.QualityRules]] Columns (ONE rule
+    // definition for this oracle-checked operator and its streaming dual
+    // — they cannot diverge). Zero shuffles; see QualityRules for the
+    // determinism contract.
     "q45_quality_filter" -> ((s, dir) => {
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .select(col("doc_id"),
-          size(col("tk")).cast("long").as("n_words"),
-          aggregate(col("tk"), lit(0L), (acc, t) => acc + length(t).cast("long"))
-            .as("sum_len"),
-          size(filter(col("tk"), t => t.rlike("[a-z]"))).cast("long").as("n_alpha"),
-          size(array_intersect(array_distinct(col("tk")), typedLit(GopherStops)))
-            .cast("long").as("n_stop_distinct"))
-        .select(col("doc_id"), col("n_words"),
-          when(col("n_words") > 0,
-            col("sum_len").cast("double") / col("n_words").cast("double"))
-            .as("mean_word_len"),
-          when(col("n_words") > 0,
-            col("n_alpha").cast("double") / col("n_words").cast("double"))
-            .as("frac_alpha"),
-          col("n_stop_distinct"))
-        .withColumn("pass", coalesce(
-          col("n_words").between(50, 100000) &&
-            col("mean_word_len").between(3.0, 10.0) &&
-            col("frac_alpha") > 0.8 &&
-            col("n_stop_distinct") >= 2, lit(false)))
+      graft.functions.QualityRules.annotate(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select("doc_id", "n_words", "mean_word_len", "frac_alpha",
+          "n_stop_distinct", "pass")
     }),
 
     // per-document top-3 terms by tf-idf. The idf avoids ln() — libm vs

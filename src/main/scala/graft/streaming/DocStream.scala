@@ -59,6 +59,16 @@ object DocStream {
       .filter(col("lang_guess") === "en" && col("quality") >= 0.5)
       .select("doc_id", "n_tokens", "quality")
 
+  /** Streaming quality-rule filter — the q45 semantics on a stream, via
+    * the SAME [[graft.functions.QualityRules]] Columns the batch operator
+    * uses (stateless, narrow, per-row: nothing about the rules changes
+    * under streaming execution). Keeps documents passing every rule.
+    */
+  def qualityFiltered(docs: DataFrame): DataFrame =
+    graft.functions.QualityRules.annotate(docs)
+      .filter(col("pass"))
+      .drop("n_words", "mean_word_len", "frac_alpha", "n_stop_distinct", "pass")
+
   // ---- incremental near-dedup (the q27 semantics against history) ---------
 
   /** Band rows `(…, simhash, b, bk)` of the batch's 32-bit simhash sketches

@@ -144,6 +144,26 @@ class BandScaleSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q43 clusters a 50k-document corpus: planted dups co-label, few rounds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-cc").toString
+    makeDocuments(dir, 50000)
+    val (labelsDf, rounds) = Dedup.clusterLabelsWithRounds(spark, dir)
+    val labels = labelsDf.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(labels.size == 50000, "every document must be labeled")
+    // every planted identical pair that q27 recovers at this scale must
+    // land in one cluster (the pair IS an edge); spot the planted set
+    val planted = (0 until 50000 by 100).map(m => (m.toLong, (m + 1).toLong))
+    val coLabeled = planted.count { case (a, b) => labels(a) == labels(b) }
+    assert(coLabeled >= (planted.size * 9) / 10,
+      s"only $coLabeled/${planted.size} planted pairs co-labeled")
+    // convergence must not degrade with corpus size: random near-dup
+    // graphs stay shallow (propagation rounds = eccentricity from the
+    // component min, +1 to observe the fixpoint)
+    assert(rounds <= 12, s"propagation took $rounds rounds at 50k docs")
+    spark.catalog.clearCache()
+  }
+
   test("q42 (64-bit fingerprint) yields pairs at 50k documents with no retuning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scale-doc64").toString
     makeDocuments(dir, 50000)

@@ -37,6 +37,24 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("qualityFiltered streams the batch q45 verdicts (same rule Columns)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val passText = Seq.fill(10)("the data with more words here").mkString(" ")
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.qualityFiltered(mem.toDF().toDF("doc_id", "ingest_ts", "text"))
+      .writeStream.format("memory").queryName("qf").outputMode("append").start()
+    try {
+      mem.addData((0L, ts(1), passText), (1L, ts(2), "too short"),
+        (2L, ts(3), Seq.fill(20)("data words code").mkString(" "))) // no stopwords
+      q.processAllAvailable()
+      val got = spark.table("qf").select("doc_id").as[Long].collect().toSet
+      assert(got == Set(0L))
+      // the surviving row keeps the stream's own columns, rules dropped
+      assert(spark.table("qf").columns.toSeq == Seq("doc_id", "ingest_ts", "text"))
+    } finally q.stop()
+  }
+
   test("scored matches the batch q17/q18 expressions on the same rows") {
     import spark.implicits._
     val batch = Seq((0L, ts(1), goodEn), (1L, ts(2), spanish), (2L, ts(3), junk))
