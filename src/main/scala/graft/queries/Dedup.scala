@@ -113,7 +113,10 @@ object Dedup {
       // checkpoint would spend a separate job per round on
       // materialization. The explicit repartition keeps the agg at the
       // graph-sized width p (its hash distribution satisfies the
-      // groupBy, so no extra exchange)
+      // groupBy, so no extra exchange). Measured and rejected: pointer
+      // jumping (label∘label per cycle) cut rounds 7→5 at sf0.1 but the
+      // extra self-join shuffle per cycle cost more than the rounds it
+      // saved (5.3 s vs 3.4 s warm) — see PERF.md round 4.
       val next = labels.union(prop)
         .repartition(p, col("doc_id"))
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
