@@ -45,6 +45,32 @@ object EventStream {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("n_events"))
 
+  /** Stream-stream interval join: attach to each non-signup event its
+    * user's most recent signup within the preceding `horizonHours` — the
+    * streaming-feasible form of q38's as-of enrichment. An unbounded
+    * as-of cannot run on two streams (its state never expires); the
+    * horizon is exactly the state bound: with watermarks on BOTH sides
+    * and the time-range join condition, Spark retains signups only until
+    * the activity watermark passes their horizon, so state is
+    * (horizon × signup rate), not history. Left-outer: activities with no
+    * in-horizon signup emit with a null signup_ts once the watermark
+    * proves none can arrive.
+    */
+  def withRecentSignup(events: DataFrame, watermark: String = "2 hours",
+      horizonHours: Int = 168): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id").as("s_user"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", watermark)
+    val acts = events.filter(col("event_type") =!= "signup")
+      .withWatermark("ts", watermark)
+    acts.join(signups,
+        col("user_id") === col("s_user") &&
+        col("signup_ts") <= col("ts") &&
+        col("signup_ts") >= col("ts") - expr(s"INTERVAL $horizonHours HOURS"),
+        "left_outer")
+      .drop("s_user")
+  }
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----------
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

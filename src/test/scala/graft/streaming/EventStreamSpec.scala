@@ -20,6 +20,33 @@ class EventStreamSpec extends AnyFunSuite {
     Event(4, ts(70), 2, "view", 5.0),
     Event(5, ts(130), 1, "click", 6.0)) // hour 3; pushes watermark forward
 
+  test("withRecentSignup interval-joins two stream branches, outer rows flush on watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.withRecentSignup(mem.toDF(), watermark = "10 minutes",
+        horizonHours = 1)
+      .writeStream.format("memory").queryName("enrich").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(0, ts(1), 1, "signup", 0.0),
+        Event(1, ts(5), 1, "click", 1.0),   // 4 min after user 1's signup → joins
+        Event(2, ts(10), 2, "click", 2.0),  // user 2 never signs up → outer null
+        Event(3, ts(70), 1, "click", 3.0))  // 69 min after signup: outside 1h horizon
+      q.processAllAvailable()
+      // advance both watermarks far enough to close every pending outer row
+      mem.addData(Event(9, ts(300), 9, "signup", 0.0),
+        Event(10, ts(300), 9, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("enrich")
+        .select($"event_id", $"signup_ts".isNotNull)
+        .as[(Long, Boolean)].collect().toMap
+      assert(got(1L), "in-horizon activity must carry its signup")
+      assert(!got(2L), "never-signed-up activity must flush as outer null")
+      assert(!got(3L), "out-of-horizon activity must not join a stale signup")
+    } finally q.stop()
+  }
+
   test("hourlyWindows over a MemoryStream matches the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
