@@ -36,6 +36,32 @@ object Events {
           when(gap.isNull || gap > lit(1800L * 1000000L), 1L).otherwise(0L))
         .groupBy("user_id")
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // salted skew-bounded fact-dim join: events' user_id is genuinely hot
+    // (~15 distinct users over the whole fact table), so a plain shuffled
+    // join lands each hot key on ONE task. The standard remedy ladder is
+    // (1) broadcast the dim when it fits, (2) AQE skew-split on sort-merge,
+    // (3) EXPLICIT SALT when the dim is too big to broadcast and a single
+    // key exceeds a task even after AQE splitting: salt the fact side,
+    // replicate the dim ×S, join on (key, salt) — the hot key's rows
+    // spread over S tasks, at the price of an S× dim shuffle. This
+    // operator demonstrates (3) deliberately (shuffle_hash hint so the
+    // tiny bench dim doesn't silently collapse to (1)); the salt is
+    // deterministic (pmod of the fact's unique id — exactly the uniform
+    // spreader a production rand() salt approximates) so the result is
+    // the plain join the oracle runs.
+    "q48_salted_enrich" -> ((s, dir) => {
+      val S = 8
+      val facts = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          pmod(col("event_id"), lit(S.toLong)).as("salt"))
+      val dims = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .withColumn("d_salt", explode(sequence(lit(0L), lit(S - 1L))))
+      facts.join(dims.hint("shuffle_hash"),
+          col("user_id") === col("c_custkey") && col("salt") === col("d_salt"))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("c_name"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -54,5 +80,11 @@ object Events {
         |SELECT user_id,
         |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events
-        |FROM g GROUP BY user_id""".stripMargin)
+        |FROM g GROUP BY user_id""".stripMargin,
+
+    // the salt is an implementation detail of the Spark plan; the
+    // semantics are the plain equi-join
+    "q48_salted_enrich" ->
+      """SELECT e.event_id, e.user_id, e.event_type, c.c_name
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)
 }

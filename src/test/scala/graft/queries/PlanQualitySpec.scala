@@ -98,6 +98,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"))
   }
 
+  test("q48 salted join: shuffled hash join on (key, salt), not a broadcast") {
+    // the operator exists to demonstrate explicit salting — if the plan
+    // silently collapses to a broadcast (or a nested loop) the salt is
+    // dead weight and the demonstration is void
+    val p = plan("q48_salted_enrich")
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(p.toLowerCase.contains("salt"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("q47 length quartiles: ONE shuffle (window and agg share the lang key)") {
     // rank-selection quantiles exist to be the single-shuffle grouped-
     // quantile plan; a second exchange means the agg lost the window's
