@@ -38,6 +38,21 @@ object Events {
         .agg(sum("new_session").as("n_sessions"), count(lit(1)).as("n_events"))
     }),
 
+    // semi-structured props: schema'd JSON parsing (from_json with an
+    // explicit schema — the scalable pattern for JSON columns: one parse
+    // per row inside codegen, no schema inference scan) + an all-integer
+    // rollup, so the oracle is arithmetic-exact. Malformed/missing keys
+    // parse to NULL on both engines and fall out of SUM/MAX identically.
+    "q49_json_props" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k LONG"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("sum_k"), max("k").as("max_k"))
+    }),
+
     // salted skew-bounded fact-dim join: events' user_id is genuinely hot
     // (~15 distinct users over the whole fact table), so a plain shuffled
     // join lands each hot key on ONE task. The standard remedy ladder is
@@ -81,6 +96,14 @@ object Events {
         |  CAST(SUM(CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events
         |FROM g GROUP BY user_id""".stripMargin,
+
+    // CAST around SUM: DuckDB widens SUM(BIGINT) to HUGEINT, which
+    // reaches the compare as float64 (see SqlSimhash note)
+    "q49_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
 
     // the salt is an implementation detail of the Spark plan; the
     // semantics are the plain equi-join
