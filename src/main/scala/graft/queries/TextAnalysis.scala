@@ -26,6 +26,14 @@ object TextAnalysis {
     */
   val MaxBucketDocs = 50
 
+  /** q50 patterns — Java-regex ∩ RE2 common syntax only (shared verbatim
+    * with the DuckDB mirror; DuckDB standard strings do not process
+    * backslash escapes, so the literal text matches what Spark compiles).
+    */
+  private val PiiEmail = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  private val PiiUrl = """https?://[^\s]+"""
+  private val PiiIp = """\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+
   /** Gopher's "required word" stopword list (see
     * [[graft.functions.QualityRules.Stops]]) — referenced here for the
     * q45 oracle mirror.
@@ -176,6 +184,25 @@ object TextAnalysis {
           Tables(s, dir, "documents").select(col("doc_id"), col("text")))
         .select("doc_id", "n_words", "mean_word_len", "frac_alpha",
           "n_stop_distinct", "pass")
+    }),
+
+    // PII-pattern scan: per-document counts of email / URL / IPv4-shaped
+    // spans — the detection half of a scrubbing pass (redaction is the
+    // same patterns through regexp_replace). Patterns stay inside the
+    // Java-regex ∩ RE2 common syntax (no lookaround, no backrefs) so both
+    // engines count identical spans. Narrow per-row, zero shuffles;
+    // `clean` is the all-zero conjunction, null-coalesced like q45's pass.
+    "q50_pii_scan" -> ((s, dir) => {
+      def hits(pat: String) =
+        size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          hits(PiiEmail).as("n_emails"),
+          hits(PiiUrl).as("n_urls"),
+          hits(PiiIp).as("n_ips"))
+        .withColumn("clean", coalesce(
+          col("n_emails") === 0 && col("n_urls") === 0 && col("n_ips") === 0,
+          lit(false)))
     }),
 
     // per-document top-3 terms by tf-idf. The idf avoids ln() — libm vs
@@ -348,6 +375,16 @@ object TextAnalysis {
          |    CAST(len(list_distinct(g2)) AS DOUBLE)/CAST(len(g2) AS DOUBLE)
          |  END AS repetition
          |FROM g""".stripMargin,
+
+    "q50_pii_scan" ->
+      s"""WITH m AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '$PiiEmail')) AS n_emails,
+         |  len(regexp_extract_all(text, '$PiiUrl')) AS n_urls,
+         |  len(regexp_extract_all(text, '$PiiIp')) AS n_ips
+         |  FROM documents)
+         |SELECT doc_id, n_emails, n_urls, n_ips,
+         |  COALESCE(n_emails = 0 AND n_urls = 0 AND n_ips = 0, false) AS clean
+         |FROM m""".stripMargin,
 
     "q46_tfidf_top_terms" ->
       s"""WITH t AS (SELECT doc_id, unnest($Toks) AS term FROM documents),

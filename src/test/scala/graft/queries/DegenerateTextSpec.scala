@@ -35,7 +35,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // q46 drops null-text docs by construction (explode of a null token
     // array yields no rows); q47 reads lang/n_chars, absent from this
     // text-only fixture, so it is exercised at the real corpus instead
-    "q46_tfidf_top_terms",
+    "q46_tfidf_top_terms", "q50_pii_scan",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
