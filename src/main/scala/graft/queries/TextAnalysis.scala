@@ -234,21 +234,33 @@ object TextAnalysis {
     // per-language document-length quartiles, percentile_disc semantics:
     // the value at integer rank ceil(q·n) of the per-group value order —
     // rank selection, never interpolation (interpolated quantiles do
-    // engine-specific float arithmetic; rank selection is exact). One
-    // shuffle: the window and the final agg share the lang key.
+    // engine-specific float arithmetic; rank selection is exact).
+    //
+    // Shape: HISTOGRAM rank selection, not a row window. A
+    // `Window.partitionBy(lang)` over rows sorts the whole corpus inside
+    // ≤|langs| tasks — ~25 TB through one task per language at the north
+    // star. Instead: groupBy(lang, n_chars).count() (map-side combined,
+    // the only shuffle the row data ever crosses carries the histogram,
+    // sized by distinct lengths), then a cumulative sum over the tiny
+    // per-language histogram. The value at rank r is the smallest
+    // n_chars whose cumulative count reaches r — identical answers to
+    // the row formulation (ties share one histogram row), same oracle.
     "q47_length_quartiles" -> ((s, dir) => {
-      val w = Window.partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
-      Tables(s, dir, "documents")
-        .select(col("lang"), col("n_chars"), col("doc_id"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      val hist = Tables(s, dir, "documents")
+        .groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      val cumW = Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum("cnt").over(cumW))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("lang")))
         .groupBy("lang").agg(
           max(col("n")).as("n_docs"),
           // `div`, not `/`: Spark's `/` on int64 yields DOUBLE and the
-          // rank equality would compare against 2.25-style non-integers
-          min(when(col("rn") === expr("(n + 3) div 4"), col("n_chars"))).as("q1_chars"),
-          min(when(col("rn") === expr("(n + 1) div 2"), col("n_chars"))).as("median_chars"),
-          min(when(col("rn") === expr("(n * 3 + 3) div 4"), col("n_chars"))).as("q3_chars"))
+          // rank inequality would compare against 2.25-style non-integers
+          min(when(col("cum") >= expr("(n + 3) div 4"), col("n_chars"))).as("q1_chars"),
+          min(when(col("cum") >= expr("(n + 1) div 2"), col("n_chars"))).as("median_chars"),
+          min(when(col("cum") >= expr("(n * 3 + 3) div 4"), col("n_chars"))).as("q3_chars"))
     }),
 
     // composed prep pipeline: exact-dedup -> quality score -> language

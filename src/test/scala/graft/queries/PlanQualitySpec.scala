@@ -108,13 +108,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
-  test("q47 length quartiles: ONE shuffle (window and agg share the lang key)") {
-    // rank-selection quantiles exist to be the single-shuffle grouped-
-    // quantile plan; a second exchange means the agg lost the window's
-    // partitioning
+  test("q47 length quartiles: row data only crosses the histogram shuffle; no row-level sort") {
+    // the histogram formulation's contract: the corpus rows meet exactly
+    // one exchange — the map-side-combined (lang, n_chars) count — and
+    // every Sort in the plan sits ABOVE that aggregate (its input is the
+    // histogram, distinct-length-sized, never corpus rows). A row-level
+    // Window.partitionBy(lang) here would sort ~everything in ≤|langs|
+    // tasks at 100×.
     val p = execPlan("q47_length_quartiles")
-    assert("Exchange".r.findAllIn(p).length == 1, p)
-    assert(p.contains("partial_"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length == 2, p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("partial_count"), p)
+    // plans print top-down (children after parents): every Sort index must
+    // precede the partial histogram aggregate feeding from the scan
+    val partialAgg = p.lastIndexOf("HashAggregate")
+    "Sort ".r.findAllMatchIn(p).map(_.start).foreach { i =>
+      assert(i < partialAgg, p)
+    }
   }
 
   test("q46 tf-idf: equi-joins only, partial aggs, bounded exchanges") {
