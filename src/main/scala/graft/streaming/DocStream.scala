@@ -71,34 +71,49 @@ object DocStream {
 
   // ---- incremental near-dedup (the q27 semantics against history) ---------
 
-  /** Band rows `(…, simhash, b, bk)` of the batch's 32-bit simhash sketches
-    * — the q27 banding with a fixed width. The width is an INDEX-LIFETIME
-    * constant (unlike batch q27's corpus-adaptive width): band keys must
-    * stay comparable across every batch that ever wrote to the index.
-    * Widening for a bigger target corpus is a re-banding pass over the
-    * stored `(doc_id, simhash)` pairs — the sketches are in the index, so
-    * re-banding never re-reads text.
+  /** Sub-partition count for the band-key bucket `g = bk mod BkBuckets`.
+    * The index is laid out `batch_id=N/b=B/g=G/…`: `b` alone has too few
+    * values to prune anything (every batch touches all bands), so the
+    * band KEY is bucketed into `g` and a micro-batch's index read is
+    * filtered to the (b, g) groups its own bands occupy — partition
+    * pruning by file, with the pushed key set bounded by
+    * `bands × BkBuckets`, never by batch size.
     */
-  private def sketchBands(docs: DataFrame, w: Int): DataFrame = {
+  private[streaming] val BkBuckets = 64
+
+  /** Band rows `(doc_id, simhash, b, bk, g)` from an existing sketch
+    * column — the q27 banding with a fixed width. The width is an
+    * INDEX-LIFETIME constant (unlike batch q27's corpus-adaptive width):
+    * band keys must stay comparable across every batch that ever wrote to
+    * the index. Widening for a bigger target corpus is
+    * [[rebandIndex]] — a pass over the stored `(doc_id, simhash)` pairs;
+    * the sketches are in the index, so re-banding never re-reads text.
+    */
+  private def bandsFromSketch(sketches: DataFrame, w: Int): DataFrame = {
     val nb = 32 / w
     val mask = (1L << w) - 1
-    docs
-      .withColumn("simhash",
-        simHash32(transform(array_distinct(tokens(col("text"))), t => portableHash(t))))
+    sketches
       .select(col("doc_id"), col("simhash"), explode(array(
         (0 until nb).map(b => struct(lit(b).as("b"),
           shiftright(col("simhash"), w * b).bitwiseAND(lit(mask)).as("bk"))): _*)).as("x"))
       .select(col("doc_id"), col("simhash"), col("x.b").as("b"), col("x.bk").as("bk"))
+      .withColumn("g", pmod(col("bk"), lit(BkBuckets)).cast("int"))
   }
 
-  /** One micro-batch of incremental near-dedup — the 100 TB shape of "dedup
-    * the new crawl against everything already admitted" without ever
-    * re-pairing the corpus:
+  private def sketchBands(docs: DataFrame, w: Int): DataFrame =
+    bandsFromSketch(
+      docs.withColumn("simhash",
+        simHash32(transform(array_distinct(tokens(col("text"))), t => portableHash(t)))),
+      w)
+
+  /** Dedup a batch's band rows against the admitted index — the 100 TB
+    * shape of "dedup the new crawl against everything already admitted"
+    * without ever re-pairing the corpus:
     *
-    *   1. sketch the batch and band-join it against the admitted index
-    *      (equi-join on `(b, bk)`, hamming ≤ 8 verify) — work is
-    *      proportional to true band collisions, and the index side prunes
-    *      to the batch's band keys, never a corpus scan;
+    *   1. band-join the batch against the admitted index (equi-join on
+    *      `(b, bk)`, hamming ≤ 8 verify) — work is proportional to true
+    *      band collisions, and the index read is pruned to the batch's
+    *      own (b, g) partitions, never a corpus scan;
     *   2. within-batch near-dups resolve greedily to the smallest doc_id:
     *      a document sharing a band with a smaller-id batch document at
     *      hamming ≤ 8 is dropped. Greedy over-drops only along transitive
@@ -107,13 +122,9 @@ object DocStream {
     *      component;
     *   3. survivors' band rows are the index delta.
     *
-    * Returns (survivors with their sketch, index delta). The index grows
-    * with the admitted corpus by design — it IS the dedup history; at
-    * scale it lives partitioned by band key so step 1's join prunes files.
+    * Returns the surviving band rows (the index delta).
     */
-  def nearDedupBatch(batch: DataFrame, index: DataFrame, bandWidth: Int = 8)
-      : (DataFrame, DataFrame) = {
-    val bands = sketchBands(batch, bandWidth)
+  private def dedupBands(bands: DataFrame, index: DataFrame): DataFrame = {
     val crossDup = bands.alias("n").join(index.alias("i"),
         col("n.b") === col("i.b") && col("n.bk") === col("i.bk") &&
         bit_count(col("n.simhash").bitwiseXOR(col("i.simhash"))) <= 8,
@@ -125,54 +136,127 @@ object DocStream {
         col("a.doc_id") < col("b.doc_id") &&
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))) <= 8)
       .select(col("b.doc_id").as("doc_id")).distinct()
-    val keptBands = survBands.join(withinDup, Seq("doc_id"), "left_anti")
-    val survivors = batch.join(
-      keptBands.select("doc_id", "simhash").distinct(), Seq("doc_id"))
-    (survivors, keptBands)
+    survBands.join(withinDup, Seq("doc_id"), "left_anti")
   }
 
-  /** The `foreachBatch` body: load the index (empty before the first
-    * batch), dedup the batch against it, append the survivors' bands, and
-    * return the survivors for the caller's sink. Redelivery-safe the same
-    * way the ETL loads are: re-processing a batch finds its own survivors
-    * already in the index and admits nothing twice — EXCEPT the appended
-    * band rows, which `runNearDedup` guards with the streaming
-    * checkpoint's exactly-once batch ids.
+  private def emptyIndex(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "doc_id BIGINT, simhash BIGINT, b INT, bk BIGINT"))
+
+  /** The admitted index as batch `batchId` must see it: every batch's
+    * partition EXCEPT its own (a crashed earlier attempt may have written
+    * `batch_id=<batchId>` without committing — recompute must not read its
+    * own partial output), pruned to the (b, g) groups the batch's bands
+    * occupy. Both predicates hit only partition columns, so the scan reads
+    * only matching `batch_id=…/b=…/g=…` files (pinned by DocNearDupSpec
+    * against the scan's numFiles metric).
     */
-  def processBatch(spark: SparkSession, batch: DataFrame, indexPath: String,
-      bandWidth: Int = 8): DataFrame = {
+  private[streaming] def prunedIndex(spark: SparkSession, indexPath: String,
+      batchId: Long, groups: Seq[(Int, Int)]): DataFrame = {
+    val keys = groups.map { case (b, g) => b * BkBuckets + g }
+    try spark.read.parquet(indexPath)
+      .filter(col("batch_id").cast("long") =!= lit(batchId))
+      .filter((col("b") * lit(BkBuckets) + col("g")).isin(keys: _*))
+      .select("doc_id", "simhash", "b", "bk")
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      emptyIndex(spark) // first batch: the index directory does not exist yet
+    }
+  }
+
+  /** The `foreachBatch` body, exactly-once per `batchId`:
+    *
+    *   - both sinks are batch-scoped partition directories
+    *     (`<path>/batch_id=N`) written with overwrite — a redelivered
+    *     batch replaces its own previous (possibly partial) output
+    *     instead of appending duplicates;
+    *   - the index read excludes `batch_id=N` itself, so a recompute
+    *     after a crash between the two writes sees the exact pre-batch
+    *     index and reproduces the same survivors;
+    *   - a commit marker (`<indexPath>/_commits/N`, written LAST) makes a
+    *     fully-committed batch a no-op on redelivery.
+    *
+    * Crash between any two steps therefore loses nothing and duplicates
+    * nothing: survivors-first ordering plus own-batch exclusion means the
+    * worst case is a clean recompute of an identical batch.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      indexPath: String, outPath: String, bandWidth: Int = 8): Unit = {
+    val marker = java.nio.file.Paths.get(indexPath, "_commits", batchId.toString)
+    if (java.nio.file.Files.exists(marker)) return // replayed, fully committed
     // a foreachBatch micro-batch is backed by an EPHEMERAL source — the
     // within-batch band self-join needs a stable base, and the two writes
     // below must not re-pull the source; one checkpoint pins both
     val stable = batch.localCheckpoint()
-    val index =
-      try spark.read.parquet(indexPath) // file listing pinned at read time
-      catch { case _: org.apache.spark.sql.AnalysisException =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-          org.apache.spark.sql.types.StructType.fromDDL(
-            "doc_id BIGINT, simhash BIGINT, b INT, bk BIGINT"))
-      }
-    val (survivors, delta) = nearDedupBatch(stable, index, bandWidth)
-    // materialize survivors against the PRE-append index before the delta
-    // write mutates what a recompute would see
-    val surv = survivors.localCheckpoint()
-    delta.write.mode("append").parquet(indexPath)
-    surv
+    val bands = sketchBands(stable, bandWidth)
+      .persist() // feeds the prune-key collect, the cross-join, the self-join
+    try {
+      // the batch's own (b, g) groups — bounded by bands × BkBuckets, the
+      // driver-side footprint of the pruning filter at ANY batch size
+      val groups = bands.select("b", "g").distinct()
+        .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
+      val index = prunedIndex(spark, indexPath, batchId, groups)
+      val keptBands = dedupBands(bands, index)
+      val survivors = stable.join(
+        keptBands.select("doc_id", "simhash").distinct(), Seq("doc_id"))
+      // survivors FIRST: if the crash lands between the writes, redelivery
+      // recomputes against the unchanged index and overwrites this
+      // directory with identical rows — index-first would instead find the
+      // batch's own bands and silently drop it forever
+      survivors.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      keptBands.write.partitionBy("b", "g").mode("overwrite")
+        .parquet(s"$indexPath/batch_id=$batchId")
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.createFile(marker)
+    } finally bands.unpersist()
   }
 
-  /** Streaming incremental near-dedup: survivors append to
-    * `<outPath>`, the sketch index accumulates at `<indexPath>`, and the
-    * stream checkpoint makes batch effects exactly-once across restarts.
+  /** Streaming incremental near-dedup: survivors accumulate under
+    * `<outPath>/batch_id=*`, the sketch index under
+    * `<indexPath>/batch_id=*` partitioned by `(b, g)` for pruned reads,
+    * and [[processBatch]]'s marker protocol makes each batch's BOTH
+    * writes exactly-once across restarts and mid-batch crashes.
     */
   def runNearDedup(docs: DataFrame, indexPath: String, outPath: String,
       checkpoint: String, bandWidth: Int = 8)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        processBatch(batch.sparkSession, batch, indexPath, bandWidth)
-          .write.mode("append").parquet(outPath)
-        ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, batchId, indexPath, outPath,
+          bandWidth)
       }
       .start()
+
+  /** Index migration: re-band the stored `(doc_id, simhash)` sketches at a
+    * new band width — the documented path when the target corpus outgrows
+    * the width the index was built with. Never re-reads text: the sketches
+    * ARE the index. The result lands under the reserved migration epoch
+    * `batch_id=-1` (stream batch ids are ≥ 0, so a stream resumed against
+    * the new path can never collide with it), partitioned `(b, g)` like
+    * any other epoch.
+    *
+    * Run on a quiesced stream with every batch committed: the commit
+    * markers migrate with the data, so a redelivered committed batch
+    * still no-ops at the new path — without them it would recompute
+    * against an index already holding its own sketches and emit nothing.
+    */
+  def rebandIndex(spark: SparkSession, indexPath: String, newIndexPath: String,
+      newBandWidth: Int): Unit = {
+    val sketches = spark.read.parquet(indexPath)
+      .select("doc_id", "simhash").distinct()
+    bandsFromSketch(sketches, newBandWidth)
+      .write.partitionBy("b", "g").mode("overwrite")
+      .parquet(s"$newIndexPath/batch_id=-1")
+    val commits = java.nio.file.Paths.get(indexPath, "_commits")
+    val newCommits = java.nio.file.Paths.get(newIndexPath, "_commits")
+    java.nio.file.Files.createDirectories(newCommits)
+    if (java.nio.file.Files.isDirectory(commits)) {
+      val it = java.nio.file.Files.list(commits)
+      try it.forEach { p =>
+        java.nio.file.Files.copy(p, newCommits.resolve(p.getFileName.toString),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally it.close()
+    }
+  }
 }

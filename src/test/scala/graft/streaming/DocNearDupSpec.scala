@@ -4,6 +4,7 @@ import graft.SparkTestSession
 import java.nio.file.Files
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Incremental streaming near-dedup: batches dedup against the accumulated
@@ -63,13 +64,86 @@ class DocNearDupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("re-processing a batch admits nothing new (redelivery-safe)") {
+  test("redelivery: committed batches no-op; an uncommitted recompute reproduces, never loses") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-neardup-redeliver").toString
     val batch = Seq((0L, textA), (2L, textC)).toDF("doc_id", "text")
-    val s1 = DocStream.processBatch(spark, batch, s"$base/index")
-    assert(s1.count() == 2)
-    val s2 = DocStream.processBatch(spark, batch, s"$base/index")
-    assert(s2.count() == 0, "replayed batch must find itself in the index")
+    def outIds = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    DocStream.processBatch(spark, batch, 0L, s"$base/index", s"$base/out")
+    assert(outIds == Seq(0L, 2L))
+    // fully-committed replay: the marker short-circuits — no duplicates
+    DocStream.processBatch(spark, batch, 0L, s"$base/index", s"$base/out")
+    assert(outIds == Seq(0L, 2L))
+    // crash simulation, the ADVICE failure shape: the index already holds
+    // the batch's bands but the commit never landed. The recompute must
+    // exclude its own epoch and overwrite IDENTICAL survivors — an
+    // unguarded re-run would find itself in the index and emit nothing,
+    // silently losing the batch
+    Files.delete(java.nio.file.Paths.get(s"$base/index/_commits/0"))
+    DocStream.processBatch(spark, batch, 0L, s"$base/index", s"$base/out")
+    assert(outIds == Seq(0L, 2L), "recompute must reproduce the batch, not drop it")
+    // and a later batch still dedups against the recovered index
+    val b1 = Seq((10L, textA), (11L, textE)).toDF("doc_id", "text")
+    DocStream.processBatch(spark, b1, 1L, s"$base/index", s"$base/out")
+    assert(outIds == Seq(0L, 2L, 11L))
+  }
+
+  test("a batch's index scan reads only its own (b, g) band partitions") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-neardup-prune").toString
+    val idx = s"$base/index"
+    DocStream.processBatch(spark,
+      Seq((0L, textA), (2L, textC)).toDF("doc_id", "text"), 0L, idx, s"$base/out")
+    DocStream.processBatch(spark,
+      Seq((11L, textE)).toDF("doc_id", "text"), 1L, idx, s"$base/out")
+    // one (b, g) group actually present: doc 0's band 0
+    val full = spark.read.parquet(idx)
+    val g0 = full.filter(col("doc_id") === 0L && col("b") === 0)
+      .select("g").as[Int].head()
+    val pruned = DocStream.prunedIndex(spark, idx, 99L, Seq((0, g0)))
+    pruned.collect()
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    val readFiles = scan.metrics("numFiles").value
+    def parquetFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val st = java.nio.file.Files.walk(p)
+      try st.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    val total = parquetFiles(java.nio.file.Paths.get(idx)).size
+    val matching = parquetFiles(java.nio.file.Paths.get(idx))
+      .count(_.toString.contains(s"/b=0/g=$g0/"))
+    assert(matching > 0 && matching < total, s"fixture degenerate: $matching/$total")
+    assert(readFiles == matching,
+      s"scan read $readFiles files; only the $matching under b=0/g=$g0 (of $total) are allowed")
+  }
+
+  test("rebandIndex migration behaves identically to a natively-built wider index") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-neardup-reband").toString
+    val b0 = Seq((0L, textA), (2L, textC)).toDF("doc_id", "text")
+    DocStream.processBatch(spark, b0, 0L, s"$base/i8", s"$base/o8") // width 8
+    DocStream.rebandIndex(spark, s"$base/i8", s"$base/im", newBandWidth = 16)
+    DocStream.processBatch(spark, b0, 0L, s"$base/in", s"$base/on", bandWidth = 16)
+    def rows(p: String) = spark.read.parquet(p)
+      .select("doc_id", "simhash", "b", "bk")
+      .as[(Long, Long, Int, Long)].collect().toSet
+    assert(rows(s"$base/im") == rows(s"$base/in"),
+      "migrated band rows must equal a from-scratch width-16 banding of the same sketches")
+    // commit markers migrate: replaying committed batch 0 at the new path no-ops
+    DocStream.processBatch(spark, b0, 0L, s"$base/im", s"$base/om", bandWidth = 16)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base/om")))
+    // the stream continues against the migrated index exactly as against
+    // the native one: next batch drops the near-dup, admits the novel doc
+    val b1 = Seq((10L, textA), (11L, textE)).toDF("doc_id", "text")
+    DocStream.processBatch(spark, b1, 1L, s"$base/im", s"$base/om", bandWidth = 16)
+    DocStream.processBatch(spark, b1, 1L, s"$base/in", s"$base/on", bandWidth = 16)
+    def out(p: String) = spark.read.parquet(p)
+      .filter(col("batch_id") === 1).select("doc_id").as[Long].collect().toSet
+    assert(out(s"$base/om") == Set(11L))
+    assert(out(s"$base/on") == Set(11L))
   }
 }
