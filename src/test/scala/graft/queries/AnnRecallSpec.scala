@@ -15,7 +15,7 @@ class AnnRecallSpec extends AnyFunSuite {
 
   private def run(q: String) = graft.SparkEntry.queries(q)(spark, dir)
 
-  test("q35 IVF (k-means, nprobe=2/8) finds most of the exact top-10") {
+  test("q35 IVF (k-means, nprobe=2 of ~sqrt(n) cells) finds most of the exact top-10") {
     val exact = run("q29_ann_topk").collect().map(_.getAs[Long]("vec_id")).toSet
     val ivf = run("q35_ann_ivf").collect().map(_.getAs[Long]("vec_id")).toSet
     assert((ivf & exact).size >= 5, s"IVF recall collapsed: ${(ivf & exact).size}/10")

@@ -37,6 +37,13 @@ class BandScaleSpec extends AnyFunSuite {
     assert(Similarity.sampleModFor(500) == 5L)
     assert(Similarity.sampleModFor(2000) == 5L)
     assert(Similarity.sampleModFor(1000000) == 2500L)
+    // q35 cell count: ~√n (smallest c with c² ≥ n), floored at 8, capped
+    // at the 400-vector sample — more cells at every decade, no retuning
+    assert(Similarity.ivfCellsFor(50) == 8)
+    assert(Similarity.ivfCellsFor(500) == 23)
+    assert(Similarity.ivfCellsFor(2000) == 45)
+    assert(Similarity.ivfCellsFor(20000) == 142)
+    assert(Similarity.ivfCellsFor(1000000) == 400) // sample-bound binds
   }
 
   test("expected bucket occupancy stays under the caps across 5 decades") {
@@ -121,6 +128,23 @@ class BandScaleSpec extends AnyFunSuite {
     val found = planted.count(pairs.contains)
     assert(found >= (planted.size * 9) / 10,
       s"only $found/${planted.size} planted identical pairs recovered")
+    spark.catalog.clearCache()
+  }
+
+  test("q35 trains more cells at 20k vectors with no retuning and stays useful") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-ivf").toString
+    makeEmbeddings(dir, 20000)
+    // at 20k the derivation trains 142 cells (~20k/142 ≈ 141 vectors per
+    // cell list); the r4 constant 8 would have scanned ~2×2500 vectors
+    // per probe at this corpus and ~2×1.25e9 at 10^10
+    assert(Similarity.ivfCellsFor(20000) == 142)
+    val got = Similarity.queries("q35_ann_ivf")(spark, dir).collect()
+    assert(got.length == 10, s"IVF top-k returned ${got.length} rows")
+    // vec 1 is a planted exact duplicate of the query vector (vec 0):
+    // both must top the probed cells at cosine 1
+    val ids = got.map(_.getAs[Long]("vec_id")).toSet
+    assert(ids.contains(0L) && ids.contains(1L),
+      s"query vector / its planted duplicate missing from IVF top-10: $ids")
     spark.catalog.clearCache()
   }
 
