@@ -85,10 +85,23 @@ object Dedup {
     // known, so the iteration runs over the touched subset — at a real
     // corpus the overwhelming majority of documents never enters a round
     val touched = edges.select(col("src").as("doc_id")).distinct()
+    // each round's localCheckpoint persists RDD blocks that nothing
+    // releases once the round is superseded — over many rounds (or many
+    // queries in one session) that's a slow storage leak. The checkpoint
+    // API gives no unpersist handle, so track the block-backed RDD ids
+    // via getPersistentRDDs deltas and free the previous round once the
+    // next is materialized.
+    def persistedIds: Set[Int] =
+      s.sparkContext.getPersistentRDDs.keySet.toSet
+    def freeIds(ids: Set[Int]): Unit = ids.foreach { id =>
+      s.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false))
+    }
+    val beforeInit = persistedIds
     var labels = touched
       .select(col("doc_id"), col("doc_id").as("cluster_id"))
       .repartition(p, col("doc_id"))
       .localCheckpoint()
+    var labelIds = persistedIds -- beforeInit
     // convergence by exact label-mass comparison: labels only ever
     // DECREASE elementwise, so the label sum strictly decreases until the
     // fixpoint — one map-side-combined agg over the just-materialized
@@ -117,11 +130,15 @@ object Dedup {
       // jumping (label∘label per cycle) cut rounds 7→5 at sf0.1 but the
       // extra self-join shuffle per cycle cost more than the rounds it
       // saved (5.3 s vs 3.4 s warm) — see PERF.md round 4.
+      val before = persistedIds
       val next = labels.union(prop)
         .repartition(p, col("doc_id"))
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
         .localCheckpoint(false) // truncate lineage: plan stays O(1)/round
-      val nextMass = mass(next)
+      val nextMass = mass(next) // materializes the lazy checkpoint
+      val nextIds = persistedIds -- before
+      freeIds(labelIds) // the superseded round's blocks — next is live now
+      labelIds = nextIds
       converged = nextMass.compareTo(prevMass) == 0
       prevMass = nextMass
       labels = next
@@ -149,7 +166,25 @@ object Dedup {
     "q44_dedup_survivors" -> ((s, dir) =>
       clusterLabels(s, dir)
         .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
-        .select(col("cluster_id").as("keep_id"), col("cluster_size"))))
+        .select(col("cluster_id").as("keep_id"), col("cluster_size"))),
+
+    // cluster-aware prep pipeline — the production training-data flow the
+    // clustering exists for: q36's shape with the exact-hash dedup swapped
+    // for q43's transitive near-dup clusters (keep the minimum doc_id per
+    // component — strictly stronger than exact-hash: identical texts share
+    // a sketch, so every q36 drop is also a q52 drop), then the SAME
+    // score-and-filter stage ([[TextAnalysis.prepScore]] — one
+    // definition, zero drift). The cluster filter is a narrow predicate
+    // on the label table; the semi join to fetch survivor text shuffles
+    // on doc_id (broadcast at bench scale via AQE).
+    "q52_cluster_prep" -> ((s, dir) => {
+      val kept = clusterLabels(s, dir)
+        .filter(col("doc_id") === col("cluster_id"))
+        .select("doc_id")
+      TextAnalysis.prepScore(
+        Tables(s, dir, "documents").join(kept, Seq("doc_id"), "left_semi")
+          .select("doc_id", "text"))
+    }))
 
   // DuckDB mirrors: transitive closure as a recursive CTE over the SAME
   // pair CTE chain q27's oracle uses (Similarity.SqlSimhashPairCtes) —
@@ -176,5 +211,13 @@ object Dedup {
     "q44_dedup_survivors" ->
       s"""$sqlClusters
          |SELECT cluster_id AS keep_id, COUNT(*) AS cluster_size
-         |FROM clusters GROUP BY cluster_id""".stripMargin)
+         |FROM clusters GROUP BY cluster_id""".stripMargin,
+
+    "q52_cluster_prep" ->
+      s"""$sqlClusters,
+         |kept AS (SELECT d.doc_id, d.text FROM documents d
+         |  JOIN clusters c ON c.doc_id = d.doc_id AND c.doc_id = c.cluster_id),
+         |${TextAnalysis.sqlPrepScore("kept")}
+         |SELECT doc_id, n_tokens, quality FROM f
+         |WHERE lang_guess = 'en' AND quality >= 0.5""".stripMargin)
 }

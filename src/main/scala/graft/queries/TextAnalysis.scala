@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -205,6 +205,27 @@ object TextAnalysis {
           lit(false)))
     }),
 
+    // PII redaction — the scrub half of q50: the same three patterns
+    // through regexp_replace (all-occurrence semantics on both engines;
+    // DuckDB needs the explicit 'g' flag), applied in a FIXED order
+    // (email → URL → IP) with each pattern's count taken on the exact
+    // intermediate its replace sees — so the counts are the replacement
+    // counts and scan(redact(x)) is zero by construction (pinned in
+    // PiiScanSpec). Narrow per-row, zero shuffles, like q50.
+    "q51_pii_redact" -> ((s, dir) => {
+      def hits(c: Column, pat: String) =
+        size(regexp_extract_all(c, lit(pat), lit(0))).cast("long")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .withColumn("n_emails", hits(col("text"), PiiEmail))
+        .withColumn("r1", regexp_replace(col("text"), PiiEmail, "[EMAIL]"))
+        .withColumn("n_urls", hits(col("r1"), PiiUrl))
+        .withColumn("r2", regexp_replace(col("r1"), PiiUrl, "[URL]"))
+        .withColumn("n_ips", hits(col("r2"), PiiIp))
+        .withColumn("redacted", regexp_replace(col("r2"), PiiIp, "[IP]"))
+        .select("doc_id", "redacted", "n_emails", "n_urls", "n_ips")
+    }),
+
     // per-document top-3 terms by tf-idf. The idf avoids ln() — libm vs
     // JVM log differ by ulps across engines — by ranking on the exact
     // rational tf·N/df realized as ONE IEEE division of exactly-
@@ -266,31 +287,61 @@ object TextAnalysis {
     // composed prep pipeline: exact-dedup -> quality score -> language
     // filter — the realistic end-to-end shape of training-data prep. One
     // shuffle (the dedup window on the content hash); scoring and filters
-    // are narrow.
+    // are narrow. The cluster-aware variant (q52, in [[Dedup]]) swaps the
+    // exact-hash dedup for q43's transitive clusters and reuses
+    // [[prepScore]] verbatim.
     "q36_prep_pipeline" -> ((s, dir) => {
       val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
       val deduped = Tables(s, dir, "documents")
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select("doc_id", "text")
-      val scored = deduped
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .select(col("doc_id"),
-          size(col("tk")).cast("long").as("n_tokens"),
-          stopwordHits(col("tk"), stopwordsByLang.head._2).as("stops"),
-          col("tk"))
-      val Seq(en, es, de, fr) = langScores(col("tk")).map(_._2)
-      scored
-        .withColumn("lang_guess",
-          when(en >= greatest(es, de, fr), "en")
-            .when(es >= greatest(de, fr), "es")
-            .when(de >= fr, "de").otherwise("fr"))
-        .withColumn("quality",
-          (col("stops").cast("double") / col("n_tokens").cast("double")) * 0.4 +
-            least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.6)
-        .filter(col("lang_guess") === "en" && col("quality") >= 0.5)
-        .select("doc_id", "n_tokens", "quality")
+      prepScore(deduped)
     }))
+
+  /** The prep pipeline's score-and-filter stage over a deduped
+    * `(doc_id, text)` relation: q36's scoring expressions, factored so
+    * the exact-hash (q36) and cluster-aware (q52) pipelines share ONE
+    * definition — they cannot diverge. Narrow per-row, zero shuffles.
+    */
+  private[queries] def prepScore(deduped: DataFrame): DataFrame = {
+    val scored = deduped
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        size(col("tk")).cast("long").as("n_tokens"),
+        stopwordHits(col("tk"), stopwordsByLang.head._2).as("stops"),
+        col("tk"))
+    val Seq(en, es, de, fr) = langScores(col("tk")).map(_._2)
+    scored
+      .withColumn("lang_guess",
+        when(en >= greatest(es, de, fr), "en")
+          .when(es >= greatest(de, fr), "es")
+          .when(de >= fr, "de").otherwise("fr"))
+      .withColumn("quality",
+        (col("stops").cast("double") / col("n_tokens").cast("double")) * 0.4 +
+          least(lit(1.0), col("n_tokens").cast("double") / 50.0) * 0.6)
+      .filter(col("lang_guess") === "en" && col("quality") >= 0.5)
+      .select("doc_id", "n_tokens", "quality")
+  }
+
+  /** SQL mirror of [[prepScore]] over a CTE named `src` holding
+    * `(doc_id, text)` — shared by the q36 and q52 oracles (chain ends in
+    * `f`; callers select `doc_id, n_tokens, quality FROM f`).
+    */
+  private[queries] def sqlPrepScore(src: String): String =
+    s"""sc AS (SELECT doc_id, $Toks AS tk FROM $src),
+       |m AS (SELECT doc_id, len(tk) AS n_tokens,
+       |  len(list_filter(tk, x -> x IN ${sqlStops("en")})) AS stops,
+       |  len(list_filter(tk, x -> x IN ${sqlStops("en")})) AS s_en,
+       |  len(list_filter(tk, x -> x IN ${sqlStops("es")})) AS s_es,
+       |  len(list_filter(tk, x -> x IN ${sqlStops("de")})) AS s_de,
+       |  len(list_filter(tk, x -> x IN ${sqlStops("fr")})) AS s_fr FROM sc),
+       |f AS (SELECT doc_id, n_tokens,
+       |  (CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.4
+       |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality,
+       |  CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+       |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+       |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_guess FROM m)""".stripMargin
 
   private def sqlStops(lang: String): String =
     stopwordsByLang.toMap.apply(lang).map(w => s"'$w'").mkString("(", ",", ")")
@@ -398,6 +449,19 @@ object TextAnalysis {
          |  COALESCE(n_emails = 0 AND n_urls = 0 AND n_ips = 0, false) AS clean
          |FROM m""".stripMargin,
 
+    "q51_pii_redact" ->
+      s"""WITH t1 AS (SELECT doc_id,
+         |  len(regexp_extract_all(text, '$PiiEmail')) AS n_emails,
+         |  regexp_replace(text, '$PiiEmail', '[EMAIL]', 'g') AS r1
+         |  FROM documents),
+         |t2 AS (SELECT doc_id, n_emails,
+         |  len(regexp_extract_all(r1, '$PiiUrl')) AS n_urls,
+         |  regexp_replace(r1, '$PiiUrl', '[URL]', 'g') AS r2 FROM t1),
+         |t3 AS (SELECT doc_id, n_emails, n_urls,
+         |  len(regexp_extract_all(r2, '$PiiIp')) AS n_ips,
+         |  regexp_replace(r2, '$PiiIp', '[IP]', 'g') AS redacted FROM t2)
+         |SELECT doc_id, redacted, n_emails, n_urls, n_ips FROM t3""".stripMargin,
+
     "q46_tfidf_top_terms" ->
       s"""WITH t AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
          |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
@@ -448,19 +512,7 @@ object TextAnalysis {
          |  SELECT doc_id, text, ROW_NUMBER() OVER (
          |    PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM documents) t
          |  WHERE rn = 1),
-         |sc AS (SELECT doc_id, $Toks AS tk FROM dd),
-         |m AS (SELECT doc_id, len(tk) AS n_tokens,
-         |  len(list_filter(tk, x -> x IN ${sqlStops("en")})) AS stops,
-         |  len(list_filter(tk, x -> x IN ${sqlStops("en")})) AS s_en,
-         |  len(list_filter(tk, x -> x IN ${sqlStops("es")})) AS s_es,
-         |  len(list_filter(tk, x -> x IN ${sqlStops("de")})) AS s_de,
-         |  len(list_filter(tk, x -> x IN ${sqlStops("fr")})) AS s_fr FROM sc),
-         |f AS (SELECT doc_id, n_tokens,
-         |  (CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.4
-         |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality,
-         |  CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
-         |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
-         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_guess FROM m)
+         |${sqlPrepScore("dd")}
          |SELECT doc_id, n_tokens, quality FROM f
          |WHERE lang_guess = 'en' AND quality >= 0.5""".stripMargin)
 }

@@ -21,4 +21,14 @@ class BenchSpec extends AnyFunSuite {
     assert(errors.keySet == Set("broken_throws", "broken_analysis"))
     assert(errors("broken_throws").contains("boom"))
   }
+
+  test("cross-pass spread is |delta|/min over the shared key set") {
+    val a = Map("q1" -> 1.0, "q2" -> 2.0, "only_a" -> 9.0, "z" -> 0.0)
+    val b = Map("q1" -> 1.5, "q2" -> 2.0, "only_b" -> 9.0, "z" -> 0.0)
+    val s = Bench.crossPassSpread(a, b)
+    assert(s.keySet == Set("q1", "q2", "z")) // pass-specific keys dropped
+    assert(math.abs(s("q1") - 0.5) < 1e-12)  // |1.0-1.5|/1.0
+    assert(s("q2") == 0.0)
+    assert(s("z") == 0.0) // zero-time guard: no divide-by-zero
+  }
 }
