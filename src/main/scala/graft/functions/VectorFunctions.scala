@@ -118,6 +118,22 @@ case class HyperplaneBands(child: Expression, planes: Array[Double],
 
   private def dim: Int = planes.length / (families * planesPerFam)
 
+  // case-class equals on an Array field is REFERENCE equality, under which
+  // two semantically identical nodes never compare equal — Catalyst
+  // canonicalization / semanticEquals / common-subexpression elimination
+  // would silently treat them as distinct. Compare the matrix by content.
+  override def equals(other: Any): Boolean = other match {
+    case h: HyperplaneBands =>
+      child == h.child && families == h.families &&
+        planesPerFam == h.planesPerFam &&
+        java.util.Arrays.equals(planes, h.planes)
+    case _ => false
+  }
+
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(families), Integer.valueOf(planesPerFam),
+    Integer.valueOf(java.util.Arrays.hashCode(planes)))
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
       TypeCheckResult.TypeCheckSuccess

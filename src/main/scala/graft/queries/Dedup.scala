@@ -23,11 +23,14 @@ import org.apache.spark.sql.functions._
   *   - rounds are bounded by the largest component's diameter. Near-dup
   *     components are dense content clusters (diameter 1–3); the frequency
   *     caps inherited from q27 also bound |E| ≤ bands·cap·n, so each round
-  *     is linear in the corpus. For adversarial long-chain graphs the
-  *     published O(log n)-round alternative is alternating large-star/
-  *     small-star contraction (Kiveris et al., "Connected Components in
-  *     MapReduce and Beyond", 2014) — same join/agg primitives, so it
-  *     drops into this loop without changing the operator contract;
+  *     is linear in the corpus. Adversarial long-chain graphs cannot run
+  *     the loop O(diameter) long: past [[JumpAfter]] rounds every round
+  *     also composes the label table with itself (pointer jumping), which
+  *     halves the remaining chain depth per round — the O(log n) guarantee
+  *     class of alternating large-star/small-star contraction (Kiveris
+  *     et al., "Connected Components in MapReduce and Beyond", 2014),
+  *     realized with the join/agg primitives this loop already has and
+  *     spec-pinned on a 200-node path;
   *   - every round truncates lineage (localCheckpoint — on a cluster,
   *     `checkpoint` against the job's checkpoint dir): without truncation
   *     the iterated plan doubles per round and Catalyst analysis, not the
@@ -50,9 +53,32 @@ object Dedup {
     * handful of rounds).
     */
   private[queries] def clusterLabelsWithRounds(s: SparkSession, dir: String)
-      : (DataFrame, Int) = {
-    val pairs = Similarity.queries("q27_simhash_pairs")(s, dir)
-      .select(col("doc_a"), col("doc_b"))
+      : (DataFrame, Int) =
+    propagateMin(s,
+      Similarity.queries("q27_simhash_pairs")(s, dir)
+        .select(col("doc_a"), col("doc_b")),
+      Tables(s, dir, "documents").select(col("doc_id")))
+
+  /** After this many plain propagation rounds the loop escalates: each
+    * further round ALSO composes the label table with itself
+    * (label ← label∘label, pointer jumping), so the distance every label
+    * still has to travel halves per round — O(log diameter) convergence
+    * on adversarial long-chain graphs (DedupSpec pins a 200-node path at
+    * ≤ 20 rounds) while the common dense near-dup case (diameter 1–3,
+    * converged long before round 8) never pays the extra self-join that
+    * made always-on jumping a measured regression (PERF.md round 4).
+    * Same O(log n) guarantee class as alternating large-star/small-star
+    * (Kiveris et al. 2014) with the primitives this loop already has.
+    */
+  private val JumpAfter = 8
+
+  /** Min-label propagation over an explicit `(doc_a, doc_b)` pair set —
+    * the loop behind q43/q44/q52, factored so specs can drive it with
+    * adversarial synthetic graphs. `docs` is the full corpus id set used
+    * to stitch untouched documents back in as singletons.
+    */
+  private[queries] def propagateMin(s: SparkSession, pairs: DataFrame,
+      docs: DataFrame): (DataFrame, Int) = {
     // undirected graph = both edge directions; persisted once, read every
     // round (at cluster scale: a staging table partitioned by src)
     val edges0 = pairs
@@ -65,8 +91,7 @@ object Dedup {
     // NULL mass — iterating on it is a crash, not a fixpoint)
     if (edgeCount == 0L) {
       edges0.unpersist()
-      return (Tables(s, dir, "documents")
-        .select(col("doc_id"), col("doc_id").as("cluster_id")), 0)
+      return (docs.select(col("doc_id"), col("doc_id").as("cluster_id")), 0)
     }
     // Size the loop's partitioning to the graph, not the session default:
     // every round shuffles tables proportional to |E|, and a fixed-width
@@ -131,10 +156,26 @@ object Dedup {
       // extra self-join shuffle per cycle cost more than the rounds it
       // saved (5.3 s vs 3.4 s warm) — see PERF.md round 4.
       val before = persistedIds
-      val next = labels.union(prop)
+      val merged = labels.union(prop)
         .repartition(p, col("doc_id"))
         .groupBy("doc_id").agg(min("cluster_id").as("cluster_id"))
-        .localCheckpoint(false) // truncate lineage: plan stays O(1)/round
+      val acc =
+        if (rounds <= JumpAfter) merged
+        else {
+          // escalated round: compose the label table with itself so every
+          // label jumps straight to its current root — halves the
+          // remaining chain depth per round. cluster_id always names a
+          // touched doc (own id or a neighbor's), so the inner join is
+          // total. The intermediate checkpoint keeps the self-join from
+          // recomputing the merge twice; its blocks are freed with the
+          // round's (diff-tracked below).
+          val m = merged.localCheckpoint(false)
+          val lookup = m.select(col("doc_id").as("root_id"),
+            col("cluster_id").as("root_cluster"))
+          m.join(lookup, col("cluster_id") === col("root_id"))
+            .select(col("doc_id"), col("root_cluster").as("cluster_id"))
+        }
+      val next = acc.localCheckpoint(false) // truncate lineage: plan stays O(1)/round
       val nextMass = mass(next) // materializes the lazy checkpoint
       val nextIds = persistedIds -- before
       freeIds(labelIds) // the superseded round's blocks — next is live now
@@ -145,7 +186,7 @@ object Dedup {
     }
     edges.unpersist()
     // stitch the untouched majority back in as singleton clusters
-    val all = Tables(s, dir, "documents").select(col("doc_id"))
+    val all = docs.select(col("doc_id"))
     val full = all.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

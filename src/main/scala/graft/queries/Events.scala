@@ -98,12 +98,20 @@ object Events {
         |FROM g GROUP BY user_id""".stripMargin,
 
     // CAST around SUM: DuckDB widens SUM(BIGINT) to HUGEINT, which
-    // reaches the compare as float64 (see SqlSimhash note)
+    // reaches the compare as float64 (see SqlSimhash note). The extraction
+    // is json_type-gated to bare JSON integers + TRY_CAST: Spark's
+    // from_json with `k LONG` yields NULL for quoted numbers ("5"),
+    // floats, and overflows — a plain CAST(json_extract_string) would
+    // parse "5" to 5 and hard-error on non-numeric strings, so both
+    // engines must null out the same malformed shapes.
     "q49_json_props" ->
-      """SELECT event_type, COUNT(*) AS n,
-        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
-        |FROM events GROUP BY event_type""".stripMargin,
+      """WITH j AS (SELECT event_type,
+        |  CASE WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+        |    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+        |  FROM events)
+        |SELECT event_type, COUNT(*) AS n,
+        |  CAST(SUM(k) AS BIGINT) AS sum_k, MAX(k) AS max_k
+        |FROM j GROUP BY event_type""".stripMargin,
 
     // the salt is an implementation detail of the Spark plan; the
     // semantics are the plain equi-join

@@ -55,6 +55,14 @@ object EventStream {
     * (horizon × signup rate), not history. Left-outer: activities with no
     * in-horizon signup emit with a null signup_ts once the watermark
     * proves none can arrive.
+    *
+    * The raw interval join emits one row per matching signup — a user who
+    * signed up twice inside the horizon would duplicate every activity —
+    * so a chained streaming aggregation (grouped on the activity row, max
+    * over the matches) reduces to exactly ONE row per activity carrying
+    * the latest in-horizon signup_ts. Grouping includes the watermarked
+    * event-time column, so the agg runs in append mode and its state
+    * expires with the same watermark that closes the join.
     */
   def withRecentSignup(events: DataFrame, watermark: String = "2 hours",
       horizonHours: Int = 168): DataFrame = {
@@ -63,12 +71,15 @@ object EventStream {
       .withWatermark("signup_ts", watermark)
     val acts = events.filter(col("event_type") =!= "signup")
       .withWatermark("ts", watermark)
-    acts.join(signups,
+    val joined = acts.join(signups,
         col("user_id") === col("s_user") &&
         col("signup_ts") <= col("ts") &&
         col("signup_ts") >= col("ts") - expr(s"INTERVAL $horizonHours HOURS"),
         "left_outer")
       .drop("s_user")
+    val actCols = joined.columns.filter(_ != "signup_ts")
+    joined.groupBy(actCols.map(col): _*)
+      .agg(max("signup_ts").as("signup_ts"))
   }
 
   // ---- custom state: sessionization via flatMapGroupsWithState ----------

@@ -93,4 +93,19 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(edge(0).isNullAt(0))
     assert(!edge(1).isNullAt(0))
   }
+
+  test("hyperplane_bands compares by plane CONTENT, not array reference") {
+    // case-class equals over an Array field is reference equality, under
+    // which canonicalization/semanticEquals/CSE silently miss identical
+    // sketches built from separately-materialized (equal) matrices
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    val mk = () => Array.tabulate(8)(_ / 7.0)
+    val v = UnresolvedAttribute("v")
+    val a = HyperplaneBands(v, mk(), 2, 2)
+    val b = HyperplaneBands(v, mk(), 2, 2)
+    assert(a == b, "equal matrices must compare equal")
+    assert(a.hashCode == b.hashCode)
+    val c = HyperplaneBands(v, mk().updated(0, 9.9), 2, 2)
+    assert(a != c, "different matrices must not compare equal")
+  }
 }

@@ -89,6 +89,23 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("adversarial 200-node path converges within the escalation round budget") {
+    // worst case for min-label propagation: a single path 0–1–…–199 where
+    // the min label travels one hop per plain round (~199 rounds). Past
+    // JumpAfter (8) the loop composes the label table with itself each
+    // round, halving the remaining depth — stated bound: 8 plain rounds
+    // + ~log2(199) jumped rounds + 1 fixpoint observation ≈ 17; budget 20.
+    import spark.implicits._
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val docs = (0L until 200L).toDF("doc_id")
+    val (labels, rounds) = Dedup.propagateMin(spark, pairs, docs)
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 200)
+    assert(got.values.forall(_ == 0L), "every path node must label to the min (0)")
+    assert(rounds <= 20, s"200-node path took $rounds rounds — escalation broken")
+    spark.catalog.clearCache()
+  }
+
   test("q43 on a planted 3-chain merges A-B-C into one cluster") {
     // identical texts A=B and B'=C where B' is doc B re-issued verbatim:
     // chain A–B (hamming 0) and B–C (hamming 0) with A–C also hamming 0 —

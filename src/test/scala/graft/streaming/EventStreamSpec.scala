@@ -30,20 +30,26 @@ class EventStreamSpec extends AnyFunSuite {
     try {
       mem.addData(
         Event(0, ts(1), 1, "signup", 0.0),
-        Event(1, ts(5), 1, "click", 1.0),   // 4 min after user 1's signup → joins
+        Event(4, ts(3), 1, "signup", 0.0),  // user 1 signs up AGAIN in-horizon
+        Event(1, ts(5), 1, "click", 1.0),   // 2 signup matches → ONE row, max ts
         Event(2, ts(10), 2, "click", 2.0),  // user 2 never signs up → outer null
-        Event(3, ts(70), 1, "click", 3.0))  // 69 min after signup: outside 1h horizon
+        Event(3, ts(70), 1, "click", 3.0))  // 67+ min after signups: outside 1h horizon
       q.processAllAvailable()
       // advance both watermarks far enough to close every pending outer row
       mem.addData(Event(9, ts(300), 9, "signup", 0.0),
         Event(10, ts(300), 9, "click", 0.0))
       q.processAllAvailable()
-      val got = spark.table("enrich")
-        .select($"event_id", $"signup_ts".isNotNull)
-        .as[(Long, Boolean)].collect().toMap
-      assert(got(1L), "in-horizon activity must carry its signup")
-      assert(!got(2L), "never-signed-up activity must flush as outer null")
-      assert(!got(3L), "out-of-horizon activity must not join a stale signup")
+      val rows = spark.table("enrich")
+        .select($"event_id", $"signup_ts")
+        .as[(Long, Option[Timestamp])].collect()
+      // one output row per activity even with multiple matching signups
+      assert(rows.map(_._1).sorted.toSeq == rows.map(_._1).distinct.sorted.toSeq,
+        s"duplicate activity rows: ${rows.toSeq}")
+      val got = rows.toMap
+      assert(got(1L).contains(ts(3)),
+        "multi-signup activity must carry the LATEST in-horizon signup")
+      assert(got(2L).isEmpty, "never-signed-up activity must flush as outer null")
+      assert(got(3L).isEmpty, "out-of-horizon activity must not join a stale signup")
     } finally q.stop()
   }
 
