@@ -210,6 +210,104 @@ case class HyperplaneBands(child: Expression, planes: Array[Double],
     copy(child = newChild)
 }
 
+/** Native multi-centroid dot: one vector's dots against every row of a
+  * flat row-major `vectors`×dim matrix in ONE pass, as `array<double>`.
+  *
+  * Why an Expression (the q39/HyperplaneBands lesson applied to q35):
+  * composing c per-cell `VecDot(v, typedLit(centroid_c))` calls puts
+  * c·dim literal nodes plus an O(c²) argmax when-chain into the plan —
+  * at the ~√n adaptive cell count that plan-analysis tax dominated the
+  * whole query (45 cells at sf0.1 ≈ 2,880 literals; measured 1.66 s vs
+  * ~0.3 s fixed-8). This node carries the matrix as one reference
+  * object; the argmax collapses to `array_position(_, array_max(_))`.
+  *
+  * Determinism contract: per cell the identical sequential left fold
+  * seeded 0.0 over `(double) v[i] * mat[c·dim + i]` as [[VecDot]]
+  * against that centroid literal — bit-identical dots, same oracle.
+  */
+case class VecDotMany(child: Expression, mat: Array[Double], vectors: Int)
+    extends UnaryExpression {
+  require(vectors > 0 && mat.length % vectors == 0,
+    "mat must be a flat vectors*dim matrix")
+
+  private def dim: Int = mat.length / vectors
+
+  // content equality over the Array field (see HyperplaneBands)
+  override def equals(other: Any): Boolean = other match {
+    case v: VecDotMany =>
+      child == v.child && vectors == v.vectors &&
+        java.util.Arrays.equals(mat, v.mat)
+    case _ => false
+  }
+
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(vectors),
+    Integer.valueOf(java.util.Arrays.hashCode(mat)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_many requires array<float>/array<double> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vec_dot_many"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = math.min(v.numElements(), dim)
+    val vf = isFloat
+    val out = new Array[Double](vectors)
+    var c = 0
+    while (c < vectors) {
+      val base = c * dim
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val xv = if (vf) v.getFloat(i).toDouble else v.getDouble(i)
+        s += xv * mat(base + i)
+        i += 1
+      }
+      out(c) = s
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("mat", mat, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n")
+      val c = ctx.freshName("c")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val out = ctx.freshName("out")
+      s"""
+         |int $n = java.lang.Math.min($arr.numElements(), $dim);
+         |double[] $out = new double[$vectors];
+         |for (int $c = 0; $c < $vectors; $c++) {
+         |  int $base = $c * $dim;
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $s += (double) $arr.$get($i) * $m[$base + $i];
+         |  }
+         |  $out[$c] = $s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecDotMany =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-level sequential-fold dot product (see [[VecDot]]). */
   def vecDot(a: Column, b: Column): Column =
@@ -224,4 +322,10 @@ object VectorFunctions {
       families: Int, planesPerFam: Int): Column =
     GraftBridge.column(HyperplaneBands(
       GraftBridge.expression(v), planes, families, planesPerFam))
+
+  /** Column-level multi-centroid dot (see [[VecDotMany]]). `mat` is flat
+    * row-major vectors×dim.
+    */
+  def vecDotMany(v: Column, mat: Array[Double], vectors: Int): Column =
+    GraftBridge.column(VecDotMany(GraftBridge.expression(v), mat, vectors))
 }

@@ -450,23 +450,33 @@ object Similarity {
         .persist()
         .filter(col("nrm") > 0) // zero-norm guard (see q28)
       val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
-      // layered: the per-cell centroid cosines become named columns, then
-      // the argmax chain reads them (CSE-safe argument positions)
-      val withCos = e.select(col("vec_id") +: col("embedding") +: col("nrm") +:
-        cents.map { case (c, v, cn) =>
-          (vecDot(col("embedding"), typedLit(v)) / (col("nrm") * lit(cn))).as(s"ccos_$c")
-        }.toSeq: _*)
-      val (cellCol, _) = cents.foldLeft((lit(-1), lit(Double.NegativeInfinity))) {
-        case ((bi, bv), (c, _, _)) =>
-          (when(col(s"ccos_$c") > bv, lit(c)).otherwise(bi),
-            greatest(bv, col(s"ccos_$c")))
-      }
+      // the per-cell cosines are ONE native matrix-dot node
+      // ([[graft.functions.VecDotMany]]) + a 1-literal norm zip — not c
+      // VecDots over 64-literal arrays and an O(c²) argmax chain, whose
+      // plan-analysis tax dominated the query once the adaptive cell
+      // count reached ~√n (the q39 literal-forest lesson; measured
+      // 1.66 s → the fused form at sf0.1's 45 cells). Each dot keeps
+      // VecDot's exact fold; ccos_c = dot_c/(nrm·cn_c), identical ops.
+      // the when-guard inside the lambda is ANSI armor, not semantics:
+      // zero-norm rows are filtered above, but the optimizer is free to
+      // evaluate this projection under a fused predicate BEFORE that
+      // filter (observed via DegenerateEmbeddingsSpec), and an unguarded
+      // divide then kills the job on the first zero-norm vector
+      val withCos = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        zip_with(
+          graft.functions.VectorFunctions.vecDotMany(col("embedding"),
+            cents.flatMap(_._2).toArray, cents.length),
+          typedLit(cents.map(_._3).toSeq),
+          (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn))).as("ccos"))
+      // argmax with ties to the lowest cell = first index attaining the
+      // max (array_position is 1-based; SQL double equality makes the
+      // tie-break identical to the oracle's ORDER BY ccos DESC, cent_id)
       val cells = withCos.select(col("vec_id"), col("embedding"), col("nrm"),
-        cellCol.cast("long").as("cell"))
-      val qrow = withCos.filter(col("vec_id") === 0)
-      val qCells = qrow.select(explode(array(cents.map { case (c, _, _) =>
-          struct(col(s"ccos_$c").as("ccos"), lit(c.toLong).as("cent_id")) }: _*)).as("x"))
-        .select(col("x.ccos"), col("x.cent_id"))
+        (array_position(col("ccos"), array_max(col("ccos"))) - 1)
+          .cast("long").as("cell"))
+      val qCells = withCos.filter(col("vec_id") === 0)
+        .select(posexplode(col("ccos")))
+        .select(col("pos").cast("long").as("cent_id"), col("col").as("ccos"))
         .orderBy(desc("ccos"), asc("cent_id")).limit(2)
         .select(col("cent_id").as("qcell"))
       val q = e.filter(col("vec_id") === 0)
