@@ -163,6 +163,33 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q51 PII redaction: narrow per-row plan, zero exchanges") {
+    // like q45/q50: three sequential regexp passes per row — any Exchange
+    // means a join or window crept into a scrub that must stay
+    // embarrassingly parallel at 100 TB
+    val p = execPlan("q51_pii_redact")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q52 cluster-aware prep: equi-joins only, never a nested loop") {
+    // the composed production pipeline inherits q43's per-round plan
+    // discipline; the survivor text fetch must be a hash equi-join
+    val p = plan("q52_cluster_prep")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    spark.catalog.clearCache() // q52 runs the clustering loop (persists edges)
+  }
+
+  test("q35 IVF assignment is shuffle-free: one scan-side exchange at most") {
+    // cell assignment = ONE native matrix-dot per row against broadcast
+    // (literal) centroids — a hash exchange before TakeOrdered would mean
+    // the assignment lost its narrow shape
+    val p = execPlan("q35_ann_ivf")
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.toLowerCase.contains("vec_dot_many"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    spark.catalog.clearCache() // q35 persists its norm projection
+  }
+
   test("q39 bucketed cosine near-dup: no nested loop, no cartesian product") {
     // THE property that makes q39 the 100 TB replacement for q28: candidate
     // generation must be a bucket equi-join (shuffle or broadcast hash),
