@@ -40,6 +40,20 @@ object TextAnalysis {
     */
   private def GopherStops = graft.functions.QualityRules.Stops
 
+  /** q53 linear-counting table: the 64 possible small-range estimates
+    * m·ln(m/V) for V = 1..64 empty registers, each decomposed into the
+    * exact dyadic fraction (mant, 2^k) its double value IS — both engines
+    * reconstruct the identical double as one integer division (power-of-
+    * two denominators divide exactly), so the correction branch needs no
+    * runtime ln and no decimal literal on either side.
+    */
+  private[queries] val HllLc: Seq[(Long, Long)] = (1 to 64).map { v =>
+    var x = 64.0 * math.log(64.0 / v)
+    var p = 1L
+    while (x != math.rint(x) || math.abs(x) > 9.0e15) { x *= 2; p *= 2 }
+    (x.toLong, p)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // language-ID: stopword-hit argmax with fixed tie-break priority
     "q17_lang_id" -> ((s, dir) => {
@@ -284,6 +298,54 @@ object TextAnalysis {
           min(when(col("cum") >= expr("(n * 3 + 3) div 4"), col("n_chars"))).as("q3_chars"))
     }),
 
+    // per-language vocabulary cardinality: exact distinct count AND a
+    // deterministic 64-register HyperLogLog sketch, side by side — the
+    // sketch is the 100 TB shape (state = 64 registers per group flowing
+    // through ONE map-side-combined shuffle on (lang, register); the
+    // exact count drags every distinct token through an exchange and
+    // exists here as the in-query accuracy baseline the spec bounds).
+    //
+    // Determinism: the standard HLL estimate is float-hostile (register
+    // harmonic mean = an unordered 2^-M sum; the small-range correction
+    // needs ln). This formulation keeps EVERY aggregate integral —
+    // register rho from the bit length of the sha-hash suffix (length of
+    // bin(w), exact in both engines), the harmonic denominator as the
+    // exact dyadic integer Σ 2^(27−M_j) (absent registers contribute
+    // 2^27) — so the raw estimate is THREE float ops from exact
+    // integers: (709/1000) · 2^39 / S. The small-range branch
+    // (raw ≤ 2.5m with empty registers → m·ln(m/V)) has only 64 possible
+    // values, precomputed in [[HllLc]] as exact dyadic fractions
+    // mant/2^k — the identical doubles reconstruct in SQL as integer
+    // divisions, so neither engine evaluates ln and neither parses a
+    // decimal literal (the DuckDB DECIMAL-literal double-rounding trap).
+    "q53_vocab_hll" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+      val r = toks
+        .select(col("lang"), portableHash(col("tok")).as("hv"))
+        .select(col("lang"),
+          col("hv").bitwiseAND(lit(63L)).as("reg"),
+          when(shiftright(col("hv"), 6) > 0,
+            lit(27) - length(bin(shiftright(col("hv"), 6))))
+            .otherwise(lit(27)).cast("long").as("rho"))
+      val sums = r.groupBy("lang", "reg").agg(max("rho").as("mr"))
+        .groupBy("lang").agg(
+          (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - mr AS INT))")) +
+            (lit(64L) - count(lit(1))) * lit(1L << 27)).as("sint"),
+          count(lit(1)).as("nreg"))
+      val raw = lit(709).cast("double") / lit(1000).cast("double") *
+        lit(549755813888L).cast("double") / col("sint").cast("double")
+      val v = (lit(64L) - col("nreg")).cast("int")
+      toks.groupBy("lang").agg(countDistinct("tok").as("n_exact"))
+        .join(sums, "lang")
+        .withColumn("raw", raw)
+        .select(col("lang"), col("n_exact"),
+          when(col("raw") <= lit(160).cast("double") && v > 0,
+            element_at(typedLit(HllLc.map { case (m, p) =>
+              m.toDouble / p.toDouble }), v))
+            .otherwise(col("raw")).as("n_hll"))
+    }),
+
     // composed prep pipeline: exact-dedup -> quality score -> language
     // filter — the realistic end-to-end shape of training-data prep. One
     // shuffle (the dedup window on the content hash); scoring and filters
@@ -506,6 +568,29 @@ object TextAnalysis {
          |    AND frac_alpha > 0.8
          |    AND n_stop_distinct >= 2, false) AS pass
          |FROM r""".stripMargin,
+
+    "q53_vocab_hll" ->
+      s"""WITH t AS (SELECT lang, unnest($Toks) AS tok FROM documents),
+         |h AS (SELECT lang, CAST('0x'||substr(sha256(tok),1,8) AS BIGINT) AS hv FROM t),
+         |r AS (SELECT lang, hv & 63 AS reg,
+         |  CASE WHEN (hv >> 6) > 0 THEN 27 - length(bin(hv >> 6)) ELSE 27 END AS rho
+         |  FROM h),
+         |m AS (SELECT lang, reg, MAX(rho) AS mr FROM r GROUP BY lang, reg),
+         |s AS (SELECT lang, CAST(SUM(CAST(1 AS BIGINT) << CAST(27 - mr AS INTEGER))
+         |    + (64 - COUNT(*)) * (CAST(1 AS BIGINT) << 27) AS BIGINT) AS sint,
+         |  64 - COUNT(*) AS v
+         |  FROM m GROUP BY lang),
+         |e AS (SELECT lang, COUNT(DISTINCT tok) AS n_exact FROM t GROUP BY lang),
+         |est AS (SELECT lang,
+         |  CAST(709 AS DOUBLE)/CAST(1000 AS DOUBLE) * CAST(549755813888 AS DOUBLE)
+         |    / CAST(sint AS DOUBLE) AS raw, v FROM s)
+         |SELECT e.lang, e.n_exact,
+         |  CASE WHEN est.raw <= CAST(160 AS DOUBLE) AND est.v > 0
+         |    THEN CASE est.v ${HllLc.zipWithIndex.map { case ((m, p), i) =>
+                s"WHEN ${i + 1} THEN CAST($m AS DOUBLE)/CAST($p AS DOUBLE)"
+              }.mkString(" ")} END
+         |  ELSE est.raw END AS n_hll
+         |FROM e JOIN est USING (lang)""".stripMargin,
 
     "q36_prep_pipeline" ->
       s"""WITH dd AS (SELECT doc_id, text FROM (

@@ -190,6 +190,16 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache() // q35 persists its norm projection
   }
 
+  test("q53 HLL sketch: map-side partials, bounded exchanges, no nested loop") {
+    // the sketch branch must combine registers BEFORE its exchange (state
+    // = 64 registers per group, not tokens); the exact-count branch pays
+    // its own distinct — together a handful of exchanges, never a loop
+    val p = execPlan("q53_vocab_hll")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert("Exchange hashpartitioning".r.findAllIn(p).length <= 5, p)
+  }
+
   test("q39 bucketed cosine near-dup: no nested loop, no cartesian product") {
     // THE property that makes q39 the 100 TB replacement for q28: candidate
     // generation must be a bucket equi-join (shuffle or broadcast hash),
