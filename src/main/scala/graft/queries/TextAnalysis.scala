@@ -40,6 +40,13 @@ object TextAnalysis {
     */
   private def GopherStops = graft.functions.QualityRules.Stops
 
+  /** q54 count-min geometry: 4 sha-seeded hash rows × 1024 cells —
+    * ε = e/1024 ≈ 0.27% of the token mass as one-sided overcount, δ =
+    * e^-4. Fixed counter state regardless of vocabulary size.
+    */
+  private[queries] val CmsDepth = 4
+  private[queries] val CmsWidth = 1024L
+
   /** q53 linear-counting table: the 64 possible small-range estimates
     * m·ln(m/V) for V = 1..64 empty registers, each decomposed into the
     * exact dyadic fraction (mant, 2^k) its double value IS — both engines
@@ -346,6 +353,37 @@ object TextAnalysis {
             .otherwise(col("raw")).as("n_hll"))
     }),
 
+    // heavy hitters: the corpus's exact top-10 tokens with their
+    // count-min-sketch estimates beside the exact counts. The sketch is
+    // the 100 TB shape for frequency queries: counter state is the FIXED
+    // 4×1024 grid (one map-side-combined shuffle on (row, cell)) however
+    // large the vocabulary, where the exact count must key a shuffle by
+    // every distinct token. All-integer — hashes are sha-derived
+    // ([[portableHash]] row seeds), counters are counts, the estimate is
+    // a min over 4 cells — so cross-engine parity is exact by
+    // construction. CMS guarantees estimate ≥ truth; the spec bounds the
+    // one-sided error at ε·N (ε = e/1024).
+    "q54_heavy_hitters" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("tok"))
+      def cellCols(depth: Int) = array((0 until depth).map(d =>
+        struct(lit(d.toLong).as("d"),
+          (portableHash(col("tok"), d) % CmsWidth).as("cell"))): _*)
+      val exact = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      val top = exact.orderBy(desc("n_exact"), asc("tok")).limit(10)
+      val cells = toks
+        .select(explode(cellCols(CmsDepth)).as("x"))
+        .select(col("x.d").as("d"), col("x.cell").as("cell"))
+        .groupBy("d", "cell").agg(count(lit(1)).as("cnt"))
+      top
+        .select(col("tok"), col("n_exact"), explode(cellCols(CmsDepth)).as("x"))
+        .select(col("tok"), col("n_exact"),
+          col("x.d").as("d"), col("x.cell").as("cell"))
+        .join(cells, Seq("d", "cell"))
+        .groupBy("tok", "n_exact").agg(min("cnt").as("n_cms"))
+        .select(col("tok"), col("n_exact"), col("n_cms"))
+    }),
+
     // composed prep pipeline: exact-dedup -> quality score -> language
     // filter — the realistic end-to-end shape of training-data prep. One
     // shuffle (the dedup window on the content hash); scoring and filters
@@ -568,6 +606,23 @@ object TextAnalysis {
          |    AND frac_alpha > 0.8
          |    AND n_stop_distinct >= 2, false) AS pass
          |FROM r""".stripMargin,
+
+    "q54_heavy_hitters" ->
+      s"""WITH t AS (SELECT unnest($Toks) AS tok FROM documents),
+         |e AS (SELECT tok, COUNT(*) AS n_exact FROM t GROUP BY tok),
+         |top AS (SELECT tok, n_exact FROM e ORDER BY n_exact DESC, tok LIMIT 10),
+         |k AS (SELECT tok, d,
+         |  CAST('0x'||substr(sha256(CASE WHEN d = 0 THEN tok ELSE tok||'#'||d END),1,8)
+         |    AS BIGINT) % $CmsWidth AS cell
+         |  FROM t, range(0, $CmsDepth) r(d)),
+         |c AS (SELECT d, cell, COUNT(*) AS cnt FROM k GROUP BY d, cell),
+         |tk AS (SELECT top.tok, top.n_exact, d,
+         |  CAST('0x'||substr(sha256(CASE WHEN d = 0 THEN top.tok ELSE top.tok||'#'||d END),1,8)
+         |    AS BIGINT) % $CmsWidth AS cell
+         |  FROM top, range(0, $CmsDepth) r(d))
+         |SELECT tk.tok, tk.n_exact, CAST(MIN(c.cnt) AS BIGINT) AS n_cms
+         |FROM tk JOIN c USING (d, cell)
+         |GROUP BY tk.tok, tk.n_exact""".stripMargin,
 
     "q53_vocab_hll" ->
       s"""WITH t AS (SELECT lang, unnest($Toks) AS tok FROM documents),

@@ -200,6 +200,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert("Exchange hashpartitioning".r.findAllIn(p).length <= 5, p)
   }
 
+  test("q54 count-min: map-side partials, fixed-grid counter aggregation, no loop") {
+    // the counter aggregation must combine before its exchange (state is
+    // the 4x1024 grid, not token occurrences) and the top-10 must be
+    // TakeOrdered, never a global sort
+    val p = execPlan("q54_heavy_hitters")
+    assert(p.contains("partial_"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q39 bucketed cosine near-dup: no nested loop, no cartesian product") {
     // THE property that makes q39 the 100 TB replacement for q28: candidate
     // generation must be a bucket equi-join (shuffle or broadcast hash),
