@@ -1,0 +1,128 @@
+package graft.streaming
+
+import graft.functions.TextFunctions.portableHashLocal
+import graft.functions.VectorFunctions.{hyperplaneBands, vecDot}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Incremental streaming embedding near-dedup — the streaming form of
+  * q39's banded hyperplane-LSH cosine dedup, exactly as
+  * [[DocStream]]'s near-dedup is the streaming form of q27: each
+  * micro-batch band-joins its vectors against the accumulated survivor
+  * index on `(family, bucket)`, verifies candidates with ONE exact
+  * codegen'd cosine per pair, admits survivors greedily to the smallest
+  * vec_id, and appends their band rows to the index.
+  *
+  * The planes are the SAME deterministic sha-derived sequence q39 uses
+  * (`plane<p>_<i>`), with the planes-per-family count an INDEX-LIFETIME
+  * constant (batch q39 derives it per corpus; an index's band keys must
+  * stay comparable across every batch — widening is a re-band pass over
+  * the stored vectors, as in [[DocStream.rebandIndex]]).
+  *
+  * Crash safety is [[DocStream]]'s marker protocol verbatim: batch-scoped
+  * overwrite directories, survivors first, own-epoch-excluded index
+  * reads, commit marker last. The index partitions by the bucket group
+  * `g = bk mod 64` and each batch's read is pruned to its own groups.
+  */
+object EmbedStream {
+
+  private[streaming] val BkBuckets = 64
+  private val Families = 20
+
+  /** q39's deterministic plane component (Similarity mirrors this): the
+    * sha-32 of "plane<p>_<i>" scaled to [-1, 1).
+    */
+  private def planeComp(p: Int, i: Int): Double =
+    portableHashLocal(s"plane${p}_$i").toDouble / 2147483648.0 - 1.0
+
+  private def planes(k: Int): Array[Double] =
+    Array.tabulate(Families * k * 64)(x => planeComp(x / 64, x % 64 + 1))
+
+  /** Band rows `(vec_id, embedding, nrm, f, bk, g)` of a batch —
+    * zero-norm vectors (no direction, ANSI divide hazard) are dropped at
+    * the source, as in every batch cosine operator.
+    */
+  private def bandsOf(batch: DataFrame, k: Int): DataFrame =
+    batch
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"),
+        hyperplaneBands(col("embedding"), planes(k), Families, k).as("bks"))
+      .filter(col("nrm") > 0)
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        posexplode(col("bks")))
+      .select(col("vec_id"), col("embedding"), col("nrm"),
+        col("pos").cast("long").as("f"), col("col").as("bk"))
+      .withColumn("g", pmod(col("bk"), lit(BkBuckets)).cast("int"))
+
+  private def emptyIndex(spark: SparkSession): DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "vec_id BIGINT, embedding ARRAY<FLOAT>, nrm DOUBLE, f BIGINT, bk BIGINT"))
+
+  /** The admitted index as this batch must see it: every committed epoch
+    * except the batch's own (a crashed attempt may have written
+    * uncommitted rows), pruned to the batch's own `g` partitions.
+    */
+  private[streaming] def prunedIndex(spark: SparkSession, indexPath: String,
+      batchId: Long, groups: Seq[Int]): DataFrame =
+    try spark.read.parquet(indexPath)
+      .filter(col("batch_id").cast("long") =!= lit(batchId))
+      .filter(col("g").isin(groups: _*))
+      .select("vec_id", "embedding", "nrm", "f", "bk")
+    catch { case _: org.apache.spark.sql.AnalysisException =>
+      emptyIndex(spark) // first batch: no index directory yet
+    }
+
+  /** One micro-batch, exactly-once per `batchId` (the [[DocStream]]
+    * protocol): dedup the batch against the index (band equi-join +
+    * exact cosine ≥ `threshold`), then greedily within itself, write
+    * survivors then the index delta to batch-scoped directories, commit
+    * marker last.
+    */
+  def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      indexPath: String, outPath: String, planesPerFam: Int = 6,
+      threshold: Double = 0.35): Unit = {
+    val marker = java.nio.file.Paths.get(indexPath, "_commits", batchId.toString)
+    if (java.nio.file.Files.exists(marker)) return // replayed, committed
+    val stable = batch.localCheckpoint()
+    val bands = bandsOf(stable, planesPerFam).persist()
+    try {
+      val groups = bands.select("g").distinct().collect().map(_.getInt(0)).toSeq
+      val index = prunedIndex(spark, indexPath, batchId, groups)
+      def cos(an: String, bn: String) =
+        vecDot(col(s"$an.embedding"), col(s"$bn.embedding")) /
+          (col(s"$an.nrm") * col(s"$bn.nrm"))
+      val crossDup = bands.alias("n").join(index.alias("i"),
+          col("n.f") === col("i.f") && col("n.bk") === col("i.bk") &&
+          cos("n", "i") >= threshold, "left_semi")
+        .select("vec_id").distinct()
+      val survBands = bands.join(crossDup, Seq("vec_id"), "left_anti")
+      val withinDup = survBands.alias("a").join(survBands.alias("b"),
+          col("a.f") === col("b.f") && col("a.bk") === col("b.bk") &&
+          col("a.vec_id") < col("b.vec_id") && cos("a", "b") >= threshold)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      val keptBands = survBands.join(withinDup, Seq("vec_id"), "left_anti")
+      val survivors = stable.join(
+        keptBands.select("vec_id").distinct(), Seq("vec_id"))
+      survivors.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      keptBands.write.partitionBy("g").mode("overwrite")
+        .parquet(s"$indexPath/batch_id=$batchId")
+      java.nio.file.Files.createDirectories(marker.getParent)
+      java.nio.file.Files.createFile(marker)
+    } finally bands.unpersist()
+  }
+
+  /** Streaming incremental embedding near-dedup over a stream of
+    * `(vec_id, ingest_ts, embedding)` rows.
+    */
+  def runNearDedup(vectors: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, planesPerFam: Int = 6, threshold: Double = 0.35)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch.sparkSession, batch, batchId, indexPath, outPath,
+          planesPerFam, threshold)
+      }
+      .start()
+}

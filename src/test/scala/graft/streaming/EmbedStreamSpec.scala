@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental streaming embedding near-dedup: the q39 semantics (band
+  * collision + exact cosine ≥ 0.35) applied micro-batch-by-micro-batch
+  * against the accumulated survivor index, with DocStream's exactly-once
+  * marker protocol.
+  */
+class EmbedStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(min: Long): Timestamp = new Timestamp(min * 60000L)
+
+  // deterministic vectors: dups are exact copies (cosine 1 in every
+  // family bucket); distinct gaussians are near-orthogonal at 64-d
+  private def vec(seed: Int): Array[Float] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(64)(rnd.nextGaussian().toFloat)
+  }
+  private val vA = vec(1)
+  private val vC = vec(2)
+  private val vE = vec(3)
+
+  test("survivors admit first-seen vectors; cross- and within-batch dups drop") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-embdedup").toString
+    val mem = MemoryStream[(Long, Timestamp, Array[Float])]
+    val q = EmbedStream.runNearDedup(
+      mem.toDF().toDF("vec_id", "ingest_ts", "embedding"),
+      s"$base/index", s"$base/out", s"$base/ckpt")
+    try {
+      // batch 1: A admitted, B (=A, larger id) dropped within-batch, C admitted
+      mem.addData((0L, ts(1), vA), (1L, ts(2), vA), (2L, ts(3), vC))
+      q.processAllAvailable()
+      // batch 2: D (=A) dropped against the INDEX, E admitted
+      mem.addData((10L, ts(4), vA), (11L, ts(5), vE))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$base/out")
+        .select("vec_id").as[Long].collect().toSet
+      assert(out == Set(0L, 2L, 11L))
+      // the index holds 20 family band rows per admitted vector
+      val idx = spark.read.parquet(s"$base/index")
+      assert(idx.select("vec_id").as[Long].collect().toSet == Set(0L, 2L, 11L))
+      assert(idx.count() == 60)
+    } finally q.stop()
+  }
+
+  test("stream survivors agree with batch q39 pair semantics on the union corpus") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-embdedup-batch").toString
+    Seq((0L, vA, 0), (1L, vA, 0), (2L, vC, 0), (10L, vA, 0), (11L, vE, 0))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    // 5 vectors derive the same 6 planes/family the stream's default uses
+    val pairs = graft.SparkEntry.queries("q39_cosine_neardup_lsh")(spark, d)
+      .collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    assert(Set((0L, 1L), (0L, 10L), (1L, 10L)).subsetOf(pairs),
+      s"q39 must pair the planted duplicates: $pairs")
+    // greedy keep-smallest over those pairs = the stream's survivor set
+    assert(!pairs.exists { case (a, b) => Set(2L, 11L)(a) || Set(2L, 11L)(b) })
+    spark.catalog.clearCache()
+  }
+
+  test("redelivery: committed batches no-op; an uncommitted recompute reproduces") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-embdedup-redeliver").toString
+    val batch = Seq((0L, vA), (2L, vC)).toDF("vec_id", "embedding")
+    def outIds = spark.read.parquet(s"$base/out")
+      .select("vec_id").as[Long].collect().toSeq.sorted
+    EmbedStream.processBatch(spark, batch, 0L, s"$base/index", s"$base/out")
+    assert(outIds == Seq(0L, 2L))
+    EmbedStream.processBatch(spark, batch, 0L, s"$base/index", s"$base/out")
+    assert(outIds == Seq(0L, 2L)) // committed replay: no-op, no duplicates
+    // crash between index write and marker: recompute must exclude its own
+    // epoch and reproduce identical survivors, not zero
+    Files.delete(java.nio.file.Paths.get(s"$base/index/_commits/0"))
+    EmbedStream.processBatch(spark, batch, 0L, s"$base/index", s"$base/out")
+    assert(outIds == Seq(0L, 2L))
+    val b1 = Seq((10L, vA), (11L, vE)).toDF("vec_id", "embedding")
+    EmbedStream.processBatch(spark, b1, 1L, s"$base/index", s"$base/out")
+    assert(outIds == Seq(0L, 2L, 11L))
+  }
+}
