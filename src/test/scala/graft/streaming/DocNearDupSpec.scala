@@ -48,7 +48,7 @@ class DocNearDupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("nearDedupBatch agrees with batch q27 pair semantics on the union corpus") {
+  test("stream survivors agree with batch q27/q43 semantics on the union corpus") {
     // docs admitted across the two batches above = docs with no q27-style
     // partner of smaller id in the union corpus (in-order arrival makes
     // greedy == keep-component-min here)
