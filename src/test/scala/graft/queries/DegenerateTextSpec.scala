@@ -33,9 +33,10 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q36_prep_pipeline", "q40_vocab_topk", "q41_repetition",
     "q43_neardup_clusters", "q44_dedup_survivors", "q45_quality_filter",
     // q46 drops null-text docs by construction (explode of a null token
-    // array yields no rows); q47 reads lang/n_chars, absent from this
-    // text-only fixture, so it is exercised at the real corpus instead
-    "q46_tfidf_top_terms", "q50_pii_scan",
+    // array yields no rows); q47/q53 read lang, absent from this
+    // text-only fixture, so they are exercised at the real corpus instead
+    "q46_tfidf_top_terms", "q50_pii_scan", "q51_pii_redact",
+    "q52_cluster_prep", "q54_heavy_hitters",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -51,6 +52,8 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q36_prep_pipeline", "q40_vocab_topk", // q40 is corpus-level
         "q44_dedup_survivors", // one row per cluster, not per doc
         "q46_tfidf_top_terms", // ≤3 rows per non-empty doc
+        "q52_cluster_prep", // filtered composite, like q36
+        "q54_heavy_hitters", // corpus-level top-10
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")
