@@ -100,12 +100,6 @@ object DocStream {
       .withColumn("g", pmod(col("bk"), lit(BkBuckets)).cast("int"))
   }
 
-  private def sketchBands(docs: DataFrame, w: Int): DataFrame =
-    bandsFromSketch(
-      docs.withColumn("simhash",
-        simHash32(transform(array_distinct(tokens(col("text"))), t => portableHash(t)))),
-      w)
-
   /** Dedup a batch's band rows against the admitted index — the 100 TB
     * shape of "dedup the new crawl against everything already admitted"
     * without ever re-pairing the corpus:
@@ -188,7 +182,28 @@ object DocStream {
     // within-batch band self-join needs a stable base, and the two writes
     // below must not re-pull the source; one checkpoint pins both
     val stable = batch.localCheckpoint()
-    val bands = sketchBands(stable, bandWidth)
+    // mass-cluster hygiene, LOSSLESS (unlike batch q27's frequency cap):
+    // collapse exact-sketch duplicates to their min-id representative
+    // BEFORE banding. Identical sketches share every band key at
+    // hamming 0, so a batch holding a 10k-copy document would otherwise
+    // put 10k rows in one bucket and the within-batch self-join would
+    // enumerate ~5·10^7 pairs — the quadratic-bucket failure the batch
+    // operators cap away. The collapse is one map-side-combined shuffle
+    // on the sketch and preserves the greedy semantics exactly: a member
+    // is a dup of its smaller-id representative, and any near-dup
+    // verdict against the representative applies to every member
+    // (identical sketch ⇒ identical hamming to any third document).
+    // Null sketches (null text) pass through uncollapsed — their band
+    // keys are null, which never equi-join, the prior behavior.
+    val sk = stable
+      .withColumn("simhash",
+        simHash32(transform(array_distinct(tokens(col("text"))), t => portableHash(t))))
+      .select(col("doc_id"), col("simhash"))
+    val reps = sk.filter(col("simhash").isNotNull)
+      .groupBy("simhash").agg(min("doc_id").as("doc_id"))
+      .select("doc_id", "simhash")
+      .union(sk.filter(col("simhash").isNull))
+    val bands = bandsFromSketch(reps, bandWidth)
       .persist() // feeds the prune-key collect, the cross-join, the self-join
     try {
       // the batch's own (b, g) groups — bounded by bands × BkBuckets, the

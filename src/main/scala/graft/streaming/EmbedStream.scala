@@ -85,7 +85,15 @@ object EmbedStream {
     val marker = java.nio.file.Paths.get(indexPath, "_commits", batchId.toString)
     if (java.nio.file.Files.exists(marker)) return // replayed, committed
     val stable = batch.localCheckpoint()
-    val bands = bandsOf(stable, planesPerFam).persist()
+    // lossless mass-cluster hygiene (see DocStream.processBatch): exact
+    // duplicate vectors collapse to their min-id representative before
+    // banding — identical vectors share every family bucket at cosine 1,
+    // and any verdict against the representative applies to every
+    // member, so semantics are unchanged while a mass-duplicate batch
+    // stops being a quadratic bucket in the within-batch self-join.
+    val reps = stable.groupBy("embedding").agg(min("vec_id").as("vec_id"))
+      .select("vec_id", "embedding")
+    val bands = bandsOf(reps, planesPerFam).persist()
     try {
       val groups = bands.select("g").distinct().collect().map(_.getInt(0)).toSeq
       val index = prunedIndex(spark, indexPath, batchId, groups)

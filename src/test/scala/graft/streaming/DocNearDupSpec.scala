@@ -89,6 +89,22 @@ class DocNearDupSpec extends AnyFunSuite {
     assert(outIds == Seq(0L, 2L, 11L))
   }
 
+  test("a mass-duplicate batch admits one representative (pre-band collapse)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-neardup-mass").toString
+    // 500 verbatim copies in ONE batch: without the exact-sketch collapse
+    // this is a 500-doc band bucket -> ~125k within-batch candidate pairs;
+    // with it, banding sees 2 representatives
+    val batch = ((0L until 500L).map(i => (i, textA)) :+ (999L, textC))
+      .toDF("doc_id", "text")
+    DocStream.processBatch(spark, batch, 0L, s"$base/index", s"$base/out")
+    val out = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(0L, 999L))
+    // index holds band rows for exactly the two admitted docs
+    assert(spark.read.parquet(s"$base/index").count() == 8)
+  }
+
   test("a batch's index scan reads only its own (b, g) band partitions") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-neardup-prune").toString

@@ -67,6 +67,18 @@ class EmbedStreamSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("a mass-duplicate vector batch admits one representative (pre-band collapse)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-embdedup-mass").toString
+    val batch = ((0L until 200L).map(i => (i, vA)) :+ (999L, vC))
+      .toDF("vec_id", "embedding")
+    EmbedStream.processBatch(spark, batch, 0L, s"$base/index", s"$base/out")
+    val out = spark.read.parquet(s"$base/out")
+      .select("vec_id").as[Long].collect().toSet
+    assert(out == Set(0L, 999L))
+    assert(spark.read.parquet(s"$base/index").count() == 40) // 2 × 20 families
+  }
+
   test("redelivery: committed batches no-op; an uncommitted recompute reproduces") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-embdedup-redeliver").toString
