@@ -183,6 +183,91 @@ case class MinHashAffine(child: Expression, as: Seq[Long], bs: Seq[Long], p: Lon
     copy(child = newChild)
 }
 
+/** Native Bloom-filter build: a [[TypedImperativeAggregate]] that ORs
+  * precomputed bit positions (an `array<bigint>` column, one entry per
+  * hash function) into a fixed `words`×64-bit buffer and emits the
+  * filter as `array<bigint>`.
+  *
+  * Why a custom aggregate and not built-ins: the relational formulation
+  * (explode positions → groupBy word → bit_or) shuffles every position
+  * row into ≤`words` groups — a skewed exchange that grows with the
+  * input; this aggregate keeps the ENTIRE state in one fixed 8·words-byte
+  * buffer per partition and merges buffers, the same shape as Spark's
+  * internal `bloom_filter_agg` (whose sketch layout is not
+  * SQL-mirrorable — this one's plain word array reconstructs exactly in
+  * DuckDB via `bit_or` over the identical sha-derived positions, which
+  * is what the oracle gate needs). Integer-only ⇒ order-independent,
+  * engine-portable.
+  *
+  * Out-of-range and null positions are ignored (a position is
+  * `hash % (words·64)` by construction; nulls arise from null text).
+  */
+case class BloomBitsAgg(child: Expression, words: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[Array[Long]] {
+  require(words > 0 && words <= (1 << 20), "words must be in (0, 2^20]")
+
+  override def children: Seq[Expression] = Seq(child)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): BloomBitsAgg =
+    copy(child = newChildren.head)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bloom_bits requires array<bigint> positions, got ${other.sql}")
+  }
+
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "bloom_bits"
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](words)
+
+  override def update(buf: Array[Long],
+      input: org.apache.spark.sql.catalyst.InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[ArrayData]
+      val bits = words.toLong * 64
+      var i = 0
+      while (i < arr.numElements()) {
+        if (!arr.isNullAt(i)) {
+          val p = arr.getLong(i)
+          if (p >= 0 && p < bits) buf((p >> 6).toInt) |= 1L << (p & 63)
+        }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < words) { b1(i) |= b2(i); i += 1 }
+    b1
+  }
+
+  override def eval(buf: Array[Long]): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(buf.clone())
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(words * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(words)(bb.getLong())
+  }
+
+  override def withNewMutableAggBufferOffset(n: Int): BloomBitsAgg =
+    copy(mutableAggBufferOffset = n)
+  override def withNewInputAggBufferOffset(n: Int): BloomBitsAgg =
+    copy(inputAggBufferOffset = n)
+}
+
 object SketchFunctions {
   /** Column-level one-pass simhash over token hashes (see [[SimHash32]]). */
   def simHash32(tokenHashes: Column): Column =
@@ -192,4 +277,11 @@ object SketchFunctions {
   def minHash(tokenHashes: Column, as: Seq[Long], bs: Seq[Long], p: Long): Column =
     GraftBridge.column(
       MinHashAffine(GraftBridge.expression(tokenHashes), as, bs, p))
+
+  /** Column-level Bloom build over precomputed bit positions (see
+    * [[BloomBitsAgg]]); use inside `.agg(...)`.
+    */
+  def bloomBits(positions: Column, words: Int): Column =
+    GraftBridge.column(
+      BloomBitsAgg(GraftBridge.expression(positions), words).toAggregateExpression())
 }

@@ -40,6 +40,13 @@ object TextAnalysis {
     */
   private def GopherStops = graft.functions.QualityRules.Stops
 
+  /** q55 Bloom geometry: 3 sha-seeded hashes into 64 words × 64 bits.
+    * At n admitted documents the false-positive rate is
+    * (1 − e^(−3n/4096))³ — ~1.6% at n=400.
+    */
+  private[queries] val BloomWords = 64
+  private[queries] val BloomK = 3
+
   /** q54 count-min geometry: 4 sha-seeded hash rows × 1024 cells —
     * ε = e/1024 ≈ 0.27% of the token mass as one-sided overcount, δ =
     * e^-4. Fixed counter state regardless of vocabulary size.
@@ -384,6 +391,38 @@ object TextAnalysis {
         .select(col("tok"), col("n_exact"), col("n_cms"))
     }),
 
+    // Bloom-filter admission probe: build a 4096-bit Bloom over the
+    // content hashes of the admitted shard (here lang='en') via the
+    // native [[graft.functions.BloomBitsAgg]] (fixed 512-byte buffer per
+    // partition, merged — never a per-position shuffle), then probe
+    // EVERY document: "is this content maybe already admitted?" — the
+    // at-scale membership primitive (the filter broadcasts at any corpus
+    // size; a semi-join against the admitted set shuffles it). Bloom
+    // guarantees no false negatives; the spec bounds the false-positive
+    // rate the 3-hash/4096-bit geometry promises. All-integer positions
+    // (sha-seeded, mod 4096) ⇒ exact cross-engine parity; the DuckDB
+    // mirror rebuilds the identical word array with bit_or.
+    "q55_bloom_admitted" -> ((s, dir) => {
+      def positions = array((0 until BloomK).map(j =>
+        portableHash(col("text"), j) % lit(BloomWords * 64L)): _*)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val bloom = docs.filter(col("lang") === "en")
+        .select(positions.as("ps"))
+        .agg(graft.functions.SketchFunctions.bloomBits(col("ps"), BloomWords)
+          .as("bloom"))
+      docs
+        .select(col("doc_id"),
+          coalesce(col("lang") === "en", lit(false)).as("admitted"),
+          explode(positions).as("p"))
+        .join(broadcast(bloom))
+        .withColumn("hit", expr(
+          "(element_at(bloom, CAST(p div 64 AS INT) + 1) & " +
+            "shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))) != 0"))
+        .groupBy("doc_id", "admitted").agg(min(col("hit")).as("maybe_admitted"))
+        .select("doc_id", "admitted", "maybe_admitted")
+    }),
+
     // composed prep pipeline: exact-dedup -> quality score -> language
     // filter — the realistic end-to-end shape of training-data prep. One
     // shuffle (the dedup window on the content hash); scoring and filters
@@ -445,6 +484,31 @@ object TextAnalysis {
 
   private def sqlStops(lang: String): String =
     stopwordsByLang.toMap.apply(lang).map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** q45's Gopher-rule chain as CTEs ending in
+    * `qp(doc_id, n_words, mean_word_len, frac_alpha, n_stop_distinct,
+    * pass)`.
+    */
+  private def sqlQualityCtes: String =
+    s"""t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |m AS (SELECT doc_id,
+       |  len(tk) AS n_words,
+       |  CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
+       |  len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
+       |  len(list_filter(${GopherStops.map(w => s"'$w'").mkString("[", ",", "]")},
+       |    w -> list_contains(tk, w))) AS n_stop_distinct
+       |  FROM t),
+       |r AS (SELECT doc_id, n_words,
+       |  CASE WHEN n_words > 0
+       |    THEN CAST(sum_len AS DOUBLE)/CAST(n_words AS DOUBLE) END AS mean_word_len,
+       |  CASE WHEN n_words > 0
+       |    THEN CAST(n_alpha AS DOUBLE)/CAST(n_words AS DOUBLE) END AS frac_alpha,
+       |  n_stop_distinct FROM m),
+       |qp AS (SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop_distinct,
+       |  COALESCE(n_words BETWEEN 50 AND 100000
+       |    AND mean_word_len BETWEEN 3.0 AND 10.0
+       |    AND frac_alpha > 0.8
+       |    AND n_stop_distinct >= 2, false) AS pass FROM r)""".stripMargin
 
   // DuckDB mirrors. Shared fragments:
   private val Toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
@@ -586,26 +650,31 @@ object TextAnalysis {
         |FROM r GROUP BY lang""".stripMargin,
 
     "q45_quality_filter" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
-         |m AS (SELECT doc_id,
-         |  len(tk) AS n_words,
-         |  CAST(list_aggregate(list_transform(tk, x -> length(x)), 'sum') AS BIGINT) AS sum_len,
-         |  len(list_filter(tk, x -> regexp_matches(x, '[a-z]'))) AS n_alpha,
-         |  len(list_filter(${GopherStops.map(w => s"'$w'").mkString("[", ",", "]")},
-         |    w -> list_contains(tk, w))) AS n_stop_distinct
-         |  FROM t),
-         |r AS (SELECT doc_id, n_words,
-         |  CASE WHEN n_words > 0
-         |    THEN CAST(sum_len AS DOUBLE)/CAST(n_words AS DOUBLE) END AS mean_word_len,
-         |  CASE WHEN n_words > 0
-         |    THEN CAST(n_alpha AS DOUBLE)/CAST(n_words AS DOUBLE) END AS frac_alpha,
-         |  n_stop_distinct FROM m)
-         |SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop_distinct,
-         |  COALESCE(n_words BETWEEN 50 AND 100000
-         |    AND mean_word_len BETWEEN 3.0 AND 10.0
-         |    AND frac_alpha > 0.8
-         |    AND n_stop_distinct >= 2, false) AS pass
-         |FROM r""".stripMargin,
+      s"""WITH $sqlQualityCtes
+         |SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop_distinct, pass
+         |FROM qp""".stripMargin,
+
+    "q55_bloom_admitted" ->
+      s"""WITH adm AS (SELECT text FROM documents WHERE lang = 'en'),
+         |ep AS (SELECT CAST('0x'||substr(sha256(
+         |    CASE WHEN j = 0 THEN text ELSE text||'#'||j END),1,8) AS BIGINT)
+         |    % ${BloomWords * 64} AS p
+         |  FROM adm, range(0, $BloomK) rj(j)),
+         |words AS (SELECT p // 64 AS w,
+         |    bit_or(CAST(1 AS HUGEINT) << CAST(p % 64 AS INTEGER)) AS bits
+         |  FROM ep GROUP BY 1),
+         |cp AS (SELECT d.doc_id, COALESCE(d.lang = 'en', false) AS admitted,
+         |  CAST('0x'||substr(sha256(
+         |    CASE WHEN j = 0 THEN d.text ELSE d.text||'#'||j END),1,8) AS BIGINT)
+         |    % ${BloomWords * 64} AS p
+         |  FROM documents d, range(0, $BloomK) rj(j)),
+         |probe AS (SELECT cp.doc_id, cp.admitted,
+         |  CASE WHEN cp.p IS NULL THEN NULL
+         |    ELSE COALESCE((w.bits & (CAST(1 AS HUGEINT) << CAST(cp.p % 64 AS INTEGER))) != 0, false)
+         |  END AS hit
+         |  FROM cp LEFT JOIN words w ON w.w = cp.p // 64)
+         |SELECT doc_id, admitted, MIN(hit) AS maybe_admitted
+         |FROM probe GROUP BY doc_id, admitted""".stripMargin,
 
     "q54_heavy_hitters" ->
       s"""WITH t AS (SELECT unnest($Toks) AS tok FROM documents),

@@ -210,6 +210,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q55 bloom probe: typed-imperative build with partial merge, broadcast filter") {
+    // the build must be the fixed-buffer aggregate (ObjectHashAggregate
+    // over bloom_bits with a partial phase — never a per-position
+    // shuffle), and the 1-row filter must broadcast to the probe side
+    val p = execPlan("q55_bloom_admitted")
+    assert(p.contains("bloom_bits"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_bloom_bits"), p)
+    assert(p.contains("Broadcast"), p)
+  }
+
   test("q39 bucketed cosine near-dup: no nested loop, no cartesian product") {
     // THE property that makes q39 the 100 TB replacement for q28: candidate
     // generation must be a bucket equi-join (shuffle or broadcast hash),
