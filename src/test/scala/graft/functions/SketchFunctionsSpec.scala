@@ -59,6 +59,19 @@ class SketchFunctionsSpec extends AnyFunSuite {
     assert(r.getLong(0) == 7L) // single hash: its set bits win every vote
   }
 
+  test("SQL registration: minhash_affine and bloom_bits callable from spark.sql") {
+    val r = spark.sql(
+      """SELECT minhash_affine(array(CAST(10 AS BIGINT), CAST(3 AS BIGINT)),
+        |  array(CAST(2 AS BIGINT)), array(CAST(1 AS BIGINT)),
+        |  CAST(1000 AS BIGINT)) AS sg""".stripMargin).head()
+    assert(r.getSeq[Long](0) == Seq(7L)) // min(2*10+1, 2*3+1) mod 1000
+    val b = spark.sql(
+      """SELECT bloom_bits(ps, 2) AS bloom FROM (VALUES
+        |  (array(CAST(0 AS BIGINT), CAST(64 AS BIGINT))),
+        |  (array(CAST(3 AS BIGINT)))) AS t(ps)""".stripMargin).head()
+    assert(b.getSeq[Long](0) == Seq(9L, 1L)) // bits 0,3 in word 0; bit 64 in word 1
+  }
+
   private val P = 2147483647L
   private val As = Seq(2654435761L % P, 40503L, 123457L)
   private val Bs = Seq(17L, 0L, 999999L)

@@ -94,6 +94,18 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(!edge(1).isNullAt(0))
   }
 
+  test("vec_dot_many and hyperplane_bands are SQL-callable via GraftExtensions") {
+    val r = spark.sql(
+      """SELECT vec_dot_many(array(CAST(2.0 AS DOUBLE), CAST(3.0 AS DOUBLE)),
+        |  array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+        |        CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)), 2) AS d,
+        |hyperplane_bands(array(CAST(1.0 AS DOUBLE)),
+        |  array(CAST(1.0 AS DOUBLE), CAST(-1.0 AS DOUBLE)), 2, 1) AS b
+        |""".stripMargin).head()
+    assert(r.getSeq[Double](0) == Seq(2.0, 3.0))
+    assert(r.getSeq[Long](1) == Seq(1L, 0L)) // +plane sets the bit, -plane doesn't
+  }
+
   test("hyperplane_bands compares by plane CONTENT, not array reference") {
     // case-class equals over an Array field is reference equality, under
     // which canonicalization/semanticEquals/CSE silently miss identical
