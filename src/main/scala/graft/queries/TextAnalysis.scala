@@ -54,6 +54,23 @@ object TextAnalysis {
   private[queries] val CmsDepth = 4
   private[queries] val CmsWidth = 1024L
 
+  /** The q53 HLL register table `(lang, reg, mr)` over `(lang, tok)`
+    * rows — ONE definition shared by the batch estimate (q53) and the
+    * streaming dual ([[graft.streaming.DocStream.vocabSketch]]). The
+    * register max is MONOTONE, so the identical aggregation runs
+    * stateful over an unbounded stream with state bounded at
+    * |langs|·64 rows and needs no watermark.
+    */
+  private[graft] def hllRegisters(langTok: DataFrame): DataFrame =
+    langTok
+      .select(col("lang"), portableHash(col("tok")).as("hv"))
+      .select(col("lang"),
+        col("hv").bitwiseAND(lit(63L)).as("reg"),
+        when(shiftright(col("hv"), 6) > 0,
+          lit(27) - length(bin(shiftright(col("hv"), 6))))
+          .otherwise(lit(27)).cast("long").as("rho"))
+      .groupBy("lang", "reg").agg(max("rho").as("mr"))
+
   /** q53 linear-counting table: the 64 possible small-range estimates
     * m·ln(m/V) for V = 1..64 empty registers, each decomposed into the
     * exact dyadic fraction (mant, 2^k) its double value IS — both engines
@@ -335,14 +352,7 @@ object TextAnalysis {
     "q53_vocab_hll" -> ((s, dir) => {
       val toks = Tables(s, dir, "documents")
         .select(col("lang"), explode(tokens(col("text"))).as("tok"))
-      val r = toks
-        .select(col("lang"), portableHash(col("tok")).as("hv"))
-        .select(col("lang"),
-          col("hv").bitwiseAND(lit(63L)).as("reg"),
-          when(shiftright(col("hv"), 6) > 0,
-            lit(27) - length(bin(shiftright(col("hv"), 6))))
-            .otherwise(lit(27)).cast("long").as("rho"))
-      val sums = r.groupBy("lang", "reg").agg(max("rho").as("mr"))
+      val sums = hllRegisters(toks)
         .groupBy("lang").agg(
           (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(27 - mr AS INT))")) +
             (lit(64L) - count(lit(1))) * lit(1L << 27)).as("sint"),

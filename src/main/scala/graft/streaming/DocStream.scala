@@ -69,6 +69,19 @@ object DocStream {
       .filter(col("pass"))
       .drop("n_words", "mean_word_len", "frac_alpha", "n_stop_distinct", "pass")
 
+  /** Streaming vocabulary-cardinality sketch: q53's HLL register table
+    * over an unbounded doc stream, via the SAME
+    * [[graft.queries.TextAnalysis.hllRegisters]] definition the batch
+    * estimate uses. Register max-rho is monotone, so the stateful
+    * aggregation needs no watermark and its state is bounded at
+    * |langs|·64 rows forever — the sketch-on-stream shape (run with
+    * complete/update output; the estimate derivation is q53's tiny
+    * 64-row batch step over the emitted table).
+    */
+  def vocabSketch(docs: DataFrame): DataFrame =
+    graft.queries.TextAnalysis.hllRegisters(
+      docs.select(col("lang"), explode(tokens(col("text"))).as("tok")))
+
   // ---- incremental near-dedup (the q27 semantics against history) ---------
 
   /** Sub-partition count for the band-key bucket `g = bk mod BkBuckets`.

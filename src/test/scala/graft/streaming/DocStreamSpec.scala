@@ -37,6 +37,36 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("vocabSketch streams q53's register table (same derivation, bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val q = DocStream.vocabSketch(
+        mem.toDF().toDF("doc_id", "ingest_ts", "lang", "text"))
+      .writeStream.format("memory").queryName("vocab")
+      .outputMode("complete").start()
+    try {
+      val rows = Seq(
+        (0L, ts(1), "en", goodEn), (1L, ts(2), "es", spanish),
+        (2L, ts(3), "en", goodEn + " extra tokens here"))
+      mem.addData(rows.take(2))
+      q.processAllAvailable()
+      mem.addData(rows.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("vocab")
+        .as[(String, Long, Long)].collect().toSet
+      val want = graft.queries.TextAnalysis.hllRegisters(
+          rows.toDF("doc_id", "ingest_ts", "lang", "text")
+            .select($"lang", org.apache.spark.sql.functions.explode(
+              graft.functions.TextFunctions.tokens($"text")).as("tok")))
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want && got.nonEmpty,
+        "streaming register table must equal the batch derivation on the same rows")
+      // monotone-state contract: register count is bounded by langs × 64
+      assert(got.size <= 2 * 64)
+    } finally q.stop()
+  }
+
   test("qualityFiltered streams the batch q45 verdicts (same rule Columns)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
