@@ -350,7 +350,8 @@ object TextAnalysis {
     // divisions, so neither engine evaluates ln and neither parses a
     // decimal literal (the DuckDB DECIMAL-literal double-rounding trap).
     "q53_vocab_hll" -> ((s, dir) => {
-      val toks = Tables(s, dir, "documents")
+      // wide scan: per-token sha hashing dominates (see q54)
+      val toks = Tables.wide(s, dir, "documents")
         .select(col("lang"), explode(tokens(col("text"))).as("tok"))
       val sums = hllRegisters(toks)
         .groupBy("lang").agg(
@@ -381,7 +382,9 @@ object TextAnalysis {
     // construction. CMS guarantees estimate ≥ truth; the spec bounds the
     // one-sided error at ε·N (ε = e/1024).
     "q54_heavy_hitters" -> ((s, dir) => {
-      val toks = Tables(s, dir, "documents")
+      // wide scan: the token explode + 4 seeded hashes per occurrence is
+      // the CPU; a single-row-group local file would run it one-threaded
+      val toks = Tables.wide(s, dir, "documents")
         .select(explode(tokens(col("text"))).as("tok"))
       def cellCols(depth: Int) = array((0 until depth).map(d =>
         struct(lit(d.toLong).as("d"),
@@ -415,7 +418,8 @@ object TextAnalysis {
     "q55_bloom_admitted" -> ((s, dir) => {
       def positions = array((0 until BloomK).map(j =>
         portableHash(col("text"), j) % lit(BloomWords * 64L)): _*)
-      val docs = Tables(s, dir, "documents")
+      // wide scan: three full-text sha hashes per document (see q54)
+      val docs = Tables.wide(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
       val bloom = docs.filter(col("lang") === "en")
         .select(positions.as("ps"))
