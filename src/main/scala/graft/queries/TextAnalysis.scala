@@ -81,7 +81,12 @@ object TextAnalysis {
   private[queries] val HllLc: Seq[(Long, Long)] = (1 to 64).map { v =>
     var x = 64.0 * math.log(64.0 / v)
     var p = 1L
-    while (x != math.rint(x) || math.abs(x) > 9.0e15) { x *= 2; p *= 2 }
+    // terminates for every finite double: doubling shifts the binary
+    // point until the 53-bit significand is integral — at which point the
+    // value is ≤ 2^53 (exactly Long-representable), so no magnitude
+    // clause is needed (one would loop forever on an integral value
+    // above it, since doubling only grows the number)
+    while (x != math.rint(x)) { x *= 2; p *= 2 }
     (x.toLong, p)
   }
 

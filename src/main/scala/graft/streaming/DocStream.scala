@@ -189,8 +189,9 @@ object DocStream {
     */
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       indexPath: String, outPath: String, bandWidth: Int = 8): Unit = {
-    val marker = java.nio.file.Paths.get(indexPath, "_commits", batchId.toString)
-    if (java.nio.file.Files.exists(marker)) return // replayed, fully committed
+    if (BatchProtocol.committed(spark, indexPath, batchId))
+      return // replayed, fully committed
+    val beforeCkpt = BatchProtocol.persistedIds(spark)
     // a foreachBatch micro-batch is backed by an EPHEMERAL source — the
     // within-batch band self-join needs a stable base, and the two writes
     // below must not re-pull the source; one checkpoint pins both
@@ -220,8 +221,13 @@ object DocStream {
       .persist() // feeds the prune-key collect, the cross-join, the self-join
     try {
       // the batch's own (b, g) groups — bounded by bands × BkBuckets, the
-      // driver-side footprint of the pruning filter at ANY batch size
-      val groups = bands.select("b", "g").distinct()
+      // driver-side footprint of the pruning filter at ANY batch size.
+      // Null g (a null-text document's null sketch) stays out of the
+      // collect — getInt on a null was a per-batch NPE — and out of the
+      // prune set; null band keys never equi-join anything anyway, so
+      // such documents are always admitted, the pre-collapse behavior.
+      val groups = bands.filter(col("g").isNotNull)
+        .select("b", "g").distinct()
         .collect().map(r => (r.getInt(0), r.getInt(1))).toSeq
       val index = prunedIndex(spark, indexPath, batchId, groups)
       val keptBands = dedupBands(bands, index)
@@ -234,9 +240,13 @@ object DocStream {
       survivors.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       keptBands.write.partitionBy("b", "g").mode("overwrite")
         .parquet(s"$indexPath/batch_id=$batchId")
-      java.nio.file.Files.createDirectories(marker.getParent)
-      java.nio.file.Files.createFile(marker)
-    } finally bands.unpersist()
+      BatchProtocol.commit(spark, indexPath, batchId)
+    } finally {
+      bands.unpersist()
+      // release the batch's pinned localCheckpoint blocks — a stream
+      // otherwise leaks one batch-sized block set per micro-batch
+      BatchProtocol.freePersistedSince(spark, beforeCkpt)
+    }
   }
 
   /** Streaming incremental near-dedup: survivors accumulate under
@@ -271,20 +281,16 @@ object DocStream {
     */
   def rebandIndex(spark: SparkSession, indexPath: String, newIndexPath: String,
       newBandWidth: Int): Unit = {
+    // hard precondition, not just documentation: migrating an
+    // uncommitted epoch folds a crashed batch's sketches into the new
+    // index without its marker — its redelivery would find itself and
+    // emit nothing (see BatchProtocol.requireQuiesced)
+    BatchProtocol.requireQuiesced(spark, indexPath)
     val sketches = spark.read.parquet(indexPath)
       .select("doc_id", "simhash").distinct()
     bandsFromSketch(sketches, newBandWidth)
       .write.partitionBy("b", "g").mode("overwrite")
       .parquet(s"$newIndexPath/batch_id=-1")
-    val commits = java.nio.file.Paths.get(indexPath, "_commits")
-    val newCommits = java.nio.file.Paths.get(newIndexPath, "_commits")
-    java.nio.file.Files.createDirectories(newCommits)
-    if (java.nio.file.Files.isDirectory(commits)) {
-      val it = java.nio.file.Files.list(commits)
-      try it.forEach { p =>
-        java.nio.file.Files.copy(p, newCommits.resolve(p.getFileName.toString),
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      } finally it.close()
-    }
+    BatchProtocol.copyCommits(spark, indexPath, newIndexPath)
   }
 }

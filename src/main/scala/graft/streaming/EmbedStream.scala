@@ -82,8 +82,9 @@ object EmbedStream {
   def processBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
       indexPath: String, outPath: String, planesPerFam: Int = 6,
       threshold: Double = 0.35): Unit = {
-    val marker = java.nio.file.Paths.get(indexPath, "_commits", batchId.toString)
-    if (java.nio.file.Files.exists(marker)) return // replayed, committed
+    if (BatchProtocol.committed(spark, indexPath, batchId))
+      return // replayed, fully committed
+    val beforeCkpt = BatchProtocol.persistedIds(spark)
     val stable = batch.localCheckpoint()
     // lossless mass-cluster hygiene (see DocStream.processBatch): exact
     // duplicate vectors collapse to their min-id representative before
@@ -115,9 +116,12 @@ object EmbedStream {
       survivors.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
       keptBands.write.partitionBy("g").mode("overwrite")
         .parquet(s"$indexPath/batch_id=$batchId")
-      java.nio.file.Files.createDirectories(marker.getParent)
-      java.nio.file.Files.createFile(marker)
-    } finally bands.unpersist()
+      BatchProtocol.commit(spark, indexPath, batchId)
+    } finally {
+      bands.unpersist()
+      // release the batch's pinned localCheckpoint blocks (see DocStream)
+      BatchProtocol.freePersistedSince(spark, beforeCkpt)
+    }
   }
 
   /** Streaming incremental embedding near-dedup over a stream of

@@ -105,6 +105,41 @@ class DocNearDupSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$base/index").count() == 8)
   }
 
+  test("null-text documents flow through a batch unharmed (always admitted)") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-neardup-null").toString
+    // a null sketch has null band keys: it can never equi-join anything,
+    // so the doc is admitted — and it must not crash the prune-key
+    // collect (getInt on a null g was a per-batch NPE)
+    val batch = Seq((0L, textA), (1L, null.asInstanceOf[String]), (2L, textA))
+      .toDF("doc_id", "text")
+    DocStream.processBatch(spark, batch, 0L, s"$base/index", s"$base/out")
+    val out = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(0L, 1L), s"null-text doc must survive: $out")
+    // and the next batch still dedups against the index normally
+    DocStream.processBatch(spark,
+      Seq((10L, textA), (11L, null.asInstanceOf[String])).toDF("doc_id", "text"),
+      1L, s"$base/index", s"$base/out")
+    val out2 = spark.read.parquet(s"$base/out")
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(0L, 1L, 11L))
+  }
+
+  test("rebandIndex refuses an index with uncommitted epochs") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-neardup-quiesce").toString
+    DocStream.processBatch(spark,
+      Seq((0L, textA), (2L, textC)).toDF("doc_id", "text"),
+      0L, s"$base/index", s"$base/out")
+    // simulate a crash after the index write but before the marker
+    Files.delete(java.nio.file.Paths.get(s"$base/index/_commits/0"))
+    val e = intercept[IllegalArgumentException] {
+      DocStream.rebandIndex(spark, s"$base/index", s"$base/im", 16)
+    }
+    assert(e.getMessage.contains("uncommitted"), e.getMessage)
+  }
+
   test("a batch's index scan reads only its own (b, g) band partitions") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-neardup-prune").toString
