@@ -71,18 +71,4 @@ private[streaming] object BatchProtocol {
     }
   }
 
-  /** Snapshot of the persisted-RDD id set — pair with
-    * [[freePersistedSince]] around a batch's localCheckpoints.
-    */
-  def persistedIds(spark: SparkSession): Set[Int] =
-    spark.sparkContext.getPersistentRDDs.keySet.toSet
-
-  /** Release every RDD block persisted since `before` (localCheckpoint
-    * exposes no unpersist handle). Without this a stream pins one
-    * batch-sized checkpoint block set per micro-batch for its lifetime.
-    */
-  def freePersistedSince(spark: SparkSession, before: Set[Int]): Unit =
-    (persistedIds(spark) -- before).foreach { id =>
-      spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false))
-    }
 }

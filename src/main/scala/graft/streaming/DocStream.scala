@@ -191,11 +191,11 @@ object DocStream {
       indexPath: String, outPath: String, bandWidth: Int = 8): Unit = {
     if (BatchProtocol.committed(spark, indexPath, batchId))
       return // replayed, fully committed
-    val beforeCkpt = BatchProtocol.persistedIds(spark)
     // a foreachBatch micro-batch is backed by an EPHEMERAL source — the
     // within-batch band self-join needs a stable base, and the two writes
     // below must not re-pull the source; one checkpoint pins both
     val stable = batch.localCheckpoint()
+    val stableIds = graft.CheckpointBlocks.ids(stable)
     // mass-cluster hygiene, LOSSLESS (unlike batch q27's frequency cap):
     // collapse exact-sketch duplicates to their min-id representative
     // BEFORE banding. Identical sketches share every band key at
@@ -238,14 +238,19 @@ object DocStream {
       // directory with identical rows — index-first would instead find the
       // batch's own bands and silently drop it forever
       survivors.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
-      keptBands.write.partitionBy("b", "g").mode("overwrite")
+      // the index write drops null-key band rows (null-text sketches):
+      // a null bk can never equi-join, so they would only accumulate as
+      // dead rows in every epoch — survivors above joins the UNFILTERED
+      // keptBands, so null-sketch documents are still admitted
+      keptBands.filter(col("g").isNotNull)
+        .write.partitionBy("b", "g").mode("overwrite")
         .parquet(s"$indexPath/batch_id=$batchId")
       BatchProtocol.commit(spark, indexPath, batchId)
     } finally {
       bands.unpersist()
       // release the batch's pinned localCheckpoint blocks — a stream
       // otherwise leaks one batch-sized block set per micro-batch
-      BatchProtocol.freePersistedSince(spark, beforeCkpt)
+      graft.CheckpointBlocks.free(spark, stableIds)
     }
   }
 
@@ -286,11 +291,19 @@ object DocStream {
     // index without its marker — its redelivery would find itself and
     // emit nothing (see BatchProtocol.requireQuiesced)
     BatchProtocol.requireQuiesced(spark, indexPath)
+    // markers copy BEFORE the data lands: if the migration crashes
+    // between the two steps, the new index has markers but no sketches —
+    // redelivered committed batches still no-op (no loss; a re-run of
+    // this idempotent migration completes the data). Data-first would
+    // leave committed sketches without markers, and a redelivered batch
+    // finding itself in epoch -1 would emit nothing: silent loss.
+    BatchProtocol.copyCommits(spark, indexPath, newIndexPath)
     val sketches = spark.read.parquet(indexPath)
-      .select("doc_id", "simhash").distinct()
+      .select("doc_id", "simhash")
+      .filter(col("simhash").isNotNull) // legacy null-sketch dead rows
+      .distinct()
     bandsFromSketch(sketches, newBandWidth)
       .write.partitionBy("b", "g").mode("overwrite")
       .parquet(s"$newIndexPath/batch_id=-1")
-    BatchProtocol.copyCommits(spark, indexPath, newIndexPath)
   }
 }

@@ -84,8 +84,8 @@ object EmbedStream {
       threshold: Double = 0.35): Unit = {
     if (BatchProtocol.committed(spark, indexPath, batchId))
       return // replayed, fully committed
-    val beforeCkpt = BatchProtocol.persistedIds(spark)
     val stable = batch.localCheckpoint()
+    val stableIds = graft.CheckpointBlocks.ids(stable)
     // lossless mass-cluster hygiene (see DocStream.processBatch): exact
     // duplicate vectors collapse to their min-id representative before
     // banding — identical vectors share every family bucket at cosine 1,
@@ -120,7 +120,7 @@ object EmbedStream {
     } finally {
       bands.unpersist()
       // release the batch's pinned localCheckpoint blocks (see DocStream)
-      BatchProtocol.freePersistedSince(spark, beforeCkpt)
+      graft.CheckpointBlocks.free(spark, stableIds)
     }
   }
 
