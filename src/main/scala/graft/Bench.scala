@@ -89,6 +89,67 @@ object Bench {
       k -> (if (lo > 0) math.abs(a(k) - b(k)) / lo else 0.0)
     }.toMap
 
+  private def jstr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+
+  private def jnum(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def jmap(m: Map[String, Double], round: Boolean): String =
+    m.map { case (k, v) => jstr(k) + ":" + (if (round) jnum(v) else v.toString) }
+      .mkString("{", ",", "}")
+
+  /** Budget for the stdout line: the driver's window is the LAST 2000
+    * chars of the sbt run, and sbt appends "[success] Total time …"
+    * (~70 chars) after us — 1800 leaves slack for both.
+    */
+  private val LineBudget = 1800
+
+  private def jnumAt(v: Double, dec: Int): String =
+    String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))
+
+  /** The ONE stdout JSON line. The driver records only the LAST 2000
+    * characters of the sbt run (BENCH_r05.json proved it: the r5 line —
+    * three full-precision 55-query maps, ~6 KB — lost its front, including
+    * `"metric":"total"` and the whole spread instrument, to that window).
+    * So this line carries totals, per-query medians at ms precision, and a
+    * three-number spread SUMMARY; the full-precision maps (both passes +
+    * per-query spread) go to `fullPath` instead. Fit is by construction,
+    * not hope: if the suite ever outgrows the budget the line degrades
+    * precision (3→2→1 decimals), then drops the FASTEST queries with an
+    * explicit `queries_omitted` count — headline total, errors, and the
+    * slow tail always survive the window. Pinned by BenchSpec.
+    */
+  def compactLine(total: Double, errors: Map[String, String],
+      results: Map[String, Double], spread: Map[String, Double],
+      sfDir: String, fullPath: String): String = {
+    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
+      .mkString("{", ",", "}")
+    val sVals = spread.values.toSeq.sorted
+    val sMax = if (sVals.isEmpty) 0.0 else sVals.last
+    val sMed = if (sVals.isEmpty) 0.0 else sVals(sVals.size / 2)
+    val sArg = if (spread.isEmpty) "" else spread.maxBy(_._2)._1
+    val bySlowest = results.toSeq.sortBy { case (n, v) => (-v, n) }
+    def build(kept: Seq[(String, Double)], dec: Int): String = {
+      val qm = kept.map { case (k, v) => jstr(k) + ":" + jnumAt(v, dec) }
+        .mkString("{", ",", "}")
+      val omitted = results.size - kept.size
+      val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","reps":$Reps,""" +
+        s""""failed":${errors.size},"errors":$es,"queries":$qm$om,""" +
+        s""""spread_med":${jnum(sMed)},"spread_max":${jnum(sMax)},"spread_argmax":${jstr(sArg)},""" +
+        s""""full":${jstr(fullPath)},"sf":${jstr(sfDir)}}"""
+    }
+    val attempts =
+      Seq(3, 2, 1).iterator.map(build(bySlowest, _)) ++
+        Iterator.iterate(bySlowest.size)(n => n - math.max(1, n / 10))
+          .takeWhile(_ > 0).map(n => build(bySlowest.take(n), 1))
+    attempts.find(_.length <= LineBudget).getOrElse(build(Seq.empty, 1))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -108,17 +169,21 @@ object Bench {
     val (results2, errors2) = timedPass(spark, sfDir, SparkEntry.queries)
     val errors = errors1 ++ errors2
     val spread = crossPassSpread(results, results2)
-    def jstr(s: String): String =
-      "\"" + s.flatMap {
-        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-      } + "\""
-    def jmap(m: Map[String, Double]): String =
-      m.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,"failed":${errors.size},"errors":$es,"queries":${jmap(results)},"queries_pass2":${jmap(results2)},"spread":${jmap(spread)},"sf":"$sfDir"}""")
+
+    // full-precision record (both passes + per-query spread) — too big for
+    // the driver's 2000-char stdout window, so it lives in the repo instead
+    val fullPath = "bench_full.json"
+    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
+      s""""failed":${errors.size},""" +
+      s""""errors":${errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")},""" +
+      s""""queries":${jmap(results, round = false)},""" +
+      s""""queries_pass2":${jmap(results2, round = false)},""" +
+      s""""spread":${jmap(spread, round = false)},"sf":${jstr(sfDir)}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
+      (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+    println(compactLine(total, errors, results, spread, sfDir, fullPath))
     if (errors.nonEmpty) {
       errors.foreach { case (n, e) => System.err.println(s"[bench] $n FAILED: $e") }
       spark.stop()

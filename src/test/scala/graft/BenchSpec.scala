@@ -22,6 +22,50 @@ class BenchSpec extends AnyFunSuite {
     assert(errors("broken_throws").contains("boom"))
   }
 
+  test("the stdout line fits the driver's 2000-char tail window") {
+    // BENCH_r05 lost its front (total + spread) to that window: the driver
+    // keeps only the LAST 2000 chars of the sbt run, and sbt appends a
+    // "[success] Total time …" line (~70 chars) after ours. Budget the
+    // compact line at ≤ 1800 chars for MORE queries than we ship (60, at
+    // realistic name lengths), and require it to still be valid JSON with
+    // the headline fields intact.
+    import org.json4s._
+    implicit val fmt: Formats = DefaultFormats
+
+    // hostile shape: more queries than we ship, every name at our real
+    // maximum length — the line must still fit, degrading by dropping the
+    // FASTEST queries (never the slow tail) with an explicit omitted count
+    val names = (1 to 60).map(i => f"q$i%02d_hostile_name_length22")
+    val results = names.zipWithIndex
+      .map { case (n, i) => n -> (60.0 - i) }.toMap // q01 slowest … q60 fastest
+    val spread = names.map(_ -> 0.987654321).toMap
+    val line = Bench.compactLine(671.2345, Map.empty, results, spread,
+      "/root/testdata/sf0.1", "bench_full.json")
+    assert(line.length <= 1800, s"compact line is ${line.length} chars")
+    assert(!line.contains("\n"))
+    val parsed = org.json4s.jackson.JsonMethods.parse(line)
+    assert((parsed \ "metric").extract[String] == "total")
+    assert(math.abs((parsed \ "value").extract[Double] - 671.2345) < 1e-3)
+    val qs = (parsed \ "queries").extract[Map[String, Double]]
+    val omitted = (parsed \ "queries_omitted").extract[Int]
+    assert(qs.size + omitted == 60)
+    assert(qs.contains(names.head), "slowest query must survive")
+    assert((parsed \ "spread_max").extract[Double] > 0.98)
+    assert((parsed \ "spread_argmax").extract[String].startsWith("q"))
+
+    // realistic shape: the ACTUAL shipped query names must fit with every
+    // query present at full 3-decimal precision — no omission
+    val real = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
+    val rLine = Bench.compactLine(25.0, Map.empty, real,
+      real.map { case (k, _) => k -> 0.1 }, "/root/testdata/sf0.1",
+      "bench_full.json")
+    assert(rLine.length <= 1800, s"real-suite line is ${rLine.length} chars")
+    val rp = org.json4s.jackson.JsonMethods.parse(rLine)
+    val rq = (rp \ "queries").extract[Map[String, Double]]
+    assert(rq.size == real.size, "no real query may be omitted")
+    assert(math.abs(rq(real.keys.head) - 1.235) < 1e-9, "3-decimal precision")
+  }
+
   test("cross-pass spread is |delta|/min over the shared key set") {
     val a = Map("q1" -> 1.0, "q2" -> 2.0, "only_a" -> 9.0, "z" -> 0.0)
     val b = Map("q1" -> 1.5, "q2" -> 2.0, "only_b" -> 9.0, "z" -> 0.0)
