@@ -15,8 +15,15 @@ import org.apache.spark.sql.functions._
   * the survivor report (kept doc + cluster size), the transitive analogue
   * of q21's exact-hash (keep_id, n_dups).
   *
-  * Algorithm: iterative min-label propagation (label(u) ← min over
-  * N(u) ∪ {u}), the standard Pregel-style connected-components formulation:
+  * Algorithm: adaptive. The directed edge count (materialized anyway to
+  * size the loop's partitioning) picks the execution path, the same way a
+  * join picks broadcast under a size bound: at or below
+  * `graft.dedup.localEdgeThreshold` (default 2M edges ≈ 32 MB) the
+  * components come from a driver union-find over the collected edge list —
+  * one job instead of 5–7 scheduled rounds; above it, iterative min-label
+  * propagation (label(u) ← min over N(u) ∪ {u}), the standard Pregel-style
+  * connected-components formulation (DedupSpec pins the two paths
+  * label-identical on the same graph):
   *   - per round: ONE shuffle join (labels into edge sources) + ONE
   *     map-side-combined min-aggregation on doc_id — both partition on the
   *     keys they shuffle on, no broadcast of anything corpus-sized;
@@ -72,6 +79,48 @@ object Dedup {
     */
   private val JumpAfter = 8
 
+  /** Directed-edge-count bound under which the component computation runs
+    * as a driver-side union-find over the collected edge list instead of
+    * the iterative join loop. Same adaptive contract as Spark's broadcast
+    * threshold: the edge count is already materialized (the loop needs it
+    * to size its partitioning), and below the bound the whole graph is
+    * provably driver-safe — 2M directed edges × 16 B ≈ 32 MB, one job,
+    * versus 5–7 rounds of join+agg+checkpoint whose fixed scheduling cost
+    * dwarfs a small graph. Above the bound (any real 100 TB corpus) the
+    * distributed loop runs unchanged. Override with the
+    * `graft.dedup.localEdgeThreshold` session conf (specs set 0 to force
+    * the distributed path; DedupSpec pins both paths label-identical).
+    */
+  private val LocalEdgeThresholdConf = "graft.dedup.localEdgeThreshold"
+  private val LocalEdgeThresholdDefault = 2000000L
+
+  /** Driver union-find (path halving, union-by-min) over a collected edge
+    * list — byte-for-byte the same labeling contract as the distributed
+    * loop: every node labels to its component's MINIMUM doc_id.
+    */
+  private def unionFindLabels(edges: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) {
+        parent.put(r, parent.get(parent.get(r)))
+        r = parent.get(r)
+      }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // union-by-min keeps every root the component minimum, so find()
+      // lands on the canonical label directly
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    parent.keySet().forEach(k => out += (k -> find(k)))
+    out.toSeq
+  }
+
   /** Min-label propagation over an explicit `(doc_a, doc_b)` pair set —
     * the loop behind q43/q44/q52, factored so specs can drive it with
     * adversarial synthetic graphs. `docs` is the full corpus id set used
@@ -92,6 +141,22 @@ object Dedup {
     if (edgeCount == 0L) {
       edges0.unpersist()
       return (docs.select(col("doc_id"), col("doc_id").as("cluster_id")), 0)
+    }
+    val localThreshold = s.conf.getOption(LocalEdgeThresholdConf)
+      .map(_.toLong).getOrElse(LocalEdgeThresholdDefault)
+    if (edgeCount <= localThreshold) {
+      // small-graph fast path: collect + union-find on the driver (the
+      // count above proves the bound), stitch singletons exactly as the
+      // distributed exit does. rounds = 0 signals the path taken.
+      val es = edges0.collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges0.unpersist()
+      import s.implicits._
+      val labels = unionFindLabels(es).toDF("doc_id", "cluster_id")
+      val full = docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      return (full, 0)
     }
     // Size the loop's partitioning to the graph, not the session default:
     // every round shuffles tables proportional to |E|, and a fixed-width

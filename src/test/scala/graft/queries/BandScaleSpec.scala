@@ -171,7 +171,12 @@ class BandScaleSpec extends AnyFunSuite {
   test("q43 clusters a 50k-document corpus: planted dups co-label, few rounds") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scale-cc").toString
     makeDocuments(dir, 50000)
-    val (labelsDf, rounds) = Dedup.clusterLabelsWithRounds(spark, dir)
+    // threshold 0: the subject is the DISTRIBUTED loop's round bound at a
+    // 10x corpus — the driver fast path would short-circuit it
+    spark.conf.set("graft.dedup.localEdgeThreshold", "0")
+    val (labelsDf, rounds) =
+      try Dedup.clusterLabelsWithRounds(spark, dir)
+      finally spark.conf.unset("graft.dedup.localEdgeThreshold")
     val labels = labelsDf.collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(labels.size == 50000, "every document must be labeled")

@@ -89,20 +89,57 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  /** Run `body` with the driver fast path disabled (edge threshold 0) so
+    * the distributed propagation loop itself is what's under test.
+    */
+  private def forcingDistributed[A](body: => A): A = {
+    spark.conf.set("graft.dedup.localEdgeThreshold", "0")
+    try body finally spark.conf.unset("graft.dedup.localEdgeThreshold")
+  }
+
   test("adversarial 200-node path converges within the escalation round budget") {
     // worst case for min-label propagation: a single path 0–1–…–199 where
     // the min label travels one hop per plain round (~199 rounds). Past
     // JumpAfter (8) the loop composes the label table with itself each
     // round, halving the remaining depth — stated bound: 8 plain rounds
     // + ~log2(199) jumped rounds + 1 fixpoint observation ≈ 17; budget 20.
+    // (threshold 0: a 199-edge graph would otherwise take the driver path)
     import spark.implicits._
     val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
     val docs = (0L until 200L).toDF("doc_id")
-    val (labels, rounds) = Dedup.propagateMin(spark, pairs, docs)
+    val (labels, rounds) = forcingDistributed(
+      Dedup.propagateMin(spark, pairs, docs))
     val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 200)
     assert(got.values.forall(_ == 0L), "every path node must label to the min (0)")
+    assert(rounds > 0, "distributed path not taken — threshold override broken")
     assert(rounds <= 20, s"200-node path took $rounds rounds — escalation broken")
+    spark.catalog.clearCache()
+  }
+
+  test("driver fast path and distributed loop label identically") {
+    // the adaptive cut (edge count vs graft.dedup.localEdgeThreshold) must
+    // be invisible in the answer: same graph, both paths, byte-equal label
+    // maps — and both equal the independent union-find truth. Graph mixes
+    // the shapes that distinguish wrong implementations: a 3-cycle, a
+    // 6-node chain (multi-hop min travel), a star, and singletons.
+    import spark.implicits._
+    val edgeSeq: Seq[(Long, Long)] =
+      Seq((1L, 2L), (2L, 3L), (3L, 1L)) ++            // cycle
+        (10L until 15L).map(i => (i + 1, i)) ++       // chain, reversed dirs
+        Seq((30L, 25L), (30L, 26L), (30L, 27L))       // star, hub > leaves
+    val docIds = (edgeSeq.flatMap(e => Seq(e._1, e._2)) ++ Seq(98L, 99L)).distinct
+    val pairs = edgeSeq.toDF("doc_a", "doc_b")
+    val docs = docIds.toDF("doc_id")
+    val (fastL, fastRounds) = Dedup.propagateMin(spark, pairs, docs)
+    val fast = fastL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastRounds == 0, "expected the driver fast path under the default threshold")
+    val (distL, distRounds) = forcingDistributed(
+      Dedup.propagateMin(spark, pairs, docs))
+    val dist = distL.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distRounds > 0, "expected the distributed loop at threshold 0")
+    assert(fast == dist)
+    assert(fast == unionFind(docIds, edgeSeq))
     spark.catalog.clearCache()
   }
 
