@@ -23,6 +23,7 @@ object SparkEntry {
     graft.queries.Events.queries ++
     graft.queries.Similarity.queries ++
     graft.queries.Dedup.queries ++
+    graft.queries.Curation.queries ++
     graft.queries.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,5 +34,6 @@ object SparkEntry {
     graft.queries.Events.oracleSql ++
     graft.queries.Similarity.oracleSql ++
     graft.queries.Dedup.oracleSql ++
+    graft.queries.Curation.oracleSql ++
     graft.queries.Multimodal.oracleSql
 }

@@ -501,7 +501,7 @@ object TextAnalysis {
        |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
        |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_guess FROM m)""".stripMargin
 
-  private def sqlStops(lang: String): String =
+  private[queries] def sqlStops(lang: String): String =
     stopwordsByLang.toMap.apply(lang).map(w => s"'$w'").mkString("(", ",", ")")
 
   /** q45's Gopher-rule chain as CTEs ending in
@@ -529,8 +529,8 @@ object TextAnalysis {
        |    AND frac_alpha > 0.8
        |    AND n_stop_distinct >= 2, false) AS pass FROM r)""".stripMargin
 
-  // DuckDB mirrors. Shared fragments:
-  private val Toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
+  // DuckDB mirrors. Shared fragments (Curation's mirrors reuse these):
+  private[queries] val Toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
 
   def oracleSql: Map[String, String] = Map(
     "q17_lang_id" ->
