@@ -8,10 +8,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *   - one untimed warmup pass of the whole suite first (JIT + codegen +
   *     page cache), then REPS timed repetitions per query;
   *   - per-query value = median of the repetitions; total = sum of medians;
-  *   - `spark.catalog.clearCache()` after every repetition, so blocks
-  *     persisted inside one query (q22/q25/q27/q28/q35 all persist an
-  *     intermediate) never occupy memory or skew GC while another query is
-  *     being timed;
+  *   - `Caches.release(spark)` after every repetition, so blocks persisted
+  *     inside one query (q22/q25/q27/q35/q57/q58 persist intermediates;
+  *     q43/q44 hold checkpoint blocks) never occupy memory or skew GC
+  *     while another query is being timed;
   *   - failure-honest: a query that throws is reported in an `errors` map
   *     plus a nonzero `failed` count (and exit code 1), never recorded as a
   *     ~0 s timing — the instrument must distinguish fast from broken;
@@ -39,7 +39,7 @@ object Bench {
         Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("").take(200)}")
       }
     val sec = (System.nanoTime() - t0) / 1e9
-    spark.catalog.clearCache() // drop this query's persisted blocks
+    Caches.release(spark) // drop this query's persisted + checkpoint blocks
     (sec, err)
   }
 

@@ -23,9 +23,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      // five queries persist intermediates; don't let 39 queries' cached
-      // blocks accumulate in one session
-      spark.catalog.clearCache()
+      // several queries persist intermediates or checkpoint blocks; the
+      // completion hook releases ALL of them (incl. localCheckpoint-backed
+      // RDDs clearCache can't see) so one session's queries never
+      // accumulate blocks
+      Caches.release(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -36,6 +36,30 @@ object Curation {
     */
   private[queries] val DecontamGram = 8
 
+  /** q58's bounded quality grid: quality ∈ [0,1] by construction, so it
+    * quantizes onto this many integer cells. The cell-total collect the
+    * distributed prefix sum performs is ≤ this many rows — a driver
+    * accounting read with a hard bound, independent of corpus size.
+    */
+  private[queries] val QualityCells = 4096
+
+  /** q58's boundary tie group is range-split over this many deterministic
+    * doc_id buckets, so even a corpus whose quality collapses to one
+    * value never pays a single-task row sort.
+    */
+  private[queries] val TieBuckets = 64
+
+  /** Driver half of a distributed prefix sum: exclusive running offsets
+    * of per-partition totals — `offset(p) = Σ totals(p') for p' < p`.
+    * Input is the collected (partition, total) rows (bounded: ≤
+    * [[QualityCells]] or ≤ [[TieBuckets]]); output rejoins the plan as
+    * one map literal.
+    */
+  private[queries] def exclusiveOffsets(totals: Seq[(Int, Long)]): Map[Int, Long] = {
+    val sorted = totals.sortBy(_._1)
+    sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _)).toMap
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic train/val/test split: bucket = portable hash of the
     // document KEY mod 100 — not rand() (irreproducible), not row order
@@ -61,12 +85,20 @@ object Curation {
     // benchmark-sized, so AQE broadcasts it at any training-corpus scale;
     // nothing corpus-sized is ever collected or broadcast by hand.
     "q57_decontaminate" -> ((s, dir) => {
+      // the gram relation is staged ONCE: it feeds the bench side, the
+      // train-side overlap explode, AND the clean-doc left join below —
+      // unpersisted, Catalyst would recompute the tokenize→shingle→hash
+      // map (the costliest stage of this query) up to 3×. Default
+      // MEMORY_AND_DISK storage spills rather than evicts at cluster
+      // scale; the consumer's [[graft.Caches.release]] completion hook
+      // frees it (Verify/Bench call it after every query).
       val docs = Tables.wide(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .select(col("doc_id"),
           array_distinct(wordNgrams(col("tk"), DecontamGram)).as("g8s"))
         .select(col("doc_id"),
           transform(col("g8s"), g => portableHash(g)).as("g8"))
+        .persist()
       val benchGrams = docs.filter(col("doc_id") % BenchMod === 0)
         .select(explode(col("g8")).as("g")).distinct()
       val train = docs.filter(col("doc_id") % BenchMod =!= 0)
@@ -87,50 +119,91 @@ object Curation {
     // doc selected iff its cumulative n_tokens over (quality DESC,
     // doc_id) ≤ budget — exactly the oracle's single window cumsum.
     //
-    // Shape: the q47 histogram discipline, because a global row window
-    // is a one-task sort of the corpus. The rows shuffle ONCE into a
-    // per-quality-value histogram (map-side combined; width = distinct
-    // quality values ≪ rows); the cumulative sum runs over that
-    // histogram; whole quality groups pass or fail on their group-end
-    // cum, and only the ONE boundary group — a single quality value's
-    // tie group — pays a row-level cumsum, restricted to its own rows.
-    // The two driver reads (total mass, boundary row) are one-row
-    // accounting actions, q46's count(*) class.
+    // Shape: a DISTRIBUTED prefix sum — no unpartitioned window (= a
+    // one-task sort of its whole input) anywhere in the plan:
+    //   1. rows shuffle ONCE (map-side combined) into a per-quality
+    //      histogram, width = distinct quality values ≪ rows;
+    //   2. quality ∈ [0,1] quantizes onto a bounded grid of
+    //      [[QualityCells]] integer cells (deterministic arithmetic, no
+    //      sampled range bounds), and the cumsum runs per-CELL via a
+    //      window PARTITIONED on the cell — parallel histogram slices;
+    //   3. the ≤[[QualityCells]] per-cell totals collect to the driver,
+    //      which prefix-sums them ([[exclusiveOffsets]]) and rejoins the
+    //      offsets as ONE map literal — cum = in-cell cumsum + offset;
+    //   4. whole quality groups pass/fail on their group-end cum; only
+    //      the ONE boundary tie group pays a row-level cumsum, itself
+    //      distributed over [[TieBuckets]] deterministic doc_id ranges
+    //      with the same per-bucket-offset discipline — so even a corpus
+    //      whose quality collapses to a single value (the adversarial
+    //      tie case) never sorts rows in one task.
+    // Driver reads are all bounded: total mass (1 row), cell totals
+    // (≤QualityCells), boundary row (1), tie id-range (1), bucket totals
+    // (≤TieBuckets+1). `scored` persists for the selections (released by
+    // the consumer's Caches.release hook); `hist` is construction-only
+    // and released before return.
     "q58_token_budget" -> ((s, dir) => {
-      // persisted: feeds the budget read, the histogram, and both
-      // selections (the bench harness clears caches between queries)
       val scored = scoredTokens(Tables(s, dir, "documents")).persist()
-      val budget = scored.agg(sum("n_tokens")).head.getLong(0) / 2
-      val hist = scored.groupBy("quality").agg(sum("n_tokens").as("gtok"))
-      val cumW = Window.orderBy(desc("quality"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist.withColumn("cum", sum("gtok").over(cumW)).persist()
-      val fullQ = cum.filter(col("cum") <= budget).select("quality")
-      // the USING-join reorders columns (key first) — re-select the fixed
-      // order, because union() below resolves by POSITION
-      val fullSel = scored.join(fullQ, Seq("quality"), "left_semi")
-        .select("doc_id", "n_tokens", "quality")
-      // first group whose running total crosses the budget: its rows get
-      // the remaining budget, later groups are out entirely
-      val boundary = cum.filter(col("cum") > budget)
-        .orderBy(desc("quality")).limit(1)
-        .select("quality", "cum", "gtok").collect().headOption
-      val boundarySel = boundary match {
-        case Some(r) =>
-          val qb = r.getAs[Double]("quality")
-          val remaining = budget - (r.getAs[Long]("cum") - r.getAs[Long]("gtok"))
-          // one tie group's rows, partitioned on its (constant) quality —
-          // the only row-level sort in the plan
-          val w = Window.partitionBy("quality").orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          scored.filter(col("quality") === qb)
-            .withColumn("c", sum("n_tokens").over(w))
-            .filter(col("c") <= remaining)
-            .select("doc_id", "n_tokens", "quality")
+      // sum over zero rows is NULL: an empty/untokenizable corpus must
+      // yield a defined empty selection, not a driver NPE
+      Option(scored.agg(sum("n_tokens")).head.get(0))
+        .map(_.asInstanceOf[Long]) match {
         case None =>
-          scored.filter(lit(false)).select("doc_id", "n_tokens", "quality")
+          scored.unpersist()
+          scored.limit(0)
+        case Some(total) =>
+          val budget = total / 2
+          // quality DESC order ⇒ cell 0 holds the highest qualities
+          val cell = least(lit(QualityCells - 1), greatest(lit(0),
+            floor((lit(1.0) - col("quality")) * QualityCells).cast("int")))
+          val hist = scored.groupBy("quality")
+            .agg(sum("n_tokens").as("gtok"))
+            .withColumn("cell", cell).persist()
+          val cellOff = exclusiveOffsets(
+            hist.groupBy("cell").agg(sum("gtok").as("ct")).collect()
+              .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
+          val cumW = Window.partitionBy("cell").orderBy(desc("quality"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          val cum = hist.withColumn("cum", sum("gtok").over(cumW) +
+            coalesce(element_at(typedLit(cellOff), col("cell")), lit(0L)))
+          // first group whose running total crosses the budget: its rows
+          // get the remaining budget, later groups are out entirely
+          val boundary = cum.filter(col("cum") > budget)
+            .orderBy(desc("quality")).limit(1)
+            .select("quality", "cum", "gtok").collect().headOption
+          hist.unpersist()
+          boundary match {
+            case None =>
+              // unreachable for budget = total/2 < total, but total is
+              // data-derived — stay total-defined rather than assume
+              scored.select("doc_id", "n_tokens", "quality")
+            case Some(r) =>
+              val qb = r.getAs[Double]("quality")
+              val remaining =
+                budget - (r.getAs[Long]("cum") - r.getAs[Long]("gtok"))
+              val fullSel = scored.filter(col("quality") > qb)
+                .select("doc_id", "n_tokens", "quality")
+              // the boundary tie group, range-split on doc_id: integer
+              // `div` (not a double floor — exact at any id magnitude)
+              // into TieBuckets deterministic buckets
+              val tie = scored.filter(col("quality") === qb)
+              val idRange = tie.agg(min("doc_id"), max("doc_id")).head
+              val lo = idRange.getLong(0)
+              val bw = math.max(1L, (idRange.getLong(1) - lo) / TieBuckets + 1)
+              val tieB = tie.withColumn("bkt",
+                expr(s"CAST((doc_id - ${lo}L) div ${bw}L AS INT)"))
+              val bktOff = exclusiveOffsets(
+                tieB.groupBy("bkt").agg(sum("n_tokens").as("bt")).collect()
+                  .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
+              val tieW = Window.partitionBy("bkt").orderBy("doc_id")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+              val boundarySel = tieB.withColumn("c",
+                  sum("n_tokens").over(tieW) +
+                    coalesce(element_at(typedLit(bktOff), col("bkt")), lit(0L)))
+                .filter(col("c") <= remaining)
+                .select("doc_id", "n_tokens", "quality")
+              fullSel.union(boundarySel)
+          }
       }
-      fullSel.union(boundarySel)
     }),
 
     // balanced stratified sample: downsample every language stratum to
@@ -142,7 +215,10 @@ object Curation {
     "q59_stratified_sample" -> ((s, dir) => {
       val counts = Tables(s, dir, "documents")
         .groupBy("lang").agg(count(lit(1)).as("n_l"))
-      val target = counts.agg(min("n_l")).head.getLong(0)
+      // min over zero groups is NULL: an empty corpus must yield an empty
+      // sample (target 0 admits nothing), not a driver NPE
+      val target = Option(counts.agg(min("n_l")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
       Tables(s, dir, "documents").join(counts, "lang")
         .filter(portableHash(col("doc_id").cast("string"), 1) % col("n_l")
           < lit(target))

@@ -1,0 +1,35 @@
+package graft.queries
+
+import graft.{Caches, SparkEntry, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cache-lifecycle contract: queries that persist intermediates (sketch
+  * projections, gram relations, scored projections) or hold
+  * localCheckpoint blocks (the clustering loop) must leave ZERO
+  * persistent blocks once the consumer calls `Caches.release` — the
+  * completion hook Verify and Bench invoke after every query. Without
+  * this, a long-lived session leaks one block set per query; the leak is
+  * invisible to the bench (which releases between reps) and fatal to a
+  * resident service.
+  *
+  * `getPersistentRDDs` is the authoritative registry: it sees BOTH
+  * DataFrame-cache blocks and checkpoint-backing RDDs (which
+  * `catalog.clearCache` alone cannot release).
+  */
+class CacheHygieneSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private val persisting = Seq(
+    "q22_ngram_jaccard", "q25_minhash_lsh", "q27_simhash_pairs",
+    "q42_simhash64_pairs", "q35_ann_ivf", "q39_cosine_neardup_lsh",
+    "q46_tfidf_top_terms", "q43_neardup_clusters", "q44_dedup_survivors",
+    "q52_cluster_prep", "q57_decontaminate", "q58_token_budget")
+
+  for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
+    SparkEntry.queries(q)(spark, dir).count()
+    Caches.release(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      spark.sparkContext.getPersistentRDDs.values.map(_.toString).mkString("; "))
+  }
+}

@@ -1,0 +1,181 @@
+package graft.queries
+
+import graft.{Caches, SparkEntry, SparkTestSession}
+import graft.functions.TextFunctions
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavior contracts for the corpus-curation operators (q56–q59) — the
+  * properties their code comments claim, pinned as tests:
+  *
+  *   - q56: the split is STABLE under corpus growth (a doc's assignment
+  *     is a pure function of its key, so downstream eval sets never
+  *     churn when new data arrives) and respects the bucket thresholds.
+  *   - q57: a planted shared 8-gram flags a training doc; a 7-word
+  *     shared run does NOT (the shingle width is the contract).
+  *   - q58: boundary semantics equal the reference cumsum (quality DESC,
+  *     doc_id) ≤ budget — verified against an independently computed
+  *     expectation; the adversarial all-one-quality corpus (the entire
+  *     selection is one tie group) is exact and still runs with no
+  *     single-partition stage.
+  *   - q56–q59: an EMPTY corpus yields a defined empty result, never a
+  *     driver NPE on a one-row accounting read (sum/min of zero rows is
+  *     NULL — the r7 verdict's standing crash class).
+  */
+class CurationSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** Writes a (doc_id, text, lang) corpus to a temp dir in the testdata
+    * layout and returns the dir.
+    */
+  private def corpus(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-curation").toString
+    rows.toDF("doc_id", "text", "lang").write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  // ---------------------------------------------------------------- empty
+
+  for (q <- Seq("q56_hash_split", "q57_decontaminate",
+      "q58_token_budget", "q59_stratified_sample"))
+    test(s"$q yields a defined empty result on an empty corpus") {
+      val dir = corpus(Seq.empty)
+      assert(SparkEntry.queries(q)(spark, dir).count() === 0L)
+      Caches.release(spark)
+    }
+
+  // ----------------------------------------------------------------- q56
+
+  test("q56 split stability: growing the corpus never moves an existing doc") {
+    def docs(r: Range) = r.map(i => (i.toLong, s"document number $i body", "en"))
+    val small = corpus(docs(0 until 40))
+    val big = corpus(docs(0 until 40) ++ docs(1000 until 1100))
+    def splits(dir: String): Map[Long, String] =
+      SparkEntry.queries("q56_hash_split")(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val a = splits(small)
+    val b = splits(big)
+    assert(a.keySet.subsetOf(b.keySet))
+    a.foreach { case (id, s) => assert(b(id) === s, s"doc $id moved") }
+  }
+
+  test("q56 buckets are in [0,100) and splits follow the thresholds") {
+    val dir = corpus((0L until 200L).map(i => (i, s"text $i", "en")))
+    SparkEntry.queries("q56_hash_split")(spark, dir).collect().foreach { r =>
+      val bucket = r.getLong(1)
+      assert(bucket >= 0 && bucket < 100, r.toString)
+      val expect = if (bucket < Curation.TrainPct) "train"
+        else if (bucket < Curation.ValPct) "val" else "test"
+      assert(r.getString(2) === expect, r.toString)
+    }
+  }
+
+  // ----------------------------------------------------------------- q57
+
+  test("q57 planted contamination: a shared 8-gram flags, 7 shared words do not") {
+    val gram8 = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val dir = corpus(Seq(
+      // doc 0 % 97 == 0 → the benchmark side
+      (0L, s"benchmark prompt says $gram8 and stops", "en"),
+      // shares the full 8-gram with the benchmark → contaminated
+      (1L, s"training document copies $gram8 verbatim today", "en"),
+      // shares only a 7-word run (8th word differs) → clean
+      (2L, "training alpha beta gamma delta epsilon zeta eta OMEGA", "en"),
+      // no shared words at all → clean
+      (3L, "completely unrelated training text about nothing much", "en")))
+    val out = SparkEntry.queries("q57_decontaminate")(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(!out.contains(0L), "benchmark docs must not appear in the output")
+    assert(out(1L)._2 && out(1L)._1 >= 1L, s"planted leak missed: $out")
+    assert(out(2L) === ((0L, false)), s"7-gram overlap must not flag: $out")
+    assert(out(3L) === ((0L, false)), out.toString)
+    Caches.release(spark)
+  }
+
+  // ----------------------------------------------------------------- q58
+
+  /** The oracle's per-doc scoring, computed independently in Scala: the
+    * same IEEE op sequence as [[Curation.scoredTokens]], so doubles are
+    * bit-identical and tie groups form identically.
+    */
+  private def score(text: String): Option[(Long, Double)] = {
+    val toks = text.trim.toLowerCase.split("\\s+").toSeq
+    val stopwords = TextFunctions.stopwordsByLang.head._2.toSet
+    val n = toks.length.toLong
+    if (n == 0) None
+    else {
+      val stops = toks.count(stopwords.contains).toLong
+      Some((n, (stops.toDouble / n.toDouble) * 0.4 +
+        math.min(1.0, n.toDouble / 50.0) * 0.6))
+    }
+  }
+
+  /** Reference selection: cumsum of n_tokens over (quality DESC, doc_id)
+    * ≤ total/2 — the oracle's single global window, evaluated locally.
+    */
+  private def referenceSelection(rows: Seq[(Long, String)]): Set[Long] = {
+    val scored = rows.flatMap { case (id, t) => score(t).map(s => (id, s._1, s._2)) }
+    val budget = scored.map(_._2).sum / 2
+    var cum = 0L
+    scored.sortBy { case (id, _, q) => (-q, id) }.flatMap { case (id, n, _) =>
+      cum += n
+      if (cum <= budget) Some(id) else None
+    }.toSet
+  }
+
+  test("q58 matches the reference cumsum on a mixed-quality corpus with tie groups") {
+    // distinct (stops, n_tokens) pairs → several quality groups; the i%4 ×
+    // i%5 construction repeats pairs, so groups hold multiple docs and the
+    // budget boundary lands inside a tie group for this corpus
+    val rows = (0 until 30).map { i =>
+      val text = ("the " * (i % 4)) + (s"word$i " * (3 + i % 5))
+      (i.toLong, text.trim)
+    }
+    val dir = corpus(rows.map { case (id, t) => (id, t, "en") })
+    val got = SparkEntry.queries("q58_token_budget")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === referenceSelection(rows))
+    Caches.release(spark)
+  }
+
+  test("q58 adversarial tie: quality collapses to ONE value — exact and distributed") {
+    // every doc identical → one quality group; the whole selection is the
+    // boundary tie group. 7 tokens × 20 docs = 140, budget 70 → exactly
+    // doc_ids 0..9. The plan must still contain no single-partition stage
+    // (the tie cumsum is range-split over doc_id buckets).
+    val dir = corpus((0L until 20L).map(i =>
+      (i, "uniform text of exactly seven small tokens", "en")))
+    val df = SparkEntry.queries("q58_token_budget")(spark, dir)
+    assert(!df.queryExecution.executedPlan.toString.contains("SinglePartition"))
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === (0L until 10L))
+    Caches.release(spark)
+  }
+
+  test("q58 all-null corpus (zero tokenizable docs) selects nothing") {
+    val dir = corpus(Seq((0L, null.asInstanceOf[String], "en"),
+      (1L, null.asInstanceOf[String], "en")))
+    assert(SparkEntry.queries("q58_token_budget")(spark, dir).count() === 0L)
+    Caches.release(spark)
+  }
+
+  // ----------------------------------------------------------------- q59
+
+  test("q59 downsamples every stratum toward the smallest, keeping lang labels") {
+    val rows = (0L until 90L).map(i =>
+      (i, s"text $i", if (i < 60) "en" else if (i < 80) "de" else "fr"))
+    val dir = corpus(rows)
+    val got = SparkEntry.queries("q59_stratified_sample")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    // the smallest stratum (fr, 10 docs) is kept whole: hash % n_l < n_l
+    assert(byLang.getOrElse("fr", 0) === 10)
+    // larger strata are strict subsets (rate target/n_l < 1 admits fewer)
+    assert(byLang.getOrElse("en", 0) < 60)
+    assert(byLang.getOrElse("de", 0) < 20)
+    // membership is deterministic: a second run returns the identical set
+    val again = SparkEntry.queries("q59_stratified_sample")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
+}

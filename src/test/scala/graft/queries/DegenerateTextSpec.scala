@@ -37,6 +37,10 @@ class DegenerateTextSpec extends AnyFunSuite {
     // text-only fixture, so they are exercised at the real corpus instead
     "q46_tfidf_top_terms", "q50_pii_scan", "q51_pii_redact",
     "q52_cluster_prep", "q54_heavy_hitters",
+    // curation: q56 assigns every doc (incl. null text), q57 keeps every
+    // train doc with overlap 0, q58 selects a budgeted subset; q59 needs
+    // a lang column and is degenerate-tested in CurationSpec instead
+    "q56_hash_split", "q57_decontaminate", "q58_token_budget",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -54,6 +58,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q46_tfidf_top_terms", // ≤3 rows per non-empty doc
         "q52_cluster_prep", // filtered composite, like q36
         "q54_heavy_hitters", // corpus-level top-10
+        "q58_token_budget", // budgeted subset, not one row per doc
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")

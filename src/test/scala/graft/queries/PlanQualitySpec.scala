@@ -221,6 +221,51 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Broadcast"), p)
   }
 
+  test("q56 hash split: narrow per-row plan, zero exchanges") {
+    // the split is a pure function of the document key — any Exchange
+    // means a join or window crept into an assignment that must stay
+    // embarrassingly parallel (and repartition-invariant) at 100 TB
+    val p = execPlan("q56_hash_split")
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("q57 decontamination: gram join is an equi-join, eval side broadcasts") {
+    // candidate work must track true gram collisions (equi-join on the
+    // hashed shingle, the q22/q25 discipline); the benchmark side is
+    // eval-set-sized, so the finalized adaptive plan must broadcast it
+    // rather than shuffle the training corpus against it
+    val df = SparkEntry.queries("q57_decontaminate")(spark, dir)
+    df.count() // materialize so AQE finalizes the join strategies
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    graft.Caches.release(spark) // q57 persists its gram relation
+  }
+
+  test("q58 token budget: no single-partition stage — every window is partitioned") {
+    // r6/r7's standing defect was Window.orderBy with no partitionBy — a
+    // one-task sort of the whole quality histogram (WindowExec prints a
+    // move-all-data warning for it). The distributed prefix sum must
+    // never reintroduce one: every window in the returned plan carries a
+    // partitioning (quality cell / tie bucket), so no stage anywhere is
+    // pinned to a single partition.
+    val p = execPlan("q58_token_budget")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark) // q58 persists its scored projection
+  }
+
+  test("q59 stratified sample: per-lang counts broadcast back to the row side") {
+    // the counts relation is |langs| rows — if the finalized plan shuffles
+    // the corpus to meet it instead of broadcasting, the sample pays a
+    // full-corpus exchange it never needs
+    val df = SparkEntry.queries("q59_stratified_sample")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q39 bucketed cosine near-dup: no nested loop, no cartesian product") {
     // THE property that makes q39 the 100 TB replacement for q28: candidate
     // generation must be a bucket equi-join (shuffle or broadcast hash),
