@@ -136,73 +136,87 @@ object Curation {
     //      with the same per-bucket-offset discipline — so even a corpus
     //      whose quality collapses to a single value (the adversarial
     //      tie case) never sorts rows in one task.
-    // Driver reads are all bounded: total mass (1 row), cell totals
-    // (≤QualityCells), boundary row (1), tie id-range (1), bucket totals
+    // Driver reads are all bounded AND collapsed to three jobs: cell
+    // totals (≤QualityCells rows — their sum IS the corpus token mass, so
+    // no separate total-mass job), the boundary row (1 row — the
+    // histogram aggregate carries each quality group's doc_id range, so
+    // no separate tie id-range job), and the tie-bucket totals
     // (≤TieBuckets+1). `scored` persists for the selections (released by
     // the consumer's Caches.release hook); `hist` is construction-only
     // and released before return.
     "q58_token_budget" -> ((s, dir) => {
       val scored = scoredTokens(Tables(s, dir, "documents")).persist()
-      // sum over zero rows is NULL: an empty/untokenizable corpus must
-      // yield a defined empty selection, not a driver NPE
-      Option(scored.agg(sum("n_tokens")).head.get(0))
-        .map(_.asInstanceOf[Long]) match {
-        case None =>
-          scored.unpersist()
-          scored.limit(0)
-        case Some(total) =>
-          val budget = total / 2
-          // quality DESC order ⇒ cell 0 holds the highest qualities
-          val cell = least(lit(QualityCells - 1), greatest(lit(0),
-            floor((lit(1.0) - col("quality")) * QualityCells).cast("int")))
-          val hist = scored.groupBy("quality")
-            .agg(sum("n_tokens").as("gtok"))
-            .withColumn("cell", cell).persist()
-          val cellOff = exclusiveOffsets(
-            hist.groupBy("cell").agg(sum("gtok").as("ct")).collect()
-              .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
-          val cumW = Window.partitionBy("cell").orderBy(desc("quality"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          val cum = hist.withColumn("cum", sum("gtok").over(cumW) +
-            coalesce(element_at(typedLit(cellOff), col("cell")), lit(0L)))
-          // first group whose running total crosses the budget: its rows
-          // get the remaining budget, later groups are out entirely
-          val boundary = cum.filter(col("cum") > budget)
-            .orderBy(desc("quality")).limit(1)
-            .select("quality", "cum", "gtok").collect().headOption
-          hist.unpersist()
-          boundary match {
-            case None =>
-              // unreachable for budget = total/2 < total, but total is
-              // data-derived — stay total-defined rather than assume
-              scored.select("doc_id", "n_tokens", "quality")
-            case Some(r) =>
-              val qb = r.getAs[Double]("quality")
-              val remaining =
-                budget - (r.getAs[Long]("cum") - r.getAs[Long]("gtok"))
-              val fullSel = scored.filter(col("quality") > qb)
-                .select("doc_id", "n_tokens", "quality")
-              // the boundary tie group, range-split on doc_id: integer
-              // `div` (not a double floor — exact at any id magnitude)
-              // into TieBuckets deterministic buckets
-              val tie = scored.filter(col("quality") === qb)
-              val idRange = tie.agg(min("doc_id"), max("doc_id")).head
-              val lo = idRange.getLong(0)
-              val bw = math.max(1L, (idRange.getLong(1) - lo) / TieBuckets + 1)
-              val tieB = tie.withColumn("bkt",
+      // quality DESC order ⇒ cell 0 holds the highest qualities
+      val cell = least(lit(QualityCells - 1), greatest(lit(0),
+        floor((lit(1.0) - col("quality")) * QualityCells).cast("int")))
+      // ONE row-level aggregation carries everything the driver needs:
+      // per-quality-group token mass for the prefix sum, plus the group's
+      // doc_id range for the boundary tie split (same shuffle, two extra
+      // map-side-combined columns — replaces a dedicated min/max job)
+      val hist = scored.groupBy("quality")
+        .agg(sum("n_tokens").as("gtok"),
+          min("doc_id").as("lo_id"), max("doc_id").as("hi_id"))
+        .withColumn("cell", cell).persist()
+      val cellTotals = hist.groupBy("cell").agg(sum("gtok").as("ct"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+      // zero histogram rows ⇔ empty/untokenizable corpus: a defined empty
+      // selection, not a driver NPE on a null aggregate
+      if (cellTotals.isEmpty) {
+        hist.unpersist()
+        scored.unpersist()
+        scored.limit(0)
+      } else {
+        // the cell histogram partitions the corpus, so its totals sum to
+        // the corpus token mass — the budget needs no extra job
+        val budget = cellTotals.map(_._2).sum / 2
+        val cellOff = exclusiveOffsets(cellTotals)
+        val cumW = Window.partitionBy("cell").orderBy(desc("quality"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // cellOff holds every cell hist itself produced, so the ANSI-mode
+        // element_at (which throws on a missing key) cannot miss
+        val cum = hist.withColumn("cum", sum("gtok").over(cumW) +
+          element_at(typedLit(cellOff), col("cell")))
+        // first group whose running total crosses the budget: its rows
+        // get the remaining budget, later groups are out entirely
+        val boundary = cum.filter(col("cum") > budget)
+          .orderBy(desc("quality")).limit(1)
+          .select("quality", "cum", "gtok", "lo_id", "hi_id")
+          .collect().headOption
+        hist.unpersist()
+        boundary match {
+          case None =>
+            // unreachable for budget = total/2 < total, but total is
+            // data-derived — stay total-defined rather than assume
+            scored.select("doc_id", "n_tokens", "quality")
+          case Some(r) =>
+            val qb = r.getAs[Double]("quality")
+            val remaining =
+              budget - (r.getAs[Long]("cum") - r.getAs[Long]("gtok"))
+            val fullSel = scored.filter(col("quality") > qb)
+              .select("doc_id", "n_tokens", "quality")
+            // the boundary tie group, range-split on doc_id: integer
+            // `div` (not a double floor — exact at any id magnitude)
+            // into TieBuckets deterministic buckets, over the id range
+            // the boundary row already carries
+            val lo = r.getAs[Long]("lo_id")
+            val bw = math.max(1L, (r.getAs[Long]("hi_id") - lo) / TieBuckets + 1)
+            val tieB = scored.filter(col("quality") === qb)
+              .withColumn("bkt",
                 expr(s"CAST((doc_id - ${lo}L) div ${bw}L AS INT)"))
-              val bktOff = exclusiveOffsets(
-                tieB.groupBy("bkt").agg(sum("n_tokens").as("bt")).collect()
-                  .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
-              val tieW = Window.partitionBy("bkt").orderBy("doc_id")
-                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-              val boundarySel = tieB.withColumn("c",
-                  sum("n_tokens").over(tieW) +
-                    coalesce(element_at(typedLit(bktOff), col("bkt")), lit(0L)))
-                .filter(col("c") <= remaining)
-                .select("doc_id", "n_tokens", "quality")
-              fullSel.union(boundarySel)
-          }
+            val bktOff = exclusiveOffsets(
+              tieB.groupBy("bkt").agg(sum("n_tokens").as("bt")).collect()
+                .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
+            val tieW = Window.partitionBy("bkt").orderBy("doc_id")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            // bktOff holds every bucket tieB itself produced — same
+            // cannot-miss argument as cellOff above
+            val boundarySel = tieB.withColumn("c",
+                sum("n_tokens").over(tieW) +
+                  element_at(typedLit(bktOff), col("bkt")))
+              .filter(col("c") <= remaining)
+              .select("doc_id", "n_tokens", "quality")
+            fullSel.union(boundarySel)
+        }
       }
     }),
 

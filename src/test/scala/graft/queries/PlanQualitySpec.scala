@@ -255,6 +255,34 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q58 persists its scored projection
   }
 
+  test("q58 construction runs exactly three bounded driver actions") {
+    // the distributed prefix sum's driver half is three accounting reads:
+    // cell totals (whose sum is the corpus token mass — no separate
+    // total job), the boundary row (carrying its tie group's doc_id
+    // range — no separate id-range job), and the tie-bucket totals.
+    // Round 8 shipped FIVE sequential actions; each is a full job launch
+    // (plus AQE re-plan jobs), so a job ceiling guards the collapse:
+    // reintroducing either folded action pushes construction back above
+    // it. Measured: 3 actions → 10 jobs with AQE (the 5-action shape
+    // was 14); one extra action costs ~2-3 jobs, so 11 separates them.
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("q58_token_budget")(spark, dir)
+      // listener delivery is async — poll until the count is stable
+      var last = -1
+      var spins = 0
+      while (jobs != last && spins < 50) { last = jobs; Thread.sleep(100); spins += 1 }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs <= 11, s"q58 construction launched $jobs jobs — a new driver action?")
+    graft.Caches.release(spark)
+  }
+
   test("q59 stratified sample: per-lang counts broadcast back to the row side") {
     // the counts relation is |langs| rows — if the finalized plan shuffles
     // the corpus to meet it instead of broadcasting, the sample pays a
