@@ -16,8 +16,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * is truncated; the blocks are the only copy). Instead, read the exact
   * RDD the checkpointed Dataset wraps (its analyzed plan is a
   * `LogicalRDD` holding it) and free precisely those ids.
+  *
+  * The same data-loss hazard exists in the other direction:
+  * [[Caches.release]] sweeps the whole registry on query completion, and
+  * an in-flight streaming micro-batch's checkpoint blocks must survive
+  * that sweep. [[pin]] marks ids as live-consumer-owned; `release` skips
+  * them, and [[free]] unpins when the consumer is done.
   */
 private[graft] object CheckpointBlocks {
+
+  /** Ids whose blocks an in-flight consumer (a streaming micro-batch)
+    * still needs — excluded from [[Caches.release]]'s sweep.
+    */
+  private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
   /** The checkpoint-backing RDD ids of a localCheckpoint'd DataFrame
     * (empty for plans that are not LogicalRDD-backed).
@@ -27,9 +38,23 @@ private[graft] object CheckpointBlocks {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
     }.toSet
 
-  /** Unpersist exactly these RDD ids (non-blocking; absent ids no-op). */
+  /** Shield these ids from [[Caches.release]] until [[free]]d: losing a
+    * lineage-truncated block mid-batch is data loss, not a cache miss.
+    */
+  def pin(rddIds: Set[Int]): Unit = rddIds.foreach(pinnedIds.add(_))
+
+  /** Currently pinned ids ([[Caches.release]] reads this). */
+  def pinned: Set[Int] = {
+    import scala.jdk.CollectionConverters._
+    pinnedIds.iterator().asScala.toSet
+  }
+
+  /** Unpin and unpersist exactly these RDD ids (non-blocking; absent ids
+    * no-op).
+    */
   def free(spark: SparkSession, rddIds: Set[Int]): Unit =
     rddIds.foreach { id =>
+      pinnedIds.remove(id)
       spark.sparkContext.getPersistentRDDs.get(id).foreach(_.unpersist(false))
     }
 }

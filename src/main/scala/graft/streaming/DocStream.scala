@@ -196,6 +196,10 @@ object DocStream {
     // below must not re-pull the source; one checkpoint pins both
     val stable = batch.localCheckpoint()
     val stableIds = graft.CheckpointBlocks.ids(stable)
+    // pin for the batch's duration: a concurrent Caches.release (another
+    // query in the session completing) must not sweep the checkpoint
+    // blocks — they are the batch's only copy (lineage is truncated)
+    graft.CheckpointBlocks.pin(stableIds)
     // mass-cluster hygiene, LOSSLESS (unlike batch q27's frequency cap):
     // collapse exact-sketch duplicates to their min-id representative
     // BEFORE banding. Identical sketches share every band key at

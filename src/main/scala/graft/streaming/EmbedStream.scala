@@ -86,6 +86,9 @@ object EmbedStream {
       return // replayed, fully committed
     val stable = batch.localCheckpoint()
     val stableIds = graft.CheckpointBlocks.ids(stable)
+    // pin for the batch's duration (see DocStream.processBatch): a
+    // concurrent Caches.release must not sweep the only copy
+    graft.CheckpointBlocks.pin(stableIds)
     // lossless mass-cluster hygiene (see DocStream.processBatch): exact
     // duplicate vectors collapse to their min-id representative before
     // banding — identical vectors share every family bucket at cosine 1,
