@@ -9,8 +9,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     page cache), then REPS timed repetitions per query;
   *   - per-query value = median of the repetitions; total = sum of medians;
   *   - `Caches.release(spark)` after every repetition, so blocks persisted
-  *     inside one query (q22/q25/q27/q35/q57/q58 persist intermediates;
-  *     q43/q44 hold checkpoint blocks) never occupy memory or skew GC
+  *     inside one query (the roster is CacheHygieneSpec's `persisting`
+  *     list — the single source of truth) never occupy memory or skew GC
   *     while another query is being timed;
   *   - failure-honest: a query that throws is reported in an `errors` map
   *     plus a nonzero `failed` count (and exit code 1), never recorded as a
@@ -19,7 +19,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     (`queries` = pass 1, headline-comparable with earlier rounds;
   *     `queries_pass2`, `spread` = |Δ|/min) so container contention on
   *     untouched queries is visible in the JSON itself, no side-channel
-  *     reruns needed.
+  *     reruns needed;
+  *   - noise-robust second headline: `value_min` = Σ per-query min of the
+  *     two pass medians. Reps run back-to-back per pass, so ONE
+  *     multi-second contention burst inflates the MEDIANS of a contiguous
+  *     block of queries and the pass-1 headline with them — BENCH_r08
+  *     read 43.3 s median while its own pass 2 totaled 29.0 s on
+  *     byte-identical code. The min-of-passes statistic needs the burst
+  *     to hit the same query in BOTH passes to move, so read `value` for
+  *     round-over-round comparability and `value_min` for "what the code
+  *     actually costs".
   *
   * Protocol note: q43/q44/q52 each pay the full pair-generation +
   * label-propagation loop — the query-map contract times every entry
@@ -123,7 +132,8 @@ object Bench {
     * explicit `queries_omitted` count — headline total, errors, and the
     * slow tail always survive the window. Pinned by BenchSpec.
     */
-  def compactLine(total: Double, errors: Map[String, String],
+  def compactLine(total: Double, totalMin: Double,
+      errors: Map[String, String],
       results: Map[String, Double], spread: Map[String, Double],
       sfDir: String, fullPath: String): String = {
     val es = errors.map { case (k, v) => jstr(k) + ":" + jstr(v.take(60)) }
@@ -138,7 +148,7 @@ object Bench {
         .mkString("{", ",", "}")
       val omitted = results.size - kept.size
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
-      s"""{"metric":"total","value":${jnum(total)},"unit":"sec","reps":$Reps,""" +
+      s"""{"metric":"total","value":${jnum(total)},"value_min":${jnum(totalMin)},"unit":"sec","reps":$Reps,""" +
         s""""failed":${errors.size},"errors":$es,"queries":$qm$om,""" +
         s""""spread_med":${jnum(sMed)},"spread_max":${jnum(sMax)},"spread_argmax":${jstr(sArg)},""" +
         s""""full":${jstr(fullPath)},"sf":${jstr(sfDir)}}"""
@@ -170,20 +180,28 @@ object Bench {
     val errors = errors1 ++ errors2
     val spread = crossPassSpread(results, results2)
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // noise-robust statistic: per-query min of the two pass medians (a
+    // contention burst must hit the same query in both passes to move it)
+    val queriesMin = results.map { case (k, v) =>
+      k -> math.min(v, results2.getOrElse(k, v))
+    }
+    val totalMin = if (queriesMin.nonEmpty) queriesMin.values.sum else 0.0
 
-    // full-precision record (both passes + per-query spread) — too big for
-    // the driver's 2000-char stdout window, so it lives in the repo instead
+    // full-precision record (both passes + per-query min + spread) — too
+    // big for the driver's 2000-char stdout window, so it lives in the
+    // repo instead
     val fullPath = "bench_full.json"
-    val full = s"""{"metric":"total","value":$total,"unit":"sec","reps":$Reps,""" +
+    val full = s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","reps":$Reps,""" +
       s""""failed":${errors.size},""" +
       s""""errors":${errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")},""" +
       s""""queries":${jmap(results, round = false)},""" +
       s""""queries_pass2":${jmap(results2, round = false)},""" +
+      s""""queries_min":${jmap(queriesMin, round = false)},""" +
       s""""spread":${jmap(spread, round = false)},"sf":${jstr(sfDir)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    println(compactLine(total, errors, results, spread, sfDir, fullPath))
+    println(compactLine(total, totalMin, errors, results, spread, sfDir, fullPath))
     if (errors.nonEmpty) {
       errors.foreach { case (n, e) => System.err.println(s"[bench] $n FAILED: $e") }
       spark.stop()

@@ -39,13 +39,15 @@ class BenchSpec extends AnyFunSuite {
     val results = names.zipWithIndex
       .map { case (n, i) => n -> (60.0 - i) }.toMap // q01 slowest … q60 fastest
     val spread = names.map(_ -> 0.987654321).toMap
-    val line = Bench.compactLine(671.2345, Map.empty, results, spread,
+    val line = Bench.compactLine(671.2345, 444.333, Map.empty, results, spread,
       "/root/testdata/sf0.1", "bench_full.json")
     assert(line.length <= 1800, s"compact line is ${line.length} chars")
     assert(!line.contains("\n"))
     val parsed = org.json4s.jackson.JsonMethods.parse(line)
     assert((parsed \ "metric").extract[String] == "total")
     assert(math.abs((parsed \ "value").extract[Double] - 671.2345) < 1e-3)
+    // the noise-robust companion headline must survive every degradation
+    assert(math.abs((parsed \ "value_min").extract[Double] - 444.333) < 1e-3)
     val qs = (parsed \ "queries").extract[Map[String, Double]]
     val omitted = (parsed \ "queries_omitted").extract[Int]
     assert(qs.size + omitted == 60)
@@ -56,7 +58,7 @@ class BenchSpec extends AnyFunSuite {
     // realistic shape: the ACTUAL shipped query names must fit with every
     // query present at full 3-decimal precision — no omission
     val real = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
-    val rLine = Bench.compactLine(25.0, Map.empty, real,
+    val rLine = Bench.compactLine(25.0, 24.0, Map.empty, real,
       real.map { case (k, _) => k -> 0.1 }, "/root/testdata/sf0.1",
       "bench_full.json")
     assert(rLine.length <= 1800, s"real-suite line is ${rLine.length} chars")
@@ -64,6 +66,7 @@ class BenchSpec extends AnyFunSuite {
     val rq = (rp \ "queries").extract[Map[String, Double]]
     assert(rq.size == real.size, "no real query may be omitted")
     assert(math.abs(rq(real.keys.head) - 1.235) < 1e-9, "3-decimal precision")
+    assert(math.abs((rp \ "value_min").extract[Double] - 24.0) < 1e-3)
   }
 
   test("cross-pass spread is |delta|/min over the shared key set") {
