@@ -67,13 +67,11 @@ object Curation {
     // corpus size; the split of a document never changes when the corpus
     // around it grows, which is what makes downstream eval sets stable.
     "q56_hash_split" -> ((s, dir) => {
-      val bucket = portableHash(col("doc_id").cast("string")) % 100
+      val bucket = bucketCol(col("doc_id"))
       Tables(s, dir, "documents").select(
         col("doc_id"),
         bucket.as("bucket"),
-        when(bucket < TrainPct, "train")
-          .when(bucket < ValPct, "val")
-          .otherwise("test").as("split"))
+        splitCol(bucket).as("split"))
     }),
 
     // benchmark decontamination: flag training documents sharing any word
@@ -239,11 +237,29 @@ object Curation {
         .select("doc_id", "lang")
     }))
 
+  /** The q56 bucket assignment — a pure function of the document KEY, so
+    * the same Column works unchanged over a stream
+    * ([[graft.streaming.DocStream.split]]): a document's split can never
+    * depend on what else has arrived.
+    */
+  private[graft] def bucketCol(docId: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    portableHash(docId.cast("string")) % 100
+
+  /** The q56 split thresholds over a [[bucketCol]] value (shared with the
+    * streaming dual for the same reason).
+    */
+  private[graft] def splitCol(bucket: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(bucket < TrainPct, "train")
+      .when(bucket < ValPct, "val")
+      .otherwise("test")
+
   /** q58's per-document scoring: q18's quality formula (stopword ratio
     * and length score — the shared corpus-quality signal) restricted to
-    * tokenizable documents. Narrow, zero-shuffle.
+    * tokenizable documents. Narrow, zero-shuffle — which is also why the
+    * streaming budget admission ([[graft.streaming.DocStream
+    * .budgetAdmitted]]) reuses it verbatim.
     */
-  private def scoredTokens(docs: DataFrame): DataFrame = {
+  private[graft] def scoredTokens(docs: DataFrame): DataFrame = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("long")
     val stops = stopwordHits(toks, stopwordsByLang.head._2)

@@ -18,6 +18,18 @@ import org.apache.spark.sql.functions._
   * batch hash-groupBy; batch keeps min doc_id, streaming keeps the first
   * arrival — identical sets when ids arrive in order).
   */
+/** One scored arrival inside [[DocStream.budgetAdmitted]]'s stateful
+  * admission (top-level so its Encoder is stable).
+  */
+private[streaming] case class ScoredDoc(doc_id: Long, n_tokens: Long,
+    quality: Double, shard: Int)
+
+/** Per-shard admission state: tokens admitted so far, and whether the
+  * shard has hit its first overflow (admission closes permanently —
+  * q58's cumsum-≤-budget semantics).
+  */
+private[streaming] case class ShardBudget(used: Long, exhausted: Boolean)
+
 object DocStream {
 
   /** Per-row scoring: token count, quality, language argmax — exactly the
@@ -68,6 +80,87 @@ object DocStream {
     graft.functions.QualityRules.annotate(docs)
       .filter(col("pass"))
       .drop("n_words", "mean_word_len", "frac_alpha", "n_stop_distinct", "pass")
+
+  /** Streaming hash-split — q56's train/val/test assignment over a doc
+    * stream via the SAME [[graft.queries.Curation]] Columns the batch
+    * operator uses. The bucket is a pure function of the document KEY
+    * (sha-derived hash mod 100), so it is stateless under streaming
+    * execution by construction: a document's split never depends on
+    * arrival order, what else is in the stream, or how the stream is
+    * repartitioned — the property that keeps downstream eval sets stable
+    * while the corpus grows batch by batch.
+    */
+  def split(docs: DataFrame): DataFrame = {
+    val bucket = graft.queries.Curation.bucketCol(col("doc_id"))
+    docs.withColumn("bucket", bucket)
+      .withColumn("split", graft.queries.Curation.splitCol(col("bucket")))
+  }
+
+  /** Streaming token-budget admission — the streaming face of q58's
+    * selection, sharing its [[graft.queries.Curation.scoredTokens]]
+    * scoring verbatim. Batch q58 ranks the WHOLE corpus by quality and
+    * keeps the prefix whose running token total fits the budget; a
+    * stream cannot rank documents it has not seen, so the streaming
+    * contract is greedy with q58's ordering applied where ordering
+    * exists:
+    *
+    *   - within a micro-batch, arrivals rank (quality DESC, doc_id) —
+    *     exactly q58's sort — and admit while the running total fits;
+    *   - across batches the running total is persistent state;
+    *   - admission stops PERMANENTLY at the first overflow, q58's
+    *     cumsum-≤-budget semantics (skip-and-continue would instead
+    *     bias the admitted tail toward short documents).
+    *
+    * The budget is explicit (a stream has no corpus total to halve), and
+    * is sharded over `shards` deterministic doc_id shards, each admitting
+    * against its integer share: state is two values per shard FOREVER
+    * (no watermark needed), and no single task ever sorts more than its
+    * shard of one micro-batch. With `shards = 1` and the corpus in one
+    * batch, the admitted set IS q58's selection at the same budget
+    * (DocStreamSpec pins this parity).
+    */
+  def budgetAdmitted(docs: DataFrame, budgetTokens: Long,
+      shards: Int = 64): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val s = docs.sparkSession
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    import s.implicits._
+    // integer budget split: the first (budget mod shards) shards carry
+    // one extra token of allowance, so the shard caps sum to the budget
+    // exactly and shards=1 degenerates to the full budget
+    def shardCap(i: Int): Long =
+      budgetTokens / shards + (if (i < (budgetTokens % shards).toInt) 1L else 0L)
+    val scored = graft.queries.Curation.scoredTokens(docs)
+      .withColumn("shard",
+        (portableHash(col("doc_id").cast("string"), 2) % shards).cast("int"))
+      .as[ScoredDoc]
+    scored.groupByKey(_.shard)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (shard: Int, rows: Iterator[ScoredDoc],
+         state: org.apache.spark.sql.streaming.GroupState[ShardBudget]) =>
+          val st = state.getOption.getOrElse(ShardBudget(0L, exhausted = false))
+          val cap = shardCap(shard)
+          var used = st.used
+          var exhausted = st.exhausted
+          // q58's ordering within the visible horizon; the sort holds one
+          // shard of one micro-batch, never the stream
+          val admitted = rows.toIndexedSeq
+            .sortBy(r => (-r.quality, r.doc_id))
+            .flatMap { r =>
+              if (!exhausted && used + r.n_tokens <= cap) {
+                used += r.n_tokens
+                Some(r)
+              } else {
+                exhausted = true // first overflow closes the shard for good
+                None
+              }
+            }
+          state.update(ShardBudget(used, exhausted))
+          admitted.iterator
+      }
+      .toDF("doc_id", "n_tokens", "quality", "shard")
+      .drop("shard")
+  }
 
   /** Streaming vocabulary-cardinality sketch: q53's HLL register table
     * over an unbounded doc stream, via the SAME

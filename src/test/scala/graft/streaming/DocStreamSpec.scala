@@ -85,6 +85,89 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("split streams q56's assignment (same Columns, stateless)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (0L until 60L).map(i => (i, ts(i), s"document body $i"))
+    // batch expectation: q56 over the same doc_ids in the testdata layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-split").toString
+    rows.map { case (id, _, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val want = graft.SparkEntry.queries("q56_hash_split")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.split(mem.toDF().toDF("doc_id", "ingest_ts", "text"))
+      .writeStream.format("memory").queryName("split").outputMode("append").start()
+    try {
+      mem.addData(rows.take(30))
+      q.processAllAvailable()
+      mem.addData(rows.drop(30)) // a second batch must not move anything
+      q.processAllAvailable()
+      val got = spark.table("split")
+        .select("doc_id", "split").as[(Long, String)].collect().toMap
+      assert(got == want, "stream and batch q56 must assign identical splits")
+      // every stream column survives alongside the two assignments
+      assert(spark.table("split").columns.toSeq ==
+        Seq("doc_id", "ingest_ts", "text", "bucket", "split"))
+    } finally q.stop()
+  }
+
+  test("budgetAdmitted: one shard, one batch == batch q58 at the same budget") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // CurationSpec's mixed-quality construction: repeated (stops, len)
+    // pairs → multi-doc quality tie groups, boundary inside one
+    val rows = (0 until 30).map { i =>
+      val text = ("the " * (i % 4)) + (s"word$i " * (3 + i % 5))
+      (i.toLong, ts(i), text.trim)
+    }
+    val docs = rows.map { case (id, _, t) => (id, t, "en") }
+      .toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("graft-budget").toString
+    docs.write.parquet(s"$dir/documents.parquet")
+    val want = graft.SparkEntry.queries("q58_token_budget")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    graft.Caches.release(spark)
+    // q58's own budget derivation: half the corpus token mass
+    val budget = graft.queries.Curation.scoredTokens(docs)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head.getLong(0) / 2
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.budgetAdmitted(
+        mem.toDF().toDF("doc_id", "ingest_ts", "text"), budget, shards = 1)
+      .writeStream.format("memory").queryName("budget1").outputMode("append").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("budget1").select("doc_id").as[Long].collect().toSet
+      assert(got == want,
+        "single-shard single-batch admission must equal the batch q58 selection")
+    } finally q.stop()
+  }
+
+  test("budgetAdmitted: the budget is a hard cap and exhaustion is permanent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seven = "alpha beta gamma delta epsilon zeta eta" // 7 tokens each
+    val tiny = "tiny doc here"                            // 3 tokens
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    // budget 20: docs 0,1 admit (14), doc 2 overflows (21) and closes the
+    // shard; the later 3-token doc WOULD fit (17 ≤ 20) but q58 semantics
+    // admit a prefix, never a tail-biased backfill
+    val q = DocStream.budgetAdmitted(
+        mem.toDF().toDF("doc_id", "ingest_ts", "text"), 20L, shards = 1)
+      .writeStream.format("memory").queryName("budget2").outputMode("append").start()
+    try {
+      mem.addData((0L, ts(1), seven), (1L, ts(2), seven), (2L, ts(3), seven))
+      q.processAllAvailable()
+      mem.addData((3L, ts(4), tiny))
+      q.processAllAvailable()
+      val got = spark.table("budget2")
+        .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+      assert(got.keySet == Set(0L, 1L), s"admitted: $got")
+      assert(got.values.sum <= 20L, "the cap is hard")
+    } finally q.stop()
+  }
+
   test("scored matches the batch q17/q18 expressions on the same rows") {
     import spark.implicits._
     val batch = Seq((0L, ts(1), goodEn), (1L, ts(2), spanish), (2L, ts(3), junk))
