@@ -93,6 +93,26 @@ class CurationSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("q57 at a 10x corpus still broadcasts the eval side — no corpus-sized shuffle join") {
+    // the eval side is benchmark-sized BY CONSTRUCTION (every 97th doc),
+    // so growing the training corpus must never flip the overlap join to
+    // shuffling the corpus against it — the BandScaleSpec discipline
+    // (scale properties hold with NO constant retuning), applied to
+    // decontamination. 5000 docs = 10× the sf0.001 documents table.
+    val rows = (0L until 5000L).map { i =>
+      (i, s"document $i covers topic ${i % 37} " +
+        (0 until 12).map(k => s"tok${(i * 7 + k) % 997}").mkString(" "), "en")
+    }
+    val dir = corpus(rows)
+    val df = SparkEntry.queries("q57_decontaminate")(spark, dir)
+    df.count() // materialize so AQE finalizes the join strategies
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    Caches.release(spark)
+  }
+
   // ----------------------------------------------------------------- q58
 
   /** The oracle's per-doc scoring, computed independently in Scala: the
