@@ -77,6 +77,49 @@ object Events {
       facts.join(dims.hint("shuffle_hash"),
           col("user_id") === col("c_custkey") && col("salt") === col("d_salt"))
         .select(col("event_id"), col("user_id"), col("event_type"), col("c_name"))
+    }),
+
+    // range (interval) join: for each error event, aggregate the same
+    // user's purchases in the following 30 minutes — incident-to-
+    // conversion attribution, the big×big time-range join Spark has no
+    // native operator for. Written naively (`e2.ts BETWEEN e1.ts AND
+    // e1.ts + 30min` as a join condition) Catalyst can only plan a
+    // nested-loop join over the user-cogroup — quadratic per hot user,
+    // unrunnable at a 100 TB fact table. The scale shape is the BINNED
+    // interval equi-join (the Flink/Trino interval-join strategy):
+    //   - quantize time into buckets the width of the horizon; each
+    //     right-side event lands in exactly ONE bucket, and each
+    //     left-side interval (t, t+W] spans exactly TWO (floor(t/W) and
+    //     the next — integer arithmetic, no boundary leaks);
+    //   - equi-join on (user_id, bucket) — a plain shuffle join whose
+    //     key cardinality grows with time span, so the 15-user hotness
+    //     of this table is diluted ~1440× by the month of buckets;
+    //   - re-check the exact range predicate AFTER the equi-join: the
+    //     bucket join over-generates at most 2× (work ∝ true temporal
+    //     neighbors, never |left|×|right| per user).
+    // A purchase's single bucket matches at most one of the two probe
+    // rows of any error interval, so no pair is double-counted and no
+    // distinct is needed. Errors with no follower survive via the final
+    // left join (n=0, sum=0), keeping the operator total.
+    "q60_range_join" -> ((s, dir) => {
+      val W = 1800L * 1000000L // horizon = bucket width, µs
+      val ev = Tables(s, dir, "events")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t1"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t2"), col("value"))
+        .withColumn("bkt", expr(s"t2 div ${W}L"))
+      val probes = errors.withColumn("bkt",
+        explode(array(expr(s"t1 div ${W}L"), expr(s"t1 div ${W}L + 1L"))))
+      val followed = probes.join(purchases, Seq("user_id", "bkt"))
+        .filter(col("t2") > col("t1") && col("t2") <= col("t1") + lit(W))
+        .groupBy("event_id")
+        .agg(count(lit(1)).as("n_follow"), dsum(col("value")).as("sum_value"))
+      errors.select("event_id").join(followed, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_follow"), lit(0L)).as("n_follow"),
+          coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -117,5 +160,19 @@ object Events {
     // semantics are the plain equi-join
     "q48_salted_enrich" ->
       """SELECT e.event_id, e.user_id, e.event_type, c.c_name
-        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin)
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin,
+
+    // the binning is an implementation detail of the Spark plan; the
+    // semantics are the plain range join (DuckDB plans this as an IEJoin)
+    "q60_range_join" ->
+      """WITH e1 AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+        |  FROM events WHERE event_type = 'error'),
+        |e2 AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT e1.event_id,
+        |  COUNT(e2.ts) AS n_follow,
+        |  CAST(COALESCE(SUM(CAST(e2.value AS DECIMAL(18,4))), 0) AS DOUBLE) AS sum_value
+        |FROM e1 LEFT JOIN e2 ON e2.user_id = e1.user_id
+        |  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
+        |GROUP BY e1.event_id""".stripMargin)
 }

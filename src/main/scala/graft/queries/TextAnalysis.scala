@@ -455,6 +455,44 @@ object TextAnalysis {
         .filter(col("rn") === 1)
         .select("doc_id", "text")
       prepScore(deduped)
+    }),
+
+    // mean token surprisal — the integer-exact stand-in for perplexity
+    // filtering (CCNet ranks documents by LM perplexity; the cheap
+    // corpus-internal analog ranks by mean inverse token frequency).
+    // Rare-token-heavy documents (OCR noise, mangled encodings, word
+    // salad) score HIGH; boilerplate scores LOW. Surprisal per token is
+    // floor(log2(T / c)) — computed as binary-digit-count-minus-one of
+    // the integer quotient, so NEITHER engine evaluates libm log (the
+    // q46 discipline: ulp-divergent math never reaches the compare); the
+    // only double is one final division of two exact integers per doc.
+    //
+    // Shape at scale: the exploded token relation is staged once
+    // (persist — it feeds the vocabulary count and the scoring join;
+    // unpersisted, the tokenize+explode map — the costliest stage —
+    // runs twice); the vocabulary aggregate is one map-side-combined
+    // shuffle; T folds out of the vocabulary relation (sum of counts —
+    // corpus-size-independent, no extra row-level pass); the per-token
+    // bits column joins back via a 1-row broadcast (scalar-subquery
+    // shape) + a fact⋈vocab equi-join whose hot keys ("the") are
+    // AQE-skew territory, same as any fact-dim join; the per-doc mean is
+    // a second map-side-combined shuffle. Zero driver actions.
+    "q61_mean_surprisal" -> ((s, dir) => {
+      val t = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .persist() // released by the consumer's Caches.release hook
+      val counts = t.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = counts.agg(sum("c").as("t_total")) // 1 row, lazy
+      val bits = counts.crossJoin(broadcast(total))
+        .select(col("tok"),
+          (length(conv(expr("t_total div c"), 10, 2)) - 1)
+            .cast("long").as("bits"))
+      t.join(bits, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"))
+        .select(col("doc_id"), col("n_tokens"),
+          (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+            .as("mean_surprisal"))
     }))
 
   /** The prep pipeline's score-and-filter stage over a deduped
@@ -742,5 +780,18 @@ object TextAnalysis {
          |  WHERE rn = 1),
          |${sqlPrepScore("dd")}
          |SELECT doc_id, n_tokens, quality FROM f
-         |WHERE lang_guess = 'en' AND quality >= 0.5""".stripMargin)
+         |WHERE lang_guess = 'en' AND quality >= 0.5""".stripMargin,
+
+    // bin() digit count mirrors Spark's conv(x, 10, 2) length: both
+    // render the minimal binary form, so length-1 = floor(log2) exactly
+    "q61_mean_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |t AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+         |c AS (SELECT tok, COUNT(*) AS c FROM t GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t_total FROM c),
+         |b AS (SELECT t.doc_id, length(bin(t_total // c.c)) - 1 AS bits
+         |  FROM t JOIN c USING (tok), tot)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_surprisal
+         |FROM b GROUP BY doc_id""".stripMargin)
 }

@@ -283,6 +283,33 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q60 range join: binned equi-join — no nested loop, no cartesian product") {
+    // THE property that makes the binned interval join runnable at a
+    // 100 TB fact table: written as a plain range-predicate join,
+    // Catalyst can only produce a nested-loop over the user cogroup
+    // (quadratic per hot user — events has 15 users). The bucket
+    // quantization must keep it a hash/merge equi-join with the exact
+    // range check applied after.
+    val df = SparkEntry.queries("q60_range_join")(spark, dir)
+    df.count() // AQE finalizes the join strategies
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("Join"), p)
+  }
+
+  test("q61 surprisal: two-phase aggregations, one-row scalar broadcast only") {
+    val df = SparkEntry.queries("q61_mean_surprisal")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    // vocabulary count and per-doc mean both map-side combine
+    assert(p.contains("partial_count"), p)
+    // the corpus total joins back as a broadcast (scalar-subquery shape),
+    // never by shuffling the vocabulary against a 1-row relation
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    graft.Caches.release(spark) // q61 persists its exploded token relation
+  }
+
   test("q59 stratified sample: per-lang counts broadcast back to the row side") {
     // the counts relation is |langs| rows — if the finalized plan shuffles
     // the corpus to meet it instead of broadcasting, the sample pays a
