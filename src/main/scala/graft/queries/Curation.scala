@@ -90,12 +90,7 @@ object Curation {
       // MEMORY_AND_DISK storage spills rather than evicts at cluster
       // scale; the consumer's [[graft.Caches.release]] completion hook
       // frees it (Verify/Bench call it after every query).
-      val docs = Tables.wide(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .select(col("doc_id"),
-          array_distinct(wordNgrams(col("tk"), DecontamGram)).as("g8s"))
-        .select(col("doc_id"),
-          transform(col("g8s"), g => portableHash(g)).as("g8"))
+      val docs = gramStage(Tables.wide(s, dir, "documents"), Seq("doc_id"))
         .persist()
       val benchGrams = docs.filter(col("doc_id") % BenchMod === 0)
         .select(explode(col("g8")).as("g")).distinct()
@@ -236,6 +231,24 @@ object Curation {
           < lit(target))
         .select("doc_id", "lang")
     }))
+
+  /** q57's hashed shingle space: stages `g8` — the distinct 64-bit
+    * hashes of the word-[[DecontamGram]]-grams of `text` — as LAYERED
+    * projections: tokens, grams, and hashes each become a named column
+    * before any lambda references them. Inlining instead (one nested
+    * expression) would re-run tokenization once PER GRAM, because
+    * Spark's subexpression elimination skips `transform()` lambda bodies
+    * (the measured quadratic blowup in PERF.md "what the 14× came
+    * from" #2). Shared with the streaming dual
+    * ([[graft.streaming.DocStream.decontaminated]]) so the two paths
+    * cannot diverge on tokenization or hashing.
+    */
+  private[graft] def gramStage(df: DataFrame, keep: Seq[String]): DataFrame = {
+    val cols = keep.map(col)
+    df.select(cols :+ tokens(col("text")).as("tk"): _*)
+      .select(cols :+ array_distinct(wordNgrams(col("tk"), DecontamGram)).as("g8s"): _*)
+      .select(cols :+ transform(col("g8s"), g => portableHash(g)).as("g8"): _*)
+  }
 
   /** The q56 bucket assignment — a pure function of the document KEY, so
     * the same Column works unchanged over a stream

@@ -162,6 +162,39 @@ object DocStream {
       .drop("shard")
   }
 
+  /** Streaming decontamination — q57's verdicts over a doc stream
+    * against a FIXED evaluation set. A document's verdict is a pure
+    * function of (document, eval set): the eval set is a static
+    * benchmark asset, so the streaming form is STATELESS — no
+    * aggregation state, no watermark, exact q57 semantics per arrival.
+    *
+    * The eval set is benchmark-sized BY DEFINITION (the same argument
+    * that broadcasts it in the batch plan), so it folds once into a
+    * one-row gram-hash array and rides along as a broadcast; the overlap
+    * count is then a per-row `array_intersect` in the SAME hashed
+    * 8-gram space as the batch operator ([[graft.queries.Curation
+    * .gramStage]] — per-doc grams are distinct, so the intersect size IS
+    * q57's n_overlap). Per-row cost is linear in the eval-set size; if
+    * an eval set ever outgrows a row-side probe, the batch operator's
+    * exploded equi-join inside `foreachBatch` is the fallback shape.
+    *
+    * @param benchGrams static relation with a `g` column of hashed
+    *                   8-grams — e.g. `gramStage(evalDocs,
+    *                   Seq.empty).select(explode($"g8").as("g"))`.
+    */
+  def decontaminated(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
+    val bench = benchGrams.agg(collect_set(col("g")).as("bench_g8"))
+    graft.queries.Curation.gramStage(docs, docs.columns.toSeq.filter(_ != "text"))
+      .crossJoin(broadcast(bench)) // one-row static side: stateless stream join
+      // null text ⇒ null gram array ⇒ null intersect: a null-text doc is
+      // CLEAN (0, false) exactly as in the batch operator's left join
+      .withColumn("n_overlap",
+        coalesce(size(array_intersect(col("g8"), col("bench_g8"))).cast("long"),
+          lit(0L)))
+      .withColumn("contaminated", col("n_overlap") > 0)
+      .drop("g8", "bench_g8")
+  }
+
   /** Streaming vocabulary-cardinality sketch: q53's HLL register table
     * over an unbounded doc stream, via the SAME
     * [[graft.queries.TextAnalysis.hllRegisters]] definition the batch

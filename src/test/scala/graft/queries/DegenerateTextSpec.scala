@@ -36,7 +36,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // array yields no rows); q47/q53 read lang, absent from this
     // text-only fixture, so they are exercised at the real corpus instead
     "q46_tfidf_top_terms", "q50_pii_scan", "q51_pii_redact",
-    "q52_cluster_prep", "q54_heavy_hitters",
+    "q52_cluster_prep", "q54_heavy_hitters", "q61_mean_surprisal",
     // curation: q56 assigns every doc (incl. null text), q57 keeps every
     // train doc with overlap 0, q58 selects a budgeted subset; q59 needs
     // a lang column and is degenerate-tested in CurationSpec instead

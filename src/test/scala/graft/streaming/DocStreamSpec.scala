@@ -168,6 +168,49 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decontaminated streams q57's verdicts against a static eval set") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gram8 = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    // CurationSpec's planted-contamination corpus: doc 0 is the eval
+    // side (doc_id % 97 == 0), doc 1 copies the full 8-gram, doc 2
+    // shares only a 7-word run, doc 3 nothing, doc 4 is null text
+    val all = Seq(
+      (0L, s"benchmark prompt says $gram8 and stops"),
+      (1L, s"training document copies $gram8 verbatim today"),
+      (2L, "training alpha beta gamma delta epsilon zeta eta OMEGA"),
+      (3L, "completely unrelated training text about nothing much"),
+      (4L, null.asInstanceOf[String]))
+    // batch expectation: q57 over the same corpus in the testdata layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-decon").toString
+    all.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val want = graft.SparkEntry.queries("q57_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    graft.Caches.release(spark)
+    // static eval-set gram relation, built with the SAME shared stage
+    val benchGrams = graft.queries.Curation.gramStage(
+        all.take(1).toDF("doc_id", "text"), Seq.empty)
+      .select(org.apache.spark.sql.functions.explode($"g8").as("g"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.decontaminated(
+        mem.toDF().toDF("doc_id", "ingest_ts", "text"), benchGrams)
+      .writeStream.format("memory").queryName("decon").outputMode("append").start()
+    try {
+      mem.addData(all.drop(1).map { case (id, t) => (id, ts(id), t) })
+      q.processAllAvailable()
+      val got = spark.table("decon")
+        .select("doc_id", "n_overlap", "contaminated")
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want + (4L -> ((0L, false))),
+        s"stream verdicts must match batch q57 (plus the null-text doc): got $got want $want")
+      // every stream column survives beside the two verdict columns
+      assert(spark.table("decon").columns.toSeq ==
+        Seq("doc_id", "ingest_ts", "n_overlap", "contaminated"))
+    } finally q.stop()
+  }
+
   test("scored matches the batch q17/q18 expressions on the same rows") {
     import spark.implicits._
     val batch = Seq((0L, ts(1), goodEn), (1L, ts(2), spanish), (2L, ts(3), junk))
