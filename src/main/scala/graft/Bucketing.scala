@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Bucketed staging — the co-located-join primitive for relations that
+  * are joined on the same key repeatedly (the warehouse form of "pay the
+  * shuffle once"). A table written with [[stage]] is hash-bucketed and
+  * per-bucket sorted on the join key; any later equi-join between two
+  * tables staged with the SAME key and bucket count satisfies both
+  * sides' distribution requirements from the files alone, so the join
+  * plans with ZERO Exchange operators (and zero per-query Sort when the
+  * sort matches) — at 100 TB that is the difference between re-shuffling
+  * the fact table on every query and never shuffling it again.
+  *
+  * Equality filters on the bucket key also prune at the BUCKET level
+  * (the scan reads 1 of N buckets before any row is touched), the
+  * file-count analogue of partition pruning for high-cardinality keys
+  * that would explode a directory-per-value layout.
+  *
+  * Both properties are machine-pinned by BucketingSpec against the
+  * physical plans, not assumed.
+  *
+  * Spark bucketing is a property of MANAGED tables (`saveAsTable`): the
+  * bucket spec lives in the catalog, which is how readers learn the
+  * files' distribution. Plain `parquet(path)` writes cannot carry it.
+  */
+object Bucketing {
+
+  /** Stage `df` as managed table `name`, hash-bucketed AND per-bucket
+    * sorted by `key` into `buckets` files per write task.
+    */
+  def stage(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+    df.write
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(name)
+}
