@@ -1,0 +1,59 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestSession}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-boundary contract for the binned range join (q60): the
+  * horizon is a HALF-OPEN interval (t1, t1 + W] — an event at exactly
+  * t1 is not its own follower, an event at exactly t1 + W still counts —
+  * and a follower landing in the NEXT time bucket must still be found
+  * (the interval spans two buckets; dropping the second probe row is
+  * precisely the refactor this spec exists to catch, and corpus-level
+  * oracle data would only catch it statistically).
+  */
+class RangeJoinSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val W = 1800L * 1000000L // 30 min in µs
+
+  /** Events fixture in the testdata layout from (event_id, µs, user,
+    * type, value) tuples.
+    */
+  private def fixture(rows: Seq[(Long, Long, Long, String, Double)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-rj").toString
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(us)"))
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("q60 horizon is (t1, t1+W]: boundary events and the bucket-spanning follower") {
+    // error 100 at t0 = 4·W exactly (bucket boundary); error 200 at
+    // t0' = 7·W + 0.7·W (mid-bucket); error 300 with no followers
+    val t0 = 4L * W
+    val t1 = 7L * W + (7L * W) / 10
+    val rows = Seq(
+      (100L, t0, 1L, "error", 0.0),
+      (200L, t1, 2L, "error", 0.0),
+      (300L, t0, 3L, "error", 0.0),
+      // user 1 followers around error 100:
+      (10L, t0, 1L, "purchase", 99.0),          // t2 == t1: EXCLUDED (strict >)
+      (11L, t0 + 1L, 1L, "purchase", 1.5),      // just inside, same bucket
+      (12L, t0 + W, 1L, "purchase", 2.25),      // exactly t1+W: INCLUDED, next bucket
+      (13L, t0 + W + 1L, 1L, "purchase", 99.0), // just past the horizon: excluded
+      (14L, t0 + 5L, 2L, "purchase", 99.0),     // other USER at a matching time: excluded
+      // user 2 follower crossing the bucket boundary mid-interval:
+      (20L, t1 + W, 2L, "purchase", 4.125)      // exactly at horizon, bucket 8 ≠ 7
+    )
+    val got = SparkEntry.queries("q60_range_join")(spark, fixture(rows))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(
+      100L -> ((2L, 1.5 + 2.25)), // events 11 and 12 only
+      200L -> ((1L, 4.125)),      // event 20 only (14 is hours earlier)
+      300L -> ((0L, 0.0))))
+  }
+}
