@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Small-file compaction — the table-maintenance primitive every
+  * long-running ingest needs: micro-batch sinks and per-job partition
+  * overwrites accumulate files far below the scan-efficient size, and a
+  * 100 TB table fragmented into millions of KB-scale files pays its cost
+  * in scan TASK COUNT (one per file once files drop under
+  * `spark.sql.files.maxPartitionBytes`, since tiny files never coalesce
+  * across row groups) and in file-listing latency, not bytes.
+  *
+  * [[compact]] rewrites a parquet directory into ~`targetBytes` output
+  * files, sized from the ACTUAL on-disk footprint (summed file lengths —
+  * parquet's compressed size, the quantity the target is denominated in)
+  * rather than row counts or guesses. A round-robin `repartition(n)`
+  * gives uniform output sizes regardless of input skew; rewriting into a
+  * NEW directory keeps the operation crash-safe (the swap is the
+  * caller's one atomic rename, never a half-rewritten table).
+  */
+object Compaction {
+
+  /** On-disk byte size of a path's data files (driver-side metadata
+    * listing — no data read).
+    */
+  def dataBytes(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(p, true)
+    var total = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      // skip commit markers / _SUCCESS metadata
+      if (!f.getPath.getName.startsWith("_")) total += f.getLen
+    }
+    total
+  }
+
+  /** Rewrite `inPath` (parquet) into `outPath` as ceil(bytes/target)
+    * uniformly-sized files; returns the output file count.
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): Int = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val bytes = dataBytes(spark, inPath)
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath)
+      .repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    n
+  }
+}

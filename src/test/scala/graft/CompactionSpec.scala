@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Compaction contract: a fragmented directory rewrites into the
+  * byte-derived file count with no row lost or duplicated, and the
+  * output files are the ones a scan wants (≥ the target granularity in
+  * count terms, uniform via round-robin).
+  */
+class CompactionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def parquetFiles(dir: String): Seq[java.io.File] =
+    new java.io.File(dir).listFiles().toSeq
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+
+  test("compact rewrites a fragmented table into byte-sized file counts, rows intact") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-frag").toString + "/t"
+    val out = Files.createTempDirectory("graft-compact").toString + "/t"
+    // 64 fragments of a 20k-row table — the micro-batch-sink shape
+    (1L to 20000L).map(i => (i, s"row $i payload"))
+      .toDF("id", "payload").repartition(64).write.parquet(in)
+    assert(parquetFiles(in).size == 64)
+
+    val bytes = Compaction.dataBytes(spark, in)
+    assert(bytes > 0)
+    val target = bytes / 4 + 1 // aim for ~4 output files
+    val n = Compaction.compact(spark, in, out, target)
+    assert(n >= 4 && n <= 5, s"byte-derived count was $n")
+    assert(parquetFiles(out).size == n)
+
+    // no row lost or duplicated, values intact
+    val a = spark.read.parquet(in).as[(Long, String)].collect().sortBy(_._1)
+    val b = spark.read.parquet(out).as[(Long, String)].collect().sortBy(_._1)
+    assert(b.length == 20000 && a.toSeq == b.toSeq)
+  }
+
+  test("compact of an already-compact table is a single file") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-small").toString + "/t"
+    val out = Files.createTempDirectory("graft-small-out").toString + "/t"
+    (1L to 100L).toDF("id").coalesce(1).write.parquet(in)
+    val n = Compaction.compact(spark, in, out, 1L << 30)
+    assert(n == 1 && parquetFiles(out).size == 1)
+    assert(spark.read.parquet(out).count() == 100L)
+  }
+}
