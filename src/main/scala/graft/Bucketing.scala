@@ -27,10 +27,19 @@ import org.apache.spark.sql.DataFrame
 object Bucketing {
 
   /** Stage `df` as managed table `name`, hash-bucketed AND per-bucket
-    * sorted by `key` into `buckets` files per write task.
+    * sorted by `key` — exactly ONE file per bucket. Without the
+    * key-repartition first, EVERY write task emits a file for every
+    * bucket it holds rows for (tasks × buckets files): a 10k-task fact
+    * scan at 1024 buckets would fragment into millions of small files,
+    * recreating at write time the problem [[Compaction]] exists to fix —
+    * and a bucketed table cannot be compacted by a plain rewrite without
+    * destroying its catalog bucket spec. `repartition(buckets, key)`
+    * uses the same murmur3-pmod placement as the bucket spec, so each
+    * task holds exactly one bucket's rows.
     */
   def stage(df: DataFrame, name: String, key: String, buckets: Int): Unit =
-    df.write
+    df.repartition(buckets, df(key))
+      .write
       .bucketBy(buckets, key)
       .sortBy(key)
       .mode("overwrite")

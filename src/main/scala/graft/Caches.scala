@@ -36,9 +36,14 @@ import org.apache.spark.sql.SparkSession
 object Caches {
   def release(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
-    val pinned = CheckpointBlocks.pinned
-    spark.sparkContext.getPersistentRDDs.values
-      .filterNot(r => pinned.contains(r.id))
-      .foreach(_.unpersist(blocking = false))
+    // under sweepLock: a concurrent pinnedCheckpoint either completes
+    // before the snapshot (and is skipped) or blocks until the sweep is
+    // done (and its blocks are registered after) — no in-between
+    CheckpointBlocks.sweepLock.synchronized {
+      val pinned = CheckpointBlocks.pinned
+      spark.sparkContext.getPersistentRDDs.values
+        .filterNot(r => pinned.contains(r.id))
+        .foreach(_.unpersist(blocking = false))
+    }
   }
 }

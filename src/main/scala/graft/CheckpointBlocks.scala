@@ -30,6 +30,16 @@ private[graft] object CheckpointBlocks {
     */
   private val pinnedIds = java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
 
+  /** Serializes checkpoint-registration+pin against [[Caches.release]]'s
+    * sweep. Without it two races lose data: (a) a release landing
+    * between `localCheckpoint()` (which registers the RDD as persistent
+    * immediately) and `pin()` sweeps the just-registered blocks; (b) a
+    * release that snapshotted the pin set before a concurrent pin lands
+    * sweeps ids pinned mid-sweep. Both sides hold this lock, so a pin is
+    * either fully visible to a sweep or happens strictly after it.
+    */
+  private[graft] val sweepLock = new Object
+
   /** The checkpoint-backing RDD ids of a localCheckpoint'd DataFrame
     * (empty for plans that are not LogicalRDD-backed).
     */
@@ -38,12 +48,39 @@ private[graft] object CheckpointBlocks {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd.id
     }.toSet
 
+  /** `localCheckpoint` + pin as ONE atomic step w.r.t.
+    * [[Caches.release]]: the returned DataFrame's checkpoint blocks are
+    * shielded from the sweep from the instant the RDD is registered —
+    * there is no window in which a concurrent release can destroy the
+    * only copy. Caller MUST [[free]] the returned ids in a `finally`
+    * that starts immediately after this call (anything the caller does
+    * first runs outside that protection and would leak the pins on
+    * failure).
+    */
+  def pinnedCheckpoint(df: DataFrame): (DataFrame, Set[Int]) =
+    sweepLock.synchronized {
+      // LAZY checkpoint: registers the RDD as persistent and truncates
+      // lineage without running a job, so the lock window is
+      // microseconds — materialization happens at the caller's first
+      // action, already under pin protection. An eager checkpoint here
+      // would hold concurrent releases hostage for the whole
+      // materialization.
+      val stable = df.localCheckpoint(eager = false)
+      val stableIds = ids(stable)
+      stableIds.foreach(pinnedIds.add(_))
+      (stable, stableIds)
+    }
+
   /** Shield these ids from [[Caches.release]] until [[free]]d: losing a
     * lineage-truncated block mid-batch is data loss, not a cache miss.
+    * Prefer [[pinnedCheckpoint]], which closes the register-to-pin race.
     */
-  def pin(rddIds: Set[Int]): Unit = rddIds.foreach(pinnedIds.add(_))
+  def pin(rddIds: Set[Int]): Unit =
+    sweepLock.synchronized { rddIds.foreach(pinnedIds.add(_)) }
 
-  /** Currently pinned ids ([[Caches.release]] reads this). */
+  /** Currently pinned ids ([[Caches.release]] reads this under
+    * [[sweepLock]]).
+    */
   def pinned: Set[Int] = {
     import scala.jdk.CollectionConverters._
     pinnedIds.iterator().asScala.toSet

@@ -24,14 +24,23 @@ object Compaction {
     * listing — no data read).
     */
   def dataBytes(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val it = fs.listFiles(p, true)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a file only counts if NO path component below the root is hidden:
+    // `spark.read.parquet` ignores `_`/`.`-prefixed files AND everything
+    // under `_temporary/` (a crashed write's leftovers) — counting those
+    // would inflate the byte total and the derived output file count
+    def visible(p: org.apache.hadoop.fs.Path): Boolean =
+      if (p == null || p == root) true
+      else {
+        val n = p.getName
+        !n.startsWith("_") && !n.startsWith(".") && visible(p.getParent)
+      }
+    val it = fs.listFiles(root, true)
     var total = 0L
     while (it.hasNext) {
       val f = it.next()
-      // skip commit markers / _SUCCESS metadata
-      if (!f.getPath.getName.startsWith("_")) total += f.getLen
+      if (visible(f.getPath)) total += f.getLen
     }
     total
   }

@@ -169,30 +169,36 @@ object DocStream {
     * aggregation state, no watermark, exact q57 semantics per arrival.
     *
     * The eval set is benchmark-sized BY DEFINITION (the same argument
-    * that broadcasts it in the batch plan), so it folds once into a
-    * one-row gram-hash array and rides along as a broadcast; the overlap
-    * count is then a per-row `array_intersect` in the SAME hashed
-    * 8-gram space as the batch operator ([[graft.queries.Curation
-    * .gramStage]] — per-doc grams are distinct, so the intersect size IS
-    * q57's n_overlap). Per-row cost is linear in the eval-set size; if
-    * an eval set ever outgrows a row-side probe, the batch operator's
-    * exploded equi-join inside `foreachBatch` is the fallback shape.
+    * that broadcasts it in the batch plan), so it is folded ONCE — at
+    * stream construction, a single bounded driver read — into a sorted
+    * gram-hash array literal (one Literal node of primitive longs, not
+    * the per-plane literal forest PERF.md warns about). A stream-static
+    * join here instead would re-run the whole tokenize→gram→hash→agg
+    * fold of the eval relation on EVERY micro-batch: Spark re-evaluates
+    * the static side per trigger. The overlap count is then a per-row
+    * `array_intersect` in the SAME hashed 8-gram space as the batch
+    * operator ([[graft.queries.Curation.gramStage]] — per-doc grams are
+    * distinct, so the intersect size IS q57's n_overlap). Per-row cost
+    * is linear in the eval-set size; if an eval set ever outgrows a
+    * row-side probe, the batch operator's exploded equi-join inside
+    * `foreachBatch` is the fallback shape.
     *
     * @param benchGrams static relation with a `g` column of hashed
     *                   8-grams — e.g. `gramStage(evalDocs,
-    *                   Seq.empty).select(explode($"g8").as("g"))`.
+    *                   Seq.empty).select(explode($"g8").as("g"))`;
+    *                   evaluated once, here, not per batch.
     */
   def decontaminated(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
     val bench = benchGrams.agg(collect_set(col("g")).as("bench_g8"))
+      .head.getSeq[Long](0).sorted.toArray
     graft.queries.Curation.gramStage(docs, docs.columns.toSeq.filter(_ != "text"))
-      .crossJoin(broadcast(bench)) // one-row static side: stateless stream join
       // null text ⇒ null gram array ⇒ null intersect: a null-text doc is
       // CLEAN (0, false) exactly as in the batch operator's left join
       .withColumn("n_overlap",
-        coalesce(size(array_intersect(col("g8"), col("bench_g8"))).cast("long"),
+        coalesce(size(array_intersect(col("g8"), typedLit(bench))).cast("long"),
           lit(0L)))
       .withColumn("contaminated", col("n_overlap") > 0)
-      .drop("g8", "bench_g8")
+      .drop("g8")
   }
 
   /** Streaming vocabulary-cardinality sketch: q53's HLL register table
@@ -319,13 +325,24 @@ object DocStream {
       return // replayed, fully committed
     // a foreachBatch micro-batch is backed by an EPHEMERAL source — the
     // within-batch band self-join needs a stable base, and the two writes
-    // below must not re-pull the source; one checkpoint pins both
-    val stable = batch.localCheckpoint()
-    val stableIds = graft.CheckpointBlocks.ids(stable)
-    // pin for the batch's duration: a concurrent Caches.release (another
-    // query in the session completing) must not sweep the checkpoint
-    // blocks — they are the batch's only copy (lineage is truncated)
-    graft.CheckpointBlocks.pin(stableIds)
+    // below must not re-pull the source; one checkpoint pins both. The
+    // checkpoint registers PINNED atomically: a concurrent Caches.release
+    // (another query in the session completing) must not sweep the
+    // blocks — they are the batch's only copy (lineage is truncated) —
+    // and every step from here on runs inside the try whose finally
+    // frees the pins, so no failure path can leak them
+    val (stable, stableIds) = graft.CheckpointBlocks.pinnedCheckpoint(batch)
+    try processPinnedBatch(spark, stable, batchId, indexPath, outPath, bandWidth)
+    finally
+      // release the batch's pinned localCheckpoint blocks on EVERY path —
+      // a stream otherwise leaks one permanently-pinned block set per
+      // failed micro-batch, unreclaimable by any later release
+      graft.CheckpointBlocks.free(spark, stableIds)
+  }
+
+  private def processPinnedBatch(spark: SparkSession, stable: DataFrame,
+      batchId: Long, indexPath: String, outPath: String,
+      bandWidth: Int): Unit = {
     // mass-cluster hygiene, LOSSLESS (unlike batch q27's frequency cap):
     // collapse exact-sketch duplicates to their min-id representative
     // BEFORE banding. Identical sketches share every band key at
@@ -376,12 +393,7 @@ object DocStream {
         .write.partitionBy("b", "g").mode("overwrite")
         .parquet(s"$indexPath/batch_id=$batchId")
       BatchProtocol.commit(spark, indexPath, batchId)
-    } finally {
-      bands.unpersist()
-      // release the batch's pinned localCheckpoint blocks — a stream
-      // otherwise leaks one batch-sized block set per micro-batch
-      graft.CheckpointBlocks.free(spark, stableIds)
-    }
+    } finally bands.unpersist() // staged bands: cache, not data — caller frees the pins
   }
 
   /** Streaming incremental near-dedup: survivors accumulate under

@@ -84,11 +84,17 @@ object EmbedStream {
       threshold: Double = 0.35): Unit = {
     if (BatchProtocol.committed(spark, indexPath, batchId))
       return // replayed, fully committed
-    val stable = batch.localCheckpoint()
-    val stableIds = graft.CheckpointBlocks.ids(stable)
-    // pin for the batch's duration (see DocStream.processBatch): a
-    // concurrent Caches.release must not sweep the only copy
-    graft.CheckpointBlocks.pin(stableIds)
+    // checkpoint-and-pin atomically, free on every path (see
+    // DocStream.processBatch for both hazards this structure closes)
+    val (stable, stableIds) = graft.CheckpointBlocks.pinnedCheckpoint(batch)
+    try processPinnedBatch(spark, stable, batchId, indexPath, outPath,
+      planesPerFam, threshold)
+    finally graft.CheckpointBlocks.free(spark, stableIds)
+  }
+
+  private def processPinnedBatch(spark: SparkSession, stable: DataFrame,
+      batchId: Long, indexPath: String, outPath: String,
+      planesPerFam: Int, threshold: Double): Unit = {
     // lossless mass-cluster hygiene (see DocStream.processBatch): exact
     // duplicate vectors collapse to their min-id representative before
     // banding — identical vectors share every family bucket at cosine 1,
@@ -120,11 +126,7 @@ object EmbedStream {
       keptBands.write.partitionBy("g").mode("overwrite")
         .parquet(s"$indexPath/batch_id=$batchId")
       BatchProtocol.commit(spark, indexPath, batchId)
-    } finally {
-      bands.unpersist()
-      // release the batch's pinned localCheckpoint blocks (see DocStream)
-      graft.CheckpointBlocks.free(spark, stableIds)
-    }
+    } finally bands.unpersist() // staged bands: cache, not data — caller frees the pins
   }
 
   /** Streaming incremental embedding near-dedup over a stream of

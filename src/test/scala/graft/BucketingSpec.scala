@@ -31,6 +31,12 @@ class BucketingSpec extends AnyFunSuite {
     Bucketing.stage(orders, "bkt_orders", "o_orderkey", 8)
     Bucketing.stage(items.withColumnRenamed("l_orderkey", "o_orderkey"),
       "bkt_items", "o_orderkey", 8)
+    // one file per bucket — without the key-repartition inside stage,
+    // every write task emits a file per bucket it holds (tasks × buckets
+    // files, the small-file explosion Compaction exists to fix)
+    val files = new java.io.File("spark-warehouse/bkt_orders").listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("."))
+    assert(files.length == 8, s"expected 8 bucket files, got ${files.length}")
     try withNoBroadcast {
       val joined = spark.table("bkt_orders").join(spark.table("bkt_items"), "o_orderkey")
       val n = joined.count()

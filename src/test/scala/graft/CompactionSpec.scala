@@ -26,6 +26,17 @@ class CompactionSpec extends AnyFunSuite {
 
     val bytes = Compaction.dataBytes(spark, in)
     assert(bytes > 0)
+    // a crashed write's _temporary leftovers and hidden files are
+    // invisible to spark.read.parquet — they must not inflate the byte
+    // total the output file count derives from
+    val junkDir = new java.io.File(s"$in/_temporary/0")
+    junkDir.mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$junkDir/part-junk.parquet"),
+      Array.fill[Byte](1 << 20)(7))
+    Files.write(java.nio.file.Paths.get(s"$in/.hidden.parquet"),
+      Array.fill[Byte](1 << 20)(7))
+    assert(Compaction.dataBytes(spark, in) == bytes,
+      "hidden/_temporary files must not count")
     val target = bytes / 4 + 1 // aim for ~4 output files
     val n = Compaction.compact(spark, in, out, target)
     assert(n >= 4 && n <= 5, s"byte-derived count was $n")
