@@ -213,6 +213,30 @@ object Curation {
       }
     }),
 
+    // temperature-scaled mixture: downsample each SOURCE stratum to the
+    // geometric mean of its size and the smallest stratum's size —
+    // τ=0.5 multilingual-style sampling (UNIMAX/mT5 temperature
+    // mixing), sitting exactly between proportional (keep n_s) and
+    // equal (keep n_min): the smallest source is kept whole, a source
+    // 100× larger is downsampled 10×. Deterministic cross-engine: the
+    // only non-integer steps are exact long→double converts, ONE
+    // rounding multiply, sqrt (IEEE-correctly-rounded in both engines —
+    // unlike ln/exp, sqrt has a single legal result), and floor.
+    // Admission is the q59 per-row hash-mod discipline; counts join
+    // back broadcast, nothing corpus-sized moves.
+    "q62_temperature_mix" -> ((s, dir) => {
+      val counts = Tables(s, dir, "documents")
+        .groupBy("source").agg(count(lit(1)).as("n_s"))
+      val nMin = counts.agg(min("n_s").as("n_min"))
+      val target = floor(sqrt(col("n_s").cast("double") *
+        col("n_min").cast("double"))).cast("long")
+      Tables(s, dir, "documents").join(counts, "source")
+        .crossJoin(broadcast(nMin)) // 1-row scalar, as in q61
+        .filter(portableHash(col("doc_id").cast("string"), 3) % col("n_s")
+          < target)
+        .select("doc_id", "source")
+    }),
+
     // balanced stratified sample: downsample every language stratum to
     // the SMALLEST stratum's size (expected), membership by seeded hash —
     // deterministic, per-row, and rate-exact (kept iff hash mod n_l <
@@ -339,5 +363,13 @@ object Curation {
          |t AS (SELECT MIN(n_l) AS target FROM c)
          |SELECT d.doc_id, d.lang
          |FROM documents d JOIN c USING (lang), t
-         |WHERE ${Hash("CAST(d.doc_id AS VARCHAR)||'#1'")} % n_l < target""".stripMargin)
+         |WHERE ${Hash("CAST(d.doc_id AS VARCHAR)||'#1'")} % n_l < target""".stripMargin,
+
+    "q62_temperature_mix" ->
+      s"""WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
+         |m AS (SELECT MIN(n_s) AS n_min FROM c)
+         |SELECT d.doc_id, d.source
+         |FROM documents d JOIN c USING (source), m
+         |WHERE ${Hash("CAST(d.doc_id AS VARCHAR)||'#3'")} % n_s
+         |  < CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE) * CAST(n_min AS DOUBLE))) AS BIGINT)""".stripMargin)
 }

@@ -35,6 +35,15 @@ class CurationSpec extends AnyFunSuite {
     d
   }
 
+  /** Like [[corpus]] but with a source column (q62 strata). */
+  private def corpusWithSource(rows: Seq[(Long, String, String, String)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-curation-src").toString
+    rows.toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
   // ---------------------------------------------------------------- empty
 
   for (q <- Seq("q56_hash_split", "q57_decontaminate",
@@ -44,6 +53,36 @@ class CurationSpec extends AnyFunSuite {
       assert(SparkEntry.queries(q)(spark, dir).count() === 0L)
       Caches.release(spark)
     }
+
+  test("q62 yields a defined empty result on an empty corpus") {
+    assert(SparkEntry.queries("q62_temperature_mix")(
+      spark, corpusWithSource(Seq.empty)).count() === 0L)
+  }
+
+  // ----------------------------------------------------------------- q62
+
+  test("q62 temperature mixing sits between proportional and equal") {
+    // skewed sources 64/16/4: targets are the geometric means
+    // isqrt(64·4)=16, isqrt(16·4)=8, isqrt(4·4)=4 — so the smallest
+    // source is kept WHOLE (hash % 4 < 4 always), the others are strict
+    // subsets at rates 0.25 and 0.5: more small-source representation
+    // than proportional, more large-source than equal
+    val rows = (0L until 84L).map { i =>
+      val src = if (i < 64) "big" else if (i < 80) "mid" else "tiny"
+      (i, s"text $i", "en", src)
+    }
+    val dir = corpusWithSource(rows)
+    val got = SparkEntry.queries("q62_temperature_mix")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc.getOrElse("tiny", 0) === 4, s"smallest source kept whole: $bySrc")
+    assert(bySrc.getOrElse("big", 0) < 64 && bySrc.getOrElse("mid", 0) < 16,
+      s"larger sources must downsample: $bySrc")
+    // deterministic: the admitted set is identical on a second run
+    val again = SparkEntry.queries("q62_temperature_mix")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+  }
 
   // ----------------------------------------------------------------- q56
 
