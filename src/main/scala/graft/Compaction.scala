@@ -24,8 +24,14 @@ object Compaction {
     * listing — no data read).
     */
   def dataBytes(spark: SparkSession, path: String): Long = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val unqualified = new org.apache.hadoop.fs.Path(path)
+    val fs = unqualified.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // listFiles returns scheme-qualified paths; the root must be
+    // qualified the same way or the `p == root` boundary below never
+    // matches and the hidden-name walk ascends ABOVE the root — a table
+    // living under any '.'-prefixed ancestor (a ~/.cache warehouse)
+    // would report zero bytes
+    val root = fs.makeQualified(unqualified)
     // a file only counts if NO path component below the root is hidden:
     // `spark.read.parquet` ignores `_`/`.`-prefixed files AND everything
     // under `_temporary/` (a crashed write's leftovers) — counting those

@@ -44,6 +44,20 @@ object TextFunctions {
     conv(substring(sha2(keyed, 256), 1, 8), 16, 10).cast("long")
   }
 
+  /** 60-bit [[portableHash]] (first 15 hex chars of SHA-256, < 2^60):
+    * for `hash % n_stratum < target` admission rates that must stay
+    * rate-exact when a stratum can exceed 2^32 rows — there the 32-bit
+    * hash saturates (`hash % n == hash`) and the admitted fraction
+    * silently becomes `target/2^32` instead of `target/n`. 60 bits
+    * covers any real stratum while the DuckDB mirror stays a plain
+    * hex-prefix cast (15 hex digits parse into a BIGINT without
+    * overflow).
+    */
+  def portableHash60(s: Column, seed: Int = 0): Column = {
+    val keyed = if (seed == 0) s else concat(s, lit(s"#$seed"))
+    conv(substring(sha2(keyed, 256), 1, 15), 16, 10).cast("long")
+  }
+
   /** Driver-side [[portableHash]] of a literal string — the identical
     * value (first 4 bytes of SHA-256, read unsigned), for baking derived
     * constants into plans without a foldable sha-expression forest.

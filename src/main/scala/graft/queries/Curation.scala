@@ -230,9 +230,14 @@ object Curation {
       val nMin = counts.agg(min("n_s").as("n_min"))
       val target = floor(sqrt(col("n_s").cast("double") *
         col("n_min").cast("double"))).cast("long")
+      // 60-bit hash: the 32-bit portableHash saturates on a stratum
+      // past 2^32 rows (hash % n_s == hash ⇒ rate target/2^32, not
+      // target/n_s) — real at the design scale, and oracle parity
+      // could never catch it (both engines would compute the same
+      // saturated rate)
       Tables(s, dir, "documents").join(counts, "source")
         .crossJoin(broadcast(nMin)) // 1-row scalar, as in q61
-        .filter(portableHash(col("doc_id").cast("string"), 3) % col("n_s")
+        .filter(portableHash60(col("doc_id").cast("string"), 3) % col("n_s")
           < target)
         .select("doc_id", "source")
     }),
@@ -250,8 +255,9 @@ object Curation {
       // sample (target 0 admits nothing), not a driver NPE
       val target = Option(counts.agg(min("n_l")).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
+      // 60-bit hash for the same rate-exactness-past-2^32 reason as q62
       Tables(s, dir, "documents").join(counts, "lang")
-        .filter(portableHash(col("doc_id").cast("string"), 1) % col("n_l")
+        .filter(portableHash60(col("doc_id").cast("string"), 1) % col("n_l")
           < lit(target))
         .select("doc_id", "lang")
     }))
@@ -312,6 +318,9 @@ object Curation {
   // DuckDB mirrors.
   private val Hash = (e: String) =>
     s"CAST('0x'||substr(sha256($e),1,8) AS BIGINT)"
+  // 60-bit mirror of portableHash60 (rate-exact admission past 2^32)
+  private val Hash60 = (e: String) =>
+    s"CAST('0x'||substr(sha256($e),1,15) AS BIGINT)"
 
   def oracleSql: Map[String, String] = Map(
     "q56_hash_split" ->
@@ -363,13 +372,13 @@ object Curation {
          |t AS (SELECT MIN(n_l) AS target FROM c)
          |SELECT d.doc_id, d.lang
          |FROM documents d JOIN c USING (lang), t
-         |WHERE ${Hash("CAST(d.doc_id AS VARCHAR)||'#1'")} % n_l < target""".stripMargin,
+         |WHERE ${Hash60("CAST(d.doc_id AS VARCHAR)||'#1'")} % n_l < target""".stripMargin,
 
     "q62_temperature_mix" ->
       s"""WITH c AS (SELECT source, COUNT(*) AS n_s FROM documents GROUP BY source),
          |m AS (SELECT MIN(n_s) AS n_min FROM c)
          |SELECT d.doc_id, d.source
          |FROM documents d JOIN c USING (source), m
-         |WHERE ${Hash("CAST(d.doc_id AS VARCHAR)||'#3'")} % n_s
+         |WHERE ${Hash60("CAST(d.doc_id AS VARCHAR)||'#3'")} % n_s
          |  < CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE) * CAST(n_min AS DOUBLE))) AS BIGINT)""".stripMargin)
 }

@@ -48,6 +48,21 @@ class CompactionSpec extends AnyFunSuite {
     assert(b.length == 20000 && a.toSeq == b.toSeq)
   }
 
+  test("a table under a hidden ancestor directory still counts its bytes") {
+    import spark.implicits._
+    // a '.'-prefixed ANCESTOR (a ~/.cache-style warehouse) must not hide
+    // the table: the visibility walk stops at the qualified root, never
+    // above it (the unqualified-root comparison bug made this return 0)
+    val base = Files.createTempDirectory("graft-hid").toString
+    val in = s"$base/.cache/warehouse/t"
+    (1L to 500L).toDF("id").coalesce(1).write.parquet(in)
+    assert(Compaction.dataBytes(spark, in) > 0,
+      "bytes under a hidden ancestor must count from the table root down")
+    val out = s"$base/out/t"
+    assert(Compaction.compact(spark, in, out, 1L << 30) == 1)
+    assert(spark.read.parquet(out).count() == 500L)
+  }
+
   test("compact of an already-compact table is a single file") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-small").toString + "/t"
