@@ -321,6 +321,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q62 temperature mix: counts broadcast back, no corpus-sized shuffle join") {
+    // q59's pinned shape, replicated for the mixing variant: the
+    // per-source counts (|sources| rows) and the 1-row minimum must
+    // both reach the row side as broadcasts
+    val df = SparkEntry.queries("q62_temperature_mix")(spark, dir)
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q39 bucketed cosine near-dup: no nested loop, no cartesian product") {
     // THE property that makes q39 the 100 TB replacement for q28: candidate
     // generation must be a bucket equi-join (shuffle or broadcast hash),

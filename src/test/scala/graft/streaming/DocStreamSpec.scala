@@ -144,6 +144,40 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("budgetAdmitted: sharded (default-path) admission keeps the global cap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 40 docs × 7 tokens over 4 shards, budget 100 → per-shard caps
+    // sum exactly to 100 (integer split), so the global hard cap holds
+    // no matter how the hash spreads arrivals over shards
+    val rows = (0L until 40L).map(i =>
+      (i, ts(i), "alpha beta gamma delta epsilon zeta eta"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.budgetAdmitted(
+        mem.toDF().toDF("doc_id", "ingest_ts", "text"), 100L, shards = 4)
+      .writeStream.format("memory").queryName("budget4").outputMode("append").start()
+    try {
+      mem.addData(rows)
+      q.processAllAvailable()
+      val got = spark.table("budget4")
+        .select("doc_id", "n_tokens").as[(Long, Long)].collect()
+      assert(got.map(_._2).sum <= 100L, s"global cap: ${got.toSeq}")
+      assert(got.nonEmpty, "some shard must admit")
+      // deterministic: replaying the same stream admits the same set
+      val mem2 = MemoryStream[(Long, Timestamp, String)]
+      val q2 = DocStream.budgetAdmitted(
+          mem2.toDF().toDF("doc_id", "ingest_ts", "text"), 100L, shards = 4)
+        .writeStream.format("memory").queryName("budget4b").outputMode("append").start()
+      try {
+        mem2.addData(rows)
+        q2.processAllAvailable()
+        val again = spark.table("budget4b")
+          .select("doc_id", "n_tokens").as[(Long, Long)].collect()
+        assert(got.map(_._1).toSet == again.map(_._1).toSet)
+      } finally q2.stop()
+    } finally q.stop()
+  }
+
   test("budgetAdmitted: the budget is a hard cap and exhaustion is permanent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
