@@ -24,24 +24,30 @@ object Compaction {
     * listing — no data read).
     */
   def dataBytes(spark: SparkSession, path: String): Long = {
-    val unqualified = new org.apache.hadoop.fs.Path(path)
-    val fs = unqualified.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    // listFiles returns scheme-qualified paths; the root must be
-    // qualified the same way or the `p == root` boundary below never
-    // matches and the hidden-name walk ascends ABOVE the root — a table
-    // living under any '.'-prefixed ancestor (a ~/.cache warehouse)
-    // would report zero bytes
-    val root = fs.makeQualified(unqualified)
-    // a file only counts if NO path component below the root is hidden:
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a file only counts if NO path component BELOW the root is hidden:
     // `spark.read.parquet` ignores `_`/`.`-prefixed files AND everything
     // under `_temporary/` (a crashed write's leftovers) — counting those
-    // would inflate the byte total and the derived output file count
-    def visible(p: org.apache.hadoop.fs.Path): Boolean =
-      if (p == null || p == root) true
-      else {
+    // would inflate the byte total and the derived output file count.
+    // The walk is bounded by DEPTH relative to the root, never by path
+    // equality: listFiles returns scheme-qualified paths whose
+    // qualification need not match the caller's (local fs, viewfs
+    // mounts), and an equality boundary that never matches would ascend
+    // into the root's own ancestors — a table under a '.'-prefixed
+    // ancestor (a ~/.cache warehouse) would report zero bytes.
+    // Path.depth() counts path components only, ignoring scheme and
+    // authority, so it is immune to qualification mismatches.
+    val rootDepth = root.depth()
+    def visible(leaf: org.apache.hadoop.fs.Path): Boolean = {
+      var p = leaf
+      while (p != null && p.depth() > rootDepth) {
         val n = p.getName
-        !n.startsWith("_") && !n.startsWith(".") && visible(p.getParent)
+        if (n.startsWith("_") || n.startsWith(".")) return false
+        p = p.getParent
       }
+      true
+    }
     val it = fs.listFiles(root, true)
     var total = 0L
     while (it.hasNext) {

@@ -39,9 +39,16 @@ object TextFunctions {
     * `CAST('0x'||substr(sha256(s),1,8) AS BIGINT)`), which keys the oracle
     * parity of every sketch built on it. Seeded variants append `#<seed>`.
     */
-  def portableHash(s: Column, seed: Int = 0): Column = {
+  def portableHash(s: Column, seed: Int = 0): Column = hashPrefix(s, seed, 8)
+
+  /** The ONE definition behind both hash widths: seed-keyed sha-256,
+    * first `hexChars` hex digits as a non-negative long. The keying
+    * convention (`#<seed>` suffix) lives only here and in the oracle
+    * mirrors' `||'#N'`.
+    */
+  private def hashPrefix(s: Column, seed: Int, hexChars: Int): Column = {
     val keyed = if (seed == 0) s else concat(s, lit(s"#$seed"))
-    conv(substring(sha2(keyed, 256), 1, 8), 16, 10).cast("long")
+    conv(substring(sha2(keyed, 256), 1, hexChars), 16, 10).cast("long")
   }
 
   /** 60-bit [[portableHash]] (first 15 hex chars of SHA-256, < 2^60):
@@ -53,10 +60,7 @@ object TextFunctions {
     * hex-prefix cast (15 hex digits parse into a BIGINT without
     * overflow).
     */
-  def portableHash60(s: Column, seed: Int = 0): Column = {
-    val keyed = if (seed == 0) s else concat(s, lit(s"#$seed"))
-    conv(substring(sha2(keyed, 256), 1, 15), 16, 10).cast("long")
-  }
+  def portableHash60(s: Column, seed: Int = 0): Column = hashPrefix(s, seed, 15)
 
   /** Driver-side [[portableHash]] of a literal string — the identical
     * value (first 4 bytes of SHA-256, read unsigned), for baking derived

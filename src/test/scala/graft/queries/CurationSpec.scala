@@ -144,7 +144,7 @@ class CurationSpec extends AnyFunSuite {
     }
     val dir = corpus(rows)
     val df = SparkEntry.queries("q57_decontaminate")(spark, dir)
-    df.count() // materialize so AQE finalizes the join strategies
+    df.collect() // materialize THIS QueryExecution so AQE finalizes ITS plan (count() would execute a separate one, leaving this plan isFinalPlan=false)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

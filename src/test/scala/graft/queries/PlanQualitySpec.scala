@@ -235,7 +235,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // eval-set-sized, so the finalized adaptive plan must broadcast it
     // rather than shuffle the training corpus against it
     val df = SparkEntry.queries("q57_decontaminate")(spark, dir)
-    df.count() // materialize so AQE finalizes the join strategies
+    df.collect() // materialize THIS QueryExecution so AQE finalizes ITS plan (count() would execute a separate one, leaving this plan isFinalPlan=false)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
@@ -291,7 +291,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // quantization must keep it a hash/merge equi-join with the exact
     // range check applied after.
     val df = SparkEntry.queries("q60_range_join")(spark, dir)
-    df.count() // AQE finalizes the join strategies
+    df.collect() // finalize THIS QueryExecution (count() runs a separate one)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("Join"), p)
@@ -299,7 +299,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("q61 surprisal: two-phase aggregations, one-row scalar broadcast only") {
     val df = SparkEntry.queries("q61_mean_surprisal")(spark, dir)
-    df.count()
+    df.collect() // finalize THIS QueryExecution (count() runs a separate one)
     val p = df.queryExecution.executedPlan.toString
     // vocabulary count and per-doc mean both map-side combine
     assert(p.contains("partial_count"), p)
@@ -315,7 +315,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // the corpus to meet it instead of broadcasting, the sample pays a
     // full-corpus exchange it never needs
     val df = SparkEntry.queries("q59_stratified_sample")(spark, dir)
-    df.count()
+    df.collect() // finalize THIS QueryExecution (count() runs a separate one)
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
     assert(p.contains("BroadcastHashJoin"), p)
@@ -326,7 +326,7 @@ class PlanQualitySpec extends AnyFunSuite {
     // per-source counts (|sources| rows) and the 1-row minimum must
     // both reach the row side as broadcasts
     val df = SparkEntry.queries("q62_temperature_mix")(spark, dir)
-    df.count()
+    df.collect() // finalize THIS QueryExecution (count() runs a separate one)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("CartesianProduct"), p)
