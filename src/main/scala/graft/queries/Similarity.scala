@@ -549,6 +549,36 @@ object Similarity {
           (vecDot(col("embedding"), col("qv")) / (col("nrm") * col("qn"))).as("cos"))
         .orderBy(desc("cos"), asc("vec_id"))
         .limit(10)
+    }),
+
+    // int8 scalar quantization — the storage form of a production vector
+    // index (4× memory vs float32; the standard first compression step
+    // before IVF/PQ). Per vector: scale = max|x|/127, q_i = round-half-up
+    // of x_i/scale, so q ∈ [-127, 127] by construction. Zero-shuffle,
+    // per-row, and cross-engine exact: float→double converts are exact,
+    // max is rounding-free, and the divide and floor are single
+    // correctly-rounded IEEE ops both engines perform identically. The
+    // scale is a NAMED projection before the quantize lambda references
+    // it — inlined, the lambda would recompute the array max once per
+    // element (the PERF.md layering lesson). Output carries the per-
+    // vector scale plus integer aggregates of the quantized array
+    // (sum/min/max — the hashable fingerprint of the full int8 payload).
+    "q63_quantize_int8" -> ((s, dir) => {
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
+            / 127.0).as("scale"))
+      val quantized = base.select(col("vec_id"), col("scale"),
+        when(col("scale") > 0,
+          transform(col("embedding"),
+            x => floor(x.cast("double") / col("scale") + lit(0.5)).cast("long")))
+          // an all-zero vector has no direction and scale 0: its int8
+          // form is all zeros, not a divide-by-zero (ANSI job-killer)
+          .otherwise(transform(col("embedding"), _ => lit(0L))).as("q"))
+      quantized.select(col("vec_id"), col("scale"),
+        aggregate(col("q"), lit(0L), (a, b) => a + b).as("q_sum"),
+        array_min(col("q")).as("q_min"),
+        array_max(col("q")).as("q_max"))
     }))
 
   // ---- DuckDB mirrors ----------------------------------------------------
@@ -793,5 +823,21 @@ object Similarity {
          |  FROM e WHERE vec_id = 0)
          |SELECT vec_id, bucket, ${sqlDot("embedding", "qv")} / (nrm * qn) AS cos
          |FROM e, q WHERE bucket = qbucket
-         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin)
+         |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // CAST around list_aggregate sum: DuckDB widens BIGINT-list sums to
+    // HUGEINT (the q49 lesson)
+    "q63_quantize_int8" ->
+      """WITH s AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (SELECT vec_id, scale,
+        |  CASE WHEN scale > 0
+        |    THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))
+        |    ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS q
+        |  FROM s)
+        |SELECT vec_id, scale,
+        |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
+        |  list_min(q) AS q_min, list_max(q) AS q_max
+        |FROM q""".stripMargin)
 }

@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestSession}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Numeric contract of the int8 quantizer (q63): values land in
+  * [-127, 127] with the extremes REACHED (scale = max|x|/127 by
+  * definition), round-half-up reconstruction error is bounded by
+  * scale/2 per element, and the all-zero vector degenerates to scale 0
+  * with an all-zero code instead of an ANSI divide-by-zero.
+  */
+class QuantizeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def vectors(rows: Seq[(Long, Seq[Float])]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-quant").toString
+    rows.toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("q63 codes span [-127, 127], reconstruct within scale/2, zero vector is defined") {
+    val dir = vectors(Seq(
+      (0L, Seq(1.0f, -0.5f, 0.25f, -1.0f)),  // symmetric extremes
+      (1L, Seq(0.001f, 0.002f, 0.003f)),     // tiny magnitudes
+      (2L, Seq(0f, 0f, 0f)),                 // zero vector: scale 0 path
+      (3L, Seq(42f))))                       // single element → code 127
+    val got = SparkEntry.queries("q63_quantize_int8")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    // vector 0: scale = 1/127; codes floor(x*127 + .5) = 127, -63, 32, -127
+    val (s0, sum0, min0, max0) = got(0L)
+    assert(math.abs(s0 - 1.0 / 127.0) < 1e-15)
+    assert((min0, max0) === ((-127L, 127L)), "extremes must be reached")
+    assert(sum0 === (127L - 63L + 32L - 127L))
+
+    // vector 2: the zero vector is a defined all-zero code, scale 0
+    assert(got(2L) === ((0.0, 0L, 0L, 0L)))
+
+    // vector 3: a lone element is its own max → code exactly 127
+    assert(got(3L)._2 === 127L && got(3L)._3 === 127L)
+
+    // reconstruction bound on the tiny-magnitude vector: each original
+    // x must be within scale/2 of q·scale (round-half-up's guarantee)
+    val (s1, _, min1, max1) = got(1L)
+    assert(min1 >= -127L && max1 <= 127L)
+    val xs = Seq(0.001f, 0.002f, 0.003f).map(_.toDouble)
+    xs.foreach { x =>
+      val q = math.floor(x / s1 + 0.5)
+      assert(math.abs(x - q * s1) <= s1 / 2 + 1e-12, s"x=$x q=$q scale=$s1")
+    }
+  }
+}
