@@ -564,19 +564,29 @@ object Similarity {
     // vector scale plus integer aggregates of the quantized array
     // (sum/min/max — the hashable fingerprint of the full int8 payload).
     "q63_quantize_int8" -> ((s, dir) => {
+      val rawScale =
+        array_max(transform(col("embedding"), x => abs(x.cast("double")))) / 127.0
       val base = Tables(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"),
-          (array_max(transform(col("embedding"), x => abs(x.cast("double"))))
-            / 127.0).as("scale"))
+          // a NaN element (failed feature extraction — the degenerate
+          // case every cosine operator guards) makes the max NaN; under
+          // Spark's NaN ordering `NaN > 0` is TRUE, so unguarded it
+          // would flow into the divide and floor(NaN) — null the scale
+          // instead, which routes the vector to the zero-code path
+          when(!isnan(rawScale), rawScale).as("scale"))
       val quantized = base.select(col("vec_id"), col("scale"),
         when(col("scale") > 0,
           transform(col("embedding"),
-            x => floor(x.cast("double") / col("scale") + lit(0.5)).cast("long")))
+            x => floor(x.cast("double") / col("scale") + lit(0.5))))
           // an all-zero vector has no direction and scale 0: its int8
           // form is all zeros, not a divide-by-zero (ANSI job-killer)
           .otherwise(transform(col("embedding"), _ => lit(0L))).as("q"))
       quantized.select(col("vec_id"), col("scale"),
-        aggregate(col("q"), lit(0L), (a, b) => a + b).as("q_sum"),
+        // guarded sum: DuckDB's list_aggregate of an EMPTY list is NULL
+        // while an unconditional fold's init would be 0 — emit null for
+        // empty/null code arrays so the engines agree
+        when(size(col("q")) > 0,
+          aggregate(col("q"), lit(0L), (a, b) => a + b)).as("q_sum"),
         array_min(col("q")).as("q_min"),
         array_max(col("q")).as("q_max"))
     }))
@@ -826,11 +836,15 @@ object Similarity {
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
     // CAST around list_aggregate sum: DuckDB widens BIGINT-list sums to
-    // HUGEINT (the q49 lesson)
+    // HUGEINT (the q49 lesson). NaN scale nulls out (the Spark side's
+    // isnan guard, mirrored); list_aggregate of an empty list is already
+    // NULL, matching the Spark side's guarded fold.
     "q63_quantize_int8" ->
-      """WITH s AS (SELECT vec_id, embedding,
-        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+      """WITH s0 AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale0
         |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding,
+        |  CASE WHEN NOT isnan(scale0) THEN scale0 END AS scale FROM s0),
         |q AS (SELECT vec_id, scale,
         |  CASE WHEN scale > 0
         |    THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))

@@ -52,4 +52,29 @@ class QuantizeSpec extends AnyFunSuite {
       assert(math.abs(x - q * s1) <= s1 / 2 + 1e-12, s"x=$x q=$q scale=$s1")
     }
   }
+
+  test("q63 degenerate vectors: NaN element → null scale + zero codes; empty → all null") {
+    // NaN = failed feature extraction (the case every cosine operator
+    // guards): under Spark's NaN ordering `NaN > 0` is TRUE, so an
+    // unguarded scale would flow NaN into floor — Spark would silently
+    // emit zeros while the DuckDB mirror hard-fails casting floor(nan)
+    // to BIGINT, killing the whole oracle query. The guard nulls the
+    // scale, routing the vector to the defined zero-code path.
+    val dir = vectors(Seq(
+      (0L, Seq(Float.NaN, 1.0f)),
+      (1L, Seq.empty[Float]),
+      (2L, Seq(1.0f, -1.0f)))) // sane control row
+    val rows = SparkEntry.queries("q63_quantize_int8")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val nan = rows(0L)
+    assert(nan.isNullAt(1), "NaN vector must have null scale")
+    assert((nan.getLong(2), nan.getLong(3), nan.getLong(4)) === ((0L, 0L, 0L)))
+    val empty = rows(1L)
+    // empty codes sum to NULL on both engines (DuckDB's list_aggregate
+    // of an empty list is NULL; the Spark fold is guarded to match)
+    assert(empty.isNullAt(1) && empty.isNullAt(2) &&
+      empty.isNullAt(3) && empty.isNullAt(4))
+    val sane = rows(2L)
+    assert(!sane.isNullAt(1) && (sane.getLong(3), sane.getLong(4)) === ((-127L, 127L)))
+  }
 }
