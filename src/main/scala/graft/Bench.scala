@@ -181,10 +181,13 @@ object Bench {
     val spread = crossPassSpread(results, results2)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // noise-robust statistic: per-query min of the two pass medians (a
-    // contention burst must hit the same query in both passes to move it)
-    val queriesMin = results.map { case (k, v) =>
-      k -> math.min(v, results2.getOrElse(k, v))
-    }
+    // contention burst must hit the same query in both passes to move it).
+    // Keyed on the UNION of both passes' keys, so a query that errored in
+    // pass 1 but timed in pass 2 still contributes its one valid median
+    val queriesMin = (results.keySet ++ results2.keySet).iterator.map { k =>
+      k -> math.min(results.getOrElse(k, Double.MaxValue),
+        results2.getOrElse(k, Double.MaxValue))
+    }.toMap
     val totalMin = if (queriesMin.nonEmpty) queriesMin.values.sum else 0.0
 
     // full-precision record (both passes + per-query min + spread) — too

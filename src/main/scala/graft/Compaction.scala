@@ -24,20 +24,25 @@ object Compaction {
     * listing — no data read).
     */
   def dataBytes(spark: SparkSession, path: String): Long = {
-    val root = new org.apache.hadoop.fs.Path(path)
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val raw = new org.apache.hadoop.fs.Path(path)
+    val fs = raw.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // qualify BEFORE taking the depth: listFiles returns fully-qualified
+    // absolute leaves, so a RELATIVE caller path would otherwise have a
+    // smaller depth than every leaf and the visibility walk would ascend
+    // past the table root into its ancestors — a warehouse under a
+    // '.'-prefixed ancestor would report 0 bytes
+    val root = fs.makeQualified(raw)
     // a file only counts if NO path component BELOW the root is hidden:
     // `spark.read.parquet` ignores `_`/`.`-prefixed files AND everything
     // under `_temporary/` (a crashed write's leftovers) — counting those
     // would inflate the byte total and the derived output file count.
-    // The walk is bounded by DEPTH relative to the root, never by path
-    // equality: listFiles returns scheme-qualified paths whose
-    // qualification need not match the caller's (local fs, viewfs
-    // mounts), and an equality boundary that never matches would ascend
-    // into the root's own ancestors — a table under a '.'-prefixed
+    // The walk is bounded by DEPTH relative to the QUALIFIED root, never
+    // by path equality: an equality boundary that never matches would
+    // ascend into the root's own ancestors — a table under a '.'-prefixed
     // ancestor (a ~/.cache warehouse) would report zero bytes.
     // Path.depth() counts path components only, ignoring scheme and
-    // authority, so it is immune to qualification mismatches.
+    // authority, so qualification differences (viewfs mounts) can't skew
+    // it once both sides are absolute.
     val rootDepth = root.depth()
     def visible(leaf: org.apache.hadoop.fs.Path): Boolean = {
       var p = leaf

@@ -572,8 +572,14 @@ object Similarity {
           // case every cosine operator guards) makes the max NaN; under
           // Spark's NaN ordering `NaN > 0` is TRUE, so unguarded it
           // would flow into the divide and floor(NaN) — null the scale
-          // instead, which routes the vector to the zero-code path
-          when(!isnan(rawScale), rawScale).as("scale"))
+          // instead, which routes the vector to the zero-code path.
+          // An Inf element is the same trap one step later: scale=Inf
+          // passes the NaN check but Inf/Inf=NaN reaches floor — Spark
+          // would emit zero codes while the DuckDB mirror hard-fails
+          // CAST(floor(nan) AS BIGINT). Null any non-finite scale
+          // (scale ≥ 0 by construction, so +Inf is the only infinity).
+          when(!isnan(rawScale) && rawScale < lit(Double.PositiveInfinity),
+            rawScale).as("scale"))
       val quantized = base.select(col("vec_id"), col("scale"),
         when(col("scale") > 0,
           transform(col("embedding"),
@@ -844,7 +850,7 @@ object Similarity {
         |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale0
         |  FROM embeddings),
         |s AS (SELECT vec_id, embedding,
-        |  CASE WHEN NOT isnan(scale0) THEN scale0 END AS scale FROM s0),
+        |  CASE WHEN isfinite(scale0) THEN scale0 END AS scale FROM s0),
         |q AS (SELECT vec_id, scale,
         |  CASE WHEN scale > 0
         |    THEN list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))

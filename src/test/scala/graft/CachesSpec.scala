@@ -31,8 +31,21 @@ class CachesSpec extends AnyFunSuite {
     assert(df.count() > 0) // materialize while the blocks are live
     Caches.release(spark)
     // lineage is truncated by design: the blocks were the data, so the
-    // contract violation surfaces as a checkpoint-block failure
-    val e = intercept[Exception] { df.count() }
+    // contract violation surfaces as a checkpoint-block failure. Release
+    // unpersists with blocking=false, so the executors may still serve
+    // the blocks for a moment — poll until the async removal lands (a
+    // successful recount means the blocks were still readable, not that
+    // the contract holds)
+    val e = {
+      var caught: Option[Exception] = None
+      var attempts = 0
+      while (caught.isEmpty && attempts < 100) {
+        try { df.count(); attempts += 1; Thread.sleep(100) }
+        catch { case ex: Exception => caught = Some(ex) }
+      }
+      caught.getOrElse(fail(
+        "re-evaluation kept succeeding 10s after release — blocks never removed"))
+    }
     def messages(t: Throwable): Seq[String] =
       if (t == null) Seq.empty
       else Option(t.getMessage).toSeq ++ messages(t.getCause)

@@ -63,6 +63,27 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == 500L)
   }
 
+  test("a relative path with a hidden component reports its true bytes") {
+    import spark.implicits._
+    // listFiles returns fully-qualified absolute leaves; before the root
+    // was qualified, a RELATIVE caller path had a smaller depth than every
+    // leaf, so the visibility walk inspected the root's own components —
+    // a relative path THROUGH a '.'-prefixed directory reported 0 bytes
+    // and compacted everything to one file regardless of size
+    val rel = "target/.graft-reltest/t"
+    val abs = new java.io.File(rel).getAbsoluteFile
+    try {
+      (1L to 500L).toDF("id").coalesce(1).write.mode("overwrite").parquet(rel)
+      assert(Compaction.dataBytes(spark, rel) > 0,
+        "relative path must be qualified before the depth boundary is taken")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(abs.getParentFile)
+    }
+  }
+
   test("compact of an already-compact table is a single file") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-small").toString + "/t"
