@@ -23,9 +23,41 @@ private[streaming] object BatchProtocol {
   private def markerPath(indexPath: String, batchId: Long) =
     new Path(s"$indexPath/_commits/$batchId")
 
-  /** Has `batchId` fully committed (both sinks written)? */
+  /** The compaction watermark's file-name prefix: ONE
+    * `_commits/compacted_through=N` file replaces the N individual
+    * markers of compacted epochs, so marker count is bounded by
+    * compaction cadence exactly as data-file count is. The value lives
+    * in the NAME (the file is empty) so [[copyCommits]] migrates it
+    * verbatim with the markers.
+    */
+  private val WatermarkPrefix = "compacted_through="
+
+  /** Highest batch id folded into a consolidated epoch (-1 if never
+    * compacted). Max over watermark files: a crash between writing the
+    * new watermark and deleting the old leaves both, and max is the
+    * truth.
+    */
+  def compactedThrough(spark: SparkSession, indexPath: String): Long = {
+    val f = fs(spark, indexPath)
+    val dir = new Path(s"$indexPath/_commits")
+    if (!f.exists(dir)) -1L
+    else f.listStatus(dir).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(WatermarkPrefix))
+      .map(_.stripPrefix(WatermarkPrefix).toLong)
+      .foldLeft(-1L)(math.max)
+  }
+
+  /** Has `batchId` fully committed (both sinks written)? An epoch at or
+    * below the compaction watermark counts as committed even after its
+    * individual marker is dropped — its bands live on in the
+    * consolidated epoch, whose id can never equal a live batch id, so a
+    * redelivered compacted batch would NOT exclude its own bands from
+    * the index read and would silently emit nothing. The watermark
+    * check is what keeps marker collapse from reopening that loss.
+    */
   def committed(spark: SparkSession, indexPath: String, batchId: Long): Boolean =
-    fs(spark, indexPath).exists(markerPath(indexPath, batchId))
+    fs(spark, indexPath).exists(markerPath(indexPath, batchId)) ||
+      (batchId >= 0 && batchId <= compactedThrough(spark, indexPath))
 
   /** Write the commit marker — the LAST step of a batch. */
   def commit(spark: SparkSession, indexPath: String, batchId: Long): Unit = {
@@ -68,6 +100,112 @@ private[streaming] object BatchProtocol {
     val src = new Path(s"$fromIndex/_commits")
     if (from.exists(src)) from.listStatus(src).foreach { st =>
       to.create(new Path(s"$toIndex/_commits/${st.getPath.getName}"), true).close()
+    }
+  }
+
+  /** Merge every committed epoch with id ≤ `upToBatch` into ONE
+    * consolidated epoch `batch_id=-(upToBatch+2)`, bounding the index's
+    * file and marker count by compaction CADENCE instead of stream age —
+    * without it a year-long micro-batch stream is ~10⁵ epoch directories
+    * of band-partitioned tiny files, and the per-batch pruned index read
+    * pays one scan task per file.
+    *
+    * The consolidated id is negative (never collides with a live batch
+    * id ≥ 0, so own-epoch exclusion still works), is not -1 (reserved by
+    * the re-band migration epoch), and strictly decreases across
+    * compactions (each must see a larger `upToBatch`), so a crashed
+    * attempt's leftover never aliases a later one's target.
+    *
+    * Crash-ordering — every prefix of the step sequence leaves a correct,
+    * readable index, because index rows feed only semi-join lookups for
+    * which DUPLICATE rows are verdict-neutral:
+    *
+    *   1. consolidated rows land under hidden `_compact_tmp` (invisible
+    *      to every reader);
+    *   2. one directory rename puts them live beside the epochs they
+    *      duplicate (readers see each band row at most twice — same
+    *      verdicts);
+    *   3. the watermark file makes the merged epochs' commit status
+    *      independent of their individual markers;
+    *   4. only then are merged epoch directories, their markers, and
+    *      superseded watermark files deleted. A crash mid-cleanup leaves
+    *      duplicates that the early-return path or the next compaction
+    *      removes.
+    *
+    * Precondition (hard, as in the re-band migration): every stream
+    * epoch committed. Merging an uncommitted epoch would fold a crashed
+    * batch's bands in without its marker and its redelivery would find
+    * itself and emit nothing. Run quiesced, or from inside the stream's
+    * own `foreachBatch` AFTER commit (where quiescence holds by
+    * construction — the cadence hook in the run entry points).
+    *
+    * Returns the number of epochs merged (0 if already compacted through
+    * `upToBatch` or nothing to merge).
+    */
+  def compactIndex(spark: SparkSession, indexPath: String, upToBatch: Long,
+      partitionCols: Seq[String]): Int = {
+    import org.apache.spark.sql.functions.col
+    require(upToBatch >= 0, s"upToBatch must be a stream batch id, got $upToBatch")
+    requireQuiesced(spark, indexPath)
+    val f = fs(spark, indexPath)
+    val wm = compactedThrough(spark, indexPath)
+    if (wm >= upToBatch) {
+      // a previous attempt crashed mid-cleanup: its non-negative merged
+      // epochs are provably in the consolidated epoch (any id ≤ watermark
+      // present here predates the watermark — later redeliveries no-op on
+      // committed()), so finishing their deletion is safe. Negative
+      // epochs are NOT touched: a re-band epoch copied in after the
+      // watermark would be indistinguishable from a merged one.
+      epochIds(spark, indexPath).filter(id => id >= 0 && id <= wm)
+        .foreach(id => f.delete(new Path(s"$indexPath/batch_id=$id"), true))
+      dropMarkersThrough(f, indexPath, wm)
+      return 0
+    }
+    val epochs = epochIds(spark, indexPath).filter(_ <= upToBatch)
+    if (epochs.isEmpty) return 0
+    val consolidated = -(upToBatch + 2)
+    val merged = spark.read.parquet(indexPath)
+      .filter(col("batch_id").cast("long") <= upToBatch)
+      .drop("batch_id")
+      // crash leftovers are the only source of duplicate rows (a
+      // consolidated epoch beside not-yet-deleted originals) — fold them
+      // out so repeated crash cycles cannot accumulate copies
+      .distinct()
+    val tmp = s"$indexPath/_compact_tmp"
+    // one shuffle keyed on the layout columns → each partition group
+    // lands whole in one task → exactly one file per group, the
+    // scan-task bound the per-batch pruned read wants
+    merged.repartition(partitionCols.map(col): _*)
+      .write.partitionBy(partitionCols: _*).mode("overwrite").parquet(tmp)
+    val dest = new Path(s"$indexPath/batch_id=$consolidated")
+    // dest can only pre-exist from a crashed attempt at this same
+    // upToBatch that renamed but never watermarked — every merged epoch
+    // is then still present (cleanup runs after the watermark), so the
+    // complete-but-orphaned copy is safe to replace
+    if (f.exists(dest)) f.delete(dest, true)
+    require(f.rename(new Path(tmp), dest), s"rename $tmp -> $dest failed")
+    f.mkdirs(new Path(s"$indexPath/_commits"))
+    f.create(new Path(s"$indexPath/_commits/$WatermarkPrefix$upToBatch"), true)
+      .close()
+    epochs.filter(_ != consolidated)
+      .foreach(id => f.delete(new Path(s"$indexPath/batch_id=$id"), true))
+    dropMarkersThrough(f, indexPath, upToBatch)
+    epochs.size
+  }
+
+  /** Delete individual markers for epochs ≤ `upTo` and watermark files
+    * older than `upTo` — all made redundant by the `upTo` watermark.
+    */
+  private def dropMarkersThrough(f: org.apache.hadoop.fs.FileSystem,
+      indexPath: String, upTo: Long): Unit = {
+    val dir = new Path(s"$indexPath/_commits")
+    if (f.exists(dir)) f.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      val stale =
+        if (n.startsWith(WatermarkPrefix))
+          n.stripPrefix(WatermarkPrefix).toLong < upTo
+        else scala.util.Try(n.toLong).toOption.exists(id => id >= 0 && id <= upTo)
+      if (stale) f.delete(st.getPath, false)
     }
   }
 

@@ -396,20 +396,45 @@ object DocStream {
     } finally bands.unpersist() // staged bands: cache, not data — caller frees the pins
   }
 
+  /** Merge the index's committed epochs ≤ `upToBatch` into one
+    * consolidated `(b, g)`-partitioned epoch and collapse their markers
+    * into a single watermark file — the maintenance pass that bounds a
+    * long-running stream's index file count by compaction CADENCE, not
+    * stream age. Crash-safe at every step and a no-op on replay; full
+    * ordering contract at [[BatchProtocol.compactIndex]]. Run quiesced
+    * (like [[rebandIndex]]), or let the stream do it itself via
+    * `runNearDedup(compactEvery = …)`.
+    */
+  def compactIndex(spark: SparkSession, indexPath: String,
+      upToBatch: Long): Int =
+    BatchProtocol.compactIndex(spark, indexPath, upToBatch, Seq("b", "g"))
+
   /** Streaming incremental near-dedup: survivors accumulate under
     * `<outPath>/batch_id=*`, the sketch index under
     * `<indexPath>/batch_id=*` partitioned by `(b, g)` for pruned reads,
     * and [[processBatch]]'s marker protocol makes each batch's BOTH
     * writes exactly-once across restarts and mid-batch crashes.
+    *
+    * `compactEvery > 0` self-compacts the index after every N-th batch
+    * commits (batch ids N-1, 2N-1, …): inside `foreachBatch`, after
+    * [[processBatch]] returns, every epoch ≤ the current batch is
+    * committed by construction — the quiesced precondition
+    * [[compactIndex]] needs holds without stopping the stream. The
+    * index then never holds more than ~N+1 epochs. Compaction cost is
+    * one rewrite of the (survivor-sized) index per N batches —
+    * amortized, that is one extra index write per N batch writes.
     */
   def runNearDedup(docs: DataFrame, indexPath: String, outPath: String,
-      checkpoint: String, bandWidth: Int = 8)
+      checkpoint: String, bandWidth: Int = 8, compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, batchId, indexPath, outPath,
           bandWidth)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compactIndex(batch.sparkSession, indexPath, batchId); ()
+        }
       }
       .start()
 

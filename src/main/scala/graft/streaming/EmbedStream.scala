@@ -129,17 +129,32 @@ object EmbedStream {
     } finally bands.unpersist() // staged bands: cache, not data — caller frees the pins
   }
 
+  /** Merge the index's committed epochs ≤ `upToBatch` into one
+    * consolidated `g`-partitioned epoch — [[DocStream.compactIndex]]'s
+    * contract for the vector index (crash ordering at
+    * [[BatchProtocol.compactIndex]]).
+    */
+  def compactIndex(spark: SparkSession, indexPath: String,
+      upToBatch: Long): Int =
+    BatchProtocol.compactIndex(spark, indexPath, upToBatch, Seq("g"))
+
   /** Streaming incremental embedding near-dedup over a stream of
-    * `(vec_id, ingest_ts, embedding)` rows.
+    * `(vec_id, ingest_ts, embedding)` rows. `compactEvery > 0`
+    * self-compacts the index after every N-th committed batch (see
+    * [[DocStream.runNearDedup]] for why quiescence holds there).
     */
   def runNearDedup(vectors: DataFrame, indexPath: String, outPath: String,
-      checkpoint: String, planesPerFam: Int = 6, threshold: Double = 0.35)
+      checkpoint: String, planesPerFam: Int = 6, threshold: Double = 0.35,
+      compactEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     vectors.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, batchId, indexPath, outPath,
           planesPerFam, threshold)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compactIndex(batch.sparkSession, indexPath, batchId); ()
+        }
       }
       .start()
 }
