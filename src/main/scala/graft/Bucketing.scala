@@ -37,7 +37,18 @@ object Bucketing {
     * uses the same murmur3-pmod placement as the bucket spec, so each
     * task holds exactly one bucket's rows.
     */
-  def stage(df: DataFrame, name: String, key: String, buckets: Int): Unit =
+  def stage(df: DataFrame, name: String, key: String, buckets: Int): Unit = {
+    val spark = df.sparkSession
+    // staging OWNS the name: drop a previous registration, and clear an
+    // ORPHANED default-warehouse location — files left by an earlier JVM
+    // are invisible to this one's in-memory catalog, and CTAS refuses to
+    // create a managed table over a non-empty location
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.repartition(buckets, df(key))
       .write
       .bucketBy(buckets, key)
@@ -45,4 +56,5 @@ object Bucketing {
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(name)
+  }
 }

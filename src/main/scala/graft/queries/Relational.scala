@@ -196,6 +196,44 @@ object Relational {
           col("asof_signup_us"))
     }),
 
+    // bucketed-staging join — the [[graft.Bucketing]] consumer: both
+    // relations are staged hash-bucketed AND per-bucket sorted on the
+    // join key, so the join (and the groupBy on the same key — hash
+    // partitioning on a subset of the grouping keys satisfies the agg's
+    // clustering too) plans with ZERO Exchange operators. At 100 TB this
+    // is the pay-the-shuffle-once posture: the fact table re-shuffles on
+    // NO subsequent query against any co-staged relation. Staging runs
+    // once per (session, sf dir) — the catalog check mirrors how a
+    // warehouse amortizes the staging write across every later join —
+    // and the merge hint keeps the plan the sort-merge shape a big×big
+    // join takes (a broadcast at toy scale would hide the property the
+    // staging buys). Semantics are the plain join+agg the oracle runs;
+    // the staging is an implementation detail of the Spark plan.
+    "q64_bucketed_join" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ordersT = s"graft_q64_orders_$tag"
+      val itemsT = s"graft_q64_items_$tag"
+      if (!s.catalog.tableExists(ordersT)) {
+        // the in-memory catalog starts empty per JVM, so a fresh session
+        // always re-stages (overwrite) — stale files from an older run
+        // can never serve a query
+        graft.Bucketing.stage(
+          Tables(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderstatus")),
+          ordersT, "o_orderkey", 8)
+        graft.Bucketing.stage(
+          Tables(s, dir, "lineitem")
+            .select(col("l_orderkey").as("o_orderkey"),
+              col("l_extendedprice"), col("l_discount")),
+          itemsT, "o_orderkey", 8)
+      }
+      s.table(ordersT).join(s.table(itemsT).hint("merge"), "o_orderkey")
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(count(lit(1)).as("n_items"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+            .as("revenue"))
+    }),
+
     // R12 column normalization surfaced as output schema
     "q16_normalize_cols" -> ((s, dir) => {
       val names = Normalize.columnNames(Seq("Région Näme", "2019 total", "#"))
@@ -307,6 +345,14 @@ object Relational {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |${DSum.format("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    // the bucketed staging is an implementation detail of the Spark
+    // plan; the semantics are the plain join + aggregate
+    "q64_bucketed_join" ->
+      s"""SELECT o_orderkey, o_orderstatus, COUNT(*) AS n_items,
+         |${DSum.format("l_extendedprice*(1.0-l_discount)")} AS revenue
+         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+         |GROUP BY o_orderkey, o_orderstatus""".stripMargin,
 
     "q38_asof_signup" ->
       """SELECT event_id, user_id,

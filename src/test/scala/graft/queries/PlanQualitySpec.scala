@@ -108,6 +108,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q64 bucketed staging join: ZERO Exchange — join and agg run from the files") {
+    // broadcast off so the toy-scale dims take the big×big code path the
+    // staging exists for (the BucketingSpec convention)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("q64_bucketed_join")(spark, dir)
+      df.collect() // AQE-final plan (count() would leave it unfinalized)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"),
+        s"staged join+agg must not shuffle:\n${p.take(2000)}")
+      assert(p.contains("SortMergeJoin"), p.take(2000))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("q47 length quartiles: row data only crosses the histogram shuffle; no row-level sort") {
     // the histogram formulation's contract: the corpus rows meet exactly
     // one exchange — the map-side-combined (lang, n_chars) count — and
