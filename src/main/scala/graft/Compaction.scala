@@ -64,15 +64,28 @@ object Compaction {
 
   /** Rewrite `inPath` (parquet) into `outPath` as ceil(bytes/target)
     * uniformly-sized files; returns the output file count.
+    *
+    * CAVEAT — the round-robin repartition DESTROYS any clustering the
+    * input was staged with: compacting a sorted staging table silently
+    * undoes the co-location its writer paid for. Pass `sortKeys` to
+    * restore within-file locality (each output file is locally sorted,
+    * so min/max row-group stats prune again); for tables whose LAYOUT
+    * carries semantics use the layout-aware compactor instead
+    * (partitioned ETL targets: [[graft.etl.TargetStore.compact]];
+    * bucketed tables cannot be compacted by any plain rewrite at all —
+    * see [[Bucketing]]).
     */
   def compact(spark: SparkSession, inPath: String, outPath: String,
-      targetBytes: Long): Int = {
+      targetBytes: Long, sortKeys: Seq[String] = Nil): Int = {
     require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
     val bytes = dataBytes(spark, inPath)
     val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    spark.read.parquet(inPath)
-      .repartition(n)
-      .write.mode("overwrite").parquet(outPath)
+    val base = spark.read.parquet(inPath).repartition(n)
+    val arranged =
+      if (sortKeys.isEmpty) base
+      else base.sortWithinPartitions(
+        sortKeys.map(org.apache.spark.sql.functions.col): _*)
+    arranged.write.mode("overwrite").parquet(outPath)
     n
   }
 }

@@ -25,6 +25,12 @@ import org.apache.spark.sql.SparkSession
   * via [[MetaStorage.forUrl]] (R27; default: parquet snapshots under
   * `<warehouseDir>/meta`).
   *
+  * `--compact all|t1,t2` is a maintenance verb: instead of a load run,
+  * compact the named target tables (`all` = every configured target) via
+  * the layout-preserving [[TargetStore.compact]], then exit — the
+  * scheduled aftercare for the small files the per-job partition
+  * overwrites accumulate.
+  *
   * `--stream CKPT` runs discovery as a Structured Streaming query instead
   * of the batch loop: [[GridDiscoveryProvider]] under
   * `Trigger.AvailableNow` drains everything past the checkpointed
@@ -38,7 +44,7 @@ object EtlMain {
   def main(args: Array[String]): Unit = {
     val (positional, flags) = parseArgs(args)
     if (positional.length != 3) {
-      System.err.println("usage: EtlMain <fixturesDir|googleKey.json> <etlConfig.json> <warehouseDir> [--schema S] [--prefix P] [--meta URL] [--stream CKPT]")
+      System.err.println("usage: EtlMain <fixturesDir|googleKey.json> <etlConfig.json> <warehouseDir> [--schema S] [--prefix P] [--meta URL] [--stream CKPT] [--compact all|t1,t2]")
       sys.exit(1)
     }
     val Seq(sourceArg, configPath, warehouse) = positional
@@ -64,6 +70,13 @@ object EtlMain {
       val metaUrl = flags.getOrElse("meta", s"$warehouse/meta")
       val meta = new MetaStore(spark, MetaStorage.forUrl(spark, metaUrl, naming))
       val targets = new TargetStore(spark, s"$warehouse/tables", naming)
+      flags.get("compact").foreach { spec =>
+        // maintenance verb: compact and exit — no discovery, no loads
+        compactTargets(targets,
+          EtlConfig.fromFile(configPath).map(_.targetTable).distinct, spec)
+          .foreach(println)
+        return
+      }
       val tasks = new Tasks(source, meta, targets)
       tasks.loadConfiguration(configPath)
       meta.setUpAccounting()
@@ -105,7 +118,25 @@ object EtlMain {
     } finally spark.stop()
   }
 
-  private val KnownFlags = Set("schema", "prefix", "meta", "stream")
+  /** The `--compact` maintenance body (R22 aftercare): compact the named
+    * target tables — `"all"` = every table the config declares — via the
+    * layout-preserving [[TargetStore.compact]]. Years of per-job
+    * partition overwrites fragment targets into many small files; this
+    * verb is the scheduled counterpart of the load loop that caused it.
+    * Returns the report lines (testable without a CLI run).
+    */
+  private[etl] def compactTargets(targets: TargetStore,
+      configured: Seq[String], spec: String): Seq[String] = {
+    val chosen = if (spec == "all") configured else spec.split(",").toSeq
+    chosen.map { t =>
+      if (targets.exists(t)) {
+        val (before, after) = targets.compact(t)
+        s"[graft-etl] compacted $t: $before -> $after file(s)"
+      } else s"[graft-etl] skip $t: no data"
+    }
+  }
+
+  private val KnownFlags = Set("schema", "prefix", "meta", "stream", "compact")
 
   /** Split argv into positional args and `--name value` flag pairs.
     * Unknown flags are contract errors — a typo'd `--shcema` silently

@@ -73,6 +73,54 @@ final class TargetStore(
   def read(targetTable: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path(targetTable))
 
+  /** In-place small-file compaction of a target table (the EtlMain
+    * `--compact` maintenance verb): every `_origin_etl_job_id` partition
+    * rewrites to ONE file. Years of per-job partition overwrites
+    * fragment a table into files far below the scan-efficient size —
+    * the accumulation [[graft.Compaction]] describes — but the generic
+    * compactor is NOT the tool here: its round-robin rewrite would
+    * flatten the partition directories that make reloads a
+    * metadata-only swap (R22). This one preserves the layout, and a
+    * job partition is grid-bounded by the Sheets data model (~10M
+    * cells), so one file per job is always under any sane target size.
+    *
+    * Two-hop rewrite: stage to a sibling temp dir (a Spark write cannot
+    * read its own target), then dynamic-partition-overwrite back — the
+    * SAME per-partition swap a reload uses, so a crash at any point
+    * leaves every partition readable with identical rows (some
+    * compacted, some not; a re-run finishes the job). Returns
+    * (files before, files after).
+    */
+  def compact(targetTable: String): (Long, Long) = {
+    val p = path(targetTable)
+    val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataFiles(dir: String): Long = {
+      val it = fs.listFiles(new Path(dir), true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) n += 1
+      }
+      n
+    }
+    val before = dataFiles(p)
+    val tmp = s"$p.__compact_stage"
+    read(targetTable)
+      // one shuffle keyed on the partition column: each job's rows land
+      // whole in one task, so partitionBy emits exactly one file per job
+      .repartition(org.apache.spark.sql.functions.col("_origin_etl_job_id"))
+      .write.partitionBy("_origin_etl_job_id")
+      .mode("overwrite").parquet(tmp)
+    try
+      spark.read.option("mergeSchema", "true").parquet(tmp)
+        .write.partitionBy("_origin_etl_job_id")
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(p)
+    finally fs.delete(new Path(tmp), true)
+    (before, dataFiles(p))
+  }
+
   def exists(targetTable: String): Boolean = {
     val p = new Path(path(targetTable))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
