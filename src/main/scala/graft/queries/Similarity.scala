@@ -228,6 +228,73 @@ object Similarity {
     cents.zipWithIndex.map { case (c, k) => (k, c.toSeq, math.sqrt(dot(c, c))) }
   }
 
+  // ---- q65 product quantization: per-subspace L2 codebooks ---------------
+
+  /** PQ geometry: the 64-dim vector splits into [[PqM]] subspaces of
+    * [[PqSubDim]] dims; each subspace gets its own [[PqK]]-entry codebook
+    * (deterministic L2 Lloyd steps over the SAME bounded modulus sample
+    * the IVF quantizer trains on). A vector's code is then PqM small
+    * ints — 64 float32s (256 B) become 4 codes (PqM·log2(PqK) = 16
+    * bits), the compression step AFTER int8 (q63) in a production vector
+    * index. PqK is a compression-rate knob, not a corpus-tracking
+    * parameter (production PQ uses K=256; 16 keeps the relational
+    * training mirror 16× lighter at identical semantics).
+    */
+  private val PqM = 4
+  private val PqSubDim = 16
+  private val PqK = 16
+
+  /** Deterministic per-subspace L2 k-means, driver-side — the PQ
+    * codebook trainer. Mirrors [[kmeansCentroids]]'s discipline exactly:
+    * modulus sample (bounded at ~[[SampleCap]] rows at ANY corpus), init
+    * = the first [[PqK]] sample subvectors in vec_id order, KmeansIters
+    * Lloyd steps, every float op an exact IEEE mirror of the oracle's
+    * CTE chain (squared-difference folds i=1..16, member-mean folds in
+    * vec_id order, strict `<` argmin = ties to the lowest code). L2, not
+    * cosine: subvectors legitimately have zero norm (a zero SLICE of a
+    * nonzero vector), and L2 has no divide to guard. Returns
+    * codebooks(m)(k) = centroid.
+    */
+  private def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val n = Tables(s, dir, "embeddings").count()
+    val mod = sampleModFor(n)
+    val samp: Array[Array[Double]] = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") % mod === 0 && size(col("embedding")) === 64)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble).toArray)
+    require(samp.nonEmpty, "PQ codebooks need at least one 64-dim sample vector")
+    Array.tabulate(PqM) { m =>
+      val subs = samp.map(v => v.slice(m * PqSubDim, (m + 1) * PqSubDim))
+      var cents = subs.take(PqK).map(_.clone())
+      for (_ <- 0 until KmeansIters) {
+        val members = Array.fill(cents.length)(
+          scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+        for (v <- subs) { // samp is vec_id-ordered ⇒ member order is too
+          var best = 0; var bestD = Double.PositiveInfinity
+          for (k <- cents.indices) {
+            var d = 0.0; var i = 0
+            while (i < PqSubDim) {
+              val t = v(i) - cents(k)(i); d += t * t; i += 1
+            }
+            if (d < bestD) { bestD = d; best = k } // strict < = ties to low k
+          }
+          members(best) += v
+        }
+        cents = cents.zipWithIndex.map { case (old, k) =>
+          val ms = members(k)
+          if (ms.isEmpty) old // lost code keeps its centroid
+          else Array.tabulate(PqSubDim) { i =>
+            var acc = 0.0; ms.foreach(v => acc += v(i)) // vec_id-ordered fold
+            acc / ms.length
+          }
+        }
+      }
+      cents
+    }
+  }
+
   private val MinhashFns = 12
   private val BandSize = 4 // 3 bands of 4
 
@@ -595,6 +662,54 @@ object Similarity {
           aggregate(col("q"), lit(0L), (a, b) => a + b)).as("q_sum"),
         array_min(col("q")).as("q_min"),
         array_max(col("q")).as("q_max"))
+    }),
+
+    // product quantization — the compression step AFTER int8 (q63) in a
+    // production vector index: each vector becomes PqM codebook indices
+    // plus its exact squared reconstruction error. Codebooks are trained
+    // driver-side on the bounded modulus sample ([[pqCodebooks]] — at
+    // 100 TB quantizer training is always sample-then-broadcast) and
+    // baked as literals, so assignment is a SHUFFLE-FREE narrow per-row
+    // map: for each subspace, 16 squared-distance folds against literal
+    // centroids, argmin with ties to the lowest code (array_position of
+    // the min — the q35 argmax discipline, inverted). Subspace slices
+    // are NAMED columns before any lambda touches them (the PERF.md
+    // layering rule); the distance folds are exact IEEE mirrors of the
+    // oracle's CTEs (squared-difference sums i=1..16, then err =
+    // e0+e1+e2+e3 left-assoc). Non-64-dim vectors (truncated feature
+    // extraction) yield null codes on both engines rather than a
+    // divergent partial distance. At production scale the interpreted
+    // lambda folds would fuse into one native matrix-distance expression
+    // exactly as q35's VecDotMany did for cells — same upgrade path.
+    "q65_pq_codes" -> ((s, dir) => {
+      val books = pqCodebooks(s, dir) // (m)(k) -> 16-dim centroid
+      val base = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val withSubs = base.select(
+        col("vec_id") +: size(col("embedding")).as("dims") +:
+        (0 until PqM).map(m =>
+          transform(slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
+            x => x.cast("double")).as(s"sv$m")): _*)
+      val withD = withSubs.select(
+        col("vec_id") +: col("dims") +:
+        (0 until PqM).map { m =>
+          val cents = typedLit[Seq[Seq[Double]]](books(m).map(_.toSeq).toSeq)
+          transform(cents, c =>
+            aggregate(zip_with(col(s"sv$m"), c, (x, cc) => (x - cc) * (x - cc)),
+              lit(0.0), (a, b) => a + b)).as(s"d$m")
+        }: _*)
+      val withMin = withD.select(
+        (col("vec_id") +: col("dims") +:
+          (0 until PqM).map(m => col(s"d$m"))) ++
+        (0 until PqM).map(m => array_min(col(s"d$m")).as(s"mn$m")): _*)
+      withMin.select(
+        col("vec_id") +:
+        (0 until PqM).map(m =>
+          when(col("dims") === 64,
+            (array_position(col(s"d$m"), col(s"mn$m")) - 1).cast("long"))
+            .as(s"code$m")) :+
+        when(col("dims") === 64,
+          (0 until PqM).map(m => col(s"mn$m")).reduce(_ + _)).as("err"): _*)
     }))
 
   // ---- DuckDB mirrors ----------------------------------------------------
@@ -678,6 +793,44 @@ object Similarity {
        |${(1 to KmeansIters).map(sqlKmeansIter).mkString(",\n")},
        |cq AS (SELECT k AS cent_id, cvec,
        |  sqrt(${sqlDot("cvec", "cvec")}) AS cnrm FROM c$KmeansIters)""".stripMargin
+
+  /** Sequential squared-L2 fold over a [[PqSubDim]]-dim pair (mirrors the
+    * trainer's and assigner's while-loops: i = 1..16, (a_i−c_i)², summed
+    * left to right).
+    */
+  private def sqlSqDist(a: String, c: String): String =
+    s"list_aggregate(list_transform(range(1, ${PqSubDim + 1}), " +
+      s"i -> ($a[i] - $c[i])*($a[i] - $c[i])), 'sum')"
+
+  /** The (vec_id, m, subv) explosion of `src` into per-subspace
+    * double-cast slices — the relational form of [[pqCodebooks]]'s
+    * `v.slice(m·16, m·16+16)`.
+    */
+  private def sqlPqSubs(src: String, extra: String): String =
+    s"""(SELECT vec_id, m,
+       |  list_transform(range(1, ${PqSubDim + 1}), i -> CAST(embedding[m*$PqSubDim + i] AS DOUBLE)) AS subv
+       |  FROM $src, range(0, $PqM) t(m)
+       |  WHERE len(embedding) = 64$extra)""".stripMargin
+
+  /** One per-subspace L2 Lloyd step (mirrors one [[pqCodebooks]]
+    * iteration — the [[sqlKmeansIter]] pattern with (m, k) codebooks and
+    * squared distance instead of cosine): assignment by min d2 with ties
+    * to the lowest code, then per-dimension member-mean folds over
+    * `list(subv ORDER BY vec_id)`. A code with no members keeps its
+    * previous centroid.
+    */
+  private def sqlPqIter(n: Int): String = {
+    val prev = s"pc${n - 1}"
+    s"""pa$n AS (SELECT s.vec_id, s.m, s.subv, c.k,
+       |  ${sqlSqDist("s.subv", "c.cvec")} AS d2
+       |  FROM psamp s JOIN $prev c ON c.m = s.m),
+       |pasg$n AS (SELECT vec_id, m, subv, k FROM (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM pa$n) t WHERE rn = 1),
+       |pm$n AS (SELECT m, k, list(subv ORDER BY vec_id) AS vs, count(*) AS cnt FROM pasg$n GROUP BY m, k),
+       |pc$n AS (SELECT p.m, p.k, CASE WHEN q.k IS NULL THEN p.cvec
+       |  ELSE list_transform(range(1, ${PqSubDim + 1}), i -> list_aggregate(list_transform(q.vs, vv -> vv[i]), 'sum') / q.cnt)
+       |  END AS cvec FROM $prev p LEFT JOIN pm$n q ON q.m = p.m AND q.k = p.k)""".stripMargin
+  }
 
   private val Toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
   private val SqlG3 =
@@ -859,5 +1012,31 @@ object Similarity {
         |SELECT vec_id, scale,
         |  CAST(list_aggregate(q, 'sum') AS BIGINT) AS q_sum,
         |  list_min(q) AS q_min, list_max(q) AS q_max
-        |FROM q""".stripMargin)
+        |FROM q""".stripMargin,
+
+    // PQ: train per-subspace codebooks relationally (the identical
+    // modulus sample, init, and Lloyd steps as the Spark driver), then
+    // assign by min squared distance with ties to the lowest code and
+    // pivot the PqM codes into columns. err sums the per-subspace minima
+    // in subspace order (left-assoc, matching the Spark reduce).
+    "q65_pq_codes" ->
+      s"""WITH psamp AS (SELECT * FROM ${sqlPqSubs("embeddings",
+            s"""
+       | AND vec_id % (SELECT GREATEST(5, (count(*) + ${SampleCap - 1}) // $SampleCap) FROM embeddings) = 0""".stripMargin)} t0),
+         |pc0 AS (SELECT m, k, subv AS cvec FROM (SELECT m, subv,
+         |  ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS k FROM psamp) t WHERE k < $PqK),
+         |${(1 to KmeansIters).map(sqlPqIter).mkString(",\n")},
+         |pall AS (SELECT * FROM ${sqlPqSubs("embeddings", "")} t1),
+         |pd AS (SELECT s.vec_id, s.m, c.k, ${sqlSqDist("s.subv", "c.cvec")} AS d2
+         |  FROM pall s JOIN pc$KmeansIters c ON c.m = s.m),
+         |pbest AS (SELECT vec_id, m, k, d2 FROM (SELECT *,
+         |  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM pd) t WHERE rn = 1),
+         |pv AS (SELECT vec_id,
+         |  ${(0 until PqM).map(m =>
+              s"CAST(MAX(CASE WHEN m = $m THEN k END) AS BIGINT) AS code$m").mkString(",\n         |  ")},
+         |  ${(0 until PqM).map(m =>
+              s"MAX(CASE WHEN m = $m THEN d2 END)").mkString(" + ")} AS err
+         |  FROM pbest GROUP BY vec_id)
+         |SELECT e.vec_id, ${(0 until PqM).map(m => s"pv.code$m").mkString(", ")}, pv.err
+         |FROM embeddings e LEFT JOIN pv USING (vec_id)""".stripMargin)
 }

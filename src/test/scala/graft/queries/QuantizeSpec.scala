@@ -53,6 +53,34 @@ class QuantizeSpec extends AnyFunSuite {
     }
   }
 
+  test("q65 PQ: identical corpus quantizes exactly; zero and truncated vectors are defined") {
+    val v64 = (1 to 64).map(j => math.sin(j).toFloat)
+    val dir = vectors(
+      (0L to 5L).map(i => (i, v64)) :+
+        (6L, Seq.fill(64)(0f)) :+       // zero vector: VALID under L2 PQ
+        (7L, Seq(1f, 2f, 3f)))          // truncated extraction → null codes
+    val rows = SparkEntry.queries("q65_pq_codes")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    // the sample is all-identical copies, so every codebook centroid IS
+    // the vector's own subspace slice: codes tie to 0 and the
+    // reconstruction error is EXACTLY zero (same-bits subtraction)
+    (0L to 5L).foreach { i =>
+      val r = rows(i)
+      assert((1 to 4).forall(c => r.getLong(c) == 0L), s"vec $i codes: $r")
+      assert(r.getDouble(5) == 0.0, s"identical corpus must reconstruct exactly: $r")
+    }
+    // the zero vector has no direction but a perfectly defined nearest
+    // code — unlike the cosine operators, PQ must NOT drop it
+    val zero = rows(6L)
+    assert(!zero.isNullAt(1) && !zero.isNullAt(5))
+    assert(zero.getDouble(5) > 0.0, "zero vector reconstructs imperfectly")
+    // a non-64-dim vector yields null codes and err on BOTH engines
+    // rather than a divergent partial distance
+    val short = rows(7L)
+    assert((1 to 5).forall(short.isNullAt), s"truncated vector must be all null: $short")
+  }
+
   test("q63 degenerate vectors: NaN element → null scale + zero codes; empty → all null") {
     // NaN = failed feature extraction (the case every cosine operator
     // guards): under Spark's NaN ordering `NaN > 0` is TRUE, so an
