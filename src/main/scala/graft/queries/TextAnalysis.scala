@@ -26,6 +26,12 @@ object TextAnalysis {
     */
   val MaxBucketDocs = 50
 
+  /** q66 sample bound: the quantile sketch's admission modulus derives
+    * from `count(*)` so the sample holds ~this many rows at ANY corpus
+    * (exactly [[graft.queries.Similarity]]'s SampleCap discipline).
+    */
+  private[queries] val QSketchCap = 500L
+
   /** q50 patterns — Java-regex ∩ RE2 common syntax only (shared verbatim
     * with the DuckDB mirror; DuckDB standard strings do not process
     * backslash escapes, so the literal text matches what Spark compiles).
@@ -300,6 +306,41 @@ object TextAnalysis {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "score")
+    }),
+
+    // bounded-space quantile SKETCH — the quantile member of the sketch
+    // family (HLL q53, count-min q54, Bloom q55): per-language
+    // p25/p50/p75/p95 of document length estimated from a key-uniform
+    // hash-admitted sample whose size is ABSOLUTELY bounded (~QSketchCap
+    // rows at ANY corpus — the admission modulus derives from count(*),
+    // the sampleModFor discipline). KLL's compaction is randomized and
+    // engine-local; the deterministic, mergeable, cross-engine-exact
+    // form of bounded-space quantile estimation is this
+    // admit-by-60-bit-hash coreset (rate-exact past 2^32 — the
+    // portableHash60 lesson) + q47's exact histogram rank selection over
+    // it. Rank error is the standard sampling bound O(1/√cap),
+    // spec-pinned against the exact quartiles; state at 100 TB is the
+    // bounded sample, never the corpus.
+    "q66_quantile_sketch" -> ((s, dir) => {
+      val n = Tables(s, dir, "documents").count()
+      val mod = math.max(1L, (n + QSketchCap - 1) / QSketchCap)
+      val samp = Tables(s, dir, "documents")
+        .filter(portableHash60(col("doc_id").cast("string"), 7) % mod === 0)
+        .select(col("lang"), col("n_chars"))
+      val hist = samp.groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("cnt"))
+      val cumW = Window.partitionBy("lang").orderBy("n_chars")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hist
+        .withColumn("cum", sum("cnt").over(cumW))
+        .withColumn("ns", sum("cnt").over(Window.partitionBy("lang")))
+        .groupBy("lang").agg(
+          max(col("ns")).as("n_sample"),
+          // `div`, not `/` (see q47): integer rank ceil(q·ns)
+          min(when(col("cum") >= expr("(ns + 3) div 4"), col("n_chars"))).as("p25"),
+          min(when(col("cum") >= expr("(ns + 1) div 2"), col("n_chars"))).as("p50"),
+          min(when(col("cum") >= expr("(ns * 3 + 3) div 4"), col("n_chars"))).as("p75"),
+          min(when(col("cum") >= expr("(ns * 19 + 19) div 20"), col("n_chars"))).as("p95"))
     }),
 
     // per-language document-length quartiles, percentile_disc semantics:
@@ -705,6 +746,25 @@ object TextAnalysis {
         |  MIN(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS median_chars,
         |  MIN(CASE WHEN rn = (n * 3 + 3) // 4 THEN n_chars END) AS q3_chars
         |FROM r GROUP BY lang""".stripMargin,
+
+    // CASTs around the window SUMs: DuckDB widens SUM(BIGINT) to HUGEINT
+    // (the q49 lesson); the admission hash is the 15-hex-char 60-bit
+    // prefix with the '#7' seed suffix (the portableHash60 mirror)
+    "q66_quantile_sketch" ->
+      s"""WITH md AS (SELECT GREATEST(1, (count(*) + ${QSketchCap - 1}) // $QSketchCap) AS m
+         |  FROM documents),
+         |samp AS (SELECT lang, n_chars FROM documents, md
+         |  WHERE CAST('0x'||substr(sha256(CAST(doc_id AS VARCHAR)||'#7'),1,15) AS BIGINT) % m = 0),
+         |h AS (SELECT lang, n_chars, COUNT(*) AS cnt FROM samp GROUP BY lang, n_chars),
+         |c AS (SELECT lang, n_chars,
+         |  CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS cum,
+         |  CAST(SUM(cnt) OVER (PARTITION BY lang) AS BIGINT) AS ns FROM h)
+         |SELECT lang, MAX(ns) AS n_sample,
+         |  MIN(CASE WHEN cum >= (ns + 3) // 4 THEN n_chars END) AS p25,
+         |  MIN(CASE WHEN cum >= (ns + 1) // 2 THEN n_chars END) AS p50,
+         |  MIN(CASE WHEN cum >= (ns * 3 + 3) // 4 THEN n_chars END) AS p75,
+         |  MIN(CASE WHEN cum >= (ns * 19 + 19) // 20 THEN n_chars END) AS p95
+         |FROM c GROUP BY lang""".stripMargin,
 
     "q45_quality_filter" ->
       s"""WITH $sqlQualityCtes

@@ -56,4 +56,26 @@ class RangeJoinSpec extends AnyFunSuite {
       200L -> ((1L, 4.125)),      // event 20 only (14 is hours earlier)
       300L -> ((0L, 0.0))))
   }
+
+  test("q60 degenerate corpora: no errors → empty; no purchases → all-zero attributions") {
+    // the degenerate-input coverage the sibling operators have
+    // (DegenerateTextSpec / DegenerateEmbeddingsSpec): an empty side of
+    // the range join must produce the defined answer, never a crash or
+    // a dropped error row
+    val noErrors = Seq(
+      (10L, W + 1L, 1L, "purchase", 5.0),
+      (11L, W + 2L, 2L, "view", 0.0))
+    assert(SparkEntry.queries("q60_range_join")(spark, fixture(noErrors))
+      .collect().isEmpty, "no error events → no attribution rows")
+
+    val noPurchases = Seq(
+      (100L, W, 1L, "error", 0.0),
+      (200L, 2L * W, 2L, "error", 0.0),
+      (10L, W + 1L, 1L, "view", 0.0)) // non-purchase follower: ignored
+    val got = SparkEntry.queries("q60_range_join")(spark, fixture(noPurchases))
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got === Map(100L -> ((0L, 0.0)), 200L -> ((0L, 0.0))),
+      "every error survives the left join with a zero attribution")
+  }
 }
