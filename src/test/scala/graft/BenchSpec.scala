@@ -56,10 +56,12 @@ class BenchSpec extends AnyFunSuite {
     assert((parsed \ "spread_argmax").extract[String].startsWith("q"))
 
     // realistic shape: the ACTUAL shipped query names must fit with every
-    // query present — no omission. Per-query precision may degrade to 2
-    // decimals as the suite grows (65 queries no longer fit at 3); 10 ms
-    // resolution is fine for per-query times — the full-precision record
-    // lives in bench_full.json and the headline keeps 3+ decimals.
+    // query present — no omission. Per-query precision degrades as the
+    // suite grows (66 queries fit at 1 decimal); completeness beats
+    // resolution here because the round-over-round per-query analysis
+    // reads bench_full.json (full precision), while this line's job is
+    // the headline total (3+ decimals, asserted above) plus a complete
+    // query roster.
     val real = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
     val rLine = Bench.compactLine(25.0, 24.0, Map.empty, real,
       real.map { case (k, _) => k -> 0.1 }, "/root/testdata/sf0.1",
@@ -68,8 +70,8 @@ class BenchSpec extends AnyFunSuite {
     val rp = org.json4s.jackson.JsonMethods.parse(rLine)
     val rq = (rp \ "queries").extract[Map[String, Double]]
     assert(rq.size == real.size, "no real query may be omitted")
-    assert(math.abs(rq(real.keys.head) - 1.234567) < 5e-3 + 1e-9,
-      "per-query times keep at least 2-decimal precision")
+    assert(math.abs(rq(real.keys.head) - 1.234567) < 5e-2 + 1e-9,
+      "per-query times keep at least 1-decimal precision")
     assert(math.abs((rp \ "value_min").extract[Double] - 24.0) < 1e-3)
   }
 
