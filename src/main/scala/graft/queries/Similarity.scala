@@ -295,6 +295,36 @@ object Similarity {
     }
   }
 
+  /** The shared PQ assignment pipeline (q65 codes, q67 ADC): per
+    * subspace m, the 16 squared distances of the row's slice to the
+    * literal codebook (`d<m>`) and their minimum (`mn<m>`), with the
+    * slices NAMED columns before any lambda touches them (the PERF.md
+    * layering rule). The interpreted lambda folds are exact IEEE mirrors
+    * of the oracle CTEs; at production scale they would fuse into one
+    * native matrix-distance expression exactly as q35's VecDotMany did
+    * for cells — same upgrade path. Shuffle-free, narrow, per-row.
+    */
+  private def pqDistances(emb: DataFrame,
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val withSubs = emb.select(
+      col("vec_id") +: size(col("embedding")).as("dims") +:
+      (0 until PqM).map(m =>
+        transform(slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
+          x => x.cast("double")).as(s"sv$m")): _*)
+    val withD = withSubs.select(
+      col("vec_id") +: col("dims") +:
+      (0 until PqM).map { m =>
+        val cents = typedLit[Seq[Seq[Double]]](books(m).map(_.toSeq).toSeq)
+        transform(cents, c =>
+          aggregate(zip_with(col(s"sv$m"), c, (x, cc) => (x - cc) * (x - cc)),
+            lit(0.0), (a, b) => a + b)).as(s"d$m")
+      }: _*)
+    withD.select(
+      (col("vec_id") +: col("dims") +:
+        (0 until PqM).map(m => col(s"d$m"))) ++
+      (0 until PqM).map(m => array_min(col(s"d$m")).as(s"mn$m")): _*)
+  }
+
   private val MinhashFns = 12
   private val BandSize = 4 // 3 bands of 4
 
@@ -682,26 +712,7 @@ object Similarity {
     // lambda folds would fuse into one native matrix-distance expression
     // exactly as q35's VecDotMany did for cells — same upgrade path.
     "q65_pq_codes" -> ((s, dir) => {
-      val books = pqCodebooks(s, dir) // (m)(k) -> 16-dim centroid
-      val base = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"))
-      val withSubs = base.select(
-        col("vec_id") +: size(col("embedding")).as("dims") +:
-        (0 until PqM).map(m =>
-          transform(slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
-            x => x.cast("double")).as(s"sv$m")): _*)
-      val withD = withSubs.select(
-        col("vec_id") +: col("dims") +:
-        (0 until PqM).map { m =>
-          val cents = typedLit[Seq[Seq[Double]]](books(m).map(_.toSeq).toSeq)
-          transform(cents, c =>
-            aggregate(zip_with(col(s"sv$m"), c, (x, cc) => (x - cc) * (x - cc)),
-              lit(0.0), (a, b) => a + b)).as(s"d$m")
-        }: _*)
-      val withMin = withD.select(
-        (col("vec_id") +: col("dims") +:
-          (0 until PqM).map(m => col(s"d$m"))) ++
-        (0 until PqM).map(m => array_min(col(s"d$m")).as(s"mn$m")): _*)
+      val withMin = pqDistances(Tables(s, dir, "embeddings"), pqCodebooks(s, dir))
       withMin.select(
         col("vec_id") +:
         (0 until PqM).map(m =>
@@ -710,6 +721,45 @@ object Similarity {
             .as(s"code$m")) :+
         when(col("dims") === 64,
           (0 until PqM).map(m => col(s"mn$m")).reduce(_ + _)).as("err"): _*)
+    }),
+
+    // ADC (asymmetric distance computation) ANN top-k over the PQ codes
+    // — the production READ path of a PQ index, and why q65's codes
+    // exist: at query time the m·k exact query-to-centroid distances are
+    // computed ONCE (driver-side — one bounded 1-row query-vector read,
+    // the quantizer-training discipline) and baked as literal lookup
+    // tables; each corpus vector then costs O(m) table lookups on its
+    // CODES, never a 64-dim dot — at 100 TB the scan touches the 16-bit
+    // code table (16× less IO than float32 vectors) and stays
+    // shuffle-free, with the final top-k a TakeOrdered. Approximate by
+    // construction (distance to the reconstruction, not the vector);
+    // exact cross-engine: the tables are the same squared-difference
+    // folds as training, the lookup is integer indexing, and the ADC
+    // sum adds the m entries in subspace order.
+    "q67_ann_adc" -> ((s, dir) => {
+      val books = pqCodebooks(s, dir)
+      val qv: Array[Double] = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") === 0 && size(col("embedding")) === 64)
+        .select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val tables: Array[Array[Double]] = Array.tabulate(PqM) { m =>
+        books(m).map { c =>
+          var d = 0.0; var i = 0
+          while (i < PqSubDim) {
+            val t = qv(m * PqSubDim + i) - c(i); d += t * t; i += 1
+          }
+          d
+        }
+      }
+      pqDistances(Tables(s, dir, "embeddings"), books)
+        .filter(col("dims") === 64) // rows without codes aren't in the index
+        .select(col("vec_id"),
+          (0 until PqM).map { m =>
+            element_at(typedLit(tables(m).toSeq),
+              array_position(col(s"d$m"), col(s"mn$m")).cast("int"))
+          }.reduce(_ + _).as("adc"))
+        .orderBy(asc("adc"), asc("vec_id"))
+        .limit(10)
     }))
 
   // ---- DuckDB mirrors ----------------------------------------------------
@@ -1020,17 +1070,7 @@ object Similarity {
     // pivot the PqM codes into columns. err sums the per-subspace minima
     // in subspace order (left-assoc, matching the Spark reduce).
     "q65_pq_codes" ->
-      s"""WITH psamp AS (SELECT * FROM ${sqlPqSubs("embeddings",
-            s"""
-       | AND vec_id % (SELECT GREATEST(5, (count(*) + ${SampleCap - 1}) // $SampleCap) FROM embeddings) = 0""".stripMargin)} t0),
-         |pc0 AS (SELECT m, k, subv AS cvec FROM (SELECT m, subv,
-         |  ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS k FROM psamp) t WHERE k < $PqK),
-         |${(1 to KmeansIters).map(sqlPqIter).mkString(",\n")},
-         |pall AS (SELECT * FROM ${sqlPqSubs("embeddings", "")} t1),
-         |pd AS (SELECT s.vec_id, s.m, c.k, ${sqlSqDist("s.subv", "c.cvec")} AS d2
-         |  FROM pall s JOIN pc$KmeansIters c ON c.m = s.m),
-         |pbest AS (SELECT vec_id, m, k, d2 FROM (SELECT *,
-         |  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM pd) t WHERE rn = 1),
+      s"""WITH $sqlPqChain,
          |pv AS (SELECT vec_id,
          |  ${(0 until PqM).map(m =>
               s"CAST(MAX(CASE WHEN m = $m THEN k END) AS BIGINT) AS code$m").mkString(",\n         |  ")},
@@ -1038,5 +1078,39 @@ object Similarity {
               s"MAX(CASE WHEN m = $m THEN d2 END)").mkString(" + ")} AS err
          |  FROM pbest GROUP BY vec_id)
          |SELECT e.vec_id, ${(0 until PqM).map(m => s"pv.code$m").mkString(", ")}, pv.err
-         |FROM embeddings e LEFT JOIN pv USING (vec_id)""".stripMargin)
+         |FROM embeddings e LEFT JOIN pv USING (vec_id)""".stripMargin,
+
+    // ADC: the same training + assignment chain, then the query's
+    // per-subspace distance TABLES (qsub/tbl — computed once, the ADC
+    // point) joined to each vector's codes and summed in subspace order.
+    "q67_ann_adc" ->
+      s"""WITH $sqlPqChain,
+         |qsub AS (SELECT m, subv AS qsv FROM pall WHERE vec_id = 0),
+         |tbl AS (SELECT q.m, c.k, ${sqlSqDist("q.qsv", "c.cvec")} AS td
+         |  FROM qsub q JOIN pc$KmeansIters c ON c.m = q.m),
+         |a AS (SELECT b.vec_id, b.m, t.td
+         |  FROM pbest b JOIN tbl t ON t.m = b.m AND t.k = b.k),
+         |v AS (SELECT vec_id,
+         |  ${(0 until PqM).map(m =>
+              s"MAX(CASE WHEN m = $m THEN td END)").mkString(" + ")} AS adc
+         |  FROM a GROUP BY vec_id)
+         |SELECT vec_id, adc FROM v ORDER BY adc, vec_id LIMIT 10""".stripMargin)
+
+  /** The shared PQ CTE chain (training sample → codebooks after
+    * KmeansIters Lloyd steps → per-vector best codes) used by both q65
+    * and q67 — one SQL text, no drift between the code operator and the
+    * ADC search built on it.
+    */
+  private def sqlPqChain: String =
+    s"""psamp AS (SELECT * FROM ${sqlPqSubs("embeddings",
+          s"""
+     | AND vec_id % (SELECT GREATEST(5, (count(*) + ${SampleCap - 1}) // $SampleCap) FROM embeddings) = 0""".stripMargin)} t0),
+       |pc0 AS (SELECT m, k, subv AS cvec FROM (SELECT m, subv,
+       |  ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS k FROM psamp) t WHERE k < $PqK),
+       |${(1 to KmeansIters).map(sqlPqIter).mkString(",\n")},
+       |pall AS (SELECT * FROM ${sqlPqSubs("embeddings", "")} t1),
+       |pd AS (SELECT s.vec_id, s.m, c.k, ${sqlSqDist("s.subv", "c.cvec")} AS d2
+       |  FROM pall s JOIN pc$KmeansIters c ON c.m = s.m),
+       |pbest AS (SELECT vec_id, m, k, d2 FROM (SELECT *,
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM pd) t WHERE rn = 1)""".stripMargin
 }

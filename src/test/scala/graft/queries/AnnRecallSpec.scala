@@ -135,6 +135,34 @@ class AnnRecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q67 ADC: query's ADC equals its q65 reconstruction error; recall vs exact L2 holds") {
+    val adc = run("q67_ann_adc").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc")).toMap
+    // exact identity, not an envelope: ADC of the query vector is the
+    // distance to its OWN codes' reconstruction — q65's err, same folds
+    val errs = run("q65_pq_codes").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("err")).toMap
+    adc.get(0L).foreach(a =>
+      assert(a == errs(0L), s"ADC(query)=$a must equal its PQ err=${errs(0L)}"))
+    // usefulness bound vs the exact L2 top-10 (computed here from the
+    // raw vectors): 4 subspaces × 16 codes is a coarse quantizer, but a
+    // codebook regression that tanked recall must not pass silently
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .filter(_._2.length == 64)
+    val q = vecs.find(_._1 == 0L).get._2
+    def l2(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { val t = a(i) - q(i); s += t * t; i += 1 }
+      s
+    }
+    val exact = vecs.map { case (id, v) => (id, l2(v)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val recall = (adc.keySet & exact).size
+    assert(recall >= 3, s"ADC recall collapsed: $recall/10")
+  }
+
   test("q39 still yields candidates at the bench corpus (bucket sizing holds)") {
     // regression: with 4-plane families (16 buckets) every bucket exceeded
     // the 50-doc cap at sf0.1's 2000 vectors and q39 returned ZERO rows —

@@ -123,6 +123,23 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q66 quantile sketch: corpus rows meet only the sampled-histogram shuffle") {
+    // the sketch's contract at scale: the admission filter runs at the
+    // scan (per-row hash, no shuffle), so the only exchanges carry the
+    // ~cap-bounded SAMPLE histogram — never corpus rows — and there is
+    // no row-level range sort anywhere
+    val df = SparkEntry.queries("q66_quantile_sketch")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(p.contains("partial_count"), p)
+    // admission predicate must sit in/at the scan stage, below the first
+    // aggregate: the sha-prefix hash appears under the partial agg
+    val firstAgg = p.lastIndexOf("HashAggregate")
+    val filterIdx = p.lastIndexOf("sha2")
+    assert(filterIdx > firstAgg, "admission hash must run below the first aggregate")
+  }
+
   test("q47 length quartiles: row data only crosses the histogram shuffle; no row-level sort") {
     // the histogram formulation's contract: the corpus rows meet exactly
     // one exchange — the map-side-combined (lang, n_chars) count — and
