@@ -32,6 +32,19 @@ object TextAnalysis {
     */
   private[queries] val QSketchCap = 500L
 
+  /** q66's admission + sampled length histogram — ONE definition of the
+    * hash seed and the grouping, shared with the streaming dual
+    * ([[graft.streaming.DocStream.quantileSketch]]) so the two paths
+    * cannot drift. Admission is key-pure (a document's membership never
+    * depends on arrival order or corpus state); the histogram is
+    * map-side combined, and its size is bounded by |langs| × distinct
+    * lengths — the VALUE space, not the sample or corpus size.
+    */
+  private[graft] def sampledLengthHist(docs: DataFrame, mod: Long): DataFrame =
+    docs.filter(portableHash60(col("doc_id").cast("string"), 7) % mod === 0)
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** q50 patterns — Java-regex ∩ RE2 common syntax only (shared verbatim
     * with the DuckDB mirror; DuckDB standard strings do not process
     * backslash escapes, so the literal text matches what Spark compiles).
@@ -324,11 +337,7 @@ object TextAnalysis {
     "q66_quantile_sketch" -> ((s, dir) => {
       val n = Tables(s, dir, "documents").count()
       val mod = math.max(1L, (n + QSketchCap - 1) / QSketchCap)
-      val samp = Tables(s, dir, "documents")
-        .filter(portableHash60(col("doc_id").cast("string"), 7) % mod === 0)
-        .select(col("lang"), col("n_chars"))
-      val hist = samp.groupBy(col("lang"), col("n_chars"))
-        .agg(count(lit(1)).as("cnt"))
+      val hist = sampledLengthHist(Tables(s, dir, "documents"), mod)
       val cumW = Window.partitionBy("lang").orderBy("n_chars")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       hist

@@ -214,6 +214,22 @@ object DocStream {
     graft.queries.TextAnalysis.hllRegisters(
       docs.select(col("lang"), explode(tokens(col("text"))).as("tok")))
 
+  /** Streaming quantile-sketch histogram: q66's hash-admitted length
+    * histogram over an unbounded doc stream, via the SAME
+    * [[graft.queries.TextAnalysis.sampledLengthHist]] definition the
+    * batch operator uses. Admission is a pure function of the document
+    * KEY (stateless — membership never depends on arrival order), so
+    * the stateful part is only the histogram aggregation, whose state
+    * is bounded by |langs| × distinct lengths — the VALUE space,
+    * forever, like [[vocabSketch]]'s registers (run with
+    * complete/update output; the quantile derivation is q66's tiny
+    * rank-selection batch step over the emitted histogram). The
+    * admission modulus is explicit — a stream has no corpus count to
+    * derive it from, the [[budgetAdmitted]] argument.
+    */
+  def quantileSketch(docs: DataFrame, admissionMod: Long): DataFrame =
+    graft.queries.TextAnalysis.sampledLengthHist(docs, admissionMod)
+
   // ---- incremental near-dedup (the q27 semantics against history) ---------
 
   /** Sub-partition count for the band-key bucket `g = bk mod BkBuckets`.

@@ -37,6 +37,41 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("quantileSketch streams q66's admitted histogram (same admission, bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 1200 docs across two batches at modulus 3 — the hash really
+    // rejects ~2/3, and a streamed histogram must equal the batch
+    // operator's over the identical rows (streaming execution changes
+    // nothing: admission is key-pure, the aggregation is the same)
+    val rows = (0L until 1200L).map { i =>
+      (i, ts(i % 60), if (i % 2 == 0) "en" else "de", (i * 2654435761L) % 300L)
+    }
+    val mem = MemoryStream[(Long, Timestamp, String, Long)]
+    val q = DocStream.quantileSketch(
+        mem.toDF().toDF("doc_id", "ingest_ts", "lang", "n_chars"), admissionMod = 3L)
+      .writeStream.format("memory").queryName("qsketch")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(700))
+      q.processAllAvailable()
+      mem.addData(rows.drop(700))
+      q.processAllAvailable()
+      val got = spark.table("qsketch")
+        .as[(String, Long, Long)].collect().toSet
+      val want = graft.queries.TextAnalysis.sampledLengthHist(
+          rows.toDF("doc_id", "ingest_ts", "lang", "n_chars"), 3L)
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want && got.nonEmpty,
+        "streamed histogram must equal the batch derivation on the same rows")
+      // the admission hash really sampled: far fewer admitted than docs
+      val admitted = got.toSeq.map(_._3).sum
+      assert(admitted > 200 && admitted < 600, s"~1/3 expected, got $admitted")
+      // state bound is the VALUE space: ≤ langs × distinct lengths
+      assert(got.size <= 2 * 300)
+    } finally q.stop()
+  }
+
   test("vocabSketch streams q53's register table (same derivation, bounded state)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
