@@ -586,6 +586,56 @@ object Similarity {
         .limit(10)
     }),
 
+    // The IVF index AT REST — the physical form a 100 TB vector index
+    // takes, and the second [[graft.Bucketing]] consumer: the assigned
+    // (cell, vector) table is staged hash-bucketed on `cell`, so a probe
+    // is a BUCKET-PRUNED scan — the nprobe=2 literal IN on the bucket
+    // column reads only the probed cells' buckets before any row is
+    // touched (file-count pruning; q35 keeps the compute-side assignment
+    // as the build step this staging persists). The probe cells are
+    // resolved driver-side first (a 2-row bounded read — query planning
+    // in any ANN system), because only a LITERAL predicate on the bucket
+    // key prunes at the scan; a join against the cell list would read
+    // every bucket. Semantics — and therefore the oracle — are exactly
+    // q35's: same centroids, same assignment, same probe arithmetic.
+    "q68_ann_ivf_staged" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val idxT = s"graft_q68_ivf_$tag"
+      val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
+      def ccosArr =
+        zip_with(
+          graft.functions.VectorFunctions.vecDotMany(col("embedding"),
+            cents.flatMap(_._2).toArray, cents.length),
+          typedLit(cents.map(_._3).toSeq),
+          (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn)))
+      if (!s.catalog.tableExists(idxT)) {
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+          .filter(col("nrm") > 0) // zero-norm guard (see q28)
+        val cells = e.select(col("vec_id"), col("embedding"), col("nrm"),
+          ccosArr.as("ccos"))
+          .select(col("vec_id"), col("embedding"), col("nrm"),
+            (array_position(col("ccos"), array_max(col("ccos"))) - 1)
+              .cast("long").as("cell"))
+        graft.Bucketing.stage(cells, idxT, "cell", 8)
+      }
+      val idx = s.table(idxT)
+      val qRow = idx.filter(col("vec_id") === 0)
+      val qCells: Array[Long] = qRow
+        .select(posexplode(ccosArr))
+        .select(col("pos").cast("long").as("cent_id"), col("col").as("ccos"))
+        .orderBy(desc("ccos"), asc("cent_id")).limit(2)
+        .collect().map(_.getLong(0))
+      val q = qRow.select(col("embedding").as("qv"), col("nrm").as("qn"))
+      idx.filter(col("cell").isin(qCells.map(Long.box): _*))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("cell"),
+          (vecDot(col("embedding"), col("qv")) / (col("nrm") * col("qn"))).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(10)
+    }),
+
     // Scale-safe cosine near-dup (the q28 semantics in the 100 TB shape):
     // hyperplane-LSH banding generates candidates via a bucket equi-join —
     // work proportional to true bucket collisions, never the n²/2 all-pairs
@@ -882,6 +932,28 @@ object Similarity {
        |  END AS cvec FROM $prev p LEFT JOIN pm$n q ON q.m = p.m AND q.k = p.k)""".stripMargin
   }
 
+  /** The IVF probe query (q35 AND q68 — staging is physical, not
+    * semantic, so one SQL text serves both and they cannot drift).
+    */
+  private def SqlIvfProbe: String =
+    s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+       |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+       |  WHERE nrm > 0),
+       |$sqlKmeans,
+       |a AS (SELECT e.vec_id, e.embedding, e.nrm, cq.cent_id,
+       |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
+       |  FROM e CROSS JOIN cq),
+       |cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
+       |qc AS (SELECT cent_id FROM a WHERE vec_id = 0
+       |  ORDER BY ccos DESC, cent_id LIMIT 2),
+       |q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 0)
+       |SELECT cells.vec_id, cells.cell,
+       |  ${sqlDot("cells.embedding", "q.qv")}/(cells.nrm*q.qn) AS cos
+       |FROM cells, q WHERE cells.cell IN (SELECT cent_id FROM qc)
+       |ORDER BY cos DESC, cells.vec_id LIMIT 10""".stripMargin
+
   private val Toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
   private val SqlG3 =
     s"""list_distinct(CASE WHEN len(tk) < 3 THEN []
@@ -1000,24 +1072,11 @@ object Similarity {
          |FROM e, q
          |ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
 
-    "q35_ann_ivf" ->
-      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
-         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
-         |  WHERE nrm > 0),
-         |$sqlKmeans,
-         |a AS (SELECT e.vec_id, e.embedding, e.nrm, cq.cent_id,
-         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
-         |  FROM e CROSS JOIN cq),
-         |cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
-         |qc AS (SELECT cent_id FROM a WHERE vec_id = 0
-         |  ORDER BY ccos DESC, cent_id LIMIT 2),
-         |q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 0)
-         |SELECT cells.vec_id, cells.cell,
-         |  ${sqlDot("cells.embedding", "q.qv")}/(cells.nrm*q.qn) AS cos
-         |FROM cells, q WHERE cells.cell IN (SELECT cent_id FROM qc)
-         |ORDER BY cos DESC, cells.vec_id LIMIT 10""".stripMargin,
+    "q35_ann_ivf" -> SqlIvfProbe,
+
+    // the staged/bucketed layout is an implementation detail of the
+    // Spark plan; the semantics are q35's probe verbatim
+    "q68_ann_ivf_staged" -> SqlIvfProbe,
 
     "q39_cosine_neardup_lsh" ->
       s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, label,

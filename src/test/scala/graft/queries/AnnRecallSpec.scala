@@ -135,6 +135,18 @@ class AnnRecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q68 staged IVF answers exactly what the compute-side q35 answers") {
+    // staging is physical, not semantic: same centroids, same assignment,
+    // same probe arithmetic — the result sets must be IDENTICAL, bitwise
+    val compute = run("q35_ann_ivf").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"), r.getAs[Double]("cos")))
+    val staged = run("q68_ann_ivf_staged").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"), r.getAs[Double]("cos")))
+    assert(staged.toSeq == compute.toSeq,
+      s"staged probe diverged from compute probe:\n$staged\nvs\n$compute")
+    spark.catalog.clearCache()
+  }
+
   test("q67 ADC: query's ADC equals its q65 reconstruction error; recall vs exact L2 holds") {
     val adc = run("q67_ann_adc").collect()
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc")).toMap

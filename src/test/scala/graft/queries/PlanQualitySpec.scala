@@ -140,6 +140,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(filterIdx > firstAgg, "admission hash must run below the first aggregate")
   }
 
+  test("q68 staged IVF probe: the scan reads only the probed cells' buckets") {
+    // the point of staging the index bucketed by cell: nprobe=2 becomes
+    // file-count pruning at the scan (the BucketingSpec pruning pin,
+    // exercised through a real operator). autoBucketedScan off — the
+    // point-probe shape is exactly when a reader disables it (two
+    // buckets of IO beat scan parallelism)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q68_ann_ivf_staged")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // two probe cells land in ≤2 of the 8 buckets (1 if they collide)
+      assert("SelectedBucketsCount: [12] out of 8".r.findFirstIn(p).isDefined,
+        s"probe scan must bucket-prune:\n${p.take(2000)}")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("q47 length quartiles: row data only crosses the histogram shuffle; no row-level sort") {
     // the histogram formulation's contract: the corpus rows meet exactly
     // one exchange — the map-side-combined (lang, n_chars) count — and
