@@ -788,28 +788,40 @@ object Similarity {
     // sum adds the m entries in subspace order.
     "q67_ann_adc" -> ((s, dir) => {
       val books = pqCodebooks(s, dir)
-      val qv: Array[Double] = Tables(s, dir, "embeddings")
+      val qRow = Tables(s, dir, "embeddings")
         .filter(col("vec_id") === 0 && size(col("embedding")) === 64)
         .select(col("embedding"))
-        .head.getSeq[Float](0).map(_.toDouble).toArray
-      val tables: Array[Array[Double]] = Array.tabulate(PqM) { m =>
-        books(m).map { c =>
-          var d = 0.0; var i = 0
-          while (i < PqSubDim) {
-            val t = qv(m * PqSubDim + i) - c(i); d += t * t; i += 1
+        .collect().headOption
+      qRow match {
+        // a missing/truncated query vector is an empty answer, not a
+        // crash — the q29/q35 semantics, where the empty query side
+        // empties the probe (no early `return`: a non-local return from
+        // a stored lambda throws NonLocalReturnControl at call time)
+        case None =>
+          Tables(s, dir, "embeddings")
+            .select(col("vec_id"), lit(null).cast("double").as("adc"))
+            .limit(0)
+        case Some(row) =>
+          val qv: Array[Double] = row.getSeq[Float](0).map(_.toDouble).toArray
+          val tables: Array[Array[Double]] = Array.tabulate(PqM) { m =>
+            books(m).map { c =>
+              var d = 0.0; var i = 0
+              while (i < PqSubDim) {
+                val t = qv(m * PqSubDim + i) - c(i); d += t * t; i += 1
+              }
+              d
+            }
           }
-          d
-        }
+          pqDistances(Tables(s, dir, "embeddings"), books)
+            .filter(col("dims") === 64) // codeless rows aren't in the index
+            .select(col("vec_id"),
+              (0 until PqM).map { m =>
+                element_at(typedLit(tables(m).toSeq),
+                  array_position(col(s"d$m"), col(s"mn$m")).cast("int"))
+              }.reduce(_ + _).as("adc"))
+            .orderBy(asc("adc"), asc("vec_id"))
+            .limit(10)
       }
-      pqDistances(Tables(s, dir, "embeddings"), books)
-        .filter(col("dims") === 64) // rows without codes aren't in the index
-        .select(col("vec_id"),
-          (0 until PqM).map { m =>
-            element_at(typedLit(tables(m).toSeq),
-              array_position(col(s"d$m"), col(s"mn$m")).cast("int"))
-          }.reduce(_ + _).as("adc"))
-        .orderBy(asc("adc"), asc("vec_id"))
-        .limit(10)
     }))
 
   // ---- DuckDB mirrors ----------------------------------------------------

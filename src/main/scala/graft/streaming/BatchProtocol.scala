@@ -163,6 +163,17 @@ private[streaming] object BatchProtocol {
     }
     val epochs = epochIds(spark, indexPath).filter(_ <= upToBatch)
     if (epochs.isEmpty) return 0
+    // the watermark marks every id ≤ upToBatch committed FOREVER — a
+    // watermark beyond the highest stream epoch would make future
+    // batches at those ids no-op as "already committed" and silently
+    // drop their data. Only ids whose epochs exist may be marked.
+    // (Checked after the early return: a replayed compaction whose
+    // cleanup already removed the merged epochs must still no-op.)
+    val maxStream = epochs.filter(_ >= 0)
+    require(maxStream.nonEmpty && maxStream.max == upToBatch,
+      s"upToBatch=$upToBatch must be an existing stream epoch " +
+        s"(present: ${epochs.sorted.mkString(",")}) — a higher watermark would " +
+        "mark unrun future batches as committed")
     val consolidated = -(upToBatch + 2)
     val merged = spark.read.parquet(indexPath)
       .filter(col("batch_id").cast("long") <= upToBatch)

@@ -81,6 +81,17 @@ class QuantizeSpec extends AnyFunSuite {
     assert((1 to 5).forall(short.isNullAt), s"truncated vector must be all null: $short")
   }
 
+  test("q67 with a missing or truncated query vector answers empty, not a crash") {
+    val v64 = (1 to 64).map(j => math.cos(j).toFloat)
+    // no vec_id 0 at all (id 5 keeps the modulus sample non-empty)
+    val noQuery = vectors(Seq((5L, v64), (6L, v64.map(-_))))
+    assert(SparkEntry.queries("q67_ann_adc")(spark, noQuery).collect().isEmpty,
+      "a probe with no query vector is an empty answer — the q29/q35 semantics")
+    // vec_id 0 exists but is truncated: same empty answer
+    val shortQuery = vectors(Seq((0L, Seq(1f, 2f)), (5L, v64)))
+    assert(SparkEntry.queries("q67_ann_adc")(spark, shortQuery).collect().isEmpty)
+  }
+
   test("q63 degenerate vectors: NaN element → null scale + zero codes; empty → all null") {
     // NaN = failed feature extraction (the case every cosine operator
     // guards): under Spark's NaN ordering `NaN > 0` is TRUE, so an

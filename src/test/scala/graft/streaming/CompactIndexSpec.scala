@@ -178,6 +178,28 @@ class CompactIndexSpec extends AnyFunSuite {
     assert(indexRows(s"$base/i") == indexRows(s"$base/donor"))
   }
 
+  test("compaction refuses a watermark beyond the highest stream epoch") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-compactover").toString
+    buildThreeEpochs(s"$base/i", s"$base/o")
+    // upToBatch=7 with only epochs 0..2 present: the watermark would
+    // mark NEVER-RUN batches 3..7 as committed forever — their future
+    // deliveries would no-op and silently drop data
+    val e = intercept[IllegalArgumentException] {
+      DocStream.compactIndex(spark, s"$base/i", 7L)
+    }
+    assert(e.getMessage.contains("existing stream epoch"), e.getMessage)
+    // compacting through a PREFIX of the epochs is fine: later epochs
+    // and their markers survive untouched
+    assert(DocStream.compactIndex(spark, s"$base/i", 1L) == 2)
+    assert(BatchProtocol.epochIds(spark, s"$base/i").sorted == Seq(-3L, 2L))
+    assert(BatchProtocol.committed(spark, s"$base/i", 2L))
+    val b3 = Seq((30L, textA), (31L, "novel phrasing entirely"))
+      .toDF("doc_id", "text")
+    DocStream.processBatch(spark, b3, 3L, s"$base/i", s"$base/o")
+    assert(outIds(s"$base/o").contains(31L))
+  }
+
   test("compaction refuses an index with uncommitted epochs") {
     val base = Files.createTempDirectory("graft-compactq").toString
     buildThreeEpochs(s"$base/i", s"$base/o")
