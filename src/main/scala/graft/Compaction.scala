@@ -88,4 +88,28 @@ object Compaction {
     arranged.write.mode("overwrite").parquet(outPath)
     n
   }
+
+  /** Layout-preserving variant for a PARTITIONED tree: rewrite
+    * `inPath` into `outPath` keeping the `partCols` directory layout,
+    * with each partition's rows in exactly ONE file (the partition-key
+    * repartition sends every partition whole to one task). This is the
+    * compactor for trees whose LAYOUT carries semantics — a streaming
+    * sink's `batch_id=N` epoch dirs (safe once the index watermark
+    * covers them: `committed()` then no-ops any redelivery, so the tree
+    * is immutable), or any provenance-partitioned table — where the
+    * round-robin [[compact]] would flatten the directories and rewrite
+    * the partition column's VALUES out of the path. Values, rows, and
+    * layout are identical; only the file count changes. Crash-safe the
+    * [[compact]] way: `outPath` is a NEW directory, the swap is the
+    * caller's one atomic rename. Returns the partition count.
+    */
+  def compactPartitioned(spark: SparkSession, inPath: String,
+      outPath: String, partCols: Seq[String]): Long = {
+    import org.apache.spark.sql.functions.col
+    require(partCols.nonEmpty, "partCols must name the partition layout")
+    val df = spark.read.parquet(inPath)
+    df.repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*).mode("overwrite").parquet(outPath)
+    spark.read.parquet(outPath).select(partCols.map(col): _*).distinct().count()
+  }
 }

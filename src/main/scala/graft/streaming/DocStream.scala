@@ -420,6 +420,14 @@ object DocStream {
     * ordering contract at [[BatchProtocol.compactIndex]]. Run quiesced
     * (like [[rebandIndex]]), or let the stream do it itself via
     * `runNearDedup(compactEvery = …)`.
+    *
+    * The SURVIVORS directory (`outPath`) fragments the same way — one
+    * `batch_id=N` dir of task-count files per micro-batch — and once
+    * the index watermark covers an epoch its redelivery no-ops
+    * ([[BatchProtocol.committed]]), so that part of the tree is
+    * immutable: compact it with the layout-preserving
+    * [[graft.Compaction.compactPartitioned]] (new directory + one
+    * atomic swap; epoch dirs and `batch_id` values survive verbatim).
     */
   def compactIndex(spark: SparkSession, indexPath: String,
       upToBatch: Long): Int =

@@ -84,6 +84,33 @@ class CompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("compactPartitioned keeps the epoch layout, one file per partition, rows intact") {
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-cpart").toString
+    // three streaming-sink epochs, each fragmented into several files
+    (0 until 3).foreach { ep =>
+      (0 until 200).map(i => (ep * 1000L + i, s"doc $i of epoch $ep"))
+        .toDF("doc_id", "text").repartition(5)
+        .write.parquet(s"$base/in/batch_id=$ep")
+    }
+    def files(p: String) = {
+      val st = Files.walk(java.nio.file.Paths.get(p))
+      try st.toArray.toSeq.map(_.toString).filter(_.endsWith(".parquet"))
+      finally st.close()
+    }
+    assert(files(s"$base/in").size == 15)
+    assert(Compaction.compactPartitioned(spark, s"$base/in", s"$base/out",
+      Seq("batch_id")) == 3L)
+    assert(files(s"$base/out").size == 3, "one file per epoch")
+    // identical rows INCLUDING the partition column's values
+    def rows(p: String) = spark.read.parquet(p)
+      .select("batch_id", "doc_id", "text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(rows(s"$base/out") == rows(s"$base/in"))
+    assert(new java.io.File(s"$base/out/batch_id=2").isDirectory,
+      "the epoch directory layout must survive")
+  }
+
   test("compact of an already-compact table is a single file") {
     import spark.implicits._
     val in = Files.createTempDirectory("graft-small").toString + "/t"
