@@ -290,6 +290,53 @@ object Dedup {
       TextAnalysis.prepScore(
         Tables(s, dir, "documents").join(kept, Seq("doc_id"), "left_semi")
           .select("doc_id", "text"))
+    }),
+
+    // link analysis beside the components: PageRank over the near-dup
+    // pair graph (a document central to many near-dup relations is the
+    // cluster's natural representative candidate — the ranking signal
+    // q44's min-id pick deliberately ignores). Cross-engine float
+    // PageRank is impossible to hash-match (per-node sums are unordered
+    // float adds), so this is INTEGER FIXED-POINT PageRank: ranks in
+    // units of 10^-12, damping 85/100, every step an integer multiply /
+    // floor-divide / integer sum — order-independent and bit-identical
+    // on both engines by construction. Dangling mass is not
+    // redistributed (isolated docs hold the base rank — documented,
+    // deterministic). Plan shape per iteration: ONE shuffle join
+    // (ranks into edge sources) + ONE map-side-combined integer sum —
+    // the q43 round shape; 3 fixed iterations compose as a single
+    // declarative plan (an open-ended loop would checkpoint per round
+    // exactly as propagateMin does).
+    "q69_pagerank" -> ((s, dir) => {
+      val ScaleV = 1000000000000L
+      val Iters = 3
+      val docs = Tables(s, dir, "documents").select(col("doc_id"))
+      val n = Tables(s, dir, "documents").count()
+      if (n == 0L) docs.select(col("doc_id"), lit(0L).as("rank"))
+      else {
+        val base = ((ScaleV / n) * 15L) / 100L
+        val pairs = Similarity.queries("q27_simhash_pairs")(s, dir)
+          .select(col("doc_a"), col("doc_b"))
+        val edges = pairs
+          .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+          .toDF("src", "dst")
+          .persist() // read every iteration (cluster scale: a staged table)
+        val degrees = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        var p = docs.select(col("doc_id"), lit(ScaleV / n).as("rank"))
+        for (_ <- 1 to Iters) {
+          val contribs = edges
+            .join(p.select(col("doc_id").as("src"), col("rank")), "src")
+            .join(degrees, "src")
+            // floor-divide ladder, NOT float: deterministic at any scale
+            .select(col("dst"), expr("((rank * 85) div 100) div deg").as("c"))
+          p = docs
+            .join(contribs.groupBy("dst").agg(sum(col("c")).as("sc")),
+              col("doc_id") === col("dst"), "left")
+            .select(col("doc_id"),
+              (lit(base) + coalesce(col("sc"), lit(0L))).as("rank"))
+        }
+        p
+      }
     }))
 
   // DuckDB mirrors: transitive closure as a recursive CTE over the SAME
@@ -310,9 +357,36 @@ object Dedup {
        |clusters AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
        |  FROM walk GROUP BY id)""".stripMargin
 
+  /** One integer PageRank step: per-edge floor-divided contributions,
+    * exact integer sums (HUGEINT cast back — the q49 lesson), base rank
+    * stitched onto every document via left join (isolated docs receive
+    * no contributions).
+    */
+  private def sqlPrIter(i: Int): String = {
+    val prev = s"pr${i - 1}"
+    s"""prc$i AS (SELECT e.dst, ((p.rank * 85) // 100) // g.deg AS c
+       |  FROM edges e JOIN $prev p ON p.doc_id = e.src JOIN deg g ON g.src = e.src),
+       |prs$i AS (SELECT dst, CAST(SUM(c) AS BIGINT) AS sc FROM prc$i GROUP BY dst),
+       |pr$i AS (SELECT d.doc_id,
+       |  (SELECT ((1000000000000 // n) * 15) // 100 FROM nn) + COALESCE(s.sc, 0) AS rank
+       |  FROM documents d LEFT JOIN prs$i s ON s.dst = d.doc_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q43_neardup_clusters" ->
       s"$sqlClusters\nSELECT doc_id, cluster_id FROM clusters",
+
+    "q69_pagerank" ->
+      s"""WITH ${Similarity.SqlSimhashPairCtes},
+         |prpairs AS (${Similarity.SqlSimhashPairSelect.replace("\n", " ")}),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prpairs
+         |  UNION ALL SELECT doc_b, doc_a FROM prpairs),
+         |deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |pr0 AS (SELECT doc_id, (SELECT 1000000000000 // n FROM nn) AS rank
+         |  FROM documents),
+         |${(1 to 3).map(sqlPrIter).mkString(",\n")}
+         |SELECT doc_id, rank FROM pr3""".stripMargin,
 
     "q44_dedup_survivors" ->
       s"""$sqlClusters

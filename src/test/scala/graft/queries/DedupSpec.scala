@@ -161,4 +161,26 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 99L -> 99L))
     spark.catalog.clearCache()
   }
+
+  test("q69 planted graph: clique members share a rank above the isolated doc's base") {
+    // three verbatim copies form a triangle in the q27 pair graph (every
+    // pair hamming 0); the singleton receives no contributions, so its
+    // rank is exactly the base term — and by symmetry the three clique
+    // members' integer ranks are identical and strictly higher
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-pr").toString
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((10L, t), (11L, t), (12L, t),
+        (99L, "completely different content about spark catalyst planning"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = graft.SparkEntry.queries("q69_pagerank")(spark, d)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("rank")).toMap
+    val scale = 1000000000000L
+    val base = ((scale / 4) * 15L) / 100L
+    assert(got(99L) == base, s"isolated doc must hold exactly the base rank: $got")
+    assert(got(10L) == got(11L) && got(11L) == got(12L),
+      s"symmetric clique members must rank identically: $got")
+    assert(got(10L) > base, s"clique members must outrank the isolated doc: $got")
+    spark.catalog.clearCache()
+  }
 }
