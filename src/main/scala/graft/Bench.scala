@@ -143,21 +143,32 @@ object Bench {
     val sMed = if (sVals.isEmpty) 0.0 else sVals(sVals.size / 2)
     val sArg = if (spread.isEmpty) "" else spread.maxBy(_._2)._1
     val bySlowest = results.toSeq.sortBy { case (n, v) => (-v, n) }
-    def build(kept: Seq[(String, Double)], dec: Int): String = {
+    def build(kept: Seq[(String, Double)], dec: Int,
+        withSpread: Boolean): String = {
       val qm = kept.map { case (k, v) => jstr(k) + ":" + jnumAt(v, dec) }
         .mkString("{", ",", "}")
       val omitted = results.size - kept.size
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
+      val sp =
+        if (withSpread)
+          s""""spread_med":${jnum(sMed)},"spread_max":${jnum(sMax)},"spread_argmax":${jstr(sArg)},"""
+        else ""
       s"""{"metric":"total","value":${jnum(total)},"value_min":${jnum(totalMin)},"unit":"sec","reps":$Reps,""" +
         s""""failed":${errors.size},"errors":$es,"queries":$qm$om,""" +
-        s""""spread_med":${jnum(sMed)},"spread_max":${jnum(sMax)},"spread_argmax":${jstr(sArg)},""" +
+        sp +
         s""""full":${jstr(fullPath)},"sf":${jstr(sfDir)}}"""
     }
+    // degradation ladder, completeness before comfort: precision 3→2→1
+    // with the spread summary, then shed the spread trio (it lives in
+    // bench_full.json anyway) to buy ~90 chars of query entries, and only
+    // THEN drop the fastest queries with an explicit omitted count
     val attempts =
-      Seq(3, 2, 1).iterator.map(build(bySlowest, _)) ++
+      Seq(3, 2, 1).iterator.map(build(bySlowest, _, withSpread = true)) ++
+        Iterator.single(build(bySlowest, 1, withSpread = false)) ++
         Iterator.iterate(bySlowest.size)(n => n - math.max(1, n / 10))
-          .takeWhile(_ > 0).map(n => build(bySlowest.take(n), 1))
-    attempts.find(_.length <= LineBudget).getOrElse(build(Seq.empty, 1))
+          .takeWhile(_ > 0).map(n => build(bySlowest.take(n), 1, withSpread = false))
+    attempts.find(_.length <= LineBudget)
+      .getOrElse(build(Seq.empty, 1, withSpread = false))
   }
 
   def main(args: Array[String]): Unit = {

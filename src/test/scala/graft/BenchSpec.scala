@@ -32,12 +32,25 @@ class BenchSpec extends AnyFunSuite {
     import org.json4s._
     implicit val fmt: Formats = DefaultFormats
 
-    // hostile shape: more queries than we ship, every name at our real
-    // maximum length — the line must still fit, degrading by dropping the
-    // FASTEST queries (never the slow tail) with an explicit omitted count
-    val names = (1 to 60).map(i => f"q$i%02d_hostile_name_length22")
+    // comfortable shape: a small suite fits at 3 decimals WITH the
+    // spread summary — every optional field present and exact
+    val few = (1 to 10).map(i => f"q$i%02d_hostile_name_length22")
+    val fLine = Bench.compactLine(12.345, 11.111, Map.empty,
+      few.map(_ -> 1.234567).toMap, few.map(_ -> 0.987654321).toMap,
+      "/root/testdata/sf0.1", "bench_full.json")
+    val fp = org.json4s.jackson.JsonMethods.parse(fLine)
+    assert(math.abs((fp \ "queries").extract[Map[String, Double]]
+      .apply(few.head) - 1.235) < 1e-9, "3-decimal precision when it fits")
+    assert((fp \ "spread_max").extract[Double] > 0.98)
+    assert((fp \ "spread_argmax").extract[String].startsWith("q"))
+
+    // hostile shape: far more queries than fit even at 1 decimal — the
+    // line sheds the spread trio first (it lives in bench_full.json),
+    // then drops the FASTEST queries with an explicit omitted count;
+    // headline totals and the slow tail always survive
+    val names = (1 to 90).map(i => f"q$i%02d_hostile_name_length22")
     val results = names.zipWithIndex
-      .map { case (n, i) => n -> (60.0 - i) }.toMap // q01 slowest … q60 fastest
+      .map { case (n, i) => n -> (90.0 - i) }.toMap // q01 slowest … q90 fastest
     val spread = names.map(_ -> 0.987654321).toMap
     val line = Bench.compactLine(671.2345, 444.333, Map.empty, results, spread,
       "/root/testdata/sf0.1", "bench_full.json")
@@ -50,18 +63,15 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs((parsed \ "value_min").extract[Double] - 444.333) < 1e-3)
     val qs = (parsed \ "queries").extract[Map[String, Double]]
     val omitted = (parsed \ "queries_omitted").extract[Int]
-    assert(qs.size + omitted == 60)
+    assert(qs.size + omitted == 90)
     assert(qs.contains(names.head), "slowest query must survive")
-    assert((parsed \ "spread_max").extract[Double] > 0.98)
-    assert((parsed \ "spread_argmax").extract[String].startsWith("q"))
 
     // realistic shape: the ACTUAL shipped query names must fit with every
-    // query present — no omission. Per-query precision degrades as the
-    // suite grows (66 queries fit at 1 decimal); completeness beats
-    // resolution here because the round-over-round per-query analysis
-    // reads bench_full.json (full precision), while this line's job is
-    // the headline total (3+ decimals, asserted above) plus a complete
-    // query roster.
+    // query present — no omission. Precision degrades before roster (69
+    // queries fit at 1 decimal once the spread trio sheds); completeness
+    // beats resolution here because the per-query trend analysis reads
+    // bench_full.json (full precision), while this line's job is the
+    // headline total (3 decimals, asserted above) plus a complete roster.
     val real = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
     val rLine = Bench.compactLine(25.0, 24.0, Map.empty, real,
       real.map { case (k, _) => k -> 0.1 }, "/root/testdata/sf0.1",
