@@ -31,7 +31,8 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q21_dedup_exact", "q22_ngram_jaccard", "q25_minhash_lsh",
     "q26_simhash", "q27_simhash_pairs", "q42_simhash64_pairs",
     "q36_prep_pipeline", "q40_vocab_topk", "q41_repetition",
-    "q43_neardup_clusters", "q44_dedup_survivors", "q45_quality_filter",
+    "q43_neardup_clusters", "q44_dedup_survivors", "q69_pagerank",
+    "q45_quality_filter",
     // q46 drops null-text docs by construction (explode of a null token
     // array yields no rows); q47/q53 read lang, absent from this
     // text-only fixture, so they are exercised at the real corpus instead
