@@ -82,6 +82,42 @@ object EventStream {
       .agg(max("signup_ts").as("signup_ts"))
   }
 
+  /** Stream-stream range attribution — the streaming dual of q60: for
+    * each error event, count and sum the same user's purchases in the
+    * following `horizonMinutes`. Where batch q60 must BUILD the
+    * interval equi-join itself (horizon-bucket quantization — Spark has
+    * no batch interval-join operator), the streaming engine has the
+    * native form: watermarks on both sides plus the time-range join
+    * condition bound the join state to (horizon × rate), the same
+    * two-sided expiry [[withRecentSignup]] relies on. Left-outer so an
+    * error with no follower still emits — its zero row materializes
+    * once the purchase watermark proves no follower can arrive, exactly
+    * the rows batch q60 stitches in with its final left join. The
+    * chained aggregation (grouped on the error row including its
+    * watermarked ts) collapses the per-follower join rows to ONE row
+    * per error, in append mode with state expiring on the same
+    * watermark.
+    */
+  def rangeAttribution(events: DataFrame, watermark: String = "2 hours",
+      horizonMinutes: Int = 30): DataFrame = {
+    val errors = events.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id").as("e_user"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"), col("value"))
+      .withWatermark("p_ts", watermark)
+    errors.join(purchases,
+        col("e_user") === col("p_user") &&
+        col("p_ts") > col("e_ts") &&
+        col("p_ts") <= col("e_ts") + expr(s"INTERVAL $horizonMinutes MINUTES"),
+        "left_outer")
+      .groupBy(col("event_id"), col("e_user"), col("e_ts"))
+      .agg(count(col("p_ts")).as("n_follow"),
+        coalesce(sum(col("value").cast("decimal(18,4)")).cast("double"),
+          lit(0.0)).as("sum_value"))
+      .select(col("event_id"), col("n_follow"), col("sum_value"))
+  }
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----------
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -53,6 +53,45 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("rangeAttribution matches batch q60 on the same planted rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the RangeJoinSpec boundary shapes: strict > at the error instant,
+    // inclusive at exactly +30min, a zero-follower error, another user
+    val rows = Seq(
+      Event(100, ts(10), 1, "error", 0.0),
+      Event(10, ts(10), 1, "purchase", 99.0), // t2 == t1: excluded (strict >)
+      Event(11, ts(12), 1, "purchase", 1.5),  // inside the horizon
+      Event(12, ts(40), 1, "purchase", 2.25), // exactly t1+30min: included
+      Event(13, ts(41), 1, "purchase", 99.0), // just past: excluded
+      Event(200, ts(20), 2, "error", 0.0),    // no purchases: zero row
+      Event(14, ts(15), 3, "purchase", 7.0))  // other user: never joins
+    val mem = MemoryStream[Event]
+    val q = EventStream.rangeAttribution(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("rattr").outputMode("append").start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      // advance both watermarks far enough to flush every pending row
+      // (including the zero-follower error's outer row)
+      mem.addData(Event(900, ts(500), 9, "error", 0.0),
+        Event(901, ts(500), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("rattr").filter($"event_id" < 900)
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // the batch operator over the IDENTICAL rows is the truth
+      val d = java.nio.file.Files.createTempDirectory("graft-rattr").toString
+      rows.toDF().write.parquet(s"$d/events.parquet")
+      val want = graft.SparkEntry.queries("q60_range_join")(spark, d)
+        .as[(Long, Long, Double)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want,
+        s"stream attribution must equal batch q60:\n$got\nvs\n$want")
+      assert(want(100L) == ((2L, 1.5 + 2.25)) && want(200L) == ((0L, 0.0)))
+    } finally q.stop()
+  }
+
   test("hourlyWindows over a MemoryStream matches the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
