@@ -25,6 +25,23 @@ object Relational {
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
   private val DSum = "CAST(SUM(CAST(%s AS DECIMAL(18,4))) AS DOUBLE)"
 
+  /** q70 Morton-key geometry: [[ZBits]] bits per dimension interleave
+    * into a 2·ZBits-bit z-value. 8 bits keeps every prefix bucket
+    * populated at test scale; a production writer range-ranks each
+    * dimension to 16+ bits first — same machinery, wider key.
+    */
+  private val ZBits = 8
+  private val ZMask = (1L << ZBits) - 1
+
+  /** The z-value interleave as DuckDB SQL over columns `x`/`y` —
+    * generated from the SAME loop shape as the Spark side (x bits at
+    * odd positions, y at even), so the two engines cannot drift.
+    */
+  private def sqlZ: String =
+    (0 until ZBits).map { i =>
+      s"(((x >> $i) & 1) << ${2 * i + 1}) + (((y >> $i) & 1) << ${2 * i})"
+    }.mkString(" + ")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // R-groupBy/partial-agg (SURVEY §2.1 aggregations; TPC-H Q1 shape)
     "q01_pricing_agg" -> ((s, dir) => {
@@ -234,6 +251,42 @@ object Relational {
             .as("revenue"))
     }),
 
+    // Z-order (Morton) clustering statistics — the LAYOUT primitive for
+    // multi-dimensional pruning at 100 TB (the technique behind Delta /
+    // Iceberg OPTIMIZE ZORDER): interleaving the bits of two dimensions
+    // into one sort key makes any fixed z-PREFIX bound BOTH dimensions
+    // at once, so files written in z-order carry narrow min/max stats on
+    // every z-ordered column and a predicate on either dimension prunes.
+    // This query computes the 16-bit Morton key of (o_custkey low byte,
+    // order-date epoch-day low byte), buckets rows by the key's top 4
+    // bits (the file-boundary analogue — a real writer would range-rank
+    // each dimension to 16+ bits first; the bit machinery is identical),
+    // and reports each bucket's dimension envelopes: the z-prefix
+    // property guarantees max−min ≤ 63 on BOTH dims in every bucket,
+    // which is exactly the row-group-stats narrowness pruning feeds on.
+    // All-integer (bit shifts and masks generated from ONE Scala loop
+    // for both engines — no drift possible), one narrow projection, one
+    // shuffle for the aggregate. ZorderSpec pins the envelope bound and
+    // the single-Exchange plan.
+    "q70_zorder_stats" -> ((s, dir) => {
+      val z = (0 until ZBits).map { i =>
+        shiftleft(shiftright(col("x"), i).bitwiseAND(lit(1L)), 2 * i + 1) +
+          shiftleft(shiftright(col("y"), i).bitwiseAND(lit(1L)), 2 * i)
+      }.reduce(_ + _)
+      Tables(s, dir, "orders")
+        .select(
+          col("o_custkey").cast("long").bitwiseAND(lit(ZMask)).as("x"),
+          datediff(to_date(col("o_orderdate")), lit("1970-01-01").cast("date"))
+            .cast("long").bitwiseAND(lit(ZMask)).as("y"))
+        .select(col("x"), col("y"), z.as("z"))
+        .select(col("x"), col("y"),
+          shiftright(col("z"), 2 * ZBits - 4).as("bucket"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+    }),
+
     // R12 column normalization surfaced as output schema
     "q16_normalize_cols" -> ((s, dir) => {
       val names = Normalize.columnNames(Seq("Région Näme", "2019 total", "#"))
@@ -353,6 +406,20 @@ object Relational {
          |${DSum.format("l_extendedprice*(1.0-l_discount)")} AS revenue
          |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
          |GROUP BY o_orderkey, o_orderstatus""".stripMargin,
+
+    // all-integer bit arithmetic; the interleave expression is generated
+    // from the same Scala loop as the Spark plan
+    "q70_zorder_stats" ->
+      s"""WITH d AS (SELECT
+         |  CAST(o_custkey AS BIGINT) & $ZMask AS x,
+         |  CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) & $ZMask AS y
+         |  FROM orders),
+         |z AS (SELECT x, y, $sqlZ AS z FROM d),
+         |b AS (SELECT x, y, z >> ${2 * ZBits - 4} AS bucket FROM z)
+         |SELECT bucket, COUNT(*) AS n,
+         |  MIN(x) AS min_x, MAX(x) AS max_x,
+         |  MIN(y) AS min_y, MAX(y) AS max_y
+         |FROM b GROUP BY bucket""".stripMargin,
 
     "q38_asof_signup" ->
       """SELECT event_id, user_id,
