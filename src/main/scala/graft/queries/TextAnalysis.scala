@@ -243,6 +243,42 @@ object TextAnalysis {
             .otherwise(lit(null)))
     }),
 
+    // duplicate n-gram coverage — the corpus-INTERNAL duplication signal
+    // behind exact-substring dedup decisions (the Dolma/RedPajama-style
+    // "fraction of this document that also appears elsewhere" quality
+    // column): per document, the share of its DISTINCT word 5-grams that
+    // occur in at least one OTHER document. q41 measures repetition
+    // inside a document; this measures it across the corpus — the pair
+    // q22/q25 act on, reduced to a per-doc scalar a curation filter can
+    // threshold. Plan shape at 100 TB: grams are hashed to 60 bits
+    // BEFORE the shuffle (15-byte keys, not gram strings; 32 bits would
+    // collide at corpus gram counts and inflate sharing), the gram-
+    // frequency aggregate is two-phase, and per-doc distinctness makes
+    // count(*) the document frequency with no count-distinct state. A
+    // stopword-run gram shared by millions of docs is a hot key in the
+    // stitch-back join — AQE skew-split territory, same class as q22's
+    // capped buckets.
+    "q71_dup_ngrams" -> ((s, dir) => {
+      val grams = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), array_distinct(wordNgrams(col("tk"), 5)).as("g5s"))
+      val expl = grams
+        .select(col("doc_id"), explode(col("g5s")).as("g"))
+        .select(col("doc_id"), portableHash60(col("g")).as("h"))
+      val shared = expl
+        .join(expl.groupBy("h").agg(count(lit(1)).as("n_docs"))
+            .filter(col("n_docs") >= 2),
+          Seq("h"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared0"))
+      grams.select(col("doc_id"), size(col("g5s")).cast("long").as("n_g5"))
+        .join(shared, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_g5"),
+          coalesce(col("n_shared0"), lit(0L)).as("n_shared"),
+          when(col("n_g5") > 0,
+            coalesce(col("n_shared0"), lit(0L)).cast("double")
+              / col("n_g5").cast("double")).as("dup_frac"))
+    }),
+
     // quality-rule filter: the published Gopher-style document heuristics
     // via the shared [[graft.functions.QualityRules]] Columns (ONE rule
     // definition for this oracle-checked operator and its streaming dual
@@ -709,6 +745,26 @@ object TextAnalysis {
          |    CAST(len(list_distinct(g2)) AS DOUBLE)/CAST(len(g2) AS DOUBLE)
          |  END AS repetition
          |FROM g""".stripMargin,
+
+    // 60-bit gram hashing mirrors portableHash60 (seed 0 — no suffix);
+    // per-doc distinct grams make COUNT(*) the document frequency
+    "q71_dup_ngrams" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |g AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) < 5 THEN []
+         |  ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]
+         |        for i in range(1, len(tk)-4+1)] END) AS g5s FROM t),
+         |e AS (SELECT doc_id, CAST('0x'||substr(sha256(gr),1,15) AS BIGINT) AS h
+         |  FROM (SELECT doc_id, unnest(g5s) AS gr FROM g) u),
+         |c AS (SELECT h FROM (SELECT h, COUNT(*) AS n_docs FROM e GROUP BY h) q
+         |  WHERE n_docs >= 2),
+         |sdoc AS (SELECT doc_id, COUNT(*) AS n_shared FROM e
+         |  WHERE h IN (SELECT h FROM c) GROUP BY doc_id),
+         |b AS (SELECT doc_id, CAST(len(g5s) AS BIGINT) AS n_g5 FROM g)
+         |SELECT b.doc_id, b.n_g5, COALESCE(s.n_shared, 0) AS n_shared,
+         |  CASE WHEN b.n_g5 > 0
+         |    THEN CAST(COALESCE(s.n_shared, 0) AS DOUBLE)/CAST(b.n_g5 AS DOUBLE)
+         |  END AS dup_frac
+         |FROM b LEFT JOIN sdoc s ON s.doc_id = b.doc_id""".stripMargin,
 
     "q50_pii_scan" ->
       s"""WITH m AS (SELECT doc_id,

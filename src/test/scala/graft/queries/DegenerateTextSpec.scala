@@ -30,7 +30,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q17_lang_id", "q18_quality_score", "q19_token_count", "q20_fingerprint",
     "q21_dedup_exact", "q22_ngram_jaccard", "q25_minhash_lsh",
     "q26_simhash", "q27_simhash_pairs", "q42_simhash64_pairs",
-    "q36_prep_pipeline", "q40_vocab_topk", "q41_repetition",
+    "q36_prep_pipeline", "q40_vocab_topk", "q41_repetition", "q71_dup_ngrams",
     "q43_neardup_clusters", "q44_dedup_survivors", "q69_pagerank",
     "q45_quality_filter",
     // q46 drops null-text docs by construction (explode of a null token
