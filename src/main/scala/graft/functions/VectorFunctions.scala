@@ -308,6 +308,131 @@ case class VecDotMany(child: Expression, mat: Array[Double], vectors: Int)
     copy(child = newChild)
 }
 
+/** Native PQ distance matrix: one vector's squared L2 distances to every
+  * entry of every per-subspace codebook in ONE pass, as
+  * `array<array<double>>` (outer = subspace, inner = code).
+  *
+  * Why an Expression (the promised q65/q67 upgrade path, the
+  * [[VecDotMany]] lesson applied to PQ): the composed form slices the
+  * vector into m named subspace columns and folds
+  * `aggregate(zip_with(...))` per codebook entry — m·k interpreted
+  * lambda evaluations per row re-reading each slice k times, plus
+  * m·k·subDim literal nodes in the plan. This node carries the codebook
+  * tensor as one reference object, reads the vector once, and emits a
+  * primitive triple loop under both codegen and interpreted eval.
+  *
+  * Determinism contract (keys q65/q67's oracle parity): per (subspace,
+  * code) the identical IEEE sequence as the lambda pipeline and the
+  * DuckDB CTE chain — `x = (double) vec[m·subDim+i]`, `t = x − c_i`,
+  * left fold of `t·t` seeded 0.0 in i order. A vector too short for a
+  * subspace's full slice yields a NULL inner array (the composed form's
+  * null folds — downstream q65/q67 guard on `dims = 64` either way).
+  *
+  * `books` is flat: entry `(m·codes + k)·subDim + i`.
+  */
+case class SubspaceSqDists(child: Expression, books: Array[Double],
+    subspaces: Int, codes: Int, subDim: Int) extends UnaryExpression {
+  require(subspaces > 0 && codes > 0 && subDim > 0 &&
+    books.length == subspaces * codes * subDim,
+    "books must be a flat subspaces*codes*subDim tensor")
+
+  // content equality over the Array field (see HyperplaneBands)
+  override def equals(other: Any): Boolean = other match {
+    case s: SubspaceSqDists =>
+      child == s.child && subspaces == s.subspaces && codes == s.codes &&
+        subDim == s.subDim && java.util.Arrays.equals(books, s.books)
+    case _ => false
+  }
+
+  override def hashCode(): Int = java.util.Objects.hash(
+    child, Integer.valueOf(subspaces), Integer.valueOf(codes),
+    Integer.valueOf(subDim),
+    Integer.valueOf(java.util.Arrays.hashCode(books)))
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"subspace_sq_dists requires array<float>/array<double> input, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(
+    ArrayType(DoubleType, containsNull = false), containsNull = true)
+  override def prettyName: String = "subspace_sq_dists"
+
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val vf = isFloat
+    val out = new Array[Any](subspaces)
+    var m = 0
+    while (m < subspaces) {
+      if (v.numElements() >= (m + 1) * subDim) {
+        val dists = new Array[Double](codes)
+        var k = 0
+        while (k < codes) {
+          val base = (m * codes + k) * subDim
+          var s = 0.0
+          var i = 0
+          while (i < subDim) {
+            val x = if (vf) v.getFloat(m * subDim + i).toDouble
+                    else v.getDouble(m * subDim + i)
+            val t = x - books(base + i)
+            s += t * t
+            i += 1
+          }
+          dists(k) = s
+          k += 1
+        }
+        out(m) = new org.apache.spark.sql.catalyst.util.GenericArrayData(dists)
+      } // else: stays null — incomplete slice
+      m += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val b = ctx.addReferenceObj("books", books, "double[]")
+    val get = if (isFloat) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, arr => {
+      val out = ctx.freshName("out")
+      val m = ctx.freshName("m")
+      val k = ctx.freshName("k")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val x = ctx.freshName("x")
+      val t = ctx.freshName("t")
+      val base = ctx.freshName("base")
+      val dists = ctx.freshName("dists")
+      s"""
+         |Object[] $out = new Object[$subspaces];
+         |for (int $m = 0; $m < $subspaces; $m++) {
+         |  if ($arr.numElements() >= ($m + 1) * $subDim) {
+         |    double[] $dists = new double[$codes];
+         |    for (int $k = 0; $k < $codes; $k++) {
+         |      int $base = ($m * $codes + $k) * $subDim;
+         |      double $s = 0.0;
+         |      for (int $i = 0; $i < $subDim; $i++) {
+         |        double $x = (double) $arr.$get($m * $subDim + $i);
+         |        double $t = $x - $b[$base + $i];
+         |        $s += $t * $t;
+         |      }
+         |      $dists[$k] = $s;
+         |    }
+         |    $out[$m] = new org.apache.spark.sql.catalyst.util.GenericArrayData($dists);
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SubspaceSqDists =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Column-level sequential-fold dot product (see [[VecDot]]). */
   def vecDot(a: Column, b: Column): Column =
@@ -328,4 +453,12 @@ object VectorFunctions {
     */
   def vecDotMany(v: Column, mat: Array[Double], vectors: Int): Column =
     GraftBridge.column(VecDotMany(GraftBridge.expression(v), mat, vectors))
+
+  /** Column-level PQ distance matrix (see [[SubspaceSqDists]]). `books`
+    * is the flat subspaces×codes×subDim codebook tensor.
+    */
+  def subspaceSqDists(v: Column, books: Array[Double],
+      subspaces: Int, codes: Int, subDim: Int): Column =
+    GraftBridge.column(SubspaceSqDists(
+      GraftBridge.expression(v), books, subspaces, codes, subDim))
 }

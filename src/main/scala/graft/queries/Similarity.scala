@@ -297,32 +297,26 @@ object Similarity {
 
   /** The shared PQ assignment pipeline (q65 codes, q67 ADC): per
     * subspace m, the 16 squared distances of the row's slice to the
-    * literal codebook (`d<m>`) and their minimum (`mn<m>`), with the
-    * slices NAMED columns before any lambda touches them (the PERF.md
-    * layering rule). The interpreted lambda folds are exact IEEE mirrors
-    * of the oracle CTEs; at production scale they would fuse into one
-    * native matrix-distance expression exactly as q35's VecDotMany did
-    * for cells — same upgrade path. Shuffle-free, narrow, per-row.
+    * codebook (`d<m>`) and their minimum (`mn<m>`). The distance matrix
+    * is ONE native [[graft.functions.SubspaceSqDists]] pass — the
+    * codegen'd triple loop that replaced the m·k interpreted
+    * `aggregate`∘`zip_with` folds (the VecDotMany upgrade path applied;
+    * PqNativeSpec pins bitwise parity against the composed lambda
+    * form, and the oracle CTEs compute the identical IEEE sequence).
+    * Shuffle-free, narrow, per-row.
     */
   private def pqDistances(emb: DataFrame,
       books: Array[Array[Array[Double]]]): DataFrame = {
-    val withSubs = emb.select(
-      col("vec_id") +: size(col("embedding")).as("dims") +:
-      (0 until PqM).map(m =>
-        transform(slice(col("embedding"), m * PqSubDim + 1, PqSubDim),
-          x => x.cast("double")).as(s"sv$m")): _*)
-    val withD = withSubs.select(
-      col("vec_id") +: col("dims") +:
-      (0 until PqM).map { m =>
-        val cents = typedLit[Seq[Seq[Double]]](books(m).map(_.toSeq).toSeq)
-        transform(cents, c =>
-          aggregate(zip_with(col(s"sv$m"), c, (x, cc) => (x - cc) * (x - cc)),
-            lit(0.0), (a, b) => a + b)).as(s"d$m")
-      }: _*)
-    withD.select(
-      (col("vec_id") +: col("dims") +:
-        (0 until PqM).map(m => col(s"d$m"))) ++
-      (0 until PqM).map(m => array_min(col(s"d$m")).as(s"mn$m")): _*)
+    // codebooks hold ≤ PqK entries (a sample smaller than PqK trains
+    // one code per sample vector) — the codes count is the ACTUAL one
+    val dd = graft.functions.VectorFunctions.subspaceSqDists(
+      col("embedding"), books.flatten.flatten, PqM, books(0).length, PqSubDim)
+    emb.select(col("vec_id"), size(col("embedding")).as("dims"), dd.as("dall"))
+      .select(
+        (col("vec_id") +: col("dims") +:
+          (0 until PqM).map(m => element_at(col("dall"), m + 1).as(s"d$m"))) ++
+        (0 until PqM).map(m =>
+          array_min(element_at(col("dall"), m + 1)).as(s"mn$m")): _*)
   }
 
   private val MinhashFns = 12
@@ -750,17 +744,16 @@ object Similarity {
     // driver-side on the bounded modulus sample ([[pqCodebooks]] — at
     // 100 TB quantizer training is always sample-then-broadcast) and
     // baked as literals, so assignment is a SHUFFLE-FREE narrow per-row
-    // map: for each subspace, 16 squared-distance folds against literal
-    // centroids, argmin with ties to the lowest code (array_position of
-    // the min — the q35 argmax discipline, inverted). Subspace slices
-    // are NAMED columns before any lambda touches them (the PERF.md
-    // layering rule); the distance folds are exact IEEE mirrors of the
-    // oracle's CTEs (squared-difference sums i=1..16, then err =
-    // e0+e1+e2+e3 left-assoc). Non-64-dim vectors (truncated feature
-    // extraction) yield null codes on both engines rather than a
-    // divergent partial distance. At production scale the interpreted
-    // lambda folds would fuse into one native matrix-distance expression
-    // exactly as q35's VecDotMany did for cells — same upgrade path.
+    // map: for each subspace, 16 squared-distance folds against the
+    // codebook via ONE native [[graft.functions.SubspaceSqDists]] pass
+    // (codegen'd triple loop — the q35/VecDotMany upgrade path,
+    // applied), argmin with ties to the lowest code (array_position of
+    // the min — the q35 argmax discipline, inverted). The native folds
+    // are exact IEEE mirrors of the oracle's CTEs (squared-difference
+    // sums i=1..16, then err = e0+e1+e2+e3 left-assoc; PqNativeSpec
+    // pins bitwise parity with the composed lambda form). Non-64-dim
+    // vectors (truncated feature extraction) yield null codes on both
+    // engines rather than a divergent partial distance.
     "q65_pq_codes" -> ((s, dir) => {
       val withMin = pqDistances(Tables(s, dir, "embeddings"), pqCodebooks(s, dir))
       withMin.select(
