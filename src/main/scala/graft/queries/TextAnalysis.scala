@@ -259,18 +259,24 @@ object TextAnalysis {
     // stitch-back join — AQE skew-split territory, same class as q22's
     // capped buckets.
     "q71_dup_ngrams" -> ((s, dir) => {
+      // the q22 discipline: materialize the hashed gram sets BEFORE the
+      // explode — without the barrier, CollapseProject folds the
+      // tokenizer into the Generate and re-runs the regex split per
+      // emitted gram (measured 22 s for 250k grams at sf0.1 vs ~1 s
+      // materialized; PERF.md #2's trap in Generate form)
       val grams = Tables(s, dir, "documents")
         .select(col("doc_id"), tokens(col("text")).as("tk"))
         .select(col("doc_id"), array_distinct(wordNgrams(col("tk"), 5)).as("g5s"))
-      val expl = grams
-        .select(col("doc_id"), explode(col("g5s")).as("g"))
-        .select(col("doc_id"), portableHash60(col("g")).as("h"))
+        .select(col("doc_id"),
+          transform(col("g5s"), g => portableHash60(g)).as("g5h"))
+        .persist()
+      val expl = grams.select(col("doc_id"), explode(col("g5h")).as("h"))
       val shared = expl
         .join(expl.groupBy("h").agg(count(lit(1)).as("n_docs"))
             .filter(col("n_docs") >= 2),
           Seq("h"), "left_semi")
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared0"))
-      grams.select(col("doc_id"), size(col("g5s")).cast("long").as("n_g5"))
+      grams.select(col("doc_id"), size(col("g5h")).cast("long").as("n_g5"))
         .join(shared, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_g5"),
           coalesce(col("n_shared0"), lit(0L)).as("n_shared"),
