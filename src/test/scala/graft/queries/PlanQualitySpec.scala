@@ -91,6 +91,14 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache() // q42 persists its sketch projection
   }
 
+  test("q71 dup-ngram coverage: hash equi-joins, two-phase doc-frequency agg") {
+    val p = plan("q71_dup_ngrams")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // the gram-frequency count must combine map-side before the shuffle
+    assert(p.contains("partial_count"))
+    spark.catalog.clearCache() // q71 persists its hashed gram sets
+  }
+
   test("q40 vocab top-k: one shuffle, partial count, TakeOrdered (no global sort)") {
     val p = execPlan("q40_vocab_topk")
     assert("Exchange".r.findAllIn(p).length == 1, p)
