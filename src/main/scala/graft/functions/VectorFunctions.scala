@@ -325,8 +325,13 @@ case class VecDotMany(child: Expression, mat: Array[Double], vectors: Int)
   * code) the identical IEEE sequence as the lambda pipeline and the
   * DuckDB CTE chain — `x = (double) vec[m·subDim+i]`, `t = x − c_i`,
   * left fold of `t·t` seeded 0.0 in i order. A vector too short for a
-  * subspace's full slice yields a NULL inner array (the composed form's
-  * null folds — downstream q65/q67 guard on `dims = 64` either way).
+  * subspace's full slice — or one with a NULL element in the slice —
+  * yields a NULL inner array: observably identical to the composed
+  * form's null folds (`zip_with` nulls every entry of that subspace's
+  * distance array, and every downstream read goes through
+  * `array_min`/`array_position`, which null in both shapes). Reading a
+  * null slot as `getFloat`'s 0.0 would instead fabricate a finite
+  * wrong distance — a silent cross-engine divergence.
   *
   * `books` is flat: entry `(m·codes + k)·subDim + i`.
   */
@@ -369,7 +374,15 @@ case class SubspaceSqDists(child: Expression, books: Array[Double],
     val out = new Array[Any](subspaces)
     var m = 0
     while (m < subspaces) {
-      if (v.numElements() >= (m + 1) * subDim) {
+      var sliceOk = v.numElements() >= (m + 1) * subDim
+      if (sliceOk) {
+        var i = 0
+        while (sliceOk && i < subDim) {
+          if (v.isNullAt(m * subDim + i)) sliceOk = false
+          i += 1
+        }
+      }
+      if (sliceOk) {
         val dists = new Array[Double](codes)
         var k = 0
         while (k < codes) {
@@ -387,7 +400,7 @@ case class SubspaceSqDists(child: Expression, books: Array[Double],
           k += 1
         }
         out(m) = new org.apache.spark.sql.catalyst.util.GenericArrayData(dists)
-      } // else: stays null — incomplete slice
+      } // else: stays null — incomplete slice or null element
       m += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
@@ -406,10 +419,15 @@ case class SubspaceSqDists(child: Expression, books: Array[Double],
       val t = ctx.freshName("t")
       val base = ctx.freshName("base")
       val dists = ctx.freshName("dists")
+      val ok = ctx.freshName("sliceOk")
       s"""
          |Object[] $out = new Object[$subspaces];
          |for (int $m = 0; $m < $subspaces; $m++) {
-         |  if ($arr.numElements() >= ($m + 1) * $subDim) {
+         |  boolean $ok = $arr.numElements() >= ($m + 1) * $subDim;
+         |  for (int $i = 0; $ok && $i < $subDim; $i++) {
+         |    if ($arr.isNullAt($m * $subDim + $i)) $ok = false;
+         |  }
+         |  if ($ok) {
          |    double[] $dists = new double[$codes];
          |    for (int $k = 0; $k < $codes; $k++) {
          |      int $base = ($m * $codes + $k) * $subDim;

@@ -315,13 +315,11 @@ object Curation {
       .select("doc_id", "n_tokens", "quality")
   }
 
-  // DuckDB mirrors — one hex-prefix definition, two widths (mirroring
-  // TextFunctions.hashPrefix).
-  private def hashSql(e: String, hexChars: Int): String =
-    s"CAST('0x'||substr(sha256($e),1,$hexChars) AS BIGINT)"
-  private val Hash = (e: String) => hashSql(e, 8)
+  // DuckDB mirrors — the hex-prefix definition is the SHARED one
+  // (TextAnalysis.sqlHashPrefix, mirroring TextFunctions.hashPrefix).
+  private val Hash = TextAnalysis.SqlHash
   // 60-bit mirror of portableHash60 (rate-exact admission past 2^32)
-  private val Hash60 = (e: String) => hashSql(e, 15)
+  private val Hash60 = TextAnalysis.SqlHash60
 
   def oracleSql: Map[String, String] = Map(
     "q56_hash_split" ->

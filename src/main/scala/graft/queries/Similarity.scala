@@ -819,8 +819,9 @@ object Similarity {
 
   // ---- DuckDB mirrors ----------------------------------------------------
 
-  private def sqlHash(s: String): String =
-    s"CAST('0x'||substr(sha256($s),1,8) AS BIGINT)"
+  // the shared hex-prefix mirror (TextAnalysis.sqlHashPrefix — one
+  // definition, no drift)
+  private def sqlHash(s: String): String = TextAnalysis.SqlHash(s)
 
   /** Sequential-fold dot in double (mirrors dotd). */
   private def sqlDot(a: String, b: String): String =

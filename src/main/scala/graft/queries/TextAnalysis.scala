@@ -662,6 +662,18 @@ object TextAnalysis {
   // DuckDB mirrors. Shared fragments (Curation's mirrors reuse these):
   private[queries] val Toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
 
+  /** The ONE oracle-side mirror of the engine's portable hash
+    * ([[graft.functions.TextFunctions]]' `hashPrefix`): hex prefix of
+    * sha-256 cast to BIGINT, 8 hex chars for the 32-bit width, 15 for
+    * the 60-bit. Seed keying (`||'#N'`) is the caller's job, exactly as
+    * on the Spark side. Curation's and Similarity's mirrors delegate
+    * here — one definition, no drift.
+    */
+  private[queries] def sqlHashPrefix(e: String, hexChars: Int): String =
+    s"CAST('0x'||substr(sha256($e),1,$hexChars) AS BIGINT)"
+  private[queries] val SqlHash = (e: String) => sqlHashPrefix(e, 8)
+  private[queries] val SqlHash60 = (e: String) => sqlHashPrefix(e, 15)
+
   def oracleSql: Map[String, String] = Map(
     "q17_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
@@ -699,12 +711,12 @@ object TextAnalysis {
          |FROM documents""".stripMargin,
 
     "q20_fingerprint" ->
-      """WITH t AS (SELECT doc_id, lower(trim(text)) AS tt FROM documents),
+      s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS tt FROM documents),
         |sh AS (SELECT doc_id, CASE WHEN length(tt) < 8 THEN [tt]
         |  ELSE [substr(tt, i, 8) for i in range(1, length(tt)-7+1)] END AS ss FROM t)
         |SELECT doc_id,
         |  list_min(list_transform(ss,
-        |    s -> CAST('0x'||substr(sha256(s),1,8) AS BIGINT))) AS fingerprint
+        |    s -> ${SqlHash("s")})) AS fingerprint
         |FROM sh""".stripMargin,
 
     "q21_dedup_exact" ->
@@ -720,8 +732,8 @@ object TextAnalysis {
          |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]
          |          for i in range(1, len(tk)-5+1)] END) AS g6s FROM t),
          |g AS (SELECT doc_id,
-         |  list_transform(g3s, x -> CAST('0x'||substr(sha256(x),1,8) AS BIGINT)) AS g3,
-         |  list_transform(g6s, x -> CAST('0x'||substr(sha256(x),1,8) AS BIGINT)) AS g6 FROM gs),
+         |  list_transform(g3s, x -> ${SqlHash("x")}) AS g3,
+         |  list_transform(g6s, x -> ${SqlHash("x")}) AS g6 FROM gs),
          |k AS (SELECT doc_id, unnest(g6) AS gg FROM g),
          |rare AS (SELECT gg FROM k GROUP BY gg HAVING COUNT(*) <= $MaxBucketDocs),
          |kc AS (SELECT k.doc_id, k.gg FROM k JOIN rare USING (gg)),
@@ -759,7 +771,7 @@ object TextAnalysis {
          |g AS (SELECT doc_id, list_distinct(CASE WHEN len(tk) < 5 THEN []
          |  ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]
          |        for i in range(1, len(tk)-4+1)] END) AS g5s FROM t),
-         |e AS (SELECT doc_id, CAST('0x'||substr(sha256(gr),1,15) AS BIGINT) AS h
+         |e AS (SELECT doc_id, ${SqlHash60("gr")} AS h
          |  FROM (SELECT doc_id, unnest(g5s) AS gr FROM g) u),
          |c AS (SELECT h FROM (SELECT h, COUNT(*) AS n_docs FROM e GROUP BY h) q
          |  WHERE n_docs >= 2),
@@ -825,7 +837,7 @@ object TextAnalysis {
       s"""WITH md AS (SELECT GREATEST(1, (count(*) + ${QSketchCap - 1}) // $QSketchCap) AS m
          |  FROM documents),
          |samp AS (SELECT lang, n_chars FROM documents, md
-         |  WHERE CAST('0x'||substr(sha256(CAST(doc_id AS VARCHAR)||'#7'),1,15) AS BIGINT) % m = 0),
+         |  WHERE ${SqlHash60("CAST(doc_id AS VARCHAR)||'#7'")} % m = 0),
          |h AS (SELECT lang, n_chars, COUNT(*) AS cnt FROM samp GROUP BY lang, n_chars),
          |c AS (SELECT lang, n_chars,
          |  CAST(SUM(cnt) OVER (PARTITION BY lang ORDER BY n_chars) AS BIGINT) AS cum,
@@ -844,16 +856,14 @@ object TextAnalysis {
 
     "q55_bloom_admitted" ->
       s"""WITH adm AS (SELECT text FROM documents WHERE lang = 'en'),
-         |ep AS (SELECT CAST('0x'||substr(sha256(
-         |    CASE WHEN j = 0 THEN text ELSE text||'#'||j END),1,8) AS BIGINT)
+         |ep AS (SELECT ${SqlHash("CASE WHEN j = 0 THEN text ELSE text||'#'||j END")}
          |    % ${BloomWords * 64} AS p
          |  FROM adm, range(0, $BloomK) rj(j)),
          |words AS (SELECT p // 64 AS w,
          |    bit_or(CAST(1 AS HUGEINT) << CAST(p % 64 AS INTEGER)) AS bits
          |  FROM ep GROUP BY 1),
          |cp AS (SELECT d.doc_id, COALESCE(d.lang = 'en', false) AS admitted,
-         |  CAST('0x'||substr(sha256(
-         |    CASE WHEN j = 0 THEN d.text ELSE d.text||'#'||j END),1,8) AS BIGINT)
+         |  ${SqlHash("CASE WHEN j = 0 THEN d.text ELSE d.text||'#'||j END")}
          |    % ${BloomWords * 64} AS p
          |  FROM documents d, range(0, $BloomK) rj(j)),
          |probe AS (SELECT cp.doc_id, cp.admitted,
@@ -869,13 +879,11 @@ object TextAnalysis {
          |e AS (SELECT tok, COUNT(*) AS n_exact FROM t GROUP BY tok),
          |top AS (SELECT tok, n_exact FROM e ORDER BY n_exact DESC, tok LIMIT 10),
          |k AS (SELECT tok, d,
-         |  CAST('0x'||substr(sha256(CASE WHEN d = 0 THEN tok ELSE tok||'#'||d END),1,8)
-         |    AS BIGINT) % $CmsWidth AS cell
+         |  ${SqlHash("CASE WHEN d = 0 THEN tok ELSE tok||'#'||d END")} % $CmsWidth AS cell
          |  FROM t, range(0, $CmsDepth) r(d)),
          |c AS (SELECT d, cell, COUNT(*) AS cnt FROM k GROUP BY d, cell),
          |tk AS (SELECT top.tok, top.n_exact, d,
-         |  CAST('0x'||substr(sha256(CASE WHEN d = 0 THEN top.tok ELSE top.tok||'#'||d END),1,8)
-         |    AS BIGINT) % $CmsWidth AS cell
+         |  ${SqlHash("CASE WHEN d = 0 THEN top.tok ELSE top.tok||'#'||d END")} % $CmsWidth AS cell
          |  FROM top, range(0, $CmsDepth) r(d))
          |SELECT tk.tok, tk.n_exact, CAST(MIN(c.cnt) AS BIGINT) AS n_cms
          |FROM tk JOIN c USING (d, cell)
@@ -883,7 +891,7 @@ object TextAnalysis {
 
     "q53_vocab_hll" ->
       s"""WITH t AS (SELECT lang, unnest($Toks) AS tok FROM documents),
-         |h AS (SELECT lang, CAST('0x'||substr(sha256(tok),1,8) AS BIGINT) AS hv FROM t),
+         |h AS (SELECT lang, ${SqlHash("tok")} AS hv FROM t),
          |r AS (SELECT lang, hv & 63 AS reg,
          |  CASE WHEN (hv >> 6) > 0 THEN 27 - length(bin(hv >> 6)) ELSE 27 END AS rho
          |  FROM h),

@@ -55,16 +55,27 @@ class PqNativeSpec extends AnyFunSuite {
     }
   }
 
-  test("a vector too short for a subspace yields a null inner array") {
+  test("short vectors and null elements yield null inner arrays (the composed-form nulls)") {
     import spark.implicits._
-    val df = Seq((1L, Array.fill(subDim + 3)(0.5f)), (2L, Array.empty[Float]))
+    val base = Seq((1L, Array.fill(subDim + 3)(0.5f)), (2L, Array.empty[Float]))
       .toDF("vec_id", "embedding")
-      .select(col("vec_id"),
-        subspaceSqDists(col("embedding"), books.flatten.flatten, pqM, pqK, subDim)
-          .as("dd"))
+    // a full-length vector whose SECOND subspace contains one null slot:
+    // the composed zip_with fold nulled that subspace's whole distance
+    // array; reading the slot as getFloat's 0.0 would fabricate a
+    // finite wrong distance instead
+    val withNull = base.union(spark.sql(
+      s"""SELECT 3L AS vec_id, transform(sequence(1, ${pqM * subDim}),
+         |  i -> CASE WHEN i = ${subDim + 2} THEN CAST(NULL AS FLOAT)
+         |       ELSE CAST(0.25 AS FLOAT) END) AS embedding""".stripMargin))
+    val df = withNull.select(col("vec_id"),
+      subspaceSqDists(col("embedding"), books.flatten.flatten, pqM, pqK, subDim)
+        .as("dd"))
     val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Any](1)).toMap
     assert(rows(1L).head != null && rows(1L).tail.forall(_ == null))
     assert(rows(2L).forall(_ == null))
+    assert(rows(3L)(1) == null, "null element must null its subspace")
+    assert(rows(3L).zipWithIndex.filter(_._2 != 1).forall(_._1 != null),
+      "other subspaces are unaffected")
   }
 
   test("q65's plan carries the native expression, not lambda folds") {
