@@ -497,4 +497,108 @@ object DocStream {
       .write.partitionBy("b", "g").mode("overwrite")
       .parquet(s"$newIndexPath/batch_id=-1")
   }
+
+  // ---- streaming dual of q71: incremental duplicate-gram coverage --------
+
+  /** Gram-bucket count for the gram-index partition `g = h mod GBuckets`
+    * — the [[BkBuckets]] discipline applied to the 60-bit gram hash: the
+    * per-batch pruning filter's driver footprint is bounded at GBuckets
+    * keys at ANY batch size, and probes read only the batch's own `g`
+    * partitions.
+    */
+  private[streaming] val GBuckets = 64
+
+  /** Per-doc distinct hashed 5-gram sets — the SAME derivation as batch
+    * q71 (tokens → distinct word 5-grams → 60-bit portable hash), so the
+    * streaming and batch signals cannot drift.
+    */
+  private def gramSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), array_distinct(wordNgrams(col("tk"), 5)).as("g5s"))
+      .select(col("doc_id"),
+        transform(col("g5s"), g => portableHash60(g)).as("g5h"))
+
+  /** The `foreachBatch` body of [[runDupCoverage]], exactly-once per
+    * `batchId` via the shared [[BatchProtocol]] — [[processBatch]]'s
+    * crash-ordering applied to a third index shape: coverage rows land
+    * FIRST (a post-crash recompute sees the unchanged pre-batch index
+    * and reproduces them bit-identically), the batch's distinct gram
+    * hashes land second (partitioned by `g` for pruned probes), the
+    * commit marker last.
+    *
+    * Semantics are the CAUSAL form of q71: each document's `dup_frac`
+    * counts its distinct 5-grams already present in STRICTLY EARLIER
+    * batches — "how much of this arrival is already in the corpus", the
+    * admission-time signal, where batch q71 answers the corpus-global
+    * question after the fact. Within-batch sharing deliberately does not
+    * count: a batch is one atomic arrival, and counting it would make a
+    * document's score depend on how the source happened to chunk the
+    * stream.
+    */
+  def processGramBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      indexPath: String, outPath: String): Unit = {
+    if (BatchProtocol.committed(spark, indexPath, batchId)) return
+    val (stable, stableIds) = graft.CheckpointBlocks.pinnedCheckpoint(batch)
+    try {
+      // the q71 Generate lesson (PERF.md #8): materialize the hashed
+      // gram sets BEFORE the explode, or CollapseProject folds the
+      // tokenizer into the Generate and re-runs it per emitted gram
+      val grams = gramSets(stable).persist()
+      try {
+        val expl = grams.select(col("doc_id"), explode(col("g5h")).as("h"))
+          .withColumn("g", pmod(col("h"), lit(GBuckets.toLong)).cast("int"))
+        // ≤ GBuckets rows at ANY batch size — the bounded driver read
+        // that keys the pruned index scan
+        val groups = expl.select("g").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val index =
+          try spark.read.parquet(indexPath)
+            .filter(col("batch_id").cast("long") =!= lit(batchId))
+            .filter(col("g").isin(groups: _*))
+            .select("h")
+          catch { case _: org.apache.spark.sql.AnalysisException =>
+            // first batch: the index directory does not exist yet
+            spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType.fromDDL("h BIGINT"))
+          }
+        val seen = expl.join(index, Seq("h"), "left_semi")
+          .groupBy("doc_id").agg(count(lit(1)).as("n_seen0"))
+        val coverage = grams
+          .select(col("doc_id"), size(col("g5h")).cast("long").as("n_g5"))
+          .join(seen, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_g5"),
+            coalesce(col("n_seen0"), lit(0L)).as("n_seen"),
+            when(col("n_g5") > 0,
+              coalesce(col("n_seen0"), lit(0L)).cast("double")
+                / col("n_g5").cast("double")).as("dup_frac"))
+        coverage.write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        expl.select("h", "g").distinct()
+          .write.partitionBy("g").mode("overwrite")
+          .parquet(s"$indexPath/batch_id=$batchId")
+        BatchProtocol.commit(spark, indexPath, batchId)
+      } finally { grams.unpersist(); () }
+    } finally graft.CheckpointBlocks.free(spark, stableIds)
+  }
+
+  /** Streaming incremental dup-gram coverage — the q71 dual: coverage
+    * rows accumulate under `<outPath>/batch_id=*`, the distinct-gram
+    * index under `<indexPath>/batch_id=*` partitioned by `g`.
+    * `compactEvery` behaves as in [[runNearDedup]] (gram rows feed only
+    * semi-join probes, so epoch-merge duplicates are verdict-neutral and
+    * the consolidated epoch's `distinct()` folds them).
+    */
+  def runDupCoverage(docs: DataFrame, indexPath: String, outPath: String,
+      checkpoint: String, compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processGramBatch(batch.sparkSession, batch, batchId, indexPath, outPath)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          BatchProtocol.compactIndex(batch.sparkSession, indexPath, batchId,
+            Seq("g")); ()
+        }
+      }
+      .start()
 }
