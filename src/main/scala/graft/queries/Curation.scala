@@ -60,6 +60,19 @@ object Curation {
     sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _)).toMap
   }
 
+  /** q72's training-sequence capacity in tokens: the context-window size
+    * documents are concatenated into. 512 keeps sf0.001 chunks plural;
+    * the operator is capacity-agnostic.
+    */
+  private[queries] val PackCapacity = 512L
+
+  /** q72's doc_id key space is range-split over this many deterministic
+    * buckets for the distributed prefix sum — same bound class as
+    * [[TieBuckets]]: the only driver reads are the 1-row id range and
+    * the ≤ this-many bucket totals, at any corpus size.
+    */
+  private[queries] val PackBuckets = 64
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic train/val/test split: bucket = portable hash of the
     // document KEY mod 100 — not rand() (irreproducible), not row order
@@ -260,6 +273,68 @@ object Curation {
         .filter(portableHash60(col("doc_id").cast("string"), 1) % col("n_l")
           < lit(target))
         .select("doc_id", "lang")
+    }),
+
+    // sequence packing — the concat-and-chunk step that turns a curated
+    // corpus into fixed-capacity training sequences (GPT-style: documents
+    // concatenated in a deterministic order, the stream cut every
+    // [[PackCapacity]] tokens): per chunk, how many documents START in
+    // it, their token mass, how many straddle into the next chunk, and
+    // the longest span — the packing-efficiency profile a data loader is
+    // built against. A document's chunk is a pure function of the
+    // corpus-order prefix sum, so the assignment is reproducible across
+    // runs and repartitions. Plan shape at 100 TB: the q58 distributed
+    // prefix-sum discipline over [[PackBuckets]] deterministic doc_id
+    // ranges (per-bucket window cumsum + driver exclusive offsets over
+    // the BOUNDED bucket totals — never a global single-partition sort),
+    // then ONE map-side-combined aggregation on the chunk id. Driver
+    // reads: the 1-row id range and the ≤[[PackBuckets]] bucket totals.
+    "q72_sequence_pack" -> ((s, dir) => {
+      // materialize (doc_id, n_tokens) once: it feeds the range read,
+      // the bucket totals, and the final plan — unpersisted via the
+      // consumer's Caches.release hook (CacheHygieneSpec)
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .persist()
+      val rng = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .collect().headOption.filter(!_.isNullAt(0))
+      rng match {
+        case None =>
+          // empty/untokenizable corpus: a defined empty profile
+          toks.select(lit(0L).as("chunk_id"), lit(0L).as("n_docs"),
+            lit(0L).as("tokens_started"), lit(0L).as("n_straddlers"),
+            lit(0L).as("max_span")).limit(0)
+        case Some(r) =>
+          val lo = r.getAs[Long]("lo")
+          // integer `div` bucketing over the id range (exact at any id
+          // magnitude — the q58 tie-split discipline)
+          val bw = math.max(1L, (r.getAs[Long]("hi") - lo) / PackBuckets + 1)
+          val b = toks.withColumn("bkt",
+            expr(s"CAST((doc_id - ${lo}L) div ${bw}L AS INT)"))
+          val off = exclusiveOffsets(
+            b.groupBy("bkt").agg(sum("n_tokens").as("bt")).collect()
+              .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
+          val w = Window.partitionBy("bkt").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          // off holds every bucket b itself produced — the ANSI-mode
+          // element_at cannot miss (q58's cannot-miss argument)
+          val cum = b.withColumn("cum",
+            sum("n_tokens").over(w) + element_at(typedLit(off), col("bkt")))
+          // first/last chunk of each doc's [cum-n, cum) token interval;
+          // all values non-negative, so `div` ≡ floor division in both
+          // engines
+          cum.select(col("n_tokens"),
+              expr(s"(cum - n_tokens) div ${PackCapacity}L").as("chunk_id"),
+              expr(s"(cum - 1L) div ${PackCapacity}L").as("last_chunk"))
+            .groupBy("chunk_id")
+            .agg(count(lit(1)).as("n_docs"),
+              sum("n_tokens").as("tokens_started"),
+              sum(when(col("last_chunk") > col("chunk_id"), 1L)
+                .otherwise(0L)).as("n_straddlers"),
+              max(col("last_chunk") - col("chunk_id") + 1).as("max_span"))
+      }
     }))
 
   /** q57's hashed shingle space: stages `g8` — the distinct 64-bit
@@ -379,5 +454,23 @@ object Curation {
          |SELECT d.doc_id, d.source
          |FROM documents d JOIN c USING (source), m
          |WHERE ${Hash60("CAST(d.doc_id AS VARCHAR)||'#3'")} % n_s
-         |  < CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE) * CAST(n_min AS DOUBLE))) AS BIGINT)""".stripMargin)
+         |  < CAST(FLOOR(SQRT(CAST(n_s AS DOUBLE) * CAST(n_min AS DOUBLE))) AS BIGINT)""".stripMargin,
+
+    "q72_sequence_pack" ->
+      s"""WITH tk AS (SELECT doc_id, len(${TextAnalysis.Toks}) AS n_tokens
+         |  FROM documents),
+         |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
+         |c AS (SELECT doc_id, n_tokens,
+         |  SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT (cum - n_tokens) // $PackCapacity AS chunk_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+         |  CAST(SUM(CASE WHEN (cum - 1) // $PackCapacity
+         |      > (cum - n_tokens) // $PackCapacity THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_straddlers,
+         |  CAST(MAX((cum - 1) // $PackCapacity
+         |    - (cum - n_tokens) // $PackCapacity + 1) AS BIGINT) AS max_span
+         |FROM c GROUP BY 1""".stripMargin)
 }

@@ -25,7 +25,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q42_simhash64_pairs", "q35_ann_ivf", "q39_cosine_neardup_lsh",
     "q46_tfidf_top_terms", "q43_neardup_clusters", "q44_dedup_survivors",
     "q52_cluster_prep", "q57_decontaminate", "q58_token_budget",
-    "q61_mean_surprisal", "q69_pagerank", "q71_dup_ngrams")
+    "q61_mean_surprisal", "q69_pagerank", "q71_dup_ngrams",
+    "q72_sequence_pack")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

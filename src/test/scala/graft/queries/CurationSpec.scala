@@ -47,7 +47,7 @@ class CurationSpec extends AnyFunSuite {
   // ---------------------------------------------------------------- empty
 
   for (q <- Seq("q56_hash_split", "q57_decontaminate",
-      "q58_token_budget", "q59_stratified_sample"))
+      "q58_token_budget", "q59_stratified_sample", "q72_sequence_pack"))
     test(s"$q yields a defined empty result on an empty corpus") {
       val dir = corpus(Seq.empty)
       assert(SparkEntry.queries(q)(spark, dir).count() === 0L)
@@ -215,6 +215,48 @@ class CurationSpec extends AnyFunSuite {
     val dir = corpus(Seq((0L, null.asInstanceOf[String], "en"),
       (1L, null.asInstanceOf[String], "en")))
     assert(SparkEntry.queries("q58_token_budget")(spark, dir).count() === 0L)
+    Caches.release(spark)
+  }
+
+  // ----------------------------------------------------------------- q72
+
+  test("q72 packing conserves mass and matches the reference concat-and-chunk") {
+    // 20 docs of 7 tokens in doc_id order = a 140-token stream cut every
+    // 512 → one chunk holding everything; then a corpus big enough to
+    // cross boundaries: 100 docs × 37 tokens = 3700 tokens → chunks
+    // 0..7, verified against an independently computed reference fold.
+    val small = corpus((0L until 20L).map(i =>
+      (i, "uniform text of exactly seven small tokens", "en")))
+    val one = SparkEntry.queries("q72_sequence_pack")(spark, small).collect()
+    assert(one.length === 1)
+    assert(one.head.getAs[Long]("chunk_id") === 0L)
+    assert(one.head.getAs[Long]("n_docs") === 20L)
+    assert(one.head.getAs[Long]("tokens_started") === 140L)
+    Caches.release(spark)
+
+    val big = corpus((0L until 100L).map(i =>
+      (i, Seq.fill(37)("tok").mkString(" "), "en")))
+    val got = SparkEntry.queries("q72_sequence_pack")(spark, big)
+      .collect().map(r => r.getAs[Long]("chunk_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_started"),
+          r.getAs[Long]("n_straddlers"), r.getAs[Long]("max_span")))
+      .toMap
+    // reference: sequential fold over doc_id order
+    val cap = 512L
+    var cum = 0L
+    val ref = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+    for (_ <- 0 until 100) {
+      val start = cum; cum += 37
+      val first = start / cap
+      val span = (cum - 1) / cap - first + 1
+      val (d, t, s, m) = ref.getOrElse(first, (0L, 0L, 0L, 0L))
+      ref(first) = (d + 1, t + 37, s + (if (span > 1) 1L else 0L),
+        math.max(m, span))
+    }
+    assert(got === ref.toMap)
+    // conservation: every token is started exactly once
+    assert(got.values.map(_._2).sum === 3700L)
+    assert(got.values.map(_._1).sum === 100L)
     Caches.release(spark)
   }
 

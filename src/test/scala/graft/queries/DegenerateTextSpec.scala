@@ -42,6 +42,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // train doc with overlap 0, q58 selects a budgeted subset; q59 needs
     // a lang column and is degenerate-tested in CurationSpec instead
     "q56_hash_split", "q57_decontaminate", "q58_token_budget",
+    "q72_sequence_pack",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -60,6 +61,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q52_cluster_prep", // filtered composite, like q36
         "q54_heavy_hitters", // corpus-level top-10
         "q58_token_budget", // budgeted subset, not one row per doc
+        "q72_sequence_pack", // one row per chunk, not per doc
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")

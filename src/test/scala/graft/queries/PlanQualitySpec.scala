@@ -341,6 +341,41 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q72 sequence pack: no single-partition stage — the prefix sum is bucketed") {
+    // same standing defect class as q58: a packing written as one
+    // ORDER BY doc_id window is a single-task sort of the corpus. The
+    // returned plan must carry a partitioned window (the doc_id bucket)
+    // and no SinglePartition stage anywhere.
+    val p = execPlan("q72_sequence_pack")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark) // q72 persists its token-count projection
+  }
+
+  test("q72 construction runs exactly two bounded driver actions") {
+    // the packing's driver half is two accounting reads: the 1-row
+    // doc_id range and the ≤PackBuckets bucket totals. A job ceiling
+    // guards the shape the same way q58's does (each extra action is a
+    // job launch plus AQE re-plan jobs). Measured: 2 actions → ≤7 jobs
+    // with AQE; one extra action costs ~2-3 jobs, so 8 separates them.
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("q72_sequence_pack")(spark, dir)
+      // listener delivery is async — poll until the count is stable
+      var last = -1
+      var spins = 0
+      while (jobs != last && spins < 50) { last = jobs; Thread.sleep(100); spins += 1 }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs <= 8, s"q72 construction launched $jobs jobs — a new driver action?")
+    graft.Caches.release(spark)
+  }
+
   test("q60 range join: binned equi-join — no nested loop, no cartesian product") {
     // THE property that makes the binned interval join runnable at a
     // 100 TB fact table: written as a plain range-predicate join,
