@@ -815,6 +815,64 @@ object Similarity {
             .orderBy(asc("adc"), asc("vec_id"))
             .limit(10)
       }
+    }),
+
+    // per-DIMENSION calibrated int8 quantization — the production
+    // alternative to q63's per-row scale: one symmetric scale per
+    // embedding dimension, calibrated over the whole corpus (what a
+    // serving-time quantizer ships, so all vectors share one code space
+    // and dot products stay comparable). Two stages, both cheap at
+    // 100 TB: calibration is a two-phase max(abs) aggregate whose
+    // shuffle carries #partitions × dims rows (map-side combined; dims
+    // is the SCHEMA width, not data size), read back as ≤dims driver
+    // rows — the same bounded sample-then-broadcast posture as
+    // [[pqCodebooks]]; assignment is a SHUFFLE-FREE narrow per-row
+    // transform against the baked scale literals. Determinism: scale =
+    // absmax/127 (exact IEEE divide), codes floor(x/scale + 0.5); a
+    // non-finite per-dim scale (NaN/Inf element seen in calibration) is
+    // nulled — that dim's codes go null and null-poison q_sum through
+    // the unguarded fold, mirrored by the oracle's all-or-null CASE
+    // (q63's finite-guard discipline, applied per-dim).
+    "q73_calibrated_int8" -> ((s, dir) => {
+      val base = Tables(s, dir, "embeddings")
+      val cal = base
+        .select(posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy("dim").agg(max(abs(col("x").cast("double"))).as("absmax"))
+        .collect()
+        .map(r => r.getInt(0) ->
+          (if (r.isNullAt(1)) None else {
+            val sc = r.getDouble(1) / 127.0
+            if (java.lang.Double.isFinite(sc)) Some(sc) else None
+          }))
+        .toMap
+      if (cal.isEmpty)
+        // empty corpus: a defined empty result, not an element_at on an
+        // empty literal (rows are zero either way; keep the schema)
+        base.select(col("vec_id"), lit(null).cast("bigint").as("q_sum"),
+          lit(null).cast("bigint").as("q_min"),
+          lit(null).cast("bigint").as("q_max")).limit(0)
+      else {
+        // posexplode emits every position 0..len-1 (null elements
+        // included), so dims 0..maxDim all have a calibration row —
+        // the ANSI element_at below cannot go out of range
+        val maxDim = cal.keys.max
+        val scales = typedLit((0 to maxDim).map(cal(_)))
+        val codes = transform(col("embedding"), (x, i) => {
+          val sc = element_at(scales, i + lit(1))
+          when(sc.isNull, lit(null).cast("bigint"))
+            .when(sc > 0, floor(x.cast("double") / sc + lit(0.5)))
+            .otherwise(lit(0L))
+        })
+        base.select(col("vec_id"), codes.as("q"))
+          .select(col("vec_id"),
+            // unguarded fold: a null code null-poisons the sum (the
+            // per-dim analogue of q63's empty-list guard; array_min/max
+            // skip nulls on both engines)
+            when(size(col("q")) > 0,
+              aggregate(col("q"), lit(0L), (a, b) => a + b)).as("q_sum"),
+            array_min(col("q")).as("q_min"),
+            array_max(col("q")).as("q_max"))
+      }
     }))
 
   // ---- DuckDB mirrors ----------------------------------------------------
@@ -1159,7 +1217,29 @@ object Similarity {
          |  ${(0 until PqM).map(m =>
               s"MAX(CASE WHEN m = $m THEN td END)").mkString(" + ")} AS adc
          |  FROM a GROUP BY vec_id)
-         |SELECT vec_id, adc FROM v ORDER BY adc, vec_id LIMIT 10""".stripMargin)
+         |SELECT vec_id, adc FROM v ORDER BY adc, vec_id LIMIT 10""".stripMargin,
+
+    // per-dim calibration: parallel unnests zip value with position;
+    // the all-or-null CASE on q_sum mirrors the Spark fold's
+    // null-poisoning; the left join re-admits null/empty embeddings.
+    "q73_calibrated_int8" ->
+      """WITH ex AS (SELECT vec_id, unnest(embedding) AS x,
+        |  unnest(range(1, len(embedding)+1)) AS dim FROM embeddings),
+        |cal AS (SELECT dim, max(abs(CAST(x AS DOUBLE)))/127.0 AS scale0
+        |  FROM ex GROUP BY dim),
+        |cal2 AS (SELECT dim,
+        |  CASE WHEN isfinite(scale0) THEN scale0 END AS scale FROM cal),
+        |codes AS (SELECT vec_id,
+        |  CASE WHEN scale IS NULL THEN NULL
+        |       WHEN scale > 0
+        |         THEN CAST(floor(CAST(x AS DOUBLE)/scale + 0.5) AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS q
+        |  FROM ex JOIN cal2 USING (dim)),
+        |agg AS (SELECT vec_id,
+        |  CASE WHEN COUNT(*) = COUNT(q) THEN CAST(SUM(q) AS BIGINT) END AS q_sum,
+        |  MIN(q) AS q_min, MAX(q) AS q_max FROM codes GROUP BY vec_id)
+        |SELECT e.vec_id, a.q_sum, a.q_min, a.q_max
+        |FROM embeddings e LEFT JOIN agg a USING (vec_id)""".stripMargin)
 
   /** The shared PQ CTE chain (training sample → codebooks after
     * KmeansIters Lloyd steps → per-vector best codes) used by both q65

@@ -116,4 +116,50 @@ class QuantizeSpec extends AnyFunSuite {
     val sane = rows(2L)
     assert(!sane.isNullAt(1) && (sane.getLong(3), sane.getLong(4)) === ((-127L, 127L)))
   }
+
+  test("q73 per-dim calibration: shared code space, extremes per dimension") {
+    // per-DIM scales: dim0 absmax 1.0, dim1 absmax 1.0 → both 1/127;
+    // unlike q63, vector 1's small values do NOT get their own scale —
+    // codes are comparable across vectors (the point of calibration)
+    val dir = vectors(Seq(
+      (0L, Seq(1.0f, -0.5f)),
+      (1L, Seq(0.5f, 0.25f)),
+      (2L, Seq(-0.25f, -1.0f))))
+    val got = SparkEntry.queries("q73_calibrated_int8")(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) === ((127L - 63L, -63L, 127L)))
+    assert(got(1L) === ((64L + 32L, 32L, 64L)))
+    assert(got(2L) === ((-32L - 127L, -127L, -32L)))
+  }
+
+  test("q73 degenerate: NaN dim nulls that dim for EVERY vector; empty is defined") {
+    // a NaN seen during calibration poisons its DIMENSION (scale null →
+    // null codes → null-poisoned q_sum corpus-wide), not just its row —
+    // the honest semantics for a shared quantizer: the dim is unusable
+    val dir = vectors(Seq(
+      (0L, Seq(Float.NaN, 1.0f)),
+      (1L, Seq(1.0f, 2.0f)),
+      (2L, Seq.empty[Float])))
+    val rows = SparkEntry.queries("q73_calibrated_int8")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // dim1 scale = 2/127; codes: 1.0 → 64 (63.5+.5), 2.0 → 127
+    val r0 = rows(0L)
+    assert(r0.isNullAt(1), "q_sum must be null-poisoned by the NaN dim")
+    assert((r0.getLong(2), r0.getLong(3)) === ((64L, 64L)))
+    val r1 = rows(1L)
+    assert(r1.isNullAt(1))
+    assert((r1.getLong(2), r1.getLong(3)) === ((127L, 127L)))
+    // empty embedding: all null, not a crash
+    val r2 = rows(2L)
+    assert(r2.isNullAt(1) && r2.isNullAt(2) && r2.isNullAt(3))
+  }
+
+  test("q73 assignment plan is shuffle-free (calibration baked as literals)") {
+    val dir = vectors(Seq((0L, Seq(1.0f, 2.0f)), (1L, Seq(3.0f, 4.0f))))
+    val df = SparkEntry.queries("q73_calibrated_int8")(spark, dir)
+    df.collect() // finalize THIS QueryExecution under AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
 }
