@@ -32,6 +32,15 @@ object TextAnalysis {
     */
   private[queries] val QSketchCap = 500L
 
+  /** q74 retrieval-chunk window (tokens) and stride: 32-token windows
+    * every 24 tokens — 8 tokens of overlap so no boundary sentence is
+    * lost to a cut, the standard RAG chunking shape. Starts are the
+    * multiples of the stride below the doc length, so every token is
+    * covered and the tail window may run short.
+    */
+  private[queries] val ChunkWin = 32
+  private[queries] val ChunkStride = 24
+
   /** q66's admission + sampled length histogram — ONE definition of the
     * hash seed and the grouping, shared with the streaming dual
     * ([[graft.streaming.DocStream.quantileSketch]]) so the two paths
@@ -283,6 +292,33 @@ object TextAnalysis {
           when(col("n_g5") > 0,
             coalesce(col("n_shared0"), lit(0L)).cast("double")
               / col("n_g5").cast("double")).as("dup_frac"))
+    }),
+
+    // sliding-window retrieval chunking — the indexing-side prep of a
+    // RAG pipeline: each document becomes overlapping [[ChunkWin]]-token
+    // windows every [[ChunkStride]] tokens, each with a content hash (the
+    // chunk's identity in a vector store — dedup and upsert key by it).
+    // Narrow per-row explode, ZERO shuffles at any corpus size; output
+    // is ~n/stride rows per doc. The q71/q22 Generate discipline: the
+    // token arrays are materialized BEFORE the explode — un-persisted,
+    // CollapseProject folds the tokenizer into the Generate and re-runs
+    // the regex split per emitted chunk (PERF.md #2's trap).
+    "q74_chunk_windows" -> ((s, dir) => {
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n"))
+        .persist()
+      t.select(col("doc_id"), col("tk"), col("n"),
+          explode(sequence(lit(0L), col("n") - lit(1L),
+            lit(ChunkStride.toLong))).as("start"))
+        .select(col("doc_id"),
+          expr(s"start div $ChunkStride").as("chunk_idx"),
+          col("start"),
+          least(lit(ChunkWin.toLong), col("n") - col("start")).as("chunk_len"),
+          sha2(concat_ws(" ",
+            slice(col("tk"), (col("start") + lit(1L)).cast("int"),
+              lit(ChunkWin))), 256).as("chunk_hash"))
     }),
 
     // quality-rule filter: the published Gopher-style document heuristics
@@ -783,6 +819,19 @@ object TextAnalysis {
          |    THEN CAST(COALESCE(s.n_shared, 0) AS DOUBLE)/CAST(b.n_g5 AS DOUBLE)
          |  END AS dup_frac
          |FROM b LEFT JOIN sdoc s ON s.doc_id = b.doc_id""".stripMargin,
+
+    // list slicing is 1-based inclusive in DuckDB and truncates at the
+    // end like Spark's slice; sha256 ≡ sha2(·,256) (the q15 parity)
+    "q74_chunk_windows" ->
+      s"""WITH t0 AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |t AS (SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n
+         |  FROM t0 WHERE len(tk) > 0),
+         |st AS (SELECT doc_id, tk, n,
+         |  unnest(range(0, n, $ChunkStride)) AS start FROM t)
+         |SELECT doc_id, start // $ChunkStride AS chunk_idx, start,
+         |  least($ChunkWin, n - start) AS chunk_len,
+         |  sha256(array_to_string(tk[start+1 : start+$ChunkWin], ' ')) AS chunk_hash
+         |FROM st""".stripMargin,
 
     "q50_pii_scan" ->
       s"""WITH m AS (SELECT doc_id,
