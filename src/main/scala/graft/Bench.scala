@@ -144,7 +144,7 @@ object Bench {
     val sArg = if (spread.isEmpty) "" else spread.maxBy(_._2)._1
     val bySlowest = results.toSeq.sortBy { case (n, v) => (-v, n) }
     def build(kept: Seq[(String, Double)], dec: Int,
-        withSpread: Boolean): String = {
+        withSpread: Boolean, withStatic: Boolean = true): String = {
       val qm = kept.map { case (k, v) => jstr(k) + ":" + jnumAt(v, dec) }
         .mkString("{", ",", "}")
       val omitted = results.size - kept.size
@@ -153,22 +153,36 @@ object Bench {
         if (withSpread)
           s""""spread_med":${jnum(sMed)},"spread_max":${jnum(sMax)},"spread_argmax":${jstr(sArg)},"""
         else ""
-      s"""{"metric":"total","value":${jnum(total)},"value_min":${jnum(totalMin)},"unit":"sec","reps":$Reps,""" +
-        s""""failed":${errors.size},"errors":$es,"queries":$qm$om,""" +
-        sp +
-        s""""full":${jstr(fullPath)},"sf":${jstr(sfDir)}}"""
+      // the static-shed rung drops fixed-value context fields ("unit",
+      // "reps", "full", "sf" — all recoverable from the protocol and
+      // bench_full.json) and an EMPTY errors map; real errors always
+      // survive every rung
+      val errField =
+        if (errors.nonEmpty || withStatic) s""""errors":$es,""" else ""
+      val staticHead = if (withStatic) s""""unit":"sec","reps":$Reps,""" else ""
+      val staticTail =
+        if (withStatic) s""","full":${jstr(fullPath)},"sf":${jstr(sfDir)}"""
+        else ""
+      s"""{"metric":"total","value":${jnum(total)},"value_min":${jnum(totalMin)},$staticHead""" +
+        s""""failed":${errors.size},$errField"queries":$qm$om""" +
+        (if (sp.nonEmpty) "," + sp.stripSuffix(",") else "") +
+        staticTail + "}"
     }
     // degradation ladder, completeness before comfort: precision 3→2→1
     // with the spread summary, then shed the spread trio (it lives in
-    // bench_full.json anyway) to buy ~90 chars of query entries, and only
-    // THEN drop the fastest queries with an explicit omitted count
+    // bench_full.json anyway) to buy ~90 chars of query entries, then
+    // shed the static context fields (~85 more), and only THEN drop the
+    // fastest queries with an explicit omitted count
     val attempts =
       Seq(3, 2, 1).iterator.map(build(bySlowest, _, withSpread = true)) ++
         Iterator.single(build(bySlowest, 1, withSpread = false)) ++
+        Iterator.single(build(bySlowest, 1, withSpread = false,
+          withStatic = false)) ++
         Iterator.iterate(bySlowest.size)(n => n - math.max(1, n / 10))
-          .takeWhile(_ > 0).map(n => build(bySlowest.take(n), 1, withSpread = false))
+          .takeWhile(_ > 0).map(n => build(bySlowest.take(n), 1,
+            withSpread = false, withStatic = false))
     attempts.find(_.length <= LineBudget)
-      .getOrElse(build(Seq.empty, 1, withSpread = false))
+      .getOrElse(build(Seq.empty, 1, withSpread = false, withStatic = false))
   }
 
   def main(args: Array[String]): Unit = {

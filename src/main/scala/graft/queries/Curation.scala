@@ -298,44 +298,67 @@ object Curation {
           size(tokens(col("text"))).cast("long").as("n_tokens"))
         .filter(col("n_tokens") > 0)
         .persist()
-      val rng = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
-        .collect().headOption.filter(!_.isNullAt(0))
-      rng match {
-        case None =>
-          // empty/untokenizable corpus: a defined empty profile
-          toks.select(lit(0L).as("chunk_id"), lit(0L).as("n_docs"),
-            lit(0L).as("tokens_started"), lit(0L).as("n_straddlers"),
-            lit(0L).as("max_span")).limit(0)
-        case Some(r) =>
-          val lo = r.getAs[Long]("lo")
-          // integer `div` bucketing over the id range (exact at any id
-          // magnitude — the q58 tie-split discipline)
-          val bw = math.max(1L, (r.getAs[Long]("hi") - lo) / PackBuckets + 1)
-          val b = toks.withColumn("bkt",
-            expr(s"CAST((doc_id - ${lo}L) div ${bw}L AS INT)"))
-          val off = exclusiveOffsets(
-            b.groupBy("bkt").agg(sum("n_tokens").as("bt")).collect()
-              .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
-          val w = Window.partitionBy("bkt").orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-          // off holds every bucket b itself produced — the ANSI-mode
-          // element_at cannot miss (q58's cannot-miss argument)
-          val cum = b.withColumn("cum",
-            sum("n_tokens").over(w) + element_at(typedLit(off), col("bkt")))
-          // first/last chunk of each doc's [cum-n, cum) token interval;
-          // all values non-negative, so `div` ≡ floor division in both
-          // engines
-          cum.select(col("n_tokens"),
-              expr(s"(cum - n_tokens) div ${PackCapacity}L").as("chunk_id"),
-              expr(s"(cum - 1L) div ${PackCapacity}L").as("last_chunk"))
-            .groupBy("chunk_id")
-            .agg(count(lit(1)).as("n_docs"),
-              sum("n_tokens").as("tokens_started"),
-              sum(when(col("last_chunk") > col("chunk_id"), 1L)
-                .otherwise(0L)).as("n_straddlers"),
-              max(col("last_chunk") - col("chunk_id") + 1).as("max_span"))
-      }
+      packProfile(packAssignments(toks, 0L))
     }))
+
+  /** Shared per-document chunk assignment behind q72 and its streaming
+    * dual ([[graft.streaming.PackStream]]) — one definition of the
+    * packing arithmetic, so the batch profile and the stream's cursor
+    * continuation cannot drift. `toks` is a pre-materialized
+    * (doc_id, n_tokens) relation (n_tokens > 0); `offset` is the token
+    * cursor already consumed BEFORE these documents (0 for the batch
+    * corpus; the committed cursor for a micro-batch). Returns
+    * (doc_id, n_tokens, chunk_id, last_chunk) via the q58 distributed
+    * prefix-sum discipline over [[PackBuckets]] deterministic doc_id
+    * ranges; driver reads are the 1-row id range and the ≤PackBuckets
+    * bucket totals.
+    */
+  private[graft] def packAssignments(toks: DataFrame, offset: Long): DataFrame = {
+    val rng = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      .collect().headOption.filter(!_.isNullAt(0))
+    rng match {
+      case None =>
+        // empty/untokenizable input: a defined empty assignment
+        toks.select(col("doc_id"), col("n_tokens"),
+          lit(0L).as("chunk_id"), lit(0L).as("last_chunk")).limit(0)
+      case Some(r) =>
+        val lo = r.getAs[Long]("lo")
+        // integer `div` bucketing over the id range (exact at any id
+        // magnitude — the q58 tie-split discipline)
+        val bw = math.max(1L, (r.getAs[Long]("hi") - lo) / PackBuckets + 1)
+        val b = toks.withColumn("bkt",
+          expr(s"CAST((doc_id - ${lo}L) div ${bw}L AS INT)"))
+        val off = exclusiveOffsets(
+          b.groupBy("bkt").agg(sum("n_tokens").as("bt")).collect()
+            .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
+        val w = Window.partitionBy("bkt").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // off holds every bucket b itself produced — the ANSI-mode
+        // element_at cannot miss (q58's cannot-miss argument)
+        val cum = b.withColumn("cum",
+          sum("n_tokens").over(w) + element_at(typedLit(off), col("bkt"))
+            + lit(offset))
+        // first/last chunk of each doc's [cum-n, cum) token interval;
+        // all values non-negative, so `div` ≡ floor division in both
+        // engines
+        cum.select(col("doc_id"), col("n_tokens"),
+          expr(s"(cum - n_tokens) div ${PackCapacity}L").as("chunk_id"),
+          expr(s"(cum - 1L) div ${PackCapacity}L").as("last_chunk"))
+    }
+  }
+
+  /** The q72 per-chunk profile over [[packAssignments]] rows — shared
+    * with the streaming parity spec (stream epochs re-aggregate to the
+    * batch profile through the SAME definition).
+    */
+  private[graft] def packProfile(assigned: DataFrame): DataFrame =
+    assigned
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("tokens_started"),
+        sum(when(col("last_chunk") > col("chunk_id"), 1L)
+          .otherwise(0L)).as("n_straddlers"),
+        max(col("last_chunk") - col("chunk_id") + 1).as("max_span"))
 
   /** q57's hashed shingle space: stages `g8` — the distinct 64-bit
     * hashes of the word-[[DecontamGram]]-grams of `text` — as LAYERED

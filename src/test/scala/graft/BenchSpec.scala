@@ -67,11 +67,13 @@ class BenchSpec extends AnyFunSuite {
     assert(qs.contains(names.head), "slowest query must survive")
 
     // realistic shape: the ACTUAL shipped query names must fit with every
-    // query present — no omission. Precision degrades before roster (69
-    // queries fit at 1 decimal once the spread trio sheds); completeness
-    // beats resolution here because the per-query trend analysis reads
-    // bench_full.json (full precision), while this line's job is the
-    // headline total (3 decimals, asserted above) plus a complete roster.
+    // query present — no omission. Precision and context degrade before
+    // the roster (69 queries fit at 1 decimal once the spread trio
+    // sheds; 74+ also shed the static context fields — unit/reps/full/sf
+    // and the empty error map); completeness beats resolution here
+    // because the per-query trend analysis reads bench_full.json (full
+    // precision), while this line's job is the headline total (3
+    // decimals, asserted above) plus a complete roster.
     val real = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
     val rLine = Bench.compactLine(25.0, 24.0, Map.empty, real,
       real.map { case (k, _) => k -> 0.1 }, "/root/testdata/sf0.1",
