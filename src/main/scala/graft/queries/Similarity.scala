@@ -5,6 +5,7 @@ import graft.functions.TextFunctions._
 import graft.functions.SketchFunctions.{minHash, simHash32}
 import graft.functions.VectorFunctions.vecDot
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search + sketch dedup: minhash+LSH banding, simhash, cosine
@@ -123,6 +124,19 @@ object Similarity {
     * than this many vectors is a quadratic skew risk and is dropped.
     */
   val MaxVecBucket = 50
+
+  /** q75's neighborhood size: 3 nearest candidates per vector — enough
+    * to seed a graph index or a semantic-dedup pass at test scale; the
+    * operator is k-agnostic (the rank cut is the only place it appears).
+    */
+  private[queries] val KnnK = 3
+
+  /** q76's semantic-duplicate threshold. 0.35 on the synthetic
+    * embeddings plays the role SemDeDup's ~0.95+ plays on real encoder
+    * output: high enough that most in-cell pairs survive as distinct,
+    * low enough that the removal path is actually exercised.
+    */
+  private[queries] val SemTau = 0.35
 
   /** Planes per q39 family for an n-vector corpus. */
   private[queries] def ndPlanesFor(n: Long): Int =
@@ -343,6 +357,40 @@ object Similarity {
     */
   private[queries] def bandWidth64For(n: Long): Int =
     Seq(8, 16, 32).find(j => (1L << j) * 25 >= n).getOrElse(32)
+
+  /** The q39 candidate machinery, shared with q75: corpus-adaptive
+    * hyperplane families ([[ndPlanesFor]] — no constant retuning between
+    * sf0.01 and a 100× corpus), family buckets computed INSIDE the
+    * persisted projection (the band relation feeds the frequency-cap
+    * aggregate AND both sides of the candidate self-join — unpersisted,
+    * the bucket column recomputes 3× per row), [[MaxVecBucket]]-capped
+    * buckets, and a band equi-join for candidates (work ∝ true
+    * collisions, never n²). Returns (persisted embedding projection,
+    * distinct vec_a < vec_b candidate pairs); the projection is released
+    * by the consumer's Caches.release hook.
+    */
+  private def bandedVecCandidates(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val k = ndPlanesFor(Tables(s, dir, "embeddings").count())
+    val e = Tables.wide(s, dir, "embeddings").select(
+      col("vec_id"), col("embedding"), col("label"),
+      sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"),
+      famBuckets(k, col("embedding")).as("bks"))
+      .persist() // feeds banding + both candidate-pair lookups
+      .filter(col("nrm") > 0) // zero-norm guard (see q28)
+    val bands = e.select(col("vec_id"), posexplode(col("bks")))
+      .select(col("vec_id"), col("pos").cast("long").as("fam"), col("col").as("bk"))
+    val rare = bands.groupBy("fam", "bk")
+      .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxVecBucket)
+      .select("fam", "bk")
+    val capped = bands.join(rare, Seq("fam", "bk"), "left_semi")
+    val cand = capped.alias("a").join(capped.alias("b"),
+        col("a.fam") === col("b.fam") && col("a.bk") === col("b.bk") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .distinct()
+    (e, cand)
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // minhash + LSH banding near-dup candidates with estimated Jaccard
@@ -639,32 +687,7 @@ object Similarity {
     // q22/q25. (LSH is approximate: recall ~0.7 at the 0.35 threshold,
     // rising toward 1 for true near-dups — the standard trade.)
     "q39_cosine_neardup_lsh" -> ((s, dir) => {
-      // Planes per family are corpus-adaptive (ndPlanesFor): k grows with
-      // the count so per-family occupancy n/2^k stays under the cap at any
-      // corpus — no constant retuning between sf0.01 and a 100× corpus.
-      val k = ndPlanesFor(Tables(s, dir, "embeddings").count())
-      // The NdFamilies family buckets (NdFamilies·k plane dots/row) are
-      // computed INSIDE the persisted projection: the band relation feeds
-      // the frequency-cap aggregate AND both sides of the candidate
-      // self-join, so an unpersisted bucket column would be recomputed 3×
-      // per row.
-      val e = Tables.wide(s, dir, "embeddings").select(
-        col("vec_id"), col("embedding"), col("label"),
-        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"),
-        famBuckets(k, col("embedding")).as("bks"))
-        .persist() // feeds banding + both candidate-pair lookups
-        .filter(col("nrm") > 0) // zero-norm guard (see q28)
-      val bands = e.select(col("vec_id"), posexplode(col("bks")))
-        .select(col("vec_id"), col("pos").cast("long").as("fam"), col("col").as("bk"))
-      val rare = bands.groupBy("fam", "bk")
-        .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxVecBucket)
-        .select("fam", "bk")
-      val capped = bands.join(rare, Seq("fam", "bk"), "left_semi")
-      val cand = capped.alias("a").join(capped.alias("b"),
-          col("a.fam") === col("b.fam") && col("a.bk") === col("b.bk") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-        .distinct()
+      val (e, cand) = bandedVecCandidates(s, dir)
       cand
         .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
           col("label").as("label_a"), col("nrm").as("na")), "vec_a")
@@ -673,6 +696,73 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), col("label_a"), col("label_b"),
           (vecDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
         .filter(col("cos") >= 0.35)
+    }),
+
+    // approximate KNN-graph construction — every vector's top-k nearest
+    // neighbors (not one query's, as q29/q30/q35 answer): the build step
+    // of graph ANN indexes and the input to SemDeDup-style semantic
+    // dedup. Candidates are the SAME capped banded equi-join as q39
+    // (work ∝ true collisions, never n²), directed both ways so each
+    // endpoint ranks its own neighborhood, then a rank-3 cut per vector
+    // via a PARTITIONED window (the per-key top-k never becomes a global
+    // sort). Approximate by construction: a neighbor outside every
+    // shared band is unseen — the same recall contract AnnRecallSpec
+    // pins for the banding family.
+    "q75_knn_graph" -> ((s, dir) => {
+      val (e, cand) = bandedVecCandidates(s, dir)
+      val directed = cand.union(
+        cand.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
+      val scored = directed
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          col("nrm").as("na")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("nrm").as("nb")), "vec_b")
+        .select(col("vec_a"), col("vec_b"),
+          (vecDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      val w = Window.partitionBy("vec_a").orderBy(desc("cos"), asc("vec_b"))
+      scored.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= KnnK)
+        .select(col("vec_a").as("vec_id"), col("rnk"),
+          col("vec_b").as("nbr"), col("cos"))
+    }),
+
+    // semantic dedup — SemDeDup's shape (Abbas et al. 2023): cluster the
+    // corpus (here: the shared deterministic IVF cells — k-means cells
+    // ARE the paper's clusters), then within each cluster drop every
+    // vector with a SMALLER-id near-duplicate at cosine ≥ [[SemTau]].
+    // One-step greedy min-id (each removal points at a kept-or-removed
+    // smaller id), not the transitive closure — q43/q44 own that
+    // semantics for documents. Scale posture: the pair join's equi-key
+    // is the CELL (never a cartesian across cells); per-cell work is
+    // quadratic in cell size BY DESIGN — the cluster count is the knob
+    // that bounds it (SemDeDup runs 50k clusters at web scale;
+    // [[ivfCellsFor]] grows ~√n), and the removal anti-join is the only
+    // other shuffle.
+    "q76_semantic_dedup" -> ((s, dir) => {
+      val e = Tables.wide(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        .persist()
+        .filter(col("nrm") > 0) // zero-norm guard (see q28)
+      val cents = kmeansCentroids(s, dir)
+      val withCos = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        zip_with(
+          graft.functions.VectorFunctions.vecDotMany(col("embedding"),
+            cents.flatMap(_._2).toArray, cents.length),
+          typedLit(cents.map(_._3).toSeq),
+          (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn))).as("ccos"))
+      // argmax with ties to the lowest cell — the q35 discipline
+      val cells = withCos.select(col("vec_id"), col("embedding"), col("nrm"),
+        (array_position(col("ccos"), array_max(col("ccos"))) - 1)
+          .cast("long").as("cell"))
+        .persist() // feeds both sides of the in-cell pair join + the output
+      val removed = cells.alias("a").join(cells.alias("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(vecDot(col("a.embedding"), col("b.embedding"))
+          / (col("a.nrm") * col("b.nrm")) >= SemTau)
+        .select(col("b.vec_id").as("vec_id")).distinct()
+      cells.select("vec_id", "cell")
+        .join(removed, Seq("vec_id"), "left_anti")
     }),
 
     // LSH ANN: 6 hyperplane sign bits -> bucket; rank within query's bucket
@@ -1239,7 +1329,48 @@ object Similarity {
         |  CASE WHEN COUNT(*) = COUNT(q) THEN CAST(SUM(q) AS BIGINT) END AS q_sum,
         |  MIN(q) AS q_min, MAX(q) AS q_max FROM codes GROUP BY vec_id)
         |SELECT e.vec_id, a.q_sum, a.q_min, a.q_max
-        |FROM embeddings e LEFT JOIN agg a USING (vec_id)""".stripMargin)
+        |FROM embeddings e LEFT JOIN agg a USING (vec_id)""".stripMargin,
+
+    // KNN graph: the q39 candidate CTEs, directed both ways, rank-3 cut
+    // per source via ROW_NUMBER (cos DESC, nbr — the argmax tie
+    // discipline for exactly-equal doubles)
+    "q75_knn_graph" ->
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |$sqlVecBands,
+         |rare AS (SELECT fam, bk FROM bands GROUP BY fam, bk HAVING COUNT(*) <= $MaxVecBucket),
+         |bc AS (SELECT bands.vec_id, bands.fam, bands.bk FROM bands JOIN rare USING (fam, bk)),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bc a JOIN bc b ON a.fam = b.fam AND a.bk = b.bk AND a.vec_id < b.vec_id),
+         |d AS (SELECT vec_a AS src, vec_b AS dst FROM cand
+         |  UNION ALL SELECT vec_b, vec_a FROM cand),
+         |sc AS (SELECT d.src, d.dst,
+         |  ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+         |  FROM d JOIN e x ON x.vec_id = d.src JOIN e y ON y.vec_id = d.dst)
+         |SELECT src AS vec_id, rnk, dst AS nbr, cos FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+         |     ORDER BY cos DESC, dst) AS rnk FROM sc) t
+         |WHERE rnk <= $KnnK""".stripMargin,
+
+    // semantic dedup: the shared IVF cell-assignment CTEs (one SQL text
+    // with q35/q68 — no drift), in-cell smaller-id near-dup removal
+    "q76_semantic_dedup" ->
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |$sqlKmeans,
+         |a AS (SELECT e.vec_id, e.embedding, e.nrm, cq.cent_id,
+         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
+         |  FROM e CROSS JOIN cq),
+         |cells AS (SELECT vec_id, embedding, nrm, cent_id AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
+         |removed AS (SELECT DISTINCT y.vec_id
+         |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
+         |  WHERE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $SemTau)
+         |SELECT vec_id, cell FROM cells
+         |WHERE vec_id NOT IN (SELECT vec_id FROM removed)""".stripMargin)
 
   /** The shared PQ CTE chain (training sample → codebooks after
     * KmeansIters Lloyd steps → per-vector best codes) used by both q65

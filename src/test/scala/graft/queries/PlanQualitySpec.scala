@@ -434,4 +434,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.toLowerCase.contains("vec_dot")) // exact-cosine verify stage present
     spark.catalog.clearCache()
   }
+
+  test("q75 KNN graph: band equi-join candidates, partitioned rank — no global sort") {
+    // the same equi-join contract as q39, plus: the per-vector rank cut
+    // must run under a PARTITIONED window (a KNN graph written as a
+    // global ORDER BY cos would single-task the whole candidate set)
+    val p = plan("q75_knn_graph")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    spark.catalog.clearCache()
+  }
+
+  test("q76 semantic dedup: the pair join's equi-key is the cell — no cartesian") {
+    // SemDeDup's scale contract: pair enumeration never crosses cells.
+    // The plan must show hash/merge joins only, and the cell assignment
+    // must be the fused matrix-dot (one VecDotMany node, not a
+    // per-centroid literal forest).
+    val p = plan("q76_semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.toLowerCase.contains("vec_dot_many"), p.take(2000))
+    spark.catalog.clearCache()
+  }
 }
