@@ -41,6 +41,28 @@ object TextAnalysis {
   private[queries] val ChunkWin = 32
   private[queries] val ChunkStride = 24
 
+  /** The q74 window arithmetic over a MATERIALIZED (doc_id, tk, n)
+    * relation — shared with the streaming dual
+    * ([[graft.streaming.DocStream.processChunkBatch]]) so batch and
+    * stream cannot drift on starts, tail handling, or the chunk hash.
+    * The caller owns materialization (persist / pinned checkpoint):
+    * un-materialized, CollapseProject folds the tokenizer into the
+    * Generate and re-runs the regex split per emitted chunk (the
+    * q71/q22 trap).
+    */
+  private[graft] def chunkRows(tokRel: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    tokRel.select(col("doc_id"), col("tk"), col("n"),
+        explode(sequence(lit(0L), col("n") - lit(1L),
+          lit(ChunkStride.toLong))).as("start"))
+      .select(col("doc_id"),
+        expr(s"start div $ChunkStride").as("chunk_idx"),
+        col("start"),
+        least(lit(ChunkWin.toLong), col("n") - col("start")).as("chunk_len"),
+        sha2(concat_ws(" ",
+          slice(col("tk"), (col("start") + lit(1L)).cast("int"),
+            lit(ChunkWin))), 256).as("chunk_hash"))
+
   /** q66's admission + sampled length histogram — ONE definition of the
     * hash seed and the grouping, shared with the streaming dual
     * ([[graft.streaming.DocStream.quantileSketch]]) so the two paths
@@ -309,16 +331,7 @@ object TextAnalysis {
         .filter(size(col("tk")) > 0)
         .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n"))
         .persist()
-      t.select(col("doc_id"), col("tk"), col("n"),
-          explode(sequence(lit(0L), col("n") - lit(1L),
-            lit(ChunkStride.toLong))).as("start"))
-        .select(col("doc_id"),
-          expr(s"start div $ChunkStride").as("chunk_idx"),
-          col("start"),
-          least(lit(ChunkWin.toLong), col("n") - col("start")).as("chunk_len"),
-          sha2(concat_ws(" ",
-            slice(col("tk"), (col("start") + lit(1L)).cast("int"),
-              lit(ChunkWin))), 256).as("chunk_hash"))
+      chunkRows(t)
     }),
 
     // quality-rule filter: the published Gopher-style document heuristics

@@ -601,4 +601,46 @@ object DocStream {
         }
       }
       .start()
+
+  /** Streaming retrieval chunking — the q74 dual. A chunk is a pure
+    * function of its document alone (window starts, tail, and hash all
+    * derive from the one doc's tokens), so the dual is STATELESS — no
+    * index, no cursor; exact q74 rows per arrival through the shared
+    * [[graft.queries.TextAnalysis.chunkRows]] arithmetic. It still runs
+    * as a `foreachBatch` sink rather than a plain transformation for
+    * two reasons: the chunk arithmetic needs a materialization barrier
+    * under the Generate (a streaming plan cannot persist mid-plan, a
+    * pinned batch can — the q71/q22 trap would otherwise re-tokenize
+    * per emitted chunk), and the marker protocol makes redelivery
+    * produce byte-identical epochs instead of appended duplicates.
+    */
+  def processChunkBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      outPath: String): Unit = {
+    if (BatchProtocol.committed(spark, outPath, batchId)) return
+    val (stable, stableIds) = graft.CheckpointBlocks.pinnedCheckpoint(batch)
+    try {
+      val t = stable
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n"))
+        .persist()
+      try {
+        graft.queries.TextAnalysis.chunkRows(t)
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        BatchProtocol.commit(spark, outPath, batchId)
+      } finally t.unpersist()
+    } finally graft.CheckpointBlocks.free(spark, stableIds)
+  }
+
+  /** Continuous chunking over a document stream: q74 rows land under
+    * `<outPath>/batch_id=N`, markers under `<outPath>/_commits`.
+    */
+  def runChunks(docs: DataFrame, outPath: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processChunkBatch(batch.sparkSession, batch, batchId, outPath)
+      }
+      .start()
 }
