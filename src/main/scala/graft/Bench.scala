@@ -112,10 +112,13 @@ object Bench {
       .mkString("{", ",", "}")
 
   /** Budget for the stdout line: the driver's window is the LAST 2000
-    * chars of the sbt run, and sbt appends "[success] Total time …"
-    * (~70 chars) after us — 1800 leaves slack for both.
+    * chars of the sbt run. Measured framing around our line: sbt's
+    * "[info] " prefix (7 chars) and the trailing "[success] Total time
+    * … completed <date>" line (≤ 74 chars incl. newlines) — so the hard
+    * ceiling is ~1919. 1860 keeps ~59 chars of slack for framing drift
+    * (a longer wall-clock string, a locale-wider date).
     */
-  private val LineBudget = 1800
+  private val LineBudget = 1860
 
   private def jnumAt(v: Double, dec: Int): String =
     String.format(java.util.Locale.ROOT, s"%.${dec}f", Double.box(v))

@@ -710,17 +710,26 @@ object Similarity {
     // pins for the banding family.
     "q75_knn_graph" -> ((s, dir) => {
       val (e, cand) = bandedVecCandidates(s, dir)
-      val directed = cand.union(
-        cand.select(col("vec_b").as("vec_a"), col("vec_a").as("vec_b")))
-      val scored = directed
+      // score each UNDIRECTED pair once (cos is symmetric), then mirror
+      // the scored row with a MAP-SIDE explode — a union of the scored
+      // relation with its swap would re-evaluate the embedding-fetch
+      // joins once per branch (union branches share no computation),
+      // doubling the expensive stage to produce cheap row copies
+      val scored = cand
         .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
           col("nrm").as("na")), "vec_a")
         .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
           col("nrm").as("nb")), "vec_b")
         .select(col("vec_a"), col("vec_b"),
           (vecDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      val directed = scored.select(explode(array(
+          struct(col("vec_a"), col("vec_b"), col("cos")),
+          struct(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"),
+            col("cos")))).as("p"))
+        .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+          col("p.cos").as("cos"))
       val w = Window.partitionBy("vec_a").orderBy(desc("cos"), asc("vec_b"))
-      scored.withColumn("rnk", row_number().over(w).cast("long"))
+      directed.withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= KnnK)
         .select(col("vec_a").as("vec_id"), col("rnk"),
           col("vec_b").as("nbr"), col("cos"))
