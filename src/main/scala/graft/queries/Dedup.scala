@@ -337,6 +337,32 @@ object Dedup {
         }
         p
       }
+    }),
+
+    // triangle support beside PageRank: per document, the number of
+    // near-dup triangles it sits in — the local clustering signal that
+    // separates a document inside a dense copy-clique (template spam,
+    // mirrored sites) from one on a thin near-dup chain, which q44's
+    // cluster_size alone cannot (both can share a component). The
+    // standard distributed formulation: ordered edges (a<b from q27's
+    // pair contract), wedges by ONE equi-join on the shared middle
+    // vertex, closed by a second equi-join against the edge list — every
+    // triangle a<b<c counted exactly once, never an enumeration of
+    // vertex neighborhoods. Per-node degree is already bounded by q27's
+    // band caps (a capped bucket admits ≤ MaxBandDocs docs), which is
+    // what bounds the wedge blowup at corpus scale; hot middles beyond
+    // that are AQE skew-split territory.
+    "q77_triangle_support" -> ((s, dir) => {
+      val edges = Similarity.queries("q27_simhash_pairs")(s, dir)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .persist() // feeds all three sides of the wedge-close join
+      val tri = edges.alias("e1")
+        .join(edges.alias("e2"), col("e1.b") === col("e2.a"))
+        .join(edges.alias("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .select(col("e1.a").as("a"), col("e1.b").as("b"), col("e2.b").as("c"))
+      tri.select(explode(array(col("a"), col("b"), col("c"))).as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
     }))
 
   // DuckDB mirrors: transitive closure as a recursive CTE over the SAME
@@ -399,5 +425,17 @@ object Dedup {
          |  JOIN clusters c ON c.doc_id = d.doc_id AND c.doc_id = c.cluster_id),
          |${TextAnalysis.sqlPrepScore("kept")}
          |SELECT doc_id, n_tokens, quality FROM f
-         |WHERE lang_guess = 'en' AND quality >= 0.5""".stripMargin)
+         |WHERE lang_guess = 'en' AND quality >= 0.5""".stripMargin,
+
+    // the same ordered-wedge formulation over the shared pair CTEs:
+    // each a<b<c triangle closes once, then explodes to its members
+    "q77_triangle_support" ->
+      s"""WITH ${Similarity.SqlSimhashPairCtes},
+         |tpairs AS (${Similarity.SqlSimhashPairSelect.replace("\n", " ")}),
+         |ed AS (SELECT doc_a AS a, doc_b AS b FROM tpairs),
+         |tri AS (SELECT e1.a, e1.b, e2.b AS c
+         |  FROM ed e1 JOIN ed e2 ON e1.b = e2.a
+         |  JOIN ed e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |x AS (SELECT unnest([a, b, c]) AS doc_id FROM tri)
+         |SELECT doc_id, COUNT(*) AS triangles FROM x GROUP BY doc_id""".stripMargin)
 }

@@ -120,6 +120,39 @@ object Events {
         .select(col("event_id"),
           coalesce(col("n_follow"), lit(0L)).as("n_follow"),
           coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+    }),
+
+    // ordered funnel analysis: per user, the first view → the first
+    // click AFTER that view → the first purchase AFTER that click —
+    // the sequential-conversion question flat per-type aggregates get
+    // wrong (a click before any view is not funnel progress). Cascaded
+    // conditional MINs: each stage is ONE map-side-combined aggregate
+    // plus an equi-join on user_id — three passes over the (filtered)
+    // event scan, no window over a user's whole history and nothing
+    // ordered globally; every shuffle shares the user_id key. Depth is
+    // the stitched null-front: 0 = never viewed … 3 = converted.
+    "q78_funnel" -> ((s, dir) => {
+      val ev = Tables(s, dir, "events")
+      val users = ev.select(col("user_id")).distinct()
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t_view"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, "user_id")
+        .filter(col("ts") > col("t_view"))
+        .groupBy("user_id").agg(min("ts").as("t_click"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .filter(col("ts") > col("t_click"))
+        .groupBy("user_id").agg(min("ts").as("t_purchase"))
+      users.join(v, Seq("user_id"), "left")
+        .join(c, Seq("user_id"), "left")
+        .join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t_view"), col("t_click"),
+          col("t_purchase"),
+          when(col("t_purchase").isNotNull, 3L)
+            .when(col("t_click").isNotNull, 2L)
+            .when(col("t_view").isNotNull, 1L)
+            .otherwise(0L).as("funnel_depth"))
     }))
 
   def oracleSql: Map[String, String] = Map(
@@ -174,5 +207,23 @@ object Events {
         |  CAST(COALESCE(SUM(CAST(e2.value AS DECIMAL(18,4))), 0) AS DOUBLE) AS sum_value
         |FROM e1 LEFT JOIN e2 ON e2.user_id = e1.user_id
         |  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
-        |GROUP BY e1.event_id""".stripMargin)
+        |GROUP BY e1.event_id""".stripMargin,
+
+    "q78_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |v AS (SELECT user_id, MIN(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+        |  JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+        |  JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT u.user_id, v.t_view, c.t_click, p.t_purchase,
+        |  CAST(CASE WHEN p.t_purchase IS NOT NULL THEN 3
+        |       WHEN c.t_click IS NOT NULL THEN 2
+        |       WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS funnel_depth
+        |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+        |  LEFT JOIN p USING (user_id)""".stripMargin)
 }

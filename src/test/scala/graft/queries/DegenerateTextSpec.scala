@@ -32,6 +32,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q26_simhash", "q27_simhash_pairs", "q42_simhash64_pairs",
     "q36_prep_pipeline", "q40_vocab_topk", "q41_repetition", "q71_dup_ngrams",
     "q43_neardup_clusters", "q44_dedup_survivors", "q69_pagerank",
+    "q77_triangle_support",
     "q45_quality_filter",
     // q46 drops null-text docs by construction (explode of a null token
     // array yields no rows); q47/q53 read lang, absent from this
@@ -60,6 +61,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q46_tfidf_top_terms", // ≤3 rows per non-empty doc
         "q52_cluster_prep", // filtered composite, like q36
         "q54_heavy_hitters", // corpus-level top-10
+        "q77_triangle_support", // rows only for docs inside a triangle
         "q58_token_budget", // budgeted subset, not one row per doc
         "q72_sequence_pack", // one row per chunk, not per doc
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows

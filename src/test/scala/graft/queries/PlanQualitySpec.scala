@@ -446,6 +446,27 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q77 triangle support: wedge-close equi-joins — no nested loop, no cartesian") {
+    // ordered-wedge triangle counting stays equi-joins end to end: a
+    // nested loop here is neighborhood enumeration, quadratic per hot
+    // vertex at corpus scale
+    val p = plan("q77_triangle_support")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
+  test("q78 funnel: cascaded conditional mins — partial aggs, no single partition") {
+    // each funnel stage is a map-side-combined min + a user_id equi-join;
+    // a window over each user's full history (or any global order) is
+    // the anti-pattern this pin excludes
+    val df = SparkEntry.queries("q78_funnel")(spark, dir)
+    df.collect() // finalize THIS QueryExecution under AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_min") || p.contains("partial min"), p.take(1500))
+  }
+
   test("q76 semantic dedup: the pair join's equi-key is the cell — no cartesian") {
     // SemDeDup's scale contract: pair enumeration never crosses cells.
     // The plan must show hash/merge joins only, and the cell assignment
