@@ -299,6 +299,52 @@ object Curation {
         .filter(col("n_tokens") > 0)
         .persist()
       packProfile(packAssignments(toks, 0L))
+    }),
+
+    // cross-split leakage audit — the NEAR-dup counterpart of q57's
+    // exact 8-gram decontamination: how many q27 near-dup pairs straddle
+    // a q56 split boundary (a test document with a train near-duplicate
+    // inflates eval scores even when no 8-gram is shared verbatim).
+    // Per ordered (split_a, split_b) boundary, the pair count — the
+    // audit a curation pipeline runs BEFORE publishing a split. Both
+    // inputs are the shared definitions (q27's pair semantics, q56's
+    // key-pure split Column), so this can never drift from the operators
+    // it audits; the joins are doc_id equi-joins against a two-column
+    // projection, and the final aggregate is ≤ |splits|² rows.
+    "q79_split_leakage" -> ((s, dir) => {
+      val split = Tables(s, dir, "documents")
+        .select(col("doc_id"), splitCol(bucketCol(col("doc_id"))).as("split"))
+      Similarity.queries("q27_simhash_pairs")(s, dir)
+        .select("doc_a", "doc_b")
+        .join(split.select(col("doc_id").as("doc_a"),
+          col("split").as("split_a")), "doc_a")
+        .join(split.select(col("doc_id").as("doc_b"),
+          col("split").as("split_b")), "doc_b")
+        .filter(col("split_a") =!= col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // per-source corpus profile — the dataset-card numbers a curation
+    // run publishes per stratum: document count, exact token mass, how
+    // many documents clear the quality bar, and the quality envelope.
+    // ONE shuffle on the source key over per-row metrics; every output
+    // column is either integer-exact (counts, long sums) or
+    // order-independent (min/max) — a float MEAN would be an unordered
+    // double sum and could never hash-match cross-engine, so the profile
+    // deliberately reports threshold counts and envelopes instead.
+    "q80_source_profile" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val scored = scoredTokens(docs)
+      docs.select(col("doc_id"), col("source"))
+        .join(scored, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("n_tokens"), lit(0L))).as("n_tokens"),
+          sum(when(col("quality") >= 0.5, 1L).otherwise(0L))
+            .as("n_quality_ok"),
+          min("quality").as("min_quality"),
+          max("quality").as("max_quality"))
     }))
 
   /** Shared per-document chunk assignment behind q72 and its streaming
@@ -495,5 +541,38 @@ object Curation {
          |    AS BIGINT) AS n_straddlers,
          |  CAST(MAX((cum - 1) // $PackCapacity
          |    - (cum - n_tokens) // $PackCapacity + 1) AS BIGINT) AS max_span
-         |FROM c GROUP BY 1""".stripMargin)
+         |FROM c GROUP BY 1""".stripMargin,
+
+    // the shared q27 pair CTEs × the q56 split rule — the two audited
+    // definitions, recomposed
+    "q79_split_leakage" ->
+      s"""WITH ${Similarity.SqlSimhashPairCtes},
+         |lpairs AS (${Similarity.SqlSimhashPairSelect.replace("\n", " ")}),
+         |sp AS (SELECT doc_id,
+         |  CASE WHEN ${Hash("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct THEN 'train'
+         |       WHEN ${Hash("CAST(doc_id AS VARCHAR)")} % 100 < $ValPct THEN 'val'
+         |       ELSE 'test' END AS split
+         |  FROM documents)
+         |SELECT a.split AS split_a, b.split AS split_b, COUNT(*) AS n_pairs
+         |FROM lpairs p JOIN sp a ON a.doc_id = p.doc_a
+         |  JOIN sp b ON b.doc_id = p.doc_b
+         |WHERE a.split <> b.split
+         |GROUP BY a.split, b.split""".stripMargin,
+
+    "q80_source_profile" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),
+         |m AS (SELECT doc_id, len(tk) AS n_tokens,
+         |  len(list_filter(tk, x -> x IN ${TextAnalysis.sqlStops("en")})) AS stops
+         |  FROM tk),
+         |t AS (SELECT doc_id, n_tokens,
+         |  (CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.4
+         |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality
+         |  FROM m WHERE n_tokens > 0)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(COALESCE(t.n_tokens, 0)) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN t.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_quality_ok,
+         |  MIN(t.quality) AS min_quality, MAX(t.quality) AS max_quality
+         |FROM documents d LEFT JOIN t ON t.doc_id = d.doc_id
+         |GROUP BY d.source""".stripMargin)
 }

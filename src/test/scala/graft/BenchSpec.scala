@@ -62,7 +62,14 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs((parsed \ "value").extract[Double] - 671.2345) < 1e-3)
     // the noise-robust companion headline must survive every degradation
     assert(math.abs((parsed \ "value_min").extract[Double] - 444.333) < 1e-3)
-    val qs = (parsed \ "queries").extract[Map[String, Double]]
+    // json4s extracts JNothing to an EMPTY map, so probe the key's
+    // presence explicitly before falling back to the deciseconds roster
+    def roster(p: JValue): Map[String, Double] = (p \ "queries") match {
+      case JObject(_) => (p \ "queries").extract[Map[String, Double]]
+      case _ => (p \ "queries_ds").extract[Map[String, Double]]
+        .view.mapValues(_ / 10.0).toMap
+    }
+    val qs = roster(parsed)
     val omitted = (parsed \ "queries_omitted").extract[Int]
     assert(qs.size + omitted == 90)
     assert(qs.contains(names.head), "slowest query must survive")
@@ -71,20 +78,22 @@ class BenchSpec extends AnyFunSuite {
     // query present — no omission. Precision and context degrade before
     // the roster (69 queries fit at 1 decimal once the spread trio
     // sheds; 74+ also shed the static context fields — unit/reps/full/sf
-    // and the empty error map); completeness beats resolution here
-    // because the per-query trend analysis reads bench_full.json (full
-    // precision), while this line's job is the headline total (3
-    // decimals, asserted above) plus a complete roster.
+    // and the empty error map; 80+ switch to the queries_ds integer-
+    // decisecond roster at identical 0.1 s resolution); completeness
+    // beats resolution here because the per-query trend analysis reads
+    // bench_full.json (full precision), while this line's job is the
+    // headline total (3 decimals, asserted above) plus a complete
+    // roster.
     val real = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
     val rLine = Bench.compactLine(25.0, 24.0, Map.empty, real,
       real.map { case (k, _) => k -> 0.1 }, "/root/testdata/sf0.1",
       "bench_full.json")
     assert(rLine.length <= 1860, s"real-suite line is ${rLine.length} chars")
     val rp = org.json4s.jackson.JsonMethods.parse(rLine)
-    val rq = (rp \ "queries").extract[Map[String, Double]]
+    val rq = roster(rp)
     assert(rq.size == real.size, "no real query may be omitted")
     assert(math.abs(rq(real.keys.head) - 1.234567) < 5e-2 + 1e-9,
-      "per-query times keep at least 1-decimal precision")
+      "per-query times keep at least 0.1 s resolution")
     assert(math.abs((rp \ "value_min").extract[Double] - 24.0) < 1e-3)
   }
 

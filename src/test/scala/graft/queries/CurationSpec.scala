@@ -47,7 +47,8 @@ class CurationSpec extends AnyFunSuite {
   // ---------------------------------------------------------------- empty
 
   for (q <- Seq("q56_hash_split", "q57_decontaminate",
-      "q58_token_budget", "q59_stratified_sample", "q72_sequence_pack"))
+      "q58_token_budget", "q59_stratified_sample", "q72_sequence_pack",
+      "q79_split_leakage"))
     test(s"$q yields a defined empty result on an empty corpus") {
       val dir = corpus(Seq.empty)
       assert(SparkEntry.queries(q)(spark, dir).count() === 0L)
@@ -56,6 +57,11 @@ class CurationSpec extends AnyFunSuite {
 
   test("q62 yields a defined empty result on an empty corpus") {
     assert(SparkEntry.queries("q62_temperature_mix")(
+      spark, corpusWithSource(Seq.empty)).count() === 0L)
+  }
+
+  test("q80 yields a defined empty result on an empty corpus") {
+    assert(SparkEntry.queries("q80_source_profile")(
       spark, corpusWithSource(Seq.empty)).count() === 0L)
   }
 
