@@ -178,4 +178,57 @@ object EventStream {
           }
       }
   }
+
+  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+
+  final case class FunnelOut(user_id: Long, funnel_depth: Long, at: Timestamp)
+
+  /** Stateful streaming funnel — the q78 dual: one (t_view, t_click,
+    * t_purchase) record per user in the state store (three longs — not
+    * the user's events), advanced causally as events arrive; each depth
+    * TRANSITION emits a row (append mode), so the sink is the
+    * conversion log a dashboard tails, and a user's max emitted depth
+    * is their current funnel position.
+    *
+    * Semantics are q78's cascaded conditional mins under ARRIVAL order
+    * (the [[DocStream.budgetAdmitted]] posture): processed in event-time
+    * order they converge to the batch answer — the first view is the
+    * min view, and each later stage's first qualifying arrival IS its
+    * conditional min (pinned by FunnelStreamSpec); an out-of-order
+    * straggler that would have changed an already-taken min is a
+    * divergence the batch operator owns, as with every causal dual.
+    * Within a micro-batch, a user's slice is sorted by (ts, event_id) —
+    * one user of one batch, never the stream.
+    */
+  def funnel(events: Dataset[Event]): Dataset[FunnelOut] = {
+    import events.sparkSession.implicits._
+    val Unset = Long.MinValue
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+          val out = Seq.newBuilder[FunnelOut]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val t = e.ts.getTime
+            e.event_type match {
+              case "view" if st.tView == Unset =>
+                st = st.copy(tView = t)
+                out += FunnelOut(userId, 1L, e.ts)
+              case "click" if st.tView != Unset && st.tClick == Unset &&
+                  t > st.tView =>
+                st = st.copy(tClick = t)
+                out += FunnelOut(userId, 2L, e.ts)
+              case "purchase" if st.tClick != Unset && st.tPurchase == Unset &&
+                  t > st.tClick =>
+                st = st.copy(tPurchase = t)
+                out += FunnelOut(userId, 3L, e.ts)
+              case _ => ()
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }
