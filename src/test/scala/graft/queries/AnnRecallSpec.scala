@@ -185,4 +185,34 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(n > 0, "bucket cap dropped every candidate at sf0.1")
     spark.catalog.clearCache()
   }
+
+  test("q75 KNN graph: mean recall@3 vs exact brute-force >= 0.5") {
+    // the graph is approximate BY CONSTRUCTION (neighbors outside every
+    // shared band are unseen); this floor is the regression tripwire —
+    // measured 0.62 on this corpus. Exact top-3 is computed driver-side
+    // over the collected corpus (bounded: the test table), with the
+    // SAME left-to-right fold cosine as vec_dot.
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = emb.view.mapValues(v => math.sqrt(dot(v, v))).toMap
+    val ids = emb.keys.toSeq.filter(nrm(_) > 0).sorted
+    val exact: Map[Long, Set[Long]] = ids.map { i =>
+      i -> ids.filter(_ != i)
+        .map(j => j -> dot(emb(i), emb(j)) / (nrm(i) * nrm(j)))
+        .sortBy { case (j, c) => (-c, j) }.take(3).map(_._1).toSet
+    }.toMap
+    val got = run("q75_knn_graph").collect()
+      .groupBy(_.getAs[Long]("vec_id")).view
+      .mapValues(_.map(_.getAs[Long]("nbr")).toSet).toMap
+    val recalls = ids.map(i =>
+      (got.getOrElse(i, Set.empty) & exact(i)).size.toDouble / 3)
+    val mean = recalls.sum / recalls.size
+    assert(mean >= 0.5, f"KNN-graph mean recall@3 collapsed: $mean%.3f")
+    spark.catalog.clearCache()
+  }
 }
