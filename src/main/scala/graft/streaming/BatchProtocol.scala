@@ -204,6 +204,47 @@ private[streaming] object BatchProtocol {
     epochs.size
   }
 
+  /** Collapse the individual commit markers of batches ≤ `upToBatch`
+    * into one `compacted_through` watermark WITHOUT touching data
+    * epochs — the marker-count bound for sinks whose per-batch data is
+    * either fine as-is or compacted separately ([[PackStream]] /
+    * [[DocStream.processChunkBatch]] outputs): a year-long micro-batch
+    * stream otherwise accumulates ~10⁵ marker files, one listStatus of
+    * which becomes the slowest part of every `committed()` probe.
+    * Safe because [[committed]] treats ids at or below the watermark as
+    * committed regardless of data-epoch merging.
+    *
+    * Preconditions mirror [[compactIndex]]'s: every batch ≤ `upToBatch`
+    * must be committed (collapsing an uncommitted id would make its
+    * redelivery a silent no-op — data loss), and `upToBatch` must be an
+    * EXISTING epoch (a higher watermark would mark unrun future batches
+    * committed). Crash ordering: watermark first, then marker deletes —
+    * a crash between leaves redundant markers that the next collapse
+    * removes; `compactedThrough`'s max-wins read tolerates duplicate
+    * watermark files the same way.
+    */
+  def collapseMarkers(spark: SparkSession, indexPath: String,
+      upToBatch: Long): Unit = {
+    require(upToBatch >= 0, s"upToBatch must be a stream batch id, got $upToBatch")
+    val f = fs(spark, indexPath)
+    if (compactedThrough(spark, indexPath) >= upToBatch) {
+      dropMarkersThrough(f, indexPath, upToBatch)
+      return
+    }
+    val epochs = epochIds(spark, indexPath).filter(_ >= 0)
+    require(epochs.nonEmpty && epochs.max == upToBatch,
+      s"upToBatch=$upToBatch must be the highest existing stream epoch " +
+        s"(present: ${epochs.sorted.mkString(",")})")
+    val uncommitted = epochs.filter(id => id <= upToBatch &&
+      !committed(spark, indexPath, id))
+    require(uncommitted.isEmpty,
+      s"cannot collapse markers over uncommitted epochs ${uncommitted.sorted.mkString(",")}")
+    f.mkdirs(new Path(s"$indexPath/_commits"))
+    f.create(new Path(s"$indexPath/_commits/$WatermarkPrefix$upToBatch"), true)
+      .close()
+    dropMarkersThrough(f, indexPath, upToBatch)
+  }
+
   /** Delete individual markers for epochs ≤ `upTo` and watermark files
     * older than `upTo` — all made redundant by the `upTo` watermark.
     */

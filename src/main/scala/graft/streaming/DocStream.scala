@@ -634,13 +634,18 @@ object DocStream {
 
   /** Continuous chunking over a document stream: q74 rows land under
     * `<outPath>/batch_id=N`, markers under `<outPath>/_commits`.
+    * `collapseEvery` bounds marker-file count exactly as in
+    * [[PackStream.runPacking]].
     */
-  def runChunks(docs: DataFrame, outPath: String, checkpoint: String)
+  def runChunks(docs: DataFrame, outPath: String, checkpoint: String,
+      collapseEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processChunkBatch(batch.sparkSession, batch, batchId, outPath)
+        if (collapseEvery > 0 && (batchId + 1) % collapseEvery == 0)
+          BatchProtocol.collapseMarkers(batch.sparkSession, outPath, batchId)
       }
       .start()
 }

@@ -115,13 +115,20 @@ object PackStream {
   /** Continuous packing over a document stream: per-doc chunk
     * assignments land under `<packPath>/batch_id=N`, the cursor under
     * `<packPath>/_cursor`, markers under `<packPath>/_commits`.
+    * `collapseEvery > 0` collapses individual commit markers into one
+    * watermark every that-many batches (inside `foreachBatch`, where
+    * every epoch ≤ the current batch is committed by construction) —
+    * without it marker count grows one file per batch for stream life.
     */
-  def runPacking(docs: DataFrame, packPath: String, checkpoint: String)
+  def runPacking(docs: DataFrame, packPath: String, checkpoint: String,
+      collapseEvery: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processBatch(batch.sparkSession, batch, batchId, packPath)
+        if (collapseEvery > 0 && (batchId + 1) % collapseEvery == 0)
+          BatchProtocol.collapseMarkers(batch.sparkSession, packPath, batchId)
       }
       .start()
 }

@@ -107,4 +107,36 @@ class PackStreamSpec extends AnyFunSuite {
     assert(fs.listStatus(
       new org.apache.hadoop.fs.Path(s"$pack/_cursor")).length === 1)
   }
+
+  test("collapseEvery bounds marker count; collapsed batches stay committed") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-packcollapse").toString
+    val pack = s"$base/pack"
+    val mem = MemoryStream[(Long, String)]
+    val q = PackStream.runPacking(
+      mem.toDF().toDF("doc_id", "text"), pack, s"$base/ckpt",
+      collapseEvery = 2)
+    try {
+      mem.addData((0L until 5L).map(doc): _*)
+      q.processAllAvailable() // batch 0
+      mem.addData((5L until 10L).map(doc): _*)
+      q.processAllAvailable() // batch 1 → collapse through 1
+      mem.addData((10L until 15L).map(doc): _*)
+      q.processAllAvailable() // batch 2: fresh individual marker
+    } finally q.stop()
+    val fs = new org.apache.hadoop.fs.Path(pack)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val markers = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$pack/_commits")).map(_.getPath.getName)
+    assert(markers.toSet === Set("compacted_through=1", "2"), markers.mkString(","))
+    // a collapsed batch's redelivery is still a no-op: the data and
+    // cursor are unchanged by a replay of batch 0
+    val before = spark.read.parquet(pack).collect().toSet
+    val cur = PackStream.cursorBefore(spark, pack, 3L)
+    PackStream.processBatch(spark, (0L until 5L).map(doc).toDF("doc_id", "text"),
+      0L, pack)
+    assert(spark.read.parquet(pack).collect().toSet === before)
+    assert(PackStream.cursorBefore(spark, pack, 3L) === cur)
+  }
 }
