@@ -73,6 +73,11 @@ object Curation {
     */
   private[queries] val PackBuckets = 64
 
+  /** q81's epoch seed: a different seed is a different (reproducible)
+    * permutation — the per-epoch reshuffle knob.
+    */
+  private[queries] val ShuffleSeed = 7
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic train/val/test split: bucket = portable hash of the
     // document KEY mod 100 — not rand() (irreproducible), not row order
@@ -299,6 +304,42 @@ object Curation {
         .filter(col("n_tokens") > 0)
         .persist()
       packProfile(packAssignments(toks, 0L))
+    }),
+
+    // deterministic epoch shuffle — the training-order primitive: every
+    // document gets a stable pseudo-random POSITION (rank of its seeded
+    // 60-bit hash), so a data loader reads the corpus in a shuffled
+    // order that is reproducible across runs, repartitions, and
+    // restarts, and changing the seed is a fresh epoch permutation.
+    // rand() cannot do this (irreproducible); a global ORDER BY hash is
+    // a single-task sort. Plan shape: the q72 prefix-sum discipline
+    // keyed on the HASH — the hash space [0, 2^60) splits into
+    // [[PackBuckets]] STATIC ranges (h div 2^54, a constant divide: no
+    // id-range driver read at all), per-bucket counts collect (≤64
+    // rows), in-bucket ROW_NUMBER under a partitioned window, position
+    // = in-bucket rank + driver exclusive offset. ONE bounded driver
+    // read; composes with q72 (pack the corpus in shuffled order by
+    // feeding positions as the pack key).
+    "q81_epoch_shuffle" -> ((s, dir) => {
+      val h = portableHash60(col("doc_id").cast("string"), ShuffleSeed)
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), h.as("h"))
+        // 2^60 / PackBuckets(64) = 2^54 — static ranges, uniform under
+        // the hash, no data-dependent bounds needed
+        .withColumn("bkt", expr("CAST(h div 18014398509481984L AS INT)"))
+        .persist()
+      val off = exclusiveOffsets(
+        docs.groupBy("bkt").agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
+      if (off.isEmpty)
+        docs.select(col("doc_id"), lit(0L).as("pos")).limit(0)
+      else {
+        val w = Window.partitionBy("bkt").orderBy("h", "doc_id")
+        docs.select(col("doc_id"), col("bkt"),
+            (row_number().over(w) - 1).cast("long").as("r"))
+          .select(col("doc_id"),
+            (col("r") + element_at(typedLit(off), col("bkt"))).as("pos"))
+      }
     }),
 
     // cross-split leakage audit — the NEAR-dup counterpart of q57's
@@ -558,6 +599,14 @@ object Curation {
          |  JOIN sp b ON b.doc_id = p.doc_b
          |WHERE a.split <> b.split
          |GROUP BY a.split, b.split""".stripMargin,
+
+    "q81_epoch_shuffle" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ${Hash60(s"CAST(doc_id AS VARCHAR)||'#$ShuffleSeed'")} AS h
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |FROM h""".stripMargin,
 
     "q80_source_profile" ->
       s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),

@@ -27,7 +27,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q52_cluster_prep", "q57_decontaminate", "q58_token_budget",
     "q61_mean_surprisal", "q69_pagerank", "q71_dup_ngrams",
     "q72_sequence_pack", "q74_chunk_windows", "q75_knn_graph",
-    "q76_semantic_dedup", "q77_triangle_support", "q79_split_leakage")
+    "q76_semantic_dedup", "q77_triangle_support", "q79_split_leakage",
+    "q81_epoch_shuffle")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

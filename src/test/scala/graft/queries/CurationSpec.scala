@@ -48,7 +48,7 @@ class CurationSpec extends AnyFunSuite {
 
   for (q <- Seq("q56_hash_split", "q57_decontaminate",
       "q58_token_budget", "q59_stratified_sample", "q72_sequence_pack",
-      "q79_split_leakage"))
+      "q79_split_leakage", "q81_epoch_shuffle"))
     test(s"$q yields a defined empty result on an empty corpus") {
       val dir = corpus(Seq.empty)
       assert(SparkEntry.queries(q)(spark, dir).count() === 0L)
@@ -263,6 +263,24 @@ class CurationSpec extends AnyFunSuite {
     // conservation: every token is started exactly once
     assert(got.values.map(_._2).sum === 3700L)
     assert(got.values.map(_._1).sum === 100L)
+    Caches.release(spark)
+  }
+
+  // ----------------------------------------------------------------- q81
+
+  test("q81 positions are a permutation, deterministic, and hash-ordered") {
+    val dir = corpus((0L until 50L).map(i => (i, s"doc $i", "en")))
+    val got = SparkEntry.queries("q81_epoch_shuffle")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    // a bijection onto 0..n-1 — no position dropped or doubled
+    assert(got.map(_._2).sorted.toSeq === (0L until 50L))
+    // not the identity order (the permutation actually shuffles)
+    assert(got.sortBy(_._2).map(_._1).toSeq !== (0L until 50L).toSeq)
+    // reproducible: a second run returns the identical permutation
+    Caches.release(spark)
+    val again = SparkEntry.queries("q81_epoch_shuffle")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
     Caches.release(spark)
   }
 

@@ -43,7 +43,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // train doc with overlap 0, q58 selects a budgeted subset; q59 needs
     // a lang column and is degenerate-tested in CurationSpec instead
     "q56_hash_split", "q57_decontaminate", "q58_token_budget",
-    "q72_sequence_pack", "q74_chunk_windows",
+    "q72_sequence_pack", "q74_chunk_windows", "q81_epoch_shuffle",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",

@@ -376,6 +376,16 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q81 epoch shuffle: partitioned rank — no single-partition stage") {
+    // a shuffle position written as one global ORDER BY hash is a
+    // single-task sort of the corpus; the static hash-range buckets must
+    // keep every window partitioned
+    val p = execPlan("q81_epoch_shuffle")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark) // q81 persists its hashed projection
+  }
+
   test("q60 range join: binned equi-join — no nested loop, no cartesian product") {
     // THE property that makes the binned interval join runnable at a
     // 100 TB fact table: written as a plain range-predicate join,
