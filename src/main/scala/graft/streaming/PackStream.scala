@@ -39,6 +39,17 @@ import org.apache.spark.sql.functions._
   * cursor advance. The cursor itself is the only serialization point,
   * by construction: packing defines a total concatenation order, so the
   * stream pays one scalar of state, not a shuffle.
+  *
+  * File-count maintenance: `collapseEvery` bounds the MARKER count
+  * (one watermark instead of one file per batch). The per-batch DATA
+  * epochs are plain parquet under `batch_id=N` — on a long-lived
+  * stream, compact them QUIESCED with
+  * [[graft.Compaction.compactPartitioned]] (partCols = `batch_id`,
+  * layout-preserving: one file per epoch) into a fresh tree, copy
+  * `_commits` + `_cursor` across (underscore dirs are invisible to the
+  * parquet reader and are not migrated by the rewrite), and swap with
+  * one rename — redelivery semantics are untouched because
+  * `committed()` consults only the migrated markers/watermark.
   */
 object PackStream {
 
