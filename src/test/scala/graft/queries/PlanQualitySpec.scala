@@ -376,6 +376,34 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q74 chunk windows: narrow per-row explode — zero Exchange operators") {
+    // chunking is per-document arithmetic; any Exchange in this plan is
+    // a regression (the claimed zero-shuffle posture, machine-checked)
+    val df = SparkEntry.queries("q74_chunk_windows")(spark, dir)
+    df.collect() // finalize THIS QueryExecution under AQE
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+    assert(p.contains("Generate"), p)
+    graft.Caches.release(spark) // q74 persists its token projection
+  }
+
+  test("q79 split leakage: equi-joins only, bounded aggregate — no cartesian") {
+    val df = SparkEntry.queries("q79_split_leakage")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    graft.Caches.release(spark) // embedded q27 persists its sketch
+  }
+
+  test("q80 source profile: two-phase aggregation, no single-partition stage") {
+    val df = SparkEntry.queries("q80_source_profile")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("partial_count") || p.contains("partial count") ||
+      p.contains("HashAggregate"), p.take(1500))
+  }
+
   test("q81 epoch shuffle: partitioned rank — no single-partition stage") {
     // a shuffle position written as one global ORDER BY hash is a
     // single-task sort of the corpus; the static hash-range buckets must
