@@ -38,8 +38,19 @@ def main(sf_dir, out_dir):
             wrows, wcols = norm(want.fetchall(), want.columns)
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}"); failed.append(name); continue
+        # Driver's hash is type-sensitive: DuckDB widens e.g. windowed
+        # SUM(BIGINT) to HUGEINT, which value-matches under repr() but
+        # hash-mismatches at the driver (round-10 q72). Compare result
+        # types too, normalized by sorted column order.
+        gorder = sorted(range(len(got.columns)), key=lambda i: got.columns[i])
+        worder = sorted(range(len(want.columns)), key=lambda i: want.columns[i])
+        gtypes = [str(got.types[i]) for i in gorder]
+        wtypes = [str(want.types[i]) for i in worder]
         if gcols != wcols:
             print(f"FAIL {name}: columns {gcols} vs {wcols}"); failed.append(name)
+        elif gtypes != wtypes:
+            print(f"FAIL {name}: types {list(zip(gcols, gtypes))} vs {list(zip(wcols, wtypes))}")
+            failed.append(name)
         elif grows != wrows:
             diffs = [(a, b) for a, b in zip(grows, wrows) if a != b][:3]
             print(f"FAIL {name}: {len(grows)} vs {len(wrows)} rows; first diffs: {diffs}")

@@ -574,7 +574,7 @@ object Curation {
          |  SUM(n_tokens) OVER (ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
          |  FROM t)
-         |SELECT (cum - n_tokens) // $PackCapacity AS chunk_id,
+         |SELECT CAST((cum - n_tokens) // $PackCapacity AS BIGINT) AS chunk_id,
          |  COUNT(*) AS n_docs,
          |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
          |  CAST(SUM(CASE WHEN (cum - 1) // $PackCapacity
