@@ -70,52 +70,66 @@ object EtlMain {
       val metaUrl = flags.getOrElse("meta", s"$warehouse/meta")
       val meta = new MetaStore(spark, MetaStorage.forUrl(spark, metaUrl, naming))
       val targets = new TargetStore(spark, s"$warehouse/tables", naming)
-      flags.get("compact").foreach { spec =>
-        // maintenance verb: compact and exit — no discovery, no loads
-        compactTargets(targets,
-          EtlConfig.fromFile(configPath).map(_.targetTable).distinct, spec)
-          .foreach(println)
-        return
-      }
-      val tasks = new Tasks(source, meta, targets)
-      tasks.loadConfiguration(configPath)
-      meta.setUpAccounting()
-      val loaded: Seq[EtlConfig] = flags.get("stream") match {
-        case Some(ckpt) =>
-          require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sourceArg)),
-            "--stream requires a fixture-directory source")
-          val acc = Seq.newBuilder[EtlConfig]
-          val q = spark.readStream.format("graft.etl.GridDiscoveryProvider")
-            .option("path", sourceArg).load()
-            .writeStream
-            .option("checkpointLocation", ckpt)
-            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-            .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
-              val seen = batch.select("spreadsheet_id", "modified_time", "name")
-                .collect()
-                .map(r => SpreadsheetMeta(r.getString(0), r.getString(1), r.getString(2)))
-                .toSeq
-              println(s"[graft-etl] batch $id discovered ${seen.size} spreadsheet(s)")
-              acc ++= tasks.loadDiscoveredBatch(seen)
-              ()
-            }
-            .start()
-          q.awaitTermination() // AvailableNow exits once drained
-          acc.result()
+      flags.get("compact") match {
+        case Some(spec) =>
+          // maintenance verb: compact and exit — no discovery, no loads.
+          // A branch, not a `return` from a lambda: non-local return
+          // unwinds via NonLocalReturnControl and breaks silently if the
+          // closure is ever deferred (the q67 trap).
+          compactTargets(targets,
+            EtlConfig.fromFile(configPath).map(_.targetTable).distinct, spec)
+            .foreach(println)
         case None =>
-          val found = tasks.findSomeUpdatedSpreadsheets()
-          println(s"[graft-etl] discovered $found spreadsheet(s)")
-          tasks.loadSomeUpdatedSpreadsheets()
-      }
-      loaded.foreach(j => println(
-        s"[graft-etl] loaded ${j.googleSpreadsheetId}/${j.sheetName} -> ${j.targetTable}"))
-      println(s"[graft-etl] loaded ${loaded.size} sheet(s)")
-      val ok = tasks.verifyOldestSpreadsheet()
-      println(s"[graft-etl] access audit: ${if (ok) "ok" else "INACCESSIBLE"}")
-      loaded.map(_.targetTable).distinct.foreach { t =>
-        println(s"[graft-etl] $t now has ${targets.read(t).count()} row(s)")
+          runLoad(spark, source, meta, targets, sourceArg, configPath, flags)
       }
     } finally spark.stop()
+  }
+
+  /** The default (non-`--compact`) body: configure, discover, load,
+    * audit, report — one scheduler tick of the reference's cron pair
+    * (§7.2), batch or `--stream` checkpointed micro-batch.
+    */
+  private def runLoad(spark: SparkSession, source: GridSource,
+      meta: MetaStore, targets: TargetStore, sourceArg: String,
+      configPath: String, flags: Map[String, String]): Unit = {
+    val tasks = new Tasks(source, meta, targets)
+    tasks.loadConfiguration(configPath)
+    meta.setUpAccounting()
+    val loaded: Seq[EtlConfig] = flags.get("stream") match {
+      case Some(ckpt) =>
+        require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sourceArg)),
+          "--stream requires a fixture-directory source")
+        val acc = Seq.newBuilder[EtlConfig]
+        val q = spark.readStream.format("graft.etl.GridDiscoveryProvider")
+          .option("path", sourceArg).load()
+          .writeStream
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+            val seen = batch.select("spreadsheet_id", "modified_time", "name")
+              .collect()
+              .map(r => SpreadsheetMeta(r.getString(0), r.getString(1), r.getString(2)))
+              .toSeq
+            println(s"[graft-etl] batch $id discovered ${seen.size} spreadsheet(s)")
+            acc ++= tasks.loadDiscoveredBatch(seen)
+            ()
+          }
+          .start()
+        q.awaitTermination() // AvailableNow exits once drained
+        acc.result()
+      case None =>
+        val found = tasks.findSomeUpdatedSpreadsheets()
+        println(s"[graft-etl] discovered $found spreadsheet(s)")
+        tasks.loadSomeUpdatedSpreadsheets()
+    }
+    loaded.foreach(j => println(
+      s"[graft-etl] loaded ${j.googleSpreadsheetId}/${j.sheetName} -> ${j.targetTable}"))
+    println(s"[graft-etl] loaded ${loaded.size} sheet(s)")
+    val ok = tasks.verifyOldestSpreadsheet()
+    println(s"[graft-etl] access audit: ${if (ok) "ok" else "INACCESSIBLE"}")
+    loaded.map(_.targetTable).distinct.foreach { t =>
+      println(s"[graft-etl] $t now has ${targets.read(t).count()} row(s)")
+    }
   }
 
   /** The `--compact` maintenance body (R22 aftercare): compact the named

@@ -272,8 +272,11 @@ object Similarity {
   private def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     val n = Tables(s, dir, "embeddings").count()
     val mod = sampleModFor(n)
+    // null-element vectors can't train (the driver-side unboxing below
+    // has no null slot) — excluded here and in the oracle's psamp alike
     val samp: Array[Array[Double]] = Tables(s, dir, "embeddings")
-      .filter(col("vec_id") % mod === 0 && size(col("embedding")) === 64)
+      .filter(col("vec_id") % mod === 0 && size(col("embedding")) === 64 &&
+        !exists(col("embedding"), _.isNull))
       .select(col("vec_id"), col("embedding"))
       .collect()
       .sortBy(_.getLong(0))
@@ -852,7 +855,9 @@ object Similarity {
     // sums i=1..16, then err = e0+e1+e2+e3 left-assoc; PqNativeSpec
     // pins bitwise parity with the composed lambda form). Non-64-dim
     // vectors (truncated feature extraction) yield null codes on both
-    // engines rather than a divergent partial distance.
+    // engines rather than a divergent partial distance; a null ELEMENT
+    // nulls its own subspace's code (and err) on both engines — the
+    // oracle's guarded fold mirrors SubspaceSqDists' null-poisoning.
     "q65_pq_codes" -> ((s, dir) => {
       val withMin = pqDistances(Tables(s, dir, "embeddings"), pqCodebooks(s, dir))
       withMin.select(
@@ -881,7 +886,8 @@ object Similarity {
     "q67_ann_adc" -> ((s, dir) => {
       val books = pqCodebooks(s, dir)
       val qRow = Tables(s, dir, "embeddings")
-        .filter(col("vec_id") === 0 && size(col("embedding")) === 64)
+        .filter(col("vec_id") === 0 && size(col("embedding")) === 64 &&
+          !exists(col("embedding"), _.isNull)) // a null element = no query
         .select(col("embedding"))
         .collect().headOption
       qRow match {
@@ -906,6 +912,12 @@ object Similarity {
           }
           pqDistances(Tables(s, dir, "embeddings"), books)
             .filter(col("dims") === 64) // codeless rows aren't in the index
+            // a null-ELEMENT vector has no complete code word either —
+            // filter BEFORE the table lookup: element_at with a null
+            // index does NOT null-propagate (codegen reads the index
+            // slot's 0-default and fabricates a finite value), so the
+            // guard must be on the mins, not on a null adc afterwards
+            .filter((0 until PqM).map(m => col(s"mn$m").isNotNull).reduce(_ && _))
             .select(col("vec_id"),
               (0 until PqM).map { m =>
                 element_at(typedLit(tables(m).toSeq),
@@ -1059,11 +1071,17 @@ object Similarity {
 
   /** Sequential squared-L2 fold over a [[PqSubDim]]-dim pair (mirrors the
     * trainer's and assigner's while-loops: i = 1..16, (a_i−c_i)², summed
-    * left to right).
+    * left to right). All-or-null on the vector side: DuckDB's list
+    * `'sum'` SKIPS null entries, so an embedding slice containing a null
+    * element would get a partial-sum distance here while the Spark side
+    * ([[graft.functions.SubspaceSqDists]]) nulls the whole subspace —
+    * the guard makes a null element poison the fold on both engines.
+    * The centroid side `c` is aggregate-built and never null.
     */
   private def sqlSqDist(a: String, c: String): String =
-    s"list_aggregate(list_transform(range(1, ${PqSubDim + 1}), " +
-      s"i -> ($a[i] - $c[i])*($a[i] - $c[i])), 'sum')"
+    s"CASE WHEN len(list_filter($a, x -> x IS NULL)) = 0 THEN " +
+      s"list_aggregate(list_transform(range(1, ${PqSubDim + 1}), " +
+      s"i -> ($a[i] - $c[i])*($a[i] - $c[i])), 'sum') END"
 
   /** The (vec_id, m, subv) explosion of `src` into per-subspace
     * double-cast slices — the relational form of [[pqCodebooks]]'s
@@ -1316,7 +1334,8 @@ object Similarity {
          |  ${(0 until PqM).map(m =>
               s"MAX(CASE WHEN m = $m THEN td END)").mkString(" + ")} AS adc
          |  FROM a GROUP BY vec_id)
-         |SELECT vec_id, adc FROM v ORDER BY adc, vec_id LIMIT 10""".stripMargin,
+         |SELECT vec_id, adc FROM v WHERE adc IS NOT NULL
+         |ORDER BY adc, vec_id LIMIT 10""".stripMargin,
 
     // per-dim calibration: parallel unnests zip value with position;
     // the all-or-null CASE on q_sum mirrors the Spark fold's
@@ -1389,6 +1408,7 @@ object Similarity {
   private def sqlPqChain: String =
     s"""psamp AS (SELECT * FROM ${sqlPqSubs("embeddings",
           s"""
+     | AND len(list_filter(embedding, x -> x IS NULL)) = 0
      | AND vec_id % (SELECT GREATEST(5, (count(*) + ${SampleCap - 1}) // $SampleCap) FROM embeddings) = 0""".stripMargin)} t0),
        |pc0 AS (SELECT m, k, subv AS cvec FROM (SELECT m, subv,
        |  ROW_NUMBER() OVER (PARTITION BY m ORDER BY vec_id) - 1 AS k FROM psamp) t WHERE k < $PqK),
@@ -1397,5 +1417,6 @@ object Similarity {
        |pd AS (SELECT s.vec_id, s.m, c.k, ${sqlSqDist("s.subv", "c.cvec")} AS d2
        |  FROM pall s JOIN pc$KmeansIters c ON c.m = s.m),
        |pbest AS (SELECT vec_id, m, k, d2 FROM (SELECT *,
-       |  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM pd) t WHERE rn = 1)""".stripMargin
+       |  ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, k) AS rn FROM pd) t
+       |  WHERE rn = 1 AND d2 IS NOT NULL)""".stripMargin
 }

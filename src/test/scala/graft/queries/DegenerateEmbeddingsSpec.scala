@@ -17,9 +17,17 @@ class DegenerateEmbeddingsSpec extends AnyFunSuite {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-degen-emb").toString
     val rows = (0L until 12L).map { i =>
-      val v: Seq[Float] =
-        if (i == 5L) Seq.fill(64)(0f) // the degenerate zero vector
-        else (1 to 64).map(j => math.sin(i * 64 + j).toFloat)
+      val v: Seq[java.lang.Float] =
+        if (i == 5L) Seq.fill(64)(java.lang.Float.valueOf(0f)) // zero vector
+        else {
+          val base = (1 to 64).map(j =>
+            java.lang.Float.valueOf(math.sin(i * 64 + j).toFloat))
+          // vec 6: one null element (failed feature extraction slot) —
+          // dot products fold it as +0 on BOTH engines (Spark reads the
+          // null slot as 0.0f; DuckDB's 'sum' skips the null term), so
+          // the cosine family must keep it, never crash on it
+          if (i == 6L) base.updated(20, null: java.lang.Float) else base
+        }
       (i, v, s"label$i")
     }
     rows.toDF("vec_id", "embedding", "label")

@@ -81,6 +81,52 @@ class QuantizeSpec extends AnyFunSuite {
     assert((1 to 5).forall(short.isNullAt), s"truncated vector must be all null: $short")
   }
 
+  private def vectorsN(rows: Seq[(Long, Seq[java.lang.Float])]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-quant-null").toString
+    rows.toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("q65 null-element vector: the affected SUBSPACE nulls, the others code") {
+    // DuckDB's list 'sum' skips nulls — an unguarded oracle would give
+    // the vector a partial-sum distance and a real code while Spark's
+    // SubspaceSqDists nulls the subspace; the guarded mirror poisons
+    // the fold the same way (ADVICE r10)
+    val v64: Seq[java.lang.Float] =
+      (1 to 64).map(j => java.lang.Float.valueOf(math.sin(j).toFloat))
+    val withNull = v64.updated(20, null: java.lang.Float) // dim 20 ∈ subspace 1
+    val dir = vectorsN((0L to 5L).map(i => (i, v64)) :+ (10L -> withNull))
+    // vec_id 10 IS on the modulus sample grid (10 % 5 == 0): the trainer
+    // must SKIP it (it would otherwise read the null slot as 0.0f and
+    // train on a vector the oracle's filtered psamp never sees)
+    val rows = SparkEntry.queries("q65_pq_codes")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val nu = rows(10L)
+    assert(!nu.isNullAt(1) && nu.getLong(1) == 0L, s"subspace 0 unaffected: $nu")
+    assert(nu.isNullAt(2), s"the null element must null ITS subspace's code: $nu")
+    assert(!nu.isNullAt(3) && !nu.isNullAt(4), s"later subspaces unaffected: $nu")
+    assert(nu.isNullAt(5), "err must be null-poisoned by the incomplete subspace")
+    // clean rows still quantize exactly against the identical-copy sample
+    (0L to 5L).foreach(i => assert(rows(i).getDouble(5) == 0.0))
+  }
+
+  test("q67 null-element vectors: not in the ADC index; null-element query = empty") {
+    val boxed: Seq[java.lang.Float] =
+      (1 to 64).map(j => java.lang.Float.valueOf(math.cos(j).toFloat))
+    val neg = boxed.map(x => java.lang.Float.valueOf(-x.floatValue))
+    val withNull = boxed.updated(3, null: java.lang.Float)
+    val dir = vectorsN(Seq(0L -> boxed, 5L -> neg, 7L -> withNull))
+    val got = SparkEntry.queries("q67_ann_adc")(spark, dir).collect()
+    // without the adc-not-null filter the codeless vector would SORT
+    // FIRST (Spark asc = nulls first) while DuckDB sorts nulls last
+    assert(got.nonEmpty && !got.map(_.getLong(0)).contains(7L),
+      "a vector with a null element has no complete code word")
+    // a null element in the QUERY vector = no query (the q29/q35 empty)
+    val qNull = vectorsN(Seq(0L -> withNull, 5L -> boxed))
+    assert(SparkEntry.queries("q67_ann_adc")(spark, qNull).collect().isEmpty)
+  }
+
   test("q67 with a missing or truncated query vector answers empty, not a crash") {
     val v64 = (1 to 64).map(j => math.cos(j).toFloat)
     // no vec_id 0 at all (id 5 keeps the modulus sample non-empty)
