@@ -342,6 +342,32 @@ object Curation {
       }
     }),
 
+    // epoch-shuffled packing — q81 ∘ q72, the actual training-data
+    // layout step: concatenate the corpus in the epoch's shuffled order
+    // and cut every [[PackCapacity]] tokens (packing in CORPUS order
+    // correlates adjacent training sequences with ingest order; packing
+    // the shuffled order is what a data loader ships). The pack key is
+    // q81's POSITION — dense pseudo-random ranks — so the composed
+    // operator inherits both pinned plan shapes: q81's static-range
+    // bucketed rank and q72's bucketed prefix sum, never a
+    // single-partition window, driver reads still the bounded bucket
+    // totals. A different [[ShuffleSeed]] is a different (reproducible)
+    // epoch layout over the same chunk arithmetic.
+    "q82_shuffled_pack" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      // positions re-key the pack: pos becomes the doc_id-shaped order
+      // key packAssignments buckets and prefix-sums over (its id-range
+      // bucketing is uniform by construction on dense ranks)
+      val shuffled = queries("q81_epoch_shuffle")(s, dir)
+        .join(toks, "doc_id")
+        .select(col("pos").as("doc_id"), col("n_tokens"))
+        .persist()
+      packProfile(packAssignments(shuffled, 0L))
+    }),
+
     // cross-split leakage audit — the NEAR-dup counterpart of q57's
     // exact 8-gram decontamination: how many q27 near-dup pairs straddle
     // a q56 split boundary (a test document with a train near-duplicate
@@ -607,6 +633,32 @@ object Curation {
          |SELECT doc_id,
          |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
          |FROM h""".stripMargin,
+
+    // q81's ROW_NUMBER CTE feeding q72's window chain — the literal
+    // composition the Spark side performs
+    "q82_shuffled_pack" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ${Hash60(s"CAST(doc_id AS VARCHAR)||'#$ShuffleSeed'")} AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |  FROM h),
+         |tk AS (SELECT doc_id, len(${TextAnalysis.Toks}) AS n_tokens
+         |  FROM documents),
+         |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
+         |c AS (SELECT t.doc_id, t.n_tokens,
+         |  SUM(t.n_tokens) OVER (ORDER BY p.pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t JOIN p USING (doc_id))
+         |SELECT CAST((cum - n_tokens) // $PackCapacity AS BIGINT) AS chunk_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+         |  CAST(SUM(CASE WHEN (cum - 1) // $PackCapacity
+         |      > (cum - n_tokens) // $PackCapacity THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_straddlers,
+         |  CAST(MAX((cum - 1) // $PackCapacity
+         |    - (cum - n_tokens) // $PackCapacity + 1) AS BIGINT) AS max_span
+         |FROM c GROUP BY 1""".stripMargin,
 
     "q80_source_profile" ->
       s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),

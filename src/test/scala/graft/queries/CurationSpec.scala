@@ -48,7 +48,7 @@ class CurationSpec extends AnyFunSuite {
 
   for (q <- Seq("q56_hash_split", "q57_decontaminate",
       "q58_token_budget", "q59_stratified_sample", "q72_sequence_pack",
-      "q79_split_leakage", "q81_epoch_shuffle"))
+      "q79_split_leakage", "q81_epoch_shuffle", "q82_shuffled_pack"))
     test(s"$q yields a defined empty result on an empty corpus") {
       val dir = corpus(Seq.empty)
       assert(SparkEntry.queries(q)(spark, dir).count() === 0L)
@@ -281,6 +281,51 @@ class CurationSpec extends AnyFunSuite {
     val again = SparkEntry.queries("q81_epoch_shuffle")(spark, dir)
       .collect().map(r => r.getLong(0) -> r.getLong(1))
     assert(got.sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    Caches.release(spark)
+  }
+
+  // ----------------------------------------------------------------- q82
+
+  test("q82 packs the q81 permutation: matches the reference fold in shuffled order") {
+    // variable-length docs so corpus order and shuffled order produce
+    // DIFFERENT chunk profiles — the composition must follow the latter
+    val rows = (0L until 100L).map(i =>
+      (i, Seq.fill((i % 53 + 1).toInt)("tok").mkString(" "), "en"))
+    val dir = corpus(rows)
+    val pos = SparkEntry.queries("q81_epoch_shuffle")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caches.release(spark)
+    // reference: sequential concat-and-chunk fold in POSITION order
+    val nTok = rows.map { case (i, t, _) => i -> t.split(" ").length.toLong }.toMap
+    val cap = 512L
+    var cum = 0L
+    val ref = scala.collection.mutable.Map.empty[Long, (Long, Long, Long, Long)]
+    for (i <- rows.map(_._1).sortBy(pos)) {
+      val n = nTok(i)
+      val start = cum; cum += n
+      val first = start / cap
+      val span = (cum - 1) / cap - first + 1
+      val (d, t, s, m) = ref.getOrElse(first, (0L, 0L, 0L, 0L))
+      ref(first) = (d + 1, t + n, s + (if (span > 1) 1L else 0L),
+        math.max(m, span))
+    }
+    val got = SparkEntry.queries("q82_shuffled_pack")(spark, dir)
+      .collect().map(r => r.getAs[Long]("chunk_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_started"),
+          r.getAs[Long]("n_straddlers"), r.getAs[Long]("max_span")))
+      .toMap
+    assert(got === ref.toMap)
+    // every token started exactly once, same mass as corpus-order packing
+    assert(got.values.map(_._2).sum === nTok.values.sum)
+    Caches.release(spark)
+    // the shuffle is observable: the per-chunk profile differs from
+    // corpus-order packing on this corpus (deterministic fixture+seed)
+    val inOrder = SparkEntry.queries("q72_sequence_pack")(spark, dir)
+      .collect().map(r => r.getAs[Long]("chunk_id") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_started"),
+          r.getAs[Long]("n_straddlers"), r.getAs[Long]("max_span")))
+      .toMap
+    assert(got !== inOrder, "shuffled-order packing must not equal corpus order")
     Caches.release(spark)
   }
 

@@ -376,6 +376,15 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q82 shuffled pack: both composed stages stay partitioned — no single-partition window") {
+    // the composition must not cost either pinned shape: q81's rank and
+    // q72's prefix sum each stay under partitioned (bucketed) windows
+    val p = execPlan("q82_shuffled_pack")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark) // q81's hashed + q82's shuffled projections
+  }
+
   test("q74 chunk windows: narrow per-row explode — zero Exchange operators") {
     // chunking is per-document arithmetic; any Exchange in this plan is
     // a regression (the claimed zero-shuffle posture, machine-checked)
