@@ -17,6 +17,50 @@ object Events {
 
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** Depth-N ordered funnel over an event log: per user, the first
+    * occurrence of `stages(0)`, then the first `stages(1)` strictly AFTER
+    * it, and so on down the chain. The cascaded-conditional-min shape
+    * generalizes mechanically from the 3-stage q78: every stage is one
+    * map-side-combined MIN aggregate plus an equi-join on user_id — N
+    * passes over the type-filtered scan, no window over a user's whole
+    * history, nothing ordered globally, and every shuffle shares the
+    * user_id key (so at 100 TB the N stages reuse one exchange
+    * partitioning). Output: user_id, t_<stage> per stage (null once the
+    * chain breaks), funnel_depth = number of stages reached.
+    */
+  private[graft] def funnelStages(ev: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"funnel stages must be non-empty and distinct: $stages")
+    val users = ev.select(col("user_id")).distinct()
+    // fold forward: stage i's candidates are conditioned on arriving
+    // strictly after stage i-1's per-user min
+    val mins = stages.foldLeft(List.empty[(String, DataFrame)]) {
+      case (acc, stage) =>
+        val filtered = ev.filter(col("event_type") === stage)
+          .select(col("user_id"), col("ts"))
+        val conditioned = acc match {
+          case Nil => filtered
+          case (prevName, prevDf) :: _ =>
+            filtered.join(prevDf, "user_id")
+              .filter(col("ts") > col(s"t_$prevName"))
+        }
+        val agg = conditioned.groupBy("user_id").agg(min("ts").as(s"t_$stage"))
+        (stage, agg) :: acc
+    }.reverse
+    val stitched = mins.foldLeft(users) {
+      case (df, (_, m)) => df.join(m, Seq("user_id"), "left")
+    }
+    // null-front depth: fold shallow→deep so the DEEPEST stage's check
+    // ends up outermost (a user at depth k has every t_<stage> up to k
+    // non-null, so the deepest non-null must win)
+    val depth = stages.zipWithIndex
+      .foldLeft(lit(0L)) { case (els, (stage, i)) =>
+        when(col(s"t_$stage").isNotNull, lit(i + 1L)).otherwise(els)
+      }
+    stitched.select(
+      col("user_id") +: stages.map(s => col(s"t_$s")) :+ depth.as("funnel_depth"): _*)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // tumbling 1-hour windows per event type
     "q23_event_windows" -> ((s, dir) => {
@@ -131,29 +175,15 @@ object Events {
     // event scan, no window over a user's whole history and nothing
     // ordered globally; every shuffle shares the user_id key. Depth is
     // the stitched null-front: 0 = never viewed … 3 = converted.
-    "q78_funnel" -> ((s, dir) => {
-      val ev = Tables(s, dir, "events")
-      val users = ev.select(col("user_id")).distinct()
-      val v = ev.filter(col("event_type") === "view")
-        .groupBy("user_id").agg(min("ts").as("t_view"))
-      val c = ev.filter(col("event_type") === "click")
-        .join(v, "user_id")
-        .filter(col("ts") > col("t_view"))
-        .groupBy("user_id").agg(min("ts").as("t_click"))
-      val p = ev.filter(col("event_type") === "purchase")
-        .join(c, "user_id")
-        .filter(col("ts") > col("t_click"))
-        .groupBy("user_id").agg(min("ts").as("t_purchase"))
-      users.join(v, Seq("user_id"), "left")
-        .join(c, Seq("user_id"), "left")
-        .join(p, Seq("user_id"), "left")
-        .select(col("user_id"), col("t_view"), col("t_click"),
-          col("t_purchase"),
-          when(col("t_purchase").isNotNull, 3L)
-            .when(col("t_click").isNotNull, 2L)
-            .when(col("t_view").isNotNull, 1L)
-            .otherwise(0L).as("funnel_depth"))
-    }))
+    "q78_funnel" -> ((s, dir) =>
+      funnelStages(Tables(s, dir, "events"), Seq("view", "click", "purchase"))),
+
+    // depth-4 funnel: the generalized stage list exercised one deeper
+    // than q78 (signup → view → click → purchase). Same plan family —
+    // N cascaded conditional mins on one shuffle key.
+    "q83_funnel_stages" -> ((s, dir) =>
+      funnelStages(Tables(s, dir, "events"),
+        Seq("signup", "view", "click", "purchase"))))
 
   def oracleSql: Map[String, String] = Map(
     "q23_event_windows" ->
@@ -225,5 +255,27 @@ object Events {
         |       WHEN v.t_view IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
         |    AS funnel_depth
         |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
-        |  LEFT JOIN p USING (user_id)""".stripMargin)
+        |  LEFT JOIN p USING (user_id)""".stripMargin,
+
+    "q83_funnel_stages" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s1 AS (SELECT user_id, MIN(ts) AS t_signup FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t_view FROM events e
+        |  JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t_signup GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t_click FROM events e
+        |  JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t_view GROUP BY e.user_id),
+        |s4 AS (SELECT e.user_id, MIN(e.ts) AS t_purchase FROM events e
+        |  JOIN s3 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t_click GROUP BY e.user_id)
+        |SELECT u.user_id, s1.t_signup, s2.t_view, s3.t_click, s4.t_purchase,
+        |  CAST(CASE WHEN s4.t_purchase IS NOT NULL THEN 4
+        |       WHEN s3.t_click IS NOT NULL THEN 3
+        |       WHEN s2.t_view IS NOT NULL THEN 2
+        |       WHEN s1.t_signup IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+        |    AS funnel_depth
+        |FROM u LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+        |  LEFT JOIN s3 USING (user_id) LEFT JOIN s4 USING (user_id)""".stripMargin)
 }

@@ -61,4 +61,33 @@ class GraphFunnelSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getAs[Long]("funnel_depth")).toMap
     assert(got === Map(1L -> 3L, 2L -> 1L, 3L -> 2L, 4L -> 0L))
   }
+
+  test("q83: depth-4 stage list — chain restarts at every stage boundary") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-funnel4").toString
+    def ts(min: Long) = new Timestamp(min * 60000L)
+    Seq(
+      // user 1 converts fully in order → depth 4
+      (0L, ts(1), 1L, "signup", 1.0, "{}"),
+      (1L, ts(2), 1L, "view", 1.0, "{}"),
+      (2L, ts(3), 1L, "click", 1.0, "{}"),
+      (3L, ts(4), 1L, "purchase", 1.0, "{}"),
+      // user 2: view BEFORE signup is not progress → depth 1
+      (4L, ts(1), 2L, "view", 1.0, "{}"),
+      (5L, ts(2), 2L, "signup", 1.0, "{}"),
+      (6L, ts(3), 2L, "click", 1.0, "{}"),
+      // user 3: purchase lands before the first post-view click → depth 3
+      (7L, ts(1), 3L, "signup", 1.0, "{}"),
+      (8L, ts(2), 3L, "view", 1.0, "{}"),
+      (9L, ts(3), 3L, "purchase", 1.0, "{}"),
+      (10L, ts(4), 3L, "click", 1.0, "{}"),
+      // user 4 never signs up → depth 0 regardless of later stages
+      (11L, ts(1), 4L, "view", 1.0, "{}"),
+      (12L, ts(2), 4L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q83_funnel_stages")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("funnel_depth")).toMap
+    assert(got === Map(1L -> 4L, 2L -> 1L, 3L -> 3L, 4L -> 0L))
+  }
 }

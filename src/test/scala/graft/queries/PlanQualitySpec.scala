@@ -514,6 +514,17 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_min") || p.contains("partial min"), p.take(1500))
   }
 
+  test("q83 depth-4 funnel: same plan family as q78 — partial mins, no single partition") {
+    // the generalized stage list must not change the plan shape: N
+    // map-side-combined mins chained by user_id equi-joins
+    val df = SparkEntry.queries("q83_funnel_stages")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_min") || p.contains("partial min"), p.take(1500))
+  }
+
   test("q76 semantic dedup: the pair join's equi-key is the cell — no cartesian") {
     // SemDeDup's scale contract: pair enumeration never crosses cells.
     // The plan must show hash/merge joins only, and the cell assignment
