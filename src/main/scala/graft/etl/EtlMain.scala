@@ -39,12 +39,50 @@ import org.apache.spark.sql.SparkSession
   * model, but the cursor lives in the Spark checkpoint at CKPT rather
   * than the warehouse argmax (R14). Effects are identical and idempotent
   * either way (§7.4); directory sources only.
+  *
+  * `--compact-every N` (with `--stream`) runs the [[CompactCadence]]
+  * aftercare inline: every N micro-batches that loaded at least one
+  * sheet, the touched target tables are compacted in place — so a
+  * long-lived discovery stream's target file counts stay bounded by the
+  * cadence instead of growing with stream age.
   */
+/** Streaming aftercare cadence (`--stream` + `--compact-every N`): a
+  * long-lived discovery stream fragments its target tables through
+  * chunked per-job partition overwrites; this counter compacts each
+  * TOUCHED table after every N loaded micro-batches, so the file count
+  * of a target is bounded by the cadence, not by stream age — the same
+  * contract the streaming index keeps via `BatchProtocol.compactIndex`.
+  * Idle batches (nothing loaded) don't advance the counter: an
+  * all-quiet night never triggers a pointless full-table rewrite.
+  */
+private[etl] final class CompactCadence(targets: TargetStore, every: Int) {
+  require(every > 0, s"compact-every must be positive, got $every")
+  private var loadedBatches = 0
+  private val touched = scala.collection.mutable.Set.empty[String]
+
+  /** Observe one micro-batch's loads; returns compaction report lines
+    * (empty when the cadence doesn't fire). */
+  def onBatch(loaded: Seq[EtlConfig]): Seq[String] = {
+    if (loaded.nonEmpty) {
+      loadedBatches += 1
+      touched ++= loaded.map(_.targetTable)
+    }
+    if (loaded.nonEmpty && loadedBatches % every == 0 && touched.nonEmpty) {
+      val report = touched.toSeq.sorted.map { t =>
+        val (before, after) = targets.compact(t)
+        s"[graft-etl] compacted $t: $before -> $after file(s)"
+      }
+      touched.clear()
+      report
+    } else Nil
+  }
+}
+
 object EtlMain {
   def main(args: Array[String]): Unit = {
     val (positional, flags) = parseArgs(args)
     if (positional.length != 3) {
-      System.err.println("usage: EtlMain <fixturesDir|googleKey.json> <etlConfig.json> <warehouseDir> [--schema S] [--prefix P] [--meta URL] [--stream CKPT] [--compact all|t1,t2]")
+      System.err.println("usage: EtlMain <fixturesDir|googleKey.json> <etlConfig.json> <warehouseDir> [--schema S] [--prefix P] [--meta URL] [--stream CKPT] [--compact all|t1,t2] [--compact-every N]")
       sys.exit(1)
     }
     val Seq(sourceArg, configPath, warehouse) = positional
@@ -100,6 +138,8 @@ object EtlMain {
         require(java.nio.file.Files.isDirectory(java.nio.file.Paths.get(sourceArg)),
           "--stream requires a fixture-directory source")
         val acc = Seq.newBuilder[EtlConfig]
+        val cadence = flags.get("compact-every")
+          .map(n => new CompactCadence(targets, n.toInt))
         val q = spark.readStream.format("graft.etl.GridDiscoveryProvider")
           .option("path", sourceArg).load()
           .writeStream
@@ -111,7 +151,9 @@ object EtlMain {
               .map(r => SpreadsheetMeta(r.getString(0), r.getString(1), r.getString(2)))
               .toSeq
             println(s"[graft-etl] batch $id discovered ${seen.size} spreadsheet(s)")
-            acc ++= tasks.loadDiscoveredBatch(seen)
+            val loaded = tasks.loadDiscoveredBatch(seen)
+            acc ++= loaded
+            cadence.foreach(_.onBatch(loaded).foreach(println))
             ()
           }
           .start()
@@ -150,7 +192,8 @@ object EtlMain {
     }
   }
 
-  private val KnownFlags = Set("schema", "prefix", "meta", "stream", "compact")
+  private val KnownFlags =
+    Set("schema", "prefix", "meta", "stream", "compact", "compact-every")
 
   /** Split argv into positional args and `--name value` flag pairs.
     * Unknown flags are contract errors — a typo'd `--shcema` silently

@@ -24,7 +24,8 @@ import org.apache.spark.sql.types._
 final class TargetStore(
     spark: SparkSession,
     root: String,
-    naming: TableNaming = TableNaming.none) {
+    naming: TableNaming = TableNaming.none,
+    rowsPerChunk: Int = 100000) {
 
   /** Warehouse location for a target table, qualified per R26
     * (reference: src/DatabaseAgentMysql.php:154,193 qualify every target
@@ -53,8 +54,10 @@ final class TargetStore(
       Row.fromSeq(jobId +: i.toLong +: r.map(_.orNull))
     }
     // Grids are driver-bounded (Sheets API model); parallelize suffices.
+    // `rowsPerChunk` sets the write fan-out for big sheets (one file per
+    // chunk in the job's partition — the fragmentation `compact` repairs).
     val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(sparkRows.toSeq, math.max(1, rows.size / 100000 + 1)),
+      spark.sparkContext.parallelize(sparkRows.toSeq, math.max(1, rows.size / rowsPerChunk + 1)),
       schema)
     replaceJobPartition(targetTable, df)
   }
@@ -94,17 +97,7 @@ final class TargetStore(
   def compact(targetTable: String): (Long, Long) = {
     val p = path(targetTable)
     val fs = new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def dataFiles(dir: String): Long = {
-      val it = fs.listFiles(new Path(dir), true)
-      var n = 0L
-      while (it.hasNext) {
-        val f = it.next().getPath
-        if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
-          !f.getName.startsWith(".")) n += 1
-      }
-      n
-    }
-    val before = dataFiles(p)
+    val before = dataFileCount(targetTable)
     val tmp = s"$p.__compact_stage"
     read(targetTable)
       // one shuffle keyed on the partition column: each job's rows land
@@ -118,7 +111,25 @@ final class TargetStore(
         .option("partitionOverwriteMode", "dynamic")
         .mode("overwrite").parquet(p)
     finally fs.delete(new Path(tmp), true)
-    (before, dataFiles(p))
+    (before, dataFileCount(targetTable))
+  }
+
+  /** Number of parquet data files under a target table — the
+    * fragmentation signal the compaction cadence watches. */
+  def dataFileCount(targetTable: String): Long = {
+    val p = new Path(path(targetTable))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) 0L
+    else {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) {
+        val f = it.next().getPath
+        if (f.getName.endsWith(".parquet") && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) n += 1
+      }
+      n
+    }
   }
 
   def exists(targetTable: String): Boolean = {
