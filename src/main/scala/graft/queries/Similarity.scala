@@ -115,7 +115,7 @@ object Similarity {
     * corpora would raise L alongside k — the adaptive k preserves the
     * invariant this operator actually needs: candidates survive the cap.
     */
-  private val NdFamilies = 20
+  private[queries] val NdFamilies = 20 // visible to AnnRecallSpec's per-family measurement
   private val NdPlanesMin = 6
   private val NdPlanesMax = 40
   private val VecTargetOcc = 32
@@ -150,7 +150,7 @@ object Similarity {
     * arrays — the composed tree's thousands of literal nodes dominated
     * q39's per-run plan analysis/optimization time.
     */
-  private def famBuckets(k: Int, v: Column): Column =
+  private[queries] def famBuckets(k: Int, v: Column): Column =
     graft.functions.VectorFunctions.hyperplaneBands(v,
       Array.tabulate(NdFamilies * k * 64)(x => planeComp(x / 64, x % 64 + 1)),
       NdFamilies, k)

@@ -186,6 +186,86 @@ class AnnRecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q75 band knob: per-family candidate recall measured at sf0.01 AND the 10x corpus") {
+    // the recall knob is (NdFamilies, ndPlanesFor): each family is one
+    // k-bit bucketing, and q75 sees a pair iff SOME uncapped family
+    // collides. This measures — not asserts — each family's contribution
+    // at both scales, so a sizing change that quietly gutted the union
+    // recall (or let the cap eat whole families at 10×) shows up as a
+    // measured floor, exactly the VERDICT r10 item-5 ask.
+    import org.apache.spark.sql.functions._
+    def familyHits(dir: String, truth: Set[(Long, Long)]): (Seq[Double], Double) = {
+      val df = spark.read.parquet(s"$dir/embeddings.parquet")
+      val k = Similarity.ndPlanesFor(df.count())
+      val bands = df.select(col("vec_id"),
+          posexplode(Similarity.famBuckets(k, col("embedding"))))
+        .select(col("vec_id"), col("pos").as("fam"), col("col").as("bk"))
+      // capped (fam, bucket) keys are few by construction — bounded collect
+      val capped = bands.groupBy("fam", "bk").agg(count(lit(1)).as("kc"))
+        .filter(col("kc") > Similarity.MaxVecBucket)
+        .collect().map(r => (r.getAs[Int]("fam"), r.getAs[Long]("bk"))).toSet
+      val ids = truth.flatMap(p => Seq(p._1, p._2))
+      val keys = bands.filter(col("vec_id").isin(ids.toSeq.map(Long.box): _*))
+        .collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("fam")) -> r.getAs[Long]("bk"))
+        .toMap
+      val perFam = (0 until Similarity.NdFamilies).map { f =>
+        truth.count { case (a, b) =>
+          keys.get((a, f)).exists(ka => keys.get((b, f)).contains(ka)) &&
+          !capped((f, keys((a, f))))
+        }.toDouble / truth.size
+      }
+      val union = truth.count { case (a, b) =>
+        (0 until Similarity.NdFamilies).exists { f =>
+          keys.get((a, f)).exists(ka => keys.get((b, f)).contains(ka)) &&
+          !capped((f, keys((a, f))))
+        }
+      }.toDouble / truth.size
+      (perFam, union)
+    }
+
+    // scale 1: sf0.01, truth = exact brute-force top-3 edge set
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    val nrm = emb.view.mapValues(v => math.sqrt(dot(v, v))).toMap
+    val ids = emb.keys.toSeq.filter(nrm(_) > 0).sorted
+    val edges = ids.flatMap { i =>
+      ids.filter(_ != i)
+        .map(j => j -> dot(emb(i), emb(j)) / (nrm(i) * nrm(j)))
+        .sortBy { case (j, c) => (-c, j) }.take(3)
+        .map { case (j, _) => (math.min(i, j), math.max(i, j)) }
+    }.toSet
+    val (famSmall, unionSmall) = familyHits(dir, edges)
+    info(f"sf0.01 exact-edge union recall ${unionSmall}%.3f; per-family " +
+      f"min ${famSmall.min}%.3f mean ${famSmall.sum / famSmall.size}%.3f")
+    // measured 0.66 union / ~0.08 per family (k=6, p^k per family) — the
+    // floors are tripwires well under the measurement
+    assert(unionSmall >= 0.5, f"union candidate recall collapsed: $unionSmall%.3f")
+    assert(famSmall.sum / famSmall.size >= 0.02,
+      "mean per-family recall collapsed at sf0.01")
+
+    // scale 2: 10x corpus (20k vectors), truth = planted identical pairs;
+    // identical vectors share EVERY family bucket, so each family's miss
+    // rate here IS the cap erosion at scale
+    val big = java.nio.file.Files.createTempDirectory("graft-knn-scale").toString
+    ScaleCorpus.makeEmbeddings(spark, big, 20000)
+    val planted = (0 until 20000 by 100).map(m => (m.toLong, (m + 1).toLong)).toSet
+    val (famBig, unionBig) = familyHits(big, planted)
+    info(f"20k planted-pair union recall ${unionBig}%.3f; per-family " +
+      f"min ${famBig.min}%.3f mean ${famBig.sum / famBig.size}%.3f")
+    assert(unionBig >= 0.9, f"planted-pair union recall at 10x: $unionBig%.3f")
+    assert(famBig.sum / famBig.size >= 0.85,
+      f"families lost too many planted pairs to the cap at 10x: mean ${famBig.sum / famBig.size}%.3f")
+    assert(famBig.min >= 0.5,
+      f"a family lost half its planted pairs to the cap at 10x: ${famBig.min}%.3f")
+    spark.catalog.clearCache()
+  }
+
   test("q75 KNN graph: mean recall@3 vs exact brute-force >= 0.5") {
     // the graph is approximate BY CONSTRUCTION (neighbors outside every
     // shared band are unseen); this floor is the regression tripwire —

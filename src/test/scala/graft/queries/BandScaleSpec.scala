@@ -17,6 +17,30 @@ import org.scalatest.funsuite.AnyFunSuite
   *      NO constant retuning — generalizing BucketCapSpec's "caps leave
   *      real candidates" beyond the bench corpus.
   */
+/** Deterministic 10×-scale synthetic corpora shared by BandScaleSpec and
+  * AnnRecallSpec's per-family recall measurement.
+  */
+object ScaleCorpus {
+  /** 10×-sf0.1 embedding corpus with planted identical pairs (vec 100·m+1
+    * duplicates 100·m), written in the testdata embeddings schema.
+    */
+  def makeEmbeddings(spark: org.apache.spark.sql.SparkSession, dir: String, n: Int): Unit = {
+    val rnd = new scala.util.Random(42)
+    var prev: Array[Float] = Array.fill(64)(0f)
+    val rows = (0 until n).map { i =>
+      val v =
+        if (i % 100 == 1) prev.clone() // planted exact near-dup of i-1
+        else Array.fill(64)(rnd.nextGaussian().toFloat)
+      prev = v
+      (i.toLong, v, i % 10)
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+  }
+}
+
 class BandScaleSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
 
@@ -72,25 +96,8 @@ class BandScaleSpec extends AnyFunSuite {
 
   // ---- 10× corpora: no retuning, candidates survive the cap -------------
 
-  /** Deterministic 20k-vector corpus (10× sf0.1) with 200 planted
-    * identical pairs (vec 100·m+1 duplicates 100·m), written in the
-    * testdata embeddings schema.
-    */
-  private def makeEmbeddings(dir: String, n: Int): Unit = {
-    val rnd = new scala.util.Random(42)
-    var prev: Array[Float] = Array.fill(64)(0f)
-    val rows = (0 until n).map { i =>
-      val v =
-        if (i % 100 == 1) prev.clone() // planted exact near-dup of i-1
-        else Array.fill(64)(rnd.nextGaussian().toFloat)
-      prev = v
-      (i.toLong, v, i % 10)
-    }
-    val s = spark
-    import s.implicits._
-    rows.toDF("vec_id", "embedding", "label")
-      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-  }
+  private def makeEmbeddings(dir: String, n: Int): Unit =
+    ScaleCorpus.makeEmbeddings(spark, dir, n)
 
   /** Deterministic 50k-document corpus (10× sf0.1) with 500 planted
     * identical-text pairs (doc 100·m+1 duplicates 100·m).

@@ -47,4 +47,66 @@ class DegenerateEmbeddingsSpec extends AnyFunSuite {
       r.schema.fieldNames.contains("vec_id") && r.getAs[Long]("vec_id") == 5L))
     spark.catalog.clearCache()
   }
+
+  // ---- VERDICT r10 item 7: q67/q68 degenerate rows ----------------------
+
+  private lazy val allZeroDir: String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-degen-allzero").toString
+    (0L until 12L).map(i => (i, Seq.fill(64)(0f), s"label$i"))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("all-zero corpus: cosine family raises the documented contract error, never hangs") {
+    // an all-zero corpus has no directions to quantize — kmeansCentroids
+    // documents this as a contract error ("a contract error, not a
+    // hang"); the failure must be THAT message, not a DIVIDE_BY_ZERO
+    // kill or an empty-collection crash deep in a Lloyd step
+    for (q <- Seq("q35_ann_ivf", "q68_ann_ivf_staged", "q76_semantic_dedup")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.SparkEntry.queries(q)(spark, allZeroDir).collect()
+      }
+      assert(e.getMessage.contains("non-zero sample vector"), s"$q: ${e.getMessage}")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("all-zero corpus: the L2/PQ family (q63, q65, q67, q73) still answers") {
+    // L2 has no divide to guard: zero subvectors are legitimate training
+    // points, every code resolves, and ADC distances are exactly 0
+    val codes = graft.SparkEntry.queries("q65_pq_codes")(spark, allZeroDir).collect()
+    assert(codes.length == 12 && codes.forall(_.getAs[Double]("err") == 0.0))
+    val adc = graft.SparkEntry.queries("q67_ann_adc")(spark, allZeroDir).collect()
+    assert(adc.nonEmpty && adc.forall(_.getAs[Double]("adc") == 0.0))
+    for (q <- Seq("q63_quantize_int8", "q73_calibrated_int8")) {
+      assert(graft.SparkEntry.queries(q)(spark, allZeroDir).collect().length == 12, q)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("tiny corpus: staged probe tolerates near-empty cells and stays q35-identical") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-degen-tiny").toString
+    // 3 usable vectors + 1 zero vector: fewer vectors than cells or k —
+    // the probe must answer with what exists, and staging must not
+    // diverge from the compute path when probed cells are nearly empty
+    val rows = (0L until 4L).map { i =>
+      val v =
+        if (i == 3L) Seq.fill(64)(0f)
+        else (1 to 64).map(j => math.cos(i * 64 + j).toFloat)
+      (i, v, s"label$i")
+    }
+    rows.toDF("vec_id", "embedding", "label").write.parquet(s"$d/embeddings.parquet")
+    val compute = graft.SparkEntry.queries("q35_ann_ivf")(spark, d).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"), r.getAs[Double]("cos")))
+    val staged = graft.SparkEntry.queries("q68_ann_ivf_staged")(spark, d).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"), r.getAs[Double]("cos")))
+    assert(compute.nonEmpty && compute.length < 10,
+      s"tiny corpus should answer with fewer than k rows, got ${compute.length}")
+    assert(staged.toSeq == compute.toSeq,
+      s"staged diverged on the tiny corpus:\n${staged.toSeq}\nvs\n${compute.toSeq}")
+    spark.catalog.clearCache()
+  }
 }
