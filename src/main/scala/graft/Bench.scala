@@ -146,21 +146,33 @@ object Bench {
     val sMed = if (sVals.isEmpty) 0.0 else sVals(sVals.size / 2)
     val sArg = if (spread.isEmpty) "" else spread.maxBy(_._2)._1
     val bySlowest = results.toSeq.sortBy { case (n, v) => (-v, n) }
+    // the id rung is only sound when the qNN prefixes are unique (they
+    // are, by the suite's naming convention — guarded, not assumed)
+    val idsUnique =
+      results.keys.map(_.takeWhile(_ != '_')).toSet.size == results.size
     def build(kept: Seq[(String, Double)], dec: Int,
         withSpread: Boolean, withStatic: Boolean = true,
-        dsKeys: Boolean = false): String = {
+        dsKeys: Boolean = false, idKeys: Boolean = false): String = {
       // the deciseconds rung keeps the full roster at the SAME 0.1 s
       // resolution as 1-decimal seconds while spending ~2 fewer chars
       // per entry ("q43…":31 vs "q43…":3.1) — the key is renamed so no
-      // parser can misread the unit
+      // parser can misread the unit. The id rung additionally shortens
+      // each key to its unique qNN prefix ("q43" for "q43_neardup_
+      // clusters", ~18 chars/entry), again under a DIFFERENT field name
+      // so a reader must consciously expand ids via the suite roster.
+      val key: String => String =
+        if (idKeys) k => k.takeWhile(_ != '_') else identity
       val qm =
         if (dsKeys)
-          kept.map { case (k, v) => jstr(k) + ":" + math.round(v * 10).toString }
+          kept.map { case (k, v) => jstr(key(k)) + ":" + math.round(v * 10).toString }
             .mkString("{", ",", "}")
         else
-          kept.map { case (k, v) => jstr(k) + ":" + jnumAt(v, dec) }
+          kept.map { case (k, v) => jstr(key(k)) + ":" + jnumAt(v, dec) }
             .mkString("{", ",", "}")
-      val qKey = if (dsKeys) "queries_ds" else "queries"
+      val qKey =
+        if (dsKeys && idKeys) "queries_ds_id"
+        else if (dsKeys) "queries_ds"
+        else "queries"
       val omitted = results.size - kept.size
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val sp =
@@ -187,8 +199,9 @@ object Bench {
     // bench_full.json anyway) to buy ~90 chars of query entries, then
     // shed the static context fields (~85 more), then switch the roster
     // to integer deciseconds (~2 chars/entry at identical resolution),
-    // and only THEN drop the fastest queries with an explicit omitted
-    // count
+    // then shorten keys to their unique qNN ids (~18 more chars/entry —
+    // the 83-query suite crosses this rung), and only THEN drop the
+    // fastest queries with an explicit omitted count
     val attempts =
       Seq(3, 2, 1).iterator.map(build(bySlowest, _, withSpread = true)) ++
         Iterator.single(build(bySlowest, 1, withSpread = false)) ++
@@ -196,9 +209,14 @@ object Bench {
           withStatic = false)) ++
         Iterator.single(build(bySlowest, 1, withSpread = false,
           withStatic = false, dsKeys = true)) ++
+        (if (idsUnique)
+          Iterator.single(build(bySlowest, 1, withSpread = false,
+            withStatic = false, dsKeys = true, idKeys = true))
+        else Iterator.empty) ++
         Iterator.iterate(bySlowest.size)(n => n - math.max(1, n / 10))
           .takeWhile(_ > 0).map(n => build(bySlowest.take(n), 1,
-            withSpread = false, withStatic = false, dsKeys = true))
+            withSpread = false, withStatic = false, dsKeys = true,
+            idKeys = idsUnique))
     attempts.find(_.length <= LineBudget)
       .getOrElse(build(Seq.empty, 1, withSpread = false, withStatic = false))
   }

@@ -47,8 +47,9 @@ class BenchSpec extends AnyFunSuite {
 
     // hostile shape: far more queries than fit even at 1 decimal — the
     // line sheds the spread trio first (it lives in bench_full.json),
-    // then drops the FASTEST queries with an explicit omitted count;
-    // headline totals and the slow tail always survive
+    // then context, then switches to deciseconds and qNN-id keys, and
+    // only at true overflow drops the FASTEST queries with an explicit
+    // omitted count; headline totals and the slow tail always survive
     val names = (1 to 90).map(i => f"q$i%02d_hostile_name_length22")
     val results = names.zipWithIndex
       .map { case (n, i) => n -> (90.0 - i) }.toMap // q01 slowest … q90 fastest
@@ -62,15 +63,23 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs((parsed \ "value").extract[Double] - 671.2345) < 1e-3)
     // the noise-robust companion headline must survive every degradation
     assert(math.abs((parsed \ "value_min").extract[Double] - 444.333) < 1e-3)
-    // json4s extracts JNothing to an EMPTY map, so probe the key's
-    // presence explicitly before falling back to the deciseconds roster
-    def roster(p: JValue): Map[String, Double] = (p \ "queries") match {
-      case JObject(_) => (p \ "queries").extract[Map[String, Double]]
-      case _ => (p \ "queries_ds").extract[Map[String, Double]]
-        .view.mapValues(_ / 10.0).toMap
+    // json4s extracts JNothing to an EMPTY map, so probe each key's
+    // presence explicitly down the ladder; qNN-id keys expand back to
+    // full names through the suite roster (ids are unique by convention)
+    def roster(p: JValue, all: Seq[String]): Map[String, Double] = {
+      val byId = all.groupBy(_.takeWhile(_ != '_')).view.mapValues(_.head)
+      (p \ "queries") match {
+        case JObject(_) => (p \ "queries").extract[Map[String, Double]]
+        case _ => (p \ "queries_ds") match {
+          case JObject(_) => (p \ "queries_ds").extract[Map[String, Double]]
+            .view.mapValues(_ / 10.0).toMap
+          case _ => (p \ "queries_ds_id").extract[Map[String, Double]]
+            .map { case (id, v) => byId(id) -> v / 10.0 }
+        }
+      }
     }
-    val qs = roster(parsed)
-    val omitted = (parsed \ "queries_omitted").extract[Int]
+    val qs = roster(parsed, names)
+    val omitted = (parsed \ "queries_omitted").extractOpt[Int].getOrElse(0)
     assert(qs.size + omitted == 90)
     assert(qs.contains(names.head), "slowest query must survive")
 
@@ -79,8 +88,9 @@ class BenchSpec extends AnyFunSuite {
     // the roster (69 queries fit at 1 decimal once the spread trio
     // sheds; 74+ also shed the static context fields — unit/reps/full/sf
     // and the empty error map; 80+ switch to the queries_ds integer-
-    // decisecond roster at identical 0.1 s resolution); completeness
-    // beats resolution here because the per-query trend analysis reads
+    // decisecond roster at identical 0.1 s resolution; 83+ shorten keys
+    // to their unique qNN ids under queries_ds_id); completeness beats
+    // resolution here because the per-query trend analysis reads
     // bench_full.json (full precision), while this line's job is the
     // headline total (3 decimals, asserted above) plus a complete
     // roster.
@@ -90,7 +100,7 @@ class BenchSpec extends AnyFunSuite {
       "bench_full.json")
     assert(rLine.length <= 1860, s"real-suite line is ${rLine.length} chars")
     val rp = org.json4s.jackson.JsonMethods.parse(rLine)
-    val rq = roster(rp)
+    val rq = roster(rp, SparkEntry.queries.keys.toSeq)
     assert(rq.size == real.size, "no real query may be omitted")
     assert(math.abs(rq(real.keys.head) - 1.234567) < 5e-2 + 1e-9,
       "per-query times keep at least 0.1 s resolution")
