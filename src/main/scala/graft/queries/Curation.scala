@@ -273,10 +273,8 @@ object Curation {
       // sample (target 0 admits nothing), not a driver NPE
       val target = Option(counts.agg(min("n_l")).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      // 60-bit hash for the same rate-exactness-past-2^32 reason as q62
       Tables(s, dir, "documents").join(counts, "lang")
-        .filter(portableHash60(col("doc_id").cast("string"), 1) % col("n_l")
-          < lit(target))
+        .filter(stratifiedAdmit(col("doc_id"), col("n_l"), lit(target)))
         .select("doc_id", "lang")
     }),
 
@@ -506,6 +504,19 @@ object Curation {
     when(bucket < TrainPct, "train")
       .when(bucket < ValPct, "val")
       .otherwise("test")
+
+  /** q59's admission rule — keep a document iff its seeded 60-bit hash
+    * mod its stratum count clears the target (P = target/n_l with integer
+    * arithmetic only; 60-bit so the rate stays exact past 2^32-row
+    * strata, see q62). A pure function of (document key, stratum count,
+    * target), shared with the streaming per-epoch dual
+    * ([[graft.streaming.DocStream.processStratifiedBatch]]), which feeds
+    * it per-EPOCH counts instead of corpus-global ones.
+    */
+  private[graft] def stratifiedAdmit(docId: org.apache.spark.sql.Column,
+      nL: org.apache.spark.sql.Column,
+      target: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    portableHash60(docId.cast("string"), 1) % nL < target
 
   /** q58's per-document scoring: q18's quality formula (stopword ratio
     * and length score — the shared corpus-quality signal) restricted to

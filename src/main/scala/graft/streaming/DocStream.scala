@@ -648,4 +648,54 @@ object DocStream {
           BatchProtocol.collapseMarkers(batch.sparkSession, outPath, batchId)
       }
       .start()
+
+  /** Streaming per-epoch stratified re-balance — the windowed variant
+    * that completes the streaming curation family. Batch q59's target is
+    * the CORPUS-GLOBAL minimum stratum count — anti-causal on a stream
+    * (SURVEY.md §"streaming curation duals"), so the streaming contract
+    * re-balances each data EPOCH (= micro-batch, the same epoch unit the
+    * packing/chunking streams use) to ITS OWN smallest stratum, with
+    * q59's exact admission rule ([[graft.queries.Curation
+    * .stratifiedAdmit]]: seeded 60-bit hash mod stratum count < target).
+    * Causal by construction — an epoch's sample depends only on that
+    * epoch's documents — and with the whole corpus in one batch the
+    * admitted set IS batch q59's (pinned by StratifiedStreamSpec).
+    * Per-epoch work is one count aggregate (|langs| rows), a one-row
+    * driver read for the min, and a per-row integer filter — the batch
+    * plan's shape at epoch scope.
+    */
+  def processStratifiedBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, outPath: String): Unit = {
+    if (BatchProtocol.committed(spark, outPath, batchId)) return
+    val (stable, stableIds) = graft.CheckpointBlocks.pinnedCheckpoint(batch)
+    try {
+      val counts = stable.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      // empty epoch → NULL min → target 0 admits nothing (the q59 guard)
+      val target = Option(counts.agg(min("n_l")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      stable.join(counts, "lang")
+        .filter(graft.queries.Curation.stratifiedAdmit(
+          col("doc_id"), col("n_l"), lit(target)))
+        .select("doc_id", "lang")
+        .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+      BatchProtocol.commit(spark, outPath, batchId)
+    } finally graft.CheckpointBlocks.free(spark, stableIds)
+  }
+
+  /** Continuous per-epoch stratified sampling: admitted `(doc_id, lang)`
+    * rows land under `<outPath>/batch_id=N`, markers under
+    * `<outPath>/_commits`; `collapseEvery` bounds marker-file count as in
+    * [[runChunks]].
+    */
+  def runStratifiedSample(docs: DataFrame, outPath: String,
+      checkpoint: String, collapseEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processStratifiedBatch(batch.sparkSession, batch, batchId, outPath)
+        if (collapseEvery > 0 && (batchId + 1) % collapseEvery == 0)
+          BatchProtocol.collapseMarkers(batch.sparkSession, outPath, batchId)
+      }
+      .start()
 }
