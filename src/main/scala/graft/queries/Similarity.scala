@@ -131,6 +131,12 @@ object Similarity {
     */
   private[queries] val KnnK = 3
 
+  /** q84's negatives per anchor: the top-2 most similar OTHER-label
+    * candidates — the contrastive-training mining depth at test scale;
+    * like [[KnnK]] the operator is k-agnostic.
+    */
+  private[queries] val HardNegK = 2
+
   /** q76's semantic-duplicate threshold. 0.35 on the synthetic
     * embeddings plays the role SemDeDup's ~0.95+ plays on real encoder
     * output: high enough that most in-cell pairs survive as distinct,
@@ -736,6 +742,41 @@ object Similarity {
         .filter(col("rnk") <= KnnK)
         .select(col("vec_a").as("vec_id"), col("rnk"),
           col("vec_b").as("nbr"), col("cos"))
+    }),
+
+    // contrastive hard-negative mining — for each anchor vector, the
+    // [[HardNegK]] most similar candidates with a DIFFERENT label: the
+    // pair-construction step of contrastive/metric training (and the
+    // dual of q75, which ranks without the label cut). Highly-similar
+    // other-label neighbors are exactly the negatives a random sampler
+    // almost never draws. Same scale posture as q75: the SAME capped
+    // banded equi-join candidates (work ∝ true collisions, never n²),
+    // the label inequality applied BEFORE the mirror (half the scored
+    // rows drop pre-explode), map-side pair mirroring, and a rank cut
+    // under a PARTITIONED window — no global sort. Null-label vectors
+    // mine nothing and serve as nobody's negative (<> is null-rejecting
+    // on both engines).
+    "q84_hard_negatives" -> ((s, dir) => {
+      val (e, cand) = bandedVecCandidates(s, dir)
+      val scored = cand
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          col("label").as("la"), col("nrm").as("na")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("label").as("lb"), col("nrm").as("nb")), "vec_b")
+        .filter(col("la") =!= col("lb"))
+        .select(col("vec_a"), col("vec_b"),
+          (vecDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      val directed = scored.select(explode(array(
+          struct(col("vec_a"), col("vec_b"), col("cos")),
+          struct(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"),
+            col("cos")))).as("p"))
+        .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+          col("p.cos").as("cos"))
+      val w = Window.partitionBy("vec_a").orderBy(desc("cos"), asc("vec_b"))
+      directed.withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= HardNegK)
+        .select(col("vec_a").as("vec_id"), col("rnk"),
+          col("vec_b").as("neg"), col("cos"))
     }),
 
     // semantic dedup — SemDeDup's shape (Abbas et al. 2023): cluster the
@@ -1380,6 +1421,28 @@ object Similarity {
          |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
          |     ORDER BY cos DESC, dst) AS rnk FROM sc) t
          |WHERE rnk <= $KnnK""".stripMargin,
+
+    // hard negatives: the q75 candidate CTEs with the label-inequality
+    // cut (null-rejecting <>, matching Spark's =!=) and the rank-2 cut
+    "q84_hard_negatives" ->
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, label,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |$sqlVecBands,
+         |rare AS (SELECT fam, bk FROM bands GROUP BY fam, bk HAVING COUNT(*) <= $MaxVecBucket),
+         |bc AS (SELECT bands.vec_id, bands.fam, bands.bk FROM bands JOIN rare USING (fam, bk)),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bc a JOIN bc b ON a.fam = b.fam AND a.bk = b.bk AND a.vec_id < b.vec_id),
+         |d AS (SELECT vec_a AS src, vec_b AS dst FROM cand
+         |  UNION ALL SELECT vec_b, vec_a FROM cand),
+         |sc AS (SELECT d.src, d.dst,
+         |  ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+         |  FROM d JOIN e x ON x.vec_id = d.src JOIN e y ON y.vec_id = d.dst
+         |  WHERE x.label <> y.label)
+         |SELECT src AS vec_id, rnk, dst AS neg, cos FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+         |     ORDER BY cos DESC, dst) AS rnk FROM sc) t
+         |WHERE rnk <= $HardNegK""".stripMargin,
 
     // semantic dedup: the shared IVF cell-assignment CTEs (one SQL text
     // with q35/q68 — no drift), in-cell smaller-id near-dup removal

@@ -64,4 +64,47 @@ class KnnGraphSpec extends AnyFunSuite {
     // removed set is nonempty on this corpus (the threshold is exercised)
     assert(sv.length < emb.size)
   }
+
+  test("q84: negatives never share the anchor's label; contract mirrors q75") {
+    val labels = spark.read.parquet(s"$dir/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val rows = SparkEntry.queries("q84_hard_negatives")(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    Caches.release(spark)
+    assert(rows.nonEmpty, "corpus must mine some negatives")
+    rows.foreach { case (a, _, n, _) =>
+      assert(labels(a) != labels(n), s"negative $n shares anchor $a's label")
+      assert(a != n, s"anchor $a mined itself")
+    }
+    rows.groupBy(_._1).foreach { case (a, ns) =>
+      assert(ns.length <= 2, s"anchor $a has ${ns.length} negatives")
+      val sorted = ns.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1L to ns.length).toSeq)
+      assert(sorted.map(_._4).toSeq.sliding(2).forall {
+        case Seq(x, y) => x >= y; case _ => true
+      }, s"anchor $a ranks out of order")
+    }
+  }
+
+  test("q84: a planted other-label duplicate is the rank-1 negative") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-hardneg").toString
+    // vecs 0 and 2 (label 0) are identical to vec 1 (label 1): each
+    // mines the other-label twin at cosine 1. vec 3 shares label 1 but
+    // points the other way — it can never outrank the planted twin.
+    val u = (1 to 64).map(j => math.sin(j).toFloat)
+    val w = (1 to 64).map(j => math.cos(j * 3).toFloat)
+    Seq((0L, u, 0), (1L, u, 1), (2L, u, 0), (3L, w, 1))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val got = SparkEntry.queries("q84_hard_negatives")(spark, d).collect()
+      .filter(_.getLong(1) == 1L) // rank-1 rows
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    Caches.release(spark)
+    assert(got(0L)._1 == 1L && math.abs(got(0L)._2 - 1.0) < 1e-12)
+    assert(got(2L)._1 == 1L && math.abs(got(2L)._2 - 1.0) < 1e-12)
+    // vec 1's best other-label candidate is its identical twin vec 0
+    // (tie with vec 2 at cos 1 breaks to the lower id)
+    assert(got(1L)._1 == 0L && math.abs(got(1L)._2 - 1.0) < 1e-12)
+  }
 }

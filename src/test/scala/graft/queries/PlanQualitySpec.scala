@@ -482,6 +482,16 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q84 hard negatives: q75's plan family — equi-join candidates, partitioned rank") {
+    // the label cut must not change the scale shape: banded equi-join
+    // candidates, no nested loop, rank under a partitioned window
+    val p = plan("q84_hard_negatives")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    spark.catalog.clearCache()
+  }
+
   test("q75 KNN graph: band equi-join candidates, partitioned rank — no global sort") {
     // the same equi-join contract as q39, plus: the per-vector rank cut
     // must run under a PARTITIONED window (a KNN graph written as a
