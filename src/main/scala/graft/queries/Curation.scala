@@ -410,6 +410,37 @@ object Curation {
             .as("n_quality_ok"),
           min("quality").as("min_quality"),
           max("quality").as("max_quality"))
+    }),
+
+    // curriculum ordering — every tokenizable document's stable training
+    // position under easy-first order (quality DESC, doc_id): the
+    // counterpart of q81's uniform shuffle when the loader wants a
+    // difficulty ramp instead of a permutation; like q81 the position is
+    // reproducible across runs/repartitions and composes with q72
+    // (positions as the pack key = curriculum-ordered sequences). Plan
+    // shape: the SAME bucketed-rank discipline, keyed on q58's
+    // deterministic [[QualityCells]] quality-grid cell — quality is
+    // monotone-descending across ascending cells, so cells are a prefix
+    // decomposition of the global order: in-cell ROW_NUMBER under a
+    // PARTITIONED window + driver exclusive offsets over the ≤64 cell
+    // counts. ONE bounded driver read, never a single-task sort.
+    "q85_curriculum_order" -> ((s, dir) => {
+      val scored = scoredTokens(Tables(s, dir, "documents")).persist()
+      val cell = least(lit(QualityCells - 1), greatest(lit(0),
+        floor((lit(1.0) - col("quality")) * QualityCells).cast("int")))
+      val docs = scored.withColumn("cell", cell)
+      val off = exclusiveOffsets(
+        docs.groupBy("cell").agg(count(lit(1)).as("n")).collect()
+          .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
+      if (off.isEmpty)
+        docs.select(col("doc_id"), col("quality"), lit(0L).as("pos")).limit(0)
+      else {
+        val w = Window.partitionBy("cell").orderBy(desc("quality"), asc("doc_id"))
+        docs.select(col("doc_id"), col("quality"), col("cell"),
+            (row_number().over(w) - 1).cast("long").as("r"))
+          .select(col("doc_id"), col("quality"),
+            (col("r") + element_at(typedLit(off), col("cell"))).as("pos"))
+      }
     }))
 
   /** Shared per-document chunk assignment behind q72 and its streaming
@@ -686,5 +717,21 @@ object Curation {
          |    AS n_quality_ok,
          |  MIN(t.quality) AS min_quality, MAX(t.quality) AS max_quality
          |FROM documents d LEFT JOIN t ON t.doc_id = d.doc_id
-         |GROUP BY d.source""".stripMargin)
+         |GROUP BY d.source""".stripMargin,
+
+    // the quality-cell bucketing is an implementation detail of the
+    // Spark plan; the semantics are the one global easy-first rank
+    "q85_curriculum_order" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),
+         |m AS (SELECT doc_id, len(tk) AS n_tokens,
+         |  len(list_filter(tk, x -> x IN ${TextAnalysis.sqlStops("en")})) AS stops
+         |  FROM tk),
+         |t AS (SELECT doc_id, n_tokens,
+         |  (CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.4
+         |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality
+         |  FROM m WHERE n_tokens > 0)
+         |SELECT doc_id, quality,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY quality DESC, doc_id) - 1 AS BIGINT)
+         |    AS pos
+         |FROM t""".stripMargin)
 }

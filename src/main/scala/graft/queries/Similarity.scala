@@ -453,6 +453,39 @@ object Similarity {
           (col("matches").cast("double") / lit(MinhashFns.toDouble)).as("est_jaccard"))
     }),
 
+    // source-level similarity matrix — estimated Jaccard between every
+    // pair of SOURCES' 3-gram shingle sets, from per-source minhash
+    // signatures: the cross-dataset overlap diagnostic run before mixing
+    // corpora (two crawls sharing half their shingles shouldn't both be
+    // up-weighted as independent). Uses the minhash union property —
+    // MinHash(A ∪ B) = elementwise-min of member signatures — so a
+    // source's signature is ONE map-side-combined MIN aggregate over its
+    // docs' q25 signatures (state = |sources|·12 longs at any corpus);
+    // the pair matrix is |sources|² rows, bounded by the stratum
+    // vocabulary like q80. No banding needed: the comparison universe is
+    // the source list itself, not the corpus.
+    "q86_source_minhash" -> ((s, dir) => {
+      val sig = minHash(col("hs"),
+        (1 to MinhashFns).map(hashA), (1 to MinhashFns).map(hashB), MersenneP)
+      val sigs = Tables.wide(s, dir, "documents")
+        .select(col("source"), tokens(col("text")).as("tk"))
+        .select(col("source"), array_distinct(wordNgrams(col("tk"), 3)).as("g3"))
+        .select(col("source"), transform(col("g3"), g => portableHash(g)).as("hs"))
+        .select(col("source"), sig.as("sg"))
+        .filter(col("sg").getItem(0).isNotNull)
+        .select(col("source"), posexplode(col("sg")))
+        .groupBy(col("source"), col("pos"))
+        .agg(min("col").as("mh"))
+      sigs.alias("a").join(sigs.alias("b"),
+          col("a.pos") === col("b.pos") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(sum(when(col("a.mh") === col("b.mh"), 1L).otherwise(0L))
+          .as("n_match"))
+        .select(col("source_a"), col("source_b"), col("n_match"),
+          (col("n_match").cast("double") / lit(MinhashFns.toDouble))
+            .as("est_jaccard"))
+    }),
+
     // per-document 32-bit simhash
     "q26_simhash" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -1239,6 +1272,27 @@ object Similarity {
          |  FROM cand JOIN sig x ON x.doc_id = doc_a JOIN sig y ON y.doc_id = doc_b)
          |SELECT doc_a, doc_b, matches,
          |  CAST(matches AS DOUBLE)/${MinhashFns}.0 AS est_jaccard FROM m""".stripMargin,
+
+    // per-source signature = elementwise MIN over the q25 per-doc
+    // signatures (the minhash union property), then the pairwise match
+    // count; SUM(int) CAST back to BIGINT per the convention
+    "q86_source_minhash" ->
+      s"""WITH t AS (SELECT source, doc_id, $Toks AS tk FROM documents),
+         |g AS (SELECT source, doc_id, $SqlG3 AS g3 FROM t),
+         |hh AS (SELECT source, doc_id, list_transform(g3, x -> ${sqlHash("x")}) AS hs
+         |  FROM g WHERE len(g3) > 0),
+         |sig AS (SELECT source, doc_id, [${(1 to MinhashFns).map(j =>
+              s"list_min(list_transform(hs, h -> (${hashA(j)}*h + ${hashB(j)}) % $MersenneP))")
+              .mkString(",\n         |   ")}] AS sg
+         |  FROM hh),
+         |sm AS (SELECT source, i.j AS pos, MIN(sg[i.j]) AS mh
+         |  FROM sig, range(1, ${MinhashFns + 1}) i(j) GROUP BY source, i.j)
+         |SELECT a.source AS source_a, b.source AS source_b,
+         |  CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+         |  CAST(SUM(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / ${MinhashFns}.0 AS est_jaccard
+         |FROM sm a JOIN sm b ON a.pos = b.pos AND a.source < b.source
+         |GROUP BY a.source, b.source""".stripMargin,
 
     "q26_simhash" ->
       s"""WITH t AS (SELECT doc_id,

@@ -48,12 +48,18 @@ class CurationSpec extends AnyFunSuite {
 
   for (q <- Seq("q56_hash_split", "q57_decontaminate",
       "q58_token_budget", "q59_stratified_sample", "q72_sequence_pack",
-      "q79_split_leakage", "q81_epoch_shuffle", "q82_shuffled_pack"))
+      "q79_split_leakage", "q81_epoch_shuffle", "q82_shuffled_pack",
+      "q85_curriculum_order"))
     test(s"$q yields a defined empty result on an empty corpus") {
       val dir = corpus(Seq.empty)
       assert(SparkEntry.queries(q)(spark, dir).count() === 0L)
       Caches.release(spark)
     }
+
+  test("q86 yields a defined empty result on an empty corpus") {
+    assert(SparkEntry.queries("q86_source_minhash")(
+      spark, corpusWithSource(Seq.empty)).count() === 0L)
+  }
 
   test("q62 yields a defined empty result on an empty corpus") {
     assert(SparkEntry.queries("q62_temperature_mix")(
@@ -327,6 +333,53 @@ class CurationSpec extends AnyFunSuite {
       .toMap
     assert(got !== inOrder, "shuffled-order packing must not equal corpus order")
     Caches.release(spark)
+  }
+
+  // ----------------------------------------------------------------- q85
+
+  test("q85 positions are a bijection in easy-first (quality DESC, doc_id) order") {
+    // variable-length docs so quality actually varies (length score);
+    // same-length docs tie on quality and exercise the doc_id tie-break.
+    // (A whitespace-only doc still tokenizes to one empty token under the
+    // shared tokenizer — the q58/q80 convention — so nothing drops here.)
+    val rows = (0L until 60L).map(i =>
+      (i, Seq.fill((i % 19 + 1).toInt)("the").mkString(" "), "en"))
+    val dir = corpus(rows)
+    val got = SparkEntry.queries("q85_curriculum_order")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("quality"),
+        r.getAs[Long]("pos")))
+    Caches.release(spark)
+    assert(got.length === 60, "every tokenizable doc gets a position")
+    // a bijection onto 0..n-1
+    assert(got.map(_._3).sorted.toSeq === (0L until got.length))
+    // positions follow the global easy-first order exactly
+    val expected = got.sortBy { case (id, q, _) => (-q, id) }.map(_._1).toSeq
+    assert(got.sortBy(_._3).map(_._1).toSeq === expected)
+    // reproducible across runs
+    val again = SparkEntry.queries("q85_curriculum_order")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("pos")))
+    assert(got.map(t => t._1 -> t._3).sortBy(_._1).toSeq === again.sortBy(_._1).toSeq)
+    Caches.release(spark)
+  }
+
+  // ----------------------------------------------------------------- q86
+
+  test("q86 source minhash: identical sources estimate 1, disjoint near 0") {
+    // sources A and B hold the same texts (signature equality is exact —
+    // the union property collapses them to identical source signatures);
+    // source C shares no vocabulary at all
+    val rows =
+      (0L until 20L).map(i => (i, s"alpha beta gamma delta w${i % 5} x y z", "en", "A")) ++
+      (20L until 40L).map(i => (i, s"alpha beta gamma delta w${(i - 20) % 5} x y z", "en", "B")) ++
+      (40L until 60L).map(i => (i, s"umber vermilion woad q${i % 5} k l m", "en", "C"))
+    val dir = corpusWithSource(rows)
+    val got = SparkEntry.queries("q86_source_minhash")(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_match"), r.getAs[Double]("est_jaccard"))).toMap
+    assert(got.keySet === Set(("A", "B"), ("A", "C"), ("B", "C")))
+    assert(got(("A", "B")) === ((12L, 1.0)), s"identical sources: ${got(("A", "B"))}")
+    assert(got(("A", "C"))._1 < 12L && got(("B", "C"))._1 < 12L,
+      s"disjoint-vocabulary sources must not fully match: $got")
   }
 
   // ----------------------------------------------------------------- q59

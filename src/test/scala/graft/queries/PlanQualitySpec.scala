@@ -423,6 +423,24 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q81 persists its hashed projection
   }
 
+  test("q85 curriculum order: quality-cell partitioned rank — no single-partition stage") {
+    // same discipline as q81 with the quality-grid cell as the bucket: a
+    // global ORDER BY quality would single-task the corpus
+    val p = execPlan("q85_curriculum_order")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark) // q85 persists its scored projection
+  }
+
+  test("q86 source minhash: map-combined signature mins, equi-joins only") {
+    // the per-source signature must be a two-phase MIN aggregate (state =
+    // |sources| x 12 longs), and the pair matrix an equi-join on pos —
+    // never a nested loop over the doc relation
+    val p = execPlan("q86_source_minhash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_min") || p.contains("partial min"), p.take(1500))
+  }
+
   test("q60 range join: binned equi-join — no nested loop, no cartesian product") {
     // THE property that makes the binned interval join runnable at a
     // 100 TB fact table: written as a plain range-predicate join,
