@@ -467,11 +467,21 @@ object Similarity {
     "q86_source_minhash" -> ((s, dir) => {
       val sig = minHash(col("hs"),
         (1 to MinhashFns).map(hashA), (1 to MinhashFns).map(hashB), MersenneP)
-      val sigs = Tables.wide(s, dir, "documents")
+      // the q25 persist lesson, verbatim: the per-doc signature must be
+      // CACHED before anything consumes it — unpersisted, the null
+      // filter pushes below the projection and re-derives the whole
+      // tokenize→gram→hash→minhash chain per row, and the posexplode
+      // re-evaluates its child per emitted element, so the sketch chain
+      // ran ~13× (measured 10 s at sf0.1; ~1 s cached). The self-join
+      // above duplicates only the cheap 240-row aggregate over this
+      // cache, never the chain.
+      val docSigs = Tables.wide(s, dir, "documents")
         .select(col("source"), tokens(col("text")).as("tk"))
         .select(col("source"), array_distinct(wordNgrams(col("tk"), 3)).as("g3"))
         .select(col("source"), transform(col("g3"), g => portableHash(g)).as("hs"))
         .select(col("source"), sig.as("sg"))
+        .persist()
+      val sigs = docSigs
         .filter(col("sg").getItem(0).isNotNull)
         .select(col("source"), posexplode(col("sg")))
         .groupBy(col("source"), col("pos"))
