@@ -179,56 +179,61 @@ object EventStream {
       }
   }
 
-  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+  final case class FunnelState(stageTs: Seq[Long])
 
   final case class FunnelOut(user_id: Long, funnel_depth: Long, at: Timestamp)
 
-  /** Stateful streaming funnel — the q78 dual: one (t_view, t_click,
-    * t_purchase) record per user in the state store (three longs — not
-    * the user's events), advanced causally as events arrive; each depth
-    * TRANSITION emits a row (append mode), so the sink is the
-    * conversion log a dashboard tails, and a user's max emitted depth
-    * is their current funnel position.
+  /** Stateful streaming funnel — the q78 dual, generalized to an
+    * arbitrary depth-N stage list exactly like the batch
+    * [[graft.queries.Events.funnelStages]]: one N-long record per user
+    * in the state store (the stage timestamps — never the user's
+    * events), advanced causally as events arrive; each depth TRANSITION
+    * emits a row (append mode), so the sink is the conversion log a
+    * dashboard tails, and a user's max emitted depth is their current
+    * funnel position.
     *
-    * Semantics are q78's cascaded conditional mins under ARRIVAL order
+    * Semantics are the cascaded conditional mins under ARRIVAL order
     * (the [[DocStream.budgetAdmitted]] posture): processed in event-time
-    * order they converge to the batch answer — the first view is the
-    * min view, and each later stage's first qualifying arrival IS its
-    * conditional min (pinned by FunnelStreamSpec); an out-of-order
-    * straggler that would have changed an already-taken min is a
-    * divergence the batch operator owns, as with every causal dual.
-    * Within a micro-batch, a user's slice is sorted by (ts, event_id) —
-    * one user of one batch, never the stream.
+    * order they converge to the batch answer — stage 0's first arrival
+    * is its min, and each later stage's first qualifying arrival IS its
+    * conditional min (pinned by FunnelStreamSpec at depths 3 and 4); an
+    * out-of-order straggler that would have changed an already-taken
+    * min is a divergence the batch operator owns, as with every causal
+    * dual. Within a micro-batch, a user's slice is sorted by
+    * (ts, event_id) — one user of one batch, never the stream.
     */
-  def funnel(events: Dataset[Event]): Dataset[FunnelOut] = {
+  def funnelStages(events: Dataset[Event], stages: Seq[String])
+      : Dataset[FunnelOut] = {
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"funnel stages must be non-empty and distinct: $stages")
     import events.sparkSession.implicits._
     val Unset = Long.MinValue
+    val idx = stages.zipWithIndex.toMap
+    val n = stages.length
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelOut](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (userId: Long, batch: Iterator[Event], state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(Unset, Unset, Unset))
+          val ts = state.getOption.map(_.stageTs.toArray)
+            .getOrElse(Array.fill(n)(Unset))
           val out = Seq.newBuilder[FunnelOut]
           batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
-            val t = e.ts.getTime
-            e.event_type match {
-              case "view" if st.tView == Unset =>
-                st = st.copy(tView = t)
-                out += FunnelOut(userId, 1L, e.ts)
-              case "click" if st.tView != Unset && st.tClick == Unset &&
-                  t > st.tView =>
-                st = st.copy(tClick = t)
-                out += FunnelOut(userId, 2L, e.ts)
-              case "purchase" if st.tClick != Unset && st.tPurchase == Unset &&
-                  t > st.tClick =>
-                st = st.copy(tPurchase = t)
-                out += FunnelOut(userId, 3L, e.ts)
-              case _ => ()
+            idx.get(e.event_type).foreach { i =>
+              val qualifies = ts(i) == Unset &&
+                (i == 0 || (ts(i - 1) != Unset && e.ts.getTime > ts(i - 1)))
+              if (qualifies) {
+                ts(i) = e.ts.getTime
+                out += FunnelOut(userId, i + 1L, e.ts)
+              }
             }
           }
-          state.update(st)
+          state.update(FunnelState(ts.toSeq))
           out.result().iterator
       }
   }
+
+  /** The 3-stage instance (view → click → purchase) — the q78 dual. */
+  def funnel(events: Dataset[Event]): Dataset[FunnelOut] =
+    funnelStages(events, Seq("view", "click", "purchase"))
 }

@@ -74,4 +74,47 @@ class FunnelStreamSpec extends AnyFunSuite {
         s"user $u: stream ${maxDepth.getOrElse(u, 0L)} vs batch $depth")
     }
   }
+
+  test("depth-4 stage list: streamed depths equal batch q83 across a batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // GraphFunnelSpec's q83 fixture, as an event stream
+    val fx = Seq(
+      Event(0, ts(1), 1, "signup", 1.0), Event(1, ts(2), 1, "view", 1.0),
+      Event(2, ts(3), 1, "click", 1.0), Event(3, ts(4), 1, "purchase", 1.0),
+      Event(4, ts(1), 2, "view", 1.0), Event(5, ts(2), 2, "signup", 1.0),
+      Event(6, ts(3), 2, "click", 1.0),
+      Event(7, ts(1), 3, "signup", 1.0), Event(8, ts(2), 3, "view", 1.0),
+      Event(9, ts(3), 3, "purchase", 1.0), Event(10, ts(4), 3, "click", 1.0),
+      Event(11, ts(1), 4, "view", 1.0), Event(12, ts(2), 4, "click", 1.0))
+    val mem = MemoryStream[Event]
+    val q = EventStream.funnelStages(mem.toDS(),
+        Seq("signup", "view", "click", "purchase"))
+      .writeStream.format("memory").queryName("funnel4_stream")
+      .outputMode("append").start()
+    try {
+      // user 1 is mid-funnel at the boundary: state carries two stages
+      val (b1, b2) = fx.sortBy(e => (e.ts.getTime, e.event_id))
+        .partition(_.ts.getTime <= ts(2).getTime)
+      mem.addData(b1: _*)
+      q.processAllAvailable()
+      mem.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val maxDepth = spark.table("funnel4_stream")
+      .as[EventStream.FunnelOut].collect()
+      .groupBy(_.user_id).view.mapValues(_.map(_.funnel_depth).max).toMap
+    val d = Files.createTempDirectory("graft-funnel4stream").toString
+    import org.apache.spark.sql.functions.lit
+    fx.toDS().toDF().withColumn("props", lit("{}"))
+      .write.parquet(s"$d/events.parquet")
+    val batch = SparkEntry.queries("q83_funnel_stages")(spark, d)
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("funnel_depth")).toMap
+    assert(batch === Map(1L -> 4L, 2L -> 1L, 3L -> 3L, 4L -> 0L))
+    batch.foreach { case (u, depth) =>
+      assert(maxDepth.getOrElse(u, 0L) === depth,
+        s"user $u: stream ${maxDepth.getOrElse(u, 0L)} vs batch $depth")
+    }
+  }
 }
