@@ -32,6 +32,13 @@ object TextAnalysis {
     */
   private[queries] val QSketchCap = 500L
 
+  /** q87: how many byte-pair-encoding merge rounds to induce. Three keeps
+    * the unrolled oracle CTE chain readable; the operator is
+    * round-agnostic (production BPE runs tens of thousands — each round
+    * is the same bounded-driver-read job).
+    */
+  private[queries] val BpeRounds = 3
+
   /** q74 retrieval-chunk window (tokens) and stride: 32-token windows
     * every 24 tokens — 8 tokens of overlap so no boundary sentence is
     * lost to a cut, the standard RAG chunking shape. Starts are the
@@ -256,6 +263,67 @@ object TextAnalysis {
         .groupBy("token").agg(count(lit(1)).as("doc_freq"))
         .orderBy(desc("doc_freq"), asc("token"))
         .limit(20)
+    }),
+
+    // tokenizer training — the first [[BpeRounds]] rows of a byte-pair-
+    // encoding merge table over the corpus vocabulary: each round finds
+    // the most frequent adjacent symbol pair (weighted by word
+    // frequency, ties to the lexicographically first pair) and merges
+    // it greedily left-to-right in every word. BPE trains on the
+    // word-frequency table, so the corpus collapses to ONE vocabulary
+    // shuffle up front; each round is then a narrow re-split + a
+    // map-side-combined SUM + a TakeOrdered(1) argmax — the driver
+    // reads exactly one row per round (the q58 bounded-read
+    // discipline). The symbol sequence is a string with EVERY symbol
+    // individually enclosed in \u0001 delimiters (<D>a<D><D>b<D>), so
+    // one plain single-pass `replace` of <D>a<D><D>b<D> with <D>ab<D>
+    // IS the greedy non-overlapping merge: matches cannot share a
+    // boundary (each symbol owns its delimiters), a pair cannot match a
+    // longer symbol's prefix (the trailing <D> is in the search), and
+    // both engines' replace scans left-to-right without rescanning
+    // replacements — the oracle runs literally the same algorithm on
+    // the same strings.
+    "q87_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      val D = "\u0001"
+      val vocab = Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .withColumn("s", regexp_replace(col("word"), "(.)", s"$D$$1$D"))
+        .persist()
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      var rep: DataFrame = vocab.select(col("n"), col("s"))
+      var r = 1
+      var exhausted = false
+      while (r <= BpeRounds && !exhausted) {
+        val sy = filter(split(col("s"), D), x => x =!= "")
+        val top = rep
+          .select(col("n"), sy.as("sy"))
+          .filter(size(col("sy")) >= 2)
+          .select(col("n"),
+            explode(transform(sequence(lit(1), size(col("sy")) - 1),
+              i => struct(element_at(col("sy"), i).as("a"),
+                element_at(col("sy"), i + lit(1)).as("b")))).as("p"))
+          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+          .agg(sum("n").as("cnt"))
+          .orderBy(desc("cnt"), asc("a"), asc("b"))
+          .limit(1).collect() // ONE bounded driver row per round
+        if (top.isEmpty) exhausted = true
+        else {
+          val (a, b, cnt) =
+            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+          merges += ((r.toLong, a, b, cnt))
+          // lit()-bound literals — symbols come from corpus text and
+          // never pass through a SQL parser
+          rep = rep.withColumn("s", call_function("replace", col("s"),
+            lit(D + a + D + D + b + D), lit(D + a + b + D)))
+          r += 1
+        }
+      }
+      // the merge table is ≤ BpeRounds rows BY CONSTRUCTION — the one
+      // legitimately driver-built result in the suite (like q12's
+      // one-row cursor), produced from the bounded per-round argmaxes
+      merges.result().toDF("round", "lhs", "rhs", "n")
     }),
 
     // per-document repetition ratio: 1 − |distinct 2-grams|/|2-grams| —
@@ -802,6 +870,39 @@ object TextAnalysis {
          |u AS (SELECT unnest(tk) AS token FROM t)
          |SELECT token, COUNT(*) AS doc_freq FROM u
          |GROUP BY token ORDER BY doc_freq DESC, token LIMIT 20""".stripMargin,
+
+    // the BpeRounds merge rounds unrolled as CTE blocks; the per-symbol
+    // chr(1)-enclosed representation and the single-pass replace are the
+    // SAME algorithm the Spark side runs (see the q87 operator comment)
+    "q87_bpe_merges" -> {
+      def pm(r: Int, from: String) =
+        s"""p$r AS (SELECT t.sy[u.i] AS a, t.sy[u.i + 1] AS b,
+           |    CAST(SUM(t.n) AS BIGINT) AS cnt
+           |  FROM (SELECT n, list_filter(string_split(s, chr(1)), x -> x <> '') AS sy
+           |        FROM $from) t,
+           |  UNNEST(range(1, len(t.sy))) AS u(i)
+           |  GROUP BY 1, 2),
+           |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+      def vm(r: Int) =
+        s"""v$r AS (SELECT v${r - 1}.word, v${r - 1}.n,
+           |  CASE WHEN m$r.a IS NULL THEN v${r - 1}.s ELSE
+           |    replace(v${r - 1}.s, chr(1)||m$r.a||chr(1)||chr(1)||m$r.b||chr(1),
+           |      chr(1)||m$r.a||m$r.b||chr(1)) END AS s
+           |  FROM v${r - 1} LEFT JOIN m$r ON TRUE)""".stripMargin
+      val rounds = (1 to BpeRounds).map { r =>
+        pm(r, s"v${r - 1}") + (if (r < BpeRounds) ",\n" + vm(r) else "")
+      }.mkString(",\n")
+      val out = (1 to BpeRounds).map { r =>
+        s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, cnt AS n FROM m$r"
+      }.mkString("\nUNION ALL ")
+      s"""WITH tk AS (SELECT $Toks AS tk FROM documents),
+         |w AS (SELECT unnest(tk) AS word FROM tk),
+         |v0 AS (SELECT word, COUNT(*) AS n,
+         |  regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS s
+         |  FROM w GROUP BY word),
+         |$rounds
+         |$out""".stripMargin
+    },
 
     "q41_repetition" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),

@@ -44,6 +44,10 @@ class DegenerateTextSpec extends AnyFunSuite {
     // a lang column and is degenerate-tested in CurationSpec instead
     "q56_hash_split", "q57_decontaminate", "q58_token_budget",
     "q72_sequence_pack", "q74_chunk_windows", "q81_epoch_shuffle",
+    // q85 positions only tokenizable docs (null text is absent, the rest
+    // rank); q86 needs a source column and is degenerate-tested in
+    // CurationSpec's empty-corpus row instead
+    "q85_curriculum_order", "q87_bpe_merges",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -64,6 +68,8 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q77_triangle_support", // rows only for docs inside a triangle
         "q58_token_budget", // budgeted subset, not one row per doc
         "q72_sequence_pack", // one row per chunk, not per doc
+        "q85_curriculum_order", // positions only tokenizable docs
+        "q87_bpe_merges", // <= BpeRounds merge rows, not per doc
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")
