@@ -38,7 +38,7 @@ class DegenerateEmbeddingsSpec extends AnyFunSuite {
   private val vecQueries = Seq(
     "q28_cosine_neardup", "q29_ann_topk", "q30_ann_lsh",
     "q35_ann_ivf", "q39_cosine_neardup_lsh", "q68_ann_ivf_staged",
-    "q75_knn_graph", "q76_semantic_dedup")
+    "q75_knn_graph", "q76_semantic_dedup", "q84_hard_negatives")
 
   for (q <- vecQueries) test(s"$q survives a zero-norm embedding") {
     val rows = graft.SparkEntry.queries(q)(spark, dir).collect()

@@ -341,6 +341,30 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q87 construction runs exactly BpeRounds bounded driver actions") {
+    // BPE's driver half is one 1-row argmax per merge round (3) over the
+    // persisted vocabulary — a job ceiling guards against anyone adding
+    // a per-round recount or an unpersisted re-derivation (each extra
+    // action is a job launch plus AQE re-plan jobs). Measured: 3 argmax
+    // actions → 9 jobs with AQE; one extra action costs ~2-3 jobs, so
+    // 11 separates the shapes.
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      SparkEntry.queries("q87_bpe_merges")(spark, dir)
+      var last = -1
+      var spins = 0
+      while (jobs != last && spins < 50) { last = jobs; Thread.sleep(100); spins += 1 }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs <= 11, s"q87 construction launched $jobs jobs — a new driver action?")
+    graft.Caches.release(spark)
+  }
+
   test("q72 sequence pack: no single-partition stage — the prefix sum is bucketed") {
     // same standing defect class as q58: a packing written as one
     // ORDER BY doc_id window is a single-task sort of the corpus. The
