@@ -424,24 +424,41 @@ object Curation {
     // decomposition of the global order: in-cell ROW_NUMBER under a
     // PARTITIONED window + driver exclusive offsets over the ≤64 cell
     // counts. ONE bounded driver read, never a single-task sort.
-    "q85_curriculum_order" -> ((s, dir) => {
-      val scored = scoredTokens(Tables(s, dir, "documents")).persist()
-      val cell = least(lit(QualityCells - 1), greatest(lit(0),
-        floor((lit(1.0) - col("quality")) * QualityCells).cast("int")))
-      val docs = scored.withColumn("cell", cell)
-      val off = exclusiveOffsets(
-        docs.groupBy("cell").agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
-      if (off.isEmpty)
-        docs.select(col("doc_id"), col("quality"), lit(0L).as("pos")).limit(0)
-      else {
-        val w = Window.partitionBy("cell").orderBy(desc("quality"), asc("doc_id"))
-        docs.select(col("doc_id"), col("quality"), col("cell"),
-            (row_number().over(w) - 1).cast("long").as("r"))
-          .select(col("doc_id"), col("quality"),
-            (col("r") + element_at(typedLit(off), col("cell"))).as("pos"))
-      }
-    }))
+    "q85_curriculum_order" -> ((s, dir) =>
+      curriculumPositions(
+        scoredTokens(Tables(s, dir, "documents")).persist(), 0L)._1))
+
+  /** q85's position builder, shared with the streaming per-epoch dual
+    * ([[graft.streaming.DocStream.processCurriculumBatch]], which feeds
+    * the running position cursor as `offset`): easy-first (quality DESC,
+    * doc_id) positions via the bucketed-rank discipline keyed on the
+    * [[QualityCells]] quality-grid cell — quality is monotone-descending
+    * across ascending cells, so cells are a prefix decomposition of the
+    * global order; in-cell partitioned ROW_NUMBER + driver exclusive
+    * offsets over the ≤[[QualityCells]] cell counts (ONE bounded driver
+    * read). Returns (positions DataFrame offset by `offset`, ranked row
+    * count — the cursor advance).
+    */
+  private[graft] def curriculumPositions(scored: DataFrame, offset: Long)
+      : (DataFrame, Long) = {
+    val cell = least(lit(QualityCells - 1), greatest(lit(0),
+      floor((lit(1.0) - col("quality")) * QualityCells).cast("int")))
+    val docs = scored.withColumn("cell", cell)
+    val totals = docs.groupBy("cell").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    val off = exclusiveOffsets(totals)
+    if (off.isEmpty)
+      (docs.select(col("doc_id"), col("quality"), lit(0L).as("pos")).limit(0), 0L)
+    else {
+      val w = Window.partitionBy("cell").orderBy(desc("quality"), asc("doc_id"))
+      val df = docs.select(col("doc_id"), col("quality"), col("cell"),
+          (row_number().over(w) - 1).cast("long").as("r"))
+        .select(col("doc_id"), col("quality"),
+          (col("r") + element_at(typedLit(off), col("cell")) + lit(offset))
+            .as("pos"))
+      (df, totals.map(_._2).sum)
+    }
+  }
 
   /** Shared per-document chunk assignment behind q72 and its streaming
     * dual ([[graft.streaming.PackStream]]) — one definition of the

@@ -698,4 +698,55 @@ object DocStream {
           BatchProtocol.collapseMarkers(batch.sparkSession, outPath, batchId)
       }
       .start()
+
+  /** Streaming per-epoch curriculum ordering — the q85 dual, completing
+    * the loader-order streaming family next to [[PackStream]]: each data
+    * epoch (= micro-batch) ranks ITS arrivals easy-first through the
+    * SHARED [[graft.queries.Curation.curriculumPositions]] discipline,
+    * and positions CONTINUE across epochs through the one-scalar
+    * position cursor carried in a `_cursor/N=` filename ([[CursorFile]]
+    * — the PackStream protocol verbatim: data first, cursor second,
+    * marker last, superseded files pruned post-commit). The global
+    * easy-first rank is anti-causal on a stream (a later easy doc can't
+    * displace an emitted position), so the causal contract is
+    * epoch-local ordering with a gapless global position space — what a
+    * data loader consuming epochs as they close actually needs. With
+    * the whole corpus in one batch the positions ARE batch q85's
+    * (CurriculumStreamSpec).
+    */
+  def processCurriculumBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, outPath: String): Unit = {
+    if (BatchProtocol.committed(spark, outPath, batchId)) return
+    val (stable, stableIds) = graft.CheckpointBlocks.pinnedCheckpoint(batch)
+    try {
+      val scored = graft.queries.Curation.scoredTokens(stable).persist()
+      try {
+        val cursor = CursorFile.before(spark, outPath, batchId)
+        val (positions, ranked) =
+          graft.queries.Curation.curriculumPositions(scored, cursor)
+        positions
+          .write.mode("overwrite").parquet(s"$outPath/batch_id=$batchId")
+        CursorFile.advance(spark, outPath, batchId, cursor + ranked)
+        BatchProtocol.commit(spark, outPath, batchId)
+        CursorFile.prune(spark, outPath, batchId)
+      } finally scored.unpersist()
+    } finally graft.CheckpointBlocks.free(spark, stableIds)
+  }
+
+  /** Continuous per-epoch curriculum ordering: `(doc_id, quality, pos)`
+    * rows land under `<outPath>/batch_id=N`, the position cursor under
+    * `<outPath>/_cursor`, markers under `<outPath>/_commits`;
+    * `collapseEvery` bounds marker-file count as in [[runChunks]].
+    */
+  def runCurriculum(docs: DataFrame, outPath: String, checkpoint: String,
+      collapseEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processCurriculumBatch(batch.sparkSession, batch, batchId, outPath)
+        if (collapseEvery > 0 && (batchId + 1) % collapseEvery == 0)
+          BatchProtocol.collapseMarkers(batch.sparkSession, outPath, batchId)
+      }
+      .start()
 }

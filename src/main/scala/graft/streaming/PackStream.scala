@@ -51,24 +51,27 @@ import org.apache.spark.sql.functions._
   * one rename — redelivery semantics are untouched because
   * `committed()` consults only the migrated markers/watermark.
   */
-object PackStream {
-
+/** The one-scalar stream cursor carried in the NAME of an empty
+  * `_cursor/N=<value>` file (the watermark-file trick — the value
+  * migrates with a plain file copy and needs no read), shared by the
+  * packing stream (token cursor) and the curriculum stream (position
+  * cursor). Max-wins semantics; reads consult ids STRICTLY below the
+  * current batch — see [[PackStream]]'s crash-ordering doc for why both
+  * properties are load-bearing.
+  */
+private[streaming] object CursorFile {
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def cursorDir(packPath: String) = new Path(s"$packPath/_cursor")
+  private def dir(path: String) = new Path(s"$path/_cursor")
 
-  /** Token cursor consumed by batches strictly before `batchId`: the
-    * value carried by the highest such cursor file (0 before the first
-    * batch). The strict bound is load-bearing — see crash ordering
-    * step 2.
-    */
-  private[streaming] def cursorBefore(spark: SparkSession, packPath: String,
-      batchId: Long): Long = {
-    val f = fs(spark, packPath)
-    val dir = cursorDir(packPath)
-    if (!f.exists(dir)) 0L
-    else f.listStatus(dir).iterator.map(_.getPath.getName)
+  /** Cursor consumed by batches strictly before `batchId` (0 before the
+    * first batch). */
+  def before(spark: SparkSession, path: String, batchId: Long): Long = {
+    val f = fs(spark, path)
+    val d = dir(path)
+    if (!f.exists(d)) 0L
+    else f.listStatus(d).iterator.map(_.getPath.getName)
       .flatMap { n =>
         n.split("=", 2) match {
           case Array(id, v) if id.toLongOption.exists(_ < batchId) =>
@@ -78,6 +81,37 @@ object PackStream {
       }
       .foldLeft(0L)(math.max)
   }
+
+  /** Record the cursor AFTER `batchId` (crash-ordering step 2: data
+    * first, cursor second, marker last). */
+  def advance(spark: SparkSession, path: String, batchId: Long,
+      value: Long): Unit = {
+    val f = fs(spark, path)
+    f.mkdirs(dir(path))
+    f.create(new Path(s"$path/_cursor/$batchId=$value"), true).close()
+  }
+
+  /** Prune cursor files superseded by `batchId` (committed ⇒ that
+    * batch's file carries the running maximum; a crash mid-prune leaves
+    * extras that max-wins ignores and the next prune removes). */
+  def prune(spark: SparkSession, path: String, batchId: Long): Unit = {
+    val f = fs(spark, path)
+    f.listStatus(dir(path)).foreach { st =>
+      val keep = st.getPath.getName.split("=", 2) match {
+        case Array(id, _) => id.toLongOption.forall(_ >= batchId)
+        case _ => true
+      }
+      if (!keep) f.delete(st.getPath, false)
+    }
+  }
+}
+
+object PackStream {
+
+  /** Token cursor consumed by batches strictly before `batchId` —
+    * [[CursorFile.before]] (kept as the spec-facing name). */
+  private[streaming] def cursorBefore(spark: SparkSession, packPath: String,
+      batchId: Long): Long = CursorFile.before(spark, packPath, batchId)
 
   /** The `foreachBatch` body of [[runPacking]] — exactly-once chunk
     * assignment for one micro-batch, continuing from the committed
@@ -104,21 +138,9 @@ object PackStream {
         // class): an empty batch advances the cursor by 0, not an NPE
         val mass = Option(toks.agg(sum("n_tokens")).head.get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
-        val f = fs(spark, packPath)
-        f.mkdirs(cursorDir(packPath))
-        f.create(new Path(s"$packPath/_cursor/$batchId=${cursor + mass}"), true)
-          .close()
+        CursorFile.advance(spark, packPath, batchId, cursor + mass)
         BatchProtocol.commit(spark, packPath, batchId)
-        // prune superseded cursor files (committed ⇒ this batch's file
-        // carries the running maximum; a crash mid-prune leaves extras
-        // that max-wins ignores and the next prune removes)
-        f.listStatus(cursorDir(packPath)).foreach { st =>
-          val keep = st.getPath.getName.split("=", 2) match {
-            case Array(id, _) => id.toLongOption.forall(_ >= batchId)
-            case _ => true
-          }
-          if (!keep) f.delete(st.getPath, false)
-        }
+        CursorFile.prune(spark, packPath, batchId)
       } finally toks.unpersist()
     } finally graft.CheckpointBlocks.free(spark, stableIds)
   }
