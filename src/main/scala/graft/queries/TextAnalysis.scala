@@ -702,6 +702,40 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_tokens"),
           (col("sum_bits").cast("double") / col("n_tokens").cast("double"))
             .as("mean_surprisal"))
+    }),
+
+    // context-conditional (bigram LM) surprisal — q61 one order up: per
+    // token, floor(log2(c(context·) / c(context,token))) under the MLE
+    // bigram model, averaged per document. This is the classic cheap
+    // stand-in for the perplexity filters real pipelines run with a
+    // trained LM: boilerplate with predictable continuations scores near
+    // 0 even when its unigrams are rare, and incoherent token salad
+    // scores high even over common words — exactly what q61 cannot see.
+    // Same integer-exact log2 (binary digit count of an integer
+    // quotient; c(a·) ≥ c(a,b) so the quotient is ≥ 1), so both engines
+    // agree bit-for-bit. Plan: the exploded bigram relation persists
+    // (it feeds BOTH count aggregates and the stitch join); two
+    // map-side-combined shuffles build the bigram and context counts;
+    // the stitch is two fact⋈dim equi-joins (hot contexts = AQE skew
+    // territory, as q61); one final per-doc agg. Zero driver actions.
+    "q88_bigram_surprisal" -> ((s, dir) => {
+      val bi = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), explode(wordNgrams(col("tk"), 2)).as("g"))
+        // tokens are whitespace-split, so the gram's first space splits
+        // context from continuation exactly
+        .withColumn("a", substring_index(col("g"), " ", 1))
+        .persist() // released by the consumer's Caches.release hook
+      val cg = bi.groupBy("g").agg(count(lit(1)).as("cg"))
+      val ca = bi.groupBy("a").agg(count(lit(1)).as("ca"))
+      bi.join(cg, "g").join(ca, "a")
+        .select(col("doc_id"),
+          (length(conv(expr("ca div cg"), 10, 2)) - 1).cast("long").as("bits"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("bits").as("sum_bits"))
+        .select(col("doc_id"), col("n_bigrams"),
+          (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
+            .as("mean_bigram_surprisal"))
     }))
 
   /** The prep pipeline's score-and-filter stage over a deduped
@@ -1095,5 +1129,21 @@ object TextAnalysis {
          |  FROM t JOIN c USING (tok), tot)
          |SELECT doc_id, COUNT(*) AS n_tokens,
          |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_surprisal
-         |FROM b GROUP BY doc_id""".stripMargin)
+         |FROM b GROUP BY doc_id""".stripMargin,
+
+    // the q41 bigram-list shape + q61's bin() digit count; split_part
+    // recovers the context exactly because tokens are whitespace-split
+    "q88_bigram_surprisal" ->
+      s"""WITH tk AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |gd AS (SELECT doc_id, CASE WHEN len(tk) < 2 THEN []
+         |  ELSE [tk[i]||' '||tk[i+1] for i in range(1, len(tk)-1+1)] END AS g2 FROM tk),
+         |bb AS (SELECT doc_id, g, split_part(g, ' ', 1) AS a
+         |  FROM (SELECT doc_id, unnest(g2) AS g FROM gd) u),
+         |cg AS (SELECT g, COUNT(*) AS cg FROM bb GROUP BY g),
+         |ca AS (SELECT a, COUNT(*) AS ca FROM bb GROUP BY a),
+         |j AS (SELECT bb.doc_id, length(bin(ca.ca // cg.cg)) - 1 AS bits
+         |  FROM bb JOIN cg USING (g) JOIN ca USING (a))
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bigram_surprisal
+         |FROM j GROUP BY doc_id""".stripMargin)
 }

@@ -29,7 +29,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q72_sequence_pack", "q74_chunk_windows", "q75_knn_graph",
     "q76_semantic_dedup", "q77_triangle_support", "q79_split_leakage",
     "q81_epoch_shuffle", "q82_shuffled_pack", "q84_hard_negatives",
-    "q85_curriculum_order", "q86_source_minhash", "q87_bpe_merges")
+    "q85_curriculum_order", "q86_source_minhash", "q87_bpe_merges",
+    "q88_bigram_surprisal")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

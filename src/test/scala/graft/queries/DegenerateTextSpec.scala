@@ -47,7 +47,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // q85 positions only tokenizable docs (null text is absent, the rest
     // rank); q86 needs a source column and is degenerate-tested in
     // CurationSpec's empty-corpus row instead
-    "q85_curriculum_order", "q87_bpe_merges",
+    "q85_curriculum_order", "q87_bpe_merges", "q88_bigram_surprisal",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -70,6 +70,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q72_sequence_pack", // one row per chunk, not per doc
         "q85_curriculum_order", // positions only tokenizable docs
         "q87_bpe_merges", // <= BpeRounds merge rows, not per doc
+        "q88_bigram_surprisal", // rows only for docs with >= 1 bigram
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")

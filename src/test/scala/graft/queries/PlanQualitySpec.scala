@@ -492,6 +492,17 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q61 persists its exploded token relation
   }
 
+  test("q88 bigram surprisal: two-phase aggregations, equi-joins only") {
+    // both count aggregates map-side combine and the stitch is a pair
+    // of equi-joins — never a nested loop over the bigram relation
+    val df = SparkEntry.queries("q88_bigram_surprisal")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    graft.Caches.release(spark) // q88 persists its bigram relation
+  }
+
   test("q59 stratified sample: per-lang counts broadcast back to the row side") {
     // the counts relation is |langs| rows — if the finalized plan shuffles
     // the corpus to meet it instead of broadcasting, the sample pays a
