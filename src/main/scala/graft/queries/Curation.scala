@@ -390,6 +390,30 @@ object Curation {
         .agg(count(lit(1)).as("n_pairs"))
     }),
 
+    // cross-source near-dup matrix — q79's recomposition at SOURCE
+    // granularity: how many q27 near-dup pairs straddle each source
+    // boundary. The provenance audit behind mixture decisions (two
+    // crawls sharing near-dup content shouldn't both be up-weighted as
+    // independent), giving exact pair counts where q86's minhash gives
+    // a sketch estimate. Shared definitions only (q27's pair semantics
+    // verbatim), doc_id equi-joins against a two-column projection, the
+    // pair normalized (least/greatest) so each unordered source pair
+    // accumulates one row; output ≤ |sources|² rows.
+    "q89_source_leakage" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+      Similarity.queries("q27_simhash_pairs")(s, dir)
+        .select("doc_a", "doc_b")
+        .join(src.select(col("doc_id").as("doc_a"),
+          col("source").as("sa")), "doc_a")
+        .join(src.select(col("doc_id").as("doc_b"),
+          col("source").as("sb")), "doc_b")
+        .filter(col("sa") =!= col("sb"))
+        .select(least(col("sa"), col("sb")).as("source_a"),
+          greatest(col("sa"), col("sb")).as("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+    }),
+
     // per-source corpus profile — the dataset-card numbers a curation
     // run publishes per stratum: document count, exact token mass, how
     // many documents clear the quality bar, and the quality envelope.
@@ -668,6 +692,19 @@ object Curation {
          |  CAST(MAX((cum - 1) // $PackCapacity
          |    - (cum - n_tokens) // $PackCapacity + 1) AS BIGINT) AS max_span
          |FROM c GROUP BY 1""".stripMargin,
+
+    // the shared q27 pair CTEs × the source column — q79's shape at
+    // source granularity, pair-normalized with least/greatest
+    "q89_source_leakage" ->
+      s"""WITH ${Similarity.SqlSimhashPairCtes},
+         |lpairs AS (${Similarity.SqlSimhashPairSelect.replace("\n", " ")}),
+         |sp AS (SELECT doc_id, source FROM documents)
+         |SELECT least(a.source, b.source) AS source_a,
+         |  greatest(a.source, b.source) AS source_b, COUNT(*) AS n_pairs
+         |FROM lpairs p JOIN sp a ON a.doc_id = p.doc_a
+         |  JOIN sp b ON b.doc_id = p.doc_b
+         |WHERE a.source <> b.source
+         |GROUP BY 1, 2""".stripMargin,
 
     // the shared q27 pair CTEs × the q56 split rule — the two audited
     // definitions, recomposed

@@ -61,6 +61,30 @@ class CurationSpec extends AnyFunSuite {
       spark, corpusWithSource(Seq.empty)).count() === 0L)
   }
 
+  test("q89 yields a defined empty result on an empty corpus") {
+    assert(SparkEntry.queries("q89_source_leakage")(
+      spark, corpusWithSource(Seq.empty)).count() === 0L)
+    Caches.release(spark)
+  }
+
+  test("q89 counts only CROSS-source near-dup pairs, normalized per pair") {
+    // docs 0 (A) and 1 (B) are identical -> one cross-boundary pair,
+    // accumulated under the ordered key (A, B) regardless of doc order;
+    // docs 2 and 3 are identical WITHIN A -> excluded; doc 4 (C) shares
+    // nothing -> absent
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten eleven"
+    val dir = corpusWithSource(Seq(
+      (0L, t1, "en", "A"), (1L, t1, "en", "B"),
+      (2L, t2, "en", "A"), (3L, t2, "en", "A"),
+      (4L, "completely different words entirely unrelated here", "en", "C")))
+    val got = SparkEntry.queries("q89_source_leakage")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getAs[Long]("n_pairs")).toMap
+    Caches.release(spark)
+    assert(got === Map(("A", "B") -> 1L), got)
+  }
+
   test("q62 yields a defined empty result on an empty corpus") {
     assert(SparkEntry.queries("q62_temperature_mix")(
       spark, corpusWithSource(Seq.empty)).count() === 0L)

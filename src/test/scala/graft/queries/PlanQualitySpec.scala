@@ -428,6 +428,14 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // embedded q27 persists its sketch
   }
 
+  test("q89 source leakage: equi-joins only, bounded aggregate — no cartesian") {
+    // q79's contract at source granularity: the provenance stitch is a
+    // pair of doc_id equi-joins, the aggregate <= |sources|^2 rows
+    val p = plan("q89_source_leakage")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    spark.catalog.clearCache()
+  }
+
   test("q80 source profile: two-phase aggregation, no single-partition stage") {
     val df = SparkEntry.queries("q80_source_profile")(spark, dir)
     df.collect()
