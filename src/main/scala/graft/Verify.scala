@@ -14,6 +14,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // parquet timestamps read as TIMESTAMP (UTC micros), never NTZ —
+      // the oracle's naive timestamps are the same int64 micros, and
+      // unix_micros()/window() require the LTZ type
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
