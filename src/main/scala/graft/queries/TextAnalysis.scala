@@ -35,9 +35,100 @@ object TextAnalysis {
   /** q87: how many byte-pair-encoding merge rounds to induce. Three keeps
     * the unrolled oracle CTE chain readable; the operator is
     * round-agnostic (production BPE runs tens of thousands — each round
-    * is the same bounded-driver-read job).
+    * is the same bounded-driver-read job, and [[bpeTrain]]'s checkpoint
+    * cadence bounds plan lineage at any round count).
     */
   private[queries] val BpeRounds = 3
+
+  /** The per-symbol delimiter of the BPE representation: every symbol is
+    * individually enclosed (<D>a<D><D>b<D>), so one plain single-pass
+    * `replace` of <D>a<D><D>b<D> with <D>ab<D> IS the greedy
+    * non-overlapping merge on both engines (see the q87 entry).
+    */
+  private[queries] val BpeD = "\u0001"
+
+  /** Checkpoint cadence of [[bpeTrain]]: every this many merge rounds the
+    * vocabulary representation is localCheckpoint'd and the previous
+    * checkpoint's blocks freed — the chained-replace lineage otherwise
+    * grows one Project per round, which at production round counts (10⁴)
+    * overwhelms the analyzer long before the (bounded) vocabulary data
+    * costs anything. Plan depth is then ≤ the cadence at ANY round
+    * count; BpeSpec pins a 64-round run.
+    */
+  private[queries] val BpeCheckpointEvery = 8
+
+  /** The (word, n, s) BPE vocabulary relation: corpus word frequencies
+    * with each word's [[BpeD]]-delimited symbol string. BPE trains on
+    * word FREQUENCIES, so the corpus collapses to this ONE vocabulary
+    * shuffle up front; persisted because every training round re-reads
+    * it. Caller releases via the [[graft.Caches]] contract.
+    */
+  private def bpeVocab(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("s", regexp_replace(col("word"), "(.)", s"$BpeD$$1$BpeD"))
+      .persist()
+
+  /** The BPE training loop over a [[bpeVocab]]-shaped (word, n, s)
+    * relation: each round finds the most frequent adjacent symbol pair
+    * (weighted by word frequency, ties to the lexicographically first
+    * pair) and merges it greedily left-to-right in every word. Each
+    * round is a narrow re-split + a map-side-combined SUM + a
+    * TakeOrdered(1) argmax — the driver reads exactly one row per round
+    * (the q58 bounded-read discipline). Returns the merge table and the
+    * final representation with every learned merge applied — the trained
+    * ENCODER (q90 counts its symbols per word).
+    */
+  private[graft] def bpeTrain(vocab: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val D = BpeD
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var rep: DataFrame = vocab.select(col("word"), col("n"), col("s"))
+    var prevIds: Set[Int] = Set.empty
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val sy = filter(split(col("s"), D), x => x =!= "")
+      val top = rep
+        .select(col("n"), sy.as("sy"))
+        .filter(size(col("sy")) >= 2)
+        .select(col("n"),
+          explode(transform(sequence(lit(1), size(col("sy")) - 1),
+            i => struct(element_at(col("sy"), i).as("a"),
+              element_at(col("sy"), i + lit(1)).as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("n").as("cnt"))
+        .orderBy(desc("cnt"), asc("a"), asc("b"))
+        .limit(1).collect() // ONE bounded driver row per round
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) =
+          (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((r.toLong, a, b, cnt))
+        // lit()-bound literals — symbols come from corpus text and
+        // never pass through a SQL parser
+        rep = rep.withColumn("s", call_function("replace", col("s"),
+          lit(D + a + D + D + b + D), lit(D + a + b + D)))
+        if (r % BpeCheckpointEvery == 0) {
+          // bound the replace-chain lineage: eager-checkpoint the
+          // (vocabulary-bounded) representation, then free the PREVIOUS
+          // checkpoint's blocks once the new one is materialized — the
+          // Dedup round discipline. The final checkpoint's blocks are
+          // released by the consumer's Caches.release hook.
+          val sc = rep.sparkSession.sparkContext
+          val before = sc.getPersistentRDDs.keySet.toSet
+          rep = rep.localCheckpoint()
+          val added = sc.getPersistentRDDs.keySet.toSet -- before
+          prevIds.foreach(id =>
+            sc.getPersistentRDDs.get(id).foreach(_.unpersist(false)))
+          prevIds = added
+        }
+        r += 1
+      }
+    }
+    (merges.result(), rep)
+  }
 
   /** q74 retrieval-chunk window (tokens) and stride: 32-token windows
     * every 24 tokens — 8 tokens of overlap so no boundary sentence is
@@ -285,45 +376,38 @@ object TextAnalysis {
     // the same strings.
     "q87_bpe_merges" -> ((s, dir) => {
       import s.implicits._
-      val D = "\u0001"
-      val vocab = Tables(s, dir, "documents")
-        .select(explode(tokens(col("text"))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("n"))
-        .withColumn("s", regexp_replace(col("word"), "(.)", s"$D$$1$D"))
-        .persist()
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      var rep: DataFrame = vocab.select(col("n"), col("s"))
-      var r = 1
-      var exhausted = false
-      while (r <= BpeRounds && !exhausted) {
-        val sy = filter(split(col("s"), D), x => x =!= "")
-        val top = rep
-          .select(col("n"), sy.as("sy"))
-          .filter(size(col("sy")) >= 2)
-          .select(col("n"),
-            explode(transform(sequence(lit(1), size(col("sy")) - 1),
-              i => struct(element_at(col("sy"), i).as("a"),
-                element_at(col("sy"), i + lit(1)).as("b")))).as("p"))
-          .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-          .agg(sum("n").as("cnt"))
-          .orderBy(desc("cnt"), asc("a"), asc("b"))
-          .limit(1).collect() // ONE bounded driver row per round
-        if (top.isEmpty) exhausted = true
-        else {
-          val (a, b, cnt) =
-            (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
-          merges += ((r.toLong, a, b, cnt))
-          // lit()-bound literals — symbols come from corpus text and
-          // never pass through a SQL parser
-          rep = rep.withColumn("s", call_function("replace", col("s"),
-            lit(D + a + D + D + b + D), lit(D + a + b + D)))
-          r += 1
-        }
-      }
+      val (merges, _) = bpeTrain(bpeVocab(s, dir), BpeRounds)
       // the merge table is ≤ BpeRounds rows BY CONSTRUCTION — the one
       // legitimately driver-built result in the suite (like q12's
       // one-row cursor), produced from the bounded per-round argmaxes
-      merges.result().toDF("round", "lhs", "rhs", "n")
+      merges.toDF("round", "lhs", "rhs", "n")
+    }),
+
+    // apply the trained tokenizer — encode every document under q87's
+    // merge table and emit per-doc trained-vocab token counts, the token
+    // unit a real pipeline packs/budgets/chunks in. Encoding happens on
+    // the VOCABULARY (each distinct word pays the replace chain ONCE —
+    // [[bpeTrain]]'s final representation over the word-frequency
+    // relation, never per occurrence), then a fact⋈dim equi-join
+    // stitches per-word token counts back to the corpus words and one
+    // map-side-combined SUM folds them per document — the q88 two-join
+    // shape. The left join re-admits documents whose words all vanish
+    // (none at this corpus; belt and braces at any).
+    "q90_bpe_encode" -> ((s, dir) => {
+      val (_, rep) = bpeTrain(bpeVocab(s, dir), BpeRounds)
+      val wt = rep.select(col("word"),
+        size(filter(split(col("s"), BpeD), x => x =!= ""))
+          .cast("long").as("w_toks"))
+      val perDoc = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+        .join(wt, Seq("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"), sum("w_toks").as("n_bpe_tokens"))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_words"), lit(0L)).as("n_words"),
+          coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
     }),
 
     // per-document repetition ratio: 1 − |distinct 2-grams|/|2-grams| —
@@ -825,6 +909,38 @@ object TextAnalysis {
   private[queries] val SqlHash = (e: String) => sqlHashPrefix(e, 8)
   private[queries] val SqlHash60 = (e: String) => sqlHashPrefix(e, 15)
 
+  /** q87/q90 oracle fragments — ONE SQL text for the trainer and the
+    * encoder built on it, so they cannot drift. [[bpeV0]] is the
+    * (word, n, s) vocabulary CTE prefix (tk kept with doc_id so the
+    * encoder can re-join words to documents); [[bpePm]] is round r's
+    * pair-count + argmax CTE pair (`p$r`, `m$r`) over representation
+    * `from`; [[bpeVm]] is round r's merged representation `v$r` — the
+    * chr(1)-enclosed single-pass replace, the SAME algorithm
+    * [[bpeTrain]] runs.
+    */
+  private def bpeV0: String =
+    s"""tk AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |w AS (SELECT unnest(tk) AS word FROM tk),
+       |v0 AS (SELECT word, COUNT(*) AS n,
+       |  regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS s
+       |  FROM w GROUP BY word)""".stripMargin
+
+  private def bpePm(r: Int, from: String): String =
+    s"""p$r AS (SELECT t.sy[u.i] AS a, t.sy[u.i + 1] AS b,
+       |    CAST(SUM(t.n) AS BIGINT) AS cnt
+       |  FROM (SELECT n, list_filter(string_split(s, chr(1)), x -> x <> '') AS sy
+       |        FROM $from) t,
+       |  UNNEST(range(1, len(t.sy))) AS u(i)
+       |  GROUP BY 1, 2),
+       |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
+
+  private def bpeVm(r: Int): String =
+    s"""v$r AS (SELECT v${r - 1}.word, v${r - 1}.n,
+       |  CASE WHEN m$r.a IS NULL THEN v${r - 1}.s ELSE
+       |    replace(v${r - 1}.s, chr(1)||m$r.a||chr(1)||chr(1)||m$r.b||chr(1),
+       |      chr(1)||m$r.a||m$r.b||chr(1)) END AS s
+       |  FROM v${r - 1} LEFT JOIN m$r ON TRUE)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q17_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
@@ -909,33 +1025,35 @@ object TextAnalysis {
     // chr(1)-enclosed representation and the single-pass replace are the
     // SAME algorithm the Spark side runs (see the q87 operator comment)
     "q87_bpe_merges" -> {
-      def pm(r: Int, from: String) =
-        s"""p$r AS (SELECT t.sy[u.i] AS a, t.sy[u.i + 1] AS b,
-           |    CAST(SUM(t.n) AS BIGINT) AS cnt
-           |  FROM (SELECT n, list_filter(string_split(s, chr(1)), x -> x <> '') AS sy
-           |        FROM $from) t,
-           |  UNNEST(range(1, len(t.sy))) AS u(i)
-           |  GROUP BY 1, 2),
-           |m$r AS (SELECT a, b, cnt FROM p$r ORDER BY cnt DESC, a, b LIMIT 1)""".stripMargin
-      def vm(r: Int) =
-        s"""v$r AS (SELECT v${r - 1}.word, v${r - 1}.n,
-           |  CASE WHEN m$r.a IS NULL THEN v${r - 1}.s ELSE
-           |    replace(v${r - 1}.s, chr(1)||m$r.a||chr(1)||chr(1)||m$r.b||chr(1),
-           |      chr(1)||m$r.a||m$r.b||chr(1)) END AS s
-           |  FROM v${r - 1} LEFT JOIN m$r ON TRUE)""".stripMargin
       val rounds = (1 to BpeRounds).map { r =>
-        pm(r, s"v${r - 1}") + (if (r < BpeRounds) ",\n" + vm(r) else "")
+        bpePm(r, s"v${r - 1}") + (if (r < BpeRounds) ",\n" + bpeVm(r) else "")
       }.mkString(",\n")
       val out = (1 to BpeRounds).map { r =>
         s"SELECT CAST($r AS BIGINT) AS round, a AS lhs, b AS rhs, cnt AS n FROM m$r"
       }.mkString("\nUNION ALL ")
-      s"""WITH tk AS (SELECT $Toks AS tk FROM documents),
-         |w AS (SELECT unnest(tk) AS word FROM tk),
-         |v0 AS (SELECT word, COUNT(*) AS n,
-         |  regexp_replace(word, '(.)', chr(1) || '\\1' || chr(1), 'g') AS s
-         |  FROM w GROUP BY word),
-         |$rounds
-         |$out""".stripMargin
+      s"WITH $bpeV0,\n$rounds\n$out"
+    },
+
+    // the same training chain carried through the FINAL round's merge
+    // (v$BpeRounds), then per-word trained-token counts joined back to
+    // the per-doc word list — the relational mirror of encoding on the
+    // vocabulary and stitching counts to occurrences
+    "q90_bpe_encode" -> {
+      val rounds = (1 to BpeRounds).map { r =>
+        bpePm(r, s"v${r - 1}") + ",\n" + bpeVm(r)
+      }.mkString(",\n")
+      s"""WITH $bpeV0,
+         |$rounds,
+         |wt AS (SELECT word,
+         |  CAST(len(list_filter(string_split(s, chr(1)), x -> x <> '')) AS BIGINT) AS w_toks
+         |  FROM v$BpeRounds),
+         |dw AS (SELECT doc_id, unnest(tk) AS word FROM tk),
+         |pd AS (SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         |  CAST(SUM(wt.w_toks) AS BIGINT) AS n_bpe_tokens
+         |  FROM dw JOIN wt USING (word) GROUP BY dw.doc_id)
+         |SELECT d.doc_id, COALESCE(pd.n_words, CAST(0 AS BIGINT)) AS n_words,
+         |  COALESCE(pd.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin
     },
 
     "q41_repetition" ->

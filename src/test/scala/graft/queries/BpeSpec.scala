@@ -63,4 +63,51 @@ class BpeSpec extends AnyFunSuite {
     // single-char words have no pairs at all
     assert(run(corpus(Seq("a b c"))).isEmpty)
   }
+
+  test("q90 encode: per-doc counts under the trained merge table") {
+    // vocab: ab x3, abc x2, xy x1, abx x1
+    // round 1: (a,b) = 3+2+1 = 6; round 2: (ab,c) = 2;
+    // round 3: (ab,x) = 1 ties (x,y) = 1, lex "ab" < "x" -> (ab,x).
+    // encoded: ab->1 sym, abc->1, abx->1, xy->2 (never merged)
+    val d = corpus(Seq("ab ab ab", "abc abc", "xy", "abx"))
+    val got = SparkEntry.queries("q90_bpe_encode")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    Caches.release(spark)
+    assert(got === Seq((0L, 3L, 3L), (1L, 2L, 2L), (2L, 1L, 2L),
+      (3L, 1L, 1L)))
+  }
+
+  test("64-round training: checkpoint cadence bounds plan depth") {
+    // one word of 68 distinct symbols (ASCII 33..126 minus uppercase,
+    // which tokens() would lowercase-collide): every pair counts 1, so
+    // the lexicographic tie-break merges the accumulating PREFIX with
+    // the next char each round — round r's lhs is the first r chars.
+    val word = (33 to 126).map(_.toChar).filterNot(_.isUpper).mkString
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vocab = Seq(word).toDF("word")
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("s", regexp_replace(col("word"), "(.)", TextAnalysis.BpeD + "$1" + TextAnalysis.BpeD))
+    val (merges, rep) = TextAnalysis.bpeTrain(vocab, 64)
+    assert(merges.length === 64)
+    assert(merges.last === ((64L, word.take(64), word(64).toString, 1L)))
+    // 64 merges over a 68-symbol word leave 4 symbols (evaluate BEFORE
+    // release — the final rep is checkpoint-backed by design)
+    val syms = rep.select(
+      size(filter(split(col("s"), TextAnalysis.BpeD), x => x =!= ""))).head.getInt(0)
+    assert(syms === word.length - 64)
+    // the replace chain above the last checkpoint is at most the cadence
+    // deep — NOT 64 Projects over the original vocabulary scan
+    def depth(p: org.apache.spark.sql.catalyst.trees.TreeNode[_]): Int =
+      1 + (if (p.children.isEmpty) 0
+           else p.children.map(c =>
+             depth(c.asInstanceOf[org.apache.spark.sql.catalyst.trees.TreeNode[_]])).max)
+    val d = depth(rep.queryExecution.analyzed)
+    assert(d <= TextAnalysis.BpeCheckpointEvery + 4,
+      s"analyzed plan depth $d — checkpoint cadence not bounding lineage?")
+    Caches.release(spark)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "BPE training leaked persistent blocks past release")
+  }
 }
