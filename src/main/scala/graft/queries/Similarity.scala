@@ -401,6 +401,36 @@ object Similarity {
     (e, cand)
   }
 
+  /** The per-doc (source, sg) minhash signature projection feeding q86
+    * and its streaming dual — ONE definition of the tokenize → shingle →
+    * hash → minhash chain, so batch and stream cannot drift. The caller
+    * owns materialization (the q25 persist lesson: consumed lazily more
+    * than once, the chain re-runs per consumer).
+    */
+  private[graft] def sourceDocSigs(docs: DataFrame): DataFrame = {
+    val sig = minHash(col("hs"),
+      (1 to MinhashFns).map(hashA), (1 to MinhashFns).map(hashB), MersenneP)
+    docs
+      .select(col("source"), tokens(col("text")).as("tk"))
+      .select(col("source"), array_distinct(wordNgrams(col("tk"), 3)).as("g3"))
+      .select(col("source"), transform(col("g3"), g => portableHash(g)).as("hs"))
+      .select(col("source"), sig.as("sg"))
+  }
+
+  /** The per-(source, pos) register table over materialized per-doc
+    * signatures: elementwise MIN — the minhash union property, so a
+    * source's signature is ONE map-side-combined aggregate whose state
+    * is |sources|·[[MinhashFns]] longs at any corpus. Shared with the
+    * streaming dual ([[graft.streaming.DocStream.sourceMinhash]]),
+    * where the monotone MIN is exactly the bounded no-watermark state.
+    */
+  private[graft] def sourceSigRegisters(docSigs: DataFrame): DataFrame =
+    docSigs
+      .filter(col("sg").getItem(0).isNotNull)
+      .select(col("source"), posexplode(col("sg")))
+      .groupBy(col("source"), col("pos"))
+      .agg(min("col").as("mh"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // minhash + LSH banding near-dup candidates with estimated Jaccard
     "q25_minhash_lsh" -> ((s, dir) => {
@@ -465,8 +495,6 @@ object Similarity {
     // vocabulary like q80. No banding needed: the comparison universe is
     // the source list itself, not the corpus.
     "q86_source_minhash" -> ((s, dir) => {
-      val sig = minHash(col("hs"),
-        (1 to MinhashFns).map(hashA), (1 to MinhashFns).map(hashB), MersenneP)
       // the q25 persist lesson, verbatim: the per-doc signature must be
       // CACHED before anything consumes it — unpersisted, the null
       // filter pushes below the projection and re-derives the whole
@@ -475,17 +503,8 @@ object Similarity {
       // ran ~13× (measured 10 s at sf0.1; ~1 s cached). The self-join
       // above duplicates only the cheap 240-row aggregate over this
       // cache, never the chain.
-      val docSigs = Tables.wide(s, dir, "documents")
-        .select(col("source"), tokens(col("text")).as("tk"))
-        .select(col("source"), array_distinct(wordNgrams(col("tk"), 3)).as("g3"))
-        .select(col("source"), transform(col("g3"), g => portableHash(g)).as("hs"))
-        .select(col("source"), sig.as("sg"))
-        .persist()
-      val sigs = docSigs
-        .filter(col("sg").getItem(0).isNotNull)
-        .select(col("source"), posexplode(col("sg")))
-        .groupBy(col("source"), col("pos"))
-        .agg(min("col").as("mh"))
+      val docSigs = sourceDocSigs(Tables.wide(s, dir, "documents")).persist()
+      val sigs = sourceSigRegisters(docSigs)
       sigs.alias("a").join(sigs.alias("b"),
           col("a.pos") === col("b.pos") && col("a.source") < col("b.source"))
         .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
@@ -728,6 +747,106 @@ object Similarity {
           (vecDot(col("embedding"), col("qv")) / (col("nrm") * col("qn"))).as("cos"))
         .orderBy(desc("cos"), asc("vec_id"))
         .limit(10)
+    }),
+
+    // The COMPOSED production ANN read path: IVF probe (q68's staged,
+    // cell-bucketed index) then ADC (q67's query-side distance tables)
+    // over ONLY the probed cells' PQ codes — one query, both halves.
+    // The staged table holds (vec_id, cell, code0..3): 64 float32s
+    // (256 B) per vector become one bucket key + 4 small ints, the form
+    // a 100 TB vector index actually ships. At query time everything
+    // driver-side is bounded (the centroid/codebook tables and one
+    // 1-row query-vector read — query planning in any ANN system);
+    // the cluster-side work is a bucket-pruned scan of ≤nprobe cells
+    // (file-count pruning on the literal cell IN — PlanQualitySpec pins
+    // SelectedBucketsCount) with O(m) integer table lookups per row and
+    // a TakeOrdered top-k. No full-corpus scan, no shuffle, no
+    // vector arithmetic at read time.
+    "q91_ann_ivf_adc" -> ((s, dir) => {
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val idxT = s"graft_q91_ivfpq_$tag"
+      val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
+      val books = pqCodebooks(s, dir)
+      if (!s.catalog.tableExists(idxT)) {
+        // build step: q35's cell assignment + q65's code assignment in
+        // one narrow pass, staged hash-bucketed on `cell`
+        val e = Tables(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+          .filter(col("nrm") > 0) // zero-norm guard (see q28)
+        val ccosArr = zip_with(
+          graft.functions.VectorFunctions.vecDotMany(col("embedding"),
+            cents.flatMap(_._2).toArray, cents.length),
+          typedLit(cents.map(_._3).toSeq),
+          (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn)))
+        val dd = graft.functions.VectorFunctions.subspaceSqDists(
+          col("embedding"), books.flatten.flatten, PqM, books(0).length, PqSubDim)
+        val coded = e
+          .select(col("vec_id"), size(col("embedding")).as("dims"),
+            ccosArr.as("ccos"), dd.as("dall"))
+          .select(Seq(col("vec_id"), col("dims"),
+            (array_position(col("ccos"), array_max(col("ccos"))) - 1)
+              .cast("long").as("cell")) ++
+            (0 until PqM).map(m => element_at(col("dall"), m + 1).as(s"d$m")) ++
+            (0 until PqM).map(m =>
+              array_min(element_at(col("dall"), m + 1)).as(s"mn$m")): _*)
+          // codeless rows aren't in the index: non-64-dim vectors and
+          // null-ELEMENT vectors (no complete code word — the q67 guard)
+          .filter(col("dims") === 64)
+          .filter((0 until PqM).map(m => col(s"mn$m").isNotNull).reduce(_ && _))
+          .select(col("vec_id") +: col("cell") +:
+            (0 until PqM).map(m =>
+              (array_position(col(s"d$m"), col(s"mn$m")) - 1)
+                .cast("long").as(s"code$m")): _*)
+        graft.Bucketing.stage(coded, idxT, "cell", 8)
+      }
+      // one bounded 1-row read: the query vector (a missing/degenerate
+      // query empties the probe, never crashes — the q67 semantics)
+      val qOpt = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") === 0 && size(col("embedding")) === 64 &&
+          !exists(col("embedding"), _.isNull))
+        .select(col("embedding"))
+        .collect().headOption
+        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      qOpt.filter(qv => dot(qv, qv) > 0) match {
+        case None =>
+          Tables(s, dir, "embeddings")
+            .select(col("vec_id"), lit(null).cast("long").as("cell"),
+              lit(null).cast("double").as("adc"))
+            .limit(0)
+        case Some(qv) =>
+          val qn = math.sqrt(dot(qv, qv))
+          // probe planning, driver-side against the bounded centroid
+          // table — the exact IEEE sequence of the oracle's qc CTE
+          // (ORDER BY ccos DESC, cent_id; a NaN affinity sorts first
+          // like SQL's NaN-greatest double order)
+          val probed: Array[Long] = cents.map { case (k, c, cn) =>
+              val cc = dot(qv, c.toArray) / (qn * cn)
+              (k.toLong, if (cc.isNaN) Double.PositiveInfinity else cc)
+            }.sortBy { case (k, cc) => (-cc, k) }.take(2).map(_._1)
+          // the query's m·k distance tables, computed ONCE (the ADC point)
+          val tables: Array[Array[Double]] = Array.tabulate(PqM) { m =>
+            books(m).map { c =>
+              var d = 0.0; var i = 0
+              while (i < PqSubDim) {
+                val t = qv(m * PqSubDim + i) - c(i); d += t * t; i += 1
+              }
+              d
+            }
+          }
+          s.table(idxT).filter(col("cell").isin(probed.map(Long.box): _*))
+            .select(col("vec_id"), col("cell"),
+              (0 until PqM).map(m =>
+                element_at(typedLit(tables(m).toSeq),
+                  (col(s"code$m") + 1).cast("int"))).reduce(_ + _).as("adc"))
+            .orderBy(asc("adc"), asc("vec_id"))
+            .limit(10)
+      }
     }),
 
     // Scale-safe cosine near-dup (the q28 semantics in the 100 TB shape):
@@ -1363,6 +1482,39 @@ object Similarity {
     // the staged/bucketed layout is an implementation detail of the
     // Spark plan; the semantics are q35's probe verbatim
     "q68_ann_ivf_staged" -> SqlIvfProbe,
+
+    // composed probe→ADC: the q35/q68 cell CTEs pick the probed cells,
+    // the q65/q67 PQ chain supplies codes and the query's distance
+    // tables, and the final select is ADC restricted to vectors whose
+    // cell is probed — one SQL text built from BOTH shared chains, so
+    // neither half can drift from its standalone operator
+    "q91_ann_ivf_adc" ->
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |$sqlKmeans,
+         |a AS (SELECT e.vec_id, e.nrm, cq.cent_id,
+         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
+         |  FROM e CROSS JOIN cq),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
+         |qc AS (SELECT cent_id FROM a WHERE vec_id = 0
+         |  ORDER BY ccos DESC, cent_id LIMIT 2),
+         |$sqlPqChain,
+         |qsub AS (SELECT m, subv AS qsv FROM pall WHERE vec_id = 0),
+         |tbl AS (SELECT q.m, c.k, ${sqlSqDist("q.qsv", "c.cvec")} AS td
+         |  FROM qsub q JOIN pc$KmeansIters c ON c.m = q.m),
+         |adcj AS (SELECT b.vec_id, b.m, t.td
+         |  FROM pbest b JOIN tbl t ON t.m = b.m AND t.k = b.k),
+         |v AS (SELECT vec_id,
+         |  ${(0 until PqM).map(m =>
+              s"MAX(CASE WHEN m = $m THEN td END)").mkString(" + ")} AS adc
+         |  FROM adcj GROUP BY vec_id)
+         |SELECT cells.vec_id, cells.cell, v.adc
+         |FROM cells JOIN v ON v.vec_id = cells.vec_id
+         |WHERE cells.cell IN (SELECT cent_id FROM qc) AND v.adc IS NOT NULL
+         |ORDER BY v.adc, cells.vec_id LIMIT 10""".stripMargin,
 
     "q39_cosine_neardup_lsh" ->
       s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, label,

@@ -175,6 +175,43 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(recall >= 3, s"ADC recall collapsed: $recall/10")
   }
 
+  test("q91 composed IVF→ADC: agrees with full-corpus ADC on shared ids; recall holds") {
+    val comp = run("q91_ann_ivf_adc").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"), r.getAs[Double]("adc")))
+    assert(comp.nonEmpty, "composed probe returned nothing at sf0.01")
+    // the probed-cell restriction changes WHICH vectors compete, never
+    // their distances: any id in both top-10s must carry the SAME adc
+    val full = run("q67_ann_adc").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("adc")).toMap
+    comp.foreach { case (id, _, a) =>
+      full.get(id).foreach(fa =>
+        assert(fa == a, s"vec $id: composed adc $a != full-corpus adc $fa"))
+    }
+    // the query's own cell is always probed (its assigned cell IS its
+    // top-affinity cell), so vec 0 competes; its ADC is its q65 err
+    val errs = run("q65_pq_codes").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Double]("err")).toMap
+    comp.find(_._1 == 0L).foreach { case (_, _, a) =>
+      assert(a == errs(0L), s"ADC(query)=$a must equal its PQ err=${errs(0L)}") }
+    // usefulness floor vs exact L2 (nprobe=2 of ~sqrt(n) cells ON TOP of
+    // the coarse 4x16 quantizer — the floor composes both truncations)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+      .filter(_._2.length == 64)
+    val q = vecs.find(_._1 == 0L).get._2
+    def l2(a: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < 64) { val t = a(i) - q(i); s += t * t; i += 1 }
+      s
+    }
+    val exact = vecs.map { case (id, v) => (id, l2(v)) }
+      .sortBy { case (id, d) => (d, id) }.take(10).map(_._1).toSet
+    val recall = (comp.map(_._1).toSet & exact).size
+    assert(recall >= 3, s"composed IVF→ADC recall collapsed: $recall/10")
+    spark.catalog.clearCache()
+  }
+
   test("q39 still yields candidates at the bench corpus (bucket sizing holds)") {
     // regression: with 4-plane families (16 buckets) every bucket exceeded
     // the 50-doc cap at sf0.1's 2000 vectors and q39 returned ZERO rows —

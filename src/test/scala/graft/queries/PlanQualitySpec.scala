@@ -166,6 +166,27 @@ class PlanQualitySpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("q91 composed IVF→ADC: bucket-pruned code scan, no full-corpus vector read") {
+    // the composed read path's whole point: the per-query plan touches
+    // ONLY the probed cells' buckets of the staged CODES table — never
+    // the raw embeddings (those are read once driver-side for planning:
+    // centroids, codebooks, the 1-row query vector). autoBucketedScan
+    // off — the point-probe shape (see the q68 pin).
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q91_ann_ivf_adc")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert("SelectedBucketsCount: [12] out of 8".r.findFirstIn(p).isDefined,
+        s"probe scan must bucket-prune:\n${p.take(2000)}")
+      assert(!p.contains("embeddings.parquet"),
+        "read path must scan the staged codes, not the raw vectors")
+      assert(p.contains("TakeOrderedAndProject"),
+        "top-k must be a TakeOrdered, not a global sort")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("q47 length quartiles: row data only crosses the histogram shuffle; no row-level sort") {
     // the histogram formulation's contract: the corpus rows meet exactly
     // one exchange — the map-side-combined (lang, n_chars) count — and
