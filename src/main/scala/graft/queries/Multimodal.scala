@@ -1,7 +1,8 @@
 package graft.queries
 
+import graft.Tables
 import graft.multimodal.Media
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column queries (q31-q34): stub decode, feature extraction,
@@ -17,6 +18,39 @@ object Multimodal {
 
   private val FrameCount = 4
   private val FrameBytes = 100
+
+  /** q92 dHash geometry: an 8×9 "pixel" grid (8 comparison columns per
+    * row) folded to a 64-bit difference hash, carried as the q42 (lo, hi)
+    * BIGINT pair — no 64-bit sign/overflow portability traps, and the
+    * Hamming-band candidate machinery is q42's verbatim.
+    */
+  private val PhashRows = 8
+  private val PhashCols = 8
+
+  /** The deterministic decoded pixel plane: pixel i of the 8×9 grid is
+    * the code point of the payload character at position i mod n (the
+    * wrap makes short payloads well-defined). Payloads are UTF-8 bytes
+    * of ASCII text (see [[Media]]), so this IS the byte plane a real
+    * decoder would hand back, derived with engine-portable string ops —
+    * the pixel source a JNI codec would replace, exactly like
+    * [[Media.StubCodec]]'s metadata.
+    */
+  private def pixelPlane(txt: Column, n: Column): Column =
+    transform(sequence(lit(0), lit(PhashRows * (PhashCols + 1) - 1)),
+      i => ascii(txt.substr((i % n).cast("int") + 1, lit(1))))
+
+  /** One half of the 64-bit dHash over a named `px` grid column: bit b
+    * (of 32) set iff the right neighbor pixel is strictly brighter —
+    * per-row adjacent comparisons, the classic difference hash.
+    */
+  private def dhashHalf(off: Int): Column = (0 until 32).map { b =>
+    val g = off + b
+    val r = g / PhashCols
+    val c = g % PhashCols
+    when(element_at(col("px"), r * (PhashCols + 1) + c + 2) >
+         element_at(col("px"), r * (PhashCols + 1) + c + 1),
+      lit(1L << b)).otherwise(lit(0L))
+  }.reduce(_ + _)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // stub decode: typed metadata from the opaque payload
@@ -58,6 +92,56 @@ object Multimodal {
           sha2(col("payload").substr(
             (col("frame_idx") * col("stride") + 1).cast("int"),
             lit(FrameBytes)), 256).as("frame_sha"))
+    }),
+
+    // multimodal near-dup — perceptual difference-hash pairs over the
+    // media payloads: the missing member of the near-dup family (text
+    // has q21/q25/q27/q42, embeddings q28/q39/q76; this covers the
+    // MEDIA columns). dHash over the deterministic decoded pixel grid
+    // ([[pixelPlane]] — no codecs needed; a real decoder swaps the
+    // pixel source, not the hash or the banding), then Hamming-band
+    // candidate pairs reusing the q42 machinery verbatim: corpus-
+    // adaptive band widths over the (lo, hi) pair, [[Similarity
+    // .MaxBandDocs]]-capped buckets (a mass-duplicate image cluster is
+    // a quadratic bucket here exactly as in text), band equi-join, and
+    // the hamming cut BEFORE the distinct. Work ∝ true collisions,
+    // never n² — the 100 TB posture is q42's.
+    "q92_media_phash" -> ((s, dir) => {
+      val sk = Media.mediaTable(s, dir)
+        .select(col("media_id"), col("payload").cast("string").as("txt"))
+        .select(col("media_id"), col("txt"),
+          length(col("txt")).cast("long").as("n"))
+        .filter(col("n") > 0) // an empty payload decodes to no pixels
+        .select(col("media_id"), pixelPlane(col("txt"), col("n")).as("px"))
+        .select(col("media_id"), dhashHalf(0).as("lo"), dhashHalf(32).as("hi"))
+        .persist() // sketch feeds both sides of the band self-join
+      val w = Similarity.bandWidth64For(Tables(s, dir, "documents").count())
+      val nb = 64 / w
+      val nbLo = 32 / w
+      val mask = (1L << w) - 1
+      val bands = sk.select(col("media_id"), col("lo"), col("hi"),
+        explode(array((0 until nb).map { b =>
+          val bk =
+            if (b < nbLo) shiftright(col("lo"), w * b).bitwiseAND(lit(mask))
+            else shiftright(col("hi"), w * (b - nbLo)).bitwiseAND(lit(mask))
+          struct(lit(b).as("b"), bk.as("bk"))
+        }: _*)).as("x"))
+        .select(col("media_id"), col("lo"), col("hi"),
+          col("x.b").as("b"), col("x.bk").as("bk"))
+      val rare = bands.groupBy("b", "bk")
+        .agg(count(lit(1)).as("kc"))
+        .filter(col("kc") <= Similarity.MaxBandDocs)
+        .select("b", "bk")
+      val capped = bands.join(rare, Seq("b", "bk"), "left_semi")
+      capped.alias("a").join(capped.alias("b"),
+          col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+          col("a.media_id") < col("b.media_id"))
+        .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+          (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+           bit_count(col("a.hi").bitwiseXOR(col("b.hi"))))
+            .cast("long").as("hamming"))
+        .filter(col("hamming") <= 8)
+        .distinct()
     }),
 
     // resize: halved dims + thumbnail payload hash (first 64 bytes)
@@ -105,5 +189,44 @@ object Multimodal {
          |  greatest(1, (16 + $SqlH % 320) // 2) AS new_w,
          |  greatest(1, (16 + ($SqlH // 320) % 320) // 2) AS new_h,
          |  sha256(substr(text, 1, 64)) AS thumb_sha
-         |FROM documents""".stripMargin)
+         |FROM documents""".stripMargin,
+
+    // the q42 band/cap/pair SQL with the dHash sketch substituted: the
+    // pixel plane, the per-row adjacent comparisons, and the (lo, hi)
+    // halves mirror the Spark expressions integer-for-integer
+    "q92_media_phash" -> {
+      val cells = PhashRows * (PhashCols + 1)
+      def half(lo: Int, hi: Int, off: Int) =
+        s"""CAST(list_aggregate(list_transform(range($lo, $hi), g ->
+           |  CASE WHEN px[CAST((g // $PhashCols) * ${PhashCols + 1} + (g % $PhashCols) + 2 AS INT)]
+           |          > px[CAST((g // $PhashCols) * ${PhashCols + 1} + (g % $PhashCols) + 1 AS INT)]
+           |  THEN CAST(1 AS BIGINT) << CAST(g - $off AS INT) ELSE CAST(0 AS BIGINT) END),
+           |  'sum') AS BIGINT)""".stripMargin
+      s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n
+         |  FROM documents WHERE length(text) > 0),
+         |pxs AS (SELECT media_id, list_transform(range(0, $cells),
+         |    i -> ascii(substr(text, CAST(i % n AS INT) + 1, 1))) AS px FROM m),
+         |s AS (SELECT media_id, ${half(0, 32, 0)} AS lo,
+         |  ${half(32, 64, 32)} AS hi FROM pxs),
+         |wp AS (SELECT CAST(COALESCE(MIN(j), 32) AS BIGINT) AS w
+         |  FROM (VALUES (8),(16),(32)) t(j)
+         |  WHERE (CAST(1 AS BIGINT) << j) * 25 >= (SELECT count(*) FROM documents)),
+         |bands AS (SELECT media_id, lo, hi, b,
+         |    CASE WHEN b < 32 // w
+         |      THEN (lo >> CAST(w*b AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1)
+         |      ELSE (hi >> CAST(w*(b - 32 // w) AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1)
+         |    END AS bk
+         |  FROM s, wp, range(0, 8) t(b) WHERE b < 64 // w),
+         |rare AS (SELECT b, bk FROM bands GROUP BY b, bk
+         |  HAVING COUNT(*) <= ${Similarity.MaxBandDocs}),
+         |bc AS (SELECT bands.media_id, bands.lo, bands.hi, bands.b, bands.bk
+         |  FROM bands JOIN rare USING (b, bk)),
+         |cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         |    a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+         |  FROM bc a JOIN bc b ON a.b = b.b AND a.bk = b.bk AND a.media_id < b.media_id)
+         |SELECT media_a, media_b,
+         |  CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+         |FROM cand
+         |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 8""".stripMargin
+    })
 }

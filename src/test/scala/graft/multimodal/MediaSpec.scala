@@ -32,6 +32,31 @@ class MediaSpec extends AnyFunSuite {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("q92 phash: a near-identical image pair surfaces with tiny hamming") {
+    // two 80-char payloads differing in ONE character at position 40:
+    // pixel (4,4) of the 8x9 grid changes, which can flip at most the
+    // two adjacent dHash comparisons in row 4 — hamming <= 2, well
+    // under the <=8 cut. Decoys are structurally different payloads.
+    val base = ("the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew strong tea").take(80)
+    val near = base.updated(40, 'x')
+    val docs = Seq(
+      (0L, base), (1L, near),
+      (2L, "completely different content about mountain ranges and glacial valleys"),
+      (3L, "yet another unrelated document describing maritime navigation routes"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-phash").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Multimodal.queries("q92_media_phash")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        r.getAs[Long]("hamming")).toMap
+    spark.catalog.clearCache()
+    assert(rows.contains((0L, 1L)),
+      s"planted near-identical pair not found; got ${rows.keySet}")
+    assert(rows((0L, 1L)) <= 2L,
+      s"one changed pixel flipped ${rows((0L, 1L))} dHash bits")
+  }
+
   test("codec path preserves partitioning (no shuffle, one codec per task)") {
     val typed = Media.mediaTable(spark, dir).as[MediaItem]
     val decoded = Media.decodeWith(typed, StubCodec)

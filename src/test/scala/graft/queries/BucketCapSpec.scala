@@ -39,6 +39,13 @@ class BucketCapSpec extends AnyFunSuite {
       == Set((1000L, 1001L))) // identical simhash; hot cluster's bands capped
     assert(q27.head.getAs[Long]("hamming") == 0L)
 
+    // q92: identical payloads = identical dHash — the 300-doc cluster's
+    // every band key is hot and capped; the isolated pair survives
+    val q92 = Multimodal.queries("q92_media_phash")(spark, dir).collect()
+    assert(q92.map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"))).toSet
+      == Set((1000L, 1001L)))
+    assert(q92.head.getAs[Long]("hamming") == 0L)
+
     spark.catalog.clearCache() // drop the queries' persisted intermediates
   }
 
@@ -47,8 +54,10 @@ class BucketCapSpec extends AnyFunSuite {
     // silently drop EVERY candidate at scale; each capped query must
     // still produce pairs on the largest corpus the bench runs
     val dir = "/root/testdata/sf0.1"
-    for (q <- Seq("q22_ngram_jaccard", "q25_minhash_lsh", "q27_simhash_pairs")) {
-      assert(TextAnalysis.queries.getOrElse(q, Similarity.queries(q))(spark, dir).count() > 0,
+    val all = TextAnalysis.queries ++ Similarity.queries ++ Multimodal.queries
+    for (q <- Seq("q22_ngram_jaccard", "q25_minhash_lsh", "q27_simhash_pairs",
+        "q92_media_phash")) {
+      assert(all(q)(spark, dir).count() > 0,
         s"$q: cap dropped every candidate at sf0.1")
       spark.catalog.clearCache()
     }
