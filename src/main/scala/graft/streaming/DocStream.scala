@@ -230,6 +230,21 @@ object DocStream {
   def quantileSketch(docs: DataFrame, admissionMod: Long): DataFrame =
     graft.queries.TextAnalysis.sampledLengthHist(docs, admissionMod)
 
+  /** Streaming per-source minhash registers: q86's signature table over
+    * an unbounded doc stream, via the SAME
+    * [[graft.queries.Similarity.sourceDocSigs]] /
+    * [[graft.queries.Similarity.sourceSigRegisters]] definitions the
+    * batch matrix uses. Register values are monotone — elementwise MIN
+    * of per-doc signatures, the minhash union property — so the
+    * stateful aggregation needs no watermark and its state is bounded
+    * at |sources| × 12 rows forever, like [[vocabSketch]]'s registers
+    * (run with complete/update output; the |sources|²-bounded pair
+    * matrix is q86's tiny batch step over the emitted table).
+    */
+  def sourceMinhash(docs: DataFrame): DataFrame =
+    graft.queries.Similarity.sourceSigRegisters(
+      graft.queries.Similarity.sourceDocSigs(docs))
+
   // ---- incremental near-dedup (the q27 semantics against history) ---------
 
   /** Sub-partition count for the band-key bucket `g = bk mod BkBuckets`.

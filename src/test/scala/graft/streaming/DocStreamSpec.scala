@@ -102,6 +102,41 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sourceMinhash streams q86's register table (minhash union property, bounded state)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val q = DocStream.sourceMinhash(
+        mem.toDF().toDF("doc_id", "ingest_ts", "source", "text"))
+      .writeStream.format("memory").queryName("srcmh")
+      .outputMode("complete").start()
+    try {
+      // two sources, overlapping shingles, plus a gram-less short doc
+      // (filtered by the null-signature guard on both paths); the
+      // cross-batch-boundary rows must fold into the SAME registers
+      val rows = Seq(
+        (0L, ts(1), "crawlA", goodEn),
+        (1L, ts(2), "crawlB", goodEn + " with different tail tokens"),
+        (2L, ts(3), "crawlA", spanish),
+        (3L, ts(4), "crawlB", "too short"),
+        (4L, ts(5), "crawlA", goodEn + " more overlap in this batch"))
+      mem.addData(rows.take(3))
+      q.processAllAvailable()
+      mem.addData(rows.drop(3))
+      q.processAllAvailable()
+      val got = spark.table("srcmh")
+        .as[(String, Int, Long)].collect().toSet
+      val want = graft.queries.Similarity.sourceSigRegisters(
+          graft.queries.Similarity.sourceDocSigs(
+            rows.toDF("doc_id", "ingest_ts", "source", "text")))
+        .as[(String, Int, Long)].collect().toSet
+      assert(got == want && got.nonEmpty,
+        "streamed registers must equal the batch derivation on the same rows")
+      // monotone-MIN state contract: exactly |sources| × 12 registers
+      assert(got.size == 2 * 12)
+    } finally q.stop()
+  }
+
   test("qualityFiltered streams the batch q45 verdicts (same rule Columns)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
