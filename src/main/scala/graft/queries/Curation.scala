@@ -366,6 +366,24 @@ object Curation {
       packProfile(packAssignments(shuffled, 0L))
     }),
 
+    // trained-token packing — q90 ∘ q72: identical pack arithmetic, but
+    // the unit is the token count under q87's LEARNED merge table
+    // instead of whitespace tokens — the unit a data loader actually
+    // bills sequences in once a tokenizer is trained. The token source
+    // is the ONLY difference (the shared packAssignments/packProfile
+    // pair is token-unit-agnostic by construction), so the composed
+    // operator inherits q72's pinned plan shape: bucketed prefix sum
+    // over static id ranges, bounded driver reads, one map-side-combined
+    // chunk aggregation — plus q90's vocabulary-side encode (each
+    // distinct word pays the replace chain once).
+    "q93_pack_trained" -> ((s, dir) => {
+      val toks = graft.queries.TextAnalysis.queries("q90_bpe_encode")(s, dir)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .persist()
+      packProfile(packAssignments(toks, 0L))
+    }),
+
     // cross-split leakage audit — the NEAR-dup counterpart of q57's
     // exact 8-gram decontamination: how many q27 near-dup pairs straddle
     // a q56 split boundary (a test document with a train near-duplicate
@@ -615,6 +633,28 @@ object Curation {
   // 60-bit mirror of portableHash60 (rate-exact admission past 2^32)
   private val Hash60 = TextAnalysis.SqlHash60
 
+  /** The pack-profile SQL tail over a `t(doc_id, n_tokens)` CTE — the
+    * corpus-order prefix sum cut every [[PackCapacity]] tokens, then the
+    * per-chunk profile. ONE text shared by q72 (whitespace tokens) and
+    * q93 (trained tokens): the mirrors differ only in the token source,
+    * exactly like the Spark side's shared [[packAssignments]] /
+    * [[packProfile]].
+    */
+  private val SqlPackTail: String =
+    s"""c AS (SELECT doc_id, n_tokens,
+       |  SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT CAST((cum - n_tokens) // $PackCapacity AS BIGINT) AS chunk_id,
+       |  COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+       |  CAST(SUM(CASE WHEN (cum - 1) // $PackCapacity
+       |      > (cum - n_tokens) // $PackCapacity THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_straddlers,
+       |  CAST(MAX((cum - 1) // $PackCapacity
+       |    - (cum - n_tokens) // $PackCapacity + 1) AS BIGINT) AS max_span
+       |FROM c GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q56_hash_split" ->
       s"""WITH b AS (SELECT doc_id,
@@ -679,19 +719,15 @@ object Curation {
       s"""WITH tk AS (SELECT doc_id, len(${TextAnalysis.Toks}) AS n_tokens
          |  FROM documents),
          |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
-         |c AS (SELECT doc_id, n_tokens,
-         |  SUM(n_tokens) OVER (ORDER BY doc_id
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM t)
-         |SELECT CAST((cum - n_tokens) // $PackCapacity AS BIGINT) AS chunk_id,
-         |  COUNT(*) AS n_docs,
-         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
-         |  CAST(SUM(CASE WHEN (cum - 1) // $PackCapacity
-         |      > (cum - n_tokens) // $PackCapacity THEN 1 ELSE 0 END)
-         |    AS BIGINT) AS n_straddlers,
-         |  CAST(MAX((cum - 1) // $PackCapacity
-         |    - (cum - n_tokens) // $PackCapacity + 1) AS BIGINT) AS max_span
-         |FROM c GROUP BY 1""".stripMargin,
+         |$SqlPackTail""".stripMargin,
+
+    // q72's pack tail over q90's per-doc TRAINED-token counts — the
+    // token source swaps, the pack SQL is byte-identical (SqlPackTail)
+    "q93_pack_trained" ->
+      s"""WITH ${TextAnalysis.bpeEncodedCtes},
+         |t AS (SELECT doc_id, n_bpe_tokens AS n_tokens FROM pd
+         |  WHERE n_bpe_tokens > 0),
+         |$SqlPackTail""".stripMargin,
 
     // the shared q27 pair CTEs × the source column — q79's shape at
     // source granularity, pair-normalized with least/greatest

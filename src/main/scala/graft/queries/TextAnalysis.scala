@@ -941,6 +941,26 @@ object TextAnalysis {
        |      chr(1)||m$r.a||m$r.b||chr(1)) END AS s
        |  FROM v${r - 1} LEFT JOIN m$r ON TRUE)""".stripMargin
 
+  /** The full encode chain ending in per-doc counts `pd` (doc_id,
+    * n_words, n_bpe_tokens) — the q90 oracle's body, exposed so
+    * Curation's trained-token packing oracle (q93) consumes the
+    * IDENTICAL training + encode SQL.
+    */
+  private[queries] def bpeEncodedCtes: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      bpePm(r, s"v${r - 1}") + ",\n" + bpeVm(r)
+    }.mkString(",\n")
+    s"""$bpeV0,
+       |$rounds,
+       |wt AS (SELECT word,
+       |  CAST(len(list_filter(string_split(s, chr(1)), x -> x <> '')) AS BIGINT) AS w_toks
+       |  FROM v$BpeRounds),
+       |dw AS (SELECT doc_id, unnest(tk) AS word FROM tk),
+       |pd AS (SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(wt.w_toks) AS BIGINT) AS n_bpe_tokens
+       |  FROM dw JOIN wt USING (word) GROUP BY dw.doc_id)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q17_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
@@ -1038,23 +1058,11 @@ object TextAnalysis {
     // (v$BpeRounds), then per-word trained-token counts joined back to
     // the per-doc word list — the relational mirror of encoding on the
     // vocabulary and stitching counts to occurrences
-    "q90_bpe_encode" -> {
-      val rounds = (1 to BpeRounds).map { r =>
-        bpePm(r, s"v${r - 1}") + ",\n" + bpeVm(r)
-      }.mkString(",\n")
-      s"""WITH $bpeV0,
-         |$rounds,
-         |wt AS (SELECT word,
-         |  CAST(len(list_filter(string_split(s, chr(1)), x -> x <> '')) AS BIGINT) AS w_toks
-         |  FROM v$BpeRounds),
-         |dw AS (SELECT doc_id, unnest(tk) AS word FROM tk),
-         |pd AS (SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-         |  CAST(SUM(wt.w_toks) AS BIGINT) AS n_bpe_tokens
-         |  FROM dw JOIN wt USING (word) GROUP BY dw.doc_id)
+    "q90_bpe_encode" ->
+      s"""WITH $bpeEncodedCtes
          |SELECT d.doc_id, COALESCE(pd.n_words, CAST(0 AS BIGINT)) AS n_words,
          |  COALESCE(pd.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
-         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin
-    },
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
 
     "q41_repetition" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
