@@ -240,6 +240,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // rep-major interleaving sweeps the whole suite (~300 codegen
+      // units) between a query's reps; the default 100-entry codegen
+      // cache would evict everything and re-janino-compile every rep —
+      // a fixed per-rep tax the instrument would misread as query cost
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

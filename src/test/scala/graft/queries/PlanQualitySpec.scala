@@ -91,6 +91,21 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache() // q42 persists its sketch projection
   }
 
+  test("q92 media phash banding: candidates via equi-join, never a nested loop") {
+    // the q42 contract over the media sketch: the pair join's key is the
+    // (band, key) pair, work ∝ true collisions
+    val p = plan("q92_media_phash")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    spark.catalog.clearCache() // q92 persists its dHash sketch
+  }
+
+  test("q93 trained-token pack: q72's shape — bucketed prefix sum, no single partition") {
+    val p = execPlan("q93_pack_trained")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark) // q93 persists its trained-token counts
+  }
+
   test("q71 dup-ngram coverage: hash equi-joins, two-phase doc-frequency agg") {
     val p = plan("q71_dup_ngrams")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
