@@ -48,6 +48,10 @@ class DegenerateTextSpec extends AnyFunSuite {
     // rank); q86 needs a source column and is degenerate-tested in
     // CurationSpec's empty-corpus row instead
     "q85_curriculum_order", "q87_bpe_merges", "q88_bigram_surprisal",
+    // q90 left-joins counts back to every doc (null text -> 0/0 row);
+    // q93 packs only docs with >= 1 trained token; q92's sketch skips
+    // empty/null payloads and pairs only near-dups
+    "q90_bpe_encode", "q92_media_phash", "q93_pack_trained",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -71,6 +75,8 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q85_curriculum_order", // positions only tokenizable docs
         "q87_bpe_merges", // <= BpeRounds merge rows, not per doc
         "q88_bigram_surprisal", // rows only for docs with >= 1 bigram
+        "q92_media_phash", // pairs only; degenerate corpus has none
+        "q93_pack_trained", // one row per chunk, not per doc
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")
