@@ -130,6 +130,39 @@ object TextAnalysis {
     (merges.result(), rep)
   }
 
+  /** Per-word trained-token count under a FROZEN merge table — the
+    * encode expression behind the streaming dual of q90
+    * ([[graft.streaming.DocStream.bpeEncoded]]). Applying the merges in
+    * round order to a word's original symbol string replays exactly the
+    * replace sequence [[bpeTrain]] applied incrementally (round r's
+    * replace sees merges 1..r−1 already applied in both formulations),
+    * so the count equals the batch encoder's for every word.
+    */
+  private[graft] def bpeTokenCount(word: Column,
+      merges: Seq[(String, String)]): Column = {
+    val sym0 = regexp_replace(word, "(.)", s"$BpeD$$1$BpeD")
+    val merged = merges.foldLeft(sym0) { case (c, (a, b)) =>
+      call_function("replace", c,
+        lit(BpeD + a + BpeD + BpeD + b + BpeD), lit(BpeD + a + b + BpeD))
+    }
+    size(filter(split(merged, BpeD), x => x =!= "")).cast("long")
+  }
+
+  /** Per-doc counts under a frozen merge table, stateless and narrow —
+    * the q90 output schema without the corpus join (each word occurrence
+    * pays the replace chain here; the vocabulary-side amortization is a
+    * batch luxury a stateless stream map does not have). The coalesce
+    * mirrors q90's left-join re-admission of null-text docs as 0/0.
+    */
+  private[graft] def bpeEncodedCounts(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        coalesce(size(col("tk")).cast("long"), lit(0L)).as("n_words"),
+        coalesce(aggregate(col("tk"), lit(0L),
+          (acc, w) => acc + bpeTokenCount(w, merges)), lit(0L))
+          .as("n_bpe_tokens"))
+
   /** q74 retrieval-chunk window (tokens) and stride: 32-token windows
     * every 24 tokens — 8 tokens of overlap so no boundary sentence is
     * lost to a cut, the standard RAG chunking shape. Starts are the

@@ -245,6 +245,22 @@ object DocStream {
     graft.queries.Similarity.sourceSigRegisters(
       graft.queries.Similarity.sourceDocSigs(docs))
 
+  /** Streaming tokenizer application — q90's per-doc trained-token
+    * counts under a FROZEN merge table. Training is inherently batch
+    * (q87's per-round argmax is corpus-global); deployment is the
+    * standard split: a batch job trains the merges, the stream APPLIES
+    * them. Stateless narrow per-row — the merge table is a bounded
+    * driver literal baked into the expression
+    * ([[graft.queries.TextAnalysis.bpeTokenCount]], the exact replay of
+    * the batch replace sequence), so there is no shuffle, no state, and
+    * any output mode works. Each word occurrence pays the replace chain
+    * here (the batch q90 amortizes it over the vocabulary — a luxury a
+    * stateless stream map does not have; for a high-rate stream the
+    * upgrade path is a vocabulary state store, not a different count).
+    */
+  def bpeEncoded(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    graft.queries.TextAnalysis.bpeEncodedCounts(docs, merges)
+
   // ---- incremental near-dedup (the q27 semantics against history) ---------
 
   /** Sub-partition count for the band-key bucket `g = bk mod BkBuckets`.

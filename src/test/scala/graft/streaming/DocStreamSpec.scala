@@ -137,6 +137,42 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bpeEncoded streams q90's counts under a batch-trained merge table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train on a static corpus (the batch job), then stream the SAME
+    // docs through the frozen merges — counts must equal batch q90's,
+    // including the partially-merged word and the null-text 0/0 row
+    val texts = Seq("ab ab ab", "abc abc", "xy", "abx",
+      null.asInstanceOf[String])
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpestream").toString
+    texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val merges = graft.SparkEntry.queries("q87_bpe_merges")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.Caches.release(spark)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.bpeEncoded(
+        mem.toDF().toDF("doc_id", "ingest_ts", "text"), merges)
+      .writeStream.format("memory").queryName("bpeenc")
+      .outputMode("append").start()
+    try {
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, ts(i), t) }
+      mem.addData(rows.take(2))
+      q.processAllAvailable()
+      mem.addData(rows.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("bpeenc")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = graft.SparkEntry.queries("q90_bpe_encode")(spark, dir)
+        .as[(Long, Long, Long)].collect().toSet
+      graft.Caches.release(spark)
+      assert(got == want && got.size == texts.size,
+        s"stream $got must equal batch q90 $want")
+    } finally q.stop()
+  }
+
   test("qualityFiltered streams the batch q45 verdicts (same rule Columns)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
