@@ -35,7 +35,7 @@ object Multimodal {
     * the pixel source a JNI codec would replace, exactly like
     * [[Media.StubCodec]]'s metadata.
     */
-  private def pixelPlane(txt: Column, n: Column): Column =
+  private[graft] def pixelPlane(txt: Column, n: Column): Column =
     transform(sequence(lit(0), lit(PhashRows * (PhashCols + 1) - 1)),
       i => ascii(txt.substr((i % n).cast("int") + 1, lit(1))))
 
@@ -43,7 +43,7 @@ object Multimodal {
     * (of 32) set iff the right neighbor pixel is strictly brighter —
     * per-row adjacent comparisons, the classic difference hash.
     */
-  private def dhashHalf(off: Int): Column = (0 until 32).map { b =>
+  private[graft] def dhashHalf(off: Int): Column = (0 until 32).map { b =>
     val g = off + b
     val r = g / PhashCols
     val c = g % PhashCols

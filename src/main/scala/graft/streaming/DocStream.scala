@@ -281,9 +281,14 @@ object DocStream {
     * [[rebandIndex]] — a pass over the stored `(doc_id, simhash)` pairs;
     * the sketches are in the index, so re-banding never re-reads text.
     */
-  private def bandsFromSketch(sketches: DataFrame, w: Int): DataFrame = {
-    val nb = 32 / w
+  private[streaming] def bandsFromSketch(sketches: DataFrame, w: Int,
+      bits: Int = 32): DataFrame = {
+    val nb = bits / w
     val mask = (1L << w) - 1
+    // arithmetic shiftright is safe even for a sign-bit-set 64-bit
+    // sketch ([[MediaStream]]'s packed dHash): the & mask discards every
+    // sign-extension bit whenever w + shift ≤ 64, which bits/w bands
+    // guarantee
     sketches
       .select(col("doc_id"), col("simhash"), explode(array(
         (0 until nb).map(b => struct(lit(b).as("b"),
@@ -390,28 +395,43 @@ object DocStream {
   private def processPinnedBatch(spark: SparkSession, stable: DataFrame,
       batchId: Long, indexPath: String, outPath: String,
       bandWidth: Int): Unit = {
-    // mass-cluster hygiene, LOSSLESS (unlike batch q27's frequency cap):
-    // collapse exact-sketch duplicates to their min-id representative
-    // BEFORE banding. Identical sketches share every band key at
-    // hamming 0, so a batch holding a 10k-copy document would otherwise
-    // put 10k rows in one bucket and the within-batch self-join would
-    // enumerate ~5·10^7 pairs — the quadratic-bucket failure the batch
-    // operators cap away. The collapse is one map-side-combined shuffle
-    // on the sketch and preserves the greedy semantics exactly: a member
-    // is a dup of its smaller-id representative, and any near-dup
-    // verdict against the representative applies to every member
-    // (identical sketch ⇒ identical hamming to any third document).
-    // Null sketches (null text) pass through uncollapsed — their band
-    // keys are null, which never equi-join, the prior behavior.
     val sk = stable
       .withColumn("simhash",
         simHash32(transform(array_distinct(tokens(col("text"))), t => portableHash(t))))
       .select(col("doc_id"), col("simhash"))
+    processSketched(spark, stable, sk, batchId, indexPath, outPath,
+      bandWidth, bits = 32)
+  }
+
+  /** The sketch-agnostic tail of a near-dedup micro-batch — everything
+    * after the sketch column exists, shared by the text stream (32-bit
+    * simhash) and [[MediaStream]] (packed 64-bit dHash): representative
+    * collapse, banding, pruned index read, cross/within dedup, the
+    * survivors-first two-write protocol, and the commit marker.
+    *
+    * Mass-cluster hygiene, LOSSLESS (unlike batch q27's frequency cap):
+    * exact-sketch duplicates collapse to their min-id representative
+    * BEFORE banding. Identical sketches share every band key at
+    * hamming 0, so a batch holding a 10k-copy document would otherwise
+    * put 10k rows in one bucket and the within-batch self-join would
+    * enumerate ~5·10^7 pairs — the quadratic-bucket failure the batch
+    * operators cap away. The collapse is one map-side-combined shuffle
+    * on the sketch and preserves the greedy semantics exactly: a member
+    * is a dup of its smaller-id representative, and any near-dup
+    * verdict against the representative applies to every member
+    * (identical sketch ⇒ identical hamming to any third document).
+    * Null sketches (null text / empty payload) pass through uncollapsed
+    * — their band keys are null, which never equi-join, so such rows
+    * are always admitted.
+    */
+  private[streaming] def processSketched(spark: SparkSession,
+      stable: DataFrame, sk: DataFrame, batchId: Long, indexPath: String,
+      outPath: String, bandWidth: Int, bits: Int): Unit = {
     val reps = sk.filter(col("simhash").isNotNull)
       .groupBy("simhash").agg(min("doc_id").as("doc_id"))
       .select("doc_id", "simhash")
       .union(sk.filter(col("simhash").isNull))
-    val bands = bandsFromSketch(reps, bandWidth)
+    val bands = bandsFromSketch(reps, bandWidth, bits)
       .persist() // feeds the prune-key collect, the cross-join, the self-join
     try {
       // the batch's own (b, g) groups — bounded by bands × BkBuckets, the
