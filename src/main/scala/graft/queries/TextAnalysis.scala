@@ -501,6 +501,53 @@ object TextAnalysis {
               / col("n_g5").cast("double")).as("dup_frac"))
     }),
 
+    // longest duplicated PASSAGE — the positional sharpening of q71:
+    // q71 reports what FRACTION of a doc's grams exist elsewhere; this
+    // reports the longest CONSECUTIVE run of corpus-shared 5-gram
+    // positions (a run of L shared grams ≈ an L+4-word duplicated
+    // passage) — the signal behind exact-substring dedup decisions
+    // (Lee et al.-style): a doc 20% duplicated in one contiguous block
+    // is a copy-paste; 20% scattered singles is just common phrasing.
+    // Plan at 100 TB: doc frequency is q71's two-phase agg over 60-bit
+    // hashes of per-doc DISTINCT grams (a doc repeating itself is not
+    // "shared"); shared POSITIONS come from one semi-join of the
+    // positional explode against the DF≥2 keys; the run length is the
+    // gaps-and-islands window (pos − row_number) PARTITIONED BY doc —
+    // each window sees only one doc's shared positions, never a
+    // corpus-wide sort.
+    "q94_dup_passage" -> ((s, dir) => {
+      // positional gram hashes, materialized (the q71/q22 Generate
+      // discipline — they feed the DF agg, the positional explode, and
+      // the final length projection)
+      val pg = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), wordNgrams(col("tk"), 5).as("g5s"))
+        .select(col("doc_id"),
+          transform(col("g5s"), g => portableHash60(g)).as("g5h"))
+        .persist()
+      val shared = pg
+        .select(col("doc_id"), explode(array_distinct(col("g5h"))).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select("h")
+      val sharedPos = pg
+        .select(col("doc_id"), posexplode(col("g5h")).as(Seq("pos", "h")))
+        .join(shared, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val runs = sharedPos
+        .withColumn("grp", col("pos") - row_number().over(w))
+        .groupBy("doc_id", "grp").agg(count(lit(1)).as("run"))
+        .groupBy("doc_id").agg(max("run").as("longest0"))
+      pg.select(col("doc_id"), size(col("g5h")).cast("long").as("n_g5"))
+        .join(runs, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_g5"),
+          coalesce(col("longest0"), lit(0L)).as("longest_run"),
+          when(coalesce(col("longest0"), lit(0L)) > 0,
+            coalesce(col("longest0"), lit(0L)) + lit(4L))
+            .otherwise(lit(0L)).as("passage_tokens"))
+    }),
+
     // sliding-window retrieval chunking — the indexing-side prep of a
     // RAG pipeline: each document becomes overlapping [[ChunkWin]]-token
     // windows every [[ChunkStride]] tokens, each with a content hash (the
@@ -1126,6 +1173,33 @@ object TextAnalysis {
          |    THEN CAST(COALESCE(s.n_shared, 0) AS DOUBLE)/CAST(b.n_g5 AS DOUBLE)
          |  END AS dup_frac
          |FROM b LEFT JOIN sdoc s ON s.doc_id = b.doc_id""".stripMargin,
+
+    // POSITIONAL grams (no list_distinct) drive the run; doc frequency
+    // still counts per-doc distinct grams (u2), exactly as the Spark side
+    "q94_dup_passage" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |g AS (SELECT doc_id, CASE WHEN len(tk) < 5 THEN []
+         |  ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]
+         |        for i in range(1, len(tk)-4+1)] END AS g5s FROM t),
+         |ph AS (SELECT doc_id, list_transform(g5s, x -> ${SqlHash60("x")}) AS g5h FROM g),
+         |c AS (SELECT h FROM (SELECT h, COUNT(*) AS n_docs FROM
+         |    (SELECT doc_id, unnest(list_distinct(g5h)) AS h FROM ph) u2
+         |  GROUP BY h) q WHERE n_docs >= 2),
+         |sp AS (SELECT doc_id, pos FROM
+         |    (SELECT ph.doc_id, i.j AS pos, ph.g5h[CAST(i.j AS INT)] AS h
+         |     FROM ph, UNNEST(range(1, len(ph.g5h) + 1)) AS i(j)) u
+         |  WHERE h IN (SELECT h FROM c)),
+         |r AS (SELECT doc_id,
+         |    pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+         |  FROM sp),
+         |runs AS (SELECT doc_id, MAX(cnt) AS longest0 FROM
+         |  (SELECT doc_id, grp, COUNT(*) AS cnt FROM r GROUP BY doc_id, grp) z
+         |  GROUP BY doc_id)
+         |SELECT p.doc_id, CAST(len(p.g5h) AS BIGINT) AS n_g5,
+         |  COALESCE(runs.longest0, 0) AS longest_run,
+         |  CASE WHEN COALESCE(runs.longest0, 0) > 0
+         |    THEN COALESCE(runs.longest0, 0) + 4 ELSE 0 END AS passage_tokens
+         |FROM ph p LEFT JOIN runs ON runs.doc_id = p.doc_id""".stripMargin,
 
     // list slicing is 1-based inclusive in DuckDB and truncates at the
     // end like Spark's slice; sha256 ≡ sha2(·,256) (the q15 parity)

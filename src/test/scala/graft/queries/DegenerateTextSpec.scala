@@ -31,6 +31,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q21_dedup_exact", "q22_ngram_jaccard", "q25_minhash_lsh",
     "q26_simhash", "q27_simhash_pairs", "q42_simhash64_pairs",
     "q36_prep_pipeline", "q40_vocab_topk", "q41_repetition", "q71_dup_ngrams",
+    "q94_dup_passage",
     "q43_neardup_clusters", "q44_dedup_survivors", "q69_pagerank",
     "q77_triangle_support",
     "q45_quality_filter",
