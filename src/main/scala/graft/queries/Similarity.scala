@@ -849,6 +849,82 @@ object Similarity {
       }
     }),
 
+    // ANN index-quality audit — recall@10 of the IVF probe against the
+    // exact cosine baseline, per sampled query: the eval a production
+    // vector store runs after every index rebuild (a quantizer
+    // regression that kept per-query determinism would otherwise ship
+    // silently; AnnRecallSpec pins ONE query's recall in tests — this
+    // measures the distribution as data, over a corpus-adaptive sample).
+    // Plan at 100 TB: the query sample is modulus-bounded (~8 rows,
+    // broadcast); the exact side is the sample×corpus scan an eval
+    // honestly costs (run rarely, not per query), with its top-10 cut
+    // TWO-PHASE — a local rank inside each scan partition keyed
+    // (qid, partition) first, so no task ever sorts more than its own
+    // slice, then the global rank over ≤10·partitions·|sample|
+    // survivors; the IVF side reuses the q35 cell assignment and ranks
+    // only the probed cells' members. No corpus-sized single-key sort
+    // anywhere.
+    "q95_ann_recall_audit" -> ((s, dir) => {
+      val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
+      val n = Tables(s, dir, "embeddings").count()
+      val qmod = math.max(5L, (n + 7) / 8) // ≤ ~8 sampled queries
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        .filter(col("nrm") > 0) // zero-norm guard (see q28)
+        .persist() // feeds the sample, both scans, and the assignment
+      val qs = e.filter(col("vec_id") % qmod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("nrm").as("qn"))
+      val sc = e.crossJoin(broadcast(qs))
+        .select(col("qid"), col("vec_id"),
+          (vecDot(col("embedding"), col("qv")) / (col("nrm") * col("qn")))
+            .as("cos"))
+      val wq = Window.partitionBy("qid").orderBy(desc("cos"), asc("vec_id"))
+      // two-phase exact top-10: any global top-10 row is top-10 of its
+      // own partition, so the local cut loses nothing and the global
+      // window's input is survivor-sized
+      val wl = Window.partitionBy("qid", "pid")
+        .orderBy(desc("cos"), asc("vec_id"))
+      val exact = sc.withColumn("pid", spark_partition_id())
+        .withColumn("lrn", row_number().over(wl)).filter(col("lrn") <= 10)
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val ccosArr = zip_with(
+        graft.functions.VectorFunctions.vecDotMany(col("embedding"),
+          cents.flatMap(_._2).toArray, cents.length),
+        typedLit(cents.map(_._3).toSeq),
+        (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn)))
+      val cells = e.select(col("vec_id"), ccosArr.as("ccos"))
+        .select(col("vec_id"),
+          (array_position(col("ccos"), array_max(col("ccos"))) - 1)
+            .cast("long").as("cell"))
+      val qcells = e.filter(col("vec_id") % qmod === 0)
+        .select(col("vec_id").as("qid"), posexplode(ccosArr))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("qid").orderBy(desc("col"), asc("pos"))))
+        .filter(col("rn") <= 2)
+        .select(col("qid"), col("pos").cast("long").as("qcell"))
+      val ivf = sc
+        .join(cells, Seq("vec_id"))
+        .join(qcells, col("cell") === col("qcell") &&
+          sc("qid") === qcells("qid"))
+        .select(sc("qid").as("qid"), col("vec_id"), col("cos"))
+        .withColumn("rn", row_number().over(wq)).filter(col("rn") <= 10)
+        .select(col("qid"), col("vec_id"))
+      val nh = exact.join(ivf, Seq("qid", "vec_id"), "left_semi")
+        .groupBy("qid").agg(count(lit(1)).as("n_hit"))
+      exact.groupBy("qid").agg(count(lit(1)).as("n_exact"))
+        .join(ivf.groupBy("qid").agg(count(lit(1)).as("n_ivf")),
+          Seq("qid"), "left")
+        .join(nh, Seq("qid"), "left")
+        .select(col("qid").as("query_id"), col("n_exact"),
+          coalesce(col("n_ivf"), lit(0L)).as("n_ivf"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          (coalesce(col("n_hit"), lit(0L)).cast("double") /
+            col("n_exact").cast("double")).as("recall"))
+    }),
+
     // Scale-safe cosine near-dup (the q28 semantics in the 100 TB shape):
     // hyperplane-LSH banding generates candidates via a bucket equi-join —
     // work proportional to true bucket collisions, never the n²/2 all-pairs
@@ -1515,6 +1591,51 @@ object Similarity {
          |FROM cells JOIN v ON v.vec_id = cells.vec_id
          |WHERE cells.cell IN (SELECT cent_id FROM qc) AND v.adc IS NOT NULL
          |ORDER BY v.adc, cells.vec_id LIMIT 10""".stripMargin,
+
+    // the exact side is ranked over the full (sample × corpus) cos
+    // relation, the IVF side over the same relation restricted to the
+    // probed cells' members — ONE cos definition (sc) for both, so the
+    // two rankings cannot drift; cells/quantizer are the shared
+    // sqlKmeans chain
+    "q95_ann_recall_audit" ->
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |$sqlKmeans,
+         |qmodc AS (SELECT GREATEST(5, (count(*) + 7) // 8) AS qmod FROM embeddings),
+         |qs AS (SELECT vec_id AS qid, embedding AS qv, nrm AS qn
+         |  FROM e, qmodc WHERE vec_id % qmod = 0),
+         |sc AS (SELECT qs.qid, e.vec_id,
+         |  ${sqlDot("e.embedding", "qs.qv")}/(e.nrm*qs.qn) AS cos
+         |  FROM e CROSS JOIN qs),
+         |exact AS (SELECT qid, vec_id FROM (SELECT qid, vec_id,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rn
+         |  FROM sc) t WHERE rn <= 10),
+         |a AS (SELECT e.vec_id, e.nrm, cq.cent_id,
+         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
+         |  FROM e CROSS JOIN cq),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
+         |qc AS (SELECT qid, cent_id FROM (SELECT qid, cent_id,
+         |  ROW_NUMBER() OVER (PARTITION BY qid ORDER BY ccos DESC, cent_id) AS rn
+         |  FROM (SELECT qs.qid, cq.cent_id,
+         |    ${sqlDot("qs.qv", "cq.cvec")}/(qs.qn*cq.cnrm) AS ccos
+         |    FROM qs CROSS JOIN cq) z) t WHERE rn <= 2),
+         |ivf AS (SELECT qid, vec_id FROM (SELECT sc.qid, sc.vec_id,
+         |  ROW_NUMBER() OVER (PARTITION BY sc.qid ORDER BY sc.cos DESC, sc.vec_id) AS rn
+         |  FROM sc JOIN cells ON cells.vec_id = sc.vec_id
+         |  JOIN qc ON qc.qid = sc.qid AND qc.cent_id = cells.cell) t
+         |  WHERE rn <= 10),
+         |ne AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exact GROUP BY qid),
+         |ni AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_ivf FROM ivf GROUP BY qid),
+         |nh AS (SELECT exact.qid, CAST(COUNT(*) AS BIGINT) AS n_hit
+         |  FROM exact JOIN ivf USING (qid, vec_id) GROUP BY exact.qid)
+         |SELECT ne.qid AS query_id, ne.n_exact,
+         |  COALESCE(ni.n_ivf, 0) AS n_ivf, COALESCE(nh.n_hit, 0) AS n_hit,
+         |  CAST(COALESCE(nh.n_hit, 0) AS DOUBLE)/CAST(ne.n_exact AS DOUBLE) AS recall
+         |FROM ne LEFT JOIN ni ON ni.qid = ne.qid
+         |  LEFT JOIN nh ON nh.qid = ne.qid""".stripMargin,
 
     "q39_cosine_neardup_lsh" ->
       s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, label,

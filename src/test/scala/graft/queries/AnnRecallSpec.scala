@@ -212,6 +212,22 @@ class AnnRecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q95 audit rows agree with this spec's own q35 measurement for query 0") {
+    val rows = run("q95_ann_recall_audit").collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        ((r.getAs[Long]("n_exact"), r.getAs[Long]("n_ivf"),
+          r.getAs[Long]("n_hit"), r.getAs[Double]("recall")))).toMap
+    spark.catalog.clearCache()
+    assert(rows.size >= 5, s"sample collapsed: ${rows.size} queries")
+    rows.values.foreach { case (ne, ni, nh, rec) =>
+      assert(ne == 10 && ni == 10, s"full top-10 on both sides at sf0.01: $ne/$ni")
+      assert(nh >= 0 && nh <= 10 && rec == nh / 10.0)
+    }
+    // query 0 is the q35/q29 test pair's query — same probe, same truth,
+    // so its audited recall must meet the same floor that test asserts
+    assert(rows(0L)._4 >= 0.5, s"query-0 recall ${rows(0L)._4} below the q35 floor")
+  }
+
   test("q39 still yields candidates at the bench corpus (bucket sizing holds)") {
     // regression: with 4-plane families (16 buckets) every bucket exceeded
     // the 50-doc cap at sf0.1's 2000 vectors and q39 returned ZERO rows —

@@ -106,6 +106,27 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q93 persists its trained-token counts
   }
 
+  test("q95 recall audit: broadcast sample scan, two-phase exact rank, no single partition") {
+    // the deliberate shape: the sample×corpus scan is a broadcast
+    // nested loop over the ≤8-row sample (the eval's honest cost), the
+    // exact top-10 is a TWO-PHASE rank ((qid, partition) local cut
+    // before the global qid window), and nothing collapses to a single
+    // partition
+    val p = execPlan("q95_ann_recall_audit")
+    assert(!p.contains("SinglePartition"), p)
+    assert("windowspecdefinition".r.findAllIn(p).size >= 2,
+      "two-phase top-k missing — a one-window plan sorts corpus rows per query key")
+    graft.Caches.release(spark)
+  }
+
+  test("q94 dup passage: per-doc windows only, equi-joins, two-phase DF agg") {
+    val p = execPlan("q94_dup_passage")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("partial_count"), "doc-frequency agg must map-side combine")
+    graft.Caches.release(spark)
+  }
+
   test("q71 dup-ngram coverage: hash equi-joins, two-phase doc-frequency agg") {
     val p = plan("q71_dup_ngrams")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
