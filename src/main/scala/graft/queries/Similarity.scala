@@ -925,6 +925,50 @@ object Similarity {
             col("n_exact").cast("double")).as("recall"))
     }),
 
+    // Embedding-quality audit — label separation over banded candidate
+    // pairs: per label, how many candidate pairs are intra- vs
+    // inter-label and how many of each clear the cos ≥ 0.35 closeness
+    // bar. Healthy embeddings show intra_close/intra_cand ≫
+    // inter_close/inter_cand; an embedding regression (collapsed space,
+    // shuffled labels) flattens the gap — the audit a pipeline runs
+    // before trusting q75/q84's neighbor structure. Counts only:
+    // threshold counts are integer-exact and order-independent where a
+    // float MEAN could never hash-match (the q80 lesson). Plan: the
+    // shared q39/q75/q84 banded candidates (work ∝ true collisions),
+    // one exact cosine per pair, a ≤2-row ownership explode, ONE
+    // map-side-combined aggregation on the (bounded) label vocabulary.
+    "q96_label_separation" -> ((s, dir) => {
+      val (e, cand) = bandedVecCandidates(s, dir)
+      val pairs = cand
+        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+          col("label").as("label_a"), col("nrm").as("na")), "vec_a")
+        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+          col("label").as("label_b"), col("nrm").as("nb")), "vec_b")
+        .filter(col("label_a").isNotNull && col("label_b").isNotNull)
+        .select(col("label_a"), col("label_b"),
+          (vecDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+      // each pair is owned by its endpoint labels: one intra row, or
+      // one inter row per distinct endpoint label
+      val owned = pairs.select(explode(
+          when(col("label_a") === col("label_b"),
+            array(struct(col("label_a").as("label"),
+              lit(true).as("intra"), col("cos").as("cos"))))
+          .otherwise(array(
+            struct(col("label_a").as("label"),
+              lit(false).as("intra"), col("cos").as("cos")),
+            struct(col("label_b").as("label"),
+              lit(false).as("intra"), col("cos").as("cos"))))).as("x"))
+        .select(col("x.label").as("label"), col("x.intra").as("intra"),
+          col("x.cos").as("cos"))
+      owned.groupBy("label").agg(
+        sum(when(col("intra"), 1L).otherwise(0L)).as("n_intra_cand"),
+        sum(when(col("intra") && col("cos") >= 0.35, 1L).otherwise(0L))
+          .as("n_intra_close"),
+        sum(when(!col("intra"), 1L).otherwise(0L)).as("n_inter_cand"),
+        sum(when(!col("intra") && col("cos") >= 0.35, 1L).otherwise(0L))
+          .as("n_inter_close"))
+    }),
+
     // Scale-safe cosine near-dup (the q28 semantics in the 100 TB shape):
     // hyperplane-LSH banding generates candidates via a bucket equi-join —
     // work proportional to true bucket collisions, never the n²/2 all-pairs
@@ -1650,6 +1694,31 @@ object Similarity {
          |  ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
          |FROM cand JOIN e x ON x.vec_id = cand.vec_a JOIN e y ON y.vec_id = cand.vec_b
          |WHERE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.35""".stripMargin,
+
+    // q39's candidate CTEs; SUM counts CAST per the convention; null
+    // labels excluded on both sides before ownership
+    "q96_label_separation" ->
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, label,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |$sqlVecBands,
+         |rare AS (SELECT fam, bk FROM bands GROUP BY fam, bk HAVING COUNT(*) <= $MaxVecBucket),
+         |bc AS (SELECT bands.vec_id, bands.fam, bands.bk FROM bands JOIN rare USING (fam, bk)),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bc a JOIN bc b ON a.fam = b.fam AND a.bk = b.bk AND a.vec_id < b.vec_id),
+         |p AS (SELECT x.label AS label_a, y.label AS label_b,
+         |  ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+         |  FROM cand JOIN e x ON x.vec_id = cand.vec_a
+         |  JOIN e y ON y.vec_id = cand.vec_b
+         |  WHERE x.label IS NOT NULL AND y.label IS NOT NULL),
+         |o AS (SELECT label_a AS label, (label_a = label_b) AS intra, cos FROM p
+         |  UNION ALL SELECT label_b, false, cos FROM p WHERE label_a <> label_b)
+         |SELECT label,
+         |  CAST(SUM(CASE WHEN intra THEN 1 ELSE 0 END) AS BIGINT) AS n_intra_cand,
+         |  CAST(SUM(CASE WHEN intra AND cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_intra_close,
+         |  CAST(SUM(CASE WHEN NOT intra THEN 1 ELSE 0 END) AS BIGINT) AS n_inter_cand,
+         |  CAST(SUM(CASE WHEN NOT intra AND cos >= 0.35 THEN 1 ELSE 0 END) AS BIGINT) AS n_inter_close
+         |FROM o GROUP BY label""".stripMargin,
 
     "q30_ann_lsh" ->
       s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,

@@ -228,6 +228,32 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(rows(0L)._4 >= 0.5, s"query-0 recall ${rows(0L)._4} below the q35 floor")
   }
 
+  test("q96 planted clusters: intra pairs all close, inter never close") {
+    import spark.implicits._
+    // two direction-clusters (positive per-member scaling keeps every
+    // hyperplane sign, so members share all band buckets): intra cos ~1,
+    // cross cos ~0.02 — the audit must read 100% intra closeness and
+    // zero inter closeness
+    val base1 = (1 to 64).map(j => math.sin(j.toDouble).toFloat)
+    val base2 = (1 to 64).map(j => math.cos(j.toDouble).toFloat)
+    val rows =
+      (0 until 3).map(i => (i.toLong,
+        base1.map(x => x * (1f + 0.001f * i)), "a")) ++
+      (3 until 6).map(i => (i.toLong,
+        base2.map(x => x * (1f + 0.001f * (i - 3))), "b"))
+    val d = java.nio.file.Files.createTempDirectory("graft-labelsep").toString
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val m = graft.SparkEntry.queries("q96_label_separation")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    spark.catalog.clearCache()
+    assert(m("a")._1 == 3 && m("a")._2 == 3, m)
+    assert(m("b")._1 == 3 && m("b")._2 == 3, m)
+    m.values.foreach { case (_, _, _, interClose) =>
+      assert(interClose == 0L, m) }
+  }
+
   test("q39 still yields candidates at the bench corpus (bucket sizing holds)") {
     // regression: with 4-plane families (16 buckets) every bucket exceeded
     // the 50-doc cap at sf0.1's 2000 vectors and q39 returned ZERO rows —

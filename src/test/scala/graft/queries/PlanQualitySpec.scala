@@ -119,6 +119,13 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q96 label separation: banded equi-join candidates, one map-combined agg") {
+    val p = plan("q96_label_separation")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("partial_sum"), "ownership counts must map-side combine")
+    spark.catalog.clearCache() // shares bandedVecCandidates' persisted projection
+  }
+
   test("q94 dup passage: per-doc windows only, equi-joins, two-phase DF agg") {
     val p = execPlan("q94_dup_passage")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
