@@ -213,4 +213,24 @@ class BandScaleSpec extends AnyFunSuite {
       s"only $found/${planted.size} planted identical pairs recovered")
     spark.catalog.clearCache()
   }
+
+  test("q92 (media dHash) yields pairs at 50k documents with no retuning") {
+    // q92 shares bandWidth64For with q42, so the width widens to 16 at
+    // this corpus; identical payloads are identical pixel planes, so
+    // every recovered planted pair must read hamming 0
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale-media").toString
+    makeDocuments(dir, 50000)
+    val rows = graft.queries.Multimodal.queries("q92_media_phash")(spark, dir)
+      .collect().map(r => ((r.getAs[Long]("media_a"), r.getAs[Long]("media_b")),
+        r.getAs[Long]("hamming")))
+    assert(rows.nonEmpty, "band cap dropped every media pair at 50k docs")
+    val pairs = rows.map(_._1).toSet
+    val planted = (0 until 50000 by 100).map(m => (m.toLong, (m + 1).toLong)).toSet
+    val found = planted.count(pairs.contains)
+    assert(found >= (planted.size * 9) / 10,
+      s"only $found/${planted.size} planted identical pairs recovered")
+    rows.filter(p => planted.contains(p._1)).foreach { case (p, h) =>
+      assert(h == 0L, s"identical payloads $p read hamming $h") }
+    spark.catalog.clearCache()
+  }
 }
