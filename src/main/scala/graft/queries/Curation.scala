@@ -318,27 +318,8 @@ object Curation {
     // = in-bucket rank + driver exclusive offset. ONE bounded driver
     // read; composes with q72 (pack the corpus in shuffled order by
     // feeding positions as the pack key).
-    "q81_epoch_shuffle" -> ((s, dir) => {
-      val h = portableHash60(col("doc_id").cast("string"), ShuffleSeed)
-      val docs = Tables(s, dir, "documents")
-        .select(col("doc_id"), h.as("h"))
-        // 2^60 / PackBuckets(64) = 2^54 — static ranges, uniform under
-        // the hash, no data-dependent bounds needed
-        .withColumn("bkt", expr("CAST(h div 18014398509481984L AS INT)"))
-        .persist()
-      val off = exclusiveOffsets(
-        docs.groupBy("bkt").agg(count(lit(1)).as("n")).collect()
-          .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
-      if (off.isEmpty)
-        docs.select(col("doc_id"), lit(0L).as("pos")).limit(0)
-      else {
-        val w = Window.partitionBy("bkt").orderBy("h", "doc_id")
-        docs.select(col("doc_id"), col("bkt"),
-            (row_number().over(w) - 1).cast("long").as("r"))
-          .select(col("doc_id"),
-            (col("r") + element_at(typedLit(off), col("bkt"))).as("pos"))
-      }
-    }),
+    "q81_epoch_shuffle" -> ((s, dir) =>
+      shufflePositions(Tables(s, dir, "documents").select(col("doc_id")))),
 
     // epoch-shuffled packing — q81 ∘ q72, the actual training-data
     // layout step: concatenate the corpus in the epoch's shuffled order
@@ -382,6 +363,44 @@ object Curation {
         .filter(col("n_tokens") > 0)
         .persist()
       packProfile(packAssignments(toks, 0L))
+    }),
+
+    // the end-to-end curation composite — the publish path a training
+    // corpus actually takes, as ONE operator over the SHARED stage
+    // definitions (none can drift from its standalone twin): q36's prep
+    // stage verbatim (sha-dedup keeping each group's min id, then the
+    // lang/quality-score gate — prepScore), q57's gram machinery
+    // against the modulus eval set (whose docs never train), the q56
+    // train bucket, then the survivor set is epoch-shuffled (shared
+    // shufflePositions) and packed (shared packAssignments /
+    // packProfile) — q82's composition over the curated corpus. Plan:
+    // every filter is a key equi-join (semi/anti) or a narrow
+    // predicate; the only windows are the sha-partitioned dedup rank,
+    // the bucketed shuffle rank, and the bucketed prefix sum; driver
+    // reads stay the bounded bucket totals.
+    "q97_curation_pipeline" -> ((s, dir) => {
+      val base = Tables.wide(s, dir, "documents")
+      val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+      val deduped = base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("doc_id", "text")
+      val prepped = TextAnalysis.prepScore(deduped)
+      val grams = gramStage(base, Seq("doc_id")).persist()
+      val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
+        .select(explode(col("g8")).as("g")).distinct()
+      val contaminated = grams.filter(col("doc_id") % BenchMod =!= 0)
+        .select(col("doc_id"), explode(col("g8")).as("g"))
+        .join(benchGrams, Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      val survivors = prepped
+        .filter(bucketCol(col("doc_id")) < TrainPct)
+        .filter(col("doc_id") % BenchMod =!= 0) // eval docs never train
+        .join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_tokens"))
+      val shuffled = shufflePositions(survivors.select(col("doc_id")))
+        .join(survivors, Seq("doc_id"))
+        .select(col("pos").as("doc_id"), col("n_tokens"))
+        .persist()
+      packProfile(packAssignments(shuffled, 0L))
     }),
 
     // cross-split leakage audit — the NEAR-dup counterpart of q57's
@@ -514,6 +533,40 @@ object Curation {
     * ranges; driver reads are the 1-row id range and the ≤PackBuckets
     * bucket totals.
     */
+  /** q81's dense pseudo-random positions over an arbitrary (doc_id)
+    * relation — rank of the seeded 60-bit hash, derived with the q72
+    * prefix-sum discipline keyed on the HASH: the hash space [0, 2^60)
+    * splits into [[PackBuckets]] STATIC ranges (h div 2^54, a constant
+    * divide — no id-range driver read at all), per-bucket counts collect
+    * (≤64 rows), in-bucket ROW_NUMBER under a partitioned window,
+    * position = in-bucket rank + driver exclusive offset. ONE bounded
+    * driver read; shared by q81 (full corpus) and q97 (the curated
+    * survivor set), so the shuffle order cannot drift between them.
+    * Persists its hashed projection; the consumer's Caches.release hook
+    * frees it.
+    */
+  private[graft] def shufflePositions(docs0: DataFrame): DataFrame = {
+    val h = portableHash60(col("doc_id").cast("string"), ShuffleSeed)
+    val docs = docs0
+      .select(col("doc_id"), h.as("h"))
+      // 2^60 / PackBuckets(64) = 2^54 — static ranges, uniform under
+      // the hash, no data-dependent bounds needed
+      .withColumn("bkt", expr("CAST(h div 18014398509481984L AS INT)"))
+      .persist()
+    val off = exclusiveOffsets(
+      docs.groupBy("bkt").agg(count(lit(1)).as("n")).collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
+    if (off.isEmpty)
+      docs.select(col("doc_id"), lit(0L).as("pos")).limit(0)
+    else {
+      val w = Window.partitionBy("bkt").orderBy("h", "doc_id")
+      docs.select(col("doc_id"), col("bkt"),
+          (row_number().over(w) - 1).cast("long").as("r"))
+        .select(col("doc_id"),
+          (col("r") + element_at(typedLit(off), col("bkt"))).as("pos"))
+    }
+  }
+
   private[graft] def packAssignments(toks: DataFrame, offset: Long): DataFrame = {
     val rng = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
       .collect().headOption.filter(!_.isNullAt(0))
@@ -640,11 +693,11 @@ object Curation {
     * exactly like the Spark side's shared [[packAssignments]] /
     * [[packProfile]].
     */
-  private val SqlPackTail: String =
+  private def sqlPackTail(src: String = "t"): String =
     s"""c AS (SELECT doc_id, n_tokens,
        |  SUM(n_tokens) OVER (ORDER BY doc_id
        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-       |  FROM t)
+       |  FROM $src)
        |SELECT CAST((cum - n_tokens) // $PackCapacity AS BIGINT) AS chunk_id,
        |  COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
@@ -719,15 +772,54 @@ object Curation {
       s"""WITH tk AS (SELECT doc_id, len(${TextAnalysis.Toks}) AS n_tokens
          |  FROM documents),
          |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
-         |$SqlPackTail""".stripMargin,
+         |${sqlPackTail()}""".stripMargin,
 
     // q72's pack tail over q90's per-doc TRAINED-token counts — the
-    // token source swaps, the pack SQL is byte-identical (SqlPackTail)
+    // token source swaps, the pack SQL is byte-identical (sqlPackTail)
     "q93_pack_trained" ->
       s"""WITH ${TextAnalysis.bpeEncodedCtes},
          |t AS (SELECT doc_id, n_bpe_tokens AS n_tokens FROM pd
          |  WHERE n_bpe_tokens > 0),
-         |$SqlPackTail""".stripMargin,
+         |${sqlPackTail()}""".stripMargin,
+
+    // every stage is its standalone oracle's fragment: q36's dedup CTE
+    // + prep-score chain (sqlPrepScore), q57's gram CTEs, q56's bucket
+    // predicate, q81's global rank semantics over the survivor set,
+    // q72's pack tail — chained
+    "q97_curation_pipeline" ->
+      s"""WITH dd AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text, ROW_NUMBER() OVER (
+         |    PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM documents) t0
+         |  WHERE rn = 1),
+         |${TextAnalysis.sqlPrepScore("dd")},
+         |pp AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM f
+         |  WHERE lang_guess = 'en' AND quality >= 0.5),
+         |tt AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),
+         |gs AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(tk) < $DecontamGram THEN []
+         |    ELSE [${(0 until DecontamGram).map(k => s"tk[i+$k]")
+                .mkString("||' '||")}
+         |          for i in range(1, len(tk)-${DecontamGram - 1}+1)] END) AS g8s
+         |  FROM tt),
+         |g AS (SELECT doc_id,
+         |  list_transform(g8s, x -> ${Hash("x")}) AS g8 FROM gs),
+         |bg AS (SELECT DISTINCT unnest(g8) AS gg FROM g
+         |  WHERE doc_id % $BenchMod = 0),
+         |contam AS (SELECT DISTINCT tr.doc_id FROM
+         |  (SELECT doc_id, unnest(g8) AS gg FROM g
+         |   WHERE doc_id % $BenchMod <> 0) tr JOIN bg USING (gg)),
+         |surv AS (SELECT doc_id, n_tokens FROM pp
+         |  WHERE ${Hash("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct
+         |    AND doc_id % $BenchMod <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)),
+         |pos AS (SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |  FROM (SELECT doc_id,
+         |    ${Hash60(s"CAST(doc_id AS VARCHAR)||'#$ShuffleSeed'")} AS h
+         |    FROM surv) z),
+         |packin AS (SELECT pos.pos AS doc_id, surv.n_tokens
+         |  FROM pos JOIN surv USING (doc_id)),
+         |${sqlPackTail("packin")}""".stripMargin,
 
     // the shared q27 pair CTEs × the source column — q79's shape at
     // source granularity, pair-normalized with least/greatest

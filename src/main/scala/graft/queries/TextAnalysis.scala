@@ -953,7 +953,7 @@ object TextAnalysis {
     * `qp(doc_id, n_words, mean_word_len, frac_alpha, n_stop_distinct,
     * pass)`.
     */
-  private def sqlQualityCtes: String =
+  private[queries] def sqlQualityCtes: String =
     s"""t AS (SELECT doc_id, $Toks AS tk FROM documents),
        |m AS (SELECT doc_id,
        |  len(tk) AS n_words,

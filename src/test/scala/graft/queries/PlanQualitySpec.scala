@@ -119,6 +119,18 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q97 curation composite: key joins + partitioned windows only, no single partition") {
+    // the composed publish path inherits every stage's pinned shape: the
+    // sha dedup rank, the bucketed shuffle rank, and the bucketed prefix
+    // sum are all PARTITIONED windows; filters are semi/anti equi-joins
+    // or narrow predicates — nothing collapses to one task and nothing
+    // is a nested loop
+    val p = execPlan("q97_curation_pipeline")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    graft.Caches.release(spark)
+  }
+
   test("q96 label separation: banded equi-join candidates, one map-combined agg") {
     val p = plan("q96_label_separation")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
