@@ -178,6 +178,30 @@ object Events {
     "q78_funnel" -> ((s, dir) =>
       funnelStages(Tables(s, dir, "events"), Seq("view", "click", "purchase"))),
 
+    // retention cohort matrix — the training-data analytics classic:
+    // users bucketed by FIRST-activity week (the cohort), then per
+    // (cohort_week, week_offset) the count of distinct users active in
+    // that offset week. Integer week numbers from epoch micros (one
+    // `div` — no calendar/timezone functions, so both engines derive
+    // the identical bucket from the identical int64). Plan at 100 TB:
+    // the (user, week) activity relation is distinct-ed FIRST (one
+    // map-combined shuffle on the pair — count state never holds a
+    // distinct-set), cohorts are a second agg on the user key, and the
+    // matrix is one map-combined count on (cohort, offset) — output
+    // bounded by weeks², never user-sized.
+    "q98_retention_cohorts" -> ((s, dir) => {
+      val uw = Tables(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("week"))
+        .distinct()
+        .persist() // feeds the cohort agg AND the activity join
+      val cohorts = uw.groupBy("user_id").agg(min("week").as("cohort_week"))
+      uw.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    }),
+
     // depth-4 funnel: the generalized stage list exercised one deeper
     // than q78 (signup → view → click → purchase). Same plan family —
     // N cascaded conditional mins on one shuffle key.
@@ -238,6 +262,15 @@ object Events {
         |FROM e1 LEFT JOIN e2 ON e2.user_id = e1.user_id
         |  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
         |GROUP BY e1.event_id""".stripMargin,
+
+    "q98_retention_cohorts" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, MIN(week) AS cohort_week FROM uw GROUP BY user_id)
+        |SELECT c.cohort_week, uw.week - c.cohort_week AS week_offset,
+        |  COUNT(*) AS n_users
+        |FROM uw JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
 
     "q78_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),

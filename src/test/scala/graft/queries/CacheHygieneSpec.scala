@@ -31,7 +31,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q81_epoch_shuffle", "q82_shuffled_pack", "q84_hard_negatives",
     "q85_curriculum_order", "q86_source_minhash", "q87_bpe_merges",
     "q94_dup_passage", "q95_ann_recall_audit", "q96_label_separation",
-    "q97_curation_pipeline",
+    "q97_curation_pipeline", "q98_retention_cohorts",
     "q88_bigram_surprisal", "q89_source_leakage", "q90_bpe_encode",
     "q92_media_phash", "q93_pack_trained")
 

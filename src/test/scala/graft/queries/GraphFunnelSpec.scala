@@ -36,6 +36,36 @@ class GraphFunnelSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("q98: cohorts key on FIRST-activity week; offsets count distinct users") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-retention").toString
+    // week w -> any instant inside epoch week w; two events in the same
+    // week must count a user once
+    def wts(w: Long, off: Long = 1) = new Timestamp(w * 604800000L + off * 60000L)
+    Seq(
+      // user 1: weeks 0, 1, 3 (two week-1 events dedup to one)
+      (0L, wts(0), 1L, "view", 1.0, "{}"),
+      (1L, wts(1), 1L, "view", 1.0, "{}"),
+      (2L, wts(1, 2), 1L, "click", 1.0, "{}"),
+      (3L, wts(3), 1L, "view", 1.0, "{}"),
+      // user 2: weeks 0, 2
+      (4L, wts(0), 2L, "view", 1.0, "{}"),
+      (5L, wts(2), 2L, "view", 1.0, "{}"),
+      // user 3: first seen week 1 — its own cohort
+      (6L, wts(1), 3L, "view", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$d/events.parquet")
+    val got = SparkEntry.queries("q98_retention_cohorts")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Caches.release(spark)
+    assert(got === Map(
+      (0L, 0L) -> 2L, // users 1, 2 in their cohort week
+      (0L, 1L) -> 1L, // user 1 back in week 1
+      (0L, 2L) -> 1L, // user 2 back in week 2
+      (0L, 3L) -> 1L, // user 1 back in week 3
+      (1L, 0L) -> 1L), got) // user 3's own cohort
+  }
+
   test("q78: stages are ordered — pre-view clicks don't count; depth stitches") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-funnel").toString
