@@ -26,6 +26,13 @@ object TextAnalysis {
     */
   val MaxBucketDocs = 50
 
+  /** q99 winnowing window: each run of this many consecutive shingle
+    * hashes contributes its minimum to the document fingerprint
+    * (Schleimer/Wilkerson/Aiken's winnowing guarantee: any shared
+    * substring of ≥ window+shingle−1 chars yields a shared fingerprint).
+    */
+  private[queries] val WinnowWindow = 4
+
   /** q66 sample bound: the quantile sketch's admission modulus derives
     * from `count(*)` so the sample holds ~this many rows at ANY corpus
     * (exactly [[graft.queries.Similarity]]'s SampleCap discipline).
@@ -546,6 +553,60 @@ object TextAnalysis {
           when(coalesce(col("longest0"), lit(0L)) > 0,
             coalesce(col("longest0"), lit(0L)) + lit(4L))
             .otherwise(lit(0L)).as("passage_tokens"))
+    }),
+
+    // winnowing fingerprint overlap — the positional robust-hash member
+    // of the near-dup family (Schleimer et al.'s MOSS scheme): hash every
+    // char 8-shingle, slide a [[WinnowWindow]]-wide window over the
+    // positional hash sequence, keep each window's MIN — the selected
+    // (distinct) mins are the fingerprint, with the winnowing guarantee
+    // that any copied substring of ≥ window+shingle−1 = 11 chars yields
+    // a shared fingerprint in both docs. Where q20 keeps ONE global min
+    // (pure identity) and q25 keeps 12 seeded mins (set resemblance),
+    // winnowing keeps ~n/window POSITION-LOCAL mins, so overlap COUNTS
+    // localized plagiarism q25's corpus-level resemblance dilutes away.
+    // Plan at 100 TB: fingerprints are narrow per-row; pairs come from
+    // the q22 capped-bucket equi-join (work ∝ true fingerprint
+    // collisions, never n²); each doc's fps are distinct, so the pair
+    // count agg IS the intersection size — no per-pair set re-scan, no
+    // candidate `distinct` shuffle.
+    "q99_winnow_pairs" -> ((s, dir) => {
+      // wide scan: per-shingle sha hashing is the CPU (the q53/q54 note)
+      val docs = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"),
+          transform(charShingles(col("text"), 8),
+            sh => portableHash(sh)).as("h"))
+        .select(col("doc_id"),
+          array_distinct(
+            when(size(col("h")) < WinnowWindow,
+              array(array_min(col("h"))))
+              .otherwise(transform(
+                sequence(lit(1), size(col("h")) - lit(WinnowWindow - 1)),
+                i => array_min(slice(col("h"), i, lit(WinnowWindow))))))
+            .as("fps"))
+        .persist() // feeds the key explode + the two size lookups
+      val keys = docs.select(col("doc_id"), explode(col("fps")).as("f"))
+      // the q22 bucket-frequency cap: a fingerprint shared by >cap docs
+      // is a boilerplate window (discriminates nothing, costs O(cap²))
+      val rare = keys.groupBy("f").agg(count(lit(1)).as("kc"))
+        .filter(col("kc") <= MaxBucketDocs).select("f")
+      val capped = keys.join(rare, Seq("f"), "left_semi")
+      capped.alias("a").join(capped.alias("b"),
+          col("a.f") === col("b.f") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2)
+        .join(docs.select(col("doc_id").as("doc_a"),
+          size(col("fps")).cast("long").as("na")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"),
+          size(col("fps")).cast("long").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("n_shared").cast("double") /
+            least(col("na"), col("nb")).cast("double")).as("overlap"))
+        // report threshold (the q22 jaccard≥0.2 convention): below it,
+        // shared fingerprints are common-phrase noise, and the report
+        // would grow toward n² on templated corpora
+        .filter(col("overlap") >= 0.2)
     }),
 
     // sliding-window retrieval chunking — the indexing-side prep of a
@@ -1200,6 +1261,34 @@ object TextAnalysis {
          |  CASE WHEN COALESCE(runs.longest0, 0) > 0
          |    THEN COALESCE(runs.longest0, 0) + 4 ELSE 0 END AS passage_tokens
          |FROM ph p LEFT JOIN runs ON runs.doc_id = p.doc_id""".stripMargin,
+
+    // the q20 shingle/hash chain, then window-min selection (list
+    // slicing is 1-based inclusive, truncating like Spark's slice — the
+    // q74 parity note) and the q22 cap/join/count pair discipline
+    "q99_winnow_pairs" ->
+      s"""WITH t AS (SELECT doc_id, lower(trim(text)) AS tt FROM documents),
+         |sh AS (SELECT doc_id, CASE WHEN length(tt) < 8 THEN [tt]
+         |  ELSE [substr(tt, i, 8) for i in range(1, length(tt)-7+1)] END AS ss FROM t),
+         |hs AS (SELECT doc_id, list_transform(ss, s -> ${SqlHash("s")}) AS h FROM sh),
+         |fp AS (SELECT doc_id, list_distinct(
+         |  CASE WHEN len(h) < $WinnowWindow THEN [list_min(h)]
+         |  ELSE [list_min(h[i:i+${WinnowWindow - 1}])
+         |        for i in range(1, len(h)-$WinnowWindow+2)] END) AS fps FROM hs),
+         |k AS (SELECT doc_id, unnest(fps) AS f FROM fp),
+         |rare AS (SELECT f FROM k GROUP BY f HAVING COUNT(*) <= $MaxBucketDocs),
+         |kc AS (SELECT k.doc_id, k.f FROM k JOIN rare USING (f)),
+         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+         |  FROM kc a JOIN kc b ON a.f = b.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |n AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS nf FROM fp)
+         |SELECT p.doc_a, p.doc_b, p.n_shared,
+         |  CAST(p.n_shared AS DOUBLE) / CAST(least(na.nf, nb.nf) AS DOUBLE)
+         |    AS overlap
+         |FROM p JOIN n na ON na.doc_id = p.doc_a
+         |  JOIN n nb ON nb.doc_id = p.doc_b
+         |WHERE p.n_shared >= 2
+         |  AND CAST(p.n_shared AS DOUBLE)
+         |    / CAST(least(na.nf, nb.nf) AS DOUBLE) >= 0.2""".stripMargin,
 
     // list slicing is 1-based inclusive in DuckDB and truncates at the
     // end like Spark's slice; sha256 ≡ sha2(·,256) (the q15 parity)

@@ -53,6 +53,9 @@ class DegenerateTextSpec extends AnyFunSuite {
     // q93 packs only docs with >= 1 trained token; q92's sketch skips
     // empty/null payloads and pairs only near-dups
     "q90_bpe_encode", "q92_media_phash", "q93_pack_trained",
+    // q99 emits pairs only (null text yields a null fingerprint array,
+    // whose explode contributes no keys)
+    "q99_winnow_pairs",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -77,6 +80,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q87_bpe_merges", // <= BpeRounds merge rows, not per doc
         "q88_bigram_surprisal", // rows only for docs with >= 1 bigram
         "q92_media_phash", // pairs only; degenerate corpus has none
+        "q99_winnow_pairs", // pairs only; degenerate corpus has none
         "q93_pack_trained", // one row per chunk, not per doc
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))

@@ -91,6 +91,14 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache() // q42 persists its sketch projection
   }
 
+  test("q99 winnow pairs: candidates via equi-join, never a nested loop") {
+    // the q22 contract over winnow fingerprints: pair key is the
+    // fingerprint value, capped buckets, work ∝ true collisions
+    val p = plan("q99_winnow_pairs")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    spark.catalog.clearCache() // q99 persists its fingerprint arrays
+  }
+
   test("q92 media phash banding: candidates via equi-join, never a nested loop") {
     // the q42 contract over the media sketch: the pair join's key is the
     // (band, key) pair, work ∝ true collisions
