@@ -961,6 +961,51 @@ object TextAnalysis {
         .select(col("doc_id"), col("n_bigrams"),
           (col("sum_bits").cast("double") / col("n_bigrams").cast("double"))
             .as("mean_bigram_surprisal"))
+    }),
+
+    // per-source vocabulary drift — the distribution-shift monitor a
+    // multi-source pipeline runs before mixing: for each source, the
+    // mean per-occurrence difference between CORPUS surprisal
+    // floor(log2(T/c_corpus(t))) and IN-SOURCE surprisal
+    // floor(log2(T_s/c_s(t))). Positive drift ⇒ the source's tokens are
+    // rarer corpus-wide than within the source — a distinctive
+    // vocabulary (the integer-exact stand-in for KL(source‖corpus):
+    // same Σ p_s·log(ratio) shape, floors taken per term so both
+    // engines agree bit-for-bit; both quotients are ≥1 since counts
+    // never exceed their totals). Plan at 100 TB: the exploded token
+    // relation stages once (persist — it feeds both count aggs); the
+    // vocab agg and the (source, tok) agg are map-side-combined
+    // shuffles; totals fold out of the aggregates (a 1-row broadcast
+    // and a |sources|-row broadcast join — never a row-level pass); the
+    // stitch is one fact⋈vocab equi-join (hot tokens = AQE skew
+    // territory, the q61 note). Zero driver actions.
+    "q100_source_drift" -> ((s, dir) => {
+      val t = Tables.wide(s, dir, "documents")
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .persist() // released by the consumer's Caches.release hook
+      val cc = t.groupBy("tok").agg(count(lit(1)).as("cc"))
+      val total = cc.agg(sum("cc").as("t_total")) // 1 row, lazy
+      val cs = t.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+      val st = cs.groupBy("source").agg(sum("cs").as("s_total"))
+      cs.join(broadcast(st), "source")
+        .join(cc, "tok")
+        .crossJoin(broadcast(total))
+        .select(col("source"), col("cs"), col("s_total"),
+          (length(conv(expr("t_total div cc"), 10, 2)) - 1)
+            .cast("long").as("bc"),
+          (length(conv(expr("s_total div cs"), 10, 2)) - 1)
+            .cast("long").as("bs"))
+        .groupBy("source")
+        .agg(max("s_total").as("n_tokens"),
+          sum(col("cs") * col("bc")).as("sum_bc"),
+          sum(col("cs") * col("bs")).as("sum_bs"))
+        .select(col("source"), col("n_tokens"),
+          (col("sum_bc").cast("double") / col("n_tokens").cast("double"))
+            .as("mean_corpus_bits"),
+          (col("sum_bs").cast("double") / col("n_tokens").cast("double"))
+            .as("mean_source_bits"),
+          ((col("sum_bc") - col("sum_bs")).cast("double")
+            / col("n_tokens").cast("double")).as("drift_bits"))
     }))
 
   /** The prep pipeline's score-and-filter stage over a deduped
@@ -1467,5 +1512,28 @@ object TextAnalysis {
          |  FROM bb JOIN cg USING (g) JOIN ca USING (a))
          |SELECT doc_id, COUNT(*) AS n_bigrams,
          |  CAST(SUM(bits) AS DOUBLE) / COUNT(*) AS mean_bigram_surprisal
-         |FROM j GROUP BY doc_id""".stripMargin)
+         |FROM j GROUP BY doc_id""".stripMargin,
+
+    // q61's bin() digit count, applied twice (corpus and in-source
+    // totals); SUM products widen to HUGEINT, so the q72 CAST convention
+    "q100_source_drift" ->
+      s"""WITH tk AS (SELECT source, $Toks AS tk FROM documents),
+         |t AS (SELECT source, unnest(tk) AS tok FROM tk),
+         |cc AS (SELECT tok, COUNT(*) AS cc FROM t GROUP BY tok),
+         |tot AS (SELECT CAST(SUM(cc) AS BIGINT) AS t_total FROM cc),
+         |cs AS (SELECT source, tok, COUNT(*) AS cs FROM t GROUP BY source, tok),
+         |st AS (SELECT source, CAST(SUM(cs) AS BIGINT) AS s_total
+         |  FROM cs GROUP BY source),
+         |j AS (SELECT cs.source, cs.cs, st.s_total,
+         |  length(bin(t_total // cc.cc)) - 1 AS bc,
+         |  length(bin(st.s_total // cs.cs)) - 1 AS bs
+         |  FROM cs JOIN st USING (source) JOIN cc USING (tok), tot),
+         |a AS (SELECT source, MAX(s_total) AS n_tokens,
+         |  CAST(SUM(cs * bc) AS BIGINT) AS sum_bc,
+         |  CAST(SUM(cs * bs) AS BIGINT) AS sum_bs FROM j GROUP BY source)
+         |SELECT source, n_tokens,
+         |  CAST(sum_bc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_corpus_bits,
+         |  CAST(sum_bs AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_source_bits,
+         |  CAST(sum_bc - sum_bs AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS drift_bits
+         |FROM a""".stripMargin)
 }

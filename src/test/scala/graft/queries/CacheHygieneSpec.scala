@@ -33,7 +33,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q94_dup_passage", "q95_ann_recall_audit", "q96_label_separation",
     "q97_curation_pipeline", "q98_retention_cohorts",
     "q88_bigram_surprisal", "q89_source_leakage", "q90_bpe_encode",
-    "q92_media_phash", "q93_pack_trained", "q99_winnow_pairs")
+    "q92_media_phash", "q93_pack_trained", "q99_winnow_pairs",
+    "q100_source_drift")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()
