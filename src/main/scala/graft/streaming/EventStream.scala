@@ -236,4 +236,57 @@ object EventStream {
   /** The 3-stage instance (view → click → purchase) — the q78 dual. */
   def funnel(events: Dataset[Event]): Dataset[FunnelOut] =
     funnelStages(events, Seq("view", "click", "purchase"))
+
+  final case class CohortState(cohortWeek: Long, offsetsSeen: Seq[Long])
+
+  final case class CohortOut(user_id: Long, cohort_week: Long,
+      week_offset: Long)
+
+  /** Stateful streaming retention — the q98 dual: per user, the state is
+    * (cohort week = first-seen activity week, offsets already credited);
+    * a user's first event in a not-yet-seen week emits ONE
+    * (user, cohort_week, week_offset) increment row (append mode). The
+    * sink is the increment log: `count(*) GROUP BY cohort_week,
+    * week_offset` over it IS the batch q98 matrix (each user counted
+    * once per active week — RetentionStreamSpec pins the equality
+    * across a batch boundary). Week numbers are the same epoch-micros
+    * integer `div` as batch, so both engines bucket identically.
+    *
+    * Causal caveat (the funnel posture): fed in event-time order the
+    * first-seen week IS the min week; an out-of-order straggler from an
+    * EARLIER week would have re-based the batch cohort — that
+    * divergence is the batch operator's to own, as with every causal
+    * dual here.
+    *
+    * State bound at 100 TB: one record per user of (1 + active weeks)
+    * longs — the per-user projection of the batch plan's distinct
+    * (user, week) relation, NEVER the events; a year-long stream holds
+    * ≤ 53 offsets per user.
+    */
+  def retentionCohorts(events: Dataset[Event]): Dataset[CohortOut] = {
+    import events.sparkSession.implicits._
+    val WeekMicros = 604800000000L
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[CohortState, CohortOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[CohortState]) =>
+          val weeks = batch.map(e => Math.floorDiv(e.ts.getTime * 1000L,
+            WeekMicros)).toSeq.sorted
+          if (weeks.isEmpty) Iterator.empty
+          else {
+            val st = state.getOption
+              .getOrElse(CohortState(weeks.head, Seq.empty))
+            val seen = scala.collection.mutable.LinkedHashSet(
+              st.offsetsSeen: _*)
+            val out = weeks.flatMap { w =>
+              val off = w - st.cohortWeek
+              if (seen.add(off)) Some(CohortOut(userId, st.cohortWeek, off))
+              else None
+            }
+            state.update(CohortState(st.cohortWeek, seen.toSeq))
+            out.iterator
+          }
+      }
+  }
 }
