@@ -1100,6 +1100,49 @@ object Similarity {
         .join(removed, Seq("vec_id"), "left_anti")
     }),
 
+    // cluster-balanced sampling — the domain-balancing step a curation
+    // pipeline runs AFTER clustering (cf. the cluster-skew pruning in
+    // SemDeDup-adjacent recipes): assign every vector to its IVF cell
+    // (the shared deterministic quantizer — cells ARE the domains),
+    // cap every cell at the CEIL-MEAN cell size, and admit by
+    // deterministic hash-rank within the cell — over-represented
+    // domains downsample to the mean, small domains survive whole, and
+    // the admitted set is reproducible bit-for-bit (the q59/q81 seeded
+    // hash-order discipline; no RNG). Plan at 100 TB: assignment is the
+    // q35 shuffle-free narrow map against broadcast centroids; the cap
+    // folds out of ONE map-combined aggregate (a 1-row broadcast); the
+    // rank cut is a window PARTITIONED BY cell (~√n groups of bounded
+    // size — never a global sort, the q84 discipline).
+    "q101_cluster_balanced" -> ((s, dir) => {
+      val e = Tables.wide(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        .persist()
+        .filter(col("nrm") > 0) // zero-norm guard (see q28)
+      val cents = kmeansCentroids(s, dir)
+      val withCos = e.select(col("vec_id"),
+        zip_with(
+          graft.functions.VectorFunctions.vecDotMany(col("embedding"),
+            cents.flatMap(_._2).toArray, cents.length),
+          typedLit(cents.map(_._3).toSeq),
+          (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn))).as("ccos"))
+      // argmax with ties to the lowest cell — the q35 discipline
+      val cells = withCos.select(col("vec_id"),
+        (array_position(col("ccos"), array_max(col("ccos"))) - 1)
+          .cast("long").as("cell"))
+        .persist() // feeds the cap aggregate + the ranked cut
+      val cap = cells.agg(count(lit(1)).as("cnt"),
+          countDistinct("cell").as("nc"))
+        .select(expr("(cnt + nc - 1) div nc").as("cap")) // 1 row, lazy
+      val w = Window.partitionBy("cell")
+        .orderBy(portableHash60(col("vec_id").cast("string"), 11),
+          col("vec_id"))
+      cells.withColumn("rnk", row_number().over(w).cast("long"))
+        .crossJoin(broadcast(cap))
+        .filter(col("rnk") <= col("cap"))
+        .select("vec_id", "cell", "rnk")
+    }),
+
     // LSH ANN: 6 hyperplane sign bits -> bucket; rank within query's bucket
     "q30_ann_lsh" -> ((s, dir) => {
       val e = Tables.wide(s, dir, "embeddings")
@@ -1867,7 +1910,28 @@ object Similarity {
          |  FROM cells x JOIN cells y ON x.cell = y.cell AND x.vec_id < y.vec_id
          |  WHERE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= $SemTau)
          |SELECT vec_id, cell FROM cells
-         |WHERE vec_id NOT IN (SELECT vec_id FROM removed)""".stripMargin)
+         |WHERE vec_id NOT IN (SELECT vec_id FROM removed)""".stripMargin,
+
+    // the shared IVF cell-assignment CTEs, then the ceil-mean cap (pure
+    // integer) and the seeded hash-rank cut — mirrors the Spark window
+    "q101_cluster_balanced" ->
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |$sqlKmeans,
+         |a AS (SELECT e.vec_id, cq.cent_id,
+         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
+         |  FROM e CROSS JOIN cq),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
+         |cap AS (SELECT (COUNT(*) + COUNT(DISTINCT cell) - 1)
+         |    // COUNT(DISTINCT cell) AS cap FROM cells),
+         |r AS (SELECT vec_id, cell, ROW_NUMBER() OVER (PARTITION BY cell
+         |  ORDER BY ${TextAnalysis.SqlHash60("CAST(vec_id AS VARCHAR)||'#11'")},
+         |    vec_id) AS rnk FROM cells)
+         |SELECT r.vec_id, r.cell, r.rnk FROM r, cap
+         |WHERE r.rnk <= cap.cap""".stripMargin)
 
   /** The shared PQ CTE chain (training sample → codebooks after
     * KmeansIters Lloyd steps → per-vector best codes) used by both q65

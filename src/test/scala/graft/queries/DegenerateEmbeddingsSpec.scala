@@ -39,7 +39,8 @@ class DegenerateEmbeddingsSpec extends AnyFunSuite {
     "q28_cosine_neardup", "q29_ann_topk", "q30_ann_lsh",
     "q35_ann_ivf", "q39_cosine_neardup_lsh", "q68_ann_ivf_staged",
     "q75_knn_graph", "q76_semantic_dedup", "q84_hard_negatives",
-    "q91_ann_ivf_adc", "q95_ann_recall_audit", "q96_label_separation")
+    "q91_ann_ivf_adc", "q95_ann_recall_audit", "q96_label_separation",
+    "q101_cluster_balanced")
 
   for (q <- vecQueries) test(s"$q survives a zero-norm embedding") {
     val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
@@ -66,7 +67,7 @@ class DegenerateEmbeddingsSpec extends AnyFunSuite {
     // hang"); the failure must be THAT message, not a DIVIDE_BY_ZERO
     // kill or an empty-collection crash deep in a Lloyd step
     for (q <- Seq("q35_ann_ivf", "q68_ann_ivf_staged", "q76_semantic_dedup",
-        "q91_ann_ivf_adc", "q95_ann_recall_audit")) {
+        "q91_ann_ivf_adc", "q95_ann_recall_audit", "q101_cluster_balanced")) {
       val e = intercept[IllegalArgumentException] {
         graft.SparkEntry.queries(q)(spark, allZeroDir).collect()
       }
