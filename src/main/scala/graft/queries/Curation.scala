@@ -36,6 +36,15 @@ object Curation {
     */
   private[queries] val DecontamGram = 8
 
+  /** q102's bloom geometry: the eval-gram filter is words·64 bits
+    * (2048 words = 16 KiB broadcast) with [[TextAnalysis.BloomK]]
+    * seeded hash probes — at the test corpora the false-positive rate
+    * is ~2% at sf0.1's eval-gram mass; at 100 TB `words` is the ONE
+    * knob (the filter stays a fixed-size broadcast while q57's exact
+    * join pays a gram-keyed shuffle of the whole train side).
+    */
+  private[queries] val BloomDecontamWords = 2048
+
   /** q58's bounded quality grid: quality ∈ [0,1] by construction, so it
     * quantizes onto this many integer cells. The cell-total collect the
     * distributed prefix sum performs is ≤ this many rows — a driver
@@ -122,6 +131,50 @@ object Curation {
         .select(col("doc_id"),
           coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
         .withColumn("contaminated", col("n_overlap") > 0)
+    }),
+
+    // bloom-filter decontamination — q57's semantics behind a
+    // fixed-size broadcast sketch, the shape that scales where the
+    // exact join cannot: q57 shuffles every train gram against the
+    // eval-gram relation; here the eval set collapses into ONE
+    // [[BloomDecontamWords]]·64-bit filter (a map-combined
+    // [[graft.functions.BloomBitsAgg]] — fixed state however large the
+    // eval set) broadcast to every executor, and the train side is a
+    // NARROW pass: per gram, K seeded bit-probes against the local
+    // filter, no shuffle until the per-doc count agg. One-sided error
+    // by construction — a doc q57 flags is ALWAYS flagged here (no
+    // false negatives, the decontamination direction that matters);
+    // `n_maybe ≥ n_overlap` with excess = bloom false positives,
+    // bounded by the words knob. Grams hash to positions via their
+    // decimal string (the one cross-engine-portable rendering of the
+    // shared 32-bit gram hash).
+    "q102_bloom_decontaminate" -> ((s, dir) => {
+      val bits = BloomDecontamWords * 64L
+      val docs = gramStage(Tables.wide(s, dir, "documents"), Seq("doc_id"))
+        .persist() // feeds the eval bloom + the train probe + clean docs
+      val bloom = docs.filter(col("doc_id") % BenchMod === 0)
+        .select(explode(col("g8")).as("g")).distinct()
+        .select(array((0 until TextAnalysis.BloomK).map(j =>
+          portableHash(col("g").cast("string"), j) % lit(bits)): _*).as("ps"))
+        .agg(graft.functions.SketchFunctions
+          .bloomBits(col("ps"), BloomDecontamWords).as("bloom"))
+      val train = docs.filter(col("doc_id") % BenchMod =!= 0)
+      val probes = train.select(col("doc_id"), explode(col("g8")).as("g"))
+        .select(col("doc_id") +: (0 until TextAnalysis.BloomK).map(j =>
+          (portableHash(col("g").cast("string"), j) % lit(bits))
+            .as(s"p$j")): _*)
+        .join(broadcast(bloom)) // 1-row filter — the q61 scalar shape
+      // a gram is maybe-present iff ALL K probe bits are set
+      val hit = (0 until TextAnalysis.BloomK).map(j => expr(
+        s"(element_at(bloom, CAST(p$j div 64 AS INT) + 1) & " +
+          s"shiftleft(CAST(1 AS BIGINT), CAST(p$j % 64 AS INT))) != 0"))
+        .reduce(_ && _)
+      val perDoc = probes.groupBy("doc_id")
+        .agg(sum(when(hit, 1L).otherwise(0L)).as("n_maybe0"))
+      train.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_maybe0"), lit(0L)).as("n_maybe"))
+        .withColumn("maybe_contaminated", col("n_maybe") > 0)
     }),
 
     // token-budget selection: keep the highest-quality documents whose
@@ -738,6 +791,56 @@ object Curation {
          |  COALESCE(ov.n_overlap, 0) > 0 AS contaminated
          |FROM g LEFT JOIN ov ON ov.doc_id = g.doc_id
          |WHERE g.doc_id % $BenchMod <> 0""".stripMargin,
+
+    // q57's gram chain + q55's sparse-words bloom mirror: eval grams
+    // set words·64 bits, each train gram probes its K seeded positions
+    // (HUGEINT shift parity note at q55 — only hit BOOLEANS are
+    // compared, never the register words)
+    "q102_bloom_decontaminate" -> {
+      val bits = BloomDecontamWords * 64
+      def pos(e: String, j: Int) =
+        s"${Hash(if (j == 0) e else s"$e||'#$j'")} % $bits"
+      s"""WITH t AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),
+         |gs AS (SELECT doc_id,
+         |  list_distinct(CASE WHEN len(tk) < $DecontamGram THEN []
+         |    ELSE [${(0 until DecontamGram).map(k => s"tk[i+$k]")
+                .mkString("||' '||")}
+         |          for i in range(1, len(tk)-${DecontamGram - 1}+1)] END) AS g8s
+         |  FROM t),
+         |g AS (SELECT doc_id,
+         |  list_transform(g8s, x -> ${Hash("x")}) AS g8 FROM gs),
+         |bg AS (SELECT DISTINCT unnest(g8) AS gg FROM g
+         |  WHERE doc_id % $BenchMod = 0),
+         |ep AS (SELECT ${Hash(
+                  "CASE WHEN j = 0 THEN CAST(gg AS VARCHAR) " +
+                    "ELSE CAST(gg AS VARCHAR)||'#'||j END")}
+         |    % $bits AS p
+         |  FROM bg, range(0, ${TextAnalysis.BloomK}) rj(j)),
+         |words AS (SELECT p // 64 AS w,
+         |    bit_or(CAST(1 AS HUGEINT) << CAST(p % 64 AS INTEGER)) AS bits
+         |  FROM ep GROUP BY 1),
+         |tr AS (SELECT doc_id, unnest(g8) AS gg FROM g
+         |  WHERE doc_id % $BenchMod <> 0),
+         |pp AS (SELECT doc_id,
+         |  ${(0 until TextAnalysis.BloomK).map(j =>
+                s"${pos("CAST(gg AS VARCHAR)", j)} AS p$j").mkString(",\n|  ")}
+         |  FROM tr),
+         |probe AS (SELECT pp.doc_id,
+         |  ${(0 until TextAnalysis.BloomK).map(j =>
+                s"COALESCE((w$j.bits & (CAST(1 AS HUGEINT) << " +
+                  s"CAST(pp.p$j % 64 AS INTEGER))) != 0, false)")
+                .mkString("\n|  AND ")} AS hit
+         |  FROM pp ${(0 until TextAnalysis.BloomK).map(j =>
+                s"LEFT JOIN words w$j ON w$j.w = pp.p$j // 64")
+                .mkString("\n|    ")}),
+         |h AS (SELECT doc_id,
+         |  CAST(SUM(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_maybe
+         |  FROM probe GROUP BY doc_id)
+         |SELECT g.doc_id, COALESCE(h.n_maybe, 0) AS n_maybe,
+         |  COALESCE(h.n_maybe, 0) > 0 AS maybe_contaminated
+         |FROM g LEFT JOIN h ON h.doc_id = g.doc_id
+         |WHERE g.doc_id % $BenchMod <> 0""".stripMargin
+    },
 
     "q58_token_budget" ->
       s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),

@@ -34,7 +34,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q97_curation_pipeline", "q98_retention_cohorts",
     "q88_bigram_surprisal", "q89_source_leakage", "q90_bpe_encode",
     "q92_media_phash", "q93_pack_trained", "q99_winnow_pairs",
-    "q100_source_drift", "q101_cluster_balanced")
+    "q100_source_drift", "q101_cluster_balanced",
+    "q102_bloom_decontaminate")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

@@ -43,7 +43,8 @@ class DegenerateTextSpec extends AnyFunSuite {
     // curation: q56 assigns every doc (incl. null text), q57 keeps every
     // train doc with overlap 0, q58 selects a budgeted subset; q59 needs
     // a lang column and is degenerate-tested in CurationSpec instead
-    "q56_hash_split", "q57_decontaminate", "q58_token_budget",
+    "q56_hash_split", "q57_decontaminate", "q102_bloom_decontaminate",
+    "q58_token_budget",
     "q72_sequence_pack", "q74_chunk_windows", "q81_epoch_shuffle",
     // q85 positions only tokenizable docs (null text is absent, the rest
     // rank); q86 needs a source column and is degenerate-tested in
