@@ -33,6 +33,13 @@ object TextAnalysis {
     */
   private[queries] val WinnowWindow = 4
 
+  /** q106's target source for importance weighting — the distribution
+    * documents are scored AGAINST (a real pipeline points this at its
+    * high-quality target domain; any source value works, the operator
+    * is target-agnostic).
+    */
+  private[queries] val DsirTarget = "src0"
+
   /** q66 sample bound: the quantile sketch's admission modulus derives
     * from `count(*)` so the sample holds ~this many rows at ANY corpus
     * (exactly [[graft.queries.Similarity]]'s SampleCap discipline).
@@ -1006,6 +1013,131 @@ object TextAnalysis {
             .as("mean_source_bits"),
           ((col("sum_bc") - col("sum_bs")).cast("double")
             / col("n_tokens").cast("double")).as("drift_bits"))
+    }),
+
+    // retrieval chunking in TRAINED-tokenizer units — q74's window
+    // arithmetic over the BPE token stream instead of whitespace words,
+    // completing the token-unit-agnostic story (q93 proved packing is;
+    // this proves chunking is — both consume q87's trained vocabulary).
+    // The per-doc trained-token ARRAY is assembled vocabulary-first:
+    // each distinct word pays the replace chain ONCE on the (bounded)
+    // vocabulary relation, a fact⋈dim equi-join stitches symbol lists
+    // onto word occurrences, and ONE doc_id shuffle reassembles them in
+    // document order (position-sorted collect_list — per-doc state, the
+    // only new cost over q74). The window arithmetic itself is the
+    // SHARED [[chunkRows]] — batch, stream, and both token units cannot
+    // drift on starts, tail handling, or the chunk hash.
+    "q103_chunk_trained" -> ((s, dir) => {
+      val (_, rep) = bpeTrain(bpeVocab(s, dir), BpeRounds)
+      val wl = rep.select(col("word"),
+        filter(split(col("s"), BpeD), x => x =!= "").as("syms"))
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "word")))
+        .join(wl, Seq("word"))
+        .groupBy("doc_id")
+        .agg(flatten(transform(
+          array_sort(collect_list(struct(col("pos"), col("syms")))),
+          x => x.getField("syms"))).as("tk"))
+        .filter(size(col("tk")) > 0)
+        .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n"))
+        .persist() // the q74 Generate discipline; released by the consumer
+      chunkRows(t)
+    }),
+
+    // duplicated-SPAN scrub accounting — the ACTION q71/q94 inform: the
+    // Lee-et-al-style exact-substring dedup removes every token span
+    // covered by a corpus-shared 5-gram; this emits, per document, how
+    // many tokens that removal would take and what remains. A shared
+    // gram at token position p covers positions [p, p+4]; covered mass
+    // is the union length of those intervals — islands split where
+    // consecutive shared positions gap by >4 (interval coverage is then
+    // contiguous inside an island, so union length = Σ island
+    // (last−first+5), exact, no double count). Plan at 100 TB: q94's
+    // two-phase doc-frequency agg over 60-bit hashes of per-doc
+    // DISTINCT grams + one positional semi-join; the island windows
+    // (lag, running sum) are PARTITIONED BY doc — never a corpus-wide
+    // sort; final stitch is one doc_id equi-join.
+    "q104_span_scrub" -> ((s, dir) => {
+      val pg = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), size(col("tk")).cast("long").as("n_tokens"),
+          wordNgrams(col("tk"), 5).as("g5s"))
+        .select(col("doc_id"), col("n_tokens"),
+          transform(col("g5s"), g => portableHash60(g)).as("g5h"))
+        .persist() // feeds DF agg, positional explode, final stitch
+      val shared = pg
+        .select(col("doc_id"), explode(array_distinct(col("g5h"))).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select("h")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val prev = lag("pos", 1).over(w)
+      val cov = pg
+        .select(col("doc_id"), posexplode(col("g5h")).as(Seq("pos", "h")))
+        .join(shared, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+        .withColumn("newi",
+          when(prev.isNull || col("pos") - prev > 4, 1L).otherwise(0L))
+        .withColumn("isl", sum("newi")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "isl")
+        .agg((max("pos") - min("pos") + lit(5)).cast("long").as("clen"))
+        .groupBy("doc_id").agg(sum("clen").as("covered0"))
+      pg.select(col("doc_id"), col("n_tokens"))
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("covered0"), lit(0L)).as("covered_tokens"),
+          (col("n_tokens") - coalesce(col("covered0"), lit(0L)))
+            .as("retained_tokens"),
+          when(col("n_tokens") > 0,
+            coalesce(col("covered0"), lit(0L)).cast("double")
+              / col("n_tokens").cast("double")).as("scrub_frac"))
+    }),
+
+    // DSIR-style importance weights — the per-DOCUMENT companion of
+    // q100's per-source drift: score every document by how much better
+    // the TARGET source's unigram distribution explains its tokens than
+    // the corpus-wide one (Xie et al.'s data-selection-by-importance-
+    // resampling shape, reduced to the same integer-exact surprisal
+    // analogue as q100/q88). Per token, w = floor(log2(T/c_corpus)) −
+    // floor(log2((T_t+V)/(c_target+1))) — corpus bits minus add-one-
+    // smoothed target bits (smoothing keeps out-of-target tokens finite
+    // and the quotient ≥1; both engines floor identically). A positive
+    // per-doc mean ⇒ the doc looks more like the target than like the
+    // corpus — the resampling key. Plan at 100 TB: the exploded token
+    // relation stages once (feeds both count aggs AND the stitch); the
+    // corpus and target aggs are map-side-combined shuffles; the scalar
+    // totals (T, V, T_t) ride broadcast 1-row joins; the stitch is one
+    // fact⋈vocab equi-join (hot tokens = AQE skew territory, the q61
+    // note) and one map-side-combined per-doc SUM. Zero driver actions.
+    "q106_dsir_weights" -> ((s, dir) => {
+      val t = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("tok"))
+        .persist() // released by the consumer's Caches.release hook
+      val cc = t.groupBy("tok").agg(count(lit(1)).as("cc"))
+      val tc = t.filter(col("source") === DsirTarget)
+        .groupBy("tok").agg(count(lit(1)).as("tc"))
+      val stats = cc.agg(sum("cc").as("t_total"),
+        count(lit(1)).as("v")) // 1 row: corpus mass + vocab size
+      val tt = tc.agg(coalesce(sum("tc"), lit(0L)).as("tg_total")) // 1 row
+      val wtok = cc.join(tc, Seq("tok"), "left")
+        .crossJoin(broadcast(stats)).crossJoin(broadcast(tt))
+        .select(col("tok"),
+          ((length(conv(expr("t_total div cc"), 10, 2)) - 1) -
+            (length(conv(
+              expr("(tg_total + v) div (coalesce(tc, 0L) + 1L)"), 10, 2)) - 1))
+            .cast("long").as("w"))
+      val perDoc = t.join(wtok, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("sum_bits"))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+          when(coalesce(col("n_tokens"), lit(0L)) > 0,
+            col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+            .as("mean_importance_bits"))
     }))
 
   /** The prep pipeline's score-and-filter stage over a deduped
@@ -1127,17 +1259,26 @@ object TextAnalysis {
        |      chr(1)||m$r.a||m$r.b||chr(1)) END AS s
        |  FROM v${r - 1} LEFT JOIN m$r ON TRUE)""".stripMargin
 
+  /** The training chain alone — `tk`/`w`/`v0` through the final merged
+    * representation `v$BpeRounds` — factored out so oracles that need
+    * the representation in a DIFFERENT shape than per-word counts (q103
+    * needs each word's SYMBOL LIST, in document order) still run the
+    * IDENTICAL training SQL.
+    */
+  private[queries] def bpeRepCtes: String = {
+    val rounds = (1 to BpeRounds).map { r =>
+      bpePm(r, s"v${r - 1}") + ",\n" + bpeVm(r)
+    }.mkString(",\n")
+    s"$bpeV0,\n$rounds"
+  }
+
   /** The full encode chain ending in per-doc counts `pd` (doc_id,
     * n_words, n_bpe_tokens) — the q90 oracle's body, exposed so
     * Curation's trained-token packing oracle (q93) consumes the
     * IDENTICAL training + encode SQL.
     */
-  private[queries] def bpeEncodedCtes: String = {
-    val rounds = (1 to BpeRounds).map { r =>
-      bpePm(r, s"v${r - 1}") + ",\n" + bpeVm(r)
-    }.mkString(",\n")
-    s"""$bpeV0,
-       |$rounds,
+  private[queries] def bpeEncodedCtes: String =
+    s"""$bpeRepCtes,
        |wt AS (SELECT word,
        |  CAST(len(list_filter(string_split(s, chr(1)), x -> x <> '')) AS BIGINT) AS w_toks
        |  FROM v$BpeRounds),
@@ -1145,7 +1286,6 @@ object TextAnalysis {
        |pd AS (SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(wt.w_toks) AS BIGINT) AS n_bpe_tokens
        |  FROM dw JOIN wt USING (word) GROUP BY dw.doc_id)""".stripMargin
-  }
 
   def oracleSql: Map[String, String] = Map(
     "q17_lang_id" ->
@@ -1535,5 +1675,92 @@ object TextAnalysis {
          |  CAST(sum_bc AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_corpus_bits,
          |  CAST(sum_bs AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS mean_source_bits,
          |  CAST(sum_bc - sum_bs AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS drift_bits
-         |FROM a""".stripMargin)
+         |FROM a""".stripMargin,
+
+    // the q87/q90 training chain verbatim (bpeRepCtes), then the
+    // representation as SYMBOL LISTS, document-order reassembly
+    // (list(... ORDER BY pos) + flatten — the collect_list/array_sort
+    // mirror), and q74's chunk arithmetic over the trained stream
+    "q103_chunk_trained" ->
+      s"""WITH $bpeRepCtes,
+         |wl AS (SELECT word,
+         |  list_filter(string_split(s, chr(1)), x -> x <> '') AS syms
+         |  FROM v$BpeRounds),
+         |dw AS (SELECT tk.doc_id, u.i AS pos, tk.tk[u.i] AS word
+         |  FROM tk, UNNEST(range(1, len(tk.tk) + 1)) AS u(i)),
+         |dt AS (SELECT dw.doc_id,
+         |  flatten(list(wl.syms ORDER BY dw.pos)) AS btk
+         |  FROM dw JOIN wl USING (word) GROUP BY dw.doc_id),
+         |t AS (SELECT doc_id, btk AS tk, CAST(len(btk) AS BIGINT) AS n
+         |  FROM dt WHERE len(btk) > 0),
+         |st AS (SELECT doc_id, tk, n,
+         |  unnest(range(0, n, $ChunkStride)) AS start FROM t)
+         |SELECT doc_id, start // $ChunkStride AS chunk_idx, start,
+         |  least($ChunkWin, n - start) AS chunk_len,
+         |  sha256(array_to_string(tk[start+1 : start+$ChunkWin], ' ')) AS chunk_hash
+         |FROM st""".stripMargin,
+
+    // q94's positional-gram chain, then interval-union length by
+    // gaps-and-islands: islands split where shared positions gap by >4,
+    // union length = Σ island (last−first+5)
+    "q104_span_scrub" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |g AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  CASE WHEN len(tk) < 5 THEN []
+         |  ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]
+         |        for i in range(1, len(tk)-4+1)] END AS g5s FROM t),
+         |ph AS (SELECT doc_id, n_tokens,
+         |  list_transform(g5s, x -> ${SqlHash60("x")}) AS g5h FROM g),
+         |c AS (SELECT h FROM (SELECT h, COUNT(*) AS n_docs FROM
+         |    (SELECT doc_id, unnest(list_distinct(g5h)) AS h FROM ph) u2
+         |  GROUP BY h) q WHERE n_docs >= 2),
+         |sp AS (SELECT doc_id, pos FROM
+         |    (SELECT ph.doc_id, i.j AS pos, ph.g5h[CAST(i.j AS INT)] AS h
+         |     FROM ph, UNNEST(range(1, len(ph.g5h) + 1)) AS i(j)) u
+         |  WHERE h IN (SELECT h FROM c)),
+         |ni AS (SELECT doc_id, pos,
+         |  CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+         |    OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+         |  THEN 1 ELSE 0 END AS newi FROM sp),
+         |il AS (SELECT doc_id, pos, SUM(newi) OVER (PARTITION BY doc_id
+         |  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+         |  FROM ni),
+         |iv AS (SELECT doc_id, isl,
+         |  CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS clen
+         |  FROM il GROUP BY doc_id, isl),
+         |cov AS (SELECT doc_id, CAST(SUM(clen) AS BIGINT) AS covered0
+         |  FROM iv GROUP BY doc_id)
+         |SELECT p.doc_id, p.n_tokens,
+         |  COALESCE(cov.covered0, 0) AS covered_tokens,
+         |  p.n_tokens - COALESCE(cov.covered0, 0) AS retained_tokens,
+         |  CASE WHEN p.n_tokens > 0
+         |    THEN CAST(COALESCE(cov.covered0, 0) AS DOUBLE)
+         |      / CAST(p.n_tokens AS DOUBLE) END AS scrub_frac
+         |FROM ph p LEFT JOIN cov ON cov.doc_id = p.doc_id""".stripMargin,
+
+    // the q100 count/total chain plus the add-one-smoothed target side;
+    // left joins re-admit out-of-target tokens (tc→0) and empty docs
+    "q106_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, source, unnest($Toks) AS tok FROM documents),
+         |cc AS (SELECT tok, COUNT(*) AS cc FROM t GROUP BY tok),
+         |stats AS (SELECT CAST(SUM(cc) AS BIGINT) AS t_total,
+         |  CAST(COUNT(*) AS BIGINT) AS v FROM cc),
+         |tc AS (SELECT tok, COUNT(*) AS tc FROM t
+         |  WHERE source = '$DsirTarget' GROUP BY tok),
+         |tt AS (SELECT COALESCE(CAST(SUM(tc) AS BIGINT), 0) AS tg_total FROM tc),
+         |wt AS (SELECT cc.tok,
+         |  CAST((length(bin(t_total // cc.cc)) - 1)
+         |    - (length(bin((tg_total + v) // (COALESCE(tc.tc, 0) + 1))) - 1)
+         |    AS BIGINT) AS w
+         |  FROM cc LEFT JOIN tc USING (tok), stats, tt),
+         |pd AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(wt.w) AS BIGINT) AS sum_bits
+         |  FROM t JOIN wt USING (tok) GROUP BY t.doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(pd.n_tokens, 0) AS n_tokens,
+         |  COALESCE(pd.sum_bits, 0) AS sum_bits,
+         |  CASE WHEN COALESCE(pd.n_tokens, 0) > 0
+         |    THEN CAST(pd.sum_bits AS DOUBLE) / CAST(pd.n_tokens AS DOUBLE)
+         |  END AS mean_importance_bits
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin)
 }

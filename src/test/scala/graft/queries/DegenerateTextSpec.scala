@@ -57,6 +57,11 @@ class DegenerateTextSpec extends AnyFunSuite {
     // q99 emits pairs only (null text yields a null fingerprint array,
     // whose explode contributes no keys)
     "q99_winnow_pairs",
+    // q103 emits per-chunk rows for tokenizable docs only (q74's
+    // contract over the trained stream); q104 re-admits every doc (null
+    // text -> null/zero columns, never a crash); q106 needs a source
+    // column and is degenerate-tested in DsirSpec instead
+    "q103_chunk_trained", "q104_span_scrub",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -83,6 +88,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q92_media_phash", // pairs only; degenerate corpus has none
         "q99_winnow_pairs", // pairs only; degenerate corpus has none
         "q93_pack_trained", // one row per chunk, not per doc
+        "q103_chunk_trained", // one row per chunk, not per doc
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")

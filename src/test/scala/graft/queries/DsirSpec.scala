@@ -1,0 +1,73 @@
+package graft.queries
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q106 importance-weight semantics: documents speaking the TARGET
+  * source's vocabulary must outscore documents speaking vocabulary the
+  * target never uses, every document is re-admitted (empty/null text
+  * included), and the weight unit is the integer-exact bits analogue
+  * (corpus surprisal minus add-one-smoothed target surprisal).
+  */
+class DsirSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def write(rows: Seq[(Long, String, String)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-dsir").toString
+    rows.toDF("doc_id", "text", "source")
+      .write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def weights(dir: String): Map[Long, (Long, Long)] =
+    graft.SparkEntry.queries("q106_dsir_weights")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  test("target-vocabulary docs outscore foreign-vocabulary docs") {
+    // src0 is the target: its vocabulary is {alpha}; doc 10 (from
+    // another source) repeats that vocabulary, doc 11 speaks a token the
+    // target never contains. With T=16, V=2, T_t=8: w(alpha) =
+    // floor(log2(16/12)) - floor(log2(10/9)) = 0, w(omega) =
+    // floor(log2(16/4)) - floor(log2(10/1)) = 2 - 3 = -1.
+    val dir = write(Seq(
+      (1L, "alpha alpha alpha alpha", "src0"),
+      (2L, "alpha alpha alpha alpha", "src0"),
+      (10L, "alpha alpha alpha alpha", "web"),
+      (11L, "omega omega omega omega", "web")))
+    val m = weights(dir)
+    assert(m(10L)._2 > m(11L)._2,
+      s"target-matching doc must score higher: $m")
+    // both docs have 4 tokens; scores are per-doc integer bit sums
+    assert(m(10L)._1 === 4L && m(11L)._1 === 4L)
+    spark.catalog.clearCache()
+  }
+
+  test("empty and null docs are re-admitted with zero counts") {
+    val dir = write(Seq(
+      (1L, "alpha beta gamma", "src0"),
+      (2L, null.asInstanceOf[String], "web"),
+      (3L, "", "web")))
+    val m = weights(dir)
+    assert(m.keySet === Set(1L, 2L, 3L))
+    assert(m(2L) === ((0L, 0L)))
+    spark.catalog.clearCache()
+  }
+
+  test("hand-computed weights on a two-token corpus") {
+    // corpus: T=8, tokens a (c=4) and b (c=4), V=2. target(src0): a a a a
+    // -> T_t=4. bc(a)=bc(b)=floor(log2(8/4))=1.
+    // bt(a)=floor(log2((4+2)/(4+1)))=floor(log2(1.2))=0 -> w(a)=1.
+    // bt(b)=floor(log2((4+2)/(0+1)))=floor(log2(6))=2 -> w(b)=-1.
+    val dir = write(Seq(
+      (1L, "a a a a", "src0"),
+      (2L, "b b b b", "web")))
+    val m = weights(dir)
+    assert(m(1L) === ((4L, 4L)))  // 4 tokens x w(a)=1
+    assert(m(2L) === ((4L, -4L))) // 4 tokens x w(b)=-1
+    spark.catalog.clearCache()
+  }
+}

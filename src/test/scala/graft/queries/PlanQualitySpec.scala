@@ -114,6 +114,36 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q93 persists its trained-token counts
   }
 
+  test("q103 trained chunking: doc-order reassembly shuffles once, no nested loop") {
+    // the trained stream is rebuilt by ONE doc_id agg over the
+    // word⋈vocab equi-join — nothing collapses to a single partition
+    // and the (bounded) vocabulary never meets the corpus in a loop
+    val p = execPlan("q103_chunk_trained")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    graft.Caches.release(spark) // q103 persists its trained-token arrays
+  }
+
+  test("q104 span scrub: q94's plan family — per-doc windows, two-phase DF agg") {
+    val p = execPlan("q104_span_scrub")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("partial_count"), "doc-frequency agg must map-side combine")
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark)
+  }
+
+  test("q106 importance weights: scalar totals broadcast, map-combined aggs") {
+    // the q61/q100 discipline: the 1-row totals reach the vocabulary as
+    // broadcasts, the count aggs map-side combine, and the corpus-sized
+    // token relation meets only equi-joins
+    val p = execPlan("q106_dsir_weights")
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+    graft.Caches.release(spark)
+  }
+
   test("q95 recall audit: broadcast sample scan, two-phase exact rank, no single partition") {
     // the deliberate shape: the sample×corpus scan is a broadcast
     // nested loop over the ≤8-row sample (the eval's honest cost), the

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q104 duplicated-span scrub semantics, hand-computed: covered mass is
+  * the union length of [p, p+4] intervals over corpus-shared 5-gram
+  * positions — islands merge while consecutive shared positions gap by
+  * ≤4, split beyond, and within-document repetition alone never counts
+  * as "shared".
+  */
+class SpanScrubSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def write(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-scrub").toString
+    rows.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private def scrub(dir: String): Map[Long, (Long, Long, Long)] =
+    graft.SparkEntry.queries("q104_span_scrub")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+
+  test("a shared 6-token phrase covers exactly 6 tokens in each doc") {
+    // the phrase contributes 2 consecutive shared gram positions ->
+    // one island, covered = (max-min)+5 = 6
+    val dir = write(Seq(
+      (1L, "x1 x2 p q r s t u y1"), // phrase at token positions 2..7
+      (2L, "p q r s t u z1 z2 z3"))) // phrase at token positions 0..5
+    val m = scrub(dir)
+    assert(m(1L) === ((9L, 6L, 3L)))
+    assert(m(2L) === ((9L, 6L, 3L)))
+    spark.catalog.clearCache()
+  }
+
+  test("two separated shared runs sum; a gap of >4 positions splits islands") {
+    // doc 3 carries doc 1's phrase and doc 2's phrase with 5 alien
+    // tokens between: shared gram positions {0,1} and {11,12} ->
+    // islands of covered length 6 + 6 = 12 of its 17 tokens
+    val dir = write(Seq(
+      (1L, "p q r s t u"),
+      (2L, "a b c d e f"),
+      (3L, "p q r s t u m1 m2 m3 m4 m5 a b c d e f")))
+    val m = scrub(dir)
+    assert(m(3L) === ((17L, 12L, 5L)))
+    // the sources are fully covered by their own shared phrase
+    assert(m(1L) === ((6L, 6L, 0L)))
+    assert(m(2L) === ((6L, 6L, 0L)))
+    spark.catalog.clearCache()
+  }
+
+  test("within-document repetition alone is not 'shared'; short docs scrub zero") {
+    val dir = write(Seq(
+      (1L, "m n o p q m n o p q"), // internal dup only: DF counts distinct grams per doc
+      (2L, "one two three"), // < 5 tokens: no grams at all
+      (3L, "totally different words here now")))
+    val m = scrub(dir)
+    assert(m(1L) === ((10L, 0L, 10L)))
+    assert(m(2L) === ((3L, 0L, 3L)))
+    assert(m(3L) === ((5L, 0L, 5L)))
+    spark.catalog.clearCache()
+  }
+
+  test("overlapping coverage is not double-counted (adjacent islands at gap 5)") {
+    // doc 1 and doc 2 share grams at doc-1 positions {0, 5}: intervals
+    // [0,4] and [5,9] are adjacent but disjoint -> covered exactly 10
+    val dir = write(Seq(
+      (1L, "g h i j k g h i j k x"), // grams "g h i j k" at pos 0 and 5
+      (2L, "g h i j k")))
+    val m = scrub(dir)
+    assert(m(1L) === ((11L, 10L, 1L)))
+    assert(m(2L) === ((5L, 5L, 0L)))
+    spark.catalog.clearCache()
+  }
+}
