@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.functions.TextFunctions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,7 +43,29 @@ object Curation {
     * knob (the filter stays a fixed-size broadcast while q57's exact
     * join pays a gram-keyed shuffle of the whole train side).
     */
-  private[queries] val BloomDecontamWords = 2048
+  private[graft] val BloomDecontamWords = 2048
+
+  /** The K seeded probe positions of a hashed gram into the
+    * [[BloomDecontamWords]]·64-bit filter — ONE definition shared by the
+    * batch builder/prober (q102) and the streaming dual
+    * ([[graft.streaming.DocStream.bloomDecontaminated]]), so the two
+    * paths cannot disagree on a bit position. Grams probe via their
+    * decimal string (the cross-engine-portable rendering of the shared
+    * 32-bit gram hash); [[graft.functions.TextFunctions.portableHash]]
+    * is non-negative, so the modulus is too.
+    */
+  private[graft] def bloomProbes(g: Column): Seq[Column] =
+    (0 until TextAnalysis.BloomK).map(j =>
+      portableHash(g.cast("string"), j) % lit(BloomDecontamWords * 64L))
+
+  /** Bit-test of probe position `p` against a filter ARRAY column (the
+    * q102 agg output or a frozen literal) — shared with the streaming
+    * dual. `p div 64` / `p mod 64` as shift/mask (p is non-negative).
+    */
+  private[graft] def bloomHit(bloom: Column, p: Column): Column =
+    element_at(bloom, call_function("shiftright", p, lit(6)).cast("int") + 1)
+      .bitwiseAND(call_function("shiftleft", lit(1L),
+        p.bitwiseAND(lit(63L)).cast("int"))) =!= 0
 
   /** q58's bounded quality grid: quality ∈ [0,1] by construction, so it
     * quantizes onto this many integer cells. The cell-total collect the
@@ -149,26 +171,22 @@ object Curation {
     // decimal string (the one cross-engine-portable rendering of the
     // shared 32-bit gram hash).
     "q102_bloom_decontaminate" -> ((s, dir) => {
-      val bits = BloomDecontamWords * 64L
       val docs = gramStage(Tables.wide(s, dir, "documents"), Seq("doc_id"))
         .persist() // feeds the eval bloom + the train probe + clean docs
       val bloom = docs.filter(col("doc_id") % BenchMod === 0)
         .select(explode(col("g8")).as("g")).distinct()
-        .select(array((0 until TextAnalysis.BloomK).map(j =>
-          portableHash(col("g").cast("string"), j) % lit(bits)): _*).as("ps"))
+        .select(array(bloomProbes(col("g")): _*).as("ps"))
         .agg(graft.functions.SketchFunctions
           .bloomBits(col("ps"), BloomDecontamWords).as("bloom"))
       val train = docs.filter(col("doc_id") % BenchMod =!= 0)
       val probes = train.select(col("doc_id"), explode(col("g8")).as("g"))
-        .select(col("doc_id") +: (0 until TextAnalysis.BloomK).map(j =>
-          (portableHash(col("g").cast("string"), j) % lit(bits))
-            .as(s"p$j")): _*)
+        .select(col("doc_id") +: bloomProbes(col("g")).zipWithIndex
+          .map { case (p, j) => p.as(s"p$j") }: _*)
         .join(broadcast(bloom)) // 1-row filter — the q61 scalar shape
-      // a gram is maybe-present iff ALL K probe bits are set
-      val hit = (0 until TextAnalysis.BloomK).map(j => expr(
-        s"(element_at(bloom, CAST(p$j div 64 AS INT) + 1) & " +
-          s"shiftleft(CAST(1 AS BIGINT), CAST(p$j % 64 AS INT))) != 0"))
-        .reduce(_ && _)
+      // a gram is maybe-present iff ALL K probe bits are set (the
+      // SHARED bit-test — [[bloomHit]] — the streaming dual also runs)
+      val hit = (0 until TextAnalysis.BloomK).map(j =>
+        bloomHit(col("bloom"), col(s"p$j"))).reduce(_ && _)
       val perDoc = probes.groupBy("doc_id")
         .agg(sum(when(hit, 1L).otherwise(0L)).as("n_maybe0"))
       train.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")

@@ -221,6 +221,51 @@ object TextAnalysis {
       .groupBy(col("lang"), col("n_chars"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** q100's corpus-facing stage — the (source, tok, cs) occurrence-count
+    * relation, ONE definition shared by the batch drift report and the
+    * streaming dual ([[graft.streaming.DocStream.sourceTokenCounts]]).
+    * Counts are ADDITIVE, so the identical aggregation runs stateful
+    * over an unbounded stream (update mode) with state bounded by
+    * |sources| × vocabulary — the VALUE space (Heaps-law growth), not
+    * the corpus; the drift report is then [[driftFromCounts]] as a tiny
+    * batch step over the emitted table, exactly the q53/q66/q86
+    * sketch-on-stream split.
+    */
+  private[graft] def sourceTokenCounts(docs: DataFrame): DataFrame =
+    docs.select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("cs"))
+
+  /** The drift report over a [[sourceTokenCounts]]-shaped relation —
+    * everything here is vocabulary-sized: corpus counts are the
+    * per-source counts summed over sources, totals fold out of the
+    * aggregates as broadcast scalars, and the per-term floors are the
+    * q88/q100 integer-exact log2.
+    */
+  private[graft] def driftFromCounts(cs: DataFrame): DataFrame = {
+    val cc = cs.groupBy("tok").agg(sum("cs").as("cc"))
+    val total = cc.agg(sum("cc").as("t_total")) // 1 row, lazy
+    val st = cs.groupBy("source").agg(sum("cs").as("s_total"))
+    cs.join(broadcast(st), "source")
+      .join(cc, "tok")
+      .crossJoin(broadcast(total))
+      .select(col("source"), col("cs"), col("s_total"),
+        (length(conv(expr("t_total div cc"), 10, 2)) - 1)
+          .cast("long").as("bc"),
+        (length(conv(expr("s_total div cs"), 10, 2)) - 1)
+          .cast("long").as("bs"))
+      .groupBy("source")
+      .agg(max("s_total").as("n_tokens"),
+        sum(col("cs") * col("bc")).as("sum_bc"),
+        sum(col("cs") * col("bs")).as("sum_bs"))
+      .select(col("source"), col("n_tokens"),
+        (col("sum_bc").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_corpus_bits"),
+        (col("sum_bs").cast("double") / col("n_tokens").cast("double"))
+          .as("mean_source_bits"),
+        ((col("sum_bc") - col("sum_bs")).cast("double")
+          / col("n_tokens").cast("double")).as("drift_bits"))
+  }
+
   /** q50 patterns — Java-regex ∩ RE2 common syntax only (shared verbatim
     * with the DuckDB mirror; DuckDB standard strings do not process
     * backslash escapes, so the literal text matches what Spark compiles).
@@ -979,41 +1024,18 @@ object TextAnalysis {
     // vocabulary (the integer-exact stand-in for KL(source‖corpus):
     // same Σ p_s·log(ratio) shape, floors taken per term so both
     // engines agree bit-for-bit; both quotients are ≥1 since counts
-    // never exceed their totals). Plan at 100 TB: the exploded token
-    // relation stages once (persist — it feeds both count aggs); the
-    // vocab agg and the (source, tok) agg are map-side-combined
-    // shuffles; totals fold out of the aggregates (a 1-row broadcast
-    // and a |sources|-row broadcast join — never a row-level pass); the
-    // stitch is one fact⋈vocab equi-join (hot tokens = AQE skew
-    // territory, the q61 note). Zero driver actions.
-    "q100_source_drift" -> ((s, dir) => {
-      val t = Tables.wide(s, dir, "documents")
-        .select(col("source"), explode(tokens(col("text"))).as("tok"))
-        .persist() // released by the consumer's Caches.release hook
-      val cc = t.groupBy("tok").agg(count(lit(1)).as("cc"))
-      val total = cc.agg(sum("cc").as("t_total")) // 1 row, lazy
-      val cs = t.groupBy("source", "tok").agg(count(lit(1)).as("cs"))
-      val st = cs.groupBy("source").agg(sum("cs").as("s_total"))
-      cs.join(broadcast(st), "source")
-        .join(cc, "tok")
-        .crossJoin(broadcast(total))
-        .select(col("source"), col("cs"), col("s_total"),
-          (length(conv(expr("t_total div cc"), 10, 2)) - 1)
-            .cast("long").as("bc"),
-          (length(conv(expr("s_total div cs"), 10, 2)) - 1)
-            .cast("long").as("bs"))
-        .groupBy("source")
-        .agg(max("s_total").as("n_tokens"),
-          sum(col("cs") * col("bc")).as("sum_bc"),
-          sum(col("cs") * col("bs")).as("sum_bs"))
-        .select(col("source"), col("n_tokens"),
-          (col("sum_bc").cast("double") / col("n_tokens").cast("double"))
-            .as("mean_corpus_bits"),
-          (col("sum_bs").cast("double") / col("n_tokens").cast("double"))
-            .as("mean_source_bits"),
-          ((col("sum_bc") - col("sum_bs")).cast("double")
-            / col("n_tokens").cast("double")).as("drift_bits"))
-    }),
+    // never exceed their totals). Plan at 100 TB: corpus rows cross
+    // exactly ONE map-side-combined shuffle — the (source, tok) count
+    // ([[sourceTokenCounts]], the relation the streaming dual maintains
+    // as state); everything downstream ([[driftFromCounts]]) runs over
+    // vocabulary-sized data (the corpus-wide counts are the per-source
+    // counts summed over sources), totals ride 1-row / |sources|-row
+    // broadcasts, and the stitch is one fact⋈vocab equi-join (hot
+    // tokens = AQE skew territory, the q61 note). Zero driver actions.
+    "q100_source_drift" -> ((s, dir) =>
+      driftFromCounts(
+        sourceTokenCounts(Tables.wide(s, dir, "documents"))
+          .persist())), // released by the consumer's Caches.release hook
 
     // retrieval chunking in TRAINED-tokenizer units — q74's window
     // arithmetic over the BPE token stream instead of whitespace words,

@@ -201,6 +201,51 @@ object DocStream {
       .drop("g8")
   }
 
+  /** The frozen eval-set bloom filter the streaming decontaminator
+    * probes — built with the SAME probe positions
+    * ([[graft.queries.Curation.bloomProbes]]) and the SAME
+    * [[graft.functions.SketchFunctions.bloomBits]] aggregate as batch
+    * q102's filter, evaluated ONCE at stream construction (the eval set
+    * is static; re-benchmarking is a new stream). An empty eval set
+    * yields the all-zero filter (nothing flags).
+    */
+  def benchBloom(benchGrams: DataFrame): Array[Long] = {
+    val row = benchGrams
+      .select(array(graft.queries.Curation.bloomProbes(col("g")): _*).as("ps"))
+      .agg(graft.functions.SketchFunctions.bloomBits(col("ps"),
+        graft.queries.Curation.BloomDecontamWords).as("bloom"))
+      .head
+    row.getSeq[Long](0).toArray
+  }
+
+  /** Streaming bloom decontamination — q102's verdicts over an unbounded
+    * doc stream against a FROZEN eval filter. Where [[decontaminated]]
+    * carries the exact eval-gram array in every task, this carries the
+    * fixed-size filter ([[benchBloom]]'s 16 KiB literal at the default
+    * words) — the variant whose per-task footprint is CONSTANT however
+    * large the eval set grows, the same trade batch q102 makes against
+    * q57. Stateless narrow per-row: the per-doc count collapses into the
+    * gram array (each doc arrives whole), so there is no shuffle, no
+    * state, and any output mode works; the SHARED probe/bit-test
+    * definitions ([[graft.queries.Curation.bloomProbes]]/`bloomHit`)
+    * make a stream verdict bit-identical to the batch one. One-sided
+    * error exactly as batch: n_maybe ≥ the exact overlap, never below.
+    */
+  def bloomDecontaminated(docs: DataFrame, bloom: Array[Long]): DataFrame = {
+    val blit = typedLit(bloom.toSeq)
+    graft.queries.Curation.gramStage(docs,
+        docs.columns.toSeq.filter(_ != "text"))
+      // null text ⇒ null gram array ⇒ null filter result: clean, as in
+      // the batch operator's left join
+      .withColumn("n_maybe",
+        coalesce(size(filter(col("g8"), g =>
+          graft.queries.Curation.bloomProbes(g)
+            .map(p => graft.queries.Curation.bloomHit(blit, p))
+            .reduce(_ && _))).cast("long"), lit(0L)))
+      .withColumn("maybe_contaminated", col("n_maybe") > 0)
+      .drop("g8")
+  }
+
   /** Streaming vocabulary-cardinality sketch: q53's HLL register table
     * over an unbounded doc stream, via the SAME
     * [[graft.queries.TextAnalysis.hllRegisters]] definition the batch
@@ -244,6 +289,20 @@ object DocStream {
   def sourceMinhash(docs: DataFrame): DataFrame =
     graft.queries.Similarity.sourceSigRegisters(
       graft.queries.Similarity.sourceDocSigs(docs))
+
+  /** Streaming per-source token counts: q100's corpus-facing stage over
+    * an unbounded doc stream, via the SAME
+    * [[graft.queries.TextAnalysis.sourceTokenCounts]] definition the
+    * batch drift report uses. Counts are additive, so the stateful
+    * aggregation needs no watermark; state is bounded by |sources| ×
+    * vocabulary — the VALUE space (Heaps-law growth), never the stream
+    * length (run with complete/update output; the drift report is
+    * q100's vocabulary-sized [[graft.queries.TextAnalysis
+    * .driftFromCounts]] batch step over the emitted table — the
+    * q53/q66/q86 sketch-on-stream split).
+    */
+  def sourceTokenCounts(docs: DataFrame): DataFrame =
+    graft.queries.TextAnalysis.sourceTokenCounts(docs)
 
   /** Streaming tokenizer application — q90's per-doc trained-token
     * counts under a FROZEN merge table. Training is inherently batch

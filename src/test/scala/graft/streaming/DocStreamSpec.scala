@@ -351,6 +351,86 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloomDecontaminated streams q102's verdicts against the frozen filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gram8 = "alpha beta gamma delta epsilon zeta eta theta" // 8 words
+    val all = Seq(
+      (0L, s"benchmark prompt says $gram8 and stops"),
+      (1L, s"training document copies $gram8 verbatim today"),
+      (2L, "training alpha beta gamma delta epsilon zeta eta OMEGA"),
+      (3L, "completely unrelated training text about nothing much"),
+      (4L, null.asInstanceOf[String]))
+    // batch expectation: q102 over the same corpus in the testdata layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-bloomd").toString
+    all.map { case (id, t) => (id, t, "en") }.toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val want = graft.SparkEntry.queries("q102_bloom_decontaminate")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    graft.Caches.release(spark)
+    // frozen filter from the eval side, via the SAME shared stage
+    val bloom = DocStream.benchBloom(
+      graft.queries.Curation.gramStage(all.take(1).toDF("doc_id", "text"), Seq.empty)
+        .select(org.apache.spark.sql.functions.explode($"g8").as("g")).distinct())
+    assert(bloom.length == 2048 && bloom.exists(_ != 0L))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.bloomDecontaminated(
+        mem.toDF().toDF("doc_id", "ingest_ts", "text"), bloom)
+      .writeStream.format("memory").queryName("bloomd").outputMode("append").start()
+    try {
+      mem.addData(all.drop(1).map { case (id, t) => (id, ts(id), t) })
+      q.processAllAvailable()
+      val got = spark.table("bloomd")
+        .select("doc_id", "n_maybe", "maybe_contaminated")
+        .as[(Long, Long, Boolean)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(got == want + (4L -> ((0L, false))),
+        s"stream verdicts must match batch q102 (plus the null-text doc): got $got want $want")
+      assert(spark.table("bloomd").columns.toSeq ==
+        Seq("doc_id", "ingest_ts", "n_maybe", "maybe_contaminated"))
+    } finally q.stop()
+  }
+
+  test("sourceTokenCounts streams q100's count state; driftFromCounts replays the report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the of and to in the of and to in", "web"),
+      (2L, "the of and to in common words too", "web"),
+      (3L, "zxqv wmbr kjpl zxqv wmbr kjpl zxqv", "ocr"),
+      (4L, "the of zxqv mixed bag of sources here", "ocr"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-driftd").toString
+    rows.toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val want = graft.SparkEntry.queries("q100_source_drift")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    graft.Caches.release(spark)
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val q = DocStream.sourceTokenCounts(
+        mem.toDF().toDF("doc_id", "ingest_ts", "text", "source"))
+      .writeStream.format("memory").queryName("stcounts")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(2).map { case (id, t, s) => (id, ts(id), t, s) })
+      q.processAllAvailable()
+      mem.addData(rows.drop(2).map { case (id, t, s) => (id, ts(id), t, s) })
+      q.processAllAvailable()
+      // the emitted state table IS q100's count relation: the
+      // vocabulary-sized derivation over it must replay the report
+      // (snapshot the memory sink into a plain relation first — the
+      // derivation self-joins, which MemoryPlan's shared attribute ids
+      // cannot express)
+      val state = spark.table("stcounts")
+      val snap = spark.createDataFrame(state.collectAsList(), state.schema)
+      val got = graft.queries.TextAnalysis
+        .driftFromCounts(snap)
+        .collect().map(r => r.getString(0) ->
+          ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(got == want,
+        s"drift from streamed counts must match batch q100: got $got want $want")
+    } finally q.stop()
+  }
+
   test("scored matches the batch q17/q18 expressions on the same rows") {
     import spark.implicits._
     val batch = Seq((0L, ts(1), goodEn), (1L, ts(2), spanish), (2L, ts(3), junk))
