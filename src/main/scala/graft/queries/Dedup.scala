@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Transitive near-dup clustering — the step a training-data pipeline runs
@@ -292,6 +293,34 @@ object Dedup {
           .select("doc_id", "text"))
     }),
 
+    // quality-aware survivor selection — the PRODUCTION pick q44's
+    // min-id deliberately simplifies away: within each near-dup
+    // component, keep the highest-quality document (q18's score — ONE
+    // definition, referenced not re-derived), ties broken by min
+    // doc_id, nulls (untokenizable docs) last. This is what a real
+    // dedup pass ships: the cluster's best copy, not its smallest id.
+    // Plan shape: the label table joins the per-doc quality column on
+    // doc_id (equi-join), and the pick is a window PARTITIONED BY
+    // cluster — each window sees one component's rows, never a
+    // corpus-wide sort; cluster_size rides the same partition as a
+    // windowed count, so the whole report is ONE shuffle past the
+    // shared clustering.
+    "q105_quality_survivors" -> ((s, dir) => {
+      val labels = clusterLabels(s, dir)
+      val quality = TextAnalysis.queries("q18_quality_score")(s, dir)
+        .select(col("doc_id"), col("quality"))
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
+      labels.join(quality, "doc_id")
+        .select(col("cluster_id"), col("doc_id"), col("quality"),
+          row_number().over(w).as("rk"),
+          count(lit(1)).over(Window.partitionBy("cluster_id"))
+            .as("cluster_size"))
+        .filter(col("rk") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_id"),
+          col("cluster_size"), col("quality").as("keep_quality"))
+    }),
+
     // link analysis beside the components: PageRank over the near-dup
     // pair graph (a document central to many near-dup relations is the
     // cluster's natural representative candidate — the ranking signal
@@ -418,6 +447,29 @@ object Dedup {
       s"""$sqlClusters
          |SELECT cluster_id AS keep_id, COUNT(*) AS cluster_size
          |FROM clusters GROUP BY cluster_id""".stripMargin,
+
+    // the SAME cluster CTE chain + q18's quality SQL verbatim, picked by
+    // a per-cluster window (quality DESC NULLS LAST, doc_id)
+    "q105_quality_survivors" ->
+      s"""$sqlClusters,
+         |qt AS (SELECT doc_id, trim(text) AS tt, ${TextAnalysis.Toks} AS tk
+         |  FROM documents),
+         |qm AS (SELECT doc_id, len(tk) AS n_tokens,
+         |  len(list_filter(tk, x -> x IN ${TextAnalysis.sqlStops("en")})) AS stops
+         |  FROM qt),
+         |qq AS (SELECT doc_id,
+         |  CASE WHEN n_tokens > 0
+         |    THEN CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE) END*0.4
+         |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality FROM qm),
+         |r AS (SELECT c.cluster_id, c.doc_id, qq.quality,
+         |  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+         |    ORDER BY qq.quality DESC NULLS LAST, c.doc_id) AS rk,
+         |  COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+         |  FROM clusters c JOIN qq ON qq.doc_id = c.doc_id)
+         |SELECT cluster_id, doc_id AS keep_id,
+         |  CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  quality AS keep_quality
+         |FROM r WHERE rk = 1""".stripMargin,
 
     "q52_cluster_prep" ->
       s"""$sqlClusters,

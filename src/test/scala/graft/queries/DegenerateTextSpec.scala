@@ -61,7 +61,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // contract over the trained stream); q104 re-admits every doc (null
     // text -> null/zero columns, never a crash); q106 needs a source
     // column and is degenerate-tested in DsirSpec instead
-    "q103_chunk_trained", "q104_span_scrub",
+    "q103_chunk_trained", "q104_span_scrub", "q105_quality_survivors",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -76,6 +76,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q42_simhash64_pairs",
         "q36_prep_pipeline", "q40_vocab_topk", // q40 is corpus-level
         "q44_dedup_survivors", // one row per cluster, not per doc
+        "q105_quality_survivors", // one row per cluster, not per doc
         "q46_tfidf_top_terms", // ≤3 rows per non-empty doc
         "q52_cluster_prep", // filtered composite, like q36
         "q54_heavy_hitters", // corpus-level top-10

@@ -124,6 +124,16 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q103 persists its trained-token arrays
   }
 
+  test("q105 quality survivors: per-cluster windows only, equi-join stitch") {
+    // past the shared clustering, the pick is ONE shuffle: quality joins
+    // on doc_id (equi), rank and size ride cluster-partitioned windows
+    val p = execPlan("q105_quality_survivors")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark)
+  }
+
   test("q104 span scrub: q94's plan family — per-doc windows, two-phase DF agg") {
     val p = execPlan("q104_span_scrub")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
