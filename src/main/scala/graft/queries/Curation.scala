@@ -91,6 +91,95 @@ object Curation {
     sorted.map(_._1).zip(sorted.map(_._2).scanLeft(0L)(_ + _)).toMap
   }
 
+  /** The distributed budgeted prefix selection — q58's machinery factored
+    * over an arbitrary ranking column, so every "rank the corpus, admit
+    * until a token budget" operator (q58 by quality, q107 by DSIR
+    * importance) runs ONE audited implementation. Contract: `scored` is
+    * a persisted (doc_id, n_tokens, rank) relation (rank non-null,
+    * double); `cellOf` maps `rank` onto a bounded integer grid ascending
+    * as rank DESCENDS (Spark-side machinery only — output semantics are
+    * the oracle's single cumsum over (rank DESC, doc_id)); `budgetOf`
+    * derives the token budget from the corpus token mass. Selected =
+    * rows whose running total over (rank DESC, doc_id) ≤ budget.
+    *
+    * Shape (see the q58 Scaladoc history for the derivation): ONE
+    * row-level aggregation carries per-rank-group token mass AND the
+    * group's doc_id range; the cumsum runs per-CELL via a partitioned
+    * window with driver-prefix-summed offsets ([[exclusiveOffsets]] —
+    * ≤ [[QualityCells]] rows read); whole groups pass/fail on their
+    * group-end cum; only the ONE boundary tie group pays a row-level
+    * cumsum, itself distributed over [[TieBuckets]] doc_id ranges. No
+    * unpartitioned window anywhere; driver reads are three bounded jobs.
+    */
+  private[queries] def budgetedPrefixSelect(scored: DataFrame,
+      cellOf: Column, budgetOf: Long => Long): DataFrame = {
+    val hist = scored.groupBy("rank")
+      .agg(sum("n_tokens").as("gtok"),
+        min("doc_id").as("lo_id"), max("doc_id").as("hi_id"))
+      .withColumn("cell", cellOf).persist()
+    val cellTotals = hist.groupBy("cell").agg(sum("gtok").as("ct"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
+    // zero histogram rows ⇔ empty/untokenizable corpus: a defined empty
+    // selection, not a driver NPE on a null aggregate
+    if (cellTotals.isEmpty) {
+      hist.unpersist()
+      scored.unpersist()
+      scored.limit(0)
+    } else {
+      // the cell histogram partitions the corpus, so its totals sum to
+      // the corpus token mass — the budget needs no extra job
+      val budget = budgetOf(cellTotals.map(_._2).sum)
+      val cellOff = exclusiveOffsets(cellTotals)
+      val cumW = Window.partitionBy("cell").orderBy(desc("rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // cellOff holds every cell hist itself produced, so the ANSI-mode
+      // element_at (which throws on a missing key) cannot miss
+      val cum = hist.withColumn("cum", sum("gtok").over(cumW) +
+        element_at(typedLit(cellOff), col("cell")))
+      // first group whose running total crosses the budget: its rows
+      // get the remaining budget, later groups are out entirely
+      val boundary = cum.filter(col("cum") > budget)
+        .orderBy(desc("rank")).limit(1)
+        .select("rank", "cum", "gtok", "lo_id", "hi_id")
+        .collect().headOption
+      hist.unpersist()
+      boundary match {
+        case None =>
+          // unreachable for any budget < total, but the budget is
+          // data-derived — stay total-defined rather than assume
+          scored.select("doc_id", "n_tokens", "rank")
+        case Some(r) =>
+          val qb = r.getAs[Double]("rank")
+          val remaining =
+            budget - (r.getAs[Long]("cum") - r.getAs[Long]("gtok"))
+          val fullSel = scored.filter(col("rank") > qb)
+            .select("doc_id", "n_tokens", "rank")
+          // the boundary tie group, range-split on doc_id: integer
+          // `div` (not a double floor — exact at any id magnitude)
+          // into TieBuckets deterministic buckets, over the id range
+          // the boundary row already carries
+          val lo = r.getAs[Long]("lo_id")
+          val bw = math.max(1L, (r.getAs[Long]("hi_id") - lo) / TieBuckets + 1)
+          val tieB = scored.filter(col("rank") === qb)
+            .withColumn("bkt",
+              expr(s"CAST((doc_id - ${lo}L) div ${bw}L AS INT)"))
+          val bktOff = exclusiveOffsets(
+            tieB.groupBy("bkt").agg(sum("n_tokens").as("bt")).collect()
+              .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
+          val tieW = Window.partitionBy("bkt").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+          // bktOff holds every bucket tieB itself produced — same
+          // cannot-miss argument as cellOff above
+          val boundarySel = tieB.withColumn("c",
+              sum("n_tokens").over(tieW) +
+                element_at(typedLit(bktOff), col("bkt")))
+            .filter(col("c") <= remaining)
+            .select("doc_id", "n_tokens", "rank")
+          fullSel.union(boundarySel)
+      }
+    }
+  }
+
   /** q72's training-sequence capacity in tokens: the context-window size
     * documents are concatenated into. 512 keeps sf0.001 chunks plural;
     * the operator is capacity-agnostic.
@@ -195,6 +284,30 @@ object Curation {
         .withColumn("maybe_contaminated", col("n_maybe") > 0)
     }),
 
+    // DSIR-selection: the resampling step q106's importance weights
+    // exist for — rank the corpus by mean importance bits (how much
+    // more target-like than corpus-like a document reads) and admit
+    // documents in rank order until a quarter of the corpus token mass:
+    // the "select a target-distribution-matched training subset" move
+    // (Xie et al.), run through the SAME audited distributed prefix
+    // selection as q58 ([[budgetedPrefixSelect]] — one implementation,
+    // two ranking keys, no drift). Mean importance ∈ [−63, 63] by
+    // construction (each per-token weight is a difference of two
+    // floor-log2 values < 64), so it quantizes onto the same bounded
+    // cell grid; the oracle is the single cumsum over (importance DESC,
+    // doc_id).
+    "q107_dsir_select" -> ((s, dir) => {
+      val scored = TextAnalysis.queries("q106_dsir_weights")(s, dir)
+        .filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          col("mean_importance_bits").as("rank"))
+        .persist()
+      val cell = least(lit(QualityCells - 1), greatest(lit(0),
+        floor((lit(64.0) - col("rank")) / 128.0 * QualityCells).cast("int")))
+      budgetedPrefixSelect(scored, cell, _ / 4)
+        .withColumnRenamed("rank", "importance")
+    }),
+
     // token-budget selection: keep the highest-quality documents whose
     // running token total fits a budget (half the corpus's token mass,
     // derived from the data — nothing hand-tuned). Global semantics:
@@ -227,79 +340,13 @@ object Curation {
     // the consumer's Caches.release hook); `hist` is construction-only
     // and released before return.
     "q58_token_budget" -> ((s, dir) => {
-      val scored = scoredTokens(Tables(s, dir, "documents")).persist()
-      // quality DESC order ⇒ cell 0 holds the highest qualities
+      val scored = scoredTokens(Tables(s, dir, "documents"))
+        .withColumnRenamed("quality", "rank").persist()
+      // quality ∈ [0,1]; rank DESC order ⇒ cell 0 holds the highest
       val cell = least(lit(QualityCells - 1), greatest(lit(0),
-        floor((lit(1.0) - col("quality")) * QualityCells).cast("int")))
-      // ONE row-level aggregation carries everything the driver needs:
-      // per-quality-group token mass for the prefix sum, plus the group's
-      // doc_id range for the boundary tie split (same shuffle, two extra
-      // map-side-combined columns — replaces a dedicated min/max job)
-      val hist = scored.groupBy("quality")
-        .agg(sum("n_tokens").as("gtok"),
-          min("doc_id").as("lo_id"), max("doc_id").as("hi_id"))
-        .withColumn("cell", cell).persist()
-      val cellTotals = hist.groupBy("cell").agg(sum("gtok").as("ct"))
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toSeq
-      // zero histogram rows ⇔ empty/untokenizable corpus: a defined empty
-      // selection, not a driver NPE on a null aggregate
-      if (cellTotals.isEmpty) {
-        hist.unpersist()
-        scored.unpersist()
-        scored.limit(0)
-      } else {
-        // the cell histogram partitions the corpus, so its totals sum to
-        // the corpus token mass — the budget needs no extra job
-        val budget = cellTotals.map(_._2).sum / 2
-        val cellOff = exclusiveOffsets(cellTotals)
-        val cumW = Window.partitionBy("cell").orderBy(desc("quality"))
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        // cellOff holds every cell hist itself produced, so the ANSI-mode
-        // element_at (which throws on a missing key) cannot miss
-        val cum = hist.withColumn("cum", sum("gtok").over(cumW) +
-          element_at(typedLit(cellOff), col("cell")))
-        // first group whose running total crosses the budget: its rows
-        // get the remaining budget, later groups are out entirely
-        val boundary = cum.filter(col("cum") > budget)
-          .orderBy(desc("quality")).limit(1)
-          .select("quality", "cum", "gtok", "lo_id", "hi_id")
-          .collect().headOption
-        hist.unpersist()
-        boundary match {
-          case None =>
-            // unreachable for budget = total/2 < total, but total is
-            // data-derived — stay total-defined rather than assume
-            scored.select("doc_id", "n_tokens", "quality")
-          case Some(r) =>
-            val qb = r.getAs[Double]("quality")
-            val remaining =
-              budget - (r.getAs[Long]("cum") - r.getAs[Long]("gtok"))
-            val fullSel = scored.filter(col("quality") > qb)
-              .select("doc_id", "n_tokens", "quality")
-            // the boundary tie group, range-split on doc_id: integer
-            // `div` (not a double floor — exact at any id magnitude)
-            // into TieBuckets deterministic buckets, over the id range
-            // the boundary row already carries
-            val lo = r.getAs[Long]("lo_id")
-            val bw = math.max(1L, (r.getAs[Long]("hi_id") - lo) / TieBuckets + 1)
-            val tieB = scored.filter(col("quality") === qb)
-              .withColumn("bkt",
-                expr(s"CAST((doc_id - ${lo}L) div ${bw}L AS INT)"))
-            val bktOff = exclusiveOffsets(
-              tieB.groupBy("bkt").agg(sum("n_tokens").as("bt")).collect()
-                .map(r => r.getInt(0) -> r.getLong(1)).toSeq)
-            val tieW = Window.partitionBy("bkt").orderBy("doc_id")
-              .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-            // bktOff holds every bucket tieB itself produced — same
-            // cannot-miss argument as cellOff above
-            val boundarySel = tieB.withColumn("c",
-                sum("n_tokens").over(tieW) +
-                  element_at(typedLit(bktOff), col("bkt")))
-              .filter(col("c") <= remaining)
-              .select("doc_id", "n_tokens", "quality")
-            fullSel.union(boundarySel)
-        }
-      }
+        floor((lit(1.0) - col("rank")) * QualityCells).cast("int")))
+      budgetedPrefixSelect(scored, cell, _ / 2)
+        .withColumnRenamed("rank", "quality")
     }),
 
     // temperature-scaled mixture: downsample each SOURCE stratum to the
@@ -859,6 +906,18 @@ object Curation {
          |FROM g LEFT JOIN h ON h.doc_id = g.doc_id
          |WHERE g.doc_id % $BenchMod <> 0""".stripMargin
     },
+
+    // the q106 weighting CTEs verbatim ([[TextAnalysis.dsirCtes]]), then
+    // the q58 budget/cumsum tail over (importance DESC, doc_id)
+    "q107_dsir_select" ->
+      s"""WITH ${TextAnalysis.dsirCtes},
+         |sel AS (SELECT doc_id, n_tokens,
+         |  CAST(sum_bits AS DOUBLE)/CAST(n_tokens AS DOUBLE) AS importance
+         |  FROM pd WHERE n_tokens > 0),
+         |b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 4 AS budget FROM sel),
+         |c AS (SELECT doc_id, n_tokens, importance,
+         |  SUM(n_tokens) OVER (ORDER BY importance DESC, doc_id) AS cum FROM sel)
+         |SELECT doc_id, n_tokens, importance FROM c, b WHERE cum <= budget""".stripMargin,
 
     "q58_token_budget" ->
       s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),

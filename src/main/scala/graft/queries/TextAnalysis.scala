@@ -1309,6 +1309,27 @@ object TextAnalysis {
        |  CAST(SUM(wt.w_toks) AS BIGINT) AS n_bpe_tokens
        |  FROM dw JOIN wt USING (word) GROUP BY dw.doc_id)""".stripMargin
 
+  /** The q106 importance chain through per-doc sums `pd` (doc_id,
+    * n_tokens, sum_bits) — factored so Curation's budgeted DSIR
+    * selection oracle (q107) consumes the IDENTICAL weighting SQL.
+    */
+  private[queries] def dsirCtes: String =
+    s"""t AS (SELECT doc_id, source, unnest($Toks) AS tok FROM documents),
+       |cc AS (SELECT tok, COUNT(*) AS cc FROM t GROUP BY tok),
+       |stats AS (SELECT CAST(SUM(cc) AS BIGINT) AS t_total,
+       |  CAST(COUNT(*) AS BIGINT) AS v FROM cc),
+       |tc AS (SELECT tok, COUNT(*) AS tc FROM t
+       |  WHERE source = '$DsirTarget' GROUP BY tok),
+       |tt AS (SELECT COALESCE(CAST(SUM(tc) AS BIGINT), 0) AS tg_total FROM tc),
+       |wt AS (SELECT cc.tok,
+       |  CAST((length(bin(t_total // cc.cc)) - 1)
+       |    - (length(bin((tg_total + v) // (COALESCE(tc.tc, 0) + 1))) - 1)
+       |    AS BIGINT) AS w
+       |  FROM cc LEFT JOIN tc USING (tok), stats, tt),
+       |pd AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(wt.w) AS BIGINT) AS sum_bits
+       |  FROM t JOIN wt USING (tok) GROUP BY t.doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q17_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
@@ -1763,21 +1784,7 @@ object TextAnalysis {
     // the q100 count/total chain plus the add-one-smoothed target side;
     // left joins re-admit out-of-target tokens (tc→0) and empty docs
     "q106_dsir_weights" ->
-      s"""WITH t AS (SELECT doc_id, source, unnest($Toks) AS tok FROM documents),
-         |cc AS (SELECT tok, COUNT(*) AS cc FROM t GROUP BY tok),
-         |stats AS (SELECT CAST(SUM(cc) AS BIGINT) AS t_total,
-         |  CAST(COUNT(*) AS BIGINT) AS v FROM cc),
-         |tc AS (SELECT tok, COUNT(*) AS tc FROM t
-         |  WHERE source = '$DsirTarget' GROUP BY tok),
-         |tt AS (SELECT COALESCE(CAST(SUM(tc) AS BIGINT), 0) AS tg_total FROM tc),
-         |wt AS (SELECT cc.tok,
-         |  CAST((length(bin(t_total // cc.cc)) - 1)
-         |    - (length(bin((tg_total + v) // (COALESCE(tc.tc, 0) + 1))) - 1)
-         |    AS BIGINT) AS w
-         |  FROM cc LEFT JOIN tc USING (tok), stats, tt),
-         |pd AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-         |  CAST(SUM(wt.w) AS BIGINT) AS sum_bits
-         |  FROM t JOIN wt USING (tok) GROUP BY t.doc_id)
+      s"""WITH $dsirCtes
          |SELECT d.doc_id,
          |  COALESCE(pd.n_tokens, 0) AS n_tokens,
          |  COALESCE(pd.sum_bits, 0) AS sum_bits,

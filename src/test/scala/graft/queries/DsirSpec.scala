@@ -70,4 +70,66 @@ class DsirSpec extends AnyFunSuite {
     assert(m(2L) === ((4L, -4L))) // 4 tokens x w(b)=-1
     spark.catalog.clearCache()
   }
+
+  // ---------------------------------------------------------------- q107
+
+  test("q107 matches the reference cumsum over (importance DESC, doc_id)") {
+    // texts drawn from a 4-word vocabulary at varied lengths and sources:
+    // several importance rank groups, repeated (word, length) pairs so
+    // groups hold multiple docs. The reference is the oracle's single
+    // global window, evaluated locally over the (already spec'd) q106
+    // weights — the selection machinery must reproduce it exactly.
+    val rows = (0 until 30).map { i =>
+      val src = if (i % 3 == 0) "src0" else "web"
+      (i.toLong, (s"w${i % 4} " * (3 + i % 5)).trim, src)
+    }
+    val dir = write(rows)
+    val w = graft.SparkEntry.queries("q106_dsir_weights")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(_._2 > 0)
+    graft.Caches.release(spark)
+    val budget = w.map(_._2).sum / 4
+    var cum = 0L
+    // the same IEEE division q106 emits, so rank doubles are bit-identical
+    val want = w.map { case (id, n, s) => (id, n, s.toDouble / n.toDouble) }
+      .sortBy { case (id, _, m) => (-m, id) }
+      .flatMap { case (id, n, _) =>
+        cum += n; if (cum <= budget) Some(id) else None }
+      .toSet
+    val got = graft.SparkEntry.queries("q107_dsir_select")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(got === want)
+    graft.Caches.release(spark)
+  }
+
+  test("q107 adversarial tie: one importance value — exact and distributed") {
+    // identical text everywhere → per-token weights are global, so every
+    // doc shares ONE mean: the whole selection is the boundary tie group.
+    // 20 docs x 7 tokens = 140, budget 35 → exactly doc_ids 0..4. The
+    // plan must still contain no single-partition stage (the tie cumsum
+    // is range-split over doc_id buckets).
+    val dir = write((0L until 20L).map(i =>
+      (i, "uniform text of exactly seven small tokens",
+        if (i % 2 == 0) "src0" else "web")))
+    val df = graft.SparkEntry.queries("q107_dsir_select")(spark, dir)
+    // unlike q58's blanket pin, q107's plan legitimately carries 1-row
+    // scalar folds (q106's corpus/vocab/target totals) whose FINAL agg is
+    // a bounded SinglePartition exchange — so pin the defect class
+    // directly: no WINDOW may sort the world into one partition (a
+    // single-partition window prints its Exchange within the sort child
+    // lines directly below the Window node)
+    val lines = df.queryExecution.executedPlan.toString.linesIterator.toVector
+    lines.zipWithIndex.filter(_._1.contains("Window ")).foreach { case (_, i) =>
+      assert(!lines.slice(i + 1, i + 4).exists(_.contains("SinglePartition")),
+        lines.slice(i, i + 4).mkString("\n"))
+    }
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq === (0L until 5L))
+    graft.Caches.release(spark)
+  }
+
+  test("q107 empty corpus selects nothing") {
+    val dir = write(Seq.empty)
+    assert(graft.SparkEntry.queries("q107_dsir_select")(spark, dir).count() === 0L)
+    graft.Caches.release(spark)
+  }
 }
