@@ -1116,6 +1116,63 @@ object TextAnalysis {
               / col("n_tokens").cast("double")).as("scrub_frac"))
     }),
 
+    // duplicated-span scrub APPLICATION — q104 accounts for the removal;
+    // this performs it: emit each document's surviving text with every
+    // token position covered by a corpus-shared 5-gram cut out (the
+    // Lee-et-al exact-substring dedup output corpus). Same shared-gram
+    // and island machinery as q104; islands then expand to their covered
+    // position sets (disjoint BY CONSTRUCTION — islands split at gap >4,
+    // so interval ends never reach the next island's start: the expand
+    // cannot duplicate a position), surviving tokens fall out of one
+    // (doc_id, pos) ANTI equi-join, and the text reassembles per doc via
+    // the q103 position-sorted collect_list discipline. Plan at 100 TB:
+    // the DF agg is q104's two-phase shuffle; islands/positions ride
+    // doc-partitioned windows and per-doc-bounded sequence explodes —
+    // never a corpus-wide sort; the stitch is one doc_id equi-join. Docs
+    // that scrub to nothing (or tokenize to nothing) re-admit with NULL
+    // text and 0 retained — distinguishable from a legitimately empty
+    // string token.
+    "q108_scrub_apply" -> ((s, dir) => {
+      val pg = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"),
+          transform(wordNgrams(col("tk"), 5), g => portableHash60(g)).as("g5h"))
+        .persist() // feeds DF agg, positional explodes; consumer releases
+      val shared = pg
+        .select(col("doc_id"), explode(array_distinct(col("g5h"))).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2)
+        .select("h")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val prev = lag("pos", 1).over(w)
+      val covPos = pg
+        .select(col("doc_id"), posexplode(col("g5h")).as(Seq("pos", "h")))
+        .join(shared, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("pos"))
+        .withColumn("newi",
+          when(prev.isNull || col("pos") - prev > 4, 1L).otherwise(0L))
+        .withColumn("isl", sum("newi")
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("doc_id", "isl")
+        .agg(min("pos").cast("long").as("s"),
+          (max("pos") + lit(4)).cast("long").as("e"))
+        .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("pos"))
+      val kept = pg
+        .select(col("doc_id"), posexplode(col("tk")).as(Seq("pos", "word")))
+        .withColumn("pos", col("pos").cast("long"))
+        .join(covPos, Seq("doc_id", "pos"), "left_anti")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("retained_tokens"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("word")))),
+            x => x.getField("word")), " ").as("scrubbed_text"))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(kept, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("retained_tokens"), lit(0L)).as("retained_tokens"),
+          col("scrubbed_text"))
+    }),
+
     // DSIR-style importance weights — the per-DOCUMENT companion of
     // q100's per-source drift: score every document by how much better
     // the TARGET source's unigram distribution explains its tokens than
@@ -1308,6 +1365,34 @@ object TextAnalysis {
        |pd AS (SELECT dw.doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
        |  CAST(SUM(wt.w_toks) AS BIGINT) AS n_bpe_tokens
        |  FROM dw JOIN wt USING (word) GROUP BY dw.doc_id)""".stripMargin
+
+  /** The q104 shared-gram island chain through `il` (doc_id, 1-based
+    * shared-gram start pos, island id) plus the token (`t`) and hashed
+    * (`ph`) relations — factored so the scrub ACCOUNTING (q104) and
+    * APPLICATION (q108) oracles share one definition of "covered".
+    */
+  private[queries] def scrubCtes: String =
+    s"""t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |g AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+       |  CASE WHEN len(tk) < 5 THEN []
+       |  ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]
+       |        for i in range(1, len(tk)-4+1)] END AS g5s FROM t),
+       |ph AS (SELECT doc_id, n_tokens,
+       |  list_transform(g5s, x -> ${SqlHash60("x")}) AS g5h FROM g),
+       |c AS (SELECT h FROM (SELECT h, COUNT(*) AS n_docs FROM
+       |    (SELECT doc_id, unnest(list_distinct(g5h)) AS h FROM ph) u2
+       |  GROUP BY h) q WHERE n_docs >= 2),
+       |sp AS (SELECT doc_id, pos FROM
+       |    (SELECT ph.doc_id, i.j AS pos, ph.g5h[CAST(i.j AS INT)] AS h
+       |     FROM ph, UNNEST(range(1, len(ph.g5h) + 1)) AS i(j)) u
+       |  WHERE h IN (SELECT h FROM c)),
+       |ni AS (SELECT doc_id, pos,
+       |  CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+       |    OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+       |  THEN 1 ELSE 0 END AS newi FROM sp),
+       |il AS (SELECT doc_id, pos, SUM(newi) OVER (PARTITION BY doc_id
+       |  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+       |  FROM ni)""".stripMargin
 
   /** The q106 importance chain through per-doc sums `pd` (doc_id,
     * n_tokens, sum_bits) — factored so Curation's budgeted DSIR
@@ -1747,27 +1832,7 @@ object TextAnalysis {
     // gaps-and-islands: islands split where shared positions gap by >4,
     // union length = Σ island (last−first+5)
     "q104_span_scrub" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
-         |g AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
-         |  CASE WHEN len(tk) < 5 THEN []
-         |  ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]
-         |        for i in range(1, len(tk)-4+1)] END AS g5s FROM t),
-         |ph AS (SELECT doc_id, n_tokens,
-         |  list_transform(g5s, x -> ${SqlHash60("x")}) AS g5h FROM g),
-         |c AS (SELECT h FROM (SELECT h, COUNT(*) AS n_docs FROM
-         |    (SELECT doc_id, unnest(list_distinct(g5h)) AS h FROM ph) u2
-         |  GROUP BY h) q WHERE n_docs >= 2),
-         |sp AS (SELECT doc_id, pos FROM
-         |    (SELECT ph.doc_id, i.j AS pos, ph.g5h[CAST(i.j AS INT)] AS h
-         |     FROM ph, UNNEST(range(1, len(ph.g5h) + 1)) AS i(j)) u
-         |  WHERE h IN (SELECT h FROM c)),
-         |ni AS (SELECT doc_id, pos,
-         |  CASE WHEN LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
-         |    OR pos - LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
-         |  THEN 1 ELSE 0 END AS newi FROM sp),
-         |il AS (SELECT doc_id, pos, SUM(newi) OVER (PARTITION BY doc_id
-         |  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
-         |  FROM ni),
+      s"""WITH $scrubCtes,
          |iv AS (SELECT doc_id, isl,
          |  CAST(MAX(pos) - MIN(pos) + 5 AS BIGINT) AS clen
          |  FROM il GROUP BY doc_id, isl),
@@ -1780,6 +1845,26 @@ object TextAnalysis {
          |    THEN CAST(COALESCE(cov.covered0, 0) AS DOUBLE)
          |      / CAST(p.n_tokens AS DOUBLE) END AS scrub_frac
          |FROM ph p LEFT JOIN cov ON cov.doc_id = p.doc_id""".stripMargin,
+
+    // the q104 island chain verbatim ([[scrubCtes]]), islands expanded
+    // to their covered 1-based positions, surviving tokens anti-selected
+    // and re-joined in position order
+    "q108_scrub_apply" ->
+      s"""WITH $scrubCtes,
+         |iv AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 4 AS e
+         |  FROM il GROUP BY doc_id, isl),
+         |cp AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM iv),
+         |tp AS (SELECT t.doc_id, i.j AS pos, t.tk[CAST(i.j AS INT)] AS word
+         |  FROM t, UNNEST(range(1, len(t.tk) + 1)) AS i(j)),
+         |kp AS (SELECT tp.doc_id, tp.pos, tp.word FROM tp
+         |  WHERE NOT EXISTS (SELECT 1 FROM cp
+         |    WHERE cp.doc_id = tp.doc_id AND cp.pos = tp.pos)),
+         |k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS retained_tokens,
+         |  string_agg(word, ' ' ORDER BY pos) AS scrubbed_text
+         |  FROM kp GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(k.retained_tokens, 0) AS retained_tokens,
+         |  k.scrubbed_text
+         |FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id""".stripMargin,
 
     // the q100 count/total chain plus the add-one-smoothed target side;
     // left joins re-admit out-of-target tokens (tc→0) and empty docs

@@ -36,7 +36,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q92_media_phash", "q93_pack_trained", "q99_winnow_pairs",
     "q100_source_drift", "q101_cluster_balanced",
     "q102_bloom_decontaminate", "q103_chunk_trained", "q104_span_scrub",
-    "q105_quality_survivors", "q106_dsir_weights", "q107_dsir_select")
+    "q105_quality_survivors", "q106_dsir_weights", "q107_dsir_select",
+    "q108_scrub_apply")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

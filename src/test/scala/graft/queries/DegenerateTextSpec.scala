@@ -58,10 +58,11 @@ class DegenerateTextSpec extends AnyFunSuite {
     // whose explode contributes no keys)
     "q99_winnow_pairs",
     // q103 emits per-chunk rows for tokenizable docs only (q74's
-    // contract over the trained stream); q104 re-admits every doc (null
-    // text -> null/zero columns, never a crash); q106 needs a source
-    // column and is degenerate-tested in DsirSpec instead
+    // contract over the trained stream); q104/q108 re-admit every doc
+    // (null text -> null/zero columns, never a crash); q106 needs a
+    // source column and is degenerate-tested in DsirSpec instead
     "q103_chunk_trained", "q104_span_scrub", "q105_quality_survivors",
+    "q108_scrub_apply",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",

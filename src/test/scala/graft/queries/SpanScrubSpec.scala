@@ -77,4 +77,55 @@ class SpanScrubSpec extends AnyFunSuite {
     assert(m(2L) === ((5L, 5L, 0L)))
     spark.catalog.clearCache()
   }
+
+  // ----------------------------------------------------------------- q108
+
+  private def apply108(dir: String): Map[Long, (Long, Option[String])] =
+    graft.SparkEntry.queries("q108_scrub_apply")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), Option(r.getString(2))))
+      .toMap
+
+  test("q108 cuts exactly the covered span and keeps surrounding text in order") {
+    val dir = write(Seq(
+      (1L, "x1 x2 p q r s t u y1"), // phrase covers positions 2..7
+      (2L, "p q r s t u z1 z2 z3"))) // phrase covers positions 0..5
+    val m = apply108(dir)
+    assert(m(1L) === ((3L, Some("x1 x2 y1"))))
+    assert(m(2L) === ((3L, Some("z1 z2 z3"))))
+    graft.Caches.release(spark)
+  }
+
+  test("q108 fully-covered docs emit NULL text; untouched docs emit their tokens") {
+    val dir = write(Seq(
+      (1L, "p q r s t u"), // fully covered by its own shared phrase
+      (2L, "p q r s t u"),
+      (3L, "  Totally   Different\tWords here now "), // no shared grams:
+      // survives whole, in TOKEN form (lowercased, whitespace-collapsed)
+      (4L, null.asInstanceOf[String])))
+    val m = apply108(dir)
+    assert(m(1L) === ((0L, None)))
+    assert(m(2L) === ((0L, None)))
+    assert(m(3L) === ((5L, Some("totally different words here now"))))
+    assert(m(4L) === ((0L, None)))
+    graft.Caches.release(spark)
+  }
+
+  test("q108 retained counts agree with q104's accounting on a mixed corpus") {
+    // the two operators share the island machinery but take different
+    // paths to "retained" (interval arithmetic vs anti-join survivors) —
+    // they must agree doc for doc
+    val dir = write(Seq(
+      (1L, "p q r s t u"),
+      (2L, "a b c d e f"),
+      (3L, "p q r s t u m1 m2 m3 m4 m5 a b c d e f"),
+      (4L, "one two three"),
+      (5L, "g h i j k g h i j k x"),
+      (6L, "g h i j k")))
+    val acc = scrub(dir).map { case (id, (_, _, ret)) => id -> ret }
+    spark.catalog.clearCache()
+    val app = apply108(dir).map { case (id, (ret, _)) => id -> ret }
+    assert(app === acc)
+    graft.Caches.release(spark)
+  }
 }
