@@ -1217,7 +1217,73 @@ object TextAnalysis {
           when(coalesce(col("n_tokens"), lit(0L)) > 0,
             col("sum_bits").cast("double") / col("n_tokens").cast("double"))
             .as("mean_importance_bits"))
+    }),
+
+    // hashed-bucket DSIR — q106's importance weights over a FIXED-SIZE
+    // statistic: tokens hash into [[DsirBuckets]] buckets (Xie et al.'s
+    // actual construction — hashed n-gram counts, not an unbounded
+    // vocabulary), the per-bucket weight table is ≤ DsirBuckets rows AT
+    // ANY CORPUS SIZE, and the scoring stitch becomes a BROADCAST join
+    // (q106's vocabulary join can only shuffle). On a collision-free
+    // corpus the bucket statistics coincide with the exact ones, so q109
+    // ≡ q106 there (spec-pinned); under collisions weights blur exactly
+    // as the importance-resampling literature accepts. This is the
+    // statistic the streaming dual freezes: an 8 KiB weight vector with
+    // CONSTANT per-task footprint — the benchBloom posture, where exact
+    // q106 weights are vocabulary-sized and unboundable on a stream.
+    "q109_dsir_hashed" -> ((s, dir) => {
+      val t = dsirBucketTokens(Tables.wide(s, dir, "documents"))
+        .persist() // feeds the weight aggs AND the stitch; consumer releases
+      val perDoc = t.join(broadcast(dsirBucketWeights(t)), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("sum_bits"))
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          coalesce(col("sum_bits"), lit(0L)).as("sum_bits"),
+          when(coalesce(col("n_tokens"), lit(0L)) > 0,
+            col("sum_bits").cast("double") / col("n_tokens").cast("double"))
+            .as("mean_importance_bits"))
     }))
+
+  /** q109's hashed-bucket width. 1024 keeps the frozen weight vector at
+    * 8 KiB; small test vocabularies land collision-free (where q109's
+    * statistics coincide with q106's exact ones), real corpora blur
+    * within the accepted importance-resampling trade.
+    */
+  private[graft] val DsirBuckets = 1024
+
+  /** The hashed-bucket token relation q109 and the streaming freeze
+    * share: (doc_id, source, b = portableHash60(tok) % [[DsirBuckets]]).
+    */
+  private[graft] def dsirBucketTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"),
+        (portableHash60(col("tok")) % DsirBuckets).as("b"))
+
+  /** Per non-empty bucket, q106's importance weight over bucket counts:
+    * w(b) = floor-log2(T/cc_b) − floor-log2((T_t+V_b)/(tc_b+1)), V_b =
+    * non-empty bucket count (the vocabulary-size analogue, so the
+    * smoothing mass matches q106's on a collision-free corpus). ≤
+    * [[DsirBuckets]] rows by construction — broadcastable anywhere,
+    * collectable by the streaming freeze.
+    */
+  private[graft] def dsirBucketWeights(t: DataFrame): DataFrame = {
+    val cc = t.groupBy("b").agg(count(lit(1)).as("cc"))
+    val tc = t.filter(col("source") === DsirTarget)
+      .groupBy("b").agg(count(lit(1)).as("tc"))
+    val stats = cc.agg(sum("cc").as("t_total"), count(lit(1)).as("v"))
+    val tt = tc.agg(coalesce(sum("tc"), lit(0L)).as("tg_total"))
+    cc.join(tc, Seq("b"), "left")
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(tt))
+      .select(col("b"),
+        ((length(conv(expr("t_total div cc"), 10, 2)) - 1) -
+          (length(conv(
+            expr("(tg_total + v) div (coalesce(tc, 0L) + 1L)"), 10, 2)) - 1))
+          .cast("long").as("w"))
+  }
 
   /** The prep pipeline's score-and-filter stage over a deduped
     * `(doc_id, text)` relation: q36's scoring expressions, factored so
@@ -1870,6 +1936,34 @@ object TextAnalysis {
     // left joins re-admit out-of-target tokens (tc→0) and empty docs
     "q106_dsir_weights" ->
       s"""WITH $dsirCtes
+         |SELECT d.doc_id,
+         |  COALESCE(pd.n_tokens, 0) AS n_tokens,
+         |  COALESCE(pd.sum_bits, 0) AS sum_bits,
+         |  CASE WHEN COALESCE(pd.n_tokens, 0) > 0
+         |    THEN CAST(pd.sum_bits AS DOUBLE) / CAST(pd.n_tokens AS DOUBLE)
+         |  END AS mean_importance_bits
+         |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+
+    // the q106 chain with tokens pre-hashed into DsirBuckets buckets —
+    // the smoothing constant v becomes the non-empty bucket count
+    "q109_dsir_hashed" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    ${SqlHash60("tok")} % $DsirBuckets AS b FROM
+         |  (SELECT doc_id, source, unnest($Toks) AS tok FROM documents) u),
+         |cc AS (SELECT b, COUNT(*) AS cc FROM t GROUP BY b),
+         |stats AS (SELECT CAST(SUM(cc) AS BIGINT) AS t_total,
+         |  CAST(COUNT(*) AS BIGINT) AS v FROM cc),
+         |tc AS (SELECT b, COUNT(*) AS tc FROM t
+         |  WHERE source = '$DsirTarget' GROUP BY b),
+         |tt AS (SELECT COALESCE(CAST(SUM(tc) AS BIGINT), 0) AS tg_total FROM tc),
+         |wt AS (SELECT cc.b,
+         |  CAST((length(bin(t_total // cc.cc)) - 1)
+         |    - (length(bin((tg_total + v) // (COALESCE(tc.tc, 0) + 1))) - 1)
+         |    AS BIGINT) AS w
+         |  FROM cc LEFT JOIN tc USING (b), stats, tt),
+         |pd AS (SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(wt.w) AS BIGINT) AS sum_bits
+         |  FROM t JOIN wt USING (b) GROUP BY t.doc_id)
          |SELECT d.doc_id,
          |  COALESCE(pd.n_tokens, 0) AS n_tokens,
          |  COALESCE(pd.sum_bits, 0) AS sum_bits,

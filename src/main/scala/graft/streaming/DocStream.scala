@@ -246,6 +246,54 @@ object DocStream {
       .drop("g8")
   }
 
+  /** Freeze q109's hashed DSIR statistic from a reference corpus into a
+    * dense weight vector: warr(b) for every bucket, 0 where the
+    * reference is silent (no evidence → neutral score for tokens landing
+    * there). [[graft.queries.TextAnalysis.DsirBuckets]] longs — 8 KiB at
+    * the default width, CONSTANT in corpus and vocabulary size (the
+    * [[benchBloom]] posture; q106's exact weight table is
+    * vocabulary-sized and unboundable on a stream).
+    */
+  def dsirWeightVector(refDocs: DataFrame): Array[Long] = {
+    val arr = new Array[Long](graft.queries.TextAnalysis.DsirBuckets)
+    graft.queries.TextAnalysis.dsirBucketWeights(
+        graft.queries.TextAnalysis.dsirBucketTokens(refDocs))
+      .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Streaming hashed-DSIR scoring — q109's per-document importance over
+    * an unbounded stream against a FROZEN weight vector. Stateless
+    * narrow per-row: each doc arrives whole, so the per-doc fold
+    * collapses into the token array (no shuffle, no state, any output
+    * mode), and the shared hash/bucket definitions
+    * ([[graft.queries.TextAnalysis.dsirBucketTokens]]'s
+    * `portableHash60 % DsirBuckets`) make a stream score bit-identical
+    * to batch q109 over the reference corpus. Null text re-admits with
+    * 0/0/null exactly as the batch left join does.
+    */
+  def dsirScored(docs: DataFrame, warr: Array[Long]): DataFrame = {
+    val wlit = typedLit(warr.toSeq)
+    val buckets = graft.queries.TextAnalysis.DsirBuckets
+    docs.withColumn("tk", tokens(col("text")))
+      .withColumn("n_tokens",
+        when(col("tk").isNotNull, size(col("tk")).cast("long"))
+          .otherwise(lit(0L)))
+      // element_at is 1-based; the bucket index is < DsirBuckets by
+      // construction (portableHash60 is non-negative), so the ANSI-mode
+      // lookup cannot miss
+      .withColumn("sum_bits",
+        coalesce(aggregate(
+          transform(col("tk"), t => element_at(wlit,
+            (portableHash60(t) % buckets + 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x), lit(0L)))
+      .withColumn("mean_importance_bits",
+        when(col("n_tokens") > 0,
+          col("sum_bits").cast("double") / col("n_tokens").cast("double")))
+      .drop("tk", "text") // the scores replace the payload, the
+                          // bloomDecontaminated output convention
+  }
+
   /** Streaming vocabulary-cardinality sketch: q53's HLL register table
     * over an unbounded doc stream, via the SAME
     * [[graft.queries.TextAnalysis.hllRegisters]] definition the batch

@@ -71,6 +71,34 @@ class DsirSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  // ---------------------------------------------------------------- q109
+
+  test("q109 hashed buckets coincide with q106's exact weights when collision-free") {
+    // 6 distinct tokens into 1024 buckets land collision-free (the hash
+    // is deterministic — this corpus IS collision-free, and the equality
+    // below proves it: any collision would merge bucket counts and shift
+    // a weight). There cc_b = cc(tok) and the non-empty bucket count
+    // equals the vocabulary size, so every q109 statistic equals q106's.
+    val rows = Seq(
+      (1L, "alpha alpha alpha alpha", "src0"),
+      (2L, "alpha beta beta gamma", "src0"),
+      (10L, "alpha alpha alpha alpha", "web"),
+      (11L, "omega omega omega omega", "web"),
+      (12L, "beta gamma delta zeta", "web"),
+      (13L, null.asInstanceOf[String], "web"))
+    val dir = write(rows)
+    def out(q: String): Map[Long, (Long, Long, Option[Double])] =
+      graft.SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    val exact = out("q106_dsir_weights")
+    graft.Caches.release(spark)
+    val hashed = out("q109_dsir_hashed")
+    assert(hashed === exact)
+    graft.Caches.release(spark)
+  }
+
   // ---------------------------------------------------------------- q107
 
   test("q107 matches the reference cumsum over (importance DESC, doc_id)") {

@@ -154,6 +154,18 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q109 hashed DSIR: the weight stitch is a BROADCAST join, never a shuffle") {
+    // the reason q109 exists beside q106: the weight table is bounded at
+    // DsirBuckets rows, so the corpus-sized stitch must broadcast it —
+    // a shuffled stitch on a ≤1024-key column would be the skew worst
+    // case at scale
+    val p = execPlan("q109_dsir_hashed")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), p)
+    graft.Caches.release(spark)
+  }
+
   test("q95 recall audit: broadcast sample scan, two-phase exact rank, no single partition") {
     // the deliberate shape: the sample×corpus scan is a broadcast
     // nested loop over the ≤8-row sample (the eval's honest cost), the

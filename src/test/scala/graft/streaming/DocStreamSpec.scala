@@ -391,6 +391,49 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dsirScored streams q109's importance against the frozen weight vector") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "alpha alpha beta gamma", "src0"),
+      (2L, "beta gamma delta delta", "web"),
+      (3L, "omega psi chi phi", "web"),
+      (4L, null.asInstanceOf[String], "web"))
+    // batch expectation: q109 over the same corpus in the testdata layout
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsirstream").toString
+    rows.toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val want = graft.SparkEntry.queries("q109_dsir_hashed")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    graft.Caches.release(spark)
+    // frozen vector from the reference corpus, via the SAME bucket stage
+    val warr = DocStream.dsirWeightVector(
+      rows.toDF("doc_id", "text", "source"))
+    assert(warr.length == graft.queries.TextAnalysis.DsirBuckets)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.dsirScored(
+        mem.toDF().toDF("doc_id", "ingest_ts", "text"), warr)
+      .writeStream.format("memory").queryName("dsirs").outputMode("append").start()
+    try {
+      // two micro-batches: scores must not depend on the boundary
+      mem.addData(rows.take(2).map { case (id, t, _) => (id, ts(id), t) })
+      q.processAllAvailable()
+      mem.addData(rows.drop(2).map { case (id, t, _) => (id, ts(id), t) })
+      q.processAllAvailable()
+      val got = spark.table("dsirs")
+        .select("doc_id", "n_tokens", "sum_bits", "mean_importance_bits")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+      assert(got == want,
+        s"stream scores must match batch q109: got $got want $want")
+      assert(spark.table("dsirs").columns.toSeq ==
+        Seq("doc_id", "ingest_ts", "n_tokens", "sum_bits",
+          "mean_importance_bits"))
+    } finally q.stop()
+  }
+
   test("sourceTokenCounts streams q100's count state; driftFromCounts replays the report") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
