@@ -989,6 +989,39 @@ object Similarity {
         .filter(col("cos") >= 0.35)
     }),
 
+    // semantic cross-split decontamination — the embedding member of the
+    // leakage family (q57/q102 are exact-gram, q79 is simhash pairs):
+    // flag TRAIN vectors sitting within cosine 0.35 of any val/test
+    // vector — eval content a model could have memorized from training
+    // data. Pairs are q39's capped banded candidates verbatim (work ∝
+    // true collisions, never n²), split assignment is q56's shared hash
+    // threshold over vec_id, the per-vector fold is one map-combined agg
+    // after the pair mirror, and every train vector re-admits through a
+    // left join (clean ⇒ 0 / null / false — q57's verdict-table shape).
+    "q110_semantic_decontam" -> ((s, dir) => {
+      val pairs = queries("q39_cosine_neardup_lsh")(s, dir)
+        .select("vec_a", "vec_b", "cos")
+      val sp = Tables(s, dir, "embeddings").select(col("vec_id"),
+        Curation.splitCol(Curation.bucketCol(col("vec_id"))).as("split"))
+      val both = pairs.select(col("vec_a").as("vec_id"),
+          col("vec_b").as("other"), col("cos"))
+        .unionByName(pairs.select(col("vec_b").as("vec_id"),
+          col("vec_a").as("other"), col("cos")))
+      val fl = both
+        .join(sp, Seq("vec_id"))
+        .join(sp.select(col("vec_id").as("other"),
+          col("split").as("o_split")), Seq("other"))
+        .filter(col("split") === "train" && col("o_split") =!= "train")
+        .groupBy("vec_id")
+        .agg(count(lit(1)).as("n_eval_near"), max("cos").as("max_eval_cos"))
+      sp.filter(col("split") === "train").select("vec_id")
+        .join(fl, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("n_eval_near"), lit(0L)).as("n_eval_near"),
+          col("max_eval_cos"),
+          (coalesce(col("n_eval_near"), lit(0L)) > 0).as("contaminated"))
+    }),
+
     // approximate KNN-graph construction — every vector's top-k nearest
     // neighbors (not one query's, as q29/q30/q35 answer): the build step
     // of graph ANN indexes and the input to SemDeDup-style semantic
@@ -1737,6 +1770,39 @@ object Similarity {
          |  ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
          |FROM cand JOIN e x ON x.vec_id = cand.vec_a JOIN e y ON y.vec_id = cand.vec_b
          |WHERE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.35""".stripMargin,
+
+    // q39's candidate/cosine CTEs, pairs mirrored both ways, q56's split
+    // thresholds over vec_id, verdicts re-admitted per train vector
+    "q110_semantic_decontam" ->
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding, label,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |$sqlVecBands,
+         |rare AS (SELECT fam, bk FROM bands GROUP BY fam, bk HAVING COUNT(*) <= $MaxVecBucket),
+         |bc AS (SELECT bands.vec_id, bands.fam, bands.bk FROM bands JOIN rare USING (fam, bk)),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+         |  FROM bc a JOIN bc b ON a.fam = b.fam AND a.bk = b.bk AND a.vec_id < b.vec_id),
+         |p AS (SELECT cand.vec_a, cand.vec_b,
+         |  ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+         |  FROM cand JOIN e x ON x.vec_id = cand.vec_a JOIN e y ON y.vec_id = cand.vec_b
+         |  WHERE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.35),
+         |bi AS (SELECT vec_a AS vec_id, vec_b AS other, cos FROM p
+         |  UNION ALL SELECT vec_b AS vec_id, vec_a AS other, cos FROM p),
+         |sp AS (SELECT vec_id,
+         |  CASE WHEN ${TextAnalysis.SqlHash("CAST(vec_id AS VARCHAR)")} % 100 < ${Curation.TrainPct} THEN 'train'
+         |       WHEN ${TextAnalysis.SqlHash("CAST(vec_id AS VARCHAR)")} % 100 < ${Curation.ValPct} THEN 'val'
+         |       ELSE 'test' END AS split FROM embeddings),
+         |fl AS (SELECT bi.vec_id, CAST(COUNT(*) AS BIGINT) AS n_eval_near,
+         |  MAX(bi.cos) AS max_eval_cos
+         |  FROM bi JOIN sp s ON s.vec_id = bi.vec_id
+         |    JOIN sp o ON o.vec_id = bi.other
+         |  WHERE s.split = 'train' AND o.split <> 'train'
+         |  GROUP BY bi.vec_id)
+         |SELECT t.vec_id, COALESCE(fl.n_eval_near, 0) AS n_eval_near,
+         |  fl.max_eval_cos,
+         |  COALESCE(fl.n_eval_near, 0) > 0 AS contaminated
+         |FROM (SELECT vec_id FROM sp WHERE split = 'train') t
+         |LEFT JOIN fl ON fl.vec_id = t.vec_id""".stripMargin,
 
     // q39's candidate CTEs; SUM counts CAST per the convention; null
     // labels excluded on both sides before ownership
