@@ -120,9 +120,41 @@ object DocStream {
     * (DocStreamSpec pins this parity).
     */
   def budgetAdmitted(docs: DataFrame, budgetTokens: Long,
-      shards: Int = 64): DataFrame = {
+      shards: Int = 64): DataFrame =
+    shardedAdmission(graft.queries.Curation.scoredTokens(docs),
+      budgetTokens, shards)
+
+  /** Streaming DSIR-budget admission — the streaming face of q107
+    * exactly as [[budgetAdmitted]] is q58's: the SAME sharded greedy
+    * admission core ([[shardedAdmission]] — one audited machinery, two
+    * ranking keys, mirroring how batch q58/q107 share
+    * `budgetedPrefixSelect`), ranked by [[dsirScored]]'s importance
+    * against a FROZEN weight vector instead of quality. Untokenizable
+    * docs are out before admission (q107's n_tokens > 0 filter); the
+    * budget is explicit for [[budgetAdmitted]]'s reason. With
+    * `shards = 1` and the corpus in one batch, the admitted set IS
+    * q107's selection at the same budget over the reference corpus
+    * (DocStreamSpec pins this parity).
+    */
+  def dsirAdmitted(docs: DataFrame, warr: Array[Long], budgetTokens: Long,
+      shards: Int = 64): DataFrame =
+    shardedAdmission(
+      dsirScored(docs, warr).filter(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          col("mean_importance_bits").as("quality")),
+      budgetTokens, shards)
+      .withColumnRenamed("quality", "importance")
+
+  /** The sharded greedy admission core behind [[budgetAdmitted]] and
+    * [[dsirAdmitted]]: `scored` is a streaming (doc_id, n_tokens,
+    * quality-as-rank) relation; admission is greedy under (rank DESC,
+    * doc_id) within each micro-batch shard, persistent running totals
+    * per shard, permanent exhaustion at first overflow.
+    */
+  private def shardedAdmission(scored0: DataFrame, budgetTokens: Long,
+      shards: Int): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    val s = docs.sparkSession
+    val s = scored0.sparkSession
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     import s.implicits._
     // integer budget split: the first (budget mod shards) shards carry
@@ -130,7 +162,7 @@ object DocStream {
     // exactly and shards=1 degenerates to the full budget
     def shardCap(i: Int): Long =
       budgetTokens / shards + (if (i < (budgetTokens % shards).toInt) 1L else 0L)
-    val scored = graft.queries.Curation.scoredTokens(docs)
+    val scored = scored0
       .withColumn("shard",
         (portableHash(col("doc_id").cast("string"), 2) % shards).cast("int"))
       .as[ScoredDoc]

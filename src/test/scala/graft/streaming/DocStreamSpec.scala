@@ -250,6 +250,46 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dsirAdmitted: one shard, one batch == batch q107 at the same budget") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // a 4-word vocabulary that is COLLISION-FREE in the hashed buckets
+    // (alpha/beta/gamma/delta land in buckets 345/142/780/905 — the
+    // w0..w3 naming scheme collides: w1 and w3 share bucket 809), so
+    // frozen-vector importance == q106's exact ranks and the stream can
+    // match batch q107; several importance groups, repeated
+    // (word, length) pairs
+    val vocab = Seq("alpha", "beta", "gamma", "delta")
+    val rows = (0 until 30).map { i =>
+      val src = if (i % 3 == 0) "src0" else "web"
+      (i.toLong, (s"${vocab(i % 4)} " * (3 + i % 5)).trim, src)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-dsiradmit").toString
+    rows.toDF("doc_id", "text", "source").write.parquet(s"$dir/documents.parquet")
+    val want = graft.SparkEntry.queries("q107_dsir_select")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    graft.Caches.release(spark)
+    // q107's own budget derivation: a quarter of the tokenizable mass
+    val budget = graft.SparkEntry.queries("q106_dsir_weights")(spark, dir)
+      .filter($"n_tokens" > 0)
+      .agg(org.apache.spark.sql.functions.sum("n_tokens")).head.getLong(0) / 4
+    graft.Caches.release(spark)
+    val warr = DocStream.dsirWeightVector(rows.toDF("doc_id", "text", "source"))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.dsirAdmitted(
+        mem.toDF().toDF("doc_id", "ingest_ts", "text"), warr, budget, shards = 1)
+      .writeStream.format("memory").queryName("dsira").outputMode("append").start()
+    try {
+      mem.addData(rows.map { case (id, t, _) => (id, ts(id), t) })
+      q.processAllAvailable()
+      val got = spark.table("dsira").select("doc_id").as[Long].collect().toSet
+      assert(got == want,
+        "single-shard single-batch DSIR admission must equal the batch q107 selection")
+      assert(spark.table("dsira").columns.toSeq ==
+        Seq("doc_id", "n_tokens", "importance"))
+    } finally q.stop()
+  }
+
   test("budgetAdmitted: sharded (default-path) admission keeps the global cap") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
