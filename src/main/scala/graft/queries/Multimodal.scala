@@ -144,6 +144,23 @@ object Multimodal {
         .distinct()
     }),
 
+    // transitive media near-dup clusters — the q43 action for the media
+    // modality: q92's Hamming pairs are the edge set, and the SAME
+    // min-label propagation loop ([[Dedup.propagateMin]] — per-round
+    // checkpoint block release, pointer-jump escalation, the proven-
+    // bound driver fast path, graph-sized repartitioning) labels the
+    // components; media the pairs never touch stitch back in as
+    // singletons. Closes the modality loop: pairs (q92) → clusters
+    // (q111) exactly as q27/q42 → q43 for text. 100 TB posture is
+    // q43's — per-round work ∝ |edges|, never corpus².
+    "q111_media_clusters" -> ((s, dir) => {
+      val pairs = queries("q92_media_phash")(s, dir)
+        .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+      val ids = Media.mediaTable(s, dir).select(col("media_id").as("doc_id"))
+      val (labels, _) = Dedup.propagateMin(s, pairs, ids)
+      labels.select(col("doc_id").as("media_id"), col("cluster_id"))
+    }),
+
     // resize: halved dims + thumbnail payload hash (first 64 bytes)
     "q34_media_resize" -> ((s, dir) => {
       val m = Media.mediaTable(s, dir)
@@ -194,39 +211,65 @@ object Multimodal {
     // the q42 band/cap/pair SQL with the dHash sketch substituted: the
     // pixel plane, the per-row adjacent comparisons, and the (lo, hi)
     // halves mirror the Spark expressions integer-for-integer
-    "q92_media_phash" -> {
-      val cells = PhashRows * (PhashCols + 1)
-      def half(lo: Int, hi: Int, off: Int) =
-        s"""CAST(list_aggregate(list_transform(range($lo, $hi), g ->
-           |  CASE WHEN px[CAST((g // $PhashCols) * ${PhashCols + 1} + (g % $PhashCols) + 2 AS INT)]
-           |          > px[CAST((g // $PhashCols) * ${PhashCols + 1} + (g % $PhashCols) + 1 AS INT)]
-           |  THEN CAST(1 AS BIGINT) << CAST(g - $off AS INT) ELSE CAST(0 AS BIGINT) END),
-           |  'sum') AS BIGINT)""".stripMargin
-      s"""WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n
-         |  FROM documents WHERE length(text) > 0),
-         |pxs AS (SELECT media_id, list_transform(range(0, $cells),
-         |    i -> ascii(substr(text, CAST(i % n AS INT) + 1, 1))) AS px FROM m),
-         |s AS (SELECT media_id, ${half(0, 32, 0)} AS lo,
-         |  ${half(32, 64, 32)} AS hi FROM pxs),
-         |wp AS (SELECT CAST(COALESCE(MIN(j), 32) AS BIGINT) AS w
-         |  FROM (VALUES (8),(16),(32)) t(j)
-         |  WHERE (CAST(1 AS BIGINT) << j) * 25 >= (SELECT count(*) FROM documents)),
-         |bands AS (SELECT media_id, lo, hi, b,
-         |    CASE WHEN b < 32 // w
-         |      THEN (lo >> CAST(w*b AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1)
-         |      ELSE (hi >> CAST(w*(b - 32 // w) AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1)
-         |    END AS bk
-         |  FROM s, wp, range(0, 8) t(b) WHERE b < 64 // w),
-         |rare AS (SELECT b, bk FROM bands GROUP BY b, bk
-         |  HAVING COUNT(*) <= ${Similarity.MaxBandDocs}),
-         |bc AS (SELECT bands.media_id, bands.lo, bands.hi, bands.b, bands.bk
-         |  FROM bands JOIN rare USING (b, bk)),
-         |cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
-         |    a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
-         |  FROM bc a JOIN bc b ON a.b = b.b AND a.bk = b.bk AND a.media_id < b.media_id)
+    "q92_media_phash" ->
+      s"""WITH $SqlMediaPairCtes
          |SELECT media_a, media_b,
-         |  CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) AS BIGINT) AS hamming
+         |  CAST($SqlMediaHamming AS BIGINT) AS hamming
          |FROM cand
-         |WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 8""".stripMargin
-    })
+         |WHERE $SqlMediaHamming <= 8""".stripMargin,
+
+    // q92's pair chain verbatim, then q43's recursive min-label walk
+    // over media ids (every medium seeds its own label; labels flow
+    // along edges; the min per id is its component)
+    "q111_media_clusters" ->
+      s"""WITH RECURSIVE $SqlMediaPairCtes,
+         |mp AS (SELECT media_a, media_b FROM cand WHERE $SqlMediaHamming <= 8),
+         |edges AS (SELECT media_a AS src, media_b AS dst FROM mp
+         |  UNION ALL SELECT media_b, media_a FROM mp),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+         |SELECT id AS media_id, MIN(lbl) AS cluster_id
+         |FROM walk GROUP BY id""".stripMargin)
+
+  /** q92's pixel → dHash → corpus-adaptive band → cap → candidate CTE
+    * chain through `cand` (media pair + both sketch halves) — factored
+    * so the pair report (q92) and the transitive clustering built on it
+    * (q111) share ONE SQL definition of a media near-dup pair.
+    */
+  private lazy val SqlMediaPairCtes: String = {
+    val cells = PhashRows * (PhashCols + 1)
+    def half(lo: Int, hi: Int, off: Int) =
+      s"""CAST(list_aggregate(list_transform(range($lo, $hi), g ->
+         |  CASE WHEN px[CAST((g // $PhashCols) * ${PhashCols + 1} + (g % $PhashCols) + 2 AS INT)]
+         |          > px[CAST((g // $PhashCols) * ${PhashCols + 1} + (g % $PhashCols) + 1 AS INT)]
+         |  THEN CAST(1 AS BIGINT) << CAST(g - $off AS INT) ELSE CAST(0 AS BIGINT) END),
+         |  'sum') AS BIGINT)""".stripMargin
+    s"""m AS (SELECT doc_id AS media_id, text, length(text) AS n
+       |  FROM documents WHERE length(text) > 0),
+       |pxs AS (SELECT media_id, list_transform(range(0, $cells),
+       |    i -> ascii(substr(text, CAST(i % n AS INT) + 1, 1))) AS px FROM m),
+       |s AS (SELECT media_id, ${half(0, 32, 0)} AS lo,
+       |  ${half(32, 64, 32)} AS hi FROM pxs),
+       |wp AS (SELECT CAST(COALESCE(MIN(j), 32) AS BIGINT) AS w
+       |  FROM (VALUES (8),(16),(32)) t(j)
+       |  WHERE (CAST(1 AS BIGINT) << j) * 25 >= (SELECT count(*) FROM documents)),
+       |bands AS (SELECT media_id, lo, hi, b,
+       |    CASE WHEN b < 32 // w
+       |      THEN (lo >> CAST(w*b AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1)
+       |      ELSE (hi >> CAST(w*(b - 32 // w) AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1)
+       |    END AS bk
+       |  FROM s, wp, range(0, 8) t(b) WHERE b < 64 // w),
+       |rare AS (SELECT b, bk FROM bands GROUP BY b, bk
+       |  HAVING COUNT(*) <= ${Similarity.MaxBandDocs}),
+       |bc AS (SELECT bands.media_id, bands.lo, bands.hi, bands.b, bands.bk
+       |  FROM bands JOIN rare USING (b, bk)),
+       |cand AS (SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+       |    a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+       |  FROM bc a JOIN bc b ON a.b = b.b AND a.bk = b.bk AND a.media_id < b.media_id)""".stripMargin
+  }
+
+  private val SqlMediaHamming =
+    "bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))"
 }

@@ -57,6 +57,25 @@ class MediaSpec extends AnyFunSuite {
       s"one changed pixel flipped ${rows((0L, 1L))} dHash bits")
   }
 
+  test("q111 clusters: the planted near-pair merges; decoys stay singletons") {
+    // q92's fixture driven one step further: the near-identical pair
+    // must land in ONE cluster labeled by its min id, every decoy in a
+    // singleton labeled by itself — the q43 action on the media edges
+    val base = ("the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew strong tea").take(80)
+    val near = base.updated(40, 'x')
+    val docs = Seq(
+      (0L, base), (1L, near),
+      (2L, "completely different content about mountain ranges and glacial valleys"),
+      (3L, "yet another unrelated document describing maritime navigation routes"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-phashcl").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val cl = graft.queries.Multimodal.queries("q111_media_clusters")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release(spark)
+    assert(cl === Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("codec path preserves partitioning (no shuffle, one codec per task)") {
     val typed = Media.mediaTable(spark, dir).as[MediaItem]
     val decoded = Media.decodeWith(typed, StubCodec)
