@@ -521,6 +521,49 @@ object Curation {
       packProfile(packAssignments(shuffled, 0L))
     }),
 
+    // per-source pipeline yield funnel — the dataset-card stat a
+    // curation run publishes beside q80's profile: of each source's
+    // documents, how many survive each q97 stage (exact dedup → quality
+    // gate → bench/contamination scrub → train split). Every stage is
+    // the SHARED definition (q97's dedup window, [[TextAnalysis
+    // .prepScore]], [[gramStage]]/[[BenchMod]] decontamination, q56's
+    // split Column), so the funnel audits THE pipeline, not a
+    // reimplementation that could drift. Stage flags assemble via
+    // doc_id equi-joins against two-column projections; the report is
+    // ONE map-combined aggregate, |sources| rows out.
+    "q112_source_yield" -> ((s, dir) => {
+      val base = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val w = Window.partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id"))
+      val dd = base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("doc_id", "text")
+      val pp = TextAnalysis.prepScore(dd).select("doc_id")
+      val grams = gramStage(base.select(col("doc_id"), col("text")),
+        Seq("doc_id")).persist() // released by the consumer's hook
+      val benchGrams = grams.filter(col("doc_id") % BenchMod === 0)
+        .select(explode(col("g8")).as("g")).distinct()
+      val contam = grams.filter(col("doc_id") % BenchMod =!= 0)
+        .select(col("doc_id"), explode(col("g8")).as("g"))
+        .join(benchGrams, Seq("g"), "left_semi")
+        .select("doc_id").distinct()
+      val clean = col("fq") === 1 && col("doc_id") % BenchMod =!= 0 &&
+        col("fc").isNull
+      base.select(col("doc_id"), col("source"))
+        .join(dd.select(col("doc_id"), lit(1).as("fd")), Seq("doc_id"), "left")
+        .join(pp.select(col("doc_id"), lit(1).as("fq")), Seq("doc_id"), "left")
+        .join(contam.select(col("doc_id"), lit(1).as("fc")), Seq("doc_id"), "left")
+        .select(col("source"),
+          coalesce(col("fd"), lit(0)).as("fd"),
+          coalesce(col("fq"), lit(0)).as("fq"),
+          when(clean, 1).otherwise(0).as("fl"),
+          when(clean && bucketCol(col("doc_id")) < TrainPct, 1)
+            .otherwise(0).as("ft"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum("fd").as("n_dedup"), sum("fq").as("n_quality"),
+          sum("fl").as("n_clean"), sum("ft").as("n_train"))
+    }),
+
     // cross-split leakage audit — the NEAR-dup counterpart of q57's
     // exact 8-gram decontamination: how many q27 near-dup pairs straddle
     // a q56 split boundary (a test document with a train near-duplicate
@@ -804,6 +847,27 @@ object Curation {
   // 60-bit mirror of portableHash60 (rate-exact admission past 2^32)
   private val Hash60 = TextAnalysis.SqlHash60
 
+  /** q57/q97's tokenize → 8-gram → hash → bench-overlap chain through
+    * `contam` (the contaminated train doc_ids) — factored so the
+    * pipeline composite (q97) and the per-source yield funnel (q112)
+    * share one SQL definition of "contaminated".
+    */
+  private def sqlContamCtes: String =
+    s"""tt AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),
+       |gs AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(tk) < $DecontamGram THEN []
+       |    ELSE [${(0 until DecontamGram).map(k => s"tk[i+$k]")
+              .mkString("||' '||")}
+       |          for i in range(1, len(tk)-${DecontamGram - 1}+1)] END) AS g8s
+       |  FROM tt),
+       |g AS (SELECT doc_id,
+       |  list_transform(g8s, x -> ${Hash("x")}) AS g8 FROM gs),
+       |bg AS (SELECT DISTINCT unnest(g8) AS gg FROM g
+       |  WHERE doc_id % $BenchMod = 0),
+       |contam AS (SELECT DISTINCT tr.doc_id FROM
+       |  (SELECT doc_id, unnest(g8) AS gg FROM g
+       |   WHERE doc_id % $BenchMod <> 0) tr JOIN bg USING (gg))""".stripMargin
+
   /** The pack-profile SQL tail over a `t(doc_id, n_tokens)` CTE — the
     * corpus-order prefix sum cut every [[PackCapacity]] tokens, then the
     * per-chunk profile. ONE text shared by q72 (whitespace tokens) and
@@ -974,20 +1038,7 @@ object Curation {
          |${TextAnalysis.sqlPrepScore("dd")},
          |pp AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM f
          |  WHERE lang_guess = 'en' AND quality >= 0.5),
-         |tt AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),
-         |gs AS (SELECT doc_id,
-         |  list_distinct(CASE WHEN len(tk) < $DecontamGram THEN []
-         |    ELSE [${(0 until DecontamGram).map(k => s"tk[i+$k]")
-                .mkString("||' '||")}
-         |          for i in range(1, len(tk)-${DecontamGram - 1}+1)] END) AS g8s
-         |  FROM tt),
-         |g AS (SELECT doc_id,
-         |  list_transform(g8s, x -> ${Hash("x")}) AS g8 FROM gs),
-         |bg AS (SELECT DISTINCT unnest(g8) AS gg FROM g
-         |  WHERE doc_id % $BenchMod = 0),
-         |contam AS (SELECT DISTINCT tr.doc_id FROM
-         |  (SELECT doc_id, unnest(g8) AS gg FROM g
-         |   WHERE doc_id % $BenchMod <> 0) tr JOIN bg USING (gg)),
+         |$sqlContamCtes,
          |surv AS (SELECT doc_id, n_tokens FROM pp
          |  WHERE ${Hash("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct
          |    AND doc_id % $BenchMod <> 0
@@ -1000,6 +1051,34 @@ object Curation {
          |packin AS (SELECT pos.pos AS doc_id, surv.n_tokens
          |  FROM pos JOIN surv USING (doc_id)),
          |${sqlPackTail("packin")}""".stripMargin,
+
+    // q97's dedup/quality/contamination CTEs verbatim, stage flags per
+    // document, ONE grouped report per source
+    "q112_source_yield" ->
+      s"""WITH dd AS (SELECT doc_id, text FROM (
+         |  SELECT doc_id, text, ROW_NUMBER() OVER (
+         |    PARTITION BY sha256(text) ORDER BY doc_id) AS rn FROM documents) t0
+         |  WHERE rn = 1),
+         |${TextAnalysis.sqlPrepScore("dd")},
+         |pp AS (SELECT doc_id FROM f
+         |  WHERE lang_guess = 'en' AND quality >= 0.5),
+         |$sqlContamCtes,
+         |st AS (SELECT d.doc_id, d.source,
+         |  CASE WHEN dd.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fd,
+         |  CASE WHEN pp.doc_id IS NOT NULL THEN 1 ELSE 0 END AS fq,
+         |  CASE WHEN pp.doc_id IS NOT NULL AND d.doc_id % $BenchMod <> 0
+         |    AND c.doc_id IS NULL THEN 1 ELSE 0 END AS fl
+         |  FROM documents d LEFT JOIN dd ON dd.doc_id = d.doc_id
+         |    LEFT JOIN pp ON pp.doc_id = d.doc_id
+         |    LEFT JOIN contam c ON c.doc_id = d.doc_id)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_raw,
+         |  CAST(SUM(fd) AS BIGINT) AS n_dedup,
+         |  CAST(SUM(fq) AS BIGINT) AS n_quality,
+         |  CAST(SUM(fl) AS BIGINT) AS n_clean,
+         |  CAST(SUM(CASE WHEN fl = 1
+         |    AND ${Hash("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+         |FROM st GROUP BY source""".stripMargin,
 
     // the shared q27 pair CTEs × the source column — q79's shape at
     // source granularity, pair-normalized with least/greatest

@@ -188,6 +188,47 @@ class CurationSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  // ---------------------------------------------------------------- q112
+
+  test("q112 funnel is monotone per source and its train total is q97's corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q112_source_yield")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    Caches.release(spark)
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, raw, dd, q, cl, tr) =>
+      assert(raw >= dd && dd >= q && q >= cl && cl >= tr,
+        s"funnel not monotone for $src: $raw $dd $q $cl $tr")
+    }
+    // the funnel's terminal stage IS q97's survivor set: the packed
+    // chunks' doc total must equal the summed per-source train yield
+    val packedDocs = SparkEntry.queries("q97_curation_pipeline")(spark, dir)
+      .agg(org.apache.spark.sql.functions.sum("n_docs")).head.getLong(0)
+    Caches.release(spark)
+    assert(rows.map(_._6).sum === packedDocs,
+      "sum(n_train) over sources must equal q97's packed document count")
+  }
+
+  test("q112 counts an exact duplicate against dedup, not quality") {
+    // one source, three docs: two byte-identical (the later one falls at
+    // the dedup stage) and one distinct; all pass quality (English
+    // stopwords + >=50 tokens => quality >= 0.5 regardless of stops)
+    val good = ("the a of to and in is it you that " * 6).trim // 60 tokens
+    val dir = corpusWithSource(Seq(
+      (1L, good, "en", "web"),
+      (2L, good, "en", "web"),
+      (3L, good + " extra", "en", "web")))
+    val m = SparkEntry.queries("q112_source_yield")(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    Caches.release(spark)
+    // raw 3, dedup keeps doc 1 (min id of the identical pair) + doc 3,
+    // both pass quality
+    assert(m === Map("web" -> ((3L, 2L, 2L))))
+  }
+
   // ----------------------------------------------------------------- q58
 
   /** The oracle's per-doc scoring, computed independently in Scala: the
