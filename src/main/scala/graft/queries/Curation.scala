@@ -308,6 +308,32 @@ object Curation {
         .withColumnRenamed("rank", "importance")
     }),
 
+    // token-budget selection billed in TRAINED-tokenizer tokens — q58's
+    // ranking (quality) with q90's token unit as the mass: training
+    // budgets are set in tokenizer tokens, not whitespace words, so the
+    // production form of "keep the best docs up to N tokens" charges
+    // each document its encoded length. With q93 (packing) and q103
+    // (chunking) this completes the token-unit-agnostic proof for the
+    // THIRD sequence operator: the SAME [[budgetedPrefixSelect]] runs
+    // unchanged — only the (doc_id, n_tokens, rank) projection swaps
+    // its mass column. The q90 encode stays vocabulary-first (each
+    // distinct word pays the merge chain once); the stitch is one
+    // doc_id equi-join.
+    "q113_trained_budget" -> ((s, dir) => {
+      val q = scoredTokens(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("quality").as("rank"))
+      val bpe = TextAnalysis.queries("q90_bpe_encode")(s, dir)
+        .filter(col("n_bpe_tokens") > 0)
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+      val scored = q.join(bpe, Seq("doc_id"))
+        .select("doc_id", "n_tokens", "rank").persist()
+      val cell = least(lit(QualityCells - 1), greatest(lit(0),
+        floor((lit(1.0) - col("rank")) * QualityCells).cast("int")))
+      budgetedPrefixSelect(scored, cell, _ / 2)
+        .withColumnRenamed("rank", "quality")
+        .withColumnRenamed("n_tokens", "n_bpe_tokens")
+    }),
+
     // token-budget selection: keep the highest-quality documents whose
     // running token total fits a budget (half the corpus's token mass,
     // derived from the data — nothing hand-tuned). Global semantics:
@@ -982,6 +1008,24 @@ object Curation {
          |c AS (SELECT doc_id, n_tokens, importance,
          |  SUM(n_tokens) OVER (ORDER BY importance DESC, doc_id) AS cum FROM sel)
          |SELECT doc_id, n_tokens, importance FROM c, b WHERE cum <= budget""".stripMargin,
+
+    // the q90 encode CTEs verbatim (n_bpe_tokens as the mass), q58's
+    // quality rank over the SAME tk relation, the shared cumsum tail
+    "q113_trained_budget" ->
+      s"""WITH ${TextAnalysis.bpeEncodedCtes},
+         |qm AS (SELECT doc_id, len(tk) AS n_ws,
+         |  len(list_filter(tk, x -> x IN ${TextAnalysis.sqlStops("en")})) AS stops
+         |  FROM tk),
+         |qt AS (SELECT qm.doc_id, pd.n_bpe_tokens AS n_tokens,
+         |  (CAST(stops AS DOUBLE)/CAST(n_ws AS DOUBLE))*0.4
+         |    + least(1.0, CAST(n_ws AS DOUBLE)/50.0)*0.6 AS quality
+         |  FROM qm JOIN pd ON pd.doc_id = qm.doc_id
+         |  WHERE n_ws > 0 AND pd.n_bpe_tokens > 0),
+         |b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget FROM qt),
+         |c AS (SELECT doc_id, n_tokens, quality,
+         |  SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum FROM qt)
+         |SELECT doc_id, n_tokens AS n_bpe_tokens, quality
+         |FROM c, b WHERE cum <= budget""".stripMargin,
 
     "q58_token_budget" ->
       s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),

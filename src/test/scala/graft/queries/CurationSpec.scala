@@ -288,6 +288,37 @@ class CurationSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("q113 matches the reference cumsum with TRAINED tokens as the mass") {
+    // q58's ranking, q90's unit: the reference selection ranks by the
+    // same quality but charges each doc its ENCODED length (fetched
+    // from the already-spec'd q90), so any drift between the mass
+    // column and the trained unit breaks this equality
+    val rows = (0 until 30).map { i =>
+      val text = ("the " * (i % 4)) + (s"word$i " * (3 + i % 5))
+      (i.toLong, text.trim)
+    }
+    val dir = corpus(rows.map { case (id, t) => (id, t, "en") })
+    val bpe = SparkEntry.queries("q90_bpe_encode")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    Caches.release(spark)
+    val scored = rows.flatMap { case (id, t) => score(t).map(s => (id, s._2)) }
+      .filter { case (id, _) => bpe.getOrElse(id, 0L) > 0 }
+    val budget = scored.map(x => bpe(x._1)).sum / 2
+    var cum = 0L
+    val want = scored.sortBy { case (id, q) => (-q, id) }
+      .flatMap { case (id, _) =>
+        cum += bpe(id); if (cum <= budget) Some(id) else None }.toSet
+    val out = SparkEntry.queries("q113_trained_budget")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.keySet === want)
+    // the emitted mass IS the trained count, and the trained unit
+    // genuinely differs from whitespace somewhere in the selection
+    out.foreach { case (id, n) => assert(n === bpe(id)) }
+    assert(out.exists { case (id, n) => n != score(rows(id.toInt)._2).get._1 },
+      "trained and whitespace counts coincide everywhere — unit untested")
+    Caches.release(spark)
+  }
+
   test("q58 all-null corpus (zero tokenizable docs) selects nothing") {
     val dir = corpus(Seq((0L, null.asInstanceOf[String], "en"),
       (1L, null.asInstanceOf[String], "en")))
