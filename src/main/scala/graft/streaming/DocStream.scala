@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.functions.TextFunctions._
 import graft.functions.SketchFunctions.simHash32
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Streaming duals of the training-data prep pipeline (batch:
@@ -276,6 +276,69 @@ object DocStream {
             .reduce(_ && _))).cast("long"), lit(0L)))
       .withColumn("maybe_contaminated", col("n_maybe") > 0)
       .drop("g8")
+  }
+
+  /** Freeze a reference corpus's SHARED 5-gram set into a Bloom filter:
+    * per-doc DISTINCT 5-grams, document frequency ≥ 2 — q104/q108's
+    * definition of "shared", over the gram strings — folded through the
+    * native `BloomBitsAgg` into
+    * [[graft.queries.Curation.BloomDecontamWords]]·64 bits. 16 KiB at
+    * the default width, CONSTANT however large the reference corpus
+    * grows — the [[benchBloom]] posture for the duplication index.
+    */
+  def sharedGramBloom(refDocs: DataFrame): Array[Long] = {
+    val sh = refDocs
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(array_distinct(wordNgrams(col("tk"), 5))).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+    val row = sh
+      .select(array(graft.queries.Curation.bloomProbes(col("g")): _*).as("ps"))
+      .agg(graft.functions.SketchFunctions.bloomBits(col("ps"),
+        graft.queries.Curation.BloomDecontamWords).as("bloom"))
+      .head
+    row.getSeq[Long](0).toArray
+  }
+
+  /** Streaming duplicated-span scrub — q108's ACTION over an unbounded
+    * stream against a FROZEN shared-gram filter. Stateless narrow
+    * per-row: each doc arrives whole, so the whole island machinery
+    * collapses into array ops — hit gram positions expand to their
+    * [p, p+4] covered sets (the batch islands are just the efficient
+    * SQL form of this union), survivors fall out of a positional array
+    * filter, and the text reassembles in place. No shuffle, no state,
+    * any output mode; per-task footprint is the 16 KiB filter CONSTANT
+    * in reference-corpus size (where carrying the exact shared-gram set
+    * would grow with the corpus). One-sided error exactly as q102's:
+    * Bloom false positives can only OVER-scrub (stream coverage ⊇ the
+    * frozen reference's exact coverage — never a missed duplicated
+    * span); novel duplication between stream arrivals is invisible by
+    * design — the filter is a decontamination index against the
+    * REFERENCE corpus's duplication, the causal streaming contract.
+    */
+  def bloomScrubbed(docs: DataFrame, bloom: Array[Long]): DataFrame = {
+    val blit = typedLit(bloom.toSeq)
+    def hit(g: Column): Column =
+      graft.queries.Curation.bloomProbes(g)
+        .map(p => graft.queries.Curation.bloomHit(blit, p))
+        .reduce(_ && _)
+    docs
+      .withColumn("tk", tokens(col("text")))
+      // hit gram start positions expand to [i, i+4]; the union of those
+      // intervals IS the covered set (null slots = non-hit grams)
+      .withColumn("cov", array_distinct(flatten(filter(
+        transform(wordNgrams(col("tk"), 5),
+          (g, i) => when(hit(g), sequence(i, i + lit(4)))),
+        x => x.isNotNull))))
+      .withColumn("kept",
+        filter(col("tk"), (w, i) => not(array_contains(col("cov"), i))))
+      .withColumn("retained_tokens",
+        when(col("kept").isNotNull, size(col("kept")).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("scrubbed_text",
+        when(size(col("kept")) > 0, array_join(col("kept"), " ")))
+      .drop("tk", "cov", "kept", "text") // the scrub replaces the payload
   }
 
   /** Freeze q109's hashed DSIR statistic from a reference corpus into a

@@ -431,6 +431,51 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("bloomScrubbed streams q108's scrub against the frozen shared-gram filter") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // SpanScrubSpec's planted corpus: a shared phrase that must cut, a
+    // doc it fully covers, an untouched doc, a null payload
+    val rows = Seq(
+      (1L, "x1 x2 p q r s t u y1"),
+      (2L, "p q r s t u z1 z2 z3"),
+      (3L, "totally different words here now"),
+      (4L, null.asInstanceOf[String]))
+    val dir = java.nio.file.Files.createTempDirectory("graft-bscrub").toString
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val want = graft.SparkEntry.queries("q108_scrub_apply")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.getString(2))))).toMap
+    graft.Caches.release(spark)
+    val bloom = DocStream.sharedGramBloom(rows.toDF("doc_id", "text"))
+    assert(bloom.exists(_ != 0L))
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.bloomScrubbed(
+        mem.toDF().toDF("doc_id", "ingest_ts", "text"), bloom)
+      .writeStream.format("memory").queryName("bscrub").outputMode("append").start()
+    try {
+      mem.addData(rows.take(2).map { case (id, t) => (id, ts(id), t) })
+      q.processAllAvailable()
+      mem.addData(rows.drop(2).map { case (id, t) => (id, ts(id), t) })
+      q.processAllAvailable()
+      val got = spark.table("bscrub")
+        .select("doc_id", "retained_tokens", "scrubbed_text")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), Option(r.getString(2))))).toMap
+      // one-sided dominance always holds: the filter has no false
+      // negatives, so the stream can only scrub MORE
+      got.foreach { case (id, (ret, _)) =>
+        assert(ret <= want(id)._1, s"doc $id: stream retained $ret > batch")
+      }
+      // and on this corpus (no false positive in the probe set) the
+      // scrub is exactly batch q108's
+      assert(got == want,
+        s"stream scrub must match batch q108: got $got want $want")
+      assert(spark.table("bscrub").columns.toSeq ==
+        Seq("doc_id", "ingest_ts", "retained_tokens", "scrubbed_text"))
+    } finally q.stop()
+  }
+
   test("dsirScored streams q109's importance against the frozen weight vector") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
