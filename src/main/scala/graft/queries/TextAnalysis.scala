@@ -1173,6 +1173,26 @@ object TextAnalysis {
           col("scrubbed_text"))
     }),
 
+    // retrieval chunking of the SCRUBBED corpus — the real RAG ingest
+    // path chains dedup before chunking (chunking a corpus with
+    // duplicated passages indexes the same evidence many times and
+    // crowds retrieval results); q114 runs q74's shared [[chunkRows]]
+    // window arithmetic over q108's surviving text. scrubbed_text is a
+    // canonical space-joined token list by construction, so re-splitting
+    // reproduces the kept tokens exactly — proving the scrub output is
+    // a first-class corpus any token-consuming operator can ingest.
+    // Fully-scrubbed and untokenizable docs chunk to nothing (q74's
+    // contract).
+    "q114_chunk_scrubbed" -> ((s, dir) => {
+      val t = queries("q108_scrub_apply")(s, dir)
+        .filter(col("scrubbed_text").isNotNull)
+        .select(col("doc_id"), tokens(col("scrubbed_text")).as("tk"))
+        .select(col("doc_id"), col("tk"), size(col("tk")).cast("long").as("n"))
+        .filter(col("n") > 0)
+        .persist() // the q74 Generate discipline; released by the consumer
+      chunkRows(t)
+    }),
+
     // DSIR-style importance weights — the per-DOCUMENT companion of
     // q100's per-source drift: score every document by how much better
     // the TARGET source's unigram distribution explains its tokens than
@@ -1459,6 +1479,24 @@ object TextAnalysis {
        |il AS (SELECT doc_id, pos, SUM(newi) OVER (PARTITION BY doc_id
        |  ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
        |  FROM ni)""".stripMargin
+
+  /** [[scrubCtes]] extended through the SURVIVOR relation `kp` (doc_id,
+    * 1-based pos, word — the tokens an exact-substring scrub keeps):
+    * islands widen to interval bounds, covered positions expand, kept
+    * tokens anti-select. Shared by the scrub application (q108) and the
+    * scrubbed-corpus chunking (q114) so "what survives" has ONE SQL
+    * definition.
+    */
+  private[queries] def scrubKeptCtes: String =
+    s"""$scrubCtes,
+       |iv AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 4 AS e
+       |  FROM il GROUP BY doc_id, isl),
+       |cp AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM iv),
+       |tp AS (SELECT t.doc_id, i.j AS pos, t.tk[CAST(i.j AS INT)] AS word
+       |  FROM t, UNNEST(range(1, len(t.tk) + 1)) AS i(j)),
+       |kp AS (SELECT tp.doc_id, tp.pos, tp.word FROM tp
+       |  WHERE NOT EXISTS (SELECT 1 FROM cp
+       |    WHERE cp.doc_id = tp.doc_id AND cp.pos = tp.pos))""".stripMargin
 
   /** The q106 importance chain through per-doc sums `pd` (doc_id,
     * n_tokens, sum_bits) — factored so Curation's budgeted DSIR
@@ -1916,21 +1954,28 @@ object TextAnalysis {
     // to their covered 1-based positions, surviving tokens anti-selected
     // and re-joined in position order
     "q108_scrub_apply" ->
-      s"""WITH $scrubCtes,
-         |iv AS (SELECT doc_id, isl, MIN(pos) AS s, MAX(pos) + 4 AS e
-         |  FROM il GROUP BY doc_id, isl),
-         |cp AS (SELECT doc_id, unnest(range(s, e + 1)) AS pos FROM iv),
-         |tp AS (SELECT t.doc_id, i.j AS pos, t.tk[CAST(i.j AS INT)] AS word
-         |  FROM t, UNNEST(range(1, len(t.tk) + 1)) AS i(j)),
-         |kp AS (SELECT tp.doc_id, tp.pos, tp.word FROM tp
-         |  WHERE NOT EXISTS (SELECT 1 FROM cp
-         |    WHERE cp.doc_id = tp.doc_id AND cp.pos = tp.pos)),
+      s"""WITH $scrubKeptCtes,
          |k AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS retained_tokens,
          |  string_agg(word, ' ' ORDER BY pos) AS scrubbed_text
          |  FROM kp GROUP BY doc_id)
          |SELECT d.doc_id, COALESCE(k.retained_tokens, 0) AS retained_tokens,
          |  k.scrubbed_text
          |FROM documents d LEFT JOIN k ON k.doc_id = d.doc_id""".stripMargin,
+
+    // the q108 survivor chain ([[scrubKeptCtes]]) reassembled into
+    // per-doc arrays, then q74's chunk tail verbatim over them
+    "q114_chunk_scrubbed" ->
+      s"""WITH $scrubKeptCtes,
+         |ka AS (SELECT doc_id, list(word ORDER BY pos) AS tk2
+         |  FROM kp GROUP BY doc_id),
+         |kn AS (SELECT doc_id, tk2 AS tk, CAST(len(tk2) AS BIGINT) AS n
+         |  FROM ka WHERE len(tk2) > 0),
+         |st AS (SELECT doc_id, tk, n,
+         |  unnest(range(0, n, $ChunkStride)) AS start FROM kn)
+         |SELECT doc_id, start // $ChunkStride AS chunk_idx, start,
+         |  least($ChunkWin, n - start) AS chunk_len,
+         |  sha256(array_to_string(tk[start+1 : start+$ChunkWin], ' ')) AS chunk_hash
+         |FROM st""".stripMargin,
 
     // the q100 count/total chain plus the add-one-smoothed target side;
     // left joins re-admit out-of-target tokens (tc→0) and empty docs

@@ -38,7 +38,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q102_bloom_decontaminate", "q103_chunk_trained", "q104_span_scrub",
     "q105_quality_survivors", "q106_dsir_weights", "q107_dsir_select",
     "q108_scrub_apply", "q109_dsir_hashed", "q110_semantic_decontam",
-    "q111_media_clusters", "q112_source_yield", "q113_trained_budget")
+    "q111_media_clusters", "q112_source_yield", "q113_trained_budget",
+    "q114_chunk_scrubbed")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

@@ -111,6 +111,49 @@ class SpanScrubSpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  // ----------------------------------------------------------------- q114
+
+  private def sha256hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("q114 chunks the scrubbed survivors — exact hash on a planted doc") {
+    val dir = write(Seq(
+      (1L, "x1 x2 p q r s t u y1"), // scrubs to "x1 x2 y1"
+      (2L, "p q r s t u z1 z2 z3"))) // scrubs to "z1 z2 z3"
+    val rows = graft.SparkEntry.queries("q114_chunk_scrubbed")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    graft.Caches.release(spark)
+    // 3 kept tokens per doc < the 32-token window: ONE chunk each, and
+    // the chunk hash is the sha-256 of the surviving text itself
+    assert(rows.map(x => (x._1, x._2, x._3, x._4)).toSet ===
+      Set((1L, 0L, 0L, 3L), (2L, 0L, 0L, 3L)))
+    assert(rows.find(_._1 == 1L).get._5 === sha256hex("x1 x2 y1"))
+    assert(rows.find(_._1 == 2L).get._5 === sha256hex("z1 z2 z3"))
+  }
+
+  test("q114 chunk geometry matches q108's retained counts on the real corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val retained = graft.SparkEntry.queries("q108_scrub_apply")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .filter(_._2 > 0)
+    graft.Caches.release(spark)
+    val chunks = graft.SparkEntry.queries("q114_chunk_scrubbed")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    graft.Caches.release(spark)
+    // exactly the docs with survivors chunk; ceil(n/stride) windows per
+    // doc; the last window ends exactly at the retained count
+    assert(chunks.keySet === retained.keySet)
+    chunks.foreach { case (id, cs) =>
+      val n = retained(id)
+      assert(cs.length === ((n - 1) / 24 + 1).toInt, s"doc $id windows")
+      assert(cs.map(c => c._2 + c._3).max === n, s"doc $id tail end")
+    }
+  }
+
   test("q108 retained counts agree with q104's accounting on a mixed corpus") {
     // the two operators share the island machinery but take different
     // paths to "retained" (interval arithmetic vs anti-join survivors) —
