@@ -989,6 +989,48 @@ object Similarity {
         .filter(col("cos") >= 0.35)
     }),
 
+    // per-source embedding-centroid similarity matrix — the SEMANTIC
+    // member of the source-similarity family (q86 sketches lexical
+    // overlap, q89 counts exact near-dup pairs; this reads topical
+    // closeness even with zero shared text). Cross-row float sums are
+    // order-dependent, so the centroid uses integer fixed-point: each
+    // component floors onto a 2^20 grid (a POWER-OF-TWO scale — the
+    // float→double product is exact, both engines floor identically),
+    // per-(source, dim) sums are exact longs, and the cosine folds
+    // dot/norms in decimal(38,0) (HUGEINT on the oracle side) before
+    // ONE deterministic double division — the q69 no-float-sums
+    // discipline. Cosine is scale-invariant, so the un-divided sums ARE
+    // the centroid directions. Plan at 100 TB: corpus rows cross
+    // exactly one map-combined (source, dim) aggregate; everything
+    // after is |sources|·dims-sized, the matrix ≤ |sources|².
+    "q115_source_centroids" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val comp = Tables.wide(s, dir, "embeddings")
+        .join(src, Seq("vec_id"))
+        .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .filter(col("v").isNotNull)
+        .select(col("source"), col("pos"),
+          floor(col("v").cast("double") * 1048576.0).cast("long").as("q"))
+      val cs = comp.groupBy("source", "pos").agg(sum("q").as("c"))
+        .persist() // feeds norms + both sides of the pair join
+      def dec(c: Column) = c.cast("decimal(38,0)")
+      val n2 = cs.groupBy("source").agg(sum(dec(col("c")) * dec(col("c"))).as("nn"))
+      val dt = cs.alias("a").join(cs.alias("b"),
+          col("a.pos") === col("b.pos") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(sum(dec(col("a.c")) * dec(col("b.c"))).as("dd"))
+      dt.join(broadcast(n2.select(col("source").as("source_a"),
+          col("nn").as("na"))), Seq("source_a"))
+        .join(broadcast(n2.select(col("source").as("source_b"),
+          col("nn").as("nb"))), Seq("source_b"))
+        .filter(col("na") > 0 && col("nb") > 0)
+        .select(col("source_a"), col("source_b"),
+          (col("dd").cast("double") /
+            sqrt(col("na").cast("double") * col("nb").cast("double")))
+            .as("cos"))
+    }),
+
     // semantic cross-split decontamination — the embedding member of the
     // leakage family (q57/q102 are exact-gram, q79 is simhash pairs):
     // flag TRAIN vectors sitting within cosine 0.35 of any val/test
@@ -1770,6 +1812,30 @@ object Similarity {
          |  ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
          |FROM cand JOIN e x ON x.vec_id = cand.vec_a JOIN e y ON y.vec_id = cand.vec_b
          |WHERE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.35""".stripMargin,
+
+    // fixed-point centroid sums (power-of-two scale, exact on both
+    // engines), HUGEINT dot/norm folds, one double division at the end
+    "q115_source_centroids" ->
+      s"""WITH src AS (SELECT d.source, e.embedding
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |comp AS (SELECT source, i.j AS pos,
+         |  CAST(floor(embedding[CAST(i.j AS INT)] * 1048576) AS BIGINT) AS q
+         |  FROM src, UNNEST(range(1, len(embedding) + 1)) AS i(j)
+         |  WHERE embedding[CAST(i.j AS INT)] IS NOT NULL),
+         |cs AS (SELECT source, pos, CAST(SUM(q) AS BIGINT) AS c
+         |  FROM comp GROUP BY source, pos),
+         |n2 AS (SELECT source,
+         |  SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS nn
+         |  FROM cs GROUP BY source),
+         |dt AS (SELECT a.source AS source_a, b.source AS source_b,
+         |  SUM(CAST(a.c AS HUGEINT) * CAST(b.c AS HUGEINT)) AS dd
+         |  FROM cs a JOIN cs b ON a.pos = b.pos AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT source_a, source_b,
+         |  CAST(dd AS DOUBLE) / sqrt(CAST(na.nn AS DOUBLE) * CAST(nb.nn AS DOUBLE)) AS cos
+         |FROM dt JOIN n2 na ON na.source = dt.source_a
+         |  JOIN n2 nb ON nb.source = dt.source_b
+         |WHERE na.nn > 0 AND nb.nn > 0""".stripMargin,
 
     // q39's candidate/cosine CTEs, pairs mirrored both ways, q56's split
     // thresholds over vec_id, verdicts re-admitted per train vector
