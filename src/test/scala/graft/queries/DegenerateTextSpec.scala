@@ -62,7 +62,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // (null text -> null/zero columns, never a crash); q106 needs a
     // source column and is degenerate-tested in DsirSpec instead
     "q103_chunk_trained", "q104_span_scrub", "q105_quality_survivors",
-    "q108_scrub_apply",
+    "q108_scrub_apply", "q114_chunk_scrubbed",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",

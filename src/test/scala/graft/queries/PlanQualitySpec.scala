@@ -166,6 +166,26 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q112 source yield: equi-joined stage flags, map-combined report, no cartesian") {
+    val p = execPlan("q112_source_yield")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_count"), p)
+    graft.Caches.release(spark)
+  }
+
+  test("q115 centroid matrix: corpus crosses ONE map-combined agg, no cartesian") {
+    // the (source, dim) sum is the only corpus-sized stage; the pair
+    // join runs over the |sources|·dims relation and the norm stitches
+    // broadcast
+    val p = execPlan("q115_source_centroids")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("partial_sum"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    graft.Caches.release(spark)
+  }
+
   test("q95 recall audit: broadcast sample scan, two-phase exact rank, no single partition") {
     // the deliberate shape: the sample×corpus scan is a broadcast
     // nested loop over the ≤8-row sample (the eval's honest cost), the

@@ -48,4 +48,30 @@ class SourceCentroidSpec extends AnyFunSuite {
     assert(m(("a", "c")) === 0.0)
     assert(m(("b", "c")) === 0.0)
   }
+
+  test("a null embedding slot folds as absent on both engines, never a crash") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-centroid-null").toString
+    Seq((0L, "p doc", "en", "p"), (1L, "q doc", "en", "q"))
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$d/documents.parquet")
+    // vec 0 carries a null slot in dim 1 (failed feature extraction):
+    // the component drops from ITS centroid only — the q65/q106 skip
+    // convention — leaving p purely along e0
+    val v0: Seq[java.lang.Float] =
+      Seq.tabulate(64)(k => if (k == 0) java.lang.Float.valueOf(2f)
+        else if (k == 1) (null: java.lang.Float)
+        else java.lang.Float.valueOf(0f))
+    val v1: Seq[java.lang.Float] =
+      Seq.tabulate(64)(k => java.lang.Float.valueOf(if (k == 0) 3f else 0f))
+    Seq((0L, v0, "l0"), (1L, v1, "l1"))
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val m = graft.SparkEntry.queries("q115_source_centroids")(spark, d)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    graft.Caches.release(spark)
+    assert(m.keySet === Set(("p", "q")))
+    assert(math.abs(m(("p", "q")) - 1.0) < 1e-12, s"got $m")
+  }
 }
