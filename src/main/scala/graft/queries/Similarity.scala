@@ -378,6 +378,47 @@ object Similarity {
     * distinct vec_a < vec_b candidate pairs); the projection is released
     * by the consumer's Caches.release hook.
     */
+  /** q115's corpus-facing stage — the fixed-point (source, pos, c)
+    * centroid-sum relation over a (source, embedding) input. Sums are
+    * ADDITIVE, so the IDENTICAL aggregation runs stateful over an
+    * unbounded stream (update/complete mode, no watermark) with state
+    * bounded at |sources|·dims longs forever — the `sourceTokenCounts`
+    * posture; the matrix is [[matrixFromSums]]'s tiny batch step over
+    * the emitted table. Shared with the streaming dual
+    * ([[graft.streaming.EmbedStream.centroidSums]]).
+    */
+  private[graft] def sourceCentroidSums(rows: DataFrame): DataFrame =
+    rows
+      .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .filter(col("v").isNotNull)
+      .select(col("source"), col("pos"),
+        floor(col("v").cast("double") * 1048576.0).cast("long").as("q"))
+      .groupBy("source", "pos").agg(sum("q").as("c"))
+
+  /** The |sources|·dims-sized cosine-matrix step over materialized
+    * centroid sums: decimal(38,0) dot/norm folds, one deterministic
+    * double division, zero-norm sources excluded. The caller owns
+    * materialization of `cs` (consumed by the norms AND both sides of
+    * the pair join).
+    */
+  private[graft] def matrixFromSums(cs: DataFrame): DataFrame = {
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val n2 = cs.groupBy("source").agg(sum(dec(col("c")) * dec(col("c"))).as("nn"))
+    val dt = cs.alias("a").join(cs.alias("b"),
+        col("a.pos") === col("b.pos") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+      .agg(sum(dec(col("a.c")) * dec(col("b.c"))).as("dd"))
+    dt.join(broadcast(n2.select(col("source").as("source_a"),
+        col("nn").as("na"))), Seq("source_a"))
+      .join(broadcast(n2.select(col("source").as("source_b"),
+        col("nn").as("nb"))), Seq("source_b"))
+      .filter(col("na") > 0 && col("nb") > 0)
+      .select(col("source_a"), col("source_b"),
+        (col("dd").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double")))
+          .as("cos"))
+  }
+
   private def bandedVecCandidates(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val k = ndPlanesFor(Tables(s, dir, "embeddings").count())
@@ -1006,29 +1047,9 @@ object Similarity {
     "q115_source_centroids" -> ((s, dir) => {
       val src = Tables(s, dir, "documents")
         .select(col("doc_id").as("vec_id"), col("source"))
-      val comp = Tables.wide(s, dir, "embeddings")
-        .join(src, Seq("vec_id"))
-        .select(col("source"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .filter(col("v").isNotNull)
-        .select(col("source"), col("pos"),
-          floor(col("v").cast("double") * 1048576.0).cast("long").as("q"))
-      val cs = comp.groupBy("source", "pos").agg(sum("q").as("c"))
-        .persist() // feeds norms + both sides of the pair join
-      def dec(c: Column) = c.cast("decimal(38,0)")
-      val n2 = cs.groupBy("source").agg(sum(dec(col("c")) * dec(col("c"))).as("nn"))
-      val dt = cs.alias("a").join(cs.alias("b"),
-          col("a.pos") === col("b.pos") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
-        .agg(sum(dec(col("a.c")) * dec(col("b.c"))).as("dd"))
-      dt.join(broadcast(n2.select(col("source").as("source_a"),
-          col("nn").as("na"))), Seq("source_a"))
-        .join(broadcast(n2.select(col("source").as("source_b"),
-          col("nn").as("nb"))), Seq("source_b"))
-        .filter(col("na") > 0 && col("nb") > 0)
-        .select(col("source_a"), col("source_b"),
-          (col("dd").cast("double") /
-            sqrt(col("na").cast("double") * col("nb").cast("double")))
-            .as("cos"))
+      matrixFromSums(sourceCentroidSums(
+        Tables.wide(s, dir, "embeddings").join(src, Seq("vec_id")))
+        .persist()) // feeds norms + both sides of the pair join
     }),
 
     // semantic cross-split decontamination — the embedding member of the

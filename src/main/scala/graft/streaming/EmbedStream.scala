@@ -29,6 +29,19 @@ object EmbedStream {
   private[streaming] val BkBuckets = 64
   private val Families = 20
 
+  /** Streaming per-source centroid sums: q115's corpus-facing
+    * (source, pos, c) stage as additive stream state over an unbounded
+    * `(source, embedding, …)` vector stream — the
+    * [[DocStream.sourceTokenCounts]] posture (update/complete mode, no
+    * watermark; state = |sources|·dims longs forever, the VALUE space,
+    * not the stream length). The similarity matrix is
+    * [[graft.queries.Similarity.matrixFromSums]]'s tiny batch step over
+    * the emitted table; the shared fixed-point Columns make streamed
+    * sums bit-identical to batch q115's.
+    */
+  def centroidSums(vecs: DataFrame): DataFrame =
+    graft.queries.Similarity.sourceCentroidSums(vecs)
+
   /** q39's deterministic plane component (Similarity mirrors this): the
     * sha-32 of "plane<p>_<i>" scaled to [-1, 1).
     */

@@ -98,4 +98,49 @@ class EmbedStreamSpec extends AnyFunSuite {
     EmbedStream.processBatch(spark, b1, 1L, s"$base/index", s"$base/out")
     assert(outIds == Seq(0L, 2L, 11L))
   }
+
+  test("centroidSums streams q115's state; matrixFromSums replays the matrix") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // four sources over three directions: a/b co-directional, c
+    // orthogonal, d a gaussian — enough structure that a drifted sum
+    // shows up in some cosine
+    val rows = Seq(
+      (0L, vA, "sa"), (1L, vA.map(_ * 2f), "sa"),
+      (2L, vA.map(_ * 3f), "sb"),
+      (3L, vC, "sc"), (4L, vE, "sd"))
+    val dir = Files.createTempDirectory("graft-centstream").toString
+    rows.map { case (id, v, s) => (id, s"doc $id", "en", s) }
+      .toDF("doc_id", "text", "lang", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    rows.map { case (id, v, _) => (id, v, s"l$id") }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val want = graft.SparkEntry.queries("q115_source_centroids")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    graft.Caches.release(spark)
+    val mem = MemoryStream[(Long, Timestamp, Array[Float], String)]
+    val q = EmbedStream.centroidSums(
+        mem.toDF().toDF("vec_id", "ingest_ts", "embedding", "source"))
+      .writeStream.format("memory").queryName("centsums")
+      .outputMode("complete").start()
+    try {
+      mem.addData(rows.take(2).map { case (id, v, s) => (id, ts(id), v, s) })
+      q.processAllAvailable()
+      mem.addData(rows.drop(2).map { case (id, v, s) => (id, ts(id), v, s) })
+      q.processAllAvailable()
+      // snapshot the sink (the matrix step self-joins — MemoryPlan's
+      // shared attribute ids cannot express that, the q100 lesson)
+      val state = spark.table("centsums")
+      val snap = spark.createDataFrame(state.collectAsList(), state.schema)
+        .persist()
+      val got = graft.queries.Similarity.matrixFromSums(snap)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      assert(got == want,
+        s"matrix from streamed sums must match batch q115: got $got want $want")
+      snap.unpersist()
+    } finally q.stop()
+  }
 }
