@@ -1030,6 +1030,38 @@ object Similarity {
         .filter(col("cos") >= 0.35)
     }),
 
+    // band-health audit — the operational report behind every banded
+    // operator (q22/q25/q27/q39/q42/q92 all live on the same cap
+    // discipline): per simhash band family, how many buckets exist, how
+    // big the worst one is, how many buckets the [[MaxBandDocs]] cap
+    // drops, and how much document mass sits inside them (the
+    // lost-recall mass — the number an operator owner watches to decide
+    // whether the corpus outgrew its band width BEFORE pair counts
+    // silently collapse). The q27 band chain verbatim up to the bucket
+    // histogram; the report is two map-combined aggregates, ≤ 4 rows.
+    "q116_band_health" -> ((s, dir) => {
+      val w = bandWidthFor(Tables(s, dir, "documents").count())
+      val nb = 32 / w
+      val bands = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+        .select(col("doc_id"), explode(array(
+          (0 until nb).map(b => struct(lit(b).as("b"),
+            shiftright(col("simhash"), w * b)
+              .bitwiseAND(lit((1L << w) - 1)).as("bk"))): _*)).as("x"))
+        .select(col("doc_id"), col("x.b").as("b"), col("x.bk").as("bk"))
+      bands.groupBy("b", "bk").agg(count(lit(1)).as("kc"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n_buckets"),
+          max("kc").as("max_bucket"),
+          sum(when(col("kc") > MaxBandDocs, 1L).otherwise(0L)).as("n_capped"),
+          sum(when(col("kc") > MaxBandDocs, col("kc")).otherwise(0L))
+            .as("docs_capped"),
+          sum("kc").as("n_docs"))
+        .select(col("b").cast("long").as("band"), lit(w.toLong).as("band_width"),
+          col("n_buckets"), col("max_bucket"), col("n_capped"),
+          col("docs_capped"), col("n_docs"))
+    }),
+
     // per-source embedding-centroid similarity matrix — the SEMANTIC
     // member of the source-similarity family (q86 sketches lexical
     // overlap, q89 counts exact near-dup pairs; this reads topical
@@ -1833,6 +1865,20 @@ object Similarity {
          |  ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
          |FROM cand JOIN e x ON x.vec_id = cand.vec_a JOIN e y ON y.vec_id = cand.vec_b
          |WHERE ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) >= 0.35""".stripMargin,
+
+    // the q27 band CTEs verbatim (unreferenced tail CTEs stay
+    // unevaluated), bucket histogram, per-family report
+    "q116_band_health" ->
+      s"""WITH $SqlSimhashPairCtes,
+         |kch AS (SELECT b, bk, CAST(COUNT(*) AS BIGINT) AS kc
+         |  FROM bands GROUP BY b, bk)
+         |SELECT b AS band, (SELECT w FROM wp) AS band_width,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(MAX(kc) AS BIGINT) AS max_bucket,
+         |  CAST(SUM(CASE WHEN kc > $MaxBandDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+         |  CAST(SUM(CASE WHEN kc > $MaxBandDocs THEN kc ELSE 0 END) AS BIGINT) AS docs_capped,
+         |  CAST(SUM(kc) AS BIGINT) AS n_docs
+         |FROM kch GROUP BY b""".stripMargin,
 
     // fixed-point centroid sums (power-of-two scale, exact on both
     // engines), HUGEINT dot/norm folds, one double division at the end

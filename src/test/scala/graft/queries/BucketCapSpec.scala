@@ -49,6 +49,34 @@ class BucketCapSpec extends AnyFunSuite {
     spark.catalog.clearCache() // drop the queries' persisted intermediates
   }
 
+  test("q116 reports the hot cluster's capped mass and conserves the corpus") {
+    import spark.implicits._
+    // the pathological fixture again: a 300-doc identical cluster (every
+    // one of its band keys is over the cap in EVERY family) plus a
+    // rare duplicate pair and the report must see both sides
+    val hot = (0 until 300).map(i =>
+      (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val pairText = "curious owls ponder ancient manuscripts beneath silver moonlight tonight"
+    val pair = Seq((1000L, pairText), (1001L, pairText))
+    val dir = Files.createTempDirectory("graft-caphealth").toString
+    (hot ++ pair).toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = Similarity.queries("q116_band_health")(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6)))).toMap
+    spark.catalog.clearCache()
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L)) // 4 families at 8-bit width
+    rows.values.foreach { case (nBuckets, maxBucket, nCapped, docsCapped, nDocs) =>
+      // each family sees every document exactly once
+      assert(nDocs === 302L)
+      // the identical cluster is THE hot bucket in every family
+      assert(maxBucket === 300L)
+      assert(nCapped === 1L && docsCapped === 300L)
+      // the pair and the cluster occupy ≥ 2 distinct buckets
+      assert(nBuckets >= 2L)
+    }
+  }
+
   test("caps leave real candidates at the bench corpus (sf0.1)") {
     // the q39 sizing lesson generalized: a cap plus too-coarse keys can
     // silently drop EVERY candidate at scale; each capped query must
