@@ -419,6 +419,35 @@ object Similarity {
           .as("cos"))
   }
 
+  /** The shared full-corpus IVF cell assignment — q35's argmax
+    * discipline (cosine against the broadcast deterministic k-means
+    * centroids, ties to the lowest cell) over every non-zero-norm
+    * vector. Returns the PERSISTED (vec_id, cell) relation (consumed
+    * more than once by q101's cap + cut and by q117's report; the
+    * caller's Caches.release frees it) and the trained cell count.
+    */
+  private def ivfCellAssignments(s: SparkSession, dir: String)
+      : (DataFrame, Int) = {
+    val e = Tables.wide(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .persist()
+      .filter(col("nrm") > 0) // zero-norm guard (see q28)
+    val cents = kmeansCentroids(s, dir)
+    val withCos = e.select(col("vec_id"),
+      zip_with(
+        graft.functions.VectorFunctions.vecDotMany(col("embedding"),
+          cents.flatMap(_._2).toArray, cents.length),
+        typedLit(cents.map(_._3).toSeq),
+        (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn))).as("ccos"))
+    // argmax with ties to the lowest cell — the q35 discipline
+    val cells = withCos.select(col("vec_id"),
+      (array_position(col("ccos"), array_max(col("ccos"))) - 1)
+        .cast("long").as("cell"))
+      .persist()
+    (cells, cents.length)
+  }
+
   private def bandedVecCandidates(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val k = ndPlanesFor(Tables(s, dir, "embeddings").count())
@@ -1242,23 +1271,7 @@ object Similarity {
     // rank cut is a window PARTITIONED BY cell (~√n groups of bounded
     // size — never a global sort, the q84 discipline).
     "q101_cluster_balanced" -> ((s, dir) => {
-      val e = Tables.wide(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
-        .persist()
-        .filter(col("nrm") > 0) // zero-norm guard (see q28)
-      val cents = kmeansCentroids(s, dir)
-      val withCos = e.select(col("vec_id"),
-        zip_with(
-          graft.functions.VectorFunctions.vecDotMany(col("embedding"),
-            cents.flatMap(_._2).toArray, cents.length),
-          typedLit(cents.map(_._3).toSeq),
-          (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn))).as("ccos"))
-      // argmax with ties to the lowest cell — the q35 discipline
-      val cells = withCos.select(col("vec_id"),
-        (array_position(col("ccos"), array_max(col("ccos"))) - 1)
-          .cast("long").as("cell"))
-        .persist() // feeds the cap aggregate + the ranked cut
+      val (cells, _) = ivfCellAssignments(s, dir)
       val cap = cells.agg(count(lit(1)).as("cnt"),
           countDistinct("cell").as("nc"))
         .select(expr("(cnt + nc - 1) div nc").as("cap")) // 1 row, lazy
@@ -1269,6 +1282,25 @@ object Similarity {
         .crossJoin(broadcast(cap))
         .filter(col("rnk") <= col("cap"))
         .select("vec_id", "cell", "rnk")
+    }),
+
+    // IVF cell-health audit — q116's counterpart for the quantized index
+    // family (q35/q68/q76/q91/q101 all route through the same cells):
+    // per assigned cell, the member count and corpus share, beside the
+    // TRAINED cell count (rows missing vs n_cells = lost/empty cells —
+    // dead centroids; a cell holding a large share = the probe-cost
+    // skew an IVF owner re-trains over). The full-corpus assignment is
+    // the shared shuffle-free narrow map against broadcast centroids;
+    // the report is ONE map-combined aggregate, ≤ n_cells rows.
+    "q117_ivf_health" -> ((s, dir) => {
+      val (cells, nCells) = ivfCellAssignments(s, dir)
+      val tot = cells.agg(count(lit(1)).as("tot")) // 1 row, lazy
+      cells.groupBy("cell").agg(count(lit(1)).as("n_members"))
+        .crossJoin(broadcast(tot))
+        .select(col("cell"), col("n_members"),
+          lit(nCells.toLong).as("n_cells"),
+          (col("n_members").cast("double") / col("tot").cast("double"))
+            .as("share"))
     }),
 
     // LSH ANN: 6 hyperplane sign bits -> bucket; rank within query's bucket
@@ -2130,7 +2162,27 @@ object Similarity {
          |  ORDER BY ${TextAnalysis.SqlHash60("CAST(vec_id AS VARCHAR)||'#11'")},
          |    vec_id) AS rnk FROM cells)
          |SELECT r.vec_id, r.cell, r.rnk FROM r, cap
-         |WHERE r.rnk <= cap.cap""".stripMargin)
+         |WHERE r.rnk <= cap.cap""".stripMargin,
+
+    // the q101 assignment CTEs verbatim, member histogram beside the
+    // trained cell count
+    "q117_ivf_health" ->
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |$sqlKmeans,
+         |a AS (SELECT e.vec_id, cq.cent_id,
+         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
+         |  FROM e CROSS JOIN cq),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM cells),
+         |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS ncells FROM cq)
+         |SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |  (SELECT ncells FROM nc) AS n_cells,
+         |  CAST(COUNT(*) AS DOUBLE) / (SELECT CAST(tot AS DOUBLE) FROM tot) AS share
+         |FROM cells GROUP BY cell""".stripMargin)
 
   /** The shared PQ CTE chain (training sample → codebooks after
     * KmeansIters Lloyd steps → per-vector best codes) used by both q65

@@ -61,4 +61,16 @@ class ClusterBalanceSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
     spark.catalog.clearCache()
   }
+
+  test("q117 reads the skew the balancer flattens: (2, 42) members, shares sum to 1") {
+    val rows = graft.SparkEntry.queries("q117_ivf_health")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    assert(rows.map(_._2).sorted.toSeq === Seq(2L, 42L))
+    // trained cell count is one constant across rows, at least the
+    // assigned count (dead centroids legal)
+    assert(rows.map(_._3).toSet.size === 1 && rows.head._3 >= 2L)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-12)
+  }
 }
