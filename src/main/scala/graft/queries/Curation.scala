@@ -80,6 +80,11 @@ object Curation {
     */
   private[queries] val TieBuckets = 64
 
+  /** q118's sample size: the eval/debug pick a pipeline draws
+    * size-weighted. A k knob, not corpus-tracking.
+    */
+  private[queries] val PrioritySampleK = 100
+
   /** Driver half of a distributed prefix sum: exclusive running offsets
     * of per-partition totals — `offset(p) = Σ totals(p') for p' < p`.
     * Input is the collected (partition, total) rows (bounded: ≤
@@ -306,6 +311,26 @@ object Curation {
         floor((lit(64.0) - col("rank")) / 128.0 * QualityCells).cast("int")))
       budgetedPrefixSelect(scored, cell, _ / 4)
         .withColumnRenamed("rank", "importance")
+    }),
+
+    // size-weighted priority sample — the weighted member of the
+    // sampling family (q59/q66 sample uniformly by key hash, q101
+    // balances clusters, q107 selects by score): k documents drawn with
+    // probability ~ token count, deterministically. Integer priority =
+    // seeded 60-bit hash `div` n_tokens (the exponential-race shape of
+    // A-ES priority sampling with the float pow replaced by an
+    // integer-exact division — both engines agree bit-for-bit), sample
+    // = the k smallest (priority, doc_id). A big document divides its
+    // hash by a bigger weight, so it races to the front ~ its mass.
+    // TakeOrdered top-k — per-partition cuts, never a global sort.
+    "q118_priority_sample" -> ((s, dir) => {
+      scoredTokens(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"),
+          portableHash60(col("doc_id").cast("string"), 13).as("h"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("h div n_tokens").as("priority"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(PrioritySampleK)
     }),
 
     // token-budget selection billed in TRAINED-tokenizer tokens — q58's
@@ -1026,6 +1051,17 @@ object Curation {
          |  SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum FROM qt)
          |SELECT doc_id, n_tokens AS n_bpe_tokens, quality
          |FROM c, b WHERE cum <= budget""".stripMargin,
+
+    // seeded-hash integer priority race, k smallest (priority, doc_id)
+    "q118_priority_sample" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),
+         |m AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens FROM tk
+         |  WHERE len(tk) > 0),
+         |p AS (SELECT doc_id, n_tokens,
+         |  ${Hash60("CAST(doc_id AS VARCHAR)||'#13'")} // n_tokens AS priority
+         |  FROM m)
+         |SELECT doc_id, n_tokens, priority FROM p
+         |ORDER BY priority, doc_id LIMIT $PrioritySampleK""".stripMargin,
 
     "q58_token_budget" ->
       s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),

@@ -288,6 +288,26 @@ class CurationSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("q118 priority sample favors heavy documents and is deterministic") {
+    // 100 one-token docs vs 100 fifty-token docs: every heavy doc's
+    // priority lands under 2^60/50 while a light doc only gets there
+    // with probability 1/50 — the k=100 race should be nearly all heavy
+    val rows = (0 until 200).map { i =>
+      val t = if (i < 100) "solo" else ("w " * 50).trim
+      (i.toLong, t, "en")
+    }
+    val dir = corpus(rows)
+    val a = SparkEntry.queries("q118_priority_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.length === 100)
+    val heavy = a.count(_._2 == 50L)
+    assert(heavy > 70, s"size-weighted sample took only $heavy heavy docs")
+    val b = SparkEntry.queries("q118_priority_sample")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.toSeq === b.toSeq)
+    Caches.release(spark)
+  }
+
   test("q113 matches the reference cumsum with TRAINED tokens as the mass") {
     // q58's ranking, q90's unit: the reference selection ranks by the
     // same quality but charges each doc its ENCODED length (fetched

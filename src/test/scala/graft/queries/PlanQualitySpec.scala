@@ -166,6 +166,12 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q118 priority sample: TakeOrdered top-k, never a global sort") {
+    val p = plan("q118_priority_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    graft.Caches.release(spark)
+  }
+
   test("q112 source yield: equi-joined stage flags, map-combined report, no cartesian") {
     val p = execPlan("q112_source_yield")
     assert(!p.contains("CartesianProduct") &&
