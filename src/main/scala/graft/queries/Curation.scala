@@ -473,6 +473,36 @@ object Curation {
       packProfile(packAssignments(toks, 0L))
     }),
 
+    // pack MANIFEST — the artifact a dataloader actually consumes:
+    // q72's profile says how full each chunk is; the manifest says, for
+    // every (chunk, document) incidence, WHERE in the chunk the doc's
+    // token span sits (chunk_offset), where in the DOC it resumes
+    // (doc_offset — nonzero for straddler continuations), and how many
+    // tokens the span carries. A doc spanning chunks yields one row per
+    // touched chunk (a per-doc-bounded sequence explode over the shared
+    // [[packAssignments]] arithmetic — same cum, same chunk ids, so
+    // manifest and profile cannot disagree). Spans tile each chunk
+    // exactly (Σ n_span = 512 for every full chunk — spec-pinned).
+    "q119_pack_manifest" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .persist() // released by the consumer's Caches.release hook
+      packAssignments(toks, 0L)
+        .select(col("doc_id"), (col("cum") - col("n_tokens")).as("ds"),
+          col("cum").as("de"),
+          explode(sequence(col("chunk_id"), col("last_chunk"))).as("chunk_id"))
+        .select(col("chunk_id"), col("doc_id"),
+          (greatest(col("ds"), col("chunk_id") * PackCapacity) -
+            col("chunk_id") * PackCapacity).as("chunk_offset"),
+          (greatest(col("ds"), col("chunk_id") * PackCapacity) - col("ds"))
+            .as("doc_offset"),
+          (least(col("de"), (col("chunk_id") + 1) * PackCapacity) -
+            greatest(col("ds"), col("chunk_id") * PackCapacity))
+            .as("n_span_tokens"))
+    }),
+
     // deterministic epoch shuffle — the training-order primitive: every
     // document gets a stable pseudo-random POSITION (rank of its seeded
     // 60-bit hash), so a data loader reads the corpus in a shuffled
@@ -786,7 +816,8 @@ object Curation {
       case None =>
         // empty/untokenizable input: a defined empty assignment
         toks.select(col("doc_id"), col("n_tokens"),
-          lit(0L).as("chunk_id"), lit(0L).as("last_chunk")).limit(0)
+          lit(0L).as("chunk_id"), lit(0L).as("last_chunk"),
+          lit(0L).as("cum")).limit(0)
       case Some(r) =>
         val lo = r.getAs[Long]("lo")
         // integer `div` bucketing over the id range (exact at any id
@@ -806,10 +837,12 @@ object Curation {
             + lit(offset))
         // first/last chunk of each doc's [cum-n, cum) token interval;
         // all values non-negative, so `div` ≡ floor division in both
-        // engines
+        // engines. `cum` rides along for the manifest (q119) — profile
+        // consumers aggregate named columns and ignore it.
         cum.select(col("doc_id"), col("n_tokens"),
           expr(s"(cum - n_tokens) div ${PackCapacity}L").as("chunk_id"),
-          expr(s"(cum - 1L) div ${PackCapacity}L").as("last_chunk"))
+          expr(s"(cum - 1L) div ${PackCapacity}L").as("last_chunk"),
+          col("cum"))
     }
   }
 
@@ -1097,6 +1130,28 @@ object Curation {
          |  FROM documents),
          |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
          |${sqlPackTail()}""".stripMargin,
+
+    // the q72 cumsum, each doc's [ds, de) interval exploded over its
+    // touched chunks, per-row interval intersection arithmetic
+    "q119_pack_manifest" ->
+      s"""WITH tk AS (SELECT doc_id, len(${TextAnalysis.Toks}) AS n_tokens
+         |  FROM documents),
+         |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t),
+         |x AS (SELECT doc_id, cum - n_tokens AS ds, cum AS de,
+         |  unnest(range((cum - n_tokens) // $PackCapacity,
+         |    (cum - 1) // $PackCapacity + 1)) AS chunk_id
+         |  FROM c)
+         |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+         |  CAST(GREATEST(ds, chunk_id*$PackCapacity)
+         |    - chunk_id*$PackCapacity AS BIGINT) AS chunk_offset,
+         |  CAST(GREATEST(ds, chunk_id*$PackCapacity) - ds AS BIGINT) AS doc_offset,
+         |  CAST(LEAST(de, (chunk_id+1)*$PackCapacity)
+         |    - GREATEST(ds, chunk_id*$PackCapacity) AS BIGINT) AS n_span_tokens
+         |FROM x""".stripMargin,
 
     // q72's pack tail over q90's per-doc TRAINED-token counts — the
     // token source swaps, the pack SQL is byte-identical (sqlPackTail)

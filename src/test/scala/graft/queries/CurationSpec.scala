@@ -288,6 +288,54 @@ class CurationSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("q119 manifest tiles every chunk exactly and reassembles every doc") {
+    // 200 docs x 7 tokens = 1400 tokens over 512-token chunks: two full
+    // chunks plus a 376-token tail, with straddlers at both boundaries
+    val dir = corpus((0L until 200L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta", "en")))
+    val rows = SparkEntry.queries("q119_pack_manifest")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    Caches.release(spark)
+    // every doc's spans cover exactly its tokens, in doc order
+    rows.groupBy(_._2).foreach { case (doc, sp) =>
+      assert(sp.map(_._5).sum === 7L, s"doc $doc coverage")
+      val ordered = sp.sortBy(_._1)
+      assert(ordered.head._4 === 0L, s"doc $doc first span doc_offset")
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._4 === a._4 + a._5, s"doc $doc resume")
+        case _ =>
+      }
+    }
+    // every chunk tiles: contiguous spans from offset 0; full chunks
+    // carry exactly the capacity
+    val byChunk = rows.groupBy(_._1)
+    assert(byChunk.keySet === Set(0L, 1L, 2L))
+    byChunk.foreach { case (ch, sp) =>
+      val ordered = sp.sortBy(_._3)
+      assert(ordered.head._3 === 0L, s"chunk $ch starts at 0")
+      ordered.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 === a._3 + a._5, s"chunk $ch gap")
+        case _ =>
+      }
+      val total = sp.map(_._5).sum
+      assert(if (ch < 2L) total === 512L else total === 376L,
+        s"chunk $ch mass $total")
+    }
+    // cross-pin against q72's profile: docs STARTING in a chunk
+    // (doc_offset 0) are its n_docs / tokens_started
+    val prof = SparkEntry.queries("q72_sequence_pack")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Caches.release(spark)
+    byChunk.foreach { case (ch, sp) =>
+      val starters = sp.filter(_._4 == 0L)
+      assert(starters.length.toLong === prof(ch)._1, s"chunk $ch n_docs")
+      assert(starters.map(_._2).map(_ => 7L).sum === prof(ch)._2,
+        s"chunk $ch tokens_started")
+    }
+  }
+
   test("q118 priority sample favors heavy documents and is deterministic") {
     // 100 one-token docs vs 100 fifty-token docs: every heavy doc's
     // priority lands under 2^60/50 while a light doc only gets there

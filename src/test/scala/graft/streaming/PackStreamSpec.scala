@@ -43,8 +43,10 @@ class PackStreamSpec extends AnyFunSuite {
       q.processAllAvailable()
     } finally q.stop()
 
+    // incl. `cum`: the cursor-continued stream prefix sum must equal the
+    // batch operator's corpus-order prefix sum doc-for-doc
     val epochs = spark.read.parquet(s"$base/pack")
-      .select("doc_id", "n_tokens", "chunk_id", "last_chunk")
+      .select("doc_id", "n_tokens", "chunk_id", "last_chunk", "cum")
     // doc 40 (first of batch 2) continues chunk 2 (1480 div 512), which
     // batch 1's doc 39 started — the cursor carried mid-chunk state
     val d40 = epochs.filter($"doc_id" === 40L).head()
