@@ -473,6 +473,23 @@ object Curation {
       packProfile(packAssignments(toks, 0L))
     }),
 
+    // source × split dataset-card matrix — the table a data statement
+    // publishes (q80 profiles sources, q112 audits the pipeline funnel;
+    // this is the final composition card): per (source, q56 split),
+    // document count and token mass. Shared split Column + the shared
+    // whitespace tokenizer (null text → 0 tokens, still counted as a
+    // document — cards report every row); ONE map-combined aggregate,
+    // ≤ |sources|·3 rows.
+    "q120_source_split_card" -> ((s, dir) => {
+      Tables.wide(s, dir, "documents")
+        .select(col("source"),
+          splitCol(bucketCol(col("doc_id"))).as("split"),
+          coalesce(size(tokens(col("text"))).cast("long"), lit(0L))
+            .as("n_tokens"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+    }),
+
     // pack MANIFEST — the artifact a dataloader actually consumes:
     // q72's profile says how full each chunk is; the manifest says, for
     // every (chunk, document) incidence, WHERE in the chunk the doc's
@@ -1130,6 +1147,18 @@ object Curation {
          |  FROM documents),
          |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
          |${sqlPackTail()}""".stripMargin,
+
+    // shared split thresholds inline, null text folds to 0 tokens
+    "q120_source_split_card" ->
+      s"""WITH t AS (SELECT source,
+         |  CASE WHEN ${Hash("CAST(doc_id AS VARCHAR)")} % 100 < $TrainPct THEN 'train'
+         |       WHEN ${Hash("CAST(doc_id AS VARCHAR)")} % 100 < $ValPct THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  COALESCE(len(${TextAnalysis.Toks}), 0) AS n_tokens
+         |  FROM documents)
+         |SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+         |FROM t GROUP BY source, split""".stripMargin,
 
     // the q72 cumsum, each doc's [ds, de) interval exploded over its
     // touched chunks, per-row interval intersection arithmetic

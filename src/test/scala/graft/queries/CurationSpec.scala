@@ -288,6 +288,27 @@ class CurationSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("q120 card cells reconcile with q56 splits and conserve the corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val card = SparkEntry.queries("q120_source_split_card")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    Caches.release(spark)
+    // every document lands in exactly one cell
+    assert(card.map(_._3).sum === 500L)
+    // split marginals equal the q56 assignment's (shared Column — but
+    // the card must aggregate it faithfully)
+    val bySplit = card.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val q56 = SparkEntry.queries("q56_hash_split")(spark, dir)
+      .collect().groupBy(_.getString(2)).view.mapValues(_.length.toLong).toMap
+    Caches.release(spark)
+    assert(bySplit === q56)
+    // token mass is non-negative and positive wherever docs tokenize
+    card.foreach { case (s, sp, nd, tt) =>
+      assert(tt >= 0L && nd > 0L, s"cell ($s, $sp)")
+    }
+  }
+
   test("q119 manifest tiles every chunk exactly and reassembles every doc") {
     // 200 docs x 7 tokens = 1400 tokens over 512-token chunks: two full
     // chunks plus a 376-token tail, with straddlers at both boundaries
