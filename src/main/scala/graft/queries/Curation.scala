@@ -506,18 +506,29 @@ object Curation {
           size(tokens(col("text"))).cast("long").as("n_tokens"))
         .filter(col("n_tokens") > 0)
         .persist() // released by the consumer's Caches.release hook
-      packAssignments(toks, 0L)
-        .select(col("doc_id"), (col("cum") - col("n_tokens")).as("ds"),
-          col("cum").as("de"),
-          explode(sequence(col("chunk_id"), col("last_chunk"))).as("chunk_id"))
-        .select(col("chunk_id"), col("doc_id"),
-          (greatest(col("ds"), col("chunk_id") * PackCapacity) -
-            col("chunk_id") * PackCapacity).as("chunk_offset"),
-          (greatest(col("ds"), col("chunk_id") * PackCapacity) - col("ds"))
-            .as("doc_offset"),
-          (least(col("de"), (col("chunk_id") + 1) * PackCapacity) -
-            greatest(col("ds"), col("chunk_id") * PackCapacity))
-            .as("n_span_tokens"))
+      manifestRows(packAssignments(toks, 0L))
+    }),
+
+    // the SHUFFLED-order manifest — the one a training loader actually
+    // reads (epochs consume q81's shuffled stream, so the chunks it
+    // slices are q82's): the same [[manifestRows]] tail over the
+    // position-keyed assignment, then ONE equi-join back through the
+    // position map so every row carries the REAL doc_id a loader must
+    // fetch (positions are an order key, not an address).
+    "q121_shuffled_manifest" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+      val posMap = queries("q81_epoch_shuffle")(s, dir)
+        .join(toks, "doc_id")
+        .persist() // feeds the assignment AND the id re-key
+      val shuffled = posMap.select(col("pos").as("doc_id"), col("n_tokens"))
+      manifestRows(packAssignments(shuffled, 0L))
+        .withColumnRenamed("doc_id", "pos")
+        .join(posMap.select(col("pos"), col("doc_id")), "pos")
+        .select("chunk_id", "doc_id", "pos", "chunk_offset", "doc_offset",
+          "n_span_tokens")
     }),
 
     // deterministic epoch shuffle — the training-order primitive: every
@@ -863,6 +874,26 @@ object Curation {
     }
   }
 
+  /** The manifest tail over [[packAssignments]] rows: each doc's
+    * [cum−n, cum) interval exploded over its touched chunks (per-doc
+    * bounded), per-row interval intersection for the in-chunk offset,
+    * in-doc resume offset, and span length. Shared by the corpus-order
+    * (q119) and shuffled-order (q121) manifests.
+    */
+  private def manifestRows(assigned: DataFrame): DataFrame =
+    assigned
+      .select(col("doc_id"), (col("cum") - col("n_tokens")).as("ds"),
+        col("cum").as("de"),
+        explode(sequence(col("chunk_id"), col("last_chunk"))).as("chunk_id"))
+      .select(col("chunk_id"), col("doc_id"),
+        (greatest(col("ds"), col("chunk_id") * PackCapacity) -
+          col("chunk_id") * PackCapacity).as("chunk_offset"),
+        (greatest(col("ds"), col("chunk_id") * PackCapacity) - col("ds"))
+          .as("doc_offset"),
+        (least(col("de"), (col("chunk_id") + 1) * PackCapacity) -
+          greatest(col("ds"), col("chunk_id") * PackCapacity))
+          .as("n_span_tokens"))
+
   /** The q72 per-chunk profile over [[packAssignments]] rows — shared
     * with the streaming parity spec (stream epochs re-aggregate to the
     * batch profile through the SAME definition).
@@ -1175,6 +1206,34 @@ object Curation {
          |    (cum - 1) // $PackCapacity + 1)) AS chunk_id
          |  FROM c)
          |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
+         |  CAST(GREATEST(ds, chunk_id*$PackCapacity)
+         |    - chunk_id*$PackCapacity AS BIGINT) AS chunk_offset,
+         |  CAST(GREATEST(ds, chunk_id*$PackCapacity) - ds AS BIGINT) AS doc_offset,
+         |  CAST(LEAST(de, (chunk_id+1)*$PackCapacity)
+         |    - GREATEST(ds, chunk_id*$PackCapacity) AS BIGINT) AS n_span_tokens
+         |FROM x""".stripMargin,
+
+    // q82's position-ordered cumsum, q119's manifest tail, doc ids
+    // carried through the position map
+    "q121_shuffled_manifest" ->
+      s"""WITH h AS (SELECT doc_id,
+         |  ${Hash60(s"CAST(doc_id AS VARCHAR)||'#$ShuffleSeed'")} AS h
+         |  FROM documents),
+         |p AS (SELECT doc_id,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+         |  FROM h),
+         |tk AS (SELECT doc_id, len(${TextAnalysis.Toks}) AS n_tokens
+         |  FROM documents),
+         |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
+         |c AS (SELECT t.doc_id, p.pos, t.n_tokens,
+         |  CAST(SUM(t.n_tokens) OVER (ORDER BY p.pos
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t JOIN p USING (doc_id)),
+         |x AS (SELECT doc_id, pos, cum - n_tokens AS ds, cum AS de,
+         |  unnest(range((cum - n_tokens) // $PackCapacity,
+         |    (cum - 1) // $PackCapacity + 1)) AS chunk_id
+         |  FROM c)
+         |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id, pos,
          |  CAST(GREATEST(ds, chunk_id*$PackCapacity)
          |    - chunk_id*$PackCapacity AS BIGINT) AS chunk_offset,
          |  CAST(GREATEST(ds, chunk_id*$PackCapacity) - ds AS BIGINT) AS doc_offset,

@@ -357,6 +357,40 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q121 shuffled manifest: real doc ids, a true permutation, tiles as q82") {
+    val dir = corpus((0L until 200L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta", "en")))
+    val rows = SparkEntry.queries("q121_shuffled_manifest")(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    Caches.release(spark)
+    // every document appears under its REAL id with full coverage
+    assert(rows.map(_._2).toSet === (0L until 200L).toSet)
+    rows.groupBy(_._2).foreach { case (d, sp) =>
+      assert(sp.map(_._6).sum === 7L, s"doc $d coverage")
+    }
+    // positions are a permutation — and not the identity (it shuffles)
+    val posByDoc = rows.map(r => (r._2, r._3)).distinct
+    assert(posByDoc.map(_._2).toSet === (0L until 200L).toSet)
+    assert(posByDoc.exists { case (d, p) => d != p })
+    // chunks tile to capacity exactly as the corpus-order manifest
+    val byChunk = rows.groupBy(_._1)
+    assert(byChunk.keySet === Set(0L, 1L, 2L))
+    byChunk.foreach { case (ch, sp) =>
+      val total = sp.map(_._6).sum
+      assert(if (ch < 2L) total === 512L else total === 376L,
+        s"chunk $ch mass $total")
+    }
+    // cross-pin: rows starting in a chunk are q82's per-chunk n_docs
+    val prof = SparkEntry.queries("q82_shuffled_pack")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caches.release(spark)
+    byChunk.foreach { case (ch, sp) =>
+      assert(sp.count(_._5 == 0L).toLong === prof(ch), s"chunk $ch starters")
+    }
+  }
+
   test("q118 priority sample favors heavy documents and is deterministic") {
     // 100 one-token docs vs 100 fifty-token docs: every heavy doc's
     // priority lands under 2^60/50 while a light doc only gets there
