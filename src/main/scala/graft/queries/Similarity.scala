@@ -419,6 +419,50 @@ object Similarity {
           .as("cos"))
   }
 
+  /** Builds (once per session+dir) the staged IVF-PQ index — q35's cell
+    * assignment + q65's code assignment in one narrow pass, staged
+    * hash-bucketed on `cell` — and returns the table name. Shared by
+    * the single-query (q91) and batched (q122) serving paths.
+    */
+  private def ensureIvfPqIndex(s: SparkSession, dir: String,
+      cents: Array[(Int, Seq[Double], Double)],
+      books: Array[Array[Array[Double]]]): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val idxT = s"graft_q91_ivfpq_$tag"
+    if (!s.catalog.tableExists(idxT)) {
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        .filter(col("nrm") > 0) // zero-norm guard (see q28)
+      val ccosArr = zip_with(
+        graft.functions.VectorFunctions.vecDotMany(col("embedding"),
+          cents.flatMap(_._2).toArray, cents.length),
+        typedLit(cents.map(_._3).toSeq),
+        (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn)))
+      val dd = graft.functions.VectorFunctions.subspaceSqDists(
+        col("embedding"), books.flatten.flatten, PqM, books(0).length, PqSubDim)
+      val coded = e
+        .select(col("vec_id"), size(col("embedding")).as("dims"),
+          ccosArr.as("ccos"), dd.as("dall"))
+        .select(Seq(col("vec_id"), col("dims"),
+          (array_position(col("ccos"), array_max(col("ccos"))) - 1)
+            .cast("long").as("cell")) ++
+          (0 until PqM).map(m => element_at(col("dall"), m + 1).as(s"d$m")) ++
+          (0 until PqM).map(m =>
+            array_min(element_at(col("dall"), m + 1)).as(s"mn$m")): _*)
+        // codeless rows aren't in the index: non-64-dim vectors and
+        // null-ELEMENT vectors (no complete code word — the q67 guard)
+        .filter(col("dims") === 64)
+        .filter((0 until PqM).map(m => col(s"mn$m").isNotNull).reduce(_ && _))
+        .select(col("vec_id") +: col("cell") +:
+          (0 until PqM).map(m =>
+            (array_position(col(s"d$m"), col(s"mn$m")) - 1)
+              .cast("long").as(s"code$m")): _*)
+      graft.Bucketing.stage(coded, idxT, "cell", 8)
+    }
+    idxT
+  }
+
   /** The shared full-corpus IVF cell assignment — q35's argmax
     * discipline (cosine against the broadcast deterministic k-means
     * centroids, ties to the lowest cell) over every non-zero-norm
@@ -833,43 +877,9 @@ object Similarity {
     // a TakeOrdered top-k. No full-corpus scan, no shuffle, no
     // vector arithmetic at read time.
     "q91_ann_ivf_adc" -> ((s, dir) => {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val idxT = s"graft_q91_ivfpq_$tag"
       val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
       val books = pqCodebooks(s, dir)
-      if (!s.catalog.tableExists(idxT)) {
-        // build step: q35's cell assignment + q65's code assignment in
-        // one narrow pass, staged hash-bucketed on `cell`
-        val e = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
-          .filter(col("nrm") > 0) // zero-norm guard (see q28)
-        val ccosArr = zip_with(
-          graft.functions.VectorFunctions.vecDotMany(col("embedding"),
-            cents.flatMap(_._2).toArray, cents.length),
-          typedLit(cents.map(_._3).toSeq),
-          (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn)))
-        val dd = graft.functions.VectorFunctions.subspaceSqDists(
-          col("embedding"), books.flatten.flatten, PqM, books(0).length, PqSubDim)
-        val coded = e
-          .select(col("vec_id"), size(col("embedding")).as("dims"),
-            ccosArr.as("ccos"), dd.as("dall"))
-          .select(Seq(col("vec_id"), col("dims"),
-            (array_position(col("ccos"), array_max(col("ccos"))) - 1)
-              .cast("long").as("cell")) ++
-            (0 until PqM).map(m => element_at(col("dall"), m + 1).as(s"d$m")) ++
-            (0 until PqM).map(m =>
-              array_min(element_at(col("dall"), m + 1)).as(s"mn$m")): _*)
-          // codeless rows aren't in the index: non-64-dim vectors and
-          // null-ELEMENT vectors (no complete code word — the q67 guard)
-          .filter(col("dims") === 64)
-          .filter((0 until PqM).map(m => col(s"mn$m").isNotNull).reduce(_ && _))
-          .select(col("vec_id") +: col("cell") +:
-            (0 until PqM).map(m =>
-              (array_position(col(s"d$m"), col(s"mn$m")) - 1)
-                .cast("long").as(s"code$m")): _*)
-        graft.Bucketing.stage(coded, idxT, "cell", 8)
-      }
+      val idxT = ensureIvfPqIndex(s, dir, cents, books)
       // one bounded 1-row read: the query vector (a missing/degenerate
       // query empties the probe, never crashes — the q67 semantics)
       val qOpt = Tables(s, dir, "embeddings")
@@ -916,6 +926,82 @@ object Similarity {
                   (col(s"code$m") + 1).cast("int"))).reduce(_ + _).as("adc"))
             .orderBy(asc("adc"), asc("vec_id"))
             .limit(10)
+      }
+    }),
+
+    // BATCHED ANN serving — the production read shape q91 demonstrates
+    // for one query, for a whole query batch in ONE plan: a q95-style
+    // modulus query sample, per-query probe plans and ADC distance
+    // tables computed driver-side against the bounded centroid/codebook
+    // tables (the q91 discipline, ≤ sample-size rows read), the staged
+    // index scanned ONCE pruned to the UNION of probed cells (literal
+    // IN → bucket pruning), one broadcast equi-join fanning candidates
+    // out per query, the per-(query, code) distance via a sample-sized
+    // map literal, and the top-10 cut under a window PARTITIONED BY
+    // query — per-key top-k, never a global sort. Throughput scales
+    // with queries at one index scan, the reason batch serving exists.
+    "q122_ann_serve_batch" -> ((s, dir) => {
+      val cents = kmeansCentroids(s, dir)
+      val books = pqCodebooks(s, dir)
+      val idxT = ensureIvfPqIndex(s, dir, cents, books)
+      val n = Tables(s, dir, "embeddings").count()
+      val qmod = math.max(5L, (n + 7) / 8)
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      // the bounded query-sample read: q95's modulus, q91's guards
+      val qrows: Array[(Long, Array[Double])] = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % qmod === 0 && size(col("embedding")) === 64 &&
+          !exists(col("embedding"), _.isNull))
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .filter { case (_, v) => dot(v, v) > 0 }
+        .sortBy(_._1)
+      if (qrows.isEmpty) {
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("qid"), lit(null).cast("long").as("rnk"),
+            col("vec_id"), lit(null).cast("double").as("adc"))
+          .limit(0)
+      } else {
+        // per-query probe plan + m·k distance tables — the exact IEEE
+        // sequence of q91's driver half, once per sampled query
+        val probes: Seq[(Long, Long)] = qrows.toSeq.flatMap { case (qid, qv) =>
+          val qn = math.sqrt(dot(qv, qv))
+          cents.map { case (k, c, cn) =>
+              val cc = dot(qv, c.toArray) / (qn * cn)
+              (k.toLong, if (cc.isNaN) Double.PositiveInfinity else cc)
+            }.sortBy { case (k, cc) => (-cc, k) }.take(2)
+            .map(t => (qid, t._1)).toSeq
+        }
+        val dmap: Map[Long, Seq[Seq[Double]]] = qrows.map { case (qid, qv) =>
+          qid -> (0 until PqM).map { m =>
+            books(m).map { c =>
+              var d = 0.0; var i = 0
+              while (i < PqSubDim) {
+                val t = qv(m * PqSubDim + i) - c(i); d += t * t; i += 1
+              }
+              d
+            }.toSeq
+          }
+        }.toMap
+        import s.implicits._
+        val probesDf = probes.toDF("qid", "cell")
+        val cellsIn = probes.map(_._2).distinct
+        val dlit = typedLit(dmap)
+        val cand = s.table(idxT)
+          .filter(col("cell").isin(cellsIn.map(Long.box): _*))
+          .join(broadcast(probesDf), Seq("cell"))
+          .select(col("qid"), col("vec_id"),
+            (0 until PqM).map(m =>
+              element_at(element_at(element_at(dlit, col("qid")), m + 1),
+                (col(s"code$m") + 1).cast("int"))).reduce(_ + _).as("adc"))
+        val w = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
+        cand.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select("qid", "rnk", "vec_id", "adc")
       }
     }),
 
@@ -1838,6 +1924,48 @@ object Similarity {
          |FROM cells JOIN v ON v.vec_id = cells.vec_id
          |WHERE cells.cell IN (SELECT cent_id FROM qc) AND v.adc IS NOT NULL
          |ORDER BY v.adc, cells.vec_id LIMIT 10""".stripMargin,
+
+    // the q91 chain keyed by qid over the q95 query sample: per-query
+    // probe cells, per-(qid, m, k) distance tables, candidates
+    // restricted to probed cells, rank cut per qid
+    "q122_ann_serve_batch" ->
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |$sqlKmeans,
+         |a AS (SELECT e.vec_id, e.nrm, cq.cent_id,
+         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
+         |  FROM e CROSS JOIN cq),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
+         |qmodc AS (SELECT GREATEST(5, (count(*) + 7) // 8) AS qmod FROM embeddings),
+         |qids AS (SELECT vec_id AS qid FROM e, qmodc
+         |  WHERE vec_id % qmod = 0 AND len(embedding) = 64
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         |qc AS (SELECT qid, cent_id AS cell FROM
+         |  (SELECT q.qid, a.cent_id, ROW_NUMBER() OVER (PARTITION BY q.qid
+         |     ORDER BY a.ccos DESC, a.cent_id) AS rn
+         |   FROM qids q JOIN a ON a.vec_id = q.qid) t WHERE rn <= 2),
+         |$sqlPqChain,
+         |qsubs AS (SELECT p.vec_id AS qid, p.m, p.subv AS qsv
+         |  FROM pall p JOIN qids ON qids.qid = p.vec_id),
+         |tbl AS (SELECT q.qid, q.m, c.k, ${sqlSqDist("q.qsv", "c.cvec")} AS td
+         |  FROM qsubs q JOIN pc$KmeansIters c ON c.m = q.m),
+         |adcj AS (SELECT t.qid, b.vec_id, b.m, t.td
+         |  FROM pbest b JOIN tbl t ON t.m = b.m AND t.k = b.k),
+         |v AS (SELECT qid, vec_id,
+         |  ${(0 until PqM).map(m =>
+              s"MAX(CASE WHEN m = $m THEN td END)").mkString(" + ")} AS adc
+         |  FROM adcj GROUP BY qid, vec_id),
+         |cand AS (SELECT v.qid, v.vec_id, v.adc
+         |  FROM v JOIN cells ON cells.vec_id = v.vec_id
+         |  JOIN qc ON qc.qid = v.qid AND qc.cell = cells.cell
+         |  WHERE v.adc IS NOT NULL)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY adc, vec_id) AS rnk FROM cand) t
+         |WHERE rnk <= 10""".stripMargin,
 
     // the exact side is ranked over the full (sample × corpus) cos
     // relation, the IVF side over the same relation restricted to the

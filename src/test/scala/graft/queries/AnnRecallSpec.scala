@@ -212,6 +212,24 @@ class AnnRecallSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q122 batch serve reproduces q91's single-query answer for the shared query") {
+    // qid 0 is in the modulus sample (0 % qmod == 0) and q91 serves
+    // exactly that query — the batched plan must return the identical
+    // ranked top-10 for it, and a full top-10 for every sampled query
+    val single = run("q91_ann_ivf_adc").collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("adc"))).toSeq
+    spark.catalog.clearCache()
+    val batch = run("q122_ann_serve_batch").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    spark.catalog.clearCache()
+    val q0 = batch.filter(_._1 == 0L).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+    assert(q0 === single, "batch row for qid 0 must equal the q91 serve")
+    batch.groupBy(_._1).foreach { case (qid, rows) =>
+      assert(rows.length === 10, s"query $qid incomplete top-10")
+      assert(rows.map(_._2).sorted.toSeq === (1L to 10L), s"query $qid ranks")
+    }
+  }
+
   test("q95 audit rows agree with this spec's own q35 measurement for query 0") {
     val rows = run("q95_ann_recall_audit").collect()
       .map(r => r.getAs[Long]("query_id") ->

@@ -328,6 +328,33 @@ class PlanQualitySpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
+  test("q122 batch serve: ONE bucket-pruned index scan, per-query window, no cartesian") {
+    // the batched read path: the staged codes scan prunes to the UNION
+    // of probed cells, candidates fan out per query through a broadcast
+    // equi-join (never a nested loop), and the top-10 runs under a
+    // window partitioned by qid
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q122_ann_serve_batch")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the probe union covers most cells at this toy corpus, so assert
+      // the pruning MECHANISM (bucketed scan + pushed INSET on cell)
+      // rather than a prune count — at real scale 8×2 probed cells ≪
+      // √n cells and the same filter drops buckets (q91's single-query
+      // pin shows the count when the set is small)
+      assert(p.contains("Bucketed: true"), p.take(2000))
+      assert(p.contains("INSET"), p.take(2000))
+      assert(!p.contains("embeddings.parquet"),
+        "read path must scan the staged codes, not the raw vectors")
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(!p.contains("SinglePartition"), p.take(2000))
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("q47 length quartiles: row data only crosses the histogram shuffle; no row-level sort") {
     // the histogram formulation's contract: the corpus rows meet exactly
     // one exchange — the map-side-combined (lang, n_chars) count — and
