@@ -203,6 +203,12 @@ object Curation {
     */
   private[queries] val ShuffleSeed = 7
 
+  /** q123's output-shard fan-out: how many parallel files the packed
+    * corpus writes to. A writer-parallelism knob, not corpus-tracking —
+    * at 100 TB this is the number of output partitions per epoch dir.
+    */
+  private[queries] val ShardCount = 8L
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic train/val/test split: bucket = portable hash of the
     // document KEY mod 100 — not rand() (irreproducible), not row order
@@ -507,6 +513,35 @@ object Curation {
         .filter(col("n_tokens") > 0)
         .persist() // released by the consumer's Caches.release hook
       manifestRows(packAssignments(toks, 0L))
+    }),
+
+    // balanced output-shard plan — how a writer deals the packed corpus
+    // across [[ShardCount]] parallel output files: chunks (q72's
+    // uniform [[PackCapacity]]-token units) go round-robin,
+    // shard = chunk_id mod K. Dealing CHUNKS instead of documents is
+    // what makes the balance a property of the construction, not of the
+    // data: every shard receives ⌈C/K⌉ or ⌊C/K⌋ full chunks, so shard
+    // token masses differ by at most one chunk's capacity even under
+    // adversarial document-length skew (a doc-level deal inherits the
+    // corpus's length distribution; a greedy bin-pack is inherently
+    // sequential). The report a shard writer plans from: per shard, the
+    // chunk count, the distinct documents it must fetch, and the exact
+    // token mass. Plan shape: the shared [[packAssignments]] prefix sum
+    // + the per-doc-bounded [[manifestRows]] explode, then ONE
+    // map-combined aggregate to ≤ K rows (the distinct-counts expand on
+    // the manifest relation, already doc×chunk-bounded).
+    "q123_shard_plan" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .persist() // released by the consumer's Caches.release hook
+      manifestRows(packAssignments(toks, 0L))
+        .withColumn("shard", col("chunk_id") % ShardCount)
+        .groupBy("shard")
+        .agg(countDistinct("chunk_id").as("n_chunks"),
+          countDistinct("doc_id").as("n_docs"),
+          sum("n_span_tokens").as("token_mass"))
     }),
 
     // the SHUFFLED-order manifest — the one a training loader actually
@@ -1022,6 +1057,29 @@ object Curation {
        |    - (cum - n_tokens) // $PackCapacity + 1) AS BIGINT) AS max_span
        |FROM c GROUP BY 1""".stripMargin
 
+  /** The manifest interval-explode CTE `x` over a cum relation `c`
+    * (doc_id[, extras], n_tokens, cum) — each doc's [ds, de) token
+    * interval exploded over its touched chunks, the SQL mirror of
+    * [[manifestRows]]' explode. `extra` carries pass-through columns
+    * (q121's pos). Shared by the corpus-order manifest (q119), the
+    * shuffled manifest (q121), and the shard plan (q123).
+    */
+  private def sqlManifestX(extra: String = ""): String =
+    s"""x AS (SELECT doc_id,$extra cum - n_tokens AS ds, cum AS de,
+       |  unnest(range((cum - n_tokens) // $PackCapacity,
+       |    (cum - 1) // $PackCapacity + 1)) AS chunk_id
+       |  FROM c)""".stripMargin
+
+  /** The per-row interval-intersection span columns over `x` rows — the
+    * SQL mirror of [[manifestRows]]' arithmetic, shared by q119/q121.
+    */
+  private val sqlSpanCols: String =
+    s"""CAST(GREATEST(ds, chunk_id*$PackCapacity)
+       |    - chunk_id*$PackCapacity AS BIGINT) AS chunk_offset,
+       |  CAST(GREATEST(ds, chunk_id*$PackCapacity) - ds AS BIGINT) AS doc_offset,
+       |  CAST(LEAST(de, (chunk_id+1)*$PackCapacity)
+       |    - GREATEST(ds, chunk_id*$PackCapacity) AS BIGINT) AS n_span_tokens""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q56_hash_split" ->
       s"""WITH b AS (SELECT doc_id,
@@ -1201,17 +1259,28 @@ object Curation {
          |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          |  FROM t),
-         |x AS (SELECT doc_id, cum - n_tokens AS ds, cum AS de,
-         |  unnest(range((cum - n_tokens) // $PackCapacity,
-         |    (cum - 1) // $PackCapacity + 1)) AS chunk_id
-         |  FROM c)
+         |${sqlManifestX()}
          |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id,
-         |  CAST(GREATEST(ds, chunk_id*$PackCapacity)
-         |    - chunk_id*$PackCapacity AS BIGINT) AS chunk_offset,
-         |  CAST(GREATEST(ds, chunk_id*$PackCapacity) - ds AS BIGINT) AS doc_offset,
-         |  CAST(LEAST(de, (chunk_id+1)*$PackCapacity)
-         |    - GREATEST(ds, chunk_id*$PackCapacity) AS BIGINT) AS n_span_tokens
+         |  $sqlSpanCols
          |FROM x""".stripMargin,
+
+    // the shared manifest chain dealt round-robin across ShardCount
+    // shards — per-shard chunk count, fetch set, and exact token mass
+    "q123_shard_plan" ->
+      s"""WITH tk AS (SELECT doc_id, len(${TextAnalysis.Toks}) AS n_tokens
+         |  FROM documents),
+         |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t),
+         |${sqlManifestX()}
+         |SELECT CAST(chunk_id % $ShardCount AS BIGINT) AS shard,
+         |  CAST(COUNT(DISTINCT chunk_id) AS BIGINT) AS n_chunks,
+         |  CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(SUM(LEAST(de, (chunk_id+1)*$PackCapacity)
+         |    - GREATEST(ds, chunk_id*$PackCapacity)) AS BIGINT) AS token_mass
+         |FROM x GROUP BY 1""".stripMargin,
 
     // q82's position-ordered cumsum, q119's manifest tail, doc ids
     // carried through the position map
@@ -1229,16 +1298,9 @@ object Curation {
          |  CAST(SUM(t.n_tokens) OVER (ORDER BY p.pos
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
          |  FROM t JOIN p USING (doc_id)),
-         |x AS (SELECT doc_id, pos, cum - n_tokens AS ds, cum AS de,
-         |  unnest(range((cum - n_tokens) // $PackCapacity,
-         |    (cum - 1) // $PackCapacity + 1)) AS chunk_id
-         |  FROM c)
+         |${sqlManifestX(" pos,")}
          |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id, pos,
-         |  CAST(GREATEST(ds, chunk_id*$PackCapacity)
-         |    - chunk_id*$PackCapacity AS BIGINT) AS chunk_offset,
-         |  CAST(GREATEST(ds, chunk_id*$PackCapacity) - ds AS BIGINT) AS doc_offset,
-         |  CAST(LEAST(de, (chunk_id+1)*$PackCapacity)
-         |    - GREATEST(ds, chunk_id*$PackCapacity) AS BIGINT) AS n_span_tokens
+         |  $sqlSpanCols
          |FROM x""".stripMargin,
 
     // q72's pack tail over q90's per-doc TRAINED-token counts — the

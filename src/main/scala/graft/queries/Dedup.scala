@@ -321,6 +321,29 @@ object Dedup {
           col("cluster_size"), col("quality").as("keep_quality"))
     }),
 
+    // soft dedup — the REWEIGHTING alternative to dropping duplicates
+    // (q44/q105 keep one copy per component; this keeps every copy and
+    // divides its sampling mass by the component size, so a document
+    // duplicated k times contributes the same expected training mass as
+    // a unique one while retaining all k provenance rows — the
+    // "duplicates down-weighted, not destroyed" policy a pipeline wants
+    // when near-dups carry distinct metadata or licensing). Weights are
+    // integer parts-per-million (1e6 div cluster_size — exact on both
+    // engines; a float 1/k could never hash-match), so singletons weigh
+    // exactly 1e6 and a k-cluster's copies sum to ≤ 1e6 with the
+    // remainder a documented floor loss. Plan shape: the shared q43
+    // labels + ONE windowed count partitioned by cluster — each window
+    // sees one component's rows (bounded by the largest near-dup
+    // cluster, never corpus-wide), no self-join back.
+    "q127_soft_dedup" -> ((s, dir) => {
+      clusterLabels(s, dir)
+        .select(col("doc_id"), col("cluster_id"),
+          count(lit(1)).over(Window.partitionBy("cluster_id"))
+            .as("cluster_size"))
+        .withColumn("weight_ppm",
+          expr("CAST(1000000 div cluster_size AS BIGINT)"))
+    }),
+
     // link analysis beside the components: PageRank over the near-dup
     // pair graph (a document central to many near-dup relations is the
     // cluster's natural representative candidate — the ranking signal
@@ -447,6 +470,17 @@ object Dedup {
       s"""$sqlClusters
          |SELECT cluster_id AS keep_id, COUNT(*) AS cluster_size
          |FROM clusters GROUP BY cluster_id""".stripMargin,
+
+    // the same cluster CTE chain; weight = integer ppm floor-divide by
+    // the component's windowed count
+    "q127_soft_dedup" ->
+      s"""$sqlClusters
+         |SELECT doc_id, cluster_id,
+         |  CAST(COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |    AS cluster_size,
+         |  CAST(1000000 // COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |    AS weight_ppm
+         |FROM clusters""".stripMargin,
 
     // the SAME cluster CTE chain + q18's quality SQL verbatim, picked by
     // a per-cluster window (quality DESC NULLS LAST, doc_id)

@@ -502,6 +502,29 @@ object TextAnalysis {
           coalesce(col("n_bpe_tokens"), lit(0L)).as("n_bpe_tokens"))
     }),
 
+    // tokenizer fertility card — the evaluation a tokenizer owner reads
+    // before shipping a vocab: per source, how many trained-vocab tokens
+    // each whitespace word costs (fertility, integer per-mille — a
+    // vocabulary trained on one source mix inflates token budgets on
+    // another; sources whose fertility diverges are the ones the next
+    // training round re-mixes over). q90's encode verbatim (the SAME
+    // vocabulary-first chain — the card audits THE tokenizer, not a
+    // reimplementation) restricted to tokenizable docs, one source
+    // equi-join, ONE map-combined aggregate to ≤ |sources| rows; the
+    // per-mille floor-divide runs on the exact long sums, so the card
+    // cross-engine hash-matches (a float ratio could not).
+    "q126_tokenizer_fertility" -> ((s, dir) => {
+      val enc = queries("q90_bpe_encode")(s, dir).filter(col("n_words") > 0)
+      Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(enc, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_words").as("n_words"),
+          sum("n_bpe_tokens").as("n_bpe_tokens"))
+        .withColumn("fertility_pm",
+          expr("CAST((n_bpe_tokens * 1000) div n_words AS BIGINT)"))
+    }),
+
     // per-document repetition ratio: 1 − |distinct 2-grams|/|2-grams| —
     // the standard repeated-text corpus-quality signal. Narrow per-row
     // array ops, zero shuffles; the ratio guards empty/short docs (ANSI).
@@ -1621,6 +1644,19 @@ object TextAnalysis {
          |SELECT d.doc_id, COALESCE(pd.n_words, CAST(0 AS BIGINT)) AS n_words,
          |  COALESCE(pd.n_bpe_tokens, CAST(0 AS BIGINT)) AS n_bpe_tokens
          |FROM documents d LEFT JOIN pd ON pd.doc_id = d.doc_id""".stripMargin,
+
+    // the same encode chain grouped by source; per-mille floor-divide on
+    // the exact long sums (pd only holds docs with ≥1 word, matching the
+    // Spark side's n_words > 0 filter)
+    "q126_tokenizer_fertility" ->
+      s"""WITH $bpeEncodedCtes
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(pd.n_words) AS BIGINT) AS n_words,
+         |  CAST(SUM(pd.n_bpe_tokens) AS BIGINT) AS n_bpe_tokens,
+         |  CAST((SUM(pd.n_bpe_tokens) * 1000) // SUM(pd.n_words) AS BIGINT)
+         |    AS fertility_pm
+         |FROM pd JOIN documents d ON d.doc_id = pd.doc_id
+         |GROUP BY d.source""".stripMargin,
 
     "q41_repetition" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),

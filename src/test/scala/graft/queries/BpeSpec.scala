@@ -78,6 +78,26 @@ class BpeSpec extends AnyFunSuite {
       (3L, 1L, 1L)))
   }
 
+  test("q126 fertility: per-source trained-token cost over q90's encode") {
+    // the q90 fixture split across two sources (+ a null-text doc that
+    // must not count — an EMPTY string is one "" token under the shared
+    // tokenizer, so null is the true zero-word case): encoded ab->1,
+    // abc->1, abx->1, xy->2, so
+    // A: 2 docs, 5 words -> 5 tokens (fertility exactly 1000);
+    // B: 2 docs, 2 words -> 3 tokens (fertility 1500)
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-bpe").toString
+    Seq((0L, "ab ab ab", "A"), (1L, "abc abc", "A"),
+        (2L, "xy", "B"), (3L, "abx", "B"), (4L, null.asInstanceOf[String], "B"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q126_tokenizer_fertility")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    Caches.release(spark)
+    assert(got === Map("A" -> ((2L, 5L, 5L, 1000L)),
+      "B" -> ((2L, 2L, 3L, 1500L))))
+  }
+
   test("64-round training: checkpoint cadence bounds plan depth") {
     // one word of 68 distinct symbols (ASCII 33..126 minus uppercase,
     // which tokens() would lowercase-collide): every pair counts 1, so

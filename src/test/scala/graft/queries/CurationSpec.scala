@@ -49,7 +49,7 @@ class CurationSpec extends AnyFunSuite {
   for (q <- Seq("q56_hash_split", "q57_decontaminate",
       "q58_token_budget", "q59_stratified_sample", "q72_sequence_pack",
       "q79_split_leakage", "q81_epoch_shuffle", "q82_shuffled_pack",
-      "q85_curriculum_order"))
+      "q85_curriculum_order", "q123_shard_plan"))
     test(s"$q yields a defined empty result on an empty corpus") {
       val dir = corpus(Seq.empty)
       assert(SparkEntry.queries(q)(spark, dir).count() === 0L)
@@ -389,6 +389,35 @@ class CurationSpec extends AnyFunSuite {
     byChunk.foreach { case (ch, sp) =>
       assert(sp.count(_._5 == 0L).toLong === prof(ch), s"chunk $ch starters")
     }
+  }
+
+  test("q123 shard plan: the chunk deal balances token mass by construction") {
+    // 1000 docs x 7 tokens = 7000 tokens -> 14 chunks over 8 shards:
+    // shards 0..5 take 2 chunks, 6..7 take 1 — balance is a property of
+    // the round-robin, not of the document length distribution
+    val dir = corpus((0L until 1000L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta", "en")))
+    val got = SparkEntry.queries("q123_shard_plan")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    Caches.release(spark)
+    assert(got.keySet === (0L until 8L).toSet)
+    assert(got.filter(_._2._1 == 2L).keySet === (0L until 6L).toSet,
+      s"chunk deal: $got")
+    // shard masses conserve the corpus and differ by at most one chunk
+    val masses = got.values.map(_._3)
+    assert(masses.sum === 7000L)
+    assert(masses.max - masses.min <= 512L)
+    // cross-pin: per-shard mass and fetch set equal the q119 manifest
+    // grouped under the same deal
+    val manifest = SparkEntry.queries("q119_pack_manifest")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(4)))
+    Caches.release(spark)
+    val bySh = manifest.groupBy(_._1 % 8L)
+    assert(got.map { case (k, v) => k -> v._3 } ===
+      bySh.map { case (sh, rows) => sh -> rows.map(_._3).sum })
+    assert(got.map { case (k, v) => k -> v._2 } ===
+      bySh.map { case (sh, rows) => sh -> rows.map(_._2).distinct.length.toLong })
   }
 
   test("q118 priority sample favors heavy documents and is deterministic") {

@@ -162,6 +162,33 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q127 soft-dedup: cluster copies split a singleton's mass; floors documented") {
+    // three verbatim copies (one component) + a singleton: members weigh
+    // 1e6 div 3 = 333333 ppm each (the floor loss is the documented
+    // remainder), the singleton exactly 1e6
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-soft").toString
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((10L, t), (11L, t), (12L, t),
+        (99L, "completely different content about spark catalyst planning"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = graft.SparkEntry.queries("q127_soft_dedup")(spark, d)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size"),
+          r.getAs[Long]("weight_ppm")))).toMap
+    assert(got === Map(
+      10L -> ((10L, 3L, 333333L)), 11L -> ((10L, 3L, 333333L)),
+      12L -> ((10L, 3L, 333333L)), 99L -> ((99L, 1L, 1000000L))))
+    // the policy's conservation property: each component's weighted mass
+    // is 1e6 up to the floor remainder (< cluster_size ppm)
+    got.values.groupBy(_._1).foreach { case (_, members) =>
+      val k = members.head._2
+      val total = members.map(_._3).sum
+      assert(total <= 1000000L && 1000000L - total < k, s"cluster mass $total")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q69 planted graph: clique members share a rank above the isolated doc's base") {
     // three verbatim copies form a triangle in the q27 pair graph (every
     // pair hamming 0); the singleton receives no contributions, so its
