@@ -350,6 +350,35 @@ object Curation {
     // its mass column. The q90 encode stays vocabulary-first (each
     // distinct word pays the merge chain once); the stitch is one
     // doc_id equi-join.
+    // calibration-fair budget selection — q58's "best docs up to half
+    // the token mass" admits by RAW quality, which silently tilts the
+    // budget toward whichever source's scorer runs hot (a crawl whose
+    // boilerplate inflates stopword ratios outbids a cleaner source for
+    // every slot). q124 admits by [[sourceCalibrated]]'s within-source
+    // percentile instead: each source's k-th-best documents tie across
+    // sources, so the budget drains strata evenly by RANK — the
+    // cross-source fairness policy (quantile normalization) a mixture
+    // owner applies before a global cut. The SAME audited
+    // `budgetedPrefixSelect` runs unchanged over the calibrated rank
+    // (the third ranking key after q58's quality and q107's DSIR
+    // importance); global semantics = the oracle's one cumsum over
+    // (cal_pm DESC, doc_id) ≤ half the corpus token mass. Calibrated
+    // ties across sources are REAL here (every source's best doc scores
+    // exactly 1e6), so the boundary tie group machinery earns its keep.
+    "q124_calibrated_select" -> ((s, dir) => {
+      val scored = sourceCalibrated(Tables(s, dir, "documents"))
+        .select(col("doc_id"), col("n_tokens"),
+          col("cal_pm").cast("double").as("rank"))
+        .persist()
+      // cal_pm ∈ (0, 1e6]; rank DESC ⇒ cell 0 holds the top percentile
+      val cell = least(lit(QualityCells - 1), greatest(lit(0),
+        floor((lit(1000000.0) - col("rank")) / lit(1000000.0)
+          * QualityCells).cast("int")))
+      budgetedPrefixSelect(scored, cell, _ / 2)
+        .select(col("doc_id"), col("n_tokens"),
+          col("rank").cast("long").as("cal_pm"))
+    }),
+
     "q113_trained_budget" -> ((s, dir) => {
       val q = scoredTokens(Tables(s, dir, "documents"))
         .select(col("doc_id"), col("quality").as("rank"))
@@ -805,6 +834,55 @@ object Curation {
     * read). Returns (positions DataFrame offset by `offset`, ranked row
     * count — the cursor advance).
     */
+  /** q124's per-source calibrated quality: each tokenizable document's
+    * within-source rank under (quality DESC, doc_id), rescaled to an
+    * integer per-million of its source — cal_pm = ((n_s − r)·1e6) div
+    * n_s ∈ (0, 1e6], so a document's score states "I beat this fraction
+    * of MY stratum" and scores compare across sources whose raw quality
+    * distributions are shifted against each other. Plan shape: the q85
+    * bucketed-rank discipline PER STRATUM — rank keyed on
+    * (source, quality-grid cell), in-cell partitioned ROW_NUMBER +
+    * driver exclusive offsets over the per-(source, cell) counts (ONE
+    * bounded driver read, ≤ |sources|·[[QualityCells]] rows — strata
+    * are a bounded dimension, the corpus is not), never a per-source
+    * single-task sort. Returns (doc_id, n_tokens, cal_pm); `base`
+    * persists for the two passes and is released by the consumer's
+    * Caches.release hook.
+    */
+  private[graft] def sourceCalibrated(docs: DataFrame): DataFrame = {
+    val cell = least(lit(QualityCells - 1), greatest(lit(0),
+      floor((lit(1.0) - col("quality")) * QualityCells).cast("int")))
+    val base = scoredTokens(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .withColumn("cell", cell).persist()
+    val totals = base.groupBy("source", "cell").agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    if (totals.isEmpty)
+      base.select(col("doc_id"), col("n_tokens"), lit(0L).as("cal_pm"))
+        .limit(0)
+    else {
+      // per-source exclusive offsets over the cell decomposition, keyed
+      // "source#cell" for the one map-literal rejoin; source sizes ride
+      // the same collected rows — no extra job
+      val off: Map[String, Long] = totals.groupBy(_._1).flatMap {
+        case (src, cs) =>
+          exclusiveOffsets(cs.map(c => c._2 -> c._3))
+            .map { case (cellId, o) => s"$src#$cellId" -> o }
+      }
+      val nS: Map[String, Long] = totals.groupBy(_._1)
+        .map { case (src, cs) => src -> cs.map(_._3).sum }
+      val w = Window.partitionBy("source", "cell")
+        .orderBy(desc("quality"), asc("doc_id"))
+      base.select(col("doc_id"), col("n_tokens"), col("source"), col("cell"),
+          (row_number().over(w) - 1).cast("long").as("r0"))
+        .withColumn("r", col("r0") + element_at(typedLit(off),
+          concat(col("source"), lit("#"), col("cell").cast("string"))))
+        .withColumn("n_s", element_at(typedLit(nS), col("source")))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("CAST(((n_s - r) * 1000000) div n_s AS BIGINT)").as("cal_pm"))
+    }
+  }
+
   private[graft] def curriculumPositions(scored: DataFrame, offset: Long)
       : (DataFrame, Long) = {
     val cell = least(lit(QualityCells - 1), greatest(lit(0),
@@ -1215,6 +1293,33 @@ object Curation {
          |c AS (SELECT doc_id, n_tokens, quality,
          |  SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum FROM t)
          |SELECT doc_id, n_tokens, quality FROM c, b WHERE cum <= budget""".stripMargin,
+
+    // q58's quality chain joined to source, the within-source window
+    // rank rescaled to integer per-million, ONE global cumsum over
+    // (cal_pm DESC, doc_id) against half the corpus token mass — the
+    // rank windows are per-source semantics (the Spark side distributes
+    // them over the (source, cell) grid exactly as q58/q85 do)
+    "q124_calibrated_select" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),
+         |m AS (SELECT doc_id, len(tk) AS n_tokens,
+         |  len(list_filter(tk, x -> x IN ${TextAnalysis.sqlStops("en")})) AS stops
+         |  FROM tk),
+         |t AS (SELECT doc_id, n_tokens,
+         |  (CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.4
+         |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality
+         |  FROM m WHERE n_tokens > 0),
+         |s AS (SELECT t.doc_id, d.source, t.n_tokens, t.quality
+         |  FROM t JOIN documents d USING (doc_id)),
+         |r AS (SELECT doc_id, n_tokens,
+         |  CAST(((COUNT(*) OVER (PARTITION BY source)
+         |      - (ROW_NUMBER() OVER (PARTITION BY source
+         |          ORDER BY quality DESC, doc_id) - 1)) * 1000000)
+         |    // COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS cal_pm
+         |  FROM s),
+         |b AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // 2 AS budget FROM r),
+         |c AS (SELECT doc_id, n_tokens, cal_pm,
+         |  SUM(n_tokens) OVER (ORDER BY cal_pm DESC, doc_id) AS cum FROM r)
+         |SELECT doc_id, n_tokens, cal_pm FROM c, b WHERE cum <= budget""".stripMargin,
 
     "q59_stratified_sample" ->
       s"""WITH c AS (SELECT lang, COUNT(*) AS n_l FROM documents GROUP BY lang),

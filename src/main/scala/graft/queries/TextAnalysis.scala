@@ -26,6 +26,12 @@ object TextAnalysis {
     */
   val MaxBucketDocs = 50
 
+  /** q125's containment admission: a directed pair is flagged when ≥
+    * this per-mille of the inner doc's distinct 3-grams appear in the
+    * outer doc — the standard 0.8 sub-document duplication bar.
+    */
+  val ContainPm = 800L
+
   /** q99 winnowing window: each run of this many consecutive shingle
     * hashes contributes its minimum to the document fingerprint
     * (Schleimer/Wilkerson/Aiken's winnowing guarantee: any shared
@@ -330,6 +336,40 @@ object TextAnalysis {
     (x.toLong, p)
   }
 
+  /** q22's staged hashed-gram relation (g3 = word-3-gram hashes for the
+    * similarity measure, g6 = word-6-gram candidate keys; persisted —
+    * the consumer's Caches.release hook frees it) plus the capped
+    * 6-gram candidate pairs, factored so the Jaccard (q22) and
+    * containment (q125) pair queries share ONE definition of
+    * "candidate". Bucket-frequency cap: the semi join keeps only keys
+    * under [[MaxBucketDocs]]; the count is a two-phase agg on the same
+    * key the self-join shuffles on, so the extra pass is one
+    * map-side-combined aggregation, and the worst bucket after it is
+    * MaxBucketDocs² pairs, not n².
+    */
+  private def gramPairStage(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val docs = Tables.wide(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        array_distinct(wordNgrams(col("tk"), 3)).as("g3s"),
+        array_distinct(wordNgrams(col("tk"), 6)).as("g6s"))
+      .select(col("doc_id"),
+        transform(col("g3s"), g => portableHash(g)).as("g3"),
+        transform(col("g6s"), g => portableHash(g)).as("g6"))
+      .persist() // gram sets feed the candidate self-join + two lookups
+    val keys = docs.select(col("doc_id"), explode(col("g6")).as("g"))
+    val rareKeys = keys.groupBy("g")
+      .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxBucketDocs)
+      .select("g")
+    val capped = keys.join(rareKeys, Seq("g"), "left_semi")
+    val cand = capped.alias("a").join(capped.alias("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    (docs, cand)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // language-ID: stopword-hit argmax with fixed tie-break priority
     "q17_lang_id" -> ((s, dir) => {
@@ -400,28 +440,7 @@ object TextAnalysis {
     // so counts match exactly (a 32-bit collision would merge the same
     // pair of grams in both engines).
     "q22_ngram_jaccard" -> ((s, dir) => {
-      val docs = Tables.wide(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .select(col("doc_id"),
-          array_distinct(wordNgrams(col("tk"), 3)).as("g3s"),
-          array_distinct(wordNgrams(col("tk"), 6)).as("g6s"))
-        .select(col("doc_id"),
-          transform(col("g3s"), g => portableHash(g)).as("g3"),
-          transform(col("g6s"), g => portableHash(g)).as("g6"))
-        .persist() // gram sets feed the candidate self-join + two lookups
-      val keys = docs.select(col("doc_id"), explode(col("g6")).as("g"))
-      // bucket-frequency cap: the semi join keeps only keys under the cap;
-      // the count is a two-phase agg on the same key the self-join shuffles
-      // on, so the extra pass is one map-side-combined aggregation, and the
-      // worst bucket after it is MaxBucketDocs² pairs, not n².
-      val rareKeys = keys.groupBy("g")
-        .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxBucketDocs)
-        .select("g")
-      val capped = keys.join(rareKeys, Seq("g"), "left_semi")
-      val cand = capped.alias("a").join(capped.alias("b"),
-          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
+      val (docs, cand) = gramPairStage(s, dir)
       val withSets = cand
         .join(docs.select(col("doc_id").as("doc_a"), col("g3").as("ga")), "doc_a")
         .join(docs.select(col("doc_id").as("doc_b"), col("g3").as("gb")), "doc_b")
@@ -432,6 +451,42 @@ object TextAnalysis {
         .withColumn("jaccard", col("inter").cast("double") / col("uni").cast("double"))
         .filter(col("jaccard") >= 0.2)
         .select("doc_a", "doc_b", "inter", "uni", "jaccard")
+    }),
+
+    // asymmetric gram containment — the sub-document duplication signal
+    // symmetric Jaccard (q22) structurally misses: a 10-gram snippet
+    // quoted inside a 1000-gram page has Jaccard ~0.01 (never clears any
+    // symmetric bar) but containment 1.0. Per DIRECTED pair where ≥
+    // [[ContainPm]]‰ of the inner doc's distinct 3-grams appear in the
+    // outer doc: the boilerplate-envelope / quoted-snippet / subset-page
+    // detector a scrub pipeline runs beside the near-dup pass. The SAME
+    // [[gramPairStage]] candidates (capped 6-gram equi-join — a
+    // contained doc shares all its 6-grams, so true subsets always
+    // collide; work ∝ collisions, never n²), one intersection per
+    // UNORDERED pair, then both directions emitted from the same row
+    // (an inline explode, no second join or re-intersection). Integer
+    // per-mille on the exact gram counts — cross-engine hash-exact.
+    "q125_gram_containment" -> ((s, dir) => {
+      val (docs, cand) = gramPairStage(s, dir)
+      val withSets = cand
+        .join(docs.select(col("doc_id").as("doc_a"), col("g3").as("ga")), "doc_a")
+        .join(docs.select(col("doc_id").as("doc_b"), col("g3").as("gb")), "doc_b")
+        .withColumn("inter", size(array_intersect(col("ga"), col("gb"))).cast("long"))
+        .select(col("doc_a"), col("doc_b"), col("inter"),
+          size(col("ga")).cast("long").as("na"),
+          size(col("gb")).cast("long").as("nb"))
+      withSets
+        .select(explode(array(
+          struct(col("doc_a").as("inner_doc"), col("doc_b").as("outer_doc"),
+            col("inter"), col("na").as("n_inner")),
+          struct(col("doc_b").as("inner_doc"), col("doc_a").as("outer_doc"),
+            col("inter"), col("nb").as("n_inner")))).as("e"))
+        .select("e.*")
+        // a div n ≥ k ⟺ a ≥ k·n for positive ints — candidates imply
+        // ≥ 6 tokens, so n_inner ≥ 4 > 0
+        .filter(col("inter") * 1000L >= lit(ContainPm) * col("n_inner"))
+        .withColumn("containment_pm",
+          expr("CAST((inter * 1000) div n_inner AS BIGINT)"))
     }),
 
     // corpus vocabulary: top-20 tokens by document frequency. The corpus-
@@ -1415,6 +1470,28 @@ object TextAnalysis {
   private[queries] val SqlHash = (e: String) => sqlHashPrefix(e, 8)
   private[queries] val SqlHash60 = (e: String) => sqlHashPrefix(e, 15)
 
+  /** [[gramPairStage]]'s SQL mirror: the tokenize → hashed-gram →
+    * capped-candidate chain through the per-doc gram relation `g` and
+    * the unordered candidate pairs `cand` — ONE definition shared by
+    * the Jaccard (q22) and containment (q125) pair oracles.
+    */
+  private lazy val sqlGramCandCtes: String =
+    s"""t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |gs AS (SELECT doc_id,
+       |  list_distinct(CASE WHEN len(tk) < 3 THEN []
+       |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2] for i in range(1, len(tk)-2+1)] END) AS g3s,
+       |  list_distinct(CASE WHEN len(tk) < 6 THEN []
+       |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]
+       |          for i in range(1, len(tk)-5+1)] END) AS g6s FROM t),
+       |g AS (SELECT doc_id,
+       |  list_transform(g3s, x -> ${SqlHash("x")}) AS g3,
+       |  list_transform(g6s, x -> ${SqlHash("x")}) AS g6 FROM gs),
+       |k AS (SELECT doc_id, unnest(g6) AS gg FROM g),
+       |rare AS (SELECT gg FROM k GROUP BY gg HAVING COUNT(*) <= $MaxBucketDocs),
+       |kc AS (SELECT k.doc_id, k.gg FROM k JOIN rare USING (gg)),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM kc a JOIN kc b ON a.gg = b.gg AND a.doc_id < b.doc_id)""".stripMargin
+
   /** q87/q90 oracle fragments — ONE SQL text for the trainer and the
     * encoder built on it, so they cannot drift. [[bpeV0]] is the
     * (word, n, s) vocabulary CTE prefix (tk kept with doc_id so the
@@ -1592,21 +1669,7 @@ object TextAnalysis {
         |FROM documents GROUP BY sha256(text)""".stripMargin,
 
     "q22_ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
-         |gs AS (SELECT doc_id,
-         |  list_distinct(CASE WHEN len(tk) < 3 THEN []
-         |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2] for i in range(1, len(tk)-2+1)] END) AS g3s,
-         |  list_distinct(CASE WHEN len(tk) < 6 THEN []
-         |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]
-         |          for i in range(1, len(tk)-5+1)] END) AS g6s FROM t),
-         |g AS (SELECT doc_id,
-         |  list_transform(g3s, x -> ${SqlHash("x")}) AS g3,
-         |  list_transform(g6s, x -> ${SqlHash("x")}) AS g6 FROM gs),
-         |k AS (SELECT doc_id, unnest(g6) AS gg FROM g),
-         |rare AS (SELECT gg FROM k GROUP BY gg HAVING COUNT(*) <= $MaxBucketDocs),
-         |kc AS (SELECT k.doc_id, k.gg FROM k JOIN rare USING (gg)),
-         |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM kc a JOIN kc b ON a.gg = b.gg AND a.doc_id < b.doc_id),
+      s"""WITH $sqlGramCandCtes,
          |j AS (SELECT doc_a, doc_b,
          |  len(list_filter(x.g3, e -> list_contains(y.g3, e))) AS inter,
          |  len(x.g3) + len(y.g3)
@@ -1615,6 +1678,22 @@ object TextAnalysis {
          |SELECT doc_a, doc_b, inter, uni,
          |  CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
          |FROM j WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= 0.2""".stripMargin,
+
+    // the shared candidate CTEs, one intersection per unordered pair,
+    // both directions unioned, the integer per-mille bar
+    "q125_gram_containment" ->
+      s"""WITH $sqlGramCandCtes,
+         |j AS (SELECT doc_a, doc_b,
+         |  CAST(len(list_filter(x.g3, e -> list_contains(y.g3, e))) AS BIGINT)
+         |    AS inter,
+         |  CAST(len(x.g3) AS BIGINT) AS na, CAST(len(y.g3) AS BIGINT) AS nb
+         |  FROM cand JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b),
+         |d AS (SELECT doc_a AS inner_doc, doc_b AS outer_doc, inter,
+         |    na AS n_inner FROM j
+         |  UNION ALL SELECT doc_b, doc_a, inter, nb FROM j)
+         |SELECT inner_doc, outer_doc, inter, n_inner,
+         |  CAST((inter * 1000) // n_inner AS BIGINT) AS containment_pm
+         |FROM d WHERE inter * 1000 >= $ContainPm * n_inner""".stripMargin,
 
     "q40_vocab_topk" ->
       s"""WITH t AS (SELECT doc_id, list_distinct($Toks) AS tk FROM documents),

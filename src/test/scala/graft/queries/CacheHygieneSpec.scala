@@ -41,7 +41,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q111_media_clusters", "q112_source_yield", "q113_trained_budget",
     "q114_chunk_scrubbed", "q115_source_centroids", "q117_ivf_health",
     "q119_pack_manifest", "q121_shuffled_manifest", "q122_ann_serve_batch",
-    "q123_shard_plan", "q126_tokenizer_fertility", "q127_soft_dedup")
+    "q123_shard_plan", "q124_calibrated_select", "q125_gram_containment",
+    "q126_tokenizer_fertility", "q127_soft_dedup")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

@@ -391,6 +391,39 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("q124 yields a defined empty result on an empty corpus") {
+    assert(SparkEntry.queries("q124_calibrated_select")(
+      spark, corpusWithSource(Seq.empty)).count() === 0L)
+    Caches.release(spark)
+  }
+
+  test("q124 calibrated selection drains strata by rank where q58 drains by raw score") {
+    // source A: five 50-token docs (quality 0.6); source B: five 10-token
+    // docs (quality 0.12). Budget = half of 300 = 150 tokens.
+    // q58 (raw quality) lets A monopolize the budget: {0,2,4}, zero B.
+    // q124 (within-source percentile): each source's k-th best documents
+    // TIE at ((5-k)·1e6) div 5, so the cumsum over (cal_pm DESC, doc_id)
+    // interleaves strata — two docs from EACH source fit the same budget.
+    def words(i: Long, n: Int) =
+      (0 until n).map(j => s"w${i}x$j").mkString(" ")
+    val rows = (0L until 10L).map { i =>
+      val n = if (i % 2 == 0) 50 else 10
+      (i, words(i, n), "en", if (i % 2 == 0) "A" else "B")
+    }
+    val dir = corpusWithSource(rows)
+    val got = SparkEntry.queries("q124_calibrated_select")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    Caches.release(spark)
+    assert(got === Set((0L, 50L, 1000000L), (1L, 10L, 1000000L),
+      (2L, 50L, 800000L), (3L, 10L, 800000L)), got)
+    // the raw-quality baseline on the SAME corpus: all-A, the bias q124
+    // exists to remove (if this drifts, the contrast claim is stale)
+    val q58 = SparkEntry.queries("q58_token_budget")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    Caches.release(spark)
+    assert(q58 === Set(0L, 2L, 4L), s"raw-quality baseline drifted: $q58")
+  }
+
   test("q123 shard plan: the chunk deal balances token mass by construction") {
     // 1000 docs x 7 tokens = 7000 tokens -> 14 chunks over 8 shards:
     // shards 0..5 take 2 chunks, 6..7 take 1 — balance is a property of

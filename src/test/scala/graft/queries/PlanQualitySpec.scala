@@ -502,6 +502,29 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q58 persists its scored projection
   }
 
+  test("q123 shard plan: q72's bucketed prefix sum — no single partition") {
+    val p = execPlan("q123_shard_plan")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark) // q123 persists its token projection
+  }
+
+  test("q124 calibrated selection: stratum-cell windows only, never a global rank") {
+    // the per-source percentile must come from (source, cell)-partitioned
+    // ROW_NUMBERs + driver offsets — a per-source global rank would be a
+    // one-task sort per stratum (the q58 defect class, per source)
+    val p = execPlan("q124_calibrated_select")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark) // q124 persists base + scored projections
+  }
+
+  test("q125 containment: capped equi-join candidates, never a nested loop") {
+    val p = plan("q125_gram_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    graft.Caches.release(spark) // q125 persists the shared gram relation
+  }
+
   test("q58 construction runs exactly three bounded driver actions") {
     // the distributed prefix sum's driver half is three accounting reads:
     // cell totals (whose sum is the corpus token mass — no separate
