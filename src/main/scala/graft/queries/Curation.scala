@@ -209,6 +209,13 @@ object Curation {
     */
   private[queries] val ShardCount = 8L
 
+  /** q129's checksum modulus (2^61 − 1, a Mersenne prime) and hash-seed.
+    * The per-row 60-bit hashes accumulate in decimal(38,0) — exact to
+    * ~10^20 rows — and reduce mod P to one comparable BIGINT.
+    */
+  private[queries] val ChecksumMod = 2305843009213693951L
+  private[queries] val ChecksumSeed = 11
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // deterministic train/val/test split: bucket = portable hash of the
     // document KEY mod 100 — not rand() (irreproducible), not row order
@@ -593,6 +600,27 @@ object Curation {
         .join(posMap.select(col("pos"), col("doc_id")), "pos")
         .select("chunk_id", "doc_id", "pos", "chunk_offset", "doc_offset",
           "n_span_tokens")
+    }),
+
+    // manifest integrity checksum — the one-row receipt a loader fleet
+    // verifies before an epoch starts: n_rows plus an ORDER-INDEPENDENT
+    // modular sum of per-row 60-bit hashes over the q121 manifest (any
+    // shard, any partition order, any fetch schedule folds to the same
+    // value — a positional checksum would force a global sort to verify).
+    // A manifest corrupted in transit, truncated by a partial write, or
+    // regenerated under a drifted seed changes the checksum; the planner
+    // publishes this row beside the manifest and every consumer re-folds
+    // it locally. Accumulation in decimal(38,0) (exact to ~10^20 rows),
+    // ONE map-combined aggregate past the shared manifest build; the
+    // cross-engine match of the checksum itself doubles as a row-exact
+    // equality proof of the two engines' manifests.
+    "q129_manifest_checksum" -> ((s, dir) => {
+      val row = concat_ws("#", col("chunk_id"), col("doc_id"), col("pos"),
+        col("chunk_offset"), col("doc_offset"), col("n_span_tokens"))
+      queries("q121_shuffled_manifest")(s, dir)
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(portableHash60(row, ChecksumSeed).cast("decimal(38,0)"))
+            % lit(ChecksumMod)).cast("long").as("checksum"))
     }),
 
     // deterministic epoch shuffle — the training-order primitive: every
@@ -1158,6 +1186,30 @@ object Curation {
        |  CAST(LEAST(de, (chunk_id+1)*$PackCapacity)
        |    - GREATEST(ds, chunk_id*$PackCapacity) AS BIGINT) AS n_span_tokens""".stripMargin
 
+  /** The full q121 oracle (q82's position-ordered cumsum, the shared
+    * [[sqlManifestX]] explode, doc ids re-keyed through the position
+    * map) — a val so the checksum oracle (q129) wraps the IDENTICAL
+    * text as a CTE.
+    */
+  private lazy val sqlShuffledManifest: String =
+    s"""WITH h AS (SELECT doc_id,
+       |  ${Hash60(s"CAST(doc_id AS VARCHAR)||'#$ShuffleSeed'")} AS h
+       |  FROM documents),
+       |p AS (SELECT doc_id,
+       |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
+       |  FROM h),
+       |tk AS (SELECT doc_id, len(${TextAnalysis.Toks}) AS n_tokens
+       |  FROM documents),
+       |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
+       |c AS (SELECT t.doc_id, p.pos, t.n_tokens,
+       |  CAST(SUM(t.n_tokens) OVER (ORDER BY p.pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM t JOIN p USING (doc_id)),
+       |${sqlManifestX(" pos,")}
+       |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id, pos,
+       |  $sqlSpanCols
+       |FROM x""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q56_hash_split" ->
       s"""WITH b AS (SELECT doc_id,
@@ -1389,24 +1441,20 @@ object Curation {
 
     // q82's position-ordered cumsum, q119's manifest tail, doc ids
     // carried through the position map
-    "q121_shuffled_manifest" ->
-      s"""WITH h AS (SELECT doc_id,
-         |  ${Hash60(s"CAST(doc_id AS VARCHAR)||'#$ShuffleSeed'")} AS h
-         |  FROM documents),
-         |p AS (SELECT doc_id,
-         |  CAST(ROW_NUMBER() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos
-         |  FROM h),
-         |tk AS (SELECT doc_id, len(${TextAnalysis.Toks}) AS n_tokens
-         |  FROM documents),
-         |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
-         |c AS (SELECT t.doc_id, p.pos, t.n_tokens,
-         |  CAST(SUM(t.n_tokens) OVER (ORDER BY p.pos
-         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-         |  FROM t JOIN p USING (doc_id)),
-         |${sqlManifestX(" pos,")}
-         |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, doc_id, pos,
-         |  $sqlSpanCols
-         |FROM x""".stripMargin,
+    "q121_shuffled_manifest" -> sqlShuffledManifest,
+
+    // the q121 manifest verbatim, folded to ONE integrity row: the same
+    // per-row hash + modular sum the Spark side computes
+    "q129_manifest_checksum" ->
+      s"""WITH mf AS ($sqlShuffledManifest)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(SUM(${Hash60("CAST(chunk_id AS VARCHAR)||'#'||" +
+            "CAST(doc_id AS VARCHAR)||'#'||CAST(pos AS VARCHAR)||'#'||" +
+            "CAST(chunk_offset AS VARCHAR)||'#'||" +
+            "CAST(doc_offset AS VARCHAR)||'#'||" +
+            s"CAST(n_span_tokens AS VARCHAR)||'#$ChecksumSeed'")})
+         |    % $ChecksumMod AS BIGINT) AS checksum
+         |FROM mf""".stripMargin,
 
     // q72's pack tail over q90's per-doc TRAINED-token counts — the
     // token source swaps, the pack SQL is byte-identical (sqlPackTail)

@@ -176,6 +176,14 @@ object Similarity {
   private val SampleCap = 400
   private val KmeansIters = 2
 
+  /** q128's quantile-grid cell width over the fixed-point squared norm:
+    * sq div 2^32. Norm components floor onto the q115 2^20 grid, so
+    * sq ≤ dims·2^40 and the histogram is ≤ dims·256 cells at ANY corpus
+    * size — the per-source quantile window sorts a constant-bounded row
+    * set (~0.1% norm resolution, plenty for a health envelope).
+    */
+  private val SqCell = 4294967296L
+
   private[queries] def sampleModFor(n: Long): Long =
     math.max(5L, (n + SampleCap - 1) / SampleCap)
 
@@ -1389,6 +1397,59 @@ object Similarity {
             .as("share"))
     }),
 
+    // embedding-health audit — the third member of the index-operations
+    // family (q116 reads band health, q117 IVF cell health; this reads
+    // the VECTORS themselves, per source): null vectors, null-element
+    // vectors (the PQ-poison class the r10 fix guards), zero-norm
+    // vectors (outside every cosine operator by the q28 guard), and the
+    // squared-norm quartile envelope — an embedding batch whose norms
+    // drift is the first sign of a broken producer, caught BEFORE it
+    // skews IVF training. Determinism: norms on the q115 fixed-point
+    // grid (floor(x·2^20), per-row integer q² fold — exact cross-engine,
+    // ≤ 2^44 at 64 dims so the long never wraps); quantiles on a
+    // BOUNDED cell grid (sq div 2^32 — ≤ dims·256 cells at ANY corpus,
+    // so the per-source histogram window sorts a constant-bounded row
+    // set, the q58 grid philosophy; q47's exact-value histogram would
+    // be corpus-sized here because float norms are almost all distinct).
+    // ONE map-combined count agg + ONE bounded-histogram window pass
+    // over the persisted health projection.
+    "q128_embedding_health" -> ((s, dir) => {
+      val src = Tables(s, dir, "documents")
+        .select(col("doc_id").as("vec_id"), col("source"))
+      val qarr = transform(col("embedding"),
+        x => floor(x.cast("double") * lit(1048576)).cast("long"))
+      val hasNullElem = exists(col("embedding"), x => x.isNull)
+      val base = Tables.wide(s, dir, "embeddings")
+        .join(src, Seq("vec_id"))
+        .select(col("source"),
+          col("embedding").isNull.as("nv"),
+          when(col("embedding").isNull, lit(false)).otherwise(hasNullElem)
+            .as("ne"),
+          when(col("embedding").isNotNull && !hasNullElem,
+            aggregate(qarr, lit(0L), (acc, q) => acc + q * q)).as("sq"))
+        .persist() // counts + quantile histogram read it twice
+      val counts = base.groupBy("source").agg(
+        count(lit(1)).as("n_vecs"),
+        sum(when(col("nv"), 1L).otherwise(0L)).as("n_null_vec"),
+        sum(when(col("ne"), 1L).otherwise(0L)).as("n_null_elem"),
+        sum(when(col("sq") === 0L, 1L).otherwise(0L)).as("n_zero_norm"))
+      val hist = base.filter(col("sq").isNotNull)
+        .groupBy(col("source"), expr(s"sq div ${SqCell}L").as("cell"))
+        .agg(count(lit(1)).as("cnt"))
+      val cumW = Window.partitionBy("source").orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val quart = hist.withColumn("cum", sum("cnt").over(cumW))
+        .withColumn("n", sum("cnt").over(Window.partitionBy("source")))
+        .groupBy("source").agg(
+          (min(when(col("cum") >= expr("(n + 3) div 4"), col("cell")))
+            * SqCell).as("q1_sq"),
+          (min(when(col("cum") >= expr("(n + 1) div 2"), col("cell")))
+            * SqCell).as("median_sq"),
+          (min(when(col("cum") >= expr("(n * 3 + 3) div 4"), col("cell")))
+            * SqCell).as("q3_sq"))
+      counts.join(quart, Seq("source"), "left")
+    }),
+
     // LSH ANN: 6 hyperplane sign bits -> bucket; rank within query's bucket
     "q30_ann_lsh" -> ((s, dir) => {
       val e = Tables.wide(s, dir, "embeddings")
@@ -2294,6 +2355,46 @@ object Similarity {
 
     // the q101 assignment CTEs verbatim, member histogram beside the
     // trained cell count
+    // per-row integer q² fold on the q115 grid, counts + the bounded
+    // cell-grid quantile windows; empty lists COALESCE to sq 0
+    "q128_embedding_health" ->
+      s"""WITH src AS (SELECT d.source, e.embedding
+         |  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),
+         |m AS (SELECT source,
+         |  embedding IS NULL AS nv,
+         |  CASE WHEN embedding IS NULL THEN FALSE
+         |    ELSE len(list_filter(embedding, x -> x IS NULL)) > 0 END AS ne,
+         |  CASE WHEN embedding IS NOT NULL
+         |      AND len(list_filter(embedding, x -> x IS NULL)) = 0
+         |    THEN COALESCE(CAST(list_sum(list_transform(
+         |      list_transform(embedding,
+         |        x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)),
+         |      q -> q * q)) AS BIGINT), 0)
+         |  END AS sq
+         |  FROM src),
+         |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+         |  CAST(SUM(CASE WHEN nv THEN 1 ELSE 0 END) AS BIGINT) AS n_null_vec,
+         |  CAST(SUM(CASE WHEN ne THEN 1 ELSE 0 END) AS BIGINT) AS n_null_elem,
+         |  CAST(SUM(CASE WHEN sq = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_norm
+         |  FROM m GROUP BY source),
+         |h AS (SELECT source, sq // 4294967296 AS cell, COUNT(*) AS cnt
+         |  FROM m WHERE sq IS NOT NULL GROUP BY 1, 2),
+         |r AS (SELECT source, cell,
+         |  SUM(cnt) OVER (PARTITION BY source ORDER BY cell
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |  SUM(cnt) OVER (PARTITION BY source) AS n FROM h),
+         |qt AS (SELECT source,
+         |  CAST(MIN(CASE WHEN cum >= (n + 3) // 4 THEN cell END)
+         |    * 4294967296 AS BIGINT) AS q1_sq,
+         |  CAST(MIN(CASE WHEN cum >= (n + 1) // 2 THEN cell END)
+         |    * 4294967296 AS BIGINT) AS median_sq,
+         |  CAST(MIN(CASE WHEN cum >= (n * 3 + 3) // 4 THEN cell END)
+         |    * 4294967296 AS BIGINT) AS q3_sq
+         |  FROM r GROUP BY source)
+         |SELECT c.source, c.n_vecs, c.n_null_vec, c.n_null_elem,
+         |  c.n_zero_norm, qt.q1_sq, qt.median_sq, qt.q3_sq
+         |FROM c LEFT JOIN qt ON qt.source = c.source""".stripMargin,
+
     "q117_ivf_health" ->
       s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
          |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t

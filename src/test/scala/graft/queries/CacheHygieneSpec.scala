@@ -42,7 +42,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q114_chunk_scrubbed", "q115_source_centroids", "q117_ivf_health",
     "q119_pack_manifest", "q121_shuffled_manifest", "q122_ann_serve_batch",
     "q123_shard_plan", "q124_calibrated_select", "q125_gram_containment",
-    "q126_tokenizer_fertility", "q127_soft_dedup")
+    "q126_tokenizer_fertility", "q127_soft_dedup", "q128_embedding_health",
+    "q129_manifest_checksum")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

@@ -453,6 +453,33 @@ class CurationSpec extends AnyFunSuite {
       bySh.map { case (sh, rows) => sh -> rows.map(_._2).distinct.length.toLong })
   }
 
+  test("q129 checksum matches an independent reimplementation and counts the manifest") {
+    // fold the collected q121 manifest through a from-scratch sha-256
+    // 60-bit hash + modular sum — if the operator's hash keying, row
+    // rendering, or modulus drifts, this breaks
+    val dir = corpus((0L until 150L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta theta", "en")))
+    val manifest = SparkEntry.queries("q121_shuffled_manifest")(spark, dir)
+      .collect()
+    Caches.release(spark)
+    def h60(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val p = BigInt(2305843009213693951L)
+    val want = manifest.map { r =>
+      BigInt(h60((0 to 5).map(r.getLong).mkString("#") +
+        s"#${Curation.ChecksumSeed}"))
+    }.sum.mod(p).toLong
+    val got = SparkEntry.queries("q129_manifest_checksum")(spark, dir)
+      .collect()
+    Caches.release(spark)
+    assert(got.length === 1)
+    assert(got.head.getLong(0) === manifest.length.toLong, "n_rows")
+    assert(got.head.getLong(1) === want, "checksum")
+  }
+
   test("q118 priority sample favors heavy documents and is deterministic") {
     // 100 one-token docs vs 100 fifty-token docs: every heavy doc's
     // priority lands under 2^60/50 while a light doc only gets there

@@ -64,9 +64,11 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q103_chunk_trained", "q104_span_scrub", "q105_quality_survivors",
     "q108_scrub_apply", "q114_chunk_scrubbed",
     // q123 reports per shard; q127 labels every doc (q43's domain); q125
-    // emits pairs only. q124/q126 need a source column and are
-    // fixture-tested in CurationSpec/BpeSpec instead
+    // emits pairs only; q129 folds to one integrity row. q124/q126/q128
+    // need a source column and are fixture-tested in
+    // CurationSpec/BpeSpec/EmbeddingHealthSpec instead
     "q123_shard_plan", "q125_gram_containment", "q127_soft_dedup",
+    "q129_manifest_checksum",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -97,6 +99,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q103_chunk_trained", // one row per chunk, not per doc
         "q123_shard_plan", // one row per shard, not per doc
         "q125_gram_containment", // pairs only; degenerate corpus has none
+        "q129_manifest_checksum", // one integrity row by construction
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")

@@ -525,6 +525,16 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q125 persists the shared gram relation
   }
 
+  test("q128 embedding health: source-partitioned windows, no single partition") {
+    // the quantile envelope must ride the bounded cell-grid histogram
+    // under (source)-partitioned windows — an exact-norm histogram would
+    // be corpus-sized and a global rank a one-task sort
+    val p = execPlan("q128_embedding_health")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark) // q128 persists its health projection
+  }
+
   test("q58 construction runs exactly three bounded driver actions") {
     // the distributed prefix sum's driver half is three accounting reads:
     // cell totals (whose sum is the corpus token mass — no separate
