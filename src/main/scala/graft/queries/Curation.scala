@@ -209,6 +209,11 @@ object Curation {
     */
   private[queries] val ShardCount = 8L
 
+  /** q130's exemplar count: how many top-quality documents the dataset
+    * card shows per source. A presentation knob, not corpus-tracking.
+    */
+  private[queries] val ExemplarK = 3
+
   /** q129's checksum modulus (2^61 − 1, a Mersenne prime) and hash-seed.
     * The per-row 60-bit hashes accumulate in decimal(38,0) — exact to
     * ~10^20 rows — and reduce mod P to one comparable BIGINT.
@@ -600,6 +605,28 @@ object Curation {
         .join(posMap.select(col("pos"), col("doc_id")), "pos")
         .select("chunk_id", "doc_id", "pos", "chunk_offset", "doc_offset",
           "n_span_tokens")
+    }),
+
+    // per-source exemplars — the "show me your best documents" rows a
+    // dataset card publishes per stratum ([[ExemplarK]] highest-quality
+    // docs, ties by doc_id): the human-inspection counterpart of q80's
+    // aggregate profile (numbers say a source LOOKS fine; exemplars are
+    // what a reviewer actually reads). Scale shape: rank ≤ K under a
+    // source-partitioned window plans as WindowGroupLimit — each input
+    // partition keeps a running top-K per source BEFORE the exchange,
+    // so the shuffle carries ≤ K rows per (partition, source), never
+    // the corpus (the per-group TakeOrdered; a global sort or a
+    // full-corpus window would both be scale bugs here — pinned).
+    "q130_source_exemplars" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val w = Window.partitionBy("source")
+        .orderBy(desc("quality"), asc("doc_id"))
+      scoredTokens(docs)
+        .join(docs.select(col("doc_id"), col("source")), "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= ExemplarK)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("doc_id"), col("n_tokens"), col("quality"))
     }),
 
     // manifest integrity checksum — the one-row receipt a loader fleet
@@ -1345,6 +1372,24 @@ object Curation {
          |c AS (SELECT doc_id, n_tokens, quality,
          |  SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum FROM t)
          |SELECT doc_id, n_tokens, quality FROM c, b WHERE cum <= budget""".stripMargin,
+
+    // q58's quality chain joined to source, the per-source rank window,
+    // the K cut
+    "q130_source_exemplars" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),
+         |m AS (SELECT doc_id, len(tk) AS n_tokens,
+         |  len(list_filter(tk, x -> x IN ${TextAnalysis.sqlStops("en")})) AS stops
+         |  FROM tk),
+         |t AS (SELECT doc_id, n_tokens,
+         |  (CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.4
+         |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality
+         |  FROM m WHERE n_tokens > 0),
+         |r AS (SELECT d.source, t.doc_id, t.n_tokens, t.quality,
+         |  ROW_NUMBER() OVER (PARTITION BY d.source
+         |    ORDER BY t.quality DESC, t.doc_id) AS rk
+         |  FROM t JOIN documents d USING (doc_id))
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_tokens, quality
+         |FROM r WHERE rk <= $ExemplarK""".stripMargin,
 
     // q58's quality chain joined to source, the within-source window
     // rank rescaled to integer per-million, ONE global cumsum over

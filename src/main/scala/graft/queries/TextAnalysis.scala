@@ -183,6 +183,14 @@ object TextAnalysis {
           (acc, w) => acc + bpeTokenCount(w, merges)), lit(0L))
           .as("n_bpe_tokens"))
 
+  /** The q126 per-mille Column over exact (n_words, n_bpe_tokens) long
+    * sums — ONE definition shared by the batch card and the streaming
+    * register read-out ([[graft.streaming.DocStream.fertilityRegisters]]),
+    * so the two paths cannot disagree on the ratio's arithmetic.
+    */
+  private[graft] val fertilityPm: Column =
+    expr("CAST((n_bpe_tokens * 1000) div n_words AS BIGINT)")
+
   /** q74 retrieval-chunk window (tokens) and stride: 32-token windows
     * every 24 tokens — 8 tokens of overlap so no boundary sentence is
     * lost to a cut, the standard RAG chunking shape. Starts are the
@@ -576,8 +584,7 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_docs"),
           sum("n_words").as("n_words"),
           sum("n_bpe_tokens").as("n_bpe_tokens"))
-        .withColumn("fertility_pm",
-          expr("CAST((n_bpe_tokens * 1000) div n_words AS BIGINT)"))
+        .withColumn("fertility_pm", fertilityPm)
     }),
 
     // per-document repetition ratio: 1 − |distinct 2-grams|/|2-grams| —

@@ -463,6 +463,32 @@ object DocStream {
   def bpeEncoded(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     graft.queries.TextAnalysis.bpeEncodedCounts(docs, merges)
 
+  /** Streaming fertility registers — q126's per-source (n_docs, n_words,
+    * n_bpe_tokens) sums as ADDITIVE stream state under a FROZEN merge
+    * table (the [[bpeEncoded]] train-batch/apply-stream split): state =
+    * |sources| rows forever (the strata space, never the stream length;
+    * update/complete mode, no watermark). The per-mille card is the
+    * shared [[graft.queries.TextAnalysis.fertilityPm]] Column over the
+    * emitted registers — the q115 sums-then-tiny-batch-step posture —
+    * and the encode is the per-row [[graft.queries.TextAnalysis
+    * .bpeTokenCount]] replay, already pinned equal to batch q90's
+    * vocabulary-first encode, so streamed fertility is bit-identical to
+    * the batch card (DocStreamSpec). Untokenizable (null-text) docs drop
+    * exactly as the batch card's n_words > 0 filter does.
+    */
+  def fertilityRegisters(docs: DataFrame,
+      merges: Seq[(String, String)]): DataFrame = {
+    val tk = tokens(col("text"))
+    docs.select(col("source"), size(tk).cast("long").as("n_words"),
+        aggregate(tk, lit(0L),
+          (acc, w) => acc + graft.queries.TextAnalysis.bpeTokenCount(w, merges))
+          .as("n_bpe_tokens"))
+      .filter(col("n_words") > 0)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_words").as("n_words"),
+        sum("n_bpe_tokens").as("n_bpe_tokens"))
+  }
+
   // ---- incremental near-dedup (the q27 semantics against history) ---------
 
   /** Sub-partition count for the band-key bucket `g = bk mod BkBuckets`.

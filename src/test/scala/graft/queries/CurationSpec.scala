@@ -453,6 +453,25 @@ class CurationSpec extends AnyFunSuite {
       bySh.map { case (sh, rows) => sh -> rows.map(_._2).distinct.length.toLong })
   }
 
+  test("q130 exemplars: the k best per stratum, quality-ordered, ties by id") {
+    // reuse the q124 two-strata shape: A docs (even ids) all quality
+    // 0.6, B docs (odd ids) all 0.12 — within-source ties resolve by
+    // doc_id, so each source's exemplars are its three smallest ids
+    def words(i: Long, n: Int) =
+      (0 until n).map(j => s"w${i}x$j").mkString(" ")
+    val rows = (0L until 10L).map { i =>
+      val n = if (i % 2 == 0) 50 else 10
+      (i, words(i, n), "en", if (i % 2 == 0) "A" else "B")
+    }
+    val dir = corpusWithSource(rows)
+    val got = SparkEntry.queries("q130_source_exemplars")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    Caches.release(spark)
+    assert(got === Set(
+      ("A", 1L, 0L), ("A", 2L, 2L), ("A", 3L, 4L),
+      ("B", 1L, 1L), ("B", 2L, 3L), ("B", 3L, 5L)), got)
+  }
+
   test("q129 checksum matches an independent reimplementation and counts the manifest") {
     // fold the collected q121 manifest through a from-scratch sha-256
     // 60-bit hash + modular sum — if the operator's hash keying, row

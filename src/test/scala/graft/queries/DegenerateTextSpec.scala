@@ -64,8 +64,8 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q103_chunk_trained", "q104_span_scrub", "q105_quality_survivors",
     "q108_scrub_apply", "q114_chunk_scrubbed",
     // q123 reports per shard; q127 labels every doc (q43's domain); q125
-    // emits pairs only; q129 folds to one integrity row. q124/q126/q128
-    // need a source column and are fixture-tested in
+    // emits pairs only; q129 folds to one integrity row. q124/q126/q128/
+    // q130 need a source column and are fixture-tested in
     // CurationSpec/BpeSpec/EmbeddingHealthSpec instead
     "q123_shard_plan", "q125_gram_containment", "q127_soft_dedup",
     "q129_manifest_checksum",

@@ -525,6 +525,16 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q125 persists the shared gram relation
   }
 
+  test("q130 exemplars: rank cut runs as WindowGroupLimit, never a corpus-wide window") {
+    // rank ≤ K under the source-partitioned window must keep a running
+    // top-K per input partition BEFORE the exchange (the per-group
+    // TakeOrdered) — without it the shuffle carries the whole corpus
+    val p = execPlan("q130_source_exemplars")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p)
+    graft.Caches.release(spark)
+  }
+
   test("q128 embedding health: source-partitioned windows, no single partition") {
     // the quantile envelope must ride the bounded cell-grid histogram
     // under (source)-partitioned windows — an exact-norm histogram would

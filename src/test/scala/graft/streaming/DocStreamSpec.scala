@@ -173,6 +173,44 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("fertilityRegisters stream the batch q126 card under frozen merges") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train on the static corpus, stream the SAME docs across a batch
+    // boundary: registers + the shared fertilityPm Column must equal the
+    // batch card exactly, incl. dropping the null-text doc
+    val rows = Seq((0L, "ab ab ab", "A"), (1L, "abc abc", "A"),
+      (2L, "xy", "B"), (3L, "abx", "B"), (4L, null.asInstanceOf[String], "B"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-fert").toString
+    rows.toDF("doc_id", "text", "source")
+      .write.parquet(s"$dir/documents.parquet")
+    val merges = graft.SparkEntry.queries("q87_bpe_merges")(spark, dir)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.Caches.release(spark)
+    val mem = MemoryStream[(Long, Timestamp, String, String)]
+    val q = DocStream.fertilityRegisters(
+        mem.toDF().toDF("doc_id", "ingest_ts", "text", "source"), merges)
+      .writeStream.format("memory").queryName("fertreg")
+      .outputMode("complete").start()
+    try {
+      val data = rows.zipWithIndex.map { case ((id, t, s), i) =>
+        (id, ts(i.toLong), t, s) }
+      mem.addData(data.take(2))
+      q.processAllAvailable()
+      mem.addData(data.drop(2))
+      q.processAllAvailable()
+      val got = spark.table("fertreg")
+        .withColumn("fertility_pm", graft.queries.TextAnalysis.fertilityPm)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      val want = graft.SparkEntry.queries("q126_tokenizer_fertility")(spark, dir)
+        .as[(String, Long, Long, Long, Long)].collect().toSet
+      graft.Caches.release(spark)
+      assert(got == want && got.size == 2,
+        s"stream $got must equal batch q126 $want")
+    } finally q.stop()
+  }
+
   test("qualityFiltered streams the batch q45 verdicts (same rule Columns)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

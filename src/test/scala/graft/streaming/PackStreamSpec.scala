@@ -67,6 +67,28 @@ class PackStreamSpec extends AnyFunSuite {
     val q72 = SparkEntry.queries("q72_sequence_pack")(spark, corpusDir)
       .collect().map(_.toSeq).toSet
     assert(streamProfile === q72)
+    // the shard DEAL is stable under streaming append: chunk ids are
+    // cursor-continued, so shard = chunk mod K assigns each
+    // already-written chunk once and forever — the per-shard plan folded
+    // from the streamed assignments equals batch q123 on the same corpus
+    val cap = 512L
+    val shardFold = epochs.collect().flatMap { r =>
+      val ds = r.getAs[Long]("cum") - r.getAs[Long]("n_tokens")
+      val de = r.getAs[Long]("cum")
+      (r.getAs[Long]("chunk_id") to r.getAs[Long]("last_chunk")).map { ch =>
+        (ch % 8L, ch, r.getAs[Long]("doc_id"),
+          math.min(de, (ch + 1) * cap) - math.max(ds, ch * cap))
+      }
+    }
+    val wantShards = shardFold.groupBy(_._1).map { case (sh, xs) =>
+      (sh, xs.map(_._2).distinct.length.toLong,
+        xs.map(_._3).distinct.length.toLong, xs.map(_._4).sum)
+    }.toSet
+    val q123 = SparkEntry.queries("q123_shard_plan")(spark, corpusDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(q123 === wantShards)
     graft.Caches.release(spark)
   }
 
