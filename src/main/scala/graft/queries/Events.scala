@@ -166,6 +166,40 @@ object Events {
           coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
     }),
 
+    // time-decayed attribution — which channels get credit for
+    // conversions: every view/click touch within the 2 h lookback of a
+    // same-user purchase earns weight halved per 30 min of staleness
+    // (the marketing-attribution / reward-shaping classic). Exponential
+    // decay is float-hostile (exp/pow never hash-match cross-engine),
+    // so the decay is EXACT: halvings = Δ div half-life ∈ 0..4 inside
+    // the horizon, weight_ppm = 1e6 div 2^halvings — integer
+    // bit-shifts, bit-identical on both engines. Plan shape: q60's
+    // horizon-bucket range join verbatim (touches keep their one
+    // bucket, purchases probe two; the bounded Δ means each pair
+    // matches exactly once — no distinct), then ONE map-combined agg to
+    // ≤ |channels| rows. The oracle states the plain inequality join;
+    // the binning is the Spark plan's scale device.
+    "q132_decay_attribution" -> ((s, dir) => {
+      val W = 7200L * 1000000L  // lookback horizon (µs): 2 h
+      val HL = 1800L * 1000000L // half-life (µs): 30 min — ≤ 4 halvings
+      val ev = Tables(s, dir, "events")
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("event_type").as("channel"), col("user_id"),
+          unix_micros(col("ts")).as("t1"))
+        .withColumn("bkt", expr(s"t1 div ${W}L"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("t2"))
+        .withColumn("bkt",
+          explode(array(expr(s"t2 div ${W}L"), expr(s"t2 div ${W}L - 1L"))))
+      touches.join(purchases, Seq("user_id", "bkt"))
+        .filter(col("t1") < col("t2") && col("t2") <= col("t1") + lit(W))
+        .withColumn("w_ppm", expr(
+          s"CAST(1000000 div (CAST(1 AS BIGINT) << " +
+            s"CAST((t2 - t1) div ${HL}L AS INT)) AS BIGINT)"))
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"), sum("w_ppm").as("weight_ppm"))
+    }),
+
     // ordered funnel analysis: per user, the first view → the first
     // click AFTER that view → the first purchase AFTER that click —
     // the sequential-conversion question flat per-type aggregates get
@@ -262,6 +296,21 @@ object Events {
         |FROM e1 LEFT JOIN e2 ON e2.user_id = e1.user_id
         |  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
         |GROUP BY e1.event_id""".stripMargin,
+
+    // the plain inequality join; integer µs deltas, shift-exact decay
+    "q132_decay_attribution" ->
+      """WITH tch AS (SELECT event_type AS channel, user_id,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+        |  WHERE event_type IN ('view', 'click')),
+        |pur AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t2
+        |  FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT tch.channel, pur.t2 - tch.t1 AS dlt
+        |  FROM tch JOIN pur ON pur.user_id = tch.user_id
+        |  AND tch.t1 < pur.t2 AND pur.t2 <= tch.t1 + 7200000000)
+        |SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |  CAST(SUM(1000000 // (CAST(1 AS BIGINT)
+        |    << CAST(dlt // 1800000000 AS INT))) AS BIGINT) AS weight_ppm
+        |FROM j GROUP BY channel""".stripMargin,
 
     "q98_retention_cohorts" ->
       """WITH uw AS (SELECT DISTINCT user_id,

@@ -144,6 +144,33 @@ object Multimodal {
         .distinct()
     }),
 
+    // caption-conflict audit — the decision the two near-dup families
+    // COMPOSE into, and the reason a multimodal pipeline runs both: a
+    // media near-dup pair whose texts are ALSO near-dups is a plain
+    // full duplicate (q127's reweight / q44's drop applies to the whole
+    // record); a media near-dup whose texts are NOT near-dups is a
+    // CAPTION CONFLICT — the same image shipped under materially
+    // different descriptions, the weak-supervision noise an image-text
+    // training run filters hardest (one caption is wrong, or the image
+    // is generic stock both texts legitimately describe — either way a
+    // reviewer decision, so the audit emits every media pair classified
+    // rather than pre-filtering). Both inputs are the SHARED pair
+    // definitions (q92's banded Hamming pairs, q27's banded simhash
+    // pairs — media_id IS doc_id by the mediaTable contract), stitched
+    // by ONE left equi-join on the ordered pair key. Work past the two
+    // audited pair generators is pair-set-sized, never corpus-sized.
+    "q131_caption_conflicts" -> ((s, dir) => {
+      val media = queries("q92_media_phash")(s, dir)
+        .select(col("media_a"), col("media_b"), col("hamming"))
+      val text = Similarity.queries("q27_simhash_pairs")(s, dir)
+        .select(col("doc_a").as("media_a"), col("doc_b").as("media_b"),
+          lit(1).as("td"))
+      media.join(text, Seq("media_a", "media_b"), "left")
+        .select(col("media_a"), col("media_b"), col("hamming"),
+          col("td").isNotNull.as("text_dup"),
+          col("td").isNull.as("conflict"))
+    }),
+
     // transitive media near-dup clusters — the q43 action for the media
     // modality: q92's Hamming pairs are the edge set, and the SAME
     // min-label propagation loop ([[Dedup.propagateMin]] — per-round
@@ -211,12 +238,20 @@ object Multimodal {
     // the q42 band/cap/pair SQL with the dHash sketch substituted: the
     // pixel plane, the per-row adjacent comparisons, and the (lo, hi)
     // halves mirror the Spark expressions integer-for-integer
-    "q92_media_phash" ->
-      s"""WITH $SqlMediaPairCtes
-         |SELECT media_a, media_b,
-         |  CAST($SqlMediaHamming AS BIGINT) AS hamming
-         |FROM cand
-         |WHERE $SqlMediaHamming <= 8""".stripMargin,
+    "q92_media_phash" -> SqlMediaPairSql,
+
+    // the two shared pair chains (each as a nested-WITH subquery — their
+    // CTE names overlap by design, both being q42's band shape), one
+    // ordered-pair-key left join
+    "q131_caption_conflicts" ->
+      s"""WITH mpairs AS ($SqlMediaPairSql),
+         |tpairs AS (WITH ${Similarity.SqlSimhashPairCtes}
+         |  ${Similarity.SqlSimhashPairSelect.replace("\n", " ")})
+         |SELECT m.media_a, m.media_b, m.hamming,
+         |  (t.doc_a IS NOT NULL) AS text_dup,
+         |  (t.doc_a IS NULL) AS conflict
+         |FROM mpairs m LEFT JOIN tpairs t
+         |  ON t.doc_a = m.media_a AND t.doc_b = m.media_b""".stripMargin,
 
     // q92's pair chain verbatim, then q43's recursive min-label walk
     // over media ids (every medium seeds its own label; labels flow
@@ -272,4 +307,14 @@ object Multimodal {
 
   private val SqlMediaHamming =
     "bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))"
+
+  /** The complete q92 oracle statement — a val so the caption-conflict
+    * oracle (q131) embeds the IDENTICAL pair text as a subquery.
+    */
+  private lazy val SqlMediaPairSql: String =
+    s"""WITH $SqlMediaPairCtes
+       |SELECT media_a, media_b,
+       |  CAST($SqlMediaHamming AS BIGINT) AS hamming
+       |FROM cand
+       |WHERE $SqlMediaHamming <= 8""".stripMargin
 }

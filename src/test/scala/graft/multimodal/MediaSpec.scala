@@ -57,6 +57,37 @@ class MediaSpec extends AnyFunSuite {
       s"one changed pixel flipped ${rows((0L, 1L))} dHash bits")
   }
 
+  test("q131: same image + same text = dup; same image + diverged text = conflict") {
+    // docs 0/1 share their first 72 chars — the ENTIRE pixel plane (the
+    // dHash grid reads 72 cycled chars), so their media sketches are
+    // identical — but the texts diverge into disjoint 19-word tails, so
+    // the simhash pair is NOT a text near-dup: a caption conflict.
+    // docs 10/11 are verbatim-identical records: media pair AND text
+    // pair — a full duplicate, not a conflict.
+    val head = ("the quick brown fox jumps over the lazy dog while " +
+      "seven wizards brew strong tea").take(72)
+    val tailA = " alpha beta gamma delta epsilon zeta eta theta iota kappa" +
+      " lambda mu nu xi omicron pi rho sigma tau"
+    val tailB = " one two three four five six seven eight nine ten eleven" +
+      " twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen"
+    val docs = Seq(
+      (0L, head + tailA), (1L, head + tailB),
+      (10L, "identical caption and identical image payload entirely"),
+      (11L, "identical caption and identical image payload entirely"),
+      (20L, "completely different content about mountain ranges and glacial valleys"))
+    val dir = java.nio.file.Files.createTempDirectory("graft-conflict").toString
+    docs.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.Multimodal.queries("q131_caption_conflicts")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b")) ->
+        ((r.getAs[Boolean]("text_dup"), r.getAs[Boolean]("conflict")))).toMap
+    graft.Caches.release(spark)
+    assert(rows.contains((0L, 1L)) && rows.contains((10L, 11L)),
+      s"expected both planted media pairs; got ${rows.keySet}")
+    assert(rows((0L, 1L)) === ((false, true)), s"diverged captions: $rows")
+    assert(rows((10L, 11L)) === ((true, false)), s"full duplicate: $rows")
+  }
+
   test("q111 clusters: the planted near-pair merges; decoys stay singletons") {
     // q92's fixture driven one step further: the near-identical pair
     // must land in ONE cluster labeled by its min id, every decoy in a

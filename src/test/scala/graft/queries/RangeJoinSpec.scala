@@ -30,6 +30,32 @@ class RangeJoinSpec extends AnyFunSuite {
     d
   }
 
+  test("q132 decay: weight halves per half-life step, horizon and user bounds hold") {
+    val hl = W // the operator's half-life is 30 min, same as this W
+    val t = 100L * hl
+    val rows = Seq(
+      // user 1 converts at t; touches at increasing staleness:
+      (1L, t - 1L, 1L, "click", 0.0),           // Δ < HL -> 1e6
+      (2L, t - hl, 1L, "click", 0.0),           // Δ = HL exactly -> 500000
+      (3L, t - 2L * hl - 1L, 1L, "view", 0.0),  // Δ just past 2·HL -> 250000
+      (4L, t - 4L * hl, 1L, "view", 0.0),       // Δ = horizon exactly -> 62500
+      (5L, t - 4L * hl - 1L, 1L, "view", 0.0),  // past the horizon: excluded
+      (6L, t, 1L, "view", 0.0),                 // simultaneous: strict < excludes
+      (7L, t - 1L, 2L, "click", 0.0),           // other user: excluded
+      (50L, t, 1L, "purchase", 10.0),
+      // user 3: touches but no purchase -> contributes nothing
+      (8L, t, 3L, "click", 0.0))
+    val got = SparkEntry.queries("q132_decay_attribution")(
+        spark, fixture(rows))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    graft.Caches.release(spark)
+    assert(got === Map(
+      "click" -> ((2L, 1500000L)),  // 1e6 + 500000
+      "view" -> ((2L, 312500L))),   // 250000 + 62500
+      got)
+  }
+
   test("q60 horizon is (t1, t1+W]: boundary events and the bucket-spanning follower") {
     // error 100 at t0 = 4·W exactly (bucket boundary); error 200 at
     // t0' = 7·W + 0.7·W (mid-bucket); error 300 with no followers
