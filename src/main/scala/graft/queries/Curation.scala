@@ -214,6 +214,11 @@ object Curation {
     */
   private[queries] val ExemplarK = 3
 
+  /** q133's per-stratum sample size. A fixed-budget knob (eval sets,
+    * human-review batches), not corpus-tracking.
+    */
+  private[queries] val StratumK = 25
+
   /** q129's checksum modulus (2^61 − 1, a Mersenne prime) and hash-seed.
     * The per-row 60-bit hashes accumulate in decimal(38,0) — exact to
     * ~10^20 rows — and reduce mod P to one comparable BIGINT.
@@ -605,6 +610,28 @@ object Curation {
         .join(posMap.select(col("pos"), col("doc_id")), "pos")
         .select("chunk_id", "doc_id", "pos", "chunk_offset", "doc_offset",
           "n_span_tokens")
+    }),
+
+    // fixed-K uniform sample per stratum — the fourth member of the
+    // sampling family and the one an EVAL-SET builder wants: exactly
+    // [[StratumK]] docs from every source (q59 rate-matches strata to
+    // the smallest, q62 tempers rates, q118 weights globally by size —
+    // none delivers a fixed per-stratum count), uniform because the
+    // rank key is the seeded 60-bit hash (reproducible across runs,
+    // repartitions, and corpus growth ONLY adds candidates — no rand()).
+    // Same scale shape as q130: rank ≤ K under a source-partitioned
+    // window plans as WindowGroupLimit, so each input partition keeps a
+    // running K per source before the exchange — a fixed-K sample of a
+    // 100 TB stratum shuffles K rows per partition, never the stratum.
+    "q133_stratum_sample_k" -> ((s, dir) => {
+      val h = portableHash60(col("doc_id").cast("string"), 5)
+      val w = Window.partitionBy("source").orderBy("h", "doc_id")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), h.as("h"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= StratumK)
+        .select(col("source"), col("rk").cast("long").as("rk"),
+          col("doc_id"))
     }),
 
     // per-source exemplars — the "show me your best documents" rows a
@@ -1372,6 +1399,16 @@ object Curation {
          |c AS (SELECT doc_id, n_tokens, quality,
          |  SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum FROM t)
          |SELECT doc_id, n_tokens, quality FROM c, b WHERE cum <= budget""".stripMargin,
+
+    // the seeded hash rank per source, the K cut
+    "q133_stratum_sample_k" ->
+      s"""WITH h AS (SELECT doc_id, source,
+         |  ${Hash60("CAST(doc_id AS VARCHAR)||'#5'")} AS h FROM documents),
+         |r AS (SELECT source, doc_id,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+         |  FROM h)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id
+         |FROM r WHERE rk <= $StratumK""".stripMargin,
 
     // q58's quality chain joined to source, the per-source rank window,
     // the K cut

@@ -212,6 +212,31 @@ object Events {
     "q78_funnel" -> ((s, dir) =>
       funnelStages(Tables(s, dir, "events"), Seq("view", "click", "purchase"))),
 
+    // weekly metric drift — the monitoring read on the event stream's
+    // own health: per (event_type, week), the count beside last week's
+    // and their integer per-mille ratio (1000 = flat; an ops dashboard
+    // alerts off the ratio, so it must be deterministic — a float ratio
+    // is, per-row, but the per-mille floor keeps it hash-comparable).
+    // Ratio = n·1000 div prev_n with BOTH operands non-negative — the
+    // signed (n−prev) delta would hit the div-vs-floor divergence
+    // (Spark `div` truncates toward zero, DuckDB `//` floors), so the
+    // stat is deliberately a ratio, not a difference. Week numbers are
+    // q98's epoch-µs `div` (no calendar functions). Plan: ONE
+    // map-combined count agg, then a lag window PARTITIONED by type —
+    // partitions are the per-type week series (time-bounded: a decade
+    // is ~520 rows), never event-sized.
+    "q134_weekly_drift" -> ((s, dir) => {
+      val counts = Tables(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 604800000000").as("week"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("week")
+      counts.withColumn("prev_n", lag("n", 1).over(w))
+        .withColumn("ratio_pm",
+          expr("CAST((n * 1000) div prev_n AS BIGINT)"))
+        .select("event_type", "week", "n", "prev_n", "ratio_pm")
+    }),
+
     // retention cohort matrix — the training-data analytics classic:
     // users bucketed by FIRST-activity week (the cohort), then per
     // (cohort_week, week_offset) the count of distinct users active in
@@ -296,6 +321,18 @@ object Events {
         |FROM e1 LEFT JOIN e2 ON e2.user_id = e1.user_id
         |  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
         |GROUP BY e1.event_id""".stripMargin,
+
+    // q98's week derivation, the per-type lag, the non-negative ratio
+    "q134_weekly_drift" ->
+      """WITH c AS (SELECT event_type,
+        |  epoch_us(CAST(ts AS TIMESTAMP)) // 604800000000 AS week,
+        |  CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, week, n,
+        |  LAG(n) OVER (PARTITION BY event_type ORDER BY week) AS prev_n
+        |  FROM c)
+        |SELECT event_type, CAST(week AS BIGINT) AS week, n, prev_n,
+        |  CAST((n * 1000) // prev_n AS BIGINT) AS ratio_pm
+        |FROM l""".stripMargin,
 
     // the plain inequality join; integer µs deltas, shift-exact decay
     "q132_decay_attribution" ->

@@ -210,7 +210,7 @@ object Similarity {
     * centroids from the same parquet and the probe results hash-match.
     * Returns (cell, centroid, centroidNorm).
     */
-  private def kmeansCentroids(s: SparkSession, dir: String): Array[(Int, Seq[Double], Double)] = {
+  private[graft] def kmeansCentroids(s: SparkSession, dir: String): Array[(Int, Seq[Double], Double)] = {
     def dot(a: Array[Double], b: Array[Double]): Double = {
       var acc = 0.0; var i = 0
       while (i < a.length) { acc += a(i) * b(i); i += 1 }
@@ -478,6 +478,26 @@ object Similarity {
     * more than once by q101's cap + cut and by q117's report; the
     * caller's Caches.release frees it) and the trained cell count.
     */
+  /** The shuffle-free per-row IVF cell assignment against a FROZEN
+    * centroid table — the narrow map the cell consumers route through,
+    * factored over an arbitrary (vec_id, embedding, nrm) relation so
+    * the streaming dual ([[graft.streaming.EmbedStream.ivfAssigned]])
+    * assigns arriving vectors with the IDENTICAL argmax (ties to the
+    * lowest cell — the q35 discipline). Zero-norm rows are the caller's
+    * filter (the q28 guard).
+    */
+  private[graft] def assignCells(e: DataFrame,
+      cents: Array[(Int, Seq[Double], Double)]): DataFrame =
+    e.select(col("vec_id"),
+        zip_with(
+          graft.functions.VectorFunctions.vecDotMany(col("embedding"),
+            cents.flatMap(_._2).toArray, cents.length),
+          typedLit(cents.map(_._3).toSeq),
+          (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn))).as("ccos"))
+      .select(col("vec_id"),
+        (array_position(col("ccos"), array_max(col("ccos"))) - 1)
+          .cast("long").as("cell"))
+
   private def ivfCellAssignments(s: SparkSession, dir: String)
       : (DataFrame, Int) = {
     val e = Tables.wide(s, dir, "embeddings")
@@ -486,17 +506,7 @@ object Similarity {
       .persist()
       .filter(col("nrm") > 0) // zero-norm guard (see q28)
     val cents = kmeansCentroids(s, dir)
-    val withCos = e.select(col("vec_id"),
-      zip_with(
-        graft.functions.VectorFunctions.vecDotMany(col("embedding"),
-          cents.flatMap(_._2).toArray, cents.length),
-        typedLit(cents.map(_._3).toSeq),
-        (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn))).as("ccos"))
-    // argmax with ties to the lowest cell — the q35 discipline
-    val cells = withCos.select(col("vec_id"),
-      (array_position(col("ccos"), array_max(col("ccos"))) - 1)
-        .cast("long").as("cell"))
-      .persist()
+    val cells = assignCells(e, cents).persist()
     (cells, cents.length)
   }
 

@@ -42,6 +42,27 @@ object EmbedStream {
   def centroidSums(vecs: DataFrame): DataFrame =
     graft.queries.Similarity.sourceCentroidSums(vecs)
 
+  /** Streaming IVF cell assignment — the index-MAINTENANCE dual of the
+    * shared cell machinery (q35/q101/q117 route through it): k-means
+    * training is corpus-global and stays a batch job; the stream
+    * assigns arriving vectors against the FROZEN centroid table with
+    * the IDENTICAL argmax ([[graft.queries.Similarity.assignCells]] —
+    * one definition, zero drift). Stateless narrow per-row (centroids
+    * are a driver literal baked into the expression: no shuffle, no
+    * state, any output mode — the dsirScored posture), so an index
+    * ingests new vectors at scan speed; cell health (q117's report) is
+    * a re-aggregation over the emitted assignments, and the upgrade
+    * path when the stream drifts from the trained cells is re-training,
+    * which the q117 card is exactly the trigger for. Zero-norm arrivals
+    * are dropped by the shared q28 guard, as in every cosine operator.
+    */
+  def ivfAssigned(vecs: DataFrame,
+      cents: Array[(Int, Seq[Double], Double)]): DataFrame =
+    graft.queries.Similarity.assignCells(
+      vecs.select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        .filter(col("nrm") > 0), cents)
+
   /** q39's deterministic plane component (Similarity mirrors this): the
     * sha-32 of "plane<p>_<i>" scaled to [-1, 1).
     */

@@ -453,6 +453,34 @@ class CurationSpec extends AnyFunSuite {
       bySh.map { case (sh, rows) => sh -> rows.map(_._2).distinct.length.toLong })
   }
 
+  test("q133 fixed-K stratum sample: exactly min(K, stratum) rows, stable under growth") {
+    // strata of 50 / 30 / 10 docs: the 10-doc stratum yields all 10
+    // rows (ranks 1..10), the others exactly K = 25 — and because the
+    // rank key is the seeded doc hash, growing ANOTHER stratum never
+    // changes this stratum's picks
+    val rows = (0L until 90L).map { i =>
+      val src = if (i < 50) "big" else if (i < 80) "mid" else "small"
+      (i, s"doc number $i content", "en", src)
+    }
+    val dir = corpusWithSource(rows)
+    val got = SparkEntry.queries("q133_stratum_sample_k")(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    Caches.release(spark)
+    val bySrc = got.groupBy(_._1)
+    assert(bySrc("big").length === 25 && bySrc("mid").length === 25 &&
+      bySrc("small").length === 10, bySrc.view.mapValues(_.length).toMap)
+    assert(bySrc("small").map(_._2).sorted.toSeq === (1L to 10L))
+    // growth stability: doubling the big stratum leaves mid's pick set
+    // identical (the hash rank is a pure function of the doc key)
+    val dir2 = corpusWithSource(rows ++ (100L until 150L).map(i =>
+      (i, s"doc number $i content", "en", "big")))
+    val got2 = SparkEntry.queries("q133_stratum_sample_k")(spark, dir2)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    Caches.release(spark)
+    assert(got2.filter(_._1 == "mid").map(_._2).toSet ===
+      bySrc("mid").map(_._3).toSet)
+  }
+
   test("q130 exemplars: the k best per stratum, quality-ordered, ties by id") {
     // reuse the q124 two-strata shape: A docs (even ids) all quality
     // 0.6, B docs (odd ids) all 0.12 — within-source ties resolve by

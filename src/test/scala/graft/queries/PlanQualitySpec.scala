@@ -535,6 +535,13 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q133 stratum sample: rank cut runs as WindowGroupLimit") {
+    val p = execPlan("q133_stratum_sample_k")
+    assert(p.contains("WindowGroupLimit"), p.take(3000))
+    assert(!p.contains("SinglePartition"), p)
+    graft.Caches.release(spark)
+  }
+
   test("q128 embedding health: source-partitioned windows, no single partition") {
     // the quantile envelope must ride the bounded cell-grid histogram
     // under (source)-partitioned windows — an exact-norm histogram would

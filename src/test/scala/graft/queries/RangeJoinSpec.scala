@@ -30,6 +30,31 @@ class RangeJoinSpec extends AnyFunSuite {
     d
   }
 
+  test("q134 drift: per-type week series with a lag ratio, first week null") {
+    val wk = 604800L * 1000000L
+    val rows = Seq(
+      // clicks: weeks 0, 0, 1, 1, 1 -> ratio week1 = 1500
+      (1L, 1L, 1L, "click", 0.0), (2L, 2L, 1L, "click", 0.0),
+      (3L, wk + 1L, 1L, "click", 0.0), (4L, wk + 2L, 2L, "click", 0.0),
+      (5L, wk + 3L, 3L, "click", 0.0),
+      // views: week 0 only -> one row, null prev/ratio
+      (6L, 5L, 1L, "view", 0.0),
+      // errors: weeks 0 and 2 — the GAP week is absent from the series,
+      // so week 2 lags against week 0 (count series, not a calendar)
+      (7L, 7L, 1L, "error", 0.0), (8L, 2L * wk + 1L, 1L, "error", 0.0))
+    val got = SparkEntry.queries("q134_weekly_drift")(spark, fixture(rows))
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4)))).toMap
+    graft.Caches.release(spark)
+    assert(got === Map(
+      ("click", 0L) -> ((2L, -1L, -1L)),
+      ("click", 1L) -> ((3L, 2L, 1500L)),
+      ("view", 0L) -> ((1L, -1L, -1L)),
+      ("error", 0L) -> ((1L, -1L, -1L)),
+      ("error", 2L) -> ((1L, 1L, 1000L))), got)
+  }
+
   test("q132 decay: weight halves per half-life step, horizon and user bounds hold") {
     val hl = W // the operator's half-life is 30 min, same as this W
     val t = 100L * hl

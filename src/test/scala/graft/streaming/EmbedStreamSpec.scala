@@ -51,6 +51,45 @@ class EmbedStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ivfAssigned streams the batch cell assignment under frozen centroids") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train centroids on a static corpus (incl. a zero vector the q28
+    // guard must drop), then stream the SAME vectors across a batch
+    // boundary: per-vector cells must equal the shared batch assignment
+    val d = Files.createTempDirectory("graft-ivfassign").toString
+    val zero = Array.fill(64)(0f)
+    val rows = Seq((0L, vA), (1L, vC), (2L, vE), (3L, vA), (4L, zero))
+    rows.map { case (id, v) => (id, v, 0) }
+      .toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    val cents = graft.queries.Similarity.kmeansCentroids(spark, d)
+    val batch = graft.queries.Similarity.assignCells(
+      spark.read.parquet(s"$d/embeddings.parquet")
+        .selectExpr("vec_id", "embedding",
+          "sqrt(aggregate(embedding, 0D, (a, x) -> a + x * x)) AS nrm")
+        .filter($"nrm" > 0), cents)
+      .as[(Long, Long)].collect().toMap
+    graft.Caches.release(spark)
+    val mem = MemoryStream[(Long, Timestamp, Array[Float])]
+    val q = EmbedStream.ivfAssigned(
+        mem.toDF().toDF("vec_id", "ingest_ts", "embedding"), cents)
+      .writeStream.format("memory").queryName("ivfassign")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows.take(2).zipWithIndex.map { case ((id, v), i) =>
+        (id, ts(i.toLong), v) }: _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(2).zipWithIndex.map { case ((id, v), i) =>
+        (id, ts(10L + i), v) }: _*)
+      q.processAllAvailable()
+      val got = spark.table("ivfassign").as[(Long, Long)].collect().toMap
+      assert(got === batch, s"stream $got must equal batch $batch")
+      assert(!got.contains(4L), "the zero-norm arrival must drop")
+      assert(got.size === 4)
+    } finally q.stop()
+  }
+
   test("stream survivors agree with batch q39 pair semantics on the union corpus") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-embdedup-batch").toString
