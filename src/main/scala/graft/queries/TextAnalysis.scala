@@ -587,6 +587,47 @@ object TextAnalysis {
         .withColumn("fertility_pm", fertilityPm)
     }),
 
+    // language-ID evaluation — the labeled-corpus confusion card for
+    // the q17 classifier: documents carry a lang LABEL, q17 guesses
+    // one; per (label, guess) cell the doc count and the within-label
+    // per-mille share (the diagonal is recall — the number an operator
+    // owner watches before trusting q17's verdicts to route a corpus).
+    // The classifier under audit is q17 ITSELF (shared derivation, not
+    // a reimplementation); ONE map-combined agg to ≤ |langs|² rows, the
+    // share over a matrix-sized window.
+    "q135_langid_confusion" -> ((s, dir) => {
+      val guesses = queries("q17_lang_id")(s, dir)
+        .select(col("doc_id"), col("lang_guess"))
+      val w = Window.partitionBy("lang")
+      Tables(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(guesses, Seq("doc_id"))
+        .groupBy("lang", "lang_guess").agg(count(lit(1)).as("n_docs"))
+        .withColumn("lang_total", sum("n_docs").over(w))
+        .withColumn("share_pm",
+          expr("CAST((n_docs * 1000) div lang_total AS BIGINT)"))
+        .select("lang", "lang_guess", "n_docs", "share_pm")
+    }),
+
+    // banded-sketch precision audit — does "simhash hamming ≤ 8"
+    // actually mean near-duplicate HERE? Per hamming value: the q27
+    // pair count and how many of those pairs the exact 3-gram Jaccard
+    // (q22's ≥ 0.2 bar) confirms — the calibration curve that tells an
+    // operator owner where to set the hamming cut for THIS corpus
+    // (q116 reads band mechanics; this reads the sketch's semantic
+    // precision). Both inputs are the shared audited pair generators;
+    // the stitch is one ordered-pair-key left join + ONE map-combined
+    // agg to ≤ 9 rows.
+    "q136_sketch_precision" -> ((s, dir) => {
+      val sim = Similarity.queries("q27_simhash_pairs")(s, dir)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+      val jac = queries("q22_ngram_jaccard")(s, dir)
+        .select(col("doc_a"), col("doc_b"), lit(1).as("cj"))
+      sim.join(jac, Seq("doc_a", "doc_b"), "left")
+        .groupBy("hamming")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("cj").isNotNull, 1L).otherwise(0L)).as("n_confirmed"))
+    }),
+
     // per-document repetition ratio: 1 − |distinct 2-grams|/|2-grams| —
     // the standard repeated-text corpus-quality signal. Narrow per-row
     // array ops, zero shuffles; the ratio guards empty/short docs (ANSI).
@@ -1499,6 +1540,20 @@ object TextAnalysis {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM kc a JOIN kc b ON a.gg = b.gg AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** The complete q22 oracle statement — a val so the sketch-precision
+    * oracle (q136) embeds the IDENTICAL Jaccard-pair text as a subquery.
+    */
+  private lazy val sqlJaccardPairsSql: String =
+    s"""WITH $sqlGramCandCtes,
+       |j AS (SELECT doc_a, doc_b,
+       |  len(list_filter(x.g3, e -> list_contains(y.g3, e))) AS inter,
+       |  len(x.g3) + len(y.g3)
+       |    - len(list_filter(x.g3, e -> list_contains(y.g3, e))) AS uni
+       |  FROM cand JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b)
+       |SELECT doc_a, doc_b, inter, uni,
+       |  CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
+       |FROM j WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= 0.2""".stripMargin
+
   /** q87/q90 oracle fragments — ONE SQL text for the trainer and the
     * encoder built on it, so they cannot drift. [[bpeV0]] is the
     * (word, n, s) vocabulary CTE prefix (tk kept with doc_id so the
@@ -1675,16 +1730,41 @@ object TextAnalysis {
       """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_dups
         |FROM documents GROUP BY sha256(text)""".stripMargin,
 
-    "q22_ngram_jaccard" ->
-      s"""WITH $sqlGramCandCtes,
-         |j AS (SELECT doc_a, doc_b,
-         |  len(list_filter(x.g3, e -> list_contains(y.g3, e))) AS inter,
-         |  len(x.g3) + len(y.g3)
-         |    - len(list_filter(x.g3, e -> list_contains(y.g3, e))) AS uni
-         |  FROM cand JOIN g x ON x.doc_id = doc_a JOIN g y ON y.doc_id = doc_b)
-         |SELECT doc_a, doc_b, inter, uni,
-         |  CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) AS jaccard
-         |FROM j WHERE CAST(inter AS DOUBLE)/CAST(uni AS DOUBLE) >= 0.2""".stripMargin,
+    "q22_ngram_jaccard" -> sqlJaccardPairsSql,
+
+    // the q17 chain joined to the label, matrix-sized share window
+    "q135_langid_confusion" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |s AS (SELECT doc_id,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("en")})) AS s_en,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("es")})) AS s_es,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("de")})) AS s_de,
+         |  len(list_filter(tk, x -> x IN ${sqlStops("fr")})) AS s_fr FROM t),
+         |g AS (SELECT doc_id,
+         |  CASE WHEN s_en >= greatest(s_es, s_de, s_fr) THEN 'en'
+         |       WHEN s_es >= greatest(s_de, s_fr) THEN 'es'
+         |       WHEN s_de >= s_fr THEN 'de' ELSE 'fr' END AS lang_guess
+         |  FROM s),
+         |m AS (SELECT d.lang, g.lang_guess, CAST(COUNT(*) AS BIGINT) AS n_docs
+         |  FROM documents d JOIN g ON g.doc_id = d.doc_id
+         |  GROUP BY d.lang, g.lang_guess)
+         |SELECT lang, lang_guess, n_docs,
+         |  CAST((n_docs * 1000) // SUM(n_docs) OVER (PARTITION BY lang)
+         |    AS BIGINT) AS share_pm
+         |FROM m""".stripMargin,
+
+    // the two shared pair statements as subqueries, one ordered-pair
+    // left join, grouped by hamming
+    "q136_sketch_precision" ->
+      s"""WITH spairs AS (WITH ${Similarity.SqlSimhashPairCtes}
+         |  ${Similarity.SqlSimhashPairSelect.replace("\n", " ")}),
+         |jp AS (SELECT doc_a, doc_b FROM ($sqlJaccardPairsSql))
+         |SELECT s.hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(CASE WHEN jp.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_confirmed
+         |FROM spairs s LEFT JOIN jp
+         |  ON jp.doc_a = s.doc_a AND jp.doc_b = s.doc_b
+         |GROUP BY s.hamming""".stripMargin,
 
     // the shared candidate CTEs, one intersection per unordered pair,
     // both directions unioned, the integer per-mille bar

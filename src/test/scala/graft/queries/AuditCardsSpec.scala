@@ -1,0 +1,58 @@
+package graft.queries
+
+import graft.{Caches, SparkEntry, SparkTestSession}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** q135/q136 — the operator-evaluation cards: the lang-ID confusion
+  * matrix against the corpus's own labels, and the banded-sketch
+  * precision curve against the exact Jaccard bar.
+  */
+class AuditCardsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("q135 confusion: correct labels on the diagonal, a planted mislabel off it") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-langconf").toString
+    val en = Seq.fill(4)("the and of to in is a").mkString(" ")
+    val es = Seq.fill(4)("el la de que y en un").mkString(" ")
+    // three true-en docs, one true-es doc, and one ES-labeled doc whose
+    // TEXT is English — the planted off-diagonal cell
+    Seq((0L, en, "en"), (1L, en, "en"), (2L, en, "en"),
+        (3L, es, "es"), (4L, en, "es"))
+      .toDF("doc_id", "text", "lang").write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q135_langid_confusion")(spark, d)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    Caches.release(spark)
+    assert(got === Map(
+      ("en", "en") -> ((3L, 1000L)),
+      ("es", "es") -> ((1L, 500L)),
+      ("es", "en") -> ((1L, 500L))), got)
+  }
+
+  test("q136 precision: identical docs confirm at hamming 0; totals cover q27") {
+    // a verbatim pair is both a simhash pair (hamming 0) and a Jaccard
+    // pair (1.0 >= 0.2): its hamming-0 row must show a confirmation
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val d = Files.createTempDirectory("graft-sketchprec").toString
+    import spark.implicits._
+    Seq((0L, t), (1L, t),
+        (2L, "completely different content about spark catalyst planning"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q136_sketch_precision")(spark, d)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Caches.release(spark)
+    assert(got.contains(0L) && got(0L)._1 >= 1L && got(0L)._2 >= 1L, got)
+    // on the real corpus the curve must tile the q27 pair set exactly
+    // and never confirm more than it counts
+    val dir = "/root/testdata/sf0.001"
+    val curve = SparkEntry.queries("q136_sketch_precision")(spark, dir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    Caches.release(spark)
+    val q27n = SparkEntry.queries("q27_simhash_pairs")(spark, dir).count()
+    Caches.release(spark)
+    assert(curve.map(_._1).sum === q27n, "curve must partition the q27 pairs")
+    assert(curve.forall { case (n, c) => c <= n })
+  }
+}

@@ -43,7 +43,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q119_pack_manifest", "q121_shuffled_manifest", "q122_ann_serve_batch",
     "q123_shard_plan", "q124_calibrated_select", "q125_gram_containment",
     "q126_tokenizer_fertility", "q127_soft_dedup", "q128_embedding_health",
-    "q129_manifest_checksum", "q131_caption_conflicts")
+    "q129_manifest_checksum", "q131_caption_conflicts",
+    "q136_sketch_precision")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()
