@@ -132,6 +132,25 @@ object Relational {
         .agg(count(lit(1)).as("n_customers"))
     }),
 
+    // customer order-count distribution — the TPC-H Q13 shape, the one
+    // relational pattern the inventory lacked: a LEFT OUTER join that
+    // must keep zero-order customers (an inner join silently erases the
+    // "0 orders" bucket — the classic Q13 bug), then TWO stacked
+    // aggregations (per-customer count → per-count customer histogram).
+    // Plan: one outer equi-join shuffled on the key + two map-combined
+    // aggs; output ≤ max-orders-per-customer rows. At scale the first
+    // agg rides the join's partitioning (no extra exchange).
+    "q137_order_histogram" -> ((s, dir) => {
+      val perCust = Tables(s, dir, "customer").select(col("c_custkey"))
+        .join(Tables(s, dir, "orders")
+          .select(col("o_custkey"), col("o_orderkey")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+      perCust.groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
     // R17/R20 upsert last-writer-wins: latest row per key via window dedup
     "q09_upsert_lastwins" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"))
@@ -348,6 +367,16 @@ object Relational {
     "q07_anti_join" ->
       """SELECT c_custkey, c_name FROM customer c
         |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    // COUNT(o_orderkey), not COUNT(*): the outer join's null rows must
+    // count as zero orders
+    "q137_order_histogram" ->
+      """WITH pc AS (SELECT c.c_custkey,
+        |  CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+        |  FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |  GROUP BY c.c_custkey)
+        |SELECT n_orders, COUNT(*) AS n_customers
+        |FROM pc GROUP BY n_orders""".stripMargin,
 
     "q08_semi_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n_customers FROM customer c

@@ -31,6 +31,20 @@ class AuditCardsSpec extends AnyFunSuite {
       ("es", "en") -> ((1L, 500L))), got)
   }
 
+  test("q137 histogram keeps the zero-order bucket and conserves customers") {
+    // the Q13 classic: an inner join would erase order-less customers;
+    // their bucket must equal q07's anti-join count exactly, and the
+    // histogram must conserve the customer table
+    val dir = "/root/testdata/sf0.001"
+    val hist = SparkEntry.queries("q137_order_histogram")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val noOrders = SparkEntry.queries("q07_anti_join")(spark, dir).count()
+    val nCust = graft.Tables(spark, dir, "customer").count()
+    Caches.release(spark)
+    assert(hist.getOrElse(0L, 0L) === noOrders, s"zero bucket: $hist")
+    assert(hist.values.sum === nCust, "histogram must conserve customers")
+  }
+
   test("q136 precision: identical docs confirm at hamming 0; totals cover q27") {
     // a verbatim pair is both a simhash pair (hamming 0) and a Jaccard
     // pair (1.0 >= 0.2): its hamming-0 row must show a confirmation
