@@ -656,6 +656,34 @@ object Curation {
           col("doc_id"), col("n_tokens"), col("quality"))
     }),
 
+    // contamination attribution — the forensics behind q57's verdicts:
+    // q57 says a train document is contaminated; this says BY WHICH
+    // benchmark document (the argmax bench doc by shared distinct
+    // 8-gram count, ties to the lowest id). The read an eval owner does
+    // before excising content: is one bench item leaking everywhere, or
+    // is every flag a different item? The same [[gramStage]] chain and
+    // the same gram-keyed equi-join as q57 (work ∝ shared grams, never
+    // train×bench), ONE map-combined (train, bench) count, and the
+    // rank-1 cut under a train-doc-partitioned window — WindowGroupLimit
+    // at scale, never a global sort. Rows only for contaminated docs
+    // (q57's flagged set, exactly).
+    "q139_contam_attribution" -> ((s, dir) => {
+      val grams = gramStage(Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text")), Seq("doc_id")).persist()
+      val bench = grams.filter(col("doc_id") % BenchMod === 0)
+        .select(col("doc_id").as("bench_doc"), explode(col("g8")).as("g"))
+      val train = grams.filter(col("doc_id") % BenchMod =!= 0)
+        .select(col("doc_id"), explode(col("g8")).as("g"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(desc("n_shared"), asc("bench_doc"))
+      train.join(bench, Seq("g"))
+        .groupBy("doc_id", "bench_doc")
+        .agg(count(lit(1)).as("n_shared"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select("doc_id", "bench_doc", "n_shared")
+    }),
+
     // manifest integrity checksum — the one-row receipt a loader fleet
     // verifies before an epoch starts: n_rows plus an ORDER-INDEPENDENT
     // modular sum of per-row 60-bit hashes over the q121 manifest (any
@@ -1571,6 +1599,21 @@ object Curation {
          |packin AS (SELECT pos.pos AS doc_id, surv.n_tokens
          |  FROM pos JOIN surv USING (doc_id)),
          |${sqlPackTail("packin")}""".stripMargin,
+
+    // the q57 gram chain (sqlContamCtes' g relation), the (train, bench)
+    // shared-gram counts, the rank-1 cut
+    "q139_contam_attribution" ->
+      s"""WITH $sqlContamCtes,
+         |bgd AS (SELECT doc_id AS bench_doc, unnest(g8) AS gg FROM g
+         |  WHERE doc_id % $BenchMod = 0),
+         |trd AS (SELECT doc_id, unnest(g8) AS gg FROM g
+         |  WHERE doc_id % $BenchMod <> 0),
+         |pc AS (SELECT trd.doc_id, bgd.bench_doc,
+         |  CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM trd JOIN bgd USING (gg) GROUP BY 1, 2),
+         |rr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+         |  ORDER BY n_shared DESC, bench_doc) AS rk FROM pc)
+         |SELECT doc_id, bench_doc, n_shared FROM rr WHERE rk = 1""".stripMargin,
 
     // q97's dedup/quality/contamination CTEs verbatim, stage flags per
     // document, ONE grouped report per source

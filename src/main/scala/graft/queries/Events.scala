@@ -17,6 +17,24 @@ object Events {
 
   private def dsum(c: Column): Column = sum(c.cast("decimal(18,4)")).cast("double")
 
+  /** q132's attribution geometry: 2 h lookback horizon, 30 min decay
+    * half-life — ≤ 4 halvings inside the horizon, so the shift never
+    * exceeds the long's width.
+    */
+  private[graft] val AttribHorizonUs = 7200L * 1000000L
+  private[graft] val AttribHalfLifeUs = 1800L * 1000000L
+
+  /** The exact decay weight over a non-negative µs staleness:
+    * 1e6 >> (Δ div half-life) — identical to `1e6 div 2^halvings` for
+    * non-negative ints, shift-exact on both engines. ONE definition
+    * shared by batch q132 and the streaming dual
+    * ([[graft.streaming.EventStream.decayedTouches]]). The floor of the
+    * double quotient is exact: both operands are < 2^53.
+    */
+  private[graft] def decayWeightPpm(dltUs: Column): Column =
+    call_function("shiftright", lit(1000000L),
+      floor(dltUs.cast("double") / AttribHalfLifeUs.toDouble).cast("int"))
+
   /** Depth-N ordered funnel over an event log: per user, the first
     * occurrence of `stages(0)`, then the first `stages(1)` strictly AFTER
     * it, and so on down the chain. The cascaded-conditional-min shape
@@ -180,8 +198,7 @@ object Events {
     // ≤ |channels| rows. The oracle states the plain inequality join;
     // the binning is the Spark plan's scale device.
     "q132_decay_attribution" -> ((s, dir) => {
-      val W = 7200L * 1000000L  // lookback horizon (µs): 2 h
-      val HL = 1800L * 1000000L // half-life (µs): 30 min — ≤ 4 halvings
+      val W = AttribHorizonUs
       val ev = Tables(s, dir, "events")
       val touches = ev.filter(col("event_type").isin("view", "click"))
         .select(col("event_type").as("channel"), col("user_id"),
@@ -193,9 +210,7 @@ object Events {
           explode(array(expr(s"t2 div ${W}L"), expr(s"t2 div ${W}L - 1L"))))
       touches.join(purchases, Seq("user_id", "bkt"))
         .filter(col("t1") < col("t2") && col("t2") <= col("t1") + lit(W))
-        .withColumn("w_ppm", expr(
-          s"CAST(1000000 div (CAST(1 AS BIGINT) << " +
-            s"CAST((t2 - t1) div ${HL}L AS INT)) AS BIGINT)"))
+        .withColumn("w_ppm", decayWeightPpm(col("t2") - col("t1")))
         .groupBy("channel")
         .agg(count(lit(1)).as("n_touches"), sum("w_ppm").as("weight_ppm"))
     }),
@@ -211,6 +226,32 @@ object Events {
     // the stitched null-front: 0 = never viewed … 3 = converted.
     "q78_funnel" -> ((s, dir) =>
       funnelStages(Tables(s, dir, "events"), Seq("view", "click", "purchase"))),
+
+    // session-size distribution — q24's sessionizer driven one level
+    // deeper: q24 counts sessions per user; this is the histogram of
+    // EVENTS PER SESSION across the corpus (the engagement-shape card:
+    // a spike at 1 is bounce traffic, a heavy tail is power usage).
+    // Same 30-min-gap rule as q24 (shared semantics — the boundary
+    // column is computed identically), a running SUM of the boundary
+    // flags numbers each user's sessions, then the q137 double-agg
+    // shape: per-(user, session) count → per-count histogram. Windows
+    // are user-partitioned (bounded by one user's history, exactly
+    // q24's partitions); both aggs map-combine.
+    "q138_session_sizes" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w))
+      val cum = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir, "events")
+        .withColumn("new_session",
+          when(gap.isNull || gap > lit(1800L * 1000000L), 1L).otherwise(0L))
+        .withColumn("session_idx", sum("new_session").over(cum))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy("n_events")
+        .agg(count(lit(1)).as("n_sessions"))
+    }),
 
     // weekly metric drift — the monitoring read on the event stream's
     // own health: per (event_type, week), the count beside last week's
@@ -321,6 +362,25 @@ object Events {
         |FROM e1 LEFT JOIN e2 ON e2.user_id = e1.user_id
         |  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
         |GROUP BY e1.event_id""".stripMargin,
+
+    // q24's gap rule, a per-user running boundary sum, the double agg
+    "q138_session_sizes" ->
+      """WITH g AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS t,
+        |  epoch_us(CAST(ts AS TIMESTAMP))
+        |    - epoch_us(lag(CAST(ts AS TIMESTAMP), 1) OVER (
+        |        PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS gap
+        |  FROM events),
+        |n AS (SELECT user_id, event_id, t,
+        |  CASE WHEN gap IS NULL OR gap > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM g),
+        |s AS (SELECT user_id,
+        |  SUM(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM n),
+        |c AS (SELECT user_id, sid, CAST(COUNT(*) AS BIGINT) AS n_events
+        |  FROM s GROUP BY user_id, sid)
+        |SELECT n_events, COUNT(*) AS n_sessions
+        |FROM c GROUP BY n_events""".stripMargin,
 
     // q98's week derivation, the per-type lag, the non-negative ratio
     "q134_weekly_drift" ->

@@ -118,6 +118,38 @@ object EventStream {
       .select(col("event_id"), col("n_follow"), col("sum_value"))
   }
 
+  /** Streaming time-decayed attribution — q132's dual: view/click
+    * touches interval-join same-user purchases within the shared 2 h
+    * horizon (two-sided watermark state bounds, the [[rangeAttribution]]
+    * machinery), each joined row weighted by the SAME exact shift-decay
+    * Column ([[graft.queries.Events.decayWeightPpm]] — batch and stream
+    * cannot disagree on a weight). Emits PER-TOUCH attribution rows in
+    * append mode — a channel-level global aggregate after a
+    * stream-stream join is the unsupported multi-stateful shape, and
+    * the channel totals are value-space-tiny anyway, so the card is a
+    * batch aggregate over the emitted rows (the fertilityRegisters
+    * posture: rows on the stream, the report as a batch step).
+    */
+  def decayedTouches(events: DataFrame,
+      watermark: String = "4 hours"): DataFrame = {
+    val horizonMin = graft.queries.Events.AttribHorizonUs / 60000000L
+    val touches = events
+      .filter(col("event_type").isin("view", "click"))
+      .select(col("event_type").as("channel"), col("event_id"),
+        col("user_id").as("t_user"), col("ts").as("t_ts"))
+      .withWatermark("t_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    touches.join(purchases,
+        col("t_user") === col("p_user") &&
+        col("p_ts") > col("t_ts") &&
+        col("p_ts") <= col("t_ts") + expr(s"INTERVAL $horizonMin MINUTES"))
+      .select(col("channel"), col("event_id"), col("t_user").as("user_id"),
+        graft.queries.Events.decayWeightPpm(
+          unix_micros(col("p_ts")) - unix_micros(col("t_ts"))).as("w_ppm"))
+  }
+
   // ---- custom state: sessionization via flatMapGroupsWithState ----------
 
   final case class Event(event_id: Long, ts: Timestamp, user_id: Long,

@@ -500,6 +500,23 @@ class CurationSpec extends AnyFunSuite {
       ("B", 1L, 1L), ("B", 2L, 3L), ("B", 3L, 5L)), got)
   }
 
+  test("q139 attributes contamination to the max-overlap bench doc, ties low") {
+    // doc ids divisible by 97 are the benchmark set: bench A (id 0)
+    // shares THREE 8-grams with train doc 1, bench B (id 97) shares
+    // ONE — attribution must name A; the clean train doc 2 is absent
+    val aw = (1 to 10).map(i => s"aw$i").mkString(" ")
+    val bw = (1 to 10).map(i => s"bw$i").mkString(" ")
+    val train = aw + " " + (1 to 8).map(i => s"bw$i").mkString(" ")
+    val dir = corpus(Seq(
+      (0L, aw, "en"), (97L, bw, "en"),
+      (1L, train, "en"),
+      (2L, "totally unrelated clean content with no shared grams at all", "en")))
+    val got = SparkEntry.queries("q139_contam_attribution")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Caches.release(spark)
+    assert(got === Map(1L -> ((0L, 3L))), got)
+  }
+
   test("q129 checksum matches an independent reimplementation and counts the manifest") {
     // fold the collected q121 manifest through a from-scratch sha-256
     // 60-bit hash + modular sum — if the operator's hash keying, row

@@ -69,7 +69,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // CurationSpec/BpeSpec/EmbeddingHealthSpec instead
     "q123_shard_plan", "q125_gram_containment", "q127_soft_dedup",
     "q129_manifest_checksum", "q131_caption_conflicts",
-    "q136_sketch_precision",
+    "q136_sketch_precision", "q139_contam_attribution",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -103,6 +103,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q129_manifest_checksum", // one integrity row by construction
         "q131_caption_conflicts", // pairs only; degenerate corpus has none
         "q136_sketch_precision", // rows only where pairs exist
+        "q139_contam_attribution", // rows only for contaminated docs
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")

@@ -30,6 +30,24 @@ class RangeJoinSpec extends AnyFunSuite {
     d
   }
 
+  test("q138 session sizes: the 30-min gap rule shapes the histogram") {
+    val min = 60L * 1000000L
+    val rows = Seq(
+      // user 1: three events 1 min apart (one session of 3), then a
+      // 100-min gap into a session of 2
+      (1L, 0L, 1L, "view", 0.0), (2L, min, 1L, "view", 0.0),
+      (3L, 2L * min, 1L, "click", 0.0),
+      (4L, 102L * min, 1L, "view", 0.0), (5L, 103L * min, 1L, "view", 0.0),
+      // user 2: one lone event; user 3: two events EXACTLY 30 min apart
+      // (gap = 1800s is NOT > the bound — same session)
+      (6L, 0L, 2L, "view", 0.0),
+      (7L, 0L, 3L, "view", 0.0), (8L, 30L * min, 3L, "view", 0.0))
+    val got = SparkEntry.queries("q138_session_sizes")(spark, fixture(rows))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.Caches.release(spark)
+    assert(got === Map(3L -> 1L, 2L -> 2L, 1L -> 1L), got)
+  }
+
   test("q134 drift: per-type week series with a lag ratio, first week null") {
     val wk = 604800L * 1000000L
     val rows = Seq(

@@ -92,6 +92,57 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("decayedTouches fold to the batch q132 channel report on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the q132 staleness ladder as a stream: weights 1e6 / 5e5 / 2.5e5 /
+    // 62500 at the exact half-life boundaries, horizon and user bounds
+    // offset +1000 min: an event at exactly epoch 0 sits AT the initial
+    // watermark and is dropped as late on arrival
+    val rows = Seq(
+      Event(1, ts(1119), 1, "click", 0.0), // Δ 1 min -> 1e6
+      Event(2, ts(1090), 1, "click", 0.0), // Δ 30 min exactly -> 500000
+      Event(3, ts(1055), 1, "view", 0.0),  // Δ 65 min -> 250000
+      Event(4, ts(1000), 1, "view", 0.0),  // Δ 120 min = horizon -> 62500
+      Event(5, ts(1240), 1, "view", 0.0),  // after the purchase: excluded
+      Event(6, ts(1119), 2, "click", 0.0), // other user: excluded
+      Event(50, ts(1120), 1, "purchase", 10.0))
+    val mem = MemoryStream[Event]
+    val q = EventStream.decayedTouches(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("dtouch")
+      .outputMode("append").start()
+    try {
+      // all four in-horizon touches land in batch 1 — the ts(0) touch
+      // is 119 min older than the batch max, and a later delivery would
+      // (correctly) drop it as beyond the 10-min watermark
+      mem.addData(rows.take(4): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(4): _*)
+      q.processAllAvailable()
+      // flush both watermarks
+      mem.addData(Event(900, ts(5000), 9, "view", 0.0),
+        Event(901, ts(5000), 9, "purchase", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("dtouch").filter($"event_id" < 900)
+        .groupBy("channel")
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_touches"),
+          org.apache.spark.sql.functions.sum("w_ppm").as("weight_ppm"))
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      // the batch operator over the IDENTICAL rows is the truth
+      val d = java.nio.file.Files.createTempDirectory("graft-dtouch").toString
+      rows.toDF().write.parquet(s"$d/events.parquet")
+      val want = graft.SparkEntry.queries("q132_decay_attribution")(spark, d)
+        .as[(String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      graft.Caches.release(spark)
+      assert(got == want, s"stream $got must equal batch q132 $want")
+      assert(want("click") == ((2L, 1500000L)) &&
+        want("view") == ((2L, 312500L)), want)
+    } finally q.stop()
+  }
+
   test("hourlyWindows over a MemoryStream matches the batch aggregation") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
