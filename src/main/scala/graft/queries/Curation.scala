@@ -1103,7 +1103,7 @@ object Curation {
     * in-doc resume offset, and span length. Shared by the corpus-order
     * (q119) and shuffled-order (q121) manifests.
     */
-  private def manifestRows(assigned: DataFrame): DataFrame =
+  private[graft] def manifestRows(assigned: DataFrame): DataFrame =
     assigned
       .select(col("doc_id"), (col("cum") - col("n_tokens")).as("ds"),
         col("cum").as("de"),

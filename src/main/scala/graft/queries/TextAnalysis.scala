@@ -587,6 +587,49 @@ object TextAnalysis {
         .withColumn("fertility_pm", fertilityPm)
     }),
 
+    // per-source lexical diversity — the distinct-n card (the text-gen
+    // diversity metric applied to a corpus): of each source's word
+    // 3-grams, how many are distinct (a low ratio = templated /
+    // boilerplate-heavy source — the mixture signal BESIDE volume: a
+    // big source of repeated grams carries less signal than its token
+    // mass suggests). Grams hash to 32-bit ints first (integer shuffle,
+    // the q22 convention; collisions merge identically in both
+    // engines); ONE two-phase distinct-count agg on (source, gram),
+    // per-mille on the exact longs.
+    "q140_source_diversity" -> ((s, dir) => {
+      Tables.wide(s, dir, "documents")
+        .select(col("source"),
+          explode(wordNgrams(tokens(col("text")), 3)).as("gs"))
+        .select(col("source"), portableHash(col("gs")).as("g"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_grams"),
+          countDistinct("g").as("n_distinct"))
+        .withColumn("distinct_pm",
+          expr("CAST((n_distinct * 1000) div n_grams AS BIGINT)"))
+    }),
+
+    // per-source PII incidence — the privacy card beside q80's profile:
+    // how many of each source's documents carry emails / URLs / IPs,
+    // and the clean share (the number a release review reads before
+    // shipping a source; q50 scans per doc, q51 scrubs — this is the
+    // per-stratum exposure report that decides WHICH sources need the
+    // scrub pass at all). q50's verdicts verbatim (the card audits THE
+    // scanner), one source equi-join, ONE map-combined agg to
+    // ≤ |sources| rows.
+    "q141_pii_incidence" -> ((s, dir) => {
+      val scan = queries("q50_pii_scan")(s, dir)
+      Tables(s, dir, "documents").select(col("doc_id"), col("source"))
+        .join(scan, Seq("doc_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_emails") > 0, 1L).otherwise(0L)).as("n_email_docs"),
+          sum(when(col("n_urls") > 0, 1L).otherwise(0L)).as("n_url_docs"),
+          sum(when(col("n_ips") > 0, 1L).otherwise(0L)).as("n_ip_docs"),
+          sum(when(col("clean"), 1L).otherwise(0L)).as("n_clean"))
+        .withColumn("clean_pm",
+          expr("CAST((n_clean * 1000) div n_docs AS BIGINT)"))
+    }),
+
     // language-ID evaluation — the labeled-corpus confusion card for
     // the q17 classifier: documents carry a lang LABEL, q17 guesses
     // one; per (label, guess) cell the doc count and the within-label
@@ -1540,6 +1583,20 @@ object TextAnalysis {
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM kc a JOIN kc b ON a.gg = b.gg AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** The complete q50 oracle statement — a val so the per-source PII
+    * incidence oracle (q141) embeds the IDENTICAL scan text as a
+    * subquery.
+    */
+  private lazy val sqlPiiScanSql: String =
+    s"""WITH m AS (SELECT doc_id,
+       |  len(regexp_extract_all(text, '$PiiEmail')) AS n_emails,
+       |  len(regexp_extract_all(text, '$PiiUrl')) AS n_urls,
+       |  len(regexp_extract_all(text, '$PiiIp')) AS n_ips
+       |  FROM documents)
+       |SELECT doc_id, n_emails, n_urls, n_ips,
+       |  COALESCE(n_emails = 0 AND n_urls = 0 AND n_ips = 0, false) AS clean
+       |FROM m""".stripMargin
+
   /** The complete q22 oracle statement — a val so the sketch-precision
     * oracle (q136) embeds the IDENTICAL Jaccard-pair text as a subquery.
     */
@@ -1732,6 +1789,19 @@ object TextAnalysis {
 
     "q22_ngram_jaccard" -> sqlJaccardPairsSql,
 
+    // the q22 gram construction × source, hashed, one distinct-count agg
+    "q140_source_diversity" ->
+      s"""WITH t AS (SELECT source, $Toks AS tk FROM documents),
+         |gs AS (SELECT source,
+         |  unnest(CASE WHEN len(tk) < 3 THEN []
+         |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2] for i in range(1, len(tk)-2+1)] END) AS gstr
+         |  FROM t),
+         |g AS (SELECT source, ${SqlHash("gstr")} AS g FROM gs)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_grams,
+         |  CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+         |  CAST((COUNT(DISTINCT g) * 1000) // COUNT(*) AS BIGINT) AS distinct_pm
+         |FROM g GROUP BY source""".stripMargin,
+
     // the q17 chain joined to the label, matrix-sized share window
     "q135_langid_confusion" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
@@ -1922,15 +1992,24 @@ object TextAnalysis {
          |  sha256(array_to_string(tk[start+1 : start+$ChunkWin], ' ')) AS chunk_hash
          |FROM st""".stripMargin,
 
-    "q50_pii_scan" ->
-      s"""WITH m AS (SELECT doc_id,
-         |  len(regexp_extract_all(text, '$PiiEmail')) AS n_emails,
-         |  len(regexp_extract_all(text, '$PiiUrl')) AS n_urls,
-         |  len(regexp_extract_all(text, '$PiiIp')) AS n_ips
-         |  FROM documents)
-         |SELECT doc_id, n_emails, n_urls, n_ips,
-         |  COALESCE(n_emails = 0 AND n_urls = 0 AND n_ips = 0, false) AS clean
-         |FROM m""".stripMargin,
+    "q50_pii_scan" -> sqlPiiScanSql,
+
+    // the q50 statement as a subquery, grouped per source
+    "q141_pii_incidence" ->
+      s"""WITH ps AS ($sqlPiiScanSql)
+         |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(CASE WHEN ps.n_emails > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_email_docs,
+         |  CAST(SUM(CASE WHEN ps.n_urls > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_url_docs,
+         |  CAST(SUM(CASE WHEN ps.n_ips > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ip_docs,
+         |  CAST(SUM(CASE WHEN ps.clean THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_clean,
+         |  CAST((SUM(CASE WHEN ps.clean THEN 1 ELSE 0 END) * 1000)
+         |    // COUNT(*) AS BIGINT) AS clean_pm
+         |FROM ps JOIN documents d USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
 
     "q51_pii_redact" ->
       s"""WITH t1 AS (SELECT doc_id,

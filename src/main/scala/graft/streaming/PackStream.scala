@@ -164,4 +164,16 @@ object PackStream {
           BatchProtocol.collapseMarkers(batch.sparkSession, packPath, batchId)
       }
       .start()
+
+  /** The loader manifest over a streamed pack directory — q119's
+    * [[graft.queries.Curation.manifestRows]] applied to the
+    * cursor-continued assignment rows: a NARROW deterministic map (the
+    * cursor already made `cum` globally consistent across epochs, so no
+    * extra stream state exists to hold), meaning the artifact a
+    * dataloader actually reads can be produced incrementally per epoch
+    * dir — or over the union, where it equals batch q119 row-for-row
+    * (PackStreamSpec).
+    */
+  def manifest(epochs: DataFrame): DataFrame =
+    graft.queries.Curation.manifestRows(epochs)
 }

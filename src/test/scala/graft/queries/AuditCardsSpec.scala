@@ -45,6 +45,39 @@ class AuditCardsSpec extends AnyFunSuite {
     assert(hist.values.sum === nCust, "histogram must conserve customers")
   }
 
+  test("q140 diversity: templated source reads low, all-distinct source reads 1000") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-diversity").toString
+    // A: two copies of a 3-word cycle -> 14 grams, 3 distinct (214 pm);
+    // B: one all-distinct doc -> 3 grams, 3 distinct (1000 pm)
+    Seq((0L, "x y z x y z x y z", "A"), (1L, "x y z x y z x y z", "A"),
+        (2L, "p q r s t", "B"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q140_source_diversity")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    Caches.release(spark)
+    assert(got === Map("A" -> ((14L, 3L, 214L)), "B" -> ((3L, 3L, 1000L))), got)
+  }
+
+  test("q141 PII incidence: exposure counts per source, clean share exact") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-pii-card").toString
+    Seq((0L, "contact me at alice@example.com for details", "A"),
+        (1L, "perfectly clean text with no identifiers", "A"),
+        (2L, "see https://example.org and 10.0.0.1 today", "B"),
+        (3L, "another clean document here", "B"),
+        (4L, "yet another clean one", "B"))
+      .toDF("doc_id", "text", "source").write.parquet(s"$d/documents.parquet")
+    val got = SparkEntry.queries("q141_pii_incidence")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    Caches.release(spark)
+    assert(got("A") === ((2L, 1L, 0L, 0L, 1L, 500L)), got)
+    assert(got("B") === ((3L, 0L, 1L, 1L, 2L, 666L)), got)
+  }
+
   test("q136 precision: identical docs confirm at hamming 0; totals cover q27") {
     // a verbatim pair is both a simhash pair (hamming 0) and a Jaccard
     // pair (1.0 >= 0.2): its hamming-0 row must show a confirmation

@@ -89,6 +89,13 @@ class PackStreamSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .toSet
     assert(q123 === wantShards)
+    // the incrementally-producible manifest equals batch q119 verbatim:
+    // manifestRows is a narrow map over the cursor-continued assignments
+    val streamManifest = PackStream.manifest(epochs)
+      .collect().map(_.toSeq).toSet
+    val q119 = SparkEntry.queries("q119_pack_manifest")(spark, corpusDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamManifest === q119)
     graft.Caches.release(spark)
   }
 
