@@ -656,6 +656,35 @@ object Curation {
           col("doc_id"), col("n_tokens"), col("quality"))
     }),
 
+    // soft-dedup-discounted budget selection — q58 × q127, the budget a
+    // pipeline runs when duplicates are DOWN-WEIGHTED rather than
+    // dropped: each document's budget cost is its token mass scaled by
+    // its q127 sampling weight (effective = n_tokens·weight_ppm div
+    // 1e6 — a k-duplicated doc costs ~1/k, so admitting a whole
+    // near-dup cluster spends one document's budget, which is exactly
+    // the policy's point), admission by quality against half the
+    // EFFECTIVE corpus mass. The SAME audited `budgetedPrefixSelect`
+    // runs unchanged — the fourth ranking/mass combination on one
+    // implementation (q58 raw, q107 DSIR, q113 trained-token, q124
+    // calibrated); zero-cost rows (small docs in huge clusters) admit
+    // free, exactly as the oracle's cumsum treats them.
+    "q142_discounted_budget" -> ((s, dir) => {
+      val weights = Dedup.queries("q127_soft_dedup")(s, dir)
+        .select(col("doc_id"), col("weight_ppm"))
+      val scored = scoredTokens(Tables(s, dir, "documents"))
+        .join(weights, Seq("doc_id"))
+        .select(col("doc_id"),
+          expr("CAST((n_tokens * weight_ppm) div 1000000 AS BIGINT)")
+            .as("n_tokens"),
+          col("quality").as("rank"))
+        .persist()
+      val cell = least(lit(QualityCells - 1), greatest(lit(0),
+        floor((lit(1.0) - col("rank")) * QualityCells).cast("int")))
+      budgetedPrefixSelect(scored, cell, _ / 2)
+        .withColumnRenamed("rank", "quality")
+        .withColumnRenamed("n_tokens", "eff_tokens")
+    }),
+
     // contamination attribution — the forensics behind q57's verdicts:
     // q57 says a train document is contaminated; this says BY WHICH
     // benchmark document (the argmax bench doc by shared distinct
@@ -1599,6 +1628,31 @@ object Curation {
          |packin AS (SELECT pos.pos AS doc_id, surv.n_tokens
          |  FROM pos JOIN surv USING (doc_id)),
          |${sqlPackTail("packin")}""".stripMargin,
+
+    // the shared cluster chain → ppm weights → q58's quality chain →
+    // discounted mass → the one cumsum against half the effective total
+    "q142_discounted_budget" ->
+      s"""${Dedup.sqlClusters},
+         |w2 AS (SELECT doc_id,
+         |  CAST(1000000 // COUNT(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+         |    AS weight_ppm
+         |  FROM clusters),
+         |tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),
+         |m AS (SELECT doc_id, len(tk) AS n_tokens,
+         |  len(list_filter(tk, x -> x IN ${TextAnalysis.sqlStops("en")})) AS stops
+         |  FROM tk),
+         |t2 AS (SELECT doc_id, n_tokens,
+         |  (CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.4
+         |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality
+         |  FROM m WHERE n_tokens > 0),
+         |e AS (SELECT t2.doc_id,
+         |  CAST((t2.n_tokens * w2.weight_ppm) // 1000000 AS BIGINT)
+         |    AS eff_tokens,
+         |  t2.quality FROM t2 JOIN w2 USING (doc_id)),
+         |b AS (SELECT CAST(SUM(eff_tokens) AS BIGINT) // 2 AS budget FROM e),
+         |c AS (SELECT doc_id, eff_tokens, quality,
+         |  SUM(eff_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum FROM e)
+         |SELECT doc_id, eff_tokens, quality FROM c, b WHERE cum <= budget""".stripMargin,
 
     // the q57 gram chain (sqlContamCtes' g relation), the (train, bench)
     // shared-gram counts, the rank-1 cut

@@ -423,7 +423,7 @@ object Dedup {
   // symmetrized pair graph, so MIN(lbl) per id is the component minimum.
   // UNION (not UNION ALL) in the recursive member is the fixpoint/
   // termination condition.
-  private def sqlClusters: String =
+  private[queries] def sqlClusters: String =
     s"""WITH RECURSIVE ${Similarity.SqlSimhashPairCtes},
        |pairs AS (${Similarity.SqlSimhashPairSelect.replace("\n", " ")}),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs

@@ -500,6 +500,30 @@ class CurationSpec extends AnyFunSuite {
       ("B", 1L, 1L), ("B", 2L, 3L), ("B", 3L, 5L)), got)
   }
 
+  test("q142 discounted budget: near-dup copies admit cheap, quality still orders") {
+    // three verbatim 30-token docs (one cluster: weight 333333 ppm ->
+    // effective 9 each), two unique 30-token docs (effective 30), one
+    // 50-token top-quality doc (effective 50). Effective total 137,
+    // budget 68. Order: id 9 (quality 0.6) first at cum 50, then the
+    // 0.36 tie group by doc_id: 0 -> 59, 1 -> 68 (= budget, in),
+    // 2 -> 77 (out) — the whole near-dup cluster nearly fits because
+    // the discount makes copies cost ~a third of one document.
+    def words(tag: String, n: Int) =
+      (0 until n).map(j => s"${tag}x$j").mkString(" ")
+    val dup = words("d", 30)
+    val dir = corpus(Seq(
+      (0L, dup, "en"), (1L, dup, "en"), (2L, dup, "en"),
+      (3L, words("u", 30), "en"), (4L, words("v", 30), "en"),
+      (9L, words("t", 50), "en")))
+    val got = SparkEntry.queries("q142_discounted_budget")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    Caches.release(spark)
+    assert(got.keySet === Set(9L, 0L, 1L), got)
+    assert(got(9L) === ((50L, 0.6)))
+    assert(got(0L)._1 === 9L && got(1L)._1 === 9L)
+  }
+
   test("q139 attributes contamination to the max-overlap bench doc, ties low") {
     // doc ids divisible by 97 are the benchmark set: bench A (id 0)
     // shares THREE 8-grams with train doc 1, bench B (id 97) shares
