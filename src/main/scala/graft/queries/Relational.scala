@@ -214,6 +214,19 @@ object Relational {
         .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
     }),
 
+    // CUBE completes the grouping-set family beside q37's ROLLUP: all
+    // four marginals of (status, flag) in ONE pass — the Expand operator
+    // replicates each row per grouping set BEFORE the map-side combine,
+    // so the plan stays a single two-phase aggregate (never four scans).
+    // grouping_id disambiguates a real NULL key from a marginal row —
+    // the standard CUBE-consumer contract, identical in both engines.
+    "q144_status_cube" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("sum_price"),
+          grouping_id().as("gid"))
+    }),
+
     // as-of association, window-formulated: each event paired with the
     // most recent prior-or-same-time 'signup' of the same user. The
     // scalable shape for as-of at 100 TB: one shuffle on the key, a
@@ -427,6 +440,15 @@ object Relational {
       s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
          |${DSum.format("l_quantity")} AS sum_qty
          |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    // GROUPING's leftmost argument is the most significant bit — the
+    // same convention as Spark's grouping_id over the cube column order
+    "q144_status_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+         |${DSum.format("o_totalprice")} AS sum_price,
+         |CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+         |FROM orders
+         |GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
 
     // the bucketed staging is an implementation detail of the Spark
     // plan; the semantics are the plain join + aggregate

@@ -1407,6 +1407,26 @@ object Similarity {
             .as("share"))
     }),
 
+    // coverage reconciliation — the referential-integrity card between
+    // the corpus and its embedding table, and the FULL OUTER join shape
+    // in one: matched pairs, documents without vectors (a failed embed
+    // partition — those docs silently vanish from every ANN/semantic
+    // operator), and orphaned vectors (a write without a doc — stale
+    // index mass). The check an embedding-pipeline owner runs after
+    // every embed job; one outer equi-join + ONE map-combined fold to a
+    // single row. The healthy corpus reads (n, 0, 0) — which is exactly
+    // the invariant worth confirming.
+    "q143_embedding_coverage" -> ((s, dir) => {
+      Tables(s, dir, "documents").select(col("doc_id"))
+        .join(Tables(s, dir, "embeddings").select(col("vec_id")),
+          col("doc_id") === col("vec_id"), "full_outer")
+        .agg(
+          sum(when(col("doc_id").isNotNull && col("vec_id").isNotNull, 1L)
+            .otherwise(0L)).as("n_matched"),
+          sum(when(col("vec_id").isNull, 1L).otherwise(0L)).as("n_doc_only"),
+          sum(when(col("doc_id").isNull, 1L).otherwise(0L)).as("n_vec_only"))
+    }),
+
     // embedding-health audit — the third member of the index-operations
     // family (q116 reads band health, q117 IVF cell health; this reads
     // the VECTORS themselves, per source): null vectors, null-element
@@ -2365,6 +2385,17 @@ object Similarity {
 
     // the q101 assignment CTEs verbatim, member histogram beside the
     // trained cell count
+    // the plain full outer join, one fold
+    "q143_embedding_coverage" ->
+      """SELECT
+        |  CAST(SUM(CASE WHEN d.doc_id IS NOT NULL AND e.vec_id IS NOT NULL
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_doc_only,
+        |  CAST(SUM(CASE WHEN d.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_vec_only
+        |FROM documents d FULL JOIN embeddings e ON e.vec_id = d.doc_id""".stripMargin,
+
     // per-row integer q² fold on the q115 grid, counts + the bounded
     // cell-grid quantile windows; empty lists COALESCE to sq 0
     "q128_embedding_health" ->

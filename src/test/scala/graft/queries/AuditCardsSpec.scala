@@ -31,6 +31,42 @@ class AuditCardsSpec extends AnyFunSuite {
       ("es", "en") -> ((1L, 500L))), got)
   }
 
+  test("q143 coverage: orphans on both sides surface; the healthy corpus reads (n,0,0)") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-cov").toString
+    Seq((0L, "has a vector"), (1L, "embed job missed me"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    Seq((0L, Seq(1f, 2f), "l"), (7L, Seq(3f, 4f), "l"))
+      .toDF("vec_id", "embedding", "label").write.parquet(s"$d/embeddings.parquet")
+    val r = SparkEntry.queries("q143_embedding_coverage")(spark, d).head()
+    Caches.release(spark)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((1L, 1L, 1L)))
+    // the real corpus is healthy 1:1 — the invariant the card confirms
+    val h = SparkEntry.queries("q143_embedding_coverage")(
+      spark, "/root/testdata/sf0.001").head()
+    Caches.release(spark)
+    assert(h.getLong(1) === 0L && h.getLong(2) === 0L && h.getLong(0) > 0L)
+  }
+
+  test("q144 cube marginals reconcile: cells sum to each marginal and the total") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("q144_status_cube")(spark, dir)
+      .collect().map(r => (Option(r.getString(0)), Option(r.getString(1)),
+        r.getLong(2), r.getLong(4)))
+    val total = graft.Tables(spark, dir, "orders").count()
+    Caches.release(spark)
+    val cells = rows.filter(_._4 == 0L)
+    assert(cells.map(_._3).sum === total, "gid 0 cells must tile the table")
+    assert(rows.filter(_._4 == 3L).map(_._3).toSeq === Seq(total),
+      "the grand total row carries gid 3")
+    // each status marginal (gid 1: the LOW bit marks the second cube
+    // column, priority, grouped away) equals the sum of its cells
+    val statusMarginals = rows.filter(_._4 == 1L)
+      .map(r => r._1 -> r._3).toMap
+    val fromCells = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(statusMarginals === fromCells, "status marginals must reconcile")
+  }
+
   test("q137 histogram keeps the zero-order bucket and conserves customers") {
     // the Q13 classic: an inner join would erase order-less customers;
     // their bucket must equal q07's anti-join count exactly, and the
