@@ -596,14 +596,26 @@ object TextAnalysis {
     // the q22 convention; collisions merge identically in both
     // engines); ONE two-phase distinct-count agg on (source, gram),
     // per-mille on the exact longs.
+    // Split shape (measured 2.6 s → the sha is the CPU, the q99 note):
+    // the TOTAL needs no hashing at all — it is one narrow sum of array
+    // sizes — and only the per-doc DISTINCT grams pay the sha before
+    // the corpus-level distinct (per-doc dedup commutes with corpus
+    // dedup), so the hash count drops to the unique-per-doc mass.
     "q140_source_diversity" -> ((s, dir) => {
-      Tables.wide(s, dir, "documents")
-        .select(col("source"),
-          explode(wordNgrams(tokens(col("text")), 3)).as("gs"))
-        .select(col("source"), portableHash(col("gs")).as("g"))
+      val base = Tables.wide(s, dir, "documents")
+        .select(col("source"), wordNgrams(tokens(col("text")), 3).as("gs"))
+        .persist() // the total and the distinct side both read it
+      val totals = base.groupBy("source")
+        .agg(sum(coalesce(size(col("gs")).cast("long"), lit(0L)))
+          .as("n_grams"))
+      val distinct = base
+        .select(col("source"), explode(array_distinct(col("gs"))).as("gstr"))
+        .select(col("source"), portableHash(col("gstr")).as("g"))
         .groupBy("source")
-        .agg(count(lit(1)).as("n_grams"),
-          countDistinct("g").as("n_distinct"))
+        .agg(countDistinct("g").as("n_distinct"))
+      // inner join: a gram-less source has no distinct row and is
+      // absent, exactly as the oracle's GROUP BY over zero rows
+      totals.join(distinct, Seq("source"))
         .withColumn("distinct_pm",
           expr("CAST((n_distinct * 1000) div n_grams AS BIGINT)"))
     }),
