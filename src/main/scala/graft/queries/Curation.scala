@@ -656,6 +656,25 @@ object Curation {
           col("doc_id"), col("n_tokens"), col("quality"))
     }),
 
+    // corpus shape card — the joint (length-octave × quality-decile)
+    // histogram: where the corpus mass actually sits in the 2-D space
+    // every curation threshold cuts through (a q58 bar or a q45 rule
+    // moves along ONE axis; this shows what each cut would sweep away
+    // on the other). Axes are deterministic bounded grids: length in
+    // log2 octaves (the q61/q88 integer bit-length — no float log) and
+    // quality in deciles (per-row double, floored identically on both
+    // engines); output ≤ 64·10 cells via ONE map-combined aggregate.
+    "q146_length_quality_grid" -> ((s, dir) => {
+      scoredTokens(Tables(s, dir, "documents"))
+        .select(
+          (length(conv(col("n_tokens"), 10, 2)) - 1).cast("long")
+            .as("len_log2"),
+          least(lit(9L), floor(col("quality") * 10).cast("long"))
+            .as("quality_decile"))
+        .groupBy("len_log2", "quality_decile")
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // soft-dedup-discounted budget selection — q58 × q127, the budget a
     // pipeline runs when duplicates are DOWN-WEIGHTED rather than
     // dropped: each document's budget cost is its token mass scaled by
@@ -1628,6 +1647,22 @@ object Curation {
          |packin AS (SELECT pos.pos AS doc_id, surv.n_tokens
          |  FROM pos JOIN surv USING (doc_id)),
          |${sqlPackTail("packin")}""".stripMargin,
+
+    // q58's quality chain, the bin() bit-length octave, the floored
+    // decile, one grouped count
+    "q146_length_quality_grid" ->
+      s"""WITH tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),
+         |m AS (SELECT doc_id, len(tk) AS n_tokens,
+         |  len(list_filter(tk, x -> x IN ${TextAnalysis.sqlStops("en")})) AS stops
+         |  FROM tk),
+         |t AS (SELECT doc_id, n_tokens,
+         |  (CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.4
+         |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality
+         |  FROM m WHERE n_tokens > 0)
+         |SELECT CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS len_log2,
+         |  CAST(least(9, floor(quality * 10)) AS BIGINT) AS quality_decile,
+         |  COUNT(*) AS n_docs
+         |FROM t GROUP BY 1, 2""".stripMargin,
 
     // the shared cluster chain → ppm weights → q58's quality chain →
     // discounted mass → the one cumsum against half the effective total

@@ -227,6 +227,24 @@ object Events {
     "q78_funnel" -> ((s, dir) =>
       funnelStages(Tables(s, dir, "events"), Seq("view", "click", "purchase"))),
 
+    // event-type transition matrix — the first-order Markov card over
+    // user journeys: per (type, next type) the count of consecutive
+    // same-user transitions (event-time order, event_id ties). The
+    // sequence-mining primitive behind "what do users do after an
+    // error": funnel operators (q78/q83) test ONE prescribed path;
+    // this measures every observed adjacent step. Plan: one
+    // user-partitioned LEAD window (bounded by a user's history — the
+    // q24 partitions) + ONE map-combined agg to ≤ |types|² rows.
+    "q145_event_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables(s, dir, "events")
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
     // session-size distribution — q24's sessionizer driven one level
     // deeper: q24 counts sessions per user; this is the histogram of
     // EVENTS PER SESSION across the corpus (the engagement-shape card:
@@ -362,6 +380,16 @@ object Events {
         |FROM e1 LEFT JOIN e2 ON e2.user_id = e1.user_id
         |  AND e2.ts > e1.ts AND e2.ts <= e1.ts + INTERVAL 30 MINUTE
         |GROUP BY e1.event_id""".stripMargin,
+
+    // the same per-user order, LEAD instead of LAG, one grouped count
+    "q145_event_transitions" ->
+      """WITH nx AS (SELECT user_id, event_type,
+        |  LEAD(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY CAST(ts AS TIMESTAMP), event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, COUNT(*) AS n
+        |FROM nx WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type""".stripMargin,
 
     // q24's gap rule, a per-user running boundary sum, the double agg
     "q138_session_sizes" ->

@@ -500,6 +500,22 @@ class CurationSpec extends AnyFunSuite {
       ("B", 1L, 1L), ("B", 2L, 3L), ("B", 3L, 5L)), got)
   }
 
+  test("q146 shape grid: octave and decile cells land exactly, top decile clamps") {
+    // 4 non-stop tokens: len_log2 2, quality 0.048 -> decile 0;
+    // 50 non-stop tokens: len_log2 5, quality 0.6 -> decile 6;
+    // 50 stopwords: quality exactly 1.0 -> floor(10) clamps to decile 9
+    def words(tag: String, n: Int) =
+      (0 until n).map(j => s"${tag}x$j").mkString(" ")
+    val dir = corpus(Seq(
+      (0L, words("a", 4), "en"),
+      (1L, words("b", 50), "en"),
+      (2L, Seq.fill(50)("the").mkString(" "), "en")))
+    val got = SparkEntry.queries("q146_length_quality_grid")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    Caches.release(spark)
+    assert(got === Map((2L, 0L) -> 1L, (5L, 6L) -> 1L, (5L, 9L) -> 1L), got)
+  }
+
   test("q142 discounted budget: near-dup copies admit cheap, quality still orders") {
     // three verbatim 30-token docs (one cluster: weight 333333 ppm ->
     // effective 9 each), two unique 30-token docs (effective 30), one

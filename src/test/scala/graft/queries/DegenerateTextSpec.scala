@@ -70,7 +70,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q123_shard_plan", "q125_gram_containment", "q127_soft_dedup",
     "q129_manifest_checksum", "q131_caption_conflicts",
     "q136_sketch_precision", "q139_contam_attribution",
-    "q142_discounted_budget",
+    "q142_discounted_budget", "q146_length_quality_grid",
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
@@ -106,6 +106,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q136_sketch_precision", // rows only where pairs exist
         "q139_contam_attribution", // rows only for contaminated docs
         "q142_discounted_budget", // budgeted subset, not one row per doc
+        "q146_length_quality_grid", // one row per grid cell, not per doc
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")

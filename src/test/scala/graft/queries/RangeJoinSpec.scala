@@ -30,6 +30,24 @@ class RangeJoinSpec extends AnyFunSuite {
     d
   }
 
+  test("q145 transitions: adjacent same-user steps only, event-time order") {
+    val min = 60L * 1000000L
+    val rows = Seq(
+      // user 1: view -> click -> purchase
+      (1L, 0L, 1L, "view", 0.0), (2L, min, 1L, "click", 0.0),
+      (3L, 2L * min, 1L, "purchase", 0.0),
+      // user 2: error -> error (a self-transition); no cross-user pair
+      (4L, 0L, 2L, "error", 0.0), (5L, min, 2L, "error", 0.0))
+    val got = SparkEntry.queries("q145_event_transitions")(
+        spark, fixture(rows))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    graft.Caches.release(spark)
+    assert(got === Map(
+      ("view", "click") -> 1L, ("click", "purchase") -> 1L,
+      ("error", "error") -> 1L), got)
+  }
+
   test("q138 session sizes: the 30-min gap rule shapes the histogram") {
     val min = 60L * 1000000L
     val rows = Seq(
