@@ -106,4 +106,16 @@ class OracleConventionSpec extends AnyFunSuite {
     }
     assert(violations.result().isEmpty, violations.result().mkString("\n"))
   }
+
+  test("every registered query has a DuckDB oracle; no orphan oracles") {
+    // the driver downgrades an oracle-less query to a weaker rows-only
+    // check, and an orphan oracle silently tests nothing — both are
+    // registration drift this guard turns into a red test
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert((q -- o).isEmpty,
+      s"queries without an oracle: ${(q -- o).toSeq.sorted.mkString(", ")}")
+    assert((o -- q).isEmpty,
+      s"orphan oracles: ${(o -- q).toSeq.sorted.mkString(", ")}")
+  }
 }
