@@ -269,6 +269,41 @@ object EventStream {
   def funnel(events: Dataset[Event]): Dataset[FunnelOut] =
     funnelStages(events, Seq("view", "click", "purchase"))
 
+  final case class TransState(lastType: String)
+
+  final case class TransOut(user_id: Long, event_type: String,
+      next_type: String)
+
+  /** Stateful streaming transitions — the q145 dual: per user the state
+    * is the LAST event type seen (ONE string — constant per user, never
+    * history); each arrival emits one (prev → current) adjacency row in
+    * append mode, so `count(*) GROUP BY event_type, next_type` over the
+    * emitted log IS the batch q145 matrix
+    * (TransitionStreamSpec-by-way-of-EventStreamSpec pins the equality
+    * across a batch boundary). In-batch arrivals sort by
+    * (ts, event_id) — exactly the batch window's order. Causal caveat
+    * (the funnel posture): fed in event-time order the adjacency is the
+    * batch adjacency; an out-of-order straggler splices between the
+    * wrong neighbors — the divergence every causal dual here owns.
+    */
+  def transitions(events: Dataset[Event]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, batch: Iterator[Event], state: GroupState[TransState]) =>
+          var last = state.getOption.map(_.lastType).orNull
+          val out = Seq.newBuilder[TransOut]
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            if (last != null) out += TransOut(userId, last, e.event_type)
+            last = e.event_type
+          }
+          if (last != null) state.update(TransState(last))
+          out.result().iterator
+      }
+  }
+
   final case class CohortState(cohortWeek: Long, offsetsSeen: Seq[Long])
 
   final case class CohortOut(user_id: Long, cohort_week: Long,

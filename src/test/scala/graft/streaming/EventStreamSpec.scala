@@ -92,6 +92,45 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transitions stream folds to the batch q145 matrix across a batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1's journey straddles the boundary (the click->purchase edge
+    // crosses it — only the 1-string state can supply the left side);
+    // user 2 self-transitions; in-batch arrival order is scrambled to
+    // prove the (ts, event_id) sort, not arrival, defines adjacency
+    val rows = Seq(
+      Event(1, ts(1), 1, "view", 0.0), Event(2, ts(2), 1, "click", 0.0),
+      Event(3, ts(3), 1, "purchase", 0.0),
+      Event(4, ts(1), 2, "error", 0.0), Event(5, ts(2), 2, "error", 0.0))
+    val mem = MemoryStream[Event]
+    val q = EventStream.transitions(mem.toDS())
+      .writeStream.format("memory").queryName("trans")
+      .outputMode("append").start()
+    try {
+      // batch 1 delivers user 1's first two SCRAMBLED + user 2's first
+      mem.addData(rows(1), rows(0), rows(3))
+      q.processAllAvailable()
+      mem.addData(rows(2), rows(4))
+      q.processAllAvailable()
+      val got = spark.table("trans")
+        .groupBy("event_type", "next_type")
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val d = java.nio.file.Files.createTempDirectory("graft-trans").toString
+      rows.toDF().write.parquet(s"$d/events.parquet")
+      val want = graft.SparkEntry.queries("q145_event_transitions")(spark, d)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      graft.Caches.release(spark)
+      assert(got == want, s"stream $got must equal batch q145 $want")
+      assert(want == Map(("view", "click") -> 1L,
+        ("click", "purchase") -> 1L, ("error", "error") -> 1L))
+    } finally q.stop()
+  }
+
   test("decayedTouches fold to the batch q132 channel report on the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
