@@ -656,6 +656,30 @@ object Curation {
           col("doc_id"), col("n_tokens"), col("quality"))
     }),
 
+    // chunk source-mixing card — how many SOURCES each packed training
+    // sequence interleaves (q119's manifest × provenance): packing
+    // concatenates corpus-order neighbors, so a chunk can splice
+    // documents from different crawls into one context window — the
+    // in-context mixing that attention-contamination analyses audit and
+    // that q82's shuffle deliberately randomizes. Report = the
+    // histogram of chunks by distinct-source count (≤ |sources| rows):
+    // the shared manifest explode, one doc_id equi-join to provenance,
+    // a per-chunk distinct count, then the q137 double-agg shape.
+    "q147_chunk_mixing" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .persist() // released by the consumer's Caches.release hook
+      manifestRows(packAssignments(toks, 0L))
+        .join(Tables(s, dir, "documents").select(col("doc_id"), col("source")),
+          Seq("doc_id"))
+        .groupBy("chunk_id")
+        .agg(countDistinct("source").as("n_sources"))
+        .groupBy("n_sources")
+        .agg(count(lit(1)).as("n_chunks"))
+    }),
+
     // corpus shape card — the joint (length-octave × quality-decile)
     // histogram: where the corpus mass actually sits in the 2-D space
     // every curation threshold cuts through (a q58 bar or a q45 rule
@@ -1647,6 +1671,24 @@ object Curation {
          |packin AS (SELECT pos.pos AS doc_id, surv.n_tokens
          |  FROM pos JOIN surv USING (doc_id)),
          |${sqlPackTail("packin")}""".stripMargin,
+
+    // the shared manifest chain × provenance, per-chunk distinct
+    // sources, the double agg
+    "q147_chunk_mixing" ->
+      s"""WITH tk AS (SELECT doc_id, len(${TextAnalysis.Toks}) AS n_tokens
+         |  FROM documents),
+         |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM t),
+         |${sqlManifestX()},
+         |pc AS (SELECT x.chunk_id,
+         |  CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources
+         |  FROM x JOIN documents d ON d.doc_id = x.doc_id
+         |  GROUP BY x.chunk_id)
+         |SELECT n_sources, COUNT(*) AS n_chunks
+         |FROM pc GROUP BY n_sources""".stripMargin,
 
     // q58's quality chain, the bin() bit-length octave, the floored
     // decile, one grouped count

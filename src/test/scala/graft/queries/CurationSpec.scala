@@ -500,6 +500,26 @@ class CurationSpec extends AnyFunSuite {
       ("B", 1L, 1L), ("B", 2L, 3L), ("B", 3L, 5L)), got)
   }
 
+  test("q147 chunk mixing: interleaved sources read 2 per chunk, one source reads 1") {
+    // q119's geometry (200 docs x 7 tokens = 3 chunks) with sources
+    // alternating per doc: every chunk spans ~73 docs, so every chunk
+    // mixes exactly the two sources
+    val mixed = corpusWithSource((0L until 200L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta", "en",
+        if (i % 2 == 0) "A" else "B")))
+    val got = SparkEntry.queries("q147_chunk_mixing")(spark, mixed)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caches.release(spark)
+    assert(got === Map(2L -> 3L), got)
+    // a single-source corpus can only ever read 1
+    val mono = corpusWithSource((0L until 200L).map(i =>
+      (i, "alpha beta gamma delta epsilon zeta eta", "en", "A")))
+    val got2 = SparkEntry.queries("q147_chunk_mixing")(spark, mono)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    Caches.release(spark)
+    assert(got2 === Map(1L -> 3L), got2)
+  }
+
   test("q146 shape grid: octave and decile cells land exactly, top decile clamps") {
     // 4 non-stop tokens: len_log2 2, quality 0.048 -> decile 0;
     // 50 non-stop tokens: len_log2 5, quality 0.6 -> decile 6;
