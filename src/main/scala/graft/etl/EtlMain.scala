@@ -103,6 +103,12 @@ object EtlMain {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
+      // deployment requirement for a resident service cycling this
+      // operator catalog: the default 100-entry codegen cache evicts
+      // once >100 distinct plans are in flight and every re-run pays
+      // janino recompilation (~50% wall on the full catalog — measured,
+      // PERF.md §12.2). Same setting the bench session runs.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

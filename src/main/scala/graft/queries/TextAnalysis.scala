@@ -362,9 +362,16 @@ object TextAnalysis {
       .select(col("doc_id"),
         array_distinct(wordNgrams(col("tk"), 3)).as("g3s"),
         array_distinct(wordNgrams(col("tk"), 6)).as("g6s"))
+      // distinct AFTER hashing (not just on the gram strings): an
+      // intra-doc 32-bit gram-hash collision would otherwise leave a
+      // duplicate in g3, and q125's size(array_intersect) (dedup
+      // semantics) would disagree with its size(g3) denominator —
+      // post-hash distinct gives numerator and denominator ONE
+      // convention, mirrored in the oracle (list_distinct outside
+      // list_transform in sqlGramCandCtes)
       .select(col("doc_id"),
-        transform(col("g3s"), g => portableHash(g)).as("g3"),
-        transform(col("g6s"), g => portableHash(g)).as("g6"))
+        array_distinct(transform(col("g3s"), g => portableHash(g))).as("g3"),
+        array_distinct(transform(col("g6s"), g => portableHash(g))).as("g6"))
       .persist() // gram sets feed the candidate self-join + two lookups
     val keys = docs.select(col("doc_id"), explode(col("g6")).as("g"))
     val rareKeys = keys.groupBy("g")
@@ -1587,8 +1594,8 @@ object TextAnalysis {
        |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]
        |          for i in range(1, len(tk)-5+1)] END) AS g6s FROM t),
        |g AS (SELECT doc_id,
-       |  list_transform(g3s, x -> ${SqlHash("x")}) AS g3,
-       |  list_transform(g6s, x -> ${SqlHash("x")}) AS g6 FROM gs),
+       |  list_distinct(list_transform(g3s, x -> ${SqlHash("x")})) AS g3,
+       |  list_distinct(list_transform(g6s, x -> ${SqlHash("x")})) AS g6 FROM gs),
        |k AS (SELECT doc_id, unnest(g6) AS gg FROM g),
        |rare AS (SELECT gg FROM k GROUP BY gg HAVING COUNT(*) <= $MaxBucketDocs),
        |kc AS (SELECT k.doc_id, k.gg FROM k JOIN rare USING (gg)),

@@ -184,7 +184,7 @@ object EventStream {
           } else {
             // fold this micro-batch's events (in event-time order) into the
             // open session, emitting any sessions closed by gap splits
-            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id))
             val closed = Seq.newBuilder[SessionOut]
             var cur = state.getOption
             sorted.foreach { e =>
@@ -250,7 +250,7 @@ object EventStream {
           val ts = state.getOption.map(_.stageTs.toArray)
             .getOrElse(Array.fill(n)(Unset))
           val out = Seq.newBuilder[FunnelOut]
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
             idx.get(e.event_type).foreach { i =>
               val qualifies = ts(i) == Unset &&
                 (i == 0 || (ts(i - 1) != Unset && e.ts.getTime > ts(i - 1)))
@@ -295,7 +295,7 @@ object EventStream {
         (userId: Long, batch: Iterator[Event], state: GroupState[TransState]) =>
           var last = state.getOption.map(_.lastType).orNull
           val out = Seq.newBuilder[TransOut]
-          batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          batch.toSeq.sortBy(e => (e.ts.getTime, e.ts.getNanos, e.event_id)).foreach { e =>
             if (last != null) out += TransOut(userId, last, e.event_type)
             last = e.event_type
           }
