@@ -52,6 +52,18 @@ object TextAnalysis {
     */
   private[queries] val QSketchCap = 500L
 
+  /** q148/q149: per-query term cap of the lexical (BM25) read path — a
+    * query's distinct terms are cut to this many by (query-tf DESC,
+    * term ASC) before any corpus-sized work, so the candidate fan-out
+    * and the fixed-point score sum are bounded per query at ANY corpus
+    * (and the int64 headroom proof below holds: ≤ cap terms × the
+    * per-term score bound).
+    */
+  private[queries] val Bm25QTermCap = 16
+
+  /** q148/q149: documents returned per query by the lexical serve. */
+  private[queries] val Bm25TopK = 10
+
   /** q87: how many byte-pair-encoding merge rounds to induce. Three keeps
     * the unrolled oracle CTE chain readable; the operator is
     * round-agnostic (production BPE runs tens of thousands — each round
@@ -383,6 +395,85 @@ object TextAnalysis {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
     (docs, cand)
+  }
+
+  /** Shared BM25 lexical serving core — rank documents for each query in
+    * `qids` (one bigint column `qid` naming a corpus document whose text
+    * IS the query; sample-sized, broadcastable) and return the top
+    * [[Bm25TopK]] per query as (qid, rnk, doc_id, score_u). The text
+    * half of the production RAG read path; q148 runs it standalone,
+    * q149 fuses it with the ANN serve (q122) — ONE lexical
+    * implementation, audited once.
+    *
+    * Scoring is Okapi BM25 (k1 = 6/5, b = 3/4) under this repo's
+    * integer-exact discipline — no libm log, no float sums, every score
+    * an int64 so the per-term sum is order-independent and cross-engine
+    * hash-exact:
+    *  - idf_m: the Robertson–Spärck Jones odds (N−df+½)/(df+½) with the
+    *    log dropped (q46's exact-rational idf ordering — monotone in the
+    *    same direction, rank-equivalent per term), doubled to integers
+    *    (2N−2df+1)/(2df+1) and floor-divided at milli scale.
+    *  - tfn_c: tf·(k1+1)/(tf + k1(1−b) + k1·b·dl/avgdl) with avgdl
+    *    quantized to whole tokens A = max(1, L div N); multiplying
+    *    through by 10A makes every operand integral —
+    *    (2200·A·tf) div (10·A·tf + 3A + 9·dl) at centi scale.
+    *  - per-term score = idf_m · tfn_c; int64 headroom at the 100 TB
+    *    north star (N ≈ 2·10¹⁰ docs): idf_m ≤ 1.4·10¹³, tfn_c ≤ 220,
+    *    term product ≤ 3·10¹⁵, query sum ≤ [[Bm25QTermCap]]·that ≈
+    *    5·10¹⁶ ≪ 2⁶³.
+    *
+    * Plan shape (the inverted-index discipline — no corpus-wide sort
+    * anywhere): ONE (doc,term) tf build feeds L, per-doc lengths, the
+    * query-term df counts, and the candidate fan-out; query terms and
+    * their df are ≤ |sample|·cap rows and BROADCAST, so candidates
+    * arrive by a map-side equi-join on term — work ∝ postings of the
+    * query's terms, never the corpus; dl attaches by one doc_id
+    * equi-join; the per-query cut is a qid-partitioned window
+    * (WindowGroupLimit: ≤ top-k rows per task cross the final
+    * shuffle). Query-side tf weighting is deliberately omitted (the
+    * common short-query BM25 form); qtf only ranks the term cap.
+    */
+  private[queries] def bm25TopDocs(s: SparkSession, dir: String,
+      qids: DataFrame): DataFrame = {
+    val n = Tables(s, dir, "documents").count()
+    val tf = Tables.wide(s, dir, "documents")
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .persist() // feeds L, dl, dfq, and the candidate fan-out;
+                 // released by the consumer's Caches.release hook
+    // two bounded driver reads: corpus token mass L and the quantized
+    // average document length A (null-safe: an all-null-text corpus has
+    // an empty tf relation and L = 0)
+    val l = Option(tf.agg(sum("tf")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val a = math.max(1L, l / math.max(1L, n))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val qt0 = Tables(s, dir, "documents")
+      .join(broadcast(qids), col("doc_id") === col("qid"))
+      .select(col("qid"), explode(tokens(col("text"))).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+    val wq = Window.partitionBy("qid").orderBy(desc("qtf"), asc("term"))
+    val qt = qt0.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= Bm25QTermCap).select("qid", "term")
+    // df of the ≤ |sample|·cap query terms only — a semi-join keeps the
+    // count's input restricted to their postings, map-side combined to
+    // a broadcastable relation (the full-vocabulary df is never built)
+    val dfq = tf.join(broadcast(qt.select("term").distinct()),
+        Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("qid").orderBy(desc("score_u"), asc("doc_id"))
+    tf.join(broadcast(qt), Seq("term"))
+      .join(broadcast(dfq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      // all-integer fixed point; operands non-negative so Spark's
+      // truncating `div` and DuckDB's flooring `//` agree
+      .withColumn("tscore",
+        expr(s"((${2 * n} - 2*df + 1) * 1000 div (2*df + 1))" +
+          s" * ((${2200 * a} * tf) div (${10 * a} * tf + ${3 * a} + 9 * dl))"))
+      .groupBy("qid", "doc_id").agg(sum("tscore").as("score_u"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= Bm25TopK)
+      .select("qid", "rnk", "doc_id", "score_u")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -943,6 +1034,19 @@ object TextAnalysis {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 3)
         .select("doc_id", "term", "tf", "df", "score")
+    }),
+
+    // lexical ranked retrieval — BM25 top-10 documents per text query,
+    // the missing half of the RAG read path beside the vector serve
+    // (q122): all scoring/plan detail in [[bm25TopDocs]]. Queries are a
+    // corpus-adaptive modulus sample of the documents themselves (~8 at
+    // any scale — the q95/q122 sampling discipline), so the batch shape
+    // is the production one: many queries, ONE tf/postings build.
+    "q148_bm25_topk" -> ((s, dir) => {
+      val nd = Tables(s, dir, "documents").count()
+      val qmod = math.max(5L, (nd + 7) / 8)
+      bm25TopDocs(s, dir, Tables(s, dir, "documents")
+        .filter(col("doc_id") % qmod === 0).select(col("doc_id").as("qid")))
     }),
 
     // bounded-space quantile SKETCH — the quantile member of the sketch
@@ -1757,6 +1861,39 @@ object TextAnalysis {
        |  CAST(SUM(wt.w) AS BIGINT) AS sum_bits
        |  FROM t JOIN wt USING (tok) GROUP BY t.doc_id)""".stripMargin
 
+  /** [[bm25TopDocs]]'s SQL mirror, parameterized by the query-sample
+    * definition (a SELECT yielding one `qid` column) so the standalone
+    * lexical serve (q148, document-modulus sample) and the hybrid
+    * fusion (q149, embedding-modulus sample) rank through ONE scoring
+    * text. A complete statement — embed as a derived table to compose.
+    */
+  private[queries] def sqlBm25TopDocs(qsSql: String): String =
+    s"""WITH t AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+       |av AS (SELECT n, GREATEST(1, l // GREATEST(n, 1)) AS a FROM
+       |  (SELECT (SELECT COUNT(*) FROM documents) AS n,
+       |          (SELECT COUNT(*) FROM t) AS l) nl),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+       |qs AS ($qsSql),
+       |qt0 AS (SELECT t.doc_id AS qid, t.term, COUNT(*) AS qtf
+       |  FROM t JOIN qs ON t.doc_id = qs.qid GROUP BY 1, 2),
+       |qt AS (SELECT qid, term FROM (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY qid ORDER BY qtf DESC, term) AS rn FROM qt0) z
+       |  WHERE rn <= $Bm25QTermCap),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tf
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       |sc AS (SELECT qt.qid, tf.doc_id,
+       |  CAST(SUM(((2*n - 2*df + 1) * 1000 // (2*df + 1))
+       |    * ((2200 * a * tf.tf) // (10 * a * tf.tf + 3 * a + 9 * dl.dl)))
+       |    AS BIGINT) AS score_u
+       |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+       |    JOIN dl USING (doc_id), av
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_u FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc) r
+       |WHERE rnk <= $Bm25TopK""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q17_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
@@ -2054,6 +2191,11 @@ object TextAnalysis {
          |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
          |  ORDER BY score DESC, term) AS rn FROM sc)
          |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3""".stripMargin,
+
+    "q148_bm25_topk" -> sqlBm25TopDocs(
+      """SELECT doc_id AS qid FROM documents,
+        |  (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS qmod FROM documents) qm
+        |  WHERE doc_id % qmod = 0""".stripMargin),
 
     "q47_length_quartiles" ->
       """WITH r AS (SELECT lang, n_chars,

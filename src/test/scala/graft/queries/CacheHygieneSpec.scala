@@ -45,7 +45,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q126_tokenizer_fertility", "q127_soft_dedup", "q128_embedding_health",
     "q129_manifest_checksum", "q131_caption_conflicts",
     "q136_sketch_precision", "q139_contam_attribution",
-    "q140_source_diversity", "q142_discounted_budget", "q147_chunk_mixing")
+    "q140_source_diversity", "q142_discounted_budget", "q147_chunk_mixing",
+    "q148_bm25_topk")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

@@ -1,0 +1,70 @@
+package graft.queries
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-ranking contract of the lexical (BM25) read path, q148: the
+  * integer fixed-point scoring must realize the BM25 orderings — rare
+  * (high-idf) term matches dominate common-term frequency, the query
+  * document retrieves itself first, documents sharing nothing are
+  * absent — and the per-query term cap must drop exactly the
+  * lowest-(qtf, term) terms.
+  *
+  * Fixtures are sized so the corpus-adaptive query modulus
+  * (max(5, ceil(n/8)) — the q95/q122 sampling discipline) samples
+  * exactly doc 0 as the query.
+  */
+class RetrievalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def corpus(rows: Seq[(Long, String)]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-retrieval").toString
+    rows.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("q148: rare-term matches outrank common-term frequency; self first; no-overlap docs absent") {
+    // query doc 0: two rare terms (zebra df=3, quark df=2) + a stopword
+    // ("the", df=5 -> near-zero idf). doc 1 matches both rare terms,
+    // doc 3 one, doc 2 only hammers the stopword (tf=8), doc 4 shares
+    // only the stopword. BM25's idf discipline must produce
+    // self > both-rare > one-rare > stopword-tf > stopword-once.
+    val dir = corpus(Seq(
+      0L -> "zebra quark the the the",
+      1L -> "zebra quark the here now",
+      2L -> "the the the the the the the the",
+      3L -> "zebra the filler filler",
+      4L -> "alpha beta the"))
+    val rows = graft.SparkEntry.queries("q148_bm25_topk")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    assert(rows.forall(_.getAs[Long]("qid") == 0L))
+    val ranked = rows.map(_.getAs[Long]("doc_id")).toSeq
+    assert(ranked == Seq(0L, 1L, 3L, 2L, 4L),
+      s"got $ranked; scores ${rows.map(_.getAs[Long]("score_u")).toSeq}")
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq == (1L to 5L),
+      "ranks must be contiguous from 1")
+    assert(rows.forall(_.getAs[Long]("score_u") > 0L))
+    spark.catalog.clearCache()
+  }
+
+  test("q148: the term cap keeps exactly the top-(qtf, term) query terms") {
+    // the query doc carries 20 distinct terms: t01..t16 at qtf=2,
+    // t17..t20 at qtf=1 — the cap (16) must keep exactly t01..t16, so a
+    // doc matching ONLY dropped terms scores nothing and is absent
+    // while a doc matching one kept term surfaces.
+    val kept = (1 to 16).map(i => f"t$i%02d t$i%02d").mkString(" ")
+    val dropped = (17 to 20).map(i => f"t$i%02d").mkString(" ")
+    val dir = corpus(Seq(
+      0L -> s"$kept $dropped",
+      1L -> dropped,
+      2L -> "t01 filler"))
+    val rows = graft.SparkEntry.queries("q148_bm25_topk")(spark, dir)
+      .collect()
+    val docs = rows.map(_.getAs[Long]("doc_id")).toSet
+    assert(docs == Set(0L, 2L),
+      s"dropped-term-only doc must be absent, kept-term doc present: $docs")
+    spark.catalog.clearCache()
+  }
+}
