@@ -48,6 +48,19 @@ object Similarity {
   private def hashA(j: Int): Long = (j * 2654435761L) % MersenneP
   private def hashB(j: Int): Long = (j * 40503L) % MersenneP
 
+  /** q149: RRF's rank-damping offset (the standard K = 60). */
+  private[queries] val RrfK = 60L
+
+  /** q149: the RRF fixed-point scale — lcm(K+1 .. K+10) = lcm(61..70),
+    * so SCALE/(K+rank) is an EXACT int64 for every attainable rank:
+    * integer reciprocal-rank fusion with ZERO floor loss (a float
+    * 1/(K+r) would be the usual cross-engine ulp hazard; a floor-div at
+    * a non-divisible scale would silently order-perturb near-ties).
+    * Divisibility is spec-pinned (RetrievalSpec). Headroom: one
+    * reciprocal ≤ SCALE/61 ≈ 2.3·10¹², a two-list sum ≤ 4.7·10¹².
+    */
+  private[queries] val RrfScale = 142813628717760L
+
   /** 32-bit simhash over the distinct whitespace tokens of `text`: one
     * native single-pass vote ([[graft.functions.SimHash32]]) over the
     * portable token hashes. (The built-in formulation — 32 `aggregate()`
@@ -1023,6 +1036,47 @@ object Similarity {
       }
     }),
 
+    // HYBRID retrieval — reciprocal-rank fusion of the two serve paths
+    // this engine now has: the lexical BM25 list (q148's shared
+    // `bm25TopDocs`, queried with each sampled vector's companion
+    // document text) and the semantic ANN list (q122's batched serve),
+    // fused per query by RRF: score = Σ_lists SCALE/(K + rank) with
+    // K = [[RrfK]] — the standard production composition (a doc only
+    // one modality surfaces still scores; one ranked high by BOTH
+    // outranks either list's tail). Exactness discipline: SCALE =
+    // [[RrfScale]] = lcm(K+1 .. K+top-k), so every reciprocal is an
+    // EXACT int64 (zero floor loss — pinned by RetrievalSpec) and the
+    // two-term sum is integer, cross-engine hash-exact. Scale shape:
+    // both inputs are ≤ sample·top-k rows; the fusion is one
+    // (qid, doc_id) full-outer equi-join of two bounded relations plus
+    // a qid-partitioned window — the expensive work (ONE postings
+    // build, ONE pruned index scan) already happened inside the two
+    // audited serve paths this composes.
+    "q149_hybrid_rrf" -> ((s, dir) => {
+      val n = Tables(s, dir, "embeddings").count()
+      val qmod = math.max(5L, (n + 7) / 8)
+      // ONE query-id sample for both modalities: q122 re-derives the
+      // same modulus internally and additionally drops invalid vectors
+      // (len≠64/null/zero-norm) from the SEMANTIC side only — such a
+      // query still serves lexically, the single-modality posture at
+      // the query level too
+      val qids = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % qmod === 0).select(col("vec_id").as("qid"))
+      val lex = TextAnalysis.bm25TopDocs(s, dir, qids)
+        .select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk"))
+      val sem = queries("q122_ann_serve_batch")(s, dir)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          col("rnk").as("sem_rnk"))
+      val w = Window.partitionBy("qid").orderBy(desc("rrf_u"), asc("doc_id"))
+      lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+        .withColumn("rrf_u",
+          coalesce(expr(s"$RrfScale div (${RrfK}L + lex_rnk)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div (${RrfK}L + sem_rnk)"), lit(0L)))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+        .select("qid", "rnk", "doc_id", "rrf_u", "lex_rnk", "sem_rnk")
+    }),
+
     // ANN index-quality audit — recall@10 of the IVF probe against the
     // exact cosine baseline, per sampled query: the eval a production
     // vector store runs after every index rebuild (a quantizer
@@ -1879,6 +1933,49 @@ object Similarity {
     """SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8""".stripMargin
 
+  /** The complete q122 oracle statement — a val so the hybrid-fusion
+    * oracle (q149) embeds the IDENTICAL batched-ANN text as a
+    * subquery (the sqlJaccardPairsSql composition discipline).
+    */
+  private lazy val sqlAnnServeBatchSql: String =
+    s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |$sqlKmeans,
+         |a AS (SELECT e.vec_id, e.nrm, cq.cent_id,
+         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
+         |  FROM e CROSS JOIN cq),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
+         |qmodc AS (SELECT GREATEST(5, (count(*) + 7) // 8) AS qmod FROM embeddings),
+         |qids AS (SELECT vec_id AS qid FROM e, qmodc
+         |  WHERE vec_id % qmod = 0 AND len(embedding) = 64
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         |qc AS (SELECT qid, cent_id AS cell FROM
+         |  (SELECT q.qid, a.cent_id, ROW_NUMBER() OVER (PARTITION BY q.qid
+         |     ORDER BY a.ccos DESC, a.cent_id) AS rn
+         |   FROM qids q JOIN a ON a.vec_id = q.qid) t WHERE rn <= 2),
+         |$sqlPqChain,
+         |qsubs AS (SELECT p.vec_id AS qid, p.m, p.subv AS qsv
+         |  FROM pall p JOIN qids ON qids.qid = p.vec_id),
+         |tbl AS (SELECT q.qid, q.m, c.k, ${sqlSqDist("q.qsv", "c.cvec")} AS td
+         |  FROM qsubs q JOIN pc$KmeansIters c ON c.m = q.m),
+         |adcj AS (SELECT t.qid, b.vec_id, b.m, t.td
+         |  FROM pbest b JOIN tbl t ON t.m = b.m AND t.k = b.k),
+         |v AS (SELECT qid, vec_id,
+         |  ${(0 until PqM).map(m =>
+              s"MAX(CASE WHEN m = $m THEN td END)").mkString(" + ")} AS adc
+         |  FROM adcj GROUP BY qid, vec_id),
+         |cand AS (SELECT v.qid, v.vec_id, v.adc
+         |  FROM v JOIN cells ON cells.vec_id = v.vec_id
+         |  JOIN qc ON qc.qid = v.qid AND qc.cell = cells.cell
+         |  WHERE v.adc IS NOT NULL)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY adc, vec_id) AS rnk FROM cand) t
+         |WHERE rnk <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q25_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
@@ -2016,46 +2113,34 @@ object Similarity {
          |WHERE cells.cell IN (SELECT cent_id FROM qc) AND v.adc IS NOT NULL
          |ORDER BY v.adc, cells.vec_id LIMIT 10""".stripMargin,
 
-    // the q91 chain keyed by qid over the q95 query sample: per-query
-    // probe cells, per-(qid, m, k) distance tables, candidates
-    // restricted to probed cells, rank cut per qid
-    "q122_ann_serve_batch" ->
-      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
-         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
-         |  WHERE nrm > 0),
-         |$sqlKmeans,
-         |a AS (SELECT e.vec_id, e.nrm, cq.cent_id,
-         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
-         |  FROM e CROSS JOIN cq),
-         |cells AS (SELECT vec_id, cent_id AS cell FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
-         |qmodc AS (SELECT GREATEST(5, (count(*) + 7) // 8) AS qmod FROM embeddings),
-         |qids AS (SELECT vec_id AS qid FROM e, qmodc
-         |  WHERE vec_id % qmod = 0 AND len(embedding) = 64
-         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
-         |qc AS (SELECT qid, cent_id AS cell FROM
-         |  (SELECT q.qid, a.cent_id, ROW_NUMBER() OVER (PARTITION BY q.qid
-         |     ORDER BY a.ccos DESC, a.cent_id) AS rn
-         |   FROM qids q JOIN a ON a.vec_id = q.qid) t WHERE rn <= 2),
-         |$sqlPqChain,
-         |qsubs AS (SELECT p.vec_id AS qid, p.m, p.subv AS qsv
-         |  FROM pall p JOIN qids ON qids.qid = p.vec_id),
-         |tbl AS (SELECT q.qid, q.m, c.k, ${sqlSqDist("q.qsv", "c.cvec")} AS td
-         |  FROM qsubs q JOIN pc$KmeansIters c ON c.m = q.m),
-         |adcj AS (SELECT t.qid, b.vec_id, b.m, t.td
-         |  FROM pbest b JOIN tbl t ON t.m = b.m AND t.k = b.k),
-         |v AS (SELECT qid, vec_id,
-         |  ${(0 until PqM).map(m =>
-              s"MAX(CASE WHEN m = $m THEN td END)").mkString(" + ")} AS adc
-         |  FROM adcj GROUP BY qid, vec_id),
-         |cand AS (SELECT v.qid, v.vec_id, v.adc
-         |  FROM v JOIN cells ON cells.vec_id = v.vec_id
-         |  JOIN qc ON qc.qid = v.qid AND qc.cell = cells.cell
-         |  WHERE v.adc IS NOT NULL)
-         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc FROM
+    // the q91 chain keyed by qid over the q95 query sample (the
+    // factored sqlAnnServeBatchSql — shared with the q149 fusion)
+    "q122_ann_serve_batch" -> sqlAnnServeBatchSql,
+
+    // both serve paths embedded VERBATIM as derived tables (the
+    // factored sqlAnnServeBatchSql + TextAnalysis.sqlBm25TopDocs with
+    // the embedding-modulus sample), so the fusion oracle audits THE
+    // two read paths, not reimplementations; the RRF arithmetic is the
+    // exact-lcm integer form
+    "q149_hybrid_rrf" ->
+      s"""WITH lex AS (SELECT qid, doc_id, rnk AS lex_rnk FROM
+         |  (${TextAnalysis.sqlBm25TopDocs(
+              """SELECT vec_id AS qid FROM embeddings,
+                |  (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS qmod FROM embeddings) qm
+                |  WHERE vec_id % qmod = 0""".stripMargin)}) bl),
+         |sem AS (SELECT qid, vec_id AS doc_id, rnk AS sem_rnk FROM
+         |  ($sqlAnnServeBatchSql) bs),
+         |f AS (SELECT COALESCE(lex.qid, sem.qid) AS qid,
+         |  COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rnk, sem_rnk
+         |  FROM lex FULL JOIN sem
+         |    ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id),
+         |sc AS (SELECT qid, doc_id, lex_rnk, sem_rnk,
+         |  COALESCE($RrfScale // ($RrfK + lex_rnk), 0) +
+         |  COALESCE($RrfScale // ($RrfK + sem_rnk), 0) AS rrf_u FROM f)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf_u, lex_rnk,
+         |  sem_rnk FROM
          |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |     ORDER BY adc, vec_id) AS rnk FROM cand) t
+         |     ORDER BY rrf_u DESC, doc_id) AS rnk FROM sc) r
          |WHERE rnk <= 10""".stripMargin,
 
     // the exact side is ranked over the full (sample × corpus) cos

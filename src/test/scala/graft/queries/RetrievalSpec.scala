@@ -67,4 +67,47 @@ class RetrievalSpec extends AnyFunSuite {
       s"dropped-term-only doc must be absent, kept-term doc present: $docs")
     spark.catalog.clearCache()
   }
+
+  test("RrfScale is the exact lcm of the attainable rank offsets") {
+    // the zero-floor-loss guarantee: SCALE/(K+rank) must be an exact
+    // integer for every rank a top-10 list can hold, and SCALE must be
+    // the MINIMAL such scale (the lcm) — a larger multiple would still
+    // be exact but would shrink int64 headroom for no reason
+    val ds = (Similarity.RrfK + 1) to (Similarity.RrfK + 10)
+    assert(ds.forall(d => Similarity.RrfScale % d == 0L))
+    val lcm = ds.foldLeft(1L)((a, d) => a / BigInt(a).gcd(BigInt(d)).toLong * d)
+    assert(Similarity.RrfScale == lcm)
+  }
+
+  test("q149 fusion: exact integer RRF; a doc ranked by only one modality still surfaces") {
+    val dir = "/root/testdata/sf0.001"
+    val rows = graft.SparkEntry.queries("q149_hybrid_rrf")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    def opt(r: org.apache.spark.sql.Row, c: String): Option[Long] =
+      if (r.isNullAt(r.fieldIndex(c))) None else Some(r.getAs[Long](c))
+    // every emitted score is EXACTLY the sum of the exact reciprocals
+    // of the ranks present — the integer-RRF contract
+    rows.foreach { r =>
+      val expect =
+        opt(r, "lex_rnk").map(k => Similarity.RrfScale / (Similarity.RrfK + k)).getOrElse(0L) +
+        opt(r, "sem_rnk").map(k => Similarity.RrfScale / (Similarity.RrfK + k)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_u") == expect, r.toString)
+    }
+    // the fusion's reason to exist: the two read paths disagree on this
+    // corpus, and docs surfaced by ONLY the lexical or ONLY the
+    // semantic list must still appear in the fused top-10
+    assert(rows.exists(r => opt(r, "lex_rnk").isEmpty), "no sem-only rows")
+    assert(rows.exists(r => opt(r, "sem_rnk").isEmpty), "no lex-only rows")
+    assert(rows.exists(r => opt(r, "lex_rnk").nonEmpty && opt(r, "sem_rnk").nonEmpty),
+      "no both-modality rows on the real corpus")
+    // per-query ranks are contiguous from 1 and ordered by (score desc,
+    // doc_id) — the deterministic-serve contract
+    rows.groupBy(_.getAs[Long]("qid")).values.foreach { qs =>
+      val sorted = qs.sortBy(_.getAs[Long]("rnk"))
+      assert(sorted.map(_.getAs[Long]("rnk")).toSeq == (1L to qs.length).toSeq)
+      val key = sorted.map(r => (-r.getAs[Long]("rrf_u"), r.getAs[Long]("doc_id"))).toSeq
+      assert(key == key.sorted, s"fused order must follow (rrf_u desc, doc_id): $key")
+    }
+    graft.Caches.release(spark)
+  }
 }
