@@ -102,19 +102,51 @@ object TextAnalysis {
       .withColumn("s", regexp_replace(col("word"), "(.)", s"$BpeD$$1$BpeD"))
       .persist()
 
+  /** Vocabulary bound under which [[bpeTrain]] runs its merge loop
+    * driver-side: one Spark job per merge round is the correct shape
+    * when the VOCABULARY is big, but a production tokenizer runs ~32k
+    * merge rounds — 32k sequential job launches over a relation that is
+    * usually ≤ a few hundred thousand rows. The `Dedup.propagateMin`
+    * escape hatch applies: PROVE the bound with one count, then collect
+    * the (word, n, s) rows once and run the identical greedy loop in
+    * plain Scala — zero jobs per round, byte-identical merges (the
+    * comparator below mirrors Spark's UTF8String byte order). Above the
+    * cap the distributed per-round argmax path runs unchanged.
+    */
+  private[graft] val BpeDriverVocabCap = 65536L
+
+  /** UTF-8 byte-order string comparison — Spark's `asc` on StringType
+    * orders UTF8String bytes unsigned (= code-point order), which
+    * differs from java.lang.String's UTF-16 comparison for
+    * supplementary characters; the driver-side argmax must tie-break
+    * EXACTLY like the distributed `orderBy(asc("a"), asc("b"))`.
+    */
+  private def utf8Cmp(x: String, y: String): Int =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   /** The BPE training loop over a [[bpeVocab]]-shaped (word, n, s)
     * relation: each round finds the most frequent adjacent symbol pair
     * (weighted by word frequency, ties to the lexicographically first
-    * pair) and merges it greedily left-to-right in every word. Each
-    * round is a narrow re-split + a map-side-combined SUM + a
-    * TakeOrdered(1) argmax — the driver reads exactly one row per round
-    * (the q58 bounded-read discipline). Returns the merge table and the
-    * final representation with every learned merge applied — the trained
-    * ENCODER (q90 counts its symbols per word).
+    * pair) and merges it greedily left-to-right in every word. Below
+    * [[BpeDriverVocabCap]] (proven by one count) the loop runs
+    * driver-side over the collected vocabulary — zero jobs per round,
+    * the shape that makes 32k-merge production vocabularies feasible;
+    * above it, each round is a narrow re-split + a map-side-combined
+    * SUM + a TakeOrdered(1) argmax — the driver reads exactly one row
+    * per round (the q58 bounded-read discipline). Both paths produce
+    * identical merge tables and representations (BpeSpec pins the
+    * equality). Returns the merge table and the final representation
+    * with every learned merge applied — the trained ENCODER (q90
+    * counts its symbols per word).
     */
-  private[graft] def bpeTrain(vocab: DataFrame, rounds: Int)
+  private[graft] def bpeTrain(vocab: DataFrame, rounds: Int,
+      driverVocabCap: Long = BpeDriverVocabCap)
       : (Seq[(Long, String, String, Long)], DataFrame) = {
     val D = BpeD
+    if (vocab.count() <= driverVocabCap)
+      return bpeTrainDriver(vocab, rounds)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var rep: DataFrame = vocab.select(col("word"), col("n"), col("s"))
     var prevIds: Set[Int] = Set.empty
@@ -160,6 +192,66 @@ object TextAnalysis {
       }
     }
     (merges.result(), rep)
+  }
+
+  /** [[bpeTrain]]'s driver-side fast path: the SAME greedy algorithm
+    * over the collected (word, n, s) vocabulary — per round one
+    * adjacent-pair count (frequency-weighted), one (cnt DESC, a, b)
+    * argmax under the UTF-8 byte comparator, one left-to-right
+    * non-overlapping literal replace (java.lang.String.replace — the
+    * same single-pass semantics as the engines' `replace`). Exactly
+    * TWO Spark actions total (the caller's proof count + this collect)
+    * at ANY round count — the job-per-round tax the distributed path
+    * pays is what this exists to remove; BpeSpec bounds the job count
+    * at ≥1024 rounds and pins merge-table equality against the
+    * distributed trainer.
+    */
+  private def bpeTrainDriver(vocab: DataFrame, rounds: Int)
+      : (Seq[(Long, String, String, Long)], DataFrame) = {
+    val D = BpeD
+    var cur: Array[(String, Long, String)] =
+      vocab.select(col("word"), col("n"), col("s")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = new java.util.HashMap[(String, String), java.lang.Long]
+      cur.foreach { case (_, n, s) =>
+        val sy = s.split(D).filter(_.nonEmpty)
+        var i = 0
+        while (i < sy.length - 1) {
+          counts.merge((sy(i), sy(i + 1)), java.lang.Long.valueOf(n),
+            (a, b) => java.lang.Long.valueOf(a.longValue + b.longValue))
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        import scala.jdk.CollectionConverters._
+        // total order ⇒ the HashMap's nondeterministic iteration order
+        // cannot reach the result
+        val best = counts.entrySet.asScala.reduceLeft { (x, y) =>
+          val c = java.lang.Long.compare(y.getValue, x.getValue)
+          val better =
+            if (c != 0) c > 0
+            else {
+              val ca = utf8Cmp(y.getKey._1, x.getKey._1)
+              if (ca != 0) ca < 0 else utf8Cmp(y.getKey._2, x.getKey._2) < 0
+            }
+          if (better) y else x
+        }
+        val (a, b) = best.getKey
+        merges += ((r.toLong, a, b, best.getValue.longValue))
+        val find = D + a + D + D + b + D
+        val repl = D + a + b + D
+        cur = cur.map { case (w, n, s) => (w, n, s.replace(find, repl)) }
+        r += 1
+      }
+    }
+    val sess = vocab.sparkSession
+    import sess.implicits._
+    (merges.result(), cur.toSeq.toDF("word", "n", "s"))
   }
 
   /** Per-word trained-token count under a FROZEN merge table — the

@@ -109,7 +109,10 @@ class BpeSpec extends AnyFunSuite {
     val vocab = Seq(word).toDF("word")
       .groupBy("word").agg(count(lit(1)).as("n"))
       .withColumn("s", regexp_replace(col("word"), "(.)", TextAnalysis.BpeD + "$1" + TextAnalysis.BpeD))
-    val (merges, rep) = TextAnalysis.bpeTrain(vocab, 64)
+    // driverVocabCap = 0 forces the DISTRIBUTED path — this test pins
+    // the per-round job shape's lineage bound, which the driver fast
+    // path (tested below) never builds
+    val (merges, rep) = TextAnalysis.bpeTrain(vocab, 64, driverVocabCap = 0L)
     assert(merges.length === 64)
     assert(merges.last === ((64L, word.take(64), word(64).toString, 1L)))
     // 64 merges over a 68-symbol word leave 4 symbols (evaluate BEFORE
@@ -129,5 +132,71 @@ class BpeSpec extends AnyFunSuite {
     Caches.release(spark)
     assert(spark.sparkContext.getPersistentRDDs.isEmpty,
       "BPE training leaked persistent blocks past release")
+  }
+
+  private def directVocab(words: Seq[(String, Long)]) = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    words.toDF("word", "n").withColumn("s",
+      regexp_replace(col("word"), "(.)",
+        TextAnalysis.BpeD + "$1" + TextAnalysis.BpeD))
+  }
+
+  test("driver and distributed trainers produce identical merges and representations") {
+    // a multi-word frequency-weighted vocabulary with genuine pair
+    // sharing (random 26-letter words collide on bigrams), trained 64
+    // rounds through BOTH paths — the fast path's contract is
+    // bit-identical output, including the UTF8-byte tie-break and the
+    // greedy left-to-right replace
+    val rnd = new scala.util.Random(42)
+    val words = Seq.fill(8)(
+      (1 to 12).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      .distinct.zipWithIndex.map { case (w, i) => (w, (i % 5 + 1).toLong) }
+    val vocab = directVocab(words)
+    val (dm, drep) = TextAnalysis.bpeTrain(vocab, 64) // ≤ cap: driver path
+    val (xm, xrep) = TextAnalysis.bpeTrain(vocab, 64, driverVocabCap = 0L)
+    assert(dm === xm, "merge tables diverged between the two paths")
+    def repMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        r.getString(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(repMap(drep) === repMap(xrep),
+      "final representations diverged between the two paths")
+    Caches.release(spark)
+  }
+
+  test("driver fast path: 1060 merge rounds cost a constant number of Spark actions") {
+    // the production-vocab shape the fast path exists for: a ~32k-merge
+    // run must not pay one job per round. 1100 ASCENDING distinct
+    // symbols (the 64-round test's prefix-accumulation structure, so
+    // the whole run is hand-predictable) through 1060 rounds: the job
+    // count must stay at the proof-count + collect (+ AQE helpers) —
+    // independent of the round count.
+    val word = (0x100 until 0x100 + 1100).map(_.toChar).mkString
+    val vocab = directVocab(Seq((word, 1L)))
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val (merges, rep) = try {
+      val out = TextAnalysis.bpeTrain(vocab, 1060)
+      var last = -1
+      var spins = 0
+      while (jobs != last && spins < 50) { last = jobs; Thread.sleep(100); spins += 1 }
+      out
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs <= 6,
+      s"driver-side training launched $jobs jobs — a per-round action crept back in?")
+    assert(merges.length === 1060)
+    // ascending distinct symbols: round r merges the accumulated prefix
+    // with the next char, count always 1 (the 64-round structure)
+    assert(merges.last === ((1060L, word.take(1060), word(1060).toString, 1L)))
+    import org.apache.spark.sql.functions._
+    val syms = rep.select(
+      size(filter(split(col("s"), TextAnalysis.BpeD), x => x =!= ""))).head.getInt(0)
+    assert(syms === word.length - 1060)
+    Caches.release(spark)
   }
 }
