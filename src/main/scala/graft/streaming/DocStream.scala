@@ -741,6 +741,47 @@ object DocStream {
       }
       .start()
 
+  /** Band-occupancy health card over the PERSISTED stream index — q116's
+    * semantics (the batch family's audit) applied to the accumulated
+    * `(b, bk)` rows, so the [[rebandIndex]] decision has a signal BEFORE
+    * recall collapses: the index width is a lifetime constant, and the
+    * number an index owner watches is exactly q116's — per band, the
+    * bucket histogram's shape (max occupancy, buckets past the batch
+    * family's quadratic-bucket threshold [[graft.queries.Similarity.MaxBandDocs]]
+    * and the row mass inside them). A bucket past the threshold makes
+    * [[dedupBands]]'s band equi-join quadratic in that bucket — the
+    * stream has no frequency cap (it collapses exact-sketch duplicates
+    * instead), so growing hot buckets here mean the corpus outgrew the
+    * width and the next maintenance window should migrate.
+    *
+    * Read on a live index (any committed epoch set — epochs partition
+    * the survivor set, so rows are unique per (doc_id, b) and the
+    * histogram needs no dedup; legacy null-sketch dead rows are
+    * excluded like [[rebandIndex]] does). Plan: ONE map-side-combined
+    * (b, bk) count over the pruned-column index scan (never the text,
+    * never the sketches), then a ≤ bands-row fold — q116's exact
+    * aggregate shape, output schema identical so dashboards point at
+    * either family.
+    */
+  def indexBandHealth(spark: SparkSession, indexPath: String,
+      bandWidth: Int): DataFrame = {
+    val cap = graft.queries.Similarity.MaxBandDocs
+    spark.read.parquet(indexPath)
+      .select(col("b"), col("bk"))
+      .filter(col("bk").isNotNull)
+      .groupBy("b", "bk").agg(count(lit(1)).as("kc"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_buckets"),
+        max("kc").as("max_bucket"),
+        sum(when(col("kc") > cap, 1L).otherwise(0L)).as("n_capped"),
+        sum(when(col("kc") > cap, col("kc")).otherwise(0L)).as("docs_capped"),
+        sum("kc").as("n_docs"))
+      .select(col("b").cast("long").as("band"),
+        lit(bandWidth.toLong).as("band_width"), col("n_buckets"),
+        col("max_bucket"), col("n_capped"), col("docs_capped"),
+        col("n_docs"))
+  }
+
   /** Index migration: re-band the stored `(doc_id, simhash)` sketches at a
     * new band width — the documented path when the target corpus outgrows
     * the width the index was built with. Never re-reads text: the sketches

@@ -48,6 +48,42 @@ class DocNearDupSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("index band-health card matches batch q116 over the accumulated survivors") {
+    // the reband decision's signal: after two micro-batches the stream
+    // index holds the survivors' band rows, and indexBandHealth over it
+    // must equal q116 run on a corpus of exactly those survivors (same
+    // sketch, same width here — bandWidthFor(3)=8 — same aggregate), so
+    // ONE dashboard semantics serves both families
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-neardup-health").toString
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.runNearDedup(
+      mem.toDF().toDF("doc_id", "ingest_ts", "text"),
+      s"$base/index", s"$base/out", s"$base/ckpt")
+    try {
+      mem.addData((0L, ts(1), textA), (1L, ts(2), textA), (2L, ts(3), textC))
+      q.processAllAvailable()
+      mem.addData((10L, ts(4), textA), (11L, ts(5), textE))
+      q.processAllAvailable()
+    } finally q.stop()
+    def card(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("band") ->
+        ((r.getAs[Long]("band_width"), r.getAs[Long]("n_buckets"),
+          r.getAs[Long]("max_bucket"), r.getAs[Long]("n_capped"),
+          r.getAs[Long]("docs_capped"), r.getAs[Long]("n_docs")))).toMap
+    val got = card(DocStream.indexBandHealth(spark, s"$base/index", 8))
+    val d = Files.createTempDirectory("graft-neardup-health-batch").toString
+    Seq((0L, textA), (2L, textC), (11L, textE)).toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    val want = card(graft.SparkEntry.queries("q116_band_health")(spark, d))
+    assert(got === want, s"stream card $got diverged from batch q116 $want")
+    // 3 distinct far-apart sketches: every band holds 3 singleton buckets
+    assert(got.keySet === Set(0L, 1L, 2L, 3L))
+    assert(got.values.forall(_ === ((8L, 3L, 1L, 0L, 0L, 3L))))
+    spark.catalog.clearCache()
+  }
+
   test("stream survivors agree with batch q27/q43 semantics on the union corpus") {
     // docs admitted across the two batches above = docs with no q27-style
     // partner of smaller id in the union corpus (in-order arrival makes
