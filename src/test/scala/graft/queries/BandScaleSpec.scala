@@ -39,6 +39,28 @@ object ScaleCorpus {
     rows.toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
   }
+
+  /** Deterministic 10×-sf0.1 document corpus (n docs, 30 random tokens
+    * from a 2k vocabulary) with planted identical-text pairs (doc
+    * 100·m+1 duplicates 100·m) — shared by BandScaleSpec's pair/cluster
+    * sweeps and CompositeScaleSpec's survivor/budget chain.
+    */
+  def makeDocuments(spark: org.apache.spark.sql.SparkSession, dir: String, n: Int): Unit = {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 2000).map(i => s"w$i")
+    var prev = ""
+    val rows = (0 until n).map { i =>
+      val t =
+        if (i % 100 == 1) prev // planted exact near-dup of i-1
+        else Seq.fill(30)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      prev = t
+      (i.toLong, t)
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
 }
 
 class BandScaleSpec extends AnyFunSuite {
@@ -100,24 +122,10 @@ class BandScaleSpec extends AnyFunSuite {
     ScaleCorpus.makeEmbeddings(spark, dir, n)
 
   /** Deterministic 50k-document corpus (10× sf0.1) with 500 planted
-    * identical-text pairs (doc 100·m+1 duplicates 100·m).
+    * identical-text pairs — the shared [[ScaleCorpus.makeDocuments]].
     */
-  private def makeDocuments(dir: String, n: Int): Unit = {
-    val rnd = new scala.util.Random(7)
-    val vocab = (0 until 2000).map(i => s"w$i")
-    var prev = ""
-    val rows = (0 until n).map { i =>
-      val t =
-        if (i % 100 == 1) prev // planted exact near-dup of i-1
-        else Seq.fill(30)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
-      prev = t
-      (i.toLong, t)
-    }
-    val s = spark
-    import s.implicits._
-    rows.toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-  }
+  private def makeDocuments(dir: String, n: Int): Unit =
+    ScaleCorpus.makeDocuments(spark, dir, n)
 
   test("q39 yields candidates at 20k vectors with no constant retuning") {
     val dir = java.nio.file.Files.createTempDirectory("graft-scale-emb").toString

@@ -1,0 +1,171 @@
+package graft.queries
+
+import graft.{Caches, SparkEntry, SparkTestSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** 10×-corpus sweep of the heavy COMPOSITES built on the clustering
+  * labels (q105 survivor pick, q127 soft weights, q142 discounted
+  * budget, q97 pipeline): BandScaleSpec proves the underlying band
+  * family at this scale; this drives the composed policies through one
+  * 50k corpus and asserts their invariants hold — conservation, weight
+  * exactness, the min-id-on-tie survivor rule, the budget bound, and
+  * the pipeline's stage arithmetic.
+  *
+  * The sweep also PINS a measured precision finding: at 50k documents
+  * the 32-bit sketch's hamming ≤ 8 bar loses precision — band
+  * candidates of unrelated sketches pass it at the birthday rate
+  * (P[B(21,½) ≤ 8] ≈ 0.19 given a shared 11-bit band), so the q27 edge
+  * set — and every cluster composite on it — over-merges far beyond
+  * the planted duplicates. The 64-bit family (q42) holds the precision
+  * at the same corpus (P ≈ 2·10⁻⁶ given a shared 16-bit band): the
+  * documented upgrade path when a cluster chain outgrows the 32-bit
+  * sketch, with q136's precision curve as the per-corpus dial. The
+  * composites' invariants below are the ones that hold REGARDLESS of
+  * how loose the edge bar is — that is what makes them policies, not
+  * corpus-tuned heuristics.
+  *
+  * Corpus: 50k docs of 30–70 random tokens (2k vocabulary; length
+  * varies by doc id so quality spans 0.36–0.84 and the quality-gated /
+  * budget stages see a real distribution), doc 100·m+1 a verbatim copy
+  * of 100·m.
+  */
+class CompositeScaleSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val dir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-scale-comp").toString
+    val rnd = new scala.util.Random(11)
+    val vocab = (0 until 2000).map(i => s"w$i")
+    var prev = ""
+    val rows = (0 until 50000).map { i =>
+      val t =
+        if (i % 100 == 1) prev // planted verbatim copy of i-1
+        else Seq.fill(30 + (i % 5) * 10)(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" ")
+      prev = t
+      (i.toLong, t)
+    }
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  private val planted: Seq[(Long, Long)] =
+    (0 until 50000 by 100).map(m => (m.toLong, (m + 1).toLong))
+
+  test("32-bit vs 64-bit pair precision at 50k docs: q42's candidates track true collisions") {
+    // both families recover the planted verbatim pairs; only the 64-bit
+    // sketch's pair set stays ∝ true collisions — the 32-bit bar admits
+    // birthday-rate false positives at this corpus (the measured reason
+    // a cluster chain at scale rides the 64-bit family)
+    val p27 = SparkEntry.queries("q27_simhash_pairs")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.release(spark)
+    val p42 = SparkEntry.queries("q42_simhash64_pairs")(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    Caches.release(spark)
+    val plantedSet = planted.toSet
+    assert(planted.count(p42.contains) >= (planted.size * 9) / 10,
+      s"64-bit family recovered only ${planted.count(p42.contains)}/${planted.size}")
+    assert(p42.size <= planted.size * 3,
+      s"64-bit pair set ${p42.size} not ∝ the ${planted.size} true collisions")
+    assert(p27.size > p42.size * 10,
+      s"expected the 32-bit bar to over-admit at 50k docs (32-bit ${p27.size}, " +
+        s"64-bit ${p42.size}) — if this starts failing, the precision note above is stale")
+    assert(planted.count(p27.contains) >= (planted.size * 9) / 10)
+    assert(p42.count(plantedSet.contains) * 3 >= p42.size,
+      "planted pairs should dominate the 64-bit pair set")
+  }
+
+  test("q127 at 50k docs: every copy weighted, weights exactly 1e6 div size, mass conserved") {
+    val rows = SparkEntry.queries("q127_soft_dedup")(spark, dir).collect()
+    Caches.release(spark)
+    assert(rows.length == 50000, "soft dedup must label every document")
+    // the exactness invariant on every row — floor(1e6 / size), never a
+    // float reciprocal
+    rows.foreach { r =>
+      assert(r.getAs[Long]("weight_ppm") ==
+        1000000L / r.getAs[Long]("cluster_size"), r.toString)
+    }
+    // cluster_size is consistent: the sizes of each distinct cluster
+    // must sum back to the corpus (a window/label drift would break it)
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    assert(byCluster.values.map(_.length.toLong).sum == 50000L)
+    byCluster.foreach { case (c, ms) =>
+      assert(ms.forall(_.getAs[Long]("cluster_size") == ms.length.toLong),
+        s"cluster $c size column disagrees with its row count")
+    }
+    // ≥90% of the planted verbatim pairs share a cluster and so carry
+    // discounted mass
+    val label = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val co = planted.count { case (a, b) => label(a) == label(b) }
+    assert(co >= (planted.size * 9) / 10,
+      s"only $co/${planted.size} planted pairs co-clustered")
+  }
+
+  test("q105 at 50k docs: one survivor per cluster, sizes conserve, copies never outlive their twin") {
+    val rows = SparkEntry.queries("q105_quality_survivors")(spark, dir).collect()
+    Caches.release(spark)
+    val keep = rows.map(_.getAs[Long]("keep_id")).toSet
+    assert(keep.size == rows.length, "one survivor row per cluster")
+    assert(rows.map(_.getAs[Long]("cluster_size")).sum == 50000L,
+      "cluster sizes must conserve the corpus")
+    // a planted copy has IDENTICAL text ⇒ identical quality ⇒ it can
+    // never beat its smaller-id twin (equal quality loses the doc_id
+    // tie; a higher-quality third member beats both) — so a co-clustered
+    // +1 copy never survives, and ≥90% of pairs co-cluster (q127 row)
+    val copiesSurviving = planted.count { case (_, b) => keep.contains(b) }
+    assert(copiesSurviving <= planted.size / 10,
+      s"$copiesSurviving planted copies outlived their min-id twin")
+  }
+
+  test("q142 at 50k docs: admitted discounted mass stays within the half-corpus budget") {
+    val out = SparkEntry.queries("q142_discounted_budget")(spark, dir).collect()
+    Caches.release(spark)
+    assert(out.nonEmpty, "discounted budget selected nothing at 50k docs")
+    val admitted = out.map(_.getAs[Long]("eff_tokens")).sum
+    // recompute the budget bound independently: per-doc effective mass =
+    // whitespace tokens × the q127 ppm weight, floored — admission is a
+    // prefix under HALF the corpus-wide effective mass
+    val weights = SparkEntry.queries("q127_soft_dedup")(spark, dir)
+      .select(col("doc_id"), col("weight_ppm"))
+    val total = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(lower(trim(col("text"))), "\\s+")).cast("long").as("n_tokens"))
+      .join(weights, Seq("doc_id"))
+      .select(expr("CAST((n_tokens * weight_ppm) div 1000000 AS BIGINT)").as("eff"))
+      .agg(sum("eff")).head.getLong(0)
+    Caches.release(spark)
+    assert(admitted <= total / 2,
+      s"admitted $admitted exceeds the half-mass budget ${total / 2}")
+    // the budget must actually be exercised — a near-empty selection
+    // would vacuously pass the bound
+    assert(admitted >= total / 4,
+      s"admitted $admitted ≪ budget ${total / 2} — selection collapsed?")
+  }
+
+  test("q97 at 50k docs: the pipeline composes end-to-end and conserves its stages' arithmetic") {
+    val out = SparkEntry.queries("q97_curation_pipeline")(spark, dir).collect()
+    Caches.release(spark)
+    assert(out.nonEmpty, "pipeline emitted no packed chunks at 50k docs")
+    // stage arithmetic: the quality gate keeps the 50/60/70-token docs
+    // (~3/5 of ~49.5k dedup survivors), the split keeps TrainPct, bench
+    // and contaminated docs drop — ~1.2–1.6M train tokens into 512-token
+    // chunks
+    val chunks = out.length
+    assert(chunks > 1500 && chunks < 6000,
+      s"$chunks chunks — pipeline stage arithmetic off at 10× scale")
+    // chunk occupancy: every chunk starts ≥ 1 doc and no document spans
+    // an implausible number of 512-token chunks (docs are ≤ 70 tokens)
+    out.foreach { r =>
+      assert(r.getAs[Long]("n_docs") >= 1L)
+      assert(r.getAs[Long]("max_span") <= 2L, r.toString)
+    }
+  }
+}
