@@ -296,7 +296,7 @@ object Similarity {
     * nonzero vector), and L2 has no divide to guard. Returns
     * codebooks(m)(k) = centroid.
     */
-  private def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+  private[graft] def pqCodebooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
     val n = Tables(s, dir, "embeddings").count()
     val mod = sampleModFor(n)
     // null-element vectors can't train (the driver-side unboxing below
@@ -440,12 +440,35 @@ object Similarity {
           .as("cos"))
   }
 
+  /** The corpus's un-capped band rows `(doc_id, simhash, b, bk)` at the
+    * corpus-adaptive width, plus the width — q27's banding before the
+    * frequency cap, factored so the band-health audit (q116) and the
+    * SQL catalog surface ([[graft.SqlCatalog]]'s `graft_band_index`
+    * view) read ONE definition. Narrow (sketch + explode, no shuffle);
+    * a null-text document carries a null sketch/bk, which never
+    * equi-joins — the family's standing convention.
+    */
+  private[graft] def bandRelation(s: SparkSession, dir: String)
+      : (DataFrame, Int) = {
+    val w = bandWidthFor(Tables(s, dir, "documents").count())
+    val nb = 32 / w
+    val bands = Tables.wide(s, dir, "documents")
+      .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+      .select(col("doc_id"), col("simhash"), explode(array(
+        (0 until nb).map(b => struct(lit(b).as("b"),
+          shiftright(col("simhash"), w * b)
+            .bitwiseAND(lit((1L << w) - 1)).as("bk"))): _*)).as("x"))
+      .select(col("doc_id"), col("simhash"),
+        col("x.b").as("b"), col("x.bk").as("bk"))
+    (bands, w)
+  }
+
   /** Builds (once per session+dir) the staged IVF-PQ index — q35's cell
     * assignment + q65's code assignment in one narrow pass, staged
     * hash-bucketed on `cell` — and returns the table name. Shared by
     * the single-query (q91) and batched (q122) serving paths.
     */
-  private def ensureIvfPqIndex(s: SparkSession, dir: String,
+  private[graft] def ensureIvfPqIndex(s: SparkSession, dir: String,
       cents: Array[(Int, Seq[Double], Double)],
       books: Array[Array[Array[Double]]]): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -1227,15 +1250,7 @@ object Similarity {
     // silently collapse). The q27 band chain verbatim up to the bucket
     // histogram; the report is two map-combined aggregates, ≤ 4 rows.
     "q116_band_health" -> ((s, dir) => {
-      val w = bandWidthFor(Tables(s, dir, "documents").count())
-      val nb = 32 / w
-      val bands = Tables.wide(s, dir, "documents")
-        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
-        .select(col("doc_id"), explode(array(
-          (0 until nb).map(b => struct(lit(b).as("b"),
-            shiftright(col("simhash"), w * b)
-              .bitwiseAND(lit((1L << w) - 1)).as("bk"))): _*)).as("x"))
-        .select(col("doc_id"), col("x.b").as("b"), col("x.bk").as("bk"))
+      val (bands, w) = bandRelation(s, dir)
       bands.groupBy("b", "bk").agg(count(lit(1)).as("kc"))
         .groupBy("b")
         .agg(count(lit(1)).as("n_buckets"),

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL composition layer: [[SqlCatalog.register]] publishes the
+  * staged/derived relations as named views, and the documented examples
+  * (a pure-SQL band-health aggregate; a pure-SQL IVF probe composing
+  * the native `vec_dot` with the centroid and index views) must run
+  * verbatim and agree with the Scala-side operators.
+  */
+class SqlCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private lazy val names: Seq[String] = SqlCatalog.register(spark, dir)
+
+  test("register publishes all four views") {
+    assert(names == SqlCatalog.ViewNames)
+    names.foreach(n => assert(spark.catalog.tableExists(n), n))
+  }
+
+  test("band view: one row per (doc, band) at the adaptive width; q116's SQL aggregate runs") {
+    names
+    val nDocs = Tables(spark, dir, "documents").count()
+    val w = spark.sql("SELECT DISTINCT band_width FROM graft_band_index")
+      .head.getInt(0)
+    val nb = 32 / w
+    assert(spark.sql("SELECT COUNT(*) FROM graft_band_index")
+      .head.getLong(0) == nDocs * nb)
+    // the documented pure-SQL health aggregate (q116's shape)
+    val health = spark.sql(
+      """SELECT b, COUNT(*) AS n_buckets, MAX(cnt) AS max_bucket
+        |FROM (SELECT b, bk, COUNT(*) AS cnt FROM graft_band_index
+        |      WHERE bk IS NOT NULL GROUP BY b, bk)
+        |GROUP BY b ORDER BY b""".stripMargin).collect()
+    assert(health.length == nb)
+    assert(health.forall(_.getAs[Long]("n_buckets") > 0L))
+    spark.catalog.clearCache()
+  }
+
+  test("pure-SQL IVF probe: vec_dot over the centroid view picks the index's own cell") {
+    names
+    // the first indexed vector is its own best probe: the SQL argmax
+    // (native vec_dot against the centroid view, ties to the lowest
+    // cell) must land on exactly the cell the staged index recorded
+    val probe = spark.table("graft_ivfpq_index")
+      .orderBy("vec_id").limit(1).collect()(0)
+    val qid = probe.getAs[Long]("vec_id")
+    val expectCell = probe.getAs[Long]("cell")
+    Tables(spark, dir, "embeddings")
+      .filter(col("vec_id") === qid).select(col("embedding").as("qv"))
+      .createOrReplaceTempView("q")
+    val got = spark.sql(
+      """SELECT i.* FROM graft_ivfpq_index i WHERE i.cell =
+        |  (SELECT c.cell FROM graft_centroids c CROSS JOIN q
+        |   ORDER BY vec_dot(c.cvec, CAST(q.qv AS ARRAY<DOUBLE>)) / c.cnrm
+        |     DESC, c.cell LIMIT 1)""".stripMargin).collect()
+    assert(got.nonEmpty)
+    assert(got.forall(_.getAs[Long]("cell") == expectCell))
+    assert(got.exists(_.getAs[Long]("vec_id") == qid),
+      "the probed cell must contain the query vector itself")
+    spark.catalog.clearCache()
+  }
+
+  test("index view preserves the staged table's bucketed scan") {
+    names
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = spark.sql("SELECT * FROM graft_ivfpq_index WHERE cell IN (0, 1)")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), p.take(1500))
+      assert(!p.contains("embeddings.parquet"),
+        "the view must scan the staged codes, not the raw vectors")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("manifest view exposes q119's loader artifact") {
+    names
+    val rows = spark.sql(
+      "SELECT chunk_id, COUNT(*) AS n FROM graft_pack_manifest GROUP BY chunk_id")
+      .collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n") >= 1L))
+    spark.catalog.clearCache()
+  }
+}
