@@ -525,8 +525,16 @@ object TextAnalysis {
     * shuffle). Query-side tf weighting is deliberately omitted (the
     * common short-query BM25 form); qtf only ranks the term cap.
     */
-  private[queries] def bm25TopDocs(s: SparkSession, dir: String,
-      qids: DataFrame): DataFrame = {
+  /** [[bm25TopDocs]]'s staging half — ONE definition of "the corpus's
+    * postings and the queries' weighted terms", shared by the batch
+    * serve and the frozen-statistic extraction the streaming
+    * standing-query scorer runs on ([[bm25FrozenStats]]). Returns
+    * (tf — PERSISTED, caller releases; dl; qtIdf = the ≤ sample·cap
+    * (qid, term, idf_m) relation with the log-free milli-scale idf
+    * attached; a = avgdl quantized to whole tokens).
+    */
+  private def bm25Stage(s: SparkSession, dir: String, qids: DataFrame)
+      : (DataFrame, DataFrame, DataFrame, Long) = {
     val n = Tables(s, dir, "documents").count()
     val tf = Tables.wide(s, dir, "documents")
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -553,19 +561,45 @@ object TextAnalysis {
     val dfq = tf.join(broadcast(qt.select("term").distinct()),
         Seq("term"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("df"))
-    val w = Window.partitionBy("qid").orderBy(desc("score_u"), asc("doc_id"))
-    tf.join(broadcast(qt), Seq("term"))
-      .join(broadcast(dfq), Seq("term"))
-      .join(dl, Seq("doc_id"))
+    val qtIdf = qt.join(broadcast(dfq), Seq("term"))
       // all-integer fixed point; operands non-negative so Spark's
       // truncating `div` and DuckDB's flooring `//` agree
+      .withColumn("idf_m", expr(s"(${2 * n} - 2*df + 1) * 1000 div (2*df + 1)"))
+      .select("qid", "term", "idf_m")
+    (tf, dl, qtIdf, a)
+  }
+
+  private[queries] def bm25TopDocs(s: SparkSession, dir: String,
+      qids: DataFrame): DataFrame = {
+    val (tf, dl, qtIdf, a) = bm25Stage(s, dir, qids)
+    val w = Window.partitionBy("qid").orderBy(desc("score_u"), asc("doc_id"))
+    tf.join(broadcast(qtIdf), Seq("term"))
+      .join(dl, Seq("doc_id"))
       .withColumn("tscore",
-        expr(s"((${2 * n} - 2*df + 1) * 1000 div (2*df + 1))" +
-          s" * ((${2200 * a} * tf) div (${10 * a} * tf + ${3 * a} + 9 * dl))"))
+        expr(s"idf_m * ((${2200 * a} * tf) div" +
+          s" (${10 * a} * tf + ${3 * a} + 9 * dl))"))
       .groupBy("qid", "doc_id").agg(sum("tscore").as("score_u"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= Bm25TopK)
       .select("qid", "rnk", "doc_id", "score_u")
+  }
+
+  /** The frozen lexical statistics the streaming standing-query scorer
+    * ([[graft.streaming.DocStream.bm25Scored]]) applies to arriving
+    * documents: the quantized average document length and the bounded
+    * (qid, term, idf_m) weighted-term table, BOTH from the batch corpus
+    * via the SAME [[bm25Stage]] the batch serve runs — the frozen-
+    * statistic dual discipline (q102/q109's shape: corpus-global stats
+    * train batch-side, the stream applies them statelessly). The
+    * collect is ≤ sample·cap rows by construction.
+    */
+  private[graft] def bm25FrozenStats(s: SparkSession, dir: String,
+      qids: DataFrame): (Long, Seq[(Long, String, Long)]) = {
+    val (_, _, qtIdf, a) = bm25Stage(s, dir, qids)
+    val terms = qtIdf.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      .sortBy(t => (t._1, t._2))
+    (a, terms)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -741,6 +741,57 @@ object DocStream {
       }
       .start()
 
+  /** Standing-query lexical scoring — the streaming dual of the BM25
+    * serve (q148): prospective search / alerting, "score every ARRIVING
+    * document against the standing query set" (the batch serve answers
+    * a query against the standing corpus; this is the transpose a feed
+    * or routing pipeline runs). Stateless per-row under FROZEN corpus
+    * statistics ([[graft.queries.TextAnalysis.bm25FrozenStats]] — the
+    * q102/q109 frozen-statistic posture: the quantized avgdl `a` and
+    * the bounded (qid, term, idf_m) table train batch-side; an arriving
+    * document's df does not move them, the documented staleness the
+    * family owns). Emits (doc_id, qid, score_u) for every query an
+    * arrival matches (score > 0), any output mode — no shuffle, no
+    * state, no watermark.
+    *
+    * The arithmetic is q148's integer fixed point VERBATIM (same
+    * tfn_c, same milli idf, per-term int64 products summed exactly) so
+    * stream scores hash-equal the batch serve's on the same document
+    * (RetrievalStreamSpec pins the fixture's hand-computed scores on
+    * both paths). Floor division realizes as (x − x mod y)/y — exact
+    * because the numerator is then divisible, and every operand is
+    * ≪ 2⁵³ under the q148 headroom proof; query terms bind as `lit`
+    * Columns (corpus text never meets a SQL parser). Per-row cost is
+    * |terms ≤ sample·cap| array scans — the bounded standing-query
+    * contract.
+    */
+  def bm25Scored(docs: DataFrame, a: Long,
+      queryTerms: Seq[(Long, String, Long)]): DataFrame = {
+    val tk = tokens(col("text"))
+    val dl = size(tk).cast("long")
+    def floorDiv(x: Column, y: Column): Column =
+      ((x - pmod(x, y)) / y).cast("long")
+    val scoreCols = queryTerms.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (qid, ts) =>
+        val s = ts.map { case (_, term, idfM) =>
+          val tf = size(filter(tk, x => x === lit(term))).cast("long")
+          val num = lit(2200L * a) * tf
+          val den = lit(10L * a) * tf + lit(3L * a) + lit(9L) * dl
+          lit(idfM) * floorDiv(num, den)
+        }.reduce(_ + _)
+        struct(lit(qid).as("qid"), s.as("score_u"))
+      }
+    if (scoreCols.isEmpty)
+      docs.select(col("doc_id"), lit(0L).as("qid"),
+        lit(0L).as("score_u")).limit(0)
+    else
+      docs
+        .select(col("doc_id"), explode(array(scoreCols: _*)).as("x"))
+        .select(col("doc_id"), col("x.qid").as("qid"),
+          col("x.score_u").as("score_u"))
+        .filter(col("score_u") > 0) // null text scores null -> dropped
+  }
+
   /** Band-occupancy health card over the PERSISTED stream index — q116's
     * semantics (the batch family's audit) applied to the accumulated
     * `(b, bk)` rows, so the [[rebandIndex]] decision has a signal BEFORE
