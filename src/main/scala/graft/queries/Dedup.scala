@@ -267,6 +267,26 @@ object Dedup {
     // the min doc_id of its connected component in the q27 pair graph
     "q43_neardup_clusters" -> ((s, dir) => clusterLabels(s, dir)),
 
+    // the AT-SCALE clustering chain: identical transitive machinery
+    // ([[propagateMin]] — bounded rounds, pointer-jump escalation,
+    // driver fast path under the proven edge bound) over the 64-BIT
+    // pair graph (q42) instead of the 32-bit one (q27/q43).
+    // CompositeScaleSpec MEASURED why this member exists: at 50k docs
+    // the 32-bit sketch's hamming ≤ 8 bar admits band candidates of
+    // unrelated documents at the birthday rate (~19% given a shared
+    // 11-bit band) and the q43 graph over-merges far beyond the true
+    // duplicates; the 64-bit bar's rate (~2·10⁻⁶) keeps the edge set ∝
+    // true collisions, so these labels are the ones a 100 TB dedup run
+    // feeds to the survivor/weight/budget composites (which all
+    // parametrize over a label relation of this exact shape).
+    "q150_clusters64" -> ((s, dir) => {
+      val (labels, _) = propagateMin(s,
+        Similarity.queries("q42_simhash64_pairs")(s, dir)
+          .select(col("doc_a"), col("doc_b")),
+        Tables(s, dir, "documents").select(col("doc_id")))
+      labels
+    }),
+
     // survivor report: one row per component — the kept (minimum) doc_id
     // and how many documents merged into it. `keep_id = doc_id` rows of
     // q43 are the post-dedup corpus; this is its accounting view.
@@ -453,6 +473,21 @@ object Dedup {
   def oracleSql: Map[String, String] = Map(
     "q43_neardup_clusters" ->
       s"$sqlClusters\nSELECT doc_id, cluster_id FROM clusters",
+
+    // the same recursive closure over the 64-bit pair graph — the q42
+    // oracle statement embedded VERBATIM as the pair source (the
+    // nested-WITH composition discipline), so the at-scale chain
+    // audits THE q42 operator
+    "q150_clusters64" ->
+      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM
+         |  (${Similarity.oracleSql("q42_simhash64_pairs")}) z),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
+         |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id""".stripMargin,
 
     "q69_pagerank" ->
       s"""WITH ${Similarity.SqlSimhashPairCtes},

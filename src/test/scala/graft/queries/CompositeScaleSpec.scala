@@ -82,6 +82,25 @@ class CompositeScaleSpec extends AnyFunSuite {
       "planted pairs should dominate the 64-bit pair set")
   }
 
+  test("q150 at 50k docs: the 64-bit cluster chain's labels track true collisions") {
+    // the operator the precision finding above exists for: the SAME
+    // propagation machinery over the 64-bit pair graph must label the
+    // corpus with ~one cluster per planted pair merged and essentially
+    // nothing else — clusters ∝ true collisions at 10×
+    val rows = SparkEntry.queries("q150_clusters64")(spark, dir).collect()
+    Caches.release(spark)
+    assert(rows.length == 50000, "every document must be labeled")
+    val label = rows.map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val co = planted.count { case (a, b) => label(a) == label(b) }
+    assert(co >= (planted.size * 9) / 10,
+      s"only $co/${planted.size} planted pairs co-labeled")
+    val clusters = label.values.toSet.size
+    assert(clusters >= 50000 - planted.size - 50 && clusters <= 50000 - co,
+      s"$clusters clusters — the 64-bit chain must merge (almost) only the " +
+        s"${planted.size} planted pairs")
+  }
+
   test("q127 at 50k docs: every copy weighted, weights exactly 1e6 div size, mass conserved") {
     val rows = SparkEntry.queries("q127_soft_dedup")(spark, dir).collect()
     Caches.release(spark)

@@ -32,7 +32,8 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q26_simhash", "q27_simhash_pairs", "q42_simhash64_pairs",
     "q36_prep_pipeline", "q40_vocab_topk", "q41_repetition", "q71_dup_ngrams",
     "q94_dup_passage",
-    "q43_neardup_clusters", "q44_dedup_survivors", "q69_pagerank",
+    "q43_neardup_clusters", "q44_dedup_survivors", "q150_clusters64",
+    "q69_pagerank",
     "q77_triangle_support",
     "q45_quality_filter",
     // q46 drops null-text docs by construction (explode of a null token
