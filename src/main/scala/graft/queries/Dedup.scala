@@ -325,21 +325,17 @@ object Dedup {
     // corpus-wide sort; cluster_size rides the same partition as a
     // windowed count, so the whole report is ONE shuffle past the
     // shared clustering.
-    "q105_quality_survivors" -> ((s, dir) => {
-      val labels = clusterLabels(s, dir)
-      val quality = TextAnalysis.queries("q18_quality_score")(s, dir)
-        .select(col("doc_id"), col("quality"))
-      val w = Window.partitionBy("cluster_id")
-        .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
-      labels.join(quality, "doc_id")
-        .select(col("cluster_id"), col("doc_id"), col("quality"),
-          row_number().over(w).as("rk"),
-          count(lit(1)).over(Window.partitionBy("cluster_id"))
-            .as("cluster_size"))
-        .filter(col("rk") === 1)
-        .select(col("cluster_id"), col("doc_id").as("keep_id"),
-          col("cluster_size"), col("quality").as("keep_quality"))
-    }),
+    "q105_quality_survivors" -> ((s, dir) =>
+      qualitySurvivorsFrom(s, dir, clusterLabels(s, dir))),
+
+    // the at-scale survivor pick: the IDENTICAL quality-argmax
+    // ([[qualitySurvivorsFrom]] — ONE pick implementation under two
+    // label sources) over q150's 64-bit cluster labels — the
+    // "dedup at scale, keep the best copy" read a 100 TB run actually
+    // executes, with the label source whose edges track true
+    // collisions (see q150's rationale).
+    "q151_survivors64" -> ((s, dir) =>
+      qualitySurvivorsFrom(s, dir, queries("q150_clusters64")(s, dir))),
 
     // soft dedup — the REWEIGHTING alternative to dropping duplicates
     // (q44/q105 keep one copy per component; this keeps every copy and
@@ -443,6 +439,28 @@ object Dedup {
   // symmetrized pair graph, so MIN(lbl) per id is the component minimum.
   // UNION (not UNION ALL) in the recursive member is the fixpoint/
   // termination condition.
+  /** The quality-argmax survivor pick over an arbitrary
+    * (doc_id, cluster_id) label relation — ONE implementation shared by
+    * q105 (32-bit labels) and q151 (q150's 64-bit labels): one doc_id
+    * equi-join of the shared q18 quality, ONE cluster-partitioned
+    * window carrying rank and size in the same shuffle.
+    */
+  private def qualitySurvivorsFrom(s: SparkSession, dir: String,
+      labels: DataFrame): DataFrame = {
+    val quality = TextAnalysis.queries("q18_quality_score")(s, dir)
+      .select(col("doc_id"), col("quality"))
+    val w = Window.partitionBy("cluster_id")
+      .orderBy(col("quality").desc_nulls_last, col("doc_id").asc)
+    labels.join(quality, "doc_id")
+      .select(col("cluster_id"), col("doc_id"), col("quality"),
+        row_number().over(w).as("rk"),
+        count(lit(1)).over(Window.partitionBy("cluster_id"))
+          .as("cluster_size"))
+      .filter(col("rk") === 1)
+      .select(col("cluster_id"), col("doc_id").as("keep_id"),
+        col("cluster_size"), col("quality").as("keep_quality"))
+  }
+
   private[queries] def sqlClusters: String =
     s"""WITH RECURSIVE ${Similarity.SqlSimhashPairCtes},
        |pairs AS (${Similarity.SqlSimhashPairSelect.replace("\n", " ")}),
@@ -454,6 +472,46 @@ object Dedup {
        |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
        |clusters AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
        |  FROM walk GROUP BY id)""".stripMargin
+
+  /** [[sqlClusters]]'s 64-bit twin: the recursive closure with the q42
+    * oracle statement embedded verbatim as the pair source; ends in the
+    * same `clusters` CTE so the survivor tail composes over either.
+    */
+  private[queries] def sqlClusters64: String =
+    s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM
+       |  (${Similarity.oracleSql("q42_simhash64_pairs")}) z),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |walk(id, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id),
+       |clusters AS (SELECT id AS doc_id, MIN(lbl) AS cluster_id
+       |  FROM walk GROUP BY id)""".stripMargin
+
+  /** The survivor-pick tail over a `clusters` CTE — q105/q151's shared
+    * SQL text (the q18 quality derivation + the cluster-partitioned
+    * rank/size window).
+    */
+  private def sqlSurvivorTail: String =
+    s"""qt AS (SELECT doc_id, trim(text) AS tt, ${TextAnalysis.Toks} AS tk
+       |  FROM documents),
+       |qm AS (SELECT doc_id, len(tk) AS n_tokens,
+       |  len(list_filter(tk, x -> x IN ${TextAnalysis.sqlStops("en")})) AS stops
+       |  FROM qt),
+       |qq AS (SELECT doc_id,
+       |  CASE WHEN n_tokens > 0
+       |    THEN CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE) END*0.4
+       |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality FROM qm),
+       |r AS (SELECT c.cluster_id, c.doc_id, qq.quality,
+       |  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+       |    ORDER BY qq.quality DESC NULLS LAST, c.doc_id) AS rk,
+       |  COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
+       |  FROM clusters c JOIN qq ON qq.doc_id = c.doc_id)
+       |SELECT cluster_id, doc_id AS keep_id,
+       |  CAST(cluster_size AS BIGINT) AS cluster_size,
+       |  quality AS keep_quality
+       |FROM r WHERE rk = 1""".stripMargin
 
   /** One integer PageRank step: per-edge floor-divided contributions,
     * exact integer sums (HUGEINT cast back — the q49 lesson), base rank
@@ -479,15 +537,7 @@ object Dedup {
     // nested-WITH composition discipline), so the at-scale chain
     // audits THE q42 operator
     "q150_clusters64" ->
-      s"""WITH RECURSIVE pairs AS (SELECT doc_a, doc_b FROM
-         |  (${Similarity.oracleSql("q42_simhash64_pairs")}) z),
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |walk(id, lbl) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id)
-         |SELECT id AS doc_id, MIN(lbl) AS cluster_id FROM walk GROUP BY id""".stripMargin,
+      s"$sqlClusters64\nSELECT doc_id, cluster_id FROM clusters",
 
     "q69_pagerank" ->
       s"""WITH ${Similarity.SqlSimhashPairCtes},
@@ -520,25 +570,12 @@ object Dedup {
     // the SAME cluster CTE chain + q18's quality SQL verbatim, picked by
     // a per-cluster window (quality DESC NULLS LAST, doc_id)
     "q105_quality_survivors" ->
-      s"""$sqlClusters,
-         |qt AS (SELECT doc_id, trim(text) AS tt, ${TextAnalysis.Toks} AS tk
-         |  FROM documents),
-         |qm AS (SELECT doc_id, len(tk) AS n_tokens,
-         |  len(list_filter(tk, x -> x IN ${TextAnalysis.sqlStops("en")})) AS stops
-         |  FROM qt),
-         |qq AS (SELECT doc_id,
-         |  CASE WHEN n_tokens > 0
-         |    THEN CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE) END*0.4
-         |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality FROM qm),
-         |r AS (SELECT c.cluster_id, c.doc_id, qq.quality,
-         |  ROW_NUMBER() OVER (PARTITION BY c.cluster_id
-         |    ORDER BY qq.quality DESC NULLS LAST, c.doc_id) AS rk,
-         |  COUNT(*) OVER (PARTITION BY c.cluster_id) AS cluster_size
-         |  FROM clusters c JOIN qq ON qq.doc_id = c.doc_id)
-         |SELECT cluster_id, doc_id AS keep_id,
-         |  CAST(cluster_size AS BIGINT) AS cluster_size,
-         |  quality AS keep_quality
-         |FROM r WHERE rk = 1""".stripMargin,
+      s"$sqlClusters,\n$sqlSurvivorTail",
+
+    // the identical pick text over the 64-bit cluster CTE — the SQL
+    // twin of the ONE-implementation-two-label-sources factoring
+    "q151_survivors64" ->
+      s"$sqlClusters64,\n$sqlSurvivorTail",
 
     "q52_cluster_prep" ->
       s"""$sqlClusters,

@@ -101,6 +101,21 @@ class CompositeScaleSpec extends AnyFunSuite {
         s"${planted.size} planted pairs")
   }
 
+  test("q151 at 50k docs: the at-scale survivor pick keeps ~everything but the planted copies") {
+    // the production read q150 exists for: under labels that track true
+    // collisions, the survivor set is the corpus minus one doc per
+    // merged planted pair — and a copy still never outlives its twin
+    val rows = SparkEntry.queries("q151_survivors64")(spark, dir).collect()
+    Caches.release(spark)
+    assert(rows.map(_.getAs[Long]("cluster_size")).sum == 50000L)
+    val keep = rows.map(_.getAs[Long]("keep_id")).toSet
+    assert(keep.size == rows.length)
+    assert(rows.length >= 50000 - planted.size - 50 &&
+      rows.length <= 50000 - (planted.size * 9) / 10,
+      s"${rows.length} survivors under the 64-bit labels")
+    assert(planted.count { case (_, b) => keep.contains(b) } <= planted.size / 10)
+  }
+
   test("q127 at 50k docs: every copy weighted, weights exactly 1e6 div size, mass conserved") {
     val rows = SparkEntry.queries("q127_soft_dedup")(spark, dir).collect()
     Caches.release(spark)

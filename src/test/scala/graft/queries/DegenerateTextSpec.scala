@@ -63,6 +63,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // (null text -> null/zero columns, never a crash); q106 needs a
     // source column and is degenerate-tested in DsirSpec instead
     "q103_chunk_trained", "q104_span_scrub", "q105_quality_survivors",
+    "q151_survivors64",
     "q108_scrub_apply", "q114_chunk_scrubbed",
     // q123 reports per shard; q127 labels every doc (q43's domain); q125
     // emits pairs only; q129 folds to one integrity row. q124/q126/q128/
@@ -90,6 +91,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q36_prep_pipeline", "q40_vocab_topk", // q40 is corpus-level
         "q44_dedup_survivors", // one row per cluster, not per doc
         "q105_quality_survivors", // one row per cluster, not per doc
+        "q151_survivors64", // one row per cluster, not per doc
         "q46_tfidf_top_terms", // ≤3 rows per non-empty doc
         "q52_cluster_prep", // filtered composite, like q36
         "q54_heavy_hitters", // corpus-level top-10
