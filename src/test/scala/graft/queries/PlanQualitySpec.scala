@@ -134,6 +134,27 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q149 fusion: equi-join full outer over two bounded lists, no cartesian") {
+    // the fusion layer itself must stay trivial: one (qid, doc_id)
+    // equi-join (hash or sort-merge FullOuter — never a nested loop)
+    // over two ≤ sample·k relations and a qid-partitioned window
+    val df = SparkEntry.queries("q149_hybrid_rrf")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("FullOuter"), p.take(1500))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("WindowGroupLimit"), p.take(1500))
+    graft.Caches.release(spark)
+  }
+
+  test("q151 at-scale survivors: q105's plan family over the 64-bit labels") {
+    val p = execPlan("q151_survivors64")
+    assert(!p.contains("SinglePartition"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark)
+  }
+
   test("q104 span scrub: q94's plan family — per-doc windows, two-phase DF agg") {
     val p = execPlan("q104_span_scrub")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))

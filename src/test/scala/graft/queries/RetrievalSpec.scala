@@ -68,6 +68,51 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q149: a query with an invalid vector still serves lexically (query-level single modality)") {
+    // the documented full-outer posture one level up: q122 drops a
+    // zero-norm query vector from the SEMANTIC side, but the query's
+    // text still ranks documents — the fused list exists with sem_rnk
+    // all null. 10 docs so the modulus (5) samples qids {0, 5}: vec 0
+    // is the invalid (zero-norm) query, vec 5 a valid one (which also
+    // keeps the quantizer's own sample non-degenerate).
+    import spark.implicits._
+    val dir = corpus(Seq(
+      0L -> "zebra quark the the the",
+      1L -> "zebra quark the here now",
+      2L -> "the the the the the the the the",
+      3L -> "zebra the filler filler",
+      4L -> "alpha beta the",
+      5L -> "gamma delta words here",
+      6L -> "gamma delta other words",
+      7L -> "epsilon words",
+      8L -> "unrelated tokens entirely",
+      9L -> "more filler text rows"))
+    (0L until 10L).map { i =>
+      val v: Seq[java.lang.Float] =
+        if (i == 0L) Seq.fill(64)(java.lang.Float.valueOf(0f))
+        else (1 to 64).map(j =>
+          java.lang.Float.valueOf(math.sin(i * 64 + j).toFloat))
+      (i, v, i.toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val rows = graft.SparkEntry.queries("q149_hybrid_rrf")(spark, dir).collect()
+    graft.Caches.release(spark)
+    val q0 = rows.filter(_.getAs[Long]("qid") == 0L)
+    assert(q0.nonEmpty, "the invalid-vector query must still serve")
+    assert(q0.forall(_.isNullAt(q0.head.fieldIndex("sem_rnk"))),
+      "a zero-norm query vector cannot produce semantic ranks")
+    assert(q0.forall(r => !r.isNullAt(r.fieldIndex("lex_rnk"))),
+      "every fused row of a lexical-only query carries a lexical rank")
+    // single-list RRF is rank-monotone: the fused order IS the lexical
+    // order (lex_rnk reads 1..n down the fused ranking)
+    val lexSeq = q0.sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("lex_rnk")).toSeq
+    assert(lexSeq == (1L to q0.length).toSeq, s"got $lexSeq")
+    // the valid-vector query serves BOTH modalities in the same output
+    val q5 = rows.filter(_.getAs[Long]("qid") == 5L)
+    assert(q5.exists(r => !r.isNullAt(r.fieldIndex("sem_rnk"))),
+      "the valid-vector query must carry semantic ranks")
+  }
+
   test("RrfScale is the exact lcm of the attainable rank offsets") {
     // the zero-floor-loss guarantee: SCALE/(K+rank) must be an exact
     // integer for every rank a top-10 list can hold, and SCALE must be
