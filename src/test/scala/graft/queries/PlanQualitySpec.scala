@@ -376,23 +376,29 @@ class PlanQualitySpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
   }
 
-  test("q148 BM25 serve: inverted-index equi-join, broadcast query side, no corpus-wide sort") {
-    // the lexical read path's contract: candidates arrive by equi-join
-    // on term with the (sample-sized) query terms and their df counts
-    // BROADCAST, the per-query cut is a WindowGroupLimit (≤ top-k rows
-    // per task cross the final shuffle), and nothing range-partitions —
-    // a global sort here would order the whole candidate relation on
-    // one key at 100×
-    val df = SparkEntry.queries("q148_bm25_topk")(spark, dir)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(2000))
-    assert(p.contains("WindowGroupLimit"), p.take(2000))
-    assert(!p.contains("CartesianProduct") &&
-      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
-    assert(p.contains("partial_"), p.take(2000))
-    spark.catalog.clearCache() // q148 persists its (doc,term) counts
+  test("q148 BM25 serve: term-pruned staged postings, broadcast query side, no corpus-wide sort") {
+    // the lexical read path's contract: candidates come from the STAGED
+    // bucketed postings table with a literal-IN prune on term (the
+    // corpus is never re-tokenized at serve time — the q122 staging
+    // discipline; at this toy corpus the ~20 query terms cover all 8
+    // buckets, so assert the MECHANISM like the q122 pin does), the
+    // query terms and their df BROADCAST, the per-query cut a
+    // WindowGroupLimit, and nothing range-partitions
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q148_bm25_topk")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), p.take(2000))
+      assert(p.contains("SelectedBucketsCount"), p.take(2000))
+      assert("BroadcastHashJoin".r.findAllIn(p).length >= 2, p.take(2000))
+      assert(p.contains("WindowGroupLimit"), p.take(2000))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.catalog.clearCache()
   }
 
   test("q47 length quartiles: row data only crosses the histogram shuffle; no row-level sort") {
