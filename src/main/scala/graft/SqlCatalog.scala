@@ -52,7 +52,8 @@ import org.apache.spark.sql.functions._
 object SqlCatalog {
 
   val ViewNames: Seq[String] = Seq("graft_ivfpq_index", "graft_centroids",
-    "graft_band_index", "graft_pack_manifest")
+    "graft_band_index", "graft_pack_manifest", "graft_lex_postings",
+    "graft_lex_doclen", "graft_lex_df")
 
   /** Publish the catalog views for `dir`; returns the view names. */
   def register(spark: SparkSession, dir: String): Seq[String] = {
@@ -70,6 +71,14 @@ object SqlCatalog {
       .createOrReplaceTempView("graft_band_index")
     queries.Curation.queries("q119_pack_manifest")(spark, dir)
       .createOrReplaceTempView("graft_pack_manifest")
+    // the staged lexical inverted index (q148's serve substrate):
+    // postings bucketed by term — a `WHERE term IN (…)` candidate fetch
+    // bucket-prunes through the view like the serve path's does
+    val (postT, dlT, dfT, _, _) =
+      queries.TextAnalysis.ensureLexIndex(spark, dir)
+    spark.table(postT).createOrReplaceTempView("graft_lex_postings")
+    spark.table(dlT).createOrReplaceTempView("graft_lex_doclen")
+    spark.table(dfT).createOrReplaceTempView("graft_lex_df")
     ViewNames
   }
 }

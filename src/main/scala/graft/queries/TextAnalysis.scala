@@ -543,7 +543,7 @@ object TextAnalysis {
     * the same reason the vector side stages its codes. Returns
     * (postings, doclen, df) table names plus (N, L).
     */
-  private def ensureLexIndex(s: SparkSession, dir: String)
+  private[graft] def ensureLexIndex(s: SparkSession, dir: String)
       : (String, String, String, Long, Long) = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val postT = s"graft_lex_postings_$tag"

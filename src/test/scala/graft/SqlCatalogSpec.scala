@@ -15,7 +15,7 @@ class SqlCatalogSpec extends AnyFunSuite {
 
   private lazy val names: Seq[String] = SqlCatalog.register(spark, dir)
 
-  test("register publishes all four views") {
+  test("register publishes every catalog view") {
     assert(names == SqlCatalog.ViewNames)
     names.foreach(n => assert(spark.catalog.tableExists(n), n))
   }
@@ -75,6 +75,35 @@ class SqlCatalogSpec extends AnyFunSuite {
         "the view must scan the staged codes, not the raw vectors")
     } finally
       spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
+  test("lexical index views: postings/doclen/df agree and a term fetch bucket-prunes") {
+    names
+    // internal consistency a SQL user can rely on: df is the postings'
+    // per-term doc count, doclen the per-doc tf mass
+    assert(spark.sql(
+      """SELECT COUNT(*) FROM
+        |  (SELECT term, COUNT(*) AS c FROM graft_lex_postings GROUP BY term) p
+        |  JOIN graft_lex_df d USING (term) WHERE p.c <> d.df""".stripMargin)
+      .head.getLong(0) == 0L)
+    assert(spark.sql(
+      """SELECT COUNT(*) FROM
+        |  (SELECT doc_id, SUM(tf) AS s FROM graft_lex_postings GROUP BY doc_id) p
+        |  JOIN graft_lex_doclen d USING (doc_id) WHERE p.s <> d.dl""".stripMargin)
+      .head.getLong(0) == 0L)
+    // a term-restricted fetch through the view bucket-prunes like the
+    // serve path (mechanism pin, q148's)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = spark.sql(
+        "SELECT * FROM graft_lex_postings WHERE term IN ('the', 'and')")
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), p.take(1500))
+      assert(p.contains("SelectedBucketsCount"), p.take(1500))
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.catalog.clearCache()
   }
 
   test("manifest view exposes q119's loader artifact") {
