@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   *     width ([[graft.queries.Similarity.bandRelation]] — q116's exact
   *     input), for near-dup candidate joins and occupancy audits;
   *   - `graft_pack_manifest` — q119's loader artifact (chunk rows with
-  *     offsets) as a queryable relation.
+  *     offsets) as a queryable relation;
+  *   - `graft_lex_postings` / `graft_lex_doclen` / `graft_lex_df` — the
+  *     staged lexical inverted index (q148's serve substrate): postings
+  *     hash-bucketed by TERM (a `WHERE term IN (…)` fetch bucket-prunes
+  *     through the view), per-doc lengths, per-term document
+  *     frequencies.
   *
   * The documented example (SqlCatalogSpec runs both verbatim):
   *

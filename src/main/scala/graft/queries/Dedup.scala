@@ -433,12 +433,6 @@ object Dedup {
         .groupBy("doc_id").agg(count(lit(1)).as("triangles"))
     }))
 
-  // DuckDB mirrors: transitive closure as a recursive CTE over the SAME
-  // pair CTE chain q27's oracle uses (Similarity.SqlSimhashPairCtes) —
-  // `walk` reaches (id, lbl) whenever lbl's doc can reach id through the
-  // symmetrized pair graph, so MIN(lbl) per id is the component minimum.
-  // UNION (not UNION ALL) in the recursive member is the fixpoint/
-  // termination condition.
   /** The quality-argmax survivor pick over an arbitrary
     * (doc_id, cluster_id) label relation — ONE implementation shared by
     * q105 (32-bit labels) and q151 (q150's 64-bit labels): one doc_id
@@ -461,6 +455,12 @@ object Dedup {
         col("cluster_size"), col("quality").as("keep_quality"))
   }
 
+  // DuckDB mirrors: transitive closure as a recursive CTE over the SAME
+  // pair CTE chain q27's oracle uses (Similarity.SqlSimhashPairCtes) —
+  // `walk` reaches (id, lbl) whenever lbl's doc can reach id through the
+  // symmetrized pair graph, so MIN(lbl) per id is the component minimum.
+  // UNION (not UNION ALL) in the recursive member is the fixpoint/
+  // termination condition.
   private[queries] def sqlClusters: String =
     s"""WITH RECURSIVE ${Similarity.SqlSimhashPairCtes},
        |pairs AS (${Similarity.SqlSimhashPairSelect.replace("\n", " ")}),

@@ -51,7 +51,15 @@ object Similarity {
   /** q149: RRF's rank-damping offset (the standard K = 60). */
   private[queries] val RrfK = 60L
 
-  /** q149: the RRF fixed-point scale — lcm(K+1 .. K+10) = lcm(61..70),
+  /** q149: the fused list depth — the SAME constant the zero-floor-loss
+    * scale is built over ([[RrfScale]] = lcm(K+1 .. K+RrfTopK)): raising
+    * the cut without re-deriving the scale would silently reintroduce
+    * floor loss at the new ranks (RetrievalSpec pins the coupling and
+    * the equality with the input lists' depth).
+    */
+  private[queries] val RrfTopK = 10L
+
+  /** q149: the RRF fixed-point scale — lcm(K+1 .. K+RrfTopK) = lcm(61..70),
     * so SCALE/(K+rank) is an EXACT int64 for every attainable rank:
     * integer reciprocal-rank fusion with ZERO floor loss (a float
     * 1/(K+r) would be the usual cross-engine ulp hazard; a floor-div at
@@ -462,6 +470,28 @@ object Similarity {
         col("x.b").as("b"), col("x.bk").as("bk"))
     (bands, w)
   }
+
+  /** The band-occupancy health aggregate over a `(b, bk)` band relation
+    * — ONE definition of the card (per band: bucket count, max
+    * occupancy, buckets/rows past [[MaxBandDocs]], total rows), shared
+    * by the batch audit (q116) and the stream-index audit
+    * ([[graft.streaming.DocStream.indexBandHealth]]) so the two
+    * families cannot drift on what "band health" means. Two
+    * map-side-combined aggregates, ≤ bands rows out.
+    */
+  private[graft] def bandHealthCard(bands: DataFrame, width: Int): DataFrame =
+    bands.groupBy("b", "bk").agg(count(lit(1)).as("kc"))
+      .groupBy("b")
+      .agg(count(lit(1)).as("n_buckets"),
+        max("kc").as("max_bucket"),
+        sum(when(col("kc") > MaxBandDocs, 1L).otherwise(0L)).as("n_capped"),
+        sum(when(col("kc") > MaxBandDocs, col("kc")).otherwise(0L))
+          .as("docs_capped"),
+        sum("kc").as("n_docs"))
+      .select(col("b").cast("long").as("band"),
+        lit(width.toLong).as("band_width"), col("n_buckets"),
+        col("max_bucket"), col("n_capped"), col("docs_capped"),
+        col("n_docs"))
 
   /** Builds (once per session+dir) the staged IVF-PQ index — q35's cell
     * assignment + q65's code assignment in one narrow pass, staged
@@ -1096,7 +1126,7 @@ object Similarity {
           coalesce(expr(s"$RrfScale div (${RrfK}L + lex_rnk)"), lit(0L)) +
           coalesce(expr(s"$RrfScale div (${RrfK}L + sem_rnk)"), lit(0L)))
         .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= 10)
+        .filter(col("rnk") <= RrfTopK)
         .select("qid", "rnk", "doc_id", "rrf_u", "lex_rnk", "sem_rnk")
     }),
 
@@ -1251,17 +1281,7 @@ object Similarity {
     // histogram; the report is two map-combined aggregates, ≤ 4 rows.
     "q116_band_health" -> ((s, dir) => {
       val (bands, w) = bandRelation(s, dir)
-      bands.groupBy("b", "bk").agg(count(lit(1)).as("kc"))
-        .groupBy("b")
-        .agg(count(lit(1)).as("n_buckets"),
-          max("kc").as("max_bucket"),
-          sum(when(col("kc") > MaxBandDocs, 1L).otherwise(0L)).as("n_capped"),
-          sum(when(col("kc") > MaxBandDocs, col("kc")).otherwise(0L))
-            .as("docs_capped"),
-          sum("kc").as("n_docs"))
-        .select(col("b").cast("long").as("band"), lit(w.toLong).as("band_width"),
-          col("n_buckets"), col("max_bucket"), col("n_capped"),
-          col("docs_capped"), col("n_docs"))
+      bandHealthCard(bands, w)
     }),
 
     // per-source embedding-centroid similarity matrix — the SEMANTIC
@@ -2156,7 +2176,7 @@ object Similarity {
          |  sem_rnk FROM
          |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |     ORDER BY rrf_u DESC, doc_id) AS rnk FROM sc) r
-         |WHERE rnk <= 10""".stripMargin,
+         |WHERE rnk <= $RrfTopK""".stripMargin,
 
     // the exact side is ranked over the full (sample × corpus) cos
     // relation, the IVF side over the same relation restricted to the

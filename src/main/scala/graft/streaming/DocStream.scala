@@ -751,8 +751,9 @@ object DocStream {
     * the bounded (qid, term, idf_m) table train batch-side; an arriving
     * document's df does not move them, the documented staleness the
     * family owns). Emits (doc_id, qid, score_u) for every query an
-    * arrival matches (score > 0), any output mode — no shuffle, no
-    * state, no watermark.
+    * arrival MATCHES — shares ≥ 1 query term, the batch serve's
+    * candidate rule, so a zero-idf term still matches at score 0 — in
+    * any output mode: no shuffle, no state, no watermark.
     *
     * The arithmetic is q148's integer fixed point VERBATIM (same
     * tfn_c, same milli idf, per-term int64 products summed exactly) so
@@ -773,23 +774,33 @@ object DocStream {
       ((x - pmod(x, y)) / y).cast("long")
     val scoreCols = queryTerms.groupBy(_._1).toSeq.sortBy(_._1)
       .map { case (qid, ts) =>
-        val s = ts.map { case (_, term, idfM) =>
+        val parts = ts.map { case (_, term, idfM) =>
           val tf = size(filter(tk, x => x === lit(term))).cast("long")
           val num = lit(2200L * a) * tf
           val den = lit(10L * a) * tf + lit(3L * a) + lit(9L) * dl
-          lit(idfM) * floorDiv(num, den)
-        }.reduce(_ + _)
-        struct(lit(qid).as("qid"), s.as("score_u"))
+          (tf, lit(idfM) * floorDiv(num, den))
+        }
+        struct(lit(qid).as("qid"),
+          parts.map(_._2).reduce(_ + _).as("score_u"),
+          // total query-term hits: the MATCH predicate, kept separate
+          // from the score so a zero-idf (everywhere-present) term
+          // still matches — exactly the batch serve's candidate rule
+          // (inner join on term), which ranks such docs at score 0
+          parts.map(_._1).reduce(_ + _).as("hits"))
       }
     if (scoreCols.isEmpty)
+      // no standing queries: a statically-empty stateless projection —
+      // limit(0) would plan a streaming global limit (unsupported in
+      // Update mode) and contradict the no-state contract
       docs.select(col("doc_id"), lit(0L).as("qid"),
-        lit(0L).as("score_u")).limit(0)
+        lit(0L).as("score_u")).filter(lit(false))
     else
       docs
         .select(col("doc_id"), explode(array(scoreCols: _*)).as("x"))
         .select(col("doc_id"), col("x.qid").as("qid"),
-          col("x.score_u").as("score_u"))
-        .filter(col("score_u") > 0) // null text scores null -> dropped
+          col("x.score_u").as("score_u"), col("x.hits").as("hits"))
+        .filter(col("hits") > 0) // null text folds null -> dropped
+        .select("doc_id", "qid", "score_u")
   }
 
   /** Band-occupancy health card over the PERSISTED stream index — q116's
@@ -815,23 +826,12 @@ object DocStream {
     * either family.
     */
   def indexBandHealth(spark: SparkSession, indexPath: String,
-      bandWidth: Int): DataFrame = {
-    val cap = graft.queries.Similarity.MaxBandDocs
-    spark.read.parquet(indexPath)
-      .select(col("b"), col("bk"))
-      .filter(col("bk").isNotNull)
-      .groupBy("b", "bk").agg(count(lit(1)).as("kc"))
-      .groupBy("b")
-      .agg(count(lit(1)).as("n_buckets"),
-        max("kc").as("max_bucket"),
-        sum(when(col("kc") > cap, 1L).otherwise(0L)).as("n_capped"),
-        sum(when(col("kc") > cap, col("kc")).otherwise(0L)).as("docs_capped"),
-        sum("kc").as("n_docs"))
-      .select(col("b").cast("long").as("band"),
-        lit(bandWidth.toLong).as("band_width"), col("n_buckets"),
-        col("max_bucket"), col("n_capped"), col("docs_capped"),
-        col("n_docs"))
-  }
+      bandWidth: Int): DataFrame =
+    graft.queries.Similarity.bandHealthCard(
+      spark.read.parquet(indexPath)
+        .select(col("b"), col("bk"))
+        .filter(col("bk").isNotNull),
+      bandWidth)
 
   /** Index migration: re-band the stored `(doc_id, simhash)` sketches at a
     * new band width — the documented path when the target corpus outgrows

@@ -118,10 +118,14 @@ class RetrievalSpec extends AnyFunSuite {
     // integer for every rank a top-10 list can hold, and SCALE must be
     // the MINIMAL such scale (the lcm) — a larger multiple would still
     // be exact but would shrink int64 headroom for no reason
-    val ds = (Similarity.RrfK + 1) to (Similarity.RrfK + 10)
+    val ds = (Similarity.RrfK + 1) to (Similarity.RrfK + Similarity.RrfTopK)
     assert(ds.forall(d => Similarity.RrfScale % d == 0L))
     val lcm = ds.foldLeft(1L)((a, d) => a / BigInt(a).gcd(BigInt(d)).toLong * d)
     assert(Similarity.RrfScale == lcm)
+    // the coupling the scale depends on: the fused cut and the input
+    // lists' depth share one value — raising either without re-deriving
+    // the lcm reintroduces floor loss at the new ranks
+    assert(Similarity.RrfTopK == TextAnalysis.Bm25TopK.toLong)
   }
 
   test("q149 fusion: exact integer RRF; a doc ranked by only one modality still surfaces") {
