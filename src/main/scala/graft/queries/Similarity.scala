@@ -1130,6 +1130,41 @@ object Similarity {
         .select("qid", "rnk", "doc_id", "rrf_u", "lex_rnk", "sem_rnk")
     }),
 
+    // retrieval modality-agreement card — the audit a hybrid deployment
+    // reads beside q149: per query, how much the lexical and semantic
+    // top-k SETS overlap (integer per-mille Jaccard). Near-1000 means
+    // fusion adds nothing (one read path could be turned off);
+    // near-zero means the modalities see different corpora and the
+    // fused K needs headroom. Same bounded inputs as q149 (two
+    // ≤ sample·k lists), ONE (qid, doc_id) full-outer equi-join and a
+    // map-combined per-qid fold to ≤ |sample| rows; all-integer, so the
+    // card is cross-engine hash-exact. Consistency is spec-pinned
+    // against q149 itself: the intersection counted here is exactly
+    // q149's both-modality row set (a doc in both lists always
+    // outranks every single-modality doc — 2·SCALE/(K+k) > SCALE/(K+1)
+    // for k ≤ 10 — so the fused cut never drops one).
+    "q152_retrieval_agreement" -> ((s, dir) => {
+      val n = Tables(s, dir, "embeddings").count()
+      val qmod = math.max(5L, (n + 7) / 8)
+      val qids = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % qmod === 0).select(col("vec_id").as("qid"))
+      val lex = TextAnalysis.bm25TopDocs(s, dir, qids)
+        .select(col("qid"), col("doc_id"), lit(1L).as("in_lex"))
+      val sem = queries("q122_ann_serve_batch")(s, dir)
+        .select(col("qid"), col("vec_id").as("doc_id"), lit(1L).as("in_sem"))
+      lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+        .groupBy("qid").agg(
+          sum(coalesce(col("in_lex"), lit(0L))).as("n_lex"),
+          sum(coalesce(col("in_sem"), lit(0L))).as("n_sem"),
+          sum(coalesce(col("in_lex"), lit(0L)) *
+            coalesce(col("in_sem"), lit(0L))).as("inter"))
+        .withColumn("uni", col("n_lex") + col("n_sem") - col("inter"))
+        // a row exists only if ≥ 1 list contributed, so uni ≥ 1 and the
+        // ANSI div is safe; non-negative operands, floor ≡ truncate
+        .withColumn("jaccard_pm",
+          expr("CAST((inter * 1000) div uni AS BIGINT)"))
+    }),
+
     // ANN index-quality audit — recall@10 of the IVF probe against the
     // exact cosine baseline, per sampled query: the eval a production
     // vector store runs after every index rebuild (a quantizer
@@ -2177,6 +2212,30 @@ object Similarity {
          |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |     ORDER BY rrf_u DESC, doc_id) AS rnk FROM sc) r
          |WHERE rnk <= $RrfTopK""".stripMargin,
+
+    // the same two embedded serve statements as q149, folded to the
+    // per-qid set-overlap card
+    "q152_retrieval_agreement" ->
+      s"""WITH lex AS (SELECT qid, doc_id FROM
+         |  (${TextAnalysis.sqlBm25TopDocs(
+              """SELECT vec_id AS qid FROM embeddings,
+                |  (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS qmod FROM embeddings) qm
+                |  WHERE vec_id % qmod = 0""".stripMargin)}) bl),
+         |sem AS (SELECT qid, vec_id AS doc_id FROM
+         |  ($sqlAnnServeBatchSql) bs),
+         |f AS (SELECT COALESCE(l.qid, s.qid) AS qid,
+         |  CASE WHEN l.qid IS NOT NULL THEN 1 ELSE 0 END AS in_lex,
+         |  CASE WHEN s.qid IS NOT NULL THEN 1 ELSE 0 END AS in_sem
+         |  FROM lex l FULL JOIN sem s
+         |    ON l.qid = s.qid AND l.doc_id = s.doc_id),
+         |g AS (SELECT qid, CAST(SUM(in_lex) AS BIGINT) AS n_lex,
+         |  CAST(SUM(in_sem) AS BIGINT) AS n_sem,
+         |  CAST(SUM(in_lex * in_sem) AS BIGINT) AS inter
+         |  FROM f GROUP BY qid)
+         |SELECT qid, n_lex, n_sem, inter,
+         |  n_lex + n_sem - inter AS uni,
+         |  (inter * 1000) // (n_lex + n_sem - inter) AS jaccard_pm
+         |FROM g""".stripMargin,
 
     // the exact side is ranked over the full (sample × corpus) cos
     // relation, the IVF side over the same relation restricted to the

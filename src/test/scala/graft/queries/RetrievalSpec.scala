@@ -128,6 +128,33 @@ class RetrievalSpec extends AnyFunSuite {
     assert(Similarity.RrfTopK == TextAnalysis.Bm25TopK.toLong)
   }
 
+  test("q152 agreement card: intersections are exactly q149's both-modality rows") {
+    val dir = "/root/testdata/sf0.001"
+    val card = graft.SparkEntry.queries("q152_retrieval_agreement")(spark, dir)
+      .collect().map(r => r.getAs[Long]("qid") ->
+        ((r.getAs[Long]("n_lex"), r.getAs[Long]("n_sem"),
+          r.getAs[Long]("inter"), r.getAs[Long]("uni"),
+          r.getAs[Long]("jaccard_pm")))).toMap
+    graft.Caches.release(spark)
+    val fused = graft.SparkEntry.queries("q149_hybrid_rrf")(spark, dir).collect()
+    graft.Caches.release(spark)
+    // a doc in both lists always survives the fused cut
+    // (2·SCALE/(K+k) > SCALE/(K+1)), so q149's both-rank rows ARE the
+    // intersection the card counts
+    val bothByQid = fused
+      .filter(r => !r.isNullAt(r.fieldIndex("lex_rnk")) &&
+        !r.isNullAt(r.fieldIndex("sem_rnk")))
+      .groupBy(_.getAs[Long]("qid")).view.mapValues(_.length.toLong).toMap
+    card.foreach { case (qid, (nl, ns, inter, uni, jpm)) =>
+      assert(inter == bothByQid.getOrElse(qid, 0L),
+        s"qid $qid: card inter $inter vs q149 both-rank ${bothByQid.get(qid)}")
+      assert(uni == nl + ns - inter)
+      assert(jpm == inter * 1000L / uni)
+      assert(nl <= 10L && ns <= 10L)
+    }
+    assert(card.nonEmpty)
+  }
+
   test("q149 fusion: exact integer RRF; a doc ranked by only one modality still surfaces") {
     val dir = "/root/testdata/sf0.001"
     val rows = graft.SparkEntry.queries("q149_hybrid_rrf")(spark, dir).collect()
