@@ -471,6 +471,39 @@ object Similarity {
     (bands, w)
   }
 
+  /** The corpus's un-capped 64-bit band rows
+    * `(doc_id, lo, hi, b, bk)` at the corpus-adaptive width — the
+    * [[bandRelation]] factoring for the two-half sketch, shared by the
+    * q42 pair generator and the q153 health audit. Layered projections
+    * (see q25): tokens and the distinct set become named columns before
+    * the hash lambdas touch them; the sketch is persisted (it feeds
+    * both sides of q42's band self-join; caller releases via Caches).
+    */
+  private[graft] def band64Relation(s: SparkSession, dir: String)
+      : (DataFrame, Int) = {
+    val w = bandWidth64For(Tables(s, dir, "documents").count())
+    val nb = 64 / w
+    val nbLo = 32 / w
+    val mask = (1L << w) - 1
+    val sim = Tables.wide(s, dir, "documents")
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), array_distinct(col("tk")).as("dtk"))
+      .select(col("doc_id"),
+        simHash32(transform(col("dtk"), t => portableHash(t))).as("lo"),
+        simHash32(transform(col("dtk"), t => portableHash(t, 1))).as("hi"))
+      .persist() // released by the consumer's Caches.release hook
+    val bands = sim.select(col("doc_id"), col("lo"), col("hi"), explode(array(
+      (0 until nb).map { b =>
+        val bk =
+          if (b < nbLo) shiftright(col("lo"), w * b).bitwiseAND(lit(mask))
+          else shiftright(col("hi"), w * (b - nbLo)).bitwiseAND(lit(mask))
+        struct(lit(b).as("b"), bk.as("bk"))
+      }: _*)).as("x"))
+      .select(col("doc_id"), col("lo"), col("hi"),
+        col("x.b").as("b"), col("x.bk").as("bk"))
+    (bands, w)
+  }
+
   /** The band-occupancy health aggregate over a `(b, bk)` band relation
     * — ONE definition of the card (per band: bucket count, max
     * occupancy, buckets/rows past [[MaxBandDocs]], total rows), shared
@@ -769,28 +802,7 @@ object Similarity {
     // bits wide (corpus-adaptive, never straddling the half boundary);
     // hamming <= 8 of 64 is the stricter Manku-style threshold.
     "q42_simhash64_pairs" -> ((s, dir) => {
-      val w = bandWidth64For(Tables(s, dir, "documents").count())
-      val nb = 64 / w
-      val nbLo = 32 / w
-      val mask = (1L << w) - 1
-      // layered projections (see q25): tokens and the distinct set become
-      // named columns before the hash lambdas touch them
-      val sim = Tables.wide(s, dir, "documents")
-        .select(col("doc_id"), tokens(col("text")).as("tk"))
-        .select(col("doc_id"), array_distinct(col("tk")).as("dtk"))
-        .select(col("doc_id"),
-          simHash32(transform(col("dtk"), t => portableHash(t))).as("lo"),
-          simHash32(transform(col("dtk"), t => portableHash(t, 1))).as("hi"))
-        .persist() // sketch feeds both sides of the band self-join
-      val bands = sim.select(col("doc_id"), col("lo"), col("hi"), explode(array(
-        (0 until nb).map { b =>
-          val bk =
-            if (b < nbLo) shiftright(col("lo"), w * b).bitwiseAND(lit(mask))
-            else shiftright(col("hi"), w * (b - nbLo)).bitwiseAND(lit(mask))
-          struct(lit(b).as("b"), bk.as("bk"))
-        }: _*)).as("x"))
-        .select(col("doc_id"), col("lo"), col("hi"),
-          col("x.b").as("b"), col("x.bk").as("bk"))
+      val (bands, _) = band64Relation(s, dir)
       val rare = bands.groupBy("b", "bk")
         .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxBandDocs)
         .select("b", "bk")
@@ -1316,6 +1328,20 @@ object Similarity {
     // histogram; the report is two map-combined aggregates, ≤ 4 rows.
     "q116_band_health" -> ((s, dir) => {
       val (bands, w) = bandRelation(s, dir)
+      bandHealthCard(bands, w)
+    }),
+
+    // the 64-bit family's band-health card — q116 for the AT-SCALE
+    // sketch: q150/q151 made the 64-bit pair graph the dedup chain a
+    // big corpus runs, so ITS bucket occupancy is the one the operator
+    // owner actually watches (the 32-bit card q116 audits the family
+    // whose keyspace the corpus outgrows first). The SAME
+    // [[bandHealthCard]] aggregate over [[band64Relation]]; at any
+    // corpus the 64-bit keyspace keeps expected occupancy ≤ 25 through
+    // ~10¹¹ docs (bandWidth64For), so a non-zero capped-bucket count
+    // here is the true hot-cluster signal, not keyspace exhaustion.
+    "q153_band64_health" -> ((s, dir) => {
+      val (bands, w) = band64Relation(s, dir)
       bandHealthCard(bands, w)
     }),
 
@@ -1999,6 +2025,28 @@ object Similarity {
        |    a.simhash AS sim_a, b.simhash AS sim_b
        |  FROM bc a JOIN bc b ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** The 64-bit (two-half simhash) band CTE chain up to the un-capped
+    * `bands` relation — ONE SQL text shared by the q42 pair oracle and
+    * the q153 band-health oracle (the 32-bit family's
+    * [[SqlSimhashPairCtes]] factoring, one sketch wider).
+    */
+  private[queries] lazy val Sql64BandCtes: String =
+    s"""t AS (SELECT doc_id,
+       |  list_transform(list_distinct($Toks), x -> ${sqlHash("x")}) AS h1,
+       |  list_transform(list_distinct($Toks), x -> ${sqlHash("x||'#1'")}) AS h2
+       |  FROM documents),
+       |s AS (SELECT doc_id, ${SqlSimhash.replace("th", "h1")} AS lo,
+       |  ${SqlSimhash.replace("th", "h2")} AS hi FROM t),
+       |wp AS (SELECT CAST(COALESCE(MIN(j), 32) AS BIGINT) AS w
+       |  FROM (VALUES (8),(16),(32)) t(j)
+       |  WHERE (CAST(1 AS BIGINT) << j) * 25 >= (SELECT count(*) FROM documents)),
+       |bands AS (SELECT doc_id, lo, hi, b,
+       |    CASE WHEN b < 32 // w
+       |      THEN (lo >> CAST(w*b AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1)
+       |      ELSE (hi >> CAST(w*(b - 32 // w) AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1)
+       |    END AS bk
+       |  FROM s, wp, range(0, 8) t(b) WHERE b < 64 // w)""".stripMargin
+
   private[queries] val SqlSimhashPairSelect: String =
     """SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8""".stripMargin
@@ -2100,21 +2148,7 @@ object Similarity {
       s"WITH $SqlSimhashPairCtes\n$SqlSimhashPairSelect",
 
     "q42_simhash64_pairs" ->
-      s"""WITH t AS (SELECT doc_id,
-         |  list_transform(list_distinct($Toks), x -> ${sqlHash("x")}) AS h1,
-         |  list_transform(list_distinct($Toks), x -> ${sqlHash("x||'#1'")}) AS h2
-         |  FROM documents),
-         |s AS (SELECT doc_id, ${SqlSimhash.replace("th", "h1")} AS lo,
-         |  ${SqlSimhash.replace("th", "h2")} AS hi FROM t),
-         |wp AS (SELECT CAST(COALESCE(MIN(j), 32) AS BIGINT) AS w
-         |  FROM (VALUES (8),(16),(32)) t(j)
-         |  WHERE (CAST(1 AS BIGINT) << j) * 25 >= (SELECT count(*) FROM documents)),
-         |bands AS (SELECT doc_id, lo, hi, b,
-         |    CASE WHEN b < 32 // w
-         |      THEN (lo >> CAST(w*b AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1)
-         |      ELSE (hi >> CAST(w*(b - 32 // w) AS INTEGER)) & ((CAST(1 AS BIGINT) << CAST(w AS INTEGER)) - 1)
-         |    END AS bk
-         |  FROM s, wp, range(0, 8) t(b) WHERE b < 64 // w),
+      s"""WITH $Sql64BandCtes,
          |rare AS (SELECT b, bk FROM bands GROUP BY b, bk HAVING COUNT(*) <= $MaxBandDocs),
          |bc AS (SELECT bands.doc_id, bands.lo, bands.hi, bands.b, bands.bk
          |  FROM bands JOIN rare USING (b, bk)),
@@ -2300,6 +2334,19 @@ object Similarity {
     // unevaluated), bucket histogram, per-family report
     "q116_band_health" ->
       s"""WITH $SqlSimhashPairCtes,
+         |kch AS (SELECT b, bk, CAST(COUNT(*) AS BIGINT) AS kc
+         |  FROM bands GROUP BY b, bk)
+         |SELECT b AS band, (SELECT w FROM wp) AS band_width,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(MAX(kc) AS BIGINT) AS max_bucket,
+         |  CAST(SUM(CASE WHEN kc > $MaxBandDocs THEN 1 ELSE 0 END) AS BIGINT) AS n_capped,
+         |  CAST(SUM(CASE WHEN kc > $MaxBandDocs THEN kc ELSE 0 END) AS BIGINT) AS docs_capped,
+         |  CAST(SUM(kc) AS BIGINT) AS n_docs
+         |FROM kch GROUP BY b""".stripMargin,
+
+    // q116's aggregate tail verbatim over the factored 64-bit band CTEs
+    "q153_band64_health" ->
+      s"""WITH $Sql64BandCtes,
          |kch AS (SELECT b, bk, CAST(COUNT(*) AS BIGINT) AS kc
          |  FROM bands GROUP BY b, bk)
          |SELECT b AS band, (SELECT w FROM wp) AS band_width,

@@ -116,6 +116,23 @@ class CompositeScaleSpec extends AnyFunSuite {
     assert(planted.count { case (_, b) => keep.contains(b) } <= planted.size / 10)
   }
 
+  test("q153 at 50k docs: the 64-bit band card reads zero capped buckets") {
+    // the keyspace-headroom half of the precision story: at 10× the
+    // 64-bit family widens to 4 bands of 16 bits (occupancy ≪ 1), so
+    // NO bucket approaches the quadratic cap — a future non-zero
+    // n_capped on this family is a true hot-cluster signal, never
+    // keyspace exhaustion
+    val rows = SparkEntry.queries("q153_band64_health")(spark, dir).collect()
+    Caches.release(spark)
+    assert(rows.length == 4, s"${rows.length} bands at 50k (expect 64/16)")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("band_width") == 16L)
+      assert(r.getAs[Long]("n_docs") == 50000L)
+      assert(r.getAs[Long]("n_capped") == 0L && r.getAs[Long]("docs_capped") == 0L,
+        r.toString)
+    }
+  }
+
   test("q127 at 50k docs: every copy weighted, weights exactly 1e6 div size, mass conserved") {
     val rows = SparkEntry.queries("q127_soft_dedup")(spark, dir).collect()
     Caches.release(spark)
