@@ -643,6 +643,86 @@ object TextAnalysis {
     (a, terms)
   }
 
+  /** Builds (once per session+dir) the STAGED positional postings —
+    * the positional layer of the lexical index family
+    * ([[ensureLexIndex]] holds the tf/dl/df layer): one (doc_id, term,
+    * pos) row per token occurrence, hash-bucketed by TERM so a phrase
+    * serve's candidate fetch bucket-prunes to the phrase's terms
+    * exactly like the BM25 serve prunes its postings. Positions are the
+    * tokenizer's 0-based offsets; only position DIFFERENCES enter any
+    * operator (adjacency is base-free), so the base convention never
+    * leaves this relation. The corpus pays ONE tokenize at build; every
+    * phrase query in the session is a term-pruned bucketed scan.
+    */
+  private[graft] def ensurePosIndex(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val posT = s"graft_lex_pos_$tag"
+    if (!s.catalog.tableExists(posT)) {
+      graft.Bucketing.stage(
+        Tables.wide(s, dir, "documents")
+          .select(col("doc_id"),
+            posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+          .select("doc_id", "term", "pos"),
+        posT, "term", 8)
+    }
+    posT
+  }
+
+  /** Exact-phrase ranked retrieval — the positional member of the
+    * lexical serve family (BM25 ranks bags of terms; a quoted query
+    * must rank ADJACENCY, which tf postings structurally cannot see).
+    * Each query in `qids` (the q148 sample contract: a bigint `qid`
+    * column naming a corpus document) contributes the first two tokens
+    * of its text as the quoted phrase; documents rank by occurrence
+    * count of that exact bigram (overlapping occurrences count — both
+    * engines count position pairs), top [[Bm25TopK]] per query, ties to
+    * doc_id. Queries with fewer than two tokens (null/empty text) have
+    * no phrase and serve nothing — the oracle mirrors the same cut.
+    *
+    * Plan shape (the positional-index discipline): the phrase table is
+    * ≤ |sample| rows and BROADCAST; ONE bounded driver read of its
+    * distinct terms buys a LITERAL-IN bucket prune on the staged
+    * positional postings ([[ensurePosIndex]]); the adjacency test is an
+    * EQUI-join of the pruned postings with themselves on (doc_id, term,
+    * pos + 1) — work ∝ postings of the phrase terms, never the corpus;
+    * the per-query cut is a qid-partitioned window (WindowGroupLimit).
+    * No corpus-wide sort, no documents scan in the serve stage.
+    */
+  private[queries] def phraseTopDocs(s: SparkSession, dir: String,
+      qids: DataFrame): DataFrame = {
+    val posT = ensurePosIndex(s, dir)
+    val qp = Tables(s, dir, "documents")
+      .join(broadcast(qids), col("doc_id") === col("qid"))
+      .select(col("qid"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= 2)
+      .select(col("qid"), element_at(col("tk"), 1).as("t1"),
+        element_at(col("tk"), 2).as("t2"))
+    // the bounded driver read that buys the prune (q148's discipline):
+    // ≤ 2·|sample| phrase terms
+    val terms: Array[Any] = qp
+      .select(explode(array(col("t1"), col("t2"))).as("t"))
+      .distinct().collect().map(_.getString(0))
+    if (terms.isEmpty) {
+      // no query has a phrase (degenerate corpus): a defined empty
+      // serve with the contract schema, not an empty-IN plan
+      qids.select(col("qid"), lit(0L).as("rnk"),
+        lit(0L).as("doc_id"), lit(0L).as("phrase_tf")).limit(0)
+    } else {
+      val post = s.table(posT).filter(col("term").isin(terms: _*))
+      val lead = post.join(broadcast(qp), col("term") === col("t1"))
+        .select(col("qid"), col("doc_id"), col("pos"), col("t2"))
+      val next = post.select(col("doc_id").as("doc_n"),
+        col("term").as("term_n"), col("pos").as("pos_n"))
+      val w = Window.partitionBy("qid").orderBy(desc("phrase_tf"), asc("doc_id"))
+      lead.join(next, col("doc_n") === col("doc_id") &&
+          col("term_n") === col("t2") && col("pos_n") === col("pos") + 1)
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("phrase_tf"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= Bm25TopK)
+        .select("qid", "rnk", "doc_id", "phrase_tf")
+    }
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // language-ID: stopword-hit argmax with fixed tie-break priority
     "q17_lang_id" -> ((s, dir) => {
@@ -1213,6 +1293,16 @@ object TextAnalysis {
       val nd = Tables(s, dir, "documents").count()
       val qmod = math.max(5L, (nd + 7) / 8)
       bm25TopDocs(s, dir, Tables(s, dir, "documents")
+        .filter(col("doc_id") % qmod === 0).select(col("doc_id").as("qid")))
+    }),
+
+    // exact-phrase ranked retrieval — the quoted-query serve BM25's bag
+    // model cannot answer (same document-modulus query sample as q148;
+    // all semantics and plan detail in [[phraseTopDocs]]).
+    "q154_phrase_topk" -> ((s, dir) => {
+      val nd = Tables(s, dir, "documents").count()
+      val qmod = math.max(5L, (nd + 7) / 8)
+      phraseTopDocs(s, dir, Tables(s, dir, "documents")
         .filter(col("doc_id") % qmod === 0).select(col("doc_id").as("qid")))
     }),
 
@@ -1839,6 +1929,17 @@ object TextAnalysis {
   // DuckDB mirrors. Shared fragments (Curation's mirrors reuse these):
   private[queries] val Toks = """regexp_split_to_array(lower(trim(text)), '\s+')"""
 
+  /** The corpus-adaptive document-modulus query sample (~8 queries at
+    * any scale — the q95/q122 sampling discipline) as oracle SQL: ONE
+    * definition shared by every lexical serve oracle (q148 BM25, q154
+    * phrase) so "which documents are queries" cannot drift between the
+    * family's members.
+    */
+  private[queries] val sqlDocModQs: String =
+    """SELECT doc_id AS qid FROM documents,
+      |  (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS qmod FROM documents) qm
+      |  WHERE doc_id % qmod = 0""".stripMargin
+
   /** The ONE oracle-side mirror of the engine's portable hash
     * ([[graft.functions.TextFunctions]]' `hashPrefix`): hex prefix of
     * sha-256 cast to BIGINT, 8 hex chars for the 32-bit width, 15 for
@@ -2359,10 +2460,28 @@ object TextAnalysis {
          |  ORDER BY score DESC, term) AS rn FROM sc)
          |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3""".stripMargin,
 
-    "q148_bm25_topk" -> sqlBm25TopDocs(
-      """SELECT doc_id AS qid FROM documents,
-        |  (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS qmod FROM documents) qm
-        |  WHERE doc_id % qmod = 0""".stripMargin),
+    "q148_bm25_topk" -> sqlBm25TopDocs(sqlDocModQs),
+
+    // exact-phrase serve: 1-based positions via the scrubCtes range
+    // idiom; adjacency offsets cancel, so the base never shows. The
+    // len >= 2 cut mirrors the Spark side's no-phrase drop (null text
+    // tokenizes to NULL -> len NULL -> excluded on both engines).
+    "q154_phrase_topk" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |qs AS ($sqlDocModQs),
+         |qp AS (SELECT t.doc_id AS qid, tk[1] AS t1, tk[2] AS t2
+         |  FROM t JOIN qs ON t.doc_id = qs.qid WHERE len(tk) >= 2),
+         |tp AS (SELECT doc_id, i.j AS pos, tk[CAST(i.j AS INT)] AS word
+         |  FROM t, UNNEST(range(1, len(tk) + 1)) AS i(j)),
+         |m AS (SELECT qp.qid, a.doc_id, COUNT(*) AS phrase_tf
+         |  FROM qp JOIN tp a ON a.word = qp.t1
+         |  JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         |    AND b.word = qp.t2
+         |  GROUP BY 1, 2)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, phrase_tf FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY phrase_tf DESC, doc_id) AS rnk FROM m) r
+         |WHERE rnk <= $Bm25TopK""".stripMargin,
 
     "q47_length_quartiles" ->
       """WITH r AS (SELECT lang, n_chars,

@@ -401,6 +401,31 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q154 phrase serve: term-pruned staged positional postings, broadcast phrase side, no corpus-wide sort") {
+    // the positional read path's contract: BOTH adjacency sides come
+    // from the STAGED bucketed positional postings with a literal-IN
+    // prune on term (the corpus is never re-tokenized at serve time),
+    // the ≤|sample|-row phrase table BROADCASTS, the adjacency test is
+    // an equi-join (pos arithmetic folds into the join key — never a
+    // nested loop), the per-query cut a WindowGroupLimit, and nothing
+    // range-partitions
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q154_phrase_topk")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), p.take(2000))
+      assert(p.contains("SelectedBucketsCount"), p.take(2000))
+      assert(p.contains("BroadcastHashJoin"), p.take(2000))
+      assert(p.contains("WindowGroupLimit"), p.take(2000))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.catalog.clearCache()
+  }
+
   test("q47 length quartiles: row data only crosses the histogram shuffle; no row-level sort") {
     // the histogram formulation's contract: the corpus rows meet exactly
     // one exchange — the map-side-combined (lang, n_chars) count — and

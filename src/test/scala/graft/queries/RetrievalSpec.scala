@@ -68,6 +68,57 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q154: adjacency ranks, not co-occurrence; ties to doc_id; separated words absent") {
+    // query doc 0's phrase = "alpha beta". doc 1 carries the bigram
+    // twice, docs 0 and 3 once each (tie -> doc_id order), doc 2 has
+    // BOTH words but never adjacent — the case the bag model (q148)
+    // structurally cannot distinguish — and must be absent.
+    val dir = corpus(Seq(
+      0L -> "alpha beta gamma",
+      1L -> "alpha beta alpha beta",
+      2L -> "alpha gamma beta alpha",
+      3L -> "x alpha beta y",
+      4L -> "delta epsilon"))
+    val rows = graft.SparkEntry.queries("q154_phrase_topk")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    assert(rows.forall(_.getAs[Long]("qid") == 0L))
+    val ranked = rows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("phrase_tf"))).toSeq
+    assert(ranked == Seq(1L -> 2L, 0L -> 1L, 3L -> 1L), s"got $ranked")
+    spark.catalog.clearCache()
+  }
+
+  test("q154: overlapping occurrences count as position pairs (t1 = t2)") {
+    // the phrase "a a" over runs of a's: a run of length n holds n-1
+    // overlapping occurrences — the position-pair convention both
+    // engines share (a scan-and-consume matcher would read n div 2)
+    val dir = corpus(Seq(
+      0L -> "a a",
+      1L -> "a a a",
+      2L -> "a b a",
+      3L -> "a a a a",
+      4L -> "b b"))
+    val rows = graft.SparkEntry.queries("q154_phrase_topk")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    val ranked = rows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("phrase_tf"))).toSeq
+    assert(ranked == Seq(3L -> 3L, 1L -> 2L, 0L -> 1L), s"got $ranked")
+    spark.catalog.clearCache()
+  }
+
+  test("q154: a query with fewer than two tokens has no phrase and serves nothing") {
+    val dir = corpus(Seq(
+      0L -> "solo",
+      1L -> "alpha beta",
+      2L -> "alpha beta gamma",
+      3L -> "some words here",
+      4L -> "more words"))
+    val rows = graft.SparkEntry.queries("q154_phrase_topk")(spark, dir)
+      .collect()
+    assert(rows.isEmpty, s"one-token query must serve nothing: ${rows.toSeq}")
+    spark.catalog.clearCache()
+  }
+
   test("q149: a query with an invalid vector still serves lexically (query-level single modality)") {
     // the documented full-outer posture one level up: q122 drops a
     // zero-norm query vector from the SEMANTIC side, but the query's
