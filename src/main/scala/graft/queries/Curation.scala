@@ -185,6 +185,165 @@ object Curation {
     }
   }
 
+  /** q155/q156's mixture weights: relative sampling weights per source —
+    * the mixture config a pipeline owner hands the engine (the Pile/
+    * Dolma-style "upweight curated domains" knob). Sources not listed
+    * weigh [[MixtureDefaultW]]; the operators are weight-agnostic. A
+    * Seq (not a Map) so the SQL mirror's CASE chain has ONE defined
+    * order.
+    */
+  private[queries] val MixtureWeights: Seq[(String, Long)] =
+    Seq("src0" -> 4L, "src1" -> 2L)
+  private[queries] val MixtureWeightsMap: Map[String, Long] =
+    MixtureWeights.toMap
+  private[queries] val MixtureDefaultW = 1L
+
+  /** q155's budget divisor: the mixture targets 1/this of the corpus
+    * token mass (corpus-derived like q58's half — nothing hand-tuned to
+    * a scale factor).
+    */
+  private[queries] val MixtureShare = 5L
+
+  /** The q155/q156 quota table — largest-remainder (Hamilton)
+    * apportionment of the mixture token budget across sources: per
+    * source present in the scored corpus, quota = floor(B·w/W) plus one
+    * of the R = B − Σfloor leftover tokens, awarded by remainder rank
+    * (rem DESC, source ASC). Exact by construction: quotas are integers
+    * and Σ quota = B EXACTLY (the property float proportional splits
+    * lose) — cross-engine hash-identical. Apportionment runs over the
+    * sources of the SCORED (tokenizable) relation, so a source with no
+    * selectable mass draws no quota.
+    *
+    * Plan shape: the corpus pays one narrow score + ONE map-combined
+    * aggregate per scalar; the scalars (corpus mass, weight total, floor
+    * total) ride 1-row broadcasts (the q61 scalar pattern); the
+    * remainder rank is a window over the ≤|sources| apportionment rows —
+    * bounded by the source VALUE SPACE, never corpus-tracking (the q116
+    * card discipline).
+    */
+  private[graft] def mixtureQuotas(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val scored = scoredTokens(docs)
+      .join(docs.select("doc_id", "source"), "doc_id")
+    val tot = scored.agg(sum("n_tokens").as("t_total"))
+    val srcs = scored.select("source").distinct()
+      .select(col("source"),
+        coalesce(try_element_at(typedLit(MixtureWeightsMap), col("source")),
+          lit(MixtureDefaultW)).as("w"))
+    val ww = srcs.agg(sum("w").as("ws"))
+    val ap = srcs.crossJoin(broadcast(ww)).crossJoin(broadcast(tot))
+      .withColumn("b", expr(s"t_total div $MixtureShare"))
+      .withColumn("base", expr("(b * w) div ws"))
+      .withColumn("rem", expr("b * w - ((b * w) div ws) * ws"))
+    val sb = ap.agg(sum("base").as("sbase"))
+    val wR = Window.orderBy(desc("rem"), asc("source"))
+    ap.crossJoin(broadcast(sb))
+      .withColumn("rnk", row_number().over(wR))
+      .select(col("source"), col("w"),
+        (col("base") +
+          when(col("rnk") <= col("b") - col("sbase"), lit(1L))
+            .otherwise(lit(0L))).as("quota_toks"))
+  }
+
+  /** [[budgetedPrefixSelect]] generalized to PER-STRATUM budgets — the
+    * selection step of mixture building (q156): within each stratum,
+    * admit rows in (rank DESC, doc_id) order while the stratum's running
+    * token total stays ≤ its quota. The naive form — ONE window
+    * partitioned by stratum — is the q58 defect class multiplied: a
+    * stratum holding half the corpus is a one-task sort of half the
+    * corpus. This runs the same distributed-prefix-sum machinery with
+    * every driver artifact keyed by stratum instead:
+    * (strat, rank)-histogram → (strat, cell)-partitioned cumsum with
+    * driver offsets (≤ strata × [[QualityCells]] rows read) → whole rank
+    * groups pass/fail per stratum → ONE boundary tie group PER STRATUM
+    * pays row-level work, itself range-split over [[TieBuckets]]. Driver
+    * reads stay bounded by strata × cells/buckets — value-space bounds,
+    * never corpus-tracking. Contract mirrors the global form: `scored`
+    * is a persisted (strat, doc_id, n_tokens, rank) relation, rank
+    * non-null double; strata absent from `quotas` draw quota 0.
+    */
+  private[queries] def stratifiedPrefixSelect(scored: DataFrame,
+      cellOf: Column, quotas: Map[String, Long]): DataFrame = {
+    val hist = scored.groupBy("strat", "rank")
+      .agg(sum("n_tokens").as("gtok"),
+        min("doc_id").as("lo_id"), max("doc_id").as("hi_id"))
+      .withColumn("cell", cellOf).persist()
+    val cellTotals = hist.groupBy("strat", "cell").agg(sum("gtok").as("ct"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq
+    if (cellTotals.isEmpty) {
+      // empty/untokenizable corpus: a defined empty selection
+      hist.unpersist()
+      scored.unpersist()
+      scored.select("strat", "doc_id", "n_tokens", "rank").limit(0)
+    } else {
+      val offKey: Map[String, Long] = cellTotals.groupBy(_._1).flatMap {
+        case (st, rows) =>
+          exclusiveOffsets(rows.map(t => t._2 -> t._3))
+            .map { case (c, o) => s"$st#$c" -> o }
+      }.toMap
+      val cumW = Window.partitionBy("strat", "cell").orderBy(desc("rank"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      // offKey holds every (strat, cell) hist itself produced — the
+      // ANSI element_at cannot miss (budgetedPrefixSelect's argument)
+      val cum = hist.withColumn("cum", sum("gtok").over(cumW) +
+        element_at(typedLit(offKey),
+          concat(col("strat"), lit("#"), col("cell").cast("string"))))
+      val quotaCol = coalesce(
+        try_element_at(typedLit(quotas), col("strat")), lit(0L))
+      // first over-quota group per stratum: ≤ |strata| boundary rows
+      val wB = Window.partitionBy("strat").orderBy(desc("rank"))
+      val bRows = cum.filter(col("cum") > quotaCol)
+        .withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
+        .select("strat", "rank", "cum", "gtok", "lo_id", "hi_id")
+        .collect()
+      hist.unpersist()
+      if (bRows.isEmpty) {
+        // every stratum's quota covers its whole mass
+        scored.select("strat", "doc_id", "n_tokens", "rank")
+      } else {
+        val qbM = bRows.map(r => r.getString(0) -> r.getAs[Double]("rank")).toMap
+        val remM = bRows.map { r =>
+          val st = r.getString(0)
+          st -> (quotas.getOrElse(st, 0L) -
+            (r.getAs[Long]("cum") - r.getAs[Long]("gtok")))
+        }.toMap
+        val loM = bRows.map(r => r.getString(0) -> r.getAs[Long]("lo_id")).toMap
+        val bwM = bRows.map { r =>
+          val st = r.getString(0)
+          st -> math.max(1L,
+            (r.getAs[Long]("hi_id") - r.getAs[Long]("lo_id")) / TieBuckets + 1)
+        }.toMap
+        val qb = try_element_at(typedLit(qbM), col("strat"))
+        // strata with no boundary row (quota ≥ stratum mass) keep
+        // everything; bounded strata pass whole groups above the
+        // boundary rank
+        val fullSel = scored.filter(qb.isNull || col("rank") > qb)
+          .select("strat", "doc_id", "n_tokens", "rank")
+        // the per-stratum boundary tie groups, range-split on doc_id
+        // (loM/bwM/remM hold exactly the tie strata — cannot miss)
+        val tieB = scored.filter(qb.isNotNull && col("rank") === qb)
+          .withColumn("lo_v", element_at(typedLit(loM), col("strat")))
+          .withColumn("bw_v", element_at(typedLit(bwM), col("strat")))
+          .withColumn("bkt", expr("CAST((doc_id - lo_v) div bw_v AS INT)"))
+        val tieOff: Map[String, Long] = tieB
+          .groupBy("strat", "bkt").agg(sum("n_tokens").as("bt"))
+          .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+          .groupBy(_._1).flatMap { case (st, rows) =>
+            exclusiveOffsets(rows.map(t => t._2 -> t._3).toSeq)
+              .map { case (b, o) => s"$st#$b" -> o }
+          }.toMap
+        val tieW = Window.partitionBy("strat", "bkt").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val boundarySel = tieB.withColumn("c", sum("n_tokens").over(tieW) +
+            element_at(typedLit(tieOff),
+              concat(col("strat"), lit("#"), col("bkt").cast("string"))))
+          .filter(col("c") <= element_at(typedLit(remM), col("strat")))
+          .select("strat", "doc_id", "n_tokens", "rank")
+        fullSel.union(boundarySel)
+      }
+    }
+  }
+
   /** q72's training-sequence capacity in tokens: the context-window size
     * documents are concatenated into. 512 keeps sf0.001 chunks plural;
     * the operator is capacity-agnostic.
@@ -450,6 +609,38 @@ object Curation {
         floor((lit(1.0) - col("rank")) * QualityCells).cast("int")))
       budgetedPrefixSelect(scored, cell, _ / 2)
         .withColumnRenamed("rank", "quality")
+    }),
+
+    // mixture apportionment plan — the quota table a mixture build runs
+    // against: largest-remainder apportionment of the corpus-derived
+    // token budget across sources under the configured weights. All
+    // semantics and the exactness argument in [[mixtureQuotas]].
+    "q155_mixture_quotas" -> ((s, dir) => mixtureQuotas(s, dir)),
+
+    // mixture selection — q155's quotas APPLIED: within each source,
+    // the highest-quality documents whose running token total fits the
+    // source's quota (global semantics = the oracle's per-source cumsum
+    // over (quality DESC, doc_id) ≤ quota). The per-source form of
+    // q58 under the SAME scoring; the selection machinery is
+    // [[stratifiedPrefixSelect]] — the audited distributed prefix sum
+    // with every stage partitioned by (stratum, cell/bucket), because
+    // one window partitioned only by source would hand a
+    // half-the-corpus stratum to a single task. The quota table is a
+    // ≤|sources| driver read (value-space bounded).
+    "q156_mixture_select" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val quotas: Map[String, Long] = mixtureQuotas(s, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      val scored = scoredTokens(docs)
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select(col("source").as("strat"), col("doc_id"),
+          col("n_tokens"), col("quality").as("rank"))
+        .persist()
+      val cell = least(lit(QualityCells - 1), greatest(lit(0),
+        floor((lit(1.0) - col("rank")) * QualityCells).cast("int")))
+      stratifiedPrefixSelect(scored, cell, quotas)
+        .select(col("strat").as("source"), col("doc_id"),
+          col("n_tokens"), col("rank").as("quality"))
     }),
 
     // temperature-scaled mixture: downsample each SOURCE stratum to the
@@ -1295,6 +1486,47 @@ object Curation {
        |  (SELECT doc_id, unnest(g8) AS gg FROM g
        |   WHERE doc_id % $BenchMod <> 0) tr JOIN bg USING (gg))""".stripMargin
 
+  /** The mixture weight as SQL — ONE CASE chain generated from the SAME
+    * [[MixtureWeights]] Seq the Spark side reads, so the config cannot
+    * drift between engines.
+    */
+  private def sqlMixtureW: String =
+    "CASE " + MixtureWeights.map { case (src, w) =>
+      s"WHEN source = '$src' THEN $w" }.mkString(" ") +
+      s" ELSE $MixtureDefaultW END"
+
+  /** The q155 apportionment chain through `qt` (source, w, quota_toks),
+    * over q58's quality/token CTEs — factored so the plan card (q155)
+    * and the selection (q156) share one SQL definition of the quotas.
+    * Every step is integer (floor-div base, exact integer remainder,
+    * ROW_NUMBER award of the R leftover tokens), so Σ quota_toks = B
+    * exactly on both engines.
+    */
+  private def sqlMixtureQuotaCtes: String =
+    s"""tk AS (SELECT doc_id, ${TextAnalysis.Toks} AS tk FROM documents),
+       |m AS (SELECT doc_id, len(tk) AS n_tokens,
+       |  len(list_filter(tk, x -> x IN ${TextAnalysis.sqlStops("en")})) AS stops
+       |  FROM tk),
+       |t AS (SELECT doc_id, n_tokens,
+       |  (CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.4
+       |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality
+       |  FROM m WHERE n_tokens > 0),
+       |sc AS (SELECT t.doc_id, d.source, t.n_tokens, t.quality
+       |  FROM t JOIN documents d USING (doc_id)),
+       |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // $MixtureShare AS b
+       |  FROM sc),
+       |srcs AS (SELECT source, CAST($sqlMixtureW AS BIGINT) AS w
+       |  FROM sc GROUP BY source),
+       |ww AS (SELECT CAST(SUM(w) AS BIGINT) AS ws FROM srcs),
+       |ap AS (SELECT source, w, (b * w) // ws AS base,
+       |  b * w - ((b * w) // ws) * ws AS rem FROM srcs, ww, tot),
+       |sb AS (SELECT CAST(SUM(base) AS BIGINT) AS sbase FROM ap),
+       |rk AS (SELECT source, w, base, rem,
+       |  ROW_NUMBER() OVER (ORDER BY rem DESC, source) AS rnk FROM ap),
+       |qt AS (SELECT source, w,
+       |  CAST(base + CASE WHEN rnk <= b - sbase THEN 1 ELSE 0 END AS BIGINT)
+       |    AS quota_toks FROM rk, sb, tot)""".stripMargin
+
   /** The pack-profile SQL tail over a `t(doc_id, n_tokens)` CTE — the
     * corpus-order prefix sum cut every [[PackCapacity]] tokens, then the
     * per-chunk profile. ONE text shared by q72 (whitespace tokens) and
@@ -1499,6 +1731,20 @@ object Curation {
          |c AS (SELECT doc_id, n_tokens, quality,
          |  SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id) AS cum FROM t)
          |SELECT doc_id, n_tokens, quality FROM c, b WHERE cum <= budget""".stripMargin,
+
+    "q155_mixture_quotas" ->
+      s"""WITH $sqlMixtureQuotaCtes
+         |SELECT source, w, quota_toks FROM qt""".stripMargin,
+
+    // the quotas applied: one cumsum per source over (quality DESC,
+    // doc_id) against the SAME qt chain
+    "q156_mixture_select" ->
+      s"""WITH $sqlMixtureQuotaCtes,
+         |cum AS (SELECT sc.*, SUM(n_tokens) OVER (PARTITION BY source
+         |  ORDER BY quality DESC, doc_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM sc)
+         |SELECT source, doc_id, n_tokens, quality
+         |FROM cum JOIN qt USING (source) WHERE cum <= quota_toks""".stripMargin,
 
     // the seeded hash rank per source, the K cut
     "q133_stratum_sample_k" ->

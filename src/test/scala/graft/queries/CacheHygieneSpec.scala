@@ -47,7 +47,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q136_sketch_precision", "q139_contam_attribution",
     "q140_source_diversity", "q142_discounted_budget", "q147_chunk_mixing",
     "q148_bm25_topk", "q149_hybrid_rrf", "q150_clusters64",
-    "q151_survivors64", "q152_retrieval_agreement", "q153_band64_health")
+    "q151_survivors64", "q152_retrieval_agreement", "q153_band64_health",
+    "q156_mixture_select")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

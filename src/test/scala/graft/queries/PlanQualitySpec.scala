@@ -573,6 +573,18 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q58 persists its scored projection
   }
 
+  test("q156 mixture select: stratified prefix sum — every window keyed by (stratum, cell/bucket), no single partition") {
+    // the naive form — ONE window partitioned only by source — hands a
+    // half-the-corpus stratum to one task (the q58 defect class,
+    // per stratum). The selection plan must carry only
+    // (strat, cell)/(strat, bkt)-partitioned windows and no
+    // single-partition stage.
+    val p = execPlan("q156_mixture_select")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark) // q156 persists its scored projection
+  }
+
   test("q123 shard plan: q72's bucketed prefix sum — no single partition") {
     val p = execPlan("q123_shard_plan")
     assert(!p.contains("SinglePartition"), p)
