@@ -609,6 +609,38 @@ object Similarity {
     (cells, cents.length)
   }
 
+  /** The q75 kNN graph — every vector's top-[[KnnK]] banded neighbors
+    * as (vec_id, rnk, nbr, cos) — factored so the label probe (q157)
+    * votes over the IDENTICAL graph the standalone query emits. Scores
+    * each UNDIRECTED pair once (cos is symmetric), then mirrors the
+    * scored row with a MAP-SIDE explode — a union of the scored
+    * relation with its swap would re-evaluate the embedding-fetch
+    * joins once per branch (union branches share no computation),
+    * doubling the expensive stage to produce cheap row copies. The
+    * per-vector cut is a PARTITIONED window (never a global sort).
+    */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame = {
+    val (e, cand) = bandedVecCandidates(s, dir)
+    val scored = cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "vec_a")
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        (vecDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
+    val directed = scored.select(explode(array(
+        struct(col("vec_a"), col("vec_b"), col("cos")),
+        struct(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"),
+          col("cos")))).as("p"))
+      .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
+        col("p.cos").as("cos"))
+    val w = Window.partitionBy("vec_a").orderBy(desc("cos"), asc("vec_b"))
+    directed.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= KnnK)
+      .select(col("vec_a").as("vec_id"), col("rnk"),
+        col("vec_b").as("nbr"), col("cos"))
+  }
+
   private def bandedVecCandidates(s: SparkSession, dir: String)
       : (DataFrame, DataFrame) = {
     val k = ndPlanesFor(Tables(s, dir, "embeddings").count())
@@ -1410,31 +1442,40 @@ object Similarity {
     // sort). Approximate by construction: a neighbor outside every
     // shared band is unseen — the same recall contract AnnRecallSpec
     // pins for the banding family.
-    "q75_knn_graph" -> ((s, dir) => {
-      val (e, cand) = bandedVecCandidates(s, dir)
-      // score each UNDIRECTED pair once (cos is symmetric), then mirror
-      // the scored row with a MAP-SIDE explode — a union of the scored
-      // relation with its swap would re-evaluate the embedding-fetch
-      // joins once per branch (union branches share no computation),
-      // doubling the expensive stage to produce cheap row copies
-      val scored = cand
-        .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea"),
-          col("nrm").as("na")), "vec_a")
-        .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb"),
-          col("nrm").as("nb")), "vec_b")
-        .select(col("vec_a"), col("vec_b"),
-          (vecDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("cos"))
-      val directed = scored.select(explode(array(
-          struct(col("vec_a"), col("vec_b"), col("cos")),
-          struct(col("vec_b").as("vec_a"), col("vec_a").as("vec_b"),
-            col("cos")))).as("p"))
-        .select(col("p.vec_a").as("vec_a"), col("p.vec_b").as("vec_b"),
-          col("p.cos").as("cos"))
-      val w = Window.partitionBy("vec_a").orderBy(desc("cos"), asc("vec_b"))
-      directed.withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= KnnK)
-        .select(col("vec_a").as("vec_id"), col("rnk"),
-          col("vec_b").as("nbr"), col("cos"))
+    "q75_knn_graph" -> ((s, dir) => knnEdges(s, dir)),
+
+    // kNN label probe — the embedding-space health eval a training
+    // pipeline runs after (re)embedding a corpus: predict every labeled
+    // vector's class by the MAJORITY label of its q75 neighbors
+    // (ties to the smaller label — the argmax discipline) and report
+    // per-class accuracy in integer per-mille. A collapsing or drifted
+    // embedding space scores near-chance here long before a downstream
+    // model does — the cheap leave-one-out probe beside q96's
+    // separation margin. ONE shared kNN build ([[knnEdges]] — the
+    // audited capped-banded chain), labels attach by two vec_id
+    // equi-joins, the vote argmax is a vec_id-partitioned window, the
+    // card folds to ≤ |labels| rows (value-space bounded). Unlabeled
+    // vectors neither vote nor score; vectors with no surviving banded
+    // neighbor are outside the probe (the q75 recall contract).
+    "q157_knn_label_probe" -> ((s, dir) => {
+      val g = knnEdges(s, dir)
+      val lbl = Tables(s, dir, "embeddings").select(col("vec_id"), col("label"))
+      val votes = g.join(
+          lbl.select(col("vec_id").as("nbr"), col("label").as("nbr_label")),
+          "nbr")
+        .filter(col("nbr_label").isNotNull)
+        .groupBy("vec_id", "nbr_label").agg(count(lit(1)).as("nv"))
+      val w = Window.partitionBy("vec_id").orderBy(desc("nv"), asc("nbr_label"))
+      val pred = votes.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("nbr_label").as("pred"))
+      pred.join(lbl, "vec_id").filter(col("label").isNotNull)
+        .groupBy("label").agg(
+          count(lit(1)).as("n_voted"),
+          sum(when(col("pred") === col("label"), lit(1L)).otherwise(lit(0L)))
+            .as("n_correct"))
+        .withColumn("acc_pm", expr("n_correct * 1000 div n_voted"))
+        .select("label", "n_voted", "n_correct", "acc_pm")
     }),
 
     // contrastive hard-negative mining — for each anchor vector, the
@@ -1869,6 +1910,29 @@ object Similarity {
     * f·k+j, j < k. Relational — not one unrolled expression per plane —
     * so ONE SQL text covers every k the corpus count can derive.
     */
+  /** The full q75 kNN chain through `knn` (src, rnk, dst, cos) —
+    * factored so the label probe (q157) votes over the IDENTICAL SQL
+    * graph (mirrors the Scala-side [[knnEdges]] factoring).
+    */
+  private def sqlKnnCtes: String =
+    s"""e AS (SELECT * FROM (SELECT vec_id, embedding,
+       |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+       |  WHERE nrm > 0),
+       |$sqlVecBands,
+       |rare AS (SELECT fam, bk FROM bands GROUP BY fam, bk HAVING COUNT(*) <= $MaxVecBucket),
+       |bc AS (SELECT bands.vec_id, bands.fam, bands.bk FROM bands JOIN rare USING (fam, bk)),
+       |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |  FROM bc a JOIN bc b ON a.fam = b.fam AND a.bk = b.bk AND a.vec_id < b.vec_id),
+       |d AS (SELECT vec_a AS src, vec_b AS dst FROM cand
+       |  UNION ALL SELECT vec_b, vec_a FROM cand),
+       |sc AS (SELECT d.src, d.dst,
+       |  ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+       |  FROM d JOIN e x ON x.vec_id = d.src JOIN e y ON y.vec_id = d.dst),
+       |knn AS (SELECT src, rnk, dst, cos FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+       |     ORDER BY cos DESC, dst) AS rnk FROM sc) t
+       |  WHERE rnk <= $KnnK)""".stripMargin
+
   private def sqlVecBands: String =
     s"""kp AS (SELECT CAST(COALESCE(MIN(j), $NdPlanesMax) AS BIGINT) AS k
        |  FROM range($NdPlanesMin, ${NdPlanesMax + 1}) t(j)
@@ -2529,23 +2593,28 @@ object Similarity {
     // per source via ROW_NUMBER (cos DESC, nbr — the argmax tie
     // discipline for exactly-equal doubles)
     "q75_knn_graph" ->
-      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
-         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
-         |  WHERE nrm > 0),
-         |$sqlVecBands,
-         |rare AS (SELECT fam, bk FROM bands GROUP BY fam, bk HAVING COUNT(*) <= $MaxVecBucket),
-         |bc AS (SELECT bands.vec_id, bands.fam, bands.bk FROM bands JOIN rare USING (fam, bk)),
-         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-         |  FROM bc a JOIN bc b ON a.fam = b.fam AND a.bk = b.bk AND a.vec_id < b.vec_id),
-         |d AS (SELECT vec_a AS src, vec_b AS dst FROM cand
-         |  UNION ALL SELECT vec_b, vec_a FROM cand),
-         |sc AS (SELECT d.src, d.dst,
-         |  ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
-         |  FROM d JOIN e x ON x.vec_id = d.src JOIN e y ON y.vec_id = d.dst)
-         |SELECT src AS vec_id, rnk, dst AS nbr, cos FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
-         |     ORDER BY cos DESC, dst) AS rnk FROM sc) t
-         |WHERE rnk <= $KnnK""".stripMargin,
+      s"""WITH $sqlKnnCtes
+         |SELECT src AS vec_id, rnk, dst AS nbr, cos FROM knn""".stripMargin,
+
+    // label probe: the IDENTICAL knn chain, neighbor labels joined,
+    // majority vote per vector (nv DESC, label — the argmax tie
+    // discipline), per-class accuracy in floor per-mille
+    "q157_knn_label_probe" ->
+      s"""WITH $sqlKnnCtes,
+         |v AS (SELECT k.src AS vec_id, emb.label AS nbr_label,
+         |  COUNT(*) AS nv FROM knn k JOIN embeddings emb
+         |    ON emb.vec_id = k.dst
+         |  WHERE emb.label IS NOT NULL GROUP BY 1, 2),
+         |p AS (SELECT vec_id, nbr_label AS pred FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY nv DESC, nbr_label) AS rn FROM v) z WHERE rn = 1)
+         |SELECT e2.label, CAST(COUNT(*) AS BIGINT) AS n_voted,
+         |  CAST(SUM(CASE WHEN p.pred = e2.label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_correct,
+         |  CAST(SUM(CASE WHEN p.pred = e2.label THEN 1 ELSE 0 END) * 1000
+         |    // COUNT(*) AS BIGINT) AS acc_pm
+         |FROM p JOIN embeddings e2 USING (vec_id)
+         |WHERE e2.label IS NOT NULL GROUP BY e2.label""".stripMargin,
 
     // hard negatives: the q75 candidate CTEs with the label-inequality
     // cut (null-rejecting <>, matching Spark's =!=) and the rank-2 cut
