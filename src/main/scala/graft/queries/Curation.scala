@@ -198,6 +198,18 @@ object Curation {
     MixtureWeights.toMap
   private[queries] val MixtureDefaultW = 1L
 
+  /** q155/q156's null-source sentinel: a NULL `source` coalesces to this
+    * in BOTH engines before any grouping/quota lookup, so a null-source
+    * stratum draws a quota under [[MixtureDefaultW]] like any other
+    * instead of (a) poisoning the Spark quota-map lookup (typedLit maps
+    * forbid null keys), (b) vanishing from the oracle's `JOIN … USING
+    * (source)`, or (c) bypassing its quota through a NULL cumsum — the
+    * degenerate-input discipline. A real source literally named this
+    * merges with the null stratum; documented, not defended (same class
+    * as any sentinel).
+    */
+  private[queries] val NullSrc = "(null)"
+
   /** q155's budget divisor: the mixture targets 1/this of the corpus
     * token mass (corpus-derived like q58's half — nothing hand-tuned to
     * a scale factor).
@@ -224,7 +236,8 @@ object Curation {
   private[graft] def mixtureQuotas(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
     val scored = scoredTokens(docs)
-      .join(docs.select("doc_id", "source"), "doc_id")
+      .join(docs.select(col("doc_id"),
+        coalesce(col("source"), lit(NullSrc)).as("source")), "doc_id")
     val tot = scored.agg(sum("n_tokens").as("t_total"))
     val srcs = scored.select("source").distinct()
       .select(col("source"),
@@ -236,6 +249,8 @@ object Curation {
       .withColumn("base", expr("(b * w) div ws"))
       .withColumn("rem", expr("b * w - ((b * w) div ws) * ws"))
     val sb = ap.agg(sum("base").as("sbase"))
+    // source is non-null post-coalesce, so Spark's NULLS FIRST vs
+    // DuckDB's NULLS LAST ASC defaults can never diverge on this window
     val wR = Window.orderBy(desc("rem"), asc("source"))
     ap.crossJoin(broadcast(sb))
       .withColumn("rnk", row_number().over(wR))
@@ -276,18 +291,21 @@ object Curation {
       scored.unpersist()
       scored.select("strat", "doc_id", "n_tokens", "rank").limit(0)
     } else {
-      val offKey: Map[String, Long] = cellTotals.groupBy(_._1).flatMap {
+      // NESTED per-stratum maps, not a concat-string key: a stratum name
+      // containing '#'+digits would collide under "st#cell" flattening
+      // (strat "a#1" cell 2 vs strat "a" cell 12) and silently corrupt
+      // one stratum's cumsum — the nested lookup is ambiguity-free for
+      // ANY stratum value
+      val offKey: Map[String, Map[Int, Long]] = cellTotals.groupBy(_._1).map {
         case (st, rows) =>
-          exclusiveOffsets(rows.map(t => t._2 -> t._3))
-            .map { case (c, o) => s"$st#$c" -> o }
-      }.toMap
+          st -> exclusiveOffsets(rows.map(t => t._2 -> t._3))
+      }
       val cumW = Window.partitionBy("strat", "cell").orderBy(desc("rank"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       // offKey holds every (strat, cell) hist itself produced — the
       // ANSI element_at cannot miss (budgetedPrefixSelect's argument)
       val cum = hist.withColumn("cum", sum("gtok").over(cumW) +
-        element_at(typedLit(offKey),
-          concat(col("strat"), lit("#"), col("cell").cast("string"))))
+        element_at(element_at(typedLit(offKey), col("strat")), col("cell")))
       val quotaCol = coalesce(
         try_element_at(typedLit(quotas), col("strat")), lit(0L))
       // first over-quota group per stratum: ≤ |strata| boundary rows
@@ -325,18 +343,18 @@ object Curation {
           .withColumn("lo_v", element_at(typedLit(loM), col("strat")))
           .withColumn("bw_v", element_at(typedLit(bwM), col("strat")))
           .withColumn("bkt", expr("CAST((doc_id - lo_v) div bw_v AS INT)"))
-        val tieOff: Map[String, Long] = tieB
+        // nested per-stratum bucket offsets — same collision-free
+        // lookup discipline as offKey above
+        val tieOff: Map[String, Map[Int, Long]] = tieB
           .groupBy("strat", "bkt").agg(sum("n_tokens").as("bt"))
           .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-          .groupBy(_._1).flatMap { case (st, rows) =>
-            exclusiveOffsets(rows.map(t => t._2 -> t._3).toSeq)
-              .map { case (b, o) => s"$st#$b" -> o }
-          }.toMap
+          .groupBy(_._1).map { case (st, rows) =>
+            st -> exclusiveOffsets(rows.map(t => t._2 -> t._3).toSeq)
+          }
         val tieW = Window.partitionBy("strat", "bkt").orderBy("doc_id")
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val boundarySel = tieB.withColumn("c", sum("n_tokens").over(tieW) +
-            element_at(typedLit(tieOff),
-              concat(col("strat"), lit("#"), col("bkt").cast("string"))))
+            element_at(element_at(typedLit(tieOff), col("strat")), col("bkt")))
           .filter(col("c") <= element_at(typedLit(remM), col("strat")))
           .select("strat", "doc_id", "n_tokens", "rank")
         fullSel.union(boundarySel)
@@ -632,7 +650,8 @@ object Curation {
       val quotas: Map[String, Long] = mixtureQuotas(s, dir).collect()
         .map(r => r.getString(0) -> r.getLong(2)).toMap
       val scored = scoredTokens(docs)
-        .join(docs.select("doc_id", "source"), "doc_id")
+        .join(docs.select(col("doc_id"),
+          coalesce(col("source"), lit(NullSrc)).as("source")), "doc_id")
         .select(col("source").as("strat"), col("doc_id"),
           col("n_tokens"), col("quality").as("rank"))
         .persist()
@@ -1511,7 +1530,8 @@ object Curation {
        |  (CAST(stops AS DOUBLE)/CAST(n_tokens AS DOUBLE))*0.4
        |    + least(1.0, CAST(n_tokens AS DOUBLE)/50.0)*0.6 AS quality
        |  FROM m WHERE n_tokens > 0),
-       |sc AS (SELECT t.doc_id, d.source, t.n_tokens, t.quality
+       |sc AS (SELECT t.doc_id, COALESCE(d.source, '$NullSrc') AS source,
+       |  t.n_tokens, t.quality
        |  FROM t JOIN documents d USING (doc_id)),
        |tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) // $MixtureShare AS b
        |  FROM sc),

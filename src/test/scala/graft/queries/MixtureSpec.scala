@@ -76,6 +76,37 @@ class MixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("q155/q156: a NULL source is a real stratum — it draws a quota under the sentinel and its selection is capped") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-mixture-nullsrc").toString
+    // src0 (w=4) 145 tokens as above; the null source (default w=1)
+    // replaces src1 with the same 26-token shape. T=171, B=34, W=5:
+    // src0 base = 136 div 5 = 27 rem 1, null base = 34 div 5 = 6 rem 4.
+    // Sum(base)=33, R=1 -> the leftover goes to the null stratum
+    // (larger remainder). Quotas 27 / 7; null's 7 admits 101 (9 tokens
+    // would overshoot? 9 > 7 -> nothing whole) — boundary group is the
+    // 9-token tie pair, remaining 7 < 9 admits neither; the 8-token doc
+    // is in a LOWER-quality group entirely out past the boundary.
+    ((1 to 10).map(i => (i.toLong, toks(9 + i), "src0")) ++
+      Seq((101L, toks(9), null: String), (102L, toks(9), null: String),
+        (103L, toks(8), null: String)))
+      .toDF("doc_id", "text", "source").write.parquet(s"$d/documents.parquet")
+    val q = graft.SparkEntry.queries("q155_mixture_quotas")(spark, d)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Long]("w"), r.getAs[Long]("quota_toks"))).toMap
+    assert(q == Map("src0" -> (4L, 27L), "(null)" -> (1L, 7L)), s"got $q")
+    val sel = graft.SparkEntry.queries("q156_mixture_select")(spark, d)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("doc_id")))
+    graft.Caches.release(spark)
+    // the null stratum's quota BINDS (7 < 9): without the sentinel the
+    // NULL cumsum would admit all three of its docs quota-free
+    val nullSel = sel.filter(_._1 == "(null)")
+    assert(nullSel.isEmpty, s"null-source selection must respect its quota: $nullSel")
+    // src0 quota 27 still admits exactly its 19-token best (next group
+    // reads 37; the 18-token boundary group cannot fit the 8 remaining)
+    assert(sel.filter(_._1 == "src0").map(_._2).toSet == Set(10L), s"got $sel")
+  }
+
   test("mixture family: an untokenizable corpus yields empty quotas and an empty selection, never a crash") {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-mixture-degen").toString
