@@ -64,6 +64,21 @@ object TextAnalysis {
   /** q148/q149: documents returned per query by the lexical serve. */
   private[queries] val Bm25TopK = 10
 
+  /** q158's quoted-phrase length (q154 is the k = 2 member). */
+  private[queries] val PhraseK = 3
+
+  /** The corpus-adaptive document-modulus query sample shared by every
+    * lexical serve (q148/q154/q158/q159): ~8 query documents at any
+    * scale (the q95/q122 sampling discipline), mirrored in SQL by
+    * [[sqlDocModQs]].
+    */
+  private def docModQids(s: SparkSession, dir: String): DataFrame = {
+    val nd = Tables(s, dir, "documents").count()
+    val qmod = math.max(5L, (nd + 7) / 8)
+    Tables(s, dir, "documents")
+      .filter(col("doc_id") % qmod === 0).select(col("doc_id").as("qid"))
+  }
+
   /** q87: how many byte-pair-encoding merge rounds to induce. Three keeps
     * the unrolled oracle CTE chain readable; the operator is
     * round-agnostic (production BPE runs tens of thousands — each round
@@ -668,58 +683,131 @@ object TextAnalysis {
     posT
   }
 
+  /** The phrase/proximity query table — the first `k` tokens of each
+    * query document's text as columns t1..tk (queries with fewer than
+    * `k` tokens have no phrase and serve nothing; null/empty text falls
+    * out of the same cut). ≤ |sample| rows, the broadcast side of every
+    * positional serve.
+    */
+  private def phraseQueries(s: SparkSession, dir: String,
+      qids: DataFrame, k: Int): DataFrame =
+    Tables(s, dir, "documents")
+      .join(broadcast(qids), col("doc_id") === col("qid"))
+      .select(col("qid"), tokens(col("text")).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("qid") +:
+        (1 to k).map(i => element_at(col("tk"), i).as(s"t$i")): _*)
+
+  /** The bounded driver read that buys the positional prune (q148's
+    * discipline): the ≤ k·|sample| distinct phrase terms.
+    */
+  private def phraseTerms(qp: DataFrame, k: Int): Array[Any] =
+    qp.select(explode(array((1 to k).map(i => col(s"t$i")): _*)).as("t"))
+      .distinct().collect().map(_.getString(0))
+
+  /** A defined empty serve with the positional-family contract schema
+    * (degenerate corpus: no query has a phrase), not an empty-IN plan.
+    */
+  private def emptyPhraseServe(qids: DataFrame, cnt: String): DataFrame =
+    qids.select(col("qid"), lit(0L).as("rnk"),
+      lit(0L).as("doc_id"), lit(0L).as(cnt)).limit(0)
+
   /** Exact-phrase ranked retrieval — the positional member of the
     * lexical serve family (BM25 ranks bags of terms; a quoted query
     * must rank ADJACENCY, which tf postings structurally cannot see).
     * Each query in `qids` (the q148 sample contract: a bigint `qid`
-    * column naming a corpus document) contributes the first two tokens
+    * column naming a corpus document) contributes the first `k` tokens
     * of its text as the quoted phrase; documents rank by occurrence
-    * count of that exact bigram (overlapping occurrences count — both
-    * engines count position pairs), top [[Bm25TopK]] per query, ties to
-    * doc_id. Queries with fewer than two tokens (null/empty text) have
-    * no phrase and serve nothing — the oracle mirrors the same cut.
+    * count of that exact k-gram (overlapping occurrences count — both
+    * engines count position tuples), top [[Bm25TopK]] per query, ties
+    * to doc_id. Queries with fewer than `k` tokens (null/empty text
+    * included) have no phrase and serve nothing — the oracle mirrors
+    * the same cut. q154 runs the bigram; q158 the trigram — ONE fold,
+    * any quoted length.
     *
     * Plan shape (the positional-index discipline): the phrase table is
     * ≤ |sample| rows and BROADCAST; ONE bounded driver read of its
     * distinct terms buys a LITERAL-IN bucket prune on the staged
-    * positional postings ([[ensurePosIndex]]); the adjacency test is an
-    * EQUI-join of the pruned postings with themselves on (doc_id, term,
-    * pos + 1) — work ∝ postings of the phrase terms, never the corpus;
-    * the per-query cut is a qid-partitioned window (WindowGroupLimit).
-    * No corpus-wide sort, no documents scan in the serve stage.
+    * positional postings ([[ensurePosIndex]]); the adjacency test is a
+    * fold of k−1 EQUI-joins of the pruned postings with themselves on
+    * (doc_id, term, pos + i) — work ∝ postings of the phrase terms,
+    * never the corpus, and a phrase with ANY rare term prunes the whole
+    * chain to that term's postings; the per-query cut is a
+    * qid-partitioned window (WindowGroupLimit). No corpus-wide sort, no
+    * documents scan in the serve stage.
     */
   private[queries] def phraseTopDocs(s: SparkSession, dir: String,
-      qids: DataFrame): DataFrame = {
+      qids: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 2, s"a phrase needs at least two tokens, got $k")
     val posT = ensurePosIndex(s, dir)
-    val qp = Tables(s, dir, "documents")
-      .join(broadcast(qids), col("doc_id") === col("qid"))
-      .select(col("qid"), tokens(col("text")).as("tk"))
-      .filter(size(col("tk")) >= 2)
-      .select(col("qid"), element_at(col("tk"), 1).as("t1"),
-        element_at(col("tk"), 2).as("t2"))
-    // the bounded driver read that buys the prune (q148's discipline):
-    // ≤ 2·|sample| phrase terms
-    val terms: Array[Any] = qp
-      .select(explode(array(col("t1"), col("t2"))).as("t"))
-      .distinct().collect().map(_.getString(0))
-    if (terms.isEmpty) {
-      // no query has a phrase (degenerate corpus): a defined empty
-      // serve with the contract schema, not an empty-IN plan
-      qids.select(col("qid"), lit(0L).as("rnk"),
-        lit(0L).as("doc_id"), lit(0L).as("phrase_tf")).limit(0)
-    } else {
+    val qp = phraseQueries(s, dir, qids, k)
+    val terms = phraseTerms(qp, k)
+    if (terms.isEmpty) emptyPhraseServe(qids, "phrase_tf")
+    else {
+      val post = s.table(posT).filter(col("term").isin(terms: _*))
+      val lead = post.join(broadcast(qp), col("term") === col("t1"))
+        .select(col("qid") +: col("doc_id") +: col("pos") +:
+          (2 to k).map(i => col(s"t$i")): _*)
+      // token i of the phrase must sit at pos + (i−1): each fold step
+      // consumes one t_i column and keeps the anchor (qid, doc_id, pos)
+      val matched = (2 to k).foldLeft(lead) { (acc, i) =>
+        val next = post.select(col("doc_id").as("doc_n"),
+          col("term").as("term_n"), col("pos").as("pos_n"))
+        acc.join(next, col("doc_n") === col("doc_id") &&
+            col("term_n") === col(s"t$i") &&
+            col("pos_n") === col("pos") + (i - 1))
+          .drop("doc_n", "term_n", "pos_n", s"t$i")
+      }
+      val w = Window.partitionBy("qid").orderBy(desc("phrase_tf"), asc("doc_id"))
+      matched
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("phrase_tf"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= Bm25TopK)
+        .select("qid", "rnk", "doc_id", "phrase_tf")
+    }
+  }
+
+  /** q159's proximity window: "t2 within this many tokens AFTER t1" —
+    * the standard ordered-slop operator (w = 1 degenerates to the exact
+    * bigram, pinned by RetrievalSpec).
+    */
+  private[queries] val ProxWindow = 5L
+
+  /** Within-N-tokens proximity retrieval — the relaxation sitting
+    * between the bag model (q148: anywhere in the document) and the
+    * exact phrase (q154/q158: adjacent): each query contributes its
+    * first two tokens, and documents rank by the count of ordered
+    * position pairs where t2 follows t1 within `win` tokens
+    * (1 ≤ p2 − p1 ≤ win; every qualifying pair counts, both engines).
+    * Top [[Bm25TopK]] per query, ties to doc_id; sub-two-token queries
+    * serve nothing (the phrase family's cut).
+    *
+    * Plan shape: identical to [[phraseTopDocs]] except the adjacency
+    * equality relaxes to a range residual — the join still keys on the
+    * (doc_id) equi component over term-pruned postings, so the range
+    * never touches more than the phrase terms' postings.
+    */
+  private[queries] def proximityTopDocs(s: SparkSession, dir: String,
+      qids: DataFrame, win: Long = ProxWindow): DataFrame = {
+    require(win >= 1, s"proximity window must be positive, got $win")
+    val posT = ensurePosIndex(s, dir)
+    val qp = phraseQueries(s, dir, qids, 2)
+    val terms = phraseTerms(qp, 2)
+    if (terms.isEmpty) emptyPhraseServe(qids, "prox_tf")
+    else {
       val post = s.table(posT).filter(col("term").isin(terms: _*))
       val lead = post.join(broadcast(qp), col("term") === col("t1"))
         .select(col("qid"), col("doc_id"), col("pos"), col("t2"))
       val next = post.select(col("doc_id").as("doc_n"),
         col("term").as("term_n"), col("pos").as("pos_n"))
-      val w = Window.partitionBy("qid").orderBy(desc("phrase_tf"), asc("doc_id"))
+      val w = Window.partitionBy("qid").orderBy(desc("prox_tf"), asc("doc_id"))
       lead.join(next, col("doc_n") === col("doc_id") &&
-          col("term_n") === col("t2") && col("pos_n") === col("pos") + 1)
-        .groupBy("qid", "doc_id").agg(count(lit(1)).as("phrase_tf"))
+          col("term_n") === col("t2") &&
+          col("pos_n") > col("pos") && col("pos_n") <= col("pos") + win)
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("prox_tf"))
         .withColumn("rnk", row_number().over(w).cast("long"))
         .filter(col("rnk") <= Bm25TopK)
-        .select("qid", "rnk", "doc_id", "phrase_tf")
+        .select("qid", "rnk", "doc_id", "prox_tf")
     }
   }
 
@@ -1289,22 +1377,27 @@ object TextAnalysis {
     // corpus-adaptive modulus sample of the documents themselves (~8 at
     // any scale — the q95/q122 sampling discipline), so the batch shape
     // is the production one: many queries, ONE tf/postings build.
-    "q148_bm25_topk" -> ((s, dir) => {
-      val nd = Tables(s, dir, "documents").count()
-      val qmod = math.max(5L, (nd + 7) / 8)
-      bm25TopDocs(s, dir, Tables(s, dir, "documents")
-        .filter(col("doc_id") % qmod === 0).select(col("doc_id").as("qid")))
-    }),
+    "q148_bm25_topk" -> ((s, dir) =>
+      bm25TopDocs(s, dir, docModQids(s, dir))),
 
     // exact-phrase ranked retrieval — the quoted-query serve BM25's bag
     // model cannot answer (same document-modulus query sample as q148;
     // all semantics and plan detail in [[phraseTopDocs]]).
-    "q154_phrase_topk" -> ((s, dir) => {
-      val nd = Tables(s, dir, "documents").count()
-      val qmod = math.max(5L, (nd + 7) / 8)
-      phraseTopDocs(s, dir, Tables(s, dir, "documents")
-        .filter(col("doc_id") % qmod === 0).select(col("doc_id").as("qid")))
-    }),
+    "q154_phrase_topk" -> ((s, dir) =>
+      phraseTopDocs(s, dir, docModQids(s, dir))),
+
+    // trigram exact-phrase serve — the SAME adjacency fold at k = 3: a
+    // 3-token quoted query, the case a bigram-only serve would falsely
+    // match on any document carrying just the first two tokens adjacent
+    // (RetrievalSpec plants exactly that document).
+    "q158_phrase3_topk" -> ((s, dir) =>
+      phraseTopDocs(s, dir, docModQids(s, dir), PhraseK)),
+
+    // ordered within-N proximity serve — "t2 within ProxWindow tokens
+    // after t1": the slop operator between the bag model and the exact
+    // phrase (all semantics and plan detail in [[proximityTopDocs]]).
+    "q159_proximity_topk" -> ((s, dir) =>
+      proximityTopDocs(s, dir, docModQids(s, dir))),
 
     // bounded-space quantile SKETCH — the quantile member of the sketch
     // family (HLL q53, count-min q54, Bloom q55): per-language
@@ -2162,6 +2255,43 @@ object TextAnalysis {
        |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc) r
        |WHERE rnk <= $Bm25TopK""".stripMargin
 
+  /** The positional serve family's oracle generator — 1-based positions
+    * via the scrubCtes range idiom (adjacency offsets cancel, so the
+    * base convention never shows); the `len(tk) >= k` cut mirrors the
+    * Spark side's no-phrase drop (null text tokenizes to NULL → len
+    * NULL → excluded on both engines). `matchJoins` supplies the
+    * position predicate chain over anchor `p1` — exact adjacency for
+    * the phrase members, the BETWEEN residual for proximity — so all
+    * three oracles (q154/q158/q159) rank through ONE text.
+    */
+  private def sqlPositionalTopDocs(k: Int, cnt: String,
+      matchJoins: String): String = {
+    val tsel = (1 to k).map(i => s"tk[$i] AS t$i").mkString(", ")
+    s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+       |qs AS ($sqlDocModQs),
+       |qp AS (SELECT t.doc_id AS qid, $tsel
+       |  FROM t JOIN qs ON t.doc_id = qs.qid WHERE len(tk) >= $k),
+       |tp AS (SELECT doc_id, i.j AS pos, tk[CAST(i.j AS INT)] AS word
+       |  FROM t, UNNEST(range(1, len(tk) + 1)) AS i(j)),
+       |m AS (SELECT qp.qid, p1.doc_id, COUNT(*) AS $cnt
+       |  FROM qp JOIN tp p1 ON p1.word = qp.t1
+       |  $matchJoins
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, $cnt FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY $cnt DESC, doc_id) AS rnk FROM m) r
+       |WHERE rnk <= $Bm25TopK""".stripMargin
+  }
+
+  /** The exact k-gram member of [[sqlPositionalTopDocs]]: token i at
+    * anchor position + (i − 1).
+    */
+  private def sqlPhraseTopDocs(k: Int): String =
+    sqlPositionalTopDocs(k, "phrase_tf",
+      (2 to k).map(i => s"JOIN tp p$i ON p$i.doc_id = p1.doc_id" +
+        s" AND p$i.pos = p1.pos + ${i - 1} AND p$i.word = qp.t$i")
+        .mkString("\n  "))
+
   def oracleSql: Map[String, String] = Map(
     "q17_lang_id" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
@@ -2462,26 +2592,16 @@ object TextAnalysis {
 
     "q148_bm25_topk" -> sqlBm25TopDocs(sqlDocModQs),
 
-    // exact-phrase serve: 1-based positions via the scrubCtes range
-    // idiom; adjacency offsets cancel, so the base never shows. The
-    // len >= 2 cut mirrors the Spark side's no-phrase drop (null text
-    // tokenizes to NULL -> len NULL -> excluded on both engines).
-    "q154_phrase_topk" ->
-      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
-         |qs AS ($sqlDocModQs),
-         |qp AS (SELECT t.doc_id AS qid, tk[1] AS t1, tk[2] AS t2
-         |  FROM t JOIN qs ON t.doc_id = qs.qid WHERE len(tk) >= 2),
-         |tp AS (SELECT doc_id, i.j AS pos, tk[CAST(i.j AS INT)] AS word
-         |  FROM t, UNNEST(range(1, len(tk) + 1)) AS i(j)),
-         |m AS (SELECT qp.qid, a.doc_id, COUNT(*) AS phrase_tf
-         |  FROM qp JOIN tp a ON a.word = qp.t1
-         |  JOIN tp b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
-         |    AND b.word = qp.t2
-         |  GROUP BY 1, 2)
-         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, phrase_tf FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |     ORDER BY phrase_tf DESC, doc_id) AS rnk FROM m) r
-         |WHERE rnk <= $Bm25TopK""".stripMargin,
+    // the positional serve family: ONE generated text per member (k = 2
+    // bigram, k = 3 trigram, the within-N proximity) — the shared CTE
+    // chain in [[sqlPositionalTopDocs]].
+    "q154_phrase_topk" -> sqlPhraseTopDocs(2),
+
+    "q158_phrase3_topk" -> sqlPhraseTopDocs(PhraseK),
+
+    "q159_proximity_topk" -> sqlPositionalTopDocs(2, "prox_tf",
+      s"JOIN tp p2 ON p2.doc_id = p1.doc_id AND p2.word = qp.t2" +
+        s" AND p2.pos BETWEEN p1.pos + 1 AND p1.pos + $ProxWindow"),
 
     "q47_length_quartiles" ->
       """WITH r AS (SELECT lang, n_chars,

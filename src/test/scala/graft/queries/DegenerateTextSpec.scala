@@ -71,9 +71,11 @@ class DegenerateTextSpec extends AnyFunSuite {
     // CurationSpec/BpeSpec/EmbeddingHealthSpec instead
     "q123_shard_plan", "q125_gram_containment", "q127_soft_dedup",
     "q129_manifest_checksum", "q131_caption_conflicts",
-    // q148/q154's modulus sample lands on doc 0 here (null text -> a
-    // term-less/phrase-less query -> an empty ranked list, never a crash)
-    "q148_bm25_topk", "q154_phrase_topk",
+    // q148/q154/q158/q159's modulus sample lands on doc 0 here (null
+    // text -> a term-less/phrase-less query -> an empty ranked list,
+    // never a crash)
+    "q148_bm25_topk", "q154_phrase_topk", "q158_phrase3_topk",
+    "q159_proximity_topk",
     "q136_sketch_precision", "q139_contam_attribution",
     "q142_discounted_budget", "q146_length_quality_grid",
     // the media table derives from documents, so the same degenerate
@@ -115,6 +117,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q146_length_quality_grid", // one row per grid cell, not per doc
         "q148_bm25_topk", // the sampled query here has null text -> no list
         "q154_phrase_topk", // same sample: null text -> no phrase -> no list
+        "q158_phrase3_topk", "q159_proximity_topk", // same cut at k=3 / slop
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")

@@ -426,6 +426,31 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q158/q159 positional serves: same term-pruned bucketed contract as q154 at k=3 and under the slop residual") {
+    // the generalization must not lose the plan: the k−1 adjacency fold
+    // (q158) and the range-residual proximity join (q159) still read
+    // ONLY the staged bucketed positional postings with a literal-IN
+    // term prune, broadcast the phrase table, cut per query via
+    // WindowGroupLimit, and never nest-loop or range-partition — the
+    // proximity BETWEEN must fold into the equi-join as a residual, not
+    // degrade to a cartesian
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try for (q <- Seq("q158_phrase3_topk", "q159_proximity_topk")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), s"$q: ${p.take(2000)}")
+      assert(p.contains("SelectedBucketsCount"), s"$q: ${p.take(2000)}")
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(2000)}")
+      assert(p.contains("WindowGroupLimit"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("Exchange rangepartitioning"), s"$q: ${p.take(2000)}")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.catalog.clearCache()
+  }
+
   test("q47 length quartiles: row data only crosses the histogram shuffle; no row-level sort") {
     // the histogram formulation's contract: the corpus rows meet exactly
     // one exchange — the map-side-combined (lang, n_chars) count — and

@@ -119,6 +119,73 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q158: the trigram serve rejects the planted bigram-only document the k=2 serve falsely matches") {
+    // query doc 0's trigram = "alpha beta gamma". doc 1 carries the
+    // FIRST TWO tokens adjacent but "gamma" elsewhere — a bigram serve
+    // structurally matches it; the k=3 fold must not. doc 2 carries the
+    // full trigram.
+    val dir = corpus(Seq(
+      0L -> "alpha beta gamma tail",
+      1L -> "alpha beta x gamma",
+      2L -> "x alpha beta gamma y",
+      3L -> "alpha gamma beta",
+      4L -> "filler words only"))
+    val tri = graft.SparkEntry.queries("q158_phrase3_topk")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(tri == Set(0L, 2L), s"trigram must serve exactly the true matches: $tri")
+    val bi = graft.SparkEntry.queries("q154_phrase_topk")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(bi.contains(1L),
+      s"the planted document must be a bigram false match for the test to bite: $bi")
+    spark.catalog.clearCache()
+  }
+
+  test("q159: proximity hits what the exact phrase misses, ranks by qualifying pair count, order is directional") {
+    // query doc 0's pair = ("alpha", "beta"). doc 1 separates them by
+    // 2 tokens (phrase misses, proximity hits); doc 2 holds TWO
+    // qualifying pairs (one adjacent + the same beta reachable from a
+    // second alpha) and must outrank doc 1; doc 3 has beta BEFORE alpha
+    // only — directional, must be absent; doc 4 separates them past the
+    // window (5) and must be absent.
+    val dir = corpus(Seq(
+      0L -> "alpha beta",
+      1L -> "alpha x y beta",
+      2L -> "alpha alpha beta",
+      3L -> "beta then alpha",
+      4L -> "alpha a b c d e beta"))
+    val rows = graft.SparkEntry.queries("q159_proximity_topk")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    val ranked = rows.map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("prox_tf"))).toSeq
+    assert(ranked == Seq(2L -> 2L, 0L -> 1L, 1L -> 1L), s"got $ranked")
+    val phrase = graft.SparkEntry.queries("q154_phrase_topk")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(!phrase.contains(1L),
+      s"doc 1 must be an exact-phrase miss for the test to bite: $phrase")
+    spark.catalog.clearCache()
+  }
+
+  test("q159: a window of 1 degenerates to the exact bigram") {
+    val dir = corpus(Seq(
+      0L -> "alpha beta gamma",
+      1L -> "alpha beta alpha beta",
+      2L -> "alpha x beta",
+      3L -> "x alpha beta y",
+      4L -> "beta alpha"))
+    import org.apache.spark.sql.functions.col
+    val qids = graft.Tables(spark, dir, "documents")
+      .filter(col("doc_id") === 0L).select(col("doc_id").as("qid"))
+    val prox = TextAnalysis.proximityTopDocs(spark, dir, qids, win = 1L)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("prox_tf")))
+      .toSet
+    val phrase = TextAnalysis.phraseTopDocs(spark, dir, qids)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("phrase_tf")))
+      .toSet
+    assert(prox == phrase && prox.nonEmpty,
+      s"win=1 must equal the exact bigram serve: prox=$prox phrase=$phrase")
+    spark.catalog.clearCache()
+  }
+
   test("q149: a query with an invalid vector still serves lexically (query-level single modality)") {
     // the documented full-outer posture one level up: q122 drops a
     // zero-norm query vector from the SEMANTIC side, but the query's
