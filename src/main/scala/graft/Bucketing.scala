@@ -26,6 +26,37 @@ import org.apache.spark.sql.DataFrame
   */
 object Bucketing {
 
+  /** Default per-bucket row target for [[bucketCountFor]]: ~1M rows of a
+    * narrow staged relation is tens of MB per bucket file — small enough
+    * that a pruned point read is cheap, large enough that the file count
+    * stays bounded.
+    */
+  val DefaultBucketRows: Long = 1L << 20
+
+  /** Corpus-adaptive bucket count: the smallest power-of-two b in
+    * [minBuckets, maxBuckets] with rows ≤ targetRows·b — the
+    * `bandWidthFor` discipline applied to staged-table layout. A FIXED
+    * count is wrong at both ends: at bench scale it's fine, but a
+    * key-pruned serve over a petabyte postings table pinned at 8 buckets
+    * reads 1/8 of a petabyte per term; derived from `count(*)`, the
+    * pruned read stays proportionally small at any corpus. Powers of two
+    * only (doubling from a power-of-two floor), so the derived count is
+    * deterministic in the row count alone — same corpus, same layout,
+    * any session. The cap bounds write-side file count (stage emits
+    * exactly one file per bucket).
+    */
+  def bucketCountFor(rows: Long, targetRows: Long = DefaultBucketRows,
+      minBuckets: Int = 8, maxBuckets: Int = 4096): Int = {
+    require(targetRows >= 1, s"targetRows must be positive, got $targetRows")
+    require(minBuckets >= 1 && (minBuckets & (minBuckets - 1)) == 0,
+      s"minBuckets must be a positive power of two, got $minBuckets")
+    require(maxBuckets >= minBuckets,
+      s"maxBuckets $maxBuckets < minBuckets $minBuckets")
+    var b = minBuckets
+    while (b < maxBuckets && rows > targetRows * b.toLong) b *= 2
+    b
+  }
+
   /** Stage `df` as managed table `name`, hash-bucketed AND per-bucket
     * sorted by `key` — exactly ONE file per bucket. Without the
     * key-repartition first, EVERY write task emits a file for every

@@ -565,7 +565,11 @@ object Similarity {
           (0 until PqM).map(m =>
             (array_position(col(s"d$m"), col(s"mn$m")) - 1)
               .cast("long").as(s"code$m")): _*)
-      graft.Bucketing.stage(coded, idxT, "cell", 8)
+      // corpus-adaptive layout (the ensureLexIndex discipline), derived
+      // from the embeddings row count — a metadata-only parquet count
+      // that upper-bounds the coded rows without recomputing the codes
+      graft.Bucketing.stage(coded, idxT, "cell", graft.Bucketing
+        .bucketCountFor(Tables(s, dir, "embeddings").count()))
     }
     idxT
   }
@@ -973,7 +977,10 @@ object Similarity {
           .select(col("vec_id"), col("embedding"), col("nrm"),
             (array_position(col("ccos"), array_max(col("ccos"))) - 1)
               .cast("long").as("cell"))
-        graft.Bucketing.stage(cells, idxT, "cell", 8)
+        // corpus-adaptive layout from the embeddings count (the
+        // ensureIvfPqIndex discipline)
+        graft.Bucketing.stage(cells, idxT, "cell", graft.Bucketing
+          .bucketCountFor(Tables(s, dir, "embeddings").count()))
       }
       val idx = s.table(idxT)
       val qRow = idx.filter(col("vec_id") === 0)

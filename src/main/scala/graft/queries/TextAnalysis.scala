@@ -569,11 +569,18 @@ object TextAnalysis {
         .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         .persist() // staging scaffolding only — released before return
-      graft.Bucketing.stage(tf, postT, "term", 8)
+      // corpus-adaptive layout (the bandWidthFor discipline): the count
+      // materializes the persisted tf once — the stages below reread
+      // cache. dl/df are ≤ tf rows and share the postings' serve (one
+      // term-pruned read per query), so one derived count sizes all
+      // three — a term-pruned read at 100 TB is then 1-of-b of a
+      // bounded bucket, never 1-of-8 of a petabyte
+      val nb = graft.Bucketing.bucketCountFor(tf.count())
+      graft.Bucketing.stage(tf, postT, "term", nb)
       graft.Bucketing.stage(
-        tf.groupBy("doc_id").agg(sum("tf").as("dl")), dlT, "doc_id", 8)
+        tf.groupBy("doc_id").agg(sum("tf").as("dl")), dlT, "doc_id", nb)
       graft.Bucketing.stage(
-        tf.groupBy("term").agg(count(lit(1)).as("df")), dfT, "term", 8)
+        tf.groupBy("term").agg(count(lit(1)).as("df")), dfT, "term", nb)
       tf.unpersist()
     }
     val (n, l) = lexStats.computeIfAbsent(
@@ -673,12 +680,18 @@ object TextAnalysis {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val posT = s"graft_lex_pos_$tag"
     if (!s.catalog.tableExists(posT)) {
-      graft.Bucketing.stage(
-        Tables.wide(s, dir, "documents")
-          .select(col("doc_id"),
-            posexplode(tokens(col("text"))).as(Seq("pos", "term")))
-          .select("doc_id", "term", "pos"),
-        posT, "term", 8)
+      val pos = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+        .select("doc_id", "term", "pos")
+        .persist() // staging scaffolding only — released before return
+      // corpus-adaptive layout from the relation's own count (the
+      // ensureLexIndex discipline): the positional table is the largest
+      // of the lexical family (one row per token OCCURRENCE), so a
+      // pinned count is where a fixed layout hurts first
+      graft.Bucketing.stage(pos, posT,
+        "term", graft.Bucketing.bucketCountFor(pos.count()))
+      pos.unpersist()
     }
     posT
   }

@@ -56,6 +56,48 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketCountFor: derived count grows across a 10x corpus, floors at 8, caps, and stays a power of two") {
+    // the corpus-adaptive layout contract: a 10× corpus gets a larger
+    // (power-of-two) layout, small corpora keep the historical floor of
+    // 8 (every existing plan pin), and the cap bounds write-side file
+    // count. Deterministic in the row count alone.
+    assert(Bucketing.bucketCountFor(1000, targetRows = 100) == 16)
+    assert(Bucketing.bucketCountFor(10000, targetRows = 100) == 128,
+      "a 10x corpus must derive a different bucket count")
+    assert(Bucketing.bucketCountFor(0) == 8 &&
+      Bucketing.bucketCountFor(Bucketing.DefaultBucketRows * 8) == 8,
+      "at-or-under target*min stays at the floor (bench-scale layouts unchanged)")
+    assert(Bucketing.bucketCountFor(Long.MaxValue, targetRows = 1) == 4096,
+      "the cap must bound the layout at any corpus")
+    for (n <- Seq(1L, 999L, 123456L, 98765432L)) {
+      val b = Bucketing.bucketCountFor(n, targetRows = 100)
+      assert((b & (b - 1)) == 0, s"$b not a power of two for $n rows")
+    }
+  }
+
+  test("a derived (non-default) bucket count still prunes to one bucket at the scan") {
+    import spark.implicits._
+    // 3000 rows at a 100-row target derive 32 buckets — the layout a
+    // 10x-grown corpus would get; the equality prune must still read
+    // exactly ONE of them (the mechanism the staged-index serves lean on
+    // at every derived count, not just the floor)
+    val rows = (1L to 3000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val nb = Bucketing.bucketCountFor(3000, targetRows = 100)
+    assert(nb == 32, s"derivation changed: $nb")
+    Bucketing.stage(rows, "bkt_adaptive", "k", nb)
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val one = spark.table("bkt_adaptive").filter($"k" === 42L)
+      one.count()
+      val p = one.queryExecution.executedPlan.toString
+      assert(p.contains(s"SelectedBucketsCount: 1 out of $nb"),
+        s"scan must prune to one of $nb buckets:\n${p.take(2000)}")
+    } finally {
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+      spark.sql("DROP TABLE IF EXISTS bkt_adaptive")
+    }
+  }
+
   test("equality filter on the bucket key prunes to one bucket at the scan") {
     import spark.implicits._
     val orders = Tables(spark, "/root/testdata/sf0.001", "orders")
