@@ -59,10 +59,10 @@ object TextAnalysis {
     * (and the int64 headroom proof below holds: ≤ cap terms × the
     * per-term score bound).
     */
-  private[queries] val Bm25QTermCap = 16
+  private[graft] val Bm25QTermCap = 16
 
   /** q148/q149: documents returned per query by the lexical serve. */
-  private[queries] val Bm25TopK = 10
+  private[graft] val Bm25TopK = 10
 
   /** q158's quoted-phrase length (q154 is the k = 2 member). */
   private[queries] val PhraseK = 3

@@ -1,0 +1,203 @@
+package graft.streaming
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental maintenance of the LEXICAL inverted index — the
+  * [[DocStream]] band-index protocol applied to the BM25 serve substrate
+  * ([[graft.queries.TextAnalysis]]'s staged postings/doclen/df), so
+  * arriving documents become SERVABLE, not merely scorable against
+  * frozen standing queries ([[DocStream.bm25Scored]]'s posture). A
+  * retrospective-search deployment over a growing corpus runs exactly
+  * this pair: micro-batches fold arrivals into a partitioned accumulated
+  * index; ad-hoc queries serve from it with the batch serve's
+  * byte-identical integer arithmetic (LexStreamSpec pins serve ≡ a batch
+  * `ensureLexIndex` rebuild over the union corpus).
+  *
+  * Index layout — ONE relation, epoch- and term-bucket-partitioned
+  * (`<lexPath>/batch_id=N/tb=B/`), two row kinds:
+  *
+  *   - postings rows `(doc_id, term, tf)` under `tb = hash(term) mod
+  *     [[LexTermBuckets]]` — a query's candidate fetch partition-prunes
+  *     to its terms' buckets exactly like the batch serve bucket-prunes
+  *     its staged table, and df is DERIVED from the pruned postings
+  *     (df(term) = count of postings rows), so no second relation needs
+  *     incremental maintenance;
+  *   - one doc-stat row per arriving document `(doc_id, term = NULL,
+  *     tf = dl)` under the reserved `tb = -1` partition — the
+  *     corpus scalars (N = stat rows, L = Σ dl) and the per-candidate
+  *     dl join read ONLY this partition; null-text documents carry
+  *     dl = 0 and still count into N, the batch index's convention
+  *     (they shape idf, never candidacy).
+  *
+  * Exactly-once is [[BatchProtocol]] verbatim: the epoch write is
+  * `overwrite` into the batch's own directory (redelivery replaces a
+  * partial attempt instead of appending duplicates), the commit marker
+  * lands LAST, and a fully-committed batch no-ops on redelivery. Unlike
+  * the dedup stream there is no pre-batch index read — the fold is
+  * append-only — so the single write + marker is the whole crash
+  * surface. Epoch-count growth is bounded by [[compactLexIndex]]
+  * (BatchProtocol's consolidated negative epoch, partitioned by `tb`),
+  * run quiesced or on the `compactEvery` cadence inside the stream.
+  * Each document is expected ONCE across the stream's lifetime (the
+  * dedup stream's source contract); a source that re-sends a document
+  * under two different batch ids would double-count its df/tf exactly
+  * as it would double-insert a band row there.
+  */
+object LexStream {
+
+  /** Term-bucket fan-out of the accumulated postings. Fixed per index
+    * lifetime (the partition values are the index's layout — changing it
+    * is a [[DocStream.rebandIndex]]-class migration, not a knob): a
+    * serve prunes to ≤ query-term buckets of arbitrarily many epochs, so
+    * the value trades per-epoch file count against prune selectivity.
+    */
+  val LexTermBuckets = 64
+
+  /** Reserved `tb` partition holding the per-document stat rows. */
+  private val StatBucket = -1
+
+  private def termBucket(term: org.apache.spark.sql.Column) =
+    pmod(hash(term), lit(LexTermBuckets)).cast("int")
+
+  /** The `foreachBatch` body, exactly-once per `batchId` — fold one
+    * micro-batch of `(doc_id, …, text)` arrivals into the accumulated
+    * index at `lexPath`.
+    */
+  def processLexBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, lexPath: String): Unit = {
+    if (BatchProtocol.committed(spark, lexPath, batchId))
+      return // replayed, fully committed
+    // one pinned checkpoint: the tf aggregate and the stat projection
+    // both read the ephemeral micro-batch source (the processBatch
+    // discipline — and the same leak-proof release contract)
+    val (stable, stableIds) = graft.CheckpointBlocks.pinnedCheckpoint(batch)
+    try {
+      val tf = stable
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("tb", termBucket(col("term")))
+      // dl = size(tokens) ≡ Σ tf (same tokenizer); null text → 0, so
+      // the document still counts into N — the batch index's convention
+      val stats = stable.select(col("doc_id"),
+        lit(null).cast("string").as("term"),
+        coalesce(size(tokens(col("text"))), lit(0)).cast("long").as("tf"),
+        lit(StatBucket).as("tb"))
+      tf.unionByName(stats)
+        .write.partitionBy("tb").mode("overwrite")
+        .parquet(s"$lexPath/batch_id=$batchId")
+      BatchProtocol.commit(spark, lexPath, batchId)
+    } finally graft.CheckpointBlocks.free(spark, stableIds)
+  }
+
+  /** Streaming incremental lexical indexing: every micro-batch of
+    * documents folds into `<lexPath>` under [[processLexBatch]]'s
+    * exactly-once protocol; `compactEvery > 0` self-compacts after every
+    * N-th commit (quiescence holds by construction inside foreachBatch —
+    * the [[DocStream.runNearDedup]] cadence contract).
+    */
+  def runLexIndex(docs: DataFrame, lexPath: String, checkpoint: String,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processLexBatch(batch.sparkSession, batch, batchId, lexPath)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compactLexIndex(batch.sparkSession, lexPath, batchId); ()
+        }
+      }
+      .start()
+
+  /** Merge committed epochs ≤ `upToBatch` into one consolidated
+    * `tb`-partitioned epoch (file count bounded by compaction cadence,
+    * not stream age) — [[BatchProtocol.compactIndex]] with this index's
+    * layout columns. Full ordering/crash contract there.
+    */
+  def compactLexIndex(spark: SparkSession, lexPath: String,
+      upToBatch: Long): Int =
+    BatchProtocol.compactIndex(spark, lexPath, upToBatch, Seq("tb"))
+
+  /** The accumulated index's doc-stat partition (one row per arrived
+    * document) — `tb = -1` hits only the partition column, so the scan
+    * reads no postings bucket.
+    */
+  private def statRows(spark: SparkSession, lexPath: String): DataFrame =
+    spark.read.parquet(lexPath)
+      .filter(col("tb") === StatBucket)
+      .select(col("doc_id"), col("tf").as("dl"))
+
+  /** BM25 top-[[graft.queries.TextAnalysis.Bm25TopK]] per query against
+    * the ACCUMULATED index — the batch serve's integer fixed point
+    * (milli-scale log-free idf × centi-scale quantized tfn, int64
+    * per-term products, order-independent sums) re-derived from the
+    * incremental layout, byte-identical to a batch `ensureLexIndex`
+    * rebuild over the union corpus (LexStreamSpec). `queries` is a
+    * bounded `(qid BIGINT, qtext STRING)` relation of EXTERNAL query
+    * strings — the ad-hoc form the batch q148 samples from the corpus.
+    *
+    * Plan shape mirrors the batch serve: the per-query term cap rides a
+    * qid-partitioned window; ONE bounded driver read of the capped
+    * terms (≤ |queries|·cap rows) buys BOTH the `tb` partition prune
+    * and the term literal-IN on the postings read, so candidate work ∝
+    * the query terms' postings across however many epochs hold them —
+    * never the corpus; df folds from exactly those pruned rows; the
+    * corpus scalars and dl come from the stat partition alone; the
+    * final cut is a qid-partitioned window (WindowGroupLimit).
+    */
+  def lexTopDocs(spark: SparkSession, lexPath: String,
+      queries: DataFrame): DataFrame = {
+    import graft.queries.TextAnalysis.{Bm25QTermCap, Bm25TopK}
+    val qt0 = queries
+      .select(col("qid"), explode(tokens(col("qtext"))).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+    val wq = Window.partitionBy("qid").orderBy(desc("qtf"), asc("term"))
+    val qt = qt0.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= Bm25QTermCap).select("qid", "term")
+    // the bounded driver read that buys the prune (the bm25Stage
+    // discipline): capped distinct query terms with their buckets
+    val termRows = qt.select(col("term"), termBucket(col("term")).as("tb"))
+      .distinct().collect()
+    val terms: Array[Any] = termRows.map(_.getString(0))
+    val tbs: Array[Any] =
+      termRows.map(r => Int.box(r.getInt(1)): Any).distinct
+    if (terms.isEmpty)
+      // no query has a term (null/empty query strings): a defined
+      // empty serve with the contract schema, not an empty-IN plan
+      queries.select(col("qid"), lit(0L).as("rnk"),
+        lit(0L).as("doc_id"), lit(0L).as("score_u")).limit(0)
+    else {
+      val stats = statRows(spark, lexPath)
+      // N counts every arrived document (null text included — the batch
+      // convention); L is null-safe for an all-null-text corpus
+      val (n, l) = {
+        val r = stats.agg(count(lit(1)), sum("dl")).head
+        (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      }
+      val a = math.max(1L, l / math.max(1L, n))
+      val post = spark.read.parquet(lexPath)
+        .filter(col("tb").isin(tbs: _*))       // partition prune
+        .filter(col("term").isin(terms: _*))   // row cut inside buckets
+        .select("doc_id", "term", "tf")
+      // df derives from the pruned postings — the accumulated layout
+      // maintains ONE relation, not three
+      val dfq = post.groupBy("term").agg(count(lit(1)).as("df"))
+      val qtIdf = qt.join(broadcast(dfq), Seq("term"))
+        .withColumn("idf_m",
+          expr(s"(${2 * n} - 2*df + 1) * 1000 div (2*df + 1)"))
+        .select("qid", "term", "idf_m")
+      val w = Window.partitionBy("qid").orderBy(desc("score_u"), asc("doc_id"))
+      post.join(broadcast(qtIdf), Seq("term"))
+        .join(stats, Seq("doc_id"))
+        .withColumn("tscore",
+          expr(s"idf_m * ((${2200 * a} * tf) div" +
+            s" (${10 * a} * tf + ${3 * a} + 9 * dl))"))
+        .groupBy("qid", "doc_id").agg(sum("tscore").as("score_u"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= Bm25TopK)
+        .select("qid", "rnk", "doc_id", "score_u")
+    }
+  }
+}

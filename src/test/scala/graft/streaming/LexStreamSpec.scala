@@ -1,0 +1,183 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The incremental lexical index's contract ([[LexStream]]): after any
+  * number of micro-batches, the accumulated index SERVES byte-identically
+  * to a batch `ensureLexIndex` rebuild over the union corpus (pinned
+  * through q148 — the one audited batch serve), the exactly-once marker
+  * protocol survives redelivery and mid-batch crashes, compaction never
+  * changes a serve, and the serve reads only the query terms' buckets
+  * plus the stat partition.
+  */
+class LexStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // three micro-batches; union ids 0..11 ⇒ q148's corpus-adaptive query
+  // modulus is max(5, ceil(12/8)) = 5 ⇒ query docs {0, 5, 10} — one per
+  // batch, including the null-text doc (a term-less query must serve
+  // nothing on BOTH paths). Terms recur across batches so df only
+  // matches if it accumulates across epochs.
+  private val b0 = Seq(
+    0L -> "zebra quark the the the",
+    1L -> "zebra quark the here now",
+    2L -> "the the the the",
+    3L -> "alpha beta the")
+  private val b1 = Seq(
+    4L -> "zebra the filler filler",
+    5L -> (null: String),
+    6L -> "",
+    7L -> "quark beta gamma")
+  private val b2 = Seq(
+    8L -> "alpha zebra quark",
+    9L -> "delta epsilon",
+    10L -> "quark beta the zebra",
+    11L -> "the end")
+  private val union = b0 ++ b1 ++ b2
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  /** Fold the three fixture batches into a fresh index; returns its path. */
+  private def foldFixture(): String = {
+    val lex = Files.createTempDirectory("graft-lexidx").toString
+    LexStream.processLexBatch(spark, df(b0), 0L, lex)
+    LexStream.processLexBatch(spark, df(b1), 1L, lex)
+    LexStream.processLexBatch(spark, df(b2), 2L, lex)
+    lex
+  }
+
+  /** The union corpus's batch-serve rows via q148 (the audited batch
+    * path) over a parquet rebuild of the same documents.
+    */
+  private def batchServe(): Set[(Long, Long, Long, Long)] = {
+    val dir = Files.createTempDirectory("graft-lexidx-union").toString
+    df(union).write.parquet(s"$dir/documents.parquet")
+    val out = graft.SparkEntry.queries("q148_bm25_topk")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).toSet
+    spark.catalog.clearCache()
+    out
+  }
+
+  /** The fixture's external query table: the sampled docs' texts. */
+  private def fixtureQueries() = {
+    import spark.implicits._
+    union.filter(t => t._1 % 5 == 0).map { case (id, tx) => (id, tx) }
+      .toDF("qid", "qtext")
+  }
+
+  private def streamServe(lex: String): Set[(Long, Long, Long, Long)] =
+    LexStream.lexTopDocs(spark, lex, fixtureQueries())
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).toSet
+
+  test("the accumulated index serves byte-identically to a batch rebuild over the union corpus") {
+    val lex = foldFixture()
+    val batch = batchServe()
+    val stream = streamServe(lex)
+    assert(batch.nonEmpty, "fixture must rank something")
+    assert(stream == batch,
+      s"stream-only ${stream -- batch}; batch-only ${batch -- stream}")
+    // the null-text query is term-less and absent on BOTH paths
+    assert(!stream.exists(_._1 == 5L) && !batch.exists(_._1 == 5L))
+  }
+
+  test("a redelivered committed batch no-ops; a crash before the marker recomputes an identical epoch") {
+    val lex = foldFixture()
+    val expected = streamServe(lex)
+    val rowsBefore = spark.read.parquet(lex).count()
+    // redelivery of a fully-committed batch: marker short-circuits
+    LexStream.processLexBatch(spark, df(b1), 1L, lex)
+    assert(spark.read.parquet(lex).count() == rowsBefore)
+    // crash AFTER the epoch write, BEFORE the marker: redelivery must
+    // overwrite the orphan epoch with identical rows and re-commit
+    Files.delete(java.nio.file.Paths.get(s"$lex/_commits/2"))
+    LexStream.processLexBatch(spark, df(b2), 2L, lex)
+    assert(BatchProtocol.committed(spark, lex, 2L))
+    assert(spark.read.parquet(lex).count() == rowsBefore)
+    assert(streamServe(lex) == expected, "recompute must serve identically")
+  }
+
+  test("compaction merges the epochs and the serve is unchanged") {
+    val lex = foldFixture()
+    val expected = streamServe(lex)
+    val merged = LexStream.compactLexIndex(spark, lex, 2L)
+    assert(merged == 3, s"expected 3 epochs merged, got $merged")
+    val epochs = BatchProtocol.epochIds(spark, lex)
+    assert(epochs == Seq(-4L), s"one consolidated epoch expected: $epochs")
+    assert(streamServe(lex) == expected)
+    // replayed committed batches still no-op through the watermark
+    val rows = spark.read.parquet(lex).count()
+    LexStream.processLexBatch(spark, df(b0), 0L, lex)
+    assert(spark.read.parquet(lex).count() == rows)
+  }
+
+  test("the serve reads only the query terms' buckets and the stat partition") {
+    import spark.implicits._
+    val lex = foldFixture()
+    // "delta" occurs once (doc 9): the postings scans may touch only its
+    // term bucket's files; the dl scan only the tb=-1 stat partition
+    val served = LexStream.lexTopDocs(spark, lex,
+      Seq((100L, "delta")).toDF("qid", "qtext"))
+    val rows = served.collect()
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(9L))
+    val bkt = spark.range(1)
+      .select(pmod(hash(lit("delta")), lit(LexStream.LexTermBuckets))
+        .cast("int")).head.getInt(0)
+    def files(sub: String): Int = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(lex))
+      try st.toArray.toSeq.map(_.toString)
+        .count(p => p.endsWith(".parquet") && p.contains(sub))
+      finally st.close()
+    }
+    val allowedPost = files(s"/tb=$bkt/")
+    val allowedStat = files("/tb=-1/")
+    val total = files("/tb=")
+    assert(allowedPost > 0 && allowedPost + allowedStat < total,
+      s"fixture degenerate: post=$allowedPost stat=$allowedStat total=$total")
+    // unlike DocNearDupSpec's single-scan read, the serve plan is
+    // adaptive: AQE wraps subtrees in leaf-like stage nodes that
+    // TreeNode.collect does not descend into — recurse explicitly
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def collectScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)
+      case q: QueryStageExec => collectScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(collectScans)
+    }
+    val scans = collectScans(served.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    scans.foreach { s =>
+      val n = s.metrics("numFiles").value
+      assert(n == allowedPost || n == allowedStat,
+        s"scan read $n files; only $allowedPost (term bucket) or " +
+          s"$allowedStat (stat partition) of $total are allowed")
+    }
+  }
+
+  test("degenerate inputs: term-less queries and an all-null-text corpus serve a defined empty") {
+    import spark.implicits._
+    val lex = foldFixture()
+    // null/empty-only query set: no terms -> the contract-schema empty
+    val e1 = LexStream.lexTopDocs(spark, lex,
+      Seq((1L, null: String)).toDF("qid", "qtext"))
+    assert(e1.collect().isEmpty &&
+      e1.columns.toSeq == Seq("qid", "rnk", "doc_id", "score_u"))
+    // all-null-text corpus: stat rows exist (N=2, L=0), no postings —
+    // a real query finds no candidates, and the L=0 fold must not crash
+    val lex2 = Files.createTempDirectory("graft-lexidx-null").toString
+    LexStream.processLexBatch(spark,
+      Seq((1L, null: String), (2L, null: String)).toDF("doc_id", "text"),
+      0L, lex2)
+    val e2 = LexStream.lexTopDocs(spark, lex2,
+      Seq((1L, "anything")).toDF("qid", "qtext"))
+    assert(e2.collect().isEmpty)
+  }
+}
