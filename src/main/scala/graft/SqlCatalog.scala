@@ -58,7 +58,48 @@ object SqlCatalog {
 
   val ViewNames: Seq[String] = Seq("graft_ivfpq_index", "graft_centroids",
     "graft_band_index", "graft_pack_manifest", "graft_lex_postings",
-    "graft_lex_doclen", "graft_lex_df")
+    "graft_lex_doclen", "graft_lex_df", "graft_lex_stats")
+
+  /** A complete BM25 top-k statement over the lexical catalog views —
+    * the serve path as ONE composable SQL text (the r13 gap: the views
+    * published the index but no statement ranked through it). `qview`
+    * names any relation with (qid BIGINT, qtext STRING) — a temp view
+    * of ad-hoc query strings, a query log table, anything in the
+    * catalog. The arithmetic is q148's integer fixed point verbatim
+    * (milli-scale log-free idf, centi-scale quantized tfn from
+    * `graft_lex_stats`' pre-quantized `a`, int64 per-term products), so
+    * the statement hash-matches the Scala serve on the same queries
+    * (SqlCatalogSpec pins it against q148's own sample). The per-query
+    * term cap and top-k cut are the serve's constants, inlined so the
+    * text stands alone.
+    *
+    * Plan note: a dynamic query table joins postings on term — correct
+    * at any scale but unpruned; a latency-sensitive point serve should
+    * inline its term list as `WHERE term IN (…)` on
+    * `graft_lex_postings` (the literal form the Scala path drives),
+    * which bucket-prunes through the view (spec-pinned mechanism).
+    */
+  def bm25Sql(qview: String): String =
+    s"""WITH qt0 AS (SELECT qid, term, COUNT(*) AS qtf
+       |  FROM (SELECT qid, explode(split(lower(trim(qtext)), '\\\\s+')) AS term
+       |        FROM $qview)
+       |  GROUP BY qid, term),
+       |qt AS (SELECT qid, term FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY qtf DESC, term) AS rn FROM qt0)
+       |  WHERE rn <= ${queries.TextAnalysis.Bm25QTermCap}),
+       |sc AS (SELECT qt.qid, p.doc_id,
+       |  SUM(((2*s.n - 2*f.df + 1) * 1000 div (2*f.df + 1))
+       |    * ((2200 * s.a * p.tf) div (10 * s.a * p.tf + 3 * s.a + 9 * d.dl)))
+       |    AS score_u
+       |  FROM graft_lex_postings p JOIN qt USING (term)
+       |    JOIN graft_lex_df f USING (term)
+       |    JOIN graft_lex_doclen d USING (doc_id), graft_lex_stats s
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_u FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc)
+       |WHERE rnk <= ${queries.TextAnalysis.Bm25TopK}""".stripMargin
 
   /** Publish the catalog views for `dir`; returns the view names. */
   def register(spark: SparkSession, dir: String): Seq[String] = {
@@ -79,11 +120,18 @@ object SqlCatalog {
     // the staged lexical inverted index (q148's serve substrate):
     // postings bucketed by term — a `WHERE term IN (…)` candidate fetch
     // bucket-prunes through the view like the serve path's does
-    val (postT, dlT, dfT, _, _) =
+    val (postT, dlT, dfT, n, l) =
       queries.TextAnalysis.ensureLexIndex(spark, dir)
     spark.table(postT).createOrReplaceTempView("graft_lex_postings")
     spark.table(dlT).createOrReplaceTempView("graft_lex_doclen")
     spark.table(dfT).createOrReplaceTempView("graft_lex_df")
+    // the corpus scalars a BM25 statement needs beside the index: N
+    // documents (null text included — they shape idf), L tokens, and
+    // the serve's pre-quantized average document length a = max(1,
+    // L div max(1, N)) — one broadcastable row, so [[bm25Sql]] needs
+    // no documents scan
+    Seq((n, l, math.max(1L, l / math.max(1L, n))))
+      .toDF("n", "l", "a").createOrReplaceTempView("graft_lex_stats")
     ViewNames
   }
 }

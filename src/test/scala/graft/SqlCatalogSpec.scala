@@ -106,6 +106,27 @@ class SqlCatalogSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pure-SQL BM25 top-k over the lexical views hash-matches the Scala serve") {
+    names
+    // the same query sample q148 uses (document-modulus), as an
+    // EXTERNAL (qid, qtext) relation — the form a query log arrives in
+    val nd = Tables(spark, dir, "documents").count()
+    val qmod = math.max(5L, (nd + 7) / 8)
+    Tables(spark, dir, "documents")
+      .filter(col("doc_id") % qmod === 0)
+      .select(col("doc_id").as("qid"), col("text").as("qtext"))
+      .createOrReplaceTempView("q_ext")
+    val sql = spark.sql(SqlCatalog.bm25Sql("q_ext"))
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).toSet
+    val scala = SparkEntry.queries("q148_bm25_topk")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).toSet
+    assert(sql.nonEmpty && sql == scala,
+      s"sql-only ${sql -- scala}; scala-only ${scala -- sql}")
+    spark.catalog.clearCache()
+  }
+
   test("manifest view exposes q119's loader artifact") {
     names
     val rows = spark.sql(
