@@ -219,4 +219,92 @@ class CompositeScaleSpec extends AnyFunSuite {
       assert(r.getAs[Long]("max_span") <= 2L, r.toString)
     }
   }
+
+  /** AQE wraps subtrees in leaf-like stage nodes TreeNode.collect does
+    * not descend into — recurse explicitly and return every node.
+    */
+  private def collectNodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      a +: collectNodes(a.executedPlan)
+    case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      q +: collectNodes(q.plan)
+    case other => other +: other.children.flatMap(collectNodes)
+  }
+
+  /** The term-IN candidate cuts over a staged-index scan: FilterExec
+    * nodes directly above a scan whose schema carries `marker`. The
+    * scan's own numOutputRows is pre-filter (parquet only skips whole
+    * row groups/buckets — a murmur-spread term set skips few at 8
+    * buckets); the FILTER's output IS the candidate set every join and
+    * aggregate above it pays for.
+    */
+  private def candidateCuts(p: org.apache.spark.sql.execution.SparkPlan,
+      marker: String): Seq[org.apache.spark.sql.execution.FilterExec] =
+    collectNodes(p).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if collectNodes(f.child).forall(n =>
+          !n.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]) &&
+          collectNodes(f.child).exists {
+            case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+              s.schema.fieldNames.contains(marker)
+            case _ => false
+          } => f
+    }
+
+  test("q148 at 50k docs: serve cost tracks the query terms' postings, never the corpus; cuts hold") {
+    // the staged-index discipline AT SCALE: the ~8 sampled queries cap
+    // at ≤ 16 terms each, so the candidate fetch may output only those
+    // ≤ 128 terms' postings — a small fraction of the ~2.4M-row postings
+    // table (candidate-count pin, not just a plan-shape pin); the
+    // per-query top-k cut holds; and every query document (guaranteed
+    // to match all its own capped terms at exact tf) ranks itself first
+    val served = SparkEntry.queries("q148_bm25_topk")(spark, dir)
+    val rows = served.collect()
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val totalPost = spark.table(s"graft_lex_postings_$tag").count()
+    val cuts = candidateCuts(served.queryExecution.executedPlan, "tf")
+    assert(cuts.nonEmpty, "no postings candidate cut found in the serve plan")
+    cuts.foreach { f =>
+      val n = f.metrics("numOutputRows").value
+      assert(n > 0 && n < totalPost / 5,
+        s"candidate cut emitted $n of $totalPost postings rows — " +
+          "work above it must track the query terms, not the corpus")
+    }
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 8, s"doc-modulus sample drifted: ${byQ.keys.toSeq.sorted}")
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length <= 10, s"top-k cut failed for $qid: ${rs.length}")
+      assert(rs.minBy(_.getAs[Long]("rnk")).getAs[Long]("doc_id") == qid,
+        s"query $qid must retrieve itself first at this vocabulary")
+    }
+    Caches.release(spark)
+  }
+
+  test("q154 at 50k docs: the phrase serve reads only the phrase terms' positions; self always present") {
+    val served = SparkEntry.queries("q154_phrase_topk")(spark, dir)
+    val rows = served.collect()
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val totalPos = spark.table(s"graft_lex_pos_$tag").count()
+    val cuts = candidateCuts(served.queryExecution.executedPlan, "pos")
+    assert(cuts.nonEmpty, "no positional candidate cut found in the serve plan")
+    cuts.foreach { f =>
+      val n = f.metrics("numOutputRows").value
+      assert(n > 0 && n < totalPos / 5,
+        s"candidate cut emitted $n of $totalPos position rows — " +
+          "adjacency work must track the phrase terms, not the corpus")
+    }
+    // every query doc contains its own leading bigram; random bigram
+    // collisions (~0.6 expected docs per phrase at this vocabulary)
+    // cannot push it out of the top 10 — presence, not rank-1, is the
+    // scale-stable assertion
+    val byQ = rows.groupBy(_.getAs[Long]("qid"))
+    assert(byQ.size == 8, s"doc-modulus sample drifted: ${byQ.keys.toSeq.sorted}")
+    byQ.foreach { case (qid, rs) =>
+      assert(rs.length <= 10, s"top-k cut failed for $qid: ${rs.length}")
+      assert(rs.exists(_.getAs[Long]("doc_id") == qid),
+        s"query $qid's own phrase occurrence must surface")
+    }
+    Caches.release(spark)
+  }
 }

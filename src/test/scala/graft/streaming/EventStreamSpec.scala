@@ -131,6 +131,44 @@ class EventStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transitions: same-millisecond events order by their microsecond field, stream equals batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two events in ONE micro-batch share the millisecond; only the
+    // microsecond field separates them, and event_id order is the
+    // REVERSE of time order — a millisecond-only in-batch sort (the
+    // pre-9549b02 defect) falls back to event_id and emits b->a. The
+    // batch q145 window orders by the full microsecond timestamp, so
+    // only the (ms, nanos) sort keeps the duals equal.
+    val t1 = new Timestamp(60000L); t1.setNanos(1000) // +1 µs
+    val t2 = new Timestamp(60000L); t2.setNanos(2000) // +2 µs
+    val rows = Seq(
+      Event(1, t2, 1, "b", 0.0), // lower id, LATER microsecond
+      Event(2, t1, 1, "a", 0.0),
+      Event(3, ts(2), 1, "c", 0.0))
+    val mem = MemoryStream[Event]
+    val q = EventStream.transitions(mem.toDS())
+      .writeStream.format("memory").queryName("trans_us")
+      .outputMode("append").start()
+    try {
+      mem.addData(rows: _*) // one batch: the in-batch sort is on trial
+      q.processAllAvailable()
+      val got = spark.table("trans_us")
+        .groupBy("event_type", "next_type").agg(count(lit(1)).as("n"))
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val d = java.nio.file.Files.createTempDirectory("graft-trans-us").toString
+      rows.toDF().write.parquet(s"$d/events.parquet")
+      val want = graft.SparkEntry.queries("q145_event_transitions")(spark, d)
+        .as[(String, String, Long)].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      graft.Caches.release(spark)
+      assert(want == Map(("a", "b") -> 1L, ("b", "c") -> 1L),
+        s"batch must order by microseconds: $want")
+      assert(got == want, s"stream $got must equal batch q145 $want")
+    } finally q.stop()
+  }
+
   test("decayedTouches fold to the batch q132 channel report on the same rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
