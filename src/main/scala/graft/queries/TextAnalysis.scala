@@ -749,6 +749,35 @@ object TextAnalysis {
     * qid-partitioned window (WindowGroupLimit). No corpus-wide sort, no
     * documents scan in the serve stage.
     */
+  /** The adjacency fold + per-query cut over an already-pruned
+    * positional relation `post(doc_id, term, pos)` and a broadcastable
+    * phrase table `qp(qid, t1..tk)` — ONE implementation shared by the
+    * staged-index serve ([[phraseTopDocs]]) and the accumulated
+    * streaming index's serve ([[graft.streaming.LexStream]]): token i of
+    * the phrase must sit at pos + (i−1); each fold step consumes one t_i
+    * column and keeps the anchor (qid, doc_id, pos).
+    */
+  private[graft] def phraseAdjacencyTopDocs(post: DataFrame, qp: DataFrame,
+      k: Int): DataFrame = {
+    val lead = post.join(broadcast(qp), col("term") === col("t1"))
+      .select(col("qid") +: col("doc_id") +: col("pos") +:
+        (2 to k).map(i => col(s"t$i")): _*)
+    val matched = (2 to k).foldLeft(lead) { (acc, i) =>
+      val next = post.select(col("doc_id").as("doc_n"),
+        col("term").as("term_n"), col("pos").as("pos_n"))
+      acc.join(next, col("doc_n") === col("doc_id") &&
+          col("term_n") === col(s"t$i") &&
+          col("pos_n") === col("pos") + (i - 1))
+        .drop("doc_n", "term_n", "pos_n", s"t$i")
+    }
+    val w = Window.partitionBy("qid").orderBy(desc("phrase_tf"), asc("doc_id"))
+    matched
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("phrase_tf"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= Bm25TopK)
+      .select("qid", "rnk", "doc_id", "phrase_tf")
+  }
+
   private[queries] def phraseTopDocs(s: SparkSession, dir: String,
       qids: DataFrame, k: Int = 2): DataFrame = {
     require(k >= 2, s"a phrase needs at least two tokens, got $k")
@@ -756,29 +785,22 @@ object TextAnalysis {
     val qp = phraseQueries(s, dir, qids, k)
     val terms = phraseTerms(qp, k)
     if (terms.isEmpty) emptyPhraseServe(qids, "phrase_tf")
-    else {
-      val post = s.table(posT).filter(col("term").isin(terms: _*))
-      val lead = post.join(broadcast(qp), col("term") === col("t1"))
-        .select(col("qid") +: col("doc_id") +: col("pos") +:
-          (2 to k).map(i => col(s"t$i")): _*)
-      // token i of the phrase must sit at pos + (i−1): each fold step
-      // consumes one t_i column and keeps the anchor (qid, doc_id, pos)
-      val matched = (2 to k).foldLeft(lead) { (acc, i) =>
-        val next = post.select(col("doc_id").as("doc_n"),
-          col("term").as("term_n"), col("pos").as("pos_n"))
-        acc.join(next, col("doc_n") === col("doc_id") &&
-            col("term_n") === col(s"t$i") &&
-            col("pos_n") === col("pos") + (i - 1))
-          .drop("doc_n", "term_n", "pos_n", s"t$i")
-      }
-      val w = Window.partitionBy("qid").orderBy(desc("phrase_tf"), asc("doc_id"))
-      matched
-        .groupBy("qid", "doc_id").agg(count(lit(1)).as("phrase_tf"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= Bm25TopK)
-        .select("qid", "rnk", "doc_id", "phrase_tf")
-    }
+    else phraseAdjacencyTopDocs(
+      s.table(posT).filter(col("term").isin(terms: _*)), qp, k)
   }
+
+  /** The frozen standing-phrase set the streaming phrase scorer
+    * ([[graft.streaming.DocStream.phraseScored]]) applies to arrivals —
+    * each sampled query's first `k` tokens, extracted through the SAME
+    * [[phraseQueries]] the batch serve stages (sub-k queries fall out of
+    * the same cut), ≤ |sample| rows collected. The
+    * [[bm25FrozenStats]] posture for the positional family.
+    */
+  private[graft] def phraseFrozen(s: SparkSession, dir: String,
+      qids: DataFrame, k: Int = 2): Seq[(Long, Seq[String])] =
+    phraseQueries(s, dir, qids, k).collect()
+      .map(r => r.getLong(0) -> (1 to k).map(i => r.getString(i)).toSeq)
+      .sortBy(_._1).toSeq
 
   /** q159's proximity window: "t2 within this many tokens AFTER t1" —
     * the standard ordered-slop operator (w = 1 degenerates to the exact
@@ -1411,6 +1433,33 @@ object TextAnalysis {
     // phrase (all semantics and plan detail in [[proximityTopDocs]]).
     "q159_proximity_topk" -> ((s, dir) =>
       proximityTopDocs(s, dir, docModQids(s, dir))),
+
+    // lexical index health card — the q116/q117/q153 discipline applied
+    // to the STAGED inverted index (the relation every lexical serve
+    // rides): one row of integer-exact envelopes an index owner
+    // watches. n_terms/n_postings bound serve fan-out; max_df and
+    // n_heavy_terms (df > N div 2, idf ≈ 0 — candidate mass with no
+    // ranking power, the "stopword budget") flag when a term cap or
+    // stop-list is due; avgdl_q is the serve's own quantized scalar, so
+    // the card audits exactly what q148 scores with. Plan: the memoized
+    // corpus scalars + ONE map-combined fold of the df table (bounded
+    // by the term VALUE SPACE, never corpus-tracking) — the oracle
+    // recomputes the same envelopes from raw text, so the card also
+    // cross-checks the staged index against its definition.
+    "q160_lex_index_card" -> ((s, dir) => {
+      val (_, _, dfT, n, l) = ensureLexIndex(s, dir)
+      val a = math.max(1L, l / math.max(1L, n))
+      Tables(s, dir, "documents").sparkSession.table(dfT)
+        .agg(
+          count(lit(1)).as("n_terms"),
+          coalesce(sum("df"), lit(0L)).as("n_postings"),
+          coalesce(max("df"), lit(0L)).as("max_df"),
+          coalesce(sum(when(col("df") > n / 2, 1L).otherwise(0L)), lit(0L))
+            .as("n_heavy_terms"))
+        .select(lit(n).as("n_docs"), lit(l).as("n_tokens"),
+          lit(a).as("avgdl_q"), col("n_terms"), col("n_postings"),
+          col("max_df"), col("n_heavy_terms"))
+    }),
 
     // bounded-space quantile SKETCH — the quantile member of the sketch
     // family (HLL q53, count-min q54, Bloom q55): per-language
@@ -2615,6 +2664,26 @@ object TextAnalysis {
     "q159_proximity_topk" -> sqlPositionalTopDocs(2, "prox_tf",
       s"JOIN tp p2 ON p2.doc_id = p1.doc_id AND p2.word = qp.t2" +
         s" AND p2.pos BETWEEN p1.pos + 1 AND p1.pos + $ProxWindow"),
+
+    // the card recomputed from raw text — auditing the staged index
+    // against its definition is the point
+    "q160_lex_index_card" ->
+      s"""WITH t AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+         |nl AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
+         |               (SELECT COUNT(*) FROM t) AS l),
+         |agg AS (SELECT COUNT(*) AS n_terms,
+         |  COALESCE(SUM(df), 0) AS n_postings,
+         |  COALESCE(MAX(df), 0) AS max_df FROM df),
+         |hv AS (SELECT COUNT(*) AS n_heavy FROM df, nl WHERE df > n // 2)
+         |SELECT CAST(n AS BIGINT) AS n_docs, CAST(l AS BIGINT) AS n_tokens,
+         |  CAST(GREATEST(1, l // GREATEST(n, 1)) AS BIGINT) AS avgdl_q,
+         |  CAST(n_terms AS BIGINT) AS n_terms,
+         |  CAST(n_postings AS BIGINT) AS n_postings,
+         |  CAST(max_df AS BIGINT) AS max_df,
+         |  CAST(n_heavy AS BIGINT) AS n_heavy_terms
+         |FROM nl, agg, hv""".stripMargin,
 
     "q47_length_quartiles" ->
       """WITH r AS (SELECT lang, n_chars,

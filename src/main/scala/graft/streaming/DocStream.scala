@@ -803,6 +803,51 @@ object DocStream {
         .select("doc_id", "qid", "score_u")
   }
 
+  /** Standing-PHRASE scoring — the q154/q158 dual, completing the
+    * prospective-search pair beside [[bm25Scored]]: score every arriving
+    * document against a FROZEN standing-phrase set (alerting on quoted
+    * queries — "tell me when this exact phrase appears"). `phrases` is
+    * the bounded (qid, tokens) table the batch side extracts
+    * ([[graft.queries.TextAnalysis.phraseFrozen]] — ≤ |sample| rows,
+    * any phrase length ≥ 2, mixed lengths fine). Emits (doc_id, qid,
+    * phrase_tf) for every phrase occurring ≥ once in the arrival — the
+    * batch candidate rule — counting overlapping occurrences exactly
+    * like the positional serve counts position tuples
+    * (RetrievalStreamSpec pins stream ≡ batch occurrence counts).
+    *
+    * Stateless per-row: each phrase is one anchor scan of the arrival's
+    * own token array (a filtered 0..n−k anchor sequence, all Column
+    * code) — no index, no shuffle, no watermark; per-row cost ∝
+    * |phrases| · |tokens|, the bounded standing-set contract. Null/short
+    * text folds to zero matches and emits nothing.
+    */
+  def phraseScored(docs: DataFrame,
+      phrases: Seq[(Long, Seq[String])]): DataFrame = {
+    require(phrases.forall(_._2.length >= 2),
+      "a standing phrase needs at least two tokens")
+    val tk = tokens(col("text"))
+    def occurrences(p: Seq[String]): Column =
+      when(size(tk) >= p.length,
+        size(filter(sequence(lit(0), size(tk) - lit(p.length)),
+          i => p.zipWithIndex.map { case (t, j) =>
+            element_at(tk, i + lit(j + 1)) === lit(t)
+          }.reduce(_ && _))).cast("long"))
+        .otherwise(lit(0L)) // incl. null text: null size -> otherwise
+    val scoreCols = phrases.sortBy(_._1).map { case (qid, p) =>
+      struct(lit(qid).as("qid"), occurrences(p).as("phrase_tf"))
+    }
+    if (scoreCols.isEmpty)
+      // no standing phrases: the bm25Scored statically-empty discipline
+      docs.select(col("doc_id"), lit(0L).as("qid"),
+        lit(0L).as("phrase_tf")).filter(lit(false))
+    else
+      docs
+        .select(col("doc_id"), explode(array(scoreCols: _*)).as("x"))
+        .select(col("doc_id"), col("x.qid").as("qid"),
+          col("x.phrase_tf").as("phrase_tf"))
+        .filter(col("phrase_tf") > 0)
+  }
+
   /** Band-occupancy health card over the PERSISTED stream index — q116's
     * semantics (the batch family's audit) applied to the accumulated
     * `(b, bk)` rows, so the [[rebandIndex]] decision has a signal BEFORE

@@ -92,21 +92,55 @@ object LexStream {
     } finally graft.CheckpointBlocks.free(spark, stableIds)
   }
 
+  /** The positional layer's `foreachBatch` body — [[processLexBatch]]
+    * for the phrase serve substrate: one (doc_id, term, pos) row per
+    * token occurrence of the batch, same `tb` partitioning, same marker
+    * protocol under the SEPARATE `posPath` index root (its own
+    * `_commits`; the two layers commit independently and each is
+    * idempotent, so a crash between them just recomputes the
+    * uncommitted one on redelivery). No stat rows: adjacency needs no
+    * corpus scalars, and null-text docs contribute no positions.
+    */
+  def processPosBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, posPath: String): Unit = {
+    if (BatchProtocol.committed(spark, posPath, batchId))
+      return // replayed, fully committed
+    val (stable, stableIds) = graft.CheckpointBlocks.pinnedCheckpoint(batch)
+    try {
+      stable
+        .select(col("doc_id"),
+          posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+        .select(col("doc_id"), col("term"), col("pos"),
+          termBucket(col("term")).as("tb"))
+        .write.partitionBy("tb").mode("overwrite")
+        .parquet(s"$posPath/batch_id=$batchId")
+      BatchProtocol.commit(spark, posPath, batchId)
+    } finally graft.CheckpointBlocks.free(spark, stableIds)
+  }
+
   /** Streaming incremental lexical indexing: every micro-batch of
-    * documents folds into `<lexPath>` under [[processLexBatch]]'s
-    * exactly-once protocol; `compactEvery > 0` self-compacts after every
-    * N-th commit (quiescence holds by construction inside foreachBatch —
-    * the [[DocStream.runNearDedup]] cadence contract).
+    * documents folds into `<lexPath>` — and, when `posPath` is given,
+    * into the positional layer too (ONE stream maintains both serve
+    * substrates, the production retrieval-index shape) — under the
+    * exactly-once protocol; `compactEvery > 0` self-compacts after
+    * every N-th commit (quiescence holds by construction inside
+    * foreachBatch — the [[DocStream.runNearDedup]] cadence contract).
     */
   def runLexIndex(docs: DataFrame, lexPath: String, checkpoint: String,
-      compactEvery: Int = 0)
+      compactEvery: Int = 0, posPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processLexBatch(batch.sparkSession, batch, batchId, lexPath)
+        posPath.foreach(p =>
+          processPosBatch(batch.sparkSession, batch, batchId, p))
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
-          compactLexIndex(batch.sparkSession, lexPath, batchId); ()
+          compactLexIndex(batch.sparkSession, lexPath, batchId)
+          posPath.foreach(p =>
+            BatchProtocol.compactIndex(batch.sparkSession, p, batchId,
+              Seq("tb")))
+          ()
         }
       }
       .start()
@@ -114,11 +148,47 @@ object LexStream {
   /** Merge committed epochs ≤ `upToBatch` into one consolidated
     * `tb`-partitioned epoch (file count bounded by compaction cadence,
     * not stream age) — [[BatchProtocol.compactIndex]] with this index's
-    * layout columns. Full ordering/crash contract there.
+    * layout columns. Full ordering/crash contract there. Works verbatim
+    * on a positional-layer root too (same layout column).
     */
   def compactLexIndex(spark: SparkSession, lexPath: String,
       upToBatch: Long): Int =
     BatchProtocol.compactIndex(spark, lexPath, upToBatch, Seq("tb"))
+
+  /** Exact-phrase top-k against the ACCUMULATED positional layer — the
+    * [[lexTopDocs]] posture for quoted queries: each external (qid,
+    * qtext) query's first `k` tokens are the phrase, ranking and
+    * arithmetic are the staged serve's verbatim (the shared
+    * [[graft.queries.TextAnalysis.phraseAdjacencyTopDocs]] fold —
+    * LexStreamSpec pins byte-parity against a batch q154/q158 rebuild
+    * over the union corpus). The bounded driver read of the ≤
+    * k·|queries| phrase terms buys the `tb` partition prune + term
+    * literal-IN on every adjacency side.
+    */
+  def posTopDocs(spark: SparkSession, posPath: String,
+      queries: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 2, s"a phrase needs at least two tokens, got $k")
+    val qp = queries.select(col("qid"), tokens(col("qtext")).as("tk"))
+      .filter(size(col("tk")) >= k)
+      .select(col("qid") +:
+        (1 to k).map(i => element_at(col("tk"), i).as(s"t$i")): _*)
+    val termRows = qp
+      .select(explode(array((1 to k).map(i => col(s"t$i")): _*)).as("term"))
+      .select(col("term"), termBucket(col("term")).as("tb"))
+      .distinct().collect()
+    val terms: Array[Any] = termRows.map(_.getString(0))
+    val tbs: Array[Any] = termRows.map(r => Int.box(r.getInt(1)): Any).distinct
+    if (terms.isEmpty)
+      queries.select(col("qid"), lit(0L).as("rnk"),
+        lit(0L).as("doc_id"), lit(0L).as("phrase_tf")).limit(0)
+    else
+      graft.queries.TextAnalysis.phraseAdjacencyTopDocs(
+        spark.read.parquet(posPath)
+          .filter(col("tb").isin(tbs: _*))
+          .filter(col("term").isin(terms: _*))
+          .select("doc_id", "term", "pos"),
+        qp, k)
+  }
 
   /** The accumulated index's doc-stat partition (one row per arrived
     * document) — `tb = -1` hits only the partition column, so the scan

@@ -186,6 +186,27 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q160: the index card's envelopes are the hand-computed corpus facts") {
+    // the q148 fixture: N=5 docs, L=25 tokens, a=5; df = zebra 3,
+    // quark 2, the 5, here/now/filler/alpha/beta 1 -> 8 terms,
+    // 15 postings, max_df 5; heavy bar N div 2 = 2 -> {zebra, the}
+    val dir = corpus(Seq(
+      0L -> "zebra quark the the the",
+      1L -> "zebra quark the here now",
+      2L -> "the the the the the the the the",
+      3L -> "zebra the filler filler",
+      4L -> "alpha beta the"))
+    val r = graft.SparkEntry.queries("q160_lex_index_card")(spark, dir)
+      .collect() match { case Array(x) => x }
+    assert(r.getAs[Long]("n_docs") == 5L && r.getAs[Long]("n_tokens") == 25L &&
+      r.getAs[Long]("avgdl_q") == 5L, r.toString)
+    assert(r.getAs[Long]("n_terms") == 8L &&
+      r.getAs[Long]("n_postings") == 15L &&
+      r.getAs[Long]("max_df") == 5L &&
+      r.getAs[Long]("n_heavy_terms") == 2L, r.toString)
+    spark.catalog.clearCache()
+  }
+
   test("q149: a query with an invalid vector still serves lexically (query-level single modality)") {
     // the documented full-outer posture one level up: q122 drops a
     // zero-norm query vector from the SEMANTIC side, but the query's

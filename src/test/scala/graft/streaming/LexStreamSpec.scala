@@ -52,18 +52,27 @@ class LexStreamSpec extends AnyFunSuite {
     lex
   }
 
-  /** The union corpus's batch-serve rows via q148 (the audited batch
-    * path) over a parquet rebuild of the same documents.
-    */
-  private def batchServe(): Set[(Long, Long, Long, Long)] = {
+  /** One parquet rebuild of the union corpus for the batch oracles. */
+  private lazy val unionDir: String = {
     val dir = Files.createTempDirectory("graft-lexidx-union").toString
     df(union).write.parquet(s"$dir/documents.parquet")
-    val out = graft.SparkEntry.queries("q148_bm25_topk")(spark, dir)
+    dir
+  }
+
+  /** The union corpus's batch-serve rows via a registered query (q148/
+    * q154/q158 — the audited batch paths) with `score` the 4th column.
+    */
+  private def batchRows(q: String, score: String)
+      : Set[(Long, Long, Long, Long)] = {
+    val out = graft.SparkEntry.queries(q)(spark, unionDir)
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
-        r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).toSet
+        r.getAs[Long]("doc_id"), r.getAs[Long](score))).toSet
     spark.catalog.clearCache()
     out
   }
+
+  private def batchServe(): Set[(Long, Long, Long, Long)] =
+    batchRows("q148_bm25_topk", "score_u")
 
   /** The fixture's external query table: the sampled docs' texts. */
   private def fixtureQueries() = {
@@ -160,6 +169,30 @@ class LexStreamSpec extends AnyFunSuite {
         s"scan read $n files; only $allowedPost (term bucket) or " +
           s"$allowedStat (stat partition) of $total are allowed")
     }
+  }
+
+  test("the accumulated positional layer serves phrases byte-identically to the staged rebuild, at k=2 and k=3") {
+    val pos = Files.createTempDirectory("graft-posidx").toString
+    LexStream.processPosBatch(spark, df(b0), 0L, pos)
+    LexStream.processPosBatch(spark, df(b1), 1L, pos)
+    LexStream.processPosBatch(spark, df(b2), 2L, pos)
+    def streamRows(k: Int): Set[(Long, Long, Long, Long)] =
+      LexStream.posTopDocs(spark, pos, fixtureQueries(), k)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("phrase_tf"))).toSet
+    val bi = batchRows("q154_phrase_topk", "phrase_tf")
+    val tri = batchRows("q158_phrase3_topk", "phrase_tf")
+    assert(bi.nonEmpty && tri.nonEmpty && bi != tri,
+      "fixture must distinguish the bigram and trigram serves")
+    assert(streamRows(2) == bi, s"k=2: ${streamRows(2)} vs $bi")
+    assert(streamRows(3) == tri, s"k=3: ${streamRows(3)} vs $tri")
+    // redelivery no-ops; compaction leaves the serve byte-identical
+    val rows = spark.read.parquet(pos).count()
+    LexStream.processPosBatch(spark, df(b1), 1L, pos)
+    assert(spark.read.parquet(pos).count() == rows)
+    assert(LexStream.compactLexIndex(spark, pos, 2L) == 3)
+    assert(streamRows(2) == bi && streamRows(3) == tri,
+      "compaction must not change a phrase serve")
   }
 
   test("degenerate inputs: term-less queries and an all-null-text corpus serve a defined empty") {

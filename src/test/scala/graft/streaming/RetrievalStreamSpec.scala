@@ -60,4 +60,45 @@ class RetrievalStreamSpec extends AnyFunSuite {
     assert(batch == Map(0L -> 225530L, 1L -> 220400L, 3L -> 86832L,
       2L -> 16200L, 4L -> 10710L))
   }
+
+  test("streamed standing-phrase counts equal the batch phrase serve across a batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // RetrievalSpec's overlap corpus: query doc 0's phrase = "a a";
+    // runs of n a's hold n-1 overlapping occurrences (the position-pair
+    // convention both engines share). Doc 2 separates the a's; doc 4
+    // shares nothing.
+    val corpus = Seq(
+      0L -> "a a",
+      1L -> "a a a",
+      2L -> "a b a",
+      3L -> "a a a a",
+      4L -> "b b")
+    val dir = Files.createTempDirectory("graft-phrase-stream").toString
+    corpus.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val phrases = graft.queries.TextAnalysis.phraseFrozen(spark, dir,
+      Seq(0L).toDF("qid"))
+    assert(phrases == Seq(0L -> Seq("a", "a")), s"frozen set: $phrases")
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStream.phraseScored(mem.toDF().toDF("doc_id", "text"), phrases)
+      .writeStream.format("memory").queryName("phrs").outputMode("append")
+      .start()
+    try {
+      mem.addData(corpus.take(2): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(2) :+ (9L -> null.asInstanceOf[String]): _*)
+      q.processAllAvailable()
+      val got = spark.table("phrs").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phrase_tf")).toMap
+      assert(got == Map(0L -> 1L, 1L -> 2L, 3L -> 3L),
+        s"streamed phrase counts diverged: $got")
+    } finally q.stop()
+    // batch parity: q154 on the same corpus counts identically (the
+    // fixture's modulus sample is {doc 0})
+    val batch = graft.SparkEntry.queries("q154_phrase_topk")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("phrase_tf")).toMap
+    graft.Caches.release(spark)
+    assert(batch == Map(0L -> 1L, 1L -> 2L, 3L -> 3L))
+  }
 }
