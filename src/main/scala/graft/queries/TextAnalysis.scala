@@ -757,12 +757,15 @@ object TextAnalysis {
     * the phrase must sit at pos + (i−1); each fold step consumes one t_i
     * column and keeps the anchor (qid, doc_id, pos).
     */
-  private[graft] def phraseAdjacencyTopDocs(post: DataFrame, qp: DataFrame,
+  /** The raw adjacency matches — one (qid, doc_id, pos) anchor row per
+    * phrase occurrence (the fold itself; both cuts below aggregate it).
+    */
+  private def phraseAdjacencyMatches(post: DataFrame, qp: DataFrame,
       k: Int): DataFrame = {
     val lead = post.join(broadcast(qp), col("term") === col("t1"))
       .select(col("qid") +: col("doc_id") +: col("pos") +:
         (2 to k).map(i => col(s"t$i")): _*)
-    val matched = (2 to k).foldLeft(lead) { (acc, i) =>
+    (2 to k).foldLeft(lead) { (acc, i) =>
       val next = post.select(col("doc_id").as("doc_n"),
         col("term").as("term_n"), col("pos").as("pos_n"))
       acc.join(next, col("doc_n") === col("doc_id") &&
@@ -770,12 +773,46 @@ object TextAnalysis {
           col("pos_n") === col("pos") + (i - 1))
         .drop("doc_n", "term_n", "pos_n", s"t$i")
     }
+  }
+
+  private[graft] def phraseAdjacencyTopDocs(post: DataFrame, qp: DataFrame,
+      k: Int): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(desc("phrase_tf"), asc("doc_id"))
-    matched
+    phraseAdjacencyMatches(post, qp, k)
       .groupBy("qid", "doc_id").agg(count(lit(1)).as("phrase_tf"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= Bm25TopK)
       .select("qid", "rnk", "doc_id", "phrase_tf")
+  }
+
+  /** q161: the phrase serve with the SNIPPET ANCHOR — the q154 ranking
+    * plus each hit's first occurrence offset (min anchor position,
+    * 0-based token offset into the document), the number a result
+    * renderer needs to cut the keyword-in-context window without
+    * re-reading the document text. Offsets are the one place the
+    * positional base LEAVES the index, so the convention is pinned
+    * here: 0-based (the tokenizer's own), oracle shifts its 1-based
+    * ranges down. Same pruned inputs, same fold, ONE extra min in the
+    * same aggregate — the serve pays nothing for the snippet.
+    */
+  private[queries] def phraseSnippetTopDocs(s: SparkSession, dir: String,
+      qids: DataFrame, k: Int = 2): DataFrame = {
+    val posT = ensurePosIndex(s, dir)
+    val qp = phraseQueries(s, dir, qids, k)
+    val terms = phraseTerms(qp, k)
+    if (terms.isEmpty)
+      qids.select(col("qid"), lit(0L).as("rnk"), lit(0L).as("doc_id"),
+        lit(0L).as("phrase_tf"), lit(0L).as("first_pos")).limit(0)
+    else {
+      val w = Window.partitionBy("qid").orderBy(desc("phrase_tf"), asc("doc_id"))
+      phraseAdjacencyMatches(
+        s.table(posT).filter(col("term").isin(terms: _*)), qp, k)
+        .groupBy("qid", "doc_id").agg(count(lit(1)).as("phrase_tf"),
+          min("pos").cast("long").as("first_pos"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= Bm25TopK)
+        .select("qid", "rnk", "doc_id", "phrase_tf", "first_pos")
+    }
   }
 
   private[queries] def phraseTopDocs(s: SparkSession, dir: String,
@@ -1433,6 +1470,12 @@ object TextAnalysis {
     // phrase (all semantics and plan detail in [[proximityTopDocs]]).
     "q159_proximity_topk" -> ((s, dir) =>
       proximityTopDocs(s, dir, docModQids(s, dir))),
+
+    // phrase serve + snippet anchor — q154's ranking carrying each
+    // hit's first-occurrence token offset (all semantics and the
+    // base-convention pin in [[phraseSnippetTopDocs]]).
+    "q161_phrase_snippets" -> ((s, dir) =>
+      phraseSnippetTopDocs(s, dir, docModQids(s, dir))),
 
     // lexical index health card — the q116/q117/q153 discipline applied
     // to the STAGED inverted index (the relation every lexical serve
@@ -2327,7 +2370,8 @@ object TextAnalysis {
     * three oracles (q154/q158/q159) rank through ONE text.
     */
   private def sqlPositionalTopDocs(k: Int, cnt: String,
-      matchJoins: String): String = {
+      matchJoins: String, extraAgg: String = "",
+      extraCols: String = ""): String = {
     val tsel = (1 to k).map(i => s"tk[$i] AS t$i").mkString(", ")
     s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
        |qs AS ($sqlDocModQs),
@@ -2335,11 +2379,11 @@ object TextAnalysis {
        |  FROM t JOIN qs ON t.doc_id = qs.qid WHERE len(tk) >= $k),
        |tp AS (SELECT doc_id, i.j AS pos, tk[CAST(i.j AS INT)] AS word
        |  FROM t, UNNEST(range(1, len(tk) + 1)) AS i(j)),
-       |m AS (SELECT qp.qid, p1.doc_id, COUNT(*) AS $cnt
+       |m AS (SELECT qp.qid, p1.doc_id, COUNT(*) AS $cnt$extraAgg
        |  FROM qp JOIN tp p1 ON p1.word = qp.t1
        |  $matchJoins
        |  GROUP BY 1, 2)
-       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, $cnt FROM
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, $cnt$extraCols FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |     ORDER BY $cnt DESC, doc_id) AS rnk FROM m) r
        |WHERE rnk <= $Bm25TopK""".stripMargin
@@ -2664,6 +2708,14 @@ object TextAnalysis {
     "q159_proximity_topk" -> sqlPositionalTopDocs(2, "prox_tf",
       s"JOIN tp p2 ON p2.doc_id = p1.doc_id AND p2.word = qp.t2" +
         s" AND p2.pos BETWEEN p1.pos + 1 AND p1.pos + $ProxWindow"),
+
+    // the snippet serve: the bigram text + MIN first-occurrence anchor,
+    // the oracle's 1-based range shifted to the engine's 0-based offset
+    "q161_phrase_snippets" -> sqlPositionalTopDocs(2, "phrase_tf",
+      "JOIN tp p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1" +
+        " AND p2.word = qp.t2",
+      extraAgg = ", CAST(MIN(p1.pos) - 1 AS BIGINT) AS first_pos",
+      extraCols = ", first_pos"),
 
     // the card recomputed from raw text — auditing the staged index
     // against its definition is the point

@@ -63,6 +63,88 @@ object EmbedStream {
           sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
         .filter(col("nrm") > 0), cents)
 
+  /** The `foreachBatch` body of the SERVABLE accumulated IVF index —
+    * the [[LexStream]] posture for vectors ([[ivfAssigned]] only
+    * assigns; this makes arrivals probe-able): each micro-batch's
+    * non-zero-norm vectors are cell-assigned against the FROZEN
+    * centroid table (the shared q35 argmax — k-means training stays a
+    * corpus-global batch job) and written as (vec_id, embedding, nrm,
+    * cell) under `<idxPath>/batch_id=N/cell=C`, so a probe's candidate
+    * read partition-prunes to its probed cells across every epoch —
+    * exactly the staged batch index's (q68) pruned-scan discipline in
+    * accumulated form. Exactly-once is [[BatchProtocol]] verbatim; the
+    * fold is append-only (no pre-batch read), so one write + marker is
+    * the whole crash surface. Compact with [[compactIvfIndex]].
+    */
+  def processIvfBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      idxPath: String, cents: Array[(Int, Seq[Double], Double)]): Unit = {
+    if (BatchProtocol.committed(spark, idxPath, batchId))
+      return // replayed, fully committed
+    val (stable, stableIds) = graft.CheckpointBlocks.pinnedCheckpoint(batch)
+    try {
+      val e = stable.select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        .filter(col("nrm") > 0) // the shared q28 zero-norm guard
+      e.join(graft.queries.Similarity.assignCells(e, cents), Seq("vec_id"))
+        .select("vec_id", "embedding", "nrm", "cell")
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$idxPath/batch_id=$batchId")
+      BatchProtocol.commit(spark, idxPath, batchId)
+    } finally graft.CheckpointBlocks.free(spark, stableIds)
+  }
+
+  /** Merge the accumulated IVF index's committed epochs ≤ `upToBatch`
+    * into one consolidated `cell`-partitioned epoch —
+    * [[BatchProtocol.compactIndex]] with this index's layout column.
+    */
+  def compactIvfIndex(spark: SparkSession, idxPath: String,
+      upToBatch: Long): Int =
+    BatchProtocol.compactIndex(spark, idxPath, upToBatch, Seq("cell"))
+
+  /** IVF probe top-k against the ACCUMULATED index — the q68 serve over
+    * arrivals: the EXTERNAL query vector's `probes` best cells come
+    * from the same frozen centroid cosine argmax (ties to the lowest
+    * cell), the candidate read partition-prunes to those cells, and the
+    * exact cosine + (cos DESC, vec_id) cut reuse q68's Column
+    * expressions verbatim — IvfStreamSpec pins byte-parity against the
+    * staged batch serve on the union corpus. A zero-norm query has no
+    * cosine and serves a defined empty (the q122 posture).
+    */
+  def ivfTopK(spark: SparkSession, idxPath: String,
+      cents: Array[(Int, Seq[Double], Double)], queryVec: Seq[Double],
+      probes: Int = 2, k: Int = 10): DataFrame = {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.vecDotMany
+    val q = Seq(Tuple1(queryVec)).toDF("qv")
+      .select(col("qv"), sqrt(vecDot(col("qv"), col("qv"))).as("qn"))
+    // the probe selection: ONE 1-row job over the broadcast-bounded
+    // centroid table with the shared cosine/tie discipline — never a
+    // driver-side float reimplementation that could diverge from the
+    // assignment argmax
+    val qCells: Array[Long] = q
+      .select(posexplode(zip_with(
+        vecDotMany(col("qv"), cents.flatMap(_._2).toArray, cents.length),
+        typedLit(cents.map(_._3).toSeq),
+        (d, cn) => when(col("qn") > 0, d / (col("qn") * cn)))))
+      .select(col("pos").cast("long").as("cent_id"), col("col").as("ccos"))
+      .filter(col("ccos").isNotNull)
+      .orderBy(desc("ccos"), asc("cent_id")).limit(probes)
+      .collect().map(_.getLong(0))
+    if (qCells.isEmpty)
+      // zero-norm query: every ccos folded null — a defined empty
+      spark.emptyDataFrame.select(lit(0L).as("vec_id"),
+        lit(0L).as("cell"), lit(0.0).as("cos")).limit(0)
+    else
+      spark.read.parquet(idxPath)
+        .filter(col("cell").isin(qCells.map(Long.box): _*))
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("cell"),
+          (vecDot(col("embedding"), col("qv")) /
+            (col("nrm") * col("qn"))).as("cos"))
+        .orderBy(desc("cos"), asc("vec_id"))
+        .limit(k)
+  }
+
   /** q39's deterministic plane component (Similarity mirrors this): the
     * sha-32 of "plane<p>_<i>" scaled to [-1, 1).
     */

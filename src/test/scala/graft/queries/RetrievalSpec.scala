@@ -186,6 +186,28 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q161: snippet anchors are the 0-based first-occurrence offsets, ranking unchanged from q154") {
+    // query doc 0's phrase "alpha beta": doc 0 anchors at offset 0;
+    // doc 1 carries it twice, first at offset 1; doc 2 never adjacent
+    val dir = corpus(Seq(
+      0L -> "alpha beta gamma",
+      1L -> "x alpha beta alpha beta",
+      2L -> "alpha gamma beta",
+      3L -> "no match here",
+      4L -> "also nothing"))
+    val rows = graft.SparkEntry.queries("q161_phrase_snippets")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    val got = rows.map(r => (r.getAs[Long]("doc_id"),
+      r.getAs[Long]("phrase_tf"), r.getAs[Long]("first_pos"))).toSeq
+    assert(got == Seq((1L, 2L, 1L), (0L, 1L, 0L)), s"got $got")
+    // the ranking column set is q154's exactly
+    val q154 = graft.SparkEntry.queries("q154_phrase_topk")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"))).toSet
+    assert(q154 == rows.map(r =>
+      (r.getAs[Long]("rnk"), r.getAs[Long]("doc_id"))).toSet)
+    spark.catalog.clearCache()
+  }
+
   test("q160: the index card's envelopes are the hand-computed corpus facts") {
     // the q148 fixture: N=5 docs, L=25 tokens, a=5; df = zebra 3,
     // quark 2, the 5, here/now/filler/alpha/beta 1 -> 8 terms,

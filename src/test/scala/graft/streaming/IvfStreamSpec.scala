@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkTestSession
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The servable accumulated IVF index ([[EmbedStream.processIvfBatch]] /
+  * [[EmbedStream.ivfTopK]]): after folding the corpus in micro-batches,
+  * an external query vector's probe serves byte-identically to the
+  * staged batch serve (q68) — same frozen centroids, same cell argmax,
+  * same exact cosine and cut — and the marker/compaction protocol holds.
+  */
+class IvfStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("accumulated IVF probe equals the staged q68 serve; redelivery no-ops; compaction is serve-invariant") {
+    val idx = Files.createTempDirectory("graft-ivfidx").toString
+    val cents = graft.queries.Similarity.kmeansCentroids(spark, dir)
+    val e = graft.Tables(spark, dir, "embeddings")
+    // the corpus arrives in three modulus micro-batches
+    for (b <- 0 until 3)
+      EmbedStream.processIvfBatch(spark,
+        e.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong, idx, cents)
+    // the external query = vector 0's embedding, floats widened exactly
+    val qv: Seq[Double] = e.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toSeq
+    def serve(): Seq[(Long, Long, Double)] =
+      EmbedStream.ivfTopK(spark, idx, cents, qv).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+          r.getAs[Double]("cos"))).toSeq
+    val got = serve()
+    val want = graft.SparkEntry.queries("q68_ann_ivf_staged")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+        r.getAs[Double]("cos"))).toSeq
+    spark.catalog.clearCache()
+    assert(want.nonEmpty && got == want,
+      s"accumulated probe diverged:\n got $got\nwant $want")
+    // redelivered committed batch no-ops
+    val rows = spark.read.parquet(idx).count()
+    EmbedStream.processIvfBatch(spark,
+      e.filter(pmod(col("vec_id"), lit(3)) === 1), 1L, idx, cents)
+    assert(spark.read.parquet(idx).count() == rows)
+    // compaction merges the epochs and the serve is unchanged
+    assert(EmbedStream.compactIvfIndex(spark, idx, 2L) == 3)
+    assert(BatchProtocol.epochIds(spark, idx) == Seq(-4L))
+    assert(serve() == want, "compaction must not change a probe")
+  }
+
+  test("a zero-norm query vector serves a defined empty") {
+    val idx = Files.createTempDirectory("graft-ivfidx0").toString
+    val cents = graft.queries.Similarity.kmeansCentroids(spark, dir)
+    EmbedStream.processIvfBatch(spark,
+      graft.Tables(spark, dir, "embeddings").limit(20), 0L, idx, cents)
+    val out = EmbedStream.ivfTopK(spark, idx, cents, Seq.fill(64)(0.0))
+    assert(out.collect().isEmpty &&
+      out.columns.toSeq == Seq("vec_id", "cell", "cos"))
+  }
+}
