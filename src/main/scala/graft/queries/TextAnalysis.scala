@@ -1477,6 +1477,45 @@ object TextAnalysis {
     "q161_phrase_snippets" -> ((s, dir) =>
       phraseSnippetTopDocs(s, dir, docModQids(s, dir))),
 
+    // intra-document repetition card — the Gopher repetition-rule
+    // family beside q45's length/alpha/stopword gates: boilerplate and
+    // crawler-loop documents are flagged by WITHIN-document repetition
+    // long before any cross-document dedup sees them. Per doc, three
+    // integer per-mille shares (the q127 fixed-point discipline —
+    // floats never hash-match): the most-frequent token's share of the
+    // token mass, and the duplicate share of word 2-grams / 3-grams
+    // (1 − distinct/total over the gram count). Sub-n docs yield NULL
+    // for the metrics their gram space cannot define (and null text
+    // yields all-null metrics but keeps its row — the q18 convention).
+    // Plan: gram shares are array-only per-row projections (layered
+    // columns, no lambda recompute — the PERF §2 lesson); only max_tf
+    // pays a (doc_id, tok) map-combined aggregate; ONE doc_id join
+    // stitches them.
+    "q162_repetition_card" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"), tokens(col("text")).as("tk"))
+        .select(col("doc_id"), col("tk"),
+          wordNgrams(col("tk"), 2).as("g2"), wordNgrams(col("tk"), 3).as("g3"))
+        .select(col("doc_id"),
+          size(col("tk")).cast("long").as("n_tokens"),
+          size(array_distinct(col("g2"))).cast("long").as("d2"),
+          size(array_distinct(col("g3"))).cast("long").as("d3"))
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id").agg(max("tf").as("max_tf"))
+      base.join(tf, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          when(col("n_tokens") >= 1,
+            expr("(max_tf * 1000) div n_tokens")).as("top_tok_pm"),
+          when(col("n_tokens") >= 2,
+            expr("((n_tokens - 1 - d2) * 1000) div (n_tokens - 1)"))
+            .as("dup_2gram_pm"),
+          when(col("n_tokens") >= 3,
+            expr("((n_tokens - 2 - d3) * 1000) div (n_tokens - 2)"))
+            .as("dup_3gram_pm"))
+    }),
+
     // lexical index health card — the q116/q117/q153 discipline applied
     // to the STAGED inverted index (the relation every lexical serve
     // rides): one row of integer-exact envelopes an index owner
@@ -2716,6 +2755,33 @@ object TextAnalysis {
         " AND p2.word = qp.t2",
       extraAgg = ", CAST(MIN(p1.pos) - 1 AS BIGINT) AS first_pos",
       extraCols = ", first_pos"),
+
+    // per-doc repetition shares: gram totals are n−1 / n−2 (the engine
+    // counts gram SLOTS, not distinct grams, in the denominator)
+    "q162_repetition_card" ->
+      s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |m AS (SELECT doc_id, len(tk) AS n,
+         |  len(list_distinct(CASE WHEN len(tk) < 2 THEN []
+         |    ELSE [tk[i]||' '||tk[i+1] for i in range(1, len(tk)-1+1)] END)) AS d2,
+         |  len(list_distinct(CASE WHEN len(tk) < 3 THEN []
+         |    ELSE [tk[i]||' '||tk[i+1]||' '||tk[i+2]
+         |          for i in range(1, len(tk)-2+1)] END)) AS d3
+         |  FROM t WHERE tk IS NOT NULL),
+         |tf AS (SELECT doc_id, MAX(c) AS max_tf FROM
+         |  (SELECT doc_id, tok, COUNT(*) AS c FROM
+         |    (SELECT doc_id, unnest(tk) AS tok FROM t) GROUP BY doc_id, tok)
+         |  GROUP BY doc_id)
+         |SELECT d.doc_id, CAST(m.n AS BIGINT) AS n_tokens,
+         |  CAST(CASE WHEN m.n >= 1 THEN (tf.max_tf * 1000) // m.n END
+         |    AS BIGINT) AS top_tok_pm,
+         |  CAST(CASE WHEN m.n >= 2
+         |    THEN ((m.n - 1 - m.d2) * 1000) // (m.n - 1) END
+         |    AS BIGINT) AS dup_2gram_pm,
+         |  CAST(CASE WHEN m.n >= 3
+         |    THEN ((m.n - 2 - m.d3) * 1000) // (m.n - 2) END
+         |    AS BIGINT) AS dup_3gram_pm
+         |FROM documents d
+         |  LEFT JOIN m USING (doc_id) LEFT JOIN tf USING (doc_id)""".stripMargin,
 
     // the card recomputed from raw text — auditing the staged index
     // against its definition is the point

@@ -76,6 +76,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // never a crash)
     "q148_bm25_topk", "q154_phrase_topk", "q158_phrase3_topk",
     "q159_proximity_topk", "q160_lex_index_card", "q161_phrase_snippets",
+    "q162_repetition_card",
     "q136_sketch_precision", "q139_contam_attribution",
     "q142_discounted_budget", "q146_length_quality_grid",
     // the media table derives from documents, so the same degenerate
