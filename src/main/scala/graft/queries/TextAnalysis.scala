@@ -843,7 +843,7 @@ object TextAnalysis {
     * the standard ordered-slop operator (w = 1 degenerates to the exact
     * bigram, pinned by RetrievalSpec).
     */
-  private[queries] val ProxWindow = 5L
+  private[graft] val ProxWindow = 5L
 
   /** Within-N-tokens proximity retrieval — the relaxation sitting
     * between the bag model (q148: anywhere in the document) and the

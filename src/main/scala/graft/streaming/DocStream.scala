@@ -848,6 +848,51 @@ object DocStream {
         .filter(col("phrase_tf") > 0)
   }
 
+  /** Standing-PROXIMITY scoring — the q159 dual beside [[phraseScored]]:
+    * each arriving document scores against a frozen set of ordered term
+    * pairs, counting position pairs where the second term follows the
+    * first within `win` tokens (1 ≤ Δ ≤ win — q159's exact pair
+    * convention, RetrievalStreamSpec pins stream ≡ batch counts).
+    * `pairs` reuses [[graft.queries.TextAnalysis.phraseFrozen]]'s
+    * (qid, tokens) shape at exactly two tokens. Stateless per-row: an
+    * anchor scan of the arrival's own token array with a window slice
+    * per anchor (all Column code; per-row cost ∝ pairs × tokens × win —
+    * the bounded standing-set contract). Emits matches only.
+    */
+  def proximityScored(docs: DataFrame, pairs: Seq[(Long, Seq[String])],
+      win: Long = graft.queries.TextAnalysis.ProxWindow): DataFrame = {
+    require(win >= 1, s"proximity window must be positive, got $win")
+    require(pairs.forall(_._2.length == 2),
+      "a standing proximity query is exactly an ordered term pair")
+    val tk = tokens(col("text"))
+    val n = size(tk)
+    def pairCount(t1: String, t2: String): Column =
+      when(n >= 2,
+        aggregate(
+          // anchors: positions of t1 that still have a follower slot
+          filter(sequence(lit(1), n - 1),
+            i => element_at(tk, i) === lit(t1)),
+          lit(0L),
+          (acc, i) => acc + size(filter(
+            // win is a Long literal, so this sequence is BIGINT-typed
+            // and its lambda var needs the int cast element_at requires
+            sequence(i + 1, least(i + lit(win), n)),
+            j => element_at(tk, j.cast("int")) === lit(t2))).cast("long")))
+        .otherwise(lit(0L)) // incl. null text: null size -> otherwise
+    val scoreCols = pairs.sortBy(_._1).map { case (qid, Seq(t1, t2)) =>
+      struct(lit(qid).as("qid"), pairCount(t1, t2).as("prox_tf"))
+    }
+    if (scoreCols.isEmpty)
+      docs.select(col("doc_id"), lit(0L).as("qid"),
+        lit(0L).as("prox_tf")).filter(lit(false))
+    else
+      docs
+        .select(col("doc_id"), explode(array(scoreCols: _*)).as("x"))
+        .select(col("doc_id"), col("x.qid").as("qid"),
+          col("x.prox_tf").as("prox_tf"))
+        .filter(col("prox_tf") > 0)
+  }
+
   /** Band-occupancy health card over the PERSISTED stream index — q116's
     * semantics (the batch family's audit) applied to the accumulated
     * `(b, bk)` rows, so the [[rebandIndex]] decision has a signal BEFORE

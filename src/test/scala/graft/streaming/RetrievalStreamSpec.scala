@@ -101,4 +101,43 @@ class RetrievalStreamSpec extends AnyFunSuite {
     graft.Caches.release(spark)
     assert(batch == Map(0L -> 1L, 1L -> 2L, 3L -> 3L))
   }
+
+  test("streamed standing-proximity counts equal the batch q159 serve across a batch boundary") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // RetrievalSpec's q159 corpus: pair ("alpha","beta"), window 5 —
+    // doc 2 holds TWO qualifying pairs, doc 1 a 2-token gap (phrase
+    // miss, proximity hit), doc 3 only the reverse order (directional:
+    // no match), doc 4 a gap past the window (no match)
+    val corpus = Seq(
+      0L -> "alpha beta",
+      1L -> "alpha x y beta",
+      2L -> "alpha alpha beta",
+      3L -> "beta then alpha",
+      4L -> "alpha a b c d e beta")
+    val dir = Files.createTempDirectory("graft-prox-stream").toString
+    corpus.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val pairs = graft.queries.TextAnalysis.phraseFrozen(spark, dir,
+      Seq(0L).toDF("qid"))
+    assert(pairs == Seq(0L -> Seq("alpha", "beta")))
+    val mem = MemoryStream[(Long, String)]
+    val q = DocStream.proximityScored(mem.toDF().toDF("doc_id", "text"), pairs)
+      .writeStream.format("memory").queryName("proxs").outputMode("append")
+      .start()
+    try {
+      mem.addData(corpus.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(corpus.drop(3) :+ (9L -> null.asInstanceOf[String]): _*)
+      q.processAllAvailable()
+      val got = spark.table("proxs").collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("prox_tf")).toMap
+      assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 2L),
+        s"streamed proximity counts diverged: $got")
+    } finally q.stop()
+    val batch = graft.SparkEntry.queries("q159_proximity_topk")(spark, dir)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("prox_tf")).toMap
+    graft.Caches.release(spark)
+    assert(batch == Map(0L -> 1L, 1L -> 1L, 2L -> 2L))
+  }
 }
