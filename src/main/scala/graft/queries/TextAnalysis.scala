@@ -1477,6 +1477,23 @@ object TextAnalysis {
     "q161_phrase_snippets" -> ((s, dir) =>
       phraseSnippetTopDocs(s, dir, docModQids(s, dir))),
 
+    // retrieval self-check card — the known-item sanity eval a serve
+    // owner runs after every index build: of the sampled queries that
+    // serve at all, how many retrieve THEMSELVES at rank 1 (each query
+    // is a corpus document, so it is its own ideal hit). A self-top1
+    // share far from 1000 per-mille means scoring/staging broke before
+    // any external eval set would say so. One fold over the ≤ sample·k
+    // serve output — the serve itself is the only real work.
+    "q163_retrieval_selfcheck" -> ((s, dir) => {
+      bm25TopDocs(s, dir, docModQids(s, dir))
+        .agg(count_distinct(col("qid")).as("n_queries"),
+          coalesce(sum(when(col("rnk") === 1 &&
+              col("doc_id") === col("qid"), 1L)), lit(0L)).as("n_self_top1"))
+        .select(col("n_queries"), col("n_self_top1"),
+          when(col("n_queries") >= 1,
+            expr("(n_self_top1 * 1000) div n_queries")).as("self_top1_pm"))
+    }),
+
     // intra-document repetition card — the Gopher repetition-rule
     // family beside q45's length/alpha/stopword gates: boilerplate and
     // crawler-loop documents are flagged by WITHIN-document repetition
@@ -2755,6 +2772,18 @@ object TextAnalysis {
         " AND p2.word = qp.t2",
       extraAgg = ", CAST(MIN(p1.pos) - 1 AS BIGINT) AS first_pos",
       extraCols = ", first_pos"),
+
+    // the self-check folds the embedded serve statement (nested-WITH)
+    "q163_retrieval_selfcheck" ->
+      s"""WITH serve AS (${sqlBm25TopDocs(sqlDocModQs)})
+         |SELECT CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+         |  CAST(COALESCE(SUM(CASE WHEN rnk = 1 AND doc_id = qid
+         |    THEN 1 END), 0) AS BIGINT) AS n_self_top1,
+         |  CAST(CASE WHEN COUNT(DISTINCT qid) >= 1
+         |    THEN (COALESCE(SUM(CASE WHEN rnk = 1 AND doc_id = qid
+         |      THEN 1 END), 0) * 1000) // COUNT(DISTINCT qid) END
+         |    AS BIGINT) AS self_top1_pm
+         |FROM serve""".stripMargin,
 
     // per-doc repetition shares: gram totals are n−1 / n−2 (the engine
     // counts gram SLOTS, not distinct grams, in the denominator)

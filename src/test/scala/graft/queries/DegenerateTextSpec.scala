@@ -76,7 +76,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // never a crash)
     "q148_bm25_topk", "q154_phrase_topk", "q158_phrase3_topk",
     "q159_proximity_topk", "q160_lex_index_card", "q161_phrase_snippets",
-    "q162_repetition_card",
+    "q162_repetition_card", "q163_retrieval_selfcheck",
     "q136_sketch_precision", "q139_contam_attribution",
     "q142_discounted_budget", "q146_length_quality_grid",
     // the media table derives from documents, so the same degenerate
@@ -121,6 +121,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q158_phrase3_topk", "q159_proximity_topk", // same cut at k=3 / slop
         "q161_phrase_snippets", // same phrase cut as q154
         "q160_lex_index_card", // one card row by construction
+        "q163_retrieval_selfcheck", // one card row by construction
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")

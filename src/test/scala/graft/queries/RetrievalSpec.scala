@@ -208,6 +208,23 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q163: the self-check card reads all-self on the planted fixture") {
+    // the q148 fixture: one sampled query (doc 0), which retrieves
+    // itself first — the card must read 1/1/1000
+    val dir = corpus(Seq(
+      0L -> "zebra quark the the the",
+      1L -> "zebra quark the here now",
+      2L -> "the the the the the the the the",
+      3L -> "zebra the filler filler",
+      4L -> "alpha beta the"))
+    val r = graft.SparkEntry.queries("q163_retrieval_selfcheck")(spark, dir)
+      .collect() match { case Array(x) => x }
+    assert(r.getAs[Long]("n_queries") == 1L &&
+      r.getAs[Long]("n_self_top1") == 1L &&
+      r.getAs[Long]("self_top1_pm") == 1000L, r.toString)
+    spark.catalog.clearCache()
+  }
+
   test("q160: the index card's envelopes are the hand-computed corpus facts") {
     // the q148 fixture: N=5 docs, L=25 tokens, a=5; df = zebra 3,
     // quark 2, the 5, here/now/filler/alpha/beta 1 -> 8 terms,
