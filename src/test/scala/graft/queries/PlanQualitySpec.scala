@@ -451,6 +451,17 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q162 repetition card: array-only gram shares, one token aggregate, no sort or cartesian anywhere") {
+    // the card's contract: gram shares never explode (array projections
+    // only) — the single explode in the plan is max_tf's token
+    // aggregate — and nothing range-partitions or nest-loops
+    val p = execPlan("q162_repetition_card")
+    assert("Generate explode".r.findAllIn(p).length == 1, p.take(2000))
+    assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+  }
+
   test("q47 length quartiles: row data only crosses the histogram shuffle; no row-level sort") {
     // the histogram formulation's contract: the corpus rows meet exactly
     // one exchange — the map-side-combined (lang, n_chars) count — and

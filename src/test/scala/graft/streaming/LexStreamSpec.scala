@@ -195,6 +195,33 @@ class LexStreamSpec extends AnyFunSuite {
       "compaction must not change a phrase serve")
   }
 
+  test("runLexIndex end-to-end: one stream maintains both layers through its checkpoint and serves the fixture") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-lexrun").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = LexStream.runLexIndex(mem.toDF().toDF("doc_id", "text"),
+      s"$base/lex", s"$base/ckpt", compactEvery = 2,
+      posPath = Some(s"$base/pos"))
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // batch 1 hit the compactEvery=2 cadence: both layers hold the
+    // consolidated epoch plus the post-compaction batch only
+    assert(BatchProtocol.epochIds(spark, s"$base/lex").sorted == Seq(-3L, 2L))
+    assert(BatchProtocol.epochIds(spark, s"$base/pos").sorted == Seq(-3L, 2L))
+    assert(streamServe(s"$base/lex") == batchServe(),
+      "the stream-maintained lexical layer must serve the batch rows")
+    val bi = LexStream.posTopDocs(spark, s"$base/pos", fixtureQueries())
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("phrase_tf"))).toSet
+    assert(bi == batchRows("q154_phrase_topk", "phrase_tf"),
+      "the stream-maintained positional layer must serve the batch rows")
+  }
+
   test("degenerate inputs: term-less queries and an all-null-text corpus serve a defined empty") {
     import spark.implicits._
     val lex = foldFixture()
