@@ -337,6 +337,32 @@ object Dedup {
     "q151_survivors64" -> ((s, dir) =>
       qualitySurvivorsFrom(s, dir, queries("q150_clusters64")(s, dir))),
 
+    // near-dup-diversified retrieval serve — what a production serve
+    // returns when the corpus still carries duplicate families: q148's
+    // BM25 ranking with at most ONE document per near-dup cluster
+    // (q150's at-scale labels), lower-scored distinct documents
+    // backfilling the freed ranks. The suppression must run on the
+    // scored-but-UNCUT candidates ([[TextAnalysis.bm25ScoredDocs]]) —
+    // diversifying after the top-k cut could only shrink the page,
+    // never backfill it. Within a cluster the kept hit is the
+    // best-scoring copy (ties to min doc_id — the serve's own order).
+    // Plan shape: candidates are postings-bounded (never corpus-sized),
+    // the label join is an equi-join on doc_id, and both windows
+    // partition by qid (+cluster) — no corpus-wide sort anywhere.
+    "q164_diverse_topk" -> ((s, dir) => {
+      val scored = TextAnalysis.bm25ScoredDocs(
+        s, dir, TextAnalysis.docModQids(s, dir))
+      val labels = queries("q150_clusters64")(s, dir)
+      val wc = Window.partitionBy("qid", "cluster_id")
+        .orderBy(desc("score_u"), asc("doc_id"))
+      val w = Window.partitionBy("qid").orderBy(desc("score_u"), asc("doc_id"))
+      scored.join(labels, Seq("doc_id"))
+        .withColumn("pr", row_number().over(wc)).filter(col("pr") === 1)
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= TextAnalysis.Bm25TopK)
+        .select("qid", "rnk", "doc_id", "cluster_id", "score_u")
+    }),
+
     // soft dedup — the REWEIGHTING alternative to dropping duplicates
     // (q44/q105 keep one copy per component; this keeps every copy and
     // divides its sampling mass by the component size, so a document
@@ -538,6 +564,24 @@ object Dedup {
     // audits THE q42 operator
     "q150_clusters64" ->
       s"$sqlClusters64\nSELECT doc_id, cluster_id FROM clusters",
+
+    // the diversified serve: the q150 closure and the q148 scored
+    // candidates spliced into ONE chain (sqlBm25Ctes carries no WITH
+    // for exactly this composition), then cluster-suppress BEFORE the
+    // rank cut
+    "q164_diverse_topk" ->
+      s"""$sqlClusters64,
+         |${TextAnalysis.sqlBm25Ctes(TextAnalysis.sqlDocModQs)},
+         |dj AS (SELECT sc.qid, sc.doc_id, cl.cluster_id, sc.score_u
+         |  FROM sc JOIN clusters cl USING (doc_id)),
+         |dp AS (SELECT qid, doc_id, cluster_id, score_u FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, cluster_id
+         |     ORDER BY score_u DESC, doc_id) AS pr FROM dj) z WHERE pr = 1)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, cluster_id,
+         |  score_u FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY score_u DESC, doc_id) AS rnk FROM dp) r
+         |WHERE rnk <= ${TextAnalysis.Bm25TopK}""".stripMargin,
 
     "q69_pagerank" ->
       s"""WITH ${Similarity.SqlSimhashPairCtes},

@@ -72,7 +72,7 @@ object TextAnalysis {
     * scale (the q95/q122 sampling discipline), mirrored in SQL by
     * [[sqlDocModQs]].
     */
-  private def docModQids(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def docModQids(s: SparkSession, dir: String): DataFrame = {
     val nd = Tables(s, dir, "documents").count()
     val qmod = math.max(5L, (nd + 7) / 8)
     Tables(s, dir, "documents")
@@ -632,16 +632,28 @@ object TextAnalysis {
     (cand, s.table(dlT), qtIdf, a)
   }
 
-  private[queries] def bm25TopDocs(s: SparkSession, dir: String,
+  /** The scored-but-uncut half of the BM25 serve: every candidate
+    * (qid, doc_id, score_u) — bounded by the postings of the queries'
+    * terms, never the corpus. Shared by [[bm25TopDocs]] (which applies
+    * the per-query rank cut) and the diversified serve (q164 in
+    * [[Dedup]]), which must suppress near-dup cluster twins BEFORE the
+    * cut so lower-ranked distinct documents can backfill.
+    */
+  private[queries] def bm25ScoredDocs(s: SparkSession, dir: String,
       qids: DataFrame): DataFrame = {
     val (tf, dl, qtIdf, a) = bm25Stage(s, dir, qids)
-    val w = Window.partitionBy("qid").orderBy(desc("score_u"), asc("doc_id"))
     tf.join(broadcast(qtIdf), Seq("term"))
       .join(dl, Seq("doc_id"))
       .withColumn("tscore",
         expr(s"idf_m * ((${2200 * a} * tf) div" +
           s" (${10 * a} * tf + ${3 * a} + 9 * dl))"))
       .groupBy("qid", "doc_id").agg(sum("tscore").as("score_u"))
+  }
+
+  private[queries] def bm25TopDocs(s: SparkSession, dir: String,
+      qids: DataFrame): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("score_u"), asc("doc_id"))
+    bm25ScoredDocs(s, dir, qids)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= Bm25TopK)
       .select("qid", "rnk", "doc_id", "score_u")
@@ -2389,8 +2401,14 @@ object TextAnalysis {
     * fusion (q149, embedding-modulus sample) rank through ONE scoring
     * text. A complete statement — embed as a derived table to compose.
     */
-  private[queries] def sqlBm25TopDocs(qsSql: String): String =
-    s"""WITH t AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+  /** The CTE list (no leading WITH) ending at `sc` = the scored
+    * candidates (qid, doc_id, score_u) — [[bm25ScoredDocs]]' oracle
+    * text. Exposed without the WITH so callers outside this module
+    * (the q164 diversified serve in [[Dedup]]) can splice it into
+    * their own chain after other CTEs.
+    */
+  private[queries] def sqlBm25Ctes(qsSql: String): String =
+    s"""t AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
        |av AS (SELECT n, GREATEST(1, l // GREATEST(n, 1)) AS a FROM
        |  (SELECT (SELECT COUNT(*) FROM documents) AS n,
@@ -2410,7 +2428,10 @@ object TextAnalysis {
        |    AS BIGINT) AS score_u
        |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
        |    JOIN dl USING (doc_id), av
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private[queries] def sqlBm25TopDocs(qsSql: String): String =
+    s"""WITH ${sqlBm25Ctes(qsSql)}
        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_u FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc) r

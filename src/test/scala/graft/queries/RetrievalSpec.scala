@@ -225,6 +225,35 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q164: a duplicate family is served once, its best copy kept, distinct docs backfill the freed ranks") {
+    // docs 1 and 2 are byte-identical near-dup twins (one 64-bit
+    // cluster); both match the query's rare terms, so the plain q148
+    // serve ranks BOTH (self, twin, twin, one-rare, stopword-only).
+    // The diversified serve must keep exactly one twin — the
+    // best-scoring copy, ties to MIN doc_id — and docs 3/4 must
+    // backfill to contiguous ranks, not vanish with the page.
+    val dir = corpus(Seq(
+      0L -> "zebra quark the the the",
+      1L -> "zebra quark the here now",
+      2L -> "zebra quark the here now",
+      3L -> "zebra the filler filler",
+      4L -> "alpha beta the"))
+    val plain = graft.SparkEntry.queries("q148_bm25_topk")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("doc_id"))
+    assert(plain.toSeq == Seq(0L, 1L, 2L, 3L, 4L),
+      s"fixture must make the undiversified serve rank both twins: ${plain.toSeq}")
+    val rows = graft.SparkEntry.queries("q164_diverse_topk")(spark, dir)
+      .collect().sortBy(_.getAs[Long]("rnk"))
+    assert(rows.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 1L, 3L, 4L),
+      s"got ${rows.map(_.getAs[Long]("doc_id")).toSeq}")
+    assert(rows.map(_.getAs[Long]("rnk")).toSeq == (1L to 4L),
+      "backfilled ranks must be contiguous from 1")
+    assert(rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap == Map(0L -> 0L, 1L -> 1L, 3L -> 3L, 4L -> 4L),
+      "the kept twin carries its cluster's canonical (min) label")
+    spark.catalog.clearCache()
+  }
+
   test("q160: the index card's envelopes are the hand-computed corpus facts") {
     // the q148 fixture: N=5 docs, L=25 tokens, a=5; df = zebra 3,
     // quark 2, the 5, here/now/filler/alpha/beta 1 -> 8 terms,
