@@ -141,9 +141,17 @@ private[streaming] object BatchProtocol {
     *
     * Returns the number of epochs merged (0 if already compacted through
     * `upToBatch` or nothing to merge).
+    *
+    * `rowFilter` (default identity) is applied to the merged rows before
+    * the consolidated write — the physical-purge hook for tombstoned
+    * deletions ([[LexStream.deleteDocs]]): rows it drops leave the index
+    * PERMANENTLY, so a filter must only drop rows whose absence the
+    * serve already presents (masked rows), never live data.
     */
   def compactIndex(spark: SparkSession, indexPath: String, upToBatch: Long,
-      partitionCols: Seq[String]): Int = {
+      partitionCols: Seq[String],
+      rowFilter: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame
+        = identity): Int = {
     import org.apache.spark.sql.functions.col
     require(upToBatch >= 0, s"upToBatch must be a stream batch id, got $upToBatch")
     requireQuiesced(spark, indexPath)
@@ -175,9 +183,9 @@ private[streaming] object BatchProtocol {
         s"(present: ${epochs.sorted.mkString(",")}) — a higher watermark would " +
         "mark unrun future batches as committed")
     val consolidated = -(upToBatch + 2)
-    val merged = spark.read.parquet(indexPath)
+    val merged = rowFilter(spark.read.parquet(indexPath)
       .filter(col("batch_id").cast("long") <= upToBatch)
-      .drop("batch_id")
+      .drop("batch_id"))
       // crash leftovers are the only source of duplicate rows (a
       // consolidated epoch beside not-yet-deleted originals) — fold them
       // out so repeated crash cycles cannot accumulate copies

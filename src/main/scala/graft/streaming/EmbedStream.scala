@@ -93,13 +93,29 @@ object EmbedStream {
     } finally graft.CheckpointBlocks.free(spark, stableIds)
   }
 
+  /** Takedown: mark vectors DELETED from the accumulated IVF index —
+    * the [[LexStream.deleteDocs]] protocol with the vector side's key
+    * ([[Tombstones]] holds the one shared implementation): [[ivfTopK]]
+    * anti-joins its pruned candidate read, [[compactIvfIndex]] purges
+    * physically and consolidates the request files.
+    */
+  def deleteVecs(spark: SparkSession, idxPath: String,
+      vecIds: Seq[Long], requestId: String): Unit =
+    Tombstones.delete(spark, idxPath, vecIds, requestId, "vec_id")
+
   /** Merge the accumulated IVF index's committed epochs ≤ `upToBatch`
     * into one consolidated `cell`-partitioned epoch —
     * [[BatchProtocol.compactIndex]] with this index's layout column.
+    * Tombstoned vectors are purged from the consolidated epoch (masking
+    * already hides them, so the purge changes no probe).
     */
   def compactIvfIndex(spark: SparkSession, idxPath: String,
-      upToBatch: Long): Int =
-    BatchProtocol.compactIndex(spark, idxPath, upToBatch, Seq("cell"))
+      upToBatch: Long): Int = {
+    val n = BatchProtocol.compactIndex(spark, idxPath, upToBatch, Seq("cell"),
+      rowFilter = rel => Tombstones.masked(spark, idxPath, rel, "vec_id"))
+    Tombstones.consolidate(spark, idxPath, upToBatch, "vec_id")
+    n
+  }
 
   /** IVF probe top-k against the ACCUMULATED index — the q68 serve over
     * arrivals: the EXTERNAL query vector's `probes` best cells come
@@ -135,8 +151,10 @@ object EmbedStream {
       spark.emptyDataFrame.select(lit(0L).as("vec_id"),
         lit(0L).as("cell"), lit(0.0).as("cos")).limit(0)
     else
-      spark.read.parquet(idxPath)
-        .filter(col("cell").isin(qCells.map(Long.box): _*))
+      Tombstones.masked(spark,
+        idxPath,
+        spark.read.parquet(idxPath)
+          .filter(col("cell").isin(qCells.map(Long.box): _*)), "vec_id")
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("cell"),
           (vecDot(col("embedding"), col("qv")) /

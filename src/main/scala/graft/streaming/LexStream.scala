@@ -62,6 +62,23 @@ object LexStream {
   private def termBucket(term: org.apache.spark.sql.Column) =
     pmod(hash(term), lit(LexTermBuckets)).cast("int")
 
+  /** Takedown: mark documents DELETED from an accumulated index (lexical
+    * or positional root — each root masks independently; a paired
+    * deployment calls this once per root). Full protocol in
+    * [[Tombstones]]: the serves anti-join their reads (postings,
+    * positions, AND the stat rows, so N/L/avgdl/df all read as if the
+    * documents never arrived — LexStreamSpec pins the serve
+    * byte-identical to a rebuild over the corpus minus the deletions),
+    * and [[compactLexIndex]] purges physically.
+    */
+  def deleteDocs(spark: SparkSession, indexPath: String,
+      docIds: Seq[Long], requestId: String): Unit =
+    Tombstones.delete(spark, indexPath, docIds, requestId, "doc_id")
+
+  private def masked(spark: SparkSession, indexPath: String,
+      rel: DataFrame): DataFrame =
+    Tombstones.masked(spark, indexPath, rel, "doc_id")
+
   /** The `foreachBatch` body, exactly-once per `batchId` — fold one
     * micro-batch of `(doc_id, …, text)` arrivals into the accumulated
     * index at `lexPath`.
@@ -137,9 +154,10 @@ object LexStream {
           processPosBatch(batch.sparkSession, batch, batchId, p))
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           compactLexIndex(batch.sparkSession, lexPath, batchId)
+          // the positional root shares the layout column AND the
+          // tombstone protocol — one purging compaction for both layers
           posPath.foreach(p =>
-            BatchProtocol.compactIndex(batch.sparkSession, p, batchId,
-              Seq("tb")))
+            compactLexIndex(batch.sparkSession, p, batchId))
           ()
         }
       }
@@ -150,10 +168,20 @@ object LexStream {
     * not stream age) — [[BatchProtocol.compactIndex]] with this index's
     * layout columns. Full ordering/crash contract there. Works verbatim
     * on a positional-layer root too (same layout column).
+    *
+    * Tombstoned rows are PURGED from the consolidated epoch (the
+    * `rowFilter` hook — masking already hides them, so the purge changes
+    * no serve), and the per-request tombstone files consolidate into one
+    * ([[Tombstones.consolidate]] — ids are retained, they may still mask
+    * epochs this compaction did not merge).
     */
   def compactLexIndex(spark: SparkSession, lexPath: String,
-      upToBatch: Long): Int =
-    BatchProtocol.compactIndex(spark, lexPath, upToBatch, Seq("tb"))
+      upToBatch: Long): Int = {
+    val n = BatchProtocol.compactIndex(spark, lexPath, upToBatch, Seq("tb"),
+      rowFilter = rel => masked(spark, lexPath, rel))
+    Tombstones.consolidate(spark, lexPath, upToBatch, "doc_id")
+    n
+  }
 
   /** Exact-phrase top-k against the ACCUMULATED positional layer — the
     * [[lexTopDocs]] posture for quoted queries: each external (qid,
@@ -183,10 +211,10 @@ object LexStream {
         lit(0L).as("doc_id"), lit(0L).as("phrase_tf")).limit(0)
     else
       graft.queries.TextAnalysis.phraseAdjacencyTopDocs(
-        spark.read.parquet(posPath)
+        masked(spark, posPath, spark.read.parquet(posPath)
           .filter(col("tb").isin(tbs: _*))
           .filter(col("term").isin(terms: _*))
-          .select("doc_id", "term", "pos"),
+          .select("doc_id", "term", "pos")),
         qp, k)
   }
 
@@ -195,9 +223,9 @@ object LexStream {
     * reads no postings bucket.
     */
   private def statRows(spark: SparkSession, lexPath: String): DataFrame =
-    spark.read.parquet(lexPath)
+    masked(spark, lexPath, spark.read.parquet(lexPath)
       .filter(col("tb") === StatBucket)
-      .select(col("doc_id"), col("tf").as("dl"))
+      .select(col("doc_id"), col("tf").as("dl")))
 
   /** BM25 top-[[graft.queries.TextAnalysis.Bm25TopK]] per query against
     * the ACCUMULATED index — the batch serve's integer fixed point
@@ -247,10 +275,13 @@ object LexStream {
         (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
       }
       val a = math.max(1L, l / math.max(1L, n))
-      val post = spark.read.parquet(lexPath)
+      // the takedown mask applies to candidates AND (via statRows) the
+      // corpus scalars/dl, so a deleted doc vanishes from df and idf
+      // exactly as a rebuild-without-it would have it
+      val post = masked(spark, lexPath, spark.read.parquet(lexPath)
         .filter(col("tb").isin(tbs: _*))       // partition prune
         .filter(col("term").isin(terms: _*))   // row cut inside buckets
-        .select("doc_id", "term", "tf")
+        .select("doc_id", "term", "tf"))
       // df derives from the pruned postings — the accumulated layout
       // maintains ONE relation, not three
       val dfq = post.groupBy("term").agg(count(lit(1)).as("df"))

@@ -1,0 +1,112 @@
+package graft.streaming
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{broadcast, col}
+
+/** Takedown tombstones for the ACCUMULATED streaming indexes — ONE
+  * implementation of the deletion protocol shared by the lexical/
+  * positional roots ([[LexStream]], key `doc_id`) and the IVF root
+  * ([[EmbedStream]], key `vec_id`), so the two sides cannot drift on
+  * erasure semantics. The physical index is never rewritten at request
+  * time — a takedown against a year of epochs must not cost a year of
+  * rewrites — instead:
+  *
+  *   1. [[delete]] lands the ids as a tombstone relation under the
+  *      index root (`_tombstones/req=<requestId>` — underscore-prefixed,
+  *      so the epoch reads never see it: the `_commits` discipline);
+  *   2. every serve anti-joins its reads against [[ids]] (the masked
+  *      rows vanish from candidates AND derived statistics — full
+  *      erasure, "as if never arrived");
+  *   3. the next compaction purges matching rows physically
+  *      ([[BatchProtocol.compactIndex]]'s `rowFilter` hook) and
+  *      [[consolidate]]s the per-request files into one, bounding
+  *      tombstone file count by compaction cadence.
+  *
+  * Exactly-once by REQUEST IDENTITY: the write lands with overwrite, so
+  * a redelivered request replaces itself (same ids → same rows) instead
+  * of accumulating; distinct request ids accumulate as independent
+  * takedowns. Deleting a never-arrived id is a harmless no-op; an id
+  * that arrives AFTER its tombstone stays masked — takedown outranks
+  * late arrival. Do not run [[delete]] concurrently with a compaction
+  * of the same root (the `rebandIndex` quiesce discipline): a request
+  * landing mid-purge would mask-only until the NEXT compaction.
+  */
+object Tombstones {
+
+  private def tombRoot(indexPath: String) = s"$indexPath/_tombstones"
+
+  private def fs(spark: SparkSession, p: String) =
+    new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Mark ids DELETED from the accumulated index at `indexPath`. Each
+    * root masks independently — a paired deployment (lexical +
+    * positional, or index + sidecar) calls this once per root.
+    */
+  def delete(spark: SparkSession, indexPath: String, ids: Seq[Long],
+      requestId: String, keyCol: String = "doc_id"): Unit = {
+    require(requestId.nonEmpty && requestId.matches("[A-Za-z0-9_-]+"),
+      s"requestId must be [A-Za-z0-9_-]+, got '$requestId'")
+    require(ids.nonEmpty, "a takedown request must name at least one id")
+    import spark.implicits._
+    ids.distinct.toDF(keyCol).coalesce(1)
+      .write.mode("overwrite").parquet(s"${tombRoot(indexPath)}/req=$requestId")
+  }
+
+  /** The accumulated tombstone ids of an index root (None if no takedown
+    * ever landed). Duplicate ids across requests are fine — the readers
+    * anti-join, for which duplicates are verdict-neutral.
+    */
+  private[streaming] def ids(spark: SparkSession, indexPath: String,
+      keyCol: String): Option[DataFrame] = {
+    val root = new Path(tombRoot(indexPath))
+    if (!fs(spark, indexPath).exists(root)) None
+    else Some(spark.read.parquet(tombRoot(indexPath)).select(keyCol))
+  }
+
+  /** Serve-side takedown mask: anti-join `rel` (any relation carrying
+    * `keyCol`) against the root's tombstones. The tombstone side is the
+    * broadcast side — takedown sets are request-sized (ids only), never
+    * corpus-sized.
+    */
+  private[streaming] def masked(spark: SparkSession, indexPath: String,
+      rel: DataFrame, keyCol: String): DataFrame =
+    ids(spark, indexPath, keyCol).fold(rel)(t =>
+      rel.join(broadcast(t), Seq(keyCol), "left_anti"))
+
+  /** Consolidate the per-request tombstone files into ONE request dir
+    * (`req=compacted_<upToBatch>` — ids strictly increase across
+    * compactions, so a crashed attempt's leftover never aliases a later
+    * one's target), bounding tombstone file count by compaction cadence.
+    * Content is preserved, NOT dropped: rows matching the tombstones are
+    * purged only from epochs the compaction merged — a tombstone may
+    * still be masking a later live epoch (or a yet-to-arrive id), so
+    * the ids must outlive the purge. Crash ordering: distributed
+    * distinct lands OUTSIDE the root first (writing the target in place
+    * would overwrite a prior consolidation while reading it), one
+    * rename puts it live, THEN the superseded request dirs are deleted —
+    * every prefix leaves the full id set readable under the root
+    * (duplicates are verdict-neutral to the anti-join readers).
+    */
+  private[streaming] def consolidate(spark: SparkSession, indexPath: String,
+      upToBatch: Long, keyCol: String): Unit = {
+    val f = fs(spark, indexPath)
+    val root = new Path(tombRoot(indexPath))
+    if (!f.exists(root)) return
+    val reqs = f.listStatus(root).map(_.getPath.getName)
+      .filter(_.startsWith("req=")).toSeq
+    val target = s"req=compacted_$upToBatch"
+    if (reqs.toSet == Set(target)) return // already consolidated
+    val tmp = s"$indexPath/_tombstones_tmp"
+    spark.read.parquet(tombRoot(indexPath)).select(keyCol)
+      .distinct().coalesce(1).write.mode("overwrite").parquet(tmp)
+    // the target can pre-exist only from a crashed attempt at this same
+    // upToBatch — a subset of tmp's rows, safe to replace
+    val targetP = new Path(s"${tombRoot(indexPath)}/$target")
+    if (f.exists(targetP)) f.delete(targetP, true)
+    require(f.rename(new Path(tmp), targetP),
+      s"rename $tmp -> $targetP failed")
+    reqs.filter(_ != target).foreach(r =>
+      f.delete(new Path(s"${tombRoot(indexPath)}/$r"), true))
+  }
+}

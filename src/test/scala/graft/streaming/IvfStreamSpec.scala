@@ -48,6 +48,41 @@ class IvfStreamSpec extends AnyFunSuite {
     assert(serve() == want, "compaction must not change a probe")
   }
 
+  test("takedown: deleteVecs erases a vector from the probe; compaction purges physically, serve-invariant") {
+    val idx = Files.createTempDirectory("graft-ivfdel").toString
+    val cents = graft.queries.Similarity.kmeansCentroids(spark, dir)
+    val e = graft.Tables(spark, dir, "embeddings")
+    for (b <- 0 until 3)
+      EmbedStream.processIvfBatch(spark,
+        e.filter(pmod(col("vec_id"), lit(3)) === b), b.toLong, idx, cents)
+    // query = vector 0's own embedding, so vec 0 is the cos=1 top hit —
+    // its takedown must both drop the head AND backfill the cut
+    val qv: Seq[Double] = e.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toSeq
+    def serve(p: String): Seq[(Long, Long, Double)] =
+      EmbedStream.ivfTopK(spark, p, cents, qv).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+          r.getAs[Double]("cos"))).toSeq
+    assert(serve(idx).headOption.exists(_._1 == 0L),
+      "fixture must rank the deleted vector first pre-takedown")
+    EmbedStream.deleteVecs(spark, idx, Seq(0L), "t1")
+    // rebuild-minus oracle: the same fold over the corpus without vec 0
+    val oracleIdx = Files.createTempDirectory("graft-ivfdel-oracle").toString
+    for (b <- 0 until 3)
+      EmbedStream.processIvfBatch(spark,
+        e.filter(col("vec_id") =!= 0)
+          .filter(pmod(col("vec_id"), lit(3)) === b), b.toLong, oracleIdx, cents)
+    val want = serve(oracleIdx)
+    assert(want.nonEmpty && !want.exists(_._1 == 0L))
+    assert(serve(idx) == want,
+      s"masked probe diverged:\n got ${serve(idx)}\nwant $want")
+    // purge: physical absence + serve invariance + consolidated requests
+    assert(EmbedStream.compactIvfIndex(spark, idx, 2L) == 3)
+    assert(spark.read.parquet(idx).filter(col("vec_id") === 0L).count() == 0,
+      "compaction must purge the tombstoned vector's rows")
+    assert(serve(idx) == want, "the purge must not change the probe")
+  }
+
   test("a zero-norm query vector serves a defined empty") {
     val idx = Files.createTempDirectory("graft-ivfidx0").toString
     val cents = graft.queries.Similarity.kmeansCentroids(spark, dir)

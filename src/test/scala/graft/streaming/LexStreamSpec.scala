@@ -59,16 +59,28 @@ class LexStreamSpec extends AnyFunSuite {
     dir
   }
 
-  /** The union corpus's batch-serve rows via a registered query (q148/
+  /** A corpus dir's batch-serve rows via a registered query (q148/
     * q154/q158 — the audited batch paths) with `score` the 4th column.
     */
-  private def batchRows(q: String, score: String)
+  private def batchRowsIn(dir: String, q: String, score: String)
       : Set[(Long, Long, Long, Long)] = {
-    val out = graft.SparkEntry.queries(q)(spark, unionDir)
+    val out = graft.SparkEntry.queries(q)(spark, dir)
       .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
         r.getAs[Long]("doc_id"), r.getAs[Long](score))).toSet
     spark.catalog.clearCache()
     out
+  }
+
+  private def batchRows(q: String, score: String)
+      : Set[(Long, Long, Long, Long)] = batchRowsIn(unionDir, q, score)
+
+  /** A rebuild oracle dir over the union corpus MINUS the given ids —
+    * the takedown tests' ground truth ("as if they never arrived").
+    */
+  private def minusDir(ids: Set[Long]): String = {
+    val dir = Files.createTempDirectory("graft-lexidx-minus").toString
+    df(union.filterNot(t => ids(t._1))).write.parquet(s"$dir/documents.parquet")
+    dir
   }
 
   private def batchServe(): Set[(Long, Long, Long, Long)] =
@@ -220,6 +232,73 @@ class LexStreamSpec extends AnyFunSuite {
         r.getAs[Long]("doc_id"), r.getAs[Long]("phrase_tf"))).toSet
     assert(bi == batchRows("q154_phrase_topk", "phrase_tf"),
       "the stream-maintained positional layer must serve the batch rows")
+  }
+
+  test("takedown: deleteDocs erases a document from the serve — scores, df and corpus scalars included") {
+    val lex = foldFixture()
+    // doc 1 is a top hit for query 0 AND carries zebra/quark/the/here/
+    // now df mass: its erasure must move SCORES (idf/avgdl), not just
+    // drop a row — which only the full rebuild-minus oracle can confirm
+    LexStream.deleteDocs(spark, lex, Seq(1L), "takedown-1")
+    val oracle = batchRowsIn(minusDir(Set(1L)), "q148_bm25_topk", "score_u")
+    val stream = streamServe(lex)
+    assert(oracle.nonEmpty && !oracle.exists(_._3 == 1L))
+    assert(stream == oracle,
+      s"stream-only ${stream -- oracle}; oracle-only ${oracle -- stream}")
+    // a redelivered request replaces itself; a second request accumulates
+    LexStream.deleteDocs(spark, lex, Seq(1L), "takedown-1")
+    assert(streamServe(lex) == oracle, "redelivered request must no-op")
+    LexStream.deleteDocs(spark, lex, Seq(4L, 99L), "takedown-2")
+    val oracle2 = batchRowsIn(minusDir(Set(1L, 4L)), "q148_bm25_topk", "score_u")
+    assert(streamServe(lex) == oracle2,
+      "accumulated takedowns must compose; a never-arrived id must no-op")
+  }
+
+  test("takedown: compaction purges tombstoned rows physically without changing the serve") {
+    val lex = foldFixture()
+    LexStream.deleteDocs(spark, lex, Seq(1L), "t1")
+    LexStream.deleteDocs(spark, lex, Seq(2L), "t2")
+    val oracle = batchRowsIn(minusDir(Set(1L, 2L)), "q148_bm25_topk", "score_u")
+    assert(streamServe(lex) == oracle)
+    assert(LexStream.compactLexIndex(spark, lex, 2L) == 3)
+    // physical erasure: no row of the deleted docs survives anywhere
+    assert(spark.read.parquet(lex)
+      .filter(col("doc_id").isin(1L, 2L)).count() == 0,
+      "compaction must purge tombstoned rows from the consolidated epoch")
+    assert(streamServe(lex) == oracle, "the purge must not change the serve")
+    // tombstone files consolidated to one request dir; ids retained
+    // (they may still mask epochs a compaction did not merge)
+    val f = new org.apache.hadoop.fs.Path(lex)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val reqs = f.listStatus(new org.apache.hadoop.fs.Path(s"$lex/_tombstones"))
+      .map(_.getPath.getName).toSeq
+    assert(reqs == Seq("req=compacted_2"), reqs.toString)
+    // a post-compaction arrival of a tombstoned doc stays masked:
+    // takedown outranks late arrival
+    LexStream.processLexBatch(spark,
+      df(Seq(1L -> "zebra quark the here now")), 3L, lex)
+    assert(streamServe(lex) == oracle,
+      "a tombstoned doc arriving after the purge must stay masked")
+  }
+
+  test("takedown: the positional layer masks and purges under the same tombstone protocol") {
+    val pos = Files.createTempDirectory("graft-posidx-del").toString
+    LexStream.processPosBatch(spark, df(b0), 0L, pos)
+    LexStream.processPosBatch(spark, df(b1), 1L, pos)
+    LexStream.processPosBatch(spark, df(b2), 2L, pos)
+    // doc 1 carries the query-0 bigram "zebra quark": its takedown must
+    // drop it from the phrase serve
+    LexStream.deleteDocs(spark, pos, Seq(1L), "t1")
+    val oracle = batchRowsIn(minusDir(Set(1L)), "q154_phrase_topk", "phrase_tf")
+    def streamRows(): Set[(Long, Long, Long, Long)] =
+      LexStream.posTopDocs(spark, pos, fixtureQueries())
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("phrase_tf"))).toSet
+    assert(oracle.nonEmpty && streamRows() == oracle,
+      s"${streamRows()} vs $oracle")
+    assert(LexStream.compactLexIndex(spark, pos, 2L) == 3)
+    assert(spark.read.parquet(pos).filter(col("doc_id") === 1L).count() == 0)
+    assert(streamRows() == oracle, "the purge must not change the phrase serve")
   }
 
   test("degenerate inputs: term-less queries and an all-null-text corpus serve a defined empty") {
