@@ -55,12 +55,19 @@ object Media {
     }
   }
 
+  /** The media kind of a document id — ONE definition of the derived
+    * modality tag, shared by [[mediaTable]] and the interleaved-pack
+    * token-cost model (q165), so the two cannot drift.
+    */
+  def kindCol(docId: Column): Column =
+    element_at(array(lit("image"), lit("audio"), lit("video")),
+      (docId % 3).cast("int") + 1)
+
   /** The media table: documents as opaque binary payloads + kind tag. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
     Tables.wide(spark, dir, "documents").select(
       col("doc_id").as("media_id"),
-      element_at(array(lit("image"), lit("audio"), lit("video")),
-        (col("doc_id") % 3).cast("int") + 1).as("kind"),
+      kindCol(col("doc_id")).as("kind"),
       col("text").cast("binary").as("payload"))
 
   /** Expression-path stub decode (mirrors [[StubCodec]]). sha2 accepts

@@ -52,7 +52,49 @@ object Multimodal {
       lit(1L << b)).otherwise(lit(0L))
   }.reduce(_ + _)
 
+  /** q165's per-kind placeholder token cost — the fixed sequence budget
+    * an interleaved trainer charges for one media attachment (the
+    // vision-token convention: an image is a constant patch-token
+    * count, audio/video scale up). Keys are exactly
+    * [[Media.kindCol]]'s value space.
+    */
+  private[graft] val MediaTokenCost =
+    Map("image" -> 64L, "audio" -> 128L, "video" -> 256L)
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // interleaved multimodal packing — q72's concat-and-chunk profile
+    // under the interleaved-document cost model: every document charges
+    // its TEXT tokens plus a fixed per-kind placeholder cost for its
+    // media attachment ([[MediaTokenCost]] — the patch-token
+    // convention), so media-only documents (null/empty text — zero text
+    // tokens) still occupy sequence space and PACK, the case the
+    // text-only q72 drops. Rides the SAME audited prefix-sum machinery
+    // ([[Curation.packAssignments]] — bucketed cumsum, no global sort);
+    // the per-chunk profile adds the text/media mass split (started-in-
+    // chunk attribution, q72's convention) a loader uses to budget
+    // vision-encoder batches per sequence. ONE extra doc_id equi-join
+    // stitches the split columns onto the assignment (the shared
+    // machinery deliberately carries only n_tokens).
+    "q165_multimodal_pack" -> ((s, dir) => {
+      val costs = typedLit(MediaTokenCost)
+      val toks = Tables.wide(s, dir, "documents")
+        .select(col("doc_id"),
+          coalesce(size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long"), lit(0L)).as("n_text"),
+          element_at(costs, Media.kindCol(col("doc_id"))).as("n_media"))
+        .withColumn("n_tokens", col("n_text") + col("n_media"))
+        .persist() // released by the consumer's Caches.release hook
+      Curation.packAssignments(toks.select("doc_id", "n_tokens"), 0L)
+        .join(toks.select("doc_id", "n_text", "n_media"), Seq("doc_id"))
+        .groupBy("chunk_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("tokens_started"),
+          sum("n_text").as("text_tokens"),
+          sum("n_media").as("media_tokens"),
+          sum(when(col("last_chunk") > col("chunk_id"), 1L)
+            .otherwise(0L)).as("n_straddlers"))
+    }),
+
     // stub decode: typed metadata from the opaque payload
     "q31_media_decode" -> ((s, dir) => {
       val m = Media.mediaTable(s, dir)
@@ -204,6 +246,34 @@ object Multimodal {
   private val SqlH = "CAST('0x'||substr(sha256(text),1,8) AS BIGINT)"
 
   def oracleSql: Map[String, String] = Map(
+    // the q72 cumsum under the interleaved cost model: text tokens plus
+    // the per-kind placeholder cost (media-only docs still pack), with
+    // the per-chunk text/media mass split
+    "q165_multimodal_pack" ->
+      s"""WITH tk AS (SELECT doc_id,
+         |  COALESCE(len(${TextAnalysis.Toks}), 0) AS n_text,
+         |  CASE CAST(doc_id % 3 AS INT)
+         |    WHEN 0 THEN ${MediaTokenCost("image")}
+         |    WHEN 1 THEN ${MediaTokenCost("audio")}
+         |    ELSE ${MediaTokenCost("video")} END AS n_media
+         |  FROM documents),
+         |t AS (SELECT doc_id, n_text, n_media,
+         |  n_text + n_media AS n_tokens FROM tk),
+         |c AS (SELECT doc_id, n_text, n_media, n_tokens,
+         |  SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT CAST((cum - n_tokens) // ${Curation.PackCapacity} AS BIGINT)
+         |    AS chunk_id,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
+         |  CAST(SUM(n_text) AS BIGINT) AS text_tokens,
+         |  CAST(SUM(n_media) AS BIGINT) AS media_tokens,
+         |  CAST(SUM(CASE WHEN (cum - 1) // ${Curation.PackCapacity}
+         |      > (cum - n_tokens) // ${Curation.PackCapacity} THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_straddlers
+         |FROM c GROUP BY 1""".stripMargin,
+
     "q31_media_decode" ->
       s"""SELECT doc_id AS media_id,
          |  ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,

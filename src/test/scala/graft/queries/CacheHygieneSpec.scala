@@ -48,7 +48,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q140_source_diversity", "q142_discounted_budget", "q147_chunk_mixing",
     "q148_bm25_topk", "q149_hybrid_rrf", "q150_clusters64",
     "q151_survivors64", "q152_retrieval_agreement", "q153_band64_health",
-    "q156_mixture_select", "q157_knn_label_probe", "q164_diverse_topk")
+    "q156_mixture_select", "q157_knn_label_probe", "q164_diverse_topk",
+    "q165_multimodal_pack")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

@@ -49,7 +49,7 @@ class CurationSpec extends AnyFunSuite {
   for (q <- Seq("q56_hash_split", "q57_decontaminate",
       "q58_token_budget", "q59_stratified_sample", "q72_sequence_pack",
       "q79_split_leakage", "q81_epoch_shuffle", "q82_shuffled_pack",
-      "q85_curriculum_order", "q123_shard_plan"))
+      "q85_curriculum_order", "q123_shard_plan", "q165_multimodal_pack"))
     test(s"$q yields a defined empty result on an empty corpus") {
       val dir = corpus(Seq.empty)
       assert(SparkEntry.queries(q)(spark, dir).count() === 0L)
@@ -307,6 +307,28 @@ class CurationSpec extends AnyFunSuite {
     card.foreach { case (s, sp, nd, tt) =>
       assert(tt >= 0L && nd > 0L, s"cell ($s, $sp)")
     }
+  }
+
+  test("q165 interleaved pack: media-only docs occupy sequence space; the split sums are hand-exact") {
+    // kinds cycle image(64)/audio(128)/video(256) by doc_id % 3. Doc 1
+    // is NULL text (0 text tokens) and doc 4 empty text (one "" token —
+    // the tokenizer convention): both are media-only-ish and must still
+    // pack — the case the text-only q72 drops. Hand cumsum over costs
+    // 67,128,257,66,129,257: docs 0-3 start in chunk 0 (doc 3 straddles
+    // at 452+66=518 > 512), docs 4-5 start in chunk 1.
+    val dir = corpus(Seq(
+      (0L, "a b c", "en"), (1L, null, "en"),
+      (2L, "x", "en"), (3L, "one two", "en"),
+      (4L, "", "en"), (5L, "w", "en")))
+    val got = SparkEntry.queries("q165_multimodal_pack")(spark, dir)
+      .collect().map(r => r.getAs[Long]("chunk_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("tokens_started"),
+          r.getAs[Long]("text_tokens"), r.getAs[Long]("media_tokens"),
+          r.getAs[Long]("n_straddlers")))).toMap
+    Caches.release(spark)
+    assert(got == Map(
+      0L -> ((4L, 518L, 6L, 512L, 1L)),
+      1L -> ((2L, 386L, 2L, 384L, 0L))), got.toString)
   }
 
   test("q119 manifest tiles every chunk exactly and reassembles every doc") {

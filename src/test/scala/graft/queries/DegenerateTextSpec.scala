@@ -82,7 +82,10 @@ class DegenerateTextSpec extends AnyFunSuite {
     // the media table derives from documents, so the same degenerate
     // corpus exercises the multimodal operators' empty/null payloads
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
-    "q34_media_resize")
+    "q34_media_resize",
+    // q165 packs EVERY degenerate doc (media cost keeps null text in
+    // the stream) but reports per chunk, not per doc
+    "q165_multimodal_pack")
 
   for (q <- docQueries) test(s"$q survives null/empty/whitespace/short docs") {
     val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
@@ -123,6 +126,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q161_phrase_snippets", // same phrase cut as q154
         "q160_lex_index_card", // one card row by construction
         "q163_retrieval_selfcheck", // one card row by construction
+        "q165_multimodal_pack", // one row per chunk, not per doc
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")

@@ -734,6 +734,15 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q72 persists its token-count projection
   }
 
+  test("q165 interleaved pack: q72's bucketed prefix sum — no single partition") {
+    // the multimodal cost model must not cost the plan its shape: same
+    // partitioned-window prefix sum, no corpus-wide single-task sort
+    val p = execPlan("q165_multimodal_pack")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark) // q165 persists its cost projection
+  }
+
   test("q72 construction runs exactly two bounded driver actions") {
     // the packing's driver half is two accounting reads: the 1-row
     // doc_id range and the ≤PackBuckets bucket totals. A job ceiling
