@@ -1389,6 +1389,54 @@ object TextAnalysis {
           "n_stop_distinct", "pass")
     }),
 
+    // Naive-Bayes quality classifier — classifier INFERENCE at corpus
+    // scale, bootstrapped the way production quality models are: the
+    // cheap rule gate (q45 — ONE definition, referenced not re-derived)
+    // labels the corpus, a token-level model trains in ONE vocabulary
+    // aggregate, and every document scores by the sum of its tokens'
+    // add-one-smoothed class log-likelihood ratios. All integer (the
+    // q61 binary-digit-count floor-log2 — libm never runs):
+    // w(t) = bits(c1+1) − bits(T1+V) − bits(c0+1) + bits(T0+V), where
+    // c1/c0 are t's occurrence counts in pass/fail docs, T1/T0 the
+    // class token masses, V the vocabulary size; nb_score = Σ w over
+    // the doc's token OCCURRENCES, nb_pass = score > 0. Emitting
+    // gate_pass beside nb_pass makes the distillation fidelity
+    // measurable downstream. Untokenizable (null-text) docs keep their
+    // row with null model columns — the q18 convention.
+    //
+    // Shape at 100 TB: the exploded occurrences stage once (persist —
+    // they feed training and scoring); training is one map-side-
+    // combined vocabulary aggregate; the totals fold to a 1-row
+    // broadcast; scoring is the q61 fact⋈vocab equi-join (hot keys are
+    // AQE-skew territory, like any fact-dim join) + one map-combined
+    // per-doc sum. Zero driver actions.
+    "q166_nb_quality" -> ((s, dir) => {
+      val lab = graft.functions.QualityRules.annotate(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("pass"))
+      val t = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .persist() // released by the consumer's Caches.release hook
+      val vc = t.join(lab, Seq("doc_id"))
+        .groupBy("tok").agg(
+          sum(when(col("pass"), 1L).otherwise(0L)).as("c1"),
+          sum(when(col("pass"), 0L).otherwise(1L)).as("c0"))
+      val tot = vc.agg(sum("c1").as("t1"), sum("c0").as("t0"),
+        count(lit(1)).as("v")) // 1 row, lazy
+      def bits(e: String) = s"(length(conv($e, 10, 2)) - 1)"
+      val w = vc.crossJoin(broadcast(tot))
+        .select(col("tok"), expr(
+          s"CAST(${bits("c1 + 1")} - ${bits("t1 + v")} - " +
+            s"${bits("c0 + 1")} + ${bits("t0 + v")} AS BIGINT)").as("w"))
+      val sc = t.join(w, "tok")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("nb_score"))
+      lab.join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("pass").as("gate_pass"),
+          col("n_tokens"), col("nb_score"),
+          when(col("n_tokens").isNotNull, col("nb_score") > 0).as("nb_pass"))
+    }),
+
     // PII-pattern scan: per-document counts of email / URL / IPv4-shaped
     // spans — the detection half of a scrubbing pass (redaction is the
     // same patterns through regexp_replace). Patterns stay inside the
@@ -2887,6 +2935,32 @@ object TextAnalysis {
       s"""WITH $sqlQualityCtes
          |SELECT doc_id, n_words, mean_word_len, frac_alpha, n_stop_distinct, pass
          |FROM qp""".stripMargin,
+
+    // the q45 gate chain labels the occurrences; bin() digit count is
+    // the shared floor-log2 (the q61 convention); SUMs widen to HUGEINT
+    // so the q72 CAST convention applies
+    "q166_nb_quality" ->
+      s"""WITH $sqlQualityCtes,
+         |nt AS (SELECT doc_id, unnest($Toks) AS tok FROM documents),
+         |ntl AS (SELECT nt.doc_id, nt.tok, qp.pass
+         |  FROM nt JOIN qp USING (doc_id)),
+         |nvc AS (SELECT tok,
+         |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |  CAST(SUM(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT) AS c0
+         |  FROM ntl GROUP BY tok),
+         |ntot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+         |  CAST(SUM(c0) AS BIGINT) AS t0,
+         |  CAST(COUNT(*) AS BIGINT) AS v FROM nvc),
+         |nw AS (SELECT tok,
+         |  (length(bin(c1 + 1)) - 1) - (length(bin(t1 + v)) - 1)
+         |  - (length(bin(c0 + 1)) - 1) + (length(bin(t0 + v)) - 1) AS w
+         |  FROM nvc, ntot),
+         |nsc AS (SELECT nt.doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(nw.w) AS BIGINT) AS nb_score
+         |  FROM nt JOIN nw USING (tok) GROUP BY 1)
+         |SELECT qp.doc_id, qp.pass AS gate_pass, nsc.n_tokens, nsc.nb_score,
+         |  CASE WHEN nsc.n_tokens IS NOT NULL THEN nsc.nb_score > 0 END AS nb_pass
+         |FROM qp LEFT JOIN nsc ON nsc.doc_id = qp.doc_id""".stripMargin,
 
     "q55_bloom_admitted" ->
       s"""WITH adm AS (SELECT text FROM documents WHERE lang = 'en'),

@@ -84,8 +84,9 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q31_media_decode", "q32_media_features", "q33_frame_sample",
     "q34_media_resize",
     // q165 packs EVERY degenerate doc (media cost keeps null text in
-    // the stream) but reports per chunk, not per doc
-    "q165_multimodal_pack")
+    // the stream) but reports per chunk, not per doc; q166 emits one
+    // row per doc (null text -> null model columns, gate false)
+    "q165_multimodal_pack", "q166_nb_quality")
 
   for (q <- docQueries) test(s"$q survives null/empty/whitespace/short docs") {
     val rows = graft.SparkEntry.queries(q)(spark, dir).collect()

@@ -867,6 +867,19 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q61 persists its exploded token relation
   }
 
+  test("q166 NB quality: q61's plan family — map-combined aggregates, scalar broadcast, no cartesian") {
+    // train (vocabulary) and score (per-doc sum) both map-side combine;
+    // the 1-row class-totals relation joins back as a broadcast; the
+    // label and vocab stitches are equi-joins
+    val df = SparkEntry.queries("q166_nb_quality")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("Broadcast"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    graft.Caches.release(spark) // q166 persists its exploded occurrences
+  }
+
   test("q88 bigram surprisal: two-phase aggregations, equi-joins only") {
     // both count aggregates map-side combine and the stitch is a pair
     // of equi-joins — never a nested loop over the bigram relation

@@ -32,6 +32,33 @@ class QualityFilterSpec extends AnyFunSuite {
     assert(rows == Map(0L -> true, 1L -> false, 2L -> false, 3L -> false, 4L -> false))
   }
 
+  test("q166 NB distillation: hand-exact scores; token-visible failures flip negative; the length rule is invisible") {
+    // hand arithmetic over this fixture: T1 = 60 (doc 0's tokens),
+    // T0 = 4+52+62+60 = 178, V = 9 distinct tokens, bits(T1+V) = 6,
+    // bits(T0+V) = 7. Per-token w (c1/c0 → bits(c1+1)−6−bits(c0+1)+7):
+    // the/with 10/3 → +2, more 10/1 → +3, here 10/0 → +4, data/words
+    // 10/21 and 10/20 → 0, a 0/50 → −4, 12345 0/60 → −4, code 0/20 →
+    // −3 ⇒ scores 110, 7, −196, −236, −60.
+    // Docs 2/3/4 fail the gate on token-visible evidence (their
+    // mass sits in fail-exclusive tokens) and the model agrees; doc 1
+    // fails ONLY the 50-word length floor — invisible to a bag-of-
+    // tokens model — so nb_pass=true is the structural distillation
+    // error this card exists to surface, not a bug.
+    val rows = graft.SparkEntry.queries("q166_nb_quality")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    graft.Caches.release(spark)
+    assert(rows.size == 5)
+    val scores = rows.view.mapValues(_.getAs[Long]("nb_score")).toMap
+    assert(scores == Map(0L -> 110L, 1L -> 7L, 2L -> -196L,
+      3L -> -236L, 4L -> -60L), scores.toString)
+    val nb = rows.view.mapValues(_.getAs[Boolean]("nb_pass")).toMap
+    assert(nb == Map(0L -> true, 1L -> true, 2L -> false,
+      3L -> false, 4L -> false))
+    val gate = rows.view.mapValues(_.getAs[Boolean]("gate_pass")).toMap
+    assert(gate == Map(0L -> true, 1L -> false, 2L -> false,
+      3L -> false, 4L -> false))
+  }
+
   test("q45 emits the rule inputs it judged by") {
     val r = graft.SparkEntry.queries("q45_quality_filter")(spark, dir)
       .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap
