@@ -1216,6 +1216,29 @@ object Similarity {
           expr("CAST((inter * 1000) div uni AS BIGINT)"))
     }),
 
+    // per-path serve eval card — q163's known-item self-check run over
+    // ALL THREE deployed read paths side by side (lexical BM25,
+    // semantic batched-ANN, hybrid RRF), each on its own production
+    // query sample: the one-screen "which serve path degraded after
+    // this index build" answer. The fold is the SHARED
+    // [[TextAnalysis.selfCheckFold]] (one eval arithmetic, three
+    // serves); each serve is the registered operator itself, so the
+    // card audits the real paths, not reimplementations. Cost = the
+    // three audited serves + three 1-row folds; the union is 3 rows.
+    "q167_serve_eval_card" -> ((s, dir) => {
+      def card(path: String, serve: DataFrame, idCol: String) =
+        TextAnalysis.selfCheckFold(serve, idCol)
+          .select(lit(path).as("path"), col("n_queries"),
+            col("n_self_top1"), col("self_top1_pm"))
+      card("lexical",
+          TextAnalysis.bm25TopDocs(s, dir, TextAnalysis.docModQids(s, dir)),
+          "doc_id")
+        .unionByName(card("semantic",
+          queries("q122_ann_serve_batch")(s, dir), "vec_id"))
+        .unionByName(card("hybrid",
+          queries("q149_hybrid_rrf")(s, dir), "doc_id"))
+    }),
+
     // ANN index-quality audit — recall@10 of the IVF probe against the
     // exact cosine baseline, per sampled query: the eval a production
     // vector store runs after every index rebuild (a quantizer
@@ -2122,6 +2145,31 @@ object Similarity {
     """SELECT doc_a, doc_b, CAST(bit_count(xor(sim_a, sim_b)) AS BIGINT) AS hamming
       |FROM cand WHERE bit_count(xor(sim_a, sim_b)) <= 8""".stripMargin
 
+  /** The complete q149 oracle statement — a val so the serve-eval card
+    * (q167) embeds the IDENTICAL fused-serve text (the
+    * sqlAnnServeBatchSql composition discipline, one level up).
+    */
+  private lazy val sqlHybridRrfSql: String =
+    s"""WITH lex AS (SELECT qid, doc_id, rnk AS lex_rnk FROM
+       |  (${TextAnalysis.sqlBm25TopDocs(
+            """SELECT vec_id AS qid FROM embeddings,
+              |  (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS qmod FROM embeddings) qm
+              |  WHERE vec_id % qmod = 0""".stripMargin)}) bl),
+       |sem AS (SELECT qid, vec_id AS doc_id, rnk AS sem_rnk FROM
+       |  ($sqlAnnServeBatchSql) bs),
+       |f AS (SELECT COALESCE(lex.qid, sem.qid) AS qid,
+       |  COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rnk, sem_rnk
+       |  FROM lex FULL JOIN sem
+       |    ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id),
+       |sc AS (SELECT qid, doc_id, lex_rnk, sem_rnk,
+       |  COALESCE($RrfScale // ($RrfK + lex_rnk), 0) +
+       |  COALESCE($RrfScale // ($RrfK + sem_rnk), 0) AS rrf_u FROM f)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf_u, lex_rnk,
+       |  sem_rnk FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY rrf_u DESC, doc_id) AS rnk FROM sc) r
+       |WHERE rnk <= $RrfTopK""".stripMargin
+
   /** The complete q122 oracle statement — a val so the hybrid-fusion
     * oracle (q149) embeds the IDENTICAL batched-ANN text as a
     * subquery (the sqlJaccardPairsSql composition discipline).
@@ -2297,26 +2345,31 @@ object Similarity {
     // the embedding-modulus sample), so the fusion oracle audits THE
     // two read paths, not reimplementations; the RRF arithmetic is the
     // exact-lcm integer form
-    "q149_hybrid_rrf" ->
-      s"""WITH lex AS (SELECT qid, doc_id, rnk AS lex_rnk FROM
-         |  (${TextAnalysis.sqlBm25TopDocs(
-              """SELECT vec_id AS qid FROM embeddings,
-                |  (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS qmod FROM embeddings) qm
-                |  WHERE vec_id % qmod = 0""".stripMargin)}) bl),
-         |sem AS (SELECT qid, vec_id AS doc_id, rnk AS sem_rnk FROM
-         |  ($sqlAnnServeBatchSql) bs),
-         |f AS (SELECT COALESCE(lex.qid, sem.qid) AS qid,
-         |  COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rnk, sem_rnk
-         |  FROM lex FULL JOIN sem
-         |    ON lex.qid = sem.qid AND lex.doc_id = sem.doc_id),
-         |sc AS (SELECT qid, doc_id, lex_rnk, sem_rnk,
-         |  COALESCE($RrfScale // ($RrfK + lex_rnk), 0) +
-         |  COALESCE($RrfScale // ($RrfK + sem_rnk), 0) AS rrf_u FROM f)
-         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf_u, lex_rnk,
-         |  sem_rnk FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |     ORDER BY rrf_u DESC, doc_id) AS rnk FROM sc) r
-         |WHERE rnk <= $RrfTopK""".stripMargin,
+    "q149_hybrid_rrf" -> sqlHybridRrfSql,
+
+    // all three serve statements embedded VERBATIM (nested-WITH), one
+    // q163 fold per path
+    "q167_serve_eval_card" -> {
+      def fold(path: String, src: String, idCol: String) =
+        s"""SELECT '$path' AS path,
+           |  CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+           |  CAST(COALESCE(SUM(CASE WHEN rnk = 1 AND $idCol = qid
+           |    THEN 1 END), 0) AS BIGINT) AS n_self_top1,
+           |  CAST(CASE WHEN COUNT(DISTINCT qid) >= 1
+           |    THEN (COALESCE(SUM(CASE WHEN rnk = 1 AND $idCol = qid
+           |      THEN 1 END), 0) * 1000) // COUNT(DISTINCT qid) END
+           |    AS BIGINT) AS self_top1_pm
+           |FROM $src""".stripMargin
+      s"""WITH lexserve AS (${TextAnalysis.sqlBm25TopDocs(
+            TextAnalysis.sqlDocModQs)}),
+         |semserve AS ($sqlAnnServeBatchSql),
+         |hybserve AS ($sqlHybridRrfSql)
+         |${fold("lexical", "lexserve", "doc_id")}
+         |UNION ALL
+         |${fold("semantic", "semserve", "vec_id")}
+         |UNION ALL
+         |${fold("hybrid", "hybserve", "doc_id")}""".stripMargin
+    },
 
     // the same two embedded serve statements as q149, folded to the
     // per-qid set-overlap card

@@ -72,6 +72,21 @@ object TextAnalysis {
     * scale (the q95/q122 sampling discipline), mirrored in SQL by
     * [[sqlDocModQs]].
     */
+  /** The known-item self-check fold over any ranked serve (qid, rnk,
+    * <idCol>, …): of the queries that served at all, the per-mille
+    * share retrieving THEMSELVES at rank 1 — ONE definition shared by
+    * q163 (the lexical card) and the per-path serve-eval card (q167 in
+    * [[Similarity]]), so the eval arithmetic cannot drift across paths.
+    */
+  private[queries] def selfCheckFold(serve: DataFrame,
+      idCol: String): DataFrame =
+    serve.agg(count_distinct(col("qid")).as("n_queries"),
+        coalesce(sum(when(col("rnk") === 1 &&
+            col(idCol) === col("qid"), 1L)), lit(0L)).as("n_self_top1"))
+      .select(col("n_queries"), col("n_self_top1"),
+        when(col("n_queries") >= 1,
+          expr("(n_self_top1 * 1000) div n_queries")).as("self_top1_pm"))
+
   private[queries] def docModQids(s: SparkSession, dir: String): DataFrame = {
     val nd = Tables(s, dir, "documents").count()
     val qmod = math.max(5L, (nd + 7) / 8)
@@ -1544,15 +1559,8 @@ object TextAnalysis {
     // share far from 1000 per-mille means scoring/staging broke before
     // any external eval set would say so. One fold over the ≤ sample·k
     // serve output — the serve itself is the only real work.
-    "q163_retrieval_selfcheck" -> ((s, dir) => {
-      bm25TopDocs(s, dir, docModQids(s, dir))
-        .agg(count_distinct(col("qid")).as("n_queries"),
-          coalesce(sum(when(col("rnk") === 1 &&
-              col("doc_id") === col("qid"), 1L)), lit(0L)).as("n_self_top1"))
-        .select(col("n_queries"), col("n_self_top1"),
-          when(col("n_queries") >= 1,
-            expr("(n_self_top1 * 1000) div n_queries")).as("self_top1_pm"))
-    }),
+    "q163_retrieval_selfcheck" -> ((s, dir) =>
+      selfCheckFold(bm25TopDocs(s, dir, docModQids(s, dir)), "doc_id")),
 
     // intra-document repetition card — the Gopher repetition-rule
     // family beside q45's length/alpha/stopword gates: boilerplate and

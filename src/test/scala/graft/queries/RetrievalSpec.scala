@@ -275,6 +275,51 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q167: the per-path eval card carries one row per serve path; the lexical row IS q163's card") {
+    // the q149 fixture (docs + embeddings, vec 0 zero-norm): the card
+    // must emit exactly the three deployed paths, its lexical row must
+    // equal the standalone q163 card (shared fold — no drift), and the
+    // zero-norm query drops from the SEMANTIC sample only (n_queries:
+    // lexical counts it, semantic cannot)
+    import spark.implicits._
+    val dir = corpus(Seq(
+      0L -> "zebra quark the the the",
+      1L -> "zebra quark the here now",
+      2L -> "the the the the the the the the",
+      3L -> "zebra the filler filler",
+      4L -> "alpha beta the",
+      5L -> "gamma delta words here",
+      6L -> "gamma delta other words",
+      7L -> "epsilon words",
+      8L -> "unrelated tokens entirely",
+      9L -> "more filler text rows"))
+    (0L until 10L).map { i =>
+      val v: Seq[java.lang.Float] =
+        if (i == 0L) Seq.fill(64)(java.lang.Float.valueOf(0f))
+        else (1 to 64).map(j =>
+          java.lang.Float.valueOf(math.sin(i * 64 + j).toFloat))
+      (i, v, i.toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val card = graft.SparkEntry.queries("q167_serve_eval_card")(spark, dir)
+      .collect().map(r => r.getAs[String]("path") ->
+        ((r.getAs[Long]("n_queries"), r.getAs[Long]("n_self_top1"),
+          r.getAs[Long]("self_top1_pm")))).toMap
+    val q163 = graft.SparkEntry.queries("q163_retrieval_selfcheck")(spark, dir)
+      .collect() match { case Array(x) =>
+        (x.getAs[Long]("n_queries"), x.getAs[Long]("n_self_top1"),
+          x.getAs[Long]("self_top1_pm")) }
+    graft.Caches.release(spark)
+    assert(card.keySet == Set("lexical", "semantic", "hybrid"), card.toString)
+    assert(card("lexical") == q163,
+      s"the card's lexical row must equal q163: ${card("lexical")} vs $q163")
+    assert(card("lexical")._1 == 2L, "both sampled queries serve lexically")
+    assert(card("semantic")._1 == 1L,
+      "the zero-norm query must drop from the semantic sample only")
+    assert(card("hybrid")._1 == 2L, "the fused path serves both queries")
+    spark.catalog.clearCache()
+  }
+
   test("q149: a query with an invalid vector still serves lexically (query-level single modality)") {
     // the documented full-outer posture one level up: q122 drops a
     // zero-norm query vector from the SEMANTIC side, but the query's
