@@ -1452,6 +1452,33 @@ object TextAnalysis {
           when(col("n_tokens").isNotNull, col("nb_score") > 0).as("nb_pass"))
     }),
 
+    // hashed-bucket NB classifier — q166 over a FIXED-SIZE statistic,
+    // exactly the q109-beside-q106 relationship: tokens hash into
+    // [[NbBuckets]] buckets, the weight table is ≤ NbBuckets rows AT
+    // ANY CORPUS SIZE (broadcastable scoring stitch — q166's vocabulary
+    // join can only shuffle), and the table COLLECTS into the frozen
+    // 8 KiB vector the streaming dual applies to arrivals
+    // ([[graft.streaming.DocStream.nbScored]] — the model serves a
+    // stream the rule gate would have to re-derive per row). On a
+    // collision-free vocabulary the bucket statistics coincide with
+    // q166's exact ones (v = occupied buckets = |vocab|), so q168 ≡
+    // q166 there — spec-pinned; under collisions weights blur exactly
+    // as hashed classifiers accept.
+    "q168_nb_hashed" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lab = graft.functions.QualityRules.annotate(docs)
+        .select(col("doc_id"), col("pass"))
+      val bt = nbBucketTokens(docs)
+        .persist() // feeds training AND the stitch; consumer releases
+      val sc = bt.join(broadcast(nbBucketWeights(bt, lab)), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("nb_score"))
+      lab.join(sc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("pass").as("gate_pass"),
+          col("n_tokens"), col("nb_score"),
+          when(col("n_tokens").isNotNull, col("nb_score") > 0).as("nb_pass"))
+    }),
+
     // PII-pattern scan: per-document counts of email / URL / IPv4-shaped
     // spans — the detection half of a scrubbing pass (redaction is the
     // same patterns through regexp_replace). Patterns stay inside the
@@ -2148,6 +2175,44 @@ object TextAnalysis {
   /** The hashed-bucket token relation q109 and the streaming freeze
     * share: (doc_id, source, b = portableHash60(tok) % [[DsirBuckets]]).
     */
+  /** q168's hashed-bucket width — [[DsirBuckets]]' rationale: 1024
+    * keeps the frozen weight vector at 8 KiB; small test vocabularies
+    * land collision-free (where q168's statistics coincide with q166's
+    * exact ones).
+    */
+  private[graft] val NbBuckets = 1024
+
+  /** q168's token→bucket projection: one row per token OCCURRENCE with
+    * its hashed bucket — the dsirBucketTokens shape without the source
+    * column. Shared with the streaming freeze
+    * ([[graft.streaming.DocStream.nbWeightVector]]) so batch and stream
+    * cannot drift on hashing.
+    */
+  private[graft] def nbBucketTokens(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), (portableHash60(col("tok")) % NbBuckets).as("b"))
+
+  /** Per occupied bucket, q166's class log-likelihood-ratio weight over
+    * bucket counts: w(b) = bits(c1+1) − bits(T1+V) − bits(c0+1) +
+    * bits(T0+V), V = occupied-bucket count (the vocabulary-size
+    * analogue, so the smoothing matches q166's on a collision-free
+    * corpus). ≤ [[NbBuckets]] rows by construction — broadcastable
+    * anywhere, collectable by the streaming freeze.
+    */
+  private[graft] def nbBucketWeights(bt: DataFrame, lab: DataFrame): DataFrame = {
+    val vc = bt.join(lab, Seq("doc_id"))
+      .groupBy("b").agg(
+        sum(when(col("pass"), 1L).otherwise(0L)).as("c1"),
+        sum(when(col("pass"), 0L).otherwise(1L)).as("c0"))
+    val tot = vc.agg(sum("c1").as("t1"), sum("c0").as("t0"),
+      count(lit(1)).as("v")) // 1 row, lazy
+    def bits(e: String) = s"(length(conv($e, 10, 2)) - 1)"
+    vc.crossJoin(broadcast(tot))
+      .select(col("b"), expr(
+        s"CAST(${bits("c1 + 1")} - ${bits("t1 + v")} - " +
+          s"${bits("c0 + 1")} + ${bits("t0 + v")} AS BIGINT)").as("w"))
+  }
+
   private[graft] def dsirBucketTokens(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("source"),
         explode(tokens(col("text"))).as("tok"))
@@ -2898,7 +2963,7 @@ object TextAnalysis {
          |nl AS (SELECT (SELECT COUNT(*) FROM documents) AS n,
          |               (SELECT COUNT(*) FROM t) AS l),
          |agg AS (SELECT COUNT(*) AS n_terms,
-         |  COALESCE(SUM(df), 0) AS n_postings,
+         |  CAST(COALESCE(SUM(df), 0) AS BIGINT) AS n_postings,
          |  COALESCE(MAX(df), 0) AS max_df FROM df),
          |hv AS (SELECT COUNT(*) AS n_heavy FROM df, nl WHERE df > n // 2)
          |SELECT CAST(n AS BIGINT) AS n_docs, CAST(l AS BIGINT) AS n_tokens,
@@ -2966,6 +3031,32 @@ object TextAnalysis {
          |nsc AS (SELECT nt.doc_id, COUNT(*) AS n_tokens,
          |  CAST(SUM(nw.w) AS BIGINT) AS nb_score
          |  FROM nt JOIN nw USING (tok) GROUP BY 1)
+         |SELECT qp.doc_id, qp.pass AS gate_pass, nsc.n_tokens, nsc.nb_score,
+         |  CASE WHEN nsc.n_tokens IS NOT NULL THEN nsc.nb_score > 0 END AS nb_pass
+         |FROM qp LEFT JOIN nsc ON nsc.doc_id = qp.doc_id""".stripMargin,
+
+    // q166's statement with the token space hashed into NbBuckets (the
+    // q109 mirror: SqlHash60 % buckets)
+    "q168_nb_hashed" ->
+      s"""WITH $sqlQualityCtes,
+         |nt AS (SELECT doc_id, ${SqlHash60("tok")} % $NbBuckets AS b FROM
+         |  (SELECT doc_id, unnest($Toks) AS tok FROM documents) u),
+         |ntl AS (SELECT nt.doc_id, nt.b, qp.pass
+         |  FROM nt JOIN qp USING (doc_id)),
+         |nvc AS (SELECT b,
+         |  CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         |  CAST(SUM(CASE WHEN pass THEN 0 ELSE 1 END) AS BIGINT) AS c0
+         |  FROM ntl GROUP BY b),
+         |ntot AS (SELECT CAST(SUM(c1) AS BIGINT) AS t1,
+         |  CAST(SUM(c0) AS BIGINT) AS t0,
+         |  CAST(COUNT(*) AS BIGINT) AS v FROM nvc),
+         |nw AS (SELECT b,
+         |  (length(bin(c1 + 1)) - 1) - (length(bin(t1 + v)) - 1)
+         |  - (length(bin(c0 + 1)) - 1) + (length(bin(t0 + v)) - 1) AS w
+         |  FROM nvc, ntot),
+         |nsc AS (SELECT nt.doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(nw.w) AS BIGINT) AS nb_score
+         |  FROM nt JOIN nw USING (b) GROUP BY 1)
          |SELECT qp.doc_id, qp.pass AS gate_pass, nsc.n_tokens, nsc.nb_score,
          |  CASE WHEN nsc.n_tokens IS NOT NULL THEN nsc.nb_score > 0 END AS nb_pass
          |FROM qp LEFT JOIN nsc ON nsc.doc_id = qp.doc_id""".stripMargin,

@@ -389,6 +389,53 @@ object DocStream {
                           // bloomDecontaminated output convention
   }
 
+  /** The frozen hashed-NB quality model (q168's ≤ NbBuckets weight
+    * table as a dense vector, 0 where no training token landed —
+    * neutral, the [[dsirWeightVector]] posture): trained batch-side
+    * from the reference corpus via the SHARED bucket/weight definitions
+    * ([[graft.queries.TextAnalysis.nbBucketTokens]] /
+    * `nbBucketWeights`), labels from the q45 rule gate — so the stream
+    * applies THE model the batch q168 would, bit-identically.
+    */
+  def nbWeightVector(refDocs: DataFrame): Array[Long] = {
+    val docs = refDocs.select(col("doc_id"), col("text"))
+    val lab = graft.functions.QualityRules.annotate(docs)
+      .select(col("doc_id"), col("pass"))
+    val arr = new Array[Long](graft.queries.TextAnalysis.NbBuckets)
+    graft.queries.TextAnalysis.nbBucketWeights(
+        graft.queries.TextAnalysis.nbBucketTokens(docs), lab)
+      .collect().foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+    arr
+  }
+
+  /** Streaming hashed-NB quality scoring — q168's verdicts over an
+    * unbounded stream against the FROZEN model: this is what the
+    * distillation exists for (the q45 gate needs the full rule chain
+    * per row; the model is one 8 KiB vector lookup per token).
+    * Stateless narrow per-row, the [[dsirScored]] shape: no shuffle, no
+    * state, any output mode; the shared hash/bucket definitions make a
+    * stream score bit-identical to batch q168 over the same corpus.
+    * Untokenizable docs emit n_tokens 0 with null verdict — the batch
+    * left-join convention (batch null n_tokens ≡ stream 0 — both mean
+    * "no evidence", and nb_pass is null in both).
+    */
+  def nbScored(docs: DataFrame, warr: Array[Long]): DataFrame = {
+    val wlit = typedLit(warr.toSeq)
+    val buckets = graft.queries.TextAnalysis.NbBuckets
+    docs.withColumn("tk", tokens(col("text")))
+      .withColumn("n_tokens",
+        when(col("tk").isNotNull, size(col("tk")).cast("long"))
+          .otherwise(lit(0L)))
+      .withColumn("nb_score",
+        coalesce(aggregate(
+          transform(col("tk"), t => element_at(wlit,
+            (portableHash60(t) % buckets + 1).cast("int"))),
+          lit(0L), (acc, x) => acc + x), lit(0L)))
+      .withColumn("nb_pass",
+        when(col("n_tokens") > 0, col("nb_score") > 0))
+      .drop("tk", "text")
+  }
+
   /** Streaming vocabulary-cardinality sketch: q53's HLL register table
     * over an unbounded doc stream, via the SAME
     * [[graft.queries.TextAnalysis.hllRegisters]] definition the batch

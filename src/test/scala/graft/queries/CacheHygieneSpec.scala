@@ -49,7 +49,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q148_bm25_topk", "q149_hybrid_rrf", "q150_clusters64",
     "q151_survivors64", "q152_retrieval_agreement", "q153_band64_health",
     "q156_mixture_select", "q157_knn_label_probe", "q164_diverse_topk",
-    "q165_multimodal_pack", "q166_nb_quality", "q167_serve_eval_card")
+    "q165_multimodal_pack", "q166_nb_quality", "q167_serve_eval_card",
+    "q168_nb_hashed")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

@@ -86,7 +86,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // q165 packs EVERY degenerate doc (media cost keeps null text in
     // the stream) but reports per chunk, not per doc; q166 emits one
     // row per doc (null text -> null model columns, gate false)
-    "q165_multimodal_pack", "q166_nb_quality")
+    "q165_multimodal_pack", "q166_nb_quality", "q168_nb_hashed")
 
   for (q <- docQueries) test(s"$q survives null/empty/whitespace/short docs") {
     val rows = graft.SparkEntry.queries(q)(spark, dir).collect()

@@ -59,6 +59,23 @@ class QualityFilterSpec extends AnyFunSuite {
       3L -> false, 4L -> false))
   }
 
+  test("q168 hashed NB coincides with the exact q166 on a collision-free vocabulary") {
+    // 9 distinct tokens in 1024 buckets: no collisions, so bucket
+    // counts ARE token counts, v = |vocab|, and every score/verdict of
+    // the hashed model must equal the exact one — the q109≡q106 pin
+    // one model family over
+    val exact = graft.SparkEntry.queries("q166_nb_quality")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("nb_score"),
+          r.getAs[Boolean]("nb_pass")))).toMap
+    val hashed = graft.SparkEntry.queries("q168_nb_hashed")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("nb_score"),
+          r.getAs[Boolean]("nb_pass")))).toMap
+    graft.Caches.release(spark)
+    assert(hashed == exact, s"hashed $hashed vs exact $exact")
+  }
+
   test("q45 emits the rule inputs it judged by") {
     val r = graft.SparkEntry.queries("q45_quality_filter")(spark, dir)
       .collect().map(x => x.getAs[Long]("doc_id") -> x).toMap

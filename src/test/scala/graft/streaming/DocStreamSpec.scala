@@ -557,6 +557,51 @@ class DocStreamSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("nbScored streams q168's verdicts against the frozen model vector") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the QualityFilterSpec rule corpus: doc 0 passes the gate, docs
+    // 1-4 fail it in four different ways, doc 5 is null text
+    val passText = Seq.fill(10)("the data with more words here").mkString(" ")
+    val rows = Seq(
+      (0L, passText),
+      (1L, "the data with more"),
+      (2L, "the with " + Seq.fill(50)("a").mkString(" ")),
+      (3L, "the with " + Seq.fill(60)("12345").mkString(" ")),
+      (4L, Seq.fill(20)("data words code").mkString(" ")),
+      (5L, null.asInstanceOf[String]))
+    val dir = java.nio.file.Files.createTempDirectory("graft-nbstream").toString
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val want = graft.SparkEntry.queries("q168_nb_hashed")(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(2)) 0L else r.getLong(2),
+          if (r.isNullAt(3)) 0L else r.getLong(3),
+          if (r.isNullAt(4)) None else Some(r.getBoolean(4))))).toMap
+    graft.Caches.release(spark)
+    val warr = DocStream.nbWeightVector(rows.toDF("doc_id", "text"))
+    assert(warr.length == graft.queries.TextAnalysis.NbBuckets)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = DocStream.nbScored(
+        mem.toDF().toDF("doc_id", "ingest_ts", "text"), warr)
+      .writeStream.format("memory").queryName("nbs").outputMode("append").start()
+    try {
+      // two micro-batches: verdicts must not depend on the boundary
+      mem.addData(rows.take(3).map { case (id, t) => (id, ts(id), t) })
+      q.processAllAvailable()
+      mem.addData(rows.drop(3).map { case (id, t) => (id, ts(id), t) })
+      q.processAllAvailable()
+      val got = spark.table("nbs")
+        .select("doc_id", "n_tokens", "nb_score", "nb_pass")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getBoolean(3))))).toMap
+      assert(got == want,
+        s"stream verdicts must match batch q168: got $got want $want")
+      assert(spark.table("nbs").columns.toSeq ==
+        Seq("doc_id", "ingest_ts", "n_tokens", "nb_score", "nb_pass"))
+    } finally q.stop()
+  }
+
   test("sourceTokenCounts streams q100's count state; driftFromCounts replays the report") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
