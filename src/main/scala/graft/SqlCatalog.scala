@@ -58,7 +58,32 @@ object SqlCatalog {
 
   val ViewNames: Seq[String] = Seq("graft_ivfpq_index", "graft_centroids",
     "graft_band_index", "graft_pack_manifest", "graft_lex_postings",
-    "graft_lex_doclen", "graft_lex_df", "graft_lex_stats")
+    "graft_lex_doclen", "graft_lex_df", "graft_lex_stats", "graft_nb_model")
+
+  /** A complete hashed-NB quality-scoring statement over
+    * `graft_nb_model` (q168's trained ≤ 1024-row weight table) — score
+    * any (doc_id BIGINT, text STRING) relation in pure SQL with the
+    * model the Scala paths trained: token → 60-bit portable hash →
+    * bucket → weight, summed per document; untokenizable docs keep
+    * their row with null model columns (q168's left-join convention).
+    * The bucket arithmetic is the engine's `portableHash60 %
+    * NbBuckets` spelled in native SQL (sha2 hex prefix via conv), so
+    * the statement hash-matches q168's n_tokens/nb_score/nb_pass on
+    * the same corpus (SqlCatalogSpec pins it).
+    */
+  def nbSql(docview: String): String =
+    s"""WITH toks AS (SELECT doc_id,
+       |    explode(split(lower(trim(text)), '\\\\s+')) AS tok
+       |  FROM $docview WHERE text IS NOT NULL),
+       |bt AS (SELECT doc_id,
+       |  CAST(conv(substring(sha2(tok, 256), 1, 15), 16, 10) AS BIGINT)
+       |    % ${queries.TextAnalysis.NbBuckets} AS b FROM toks),
+       |sc AS (SELECT bt.doc_id, COUNT(*) AS n_tokens,
+       |  SUM(m.w) AS nb_score
+       |  FROM bt JOIN graft_nb_model m USING (b) GROUP BY bt.doc_id)
+       |SELECT d.doc_id, sc.n_tokens, sc.nb_score,
+       |  CASE WHEN sc.n_tokens IS NOT NULL THEN sc.nb_score > 0 END AS nb_pass
+       |FROM $docview d LEFT JOIN sc USING (doc_id)""".stripMargin
 
   /** A complete BM25 top-k statement over the lexical catalog views —
     * the serve path as ONE composable SQL text (the r13 gap: the views
@@ -132,6 +157,14 @@ object SqlCatalog {
     // no documents scan
     Seq((n, l, math.max(1L, l / math.max(1L, n))))
       .toDF("n", "l", "a").createOrReplaceTempView("graft_lex_stats")
+    // the trained hashed-NB quality model (q168): ≤ NbBuckets rows —
+    // the broadcastable weight table [[nbSql]] scores any document
+    // relation against
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    queries.TextAnalysis.nbBucketWeights(
+        queries.TextAnalysis.nbBucketTokens(docs),
+        functions.QualityRules.annotate(docs).select(col("doc_id"), col("pass")))
+      .createOrReplaceTempView("graft_nb_model")
     ViewNames
   }
 }

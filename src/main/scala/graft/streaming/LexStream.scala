@@ -218,6 +218,41 @@ object LexStream {
         qp, k)
   }
 
+  /** One-row observability card for an accumulated index root — the
+    * ops read an index owner checks between serves (the q160 posture
+    * for the INCREMENTAL substrate, where the staged card cannot see
+    * epochs, markers, or takedowns): live stream epochs, whether a
+    * consolidated epoch exists, the compaction watermark, row counts by
+    * layer (postings vs the reserved stat partition — 0 on a positional
+    * root, which carries no stats), and the takedown posture (request
+    * files and distinct masked ids). Costs ONE pruned-column scan of
+    * the index plus the bounded tombstone read; serves nothing itself,
+    * so it is spec-verified against hand-built index states rather than
+    * a DuckDB oracle (the accumulated roots exist only at runtime).
+    */
+  def indexCard(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    val epochs = BatchProtocol.epochIds(spark, indexPath)
+    val wm = BatchProtocol.compactedThrough(spark, indexPath)
+    val (post, stat) = {
+      val r = spark.read.parquet(indexPath)
+        .agg(sum(when(col("tb") =!= StatBucket, 1L).otherwise(0L)),
+          sum(when(col("tb") === StatBucket, 1L).otherwise(0L))).head
+      (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+        Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    }
+    val (nReq, nTomb) = Tombstones.ids(spark, indexPath, "doc_id") match {
+      case None => (0L, 0L)
+      case Some(t) =>
+        (t.select(input_file_name()).distinct().count(),
+          t.distinct().count())
+    }
+    Seq((epochs.count(_ >= 0).toLong, epochs.exists(_ < 0), wm,
+      post, stat, nReq, nTomb))
+      .toDF("n_stream_epochs", "has_consolidated", "compacted_through",
+        "n_postings_rows", "n_stat_rows", "n_tomb_files", "n_tomb_ids")
+  }
+
   /** The accumulated index's doc-stat partition (one row per arrived
     * document) — `tb = -1` hits only the partition column, so the scan
     * reads no postings bucket.

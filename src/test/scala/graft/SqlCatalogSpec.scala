@@ -127,6 +127,29 @@ class SqlCatalogSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("pure-SQL hashed-NB scoring over the model view hash-matches q168") {
+    names
+    // score the corpus itself through the catalog: every doc's
+    // n_tokens/nb_score/nb_pass must equal the registered operator's
+    // (the statement spells portableHash60 % NbBuckets in native SQL)
+    Tables(spark, dir, "documents").select("doc_id", "text")
+      .createOrReplaceTempView("d_ext")
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[Long]("doc_id"),
+      if (r.isNullAt(1)) null else r.getAs[Long]("n_tokens"),
+      if (r.isNullAt(2)) null else r.getAs[Long]("nb_score"),
+      if (r.isNullAt(3)) null else r.getAs[Boolean]("nb_pass"))
+    val sql = spark.sql(SqlCatalog.nbSql("d_ext"))
+      .select("doc_id", "n_tokens", "nb_score", "nb_pass")
+      .collect().map(key).toSet
+    val scala = SparkEntry.queries("q168_nb_hashed")(spark, dir)
+      .select("doc_id", "n_tokens", "nb_score", "nb_pass")
+      .collect().map(key).toSet
+    graft.Caches.release(spark)
+    assert(sql.nonEmpty && sql == scala,
+      s"sql-only ${(sql -- scala).take(3)}; scala-only ${(scala -- sql).take(3)}")
+    spark.catalog.clearCache()
+  }
+
   test("manifest view exposes q119's loader artifact") {
     names
     val rows = spark.sql(

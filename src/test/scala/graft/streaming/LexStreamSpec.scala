@@ -301,6 +301,40 @@ class LexStreamSpec extends AnyFunSuite {
     assert(streamRows() == oracle, "the purge must not change the phrase serve")
   }
 
+  test("indexCard reads the accumulated index's state through fold, takedown, and compaction") {
+    val lex = foldFixture()
+    def card() = LexStream.indexCard(spark, lex).collect()(0)
+    val c0 = card()
+    assert(c0.getAs[Long]("n_stream_epochs") == 3L &&
+      !c0.getAs[Boolean]("has_consolidated") &&
+      c0.getAs[Long]("compacted_through") == -1L, c0.toString)
+    // one stat row per arrived doc (12, null text included); postings
+    // rows = distinct (doc, term) pairs > 0
+    assert(c0.getAs[Long]("n_stat_rows") == 12L &&
+      c0.getAs[Long]("n_postings_rows") > 0L, c0.toString)
+    assert(c0.getAs[Long]("n_tomb_files") == 0L &&
+      c0.getAs[Long]("n_tomb_ids") == 0L)
+    LexStream.deleteDocs(spark, lex, Seq(1L), "t1")
+    LexStream.deleteDocs(spark, lex, Seq(1L, 2L), "t2")
+    val c1 = card()
+    // requests overlap on id 1: two files, two DISTINCT masked ids;
+    // row counts are PHYSICAL (masking hides rows from serves, not
+    // from the card's accounting)
+    assert(c1.getAs[Long]("n_tomb_files") == 2L &&
+      c1.getAs[Long]("n_tomb_ids") == 2L, c1.toString)
+    assert(c1.getAs[Long]("n_stat_rows") == 12L)
+    assert(LexStream.compactLexIndex(spark, lex, 2L) == 3)
+    val c2 = card()
+    assert(c2.getAs[Long]("n_stream_epochs") == 0L &&
+      c2.getAs[Boolean]("has_consolidated") &&
+      c2.getAs[Long]("compacted_through") == 2L, c2.toString)
+    // the purge removed docs 1/2's stat rows; tombstones consolidated
+    // to one file, ids retained
+    assert(c2.getAs[Long]("n_stat_rows") == 10L, c2.toString)
+    assert(c2.getAs[Long]("n_tomb_files") == 1L &&
+      c2.getAs[Long]("n_tomb_ids") == 2L, c2.toString)
+  }
+
   test("degenerate inputs: term-less queries and an all-null-text corpus serve a defined empty") {
     import spark.implicits._
     val lex = foldFixture()
