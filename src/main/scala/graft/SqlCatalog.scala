@@ -61,7 +61,7 @@ object SqlCatalog {
     "graft_lex_doclen", "graft_lex_df", "graft_lex_stats", "graft_nb_model")
 
   /** A complete hashed-NB quality-scoring statement over
-    * `graft_nb_model` (q168's trained ≤ 1024-row weight table) — score
+    * `graft_nb_model` (q168's trained ≤ NbBuckets-row weight table) — score
     * any (doc_id BIGINT, text STRING) relation in pure SQL with the
     * model the Scala paths trained: token → 60-bit portable hash →
     * bucket → weight, summed per document; untokenizable docs keep

@@ -1457,7 +1457,7 @@ object TextAnalysis {
     // [[NbBuckets]] buckets, the weight table is ≤ NbBuckets rows AT
     // ANY CORPUS SIZE (broadcastable scoring stitch — q166's vocabulary
     // join can only shuffle), and the table COLLECTS into the frozen
-    // 8 KiB vector the streaming dual applies to arrivals
+    // 512 KiB vector the streaming dual applies to arrivals
     // ([[graft.streaming.DocStream.nbScored]] — the model serves a
     // stream the rule gate would have to re-derive per row). On a
     // collision-free vocabulary the bucket statistics coincide with
@@ -2175,22 +2175,35 @@ object TextAnalysis {
   /** The hashed-bucket token relation q109 and the streaming freeze
     * share: (doc_id, source, b = portableHash60(tok) % [[DsirBuckets]]).
     */
-  /** q168's hashed-bucket width — [[DsirBuckets]]' rationale: 1024
-    * keeps the frozen weight vector at 8 KiB; small test vocabularies
-    * land collision-free (where q168's statistics coincide with q166's
-    * exact ones).
+  /** q168's hashed-bucket width. 65536 (a 512 KiB frozen vector — still
+    * broadcast-trivial) and NOT DsirBuckets' 1024, for a MEASURED
+    * reason (CompositeScaleSpec's two 50k regimes): when class signal
+    * is DISTRIBUTED over many tokens, hashing costs nothing at either
+    * width (50000/50000 gate agreement even at 1024); when it
+    * CONCENTRATES in a few features (the gate's two stopwords), 1024
+    * buckets dilute them below the ~0-weight bulk and the pass class
+    * collapses — and even at 65536 a single unlucky collision halves a
+    * load-bearing feature's weight (measured: "with" 13 → 4). The wide
+    * table minimizes that collision PROBABILITY (~3% per feature at a
+    * 2k vocabulary, shrinking with width); it cannot remove it — a
+    * concentrated-signal deployment should use the exact q166 or audit
+    * its feature buckets. Importance weights (q109) tolerate blur;
+    * classification boundaries only tolerate it under distributed
+    * signal.
     */
-  private[graft] val NbBuckets = 1024
+  private[graft] val NbBuckets = 65536
 
   /** q168's token→bucket projection: one row per token OCCURRENCE with
     * its hashed bucket — the dsirBucketTokens shape without the source
     * column. Shared with the streaming freeze
     * ([[graft.streaming.DocStream.nbWeightVector]]) so batch and stream
-    * cannot drift on hashing.
+    * cannot drift on hashing. `width` exists for the scale sweep's
+    * dilution measurement; production paths use the default.
     */
-  private[graft] def nbBucketTokens(docs: DataFrame): DataFrame =
+  private[graft] def nbBucketTokens(docs: DataFrame,
+      width: Int = NbBuckets): DataFrame =
     docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .select(col("doc_id"), (portableHash60(col("tok")) % NbBuckets).as("b"))
+      .select(col("doc_id"), (portableHash60(col("tok")) % width).as("b"))
 
   /** Per occupied bucket, q166's class log-likelihood-ratio weight over
     * bucket counts: w(b) = bits(c1+1) − bits(T1+V) − bits(c0+1) +

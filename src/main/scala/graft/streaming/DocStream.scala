@@ -390,7 +390,7 @@ object DocStream {
   }
 
   /** The frozen hashed-NB quality model (q168's ≤ NbBuckets weight
-    * table as a dense vector, 0 where no training token landed —
+    * table as a dense 512 KiB vector, 0 where no training token landed —
     * neutral, the [[dsirWeightVector]] posture): trained batch-side
     * from the reference corpus via the SHARED bucket/weight definitions
     * ([[graft.queries.TextAnalysis.nbBucketTokens]] /
@@ -411,7 +411,7 @@ object DocStream {
   /** Streaming hashed-NB quality scoring — q168's verdicts over an
     * unbounded stream against the FROZEN model: this is what the
     * distillation exists for (the q45 gate needs the full rule chain
-    * per row; the model is one 8 KiB vector lookup per token).
+    * per row; the model is one frozen-vector lookup per token).
     * Stateless narrow per-row, the [[dsirScored]] shape: no shuffle, no
     * state, any output mode; the shared hash/bucket definitions make a
     * stream score bit-identical to batch q168 over the same corpus.

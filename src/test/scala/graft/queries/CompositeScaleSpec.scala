@@ -252,6 +252,107 @@ class CompositeScaleSpec extends AnyFunSuite {
           } => f
     }
 
+  /** q166/q168's second 50k corpus: even docs pass the gate (62 alpha
+    * words incl. the two required stopwords), odd docs fail it (40
+    * words, no stopwords) — the shared fixture's random tokens carry
+    * no stopwords, so ITS gate is all-fail (degenerate training). Body
+    * tokens draw from `lo until hi` of a 2k vocabulary per class, so
+    * the two regimes below differ ONLY in how concentrated the class
+    * signal is.
+    */
+  private def nbCorpus(passRange: (Int, Int), failRange: (Int, Int)): String = {
+    val d2 = java.nio.file.Files.createTempDirectory("graft-scale-nb").toString
+    val rnd = new scala.util.Random(13)
+    val vocab = (0 until 2000).map(i => s"w$i")
+    def draw(r: (Int, Int)) = vocab(r._1 + rnd.nextInt(r._2 - r._1))
+    val s = spark
+    import s.implicits._
+    (0 until 50000).map { i =>
+      val t = if (i % 2 == 0)
+        ("the" +: "with" +: Seq.fill(60)(draw(passRange))).mkString(" ")
+      else Seq.fill(40)(draw(failRange)).mkString(" ")
+      (i.toLong, t)
+    }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    d2
+  }
+
+  private def nbVerdicts(q: String, dir: String): Map[Long, Boolean] = {
+    val m = SparkEntry.queries(q)(spark, dir)
+      .select("doc_id", "nb_pass").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    Caches.release(spark)
+    m
+  }
+
+  private def nbVerdictsAtWidth(dir: String, width: Int): Map[Long, Boolean] = {
+    val docs = graft.Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val lab = graft.functions.QualityRules.annotate(docs)
+      .select(col("doc_id"), col("pass"))
+    val bt = graft.queries.TextAnalysis.nbBucketTokens(docs, width)
+    val m = bt.join(broadcast(
+        graft.queries.TextAnalysis.nbBucketWeights(bt, lab)), "b")
+      .groupBy("doc_id").agg(sum("w").as("nb_score"))
+      .select(col("doc_id"), (col("nb_score") > 0).as("nb_pass"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    Caches.release(spark)
+    m
+  }
+
+  private def gateAgree(m: Map[Long, Boolean]): Int =
+    m.count { case (id, p) => p == (id % 2 == 0) }
+
+  test("q166/q168 at 50k docs, distributed signal: hashing costs nothing at either width") {
+    // DISTRIBUTED class signal — the realistic quality-model regime:
+    // pass bodies draw w0..w1199, fail bodies w800..w1999 (a 400-token
+    // ambiguous overlap), so ~2/3 of every doc's tokens are strongly
+    // class-informative and margins dwarf per-token perturbation.
+    // MEASURED: exact, hashed@65536 AND hashed@1024 all read
+    // 50000/50000 gate agreement — bucket mixing blurs individual
+    // weights (62 token weights differ at the shipped width) but wide
+    // margins absorb it completely. Bars at 49500 = seed-drift floor.
+    val d2 = nbCorpus((0, 1200), (800, 2000))
+    val exact = nbVerdicts("q166_nb_quality", d2)
+    val hashed = nbVerdicts("q168_nb_hashed", d2)
+    val h1024 = nbVerdictsAtWidth(d2, 1024)
+    assert(exact.size == 50000 && hashed.size == 50000)
+    assert(gateAgree(exact) >= 49500, s"exact ${gateAgree(exact)}")
+    assert(gateAgree(hashed) >= 49500, s"hashed ${gateAgree(hashed)}")
+    assert(gateAgree(h1024) >= 49500, s"hashed@1024 ${gateAgree(h1024)}")
+  }
+
+  test("q166/q168 at 50k docs, concentrated signal: hashing is exposed at any width — the documented limit") {
+    // CONCENTRATED signal — both classes draw the SAME full vocabulary,
+    // so the gate's two stopwords carry ALL the separation (+13 each)
+    // and every other token is ~0-weight boundary noise. MEASURED:
+    //   - exact/gate agreement 48363/50000 (the ~3% noise floor of a
+    //     bag-of-tokens model on boundary-sitting fail docs);
+    //   - at width 1024 the stopword buckets each absorb ~2 random
+    //     tokens, their weights dilute toward the bulk, and the pass
+    //     class COLLAPSES: 3118/25000 verdicts agree with exact;
+    //   - at the shipped 65536, ONE collision ("with" hashed beside a
+    //     random token; weight 13 → 4-5) still halves the margin and
+    //     costs ~16k boundary verdicts (gate agreement 32272/50000) —
+    //     a wider table lowers the PROBABILITY of that collision, it
+    //     cannot remove it.
+    // The operator-level conclusion this pins: hashed distillation
+    // (q168 / the frozen streaming scorer) is safe when class signal is
+    // distributed (test above) and must NOT be trusted when the signal
+    // concentrates in a handful of features — there the exact q166 (or
+    // a per-feature collision audit) is the correct tool. Bars are
+    // regression floors/ceilings around the measurements.
+    val d2 = nbCorpus((0, 2000), (0, 2000))
+    val exact = nbVerdicts("q166_nb_quality", d2)
+    assert(gateAgree(exact) >= 47500, s"exact ${gateAgree(exact)}")
+    val h1024 = nbVerdictsAtWidth(d2, 1024)
+    val agreePass1024 = exact.count { case (id, p) =>
+      id % 2 == 0 && h1024(id) == p }
+    assert(agreePass1024 <= 10000,
+      s"width-1024 pass-class agreement $agreePass1024/25000 — the " +
+        "dilution finding may be stale")
+  }
+
   test("q148 at 50k docs: serve cost tracks the query terms' postings, never the corpus; cuts hold") {
     // the staged-index discipline AT SCALE: the ~8 sampled queries cap
     // at ≤ 16 terms each, so the candidate fetch may output only those
