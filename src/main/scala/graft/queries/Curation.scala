@@ -735,6 +735,59 @@ object Curation {
       packProfile(packAssignments(toks, 0L))
     }),
 
+    // chunk-level curriculum — the loader-facing composition of the
+    // pack manifest and the quality gate: training schedulers order
+    // CHUNKS (the unit a loader fetches), not documents, so the
+    // document-level curriculum (q85) needs this final projection. Per
+    // chunk: span-token mass from gate-passing docs as an integer
+    // per-mille share (the q45 gate — ONE definition, referenced), and
+    // the global easy-first position (pass_pm DESC, chunk_id). Plan
+    // shape: the shared manifest explode + ONE map-combined chunk
+    // aggregate; the GLOBAL rank rides the q85 cell decomposition with
+    // pass_pm ITSELF as the cell (≤ 1001 values — a bounded driver
+    // read of the cell counts + in-cell partitioned ROW_NUMBER), never
+    // a corpus-wide single-partition sort.
+    "q169_chunk_curriculum" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .persist() // released by the consumer's Caches.release hook
+      val lab = graft.functions.QualityRules.annotate(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("pass"))
+      val ch = manifestRows(packAssignments(toks, 0L))
+        .join(lab, Seq("doc_id"))
+        .groupBy("chunk_id").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_span_tokens").as("chunk_tokens"),
+          sum(when(col("pass"), col("n_span_tokens")).otherwise(0L))
+            .as("pass_tokens"))
+        // chunks exist only where spans do, so chunk_tokens ≥ 1 and the
+        // ANSI div is safe; non-negative operands, floor ≡ truncate
+        .withColumn("pass_pm", expr("(pass_tokens * 1000) div chunk_tokens"))
+        .persist() // feeds the cell counts AND the final plan
+      val cells = ch.groupBy("pass_pm").agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getLong(0).toInt, r.getLong(1))).toSeq
+      if (cells.isEmpty)
+        ch.select(col("chunk_id"), col("n_docs"), col("chunk_tokens"),
+          col("pass_tokens"), col("pass_pm"),
+          lit(0L).as("curriculum_pos")).limit(0)
+      else {
+        // easy-first: offsets cumulate over cells DESCENDING in pass_pm
+        // (negate the key so the shared ascending-offsets helper walks
+        // the intended direction)
+        val off = exclusiveOffsets(cells.map { case (c, n) => (-c, n) })
+          .map { case (nc, o) => (-nc, o) }
+        val w = Window.partitionBy("pass_pm").orderBy("chunk_id")
+        ch.withColumn("rn", row_number().over(w).cast("long"))
+          .withColumn("curriculum_pos",
+            col("rn") + element_at(typedLit(off), col("pass_pm").cast("int")))
+          .select("chunk_id", "n_docs", "chunk_tokens", "pass_tokens",
+            "pass_pm", "curriculum_pos")
+      }
+    }),
+
     // source × split dataset-card matrix — the table a data statement
     // publishes (q80 profiles sources, q112 audits the pipeline funnel;
     // this is the final composition card): per (source, q56 split),
@@ -1841,6 +1894,37 @@ object Curation {
          |  FROM documents),
          |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
          |${sqlPackTail()}""".stripMargin,
+
+    // the quality gate chain + the shared manifest explode composed:
+    // per-chunk pass-token share and the naive global easy-first rank
+    // (the oracle may single-sort; the engine's rank is cell-bucketed)
+    "q169_chunk_curriculum" ->
+      s"""WITH ${TextAnalysis.sqlQualityCtes},
+         |ptk AS (SELECT doc_id, len(${TextAnalysis.Toks}) AS n_tokens
+         |  FROM documents),
+         |pt AS (SELECT doc_id, n_tokens FROM ptk WHERE n_tokens > 0),
+         |c AS (SELECT doc_id, n_tokens,
+         |  CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM pt),
+         |${sqlManifestX()},
+         |chz AS (SELECT x.chunk_id,
+         |  LEAST(de, (chunk_id+1)*$PackCapacity)
+         |    - GREATEST(ds, chunk_id*$PackCapacity) AS sp, qp.pass
+         |  FROM x JOIN qp USING (doc_id)),
+         |chq AS (SELECT chunk_id, COUNT(*) AS n_docs,
+         |  CAST(SUM(sp) AS BIGINT) AS chunk_tokens,
+         |  CAST(SUM(CASE WHEN pass THEN sp ELSE 0 END) AS BIGINT)
+         |    AS pass_tokens
+         |  FROM chz GROUP BY chunk_id),
+         |pmv AS (SELECT chunk_id, n_docs, chunk_tokens, pass_tokens,
+         |  CAST((pass_tokens * 1000) // chunk_tokens AS BIGINT) AS pass_pm
+         |  FROM chq)
+         |SELECT CAST(chunk_id AS BIGINT) AS chunk_id, n_docs, chunk_tokens,
+         |  pass_tokens, pass_pm,
+         |  CAST(ROW_NUMBER() OVER (ORDER BY pass_pm DESC, chunk_id)
+         |    AS BIGINT) AS curriculum_pos
+         |FROM pmv""".stripMargin,
 
     // shared split thresholds inline, null text folds to 0 tokens
     "q120_source_split_card" ->

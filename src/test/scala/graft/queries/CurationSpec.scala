@@ -49,7 +49,8 @@ class CurationSpec extends AnyFunSuite {
   for (q <- Seq("q56_hash_split", "q57_decontaminate",
       "q58_token_budget", "q59_stratified_sample", "q72_sequence_pack",
       "q79_split_leakage", "q81_epoch_shuffle", "q82_shuffled_pack",
-      "q85_curriculum_order", "q123_shard_plan", "q165_multimodal_pack"))
+      "q85_curriculum_order", "q123_shard_plan", "q165_multimodal_pack",
+      "q169_chunk_curriculum"))
     test(s"$q yields a defined empty result on an empty corpus") {
       val dir = corpus(Seq.empty)
       assert(SparkEntry.queries(q)(spark, dir).count() === 0L)
@@ -307,6 +308,28 @@ class CurationSpec extends AnyFunSuite {
     card.foreach { case (s, sp, nd, tt) =>
       assert(tt >= 0L && nd > 0L, s"cell ($s, $sp)")
     }
+  }
+
+  test("q169 chunk curriculum: pass shares and positions are hand-exact; clean chunks schedule first") {
+    // docs 0-4 pass the gate (62 alpha words incl. the/with), docs 5-9
+    // fail it (62 numeric tokens — alpha rule). All docs are 62 tokens,
+    // so the cumsum is 620 over two chunks: chunk 0 = docs 0-7 full +
+    // 16 of doc 8 (512 tokens, 310 of them from pass docs -> 605 pm),
+    // chunk 1 = doc 8's 46-token remainder + doc 9 (108 tokens, 0 pm).
+    // The clean chunk takes curriculum position 1.
+    val passT = "the with " + Seq.fill(60)("data").mkString(" ")
+    val failT = Seq.fill(62)("12345").mkString(" ")
+    val dir = corpus((0L until 10L).map(i =>
+      (i, if (i < 5) passT else failT, "en")))
+    val got = SparkEntry.queries("q169_chunk_curriculum")(spark, dir)
+      .collect().map(r => r.getAs[Long]("chunk_id") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("chunk_tokens"),
+          r.getAs[Long]("pass_tokens"), r.getAs[Long]("pass_pm"),
+          r.getAs[Long]("curriculum_pos")))).toMap
+    Caches.release(spark)
+    assert(got == Map(
+      0L -> ((9L, 512L, 310L, 605L, 1L)),
+      1L -> ((2L, 108L, 0L, 0L, 2L))), got.toString)
   }
 
   test("q165 interleaved pack: media-only docs occupy sequence space; the split sums are hand-exact") {

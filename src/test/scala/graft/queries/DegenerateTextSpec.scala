@@ -86,7 +86,8 @@ class DegenerateTextSpec extends AnyFunSuite {
     // q165 packs EVERY degenerate doc (media cost keeps null text in
     // the stream) but reports per chunk, not per doc; q166 emits one
     // row per doc (null text -> null model columns, gate false)
-    "q165_multimodal_pack", "q166_nb_quality", "q168_nb_hashed")
+    "q165_multimodal_pack", "q166_nb_quality", "q168_nb_hashed",
+    "q169_chunk_curriculum")
 
   for (q <- docQueries) test(s"$q survives null/empty/whitespace/short docs") {
     val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
@@ -128,6 +129,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q160_lex_index_card", // one card row by construction
         "q163_retrieval_selfcheck", // one card row by construction
         "q165_multimodal_pack", // one row per chunk, not per doc
+        "q169_chunk_curriculum", // one row per chunk, not per doc
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")

@@ -743,6 +743,16 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q165 persists its cost projection
   }
 
+  test("q169 chunk curriculum: the global rank is cell-bucketed — no single partition") {
+    // pass_pm is the rank's cell decomposition (≤ 1001 values): the
+    // position must come from an in-cell partitioned window + driver
+    // offsets, never a corpus-wide single-task ORDER BY
+    val p = execPlan("q169_chunk_curriculum")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark)
+  }
+
   test("q72 construction runs exactly two bounded driver actions") {
     // the packing's driver half is two accounting reads: the 1-row
     // doc_id range and the ≤PackBuckets bucket totals. A job ceiling
