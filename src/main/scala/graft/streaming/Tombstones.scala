@@ -53,6 +53,43 @@ object Tombstones {
       .write.mode("overwrite").parquet(s"${tombRoot(indexPath)}/req=$requestId")
   }
 
+  /** One micro-batch of streaming takedown requests, exactly-once per
+    * `batchId`: the batch's distinct ids land under requestId
+    * `stream-<batchId>` in EVERY given index root — [[delete]]'s
+    * request-identity contract makes redelivery self-replacing (same
+    * batch → same rows, overwrite), and a crash between two roots just
+    * redelivers into both (idempotent). The collect is request-sized
+    * by nature — a takedown batch is a list of ids, not a corpus; the
+    * write it feeds is one tiny file per root.
+    */
+  def processDeleteBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, indexPaths: Seq[String],
+      keyCol: String = "doc_id"): Unit = {
+    val ids = batch.select(keyCol).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    if (ids.nonEmpty)
+      indexPaths.foreach(p =>
+        delete(spark, p, ids, s"stream-$batchId", keyCol))
+  }
+
+  /** Streaming takedown ingestion: a stream of deletion requests (one
+    * `keyCol` id per row) folds into the tombstone relations of the
+    * given index roots — the arrival path for takedown/GDPR queues,
+    * beside the out-of-band [[delete]] API. Each serve over those
+    * roots masks the ids from its next read on; the next compaction
+    * purges physically.
+    */
+  def runDeletes(requests: DataFrame, indexPaths: Seq[String],
+      checkpoint: String, keyCol: String = "doc_id")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    requests.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processDeleteBatch(batch.sparkSession, batch, batchId,
+          indexPaths, keyCol)
+      }
+      .start()
+
   /** The accumulated tombstone ids of an index root (None if no takedown
     * ever landed). Duplicate ids across requests are fine — the readers
     * anti-join, for which duplicates are verdict-neutral.

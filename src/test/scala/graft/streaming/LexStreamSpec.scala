@@ -301,6 +301,46 @@ class LexStreamSpec extends AnyFunSuite {
     assert(streamRows() == oracle, "the purge must not change the phrase serve")
   }
 
+  test("streaming takedowns: runDeletes folds request batches into both layers; redelivery no-ops") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lex = foldFixture()
+    val pos = Files.createTempDirectory("graft-posidx-rund").toString
+    LexStream.processPosBatch(spark, df(b0), 0L, pos)
+    LexStream.processPosBatch(spark, df(b1), 1L, pos)
+    LexStream.processPosBatch(spark, df(b2), 2L, pos)
+    val ckpt = Files.createTempDirectory("graft-rund-ckpt").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long]
+    val q = Tombstones.runDeletes(mem.toDF().toDF("doc_id"),
+      Seq(lex, pos), ckpt)
+    try {
+      mem.addData(1L); q.processAllAvailable()
+      mem.addData(4L, 99L); q.processAllAvailable()
+    } finally q.stop()
+    // both layers serve the rebuild-minus truth (99 never arrived)
+    val lexOracle =
+      batchRowsIn(minusDir(Set(1L, 4L)), "q148_bm25_topk", "score_u")
+    assert(streamServe(lex) == lexOracle)
+    val posOracle =
+      batchRowsIn(minusDir(Set(1L, 4L)), "q154_phrase_topk", "phrase_tf")
+    val posServe = LexStream.posTopDocs(spark, pos, fixtureQueries())
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("phrase_tf"))).toSet
+    assert(posServe == posOracle)
+    // a redelivered batch replaces itself: same request file set, same
+    // serve (the request-identity exactly-once contract)
+    Tombstones.processDeleteBatch(spark,
+      Seq(4L, 99L).toDF("doc_id"), 1L, Seq(lex, pos))
+    assert(streamServe(lex) == lexOracle, "redelivery must not change a serve")
+    val f = new org.apache.hadoop.fs.Path(lex)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val reqs = f.listStatus(
+        new org.apache.hadoop.fs.Path(s"$lex/_tombstones"))
+      .map(_.getPath.getName).toSet
+    assert(reqs == Set("req=stream-0", "req=stream-1"), reqs.toString)
+  }
+
   test("indexCard reads the accumulated index's state through fold, takedown, and compaction") {
     val lex = foldFixture()
     def card() = LexStream.indexCard(spark, lex).collect()(0)
