@@ -337,6 +337,38 @@ object Dedup {
     "q151_survivors64" -> ((s, dir) =>
       qualitySurvivorsFrom(s, dir, queries("q150_clusters64")(s, dir))),
 
+    // takedown-impact card — the blast-radius report an operator reads
+    // BEFORE approving a deletion batch (the [[graft.streaming.Tombstones]]
+    // protocol is the execution half; this is the decision half): per
+    // source, how many requested documents there are, their token mass,
+    // and how many are their cluster's KEPT copy (q151's at-scale
+    // survivor pick — deleting a survivor decapitates a cluster whose
+    // other copies were already dropped; deleting a non-survivor copy
+    // is free). The request here is the corpus-adaptive id sample (the
+    // q148 discipline — the operator parametrizes over any bounded id
+    // relation). Plan: the request side broadcasts (request-sized); the
+    // q151 build is the honest corpus-scale cost; ONE map-combined
+    // aggregate to ≤ |sources| rows.
+    "q170_takedown_impact" -> ((s, dir) => {
+      val req = TextAnalysis.docModQids(s, dir)
+        .select(col("qid").as("doc_id"))
+      val surv = queries("q151_survivors64")(s, dir)
+        .select(col("keep_id").as("doc_id"), lit(1L).as("is_surv"))
+      Tables.wide(s, dir, "documents")
+        .join(broadcast(req), Seq("doc_id"))
+        .select(col("doc_id"), col("source"),
+          coalesce(size(graft.functions.TextFunctions.tokens(col("text")))
+            .cast("long"), lit(0L)).as("n_tokens"))
+        .join(surv, Seq("doc_id"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tokens").as("token_mass"),
+          sum(coalesce(col("is_surv"), lit(0L))).as("n_survivors"))
+        // n_docs ≥ 1 per emitted group, so the ANSI div is safe
+        .withColumn("survivor_pm",
+          expr("(n_survivors * 1000) div n_docs"))
+    }),
+
     // near-dup-diversified retrieval serve — what a production serve
     // returns when the corpus still carries duplicate families: q148's
     // BM25 ranking with at most ONE document per near-dup cluster
@@ -620,6 +652,24 @@ object Dedup {
     // twin of the ONE-implementation-two-label-sources factoring
     "q151_survivors64" ->
       s"$sqlClusters64,\n$sqlSurvivorTail",
+
+    // the q151 statement embedded VERBATIM (nested-WITH) as the
+    // survivor source; request = the shared doc-modulus sample
+    "q170_takedown_impact" ->
+      s"""WITH sv AS ($sqlClusters64,
+         |$sqlSurvivorTail),
+         |rq AS (${TextAnalysis.sqlDocModQs}),
+         |rd AS (SELECT d.doc_id, d.source,
+         |  COALESCE(len(${TextAnalysis.Toks}), 0) AS n_tokens
+         |  FROM documents d JOIN rq ON d.doc_id = rq.qid)
+         |SELECT rd.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |  CAST(SUM(rd.n_tokens) AS BIGINT) AS token_mass,
+         |  CAST(SUM(CASE WHEN sv.keep_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_survivors,
+         |  CAST((SUM(CASE WHEN sv.keep_id IS NOT NULL THEN 1 ELSE 0 END)
+         |    * 1000) // COUNT(*) AS BIGINT) AS survivor_pm
+         |FROM rd LEFT JOIN sv ON sv.keep_id = rd.doc_id
+         |GROUP BY rd.source""".stripMargin,
 
     "q52_cluster_prep" ->
       s"""$sqlClusters,

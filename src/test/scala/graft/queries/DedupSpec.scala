@@ -162,6 +162,37 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q170 takedown impact: a requested survivor and a requested free copy read differently") {
+    // 10 docs so the modulus (5) samples requests {0, 5}. Doc 0 is a
+    // singleton in source a — trivially its own survivor (deleting it
+    // loses content). Docs 3 and 5 are identical twins in source b:
+    // the tie-broken survivor is min id 3, so requested doc 5 is the
+    // FREE copy (its cluster's content outlives the takedown).
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-takedown").toString
+    Seq(
+      (0L, "zebra quark alpha beta gamma", "a"),
+      (1L, "one two three", "a"),
+      (2L, "four five six", "a"),
+      (3L, "the data with more words here", "b"),
+      (4L, "seven eight nine", "b"),
+      (5L, "the data with more words here", "b"),
+      (6L, "unrelated tokens entirely", "c"),
+      (7L, "more filler text rows", "c"),
+      (8L, "even more filler", "c"),
+      (9L, "last one", "c"))
+      .toDF("doc_id", "text", "source")
+      .write.parquet(s"$d/documents.parquet")
+    val got = graft.SparkEntry.queries("q170_takedown_impact")(spark, d)
+      .collect().map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("token_mass"),
+          r.getAs[Long]("n_survivors"), r.getAs[Long]("survivor_pm")))).toMap
+    graft.Caches.release(spark)
+    assert(got == Map(
+      "a" -> ((1L, 5L, 1L, 1000L)),
+      "b" -> ((1L, 6L, 0L, 0L))), got.toString)
+  }
+
   test("q127 soft-dedup: cluster copies split a singleton's mass; floors documented") {
     // three verbatim copies (one component) + a singleton: members weigh
     // 1e6 div 3 = 333333 ppm each (the floor loss is the documented

@@ -86,6 +86,8 @@ class DegenerateTextSpec extends AnyFunSuite {
     // q165 packs EVERY degenerate doc (media cost keeps null text in
     // the stream) but reports per chunk, not per doc; q166 emits one
     // row per doc (null text -> null model columns, gate false)
+    // q170 needs a source column and is fixture-tested in DedupSpec
+    // instead (the q106/q124 convention)
     "q165_multimodal_pack", "q166_nb_quality", "q168_nb_hashed",
     "q169_chunk_curriculum")
 
