@@ -375,6 +375,9 @@ object Curation {
     */
   private[queries] val PackBuckets = 64
 
+  /** q171's padding-batch width: sequences per padded batch. */
+  private[queries] val BatchSeqs = 8L
+
   /** q81's epoch seed: a different seed is a different (reproducible)
     * permutation — the per-epoch reshuffle knob.
     */
@@ -733,6 +736,72 @@ object Curation {
         .filter(col("n_tokens") > 0)
         .persist()
       packProfile(packAssignments(toks, 0L))
+    }),
+
+    // length-bucketed padding batches — the OTHER packing mode beside
+    // q72's concat-and-chunk: SFT-style training pads each batch to its
+    // longest member instead of concatenating, so the assembler's job
+    // is minimizing padding waste by batching like-length documents.
+    // Docs bucket by ceil-power-of-two token length (integer-exact:
+    // binary-digit-count, never libm log2), batch within a bucket in
+    // doc_id order at [[BatchSeqs]] sequences per batch, and the card
+    // reports per (len_bucket, batch): sequence count, the max (= the
+    // padded width), total real tokens, and the padding waste per
+    // mille. Plan: the within-bucket order uses the q58/q81 static
+    // id-range decomposition — in-(len_bucket × id-range) partitioned
+    // ROW_NUMBER + driver exclusive offsets over the bounded cell
+    // counts (≤ ~20 length buckets × [[PackBuckets]] ranges), never a
+    // per-bucket single-task sort; then ONE map-combined aggregate.
+    "q171_length_batches" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("bits",
+          (length(conv(col("n_tokens"), 10, 2)) - 1).cast("int"))
+        .withColumn("len_bucket", expr(
+          "CAST(CASE WHEN n_tokens = shiftleft(1L, bits) THEN n_tokens" +
+            " ELSE shiftleft(1L, bits + 1) END AS BIGINT)"))
+        .persist() // feeds the range read, cell counts, and the plan
+      val rng = toks.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+        .collect().headOption.filter(!_.isNullAt(0))
+      rng match {
+        case None =>
+          toks.select(col("len_bucket"), lit(0L).as("batch_id"),
+            lit(0L).as("n_seqs"), lit(0L).as("max_tokens"),
+            lit(0L).as("total_tokens"), lit(0L).as("pad_pm")).limit(0)
+        case Some(r) =>
+          val lo = r.getAs[Long]("lo")
+          val bw = math.max(1L, (r.getAs[Long]("hi") - lo) / PackBuckets + 1)
+          val b = toks.withColumn("bkt",
+            expr(s"CAST((doc_id - ${lo}L) div ${bw}L AS INT)"))
+          // bounded driver read: per-(len_bucket, id-range) counts;
+          // offsets cumulate ranges WITHIN a length bucket (numeric
+          // composite key — the stratifiedPrefixSelect '#'-collision
+          // lesson applied preemptively)
+          val cells = b.groupBy("len_bucket", "bkt")
+            .agg(count(lit(1)).as("n")).collect()
+            .map(x => (x.getLong(0), x.getInt(1), x.getLong(2))).toSeq
+          val off: Map[Long, Long] = cells.groupBy(_._1).flatMap {
+            case (lb, cs) =>
+              exclusiveOffsets(cs.map(c => (c._2, c._3)))
+                .map { case (bkt, o) => (lb * (PackBuckets + 1) + bkt, o) }
+          }
+          val w = Window.partitionBy("len_bucket", "bkt").orderBy("doc_id")
+          b.withColumn("rn", row_number().over(w).cast("long"))
+            .withColumn("pos", col("rn") + element_at(typedLit(off),
+              col("len_bucket") * (PackBuckets + 1) + col("bkt")))
+            .withColumn("batch_id", expr(s"(pos - 1L) div ${BatchSeqs}L"))
+            .groupBy("len_bucket", "batch_id")
+            .agg(count(lit(1)).as("n_seqs"),
+              max("n_tokens").as("max_tokens"),
+              sum("n_tokens").as("total_tokens"))
+            // n_seqs·max ≥ total ≥ 1, so the div is safe and the share
+            // non-negative; floor ≡ truncate on both engines
+            .withColumn("pad_pm", expr(
+              "((n_seqs * max_tokens - total_tokens) * 1000)" +
+                " div (n_seqs * max_tokens)"))
+      }
     }),
 
     // chunk-level curriculum — the loader-facing composition of the
@@ -1894,6 +1963,31 @@ object Curation {
          |  FROM documents),
          |t AS (SELECT doc_id, n_tokens FROM tk WHERE n_tokens > 0),
          |${sqlPackTail()}""".stripMargin,
+
+    // ceil-power-of-two buckets via binary digit count (the q61 bin()
+    // idiom); the oracle may single-sort within a bucket — the engine's
+    // rank is range-decomposed
+    "q171_length_batches" ->
+      s"""WITH tk AS (SELECT doc_id, len(${TextAnalysis.Toks}) AS n_tokens
+         |  FROM documents),
+         |t AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens FROM tk
+         |  WHERE n_tokens > 0),
+         |lb AS (SELECT doc_id, n_tokens,
+         |  CAST(CASE WHEN n_tokens = (1::BIGINT << (length(bin(n_tokens)) - 1))
+         |    THEN n_tokens
+         |    ELSE (1::BIGINT << length(bin(n_tokens))) END AS BIGINT)
+         |    AS len_bucket FROM t),
+         |pos AS (SELECT len_bucket, n_tokens,
+         |  ROW_NUMBER() OVER (PARTITION BY len_bucket ORDER BY doc_id) AS rn
+         |  FROM lb)
+         |SELECT len_bucket,
+         |  CAST((rn - 1) // $BatchSeqs AS BIGINT) AS batch_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_seqs,
+         |  CAST(MAX(n_tokens) AS BIGINT) AS max_tokens,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  CAST(((COUNT(*) * MAX(n_tokens) - SUM(n_tokens)) * 1000)
+         |    // (COUNT(*) * MAX(n_tokens)) AS BIGINT) AS pad_pm
+         |FROM pos GROUP BY 1, 2""".stripMargin,
 
     // the quality gate chain + the shared manifest explode composed:
     // per-chunk pass-token share and the naive global easy-first rank

@@ -50,7 +50,7 @@ class CurationSpec extends AnyFunSuite {
       "q58_token_budget", "q59_stratified_sample", "q72_sequence_pack",
       "q79_split_leakage", "q81_epoch_shuffle", "q82_shuffled_pack",
       "q85_curriculum_order", "q123_shard_plan", "q165_multimodal_pack",
-      "q169_chunk_curriculum"))
+      "q169_chunk_curriculum", "q171_length_batches"))
     test(s"$q yields a defined empty result on an empty corpus") {
       val dir = corpus(Seq.empty)
       assert(SparkEntry.queries(q)(spark, dir).count() === 0L)
@@ -308,6 +308,30 @@ class CurationSpec extends AnyFunSuite {
     card.foreach { case (s, sp, nd, tt) =>
       assert(tt >= 0L && nd > 0L, s"cell ($s, $sp)")
     }
+  }
+
+  test("q171 length batches: pow2 buckets incl. the exact-power boundary; waste is hand-exact") {
+    // docs 0-4 are 3 tokens, docs 5-9 are 4 (the EXACT power — must
+    // stay in bucket 4, not promote to 8), docs 10-19 alternate 5/7
+    // tokens (bucket 8). Within bucket 4, batch 0 = docs 0-7 (max 4,
+    // 27 real tokens -> waste (32-27)/32 = 156 pm), batch 1 = docs 8-9
+    // (all 4s, 0 pm). Bucket 8 batches pad 7-max over 5/7 mixes:
+    // (56-48)/56 = 142 pm and (14-12)/14 = 142 pm.
+    val dir = corpus((0L until 20L).map { i =>
+      val n = if (i < 5) 3 else if (i < 10) 4 else if (i % 2 == 0) 5 else 7
+      (i, Seq.fill(n)("tok").mkString(" "), "en")
+    })
+    val got = SparkEntry.queries("q171_length_batches")(spark, dir)
+      .collect().map(r => (r.getAs[Long]("len_bucket"),
+        r.getAs[Long]("batch_id")) ->
+        ((r.getAs[Long]("n_seqs"), r.getAs[Long]("max_tokens"),
+          r.getAs[Long]("total_tokens"), r.getAs[Long]("pad_pm")))).toMap
+    Caches.release(spark)
+    assert(got == Map(
+      (4L, 0L) -> ((8L, 4L, 27L, 156L)),
+      (4L, 1L) -> ((2L, 4L, 8L, 0L)),
+      (8L, 0L) -> ((8L, 7L, 48L, 142L)),
+      (8L, 1L) -> ((2L, 7L, 12L, 142L))), got.toString)
   }
 
   test("q169 chunk curriculum: pass shares and positions are hand-exact; clean chunks schedule first") {

@@ -89,7 +89,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     // q170 needs a source column and is fixture-tested in DedupSpec
     // instead (the q106/q124 convention)
     "q165_multimodal_pack", "q166_nb_quality", "q168_nb_hashed",
-    "q169_chunk_curriculum")
+    "q169_chunk_curriculum", "q171_length_batches")
 
   for (q <- docQueries) test(s"$q survives null/empty/whitespace/short docs") {
     val rows = graft.SparkEntry.queries(q)(spark, dir).collect()
@@ -132,6 +132,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q163_retrieval_selfcheck", // one card row by construction
         "q165_multimodal_pack", // one row per chunk, not per doc
         "q169_chunk_curriculum", // one row per chunk, not per doc
+        "q171_length_batches", // one row per padded batch, not per doc
         "q32_media_features", "q33_frame_sample" // per-doc × 8 / × 4 rows
         ).contains(q))
       assert(rows.length >= 4, s"$q dropped degenerate docs: ${rows.length}")

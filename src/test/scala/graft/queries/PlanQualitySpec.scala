@@ -743,6 +743,15 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q165 persists its cost projection
   }
 
+  test("q171 length batches: the within-bucket order is range-decomposed — no single partition") {
+    // a per-length-bucket ORDER BY would sort a ~corpus/20 slice in one
+    // task; the rank must ride the (len_bucket × id-range) cells
+    val p = execPlan("q171_length_batches")
+    assert(!p.contains("SinglePartition"), p)
+    assert(p.contains("windowspecdefinition"), p)
+    graft.Caches.release(spark)
+  }
+
   test("q169 chunk curriculum: the global rank is cell-bucketed — no single partition") {
     // pass_pm is the rank's cell decomposition (≤ 1001 values): the
     // position must come from an in-cell partitioned window + driver
