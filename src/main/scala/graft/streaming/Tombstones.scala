@@ -96,9 +96,20 @@ object Tombstones {
     */
   private[streaming] def ids(spark: SparkSession, indexPath: String,
       keyCol: String): Option[DataFrame] = {
+    val f = fs(spark, indexPath)
     val root = new Path(tombRoot(indexPath))
-    if (!fs(spark, indexPath).exists(root)) None
-    else Some(spark.read.parquet(tombRoot(indexPath)).select(keyCol))
+    if (!f.exists(root)) None
+    else {
+      // a crashed FIRST delete can leave the root with no committed
+      // request dir (only write temporaries, which the parquet reader
+      // hides) — that is "no takedown landed yet", not a schema error;
+      // the request's redelivery completes it
+      val reqs = f.listStatus(root).map(_.getPath)
+        .filter(_.getName.startsWith("req="))
+      if (reqs.isEmpty) None
+      else Some(spark.read.parquet(reqs.map(_.toString).toSeq: _*)
+        .select(keyCol))
+    }
   }
 
   /** Serve-side takedown mask: anti-join `rel` (any relation carrying

@@ -301,6 +301,16 @@ class LexStreamSpec extends AnyFunSuite {
     assert(streamRows() == oracle, "the purge must not change the phrase serve")
   }
 
+  test("takedown: a tombstone root with no committed request (crashed first delete) serves unmasked") {
+    val lex = foldFixture()
+    // simulate the crash residue: the root exists, no req= dir landed
+    val f = new org.apache.hadoop.fs.Path(lex)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    f.mkdirs(new org.apache.hadoop.fs.Path(s"$lex/_tombstones"))
+    assert(streamServe(lex) == batchServe(),
+      "an empty tombstone root must read as 'no takedown', not error")
+  }
+
   test("streaming takedowns: runDeletes folds request batches into both layers; redelivery no-ops") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
