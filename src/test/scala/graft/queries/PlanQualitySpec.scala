@@ -743,6 +743,27 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q165 persists its cost projection
   }
 
+  test("q164 diversified serve: qid-keyed windows over postings-bounded candidates — no cartesian, no global sort") {
+    // the suppression and re-rank windows both partition (by qid [+
+    // cluster]); the label stitch is a doc_id equi-join; nothing may
+    // nest-loop or range-partition the candidate relation
+    val p = execPlan("q164_diverse_topk")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(p.contains("windowspecdefinition"), p.take(2000))
+    graft.Caches.release(spark)
+  }
+
+  test("q170 takedown impact: the request side broadcasts; one map-combined aggregate") {
+    val p = execPlan("q170_takedown_impact")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(p.contains("partial_count"), p.take(2000))
+    graft.Caches.release(spark)
+  }
+
   test("q171 length batches: the within-bucket order is range-decomposed — no single partition") {
     // a per-length-bucket ORDER BY would sort a ~corpus/20 slice in one
     // task; the rank must ride the (len_bucket × id-range) cells
