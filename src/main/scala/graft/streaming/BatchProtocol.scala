@@ -76,6 +76,34 @@ private[streaming] object BatchProtocol {
       .map(_.stripPrefix("batch_id=").toLong)
   }
 
+  /** The index's SERVABLE rows: every epoch EXCEPT stream epochs
+    * superseded by a present consolidated epoch — for each consolidated
+    * id c < 0 the epochs in [0, −c−2] are its merged originals, left
+    * behind only by a compaction crash between the consolidated rename
+    * and the epoch cleanup. Semi/anti-join consumers (the dedup index
+    * reads) are duplicate-neutral and may read the raw union, but a
+    * consumer that AGGREGATES index rows (the lexical serve's df/N/L/tf
+    * folds) or returns them as RESULTS (the IVF probe's top-k) would
+    * double-count through that crash window until the redelivered
+    * compaction cleans up — such consumers must read through here.
+    * Returns None when the root holds no epoch at all (a new deployment
+    * probed before its first batch — "empty index", not a read error).
+    */
+  def readServable(spark: SparkSession, indexPath: String)
+      : Option[org.apache.spark.sql.DataFrame] = {
+    import org.apache.spark.sql.functions.col
+    val epochs = epochIds(spark, indexPath)
+    if (epochs.isEmpty) None
+    else {
+      val covered = epochs.filter(_ < 0).map(c => -c - 2)
+        .foldLeft(-1L)(math.max)
+      val raw = spark.read.parquet(indexPath)
+      Some(if (covered < 0) raw
+      else raw.filter(col("batch_id").cast("long") < 0 ||
+        col("batch_id").cast("long") > covered))
+    }
+  }
+
   /** Migration precondition: every stream epoch (id ≥ 0) must be
     * committed. Migrating an uncommitted epoch folds a crashed batch's
     * sketches into the new index without its marker — on redelivery the
@@ -117,14 +145,20 @@ private[streaming] object BatchProtocol {
     * attempt's leftover never aliases a later one's target.
     *
     * Crash-ordering — every prefix of the step sequence leaves a correct,
-    * readable index, because index rows feed only semi-join lookups for
-    * which DUPLICATE rows are verdict-neutral:
+    * readable index. Consumer requirement: semi/anti-join lookups (the
+    * dedup index reads) are DUPLICATE-neutral and may read the raw
+    * union; any consumer that aggregates index rows or returns them as
+    * results (the lexical/positional serves, the IVF probe) must read
+    * through [[readServable]], which drops epochs a present consolidated
+    * epoch supersedes — otherwise a crash between steps 2 and 4 doubles
+    * its counts until the redelivered compaction cleans up:
     *
     *   1. consolidated rows land under hidden `_compact_tmp` (invisible
     *      to every reader);
     *   2. one directory rename puts them live beside the epochs they
-    *      duplicate (readers see each band row at most twice — same
-    *      verdicts);
+    *      duplicate (semi-join readers see each band row at most twice —
+    *      same verdicts; aggregating readers exclude the superseded
+    *      epochs via [[readServable]]);
     *   3. the watermark file makes the merged epochs' commit status
     *      independent of their individual markers;
     *   4. only then are merged epoch directories, their markers, and

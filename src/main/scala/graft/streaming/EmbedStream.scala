@@ -146,14 +146,20 @@ object EmbedStream {
       .filter(col("ccos").isNotNull)
       .orderBy(desc("ccos"), asc("cent_id")).limit(probes)
       .collect().map(_.getLong(0))
-    if (qCells.isEmpty)
-      // zero-norm query: every ccos folded null — a defined empty
+    // the probe RETURNS index rows, so it must exclude epochs a crashed
+    // compaction left beside their consolidated copy (a duplicate row
+    // would surface the same vec_id twice in top-k); an epoch-less new
+    // index serves a defined empty, not a schema error
+    val servable = BatchProtocol.readServable(spark, idxPath)
+    if (qCells.isEmpty || servable.isEmpty)
+      // zero-norm query (every ccos folded null) or empty index — a
+      // defined empty
       spark.emptyDataFrame.select(lit(0L).as("vec_id"),
         lit(0L).as("cell"), lit(0.0).as("cos")).limit(0)
     else
       Tombstones.masked(spark,
         idxPath,
-        spark.read.parquet(idxPath)
+        servable.get
           .filter(col("cell").isin(qCells.map(Long.box): _*)), "vec_id")
         .crossJoin(broadcast(q))
         .select(col("vec_id"), col("cell"),

@@ -206,12 +206,16 @@ object LexStream {
       .distinct().collect()
     val terms: Array[Any] = termRows.map(_.getString(0))
     val tbs: Array[Any] = termRows.map(r => Int.box(r.getInt(1)): Any).distinct
-    if (terms.isEmpty)
+    // the serve AGGREGATES index rows, so it must exclude epochs a
+    // crashed compaction left beside their consolidated copy (and an
+    // epoch-less new index serves a defined empty, not a schema error)
+    val servable = BatchProtocol.readServable(spark, posPath)
+    if (terms.isEmpty || servable.isEmpty)
       queries.select(col("qid"), lit(0L).as("rnk"),
         lit(0L).as("doc_id"), lit(0L).as("phrase_tf")).limit(0)
     else
       graft.queries.TextAnalysis.phraseAdjacencyTopDocs(
-        masked(spark, posPath, spark.read.parquet(posPath)
+        masked(spark, posPath, servable.get
           .filter(col("tb").isin(tbs: _*))
           .filter(col("term").isin(terms: _*))
           .select("doc_id", "term", "pos")),
@@ -234,12 +238,18 @@ object LexStream {
     import spark.implicits._
     val epochs = BatchProtocol.epochIds(spark, indexPath)
     val wm = BatchProtocol.compactedThrough(spark, indexPath)
-    val (post, stat) = {
-      val r = spark.read.parquet(indexPath)
-        .agg(sum(when(col("tb") =!= StatBucket, 1L).otherwise(0L)),
-          sum(when(col("tb") === StatBucket, 1L).otherwise(0L))).head
-      (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
-        Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+    // servable counts (crash-leftover epochs a consolidated copy
+    // supersedes are excluded — they are about to be cleaned up, and
+    // double-counting them would false-alarm the ops check); an
+    // epoch-less root is the defined all-zero card, not a schema error
+    val (post, stat) = BatchProtocol.readServable(spark, indexPath) match {
+      case None => (0L, 0L)
+      case Some(idx) =>
+        val r = idx
+          .agg(sum(when(col("tb") =!= StatBucket, 1L).otherwise(0L)),
+            sum(when(col("tb") === StatBucket, 1L).otherwise(0L))).head
+        (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+          Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
     }
     val (nReq, nTomb) = Tombstones.ids(spark, indexPath, "doc_id") match {
       case None => (0L, 0L)
@@ -255,10 +265,11 @@ object LexStream {
 
   /** The accumulated index's doc-stat partition (one row per arrived
     * document) — `tb = -1` hits only the partition column, so the scan
-    * reads no postings bucket.
+    * reads no postings bucket. `idx` is the caller's servable read.
     */
-  private def statRows(spark: SparkSession, lexPath: String): DataFrame =
-    masked(spark, lexPath, spark.read.parquet(lexPath)
+  private def statRows(spark: SparkSession, lexPath: String,
+      idx: DataFrame): DataFrame =
+    masked(spark, lexPath, idx
       .filter(col("tb") === StatBucket)
       .select(col("doc_id"), col("tf").as("dl")))
 
@@ -296,13 +307,17 @@ object LexStream {
     val terms: Array[Any] = termRows.map(_.getString(0))
     val tbs: Array[Any] =
       termRows.map(r => Int.box(r.getInt(1)): Any).distinct
-    if (terms.isEmpty)
-      // no query has a term (null/empty query strings): a defined
-      // empty serve with the contract schema, not an empty-IN plan
+    // aggregate-consumer discipline: exclude crash-superseded epochs,
+    // and serve a defined empty on an epoch-less new index
+    val servable = BatchProtocol.readServable(spark, lexPath)
+    if (terms.isEmpty || servable.isEmpty)
+      // no query has a term (null/empty query strings) or no batch has
+      // arrived: a defined empty serve with the contract schema, not an
+      // empty-IN plan / schema-inference error
       queries.select(col("qid"), lit(0L).as("rnk"),
         lit(0L).as("doc_id"), lit(0L).as("score_u")).limit(0)
     else {
-      val stats = statRows(spark, lexPath)
+      val stats = statRows(spark, lexPath, servable.get)
       // N counts every arrived document (null text included — the batch
       // convention); L is null-safe for an all-null-text corpus
       val (n, l) = {
@@ -313,7 +328,7 @@ object LexStream {
       // the takedown mask applies to candidates AND (via statRows) the
       // corpus scalars/dl, so a deleted doc vanishes from df and idf
       // exactly as a rebuild-without-it would have it
-      val post = masked(spark, lexPath, spark.read.parquet(lexPath)
+      val post = masked(spark, lexPath, servable.get
         .filter(col("tb").isin(tbs: _*))       // partition prune
         .filter(col("term").isin(terms: _*))   // row cut inside buckets
         .select("doc_id", "term", "tf"))

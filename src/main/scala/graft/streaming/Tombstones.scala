@@ -65,8 +65,12 @@ object Tombstones {
   def processDeleteBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, indexPaths: Seq[String],
       keyCol: String = "doc_id"): Unit = {
-    val ids = batch.select(keyCol).distinct()
-      .collect().map(_.getLong(0)).toSeq
+    // a null id names nothing — the same harmless no-op as a
+    // never-arrived id. Filtered HERE, not crashed on: the NPE would
+    // recur on every redelivery, crash-looping the whole takedown
+    // queue on one malformed request row.
+    val ids = batch.select(keyCol).filter(col(keyCol).isNotNull)
+      .distinct().collect().map(_.getLong(0)).toSeq
     if (ids.nonEmpty)
       indexPaths.foreach(p =>
         delete(spark, p, ids, s"stream-$batchId", keyCol))
@@ -123,18 +127,26 @@ object Tombstones {
       rel.join(broadcast(t), Seq(keyCol), "left_anti"))
 
   /** Consolidate the per-request tombstone files into ONE request dir
-    * (`req=compacted_<upToBatch>` — ids strictly increase across
-    * compactions, so a crashed attempt's leftover never aliases a later
-    * one's target), bounding tombstone file count by compaction cadence.
-    * Content is preserved, NOT dropped: rows matching the tombstones are
-    * purged only from epochs the compaction merged — a tombstone may
-    * still be masking a later live epoch (or a yet-to-arrive id), so
-    * the ids must outlive the purge. Crash ordering: distributed
-    * distinct lands OUTSIDE the root first (writing the target in place
-    * would overwrite a prior consolidation while reading it), one
-    * rename puts it live, THEN the superseded request dirs are deleted —
-    * every prefix leaves the full id set readable under the root
-    * (duplicates are verdict-neutral to the anti-join readers).
+    * (`req=compacted_<upToBatch>`, or the first free `_<k>`-suffixed
+    * variant when a crashed attempt left that name taken), bounding
+    * tombstone file count by compaction cadence. Content is preserved,
+    * NOT dropped: rows matching the tombstones are purged only from
+    * epochs the compaction merged — a tombstone may still be masking a
+    * later live epoch (or a yet-to-arrive id), so the ids must outlive
+    * the purge.
+    *
+    * Crash ordering — NOTHING readable is ever deleted before its
+    * replacement is visible under the root: the distributed distinct
+    * lands OUTSIDE the root first (invisible to readers), ONE rename
+    * puts the complete id set live under a FRESH name that never
+    * pre-exists (delete-then-rename onto a reused name would open a
+    * window in which a crashed retry's sole-holder ids live only in the
+    * invisible tmp dir — the next run overwrites tmp and the ids are
+    * gone, resurfacing taken-down docs), and only then are the
+    * superseded request dirs — a crashed attempt's leftover target
+    * included, every one a subset of the new dir — deleted. Every
+    * prefix leaves the full id set readable under the root (duplicates
+    * are verdict-neutral to the anti-join readers).
     */
   private[streaming] def consolidate(spark: SparkSession, indexPath: String,
       upToBatch: Long, keyCol: String): Unit = {
@@ -143,18 +155,19 @@ object Tombstones {
     if (!f.exists(root)) return
     val reqs = f.listStatus(root).map(_.getPath.getName)
       .filter(_.startsWith("req=")).toSeq
-    val target = s"req=compacted_$upToBatch"
-    if (reqs.toSet == Set(target)) return // already consolidated
+    val prefix = s"req=compacted_$upToBatch"
+    // already consolidated: one dir at this watermark (base or a crashed
+    // retry's suffixed name — both are complete by construction)
+    if (reqs.size == 1 && reqs.head.startsWith(prefix)) return
     val tmp = s"$indexPath/_tombstones_tmp"
     spark.read.parquet(tombRoot(indexPath)).select(keyCol)
       .distinct().coalesce(1).write.mode("overwrite").parquet(tmp)
-    // the target can pre-exist only from a crashed attempt at this same
-    // upToBatch — a subset of tmp's rows, safe to replace
-    val targetP = new Path(s"${tombRoot(indexPath)}/$target")
-    if (f.exists(targetP)) f.delete(targetP, true)
-    require(f.rename(new Path(tmp), targetP),
-      s"rename $tmp -> $targetP failed")
-    reqs.filter(_ != target).foreach(r =>
+    val target = Iterator.from(0)
+      .map(k => if (k == 0) prefix else s"${prefix}_$k")
+      .find(n => !f.exists(new Path(s"${tombRoot(indexPath)}/$n"))).get
+    require(f.rename(new Path(tmp), new Path(s"${tombRoot(indexPath)}/$target")),
+      s"rename $tmp -> ${tombRoot(indexPath)}/$target failed")
+    reqs.foreach(r =>
       f.delete(new Path(s"${tombRoot(indexPath)}/$r"), true))
   }
 }

@@ -83,6 +83,50 @@ class IvfStreamSpec extends AnyFunSuite {
     assert(serve(idx) == want, "the purge must not change the probe")
   }
 
+  test("a compaction crash's duplicate epochs never surface a vec_id twice; an epoch-less index serves a defined empty") {
+    val idx = Files.createTempDirectory("graft-ivfdup").toString
+    val cents = graft.queries.Similarity.kmeansCentroids(spark, dir)
+    val e = graft.Tables(spark, dir, "embeddings")
+    val qv: Seq[Double] = e.filter(col("vec_id") === 0)
+      .select("embedding").head.getSeq[Float](0).map(_.toDouble).toSeq
+    // an epoch-less root (ops probe before the first batch): a defined
+    // empty with the contract schema, not a schema-inference error
+    val empty = EmbedStream.ivfTopK(spark, idx, cents, qv)
+    assert(empty.collect().isEmpty &&
+      empty.columns.toSeq == Seq("vec_id", "cell", "cos"))
+    for (b <- 0 until 2)
+      EmbedStream.processIvfBatch(spark,
+        e.filter(pmod(col("vec_id"), lit(2)) === b), b.toLong, idx, cents)
+    def serve(): Seq[(Long, Long, Double)] =
+      EmbedStream.ivfTopK(spark, idx, cents, qv).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cell"),
+          r.getAs[Double]("cos"))).toSeq
+    val want = serve()
+    // snapshot, compact, restore — the crash-between-rename-and-cleanup
+    // state: each merged row duplicated beside its consolidated copy
+    val src = java.nio.file.Paths.get(idx)
+    val snap = Files.createTempDirectory("graft-ivfdup-snap")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val st = java.nio.file.Files.walk(from)
+      try st.forEach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally st.close()
+    }
+    Seq(0L, 1L).foreach(id => copyTree(src.resolve(s"batch_id=$id"),
+      snap.resolve(s"batch_id=$id")))
+    assert(EmbedStream.compactIvfIndex(spark, idx, 1L) == 2)
+    Seq(0L, 1L).foreach(id => copyTree(snap.resolve(s"batch_id=$id"),
+      src.resolve(s"batch_id=$id")))
+    assert(BatchProtocol.epochIds(spark, idx).sorted == Seq(-3L, 0L, 1L))
+    val got = serve()
+    assert(got == want, s"duplicate epochs changed the probe: $got vs $want")
+    assert(got.map(_._1).distinct.size == got.size,
+      "no vec_id may surface twice through the crash window")
+  }
+
   test("a zero-norm query vector serves a defined empty") {
     val idx = Files.createTempDirectory("graft-ivfidx0").toString
     val cents = graft.queries.Similarity.kmeansCentroids(spark, dir)

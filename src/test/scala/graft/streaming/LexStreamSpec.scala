@@ -385,6 +385,100 @@ class LexStreamSpec extends AnyFunSuite {
       c2.getAs[Long]("n_tomb_ids") == 2L, c2.toString)
   }
 
+  test("a compaction crash between rename and cleanup (duplicate epochs) does not double the serve") {
+    val lex = foldFixture()
+    val expected = streamServe(lex)
+    // snapshot the stream epochs, compact, then restore the snapshots —
+    // exactly the state a crash between the consolidated-epoch rename
+    // and the epoch cleanup leaves behind (the watermark file marks the
+    // restored epochs committed, so no markers are needed)
+    val src = java.nio.file.Paths.get(lex)
+    val snap = Files.createTempDirectory("graft-lexidx-snap")
+    def copyTree(from: java.nio.file.Path, to: java.nio.file.Path): Unit = {
+      val st = java.nio.file.Files.walk(from)
+      try st.forEach { p =>
+        val t = to.resolve(from.relativize(p))
+        if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } finally st.close()
+    }
+    Seq(0L, 1L, 2L).foreach(id => copyTree(src.resolve(s"batch_id=$id"),
+      snap.resolve(s"batch_id=$id")))
+    assert(LexStream.compactLexIndex(spark, lex, 2L) == 3)
+    Seq(0L, 1L, 2L).foreach(id => copyTree(snap.resolve(s"batch_id=$id"),
+      src.resolve(s"batch_id=$id")))
+    assert(BatchProtocol.epochIds(spark, lex).sorted == Seq(-4L, 0L, 1L, 2L))
+    // the serve aggregates df/N/L/tf — duplicate epochs would double all
+    // four and diverge every score; readServable must exclude them
+    assert(streamServe(lex) == expected,
+      "a crash-leftover duplicate epoch must not change the serve")
+    val card = LexStream.indexCard(spark, lex).collect()(0)
+    assert(card.getAs[Long]("n_stat_rows") == 12L, card.toString)
+    // the redelivered compaction's early-return path finishes the cleanup
+    assert(LexStream.compactLexIndex(spark, lex, 2L) == 0)
+    assert(BatchProtocol.epochIds(spark, lex) == Seq(-4L))
+    assert(streamServe(lex) == expected)
+  }
+
+  test("consolidate retry: a crashed attempt's sole-holder target is never deleted before its replacement is visible") {
+    val lex = foldFixture()
+    // the advice scenario: a prior consolidate at upToBatch=2 renamed its
+    // target live and crashed mid-cleanup AFTER deleting some superseded
+    // request dirs — id 1 now survives ONLY in the target
+    LexStream.deleteDocs(spark, lex, Seq(1L), "compacted_2")
+    LexStream.deleteDocs(spark, lex, Seq(2L), "t2")
+    val oracle = batchRowsIn(minusDir(Set(1L, 2L)), "q148_bm25_topk", "score_u")
+    assert(streamServe(lex) == oracle)
+    // the retry consolidates under a FRESH name (the taken base name is
+    // a superseded dir to it) and both ids survive
+    assert(LexStream.compactLexIndex(spark, lex, 2L) == 3)
+    val f = new org.apache.hadoop.fs.Path(lex)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val reqs = f.listStatus(new org.apache.hadoop.fs.Path(s"$lex/_tombstones"))
+      .map(_.getPath.getName).toSeq
+    assert(reqs == Seq("req=compacted_2_1"), reqs.toString)
+    assert(streamServe(lex) == oracle,
+      "both takedown ids must survive the retry consolidation")
+    // a further consolidate at the same watermark recognizes the
+    // suffixed name as already consolidated (no churn)
+    Tombstones.consolidate(spark, lex, 2L, "doc_id")
+    val reqs2 = f.listStatus(new org.apache.hadoop.fs.Path(s"$lex/_tombstones"))
+      .map(_.getPath.getName).toSeq
+    assert(reqs2 == Seq("req=compacted_2_1"), reqs2.toString)
+  }
+
+  test("a null id in a takedown request batch is ignored, not a crash loop") {
+    val lex = foldFixture()
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT")
+    val rows = java.util.Arrays.asList(
+      org.apache.spark.sql.Row(1L), org.apache.spark.sql.Row(null))
+    val batch = spark.createDataFrame(rows, schema)
+    Tombstones.processDeleteBatch(spark, batch, 0L, Seq(lex))
+    assert(streamServe(lex) ==
+      batchRowsIn(minusDir(Set(1L)), "q148_bm25_topk", "score_u"),
+      "the non-null id must mask; the null row must be a no-op")
+  }
+
+  test("an epoch-less index root reports an all-zero card and serves a defined empty") {
+    import spark.implicits._
+    val lex = Files.createTempDirectory("graft-lexidx-empty").toString
+    val card = LexStream.indexCard(spark, lex).collect()(0)
+    assert(card.getAs[Long]("n_stream_epochs") == 0L &&
+      !card.getAs[Boolean]("has_consolidated") &&
+      card.getAs[Long]("compacted_through") == -1L &&
+      card.getAs[Long]("n_postings_rows") == 0L &&
+      card.getAs[Long]("n_stat_rows") == 0L, card.toString)
+    val served = LexStream.lexTopDocs(spark, lex,
+      Seq((1L, "anything")).toDF("qid", "qtext"))
+    assert(served.collect().isEmpty &&
+      served.columns.toSeq == Seq("qid", "rnk", "doc_id", "score_u"))
+    val phr = LexStream.posTopDocs(spark, lex,
+      Seq((1L, "two tokens")).toDF("qid", "qtext"))
+    assert(phr.collect().isEmpty &&
+      phr.columns.toSeq == Seq("qid", "rnk", "doc_id", "phrase_tf"))
+  }
+
   test("degenerate inputs: term-less queries and an all-null-text corpus serve a defined empty") {
     import spark.implicits._
     val lex = foldFixture()
