@@ -1,0 +1,204 @@
+package graft
+
+import graft.functions.TextFunctions.tokens
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Takedown tombstones for the BATCH-STAGED serve tables — the
+  * [[graft.streaming.Tombstones]] protocol extended to the other half of
+  * the deployment: the session-staged lexical/positional indexes
+  * (`ensureLexIndex` / `ensurePosIndex`), the staged IVF / IVF-PQ code
+  * tables (`ensureIvfPqIndex`, q68's cell table), and the [[SqlCatalog]]
+  * views published over them. Without this, a takedown request masked
+  * every STREAMING read path while the batch-staged serves — the paths a
+  * session actually queries — kept returning the deleted documents until
+  * a full re-stage; at 100 TB a re-stage per request is exactly the
+  * year-of-rewrites cost the tombstone design exists to avoid.
+  *
+  * Shared semantics with the streaming side (one protocol, two
+  * substrates):
+  *
+  *   - serves MASK immediately: candidates AND every derived statistic
+  *     (df, N, L, avgdl) read as if the documents never arrived — the
+  *     serve after [[deleteDocs]] is byte-identical to a re-stage over
+  *     the corpus minus the deletions (StagedTakedownSpec pins it per
+  *     serve family, catalog SQL forms included);
+  *   - exactly-once by REQUEST IDENTITY: a redelivered `requestId`
+  *     replaces itself; distinct ids accumulate as independent
+  *     takedowns; deleting a never-staged id is a harmless no-op;
+  *   - physical purge rides the existing rebuild cadence: a staged table
+  *     is a DERIVED artifact of its corpus directory, so the next
+  *     `ensure*` re-stage (new session, or after the corpus itself is
+  *     rewritten) is the purge — the batch analogue of the streaming
+  *     side's compaction `rowFilter`.
+  *
+  * Scope note: the registry is SESSION-scoped, exactly like the staged
+  * tables it masks (`ensure*` keys its build on the session catalog); a
+  * long-lived deployment's durable takedown ledger is the streaming
+  * [[graft.streaming.Tombstones]] root, whose requests feed both sides.
+  * Frozen MODELS (k-means centroids, PQ codebooks, the NB weight table)
+  * are not member data and are not retrained by a takedown — the
+  * industry-standard erasure posture: membership leaves the index
+  * immediately, model refresh rides the normal retrain cadence.
+  *
+  * Cost shape: [[deleteDocs]] pays one bounded job per request (an
+  * id-pushdown `documents` probe of the REQUEST's rows — never the
+  * corpus) and caches per-id length + distinct-term rows driver-side, so
+  * every serve-side adjustment (N/L deltas, the df delta table) is a
+  * driver fold over request-sized state; the candidate mask itself is a
+  * broadcast anti-join.
+  */
+object StagedTombstones {
+
+  /** Per-document facts captured at request time (the corpus may be
+    * re-staged later; the tombstone must not depend on re-reading it):
+    * token length (0 for null/empty text) and the distinct terms (for
+    * the df delta). Ids that name no corpus document carry no entry —
+    * they mask nothing and adjust nothing.
+    */
+  private case class DocInfo(dl: Long, terms: Seq[String])
+
+  /** The merged doc-side tombstone state of one (session, dir): all
+    * requested ids (maskable), and the present-doc adjustments.
+    */
+  private[graft] case class DocTomb(ids: Seq[Long], nDel: Long, lDel: Long,
+      dfDelta: Seq[(String, Long)])
+
+  private val docReqs = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), scala.collection.mutable.LinkedHashMap[
+      String, (Seq[Long], Map[Long, DocInfo])]]
+
+  private val vecReqs = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), scala.collection.mutable.LinkedHashMap[String, Seq[Long]]]
+
+  private def key(s: SparkSession, dir: String) =
+    (s.sparkContext.applicationId, dir)
+
+  private def requireReqId(requestId: String): Unit =
+    require(requestId.nonEmpty && requestId.matches("[A-Za-z0-9_-]+"),
+      s"requestId must be [A-Za-z0-9_-]+, got '$requestId'")
+
+  /** The bounded per-request probe: id-pushdown scan of the REQUEST's
+    * documents (never the corpus), capturing each present doc's length
+    * and distinct terms for the stat adjustments.
+    */
+  private def docInfoOf(s: SparkSession, dir: String,
+      ids: Seq[Long]): Map[Long, DocInfo] =
+    Tables(s, dir, "documents")
+      .filter(col("doc_id").isin(ids.map(Long.box): _*))
+      .select(col("doc_id"),
+        coalesce(size(tokens(col("text"))), lit(0)).cast("long").as("dl"),
+        coalesce(array_distinct(tokens(col("text"))),
+          array().cast("array<string>")).as("dt"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        DocInfo(r.getLong(1), r.getSeq[String](2).toSeq))
+      .toMap
+
+  /** Mark documents DELETED from every batch-staged serve over `dir` —
+    * the lexical family (BM25/phrase/proximity/snippet serves and their
+    * catalog views) masks them from candidates, df, and the N/L corpus
+    * scalars from the next read on.
+    */
+  def deleteDocs(s: SparkSession, dir: String, ids: Seq[Long],
+      requestId: String): Unit = {
+    requireReqId(requestId)
+    require(ids.nonEmpty, "a takedown request must name at least one id")
+    val distinctIds = ids.distinct
+    val info = docInfoOf(s, dir, distinctIds)
+    docReqs.compute(key(s, dir), (_, prev) => {
+      val m = if (prev == null)
+        scala.collection.mutable.LinkedHashMap
+          .empty[String, (Seq[Long], Map[Long, DocInfo])]
+      else prev
+      m.synchronized { m.put(requestId, (distinctIds, info)) }
+      m
+    })
+    SqlCatalog.refreshAfterTakedown(s, dir)
+  }
+
+  /** Mark vectors DELETED from every batch-staged ANN serve over `dir`
+    * (the IVF cell table and the IVF-PQ code table): probes stop
+    * returning them from the next read on. Vector serves carry no
+    * corpus-derived statistics, so the mask is membership-only.
+    */
+  def deleteVecs(s: SparkSession, dir: String, ids: Seq[Long],
+      requestId: String): Unit = {
+    requireReqId(requestId)
+    require(ids.nonEmpty, "a takedown request must name at least one id")
+    vecReqs.compute(key(s, dir), (_, prev) => {
+      val m = if (prev == null)
+        scala.collection.mutable.LinkedHashMap.empty[String, Seq[Long]]
+      else prev
+      m.synchronized { m.put(requestId, ids.distinct) }
+      m
+    })
+    SqlCatalog.refreshAfterTakedown(s, dir)
+  }
+
+  /** The merged doc-side tombstone of (session, dir) — None when no
+    * request landed, so the untouched serve paths keep their exact
+    * pre-takedown plans. Overlapping ids across requests merge by id
+    * (same corpus row → same facts), never double-count.
+    */
+  private[graft] def docTomb(s: SparkSession, dir: String): Option[DocTomb] =
+    Option(docReqs.get(key(s, dir))).flatMap { m =>
+      val (allIds, merged) = m.synchronized {
+        (m.values.flatMap(_._1).toSeq.distinct,
+          m.values.map(_._2).foldLeft(Map.empty[Long, DocInfo])(_ ++ _))
+      }
+      if (allIds.isEmpty) None
+      else Some(tombOf(allIds, merged))
+    }
+
+  /** Resolve an EXPLICIT id set into the same tomb shape the registry
+    * produces — the pure half of [[deleteDocs]], for serves that take a
+    * per-call takedown set (the q172 correctness entry) without touching
+    * session state.
+    */
+  private[graft] def resolveDocs(s: SparkSession, dir: String,
+      ids: Seq[Long]): DocTomb =
+    tombOf(ids.distinct, docInfoOf(s, dir, ids.distinct))
+
+  private def tombOf(allIds: Seq[Long],
+      merged: Map[Long, DocInfo]): DocTomb = {
+    val dfDelta = merged.values.flatMap(_.terms)
+      .groupBy(identity).map { case (t, ts) => (t, ts.size.toLong) }
+      .toSeq.sortBy(_._1)
+    DocTomb(allIds, merged.size.toLong,
+      merged.values.map(_.dl).sum, dfDelta)
+  }
+
+  /** The merged vec-side tombstone ids (None when no request landed). */
+  private[graft] def vecIds(s: SparkSession, dir: String): Option[Seq[Long]] =
+    Option(vecReqs.get(key(s, dir))).flatMap { m =>
+      val ids = m.synchronized { m.values.flatten.toSeq.distinct }
+      if (ids.isEmpty) None else Some(ids)
+    }
+
+  /** Anti-join mask of `rel` against a tombstone id set — the broadcast
+    * side is request-sized by nature. Fold-on-None keeps untouched
+    * serves plan-identical.
+    */
+  private[graft] def masked(s: SparkSession, rel: DataFrame,
+      ids: Option[Seq[Long]], keyCol: String): DataFrame =
+    ids.fold(rel) { del =>
+      import s.implicits._
+      rel.join(broadcast(del.toDF(keyCol)), Seq(keyCol), "left_anti")
+    }
+
+  /** Mask a vector relation against `dir`'s vec-side registry. */
+  private[graft] def maskedVecs(s: SparkSession, dir: String,
+      rel: DataFrame): DataFrame =
+    masked(s, rel, vecIds(s, dir), "vec_id")
+
+  /** Test/ops hook: forget every request of (session, dir) — the state
+    * reset a spec needs between scenarios (a production session retires
+    * its registry with the session itself).
+    */
+  private[graft] def reset(s: SparkSession, dir: String): Unit = {
+    docReqs.remove(key(s, dir))
+    vecReqs.remove(key(s, dir))
+    SqlCatalog.refreshAfterTakedown(s, dir)
+  }
+}
