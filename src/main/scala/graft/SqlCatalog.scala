@@ -126,45 +126,91 @@ object SqlCatalog {
        |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc)
        |WHERE rnk <= ${queries.TextAnalysis.Bm25TopK}""".stripMargin
 
+  /** The (application, dir) pairs whose views are live — the state
+    * [[refreshAfterTakedown]] consults so a takedown against a dir that
+    * never registered views is a catalog no-op (the serve-path masks
+    * still apply; there is just nothing published to refresh).
+    * The value memoizes the staged IVF-PQ table name so a refresh never
+    * re-trains the quantizer/codebooks.
+    */
+  private val published =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
   /** Publish the catalog views for `dir`; returns the view names. */
   def register(spark: SparkSession, dir: String): Seq[String] = {
     val cents = queries.Similarity.kmeansCentroids(spark, dir)
     val books = queries.Similarity.pqCodebooks(spark, dir)
     val idxT = queries.Similarity.ensureIvfPqIndex(spark, dir, cents, books)
-    spark.table(idxT).createOrReplaceTempView("graft_ivfpq_index")
     val s = spark
     import s.implicits._
     cents.toSeq.map { case (k, v, n) => (k.toLong, v, n) }
       .toDF("cell", "cvec", "cnrm")
       .createOrReplaceTempView("graft_centroids")
-    val (bands, w) = queries.Similarity.bandRelation(spark, dir)
-    bands.withColumn("band_width", lit(w))
-      .createOrReplaceTempView("graft_band_index")
+    // the loader manifest is a PACKING artifact, not a serve over
+    // member rows: a takedown re-cut would shift every chunk offset —
+    // that IS a re-pack, which rides the corpus-rewrite cadence like
+    // every derived artifact (the StagedTombstones purge posture)
     queries.Curation.queries("q119_pack_manifest")(spark, dir)
       .createOrReplaceTempView("graft_pack_manifest")
-    // the staged lexical inverted index (q148's serve substrate):
-    // postings bucketed by term — a `WHERE term IN (…)` candidate fetch
-    // bucket-prunes through the view like the serve path's does
-    val (postT, dlT, dfT, n, l) =
-      queries.TextAnalysis.ensureLexIndex(spark, dir)
-    spark.table(postT).createOrReplaceTempView("graft_lex_postings")
-    spark.table(dlT).createOrReplaceTempView("graft_lex_doclen")
-    spark.table(dfT).createOrReplaceTempView("graft_lex_df")
-    // the corpus scalars a BM25 statement needs beside the index: N
-    // documents (null text included — they shape idf), L tokens, and
-    // the serve's pre-quantized average document length a = max(1,
-    // L div max(1, N)) — one broadcastable row, so [[bm25Sql]] needs
-    // no documents scan
-    Seq((n, l, math.max(1L, l / math.max(1L, n))))
-      .toDF("n", "l", "a").createOrReplaceTempView("graft_lex_stats")
     // the trained hashed-NB quality model (q168): ≤ NbBuckets rows —
     // the broadcastable weight table [[nbSql]] scores any document
-    // relation against
+    // relation against. A FROZEN model (like the centroids/codebooks):
+    // takedowns remove member DATA from serves immediately; model
+    // refresh rides the normal retrain cadence
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     queries.TextAnalysis.nbBucketWeights(
         queries.TextAnalysis.nbBucketTokens(docs),
         functions.QualityRules.annotate(docs).select(col("doc_id"), col("pass")))
       .createOrReplaceTempView("graft_nb_model")
+    published.put((spark.sparkContext.applicationId, dir), idxT)
+    publishMaskableViews(spark, dir, idxT)
     ViewNames
+  }
+
+  /** Re-publish every catalog view that reads MEMBER rows so it reads
+    * through the current takedown tombstones of (session, `dir`) — the
+    * hook [[StagedTombstones.deleteDocs]]/[[StagedTombstones.deleteVecs]]
+    * fire after registering a request (temp views capture their plan at
+    * creation, so a mask added later needs a re-publish to be seen).
+    * No-op unless [[register]] ran for this (session, dir). Cheap by
+    * construction: every staged table already exists, the lexical
+    * scalars are memoized, and the masks themselves are broadcast
+    * anti-joins over request-sized id sets.
+    */
+  def refreshAfterTakedown(spark: SparkSession, dir: String): Unit = {
+    val idxT = published.get((spark.sparkContext.applicationId, dir))
+    if (idxT != null) publishMaskableViews(spark, dir, idxT)
+  }
+
+  private def publishMaskableViews(spark: SparkSession, dir: String,
+      idxT: String): Unit = {
+    val s = spark
+    import s.implicits._
+    val docTomb = StagedTombstones.docTomb(spark, dir)
+    StagedTombstones.maskedVecs(spark, dir, spark.table(idxT))
+      .createOrReplaceTempView("graft_ivfpq_index")
+    // band rows are member-derived (doc_id + its simhash): a takedown
+    // masks them like any other candidate surface
+    val (bands, w) = queries.Similarity.bandRelation(spark, dir)
+    StagedTombstones.masked(spark,
+        bands.withColumn("band_width", lit(w)),
+        docTomb.map(_.ids), "doc_id")
+      .createOrReplaceTempView("graft_band_index")
+    // the staged lexical inverted index (q148's serve substrate):
+    // postings bucketed by term — a `WHERE term IN (…)` candidate fetch
+    // bucket-prunes through the view like the serve path's does (the
+    // takedown anti-join sits above the pruned scan)
+    val (post, dl, df, n, l) = queries.TextAnalysis.lexRead(spark, dir, docTomb)
+    post.createOrReplaceTempView("graft_lex_postings")
+    dl.createOrReplaceTempView("graft_lex_doclen")
+    df.createOrReplaceTempView("graft_lex_df")
+    // the corpus scalars a BM25 statement needs beside the index: N
+    // documents (null text included — they shape idf), L tokens, and
+    // the serve's pre-quantized average document length a = max(1,
+    // L div max(1, N)) — one broadcastable row, so [[bm25Sql]] needs
+    // no documents scan. Takedown deltas are already folded in by
+    // [[queries.TextAnalysis.lexRead]].
+    Seq((n, l, math.max(1L, l / math.max(1L, n))))
+      .toDF("n", "l", "a").createOrReplaceTempView("graft_lex_stats")
   }
 }

@@ -982,7 +982,12 @@ object Similarity {
         graft.Bucketing.stage(cells, idxT, "cell", graft.Bucketing
           .bucketCountFor(Tables(s, dir, "embeddings").count()))
       }
-      val idx = s.table(idxT)
+      // serve-time takedown mask (StagedTombstones contract: the probe
+      // equals a re-stage over the corpus minus the deletions; the
+      // query row masks too — a deleted vector stops being servable
+      // as either candidate OR in-index query). No-takedown sessions
+      // pass through untouched (fold on None), keeping the pinned plan.
+      val idx = graft.StagedTombstones.maskedVecs(s, dir, s.table(idxT))
       val qRow = idx.filter(col("vec_id") === 0)
       val qCells: Array[Long] = qRow
         .select(posexplode(ccosArr))
@@ -1054,7 +1059,10 @@ object Similarity {
               d
             }
           }
-          s.table(idxT).filter(col("cell").isin(probed.map(Long.box): _*))
+          // takedown mask over the pruned scan (anti-join above the
+          // bucket-pruned read; pass-through when no takedown landed)
+          graft.StagedTombstones.maskedVecs(s, dir, s.table(idxT))
+            .filter(col("cell").isin(probed.map(Long.box): _*))
             .select(col("vec_id"), col("cell"),
               (0 until PqM).map(m =>
                 element_at(typedLit(tables(m).toSeq),
@@ -1126,7 +1134,8 @@ object Similarity {
         val probesDf = probes.toDF("qid", "cell")
         val cellsIn = probes.map(_._2).distinct
         val dlit = typedLit(dmap)
-        val cand = s.table(idxT)
+        // takedown mask over the pruned scan (see q91)
+        val cand = graft.StagedTombstones.maskedVecs(s, dir, s.table(idxT))
           .filter(col("cell").isin(cellsIn.map(Long.box): _*))
           .join(broadcast(probesDf), Seq("cell"))
           .select(col("qid"), col("vec_id"),

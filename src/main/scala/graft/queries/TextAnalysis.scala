@@ -611,6 +611,59 @@ object TextAnalysis {
     (postT, dlT, dfT, n, l)
   }
 
+  /** The lexical index's SERVE-TIME read surface: [[ensureLexIndex]]'s
+    * staged relations read THROUGH a takedown tombstone
+    * ([[graft.StagedTombstones]]) — postings and doc lengths mask the
+    * deleted ids (broadcast anti-join, request-sized right side), the
+    * df table subtracts the deleted documents' term memberships
+    * (broadcast left join on the request-sized delta, zero-df terms
+    * drop out — a re-staged index would not hold them), and the corpus
+    * scalars shed the deleted documents' counts. With no tombstone the
+    * staged relations pass through UNTOUCHED (fold on None), so every
+    * pinned serve plan is byte-identical until a takedown actually
+    * lands. StagedTakedownSpec pins the contract: a serve through this
+    * surface equals a full re-stage over the corpus minus the deletions.
+    */
+  private[graft] def lexRead(s: SparkSession, dir: String,
+      tomb: Option[graft.StagedTombstones.DocTomb])
+      : (DataFrame, DataFrame, DataFrame, Long, Long) = {
+    val (postT, dlT, dfT, n, l) = ensureLexIndex(s, dir)
+    tomb.fold((s.table(postT), s.table(dlT), s.table(dfT), n, l)) { t =>
+      val ss = s
+      import ss.implicits._
+      val post = graft.StagedTombstones.masked(
+        s, s.table(postT), Some(t.ids), "doc_id")
+      val dl = graft.StagedTombstones.masked(
+        s, s.table(dlT), Some(t.ids), "doc_id")
+      val df =
+        if (t.dfDelta.isEmpty) s.table(dfT)
+        else s.table(dfT)
+          .join(broadcast(t.dfDelta.toDF("term", "ddf")), Seq("term"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+      (post, dl, df, n - t.nDel, l - t.lDel)
+    }
+  }
+
+  /** [[ensurePosIndex]]'s serve-time read surface — the positional
+    * member of [[lexRead]]'s contract (membership-only: positions carry
+    * no corpus-derived statistics).
+    */
+  private[graft] def posRead(s: SparkSession, dir: String,
+      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame =
+    graft.StagedTombstones.masked(
+      s, s.table(ensurePosIndex(s, dir)), tomb.map(_.ids), "doc_id")
+
+  /** The session's registered takedowns for `dir` — the tombstone every
+    * REGISTRY-driven serve entry reads through (q172 passes an explicit
+    * one instead, keeping the correctness dump independent of session
+    * state).
+    */
+  private def registryTomb(s: SparkSession, dir: String)
+      : Option[graft.StagedTombstones.DocTomb] =
+    graft.StagedTombstones.docTomb(s, dir)
+
   /** [[bm25TopDocs]]'s staging half — ONE definition of "the corpus's
     * postings and the queries' weighted terms", shared by the batch
     * serve and the frozen-statistic extraction the streaming
@@ -622,9 +675,10 @@ object TextAnalysis {
     * query terms; dl; qtIdf = (qid, term, idf_m) with the log-free
     * milli-scale idf; a = avgdl quantized to whole tokens).
     */
-  private def bm25Stage(s: SparkSession, dir: String, qids: DataFrame)
+  private def bm25Stage(s: SparkSession, dir: String, qids: DataFrame,
+      tomb: Option[graft.StagedTombstones.DocTomb])
       : (DataFrame, DataFrame, DataFrame, Long) = {
-    val (postT, dlT, dfT, n, l) = ensureLexIndex(s, dir)
+    val (post, dlRel, dfRel, n, l) = lexRead(s, dir, tomb)
     val a = math.max(1L, l / math.max(1L, n))
     val qt0 = Tables(s, dir, "documents")
       .join(broadcast(qids), col("doc_id") === col("qid"))
@@ -637,14 +691,14 @@ object TextAnalysis {
     // terms, ≤ |sample|·cap by the window above
     val terms: Array[Any] = qt.select("term").distinct().collect()
       .map(_.getString(0))
-    val dfq = s.table(dfT).filter(col("term").isin(terms: _*))
+    val dfq = dfRel.filter(col("term").isin(terms: _*))
     val qtIdf = qt.join(broadcast(dfq), Seq("term"))
       // all-integer fixed point; operands non-negative so Spark's
       // truncating `div` and DuckDB's flooring `//` agree
       .withColumn("idf_m", expr(s"(${2 * n} - 2*df + 1) * 1000 div (2*df + 1)"))
       .select("qid", "term", "idf_m")
-    val cand = s.table(postT).filter(col("term").isin(terms: _*))
-    (cand, s.table(dlT), qtIdf, a)
+    val cand = post.filter(col("term").isin(terms: _*))
+    (cand, dlRel, qtIdf, a)
   }
 
   /** The scored-but-uncut half of the BM25 serve: every candidate
@@ -655,8 +709,13 @@ object TextAnalysis {
     * cut so lower-ranked distinct documents can backfill.
     */
   private[queries] def bm25ScoredDocs(s: SparkSession, dir: String,
-      qids: DataFrame): DataFrame = {
-    val (tf, dl, qtIdf, a) = bm25Stage(s, dir, qids)
+      qids: DataFrame): DataFrame =
+    bm25ScoredDocs(s, dir, qids, registryTomb(s, dir))
+
+  private[queries] def bm25ScoredDocs(s: SparkSession, dir: String,
+      qids: DataFrame,
+      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame = {
+    val (tf, dl, qtIdf, a) = bm25Stage(s, dir, qids, tomb)
     tf.join(broadcast(qtIdf), Seq("term"))
       .join(dl, Seq("doc_id"))
       .withColumn("tscore",
@@ -666,9 +725,14 @@ object TextAnalysis {
   }
 
   private[queries] def bm25TopDocs(s: SparkSession, dir: String,
-      qids: DataFrame): DataFrame = {
+      qids: DataFrame): DataFrame =
+    bm25TopDocs(s, dir, qids, registryTomb(s, dir))
+
+  private[queries] def bm25TopDocs(s: SparkSession, dir: String,
+      qids: DataFrame,
+      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(desc("score_u"), asc("doc_id"))
-    bm25ScoredDocs(s, dir, qids)
+    bm25ScoredDocs(s, dir, qids, tomb)
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= Bm25TopK)
       .select("qid", "rnk", "doc_id", "score_u")
@@ -685,7 +749,7 @@ object TextAnalysis {
     */
   private[graft] def bm25FrozenStats(s: SparkSession, dir: String,
       qids: DataFrame): (Long, Seq[(Long, String, Long)]) = {
-    val (_, _, qtIdf, a) = bm25Stage(s, dir, qids)
+    val (_, _, qtIdf, a) = bm25Stage(s, dir, qids, registryTomb(s, dir))
     val terms = qtIdf.collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
       .sortBy(t => (t._1, t._2))
@@ -824,7 +888,7 @@ object TextAnalysis {
     */
   private[queries] def phraseSnippetTopDocs(s: SparkSession, dir: String,
       qids: DataFrame, k: Int = 2): DataFrame = {
-    val posT = ensurePosIndex(s, dir)
+    val pos = posRead(s, dir, registryTomb(s, dir))
     val qp = phraseQueries(s, dir, qids, k)
     val terms = phraseTerms(qp, k)
     if (terms.isEmpty)
@@ -833,7 +897,7 @@ object TextAnalysis {
     else {
       val w = Window.partitionBy("qid").orderBy(desc("phrase_tf"), asc("doc_id"))
       phraseAdjacencyMatches(
-        s.table(posT).filter(col("term").isin(terms: _*)), qp, k)
+        pos.filter(col("term").isin(terms: _*)), qp, k)
         .groupBy("qid", "doc_id").agg(count(lit(1)).as("phrase_tf"),
           min("pos").cast("long").as("first_pos"))
         .withColumn("rnk", row_number().over(w).cast("long"))
@@ -845,12 +909,12 @@ object TextAnalysis {
   private[queries] def phraseTopDocs(s: SparkSession, dir: String,
       qids: DataFrame, k: Int = 2): DataFrame = {
     require(k >= 2, s"a phrase needs at least two tokens, got $k")
-    val posT = ensurePosIndex(s, dir)
+    val pos = posRead(s, dir, registryTomb(s, dir))
     val qp = phraseQueries(s, dir, qids, k)
     val terms = phraseTerms(qp, k)
     if (terms.isEmpty) emptyPhraseServe(qids, "phrase_tf")
     else phraseAdjacencyTopDocs(
-      s.table(posT).filter(col("term").isin(terms: _*)), qp, k)
+      pos.filter(col("term").isin(terms: _*)), qp, k)
   }
 
   /** The frozen standing-phrase set the streaming phrase scorer
@@ -889,12 +953,12 @@ object TextAnalysis {
   private[queries] def proximityTopDocs(s: SparkSession, dir: String,
       qids: DataFrame, win: Long = ProxWindow): DataFrame = {
     require(win >= 1, s"proximity window must be positive, got $win")
-    val posT = ensurePosIndex(s, dir)
+    val pos = posRead(s, dir, registryTomb(s, dir))
     val qp = phraseQueries(s, dir, qids, 2)
     val terms = phraseTerms(qp, 2)
     if (terms.isEmpty) emptyPhraseServe(qids, "prox_tf")
     else {
-      val post = s.table(posT).filter(col("term").isin(terms: _*))
+      val post = pos.filter(col("term").isin(terms: _*))
       val lead = post.join(broadcast(qp), col("term") === col("t1"))
         .select(col("qid"), col("doc_id"), col("pos"), col("t2"))
       val next = post.select(col("doc_id").as("doc_n"),
@@ -1589,6 +1653,33 @@ object TextAnalysis {
     "q163_retrieval_selfcheck" -> ((s, dir) =>
       selfCheckFold(bm25TopDocs(s, dir, docModQids(s, dir)), "doc_id")),
 
+    // the batch-staged takedown read path (the q170 streaming card's
+    // serve-side dual): the q148 BM25 serve read through an EXPLICIT
+    // takedown tombstone over a corpus-adaptive id set (doc_id % tmod =
+    // 1, ~8 ids at any scale — request-sized, the shape a real takedown
+    // arrives in). The serve must equal a full re-stage over the corpus
+    // minus the deletions: candidates, df, and the N/L/avgdl scalars
+    // all shed the deleted documents (deleted QUERY docs still query —
+    // the request deletes them from the INDEX, not from the caller's
+    // hands). Explicit tomb ([[graft.StagedTombstones.resolveDocs]]),
+    // not the session registry, so the correctness dump is independent
+    // of session state; StagedTakedownSpec pins the registry path
+    // (deleteDocs → same result) plus redelivery/no-op semantics.
+    // Plan: the request probe is one id-pushdown bounded read; the mask
+    // is a broadcast anti-join under the same term-pruned bucketed scan
+    // q148 runs — a takedown never re-reads the corpus.
+    "q172_takedown_bm25" -> ((s, dir) => {
+      val nd = Tables(s, dir, "documents").count()
+      val tmod = math.max(5L, (nd + 7) / 8)
+      val delIds = Tables(s, dir, "documents")
+        .filter(col("doc_id") % tmod === 1).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val tomb =
+        if (delIds.isEmpty) None
+        else Some(graft.StagedTombstones.resolveDocs(s, dir, delIds))
+      bm25TopDocs(s, dir, docModQids(s, dir), tomb)
+    }),
+
     // intra-document repetition card — the Gopher repetition-rule
     // family beside q45's length/alpha/stopword gates: boilerplate and
     // crawler-loop documents are flagged by WITHIN-document repetition
@@ -1641,9 +1732,9 @@ object TextAnalysis {
     // recomputes the same envelopes from raw text, so the card also
     // cross-checks the staged index against its definition.
     "q160_lex_index_card" -> ((s, dir) => {
-      val (_, _, dfT, n, l) = ensureLexIndex(s, dir)
+      val (_, _, dfRel, n, l) = lexRead(s, dir, registryTomb(s, dir))
       val a = math.max(1L, l / math.max(1L, n))
-      Tables(s, dir, "documents").sparkSession.table(dfT)
+      dfRel
         .agg(
           count(lit(1)).as("n_terms"),
           coalesce(sum("df"), lit(0L)).as("n_postings"),
@@ -2571,6 +2662,54 @@ object TextAnalysis {
        |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc) r
        |WHERE rnk <= $Bm25TopK""".stripMargin
 
+  /** q172's oracle: the BM25 serve re-staged over the corpus MINUS a
+    * takedown set — the ground truth the engine's tombstone mask must
+    * hash-match. The index side (tf/dl/df/N/L) reads `live`; the query
+    * side (`qs`/`qt0`) reads the FULL corpus (a deleted query document
+    * still queries — the takedown removes it from the index, not from
+    * the caller), mirroring [[bm25Stage]]'s raw-corpus query read.
+    */
+  private def sqlBm25TopDocsTakedown(qsSql: String, delSql: String): String =
+    s"""WITH del AS ($delSql),
+       |live AS (SELECT * FROM documents
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM del)),
+       |t AS (SELECT doc_id, unnest($Toks) AS term FROM live),
+       |tq AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+       |av AS (SELECT n, GREATEST(1, l // GREATEST(n, 1)) AS a FROM
+       |  (SELECT (SELECT COUNT(*) FROM live) AS n,
+       |          (SELECT COUNT(*) FROM t) AS l) nl),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+       |qs AS ($qsSql),
+       |qt0 AS (SELECT tq.doc_id AS qid, tq.term, COUNT(*) AS qtf
+       |  FROM tq JOIN qs ON tq.doc_id = qs.qid GROUP BY 1, 2),
+       |qt AS (SELECT qid, term FROM (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY qid ORDER BY qtf DESC, term) AS rn FROM qt0) z
+       |  WHERE rn <= $Bm25QTermCap),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tf
+       |  WHERE term IN (SELECT term FROM qt) GROUP BY term),
+       |sc AS (SELECT qt.qid, tf.doc_id,
+       |  CAST(SUM(((2*n - 2*df + 1) * 1000 // (2*df + 1))
+       |    * ((2200 * a * tf.tf) // (10 * a * tf.tf + 3 * a + 9 * dl.dl)))
+       |    AS BIGINT) AS score_u
+       |  FROM tf JOIN qt USING (term) JOIN dfq USING (term)
+       |    JOIN dl USING (doc_id), av
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_u FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc) r
+       |WHERE rnk <= $Bm25TopK""".stripMargin
+
+  /** q172's takedown request set in oracle SQL — the corpus-adaptive
+    * ~8-id modulus sample on residue 1 (residue 0 is the query sample's;
+    * overlap is possible and intended — a doc can be both query and
+    * takedown).
+    */
+  private val sqlTakedownIds: String =
+    """SELECT doc_id FROM documents,
+      |  (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS tmod FROM documents) tm
+      |  WHERE doc_id % tmod = 1""".stripMargin
+
   /** The positional serve family's oracle generator — 1-based positions
     * via the scrubCtes range idiom (adjacency offsets cancel, so the
     * base convention never shows); the `len(tk) >= k` cut mirrors the
@@ -2908,6 +3047,11 @@ object TextAnalysis {
          |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3""".stripMargin,
 
     "q148_bm25_topk" -> sqlBm25TopDocs(sqlDocModQs),
+
+    // the takedown-masked serve: the same ranking re-staged over the
+    // corpus minus the request's ids (the engine masks instead — same
+    // rows by contract)
+    "q172_takedown_bm25" -> sqlBm25TopDocsTakedown(sqlDocModQs, sqlTakedownIds),
 
     // the positional serve family: ONE generated text per member (k = 2
     // bigram, k = 3 trigram, the within-N proximity) — the shared CTE

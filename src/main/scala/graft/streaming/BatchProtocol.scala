@@ -76,18 +76,29 @@ private[streaming] object BatchProtocol {
       .map(_.stripPrefix("batch_id=").toLong)
   }
 
-  /** The index's SERVABLE rows: every epoch EXCEPT stream epochs
-    * superseded by a present consolidated epoch — for each consolidated
-    * id c < 0 the epochs in [0, −c−2] are its merged originals, left
-    * behind only by a compaction crash between the consolidated rename
-    * and the epoch cleanup. Semi/anti-join consumers (the dedup index
-    * reads) are duplicate-neutral and may read the raw union, but a
-    * consumer that AGGREGATES index rows (the lexical serve's df/N/L/tf
-    * folds) or returns them as RESULTS (the IVF probe's top-k) would
-    * double-count through that crash window until the redelivered
-    * compaction cleans up — such consumers must read through here.
-    * Returns None when the root holds no epoch at all (a new deployment
-    * probed before its first batch — "empty index", not a read error).
+  /** The index's SERVABLE rows: every epoch EXCEPT those superseded by
+    * a present consolidated epoch. For each consolidated id c ≤ −2 the
+    * epochs in [0, −c−2] are its merged originals, AND every LESS
+    * negative consolidated id (an earlier consolidation at a lower
+    * watermark) and the −1 re-band epoch are merged in too
+    * ([[compactIndex]] folds `batch_id ≤ upToBatch`, negatives
+    * included) — all left behind only by a compaction crash between
+    * the consolidated rename and the epoch cleanup. So among ids ≤ −2
+    * only the MOST negative (highest-watermark) one serves; −1 serves
+    * only when no consolidated epoch exists at all (once one does, any
+    * −1 beside it is either a merged leftover — masked here — or a
+    * post-watermark re-band copy, which the migration protocol rules
+    * out by re-banding BEFORE streaming resumes, never beside live
+    * consolidations).
+    *
+    * Semi/anti-join consumers (the dedup index reads) are
+    * duplicate-neutral and may read the raw union, but a consumer that
+    * AGGREGATES index rows (the lexical serve's df/N/L/tf folds) or
+    * returns them as RESULTS (the IVF probe's top-k) would double-count
+    * through that crash window until the redelivered compaction cleans
+    * up — such consumers must read through here. Returns None when the
+    * root holds no epoch at all (a new deployment probed before its
+    * first batch — "empty index", not a read error).
     */
   def readServable(spark: SparkSession, indexPath: String)
       : Option[org.apache.spark.sql.DataFrame] = {
@@ -95,12 +106,15 @@ private[streaming] object BatchProtocol {
     val epochs = epochIds(spark, indexPath)
     if (epochs.isEmpty) None
     else {
-      val covered = epochs.filter(_ < 0).map(c => -c - 2)
-        .foldLeft(-1L)(math.max)
+      val consolidated = epochs.filter(_ <= -2)
       val raw = spark.read.parquet(indexPath)
-      Some(if (covered < 0) raw
-      else raw.filter(col("batch_id").cast("long") < 0 ||
-        col("batch_id").cast("long") > covered))
+      Some(if (consolidated.isEmpty) raw
+      else {
+        val keep = consolidated.min // most negative = highest watermark
+        val covered = -keep - 2
+        raw.filter(col("batch_id").cast("long") === keep ||
+          col("batch_id").cast("long") > covered)
+      })
     }
   }
 
@@ -195,10 +209,22 @@ private[streaming] object BatchProtocol {
       // a previous attempt crashed mid-cleanup: its non-negative merged
       // epochs are provably in the consolidated epoch (any id ≤ watermark
       // present here predates the watermark — later redeliveries no-op on
-      // committed()), so finishing their deletion is safe. Negative
-      // epochs are NOT touched: a re-band epoch copied in after the
-      // watermark would be indistinguishable from a merged one.
-      epochIds(spark, indexPath).filter(id => id >= 0 && id <= wm)
+      // committed()), so finishing their deletion is safe. So are STALE
+      // CONSOLIDATED epochs (ids in (-(wm+2), -2]): each corresponds to a
+      // watermark < wm, was therefore merged by the wm consolidation
+      // (which folds every batch_id ≤ upToBatch, negatives included), and
+      // can never reappear after it (compacting at a watermark ≤ wm
+      // early-returns right here). Without this, a crash between the wm
+      // rename and its cleanup leaves the old consolidated epoch beside
+      // the new one FOREVER — readServable masks it, but raw-union
+      // readers pay its files on every scan. The −1 re-band epoch is NOT
+      // touched: it only ever lands in a fresh migration root
+      // (rebandIndex writes to newIndexPath), so one found here beside a
+      // watermark is a merged leftover too, but deleting it buys nothing
+      // a later compaction doesn't, and the asymmetry keeps the
+      // migration protocol's "never delete what you didn't write" rule.
+      epochIds(spark, indexPath)
+        .filter(id => (id >= 0 && id <= wm) || (id <= -2 && id > -(wm + 2)))
         .foreach(id => f.delete(new Path(s"$indexPath/batch_id=$id"), true))
       dropMarkersThrough(f, indexPath, wm)
       return 0

@@ -157,8 +157,13 @@ object Tombstones {
       .filter(_.startsWith("req=")).toSeq
     val prefix = s"req=compacted_$upToBatch"
     // already consolidated: one dir at this watermark (base or a crashed
-    // retry's suffixed name — both are complete by construction)
-    if (reqs.size == 1 && reqs.head.startsWith(prefix)) return
+    // retry's `_<k>`-suffixed name — both are complete by construction).
+    // EXACT match on the watermark: a bare startsWith would also accept
+    // req=compacted_20 for upToBatch=2 (a different, later watermark)
+    // and skip a consolidation it still owes.
+    val atThisWatermark = reqs.headOption.exists(n =>
+      n == prefix || n.matches(java.util.regex.Pattern.quote(prefix) + "_\\d+"))
+    if (reqs.size == 1 && atThisWatermark) return
     val tmp = s"$indexPath/_tombstones_tmp"
     spark.read.parquet(tombRoot(indexPath)).select(keyCol)
       .distinct().coalesce(1).write.mode("overwrite").parquet(tmp)

@@ -1,0 +1,224 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestSession, SqlCatalog, StagedTombstones}
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The batch-staged takedown contract ([[graft.StagedTombstones]]): a
+  * serve after `deleteDocs`/`deleteVecs` equals a RE-STAGE over the
+  * corpus minus the deletions — candidates AND every corpus-derived
+  * statistic (df, N, L, avgdl) read as if the documents never arrived.
+  *
+  * Per family:
+  *   - lexical (BM25/phrase/proximity/snippets/index card): compared
+  *     BYTE-IDENTICAL against a fresh staging of a physically reduced
+  *     corpus directory (the strongest form — stats included);
+  *   - catalog SQL forms: the [[graft.SqlCatalog.bm25Sql]] statement
+  *     over the refreshed views, same reduced-corpus ground truth;
+  *   - vector probes (q68 staged IVF, q91/q122 IVF-PQ): codes are pure
+  *     per-row functions of (vector, FROZEN codebooks), so a
+  *     frozen-model re-stage over the reduced corpus IS a row filter of
+  *     the staged table by construction; the spec pins the observable
+  *     half — deleted ids vanish, survivors keep scores and relative
+  *     order (mask BEFORE the top-k cut, so lower candidates backfill).
+  *
+  * Exactly-once by request identity: a redelivered requestId REPLACES
+  * its prior payload; distinct ids accumulate; a never-staged id is a
+  * harmless no-op.
+  */
+class StagedTakedownSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  /** 12 docs, ids 0..11: the corpus-adaptive query modulus is
+    * max(5, ceil(12/8)) = 5 → queries {0, 5, 10}; after removing the
+    * takedown ids {3, 7} it is max(5, ceil(10/8)) = 5 → the SAME query
+    * sample, so masked-vs-restaged results are directly comparable.
+    */
+  private val docRows = Seq(
+    0L -> "zebra quark the lattice prism",
+    1L -> "zebra quark the here now",
+    2L -> "the the the the lattice",
+    3L -> "zebra lattice prism prism filler",
+    4L -> "alpha beta the prism",
+    5L -> "quark lattice alpha zebra gamma",
+    6L -> "gamma prism zebra quark",
+    7L -> "quark quark lattice gamma here",
+    8L -> "here now alpha beta zebra",
+    9L -> "prism gamma filler now quark",
+    10L -> "lattice zebra now here alpha",
+    11L -> "beta gamma quark prism the")
+
+  private val delDocs = Seq(3L, 7L)
+
+  /** 16 well-formed 64-dim vectors (one shared direction + per-id
+    * perturbation — every probe cell holds plenty of candidates).
+    */
+  private def embRows(ids: Seq[Long]): Seq[(Long, Seq[java.lang.Float])] =
+    ids.map { i =>
+      (i, (1 to 64).map(j => java.lang.Float.valueOf(
+        (math.sin(j) + 0.05 * math.sin(i * 64 + j)).toFloat)))
+    }
+
+  private def mkCorpus(del: Set[Long]): String = {
+    import spark.implicits._
+    val d = Files.createTempDirectory("graft-staged-takedown").toString
+    docRows.filterNot(r => del(r._1)).toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    embRows(0L until 16L).toDF("vec_id", "embedding")
+      .write.parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  // the full corpus (masked at serve time) and its physically re-staged
+  // ground truth (takedown ids never written)
+  private lazy val dirA = mkCorpus(Set.empty)
+  private lazy val dirB = mkCorpus(delDocs.toSet)
+
+  private def run(q: String, dir: String): Seq[String] =
+    SparkEntry.queries(q)(spark, dir).collect().map(_.toString).sorted.toSeq
+
+  private def servedIds(q: String): Seq[Long] =
+    SparkEntry.queries(q)(spark, dirA).collect()
+      .map(_.getAs[Long]("vec_id")).toSeq
+
+  private val lexQueries = Seq("q148_bm25_topk", "q154_phrase_topk",
+    "q158_phrase3_topk", "q159_proximity_topk", "q161_phrase_snippets",
+    "q160_lex_index_card", "q163_retrieval_selfcheck")
+
+  test("lex family: serve after deleteDocs is byte-identical to a re-stage over corpus minus deletions") {
+    try {
+      StagedTombstones.deleteDocs(spark, dirA, delDocs, "req1")
+      for (q <- lexQueries)
+        assert(run(q, dirA) == run(q, dirB),
+          s"$q masked serve drifted from the re-staged ground truth")
+    } finally StagedTombstones.reset(spark, dirA)
+    spark.catalog.clearCache()
+  }
+
+  test("explicit-tomb serves (the q172 path) equal the registry path and touch no session state") {
+    val qids = {
+      import spark.implicits._
+      Seq(0L, 5L, 10L).toDF("qid")
+    }
+    val explicitServe = TextAnalysis.bm25TopDocs(spark, dirA, qids,
+      Some(StagedTombstones.resolveDocs(spark, dirA, delDocs)))
+      .collect().map(_.toString).sorted.toSeq
+    // no registry entry was created by the explicit path
+    assert(StagedTombstones.docTomb(spark, dirA).isEmpty)
+    assert(explicitServe == run("q148_bm25_topk", dirB))
+    spark.catalog.clearCache()
+  }
+
+  test("catalog SQL: bm25Sql over refreshed views matches the re-staged catalog; band/ivfpq views mask membership") {
+    import spark.implicits._
+    val qtexts = docRows.filter(r => Seq(0L, 5L, 10L).contains(r._1))
+      .toDF("qid", "qtext")
+    qtexts.createOrReplaceTempView("takedown_q")
+    try {
+      SqlCatalog.register(spark, dirA)
+      StagedTombstones.deleteDocs(spark, dirA, delDocs, "reqC")
+      val masked = spark.sql(SqlCatalog.bm25Sql("takedown_q"))
+        .collect().map(_.toString).sorted.toSeq
+      val bandDocs = spark.table("graft_band_index")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(delDocs.forall(!bandDocs.contains(_)),
+        "takedown ids still present in graft_band_index")
+      StagedTombstones.deleteVecs(spark, dirA, Seq(2L, 9L), "reqV")
+      val ivfIds = spark.table("graft_ivfpq_index")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(!ivfIds.contains(2L) && !ivfIds.contains(9L),
+        "takedown vec ids still present in graft_ivfpq_index")
+      SqlCatalog.register(spark, dirB)
+      val restaged = spark.sql(SqlCatalog.bm25Sql("takedown_q"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(masked == restaged,
+        "catalog bm25Sql through the mask drifted from the re-staged catalog")
+    } finally StagedTombstones.reset(spark, dirA)
+    spark.catalog.clearCache()
+  }
+
+  test("vector probes mask BEFORE the top-k cut: deleted ids vanish, survivors keep order, tail backfills") {
+    val pre68 = servedIds("q68_ann_ivf_staged")
+    val pre122 = SparkEntry.queries("q122_ann_serve_batch")(spark, dirA)
+      .collect().groupBy(_.getAs[Long]("qid"))
+      .map { case (q, rs) => q -> rs.sortBy(_.getAs[Long]("rnk"))
+        .map(_.getAs[Long]("vec_id")).toSeq }
+    assert(pre68.nonEmpty)
+    val del = pre68.filter(_ != 0L).take(2)
+    assert(del.size == 2, s"fixture too small: pre-serve was $pre68")
+    try {
+      StagedTombstones.deleteVecs(spark, dirA, del, "reqV1")
+      val post91 = servedIds("q91_ann_ivf_adc")
+      assert(del.forall(!post91.contains(_)), "q91 served a deleted vector")
+      val post68 = servedIds("q68_ann_ivf_staged")
+      val survivors = pre68.filterNot(del.contains)
+      assert(del.forall(!post68.contains(_)), "q68 served a deleted vector")
+      assert(post68.take(survivors.size) == survivors,
+        s"mask reordered surviving candidates: pre=$pre68 del=$del post=$post68")
+      assert(post68.size >= survivors.size, "mask lost non-deleted candidates")
+      val post122 = SparkEntry.queries("q122_ann_serve_batch")(spark, dirA)
+        .collect().groupBy(_.getAs[Long]("qid"))
+        .map { case (q, rs) => q -> rs.sortBy(_.getAs[Long]("rnk"))
+          .map(_.getAs[Long]("vec_id")).toSeq }
+      for ((qid, preIds) <- pre122) {
+        val postIds = post122.getOrElse(qid, Seq.empty)
+        val surv = preIds.filterNot(del.contains)
+        assert(del.forall(!postIds.contains(_)), s"qid $qid served a deleted vector")
+        assert(postIds.take(surv.size) == surv,
+          s"qid $qid: mask reordered survivors: pre=$preIds del=$del post=$postIds")
+      }
+    } finally StagedTombstones.reset(spark, dirA)
+    spark.catalog.clearCache()
+  }
+
+  test("a deleted in-index query vector stops probing (empty serve, never a crash)") {
+    try {
+      StagedTombstones.deleteVecs(spark, dirA, Seq(0L), "reqQ")
+      assert(SparkEntry.queries("q68_ann_ivf_staged")(spark, dirA).collect().isEmpty)
+    } finally StagedTombstones.reset(spark, dirA)
+    spark.catalog.clearCache()
+  }
+
+  test("a redelivered requestId REPLACES its payload; distinct ids accumulate") {
+    try {
+      StagedTombstones.deleteDocs(spark, dirA, Seq(3L), "r1")
+      StagedTombstones.deleteDocs(spark, dirA, Seq(7L), "r1") // redelivery
+      assert(StagedTombstones.docTomb(spark, dirA).map(_.ids.toSet)
+        .contains(Set(7L)), "redelivered requestId did not replace itself")
+      StagedTombstones.deleteDocs(spark, dirA, Seq(3L), "r2") // distinct id
+      val t = StagedTombstones.docTomb(spark, dirA).get
+      assert(t.ids.toSet == Set(3L, 7L))
+      // both docs present in the corpus → both adjust the stats
+      assert(t.nDel == 2L && t.lDel == 10L,
+        s"per-doc facts drifted: nDel=${t.nDel} lDel=${t.lDel}")
+    } finally StagedTombstones.reset(spark, dirA)
+    spark.catalog.clearCache()
+  }
+
+  test("a never-staged id is a harmless no-op (masks nothing, adjusts nothing)") {
+    val before = run("q148_bm25_topk", dirA)
+    try {
+      StagedTombstones.deleteDocs(spark, dirA, Seq(999999L), "rx")
+      val t = StagedTombstones.docTomb(spark, dirA).get
+      assert(t.nDel == 0L && t.lDel == 0L && t.dfDelta.isEmpty,
+        "an absent id must not adjust corpus statistics")
+      assert(run("q148_bm25_topk", dirA) == before)
+    } finally StagedTombstones.reset(spark, dirA)
+    spark.catalog.clearCache()
+  }
+
+  test("overlapping ids across requests merge by id — never double-adjust") {
+    try {
+      StagedTombstones.deleteDocs(spark, dirA, Seq(3L, 7L), "o1")
+      StagedTombstones.deleteDocs(spark, dirA, Seq(7L), "o2") // overlap
+      val t = StagedTombstones.docTomb(spark, dirA).get
+      assert(t.ids.toSet == Set(3L, 7L))
+      assert(t.nDel == 2L && t.lDel == 10L,
+        s"overlap double-counted: nDel=${t.nDel} lDel=${t.lDel}")
+      for (q <- Seq("q148_bm25_topk", "q160_lex_index_card"))
+        assert(run(q, dirA) == run(q, dirB),
+          s"$q drifted under overlapping requests")
+    } finally StagedTombstones.reset(spark, dirA)
+    spark.catalog.clearCache()
+  }
+}

@@ -76,6 +76,9 @@ class DegenerateTextSpec extends AnyFunSuite {
     // never a crash)
     "q148_bm25_topk", "q154_phrase_topk", "q158_phrase3_topk",
     "q159_proximity_topk", "q160_lex_index_card", "q161_phrase_snippets",
+    // q172's takedown set is empty here only if no doc_id % tmod = 1 —
+    // with ids 0..5 and tmod 5 it masks doc 1 and serves like q148
+    "q172_takedown_bm25",
     "q162_repetition_card", "q163_retrieval_selfcheck", "q164_diverse_topk",
     "q136_sketch_precision", "q139_contam_attribution",
     "q142_discounted_budget", "q146_length_quality_grid",
@@ -124,6 +127,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q142_discounted_budget", // budgeted subset, not one row per doc
         "q146_length_quality_grid", // one row per grid cell, not per doc
         "q148_bm25_topk", // the sampled query here has null text -> no list
+        "q172_takedown_bm25", // q148's sample through the takedown mask
         "q164_diverse_topk", // same sample: no candidates -> empty serve
         "q154_phrase_topk", // same sample: null text -> no phrase -> no list
         "q158_phrase3_topk", "q159_proximity_topk", // same cut at k=3 / slop

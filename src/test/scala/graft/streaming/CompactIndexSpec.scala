@@ -178,6 +178,40 @@ class CompactIndexSpec extends AnyFunSuite {
     assert(indexRows(s"$base/i") == indexRows(s"$base/donor"))
   }
 
+  test("a crash leaving a PRIOR consolidated epoch beside the new one: readServable serves rows once, the early return deletes the stale consolidation") {
+    val base = Files.createTempDirectory("graft-compactstale").toString
+    buildThreeEpochs(s"$base/i", s"$base/o")
+    // first consolidation: epochs {-3, 2}
+    assert(DocStream.compactIndex(spark, s"$base/i", 1L) == 2)
+    // donor runs the SECOND consolidation to completion → epochs {-4}
+    copyDir(Paths.get(s"$base/i"), Paths.get(s"$base/donor"))
+    assert(DocStream.compactIndex(spark, s"$base/donor", 2L) == 2) // -3, 2
+    // crash state: the -4 rename and watermark landed, cleanup never ran —
+    // the PRIOR consolidated epoch -3 and stream epoch 2 sit beside -4,
+    // every one of their rows duplicated inside it
+    copyDir(Paths.get(s"$base/donor/batch_id=-4"),
+      Paths.get(s"$base/i/batch_id=-4"))
+    Files.createFile(Paths.get(s"$base/i/_commits/compacted_through=2"))
+    assert(BatchProtocol.epochIds(spark, s"$base/i").sorted == Seq(-4L, -3L, 2L))
+    // an aggregating consumer must see each row exactly ONCE (only the
+    // most negative consolidated epoch serves — the -3 and 2 leftovers
+    // are its subsets)
+    val served = BatchProtocol.readServable(spark, s"$base/i").get
+      .select("doc_id", "simhash", "b", "bk", "g").collect()
+    val truth = BatchProtocol.readServable(spark, s"$base/donor").get
+      .select("doc_id", "simhash", "b", "bk", "g").collect()
+    assert(served.length == truth.length,
+      s"crash leftovers double-counted: served ${served.length} vs ${truth.length}")
+    assert(served.map(_.toString).sorted.toSeq ==
+      truth.map(_.toString).sorted.toSeq)
+    // the redelivered compaction's early return finishes the cleanup —
+    // stale consolidated epoch included
+    assert(DocStream.compactIndex(spark, s"$base/i", 2L) == 0)
+    assert(BatchProtocol.epochIds(spark, s"$base/i") == Seq(-4L),
+      "early return must delete the superseded -3 consolidation too")
+    assert(indexRows(s"$base/i") == indexRows(s"$base/donor"))
+  }
+
   test("compaction refuses a watermark beyond the highest stream epoch") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-compactover").toString
