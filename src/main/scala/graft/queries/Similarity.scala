@@ -531,40 +531,130 @@ object Similarity {
     * hash-bucketed on `cell` — and returns the table name. Shared by
     * the single-query (q91) and batched (q122) serving paths.
     */
+  /** The IVF-PQ coded rows `(vec_id, cell, code0..codeM-1)` of an
+    * arbitrary `(vec_id, embedding)` relation under FROZEN models — ONE
+    * definition of "what a vector's index entry is", shared by the
+    * batch staging ([[ensureIvfPqIndex]]) and the streaming sidecar
+    * ([[graft.streaming.EmbedStream.processAdcBatch]]), so an arrival
+    * encoded in a micro-batch is bit-identical to the same vector in a
+    * full re-stage. A pure per-row projection (zero shuffle): cell =
+    * the frozen-centroid cosine argmax (ties to the lowest cell — the
+    * q35 discipline); codes = per-subspace L2 argmin against the frozen
+    * codebooks. Codeless rows drop: zero-norm (no direction — the q28
+    * guard), non-64-dim, and null-ELEMENT vectors (no complete code
+    * word — the q67 guard).
+    */
+  private[graft] def pqCodes(e0: DataFrame,
+      cents: Array[(Int, Seq[Double], Double)],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    val e = e0
+      .select(col("vec_id"), col("embedding"),
+        sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+      .filter(col("nrm") > 0) // zero-norm guard (see q28)
+    val ccosArr = zip_with(
+      graft.functions.VectorFunctions.vecDotMany(col("embedding"),
+        cents.flatMap(_._2).toArray, cents.length),
+      typedLit(cents.map(_._3).toSeq),
+      (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn)))
+    val dd = graft.functions.VectorFunctions.subspaceSqDists(
+      col("embedding"), books.flatten.flatten, PqM, books(0).length, PqSubDim)
+    e.select(col("vec_id"), size(col("embedding")).as("dims"),
+        ccosArr.as("ccos"), dd.as("dall"))
+      .select(Seq(col("vec_id"), col("dims"),
+        (array_position(col("ccos"), array_max(col("ccos"))) - 1)
+          .cast("long").as("cell")) ++
+        (0 until PqM).map(m => element_at(col("dall"), m + 1).as(s"d$m")) ++
+        (0 until PqM).map(m =>
+          array_min(element_at(col("dall"), m + 1)).as(s"mn$m")): _*)
+      // codeless rows aren't in the index: non-64-dim vectors and
+      // null-ELEMENT vectors (no complete code word — the q67 guard)
+      .filter(col("dims") === 64)
+      .filter((0 until PqM).map(m => col(s"mn$m").isNotNull).reduce(_ && _))
+      .select(col("vec_id") +: col("cell") +:
+        (0 until PqM).map(m =>
+          (array_position(col(s"d$m"), col(s"mn$m")) - 1)
+            .cast("long").as(s"code$m")): _*)
+  }
+
+  /** Per-(application, dir) memo of q173's accumulated-ADC root so
+    * repeated serves (Verify + re-runs in one session) fold the arrival
+    * batches once — the ensure* discipline for a filesystem artifact.
+    */
+  private val adcRoots =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
+  /** q91's SERVE half over an arbitrary coded relation `(vec_id, cell,
+    * code0..codeM-1)` — factored so the staged single-table read (q91),
+    * and the staged+accumulated union read (q173 /
+    * [[graft.streaming.EmbedStream.adcServable]]) rank through ONE
+    * implementation. Everything driver-side is bounded (the
+    * centroid/codebook tables and one 1-row query read); the cluster
+    * side is a cell-pruned scan of `codes` with O(m) integer lookups
+    * per row and a TakeOrdered top-k. `codes` is by-name: the scan is
+    * built only when the query survives its guards (a missing or
+    * degenerate query serves a defined empty — the q67 semantics).
+    */
+  private[graft] def adcTopK(s: SparkSession, dir: String,
+      codes: => DataFrame,
+      cents: Array[(Int, Seq[Double], Double)],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+    // one bounded 1-row read: the query vector (a missing/degenerate
+    // query empties the probe, never crashes — the q67 semantics)
+    val qOpt = Tables(s, dir, "embeddings")
+      .filter(col("vec_id") === 0 && size(col("embedding")) === 64 &&
+        !exists(col("embedding"), _.isNull))
+      .select(col("embedding"))
+      .collect().headOption
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    qOpt.filter(qv => dot(qv, qv) > 0) match {
+      case None =>
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id"), lit(null).cast("long").as("cell"),
+            lit(null).cast("double").as("adc"))
+          .limit(0)
+      case Some(qv) =>
+        val qn = math.sqrt(dot(qv, qv))
+        // probe planning, driver-side against the bounded centroid
+        // table — the exact IEEE sequence of the oracle's qc CTE
+        // (ORDER BY ccos DESC, cent_id; a NaN affinity sorts first
+        // like SQL's NaN-greatest double order)
+        val probed: Array[Long] = cents.map { case (k, c, cn) =>
+            val cc = dot(qv, c.toArray) / (qn * cn)
+            (k.toLong, if (cc.isNaN) Double.PositiveInfinity else cc)
+          }.sortBy { case (k, cc) => (-cc, k) }.take(2).map(_._1)
+        // the query's m·k distance tables, computed ONCE (the ADC point)
+        val tables: Array[Array[Double]] = Array.tabulate(PqM) { m =>
+          books(m).map { c =>
+            var d = 0.0; var i = 0
+            while (i < PqSubDim) {
+              val t = qv(m * PqSubDim + i) - c(i); d += t * t; i += 1
+            }
+            d
+          }
+        }
+        codes
+          .filter(col("cell").isin(probed.map(Long.box): _*))
+          .select(col("vec_id"), col("cell"),
+            (0 until PqM).map(m =>
+              element_at(typedLit(tables(m).toSeq),
+                (col(s"code$m") + 1).cast("int"))).reduce(_ + _).as("adc"))
+          .orderBy(asc("adc"), asc("vec_id"))
+          .limit(10)
+    }
+  }
+
   private[graft] def ensureIvfPqIndex(s: SparkSession, dir: String,
       cents: Array[(Int, Seq[Double], Double)],
       books: Array[Array[Array[Double]]]): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val idxT = s"graft_q91_ivfpq_$tag"
     if (!s.catalog.tableExists(idxT)) {
-      val e = Tables(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
-        .filter(col("nrm") > 0) // zero-norm guard (see q28)
-      val ccosArr = zip_with(
-        graft.functions.VectorFunctions.vecDotMany(col("embedding"),
-          cents.flatMap(_._2).toArray, cents.length),
-        typedLit(cents.map(_._3).toSeq),
-        (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn)))
-      val dd = graft.functions.VectorFunctions.subspaceSqDists(
-        col("embedding"), books.flatten.flatten, PqM, books(0).length, PqSubDim)
-      val coded = e
-        .select(col("vec_id"), size(col("embedding")).as("dims"),
-          ccosArr.as("ccos"), dd.as("dall"))
-        .select(Seq(col("vec_id"), col("dims"),
-          (array_position(col("ccos"), array_max(col("ccos"))) - 1)
-            .cast("long").as("cell")) ++
-          (0 until PqM).map(m => element_at(col("dall"), m + 1).as(s"d$m")) ++
-          (0 until PqM).map(m =>
-            array_min(element_at(col("dall"), m + 1)).as(s"mn$m")): _*)
-        // codeless rows aren't in the index: non-64-dim vectors and
-        // null-ELEMENT vectors (no complete code word — the q67 guard)
-        .filter(col("dims") === 64)
-        .filter((0 until PqM).map(m => col(s"mn$m").isNotNull).reduce(_ && _))
-        .select(col("vec_id") +: col("cell") +:
-          (0 until PqM).map(m =>
-            (array_position(col(s"d$m"), col(s"mn$m")) - 1)
-              .cast("long").as(s"code$m")): _*)
+      val coded = pqCodes(Tables(s, dir, "embeddings"), cents, books)
       // corpus-adaptive layout (the ensureLexIndex discipline), derived
       // from the embeddings row count — a metadata-only parquet count
       // that upper-bounds the coded rows without recomputing the codes
@@ -1020,56 +1110,55 @@ object Similarity {
       val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
       val books = pqCodebooks(s, dir)
       val idxT = ensureIvfPqIndex(s, dir, cents, books)
-      // one bounded 1-row read: the query vector (a missing/degenerate
-      // query empties the probe, never crashes — the q67 semantics)
-      val qOpt = Tables(s, dir, "embeddings")
-        .filter(col("vec_id") === 0 && size(col("embedding")) === 64 &&
-          !exists(col("embedding"), _.isNull))
-        .select(col("embedding"))
-        .collect().headOption
-        .map(_.getSeq[Float](0).map(_.toDouble).toArray)
-      def dot(a: Array[Double], b: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < a.length) { acc += a(i) * b(i); i += 1 }
-        acc
-      }
-      qOpt.filter(qv => dot(qv, qv) > 0) match {
-        case None =>
-          Tables(s, dir, "embeddings")
-            .select(col("vec_id"), lit(null).cast("long").as("cell"),
-              lit(null).cast("double").as("adc"))
-            .limit(0)
-        case Some(qv) =>
-          val qn = math.sqrt(dot(qv, qv))
-          // probe planning, driver-side against the bounded centroid
-          // table — the exact IEEE sequence of the oracle's qc CTE
-          // (ORDER BY ccos DESC, cent_id; a NaN affinity sorts first
-          // like SQL's NaN-greatest double order)
-          val probed: Array[Long] = cents.map { case (k, c, cn) =>
-              val cc = dot(qv, c.toArray) / (qn * cn)
-              (k.toLong, if (cc.isNaN) Double.PositiveInfinity else cc)
-            }.sortBy { case (k, cc) => (-cc, k) }.take(2).map(_._1)
-          // the query's m·k distance tables, computed ONCE (the ADC point)
-          val tables: Array[Array[Double]] = Array.tabulate(PqM) { m =>
-            books(m).map { c =>
-              var d = 0.0; var i = 0
-              while (i < PqSubDim) {
-                val t = qv(m * PqSubDim + i) - c(i); d += t * t; i += 1
-              }
-              d
-            }
-          }
-          // takedown mask over the pruned scan (anti-join above the
-          // bucket-pruned read; pass-through when no takedown landed)
-          graft.StagedTombstones.maskedVecs(s, dir, s.table(idxT))
-            .filter(col("cell").isin(probed.map(Long.box): _*))
-            .select(col("vec_id"), col("cell"),
-              (0 until PqM).map(m =>
-                element_at(typedLit(tables(m).toSeq),
-                  (col(s"code$m") + 1).cast("int"))).reduce(_ + _).as("adc"))
-            .orderBy(asc("adc"), asc("vec_id"))
-            .limit(10)
-      }
+      // takedown mask over the pruned scan (anti-join above the
+      // bucket-pruned read; pass-through when no takedown landed)
+      adcTopK(s, dir,
+        graft.StagedTombstones.maskedVecs(s, dir, s.table(idxT)),
+        cents, books)
+    }),
+
+    // The accumulated-ADC union serve: the q91 read path when the
+    // deployment is BOTH halves at once — a session-staged code table
+    // over the historical corpus PLUS a streaming sidecar of arrivals
+    // encoded under the SAME frozen models
+    // ([[graft.streaming.EmbedStream.processAdcBatch]] — each
+    // micro-batch's vectors become (vec_id, cell, code0..3) epochs
+    // under the exactly-once marker protocol, read back through
+    // `readServable` so a crashed compaction never double-serves).
+    // Here the corpus plays both roles, split by vec_id parity: even
+    // ids stage, odd ids arrive as two micro-batches — and because
+    // [[pqCodes]] is the ONE encoding definition, the union serve must
+    // equal q91's full re-stage over the whole corpus EXACTLY, which is
+    // what the oracle (q91's own text, verbatim) checks. Plan: the
+    // union is two cell-pruned scans (the staged side bucket-prunes,
+    // the accumulated side partition-prunes on cell=) under one
+    // TakeOrdered — arrivals never trigger a re-stage.
+    "q173_adc_union_serve" -> ((s, dir) => {
+      val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
+      val books = pqCodebooks(s, dir)
+      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val stagedT = s"graft_q173_staged_$tag"
+      if (!s.catalog.tableExists(stagedT))
+        graft.Bucketing.stage(
+          pqCodes(Tables(s, dir, "embeddings")
+            .filter(col("vec_id") % 2 === 0), cents, books),
+          stagedT, "cell", graft.Bucketing
+            .bucketCountFor(Tables(s, dir, "embeddings").count()))
+      val root = adcRoots.computeIfAbsent(
+        (s.sparkContext.applicationId, dir), _ => {
+          val r = java.nio.file.Files
+            .createTempDirectory("graft-adc-accum").toString
+          val odd = Tables(s, dir, "embeddings")
+            .filter(col("vec_id") % 2 === 1)
+          graft.streaming.EmbedStream.processAdcBatch(s,
+            odd.filter(col("vec_id") % 4 === 1), 0L, r, cents, books)
+          graft.streaming.EmbedStream.processAdcBatch(s,
+            odd.filter(col("vec_id") % 4 === 3), 1L, r, cents, books)
+          r
+        })
+      val accum = graft.streaming.EmbedStream.adcServable(s, root)
+        .getOrElse(s.table(stagedT).limit(0))
+      adcTopK(s, dir, s.table(stagedT).unionByName(accum), cents, books)
     }),
 
     // BATCHED ANN serving — the production read shape q91 demonstrates
@@ -2222,6 +2311,37 @@ object Similarity {
          |     ORDER BY adc, vec_id) AS rnk FROM cand) t
          |WHERE rnk <= 10""".stripMargin
 
+  /** The composed probe→ADC oracle (q91) — ONE text shared with q173,
+    * whose staged/streamed split must serve exactly this full re-stage.
+    */
+  private lazy val sqlIvfAdcSql: String =
+    s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+       |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+       |  WHERE nrm > 0),
+       |$sqlKmeans,
+       |a AS (SELECT e.vec_id, e.nrm, cq.cent_id,
+       |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
+       |  FROM e CROSS JOIN cq),
+       |cells AS (SELECT vec_id, cent_id AS cell FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+       |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
+       |qc AS (SELECT cent_id FROM a WHERE vec_id = 0
+       |  ORDER BY ccos DESC, cent_id LIMIT 2),
+       |$sqlPqChain,
+       |qsub AS (SELECT m, subv AS qsv FROM pall WHERE vec_id = 0),
+       |tbl AS (SELECT q.m, c.k, ${sqlSqDist("q.qsv", "c.cvec")} AS td
+       |  FROM qsub q JOIN pc$KmeansIters c ON c.m = q.m),
+       |adcj AS (SELECT b.vec_id, b.m, t.td
+       |  FROM pbest b JOIN tbl t ON t.m = b.m AND t.k = b.k),
+       |v AS (SELECT vec_id,
+       |  ${(0 until PqM).map(m =>
+            s"MAX(CASE WHEN m = $m THEN td END)").mkString(" + ")} AS adc
+       |  FROM adcj GROUP BY vec_id)
+       |SELECT cells.vec_id, cells.cell, v.adc
+       |FROM cells JOIN v ON v.vec_id = cells.vec_id
+       |WHERE cells.cell IN (SELECT cent_id FROM qc) AND v.adc IS NOT NULL
+       |ORDER BY v.adc, cells.vec_id LIMIT 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q25_minhash_lsh" ->
       s"""WITH t AS (SELECT doc_id, $Toks AS tk FROM documents),
@@ -2317,33 +2437,13 @@ object Similarity {
     // tables, and the final select is ADC restricted to vectors whose
     // cell is probed — one SQL text built from BOTH shared chains, so
     // neither half can drift from its standalone operator
-    "q91_ann_ivf_adc" ->
-      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
-         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
-         |  WHERE nrm > 0),
-         |$sqlKmeans,
-         |a AS (SELECT e.vec_id, e.nrm, cq.cent_id,
-         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
-         |  FROM e CROSS JOIN cq),
-         |cells AS (SELECT vec_id, cent_id AS cell FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
-         |qc AS (SELECT cent_id FROM a WHERE vec_id = 0
-         |  ORDER BY ccos DESC, cent_id LIMIT 2),
-         |$sqlPqChain,
-         |qsub AS (SELECT m, subv AS qsv FROM pall WHERE vec_id = 0),
-         |tbl AS (SELECT q.m, c.k, ${sqlSqDist("q.qsv", "c.cvec")} AS td
-         |  FROM qsub q JOIN pc$KmeansIters c ON c.m = q.m),
-         |adcj AS (SELECT b.vec_id, b.m, t.td
-         |  FROM pbest b JOIN tbl t ON t.m = b.m AND t.k = b.k),
-         |v AS (SELECT vec_id,
-         |  ${(0 until PqM).map(m =>
-              s"MAX(CASE WHEN m = $m THEN td END)").mkString(" + ")} AS adc
-         |  FROM adcj GROUP BY vec_id)
-         |SELECT cells.vec_id, cells.cell, v.adc
-         |FROM cells JOIN v ON v.vec_id = cells.vec_id
-         |WHERE cells.cell IN (SELECT cent_id FROM qc) AND v.adc IS NOT NULL
-         |ORDER BY v.adc, cells.vec_id LIMIT 10""".stripMargin,
+    "q91_ann_ivf_adc" -> sqlIvfAdcSql,
+
+    // the staged/streamed SPLIT is an implementation detail of the
+    // engine's read path (one shared pqCodes encoding on both sides);
+    // the semantics are q91's full re-stage verbatim — that identity is
+    // exactly what the entry exists to check
+    "q173_adc_union_serve" -> sqlIvfAdcSql,
 
     // the q91 chain keyed by qid over the q95 query sample (the
     // factored sqlAnnServeBatchSql — shared with the q149 fusion)

@@ -93,6 +93,49 @@ object EmbedStream {
     } finally graft.CheckpointBlocks.free(spark, stableIds)
   }
 
+  /** The `foreachBatch` body of the accumulated ADC SIDECAR — the
+    * [[processIvfBatch]] posture for the COMPRESSED read path: each
+    * micro-batch's vectors encode under the FROZEN centroid + PQ
+    * codebook tables (the one shared
+    * [[graft.queries.Similarity.pqCodes]] definition — an arrival's
+    * codes are bit-identical to the same vector in a full re-stage) and
+    * land as (vec_id, cell, code0..codeM-1) under
+    * `<adcPath>/batch_id=N/cell=C`. A production deployment keeps this
+    * root NEXT TO the session-staged code table: the composed serve
+    * (q91/q122's shape) unions the staged scan with
+    * [[adcServable]]'s epoch read, so arrivals become probe-able at
+    * micro-batch latency without ever re-staging the historical corpus
+    * — 256 B of float32 per vector stay off the index on both halves.
+    * Exactly-once is [[BatchProtocol]] verbatim (append-only fold: one
+    * write + marker is the whole crash surface); compact with
+    * [[compactIvfIndex]] — the protocol is layout-identical (cell
+    * partitions, vec_id tombstones).
+    */
+  def processAdcBatch(spark: SparkSession, batch: DataFrame, batchId: Long,
+      adcPath: String, cents: Array[(Int, Seq[Double], Double)],
+      books: Array[Array[Array[Double]]]): Unit = {
+    if (BatchProtocol.committed(spark, adcPath, batchId))
+      return // replayed, fully committed
+    val (stable, stableIds) = graft.CheckpointBlocks.pinnedCheckpoint(batch)
+    try {
+      graft.queries.Similarity.pqCodes(stable, cents, books)
+        .write.partitionBy("cell").mode("overwrite")
+        .parquet(s"$adcPath/batch_id=$batchId")
+      BatchProtocol.commit(spark, adcPath, batchId)
+    } finally graft.CheckpointBlocks.free(spark, stableIds)
+  }
+
+  /** The accumulated ADC root's SERVABLE code rows — the union leg a
+    * composed probe adds to its staged scan: epochs read through
+    * [[BatchProtocol.readServable]] (so a crashed compaction never
+    * double-serves a code row — ADC probes RETURN rows) and masked
+    * against the root's takedown tombstones. None = no epoch yet (a
+    * fresh sidecar: the union degenerates to the staged scan alone).
+    */
+  def adcServable(spark: SparkSession, adcPath: String): Option[DataFrame] =
+    BatchProtocol.readServable(spark, adcPath).map(rel =>
+      Tombstones.masked(spark, adcPath, rel.drop("batch_id"), "vec_id"))
+
   /** Takedown: mark vectors DELETED from the accumulated IVF index —
     * the [[LexStream.deleteDocs]] protocol with the vector side's key
     * ([[Tombstones]] holds the one shared implementation): [[ivfTopK]]

@@ -40,7 +40,11 @@ class DegenerateEmbeddingsSpec extends AnyFunSuite {
     "q35_ann_ivf", "q39_cosine_neardup_lsh", "q68_ann_ivf_staged",
     "q75_knn_graph", "q76_semantic_dedup", "q84_hard_negatives",
     "q91_ann_ivf_adc", "q95_ann_recall_audit", "q96_label_separation",
-    "q101_cluster_balanced")
+    "q101_cluster_balanced",
+    // the zero vector (id 5, odd) arrives via the streamed sidecar leg,
+    // the null-element vector (id 6, even) via the staged leg — both
+    // must drop at encoding (the shared pqCodes guards), never crash
+    "q173_adc_union_serve")
 
   for (q <- vecQueries) test(s"$q survives a zero-norm embedding") {
     val rows = graft.SparkEntry.queries(q)(spark, dir).collect()

@@ -138,6 +138,64 @@ class EmbedStreamSpec extends AnyFunSuite {
     assert(outIds == Seq(0L, 2L, 11L))
   }
 
+  test("ADC sidecar: staged+streamed union serves the full re-stage; crash/replay exact; takedown + compaction hold") {
+    import spark.implicits._
+    val Sim = graft.queries.Similarity
+    val d = Files.createTempDirectory("graft-adcsidecar").toString
+    val all = (0L until 12L).map(i => (i, vec(i.toInt + 1).toSeq))
+    all.toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    val cents = Sim.kmeansCentroids(spark, d)
+    val books = Sim.pqCodebooks(spark, d)
+    def codesOf(pred: Long => Boolean) =
+      Sim.pqCodes(spark.read.parquet(s"$d/embeddings.parquet")
+        .filter($"vec_id".isin(
+          all.map(_._1).filter(pred).map(Long.box): _*)), cents, books)
+    // the ground truth: one re-stage over the whole corpus
+    val truth = Sim.adcTopK(spark, d, codesOf(_ => true), cents, books)
+      .collect().map(_.toString).toSeq
+    assert(truth.nonEmpty)
+    // evens stage; odds arrive as two micro-batches into the sidecar
+    val root = s"$d/adc"
+    val odd = spark.read.parquet(s"$d/embeddings.parquet")
+      .filter($"vec_id" % 2 === 1)
+    EmbedStream.processAdcBatch(spark,
+      odd.filter($"vec_id" % 4 === 1), 0L, root, cents, books)
+    EmbedStream.processAdcBatch(spark,
+      odd.filter($"vec_id" % 4 === 3), 1L, root, cents, books)
+    def unionServe = Sim.adcTopK(spark, d,
+      codesOf(_ % 2 == 0).unionByName(
+        EmbedStream.adcServable(spark, root).get), cents, books)
+      .collect().map(_.toString).toSeq
+    assert(unionServe == truth,
+      "staged+streamed union drifted from the full re-stage")
+    // committed redelivery: no-op, still exact
+    EmbedStream.processAdcBatch(spark,
+      odd.filter($"vec_id" % 4 === 3), 1L, root, cents, books)
+    assert(unionServe == truth, "committed replay changed the serve")
+    // crash between epoch write and marker: redelivery overwrites the
+    // orphan epoch and re-commits — still exact, never doubled
+    Files.delete(java.nio.file.Paths.get(s"$root/_commits/1"))
+    EmbedStream.processAdcBatch(spark,
+      odd.filter($"vec_id" % 4 === 3), 1L, root, cents, books)
+    assert(unionServe == truth, "crash replay doubled or lost codes")
+    // takedown on the sidecar root: the served odd id vanishes, the
+    // serve stays a re-stage-minus-deletion
+    val servedOdd = truth
+      .map(_.stripPrefix("[").takeWhile(_ != ',').toLong)
+      .find(_ % 2 == 1)
+    servedOdd.foreach { victim =>
+      EmbedStream.deleteVecs(spark, root, Seq(victim), "adc-r1")
+      val masked = unionServe
+      assert(!masked.exists(_.contains(s"[$victim,")),
+        s"takedown vec $victim still served")
+    }
+    // compaction purges + consolidates; the serve is invariant
+    val before = unionServe
+    assert(EmbedStream.compactIvfIndex(spark, root, 1L) == 2)
+    assert(unionServe == before, "compaction changed the sidecar serve")
+    spark.catalog.clearCache()
+  }
+
   test("centroidSums streams q115's state; matrixFromSums replays the matrix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
