@@ -58,7 +58,8 @@ object SqlCatalog {
 
   val ViewNames: Seq[String] = Seq("graft_ivfpq_index", "graft_centroids",
     "graft_band_index", "graft_pack_manifest", "graft_lex_postings",
-    "graft_lex_doclen", "graft_lex_df", "graft_lex_stats", "graft_nb_model")
+    "graft_lex_doclen", "graft_lex_df", "graft_lex_stats", "graft_lex_pos",
+    "graft_nb_model")
 
   /** A complete hashed-NB quality-scoring statement over
     * `graft_nb_model` (q168's trained ≤ NbBuckets-row weight table) — score
@@ -136,6 +137,65 @@ object SqlCatalog {
   private val published =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]
 
+  /** The positional serve family as complete SQL statements over
+    * `graft_lex_pos` — [[bm25Sql]]'s contract for quoted/slop queries:
+    * `qview` names any (qid BIGINT, qtext STRING) relation, each query
+    * string's first `k` tokens are the phrase (sub-k queries serve
+    * nothing — the engine's cut), and the adjacency/slop predicate
+    * chain is the Scala serve's fold spelled as self-joins, so the
+    * statement hash-matches [[queries.TextAnalysis.phraseTopDocsFor]]
+    * and friends on the same queries (SqlCatalogSpec pins all three).
+    * Same plan note as [[bm25Sql]]: a dynamic query table joins the
+    * positional view on term — correct at any scale but unpruned; a
+    * latency-sensitive point serve inlines `WHERE term IN (…)`, which
+    * bucket-prunes through the view (the Scala path's literal form).
+    */
+  def phraseSql(qview: String, k: Int = 2): String = {
+    require(k >= 2, s"a phrase needs at least two tokens, got $k")
+    positionalSql(qview, k, "phrase_tf", phraseJoins(k))
+  }
+
+  /** [[phraseSql]] plus the snippet anchor: each hit's first-occurrence
+    * token offset (0-based — the engine's convention), q161's contract.
+    */
+  def snippetSql(qview: String, k: Int = 2): String = {
+    require(k >= 2, s"a phrase needs at least two tokens, got $k")
+    positionalSql(qview, k, "phrase_tf", phraseJoins(k),
+      extraAgg = ", CAST(MIN(p1.pos) AS BIGINT) AS first_pos",
+      extraCols = ", first_pos")
+  }
+
+  /** The ordered within-N proximity serve (q159's contract): t2 within
+    * [[queries.TextAnalysis.ProxWindow]] tokens AFTER t1.
+    */
+  def proximitySql(qview: String): String =
+    positionalSql(qview, 2, "prox_tf",
+      "JOIN graft_lex_pos p2 ON p2.doc_id = p1.doc_id" +
+        " AND p2.term = qp.t2 AND p2.pos > p1.pos" +
+        s" AND p2.pos <= p1.pos + ${queries.TextAnalysis.ProxWindow}")
+
+  private def phraseJoins(k: Int): String =
+    (2 to k).map(i => s"JOIN graft_lex_pos p$i ON p$i.doc_id = p1.doc_id" +
+      s" AND p$i.pos = p1.pos + ${i - 1} AND p$i.term = qp.t$i")
+      .mkString("\n  ")
+
+  private def positionalSql(qview: String, k: Int, cnt: String,
+      matchJoins: String, extraAgg: String = "",
+      extraCols: String = ""): String = {
+    val tsel = (1 to k).map(i => s"element_at(tk, $i) AS t$i").mkString(", ")
+    s"""WITH qt AS (SELECT qid, split(lower(trim(qtext)), '\\\\s+') AS tk
+       |  FROM $qview),
+       |qp AS (SELECT qid, $tsel FROM qt WHERE size(tk) >= $k),
+       |m AS (SELECT qp.qid, p1.doc_id, COUNT(*) AS $cnt$extraAgg
+       |  FROM graft_lex_pos p1 JOIN qp ON p1.term = qp.t1
+       |  $matchJoins
+       |  GROUP BY qp.qid, p1.doc_id)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, $cnt$extraCols FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY $cnt DESC, doc_id) AS rnk FROM m) r
+       |WHERE rnk <= ${queries.TextAnalysis.Bm25TopK}""".stripMargin
+  }
+
   /** Publish the catalog views for `dir`; returns the view names. */
   def register(spark: SparkSession, dir: String): Seq[String] = {
     val cents = queries.Similarity.kmeansCentroids(spark, dir)
@@ -204,6 +264,11 @@ object SqlCatalog {
     post.createOrReplaceTempView("graft_lex_postings")
     dl.createOrReplaceTempView("graft_lex_doclen")
     df.createOrReplaceTempView("graft_lex_df")
+    // the positional layer (term-bucketed like the postings; the same
+    // takedown mask) — the substrate [[phraseSql]]/[[proximitySql]]/
+    // [[snippetSql]] rank through
+    queries.TextAnalysis.posRead(spark, dir, docTomb)
+      .createOrReplaceTempView("graft_lex_pos")
     // the corpus scalars a BM25 statement needs beside the index: N
     // documents (null text included — they shape idf), L tokens, and
     // the serve's pre-quantized average document length a = max(1,

@@ -262,6 +262,35 @@ object Dedup {
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     clusterLabelsWithRounds(s, dir)._1
 
+  /** The near-dup-diversified cut (q164's defining half): suppress each
+    * (query, cluster)'s non-best twins BEFORE the per-query rank cut —
+    * so lower-ranked DISTINCT documents backfill the page — then cut.
+    * Shared by the corpus-sampled entry and [[diverseTopDocsFor]].
+    */
+  private def diversifiedCut(s: SparkSession, dir: String,
+      scored: DataFrame): DataFrame = {
+    val labels = queries("q150_clusters64")(s, dir)
+    val wc = Window.partitionBy("qid", "cluster_id")
+      .orderBy(desc("score_u"), asc("doc_id"))
+    val w = Window.partitionBy("qid").orderBy(desc("score_u"), asc("doc_id"))
+    scored.join(labels, Seq("doc_id"))
+      .withColumn("pr", row_number().over(wc)).filter(col("pr") === 1)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= TextAnalysis.Bm25TopK)
+      .select("qid", "rnk", "doc_id", "cluster_id", "score_u")
+  }
+
+  /** External-query diversified serve — q164 for a literal (qid BIGINT,
+    * qtext STRING) relation (the [[TextAnalysis.bm25TopDocsFor]]
+    * contract): the same BM25 scoring over the staged index, the same
+    * cluster-twin suppression before the cut. The cluster map is the
+    * corpus-scale q150 build (not a per-query cost — it amortizes over
+    * every serve in the session exactly as the staged index does).
+    */
+  def diverseTopDocsFor(s: SparkSession, dir: String,
+      qtexts: DataFrame): DataFrame =
+    diversifiedCut(s, dir, TextAnalysis.bm25ScoredDocsFor(s, dir, qtexts))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // transitive near-dup cluster assignment: every document labeled with
     // the min doc_id of its connected component in the q27 pair graph
@@ -381,19 +410,9 @@ object Dedup {
     // Plan shape: candidates are postings-bounded (never corpus-sized),
     // the label join is an equi-join on doc_id, and both windows
     // partition by qid (+cluster) — no corpus-wide sort anywhere.
-    "q164_diverse_topk" -> ((s, dir) => {
-      val scored = TextAnalysis.bm25ScoredDocs(
-        s, dir, TextAnalysis.docModQids(s, dir))
-      val labels = queries("q150_clusters64")(s, dir)
-      val wc = Window.partitionBy("qid", "cluster_id")
-        .orderBy(desc("score_u"), asc("doc_id"))
-      val w = Window.partitionBy("qid").orderBy(desc("score_u"), asc("doc_id"))
-      scored.join(labels, Seq("doc_id"))
-        .withColumn("pr", row_number().over(wc)).filter(col("pr") === 1)
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= TextAnalysis.Bm25TopK)
-        .select("qid", "rnk", "doc_id", "cluster_id", "score_u")
-    }),
+    "q164_diverse_topk" -> ((s, dir) =>
+      diversifiedCut(s, dir, TextAnalysis.bm25ScoredDocs(
+        s, dir, TextAnalysis.docModQids(s, dir)))),
 
     // soft dedup — the REWEIGHTING alternative to dropping duplicates
     // (q44/q105 keep one copy per component; this keeps every copy and

@@ -675,15 +675,36 @@ object TextAnalysis {
     * query terms; dl; qtIdf = (qid, term, idf_m) with the log-free
     * milli-scale idf; a = avgdl quantized to whole tokens).
     */
+  /** The corpus-sampled query texts (qid, qtext) — the q148-family
+    * sample contract realized as the SAME (qid, qtext) relation the
+    * EXTERNAL-query serve forms ([[bm25TopDocsFor]] and friends) take,
+    * so both roads derive terms/phrases through one definition.
+    */
+  private def corpusQTexts(s: SparkSession, dir: String,
+      qids: DataFrame): DataFrame =
+    Tables(s, dir, "documents")
+      .join(broadcast(qids), col("doc_id") === col("qid"))
+      .select(col("qid"), col("text").as("qtext"))
+
+  /** Per-query weighted terms (qid, term, qtf) of a (qid, qtext)
+    * relation — the query half of the BM25 stage.
+    */
+  private def queryTermsOf(qtexts: DataFrame): DataFrame =
+    qtexts
+      .select(col("qid"), explode(tokens(col("qtext"))).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+
   private def bm25Stage(s: SparkSession, dir: String, qids: DataFrame,
+      tomb: Option[graft.StagedTombstones.DocTomb])
+      : (DataFrame, DataFrame, DataFrame, Long) =
+    bm25StageFor(s, dir, corpusQTexts(s, dir, qids), tomb)
+
+  private def bm25StageFor(s: SparkSession, dir: String, qtexts: DataFrame,
       tomb: Option[graft.StagedTombstones.DocTomb])
       : (DataFrame, DataFrame, DataFrame, Long) = {
     val (post, dlRel, dfRel, n, l) = lexRead(s, dir, tomb)
     val a = math.max(1L, l / math.max(1L, n))
-    val qt0 = Tables(s, dir, "documents")
-      .join(broadcast(qids), col("doc_id") === col("qid"))
-      .select(col("qid"), explode(tokens(col("text"))).as("term"))
-      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+    val qt0 = queryTermsOf(qtexts)
     val wq = Window.partitionBy("qid").orderBy(desc("qtf"), asc("term"))
     val qt = qt0.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= Bm25QTermCap).select("qid", "term")
@@ -708,14 +729,12 @@ object TextAnalysis {
     * [[Dedup]]), which must suppress near-dup cluster twins BEFORE the
     * cut so lower-ranked distinct documents can backfill.
     */
-  private[queries] def bm25ScoredDocs(s: SparkSession, dir: String,
-      qids: DataFrame): DataFrame =
-    bm25ScoredDocs(s, dir, qids, registryTomb(s, dir))
-
-  private[queries] def bm25ScoredDocs(s: SparkSession, dir: String,
-      qids: DataFrame,
-      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame = {
-    val (tf, dl, qtIdf, a) = bm25Stage(s, dir, qids, tomb)
+  /** The scoring join over a staged (candidates, dl, qtIdf, a) tuple —
+    * ONE arithmetic for the corpus-sampled and external-query roads.
+    */
+  private def bm25Score(
+      staged: (DataFrame, DataFrame, DataFrame, Long)): DataFrame = {
+    val (tf, dl, qtIdf, a) = staged
     tf.join(broadcast(qtIdf), Seq("term"))
       .join(dl, Seq("doc_id"))
       .withColumn("tscore",
@@ -724,19 +743,48 @@ object TextAnalysis {
       .groupBy("qid", "doc_id").agg(sum("tscore").as("score_u"))
   }
 
+  /** The per-query rank cut every ranked serve ends with. */
+  private def bm25RankCut(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("score_u"), asc("doc_id"))
+    scored
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= Bm25TopK)
+      .select("qid", "rnk", "doc_id", "score_u")
+  }
+
+  private[queries] def bm25ScoredDocs(s: SparkSession, dir: String,
+      qids: DataFrame): DataFrame =
+    bm25ScoredDocs(s, dir, qids, registryTomb(s, dir))
+
+  private[queries] def bm25ScoredDocs(s: SparkSession, dir: String,
+      qids: DataFrame,
+      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame =
+    bm25Score(bm25Stage(s, dir, qids, tomb))
+
   private[queries] def bm25TopDocs(s: SparkSession, dir: String,
       qids: DataFrame): DataFrame =
     bm25TopDocs(s, dir, qids, registryTomb(s, dir))
 
   private[queries] def bm25TopDocs(s: SparkSession, dir: String,
       qids: DataFrame,
-      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame = {
-    val w = Window.partitionBy("qid").orderBy(desc("score_u"), asc("doc_id"))
-    bm25ScoredDocs(s, dir, qids, tomb)
-      .withColumn("rnk", row_number().over(w).cast("long"))
-      .filter(col("rnk") <= Bm25TopK)
-      .select("qid", "rnk", "doc_id", "score_u")
-  }
+      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame =
+    bm25RankCut(bm25ScoredDocs(s, dir, qids, tomb))
+
+  /** The EXTERNAL-query BM25 serve — the q148 ranking for a literal
+    * (qid BIGINT, qtext STRING) relation (an ad-hoc query string, a
+    * query log, anything NOT sampled from the corpus): exactly
+    * [[SqlCatalog.bm25Sql]]'s contract, in the Scala API. Same staged
+    * index, same integer arithmetic, same per-query cap and cut, same
+    * takedown mask — RetrievalSpec pins it equal to q148 when fed the
+    * sampled documents' own texts, and to the catalog SQL form.
+    */
+  def bm25TopDocsFor(s: SparkSession, dir: String,
+      qtexts: DataFrame): DataFrame =
+    bm25RankCut(bm25ScoredDocsFor(s, dir, qtexts))
+
+  private[queries] def bm25ScoredDocsFor(s: SparkSession, dir: String,
+      qtexts: DataFrame): DataFrame =
+    bm25Score(bm25StageFor(s, dir, qtexts, registryTomb(s, dir)))
 
   /** The frozen lexical statistics the streaming standing-query scorer
     * ([[graft.streaming.DocStream.bm25Scored]]) applies to arriving
@@ -795,9 +843,16 @@ object TextAnalysis {
     */
   private def phraseQueries(s: SparkSession, dir: String,
       qids: DataFrame, k: Int): DataFrame =
-    Tables(s, dir, "documents")
-      .join(broadcast(qids), col("doc_id") === col("qid"))
-      .select(col("qid"), tokens(col("text")).as("tk"))
+    phraseTableFor(corpusQTexts(s, dir, qids), k)
+
+  /** The (qid, t1..tk) phrase table of a (qid, qtext) relation — the
+    * first `k` tokens of each query string (sub-k queries have no
+    * phrase and serve nothing; null/empty text falls out of the same
+    * cut). ONE definition for the corpus-sampled and external roads.
+    */
+  private def phraseTableFor(qtexts: DataFrame, k: Int): DataFrame =
+    qtexts
+      .select(col("qid"), tokens(col("qtext")).as("tk"))
       .filter(size(col("tk")) >= k)
       .select(col("qid") +:
         (1 to k).map(i => element_at(col("tk"), i).as(s"t$i")): _*)
@@ -886,35 +941,70 @@ object TextAnalysis {
     * ranges down. Same pruned inputs, same fold, ONE extra min in the
     * same aggregate — the serve pays nothing for the snippet.
     */
-  private[queries] def phraseSnippetTopDocs(s: SparkSession, dir: String,
-      qids: DataFrame, k: Int = 2): DataFrame = {
-    val pos = posRead(s, dir, registryTomb(s, dir))
-    val qp = phraseQueries(s, dir, qids, k)
-    val terms = phraseTerms(qp, k)
-    if (terms.isEmpty)
-      qids.select(col("qid"), lit(0L).as("rnk"), lit(0L).as("doc_id"),
-        lit(0L).as("phrase_tf"), lit(0L).as("first_pos")).limit(0)
-    else {
-      val w = Window.partitionBy("qid").orderBy(desc("phrase_tf"), asc("doc_id"))
-      phraseAdjacencyMatches(
-        pos.filter(col("term").isin(terms: _*)), qp, k)
-        .groupBy("qid", "doc_id").agg(count(lit(1)).as("phrase_tf"),
-          min("pos").cast("long").as("first_pos"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= Bm25TopK)
-        .select("qid", "rnk", "doc_id", "phrase_tf", "first_pos")
-    }
+  /** The snippet fold over an already-pruned positional relation — the
+    * [[phraseAdjacencyTopDocs]] aggregate plus the min first-occurrence
+    * anchor, shared by the corpus-sampled and external-query serves.
+    */
+  private def phraseSnippetFold(post: DataFrame, qp: DataFrame,
+      k: Int): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("phrase_tf"), asc("doc_id"))
+    phraseAdjacencyMatches(post, qp, k)
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("phrase_tf"),
+        min("pos").cast("long").as("first_pos"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= Bm25TopK)
+      .select("qid", "rnk", "doc_id", "phrase_tf", "first_pos")
   }
+
+  /** ONE positional-family serve body for both query roads: build the
+    * phrase table, collect its bounded term set, prune the masked
+    * positional index, fold. `fold` is the family member (adjacency
+    * top-k, snippet fold, proximity fold); `empty` the member's defined
+    * empty serve for phrase-less query sets.
+    */
+  private def positionalServe(s: SparkSession, dir: String, qp: DataFrame,
+      k: Int, empty: => DataFrame)(
+      fold: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val terms = phraseTerms(qp, k)
+    if (terms.isEmpty) empty
+    else fold(posRead(s, dir, registryTomb(s, dir))
+      .filter(col("term").isin(terms: _*)), qp)
+  }
+
+  private def emptySnippetServe(qids: DataFrame): DataFrame =
+    qids.select(col("qid"), lit(0L).as("rnk"), lit(0L).as("doc_id"),
+      lit(0L).as("phrase_tf"), lit(0L).as("first_pos")).limit(0)
+
+  private[queries] def phraseSnippetTopDocs(s: SparkSession, dir: String,
+      qids: DataFrame, k: Int = 2): DataFrame =
+    positionalServe(s, dir, phraseQueries(s, dir, qids, k), k,
+      emptySnippetServe(qids))(phraseSnippetFold(_, _, k))
+
+  /** External-query snippet serve (q161 for a literal (qid, qtext)
+    * relation — the [[bm25TopDocsFor]] contract for the snippet member).
+    */
+  def phraseSnippetTopDocsFor(s: SparkSession, dir: String,
+      qtexts: DataFrame, k: Int = 2): DataFrame =
+    positionalServe(s, dir, phraseTableFor(qtexts, k), k,
+      emptySnippetServe(qtexts))(phraseSnippetFold(_, _, k))
 
   private[queries] def phraseTopDocs(s: SparkSession, dir: String,
       qids: DataFrame, k: Int = 2): DataFrame = {
     require(k >= 2, s"a phrase needs at least two tokens, got $k")
-    val pos = posRead(s, dir, registryTomb(s, dir))
-    val qp = phraseQueries(s, dir, qids, k)
-    val terms = phraseTerms(qp, k)
-    if (terms.isEmpty) emptyPhraseServe(qids, "phrase_tf")
-    else phraseAdjacencyTopDocs(
-      pos.filter(col("term").isin(terms: _*)), qp, k)
+    positionalServe(s, dir, phraseQueries(s, dir, qids, k), k,
+      emptyPhraseServe(qids, "phrase_tf"))(phraseAdjacencyTopDocs(_, _, k))
+  }
+
+  /** External-query exact-phrase serve (q154 at k = 2, q158 at k = 3,
+    * any quoted length — the [[bm25TopDocsFor]] contract for the phrase
+    * member: each query string's first `k` tokens are the quoted
+    * phrase).
+    */
+  def phraseTopDocsFor(s: SparkSession, dir: String,
+      qtexts: DataFrame, k: Int = 2): DataFrame = {
+    require(k >= 2, s"a phrase needs at least two tokens, got $k")
+    positionalServe(s, dir, phraseTableFor(qtexts, k), k,
+      emptyPhraseServe(qtexts, "phrase_tf"))(phraseAdjacencyTopDocs(_, _, k))
   }
 
   /** The frozen standing-phrase set the streaming phrase scorer
@@ -950,28 +1040,41 @@ object TextAnalysis {
     * (doc_id) equi component over term-pruned postings, so the range
     * never touches more than the phrase terms' postings.
     */
+  /** The ordered-slop fold over an already-pruned positional relation —
+    * shared by the corpus-sampled and external-query proximity serves.
+    */
+  private def proximityFold(post: DataFrame, qp: DataFrame,
+      win: Long): DataFrame = {
+    val lead = post.join(broadcast(qp), col("term") === col("t1"))
+      .select(col("qid"), col("doc_id"), col("pos"), col("t2"))
+    val next = post.select(col("doc_id").as("doc_n"),
+      col("term").as("term_n"), col("pos").as("pos_n"))
+    val w = Window.partitionBy("qid").orderBy(desc("prox_tf"), asc("doc_id"))
+    lead.join(next, col("doc_n") === col("doc_id") &&
+        col("term_n") === col("t2") &&
+        col("pos_n") > col("pos") && col("pos_n") <= col("pos") + win)
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("prox_tf"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= Bm25TopK)
+      .select("qid", "rnk", "doc_id", "prox_tf")
+  }
+
   private[queries] def proximityTopDocs(s: SparkSession, dir: String,
       qids: DataFrame, win: Long = ProxWindow): DataFrame = {
     require(win >= 1, s"proximity window must be positive, got $win")
-    val pos = posRead(s, dir, registryTomb(s, dir))
-    val qp = phraseQueries(s, dir, qids, 2)
-    val terms = phraseTerms(qp, 2)
-    if (terms.isEmpty) emptyPhraseServe(qids, "prox_tf")
-    else {
-      val post = pos.filter(col("term").isin(terms: _*))
-      val lead = post.join(broadcast(qp), col("term") === col("t1"))
-        .select(col("qid"), col("doc_id"), col("pos"), col("t2"))
-      val next = post.select(col("doc_id").as("doc_n"),
-        col("term").as("term_n"), col("pos").as("pos_n"))
-      val w = Window.partitionBy("qid").orderBy(desc("prox_tf"), asc("doc_id"))
-      lead.join(next, col("doc_n") === col("doc_id") &&
-          col("term_n") === col("t2") &&
-          col("pos_n") > col("pos") && col("pos_n") <= col("pos") + win)
-        .groupBy("qid", "doc_id").agg(count(lit(1)).as("prox_tf"))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= Bm25TopK)
-        .select("qid", "rnk", "doc_id", "prox_tf")
-    }
+    positionalServe(s, dir, phraseQueries(s, dir, qids, 2), 2,
+      emptyPhraseServe(qids, "prox_tf"))(proximityFold(_, _, win))
+  }
+
+  /** External-query proximity serve (q159 for a literal (qid, qtext)
+    * relation — t2 within `win` tokens after t1, both from the query
+    * string's first two tokens).
+    */
+  def proximityTopDocsFor(s: SparkSession, dir: String,
+      qtexts: DataFrame, win: Long = ProxWindow): DataFrame = {
+    require(win >= 1, s"proximity window must be positive, got $win")
+    positionalServe(s, dir, phraseTableFor(qtexts, 2), 2,
+      emptyPhraseServe(qtexts, "prox_tf"))(proximityFold(_, _, win))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -438,4 +438,50 @@ class RetrievalSpec extends AnyFunSuite {
     }
     graft.Caches.release(spark)
   }
+
+  /** External-query serve forms (the literal (qid, qtext) road) and the
+    * catalog SQL statements must rank IDENTICALLY to the corpus-sampled
+    * serves when fed the sampled documents' own texts — one scoring
+    * definition, three entry roads (sampled Scala, external Scala,
+    * catalog SQL).
+    */
+  test("external-query and catalog-SQL serve forms match the corpus-sampled serves on the sampled texts") {
+    val spark2 = spark
+    val dir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val qtexts = docs
+      .join(TextAnalysis.docModQids(spark, dir),
+        docs("doc_id") === org.apache.spark.sql.functions.col("qid"))
+      .select(org.apache.spark.sql.functions.col("qid"),
+        docs("text").as("qtext"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    def entry(q: String) = graft.SparkEntry.queries(q)(spark, dir)
+    assert(rows(TextAnalysis.bm25TopDocsFor(spark, dir, qtexts)) ==
+      rows(entry("q148_bm25_topk")), "bm25TopDocsFor drifted from q148")
+    assert(rows(TextAnalysis.phraseTopDocsFor(spark, dir, qtexts)) ==
+      rows(entry("q154_phrase_topk")), "phraseTopDocsFor drifted from q154")
+    assert(rows(TextAnalysis.phraseTopDocsFor(spark, dir, qtexts, 3)) ==
+      rows(entry("q158_phrase3_topk")), "phraseTopDocsFor(3) drifted from q158")
+    assert(rows(TextAnalysis.proximityTopDocsFor(spark, dir, qtexts)) ==
+      rows(entry("q159_proximity_topk")), "proximityTopDocsFor drifted from q159")
+    assert(rows(TextAnalysis.phraseSnippetTopDocsFor(spark, dir, qtexts)) ==
+      rows(entry("q161_phrase_snippets")), "phraseSnippetTopDocsFor drifted from q161")
+    assert(rows(Dedup.diverseTopDocsFor(spark, dir, qtexts)) ==
+      rows(entry("q164_diverse_topk")), "diverseTopDocsFor drifted from q164")
+    // catalog SQL road: the published statements over the same queries
+    graft.SqlCatalog.register(spark, dir)
+    qtexts.createOrReplaceTempView("retrieval_ext_q")
+    assert(rows(spark.sql(graft.SqlCatalog.bm25Sql("retrieval_ext_q"))) ==
+      rows(entry("q148_bm25_topk")), "catalog bm25Sql drifted from q148")
+    assert(rows(spark.sql(graft.SqlCatalog.phraseSql("retrieval_ext_q"))) ==
+      rows(entry("q154_phrase_topk")), "catalog phraseSql drifted from q154")
+    assert(rows(spark.sql(graft.SqlCatalog.phraseSql("retrieval_ext_q", 3))) ==
+      rows(entry("q158_phrase3_topk")), "catalog phraseSql(3) drifted from q158")
+    assert(rows(spark.sql(graft.SqlCatalog.proximitySql("retrieval_ext_q"))) ==
+      rows(entry("q159_proximity_topk")), "catalog proximitySql drifted from q159")
+    assert(rows(spark.sql(graft.SqlCatalog.snippetSql("retrieval_ext_q"))) ==
+      rows(entry("q161_phrase_snippets")), "catalog snippetSql drifted from q161")
+    spark.catalog.clearCache()
+  }
 }
