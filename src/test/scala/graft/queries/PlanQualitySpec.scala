@@ -621,6 +621,42 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q156 persists its scored projection
   }
 
+  test("q155 mixture quotas: the one unpartitioned window ranks only the <=|sources| apportionment rows") {
+    // Curation.mixtureQuotas' remainder rank (the largest-remainder
+    // apportionment) is the engine's ONE deliberately global window —
+    // WindowExec warns "moving all data to a single partition" for it on
+    // every run. This pin is the proof the warning is benign: the
+    // windowed frame is the apportionment relation, one row per DISTINCT
+    // SOURCE — bounded by the source value space, never corpus-tracking
+    // — and row_number() preserves rows with nothing filtered after, so
+    // the query's own output size IS the frame size.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    val df = SparkEntry.queries("q155_mixture_quotas")(spark, dir)
+    val rows = df.collect() // materialize so AQE finalizes THIS plan
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case _ => p.children.flatMap(flatten)
+    })
+    val wins = flatten(df.queryExecution.executedPlan)
+      .collect { case w: WindowExec => w }
+    val global = wins.filter(_.partitionSpec.isEmpty)
+    assert(global.size == 1,
+      s"expected exactly the remainder-rank global window, got ${wins.size} " +
+        s"windows of which ${global.size} unpartitioned")
+    val nSources = spark.read.parquet(s"$dir/documents.parquet")
+      .select(org.apache.spark.sql.functions.coalesce(
+        org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.lit("__null__")))
+      .distinct().count()
+    assert(rows.length >= 1 && rows.length <= nSources,
+      s"the global window's frame tracked more than the source value " +
+        s"space: ${rows.length} rows vs $nSources sources")
+    graft.Caches.release(spark) // q155 persists its scored projection
+  }
+
   test("q123 shard plan: q72's bucketed prefix sum — no single partition") {
     val p = execPlan("q123_shard_plan")
     assert(!p.contains("SinglePartition"), p)
