@@ -648,6 +648,78 @@ object Similarity {
     }
   }
 
+  /** q122's BATCHED serve half over an arbitrary coded relation — the
+    * [[adcTopK]] factoring for the whole-query-batch plan, so the
+    * staged-only entry and a staged+accumulated union
+    * ([[graft.streaming.EmbedStream.adcServable]]) serve through ONE
+    * implementation. `codes` is by-name: the scan is built only when
+    * the query sample is non-empty.
+    */
+  private[graft] def adcServeBatch(s: SparkSession, dir: String,
+      codes: => DataFrame,
+      cents: Array[(Int, Seq[Double], Double)],
+      books: Array[Array[Array[Double]]]): DataFrame = {
+      val n = Tables(s, dir, "embeddings").count()
+      val qmod = math.max(5L, (n + 7) / 8)
+      def dot(a: Array[Double], b: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * b(i); i += 1 }
+        acc
+      }
+      // the bounded query-sample read: q95's modulus, q91's guards
+      val qrows: Array[(Long, Array[Double])] = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % qmod === 0 && size(col("embedding")) === 64 &&
+          !exists(col("embedding"), _.isNull))
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
+        .filter { case (_, v) => dot(v, v) > 0 }
+        .sortBy(_._1)
+      if (qrows.isEmpty) {
+        Tables(s, dir, "embeddings")
+          .select(col("vec_id").as("qid"), lit(null).cast("long").as("rnk"),
+            col("vec_id"), lit(null).cast("double").as("adc"))
+          .limit(0)
+      } else {
+        // per-query probe plan + m·k distance tables — the exact IEEE
+        // sequence of q91's driver half, once per sampled query
+        val probes: Seq[(Long, Long)] = qrows.toSeq.flatMap { case (qid, qv) =>
+          val qn = math.sqrt(dot(qv, qv))
+          cents.map { case (k, c, cn) =>
+              val cc = dot(qv, c.toArray) / (qn * cn)
+              (k.toLong, if (cc.isNaN) Double.PositiveInfinity else cc)
+            }.sortBy { case (k, cc) => (-cc, k) }.take(2)
+            .map(t => (qid, t._1)).toSeq
+        }
+        val dmap: Map[Long, Seq[Seq[Double]]] = qrows.map { case (qid, qv) =>
+          qid -> (0 until PqM).map { m =>
+            books(m).map { c =>
+              var d = 0.0; var i = 0
+              while (i < PqSubDim) {
+                val t = qv(m * PqSubDim + i) - c(i); d += t * t; i += 1
+              }
+              d
+            }.toSeq
+          }
+        }.toMap
+        import s.implicits._
+        val probesDf = probes.toDF("qid", "cell")
+        val cellsIn = probes.map(_._2).distinct
+        val dlit = typedLit(dmap)
+        val cand = codes
+          .filter(col("cell").isin(cellsIn.map(Long.box): _*))
+          .join(broadcast(probesDf), Seq("cell"))
+          .select(col("qid"), col("vec_id"),
+            (0 until PqM).map(m =>
+              element_at(element_at(element_at(dlit, col("qid")), m + 1),
+                (col(s"code$m") + 1).cast("int"))).reduce(_ + _).as("adc"))
+        val w = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
+        cand.withColumn("rnk", row_number().over(w).cast("long"))
+          .filter(col("rnk") <= 10)
+          .select("qid", "rnk", "vec_id", "adc")
+      }
+  }
+
   private[graft] def ensureIvfPqIndex(s: SparkSession, dir: String,
       cents: Array[(Int, Seq[Double], Double)],
       books: Array[Array[Array[Double]]]): String = {
@@ -1176,66 +1248,10 @@ object Similarity {
       val cents = kmeansCentroids(s, dir)
       val books = pqCodebooks(s, dir)
       val idxT = ensureIvfPqIndex(s, dir, cents, books)
-      val n = Tables(s, dir, "embeddings").count()
-      val qmod = math.max(5L, (n + 7) / 8)
-      def dot(a: Array[Double], b: Array[Double]): Double = {
-        var acc = 0.0; var i = 0
-        while (i < a.length) { acc += a(i) * b(i); i += 1 }
-        acc
-      }
-      // the bounded query-sample read: q95's modulus, q91's guards
-      val qrows: Array[(Long, Array[Double])] = Tables(s, dir, "embeddings")
-        .filter(col("vec_id") % qmod === 0 && size(col("embedding")) === 64 &&
-          !exists(col("embedding"), _.isNull))
-        .select(col("vec_id"), col("embedding"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-        .filter { case (_, v) => dot(v, v) > 0 }
-        .sortBy(_._1)
-      if (qrows.isEmpty) {
-        Tables(s, dir, "embeddings")
-          .select(col("vec_id").as("qid"), lit(null).cast("long").as("rnk"),
-            col("vec_id"), lit(null).cast("double").as("adc"))
-          .limit(0)
-      } else {
-        // per-query probe plan + m·k distance tables — the exact IEEE
-        // sequence of q91's driver half, once per sampled query
-        val probes: Seq[(Long, Long)] = qrows.toSeq.flatMap { case (qid, qv) =>
-          val qn = math.sqrt(dot(qv, qv))
-          cents.map { case (k, c, cn) =>
-              val cc = dot(qv, c.toArray) / (qn * cn)
-              (k.toLong, if (cc.isNaN) Double.PositiveInfinity else cc)
-            }.sortBy { case (k, cc) => (-cc, k) }.take(2)
-            .map(t => (qid, t._1)).toSeq
-        }
-        val dmap: Map[Long, Seq[Seq[Double]]] = qrows.map { case (qid, qv) =>
-          qid -> (0 until PqM).map { m =>
-            books(m).map { c =>
-              var d = 0.0; var i = 0
-              while (i < PqSubDim) {
-                val t = qv(m * PqSubDim + i) - c(i); d += t * t; i += 1
-              }
-              d
-            }.toSeq
-          }
-        }.toMap
-        import s.implicits._
-        val probesDf = probes.toDF("qid", "cell")
-        val cellsIn = probes.map(_._2).distinct
-        val dlit = typedLit(dmap)
-        // takedown mask over the pruned scan (see q91)
-        val cand = graft.StagedTombstones.maskedVecs(s, dir, s.table(idxT))
-          .filter(col("cell").isin(cellsIn.map(Long.box): _*))
-          .join(broadcast(probesDf), Seq("cell"))
-          .select(col("qid"), col("vec_id"),
-            (0 until PqM).map(m =>
-              element_at(element_at(element_at(dlit, col("qid")), m + 1),
-                (col(s"code$m") + 1).cast("int"))).reduce(_ + _).as("adc"))
-        val w = Window.partitionBy("qid").orderBy(asc("adc"), asc("vec_id"))
-        cand.withColumn("rnk", row_number().over(w).cast("long"))
-          .filter(col("rnk") <= 10)
-          .select("qid", "rnk", "vec_id", "adc")
-      }
+      // takedown mask over the pruned scan (see q91)
+      adcServeBatch(s, dir,
+        graft.StagedTombstones.maskedVecs(s, dir, s.table(idxT)),
+        cents, books)
     }),
 
     // HYBRID retrieval — reciprocal-rank fusion of the two serve paths

@@ -168,6 +168,15 @@ class EmbedStreamSpec extends AnyFunSuite {
       .collect().map(_.toString).toSeq
     assert(unionServe == truth,
       "staged+streamed union drifted from the full re-stage")
+    // the BATCHED serve (q122's shape) over the same union — one probe
+    // plan per sampled query, same identity contract
+    def batchRows(codes: org.apache.spark.sql.DataFrame) =
+      Sim.adcServeBatch(spark, d, codes, cents, books)
+        .collect().map(_.toString).sorted.toSeq
+    assert(batchRows(codesOf(_ % 2 == 0).unionByName(
+        EmbedStream.adcServable(spark, root).get)) ==
+      batchRows(codesOf(_ => true)),
+      "batched staged+streamed union drifted from the full re-stage")
     // committed redelivery: no-op, still exact
     EmbedStream.processAdcBatch(spark,
       odd.filter($"vec_id" % 4 === 3), 1L, root, cents, books)
