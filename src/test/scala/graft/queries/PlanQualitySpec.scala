@@ -657,6 +657,43 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark) // q155 persists its scored projection
   }
 
+  test("q172 takedown serve: the mask keeps q148's pruned-scan shape — term-IN pushed, request side broadcast") {
+    // the takedown anti-join must sit ABOVE the term-pruned bucketed
+    // postings scan, not replace it: the per-query candidate fetch still
+    // pushes its literal term-IN to the scan, every request-sized mask
+    // side broadcasts (never a SortMergeJoin against an 8-row id list),
+    // and the per-query cut stays a partitioned window. A mask that
+    // degraded any of these would turn every takedown into a corpus tax.
+    val df = SparkEntry.queries("q172_takedown_bm25")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [In(term"),
+      s"term-IN must still reach the postings scan under the mask:\n${p.take(2000)}")
+    assert(p.contains("BroadcastHashJoin") &&
+      "LeftAnti, BuildRight".r.findFirstIn(p).isDefined,
+      s"the id mask must be a broadcast anti-join:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      "a request-sized takedown side must never sort-merge")
+  }
+
+  test("q173 union serve: BOTH legs prune to the probed cells (staged buckets, sidecar partitions); no raw-vector scan") {
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q173_adc_union_serve")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // staged leg: the q173 staged codes table bucket-prunes like q91's
+      assert(p.contains("SelectedBucketsCount"),
+        s"staged leg must bucket-prune:\n${p.take(2000)}")
+      // sidecar leg: the accumulated epochs partition-prune on cell=
+      assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).isDefined,
+        s"accumulated leg must partition-prune on cell:\n${p.take(2000)}")
+      assert(p.contains("TakeOrderedAndProject"),
+        "top-k must be a TakeOrdered, not a global sort")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+  }
+
   test("q123 shard plan: q72's bucketed prefix sum — no single partition") {
     val p = execPlan("q123_shard_plan")
     assert(!p.contains("SinglePartition"), p)
