@@ -659,22 +659,95 @@ object Similarity {
       codes: => DataFrame,
       cents: Array[(Int, Seq[Double], Double)],
       books: Array[Array[Array[Double]]]): DataFrame = {
-      val n = Tables(s, dir, "embeddings").count()
-      val qmod = math.max(5L, (n + 7) / 8)
+    val n = Tables(s, dir, "embeddings").count()
+    val qmod = math.max(5L, (n + 7) / 8)
+    // the bounded query-sample read: q95's modulus, q91's guards
+    val qrows = collectQueryVecs(Tables(s, dir, "embeddings")
+      .filter(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+    adcServeBatchQ(s, dir, codes, cents, books, qrows)
+  }
+
+  /** The exact-lcm integer RRF fusion + cut of two ranked lists — ONE
+    * fusion arithmetic for the corpus-sampled q149 and the
+    * external-query [[hybridTopDocsFor]]: score = Σ SCALE/(K + rank)
+    * per contributing list (a doc only one modality surfaces still
+    * scores), every reciprocal an exact int64.
+    */
+  private def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+    val w = Window.partitionBy("qid").orderBy(desc("rrf_u"), asc("doc_id"))
+    lex.join(sem, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("rrf_u",
+        coalesce(expr(s"$RrfScale div (${RrfK}L + lex_rnk)"), lit(0L)) +
+        coalesce(expr(s"$RrfScale div (${RrfK}L + sem_rnk)"), lit(0L)))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= RrfTopK)
+      .select("qid", "rnk", "doc_id", "rrf_u", "lex_rnk", "sem_rnk")
+  }
+
+  /** The EXTERNAL-query hybrid serve — q149 for a literal (qid BIGINT,
+    * qtext STRING, qvec ARRAY<FLOAT|DOUBLE>) relation: the production
+    * RAG read shape, where a request arrives as a query STRING plus its
+    * own EMBEDDING (computed by the caller's encoder, not sampled from
+    * the corpus). The lexical leg is [[TextAnalysis.bm25TopDocsFor]];
+    * the semantic leg plans per-query probes from the literal vectors
+    * ([[adcServeBatchQ]] under q91's guards — an invalid/zero vector
+    * still serves lexically, the query-level single-modality posture);
+    * fusion is the shared [[rrfFuse]]. RetrievalSpec pins it equal to
+    * q149 when fed the sampled documents' own (text, embedding) pairs.
+    */
+  def hybridTopDocsFor(s: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
+    val lex = TextAnalysis.bm25TopDocsFor(s, dir,
+        queries.select(col("qid"), col("qtext")))
+      .select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val cents = kmeansCentroids(s, dir)
+    val books = pqCodebooks(s, dir)
+    val idxT = ensureIvfPqIndex(s, dir, cents, books)
+    val sem = adcServeBatchQ(s, dir,
+        graft.StagedTombstones.maskedVecs(s, dir, s.table(idxT)),
+        cents, books,
+        collectQueryVecs(queries.select(col("qid"), col("qvec"))))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rnk").as("sem_rnk"))
+    rrfFuse(lex, sem)
+  }
+
+  /** The bounded (qid, vector) read every batched vector serve plans
+    * from — q91's guards (64-dim, no null element, non-zero norm)
+    * applied to ANY (qid, qvec) relation, qid-ordered so the driver's
+    * per-query IEEE fold order is deterministic. The relation is
+    * request-sized by contract (a query batch, never a corpus).
+    */
+  private[graft] def collectQueryVecs(q: DataFrame)
+      : Array[(Long, Array[Double])] = {
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i) * b(i); i += 1 }
+      acc
+    }
+    q.select(col("qid"), col("qvec").cast("array<double>").as("qvec"))
+      .filter(size(col("qvec")) === 64 && !exists(col("qvec"), _.isNull))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .filter { case (_, v) => dot(v, v) > 0 }
+      .sortBy(_._1)
+  }
+
+  /** [[adcServeBatch]]'s serve half for LITERAL query vectors — the
+    * external-query road of the batched ANN serve (and the semantic leg
+    * of [[hybridTopDocsFor]]).
+    */
+  private[graft] def adcServeBatchQ(s: SparkSession, dir: String,
+      codes: => DataFrame,
+      cents: Array[(Int, Seq[Double], Double)],
+      books: Array[Array[Array[Double]]],
+      qrows: Array[(Long, Array[Double])]): DataFrame = {
       def dot(a: Array[Double], b: Array[Double]): Double = {
         var acc = 0.0; var i = 0
         while (i < a.length) { acc += a(i) * b(i); i += 1 }
         acc
       }
-      // the bounded query-sample read: q95's modulus, q91's guards
-      val qrows: Array[(Long, Array[Double])] = Tables(s, dir, "embeddings")
-        .filter(col("vec_id") % qmod === 0 && size(col("embedding")) === 64 &&
-          !exists(col("embedding"), _.isNull))
-        .select(col("vec_id"), col("embedding"))
-        .collect()
-        .map(r => (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray))
-        .filter { case (_, v) => dot(v, v) > 0 }
-        .sortBy(_._1)
       if (qrows.isEmpty) {
         Tables(s, dir, "embeddings")
           .select(col("vec_id").as("qid"), lit(null).cast("long").as("rnk"),
@@ -1285,14 +1358,7 @@ object Similarity {
       val sem = queries("q122_ann_serve_batch")(s, dir)
         .select(col("qid"), col("vec_id").as("doc_id"),
           col("rnk").as("sem_rnk"))
-      val w = Window.partitionBy("qid").orderBy(desc("rrf_u"), asc("doc_id"))
-      lex.join(sem, Seq("qid", "doc_id"), "full_outer")
-        .withColumn("rrf_u",
-          coalesce(expr(s"$RrfScale div (${RrfK}L + lex_rnk)"), lit(0L)) +
-          coalesce(expr(s"$RrfScale div (${RrfK}L + sem_rnk)"), lit(0L)))
-        .withColumn("rnk", row_number().over(w).cast("long"))
-        .filter(col("rnk") <= RrfTopK)
-        .select("qid", "rnk", "doc_id", "rrf_u", "lex_rnk", "sem_rnk")
+      rrfFuse(lex, sem)
     }),
 
     // retrieval modality-agreement card — the audit a hybrid deployment

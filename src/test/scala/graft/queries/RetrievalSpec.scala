@@ -484,4 +484,27 @@ class RetrievalSpec extends AnyFunSuite {
       rows(entry("q161_phrase_snippets")), "catalog snippetSql drifted from q161")
     spark.catalog.clearCache()
   }
+
+  test("hybridTopDocsFor: the external (qtext, qvec) road matches q149 on the sampled pairs") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    val qmod = math.max(5L, (n + 7) / 8)
+    // the sampled queries' own (text, embedding) pairs — qids lacking a
+    // document row carry a null qtext (they serve semantically only,
+    // exactly q149's inner-join drop on the lexical side)
+    val queries = emb.filter(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")),
+        col("qid") === col("doc_id"), "left")
+      .select(col("qid"), col("text").as("qtext"), col("qvec"))
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Similarity.hybridTopDocsFor(spark, dir, queries)) ==
+      rows(graft.SparkEntry.queries("q149_hybrid_rrf")(spark, dir)),
+      "hybridTopDocsFor drifted from q149")
+    spark.catalog.clearCache()
+  }
 }
