@@ -192,6 +192,31 @@ object StagedTombstones {
       rel: DataFrame): DataFrame =
     masked(s, rel, vecIds(s, dir), "vec_id")
 
+  /** The one-row takedown posture of (session, dir) — the batch-side
+    * analogue of [[graft.streaming.LexStream.indexCard]]'s tombstone
+    * columns: request and masked-id counts plus the document-side stat
+    * adjustments currently in force, the numbers an operator confirms
+    * after filing a request. Driver-held state only (the registry IS
+    * driver state) — zero cluster work.
+    */
+  def card(s: SparkSession, dir: String): DataFrame = {
+    val ss = s
+    import ss.implicits._
+    val dt = docTomb(s, dir)
+    val nDocReq = Option(docReqs.get(key(s, dir)))
+      .map(m => m.synchronized(m.size)).getOrElse(0)
+    val nVecReq = Option(vecReqs.get(key(s, dir)))
+      .map(m => m.synchronized(m.size)).getOrElse(0)
+    Seq((nDocReq.toLong,
+        dt.map(_.ids.size.toLong).getOrElse(0L),
+        dt.map(_.nDel).getOrElse(0L),
+        dt.map(_.lDel).getOrElse(0L),
+        nVecReq.toLong,
+        vecIds(s, dir).map(_.size.toLong).getOrElse(0L)))
+      .toDF("n_doc_requests", "n_doc_ids", "n_docs_present",
+        "tok_mass_deleted", "n_vec_requests", "n_vec_ids")
+  }
+
   /** Test/ops hook: forget every request of (session, dir) — the state
     * reset a spec needs between scenarios (a production session retires
     * its registry with the session itself).

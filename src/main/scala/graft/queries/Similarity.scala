@@ -1306,6 +1306,30 @@ object Similarity {
       adcTopK(s, dir, s.table(stagedT).unionByName(accum), cents, books)
     }),
 
+    // the vector-side takedown read (q172's posture for the ANN
+    // family): q91's probe through an EXPLICIT takedown set —
+    // membership-only (vector serves carry no corpus-derived
+    // statistics, so the mask is a pure broadcast anti-join over the
+    // request-sized ids; frozen models untouched — the
+    // StagedTombstones erasure posture). The deleted set is the
+    // corpus-adaptive residue-1 modulus sample (~8 ids at any scale,
+    // the shape a real request arrives in); the query vector (id 0,
+    // residue 0) survives, so the probe itself still plans.
+    "q174_takedown_adc" -> ((s, dir) => {
+      val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
+      val books = pqCodebooks(s, dir)
+      val idxT = ensureIvfPqIndex(s, dir, cents, books)
+      val n = Tables(s, dir, "embeddings").count()
+      val tmod = math.max(5L, (n + 7) / 8)
+      val delIds = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % tmod === 1).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      adcTopK(s, dir,
+        graft.StagedTombstones.masked(s, s.table(idxT),
+          if (delIds.isEmpty) None else Some(delIds), "vec_id"),
+        cents, books)
+    }),
+
     // BATCHED ANN serving — the production read shape q91 demonstrates
     // for one query, for a whole query batch in ONE plan: a q95-style
     // modulus query sample, per-query probe plans and ADC distance
@@ -2393,10 +2417,17 @@ object Similarity {
          |     ORDER BY adc, vec_id) AS rnk FROM cand) t
          |WHERE rnk <= 10""".stripMargin
 
-  /** The composed probe→ADC oracle (q91) — ONE text shared with q173,
-    * whose staged/streamed split must serve exactly this full re-stage.
+  /** The composed probe→ADC oracle (q91) — ONE text shared with q173
+    * (whose staged/streamed split must serve exactly this full
+    * re-stage) and, via `maskPred`, with q174 (whose takedown mask is
+    * this text minus the deleted members).
     */
-  private lazy val sqlIvfAdcSql: String =
+  private def sqlIvfAdc(maskPred: String): String = sqlIvfAdcBase
+    .replace("__MASK__", maskPred)
+
+  private lazy val sqlIvfAdcSql: String = sqlIvfAdc("")
+
+  private lazy val sqlIvfAdcBase: String =
     s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
        |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
        |  WHERE nrm > 0),
@@ -2421,7 +2452,7 @@ object Similarity {
        |  FROM adcj GROUP BY vec_id)
        |SELECT cells.vec_id, cells.cell, v.adc
        |FROM cells JOIN v ON v.vec_id = cells.vec_id
-       |WHERE cells.cell IN (SELECT cent_id FROM qc) AND v.adc IS NOT NULL
+       |WHERE cells.cell IN (SELECT cent_id FROM qc) AND v.adc IS NOT NULL__MASK__
        |ORDER BY v.adc, cells.vec_id LIMIT 10""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
@@ -2526,6 +2557,15 @@ object Similarity {
     // the semantics are q91's full re-stage verbatim — that identity is
     // exactly what the entry exists to check
     "q173_adc_union_serve" -> sqlIvfAdcSql,
+
+    // the takedown-masked probe: q91's text minus the request's
+    // members (membership-only — frozen models and probe planning
+    // untouched, exactly the engine's anti-join)
+    "q174_takedown_adc" -> sqlIvfAdc(
+      """
+        |  AND cells.vec_id NOT IN (SELECT vec_id FROM embeddings,
+        |    (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS tmod FROM embeddings) tm
+        |    WHERE vec_id % tmod = 1)""".stripMargin),
 
     // the q91 chain keyed by qid over the q95 query sample (the
     // factored sqlAnnServeBatchSql — shared with the q149 fusion)

@@ -326,6 +326,30 @@ object EmbedStream {
     * self-compacts the index after every N-th committed batch (see
     * [[DocStream.runNearDedup]] for why quiescence holds there).
     */
+  /** Run the accumulated ADC sidecar as a streaming query — the
+    * production entry point over [[processAdcBatch]]: arriving
+    * `(vec_id, embedding)` rows encode under the frozen models and fold
+    * into the sidecar's exactly-once epochs; `compactEvery` bounds the
+    * epoch count by cadence (the [[runNearDedup]] knob — safe in-stream
+    * because `foreachBatch` runs post-commit, where quiescence holds by
+    * construction).
+    */
+  def runAdcIngest(vectors: DataFrame, adcPath: String,
+      cents: Array[(Int, Seq[Double], Double)],
+      books: Array[Array[Array[Double]]], checkpoint: String,
+      compactEvery: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processAdcBatch(batch.sparkSession, batch, batchId, adcPath,
+          cents, books)
+        if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
+          compactIvfIndex(batch.sparkSession, adcPath, batchId); ()
+        }
+      }
+      .start()
+
   def runNearDedup(vectors: DataFrame, indexPath: String, outPath: String,
       checkpoint: String, planesPerFam: Int = 6, threshold: Double = 0.35,
       compactEvery: Int = 0)

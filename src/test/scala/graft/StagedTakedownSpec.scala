@@ -207,6 +207,25 @@ class StagedTakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("the posture card reads the registry state the serves mask with") {
+    def cardRow = StagedTombstones.card(spark, dirA).collect().head
+    try {
+      val empty = cardRow
+      assert((0 until 6).forall(i => empty.getLong(i) == 0L),
+        s"a request-less registry must read all-zero: $empty")
+      StagedTombstones.deleteDocs(spark, dirA, Seq(3L, 7L, 999999L), "c1")
+      StagedTombstones.deleteVecs(spark, dirA, Seq(2L, 9L), "c2")
+      val c = cardRow
+      assert(c.getAs[Long]("n_doc_requests") == 1L)
+      assert(c.getAs[Long]("n_doc_ids") == 3L) // the absent id still masks
+      assert(c.getAs[Long]("n_docs_present") == 2L)
+      assert(c.getAs[Long]("tok_mass_deleted") == 10L)
+      assert(c.getAs[Long]("n_vec_requests") == 1L)
+      assert(c.getAs[Long]("n_vec_ids") == 2L)
+    } finally StagedTombstones.reset(spark, dirA)
+    spark.catalog.clearCache()
+  }
+
   test("overlapping ids across requests merge by id — never double-adjust") {
     try {
       StagedTombstones.deleteDocs(spark, dirA, Seq(3L, 7L), "o1")

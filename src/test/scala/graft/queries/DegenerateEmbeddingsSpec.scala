@@ -44,7 +44,9 @@ class DegenerateEmbeddingsSpec extends AnyFunSuite {
     // the zero vector (id 5, odd) arrives via the streamed sidecar leg,
     // the null-element vector (id 6, even) via the staged leg — both
     // must drop at encoding (the shared pqCodes guards), never crash
-    "q173_adc_union_serve")
+    "q173_adc_union_serve",
+    // the takedown probe masks residue-1 ids on top of the same guards
+    "q174_takedown_adc")
 
   for (q <- vecQueries) test(s"$q survives a zero-norm embedding") {
     val rows = graft.SparkEntry.queries(q)(spark, dir).collect()

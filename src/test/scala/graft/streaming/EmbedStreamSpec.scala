@@ -205,6 +205,42 @@ class EmbedStreamSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("runAdcIngest: the sidecar's streaming entry folds arrivals exactly-once and self-compacts at cadence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val Sim = graft.queries.Similarity
+    val d = Files.createTempDirectory("graft-adcingest").toString
+    val all = (0L until 12L).map(i => (i, vec(i.toInt + 1).toSeq))
+    all.toDF("vec_id", "embedding").write.parquet(s"$d/embeddings.parquet")
+    val cents = Sim.kmeansCentroids(spark, d)
+    val books = Sim.pqCodebooks(spark, d)
+    val root = s"$d/adc"
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = EmbedStream.runAdcIngest(
+      mem.toDF().toDF("vec_id", "embedding"), root, cents, books,
+      s"$d/ckpt", compactEvery = 2)
+    try {
+      mem.addData(all.take(6): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(6): _*)
+      q.processAllAvailable()
+      // cadence hit at batch 1 → ONE consolidated epoch
+      assert(BatchProtocol.epochIds(spark, root) == Seq(-3L),
+        s"cadence compaction must leave one consolidated epoch: " +
+          s"${BatchProtocol.epochIds(spark, root)}")
+      // the streamed-in sidecar alone serves the full re-stage
+      val truth = Sim.adcTopK(spark, d,
+        Sim.pqCodes(spark.read.parquet(s"$d/embeddings.parquet"),
+          cents, books), cents, books)
+        .collect().map(_.toString).toSeq
+      val served = Sim.adcTopK(spark, d,
+        EmbedStream.adcServable(spark, root).get, cents, books)
+        .collect().map(_.toString).toSeq
+      assert(served == truth, "streamed sidecar drifted from the re-stage")
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
+
   test("centroidSums streams q115's state; matrixFromSums replays the matrix") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
