@@ -192,6 +192,37 @@ object StagedTombstones {
       rel: DataFrame): DataFrame =
     masked(s, rel, vecIds(s, dir), "vec_id")
 
+  /** Adopt a streaming tombstone root's requests into this session's
+    * batch registry — the bridge that makes the DURABLE ledger (the
+    * [[graft.streaming.Tombstones]] root the scaladoc above names as
+    * the deployment's takedown source of truth) actually feed the
+    * batch-staged serves: a session run against a corpus whose
+    * streaming indexes carry takedowns calls this once at startup (and
+    * after any new request lands) and every staged serve masks the same
+    * ids the streaming serves mask. Request identity is preserved
+    * END-TO-END: each `req=<id>` dir re-files under a root-namespaced
+    * requestId, so re-adoption self-replaces and a redelivered stream
+    * request replaces its adoption too. A CONSOLIDATED root adopts as
+    * its compacted request, whose ids superset the originals it
+    * replaced — any stale per-request adoptions from before the
+    * consolidation overlap it by id, which the registry merges without
+    * double-adjusting (spec-pinned). Per-request cost is the bounded
+    * [[deleteDocs]]/[[deleteVecs]] probe — request-sized, never a
+    * corpus read. Returns the number of requests adopted.
+    */
+  def adoptStreamRoot(s: SparkSession, dir: String, indexPath: String,
+      vecSide: Boolean = false): Int = {
+    val reqs = graft.streaming.Tombstones.requests(s, indexPath,
+      if (vecSide) "vec_id" else "doc_id")
+    val tag = indexPath.replaceAll("[^A-Za-z0-9_-]", "_")
+    reqs.foreach { case (name, ids) =>
+      val rid = s"adopt-$tag-$name".replaceAll("[^A-Za-z0-9_-]", "_")
+      if (vecSide) deleteVecs(s, dir, ids, rid)
+      else deleteDocs(s, dir, ids, rid)
+    }
+    reqs.size
+  }
+
   /** The one-row takedown posture of (session, dir) — the batch-side
     * analogue of [[graft.streaming.LexStream.indexCard]]'s tombstone
     * columns: request and masked-id counts plus the document-side stat

@@ -94,6 +94,26 @@ object Tombstones {
       }
       .start()
 
+  /** The per-request id sets of a root — request-sized reads, for the
+    * batch-side adoption bridge
+    * ([[graft.StagedTombstones.adoptStreamRoot]]): the durable ledger's
+    * requests re-filed against the session-staged serves under their
+    * own identities.
+    */
+  private[graft] def requests(spark: SparkSession, indexPath: String,
+      keyCol: String): Seq[(String, Seq[Long])] = {
+    val f = fs(spark, indexPath)
+    val root = new Path(tombRoot(indexPath))
+    if (!f.exists(root)) Seq.empty
+    else f.listStatus(root).map(_.getPath)
+      .filter(_.getName.startsWith("req=")).toSeq.sortBy(_.getName)
+      .map(p => (p.getName.stripPrefix("req="),
+        spark.read.parquet(p.toString).select(keyCol)
+          .filter(col(keyCol).isNotNull)
+          .collect().map(_.getLong(0)).toSeq))
+      .filter(_._2.nonEmpty)
+  }
+
   /** The accumulated tombstone ids of an index root (None if no takedown
     * ever landed). Duplicate ids across requests are fine — the readers
     * anti-join, for which duplicates are verdict-neutral.
@@ -148,7 +168,7 @@ object Tombstones {
     * prefix leaves the full id set readable under the root (duplicates
     * are verdict-neutral to the anti-join readers).
     */
-  private[streaming] def consolidate(spark: SparkSession, indexPath: String,
+  private[graft] def consolidate(spark: SparkSession, indexPath: String,
       upToBatch: Long, keyCol: String): Unit = {
     val f = fs(spark, indexPath)
     val root = new Path(tombRoot(indexPath))

@@ -207,6 +207,35 @@ class StagedTakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("adoptStreamRoot: the durable streaming ledger's requests mask the batch-staged serves") {
+    import graft.streaming.Tombstones
+    val root = Files.createTempDirectory("graft-adopt-ledger").toString
+    try {
+      // the deployment's durable ledger: one doc takedown filed against
+      // the streaming root (out-of-band API; runDeletes lands the same
+      // shape), plus a vec takedown on a second root
+      Tombstones.delete(spark, root, delDocs, "gdpr-77", "doc_id")
+      assert(StagedTombstones.adoptStreamRoot(spark, dirA, root) == 1)
+      for (q <- Seq("q148_bm25_topk", "q160_lex_index_card"))
+        assert(run(q, dirA) == run(q, dirB),
+          s"$q did not mask the adopted ledger")
+      // re-adoption self-replaces: same requests, same card
+      val before = StagedTombstones.card(spark, dirA).collect().head.toString
+      assert(StagedTombstones.adoptStreamRoot(spark, dirA, root) == 1)
+      assert(StagedTombstones.card(spark, dirA).collect().head.toString
+        == before, "re-adoption must be idempotent")
+      // a consolidated root adopts as the superset request; the stale
+      // per-request adoption overlaps by id without double-adjusting
+      Tombstones.consolidate(spark, root, 0L, "doc_id")
+      StagedTombstones.adoptStreamRoot(spark, dirA, root)
+      val t = StagedTombstones.docTomb(spark, dirA).get
+      assert(t.ids.toSet == delDocs.toSet && t.nDel == 2L && t.lDel == 10L,
+        s"consolidated adoption double-adjusted: $t")
+      assert(run("q148_bm25_topk", dirA) == run("q148_bm25_topk", dirB))
+    } finally StagedTombstones.reset(spark, dirA)
+    spark.catalog.clearCache()
+  }
+
   test("the posture card reads the registry state the serves mask with") {
     def cardRow = StagedTombstones.card(spark, dirA).collect().head
     try {
