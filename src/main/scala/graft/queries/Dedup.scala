@@ -378,6 +378,35 @@ object Dedup {
     // relation). Plan: the request side broadcasts (request-sized); the
     // q151 build is the honest corpus-scale cost; ONE map-combined
     // aggregate to ≤ |sources| rows.
+    // cluster-complete takedown expansion — the operator between q170
+    // (the impact card) and the tombstone protocols: a GDPR/takedown
+    // request names ids, but the corpus may carry near-verbatim COPIES
+    // of the same content, and an erasure that honors intent expands
+    // the request to each id's whole near-dup cluster (q150's at-scale
+    // labels) BEFORE filing. Emits one row per (requested id, cluster
+    // member) — the member set IS the expanded id list the tombstone
+    // APIs (`StagedTombstones.deleteDocs`, `Tombstones.delete`) take;
+    // a singleton expands to itself; a never-clustered request id is
+    // still its own cluster (q150 labels every document). Request =
+    // the corpus-adaptive residue-1 modulus sample (q172/q174's
+    // takedown-request shape). Plan: the honest q150 corpus-scale
+    // build + ONE equi-join of the labels relation against the
+    // request's broadcast cluster list — member fan-out is
+    // request-sized, never corpus-tracking.
+    "q175_takedown_expand" -> ((s, dir) => {
+      val nd = Tables(s, dir, "documents").count()
+      val tmod = math.max(5L, (nd + 7) / 8)
+      val req = Tables(s, dir, "documents")
+        .filter(col("doc_id") % tmod === 1).select(col("doc_id"))
+      val labels = queries("q150_clusters64")(s, dir)
+      val reqClusters = labels.join(broadcast(req), Seq("doc_id"))
+        .select(col("doc_id").as("req_id"), col("cluster_id"))
+      labels.select(col("cluster_id"), col("doc_id").as("member_id"))
+        .join(broadcast(reqClusters), Seq("cluster_id"))
+        .select(col("req_id").as("doc_id"), col("cluster_id"),
+          col("member_id"))
+    }),
+
     "q170_takedown_impact" -> ((s, dir) => {
       val req = TextAnalysis.docModQids(s, dir)
         .select(col("qid").as("doc_id"))
@@ -674,6 +703,18 @@ object Dedup {
 
     // the q151 statement embedded VERBATIM (nested-WITH) as the
     // survivor source; request = the shared doc-modulus sample
+    // the q150 closure embedded verbatim, then the request's clusters
+    // fanned to their full member sets
+    "q175_takedown_expand" ->
+      s"""$sqlClusters64,
+         |req AS (SELECT doc_id FROM documents,
+         |  (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS tmod FROM documents) tm
+         |  WHERE doc_id % tmod = 1),
+         |rc AS (SELECT r.doc_id, c.cluster_id
+         |  FROM req r JOIN clusters c ON c.doc_id = r.doc_id)
+         |SELECT rc.doc_id, rc.cluster_id, m.doc_id AS member_id
+         |FROM rc JOIN clusters m ON m.cluster_id = rc.cluster_id""".stripMargin,
+
     "q170_takedown_impact" ->
       s"""WITH sv AS ($sqlClusters64,
          |$sqlSurvivorTail),

@@ -193,6 +193,33 @@ class DedupSpec extends AnyFunSuite {
       "b" -> ((1L, 6L, 0L, 0L))), got.toString)
   }
 
+  test("q175 takedown expansion: a requested twin expands to its whole cluster, a singleton to itself") {
+    // 10 docs → tmod 5 → requests {1, 6}. Docs 1 and 3 are identical
+    // twins (one cluster, label = min id 1): requesting 1 must expand
+    // to BOTH members. Doc 6 is a singleton: it expands to itself.
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-expand").toString
+    val twin = "the data with more words here"
+    Seq(
+      (0L, "zebra quark alpha beta gamma"),
+      (1L, twin),
+      (2L, "four five six"),
+      (3L, twin),
+      (4L, "seven eight nine"),
+      (5L, "one two three"),
+      (6L, "unrelated tokens entirely"),
+      (7L, "more filler text rows"),
+      (8L, "even more filler"),
+      (9L, "last one"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val got = graft.SparkEntry.queries("q175_takedown_expand")(spark, d)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("member_id"))).toSet
+    graft.Caches.release(spark)
+    assert(got == Set((1L, 1L, 1L), (1L, 1L, 3L), (6L, 6L, 6L)), got.toString)
+  }
+
   test("q127 soft-dedup: cluster copies split a singleton's mass; floors documented") {
     // three verbatim copies (one component) + a singleton: members weigh
     // 1e6 div 3 = 333333 ppm each (the floor loss is the documented

@@ -79,6 +79,9 @@ class DegenerateTextSpec extends AnyFunSuite {
     // q172's takedown set is empty here only if no doc_id % tmod = 1 —
     // with ids 0..5 and tmod 5 it masks doc 1 and serves like q148
     "q172_takedown_bm25",
+    // q175 expands the same residue-1 request over q150's labels (every
+    // degenerate doc is its own cluster — the request expands to itself)
+    "q175_takedown_expand",
     "q162_repetition_card", "q163_retrieval_selfcheck", "q164_diverse_topk",
     "q136_sketch_precision", "q139_contam_attribution",
     "q142_discounted_budget", "q146_length_quality_grid",
@@ -128,6 +131,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q146_length_quality_grid", // one row per grid cell, not per doc
         "q148_bm25_topk", // the sampled query here has null text -> no list
         "q172_takedown_bm25", // q148's sample through the takedown mask
+        "q175_takedown_expand", // rows only for the request's members
         "q164_diverse_topk", // same sample: no candidates -> empty serve
         "q154_phrase_topk", // same sample: null text -> no phrase -> no list
         "q158_phrase3_topk", "q159_proximity_topk", // same cut at k=3 / slop
