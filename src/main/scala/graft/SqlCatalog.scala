@@ -57,9 +57,9 @@ import org.apache.spark.sql.functions._
 object SqlCatalog {
 
   val ViewNames: Seq[String] = Seq("graft_ivfpq_index", "graft_centroids",
-    "graft_band_index", "graft_pack_manifest", "graft_lex_postings",
-    "graft_lex_doclen", "graft_lex_df", "graft_lex_stats", "graft_lex_pos",
-    "graft_nb_model")
+    "graft_pq_codebooks", "graft_band_index", "graft_pack_manifest",
+    "graft_lex_postings", "graft_lex_doclen", "graft_lex_df",
+    "graft_lex_stats", "graft_lex_pos", "graft_nb_model")
 
   /** A complete hashed-NB quality-scoring statement over
     * `graft_nb_model` (q168's trained ≤ NbBuckets-row weight table) — score
@@ -137,6 +137,56 @@ object SqlCatalog {
   private val published =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]
 
+  /** The complete batched ADC serve as ONE SQL statement — the
+    * [[bm25Sql]] posture for the VECTOR read path: `qview` names any
+    * (qid BIGINT, qvec ARRAY<FLOAT|DOUBLE>) relation, and the statement
+    * runs q122's whole pipeline in native SQL — query guards (64-dim,
+    * no null element, non-zero norm: an invalid vector serves nothing,
+    * never crashes), per-query 2-cell probe plans against
+    * `graft_centroids` (cosine via native `vec_dot`; a NaN affinity
+    * sorts first under SQL's NaN-greatest double order — the engine's
+    * own convention), per-(query, subspace, code) distance tables
+    * against the frozen `graft_pq_codebooks` (sequential IEEE folds —
+    * `aggregate` over `zip_with`, the driver path's exact operation
+    * order), candidates from the takedown-masked `graft_ivfpq_index`,
+    * and the per-query top-10 cut. Hash-matches
+    * [[queries.Similarity]]'s q122 serve on the same queries
+    * (RetrievalSpec pins it). Plan note: the cell fetch joins the index
+    * view on the probe table — correct at any scale but unpruned; a
+    * latency-sensitive point serve inlines `WHERE cell IN (…)` (the
+    * Scala path's literal form), which prunes through the view.
+    */
+  def adcSql(qview: String): String = {
+    val sub = queries.Similarity.PqSubDim
+    val codeJoins = (0 until queries.Similarity.PqM).map(m =>
+      s"JOIN tbl t$m ON t$m.qid = c.qid AND t$m.m = $m AND t$m.k = c.code$m")
+      .mkString("\n    ")
+    val adcSum = (0 until queries.Similarity.PqM).map(m => s"t$m.td")
+      .mkString(" + ")
+    s"""WITH q0 AS (SELECT qid, CAST(qvec AS ARRAY<DOUBLE>) AS v FROM $qview),
+       |qn AS (SELECT qid, v, sqrt(vec_dot(v, v)) AS nrm FROM q0
+       |  WHERE size(v) = 64 AND NOT exists(v, x -> x IS NULL)
+       |    AND vec_dot(v, v) > 0),
+       |qc AS (SELECT qid, cell FROM
+       |  (SELECT q.qid, c.cell, ROW_NUMBER() OVER (PARTITION BY q.qid
+       |     ORDER BY vec_dot(c.cvec, q.v) / (q.nrm * c.cnrm) DESC, c.cell)
+       |     AS rn FROM qn q CROSS JOIN graft_centroids c) z
+       |  WHERE rn <= 2),
+       |tbl AS (SELECT q.qid, b.m, b.k,
+       |  aggregate(zip_with(slice(q.v, b.m * $sub + 1, $sub), b.cvec,
+       |    (x, y) -> (x - y) * (x - y)), 0D, (acc, d) -> acc + d) AS td
+       |  FROM qn q CROSS JOIN graft_pq_codebooks b),
+       |cand AS (SELECT qc.qid, i.*
+       |  FROM graft_ivfpq_index i JOIN qc ON i.cell = qc.cell),
+       |sc AS (SELECT c.qid, c.vec_id, $adcSum AS adc
+       |  FROM cand c
+       |    $codeJoins)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY adc, vec_id) AS rnk FROM sc) r
+       |WHERE rnk <= 10""".stripMargin
+  }
+
   /** The positional serve family as complete SQL statements over
     * `graft_lex_pos` — [[bm25Sql]]'s contract for quoted/slop queries:
     * `qview` names any (qid BIGINT, qtext STRING) relation, each query
@@ -206,6 +256,11 @@ object SqlCatalog {
     cents.toSeq.map { case (k, v, n) => (k.toLong, v, n) }
       .toDF("cell", "cvec", "cnrm")
       .createOrReplaceTempView("graft_centroids")
+    // the frozen PQ codebooks (64 rows) — [[adcSql]]'s distance-table
+    // side; a FROZEN model like the centroids (takedowns never retrain)
+    queries.Similarity.pqCodebookRows(spark, dir)
+      .toDF("m", "k", "cvec")
+      .createOrReplaceTempView("graft_pq_codebooks")
     // the loader manifest is a PACKING artifact, not a serve over
     // member rows: a takedown re-cut would shift every chunk offset —
     // that IS a re-pack, which rides the corpus-rewrite cadence like

@@ -289,9 +289,19 @@ object Similarity {
     * parameter (production PQ uses K=256; 16 keeps the relational
     * training mirror 16× lighter at identical semantics).
     */
-  private val PqM = 4
-  private val PqSubDim = 16
+  private[graft] val PqM = 4
+  private[graft] val PqSubDim = 16
   private val PqK = 16
+
+  /** The frozen PQ codebooks as rows (m, k, centroid) — the
+    * broadcast-sized relation [[graft.SqlCatalog]] publishes so the ADC
+    * serve is expressible in pure SQL (PqM·PqK = 64 rows).
+    */
+  private[graft] def pqCodebookRows(s: SparkSession, dir: String)
+      : Seq[(Long, Long, Seq[Double])] =
+    pqCodebooks(s, dir).zipWithIndex.flatMap { case (book, m) =>
+      book.zipWithIndex.map { case (c, k) => (m.toLong, k.toLong, c.toSeq) }
+    }.toSeq
 
   /** Deterministic per-subspace L2 k-means, driver-side — the PQ
     * codebook trainer. Mirrors [[kmeansCentroids]]'s discipline exactly:

@@ -485,6 +485,23 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("catalog adcSql: the pure-SQL ADC serve matches q122 on the sampled query vectors") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    graft.SqlCatalog.register(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qmod = math.max(5L, (emb.count() + 7) / 8)
+    emb.filter(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .createOrReplaceTempView("retrieval_adc_q")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(spark.sql(graft.SqlCatalog.adcSql("retrieval_adc_q"))) ==
+      rows(graft.SparkEntry.queries("q122_ann_serve_batch")(spark, dir)),
+      "catalog adcSql drifted from the q122 serve")
+    spark.catalog.clearCache()
+  }
+
   test("hybridTopDocsFor: the external (qtext, qvec) road matches q149 on the sampled pairs") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
