@@ -187,6 +187,36 @@ object SqlCatalog {
        |WHERE rnk <= 10""".stripMargin
   }
 
+  /** The full hybrid RAG serve as ONE SQL statement — [[bm25Sql]] and
+    * [[adcSql]] fused by q149's exact-lcm integer RRF: `qview` names
+    * any (qid BIGINT, qtext STRING, qvec ARRAY<FLOAT|DOUBLE>) relation
+    * — the production request shape (a query string plus the caller's
+    * embedding) — and the statement returns the fused page with both
+    * legs' ranks beside the score. Single-modality queries degrade
+    * exactly like the engine: an invalid vector's query still serves
+    * lexically (adcSql's guards drop only its semantic leg), a
+    * term-less query still serves semantically. Hash-matches
+    * [[queries.Similarity.hybridTopDocsFor]] on the same queries
+    * (RetrievalSpec pins the three-way identity with q149).
+    */
+  def hybridSql(qview: String): String =
+    s"""WITH lex AS (${bm25Sql(qview)}),
+       |sem AS (${adcSql(qview)})
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf_u,
+       |  lex_rnk, sem_rnk FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY rrf_u DESC, doc_id) AS rnk FROM
+       |    (SELECT COALESCE(l.qid, s.qid) AS qid,
+       |       COALESCE(l.doc_id, s.vec_id) AS doc_id,
+       |       COALESCE(${queries.Similarity.RrfScale}
+       |           div (${queries.Similarity.RrfK} + l.rnk), 0) +
+       |       COALESCE(${queries.Similarity.RrfScale}
+       |           div (${queries.Similarity.RrfK} + s.rnk), 0) AS rrf_u,
+       |       l.rnk AS lex_rnk, s.rnk AS sem_rnk
+       |     FROM lex l FULL OUTER JOIN sem s
+       |       ON s.qid = l.qid AND s.vec_id = l.doc_id) f) r
+       |WHERE rnk <= ${queries.Similarity.RrfTopK}""".stripMargin
+
   /** The positional serve family as complete SQL statements over
     * `graft_lex_pos` — [[bm25Sql]]'s contract for quoted/slop queries:
     * `qview` names any (qid BIGINT, qtext STRING) relation, each query

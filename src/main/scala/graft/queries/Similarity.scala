@@ -49,7 +49,7 @@ object Similarity {
   private def hashB(j: Int): Long = (j * 40503L) % MersenneP
 
   /** q149: RRF's rank-damping offset (the standard K = 60). */
-  private[queries] val RrfK = 60L
+  private[graft] val RrfK = 60L
 
   /** q149: the fused list depth — the SAME constant the zero-floor-loss
     * scale is built over ([[RrfScale]] = lcm(K+1 .. K+RrfTopK)): raising
@@ -57,7 +57,7 @@ object Similarity {
     * floor loss at the new ranks (RetrievalSpec pins the coupling and
     * the equality with the input lists' depth).
     */
-  private[queries] val RrfTopK = 10L
+  private[graft] val RrfTopK = 10L
 
   /** q149: the RRF fixed-point scale — lcm(K+1 .. K+RrfTopK) = lcm(61..70),
     * so SCALE/(K+rank) is an EXACT int64 for every attainable rank:
@@ -67,7 +67,7 @@ object Similarity {
     * Divisibility is spec-pinned (RetrievalSpec). Headroom: one
     * reciprocal ≤ SCALE/61 ≈ 2.3·10¹², a two-list sum ≤ 4.7·10¹².
     */
-  private[queries] val RrfScale = 142813628717760L
+  private[graft] val RrfScale = 142813628717760L
 
   /** 32-bit simhash over the distinct whitespace tokens of `text`: one
     * native single-pass vote ([[graft.functions.SimHash32]]) over the

@@ -519,9 +519,14 @@ class RetrievalSpec extends AnyFunSuite {
       .select(col("qid"), col("text").as("qtext"), col("qvec"))
     def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
       df.collect().map(_.toString).sorted.toSeq
-    assert(rows(Similarity.hybridTopDocsFor(spark, dir, queries)) ==
-      rows(graft.SparkEntry.queries("q149_hybrid_rrf")(spark, dir)),
+    val truth = rows(graft.SparkEntry.queries("q149_hybrid_rrf")(spark, dir))
+    assert(rows(Similarity.hybridTopDocsFor(spark, dir, queries)) == truth,
       "hybridTopDocsFor drifted from q149")
+    // the third road: the whole fused serve as ONE catalog SQL text
+    graft.SqlCatalog.register(spark, dir)
+    queries.createOrReplaceTempView("retrieval_hybrid_q")
+    assert(rows(spark.sql(graft.SqlCatalog.hybridSql("retrieval_hybrid_q")))
+      == truth, "catalog hybridSql drifted from q149")
     spark.catalog.clearCache()
   }
 }
