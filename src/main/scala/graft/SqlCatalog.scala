@@ -25,11 +25,23 @@ import org.apache.spark.sql.functions._
   *     input), for near-dup candidate joins and occupancy audits;
   *   - `graft_pack_manifest` — q119's loader artifact (chunk rows with
   *     offsets) as a queryable relation;
-  *   - `graft_lex_postings` / `graft_lex_doclen` / `graft_lex_df` — the
-  *     staged lexical inverted index (q148's serve substrate): postings
+  *   - `graft_pq_codebooks` — the frozen PQ codebook rows (m, k, cvec):
+  *     PqM·PqK = 64 rows, the distance-table side of [[adcSql]];
+  *   - `graft_lex_postings` / `graft_lex_doclen` / `graft_lex_df` /
+  *     `graft_lex_pos` — the staged lexical index family (q148's and
+  *     the positional serves' substrate): postings and positions
   *     hash-bucketed by TERM (a `WHERE term IN (…)` fetch bucket-prunes
   *     through the view), per-doc lengths, per-term document
   *     frequencies.
+  *
+  * Complete SERVE STATEMENTS over those views — each hash-matching its
+  * Scala twin on the same queries: [[bm25Sql]] (lexical top-k),
+  * [[phraseSql]]/[[snippetSql]]/[[proximitySql]] (the positional
+  * family), [[adcSql]] (the batched IVF-PQ vector serve),
+  * [[hybridSql]] (the fused RAG page), [[nbSql]] (hashed-NB quality
+  * scoring). Member-data views read through the session's takedown
+  * masks and re-publish on [[refreshAfterTakedown]]; model views
+  * (centroids, codebooks, NB weights) are frozen.
   *
   * The documented example (SqlCatalogSpec runs both verbatim):
   *
