@@ -1301,14 +1301,24 @@ object TextAnalysis {
     // the corpus-level distinct (per-doc dedup commutes with corpus
     // dedup), so the hash count drops to the unique-per-doc mass.
     "q140_source_diversity" -> ((s, dir) => {
-      val base = Tables.wide(s, dir, "documents")
-        .select(col("source"), wordNgrams(tokens(col("text")), 3).as("gs"))
-        .persist() // the total and the distinct side both read it
-      val totals = base.groupBy("source")
-        .agg(sum(coalesce(size(col("gs")).cast("long"), lit(0L)))
-          .as("n_grams"))
-      val distinct = base
-        .select(col("source"), explode(array_distinct(col("gs"))).as("gstr"))
+      // the totals side needs only the COUNT of word 3-grams — which is
+      // max(0, n_tokens − 2) by definition — never the gram STRINGS, so
+      // it is a narrow integer aggregate over the token count. The old
+      // form persisted the full gram arrays to share them between the
+      // two sides; materializing corpus-sized string arrays to read ONE
+      // size per row cost more than the second tokenize it saved (a
+      // null condition falls to otherwise(0), matching the old
+      // coalesce-on-null-text convention).
+      val totals = Tables(s, dir, "documents")
+        .select(col("source"),
+          when(size(tokens(col("text"))) >= 3,
+            size(tokens(col("text"))) - 2).otherwise(0)
+            .cast("long").as("ng"))
+        .groupBy("source").agg(sum("ng").as("n_grams"))
+      val distinct = Tables.wide(s, dir, "documents")
+        .select(col("source"),
+          explode(array_distinct(wordNgrams(tokens(col("text")), 3)))
+            .as("gstr"))
         .select(col("source"), portableHash(col("gstr")).as("g"))
         .groupBy("source")
         .agg(countDistinct("g").as("n_distinct"))
