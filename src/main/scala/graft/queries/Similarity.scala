@@ -678,6 +678,20 @@ object Similarity {
     adcServeBatchQ(s, dir, codes, cents, books, qrows)
   }
 
+  /** q149's serve body over an already-built semantic list — factored
+    * so q167's eval card can feed the SAME q122 DataFrame to its
+    * semantic row AND the hybrid fusion (identical subtrees in one
+    * plan → Spark's exchange reuse runs the batched ANN serve once
+    * instead of twice inside the card).
+    */
+  private def hybridServe(s: SparkSession, dir: String, qids: DataFrame,
+      sem: DataFrame): DataFrame =
+    rrfFuse(
+      TextAnalysis.bm25TopDocs(s, dir, qids)
+        .select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk")),
+      sem.select(col("qid"), col("vec_id").as("doc_id"),
+        col("rnk").as("sem_rnk")))
+
   /** The exact-lcm integer RRF fusion + cut of two ranked lists — ONE
     * fusion arithmetic for the corpus-sampled q149 and the
     * external-query [[hybridTopDocsFor]]: score = Σ SCALE/(K + rank)
@@ -1387,12 +1401,7 @@ object Similarity {
       // the query level too
       val qids = Tables(s, dir, "embeddings")
         .filter(col("vec_id") % qmod === 0).select(col("vec_id").as("qid"))
-      val lex = TextAnalysis.bm25TopDocs(s, dir, qids)
-        .select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk"))
-      val sem = queries("q122_ann_serve_batch")(s, dir)
-        .select(col("qid"), col("vec_id").as("doc_id"),
-          col("rnk").as("sem_rnk"))
-      rrfFuse(lex, sem)
+      hybridServe(s, dir, qids, queries("q122_ann_serve_batch")(s, dir))
     }),
 
     // retrieval modality-agreement card — the audit a hybrid deployment
@@ -1444,13 +1453,22 @@ object Similarity {
         TextAnalysis.selfCheckFold(serve, idCol)
           .select(lit(path).as("path"), col("n_queries"),
             col("n_self_top1"), col("self_top1_pm"))
+      // ONE q122 DataFrame feeds both the semantic row and the hybrid
+      // fusion — the identical subtrees let exchange reuse run the
+      // batched ANN serve once inside the card instead of twice (the
+      // hybrid row previously invoked the whole q149 entry, rebuilding
+      // the serve it sat next to)
+      val sem = queries("q122_ann_serve_batch")(s, dir)
+      val n = Tables(s, dir, "embeddings").count()
+      val qmod = math.max(5L, (n + 7) / 8)
+      val hybQids = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % qmod === 0).select(col("vec_id").as("qid"))
       card("lexical",
           TextAnalysis.bm25TopDocs(s, dir, TextAnalysis.docModQids(s, dir)),
           "doc_id")
-        .unionByName(card("semantic",
-          queries("q122_ann_serve_batch")(s, dir), "vec_id"))
+        .unionByName(card("semantic", sem, "vec_id"))
         .unionByName(card("hybrid",
-          queries("q149_hybrid_rrf")(s, dir), "doc_id"))
+          hybridServe(s, dir, hybQids, sem), "doc_id"))
     }),
 
     // ANN index-quality audit — recall@10 of the IVF probe against the
