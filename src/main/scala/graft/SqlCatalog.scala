@@ -149,12 +149,26 @@ object SqlCatalog {
   private val published =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]
 
+  /** The dir whose views are CURRENTLY published, per application — the
+    * view names are shared catalog state, so only the LAST [[register]]
+    * owns them: [[refreshAfterTakedown]] consults this so a takedown
+    * against a previously-registered dir cannot silently repoint the
+    * views at the wrong corpus (the serve-path masks of that dir still
+    * apply; the catalog just keeps serving the corpus the user last
+    * registered).
+    */
+  private val current =
+    new java.util.concurrent.ConcurrentHashMap[String, String]
+
   /** The complete batched ADC serve as ONE SQL statement — the
     * [[bm25Sql]] posture for the VECTOR read path: `qview` names any
     * (qid BIGINT, qvec ARRAY<FLOAT|DOUBLE>) relation, and the statement
     * runs q122's whole pipeline in native SQL — query guards (64-dim,
-    * no null element, non-zero norm: an invalid vector serves nothing,
-    * never crashes), per-query 2-cell probe plans against
+    * no null element, non-zero non-NaN norm — the NaN check is explicit
+    * because SQL's NaN-greatest double order makes `NaN > 0` TRUE while
+    * the driver path's IEEE comparison is false: an invalid vector
+    * serves nothing, never crashes), per-query 2-cell probe plans
+    * against
     * `graft_centroids` (cosine via native `vec_dot`; a NaN affinity
     * sorts first under SQL's NaN-greatest double order — the engine's
     * own convention), per-(query, subspace, code) distance tables
@@ -178,7 +192,7 @@ object SqlCatalog {
     s"""WITH q0 AS (SELECT qid, CAST(qvec AS ARRAY<DOUBLE>) AS v FROM $qview),
        |qn AS (SELECT qid, v, sqrt(vec_dot(v, v)) AS nrm FROM q0
        |  WHERE size(v) = 64 AND NOT exists(v, x -> x IS NULL)
-       |    AND vec_dot(v, v) > 0),
+       |    AND vec_dot(v, v) > 0 AND NOT isnan(vec_dot(v, v))),
        |qc AS (SELECT qid, cell FROM
        |  (SELECT q.qid, c.cell, ROW_NUMBER() OVER (PARTITION BY q.qid
        |     ORDER BY vec_dot(c.cvec, q.v) / (q.nrm * c.cnrm) DESC, c.cell)
@@ -320,6 +334,7 @@ object SqlCatalog {
         functions.QualityRules.annotate(docs).select(col("doc_id"), col("pass")))
       .createOrReplaceTempView("graft_nb_model")
     published.put((spark.sparkContext.applicationId, dir), idxT)
+    current.put(spark.sparkContext.applicationId, dir)
     publishMaskableViews(spark, dir, idxT)
     ViewNames
   }
@@ -329,14 +344,22 @@ object SqlCatalog {
     * hook [[StagedTombstones.deleteDocs]]/[[StagedTombstones.deleteVecs]]
     * fire after registering a request (temp views capture their plan at
     * creation, so a mask added later needs a re-publish to be seen).
-    * No-op unless [[register]] ran for this (session, dir). Cheap by
-    * construction: every staged table already exists, the lexical
-    * scalars are memoized, and the masks themselves are broadcast
-    * anti-joins over request-sized id sets.
+    * No-op unless [[register]] ran for this (session, dir) AND `dir` is
+    * the application's CURRENTLY published dir (register(dirA) then
+    * register(dirB) leaves the shared view names owned by dirB — a
+    * later takedown against dirA must not repoint them back at dirA's
+    * corpus; dirA's serve-path masks still apply, there is just nothing
+    * of dirA's published to refresh). Cheap by construction: every
+    * staged table already exists, the lexical scalars are memoized, and
+    * the masks themselves are broadcast anti-joins over request-sized
+    * id sets.
     */
   def refreshAfterTakedown(spark: SparkSession, dir: String): Unit = {
-    val idxT = published.get((spark.sparkContext.applicationId, dir))
-    if (idxT != null) publishMaskableViews(spark, dir, idxT)
+    val app = spark.sparkContext.applicationId
+    if (dir == current.get(app)) {
+      val idxT = published.get((app, dir))
+      if (idxT != null) publishMaskableViews(spark, dir, idxT)
+    }
   }
 
   private def publishMaskableViews(spark: SparkSession, dir: String,

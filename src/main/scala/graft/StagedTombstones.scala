@@ -214,7 +214,12 @@ object StagedTombstones {
       vecSide: Boolean = false): Int = {
     val reqs = graft.streaming.Tombstones.requests(s, indexPath,
       if (vecSide) "vec_id" else "doc_id")
-    val tag = indexPath.replaceAll("[^A-Za-z0-9_-]", "_")
+    // sanitization is lossy ('/a/b' and '/a_b' both read '_a_b'), so the
+    // tag carries a short hash of the RAW path — two distinct roots can
+    // never collide into one adoption identity (same root stays
+    // deterministic, so re-adoption still self-replaces)
+    val tag = indexPath.replaceAll("[^A-Za-z0-9_-]", "_") +
+      f"-${indexPath.hashCode & 0x7fffffff}%08x"
     reqs.foreach { case (name, ids) =>
       val rid = s"adopt-$tag-$name".replaceAll("[^A-Za-z0-9_-]", "_")
       if (vecSide) deleteVecs(s, dir, ids, rid)

@@ -255,6 +255,55 @@ class StagedTakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("a takedown against a non-current dir never repoints the published catalog views") {
+    try {
+      SqlCatalog.register(spark, dirA)
+      SqlCatalog.register(spark, dirB) // dirB now OWNS the view names
+      def viewDocs = spark.table("graft_lex_doclen")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val before = viewDocs
+      assert(!before.contains(3L) && before.contains(4L),
+        s"fixture: views must read dirB (no doc 3) before the takedown: $before")
+      // a takedown against dirA must mask dirA's SERVES but leave the
+      // catalog views on dirB — the old refresh repointed them at dirA
+      StagedTombstones.deleteDocs(spark, dirA, Seq(4L), "wrongdir")
+      assert(viewDocs == before,
+        "a takedown against a non-current dir repointed the shared views")
+      // the CURRENT dir's takedowns still refresh the views
+      StagedTombstones.deleteDocs(spark, dirB, Seq(4L), "rightdir")
+      assert(!viewDocs.contains(4L),
+        "a takedown against the current dir must refresh the views")
+    } finally {
+      StagedTombstones.reset(spark, dirA)
+      StagedTombstones.reset(spark, dirB)
+      SqlCatalog.register(spark, dirA) // restore the suite's usual owner
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("adoptStreamRoot: two roots whose sanitized names collide adopt as DISTINCT requests") {
+    import graft.streaming.Tombstones
+    val base = Files.createTempDirectory("graft-adopt-collide").toString
+    // '/a/b' and '/a_b' both sanitize to '_a_b' — the raw-path hash in
+    // the adoption tag must keep them distinct request identities
+    val root1 = s"$base/a/b"
+    val root2 = s"$base/a_b"
+    try {
+      Tombstones.delete(spark, root1, Seq(3L), "gdpr-1", "doc_id")
+      Tombstones.delete(spark, root2, Seq(7L), "gdpr-1", "doc_id")
+      assert(StagedTombstones.adoptStreamRoot(spark, dirA, root1) == 1)
+      assert(StagedTombstones.adoptStreamRoot(spark, dirA, root2) == 1)
+      val t = StagedTombstones.docTomb(spark, dirA).get
+      assert(t.ids.toSet == Set(3L, 7L),
+        s"colliding root tags replaced each other's adoption: ${t.ids}")
+      // re-adoption of either root still self-replaces (deterministic tag)
+      assert(StagedTombstones.adoptStreamRoot(spark, dirA, root1) == 1)
+      assert(StagedTombstones.docTomb(spark, dirA).get.ids.toSet
+        == Set(3L, 7L))
+    } finally StagedTombstones.reset(spark, dirA)
+    spark.catalog.clearCache()
+  }
+
   test("overlapping ids across requests merge by id — never double-adjust") {
     try {
       StagedTombstones.deleteDocs(spark, dirA, Seq(3L, 7L), "o1")

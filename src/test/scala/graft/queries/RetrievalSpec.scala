@@ -502,6 +502,36 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("catalog adcSql: a NaN-element query vector serves nothing (the driver road's IEEE semantics)") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    graft.SqlCatalog.register(spark, dir)
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    // qid 7001: a 64-dim vector with one NaN element — vec_dot(v, v) is
+    // NaN, which SQL's NaN-greatest order ranks ABOVE 0, so without the
+    // explicit isnan guard the statement would serve NaN-scored rows
+    // while collectQueryVecs' driver-side `dot > 0` serves nothing.
+    // qid 7000: a valid corpus vector, proving the guard drops ONLY the
+    // degenerate query.
+    val valid = emb.orderBy("vec_id").limit(1)
+      .select(lit(7000L).as("qid"),
+        col("embedding").cast("array<double>").as("qvec"))
+    val poisoned = valid.select(lit(7001L).as("qid"),
+      transform(col("qvec"),
+        (x, i) => when(i === 0, lit(Double.NaN)).otherwise(x)).as("qvec"))
+    valid.unionByName(poisoned).createOrReplaceTempView("retrieval_nan_q")
+    val served = spark.sql(graft.SqlCatalog.adcSql("retrieval_nan_q"))
+      .select("qid").collect().map(_.getLong(0)).toSet
+    assert(served == Set(7000L),
+      s"the NaN query must serve nothing, the valid one must serve: $served")
+    // the Scala road agrees: the guarded collect drops the NaN vector
+    val qrows = Similarity.collectQueryVecs(
+      spark.table("retrieval_nan_q"))
+    assert(qrows.map(_._1).toSeq == Seq(7000L),
+      "driver-road guards must drop exactly the NaN query")
+    spark.catalog.clearCache()
+  }
+
   test("hybridTopDocsFor: the external (qtext, qvec) road matches q149 on the sampled pairs") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
