@@ -58,14 +58,64 @@ object Dedup {
     * cluster_id = min doc_id reachable through hamming≤8 pairs (documents
     * with no near-dup partner are their own singleton cluster). Also
     * returns the round count (spec-pinned: near-dup graphs converge in a
-    * handful of rounds).
+    * handful of rounds). This is the raw BUILD — consumers go through
+    * the staged [[ensureClusterLabels]] so the session pays it once.
     */
-  private[queries] def clusterLabelsWithRounds(s: SparkSession, dir: String)
+  private[graft] def clusterLabelsWithRounds(s: SparkSession, dir: String)
       : (DataFrame, Int) =
     propagateMin(s,
       Similarity.queries("q27_simhash_pairs")(s, dir)
         .select(col("doc_a"), col("doc_b")),
       Tables(s, dir, "documents").select(col("doc_id")))
+
+  /** Builds (once per session+dir) the STAGED cluster-label table — the
+    * `ensureIvfPqIndex` discipline applied to the clustering chain: the
+    * transitive closure is a corpus-scale iterative job whose output is
+    * a narrow (doc_id, cluster_id) relation consumed by every
+    * cluster-aware operator (survivor picks, soft-dedup weights,
+    * cluster-prep, the diversified serve, takedown expansion/impact),
+    * so it is a MATERIALIZED ARTIFACT of the corpus, not a per-query
+    * cost — at 100 TB, re-running connected components per downstream
+    * read is exactly the re-stage-per-request cost the staged index
+    * family exists to avoid. Hash-bucketed by doc_id (the key every
+    * consumer equi-joins on), corpus-adaptive bucket count; the build's
+    * checkpoint/persist scaffolding is freed once the table is written.
+    */
+  private def ensureLabels(s: SparkSession, dir: String, family: String,
+      pairsOf: => DataFrame): DataFrame = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val lblT = s"graft_${family}_labels_$tag"
+    if (!s.catalog.tableExists(lblT)) {
+      val before = s.sparkContext.getPersistentRDDs.keySet.toSet
+      val (labels, _) = propagateMin(s, pairsOf,
+        Tables(s, dir, "documents").select(col("doc_id")))
+      graft.Bucketing.stage(labels, lblT, "doc_id",
+        graft.Bucketing.bucketCountFor(
+          Tables(s, dir, "documents").count()))
+      // the loop's persisted blocks (pair-query persists, the final
+      // round's checkpoint) are build scaffolding once the table exists
+      (s.sparkContext.getPersistentRDDs.keySet.toSet -- before).foreach(
+        id => s.sparkContext.getPersistentRDDs.get(id)
+          .foreach(_.unpersist(false)))
+    }
+    s.table(lblT)
+  }
+
+  /** The staged 32-bit (q43-family) cluster labels of (session, dir). */
+  private[graft] def ensureClusterLabels(s: SparkSession,
+      dir: String): DataFrame =
+    ensureLabels(s, dir, "q43",
+      Similarity.queries("q27_simhash_pairs")(s, dir)
+        .select(col("doc_a"), col("doc_b")))
+
+  /** The staged 64-bit (q150) at-scale cluster labels of (session, dir)
+    * — the label source the takedown/serve composites read.
+    */
+  private[graft] def ensureClusterLabels64(s: SparkSession,
+      dir: String): DataFrame =
+    ensureLabels(s, dir, "q150",
+      Similarity.queries("q42_simhash64_pairs")(s, dir)
+        .select(col("doc_a"), col("doc_b")))
 
   /** After this many plain propagation rounds the loop escalates: each
     * further round ALSO composes the label table with itself
@@ -260,7 +310,7 @@ object Dedup {
   }
 
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
-    clusterLabelsWithRounds(s, dir)._1
+    ensureClusterLabels(s, dir)
 
   /** The near-dup-diversified cut (q164's defining half): suppress each
     * (query, cluster)'s non-best twins BEFORE the per-query rank cut —
@@ -307,14 +357,10 @@ object Dedup {
     // duplicates; the 64-bit bar's rate (~2·10⁻⁶) keeps the edge set ∝
     // true collisions, so these labels are the ones a 100 TB dedup run
     // feeds to the survivor/weight/budget composites (which all
-    // parametrize over a label relation of this exact shape).
-    "q150_clusters64" -> ((s, dir) => {
-      val (labels, _) = propagateMin(s,
-        Similarity.queries("q42_simhash64_pairs")(s, dir)
-          .select(col("doc_a"), col("doc_b")),
-        Tables(s, dir, "documents").select(col("doc_id")))
-      labels
-    }),
+    // parametrize over a label relation of this exact shape). Served
+    // from the STAGED table ([[ensureClusterLabels64]]) — the session
+    // pays the closure once; q151/q164/q170/q175 read the artifact.
+    "q150_clusters64" -> ((s, dir) => ensureClusterLabels64(s, dir)),
 
     // survivor report: one row per component — the kept (minimum) doc_id
     // and how many documents merged into it. `keep_id = doc_id` rows of

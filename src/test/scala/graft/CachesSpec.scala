@@ -23,10 +23,13 @@ class CachesSpec extends AnyFunSuite {
   test("re-evaluating a checkpoint-backed result after release throws, not recomputes") {
     // force the distributed propagation path (the sf0.001 graph otherwise
     // takes the driver union-find fast path, whose result has ordinary
-    // lineage and no checkpoint backing)
+    // lineage and no checkpoint backing). The RAW build, not the q43
+    // entry: the entry serves the staged label table (file-backed, no
+    // checkpoint blocks to observe)
     spark.conf.set("graft.dedup.localEdgeThreshold", "0")
     val df =
-      try SparkEntry.queries("q43_neardup_clusters")(spark, "/root/testdata/sf0.001")
+      try graft.queries.Dedup
+        .clusterLabelsWithRounds(spark, "/root/testdata/sf0.001")._1
       finally spark.conf.unset("graft.dedup.localEdgeThreshold")
     assert(df.count() > 0) // materialize while the blocks are live
     Caches.release(spark)

@@ -143,6 +143,33 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cluster labels are STAGED once per (session, dir): bucketed by doc_id, reread not rebuilt") {
+    // first read stages; the table is the artifact every cluster
+    // consumer joins on
+    val first = graft.SparkEntry.queries("q150_clusters64")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    for (t <- Seq(s"graft_q150_labels_$tag", s"graft_q43_labels_$tag")) {
+      graft.SparkEntry.queries(
+        if (t.contains("q150")) "q150_clusters64" else "q43_neardup_clusters")(
+        spark, dir).count()
+      assert(spark.catalog.tableExists(t), s"$t not staged")
+      val meta = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(t))
+      assert(meta.bucketSpec.exists(_.bucketColumnNames == Seq("doc_id")),
+        s"$t must be hash-bucketed by doc_id: ${meta.bucketSpec}")
+    }
+    // a second read serves the staged table — zero propagation rounds, no
+    // persisted scaffolding left behind, identical labels
+    graft.Caches.release(spark)
+    val again = graft.SparkEntry.queries("q150_clusters64")(spark, dir)
+    assert(again.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == first, "staged labels drifted from the built labels")
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "the staged read must not persist anything")
+    spark.catalog.clearCache()
+  }
+
   test("q43 on a planted 3-chain merges A-B-C into one cluster") {
     // identical texts A=B and B'=C where B' is doc B re-issued verbatim:
     // chain A–B (hamming 0) and B–C (hamming 0) with A–C also hamming 0 —
