@@ -68,6 +68,29 @@ object Bucketing {
     * uses the same murmur3-pmod placement as the bucket spec, so each
     * task holds exactly one bucket's rows.
     */
+  /** Rewrite staged table `name` in place as `transform(current rows)`,
+    * preserving its catalog bucket spec (count, key, sort) — the
+    * physical-purge primitive: a takedown's masked rows leave the files,
+    * not just the reads. The transformed rows stage under a scratch name
+    * first (the source table must stay readable while the rewrite job
+    * runs), then one catalog DROP + RENAME swaps it in — for a managed
+    * table the rename moves the staged directory, so the data is written
+    * exactly once. No-op if `name` does not exist.
+    */
+  def rewriteInPlace(spark: org.apache.spark.sql.SparkSession, name: String,
+      transform: DataFrame => DataFrame): Unit = {
+    if (!spark.catalog.tableExists(name)) return
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(name))
+    val spec = meta.bucketSpec.getOrElse(sys.error(
+      s"$name is not a staged bucketed table"))
+    val key = spec.bucketColumnNames.head
+    val tmp = s"${name}__rewrite"
+    stage(transform(spark.table(name)), tmp, key, spec.numBuckets)
+    spark.sql(s"DROP TABLE `$name`")
+    spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$name`")
+  }
+
   def stage(df: DataFrame, name: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     // staging OWNS the name: drop a previous registration, and clear an

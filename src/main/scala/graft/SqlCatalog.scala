@@ -370,11 +370,14 @@ object SqlCatalog {
     StagedTombstones.maskedVecs(spark, dir, spark.table(idxT))
       .createOrReplaceTempView("graft_ivfpq_index")
     // band rows are member-derived (doc_id + its simhash): a takedown
-    // masks them like any other candidate surface
+    // masks them like any other candidate surface. This view recomputes
+    // from the CORPUS, so it masks the purged ids too
+    // ([[StagedTombstones.maskableDocIds]]) — a purge rewrites the
+    // staged tables, not the corpus
     val (bands, w) = queries.Similarity.bandRelation(spark, dir)
     StagedTombstones.masked(spark,
         bands.withColumn("band_width", lit(w)),
-        docTomb.map(_.ids), "doc_id")
+        StagedTombstones.maskableDocIds(spark, dir), "doc_id")
       .createOrReplaceTempView("graft_band_index")
     // the staged lexical inverted index (q148's serve substrate):
     // postings bucketed by term — a `WHERE term IN (…)` candidate fetch

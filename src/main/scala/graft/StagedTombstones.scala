@@ -30,7 +30,10 @@ import org.apache.spark.sql.functions._
   *     is a DERIVED artifact of its corpus directory, so the next
   *     `ensure*` re-stage (new session, or after the corpus itself is
   *     rewritten) is the purge — the batch analogue of the streaming
-  *     side's compaction `rowFilter`.
+  *     side's compaction `rowFilter`. [[purge]] is the ON-DEMAND form:
+  *     rewrite every staged serve table minus the masked rows now,
+  *     retire the satisfied requests to a purged ledger, serve results
+  *     unchanged.
   *
   * Scope note: the registry is SESSION-scoped, exactly like the staged
   * tables it masks (`ensure*` keys its build on the session catalog); a
@@ -71,6 +74,28 @@ object StagedTombstones {
   private val vecReqs = new java.util.concurrent.ConcurrentHashMap[
     (String, String), scala.collection.mutable.LinkedHashMap[String, Seq[Long]]]
 
+  /** Requests [[purge]] has SATISFIED physically: their rows are gone
+    * from every staged serve table and their stat adjustments are folded
+    * into the rewritten tables and memoized scalars. The ids are
+    * retained, not forgotten, because (a) a redelivered requestId must
+    * stay satisfied (exactly-once across the purge boundary), (b) any
+    * LATER request naming an already-purged id must not re-adjust
+    * statistics the tables no longer carry, and (c) plan-backed member
+    * surfaces that recompute from the CORPUS (the catalog band view)
+    * must keep masking them until the corpus itself is rewritten.
+    */
+  private val purgedDocReqs = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), scala.collection.mutable.LinkedHashMap[String, Seq[Long]]]
+
+  private val purgedVecReqs = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), scala.collection.mutable.LinkedHashMap[String, Seq[Long]]]
+
+  private def purgedIdsOf(m: java.util.concurrent.ConcurrentHashMap[
+        (String, String), scala.collection.mutable.LinkedHashMap[String, Seq[Long]]],
+      k: (String, String)): Set[Long] =
+    Option(m.get(k)).map(x => x.synchronized(x.values.flatten.toSet))
+      .getOrElse(Set.empty)
+
   private def key(s: SparkSession, dir: String) =
     (s.sparkContext.applicationId, dir)
 
@@ -105,7 +130,15 @@ object StagedTombstones {
     requireReqId(requestId)
     require(ids.nonEmpty, "a takedown request must name at least one id")
     val distinctIds = ids.distinct
-    val info = docInfoOf(s, dir, distinctIds)
+    // an id a purge already removed contributes nothing to the staged
+    // tables anymore — probing it would re-subtract statistics the
+    // rewrite already folded in (it still MASKS: a no-op on the purged
+    // tables, live on the corpus-derived surfaces)
+    val probeIds = distinctIds
+      .filterNot(purgedIdsOf(purgedDocReqs, key(s, dir)))
+    val info =
+      if (probeIds.isEmpty) Map.empty[Long, DocInfo]
+      else docInfoOf(s, dir, probeIds)
     docReqs.compute(key(s, dir), (_, prev) => {
       val m = if (prev == null)
         scala.collection.mutable.LinkedHashMap
@@ -175,6 +208,79 @@ object StagedTombstones {
       val ids = m.synchronized { m.values.flatten.toSeq.distinct }
       if (ids.isEmpty) None else Some(ids)
     }
+
+  /** Every doc id that must stay masked on CORPUS-derived member
+    * surfaces (the catalog band view and anything else that recomputes
+    * from the raw documents table): the active requests' ids PLUS the
+    * purged ones — a purge rewrites the staged tables, not the corpus,
+    * so a plan-backed recompute would resurrect the purged documents
+    * without this. None when nothing was ever requested (fold-on-None
+    * plan identity).
+    */
+  private[graft] def maskableDocIds(s: SparkSession,
+      dir: String): Option[Seq[Long]] = {
+    val all = (docTomb(s, dir).map(_.ids).getOrElse(Seq.empty) ++
+      purgedIdsOf(purgedDocReqs, key(s, dir))).distinct
+    if (all.isEmpty) None else Some(all)
+  }
+
+  /** Purge NOW: physically rewrite every batch-staged serve table of
+    * (session, dir) minus the currently masked ids — the on-demand form
+    * of the rebuild-cadence purge described above, and the batch
+    * analogue of the streaming side's compaction `rowFilter`
+    * (reference semantics: delete-by-predicate before reload,
+    * `src/DatabaseAgentMysql.php:254-261`). After it returns:
+    *
+    *   - the lexical family's staged files (postings, doclen, df,
+    *     positions) hold zero masked rows, with the df/N/L adjustments
+    *     folded into the rewritten tables and memoized scalars;
+    *   - both staged vector tables (IVF-PQ codes, IVF cells) hold zero
+    *     masked vec_ids;
+    *   - the satisfied requests move to the purged ledger (serves need
+    *     no anti-join for them anymore — every serve result is
+    *     UNCHANGED, StagedTakedownSpec pins it byte-for-byte);
+    *   - the catalog views re-publish over the clean tables.
+    *
+    * A table not yet staged is staged first and then purged, so a later
+    * ensure within the session cannot resurrect the rows. Cost shape:
+    * one bucket-preserving rewrite per staged table — the price of
+    * physical erasure, paid when the operator chooses, never forced per
+    * request (masks carry the requests until then). Corpus-derived
+    * surfaces that recompute from the raw documents keep masking the
+    * purged ids ([[maskableDocIds]]) until the corpus itself is
+    * rewritten — the one rewrite this API deliberately does not do (the
+    * input data is the caller's, not the engine's).
+    */
+  def purge(s: SparkSession, dir: String): Unit = {
+    val k = key(s, dir)
+    docTomb(s, dir).foreach { t =>
+      queries.TextAnalysis.purgeLex(s, dir, t)
+      val m = docReqs.remove(k)
+      if (m != null) {
+        val p = purgedDocReqs.computeIfAbsent(k, _ =>
+          scala.collection.mutable.LinkedHashMap.empty)
+        p.synchronized {
+          m.synchronized(m.toSeq).foreach { case (rid, (ids, _)) =>
+            p.put(rid, ids)
+          }
+        }
+      }
+    }
+    vecIds(s, dir).foreach { ids =>
+      queries.Similarity.purgeVecs(s, dir, ids)
+      val m = vecReqs.remove(k)
+      if (m != null) {
+        val p = purgedVecReqs.computeIfAbsent(k, _ =>
+          scala.collection.mutable.LinkedHashMap.empty)
+        p.synchronized {
+          m.synchronized(m.toSeq).foreach { case (rid, ids0) =>
+            p.put(rid, ids0)
+          }
+        }
+      }
+    }
+    SqlCatalog.refreshAfterTakedown(s, dir)
+  }
 
   /** Anti-join mask of `rel` against a tombstone id set — the broadcast
     * side is request-sized by nature. Fold-on-None keeps untouched
@@ -248,9 +354,12 @@ object StagedTombstones {
         dt.map(_.nDel).getOrElse(0L),
         dt.map(_.lDel).getOrElse(0L),
         nVecReq.toLong,
-        vecIds(s, dir).map(_.size.toLong).getOrElse(0L)))
+        vecIds(s, dir).map(_.size.toLong).getOrElse(0L),
+        purgedIdsOf(purgedDocReqs, key(s, dir)).size.toLong,
+        purgedIdsOf(purgedVecReqs, key(s, dir)).size.toLong))
       .toDF("n_doc_requests", "n_doc_ids", "n_docs_present",
-        "tok_mass_deleted", "n_vec_requests", "n_vec_ids")
+        "tok_mass_deleted", "n_vec_requests", "n_vec_ids",
+        "n_doc_ids_purged", "n_vec_ids_purged")
   }
 
   /** Test/ops hook: forget every request of (session, dir) — the state
@@ -260,6 +369,8 @@ object StagedTombstones {
   private[graft] def reset(s: SparkSession, dir: String): Unit = {
     docReqs.remove(key(s, dir))
     vecReqs.remove(key(s, dir))
+    purgedDocReqs.remove(key(s, dir))
+    purgedVecReqs.remove(key(s, dir))
     SqlCatalog.refreshAfterTakedown(s, dir)
   }
 }

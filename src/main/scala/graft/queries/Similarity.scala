@@ -817,6 +817,61 @@ object Similarity {
       }
   }
 
+  /** Builds (once per session+dir) q68's staged IVF cell table — the
+    * (vec_id, embedding, nrm, cell) relation hash-bucketed by cell, the
+    * assignment the q35 compute path persists at rest. Factored out of
+    * the q68 entry so the physical takedown purge ([[purgeVecs]]) can
+    * ensure it exists before rewriting it.
+    */
+  private[graft] def ensureIvfCellTable(s: SparkSession,
+      dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val idxT = s"graft_q68_ivf_$tag"
+    if (!s.catalog.tableExists(idxT)) {
+      val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
+      val e = Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
+        .filter(col("nrm") > 0) // zero-norm guard (see q28)
+      val ccosArr =
+        zip_with(
+          graft.functions.VectorFunctions.vecDotMany(col("embedding"),
+            cents.flatMap(_._2).toArray, cents.length),
+          typedLit(cents.map(_._3).toSeq),
+          (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn)))
+      val cells = e.select(col("vec_id"), col("embedding"), col("nrm"),
+        ccosArr.as("ccos"))
+        .select(col("vec_id"), col("embedding"), col("nrm"),
+          (array_position(col("ccos"), array_max(col("ccos"))) - 1)
+            .cast("long").as("cell"))
+      // corpus-adaptive layout from the embeddings count (the
+      // ensureIvfPqIndex discipline)
+      graft.Bucketing.stage(cells, idxT, "cell", graft.Bucketing
+        .bucketCountFor(Tables(s, dir, "embeddings").count()))
+    }
+    idxT
+  }
+
+  /** The vector half of [[graft.StagedTombstones.purge]]: physically
+    * rewrite BOTH staged vector-serve tables of (session, dir) — the
+    * IVF-PQ code table (q91/q122/q174's substrate) and the q68 IVF cell
+    * table — minus the masked ids, preserving each table's bucket
+    * layout. A table not yet staged is staged FIRST (from the corpus,
+    * which still holds the rows until its own rewrite) and then
+    * purged, so a later ensure cannot resurrect the deleted vectors
+    * within the session. Vector serves carry no corpus-derived
+    * statistics, so the rewrite is membership-only.
+    */
+  private[graft] def purgeVecs(s: SparkSession, dir: String,
+      ids: Seq[Long]): Unit = {
+    val drop = (rel: org.apache.spark.sql.DataFrame) =>
+      graft.StagedTombstones.masked(s, rel, Some(ids), "vec_id")
+    graft.Bucketing.rewriteInPlace(s,
+      ensureIvfPqIndex(s, dir, kmeansCentroids(s, dir),
+        pqCodebooks(s, dir)), drop)
+    graft.Bucketing.rewriteInPlace(s, ensureIvfCellTable(s, dir), drop)
+  }
+
   private[graft] def ensureIvfPqIndex(s: SparkSession, dir: String,
       cents: Array[(Int, Seq[Double], Double)],
       books: Array[Array[Array[Double]]]): String = {
@@ -1217,8 +1272,7 @@ object Similarity {
     // every bucket. Semantics — and therefore the oracle — are exactly
     // q35's: same centroids, same assignment, same probe arithmetic.
     "q68_ann_ivf_staged" -> ((s, dir) => {
-      val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val idxT = s"graft_q68_ivf_$tag"
+      val idxT = ensureIvfCellTable(s, dir)
       val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
       def ccosArr =
         zip_with(
@@ -1226,21 +1280,6 @@ object Similarity {
             cents.flatMap(_._2).toArray, cents.length),
           typedLit(cents.map(_._3).toSeq),
           (d, cn) => when(col("nrm") > 0, d / (col("nrm") * cn)))
-      if (!s.catalog.tableExists(idxT)) {
-        val e = Tables(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            sqrt(vecDot(col("embedding"), col("embedding"))).as("nrm"))
-          .filter(col("nrm") > 0) // zero-norm guard (see q28)
-        val cells = e.select(col("vec_id"), col("embedding"), col("nrm"),
-          ccosArr.as("ccos"))
-          .select(col("vec_id"), col("embedding"), col("nrm"),
-            (array_position(col("ccos"), array_max(col("ccos"))) - 1)
-              .cast("long").as("cell"))
-        // corpus-adaptive layout from the embeddings count (the
-        // ensureIvfPqIndex discipline)
-        graft.Bucketing.stage(cells, idxT, "cell", graft.Bucketing
-          .bucketCountFor(Tables(s, dir, "embeddings").count()))
-      }
       // serve-time takedown mask (StagedTombstones contract: the probe
       // equals a re-stage over the corpus minus the deletions; the
       // query row masks too — a deleted vector stops being servable

@@ -646,6 +646,40 @@ object TextAnalysis {
     }
   }
 
+  /** The lexical half of [[graft.StagedTombstones.purge]]: physically
+    * rewrite the staged postings/doclen/positions tables of
+    * (session, dir) minus the tombstone's documents, rewrite the df
+    * table under the tombstone's delta (zero-df terms drop out — the
+    * re-stage identity [[lexRead]] computes at read time, applied to
+    * the files), and fold the N/L adjustments into the memoized corpus
+    * scalars — so the post-purge UNMASKED read equals the pre-purge
+    * masked read byte-for-byte. A table not yet staged is staged FIRST
+    * (the corpus still holds the rows until its own rewrite) and then
+    * purged, so a later ensure within the session cannot resurrect the
+    * deleted documents.
+    */
+  private[graft] def purgeLex(s: SparkSession, dir: String,
+      t: graft.StagedTombstones.DocTomb): Unit = {
+    val (postT, dlT, dfT, _, _) = ensureLexIndex(s, dir)
+    val posT = ensurePosIndex(s, dir)
+    val dropDocs = (rel: DataFrame) =>
+      graft.StagedTombstones.masked(s, rel, Some(t.ids), "doc_id")
+    graft.Bucketing.rewriteInPlace(s, postT, dropDocs)
+    graft.Bucketing.rewriteInPlace(s, dlT, dropDocs)
+    graft.Bucketing.rewriteInPlace(s, posT, dropDocs)
+    if (t.dfDelta.nonEmpty) {
+      val ss = s
+      import ss.implicits._
+      graft.Bucketing.rewriteInPlace(s, dfT, rel =>
+        rel.join(broadcast(t.dfDelta.toDF("term", "ddf")), Seq("term"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
+          .filter(col("df") > 0))
+    }
+    lexStats.computeIfPresent((s.sparkContext.applicationId, dir),
+      (_, nl) => (nl._1 - t.nDel, nl._2 - t.lDel))
+  }
+
   /** [[ensurePosIndex]]'s serve-time read surface — the positional
     * member of [[lexRead]]'s contract (membership-only: positions carry
     * no corpus-derived statistics).

@@ -304,6 +304,73 @@ class StagedTakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("purge: staged files physically shed the masked rows; every serve result is unchanged") {
+    import org.apache.spark.sql.functions.col
+    // a fresh corpus: purge REWRITES the staged tables for its dir, so
+    // the suite's shared fixture must not be touched
+    val pd = mkCorpus(Set.empty)
+    val tag = pd.replaceAll("[^a-zA-Z0-9]", "_")
+    val tagB = dirB.replaceAll("[^a-zA-Z0-9]", "_")
+    val serves = Seq("q148_bm25_topk", "q154_phrase_topk",
+      "q159_proximity_topk", "q160_lex_index_card", "q68_ann_ivf_staged",
+      "q91_ann_ivf_adc", "q122_ann_serve_batch")
+    try {
+      StagedTombstones.deleteDocs(spark, pd, delDocs, "pg1")
+      val preVec = SparkEntry.queries("q68_ann_ivf_staged")(spark, pd)
+        .collect().map(_.getAs[Long]("vec_id"))
+      val delV = preVec.filter(_ != 0L).take(2).toSeq
+      StagedTombstones.deleteVecs(spark, pd, delV, "pg2")
+      val before = serves.map(q => q -> run(q, pd)).toMap
+      StagedTombstones.purge(spark, pd)
+      // 1. the staged FILES hold zero masked rows (read the tables raw)
+      for (t <- Seq(s"graft_lex_postings_$tag", s"graft_lex_doclen_$tag",
+          s"graft_lex_pos_$tag"))
+        assert(spark.table(t)
+          .filter(col("doc_id").isin(delDocs.map(Long.box): _*))
+          .count() == 0, s"$t still holds masked doc rows post-purge")
+      for (t <- Seq(s"graft_q91_ivfpq_$tag", s"graft_q68_ivf_$tag"))
+        assert(spark.table(t)
+          .filter(col("vec_id").isin(delV.map(Long.box): _*))
+          .count() == 0, s"$t still holds masked vec rows post-purge")
+      // the rewritten df table equals a fresh staging over the reduced
+      // corpus (dirB's) — the strongest stats check
+      run("q148_bm25_topk", dirB) // ensure dirB's lex index is staged
+      def dfRows(t: String) = spark.table(t).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(dfRows(s"graft_lex_df_$tag") == dfRows(s"graft_lex_df_$tagB"),
+        "purged df table drifted from the reduced-corpus staging")
+      // 2. the satisfied requests retired to the purged ledger
+      assert(StagedTombstones.docTomb(spark, pd).isEmpty,
+        "purge must clear the active doc registry")
+      val c = StagedTombstones.card(spark, pd).collect().head
+      assert(c.getAs[Long]("n_doc_requests") == 0L &&
+        c.getAs[Long]("n_vec_requests") == 0L &&
+        c.getAs[Long]("n_doc_ids_purged") == 2L &&
+        c.getAs[Long]("n_vec_ids_purged") == 2L, s"card drifted: $c")
+      // 3. every serve reads the same bytes it served through the mask
+      for (q <- serves)
+        assert(run(q, pd) == before(q), s"$q changed across the purge")
+      // 4. a REDELIVERED satisfied request re-adjusts nothing
+      StagedTombstones.deleteDocs(spark, pd, delDocs, "pg1")
+      assert(StagedTombstones.docTomb(spark, pd).get.nDel == 0L,
+        "a redelivered purged request re-adjusted the corpus stats")
+      for (q <- Seq("q148_bm25_topk", "q160_lex_index_card"))
+        assert(run(q, pd) == before(q), s"$q drifted after redelivery")
+      // 5. a NEW request naming an already-purged id adjusts nothing
+      StagedTombstones.deleteDocs(spark, pd, Seq(delDocs.head), "pg3")
+      assert(run("q148_bm25_topk", pd) == before("q148_bm25_topk"),
+        "a new request over a purged id double-adjusted the serve")
+      // 6. corpus-derived surfaces (the band view recomputes from the
+      // raw documents) keep masking the purged ids
+      SqlCatalog.register(spark, pd)
+      val bandDocs = spark.table("graft_band_index")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(delDocs.forall(!bandDocs.contains(_)),
+        "purged ids resurfaced in the corpus-derived band view")
+    } finally StagedTombstones.reset(spark, pd)
+    spark.catalog.clearCache()
+  }
+
   test("overlapping ids across requests merge by id — never double-adjust") {
     try {
       StagedTombstones.deleteDocs(spark, dirA, Seq(3L, 7L), "o1")
