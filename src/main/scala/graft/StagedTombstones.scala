@@ -120,16 +120,45 @@ object StagedTombstones {
         DocInfo(r.getLong(1), r.getSeq[String](2).toSeq))
       .toMap
 
+  /** Expand a takedown request to CLUSTER COMPLETENESS: every member of
+    * every near-dup cluster (the staged q150 at-scale labels —
+    * [[graft.queries.Dedup.ensureClusterLabels64]]) that contains a
+    * requested id — q175's member set as an operator the tombstone APIs
+    * route through, so an erasure honors intent when the corpus carries
+    * near-verbatim copies of the requested content. Ids the corpus
+    * never clustered (absent documents) stay in the returned set — they
+    * keep the delete APIs' harmless-mask semantics. Bounded: the
+    * request side broadcasts, member fan-out is request × cluster-size,
+    * never corpus-tracking.
+    */
+  def expandToClusters(s: SparkSession, dir: String,
+      ids: Seq[Long]): Seq[Long] = {
+    import s.implicits._
+    val labels = queries.Dedup.ensureClusterLabels64(s, dir)
+    val reqClusters = labels
+      .join(broadcast(ids.distinct.toDF("doc_id")), Seq("doc_id"))
+      .select(col("cluster_id")).distinct()
+    val members = labels
+      .join(broadcast(reqClusters), Seq("cluster_id"))
+      .select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    (ids.distinct ++ members).distinct.sorted
+  }
+
   /** Mark documents DELETED from every batch-staged serve over `dir` —
     * the lexical family (BM25/phrase/proximity/snippet serves and their
     * catalog views) masks them from candidates, df, and the N/L corpus
-    * scalars from the next read on.
+    * scalars from the next read on. With `expandClusters` the request
+    * routes through [[expandToClusters]] BEFORE filing — the expanded
+    * set files under the ORIGINAL requestId, so redelivery of the
+    * un-expanded request still self-replaces.
     */
   def deleteDocs(s: SparkSession, dir: String, ids: Seq[Long],
-      requestId: String): Unit = {
+      requestId: String, expandClusters: Boolean = false): Unit = {
     requireReqId(requestId)
     require(ids.nonEmpty, "a takedown request must name at least one id")
-    val distinctIds = ids.distinct
+    val distinctIds =
+      if (expandClusters) expandToClusters(s, dir, ids) else ids.distinct
     // an id a purge already removed contributes nothing to the staged
     // tables anymore — probing it would re-subtract statistics the
     // rewrite already folded in (it still MASKS: a no-op on the purged

@@ -64,13 +64,25 @@ object Tombstones {
     */
   def processDeleteBatch(spark: SparkSession, batch: DataFrame,
       batchId: Long, indexPaths: Seq[String],
-      keyCol: String = "doc_id"): Unit = {
+      keyCol: String = "doc_id",
+      expandClustersDir: Option[String] = None): Unit = {
     // a null id names nothing — the same harmless no-op as a
     // never-arrived id. Filtered HERE, not crashed on: the NPE would
     // recur on every redelivery, crash-looping the whole takedown
     // queue on one malformed request row.
-    val ids = batch.select(keyCol).filter(col(keyCol).isNotNull)
+    val raw = batch.select(keyCol).filter(col(keyCol).isNotNull)
       .distinct().collect().map(_.getLong(0)).toSeq
+    // cluster-complete expansion BEFORE filing (the q175 operator,
+    // routed through the staged labels of the named corpus dir): the
+    // expanded set lands under the batch's own request identity, so a
+    // redelivered un-expanded batch re-expands to the same set and
+    // self-replaces. Expansion is deterministic in (corpus, ids) — the
+    // labels are frozen per corpus — so exactly-once survives it.
+    val ids = expandClustersDir match {
+      case Some(d) if raw.nonEmpty && keyCol == "doc_id" =>
+        graft.StagedTombstones.expandToClusters(spark, d, raw)
+      case _ => raw
+    }
     if (ids.nonEmpty)
       indexPaths.foreach(p =>
         delete(spark, p, ids, s"stream-$batchId", keyCol))
@@ -81,16 +93,20 @@ object Tombstones {
     * given index roots — the arrival path for takedown/GDPR queues,
     * beside the out-of-band [[delete]] API. Each serve over those
     * roots masks the ids from its next read on; the next compaction
-    * purges physically.
+    * purges physically. `expandClustersDir` names a corpus dir whose
+    * staged near-dup cluster labels expand each request to CLUSTER
+    * COMPLETENESS before filing (doc_id queues only — see
+    * [[processDeleteBatch]]).
     */
   def runDeletes(requests: DataFrame, indexPaths: Seq[String],
-      checkpoint: String, keyCol: String = "doc_id")
+      checkpoint: String, keyCol: String = "doc_id",
+      expandClustersDir: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     requests.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processDeleteBatch(batch.sparkSession, batch, batchId,
-          indexPaths, keyCol)
+          indexPaths, keyCol, expandClustersDir)
       }
       .start()
 

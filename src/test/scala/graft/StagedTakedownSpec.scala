@@ -371,6 +371,79 @@ class StagedTakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cluster-complete expansion: requests expand to the full near-dup family before filing, batch and streamed") {
+    import spark.implicits._
+    import graft.streaming.Tombstones
+    // a planted near-dup family (identical texts 10=11=12) beside
+    // distinct docs — the q175 shape with a known member set; extra
+    // distinct docs keep the serves non-trivial
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val fam = Seq(10L -> t, 11L -> t, 12L -> t)
+    val rest = Seq(
+      99L -> "completely different content about spark catalyst planning",
+      1L -> "zebra quark lattice prism here now",
+      2L -> "alpha beta gamma delta prism quark")
+    def mk(rows: Seq[(Long, String)]): String = {
+      val d = Files.createTempDirectory("graft-expand").toString
+      rows.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+      embRows(rows.map(_._1)).toDF("vec_id", "embedding")
+        .write.parquet(s"$d/embeddings.parquet")
+      d
+    }
+    val d = mk(fam ++ rest)
+    val dMinusFam = mk(rest)
+    try {
+      // the operator itself: one family member pulls in the whole
+      // family; untouched/absent ids pass through as themselves
+      assert(StagedTombstones.expandToClusters(spark, d, Seq(11L))
+        == Seq(10L, 11L, 12L))
+      assert(StagedTombstones.expandToClusters(spark, d, Seq(99L, 424242L))
+        == Seq(99L, 424242L))
+      // batch filing: the expanded delete serves exactly like a
+      // re-stage over the corpus minus the WHOLE family
+      StagedTombstones.deleteDocs(spark, d, Seq(11L), "exp1",
+        expandClusters = true)
+      assert(StagedTombstones.docTomb(spark, d).get.ids.toSet
+        == Set(10L, 11L, 12L), "expansion must file the member set")
+      for (q <- Seq("q148_bm25_topk", "q160_lex_index_card"))
+        assert(run(q, d) == run(q, dMinusFam),
+          s"$q: expanded delete drifted from the family-less re-stage")
+      // streamed filing: the expansion happens BEFORE the tombstone
+      // lands, under the batch's own request identity
+      implicit val sqlCtx = spark.sqlContext
+      val root = Files.createTempDirectory("graft-expand-root").toString
+      val ckpt = Files.createTempDirectory("graft-expand-ckpt").toString
+      val mem = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[Long]
+      val q = Tombstones.runDeletes(mem.toDF().toDF("doc_id"), Seq(root),
+        ckpt, expandClustersDir = Some(d))
+      try { mem.addData(11L); q.processAllAvailable() } finally q.stop()
+      val reqs = Tombstones.requests(spark, root, "doc_id")
+      assert(reqs.map(_._1) == Seq("stream-0"))
+      assert(reqs.head._2.toSet == Set(10L, 11L, 12L),
+        s"the filed tombstone must carry the expanded set: ${reqs.head._2}")
+      // redelivery of the un-expanded batch re-expands deterministically
+      Tombstones.processDeleteBatch(spark, Seq(11L).toDF("doc_id"), 0L,
+        Seq(root), "doc_id", Some(d))
+      assert(Tombstones.requests(spark, root, "doc_id").head._2.toSet
+        == Set(10L, 11L, 12L))
+    } finally StagedTombstones.reset(spark, d)
+    spark.catalog.clearCache()
+  }
+
+  test("expandToClusters reproduces q175's member set on the shared testdata corpus") {
+    val dir = "/root/testdata/sf0.001"
+    val q175 = SparkEntry.queries("q175_takedown_expand")(spark, dir)
+      .collect()
+    val reqIds = q175.map(_.getAs[Long]("doc_id")).distinct.toSeq
+    val memberSet = q175.map(_.getAs[Long]("member_id")).toSet
+    assert(reqIds.nonEmpty && memberSet.nonEmpty)
+    assert(StagedTombstones.expandToClusters(spark, dir, reqIds).toSet
+      == memberSet,
+      "the expansion operator drifted from the oracle-checked q175")
+    spark.catalog.clearCache()
+  }
+
   test("overlapping ids across requests merge by id — never double-adjust") {
     try {
       StagedTombstones.deleteDocs(spark, dirA, Seq(3L, 7L), "o1")
