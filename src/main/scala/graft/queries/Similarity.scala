@@ -698,7 +698,7 @@ object Similarity {
     * per contributing list (a doc only one modality surfaces still
     * scores), every reciprocal an exact int64.
     */
-  private def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
+  private[queries] def rrfFuse(lex: DataFrame, sem: DataFrame): DataFrame = {
     val w = Window.partitionBy("qid").orderBy(desc("rrf_u"), asc("doc_id"))
     lex.join(sem, Seq("qid", "doc_id"), "full_outer")
       .withColumn("rrf_u",
@@ -1508,6 +1508,61 @@ object Similarity {
         .unionByName(card("semantic", sem, "vec_id"))
         .unionByName(card("hybrid",
           hybridServe(s, dir, hybQids, sem), "doc_id"))
+    }),
+
+    // takedown-aware serve-eval card — q167's per-path known-item
+    // self-check run UNDER AN ACTIVE TAKEDOWN (the q172/q174
+    // corpus-adaptive residue-1 requests, doc side and vec side):
+    // the one-screen proof that the three read paths degrade
+    // CONSISTENTLY after an erasure — no path serves a masked
+    // document, a masked query document still queries (the request
+    // deletes it from the INDEX, not the caller's hands), and the
+    // hybrid fusion still fuses the two masked legs through the
+    // shared exact-lcm RRF. Explicit tombs ([[graft.StagedTombstones
+    // .resolveDocs]] / a literal vec mask), never the session
+    // registry — the correctness dump stays independent of session
+    // state (the q172 discipline). Cost = q176's three masked serves
+    // + three 1-row folds; ONE masked q122 DataFrame feeds both the
+    // semantic row and the hybrid leg (the q167 exchange-reuse
+    // shape).
+    "q176_takedown_eval_card" -> ((s, dir) => {
+      def card(path: String, serve: DataFrame, idCol: String) =
+        TextAnalysis.selfCheckFold(serve, idCol)
+          .select(lit(path).as("path"), col("n_queries"),
+            col("n_self_top1"), col("self_top1_pm"))
+      val nd = Tables(s, dir, "documents").count()
+      val dmod = math.max(5L, (nd + 7) / 8)
+      val delDocs = Tables(s, dir, "documents")
+        .filter(col("doc_id") % dmod === 1).select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val tomb =
+        if (delDocs.isEmpty) None
+        else Some(graft.StagedTombstones.resolveDocs(s, dir, delDocs))
+      val lex = TextAnalysis.bm25TopDocs(s, dir,
+        TextAnalysis.docModQids(s, dir), tomb)
+      val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
+      val books = pqCodebooks(s, dir)
+      val idxT = ensureIvfPqIndex(s, dir, cents, books)
+      val ne = Tables(s, dir, "embeddings").count()
+      val vmod = math.max(5L, (ne + 7) / 8)
+      val delVecs = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % vmod === 1).select(col("vec_id"))
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val sem = adcServeBatch(s, dir,
+        graft.StagedTombstones.masked(s, s.table(idxT),
+          if (delVecs.isEmpty) None else Some(delVecs), "vec_id"),
+        cents, books)
+      val hybQids = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % vmod === 0)
+        .select(col("vec_id").as("qid"))
+      val hyb = rrfFuse(
+        TextAnalysis.bm25TopDocs(s, dir, hybQids, tomb)
+          .select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk")),
+        sem.select(col("qid"), col("vec_id").as("doc_id"),
+          col("rnk").as("sem_rnk")))
+      card("lexical", lex, "doc_id")
+        .unionByName(card("semantic", sem, "vec_id"))
+        .unionByName(card("hybrid", hyb, "doc_id"))
     }),
 
     // ANN index-quality audit — recall@10 of the IVF probe against the
@@ -2420,14 +2475,23 @@ object Similarity {
     * (q167) embeds the IDENTICAL fused-serve text (the
     * sqlAnnServeBatchSql composition discipline, one level up).
     */
-  private lazy val sqlHybridRrfSql: String =
+  /** The embedding-modulus query-id sample in oracle SQL — the qid set
+    * of q122/q149's hybrid lexical leg.
+    */
+  private[queries] val sqlEmbModQs: String =
+    """SELECT vec_id AS qid FROM embeddings,
+      |  (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS qmod FROM embeddings) qm
+      |  WHERE vec_id % qmod = 0""".stripMargin
+
+  /** The RRF fusion of an arbitrary lexical-leg and semantic-leg
+    * statement — factored so the takedown-masked eval card (q176)
+    * fuses the MASKED legs through the identical arithmetic q149 uses.
+    */
+  private def sqlHybridRrfFrom(lexSql: String, semSql: String): String =
     s"""WITH lex AS (SELECT qid, doc_id, rnk AS lex_rnk FROM
-       |  (${TextAnalysis.sqlBm25TopDocs(
-            """SELECT vec_id AS qid FROM embeddings,
-              |  (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS qmod FROM embeddings) qm
-              |  WHERE vec_id % qmod = 0""".stripMargin)}) bl),
+       |  ($lexSql) bl),
        |sem AS (SELECT qid, vec_id AS doc_id, rnk AS sem_rnk FROM
-       |  ($sqlAnnServeBatchSql) bs),
+       |  ($semSql) bs),
        |f AS (SELECT COALESCE(lex.qid, sem.qid) AS qid,
        |  COALESCE(lex.doc_id, sem.doc_id) AS doc_id, lex_rnk, sem_rnk
        |  FROM lex FULL JOIN sem
@@ -2441,11 +2505,28 @@ object Similarity {
        |     ORDER BY rrf_u DESC, doc_id) AS rnk FROM sc) r
        |WHERE rnk <= $RrfTopK""".stripMargin
 
+  /** The complete q149 oracle statement — built from the factored legs
+    * so the serve-eval card (q167) embeds the IDENTICAL fused-serve
+    * text (the sqlAnnServeBatchSql composition discipline, one level
+    * up).
+    */
+  private lazy val sqlHybridRrfSql: String =
+    sqlHybridRrfFrom(TextAnalysis.sqlBm25TopDocs(sqlEmbModQs),
+      sqlAnnServeBatchSql)
+
   /** The complete q122 oracle statement — a val so the hybrid-fusion
     * oracle (q149) embeds the IDENTICAL batched-ANN text as a
     * subquery (the sqlJaccardPairsSql composition discipline).
+    * [[sqlAnnServeBatch]] exposes the `__MASK__` hook (the sqlIvfAdc
+    * pattern) so the takedown eval card's semantic leg is THIS text
+    * minus the deleted members.
     */
-  private lazy val sqlAnnServeBatchSql: String =
+  private def sqlAnnServeBatch(maskPred: String): String =
+    sqlAnnServeBatchBase.replace("__MASK__", maskPred)
+
+  private lazy val sqlAnnServeBatchSql: String = sqlAnnServeBatch("")
+
+  private lazy val sqlAnnServeBatchBase: String =
     s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
          |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
          |  WHERE nrm > 0),
@@ -2478,7 +2559,7 @@ object Similarity {
          |cand AS (SELECT v.qid, v.vec_id, v.adc
          |  FROM v JOIN cells ON cells.vec_id = v.vec_id
          |  JOIN qc ON qc.qid = v.qid AND qc.cell = cells.cell
-         |  WHERE v.adc IS NOT NULL)
+         |  WHERE v.adc IS NOT NULL__MASK__)
          |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc FROM
          |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
          |     ORDER BY adc, vec_id) AS rnk FROM cand) t
@@ -2493,6 +2574,21 @@ object Similarity {
     .replace("__MASK__", maskPred)
 
   private lazy val sqlIvfAdcSql: String = sqlIvfAdc("")
+
+  /** The per-path self-check fold in oracle SQL (q163's arithmetic) —
+    * ONE text shared by the q167 card and its takedown twin (q176).
+    */
+  private def sqlServeFold(path: String, src: String,
+      idCol: String): String =
+    s"""SELECT '$path' AS path,
+       |  CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+       |  CAST(COALESCE(SUM(CASE WHEN rnk = 1 AND $idCol = qid
+       |    THEN 1 END), 0) AS BIGINT) AS n_self_top1,
+       |  CAST(CASE WHEN COUNT(DISTINCT qid) >= 1
+       |    THEN (COALESCE(SUM(CASE WHEN rnk = 1 AND $idCol = qid
+       |      THEN 1 END), 0) * 1000) // COUNT(DISTINCT qid) END
+       |    AS BIGINT) AS self_top1_pm
+       |FROM $src""".stripMargin
 
   private lazy val sqlIvfAdcBase: String =
     s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
@@ -2647,26 +2743,41 @@ object Similarity {
 
     // all three serve statements embedded VERBATIM (nested-WITH), one
     // q163 fold per path
-    "q167_serve_eval_card" -> {
-      def fold(path: String, src: String, idCol: String) =
-        s"""SELECT '$path' AS path,
-           |  CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
-           |  CAST(COALESCE(SUM(CASE WHEN rnk = 1 AND $idCol = qid
-           |    THEN 1 END), 0) AS BIGINT) AS n_self_top1,
-           |  CAST(CASE WHEN COUNT(DISTINCT qid) >= 1
-           |    THEN (COALESCE(SUM(CASE WHEN rnk = 1 AND $idCol = qid
-           |      THEN 1 END), 0) * 1000) // COUNT(DISTINCT qid) END
-           |    AS BIGINT) AS self_top1_pm
-           |FROM $src""".stripMargin
+    "q167_serve_eval_card" ->
       s"""WITH lexserve AS (${TextAnalysis.sqlBm25TopDocs(
             TextAnalysis.sqlDocModQs)}),
          |semserve AS ($sqlAnnServeBatchSql),
          |hybserve AS ($sqlHybridRrfSql)
-         |${fold("lexical", "lexserve", "doc_id")}
+         |${sqlServeFold("lexical", "lexserve", "doc_id")}
          |UNION ALL
-         |${fold("semantic", "semserve", "vec_id")}
+         |${sqlServeFold("semantic", "semserve", "vec_id")}
          |UNION ALL
-         |${fold("hybrid", "hybserve", "doc_id")}""".stripMargin
+         |${sqlServeFold("hybrid", "hybserve", "doc_id")}""".stripMargin,
+
+    // q167's card under the takedown: each leg is the corresponding
+    // TAKEDOWN oracle text — the lexical legs re-stage over the corpus
+    // minus the doc-side request (q172's text, both qid samples), the
+    // semantic leg is the batched serve minus the vec-side request
+    // (q174's mask in q122's text), and the hybrid fuses the two masked
+    // legs through the identical RRF builder — so the card audits the
+    // masked read paths, not reimplementations
+    "q176_takedown_eval_card" -> {
+      val semMasked = sqlAnnServeBatch(
+        """
+          |  AND v.vec_id NOT IN (SELECT vec_id FROM embeddings,
+          |    (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS tmod FROM embeddings) tm
+          |    WHERE vec_id % tmod = 1)""".stripMargin)
+      s"""WITH lexserve AS (${TextAnalysis.sqlBm25TopDocsTakedown(
+            TextAnalysis.sqlDocModQs, TextAnalysis.sqlTakedownIds)}),
+         |semserve AS ($semMasked),
+         |hybserve AS (${sqlHybridRrfFrom(
+            TextAnalysis.sqlBm25TopDocsTakedown(sqlEmbModQs,
+              TextAnalysis.sqlTakedownIds), semMasked)})
+         |${sqlServeFold("lexical", "lexserve", "doc_id")}
+         |UNION ALL
+         |${sqlServeFold("semantic", "semserve", "vec_id")}
+         |UNION ALL
+         |${sqlServeFold("hybrid", "hybserve", "doc_id")}""".stripMargin
     },
 
     // the same two embedded serve statements as q149, folded to the

@@ -2816,7 +2816,8 @@ object TextAnalysis {
     * still queries — the takedown removes it from the index, not from
     * the caller), mirroring [[bm25Stage]]'s raw-corpus query read.
     */
-  private def sqlBm25TopDocsTakedown(qsSql: String, delSql: String): String =
+  private[queries] def sqlBm25TopDocsTakedown(qsSql: String,
+      delSql: String): String =
     s"""WITH del AS ($delSql),
        |live AS (SELECT * FROM documents
        |  WHERE doc_id NOT IN (SELECT doc_id FROM del)),
@@ -2852,7 +2853,7 @@ object TextAnalysis {
     * overlap is possible and intended — a doc can be both query and
     * takedown).
     */
-  private val sqlTakedownIds: String =
+  private[queries] val sqlTakedownIds: String =
     """SELECT doc_id FROM documents,
       |  (SELECT GREATEST(5, (COUNT(*) + 7) // 8) AS tmod FROM documents) tm
       |  WHERE doc_id % tmod = 1""".stripMargin

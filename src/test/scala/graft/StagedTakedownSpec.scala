@@ -444,6 +444,49 @@ class StagedTakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q176: under the active takedown no read path serves a masked doc and the hybrid still fuses") {
+    import org.apache.spark.sql.functions.col
+    // fixture arithmetic: 12 docs / 16 vecs, both moduli are
+    // max(5, ceil(n/8)) = 5 → masked residue-1 ids {1, 6, 11} on both
+    // sides, query residue-0 ids {0, 5, 10(, 15)}
+    val card = SparkEntry.queries("q176_takedown_eval_card")(spark, dirA)
+      .collect().map(r => r.getAs[String]("path") -> r).toMap
+    assert(card.keySet == Set("lexical", "semantic", "hybrid"))
+    assert(card.values.forall(_.getAs[Long]("n_queries") > 0L),
+      "every path must still serve under the mask")
+    // the legs the card folds, rebuilt through the audited surfaces
+    val delIds = Seq(1L, 6L, 11L)
+    val tomb = Some(StagedTombstones.resolveDocs(spark, dirA, delIds))
+    val lex = TextAnalysis.bm25TopDocs(spark, dirA,
+      TextAnalysis.docModQids(spark, dirA), tomb)
+    assert(lex.filter(col("doc_id")
+      .isin(delIds.map(Long.box): _*)).count() == 0,
+      "the lexical path served a masked doc")
+    val cents = Similarity.kmeansCentroids(spark, dirA)
+    val books = Similarity.pqCodebooks(spark, dirA)
+    val idxT = Similarity.ensureIvfPqIndex(spark, dirA, cents, books)
+    val sem = Similarity.adcServeBatch(spark, dirA,
+      StagedTombstones.masked(spark, spark.table(idxT),
+        Some(delIds), "vec_id"), cents, books)
+    assert(sem.filter(col("vec_id")
+      .isin(delIds.map(Long.box): _*)).count() == 0,
+      "the semantic path served a masked vector")
+    val hybLex = TextAnalysis.bm25TopDocs(spark, dirA,
+      spark.read.parquet(s"$dirA/embeddings.parquet")
+        .filter(col("vec_id") % 5 === 0).select(col("vec_id").as("qid")),
+      tomb).select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val hyb = Similarity.rrfFuse(hybLex,
+      sem.select(col("qid"), col("vec_id").as("doc_id"),
+        col("rnk").as("sem_rnk"))).collect()
+    assert(hyb.forall(r => !delIds.contains(r.getAs[Long]("doc_id"))),
+      "the hybrid path served a masked doc")
+    // fusion still fuses: some served doc carries BOTH legs' ranks
+    assert(hyb.exists(r => !r.isNullAt(r.fieldIndex("lex_rnk")) &&
+      !r.isNullAt(r.fieldIndex("sem_rnk"))),
+      "no both-modality rows — the masked fusion degenerated")
+    spark.catalog.clearCache()
+  }
+
   test("overlapping ids across requests merge by id — never double-adjust") {
     try {
       StagedTombstones.deleteDocs(spark, dirA, Seq(3L, 7L), "o1")

@@ -51,7 +51,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q156_mixture_select", "q157_knn_label_probe", "q164_diverse_topk",
     "q165_multimodal_pack", "q166_nb_quality", "q167_serve_eval_card",
     "q168_nb_hashed", "q169_chunk_curriculum", "q170_takedown_impact",
-    "q171_length_batches", "q175_takedown_expand")
+    "q171_length_batches", "q175_takedown_expand",
+    "q176_takedown_eval_card")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()
