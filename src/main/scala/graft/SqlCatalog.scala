@@ -34,14 +34,19 @@ import org.apache.spark.sql.functions._
   *     through the view), per-doc lengths, per-term document
   *     frequencies.
   *
+  *   - `graft_cluster_labels` — the staged at-scale near-dup cluster
+  *     labels (q150's doc_id-bucketed artifact), the suppression side
+  *     of [[diverseSql]].
+  *
   * Complete SERVE STATEMENTS over those views — each hash-matching its
   * Scala twin on the same queries: [[bm25Sql]] (lexical top-k),
   * [[phraseSql]]/[[snippetSql]]/[[proximitySql]] (the positional
   * family), [[adcSql]] (the batched IVF-PQ vector serve),
-  * [[hybridSql]] (the fused RAG page), [[nbSql]] (hashed-NB quality
-  * scoring). Member-data views read through the session's takedown
-  * masks and re-publish on [[refreshAfterTakedown]]; model views
-  * (centroids, codebooks, NB weights) are frozen.
+  * [[hybridSql]] (the fused RAG page), [[diverseSql]] (the
+  * cluster-diversified page), [[nbSql]] (hashed-NB quality scoring).
+  * Member-data views read through the session's takedown masks and
+  * re-publish on [[refreshAfterTakedown]]; model views (centroids,
+  * codebooks, NB weights) are frozen.
   *
   * The documented example (SqlCatalogSpec runs both verbatim):
   *
@@ -71,7 +76,8 @@ object SqlCatalog {
   val ViewNames: Seq[String] = Seq("graft_ivfpq_index", "graft_centroids",
     "graft_pq_codebooks", "graft_band_index", "graft_pack_manifest",
     "graft_lex_postings", "graft_lex_doclen", "graft_lex_df",
-    "graft_lex_stats", "graft_lex_pos", "graft_nb_model")
+    "graft_lex_stats", "graft_lex_pos", "graft_nb_model",
+    "graft_cluster_labels")
 
   /** A complete hashed-NB quality-scoring statement over
     * `graft_nb_model` (q168's trained ≤ NbBuckets-row weight table) — score
@@ -118,7 +124,19 @@ object SqlCatalog {
     * which bucket-prunes through the view (spec-pinned mechanism).
     */
   def bm25Sql(qview: String): String =
-    s"""WITH qt0 AS (SELECT qid, term, COUNT(*) AS qtf
+    s"""WITH ${bm25ScoreCtes(qview)}
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_u FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc)
+       |WHERE rnk <= ${queries.TextAnalysis.Bm25TopK}""".stripMargin
+
+  /** The shared query-terms → scored-candidates CTE chain (ending in
+    * `sc`, scored but UNCUT) — one scoring text for [[bm25Sql]] and
+    * [[diverseSql]], which must suppress duplicates BEFORE the rank cut
+    * (cutting first could only shrink the page, never backfill it).
+    */
+  private def bm25ScoreCtes(qview: String): String =
+    s"""qt0 AS (SELECT qid, term, COUNT(*) AS qtf
        |  FROM (SELECT qid, explode(split(lower(trim(qtext)), '\\\\s+')) AS term
        |        FROM $qview)
        |  GROUP BY qid, term),
@@ -133,10 +151,29 @@ object SqlCatalog {
        |  FROM graft_lex_postings p JOIN qt USING (term)
        |    JOIN graft_lex_df f USING (term)
        |    JOIN graft_lex_doclen d USING (doc_id), graft_lex_stats s
-       |  GROUP BY 1, 2)
-       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_u FROM
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** The near-dup-DIVERSIFIED lexical serve as ONE SQL statement —
+    * q164's contract for the catalog road: [[bm25Sql]]'s scoring over
+    * the same `qview`, then at most ONE document per near-dup cluster
+    * (the staged at-scale labels published as `graft_cluster_labels`)
+    * with the cluster's best-scoring copy kept (ties to min doc_id) and
+    * lower-ranked DISTINCT documents backfilling the freed ranks before
+    * the top-k cut. Hash-matches [[queries.Dedup.diverseTopDocsFor]] on
+    * the same queries (RetrievalSpec pins the three-road identity with
+    * q164).
+    */
+  def diverseSql(qview: String): String =
+    s"""WITH ${bm25ScoreCtes(qview)},
+       |dj AS (SELECT sc.qid, sc.doc_id, cl.cluster_id, sc.score_u
+       |  FROM sc JOIN graft_cluster_labels cl USING (doc_id)),
+       |dp AS (SELECT qid, doc_id, cluster_id, score_u FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, cluster_id
+       |     ORDER BY score_u DESC, doc_id) AS pr FROM dj) z WHERE pr = 1)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, cluster_id,
+       |  score_u FROM
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-       |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc)
+       |     ORDER BY score_u DESC, doc_id) AS rnk FROM dp) r
        |WHERE rnk <= ${queries.TextAnalysis.Bm25TopK}""".stripMargin
 
   /** The (application, dir) pairs whose views are live — the state
@@ -392,6 +429,14 @@ object SqlCatalog {
     // [[snippetSql]] rank through
     queries.TextAnalysis.posRead(spark, dir, docTomb)
       .createOrReplaceTempView("graft_lex_pos")
+    // the staged at-scale cluster labels (q150's artifact — built once
+    // per session+dir), [[diverseSql]]'s suppression side. Member-
+    // derived rows, masked like the band view (purged ids included:
+    // a label row names a document)
+    StagedTombstones.masked(spark,
+        queries.Dedup.ensureClusterLabels64(spark, dir),
+        StagedTombstones.maskableDocIds(spark, dir), "doc_id")
+      .createOrReplaceTempView("graft_cluster_labels")
     // the corpus scalars a BM25 statement needs beside the index: N
     // documents (null text included — they shape idf), L tokens, and
     // the serve's pre-quantized average document length a = max(1,

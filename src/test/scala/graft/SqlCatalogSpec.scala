@@ -150,6 +150,16 @@ class SqlCatalogSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("cluster-labels view serves the staged q150 artifact") {
+    names
+    val viaView = spark.table("graft_cluster_labels").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    val viaEntry = SparkEntry.queries("q150_clusters64")(spark, dir)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_id"))).toSet
+    assert(viaView == viaEntry)
+  }
+
   test("manifest view exposes q119's loader artifact") {
     names
     val rows = spark.sql(

@@ -155,6 +155,16 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q150 staged labels: the serve-time read is a bare bucketed scan — zero Exchange") {
+    // the closure runs ONCE per (session, dir) into the staged table;
+    // every subsequent read (q150 itself, and the label joins inside
+    // q151/q164/q170/q175) starts from a file scan, never a shuffle
+    val p = execPlan("q150_clusters64")
+    assert(!p.contains("Exchange"), p.take(2000))
+    assert(p.contains("Scan"), p.take(2000))
+    graft.Caches.release(spark)
+  }
+
   test("q104 span scrub: q94's plan family — per-doc windows, two-phase DF agg") {
     val p = execPlan("q104_span_scrub")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))

@@ -482,6 +482,8 @@ class RetrievalSpec extends AnyFunSuite {
       rows(entry("q159_proximity_topk")), "catalog proximitySql drifted from q159")
     assert(rows(spark.sql(graft.SqlCatalog.snippetSql("retrieval_ext_q"))) ==
       rows(entry("q161_phrase_snippets")), "catalog snippetSql drifted from q161")
+    assert(rows(spark.sql(graft.SqlCatalog.diverseSql("retrieval_ext_q"))) ==
+      rows(entry("q164_diverse_topk")), "catalog diverseSql drifted from q164")
     spark.catalog.clearCache()
   }
 
