@@ -489,6 +489,29 @@ object Dedup {
       diversifiedCut(s, dir, TextAnalysis.bm25ScoredDocs(
         s, dir, TextAnalysis.docModQids(s, dir)))),
 
+    // dedup corpus-health card — the one-row "how duplicated is this
+    // corpus" read over the staged at-scale labels (q150's artifact, so
+    // the card is ~free once any cluster consumer ran): document count,
+    // cluster count, the largest near-dup family, and the duplicate
+    // share in integer per-mille (documents that are NOT their
+    // cluster's canonical copy — exactly the rows a q151 survivor pass
+    // would drop). The number a curation owner reads before/after a
+    // dedup pass and the capacity signal for takedown-expansion blast
+    // radius (a large max_cluster means one request can expand wide).
+    // Plan: ONE map-combined count per cluster then a 1-row fold —
+    // no window, no sort, nothing corpus-wide but the staged scan.
+    "q177_dedup_card" -> ((s, dir) => {
+      val sizes = queries("q150_clusters64")(s, dir)
+        .groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+      sizes.agg(
+          coalesce(sum("csize"), lit(0L)).as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          coalesce(max("csize"), lit(0L)).as("max_cluster"))
+        .withColumn("dup_docs", col("n_docs") - col("n_clusters"))
+        .withColumn("dup_pm",
+          when(col("n_docs") >= 1, expr("(dup_docs * 1000) div n_docs")))
+    }),
+
     // soft dedup — the REWEIGHTING alternative to dropping duplicates
     // (q44/q105 keep one copy per component; this keeps every copy and
     // divides its sampling mass by the component size, so a document
@@ -760,6 +783,21 @@ object Dedup {
          |  FROM req r JOIN clusters c ON c.doc_id = r.doc_id)
          |SELECT rc.doc_id, rc.cluster_id, m.doc_id AS member_id
          |FROM rc JOIN clusters m ON m.cluster_id = rc.cluster_id""".stripMargin,
+
+    // the same 64-bit closure, folded to per-cluster sizes then ONE
+    // card row; every SUM CAST back from HUGEINT (the convention)
+    "q177_dedup_card" ->
+      s"""$sqlClusters64,
+         |cs AS (SELECT cluster_id, COUNT(*) AS csize
+         |  FROM clusters GROUP BY cluster_id)
+         |SELECT CAST(COALESCE(SUM(csize), 0) AS BIGINT) AS n_docs,
+         |  CAST(COUNT(*) AS BIGINT) AS n_clusters,
+         |  CAST(COALESCE(MAX(csize), 0) AS BIGINT) AS max_cluster,
+         |  CAST(COALESCE(SUM(csize), 0) - COUNT(*) AS BIGINT) AS dup_docs,
+         |  CAST(CASE WHEN COALESCE(SUM(csize), 0) >= 1
+         |    THEN ((COALESCE(SUM(csize), 0) - COUNT(*)) * 1000)
+         |      // COALESCE(SUM(csize), 0) END AS BIGINT) AS dup_pm
+         |FROM cs""".stripMargin,
 
     "q170_takedown_impact" ->
       s"""WITH sv AS ($sqlClusters64,

@@ -1496,18 +1496,29 @@ object Similarity {
       // fusion — the identical subtrees let exchange reuse run the
       // batched ANN serve once inside the card instead of twice (the
       // hybrid row previously invoked the whole q149 entry, rebuilding
-      // the serve it sat next to)
+      // the serve it sat next to) — and ONE lexical serve over the
+      // UNION of the two query samples feeds both the lexical row and
+      // the hybrid leg (BM25 ranks per-qid independently, so the
+      // semi-join splits are byte-identical to per-sample serves): one
+      // postings fetch instead of two
       val sem = queries("q122_ann_serve_batch")(s, dir)
       val n = Tables(s, dir, "embeddings").count()
       val qmod = math.max(5L, (n + 7) / 8)
+      val docQids = TextAnalysis.docModQids(s, dir)
       val hybQids = Tables(s, dir, "embeddings")
         .filter(col("vec_id") % qmod === 0).select(col("vec_id").as("qid"))
+      val lexAll = TextAnalysis.bm25TopDocs(s, dir,
+        docQids.unionByName(hybQids).distinct())
+      val hyb = rrfFuse(
+        lexAll.join(broadcast(hybQids), Seq("qid"), "left_semi")
+          .select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk")),
+        sem.select(col("qid"), col("vec_id").as("doc_id"),
+          col("rnk").as("sem_rnk")))
       card("lexical",
-          TextAnalysis.bm25TopDocs(s, dir, TextAnalysis.docModQids(s, dir)),
+          lexAll.join(broadcast(docQids), Seq("qid"), "left_semi"),
           "doc_id")
         .unionByName(card("semantic", sem, "vec_id"))
-        .unionByName(card("hybrid",
-          hybridServe(s, dir, hybQids, sem), "doc_id"))
+        .unionByName(card("hybrid", hyb, "doc_id"))
     }),
 
     // takedown-aware serve-eval card — q167's per-path known-item
@@ -1538,8 +1549,6 @@ object Similarity {
       val tomb =
         if (delDocs.isEmpty) None
         else Some(graft.StagedTombstones.resolveDocs(s, dir, delDocs))
-      val lex = TextAnalysis.bm25TopDocs(s, dir,
-        TextAnalysis.docModQids(s, dir), tomb)
       val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
       val books = pqCodebooks(s, dir)
       val idxT = ensureIvfPqIndex(s, dir, cents, books)
@@ -1552,11 +1561,20 @@ object Similarity {
         graft.StagedTombstones.masked(s, s.table(idxT),
           if (delVecs.isEmpty) None else Some(delVecs), "vec_id"),
         cents, books)
+      // ONE masked lexical serve over the UNION of the two query
+      // samples (the BM25 ranking is per-qid independent, so the split
+      // serves are byte-identical to per-sample serves — the q167
+      // exchange-reuse shape, applied to the expensive leg): one
+      // postings fetch instead of two
+      val docQids = TextAnalysis.docModQids(s, dir)
       val hybQids = Tables(s, dir, "embeddings")
         .filter(col("vec_id") % vmod === 0)
         .select(col("vec_id").as("qid"))
+      val lexAll = TextAnalysis.bm25TopDocs(s, dir,
+        docQids.unionByName(hybQids).distinct(), tomb)
+      val lex = lexAll.join(broadcast(docQids), Seq("qid"), "left_semi")
       val hyb = rrfFuse(
-        TextAnalysis.bm25TopDocs(s, dir, hybQids, tomb)
+        lexAll.join(broadcast(hybQids), Seq("qid"), "left_semi")
           .select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk")),
         sem.select(col("qid"), col("vec_id").as("doc_id"),
           col("rnk").as("sem_rnk")))

@@ -444,6 +444,37 @@ class StagedTakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("catalog hybridSql through the masks equals the re-staged catalog with the same vec mask") {
+    import spark.implicits._
+    // the production request shape: each query doc's own text + vector
+    val qids = Seq(0L, 5L, 10L)
+    val hq = docRows.filter(r => qids.contains(r._1)).toDF("qid", "qtext")
+      .join(embRows(qids).toDF("vqid", "qvec"),
+        org.apache.spark.sql.functions.col("qid") ===
+          org.apache.spark.sql.functions.col("vqid"))
+      .select("qid", "qtext", "qvec")
+    hq.createOrReplaceTempView("takedown_hyb_q")
+    def served = spark.sql(SqlCatalog.hybridSql("takedown_hyb_q"))
+      .collect().map(_.toString).sorted.toSeq
+    try {
+      SqlCatalog.register(spark, dirA)
+      StagedTombstones.deleteDocs(spark, dirA, delDocs, "hq1")
+      StagedTombstones.deleteVecs(spark, dirA, delDocs, "hq2")
+      val masked = served
+      // ground truth: the reduced corpus re-staged (doc side physical)
+      // with the SAME vec-side mask (dirB carries every vector)
+      SqlCatalog.register(spark, dirB)
+      StagedTombstones.deleteVecs(spark, dirB, delDocs, "hq3")
+      assert(masked == served,
+        "catalog hybridSql through the masks drifted from the re-staged catalog")
+    } finally {
+      StagedTombstones.reset(spark, dirA)
+      StagedTombstones.reset(spark, dirB)
+      SqlCatalog.register(spark, dirA)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q176: under the active takedown no read path serves a masked doc and the hybrid still fuses") {
     import org.apache.spark.sql.functions.col
     // fixture arithmetic: 12 docs / 16 vecs, both moduli are

@@ -170,6 +170,27 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q177 dedup card reads the planted duplication exactly") {
+    // 3 identical copies + 2 distinct docs: 5 docs, 3 clusters, the
+    // family of 3 is the largest, 2 docs are non-canonical duplicates
+    // → dup_pm = (2 * 1000) div 5 = 400
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-dedupcard").toString
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    Seq((10L, t), (11L, t), (12L, t),
+        (98L, "completely different content about spark catalyst planning"),
+        (99L, "another unrelated document on bucketed staging tables"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val c = graft.SparkEntry.queries("q177_dedup_card")(spark, d)
+      .collect().head
+    assert(c.getAs[Long]("n_docs") == 5L)
+    assert(c.getAs[Long]("n_clusters") == 3L)
+    assert(c.getAs[Long]("max_cluster") == 3L)
+    assert(c.getAs[Long]("dup_docs") == 2L)
+    assert(c.getAs[Long]("dup_pm") == 400L)
+    spark.catalog.clearCache()
+  }
+
   test("q43 on a planted 3-chain merges A-B-C into one cluster") {
     // identical texts A=B and B'=C where B' is doc B re-issued verbatim:
     // chain A–B (hamming 0) and B–C (hamming 0) with A–C also hamming 0 —

@@ -33,6 +33,7 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q36_prep_pipeline", "q40_vocab_topk", "q41_repetition", "q71_dup_ngrams",
     "q94_dup_passage",
     "q43_neardup_clusters", "q44_dedup_survivors", "q150_clusters64",
+    "q177_dedup_card",
     "q69_pagerank",
     "q77_triangle_support",
     "q45_quality_filter",
@@ -107,6 +108,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q42_simhash64_pairs",
         "q36_prep_pipeline", "q40_vocab_topk", // q40 is corpus-level
         "q44_dedup_survivors", // one row per cluster, not per doc
+        "q177_dedup_card", // one card row by construction
         "q105_quality_survivors", // one row per cluster, not per doc
         "q151_survivors64", // one row per cluster, not per doc
         "q46_tfidf_top_terms", // ≤3 rows per non-empty doc
