@@ -67,6 +67,19 @@ object TextAnalysis {
   /** q158's quoted-phrase length (q154 is the k = 2 member). */
   private[queries] val PhraseK = 3
 
+  /** q178 (pseudo-relevance-feedback expansion): how many round-1 hits
+    * feed back, the per-query candidate cap that bounds the driver's
+    * term read (the Bm25QTermCap discipline for the feedback side), how
+    * many expansion terms join the query, and the integer weights that
+    * keep the original intent dominant (2:1 — the expansion can bring
+    * NEW documents in but cannot outvote two original-term matches).
+    */
+  private[queries] val PrfFbDocs = 3
+  private[queries] val PrfCandCap = 32
+  private[queries] val PrfExpTerms = 2
+  private[queries] val PrfOrigW = 2L
+  private[queries] val PrfExpW = 1L
+
   /** The corpus-adaptive document-modulus query sample shared by every
     * lexical serve (q148/q154/q158/q159): ~8 query documents at any
     * scale (the q95/q122 sampling discipline), mirrored in SQL by
@@ -733,15 +746,22 @@ object TextAnalysis {
       : (DataFrame, DataFrame, DataFrame, Long) =
     bm25StageFor(s, dir, corpusQTexts(s, dir, qids), tomb)
 
+  /** The per-query CAPPED term set (qid, term) of a (qid, qtext)
+    * relation — the query side every lexical serve ranks with.
+    */
+  private def cappedTerms(qtexts: DataFrame): DataFrame = {
+    val qt0 = queryTermsOf(qtexts)
+    val wq = Window.partitionBy("qid").orderBy(desc("qtf"), asc("term"))
+    qt0.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= Bm25QTermCap).select("qid", "term")
+  }
+
   private def bm25StageFor(s: SparkSession, dir: String, qtexts: DataFrame,
       tomb: Option[graft.StagedTombstones.DocTomb])
       : (DataFrame, DataFrame, DataFrame, Long) = {
     val (post, dlRel, dfRel, n, l) = lexRead(s, dir, tomb)
     val a = math.max(1L, l / math.max(1L, n))
-    val qt0 = queryTermsOf(qtexts)
-    val wq = Window.partitionBy("qid").orderBy(desc("qtf"), asc("term"))
-    val qt = qt0.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= Bm25QTermCap).select("qid", "term")
+    val qt = cappedTerms(qtexts)
     // the bounded driver read that buys the prune: the distinct query
     // terms, ≤ |sample|·cap by the window above
     val terms: Array[Any] = qt.select("term").distinct().collect()
@@ -803,6 +823,93 @@ object TextAnalysis {
       qids: DataFrame,
       tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame =
     bm25RankCut(bm25ScoredDocs(s, dir, qids, tomb))
+
+  /** Pseudo-relevance-feedback expansion serve (q178, the RM3-family
+    * read): run the audited q148 BM25 serve, treat each query's top
+    * [[PrfFbDocs]] hits as relevant, mine their texts for the
+    * [[PrfExpTerms]] best expansion terms (feedback tf mass × the
+    * serve's own milli-scale idf — the standard tf-idf relevance-model
+    * surrogate, integer-exact), and re-rank with the expanded weighted
+    * term set (original terms [[PrfOrigW]] : expansion [[PrfExpW]], so
+    * expansion recalls NEW documents but cannot outvote the original
+    * intent). Everything is the q148 machinery re-entered: one staged
+    * index, one idf/tfn arithmetic, one rank cut — the expansion layer
+    * adds a bounded id-pushdown TEXT fetch of the feedback docs
+    * (≤ sample·[[PrfFbDocs]] rows, the takedown-probe discipline) and
+    * one more literal-IN pruned candidate fetch. Driver reads stay
+    * bounded by construction: feedback ids ≤ sample·fbDocs, candidate
+    * terms capped per query at [[PrfCandCap]] by feedback-tf BEFORE the
+    * collect (the Bm25QTermCap discipline), final terms ≤
+    * sample·(cap + expTerms). A query whose feedback yields no new
+    * terms re-ranks exactly like q148 (scores ×[[PrfOrigW]], same
+    * order); a term-less query serves nothing at both rounds.
+    */
+  private[queries] def prfTopDocs(s: SparkSession, dir: String,
+      qids: DataFrame,
+      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame = {
+    val (post, dlRel, dfRel, n, l) = lexRead(s, dir, tomb)
+    val a = math.max(1L, l / math.max(1L, n))
+    def idfOf(rel: DataFrame): DataFrame = rel
+      .withColumn("idf_m",
+        expr(s"(${2 * n} - 2*df + 1) * 1000 div (2*df + 1)"))
+    // round 1: the audited serve, cut to the feedback depth
+    val fb = bm25TopDocs(s, dir, qids, tomb)
+      .filter(col("rnk") <= PrfFbDocs).select("qid", "doc_id")
+    // the feedback docs' term mass: a bounded id-pushdown text fetch
+    val fbIds = fb.select("doc_id").distinct().collect().map(_.getLong(0))
+    val fbTf = Tables(s, dir, "documents")
+      .filter(col("doc_id").isin(fbIds.map(Long.box): _*))
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("ftf"))
+    val qt = cappedTerms(corpusQTexts(s, dir, qids))
+    val wc = Window.partitionBy("qid").orderBy(desc("fw0"), asc("term"))
+    val expCand = fb.join(fbTf, Seq("doc_id"))
+      .groupBy("qid", "term").agg(sum("ftf").as("fw0"))
+      .join(qt, Seq("qid", "term"), "left_anti") // never re-add a query term
+      .withColumn("rn", row_number().over(wc))
+      .filter(col("rn") <= PrfCandCap)
+    val candTerms: Array[Any] = expCand.select("term").distinct()
+      .collect().map(_.getString(0))
+    val we = Window.partitionBy("qid").orderBy(desc("ew"), asc("term"))
+    // the winning expansion terms, COLLECTED (≤ sample·PrfExpTerms rows
+    // — the probe-plan discipline): the round-2 scoring plan then takes
+    // them as a broadcast literal instead of re-embedding the whole
+    // round-1 serve, and the final postings fetch prunes to winners
+    // only, never the 32-wide candidate set
+    val expRows: Seq[(Long, String, Long)] = idfOf(expCand
+        .join(broadcast(dfRel.filter(col("term").isin(candTerms: _*))),
+          Seq("term")))
+      .withColumn("ew", col("fw0") * col("idf_m"))
+      .withColumn("ern", row_number().over(we))
+      .filter(col("ern") <= PrfExpTerms)
+      .select(col("qid"), col("term"), col("idf_m"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    val ss = s
+    import ss.implicits._
+    val exp = expRows.toDF("qid", "term", "idf_m")
+      .withColumn("w", lit(PrfExpW))
+    // round 2: the weighted expanded term set through the one scoring
+    // arithmetic
+    val origTerms: Array[Any] = qt.select("term").distinct()
+      .collect().map(_.getString(0))
+    val orig = idfOf(qt
+        .join(broadcast(dfRel.filter(col("term").isin(origTerms: _*))),
+          Seq("term")))
+      .select(col("qid"), col("term"), col("idf_m"))
+      .withColumn("w", lit(PrfOrigW))
+    val qtW = orig.unionByName(exp)
+    val allTerms: Array[Any] =
+      (origTerms ++ expRows.map(_._2)).distinct
+    val scored = post.filter(col("term").isin(allTerms: _*))
+      .join(broadcast(qtW), Seq("term"))
+      .join(dlRel, Seq("doc_id"))
+      .withColumn("tscore",
+        expr(s"w * idf_m * ((${2200 * a} * tf) div" +
+          s" (${10 * a} * tf + ${3 * a} + 9 * dl))"))
+      .groupBy("qid", "doc_id").agg(sum("tscore").as("score_u"))
+    bm25RankCut(scored)
+  }
 
   /** The EXTERNAL-query BM25 serve — the q148 ranking for a literal
     * (qid BIGINT, qtext STRING) relation (an ad-hoc query string, a
@@ -1826,6 +1933,16 @@ object TextAnalysis {
         else Some(graft.StagedTombstones.resolveDocs(s, dir, delIds))
       bm25TopDocs(s, dir, docModQids(s, dir), tomb)
     }),
+
+    // pseudo-relevance-feedback expansion serve — the RM3-family
+    // production read between one-shot BM25 (q148) and the semantic
+    // fusion (q149): the engine's OWN top hits mine the vocabulary the
+    // query didn't say, recalling documents that share no surface term
+    // with the query (see [[prfTopDocs]] for the arithmetic and the
+    // bounded-read discipline). Reads the session registry's takedown
+    // tomb like every lexical serve.
+    "q178_prf_topk" -> ((s, dir) =>
+      prfTopDocs(s, dir, docModQids(s, dir), registryTomb(s, dir))),
 
     // intra-document repetition card — the Gopher repetition-rule
     // family beside q45's length/alpha/stopword gates: boilerplate and
@@ -3200,6 +3317,52 @@ object TextAnalysis {
     // corpus minus the request's ids (the engine masks instead — same
     // rows by contract)
     "q172_takedown_bm25" -> sqlBm25TopDocsTakedown(sqlDocModQs, sqlTakedownIds),
+
+    // the shared q148 CTE chain (scored candidates in `sc`), then the
+    // feedback loop spelled relationally: top-3 hits per query, their
+    // term mass from the SAME `tf`, candidates capped at 32 by feedback
+    // tf (the collect-bound mirror), idf-weighted top-2 winners, and
+    // the weighted union re-scored through the identical arithmetic
+    "q178_prf_topk" ->
+      s"""WITH ${sqlBm25Ctes(sqlDocModQs)},
+         |serve1 AS (SELECT qid, doc_id FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc) r
+         |  WHERE rnk <= $PrfFbDocs),
+         |fbt AS (SELECT s1.qid, tf.term, CAST(SUM(tf.tf) AS BIGINT) AS fw0
+         |  FROM serve1 s1 JOIN tf USING (doc_id)
+         |  GROUP BY s1.qid, tf.term),
+         |expc AS (SELECT qid, term, fw0 FROM
+         |  (SELECT f.*, ROW_NUMBER() OVER (PARTITION BY f.qid
+         |     ORDER BY f.fw0 DESC, f.term) AS crn
+         |   FROM fbt f WHERE NOT EXISTS (SELECT 1 FROM qt
+         |     WHERE qt.qid = f.qid AND qt.term = f.term)) z
+         |  WHERE crn <= $PrfCandCap),
+         |dfe AS (SELECT term, COUNT(*) AS df FROM tf
+         |  WHERE term IN (SELECT term FROM expc) GROUP BY term),
+         |expw AS (SELECT expc.qid, expc.term,
+         |  (2*n - 2*df + 1) * 1000 // (2*df + 1) AS idf_m,
+         |  expc.fw0 * ((2*n - 2*df + 1) * 1000 // (2*df + 1)) AS ew
+         |  FROM expc JOIN dfe USING (term), av),
+         |expt AS (SELECT qid, term, idf_m, CAST($PrfExpW AS BIGINT) AS w FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY ew DESC, term) AS ern FROM expw) z
+         |  WHERE ern <= $PrfExpTerms),
+         |origt AS (SELECT qt.qid, qt.term,
+         |  (2*n - 2*df + 1) * 1000 // (2*df + 1) AS idf_m,
+         |  CAST($PrfOrigW AS BIGINT) AS w
+         |  FROM qt JOIN dfq USING (term), av),
+         |qt2 AS (SELECT * FROM origt UNION ALL SELECT * FROM expt),
+         |sc2 AS (SELECT qt2.qid, tf.doc_id,
+         |  CAST(SUM(qt2.w * qt2.idf_m
+         |    * ((2200 * a * tf.tf) // (10 * a * tf.tf + 3 * a + 9 * dl.dl)))
+         |    AS BIGINT) AS score_u
+         |  FROM tf JOIN qt2 USING (term) JOIN dl USING (doc_id), av
+         |  GROUP BY 1, 2)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_u FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc2) r
+         |WHERE rnk <= $Bm25TopK""".stripMargin,
 
     // the positional serve family: ONE generated text per member (k = 2
     // bigram, k = 3 trigram, the within-N proximity) — the shared CTE

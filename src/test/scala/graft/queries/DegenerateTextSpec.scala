@@ -80,6 +80,9 @@ class DegenerateTextSpec extends AnyFunSuite {
     // q172's takedown set is empty here only if no doc_id % tmod = 1 —
     // with ids 0..5 and tmod 5 it masks doc 1 and serves like q148
     "q172_takedown_bm25",
+    // q178's one sampled query has null text → empty round 1 → no
+    // feedback → a defined empty serve, never a crash
+    "q178_prf_topk",
     // q175 expands the same residue-1 request over q150's labels (every
     // degenerate doc is its own cluster — the request expands to itself)
     "q175_takedown_expand",
@@ -134,6 +137,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q146_length_quality_grid", // one row per grid cell, not per doc
         "q148_bm25_topk", // the sampled query here has null text -> no list
         "q172_takedown_bm25", // q148's sample through the takedown mask
+        "q178_prf_topk", // same sample: null text -> no round 1 -> no list
         "q175_takedown_expand", // rows only for the request's members
         "q164_diverse_topk", // same sample: no candidates -> empty serve
         "q154_phrase_topk", // same sample: null text -> no phrase -> no list

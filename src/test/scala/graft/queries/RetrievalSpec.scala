@@ -487,6 +487,66 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q178 PRF: the expansion recalls a document sharing NO surface term with the query") {
+    import spark.implicits._
+    // ids 1..8 → qmod = max(5, ceil(8/8)) = 5 → the one query is doc 5.
+    // Doc 1 bridges: it matches the query AND carries the expansion
+    // term; doc 2 is the target — zero query terms, rich in the bridge
+    // term. One-shot BM25 cannot reach it; the feedback loop must.
+    val d = java.nio.file.Files.createTempDirectory("graft-prf").toString
+    Seq(
+      (1L, "alpha bravo zulu zulu"),
+      (2L, "zulu zulu zulu yankee"),
+      (3L, "golf hotel india juliet kilo"),
+      (4L, "mike november oscar papa"),
+      (5L, "alpha bravo"),
+      (6L, "quebec romeo sierra tango"),
+      (7L, "uniform victor whiskey xray"),
+      (8L, "one two three four five"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    def served(q: String): Seq[Long] =
+      graft.SparkEntry.queries(q)(spark, d).collect()
+        .sortBy(_.getAs[Long]("rnk")).map(_.getAs[Long]("doc_id")).toSeq
+    val oneShot = served("q148_bm25_topk")
+    assert(!oneShot.contains(2L),
+      s"fixture broken: one-shot BM25 must miss the no-shared-term doc: $oneShot")
+    val prf = served("q178_prf_topk")
+    assert(prf.contains(2L),
+      s"the expansion must recall the no-shared-term doc: $prf")
+    // the original intent still outvotes: a doc matching BOTH original
+    // terms (the query's own) ranks above the expansion-only recall —
+    // the 2:1 weighting's contract. (The bridge doc may top the page:
+    // it genuinely matches all three weighted terms.)
+    assert(prf.indexOf(5L) >= 0 && prf.indexOf(5L) < prf.indexOf(2L),
+      s"an expansion-only match outranked an original-terms match: $prf")
+    spark.catalog.clearCache()
+  }
+
+  test("q178 PRF with no new feedback terms ranks exactly like q148") {
+    // every feedback doc's vocabulary ⊆ the query's own terms → zero
+    // expansion candidates → round 2 is round 1 at weight 2 (identical
+    // order, scores exactly doubled)
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft-prf0").toString
+    Seq(
+      (5L, "alpha bravo charlie"),
+      (1L, "alpha bravo alpha bravo"),
+      (2L, "charlie alpha"),
+      (3L, "delta echo foxtrot"),
+      (4L, "golf hotel india"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val base = graft.SparkEntry.queries("q148_bm25_topk")(spark, d)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).sorted.toSeq
+    val prf = graft.SparkEntry.queries("q178_prf_topk")(spark, d)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).sorted.toSeq
+    assert(prf == base.map { case (q, r, doc, s0) =>
+      (q, r, doc, s0 * TextAnalysis.PrfOrigW) },
+      s"no-expansion PRF must be q148 at weight ${TextAnalysis.PrfOrigW}")
+    spark.catalog.clearCache()
+  }
+
   test("catalog adcSql: the pure-SQL ADC serve matches q122 on the sampled query vectors") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
