@@ -43,7 +43,8 @@ import org.apache.spark.sql.functions._
   * [[phraseSql]]/[[snippetSql]]/[[proximitySql]] (the positional
   * family), [[adcSql]] (the batched IVF-PQ vector serve),
   * [[hybridSql]] (the fused RAG page), [[diverseSql]] (the
-  * cluster-diversified page), [[nbSql]] (hashed-NB quality scoring).
+  * cluster-diversified page), [[prfSql]] (the feedback-expanded page),
+  * [[nbSql]] (hashed-NB quality scoring).
   * Member-data views read through the session's takedown masks and
   * re-publish on [[refreshAfterTakedown]]; model views (centroids,
   * codebooks, NB weights) are frozen.
@@ -152,6 +153,65 @@ object SqlCatalog {
        |    JOIN graft_lex_df f USING (term)
        |    JOIN graft_lex_doclen d USING (doc_id), graft_lex_stats s
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** The pseudo-relevance-feedback expansion serve as ONE SQL statement
+    * — q178's contract for the catalog road: [[bm25Sql]]'s scoring over
+    * `qview`, the top-[[queries.TextAnalysis.PrfFbDocs]] hits fed back,
+    * their postings rows mining the
+    * [[queries.TextAnalysis.PrfExpTerms]] best expansion terms
+    * (feedback tf mass × the serve's milli-scale idf, candidates capped
+    * at [[queries.TextAnalysis.PrfCandCap]] per query), and the
+    * weighted union re-ranked through the identical arithmetic
+    * (original [[queries.TextAnalysis.PrfOrigW]] : expansion
+    * [[queries.TextAnalysis.PrfExpW]]). Hash-matches
+    * [[queries.TextAnalysis.prfTopDocsFor]] on the same queries
+    * (RetrievalSpec pins the three-road identity with q178). Plan note:
+    * the feedback term fetch joins the postings view on doc_id — a
+    * term-bucketed table, so that read is unpruned (the Scala road
+    * fetches the ≤ sample·fbDocs feedback TEXTS by id-pushdown
+    * instead); the statement trades that for statement-self-containment
+    * exactly like [[bm25Sql]]'s dynamic-query plan note.
+    */
+  def prfSql(qview: String): String =
+    s"""WITH ${bm25ScoreCtes(qview)},
+       |serve1 AS (SELECT qid, doc_id FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc) r
+       |  WHERE rnk <= ${queries.TextAnalysis.PrfFbDocs}),
+       |fbt AS (SELECT s1.qid, p.term, SUM(p.tf) AS fw0
+       |  FROM serve1 s1 JOIN graft_lex_postings p USING (doc_id)
+       |  GROUP BY s1.qid, p.term),
+       |expc AS (SELECT qid, term, fw0 FROM
+       |  (SELECT f.*, ROW_NUMBER() OVER (PARTITION BY f.qid
+       |     ORDER BY f.fw0 DESC, f.term) AS crn
+       |   FROM fbt f WHERE NOT EXISTS (SELECT 1 FROM qt
+       |     WHERE qt.qid = f.qid AND qt.term = f.term)) z
+       |  WHERE crn <= ${queries.TextAnalysis.PrfCandCap}),
+       |expw AS (SELECT expc.qid, expc.term,
+       |  (2*s.n - 2*f.df + 1) * 1000 div (2*f.df + 1) AS idf_m,
+       |  expc.fw0 * ((2*s.n - 2*f.df + 1) * 1000 div (2*f.df + 1)) AS ew
+       |  FROM expc JOIN graft_lex_df f USING (term), graft_lex_stats s),
+       |expt AS (SELECT qid, term, idf_m,
+       |    CAST(${queries.TextAnalysis.PrfExpW} AS BIGINT) AS w FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY ew DESC, term) AS ern FROM expw) z
+       |  WHERE ern <= ${queries.TextAnalysis.PrfExpTerms}),
+       |origt AS (SELECT qt.qid, qt.term,
+       |  (2*s.n - 2*f.df + 1) * 1000 div (2*f.df + 1) AS idf_m,
+       |  CAST(${queries.TextAnalysis.PrfOrigW} AS BIGINT) AS w
+       |  FROM qt JOIN graft_lex_df f USING (term), graft_lex_stats s),
+       |qt2 AS (SELECT * FROM origt UNION ALL SELECT * FROM expt),
+       |sc2 AS (SELECT qt2.qid, p.doc_id,
+       |  SUM(qt2.w * qt2.idf_m
+       |    * ((2200 * s.a * p.tf) div (10 * s.a * p.tf + 3 * s.a + 9 * d.dl)))
+       |    AS score_u
+       |  FROM graft_lex_postings p JOIN qt2 USING (term)
+       |    JOIN graft_lex_doclen d USING (doc_id), graft_lex_stats s
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_u FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc2) r
+       |WHERE rnk <= ${queries.TextAnalysis.Bm25TopK}""".stripMargin
 
   /** The near-dup-DIVERSIFIED lexical serve as ONE SQL statement —
     * q164's contract for the catalog road: [[bm25Sql]]'s scoring over

@@ -74,11 +74,11 @@ object TextAnalysis {
     * keep the original intent dominant (2:1 — the expansion can bring
     * NEW documents in but cannot outvote two original-term matches).
     */
-  private[queries] val PrfFbDocs = 3
-  private[queries] val PrfCandCap = 32
-  private[queries] val PrfExpTerms = 2
-  private[queries] val PrfOrigW = 2L
-  private[queries] val PrfExpW = 1L
+  private[graft] val PrfFbDocs = 3
+  private[graft] val PrfCandCap = 32
+  private[graft] val PrfExpTerms = 2
+  private[graft] val PrfOrigW = 2L
+  private[graft] val PrfExpW = 1L
 
   /** The corpus-adaptive document-modulus query sample shared by every
     * lexical serve (q148/q154/q158/q159): ~8 query documents at any
@@ -846,6 +846,20 @@ object TextAnalysis {
     */
   private[queries] def prfTopDocs(s: SparkSession, dir: String,
       qids: DataFrame,
+      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame =
+    prfTopDocsForQ(s, dir, corpusQTexts(s, dir, qids), tomb)
+
+  /** The EXTERNAL-query PRF serve — q178 for a literal (qid BIGINT,
+    * qtext STRING) relation: the [[bm25TopDocsFor]] contract for the
+    * feedback-expansion read (RetrievalSpec pins it equal to q178 on
+    * the sampled documents' own texts, and to [[SqlCatalog.prfSql]]).
+    */
+  def prfTopDocsFor(s: SparkSession, dir: String,
+      qtexts: DataFrame): DataFrame =
+    prfTopDocsForQ(s, dir, qtexts, registryTomb(s, dir))
+
+  private def prfTopDocsForQ(s: SparkSession, dir: String,
+      qtexts: DataFrame,
       tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame = {
     val (post, dlRel, dfRel, n, l) = lexRead(s, dir, tomb)
     val a = math.max(1L, l / math.max(1L, n))
@@ -853,7 +867,7 @@ object TextAnalysis {
       .withColumn("idf_m",
         expr(s"(${2 * n} - 2*df + 1) * 1000 div (2*df + 1)"))
     // round 1: the audited serve, cut to the feedback depth
-    val fb = bm25TopDocs(s, dir, qids, tomb)
+    val fb = bm25RankCut(bm25Score(bm25StageFor(s, dir, qtexts, tomb)))
       .filter(col("rnk") <= PrfFbDocs).select("qid", "doc_id")
     // the feedback docs' term mass: a bounded id-pushdown text fetch
     val fbIds = fb.select("doc_id").distinct().collect().map(_.getLong(0))
@@ -861,7 +875,7 @@ object TextAnalysis {
       .filter(col("doc_id").isin(fbIds.map(Long.box): _*))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .groupBy("doc_id", "term").agg(count(lit(1)).as("ftf"))
-    val qt = cappedTerms(corpusQTexts(s, dir, qids))
+    val qt = cappedTerms(qtexts)
     val wc = Window.partitionBy("qid").orderBy(desc("fw0"), asc("term"))
     val expCand = fb.join(fbTf, Seq("doc_id"))
       .groupBy("qid", "term").agg(sum("ftf").as("fw0"))

@@ -484,6 +484,10 @@ class RetrievalSpec extends AnyFunSuite {
       rows(entry("q161_phrase_snippets")), "catalog snippetSql drifted from q161")
     assert(rows(spark.sql(graft.SqlCatalog.diverseSql("retrieval_ext_q"))) ==
       rows(entry("q164_diverse_topk")), "catalog diverseSql drifted from q164")
+    assert(rows(TextAnalysis.prfTopDocsFor(spark, dir, qtexts)) ==
+      rows(entry("q178_prf_topk")), "prfTopDocsFor drifted from q178")
+    assert(rows(spark.sql(graft.SqlCatalog.prfSql("retrieval_ext_q"))) ==
+      rows(entry("q178_prf_topk")), "catalog prfSql drifted from q178")
     spark.catalog.clearCache()
   }
 
