@@ -291,6 +291,11 @@ object Similarity {
     */
   private[graft] val PqM = 4
   private[graft] val PqSubDim = 16
+
+  /** q179 (Rocchio vector feedback): how many round-1 ADC hits pull the
+    * query vector (the q178 feedback depth, semantic side).
+    */
+  private[graft] val RocchioFbK = 3
   private val PqK = 16
 
   /** The frozen PQ codebooks as rows (m, k, centroid) — the
@@ -1519,6 +1524,68 @@ object Similarity {
           "doc_id")
         .unionByName(card("semantic", sem, "vec_id"))
         .unionByName(card("hybrid", hyb, "doc_id"))
+    }),
+
+    // Rocchio vector feedback serve — q178's semantic twin (the other
+    // half of the feedback family): run the audited q122 batched ADC
+    // serve, treat each query's top [[RocchioFbK]] hits as relevant,
+    // move the query vector toward their centroid (q' = q + mean(fb) —
+    // the classic Rocchio step at α = β = 1), and re-probe with the
+    // updated vector through the IDENTICAL probe/ADC machinery
+    // (adcServeBatchQ — same guards, same distance tables, same cut).
+    // Queries whose round 1 found nothing keep q' = q. Determinism
+    // across engines: the per-dimension feedback mean folds in vec_id
+    // order (the PQ codebook training's proven cross-engine pattern)
+    // and every downstream distance is the same sequential IEEE fold
+    // q122 already hash-matches with. Bounded reads: feedback ids ≤
+    // sample·k, their vectors one id-pushdown fetch; q' math is
+    // driver-side over ≤ sample rows (the probe-plan discipline).
+    "q179_rocchio_ann" -> ((s, dir) => {
+      val cents: Array[(Int, Seq[Double], Double)] = kmeansCentroids(s, dir)
+      val books = pqCodebooks(s, dir)
+      val idxT = ensureIvfPqIndex(s, dir, cents, books)
+      def codes = graft.StagedTombstones.maskedVecs(s, dir, s.table(idxT))
+      val fbMap: Map[Long, Seq[Long]] =
+        adcServeBatch(s, dir, codes, cents, books)
+          .filter(col("rnk") <= RocchioFbK).select("qid", "vec_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+          .groupBy(_._1).map { case (q, rs) =>
+            q -> rs.map(_._2).toSeq.sorted }
+      val fbIds = fbMap.values.flatten.toSeq.distinct
+      val fbVecs: Map[Long, Array[Double]] =
+        if (fbIds.isEmpty) Map.empty
+        else Tables(s, dir, "embeddings")
+          .filter(col("vec_id").isin(fbIds.map(Long.box): _*))
+          .select(col("vec_id"),
+            col("embedding").cast("array<double>").as("v"))
+          .collect()
+          .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
+      val n = Tables(s, dir, "embeddings").count()
+      val qmod = math.max(5L, (n + 7) / 8)
+      val qrows = collectQueryVecs(Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % qmod === 0)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+      def dot(a: Array[Double]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i) * a(i); i += 1 }
+        acc
+      }
+      val qrows2 = qrows.map { case (qid, q) =>
+        val ids = fbMap.getOrElse(qid, Seq.empty)
+        if (ids.isEmpty) (qid, q)
+        else {
+          val qp = new Array[Double](q.length)
+          var d = 0
+          while (d < q.length) {
+            var acc = 0.0
+            ids.foreach(i => acc += fbVecs(i)(d)) // vec_id-asc fold
+            qp(d) = q(d) + acc / ids.size
+            d += 1
+          }
+          (qid, qp)
+        }
+      }.filter { case (_, v) => dot(v) > 0 } // a cancelled q' serves nothing
+      adcServeBatchQ(s, dir, codes, cents, books, qrows2)
     }),
 
     // takedown-aware serve-eval card — q167's per-path known-item
@@ -2751,6 +2818,73 @@ object Similarity {
     // the q91 chain keyed by qid over the q95 query sample (the
     // factored sqlAnnServeBatchSql — shared with the q149 fusion)
     "q122_ann_serve_batch" -> sqlAnnServeBatchSql,
+
+    // the Rocchio loop: round 1 is the q122 statement embedded VERBATIM
+    // (nested-WITH, its own scope), the feedback centroid folds per
+    // dimension in vec_id order (the PQ-training list pattern), and the
+    // re-probe re-runs the probe/distance-table/candidate chain against
+    // the SAME shared quantizer/codebook CTEs
+    "q179_rocchio_ann" ->
+      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |$sqlKmeans,
+         |a AS (SELECT e.vec_id, e.nrm, cq.cent_id,
+         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
+         |  FROM e CROSS JOIN cq),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
+         |$sqlPqChain,
+         |serve1 AS (SELECT qid, vec_id FROM ($sqlAnnServeBatchSql) s0
+         |  WHERE rnk <= $RocchioFbK),
+         |fbv AS (SELECT s1.qid, e.vec_id,
+         |  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM serve1 s1 JOIN e ON e.vec_id = s1.vec_id),
+         |fbl AS (SELECT qid, list(v ORDER BY vec_id) AS vs,
+         |  COUNT(*) AS cnt FROM fbv GROUP BY qid),
+         |qmodc AS (SELECT GREATEST(5, (count(*) + 7) // 8) AS qmod
+         |  FROM embeddings),
+         |qids AS (SELECT vec_id AS qid FROM e, qmodc
+         |  WHERE vec_id % qmod = 0 AND len(embedding) = 64
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         |qv0 AS (SELECT q.qid,
+         |  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v0
+         |  FROM qids q JOIN e ON e.vec_id = q.qid),
+         |qp0 AS (SELECT qv0.qid, CASE WHEN f.cnt IS NULL THEN qv0.v0
+         |    ELSE list_transform(range(1, 65), i -> qv0.v0[i] +
+         |      list_aggregate(list_transform(f.vs, vv -> vv[i]), 'sum')
+         |        / f.cnt) END AS v
+         |  FROM qv0 LEFT JOIN fbl f USING (qid)),
+         |qpn AS (SELECT qid, v, sqrt(${sqlDot("v", "v")}) AS nrm
+         |  FROM qp0 WHERE ${sqlDot("v", "v")} > 0),
+         |roca AS (SELECT qpn.qid, cq.cent_id,
+         |  ${sqlDot("qpn.v", "cq.cvec")}/(qpn.nrm*cq.cnrm) AS ccos
+         |  FROM qpn CROSS JOIN cq),
+         |rocqc AS (SELECT qid, cent_id AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY ccos DESC, cent_id) AS rn FROM roca) t WHERE rn <= 2),
+         |rocsub AS (SELECT qid, m,
+         |  list_transform(range(1, ${PqSubDim + 1}),
+         |    i -> v[m*$PqSubDim + i]) AS qsv
+         |  FROM qpn, range(0, $PqM) t(m)),
+         |roctbl AS (SELECT q.qid, q.m, c.k,
+         |  ${sqlSqDist("q.qsv", "c.cvec")} AS td
+         |  FROM rocsub q JOIN pc$KmeansIters c ON c.m = q.m),
+         |rocadcj AS (SELECT t.qid, b.vec_id, b.m, t.td
+         |  FROM pbest b JOIN roctbl t ON t.m = b.m AND t.k = b.k),
+         |rocv AS (SELECT qid, vec_id,
+         |  ${(0 until PqM).map(m =>
+              s"MAX(CASE WHEN m = $m THEN td END)").mkString(" + ")} AS adc
+         |  FROM rocadcj GROUP BY qid, vec_id),
+         |roccand AS (SELECT rocv.qid, rocv.vec_id, rocv.adc
+         |  FROM rocv JOIN cells ON cells.vec_id = rocv.vec_id
+         |  JOIN rocqc ON rocqc.qid = rocv.qid AND rocqc.cell = cells.cell
+         |  WHERE rocv.adc IS NOT NULL)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY adc, vec_id) AS rnk FROM roccand) t
+         |WHERE rnk <= 10""".stripMargin,
 
     // both serve paths embedded VERBATIM as derived tables (the
     // factored sqlAnnServeBatchSql + TextAnalysis.sqlBm25TopDocs with

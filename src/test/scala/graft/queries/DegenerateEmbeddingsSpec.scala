@@ -46,7 +46,10 @@ class DegenerateEmbeddingsSpec extends AnyFunSuite {
     // must drop at encoding (the shared pqCodes guards), never crash
     "q173_adc_union_serve",
     // the takedown probe masks residue-1 ids on top of the same guards
-    "q174_takedown_adc")
+    "q174_takedown_adc",
+    // the feedback loop's round 1 drops the degenerate queries (the
+    // q122 guards), so they never pull a q' either — absent, not a crash
+    "q179_rocchio_ann")
 
   for (q <- vecQueries) test(s"$q survives a zero-norm embedding") {
     val rows = graft.SparkEntry.queries(q)(spark, dir).collect()

@@ -551,6 +551,32 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q179 Rocchio: a valid re-probe for every q122 query, and the feedback provably moves pages") {
+    val dir = "/root/testdata/sf0.001"
+    def pages(q: String): Map[Long, Seq[Long]] =
+      graft.SparkEntry.queries(q)(spark, dir).collect()
+        .groupBy(_.getAs[Long]("qid"))
+        .map { case (k, rs) =>
+          // ranks contiguous from 1 — the deterministic-serve contract
+          val sorted = rs.sortBy(_.getAs[Long]("rnk"))
+          assert(sorted.map(_.getAs[Long]("rnk")).toSeq ==
+            (1L to rs.length).toSeq, s"$q qid $k ranks not contiguous")
+          val adcs = sorted.map(_.getAs[Double]("adc")).toSeq
+          assert(adcs == adcs.sorted, s"$q qid $k not adc-ascending")
+          k -> sorted.map(_.getAs[Long]("vec_id")).toSeq
+        }
+    val base = pages("q122_ann_serve_batch")
+    val roc = pages("q179_rocchio_ann")
+    // same query population: round 1 always finds the query itself
+    // (self-cosine tops its own cell), so no valid query loses its q'
+    assert(roc.keySet == base.keySet,
+      "Rocchio must serve exactly the q122 query population")
+    // and the feedback is not a no-op: the corpus has near-twin
+    // structure, so pulled queries re-rank (52/80 rows at sf0.001)
+    assert(roc != base, "the feedback step never moved any page")
+    graft.Caches.release(spark)
+  }
+
   test("catalog adcSql: the pure-SQL ADC serve matches q122 on the sampled query vectors") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
