@@ -1588,6 +1588,27 @@ object Similarity {
       adcServeBatchQ(s, dir, codes, cents, books, qrows2)
     }),
 
+    // feedback eval card — q167's per-path pattern for the FEEDBACK
+    // family: the one-shot BM25 serve, its PRF expansion (q178), and
+    // the Rocchio vector re-probe (q179) folded through the shared
+    // known-item self-check side by side. The question it answers is
+    // the feedback loop's classic risk: expansion buys recall — does it
+    // DRIFT the original intent (self-top1 falling after feedback is
+    // query drift, the signal to damp β or the expansion weight)? One
+    // fold per path, each serve the registered operator itself.
+    "q180_feedback_eval_card" -> ((s, dir) => {
+      def card(path: String, serve: DataFrame, idCol: String) =
+        TextAnalysis.selfCheckFold(serve, idCol)
+          .select(lit(path).as("path"), col("n_queries"),
+            col("n_self_top1"), col("self_top1_pm"))
+      card("bm25", TextAnalysis.queries("q148_bm25_topk")(s, dir),
+          "doc_id")
+        .unionByName(card("prf",
+          TextAnalysis.queries("q178_prf_topk")(s, dir), "doc_id"))
+        .unionByName(card("rocchio",
+          queries("q179_rocchio_ann")(s, dir), "vec_id"))
+    }),
+
     // takedown-aware serve-eval card — q167's per-path known-item
     // self-check run UNDER AN ACTIVE TAKEDOWN (the q172/q174
     // corpus-adaptive residue-1 requests, doc side and vec side):
@@ -2660,6 +2681,71 @@ object Similarity {
 
   private lazy val sqlIvfAdcSql: String = sqlIvfAdc("")
 
+  /** The complete q179 oracle statement — a val so the feedback
+    * eval card (q180) embeds the IDENTICAL Rocchio text.
+    */
+  private lazy val sqlRocchioSql: String =
+    s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
+         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
+         |  WHERE nrm > 0),
+         |$sqlKmeans,
+         |a AS (SELECT e.vec_id, e.nrm, cq.cent_id,
+         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
+         |  FROM e CROSS JOIN cq),
+         |cells AS (SELECT vec_id, cent_id AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
+         |$sqlPqChain,
+         |serve1 AS (SELECT qid, vec_id FROM ($sqlAnnServeBatchSql) s0
+         |  WHERE rnk <= $RocchioFbK),
+         |fbv AS (SELECT s1.qid, e.vec_id,
+         |  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM serve1 s1 JOIN e ON e.vec_id = s1.vec_id),
+         |fbl AS (SELECT qid, list(v ORDER BY vec_id) AS vs,
+         |  COUNT(*) AS cnt FROM fbv GROUP BY qid),
+         |qmodc AS (SELECT GREATEST(5, (count(*) + 7) // 8) AS qmod
+         |  FROM embeddings),
+         |qids AS (SELECT vec_id AS qid FROM e, qmodc
+         |  WHERE vec_id % qmod = 0 AND len(embedding) = 64
+         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
+         |qv0 AS (SELECT q.qid,
+         |  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v0
+         |  FROM qids q JOIN e ON e.vec_id = q.qid),
+         |qp0 AS (SELECT qv0.qid, CASE WHEN f.cnt IS NULL THEN qv0.v0
+         |    ELSE list_transform(range(1, 65), i -> qv0.v0[i] +
+         |      list_aggregate(list_transform(f.vs, vv -> vv[i]), 'sum')
+         |        / f.cnt) END AS v
+         |  FROM qv0 LEFT JOIN fbl f USING (qid)),
+         |qpn AS (SELECT qid, v, sqrt(${sqlDot("v", "v")}) AS nrm
+         |  FROM qp0 WHERE ${sqlDot("v", "v")} > 0),
+         |roca AS (SELECT qpn.qid, cq.cent_id,
+         |  ${sqlDot("qpn.v", "cq.cvec")}/(qpn.nrm*cq.cnrm) AS ccos
+         |  FROM qpn CROSS JOIN cq),
+         |rocqc AS (SELECT qid, cent_id AS cell FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY ccos DESC, cent_id) AS rn FROM roca) t WHERE rn <= 2),
+         |rocsub AS (SELECT qid, m,
+         |  list_transform(range(1, ${PqSubDim + 1}),
+         |    i -> v[m*$PqSubDim + i]) AS qsv
+         |  FROM qpn, range(0, $PqM) t(m)),
+         |roctbl AS (SELECT q.qid, q.m, c.k,
+         |  ${sqlSqDist("q.qsv", "c.cvec")} AS td
+         |  FROM rocsub q JOIN pc$KmeansIters c ON c.m = q.m),
+         |rocadcj AS (SELECT t.qid, b.vec_id, b.m, t.td
+         |  FROM pbest b JOIN roctbl t ON t.m = b.m AND t.k = b.k),
+         |rocv AS (SELECT qid, vec_id,
+         |  ${(0 until PqM).map(m =>
+              s"MAX(CASE WHEN m = $m THEN td END)").mkString(" + ")} AS adc
+         |  FROM rocadcj GROUP BY qid, vec_id),
+         |roccand AS (SELECT rocv.qid, rocv.vec_id, rocv.adc
+         |  FROM rocv JOIN cells ON cells.vec_id = rocv.vec_id
+         |  JOIN rocqc ON rocqc.qid = rocv.qid AND rocqc.cell = cells.cell
+         |  WHERE rocv.adc IS NOT NULL)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY adc, vec_id) AS rnk FROM roccand) t
+         |WHERE rnk <= 10""".stripMargin
+
   /** The per-path self-check fold in oracle SQL (q163's arithmetic) —
     * ONE text shared by the q167 card and its takedown twin (q176).
     */
@@ -2824,67 +2910,20 @@ object Similarity {
     // dimension in vec_id order (the PQ-training list pattern), and the
     // re-probe re-runs the probe/distance-table/candidate chain against
     // the SAME shared quantizer/codebook CTEs
-    "q179_rocchio_ann" ->
-      s"""WITH e AS (SELECT * FROM (SELECT vec_id, embedding,
-         |  sqrt(${sqlDot("embedding", "embedding")}) AS nrm FROM embeddings) t
-         |  WHERE nrm > 0),
-         |$sqlKmeans,
-         |a AS (SELECT e.vec_id, e.nrm, cq.cent_id,
-         |  ${sqlDot("e.embedding", "cq.cvec")}/(e.nrm*cq.cnrm) AS ccos
-         |  FROM e CROSS JOIN cq),
-         |cells AS (SELECT vec_id, cent_id AS cell FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
-         |     ORDER BY ccos DESC, cent_id) AS rn FROM a) t WHERE rn = 1),
-         |$sqlPqChain,
-         |serve1 AS (SELECT qid, vec_id FROM ($sqlAnnServeBatchSql) s0
-         |  WHERE rnk <= $RocchioFbK),
-         |fbv AS (SELECT s1.qid, e.vec_id,
-         |  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
-         |  FROM serve1 s1 JOIN e ON e.vec_id = s1.vec_id),
-         |fbl AS (SELECT qid, list(v ORDER BY vec_id) AS vs,
-         |  COUNT(*) AS cnt FROM fbv GROUP BY qid),
-         |qmodc AS (SELECT GREATEST(5, (count(*) + 7) // 8) AS qmod
-         |  FROM embeddings),
-         |qids AS (SELECT vec_id AS qid FROM e, qmodc
-         |  WHERE vec_id % qmod = 0 AND len(embedding) = 64
-         |    AND len(list_filter(embedding, x -> x IS NULL)) = 0),
-         |qv0 AS (SELECT q.qid,
-         |  list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v0
-         |  FROM qids q JOIN e ON e.vec_id = q.qid),
-         |qp0 AS (SELECT qv0.qid, CASE WHEN f.cnt IS NULL THEN qv0.v0
-         |    ELSE list_transform(range(1, 65), i -> qv0.v0[i] +
-         |      list_aggregate(list_transform(f.vs, vv -> vv[i]), 'sum')
-         |        / f.cnt) END AS v
-         |  FROM qv0 LEFT JOIN fbl f USING (qid)),
-         |qpn AS (SELECT qid, v, sqrt(${sqlDot("v", "v")}) AS nrm
-         |  FROM qp0 WHERE ${sqlDot("v", "v")} > 0),
-         |roca AS (SELECT qpn.qid, cq.cent_id,
-         |  ${sqlDot("qpn.v", "cq.cvec")}/(qpn.nrm*cq.cnrm) AS ccos
-         |  FROM qpn CROSS JOIN cq),
-         |rocqc AS (SELECT qid, cent_id AS cell FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |     ORDER BY ccos DESC, cent_id) AS rn FROM roca) t WHERE rn <= 2),
-         |rocsub AS (SELECT qid, m,
-         |  list_transform(range(1, ${PqSubDim + 1}),
-         |    i -> v[m*$PqSubDim + i]) AS qsv
-         |  FROM qpn, range(0, $PqM) t(m)),
-         |roctbl AS (SELECT q.qid, q.m, c.k,
-         |  ${sqlSqDist("q.qsv", "c.cvec")} AS td
-         |  FROM rocsub q JOIN pc$KmeansIters c ON c.m = q.m),
-         |rocadcj AS (SELECT t.qid, b.vec_id, b.m, t.td
-         |  FROM pbest b JOIN roctbl t ON t.m = b.m AND t.k = b.k),
-         |rocv AS (SELECT qid, vec_id,
-         |  ${(0 until PqM).map(m =>
-              s"MAX(CASE WHEN m = $m THEN td END)").mkString(" + ")} AS adc
-         |  FROM rocadcj GROUP BY qid, vec_id),
-         |roccand AS (SELECT rocv.qid, rocv.vec_id, rocv.adc
-         |  FROM rocv JOIN cells ON cells.vec_id = rocv.vec_id
-         |  JOIN rocqc ON rocqc.qid = rocv.qid AND rocqc.cell = cells.cell
-         |  WHERE rocv.adc IS NOT NULL)
-         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, vec_id, adc FROM
-         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-         |     ORDER BY adc, vec_id) AS rnk FROM roccand) t
-         |WHERE rnk <= 10""".stripMargin,
+    "q179_rocchio_ann" -> sqlRocchioSql,
+
+    // the three feedback-family serve statements embedded VERBATIM
+    // (the q167 composition pattern), one shared fold per path
+    "q180_feedback_eval_card" ->
+      s"""WITH bserve AS (${TextAnalysis.sqlBm25TopDocs(
+            TextAnalysis.sqlDocModQs)}),
+         |pserve AS (${TextAnalysis.oracleSql("q178_prf_topk")}),
+         |rserve AS ($sqlRocchioSql)
+         |${sqlServeFold("bm25", "bserve", "doc_id")}
+         |UNION ALL
+         |${sqlServeFold("prf", "pserve", "doc_id")}
+         |UNION ALL
+         |${sqlServeFold("rocchio", "rserve", "vec_id")}""".stripMargin,
 
     // both serve paths embedded VERBATIM as derived tables (the
     // factored sqlAnnServeBatchSql + TextAnalysis.sqlBm25TopDocs with

@@ -97,8 +97,8 @@ class DegenerateTextSpec extends AnyFunSuite {
     // the stream) but reports per chunk, not per doc; q166 emits one
     // row per doc (null text -> null model columns, gate false)
     // q170 needs a source column and is fixture-tested in DedupSpec
-    // instead (the q106/q124 convention); q167/q176 need embeddings and
-    // are fixture-tested in RetrievalSpec/StagedTakedownSpec instead
+    // instead (the q106/q124 convention); q167/q176/q180 need embeddings
+    // and are fixture-tested in RetrievalSpec/StagedTakedownSpec instead
     "q165_multimodal_pack", "q166_nb_quality", "q168_nb_hashed",
     "q169_chunk_curriculum", "q171_length_batches")
 

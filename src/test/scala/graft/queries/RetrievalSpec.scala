@@ -577,6 +577,21 @@ class RetrievalSpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q180 feedback eval card: one row per family member, the bm25 row IS q163's fold") {
+    val dir = "/root/testdata/sf0.001"
+    val card = graft.SparkEntry.queries("q180_feedback_eval_card")(spark, dir)
+      .collect().map(r => r.getAs[String]("path") -> r).toMap
+    assert(card.keySet == Set("bm25", "prf", "rocchio"))
+    val q163 = graft.SparkEntry.queries("q163_retrieval_selfcheck")(spark, dir)
+      .collect().head
+    val b = card("bm25")
+    assert(b.getAs[Long]("n_queries") == q163.getAs[Long]("n_queries") &&
+      b.getAs[Long]("n_self_top1") == q163.getAs[Long]("n_self_top1") &&
+      b.getAs[Long]("self_top1_pm") == q163.getAs[Long]("self_top1_pm"),
+      "the card's bm25 row drifted from q163's shared fold")
+    graft.Caches.release(spark)
+  }
+
   test("catalog adcSql: the pure-SQL ADC serve matches q122 on the sampled query vectors") {
     import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
