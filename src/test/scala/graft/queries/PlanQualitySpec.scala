@@ -155,6 +155,26 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q178 PRF re-rank: literal-IN pruned candidates, broadcast weighted terms — no cartesian, no single partition") {
+    // round 1 runs eagerly at construction (the bounded feedback
+    // collects); the executed plan is the round-2 re-rank, which must
+    // keep the q148 shape under the expanded term set
+    val p = execPlan("q178_prf_topk")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    graft.Caches.release(spark)
+  }
+
+  test("q179 Rocchio re-probe: the q122 plan family under the pulled vectors") {
+    val p = execPlan("q179_rocchio_ann")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    graft.Caches.release(spark)
+  }
+
   test("q150 staged labels: the serve-time read is a bare bucketed scan — zero Exchange") {
     // the closure runs ONCE per (session, dir) into the staged table;
     // every subsequent read (q150 itself, and the label joins inside
