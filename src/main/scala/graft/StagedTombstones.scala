@@ -271,7 +271,17 @@ object StagedTombstones {
     *   - the catalog views re-publish over the clean tables.
     *
     * A table not yet staged is staged first and then purged, so a later
-    * ensure within the session cannot resurrect the rows. Cost shape:
+    * ensure within the session cannot resurrect the rows. Deliberately
+    * NOT rewritten: the staged cluster-label tables — they are
+    * analytics artifacts, not serve tables, and deleting label rows
+    * would corrupt cluster accounting rather than emulate a re-stage
+    * (an honest post-erasure label set requires RE-CLUSTERING the
+    * rewritten corpus — min-ids and sizes change); the catalog's label
+    * VIEW masks membership meanwhile. Crash safety: requests move to
+    * the purged ledger only AFTER every rewrite lands, so a purge that
+    * dies mid-way leaves the masks active over whatever tables it did
+    * not finish — serves stay correct, and re-running purge completes
+    * the job (a leaked `__rewrite` scratch table is inert). Cost shape:
     * one bucket-preserving rewrite per staged table — the price of
     * physical erasure, paid when the operator chooses, never forced per
     * request (masks carry the requests until then). Corpus-derived

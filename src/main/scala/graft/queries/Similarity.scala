@@ -684,10 +684,11 @@ object Similarity {
   }
 
   /** q149's serve body over an already-built semantic list — factored
-    * so q167's eval card can feed the SAME q122 DataFrame to its
-    * semantic row AND the hybrid fusion (identical subtrees in one
-    * plan → Spark's exchange reuse runs the batched ANN serve once
-    * instead of twice inside the card).
+    * so a caller can feed ONE q122 DataFrame to several consumers
+    * (identical subtrees in one plan → Spark's exchange reuse runs the
+    * batched ANN serve once). The eval cards (q167/q176) fuse through
+    * [[rrfFuse]] directly so their lexical legs can also share one
+    * union-sample serve.
     */
   private def hybridServe(s: SparkSession, dir: String, qids: DataFrame,
       sem: DataFrame): DataFrame =
