@@ -83,7 +83,11 @@ class StagedTakedownSpec extends AnyFunSuite {
 
   private val lexQueries = Seq("q148_bm25_topk", "q154_phrase_topk",
     "q158_phrase3_topk", "q159_proximity_topk", "q161_phrase_snippets",
-    "q160_lex_index_card", "q163_retrieval_selfcheck")
+    "q160_lex_index_card", "q163_retrieval_selfcheck",
+    // the WHOLE feedback loop satisfies the re-stage identity too: a
+    // masked doc can neither serve nor act as feedback, and the
+    // expansion idf/df read the adjusted statistics
+    "q178_prf_topk")
 
   test("lex family: serve after deleteDocs is byte-identical to a re-stage over corpus minus deletions") {
     try {
