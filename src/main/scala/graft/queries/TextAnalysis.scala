@@ -74,6 +74,18 @@ object TextAnalysis {
     * keep the original intent dominant (2:1 — the expansion can bring
     * NEW documents in but cannot outvote two original-term matches).
     */
+  /** q181 (L2 feature re-rank): multiplicative per-mille boosts for the
+    * positional features, and the per-feature occurrence cap that keeps
+    * a pathological repeat from owning the boost. Per-mille OF THE BM25
+    * SCORE, so the weights are scale-free (an absolute boost constant
+    * would be wrong at every other corpus size); max combined boost
+    * (50·8 + 20·8)/1000 = 56% keeps int64 headroom at the 100 TB score
+    * bound (1.56 × 5·10¹⁶ ≪ 2⁶³).
+    */
+  private[queries] val RerankPhraseBoostPm = 50L
+  private[queries] val RerankProxBoostPm = 20L
+  private[queries] val RerankFeatCap = 8L
+
   private[graft] val PrfFbDocs = 3
   private[graft] val PrfCandCap = 32
   private[graft] val PrfExpTerms = 2
@@ -923,6 +935,64 @@ object TextAnalysis {
           s" (${10 * a} * tf + ${3 * a} + 9 * dl))"))
       .groupBy("qid", "doc_id").agg(sum("tscore").as("score_u"))
     bm25RankCut(scored)
+  }
+
+  /** L1→L2 feature re-rank (q181) — the production serving LADDER: a
+    * cheap high-recall stage (the audited q148 BM25 page) then a
+    * feature-rich precision stage over the BOUNDED page only. Per page
+    * document, two positional features of the query's first two tokens
+    * — exact-adjacency count (q154's semantics) and ordered
+    * within-[[ProxWindow]] pair count (q159's) — fold into a
+    * multiplicative integer boost: final = score + (score div 1000) ·
+    * (50·min(phrase,8) + 20·min(prox,8)). Re-ranking never changes page
+    * MEMBERSHIP (that is L1's job), only order; a sub-two-token query
+    * keeps its BM25 order (no phrase → zero boosts). Plan shape: the
+    * feature joins are the positional family's term-pruned bucketed
+    * scans with the lead side semi-joined to the broadcast page FIRST —
+    * feature work is page-bounded (≤ sample·top-k docs), never
+    * corpus-bounded; ONE lead relation feeds both features.
+    */
+  private[queries] def featureRerank(s: SparkSession, dir: String,
+      qids: DataFrame,
+      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame = {
+    val page = bm25TopDocs(s, dir, qids, tomb)
+    val qp = phraseQueries(s, dir, qids, 2)
+    val terms = phraseTerms(qp, 2)
+    val boosted =
+      if (terms.isEmpty)
+        page.withColumn("phrase_tf", lit(0L))
+          .withColumn("prox_tf", lit(0L))
+      else {
+        val post = posRead(s, dir, tomb).filter(col("term").isin(terms: _*))
+        val lead = post.join(broadcast(qp), col("term") === col("t1"))
+          .select(col("qid"), col("doc_id"), col("pos"), col("t2"))
+          .join(broadcast(page.select("qid", "doc_id")),
+            Seq("qid", "doc_id"), "left_semi")
+        val next = post.select(col("doc_id").as("doc_n"),
+          col("term").as("term_n"), col("pos").as("pos_n"))
+        val ph = lead.join(next, col("doc_n") === col("doc_id") &&
+            col("term_n") === col("t2") &&
+            col("pos_n") === col("pos") + 1)
+          .groupBy("qid", "doc_id").agg(count(lit(1)).as("phrase_tf"))
+        val px = lead.join(next, col("doc_n") === col("doc_id") &&
+            col("term_n") === col("t2") &&
+            col("pos_n") > col("pos") &&
+            col("pos_n") <= col("pos") + ProxWindow)
+          .groupBy("qid", "doc_id").agg(count(lit(1)).as("prox_tf"))
+        page.join(ph, Seq("qid", "doc_id"), "left")
+          .join(px, Seq("qid", "doc_id"), "left")
+          .withColumn("phrase_tf", coalesce(col("phrase_tf"), lit(0L)))
+          .withColumn("prox_tf", coalesce(col("prox_tf"), lit(0L)))
+      }
+    val w = Window.partitionBy("qid").orderBy(desc("final_u"), asc("doc_id"))
+    boosted
+      .withColumn("final_u", expr(
+        s"score_u + (score_u div 1000) * " +
+          s"($RerankPhraseBoostPm * least(phrase_tf, $RerankFeatCap) + " +
+          s"$RerankProxBoostPm * least(prox_tf, $RerankFeatCap))"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select("qid", "rnk", "doc_id", "score_u", "phrase_tf", "prox_tf",
+        "final_u")
   }
 
   /** The EXTERNAL-query BM25 serve — the q148 ranking for a literal
@@ -1957,6 +2027,12 @@ object TextAnalysis {
     // tomb like every lexical serve.
     "q178_prf_topk" -> ((s, dir) =>
       prfTopDocs(s, dir, docModQids(s, dir), registryTomb(s, dir))),
+
+    // the L1→L2 serving ladder: the q148 page re-ranked by its
+    // positional features under scale-free integer boosts (see
+    // [[featureRerank]] — membership never changes, only order)
+    "q181_feature_rerank" -> ((s, dir) =>
+      featureRerank(s, dir, docModQids(s, dir), registryTomb(s, dir))),
 
     // intra-document repetition card — the Gopher repetition-rule
     // family beside q45's length/alpha/stopword gates: boilerplate and
@@ -3331,6 +3407,48 @@ object TextAnalysis {
     // corpus minus the request's ids (the engine masks instead — same
     // rows by contract)
     "q172_takedown_bm25" -> sqlBm25TopDocsTakedown(sqlDocModQs, sqlTakedownIds),
+
+    // the q148 page, then the two positional features computed over the
+    // PAGE's documents only (the lead join carries the page restriction)
+    // and the scale-free multiplicative boost — non-negative operands,
+    // so `//` ≡ `div`
+    "q181_feature_rerank" ->
+      s"""WITH ${sqlBm25Ctes(sqlDocModQs)},
+         |page AS (SELECT qid, doc_id, score_u FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc) r
+         |  WHERE rnk <= $Bm25TopK),
+         |tkx AS (SELECT doc_id, $Toks AS tk FROM documents),
+         |qpx AS (SELECT t.doc_id AS qid, t.tk[1] AS t1, t.tk[2] AS t2
+         |  FROM tkx t JOIN qs ON t.doc_id = qs.qid WHERE len(t.tk) >= 2),
+         |tpx AS (SELECT doc_id, i.j AS pos, tk[CAST(i.j AS INT)] AS word
+         |  FROM tkx, UNNEST(range(1, len(tk) + 1)) AS i(j)),
+         |lead0 AS (SELECT qpx.qid, p1.doc_id, p1.pos, qpx.t2
+         |  FROM qpx JOIN tpx p1 ON p1.word = qpx.t1
+         |  JOIN page pg ON pg.qid = qpx.qid AND pg.doc_id = p1.doc_id),
+         |ph AS (SELECT l.qid, l.doc_id, COUNT(*) AS phrase_tf
+         |  FROM lead0 l JOIN tpx p2 ON p2.doc_id = l.doc_id
+         |    AND p2.word = l.t2 AND p2.pos = l.pos + 1
+         |  GROUP BY 1, 2),
+         |px AS (SELECT l.qid, l.doc_id, COUNT(*) AS prox_tf
+         |  FROM lead0 l JOIN tpx p2 ON p2.doc_id = l.doc_id
+         |    AND p2.word = l.t2 AND p2.pos > l.pos
+         |    AND p2.pos <= l.pos + $ProxWindow
+         |  GROUP BY 1, 2),
+         |fx AS (SELECT pg.qid, pg.doc_id, pg.score_u,
+         |  CAST(COALESCE(ph.phrase_tf, 0) AS BIGINT) AS phrase_tf,
+         |  CAST(COALESCE(px.prox_tf, 0) AS BIGINT) AS prox_tf
+         |  FROM page pg
+         |  LEFT JOIN ph ON ph.qid = pg.qid AND ph.doc_id = pg.doc_id
+         |  LEFT JOIN px ON px.qid = pg.qid AND px.doc_id = pg.doc_id),
+         |rr AS (SELECT *, score_u + (score_u // 1000) *
+         |  ($RerankPhraseBoostPm * LEAST(phrase_tf, $RerankFeatCap) +
+         |   $RerankProxBoostPm * LEAST(prox_tf, $RerankFeatCap)) AS final_u
+         |  FROM fx)
+         |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_u,
+         |  phrase_tf, prox_tf, CAST(final_u AS BIGINT) AS final_u FROM
+         |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+         |     ORDER BY final_u DESC, doc_id) AS rnk FROM rr) r""".stripMargin,
 
     // the shared q148 CTE chain (scored candidates in `sc`), then the
     // feedback loop spelled relationally: top-3 hits per query, their

@@ -81,8 +81,9 @@ class DegenerateTextSpec extends AnyFunSuite {
     // with ids 0..5 and tmod 5 it masks doc 1 and serves like q148
     "q172_takedown_bm25",
     // q178's one sampled query has null text → empty round 1 → no
-    // feedback → a defined empty serve, never a crash
-    "q178_prf_topk",
+    // feedback → a defined empty serve, never a crash; q181 re-ranks
+    // the same empty page
+    "q178_prf_topk", "q181_feature_rerank",
     // q175 expands the same residue-1 request over q150's labels (every
     // degenerate doc is its own cluster — the request expands to itself)
     "q175_takedown_expand",
@@ -138,6 +139,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q148_bm25_topk", // the sampled query here has null text -> no list
         "q172_takedown_bm25", // q148's sample through the takedown mask
         "q178_prf_topk", // same sample: null text -> no round 1 -> no list
+        "q181_feature_rerank", // re-ranks the same empty page
         "q175_takedown_expand", // rows only for the request's members
         "q164_diverse_topk", // same sample: no candidates -> empty serve
         "q154_phrase_topk", // same sample: null text -> no phrase -> no list

@@ -577,6 +577,46 @@ class RetrievalSpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q181 L2 re-rank: positional boosts reorder bm25 ties, membership never changes") {
+    import spark.implicits._
+    // docs 1/2/3 are permutations of the same three tokens → identical
+    // BM25 stats → q148 ties broken by doc_id (1, 2, 3). The L2 stage
+    // must reorder by evidence: 1 has the phrase (adjacent), 2 only the
+    // ordered within-window pair, 3 the terms in the WRONG order (no
+    // ordered pair at all)
+    val d = java.nio.file.Files.createTempDirectory("graft-rerank").toString
+    Seq(
+      (1L, "alpha bravo kilo"),
+      (2L, "alpha kilo bravo"),
+      (3L, "bravo kilo alpha"),
+      (4L, "golf hotel india juliet"),
+      (5L, "alpha bravo"),
+      (6L, "mike november oscar papa"),
+      (7L, "quebec romeo sierra tango"),
+      (8L, "uniform victor whiskey xray"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val rows = graft.SparkEntry.queries("q181_feature_rerank")(spark, d)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("rnk"), r.getAs[Long]("phrase_tf"),
+          r.getAs[Long]("prox_tf"), r.getAs[Long]("final_u"),
+          r.getAs[Long]("score_u"))).toMap
+    // membership == the q148 page
+    val page = graft.SparkEntry.queries("q148_bm25_topk")(spark, d)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.keySet == page, "L2 re-ranking changed page membership")
+    val (r1, r2, r3) = (rows(1L), rows(2L), rows(3L))
+    assert(r1._5 == r2._5 && r2._5 == r3._5,
+      s"fixture broken: the permutations must tie on bm25: $rows")
+    assert(r1._2 == 1L && r1._3 >= 1L, s"doc 1 must carry the phrase: $r1")
+    assert(r2._2 == 0L && r2._3 == 1L, s"doc 2 must carry only the pair: $r2")
+    assert(r3._2 == 0L && r3._3 == 0L, s"doc 3 must carry nothing: $r3")
+    assert(r1._4 > r2._4 && r2._4 > r3._4,
+      "the boosts must strictly separate phrase > proximity > bag")
+    assert(r1._1 < r2._1 && r2._1 < r3._1,
+      s"the re-rank must order phrase > proximity > bag: $rows")
+    spark.catalog.clearCache()
+  }
+
   test("q180 feedback eval card: one row per family member, the bm25 row IS q163's fold") {
     val dir = "/root/testdata/sf0.001"
     val card = graft.SparkEntry.queries("q180_feedback_eval_card")(spark, dir)
