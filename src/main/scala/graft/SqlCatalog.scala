@@ -44,7 +44,8 @@ import org.apache.spark.sql.functions._
   * family), [[adcSql]] (the batched IVF-PQ vector serve),
   * [[hybridSql]] (the fused RAG page), [[diverseSql]] (the
   * cluster-diversified page), [[prfSql]] (the feedback-expanded page),
-  * [[nbSql]] (hashed-NB quality scoring).
+  * [[rerankSql]] (the L2 feature-boosted page), [[nbSql]] (hashed-NB
+  * quality scoring).
   * Member-data views read through the session's takedown masks and
   * re-publish on [[refreshAfterTakedown]]; model views (centroids,
   * codebooks, NB weights) are frozen.
@@ -212,6 +213,55 @@ object SqlCatalog {
        |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
        |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc2) r
        |WHERE rnk <= ${queries.TextAnalysis.Bm25TopK}""".stripMargin
+
+  /** The L1→L2 feature re-rank as ONE SQL statement — q181's contract
+    * for the catalog road: [[bm25Sql]]'s page over `qview`, then the
+    * two positional features of each query's first two tokens computed
+    * over `graft_lex_pos` for the PAGE's documents only (the lead join
+    * carries the page restriction), folded into the scale-free
+    * multiplicative integer boost. Hash-matches
+    * [[queries.TextAnalysis.rerankTopDocsFor]] on the same queries
+    * (RetrievalSpec pins the three-road identity with q181). Same plan
+    * note as [[bm25Sql]] for the dynamic query table.
+    */
+  def rerankSql(qview: String): String =
+    s"""WITH ${bm25ScoreCtes(qview)},
+       |page AS (SELECT qid, doc_id, score_u FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc) r
+       |  WHERE rnk <= ${queries.TextAnalysis.Bm25TopK}),
+       |qpv AS (SELECT qid, split(lower(trim(qtext)), '\\\\s+') AS tk
+       |  FROM $qview),
+       |qpx AS (SELECT qid, element_at(tk, 1) AS t1, element_at(tk, 2) AS t2
+       |  FROM qpv WHERE size(tk) >= 2),
+       |lead0 AS (SELECT qpx.qid, p1.doc_id, p1.pos, qpx.t2
+       |  FROM graft_lex_pos p1 JOIN qpx ON p1.term = qpx.t1
+       |  JOIN page pg ON pg.qid = qpx.qid AND pg.doc_id = p1.doc_id),
+       |ph AS (SELECT l.qid, l.doc_id, COUNT(*) AS phrase_tf
+       |  FROM lead0 l JOIN graft_lex_pos p2 ON p2.doc_id = l.doc_id
+       |    AND p2.term = l.t2 AND p2.pos = l.pos + 1
+       |  GROUP BY 1, 2),
+       |px AS (SELECT l.qid, l.doc_id, COUNT(*) AS prox_tf
+       |  FROM lead0 l JOIN graft_lex_pos p2 ON p2.doc_id = l.doc_id
+       |    AND p2.term = l.t2 AND p2.pos > l.pos
+       |    AND p2.pos <= l.pos + ${queries.TextAnalysis.ProxWindow}
+       |  GROUP BY 1, 2),
+       |fx AS (SELECT pg.qid, pg.doc_id, pg.score_u,
+       |  COALESCE(ph.phrase_tf, 0L) AS phrase_tf,
+       |  COALESCE(px.prox_tf, 0L) AS prox_tf
+       |  FROM page pg
+       |  LEFT JOIN ph ON ph.qid = pg.qid AND ph.doc_id = pg.doc_id
+       |  LEFT JOIN px ON px.qid = pg.qid AND px.doc_id = pg.doc_id),
+       |rr AS (SELECT *, score_u + (score_u div 1000) *
+       |  (${queries.TextAnalysis.RerankPhraseBoostPm} *
+       |     least(phrase_tf, ${queries.TextAnalysis.RerankFeatCap}) +
+       |   ${queries.TextAnalysis.RerankProxBoostPm} *
+       |     least(prox_tf, ${queries.TextAnalysis.RerankFeatCap}))
+       |  AS final_u FROM fx)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_u,
+       |  phrase_tf, prox_tf, final_u FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY final_u DESC, doc_id) AS rnk FROM rr) r""".stripMargin
 
   /** The near-dup-DIVERSIFIED lexical serve as ONE SQL statement —
     * q164's contract for the catalog road: [[bm25Sql]]'s scoring over

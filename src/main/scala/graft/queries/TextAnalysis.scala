@@ -82,9 +82,9 @@ object TextAnalysis {
     * (50·8 + 20·8)/1000 = 56% keeps int64 headroom at the 100 TB score
     * bound (1.56 × 5·10¹⁶ ≪ 2⁶³).
     */
-  private[queries] val RerankPhraseBoostPm = 50L
-  private[queries] val RerankProxBoostPm = 20L
-  private[queries] val RerankFeatCap = 8L
+  private[graft] val RerankPhraseBoostPm = 50L
+  private[graft] val RerankProxBoostPm = 20L
+  private[graft] val RerankFeatCap = 8L
 
   private[graft] val PrfFbDocs = 3
   private[graft] val PrfCandCap = 32
@@ -954,9 +954,23 @@ object TextAnalysis {
     */
   private[queries] def featureRerank(s: SparkSession, dir: String,
       qids: DataFrame,
+      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame =
+    featureRerankForQ(s, dir, corpusQTexts(s, dir, qids), tomb)
+
+  /** The EXTERNAL-query L2 re-rank — q181 for a literal (qid BIGINT,
+    * qtext STRING) relation (the [[bm25TopDocsFor]] contract for the
+    * serving ladder; RetrievalSpec pins it equal to q181 on the sampled
+    * documents' own texts, and to [[SqlCatalog.rerankSql]]).
+    */
+  def rerankTopDocsFor(s: SparkSession, dir: String,
+      qtexts: DataFrame): DataFrame =
+    featureRerankForQ(s, dir, qtexts, registryTomb(s, dir))
+
+  private def featureRerankForQ(s: SparkSession, dir: String,
+      qtexts: DataFrame,
       tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame = {
-    val page = bm25TopDocs(s, dir, qids, tomb)
-    val qp = phraseQueries(s, dir, qids, 2)
+    val page = bm25RankCut(bm25Score(bm25StageFor(s, dir, qtexts, tomb)))
+    val qp = phraseTableFor(qtexts, 2)
     val terms = phraseTerms(qp, 2)
     val boosted =
       if (terms.isEmpty)

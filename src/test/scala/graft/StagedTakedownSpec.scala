@@ -86,8 +86,9 @@ class StagedTakedownSpec extends AnyFunSuite {
     "q160_lex_index_card", "q163_retrieval_selfcheck",
     // the WHOLE feedback loop satisfies the re-stage identity too: a
     // masked doc can neither serve nor act as feedback, and the
-    // expansion idf/df read the adjusted statistics
-    "q178_prf_topk")
+    // expansion idf/df read the adjusted statistics; the L2 re-rank
+    // reads the masked page AND the masked positional index
+    "q178_prf_topk", "q181_feature_rerank")
 
   test("lex family: serve after deleteDocs is byte-identical to a re-stage over corpus minus deletions") {
     try {

@@ -167,6 +167,15 @@ class PlanQualitySpec extends AnyFunSuite {
     graft.Caches.release(spark)
   }
 
+  test("q181 L2 re-rank: page-bounded feature joins — broadcast page semi-join, no cartesian") {
+    val p = execPlan("q181_feature_rerank")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    assert(!p.contains("SinglePartition"), p.take(2000))
+    assert(p.contains("LeftSemi"), p.take(2000)) // the page restriction
+    graft.Caches.release(spark)
+  }
+
   test("q179 Rocchio re-probe: the q122 plan family under the pulled vectors") {
     val p = execPlan("q179_rocchio_ann")
     assert(!p.contains("CartesianProduct") &&

@@ -488,6 +488,10 @@ class RetrievalSpec extends AnyFunSuite {
       rows(entry("q178_prf_topk")), "prfTopDocsFor drifted from q178")
     assert(rows(spark.sql(graft.SqlCatalog.prfSql("retrieval_ext_q"))) ==
       rows(entry("q178_prf_topk")), "catalog prfSql drifted from q178")
+    assert(rows(TextAnalysis.rerankTopDocsFor(spark, dir, qtexts)) ==
+      rows(entry("q181_feature_rerank")), "rerankTopDocsFor drifted from q181")
+    assert(rows(spark.sql(graft.SqlCatalog.rerankSql("retrieval_ext_q"))) ==
+      rows(entry("q181_feature_rerank")), "catalog rerankSql drifted from q181")
     spark.catalog.clearCache()
   }
 
