@@ -75,17 +75,38 @@ object Bucketing {
     * first (the source table must stay readable while the rewrite job
     * runs), then one catalog DROP + RENAME swaps it in — for a managed
     * table the rename moves the staged directory, so the data is written
-    * exactly once. No-op if `name` does not exist.
+    * exactly once. No-op if `name` does not exist AND no rewrite scratch
+    * of it exists.
+    *
+    * Crash safety — the DROP→RENAME swap is two catalog operations, so a
+    * crash between them leaves `name` missing with the completed rewrite
+    * parked under the scratch name. Re-running recovers: the scratch
+    * table (a full transformed copy by construction — it is only ever
+    * staged COMPLETE before the drop) is renamed back in, then the
+    * rewrite re-runs over it. That re-run applies `transform` to
+    * already-transformed rows, so every transform passed here must be
+    * IDEMPOTENT (the purge family's are: anti-join masks drop
+    * already-dropped ids to a no-op, and the df rewrite recomputes from
+    * the postings table rather than subtracting a delta). A scratch left
+    * by an abort BEFORE the drop sits beside the intact `name` and is
+    * simply re-staged over (stage() owns its name).
     */
   def rewriteInPlace(spark: org.apache.spark.sql.SparkSession, name: String,
       transform: DataFrame => DataFrame): Unit = {
-    if (!spark.catalog.tableExists(name)) return
+    val tmp = s"${name}__rewrite"
+    if (!spark.catalog.tableExists(name)) {
+      // recover a crashed swap: the scratch is the complete rewrite
+      // output — restore it under the serve name and fall through to
+      // re-run (idempotent-transform contract above)
+      if (spark.catalog.tableExists(tmp))
+        spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$name`")
+      else return
+    }
     val meta = spark.sessionState.catalog.getTableMetadata(
       org.apache.spark.sql.catalyst.TableIdentifier(name))
     val spec = meta.bucketSpec.getOrElse(sys.error(
       s"$name is not a staged bucketed table"))
     val key = spec.bucketColumnNames.head
-    val tmp = s"${name}__rewrite"
     stage(transform(spark.table(name)), tmp, key, spec.numBuckets)
     spark.sql(s"DROP TABLE `$name`")
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$name`")

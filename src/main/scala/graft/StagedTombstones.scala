@@ -96,6 +96,15 @@ object StagedTombstones {
     Option(m.get(k)).map(x => x.synchronized(x.values.flatten.toSet))
       .getOrElse(Set.empty)
 
+  /** Every doc id a COMPLETED purge has already erased from the staged
+    * tables of (session, dir) — the union [[graft.queries.TextAnalysis
+    * .purgeLex]] re-probes when it recomputes the N corpus scalar
+    * (recompute-from-state, never delta subtraction, so purge re-runs
+    * converge).
+    */
+  private[graft] def purgedDocIds(s: SparkSession, dir: String): Set[Long] =
+    purgedIdsOf(purgedDocReqs, key(s, dir))
+
   private def key(s: SparkSession, dir: String) =
     (s.sparkContext.applicationId, dir)
 
@@ -271,17 +280,25 @@ object StagedTombstones {
     *   - the catalog views re-publish over the clean tables.
     *
     * A table not yet staged is staged first and then purged, so a later
-    * ensure within the session cannot resurrect the rows. Deliberately
-    * NOT rewritten: the staged cluster-label tables — they are
-    * analytics artifacts, not serve tables, and deleting label rows
-    * would corrupt cluster accounting rather than emulate a re-stage
-    * (an honest post-erasure label set requires RE-CLUSTERING the
-    * rewritten corpus — min-ids and sizes change); the catalog's label
-    * VIEW masks membership meanwhile. Crash safety: requests move to
-    * the purged ledger only AFTER every rewrite lands, so a purge that
-    * dies mid-way leaves the masks active over whatever tables it did
-    * not finish — serves stay correct, and re-running purge completes
-    * the job (a leaked `__rewrite` scratch table is inert). Cost shape:
+    * ensure within the session cannot resurrect the rows. The staged
+    * cluster-label tables get the strongest treatment: a filtered
+    * rewrite would corrupt cluster accounting (min-ids, sizes, and
+    * transitive chains through a deleted bridge all change), so they
+    * are DROPPED and RE-CLUSTERED over the mask-filtered corpus
+    * ([[graft.queries.Dedup.rebuildLabelsAfterPurge]]) — the post-purge
+    * label set equals what a fresh session over the reduced corpus
+    * computes; a label family never staged builds reduced on its next
+    * ensure (the build masks the purged ledger). Crash safety: requests
+    * move to
+    * the purged ledger only AFTER every rewrite lands AND a post-rewrite
+    * existence check confirms every serve table survived its
+    * DROP+RENAME swap ([[requireRewritten]]) — a purge that dies midway
+    * leaves the masks active, every rewrite step is idempotent (masks
+    * re-drop to a no-op; df/N/L are RECOMPUTED from the purged tables,
+    * never delta-subtracted), and re-running purge completes the job,
+    * recovering a half-landed swap through
+    * [[graft.Bucketing.rewriteInPlace]]'s scratch-restore path.
+    * Cost shape:
     * one bucket-preserving rewrite per staged table — the price of
     * physical erasure, paid when the operator chooses, never forced per
     * request (masks carry the requests until then). Corpus-derived
@@ -290,10 +307,30 @@ object StagedTombstones {
     * rewritten — the one rewrite this API deliberately does not do (the
     * input data is the caller's, not the engine's).
     */
+  /** Require every table a purge half rewrote to EXIST before its
+    * requests retire to the purged ledger — the guard that keeps a
+    * half-landed [[graft.Bucketing.rewriteInPlace]] swap (serve table
+    * dropped, rename not yet landed) from retiring masks whose rows were
+    * never actually purged: the require fails the purge loudly, the
+    * masks stay active, and re-running purge completes the swap through
+    * the rewrite's scratch-recovery path.
+    */
+  private def requireRewritten(s: SparkSession, tables: Seq[String]): Unit = {
+    val missing = tables.filterNot(s.catalog.tableExists)
+    require(missing.isEmpty,
+      s"purge rewrite left staged tables missing: ${missing.mkString(",")} — " +
+        "masks stay active; re-run purge to recover and complete the job")
+  }
+
   def purge(s: SparkSession, dir: String): Unit = {
     val k = key(s, dir)
     docTomb(s, dir).foreach { t =>
-      queries.TextAnalysis.purgeLex(s, dir, t)
+      requireRewritten(s, queries.TextAnalysis.purgeLex(s, dir, t))
+      // the label re-clustering masks THIS tomb's ids explicitly — the
+      // requests only retire below, so a crash anywhere before that
+      // re-runs the whole idempotent sequence
+      requireRewritten(s, queries.Dedup.rebuildLabelsAfterPurge(s, dir,
+        (t.ids ++ purgedIdsOf(purgedDocReqs, k)).distinct))
       val m = docReqs.remove(k)
       if (m != null) {
         val p = purgedDocReqs.computeIfAbsent(k, _ =>
@@ -306,7 +343,7 @@ object StagedTombstones {
       }
     }
     vecIds(s, dir).foreach { ids =>
-      queries.Similarity.purgeVecs(s, dir, ids)
+      requireRewritten(s, queries.Similarity.purgeVecs(s, dir, ids))
       val m = vecReqs.remove(k)
       if (m != null) {
         val p = purgedVecReqs.computeIfAbsent(k, _ =>

@@ -82,16 +82,32 @@ object Dedup {
     * checkpoint/persist scaffolding is freed once the table is written.
     */
   private def ensureLabels(s: SparkSession, dir: String, family: String,
-      pairsOf: => DataFrame): DataFrame = {
+      pairsOf: (DataFrame, Long) => DataFrame,
+      extraMask: Seq[Long] = Nil): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val lblT = s"graft_${family}_labels_$tag"
     if (!s.catalog.tableExists(lblT)) {
+      // the clustering universe is the corpus MINUS every id a purge has
+      // already physically erased (plus the in-flight purge's ids, passed
+      // by rebuildLabelsAfterPurge before its requests retire): the
+      // closure over the reduced relation IS a re-clustering of a corpus
+      // that never held them — min-ids, sizes, and even the band width
+      // re-derive. With no purged ids the mask folds away and the build
+      // is byte-identical to the historical full-corpus staging.
+      val maskIds = (extraMask ++
+        graft.StagedTombstones.purgedDocIds(s, dir)).distinct
+      val mask = if (maskIds.isEmpty) None else Some(maskIds)
+      def maskDocs(rel: DataFrame): DataFrame =
+        graft.StagedTombstones.masked(s, rel, mask, "doc_id")
+      val docs = maskDocs(Tables(s, dir, "documents").select(col("doc_id")))
+      val n =
+        if (maskIds.isEmpty) Tables(s, dir, "documents").count()
+        else docs.count()
       val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val (labels, _) = propagateMin(s, pairsOf,
-        Tables(s, dir, "documents").select(col("doc_id")))
+      val (labels, _) = propagateMin(s,
+        pairsOf(maskDocs(Tables.wide(s, dir, "documents")), n), docs)
       graft.Bucketing.stage(labels, lblT, "doc_id",
-        graft.Bucketing.bucketCountFor(
-          Tables(s, dir, "documents").count()))
+        graft.Bucketing.bucketCountFor(n))
       // the loop's persisted blocks (pair-query persists, the final
       // round's checkpoint) are build scaffolding once the table exists
       (s.sparkContext.getPersistentRDDs.keySet.toSet -- before).foreach(
@@ -101,21 +117,57 @@ object Dedup {
     s.table(lblT)
   }
 
+  private def pairs32(docs: DataFrame, n: Long): DataFrame =
+    Similarity.simhash32PairsOver(docs, n).select(col("doc_a"), col("doc_b"))
+
+  private def pairs64(docs: DataFrame, n: Long): DataFrame =
+    Similarity.simhash64PairsOver(docs, n).select(col("doc_a"), col("doc_b"))
+
   /** The staged 32-bit (q43-family) cluster labels of (session, dir). */
   private[graft] def ensureClusterLabels(s: SparkSession,
       dir: String): DataFrame =
-    ensureLabels(s, dir, "q43",
-      Similarity.queries("q27_simhash_pairs")(s, dir)
-        .select(col("doc_a"), col("doc_b")))
+    ensureLabels(s, dir, "q43", pairs32)
 
   /** The staged 64-bit (q150) at-scale cluster labels of (session, dir)
     * — the label source the takedown/serve composites read.
     */
   private[graft] def ensureClusterLabels64(s: SparkSession,
       dir: String): DataFrame =
-    ensureLabels(s, dir, "q150",
-      Similarity.queries("q42_simhash64_pairs")(s, dir)
-        .select(col("doc_a"), col("doc_b")))
+    ensureLabels(s, dir, "q150", pairs64)
+
+  /** The takedown purge's LABEL half: drop each staged cluster-label
+    * table that exists and rebuild its closure over the mask-filtered
+    * corpus — physical erasure for the (doc_id, cluster_id) rows too,
+    * with the same byte-identity discipline the lexical family
+    * satisfies (reference semantics: the delete-by-predicate reload,
+    * `src/DatabaseAgentMysql.php:254-261`). A filtered rewrite of the
+    * old labels would NOT be honest erasure accounting: min-id labels
+    * and cluster sizes change when members leave, and transitive
+    * chains through a deleted bridge document must SPLIT — only a
+    * re-clustering of the reduced corpus gives the label set a fresh
+    * session over the reduced corpus would compute
+    * (StagedTakedownSpec pins the equality per consumer). `maskIds`
+    * carries the in-flight purge's ids — the caller invokes this
+    * BEFORE retiring its requests to the purged ledger, so a crash
+    * anywhere re-runs the whole (idempotent) rebuild; a family never
+    * staged skips the eager rebuild and builds reduced on its next
+    * ensure ([[ensureLabels]] masks the purged ledger). Returns the
+    * rebuilt table names for the purge's existence check.
+    */
+  private[graft] def rebuildLabelsAfterPurge(s: SparkSession, dir: String,
+      maskIds: Seq[Long]): Seq[String] = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    Seq(("q43", pairs32 _), ("q150", pairs64 _)).flatMap {
+      case (family, pf) =>
+        val lblT = s"graft_${family}_labels_$tag"
+        if (!s.catalog.tableExists(lblT)) None
+        else {
+          s.sql(s"DROP TABLE `$lblT`")
+          ensureLabels(s, dir, family, pf, maskIds)
+          Some(lblT)
+        }
+    }
+  }
 
   /** After this many plain propagation rounds the loop escalates: each
     * further round ALSO composes the label table with itself

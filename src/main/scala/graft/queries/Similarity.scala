@@ -495,12 +495,24 @@ object Similarity {
     * both sides of q42's band self-join; caller releases via Caches).
     */
   private[graft] def band64Relation(s: SparkSession, dir: String)
+      : (DataFrame, Int) =
+    band64RelationOver(Tables.wide(s, dir, "documents"),
+      Tables(s, dir, "documents").count())
+
+  /** [[band64Relation]] over an EXPLICIT documents relation and count —
+    * the corpus entry above passes the raw table; the takedown label
+    * rebuild ([[Dedup.rebuildLabelsAfterPurge]]) passes the
+    * mask-filtered corpus, so the re-banding (width included — it
+    * derives from the REDUCED count) equals one over a corpus that
+    * never held the purged documents.
+    */
+  private[graft] def band64RelationOver(docs: DataFrame, n: Long)
       : (DataFrame, Int) = {
-    val w = bandWidth64For(Tables(s, dir, "documents").count())
+    val w = bandWidth64For(n)
     val nb = 64 / w
     val nbLo = 32 / w
     val mask = (1L << w) - 1
-    val sim = Tables.wide(s, dir, "documents")
+    val sim = docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), array_distinct(col("tk")).as("dtk"))
       .select(col("doc_id"),
@@ -517,6 +529,75 @@ object Similarity {
       .select(col("doc_id"), col("lo"), col("hi"),
         col("x.b").as("b"), col("x.bk").as("bk"))
     (bands, w)
+  }
+
+  /** q27's pair generator over an EXPLICIT documents relation and count
+    * — ONE definition shared by the corpus entry and the takedown label
+    * rebuild ([[Dedup.rebuildLabelsAfterPurge]] passes the mask-filtered
+    * corpus, so the re-pairing equals one over a corpus that never held
+    * the purged documents — band width, caps, and sketches all derive
+    * from the reduced relation).
+    *
+    * Band width grows with the corpus (adaptiveBits): at ≤6.4k docs the
+    * classic 4 bands of 8 bits; past the point where 4·n/2^w occupancy
+    * would exceed the cap, wider bands (up to 2 of 16 bits — 65,536
+    * buckets, good to ~1.6M docs; beyond that a 32-bit sketch has no
+    * more keyspace to give and a 64-bit simhash is the upgrade path).
+    * Without this, cap + fixed 1,024-bucket keyspace = every bucket
+    * dropped and silent zero pairs at ~100× the bench corpus.
+    */
+  private[queries] def simhash32PairsOver(docs: DataFrame,
+      n: Long): DataFrame = {
+    val w = bandWidthFor(n)
+    val nb = 32 / w
+    val sim = docs
+      .select(col("doc_id"), simhash32(col("text")).as("simhash"))
+      .persist() // sketch feeds both sides of the band self-join
+    val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
+      (0 until nb).map(b => struct(lit(b).as("b"),
+        shiftright(col("simhash"), w * b).bitwiseAND(lit((1L << w) - 1)).as("bk"))): _*)).as("x"))
+      .select(col("doc_id"), col("simhash"), col("x.b").as("b"), col("x.bk").as("bk"))
+    // band-frequency cap, same hygiene as q22/q25/q39: a band key held
+    // by >MaxBandDocs docs is a quadratic bucket (near-identical
+    // clusters WILL pool in one).
+    val rare = bands.groupBy("b", "bk")
+      .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxBandDocs)
+      .select("b", "bk")
+    val capped = bands.join(rare, Seq("b", "bk"), "left_semi")
+    // hamming filter BEFORE the distinct: a pair collides in up to 4
+    // bands, so filtering first shrinks the dedup shuffle 4× (bit_count
+    // on a long is nearly free; hamming is functionally determined by
+    // the pair, so distinct-after-filter is the same set).
+    capped.alias("a").join(capped.alias("b"),
+        col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 8)
+      .distinct()
+  }
+
+  /** q42's pair generator over an explicit documents relation and count
+    * — the [[simhash32PairsOver]] factoring for the 64-bit two-half
+    * sketch (hamming ≤ 8 of 64, the stricter Manku-style threshold).
+    */
+  private[queries] def simhash64PairsOver(docs: DataFrame,
+      n: Long): DataFrame = {
+    val (bands, _) = band64RelationOver(docs, n)
+    val rare = bands.groupBy("b", "bk")
+      .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxBandDocs)
+      .select("b", "bk")
+    val capped = bands.join(rare, Seq("b", "bk"), "left_semi")
+    capped.alias("a").join(capped.alias("b"),
+        col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+          bit_count(col("a.hi").bitwiseXOR(col("b.hi"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 8) // before distinct — see q27
+      .distinct()
   }
 
   /** The band-occupancy health aggregate over a `(b, bk)` band relation
@@ -866,16 +947,20 @@ object Similarity {
     * which still holds the rows until its own rewrite) and then
     * purged, so a later ensure cannot resurrect the deleted vectors
     * within the session. Vector serves carry no corpus-derived
-    * statistics, so the rewrite is membership-only.
+    * statistics, so the rewrite is membership-only. Returns the
+    * rewritten table names for [[graft.StagedTombstones.purge]]'s
+    * post-rewrite existence check.
     */
   private[graft] def purgeVecs(s: SparkSession, dir: String,
-      ids: Seq[Long]): Unit = {
+      ids: Seq[Long]): Seq[String] = {
     val drop = (rel: org.apache.spark.sql.DataFrame) =>
       graft.StagedTombstones.masked(s, rel, Some(ids), "vec_id")
-    graft.Bucketing.rewriteInPlace(s,
-      ensureIvfPqIndex(s, dir, kmeansCentroids(s, dir),
-        pqCodebooks(s, dir)), drop)
-    graft.Bucketing.rewriteInPlace(s, ensureIvfCellTable(s, dir), drop)
+    val pqT = ensureIvfPqIndex(s, dir, kmeansCentroids(s, dir),
+      pqCodebooks(s, dir))
+    val cellT = ensureIvfCellTable(s, dir)
+    graft.Bucketing.rewriteInPlace(s, pqT, drop)
+    graft.Bucketing.rewriteInPlace(s, cellT, drop)
+    Seq(pqT, cellT)
   }
 
   private[graft] def ensureIvfPqIndex(s: SparkSession, dir: String,
@@ -1109,43 +1194,9 @@ object Similarity {
     }),
 
     // simhash near-dup pairs: corpus-adaptive band candidates, hamming <= 8
-    "q27_simhash_pairs" -> ((s, dir) => {
-      // Band width grows with the corpus (adaptiveBits): at ≤6.4k docs the
-      // classic 4 bands of 8 bits; past the point where 4·n/2^w occupancy
-      // would exceed the cap, wider bands (up to 2 of 16 bits — 65,536
-      // buckets, good to ~1.6M docs; beyond that a 32-bit sketch has no
-      // more keyspace to give and a 64-bit simhash is the upgrade path).
-      // Without this, cap + fixed 1,024-bucket keyspace = every bucket
-      // dropped and silent zero pairs at ~100× the bench corpus.
-      val w = bandWidthFor(Tables(s, dir, "documents").count())
-      val nb = 32 / w
-      val sim = Tables.wide(s, dir, "documents")
-        .select(col("doc_id"), simhash32(col("text")).as("simhash"))
-        .persist() // sketch feeds both sides of the band self-join
-      val bands = sim.select(col("doc_id"), col("simhash"), explode(array(
-        (0 until nb).map(b => struct(lit(b).as("b"),
-          shiftright(col("simhash"), w * b).bitwiseAND(lit((1L << w) - 1)).as("bk"))): _*)).as("x"))
-        .select(col("doc_id"), col("simhash"), col("x.b").as("b"), col("x.bk").as("bk"))
-      // band-frequency cap, same hygiene as q22/q25/q39: a band key held
-      // by >MaxBandDocs docs is a quadratic bucket (near-identical
-      // clusters WILL pool in one).
-      val rare = bands.groupBy("b", "bk")
-        .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxBandDocs)
-        .select("b", "bk")
-      val capped = bands.join(rare, Seq("b", "bk"), "left_semi")
-      // hamming filter BEFORE the distinct: a pair collides in up to 4
-      // bands, so filtering first shrinks the dedup shuffle 4× (bit_count
-      // on a long is nearly free; hamming is functionally determined by
-      // the pair, so distinct-after-filter is the same set).
-      capped.alias("a").join(capped.alias("b"),
-          col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          bit_count(col("a.simhash").bitwiseXOR(col("b.simhash")))
-            .cast("long").as("hamming"))
-        .filter(col("hamming") <= 8)
-        .distinct()
-    }),
+    "q27_simhash_pairs" -> ((s, dir) =>
+      simhash32PairsOver(Tables.wide(s, dir, "documents"),
+        Tables(s, dir, "documents").count())),
 
     // 64-bit simhash near-dup pairs: the q27 semantics with double the
     // fingerprint — the upgrade path past the 32-bit sketch's band-
@@ -1157,22 +1208,9 @@ object Similarity {
     // hamming is the sum of the halves' bit counts. Bands are 8/16/32
     // bits wide (corpus-adaptive, never straddling the half boundary);
     // hamming <= 8 of 64 is the stricter Manku-style threshold.
-    "q42_simhash64_pairs" -> ((s, dir) => {
-      val (bands, _) = band64Relation(s, dir)
-      val rare = bands.groupBy("b", "bk")
-        .agg(count(lit(1)).as("kc")).filter(col("kc") <= MaxBandDocs)
-        .select("b", "bk")
-      val capped = bands.join(rare, Seq("b", "bk"), "left_semi")
-      capped.alias("a").join(capped.alias("b"),
-          col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
-            bit_count(col("a.hi").bitwiseXOR(col("b.hi"))))
-            .cast("long").as("hamming"))
-        .filter(col("hamming") <= 8) // before distinct — see q27
-        .distinct()
-    }),
+    "q42_simhash64_pairs" -> ((s, dir) =>
+      simhash64PairsOver(Tables.wide(s, dir, "documents"),
+        Tables(s, dir, "documents").count())),
 
     // embedding cosine near-dup: brute-force pairs above threshold.
     // Norms are computed once per ROW (and the projection persisted), not
@@ -2718,7 +2756,8 @@ object Similarity {
          |        / f.cnt) END AS v
          |  FROM qv0 LEFT JOIN fbl f USING (qid)),
          |qpn AS (SELECT qid, v, sqrt(${sqlDot("v", "v")}) AS nrm
-         |  FROM qp0 WHERE ${sqlDot("v", "v")} > 0),
+         |  FROM qp0 WHERE ${sqlDot("v", "v")} > 0
+         |    AND NOT isnan(${sqlDot("v", "v")})),
          |roca AS (SELECT qpn.qid, cq.cent_id,
          |  ${sqlDot("qpn.v", "cq.cvec")}/(qpn.nrm*cq.cnrm) AS ccos
          |  FROM qpn CROSS JOIN cq),

@@ -673,18 +673,26 @@ object TextAnalysis {
 
   /** The lexical half of [[graft.StagedTombstones.purge]]: physically
     * rewrite the staged postings/doclen/positions tables of
-    * (session, dir) minus the tombstone's documents, rewrite the df
-    * table under the tombstone's delta (zero-df terms drop out — the
+    * (session, dir) minus the tombstone's documents, RECOMPUTE the df
+    * table from the purged postings (zero-df terms drop out — the
     * re-stage identity [[lexRead]] computes at read time, applied to
-    * the files), and fold the N/L adjustments into the memoized corpus
-    * scalars — so the post-purge UNMASKED read equals the pre-purge
-    * masked read byte-for-byte. A table not yet staged is staged FIRST
-    * (the corpus still holds the rows until its own rewrite) and then
-    * purged, so a later ensure within the session cannot resurrect the
-    * deleted documents.
+    * the files), and RECOMPUTE the memoized N/L corpus scalars from the
+    * purged doclen table and a bounded purged-id corpus probe — so the
+    * post-purge UNMASKED read equals the pre-purge masked read
+    * byte-for-byte. Every step is IDEMPOTENT by construction (masks
+    * drop already-dropped ids to a no-op; df/L are re-derived from the
+    * tables they describe; N re-probes the corpus against the full
+    * purged-id union) — re-running after a crash, including through
+    * [[graft.Bucketing.rewriteInPlace]]'s scratch-recovery path,
+    * converges to the same state instead of subtracting a delta twice.
+    * A table not yet staged is staged FIRST (the corpus still holds the
+    * rows until its own rewrite) and then purged, so a later ensure
+    * within the session cannot resurrect the deleted documents.
+    * Returns the rewritten table names for [[graft.StagedTombstones
+    * .purge]]'s post-rewrite existence check.
     */
   private[graft] def purgeLex(s: SparkSession, dir: String,
-      t: graft.StagedTombstones.DocTomb): Unit = {
+      t: graft.StagedTombstones.DocTomb): Seq[String] = {
     val (postT, dlT, dfT, _, _) = ensureLexIndex(s, dir)
     val posT = ensurePosIndex(s, dir)
     val dropDocs = (rel: DataFrame) =>
@@ -692,17 +700,24 @@ object TextAnalysis {
     graft.Bucketing.rewriteInPlace(s, postT, dropDocs)
     graft.Bucketing.rewriteInPlace(s, dlT, dropDocs)
     graft.Bucketing.rewriteInPlace(s, posT, dropDocs)
-    if (t.dfDelta.nonEmpty) {
-      val ss = s
-      import ss.implicits._
-      graft.Bucketing.rewriteInPlace(s, dfT, rel =>
-        rel.join(broadcast(t.dfDelta.toDF("term", "ddf")), Seq("term"), "left")
-          .select(col("term"),
-            (col("df") - coalesce(col("ddf"), lit(0L))).as("df"))
-          .filter(col("df") > 0))
-    }
-    lexStats.computeIfPresent((s.sparkContext.applicationId, dir),
-      (_, nl) => (nl._1 - t.nDel, nl._2 - t.lDel))
+    // df := count-per-term over the purged postings — the identical
+    // aggregate the original staging ran, so the rewrite is a recompute,
+    // not a delta subtraction (idempotent under re-runs by construction)
+    graft.Bucketing.rewriteInPlace(s, dfT, _ =>
+      s.table(postT).groupBy("term").agg(count(lit(1)).as("df")))
+    // N/L likewise: L is the purged doclen table's own sum; N is the
+    // corpus count minus the docs the full purged-id union (this tomb
+    // plus every previously purged request) actually names — a
+    // request-sized id-pushdown probe, never a delta fold
+    val allPurged =
+      (t.ids ++ graft.StagedTombstones.purgedDocIds(s, dir)).distinct
+    val present = Tables(s, dir, "documents")
+      .filter(col("doc_id").isin(allPurged.map(Long.box): _*)).count()
+    val nd = Tables(s, dir, "documents").count()
+    val ld = Option(s.table(dlT).agg(sum("dl")).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    lexStats.put((s.sparkContext.applicationId, dir), (nd - present, ld))
+    Seq(postT, dlT, dfT, posT)
   }
 
   /** [[ensurePosIndex]]'s serve-time read surface — the positional

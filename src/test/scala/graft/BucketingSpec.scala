@@ -98,6 +98,44 @@ class BucketingSpec extends AnyFunSuite {
     }
   }
 
+  test("rewriteInPlace recovers a crashed DROP->RENAME swap from the scratch table") {
+    import spark.implicits._
+    val rows = (1L to 100L).map(i => (i, i * 10)).toDF("k", "v")
+    Bucketing.stage(rows, "bkt_crash", "k", 8)
+    try {
+      // simulate the crash window: a completed rewrite parked under the
+      // scratch name (here: rows with k <= 90), serve table dropped,
+      // rename never ran
+      Bucketing.stage(spark.table("bkt_crash").filter($"k" <= 90),
+        "bkt_crash__rewrite", "k", 8)
+      spark.sql("DROP TABLE `bkt_crash`")
+      // the re-run's transform is the purge family's idempotent mask —
+      // re-applying it to the recovered (already-transformed) rows is a
+      // no-op, which is exactly the contract recovery relies on
+      Bucketing.rewriteInPlace(spark, "bkt_crash",
+        rel => rel.filter(rel("k") <= 90))
+      assert(spark.catalog.tableExists("bkt_crash"),
+        "recovery must restore the serve table")
+      assert(!spark.catalog.tableExists("bkt_crash__rewrite"),
+        "the completed re-run must consume the scratch table")
+      assert(spark.table("bkt_crash").count() == 90,
+        "recovered rewrite lost or duplicated rows")
+      val spec = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier("bkt_crash"))
+        .bucketSpec
+      assert(spec.exists(b => b.numBuckets == 8 &&
+        b.bucketColumnNames == Seq("k")),
+        s"recovery must preserve the bucket spec, got $spec")
+      // and with NEITHER table present the call stays a harmless no-op
+      spark.sql("DROP TABLE `bkt_crash`")
+      Bucketing.rewriteInPlace(spark, "bkt_crash", identity)
+      assert(!spark.catalog.tableExists("bkt_crash"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_crash")
+      spark.sql("DROP TABLE IF EXISTS bkt_crash__rewrite")
+    }
+  }
+
   test("equality filter on the bucket key prunes to one bucket at the scan") {
     import spark.implicits._
     val orders = Tables(spark, "/root/testdata/sf0.001", "orders")

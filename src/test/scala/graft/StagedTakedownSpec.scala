@@ -62,7 +62,11 @@ class StagedTakedownSpec extends AnyFunSuite {
   private def mkCorpus(del: Set[Long]): String = {
     import spark.implicits._
     val d = Files.createTempDirectory("graft-staged-takedown").toString
-    docRows.filterNot(r => del(r._1)).toDF("doc_id", "text")
+    // a deterministic source column (q170's impact card groups by it);
+    // every other query here projects doc_id/text only
+    docRows.filterNot(r => del(r._1))
+      .map(r => (r._1, r._2, s"src${r._1 % 3}"))
+      .toDF("doc_id", "text", "source")
       .write.parquet(s"$d/documents.parquet")
     embRows(0L until 16L).toDF("vec_id", "embedding")
       .write.parquet(s"$d/embeddings.parquet")
@@ -372,6 +376,96 @@ class StagedTakedownSpec extends AnyFunSuite {
         .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
       assert(delDocs.forall(!bandDocs.contains(_)),
         "purged ids resurfaced in the corpus-derived band view")
+    } finally StagedTombstones.reset(spark, pd)
+    spark.catalog.clearCache()
+  }
+
+  test("purge drops and re-clusters the staged label tables over the mask-filtered corpus") {
+    import org.apache.spark.sql.functions.col
+    val pd = mkCorpus(Set.empty)
+    val tag = pd.replaceAll("[^a-zA-Z0-9]", "_")
+    // the staged label tables and every cluster consumer, compared
+    // against a FRESHLY RE-CLUSTERED reduced corpus (dirB) — the
+    // strongest form: min-ids, cluster sizes, and chains through a
+    // deleted bridge must all match a clustering that never saw the
+    // purged documents, which a filtered rewrite of the old labels
+    // could not satisfy
+    val labelQueries = Seq("q150_clusters64", "q43_neardup_clusters",
+      "q151_survivors64", "q177_dedup_card", "q164_diverse_topk",
+      "q170_takedown_impact", "q175_takedown_expand")
+    try {
+      // stage BOTH label families pre-purge (the eager-rebuild path)
+      run("q150_clusters64", pd)
+      run("q43_neardup_clusters", pd)
+      StagedTombstones.deleteDocs(spark, pd, delDocs, "lb1")
+      StagedTombstones.purge(spark, pd)
+      // 1. the staged label FILES hold zero masked doc_ids
+      for (t <- Seq(s"graft_q150_labels_$tag", s"graft_q43_labels_$tag"))
+        assert(spark.table(t)
+          .filter(col("doc_id").isin(delDocs.map(Long.box): _*))
+          .count() == 0, s"$t still holds masked label rows post-purge")
+      // 2. every label consumer over the purged session equals the same
+      // query over the re-clustered reduced corpus
+      for (q <- labelQueries)
+        assert(run(q, pd) == run(q, dirB),
+          s"$q over the purged session drifted from the re-clustered " +
+            "reduced corpus")
+      // 3. a label family never staged before the purge still builds
+      // REDUCED on its next ensure (the purged ledger masks the build):
+      // drop the 64-bit family to simulate a session that never staged
+      // it, re-ensure, and the masked ids must stay absent
+      spark.sql(s"DROP TABLE `graft_q150_labels_$tag`")
+      assert(run("q150_clusters64", pd) == run("q150_clusters64", dirB),
+        "a post-purge fresh label build resurrected the purged documents")
+    } finally StagedTombstones.reset(spark, pd)
+    spark.catalog.clearCache()
+  }
+
+  test("purge re-run after a crashed swap recovers the serve table and converges (no double subtraction)") {
+    import org.apache.spark.sql.functions.col
+    val pd = mkCorpus(Set.empty)
+    val tag = pd.replaceAll("[^a-zA-Z0-9]", "_")
+    val tagB = dirB.replaceAll("[^a-zA-Z0-9]", "_")
+    val checks = Seq("q148_bm25_topk", "q160_lex_index_card",
+      "q159_proximity_topk")
+    try {
+      StagedTombstones.deleteDocs(spark, pd, delDocs, "cr1")
+      val before = checks.map(q => q -> run(q, pd)).toMap
+      // first purge attempt: the full lexical rewrite lands (a re-run
+      // repeats every one of these steps — the old delta-subtraction df
+      // and N/L folds would subtract twice here; the recompute-from-state
+      // forms converge instead)
+      TextAnalysis.purgeLex(spark, pd,
+        StagedTombstones.docTomb(spark, pd).get)
+      // ...then the attempt "crashes" inside the df table's swap: its
+      // completed rewrite sits under the scratch name, the serve table is
+      // dropped, the rename never ran — the exact state the advisor's
+      // scenario names (every lexical serve would now throw, and the old
+      // purge would have silently retired the masks over it)
+      val dfT = s"graft_lex_df_$tag"
+      val nb = spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(dfT))
+        .bucketSpec.get.numBuckets
+      graft.Bucketing.stage(spark.table(dfT), s"${dfT}__rewrite", "term", nb)
+      spark.sql(s"DROP TABLE `$dfT`")
+      // the re-run recovers the swap, re-applies the idempotent rewrites,
+      // recomputes df/N/L, verifies every table exists, THEN retires
+      StagedTombstones.purge(spark, pd)
+      assert(spark.catalog.tableExists(dfT),
+        "purge re-run must recover the dropped df table")
+      assert(StagedTombstones.docTomb(spark, pd).isEmpty,
+        "re-run purge must retire the satisfied requests")
+      // the UNMASKED post-purge serves equal the pre-purge masked serves
+      // byte-for-byte — double subtraction anywhere would break this
+      for (q <- checks)
+        assert(run(q, pd) == before(q),
+          s"$q drifted across the crashed-and-rerun purge")
+      // and the recovered df table equals a fresh reduced-corpus staging
+      run("q148_bm25_topk", dirB) // ensure dirB's lex index is staged
+      def dfRows(t: String) = spark.table(t).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(dfRows(dfT) == dfRows(s"graft_lex_df_$tagB"),
+        "recovered df table drifted from the reduced-corpus staging")
     } finally StagedTombstones.reset(spark, pd)
     spark.catalog.clearCache()
   }
