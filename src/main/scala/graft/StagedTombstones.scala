@@ -90,6 +90,15 @@ object StagedTombstones {
   private val purgedVecReqs = new java.util.concurrent.ConcurrentHashMap[
     (String, String), scala.collection.mutable.LinkedHashMap[String, Seq[Long]]]
 
+  /** Stream roots [[adoptStreamRoot]] bridged into this session's
+    * registry, per (session, dir) and side — [[purge]] extends physical
+    * erasure to their servable epochs, so one purge call erases BOTH
+    * deployment halves (the staged tables above, the adopted roots
+    * here).
+    */
+  private val adoptedRoots = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), scala.collection.mutable.LinkedHashSet[(String, Boolean)]]
+
   private def purgedIdsOf(m: java.util.concurrent.ConcurrentHashMap[
         (String, String), scala.collection.mutable.LinkedHashMap[String, Seq[Long]]],
       k: (String, String)): Set[Long] =
@@ -274,6 +283,10 @@ object StagedTombstones {
     *     folded into the rewritten tables and memoized scalars;
     *   - both staged vector tables (IVF-PQ codes, IVF cells) hold zero
     *     masked vec_ids;
+    *   - every ADOPTED stream root's servable epochs hold zero masked
+    *     ids too ([[purgeAdoptedRoots]]) — one purge call yields
+    *     physical erasure of BOTH deployment halves, not just the
+    *     session-staged one;
     *   - the satisfied requests move to the purged ledger (serves need
     *     no anti-join for them anymore — every serve result is
     *     UNCHANGED, StagedTakedownSpec pins it byte-for-byte);
@@ -331,6 +344,8 @@ object StagedTombstones {
       // re-runs the whole idempotent sequence
       requireRewritten(s, queries.Dedup.rebuildLabelsAfterPurge(s, dir,
         (t.ids ++ purgedIdsOf(purgedDocReqs, k)).distinct))
+      purgeAdoptedRoots(s, dir, vecSide = false,
+        (t.ids ++ purgedIdsOf(purgedDocReqs, k)).distinct)
       val m = docReqs.remove(k)
       if (m != null) {
         val p = purgedDocReqs.computeIfAbsent(k, _ =>
@@ -344,6 +359,8 @@ object StagedTombstones {
     }
     vecIds(s, dir).foreach { ids =>
       requireRewritten(s, queries.Similarity.purgeVecs(s, dir, ids))
+      purgeAdoptedRoots(s, dir, vecSide = true,
+        (ids ++ purgedIdsOf(purgedVecReqs, k)).distinct)
       val m = vecReqs.remove(k)
       if (m != null) {
         val p = purgedVecReqs.computeIfAbsent(k, _ =>
@@ -356,6 +373,37 @@ object StagedTombstones {
       }
     }
     SqlCatalog.refreshAfterTakedown(s, dir)
+  }
+
+  /** [[purge]]'s reach into the ADOPTED stream roots — the other half of
+    * the deployment ([[adoptStreamRoot]] bridged its durable ledger into
+    * this registry; erasure must flow back out): the registry's full
+    * maskable union files into each root's own tombstone relation under
+    * ONE deterministic request identity (`purge-batch-registry` —
+    * redelivery self-replaces, and the union only ever grows, so a
+    * replaced payload never shrinks), then every servable epoch rewrites
+    * minus the root's tombstones
+    * ([[graft.streaming.BatchProtocol.purgeIndex]]). The root's
+    * tombstone files deliberately SURVIVE the rewrite: an id that
+    * arrives after its takedown must stay masked (takedown outranks
+    * late arrival — the streaming protocol's standing rule), so the ids
+    * outlive the purge exactly as they outlive a compaction. Runs
+    * BEFORE the requests retire (the label-rebuild discipline): a crash
+    * anywhere re-runs the whole idempotent sequence.
+    */
+  private def purgeAdoptedRoots(s: SparkSession, dir: String,
+      vecSide: Boolean, ids: Seq[Long]): Unit = {
+    val roots = Option(adoptedRoots.get(key(s, dir)))
+      .map(x => x.synchronized(x.toSeq)).getOrElse(Seq.empty)
+      .collect { case (root, side) if side == vecSide => root }
+    if (roots.isEmpty || ids.isEmpty) return
+    val keyCol = if (vecSide) "vec_id" else "doc_id"
+    roots.foreach { root =>
+      graft.streaming.Tombstones.delete(s, root, ids,
+        "purge-batch-registry", keyCol)
+      graft.streaming.BatchProtocol.purgeIndex(s, root,
+        rel => graft.streaming.Tombstones.masked(s, root, rel, keyCol))
+    }
   }
 
   /** Anti-join mask of `rel` against a tombstone id set — the broadcast
@@ -394,6 +442,16 @@ object StagedTombstones {
     */
   def adoptStreamRoot(s: SparkSession, dir: String, indexPath: String,
       vecSide: Boolean = false): Int = {
+    // remember the root (requests or not): a later [[purge]] extends
+    // physical erasure to its epochs, including for requests that only
+    // land batch-side after this adoption
+    adoptedRoots.compute(key(s, dir), (_, prev) => {
+      val set = if (prev == null)
+        scala.collection.mutable.LinkedHashSet.empty[(String, Boolean)]
+      else prev
+      set.synchronized { set.add((indexPath, vecSide)) }
+      set
+    })
     val reqs = graft.streaming.Tombstones.requests(s, indexPath,
       if (vecSide) "vec_id" else "doc_id")
     // sanitization is lossy ('/a/b' and '/a_b' both read '_a_b'), so the
@@ -447,6 +505,7 @@ object StagedTombstones {
     vecReqs.remove(key(s, dir))
     purgedDocReqs.remove(key(s, dir))
     purgedVecReqs.remove(key(s, dir))
+    adoptedRoots.remove(key(s, dir))
     SqlCatalog.refreshAfterTakedown(s, dir)
   }
 }

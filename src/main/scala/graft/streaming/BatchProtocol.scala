@@ -15,7 +15,7 @@ import org.apache.spark.sql.SparkSession
   * would be written and checked on whichever machine happens to run the
   * batch while the data lands remotely.
   */
-private[streaming] object BatchProtocol {
+private[graft] object BatchProtocol {
 
   private def fs(spark: SparkSession, p: String) =
     new Path(p).getFileSystem(spark.sessionState.newHadoopConf())
@@ -270,6 +270,108 @@ private[streaming] object BatchProtocol {
       .foreach(id => f.delete(new Path(s"$indexPath/batch_id=$id"), true))
     dropMarkersThrough(f, indexPath, upToBatch)
     epochs.size
+  }
+
+  /** Physically rewrite EVERY epoch of the index minus the rows
+    * `rowFilter` drops — the ON-DEMAND purge for an accumulated index
+    * whose compaction cadence has already passed ([[compactIndex]]
+    * early-returns at or below its watermark, so a takedown filed after
+    * the last compaction would otherwise keep its rows on disk until the
+    * NEXT compaction; GDPR-grade erasure wants them gone when the
+    * operator says so). The batch-staged purge's epoch analogue
+    * ([[graft.StagedTombstones.purge]] routes adopted stream roots
+    * through here): consolidated epochs, the −1 re-band epoch, and live
+    * stream epochs all rewrite — the index serves the same masked rows
+    * before and after, only the FILES change.
+    *
+    * Epoch-by-epoch copy-on-write, each epoch's layout re-derived from
+    * its own directory tree (so lexical `tb=`, band `b=/g=`, and IVF
+    * `cell=` roots all purge through one implementation): the filtered
+    * rows land under a hidden `_purge_tmp` (one file per partition
+    * group, the compaction discipline), the live epoch steps aside to
+    * `_purge_old=<id>`, the tmp renames in, the old copy is deleted.
+    * Recovery preamble: a leftover `_purge_old=` with NO live epoch is a
+    * crash between the two renames — its (complete, original) copy is
+    * renamed back in and the rewrite re-runs; one WITH a live epoch is a
+    * post-swap leftover and is deleted. The window between the two
+    * renames leaves that one epoch offline until the re-run — the same
+    * re-run-to-recover contract as the staged tables' catalog swap, and
+    * the reason this runs only from an explicit purge call, quiesced
+    * (precondition enforced), never inside the streaming cadence.
+    * `rowFilter` must only drop rows whose absence the serve already
+    * presents (masked rows) — [[compactIndex]]'s contract verbatim.
+    * Returns the number of epochs rewritten.
+    */
+  def purgeIndex(spark: SparkSession, indexPath: String,
+      rowFilter: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)
+      : Int = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, indexPath)
+    val root = new Path(indexPath)
+    if (!f.exists(root)) return 0
+    f.listStatus(root).filter(_.getPath.getName.startsWith("_purge_old="))
+      .foreach { st =>
+        val id = st.getPath.getName.stripPrefix("_purge_old=")
+        val live = new Path(s"$indexPath/batch_id=$id")
+        if (!f.exists(live))
+          require(f.rename(st.getPath, live),
+            s"purge recovery rename ${st.getPath} -> $live failed")
+        else f.delete(st.getPath, true)
+      }
+    requireQuiesced(spark, indexPath)
+    var n = 0
+    epochIds(spark, indexPath).foreach { id =>
+      val dir = new Path(s"$indexPath/batch_id=$id")
+      if (hasParquet(f, dir)) {
+        val cols = partitionColsOf(f, dir)
+        val filtered = rowFilter(spark.read.parquet(dir.toString))
+        val tmp = s"$indexPath/_purge_tmp"
+        val keyed =
+          if (cols.isEmpty) filtered.coalesce(1)
+          else filtered.repartition(cols.map(col): _*)
+        val w = keyed.write.mode("overwrite")
+        (if (cols.isEmpty) w else w.partitionBy(cols: _*)).parquet(tmp)
+        val old = new Path(s"$indexPath/_purge_old=$id")
+        require(f.rename(dir, old), s"purge rename $dir -> $old failed")
+        require(f.rename(new Path(tmp), dir),
+          s"purge rename $tmp -> $dir failed")
+        f.delete(old, true)
+        n += 1
+      }
+    }
+    n
+  }
+
+  /** Does the directory hold any parquet data file (recursively)? An
+    * epoch written from an empty micro-batch is marker-only — reading it
+    * would fail schema inference, and there is nothing to purge.
+    */
+  private def hasParquet(f: org.apache.hadoop.fs.FileSystem,
+      dir: Path): Boolean = {
+    val it = f.listFiles(dir, true)
+    while (it.hasNext)
+      if (it.next().getPath.getName.endsWith(".parquet")) return true
+    false
+  }
+
+  /** The partition-column names of one epoch directory, re-derived from
+    * its own `k=v` subdirectory chain — what lets ONE purge
+    * implementation serve every index family without each family wiring
+    * its layout through the takedown registry.
+    */
+  private def partitionColsOf(f: org.apache.hadoop.fs.FileSystem,
+      epochDir: Path): Seq[String] = {
+    @scala.annotation.tailrec
+    def loop(p: Path, acc: Seq[String]): Seq[String] = {
+      val subs = f.listStatus(p).filter(_.isDirectory).map(_.getPath)
+        .filter { q =>
+          val n = q.getName
+          n.contains("=") && !n.startsWith("_") && !n.startsWith(".")
+        }
+      if (subs.isEmpty) acc
+      else loop(subs.head, acc :+ subs.head.getName.split("=")(0))
+    }
+    loop(epochDir, Seq.empty)
   }
 
   /** Collapse the individual commit markers of batches ≤ `upToBatch`

@@ -157,7 +157,7 @@ object Tombstones {
     * broadcast side — takedown sets are request-sized (ids only), never
     * corpus-sized.
     */
-  private[streaming] def masked(spark: SparkSession, indexPath: String,
+  private[graft] def masked(spark: SparkSession, indexPath: String,
       rel: DataFrame, keyCol: String): DataFrame =
     ids(spark, indexPath, keyCol).fold(rel)(t =>
       rel.join(broadcast(t), Seq(keyCol), "left_anti"))

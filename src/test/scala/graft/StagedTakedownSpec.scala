@@ -380,6 +380,62 @@ class StagedTakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("purge reaches the adopted sidecar root: every epoch sheds the masked vec_ids, the masked serve is unchanged") {
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.{EmbedStream, Tombstones}
+    val pd = mkCorpus(Set.empty)
+    val root = Files.createTempDirectory("graft-purge-sidecar").toString
+    try {
+      val cents = Similarity.kmeansCentroids(spark, pd)
+      val books = Similarity.pqCodebooks(spark, pd)
+      val odd = graft.Tables(spark, pd, "embeddings")
+        .filter(col("vec_id") % 2 === 1)
+      EmbedStream.processAdcBatch(spark,
+        odd.filter(col("vec_id") % 4 === 1), 0L, root, cents, books)
+      EmbedStream.processAdcBatch(spark,
+        odd.filter(col("vec_id") % 4 === 3), 1L, root, cents, books)
+      // half the root is already consolidated (epoch 0 → batch_id=-2),
+      // half live (epoch 1): a compaction CANNOT purge the consolidated
+      // half again (compactIndex early-returns at its watermark), which
+      // is exactly the gap purgeIndex closes — both epoch kinds rewrite
+      EmbedStream.compactIvfIndex(spark, root, 0L)
+      // one request arrived stream-side; one lands batch-side only,
+      // AFTER the adoption bridged the root in
+      Tombstones.delete(spark, root, Seq(1L), "gdpr-9", "vec_id")
+      assert(StagedTombstones.adoptStreamRoot(spark, pd, root,
+        vecSide = true) == 1)
+      StagedTombstones.deleteVecs(spark, pd, Seq(3L, 7L), "pv1")
+      // the union-serve leg a composed probe adds: the root's servable
+      // epochs through BOTH mask layers (root tombstones + registry)
+      def serve = Similarity.adcTopK(spark, pd,
+        StagedTombstones.maskedVecs(spark, pd,
+          EmbedStream.adcServable(spark, root).get),
+        cents, books).collect().map(_.toString).sorted.toSeq
+      val before = serve
+      StagedTombstones.purge(spark, pd)
+      // 1. the sidecar FILES hold zero masked vec_ids — the adopted
+      // stream request's AND the batch-side request's
+      val raw = spark.read.parquet(root).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      assert(Seq(1L, 3L, 7L).forall(!raw.contains(_)),
+        s"masked vec_ids still on the sidecar's disk: $raw")
+      assert(raw.nonEmpty, "purge must keep the unmasked sidecar rows")
+      // 2. the serve reads the same bytes it served through the masks
+      assert(serve == before, "sidecar serve changed across the purge")
+      // 3. the batch-side erasure is now DURABLE in the root's own
+      // ledger: a fresh adoption (a later session) re-masks those ids
+      val reqs = Tombstones.requests(spark, root, "vec_id").toMap
+      assert(reqs.get("purge-batch-registry").exists(
+        ids => Seq(3L, 7L).forall(ids.contains)),
+        s"purge did not file the registry ids durably: $reqs")
+      // 4. idempotent: a re-run purges nothing further and changes nothing
+      StagedTombstones.deleteVecs(spark, pd, Seq(3L), "pv2") // purged id
+      StagedTombstones.purge(spark, pd)
+      assert(serve == before, "purge re-run over a purged id drifted")
+    } finally StagedTombstones.reset(spark, pd)
+    spark.catalog.clearCache()
+  }
+
   test("purge drops and re-clusters the staged label tables over the mask-filtered corpus") {
     import org.apache.spark.sql.functions.col
     val pd = mkCorpus(Set.empty)
