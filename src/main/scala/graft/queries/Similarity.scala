@@ -1640,10 +1640,12 @@ object Similarity {
         TextAnalysis.selfCheckFold(serve, idCol)
           .select(lit(path).as("path"), col("n_queries"),
             col("n_self_top1"), col("self_top1_pm"))
-      card("bm25", TextAnalysis.queries("q148_bm25_topk")(s, dir),
-          "doc_id")
-        .unionByName(card("prf",
-          TextAnalysis.queries("q178_prf_topk")(s, dir), "doc_id"))
+      // ONE executed q148 statement: the bounded page collects once and
+      // feeds BOTH the bm25 row and q178's feedback stage (the q176
+      // union-serve fusion, extended across actions — verdict r17 #2)
+      val (bm25Page, prfServe) = TextAnalysis.bm25AndPrfPages(s, dir)
+      card("bm25", bm25Page, "doc_id")
+        .unionByName(card("prf", prfServe, "doc_id"))
         .unionByName(card("rocchio",
           queries("q179_rocchio_ann")(s, dir), "vec_id"))
     }),

@@ -887,17 +887,59 @@ object TextAnalysis {
 
   private def prfTopDocsForQ(s: SparkSession, dir: String,
       qtexts: DataFrame,
-      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame = {
+      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame =
+    prfFromPage(s, dir, qtexts, tomb,
+      bm25RankCut(bm25Score(bm25StageFor(s, dir, qtexts, tomb))))
+
+  /** q180's fused lexical legs — ONE executed q148 statement feeding
+    * BOTH the bm25 card row and the PRF feedback stage (the q176
+    * union-serve precedent; verdict r17 ask #2). The page is bounded by
+    * its rank cut (≤ sample·k rows at any corpus), so it collects once
+    * and re-enters as a LITERAL relation for both consumers — the two
+    * legs run in separate actions, which exchange reuse cannot fuse,
+    * but a bounded collect can. Returns (the bm25 page, the PRF serve
+    * fed from that same page).
+    */
+  private[queries] def bm25AndPrfPages(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val qtexts = corpusQTexts(s, dir, docModQids(s, dir))
+    val tomb = registryTomb(s, dir)
+    val page = bm25RankCut(bm25Score(bm25StageFor(s, dir, qtexts, tomb)))
+    val lit = s.createDataFrame(
+      java.util.Arrays.asList(page.collect(): _*), page.schema)
+    (lit, prfFromPage(s, dir, qtexts, tomb, lit))
+  }
+
+  /** The feedback/expansion layer over an ALREADY-COMPUTED round-1 page
+    * — q178's entry passes the audited q148 serve it just built
+    * ([[prfTopDocsForQ]]); the feedback eval card passes the literal
+    * page that also feeds its bm25 row ([[bm25AndPrfPages]]), so the
+    * card never executes the serve statement twice. The page's feedback
+    * cut is collected ONCE (≤ sample·[[PrfFbDocs]] rows under the rank
+    * cut — the probe-plan discipline) and re-enters as a literal
+    * relation, so the round-1 plan executes exactly once per serve no
+    * matter how many downstream stages read it (the old shape
+    * re-executed it inside every feedback collect).
+    */
+  private[queries] def prfFromPage(s: SparkSession, dir: String,
+      qtexts: DataFrame,
+      tomb: Option[graft.StagedTombstones.DocTomb],
+      page: DataFrame): DataFrame = {
     val (post, dlRel, dfRel, n, l) = lexRead(s, dir, tomb)
     val a = math.max(1L, l / math.max(1L, n))
     def idfOf(rel: DataFrame): DataFrame = rel
       .withColumn("idf_m",
         expr(s"(${2 * n} - 2*df + 1) * 1000 div (2*df + 1)"))
-    // round 1: the audited serve, cut to the feedback depth
-    val fb = bm25RankCut(bm25Score(bm25StageFor(s, dir, qtexts, tomb)))
-      .filter(col("rnk") <= PrfFbDocs).select("qid", "doc_id")
+    // round 1 = the caller's page, cut to the feedback depth, collected
+    // once (bounded by the rank cut)
+    val fbRows: Seq[(Long, Long)] = page.filter(col("rnk") <= PrfFbDocs)
+      .select("qid", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val ss = s
+    import ss.implicits._
+    val fb = fbRows.toDF("qid", "doc_id")
     // the feedback docs' term mass: a bounded id-pushdown text fetch
-    val fbIds = fb.select("doc_id").distinct().collect().map(_.getLong(0))
+    val fbIds = fbRows.map(_._2).distinct
     val fbTf = Tables(s, dir, "documents")
       .filter(col("doc_id").isin(fbIds.map(Long.box): _*))
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
@@ -926,8 +968,6 @@ object TextAnalysis {
       .select(col("qid"), col("term"), col("idf_m"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
       .toSeq
-    val ss = s
-    import ss.implicits._
     val exp = expRows.toDF("qid", "term", "idf_m")
       .withColumn("w", lit(PrfExpW))
     // round 2: the weighted expanded term set through the one scoring
