@@ -78,8 +78,8 @@ object SqlCatalog {
   val ViewNames: Seq[String] = Seq("graft_ivfpq_index", "graft_centroids",
     "graft_pq_codebooks", "graft_band_index", "graft_pack_manifest",
     "graft_lex_postings", "graft_lex_doclen", "graft_lex_df",
-    "graft_lex_stats", "graft_lex_pos", "graft_nb_model",
-    "graft_cluster_labels")
+    "graft_lex_stats", "graft_lex_pos", "graft_lex_impact",
+    "graft_nb_model", "graft_cluster_labels")
 
   /** A complete hashed-NB quality-scoring statement over
     * `graft_nb_model` (q168's trained ≤ NbBuckets-row weight table) — score
@@ -138,6 +138,12 @@ object SqlCatalog {
     * (cutting first could only shrink the page, never backfill it).
     */
   private def bm25ScoreCtes(qview: String): String =
+    bm25ScoreCtes(qview, "graft_lex_postings")
+
+  /** The same chain with the candidate view swappable — [[impactSql]]
+    * redirects it to the impact sidecar, everything else identical.
+    */
+  private def bm25ScoreCtes(qview: String, postView: String): String =
     s"""qt0 AS (SELECT qid, term, COUNT(*) AS qtf
        |  FROM (SELECT qid, explode(split(lower(trim(qtext)), '\\\\s+')) AS term
        |        FROM $qview)
@@ -150,10 +156,25 @@ object SqlCatalog {
        |  SUM(((2*s.n - 2*f.df + 1) * 1000 div (2*f.df + 1))
        |    * ((2200 * s.a * p.tf) div (10 * s.a * p.tf + 3 * s.a + 9 * d.dl)))
        |    AS score_u
-       |  FROM graft_lex_postings p JOIN qt USING (term)
+       |  FROM $postView p JOIN qt USING (term)
        |    JOIN graft_lex_df f USING (term)
        |    JOIN graft_lex_doclen d USING (doc_id), graft_lex_stats s
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** The impact-ordered APPROXIMATE BM25 serve as one SQL statement —
+    * q182's contract for the catalog road: [[bm25Sql]]'s text with the
+    * candidate fetch redirected to `graft_lex_impact` (the staged
+    * per-term top-K lists), so the scan is bounded at K·|query terms|
+    * rows where the exact statement reads the terms' full postings.
+    * Hash-matches [[queries.TextAnalysis.impactTopDocsFor]] on the same
+    * queries (RetrievalSpec pins the three-road identity with q182).
+    */
+  def impactSql(qview: String): String =
+    s"""WITH ${bm25ScoreCtes(qview, "graft_lex_impact")}
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_u FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc)
+       |WHERE rnk <= ${queries.TextAnalysis.Bm25TopK}""".stripMargin
 
   /** The pseudo-relevance-feedback expansion serve as ONE SQL statement
     * — q178's contract for the catalog road: [[bm25Sql]]'s scoring over
@@ -539,6 +560,10 @@ object SqlCatalog {
     // [[snippetSql]] rank through
     queries.TextAnalysis.posRead(spark, dir, docTomb)
       .createOrReplaceTempView("graft_lex_pos")
+    // the impact-ordered sidecar (q182's bounded candidate lists; the
+    // same takedown mask — see impactRead's documented cut posture)
+    queries.TextAnalysis.impactRead(spark, dir, docTomb)
+      .createOrReplaceTempView("graft_lex_impact")
     // the staged at-scale cluster labels (q150's artifact — built once
     // per session+dir), [[diverseSql]]'s suppression side. Member-
     // derived rows, masked like the band view (purged ids included:

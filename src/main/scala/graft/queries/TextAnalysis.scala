@@ -86,6 +86,39 @@ object TextAnalysis {
   private[graft] val RerankProxBoostPm = 20L
   private[graft] val RerankFeatCap = 8L
 
+  /** Floor of the per-term impact-list depth for the approximate BM25
+    * serve (q182) — see [[impactKFor]] for the corpus-adaptive
+    * derivation.
+    */
+  private[graft] val ImpactKFloor = 64L
+
+  /** Session-conf override of the impact-list depth (specs set a tiny
+    * K to force truncation on fixture corpora; unset = derived).
+    */
+  private[graft] val ImpactKConf = "graft.lex.impactK"
+
+  /** Per-term impact-list depth: max([[ImpactKFloor]], 16·⌈√n_docs⌉) —
+    * the IVF ~√n discipline applied to list depth. Sub-linear in the
+    * corpus, so the serve's candidate fetch (K·|query terms| rows) stays
+    * latency-bounded where one corpus-scale-df term makes the exact
+    * q148 fetch corpus-sized (the q160 max-df envelope's warning case):
+    * at 10¹⁰ documents a pathological term's list is ~1.6·10⁶ rows —
+    * four orders of magnitude under its postings. The factor is
+    * MEASURED, not guessed (sf0.01, 500 docs, stopword-heavy query
+    * terms with df up to 0.8·n — the hardest shape for truncation,
+    * since every pruned common-term posting silently removes a real
+    * score contribution): 8·√n read recall@10 = 350 pm, 16·√n = 675 pm,
+    * 32·√n = lossless only because the lists then exceed the corpus.
+    * 16 keeps honest drift visible at test scale (q183 publishes it as
+    * data, the q95 stance) while the 100 TB read bound is what the
+    * sidecar exists for. IEEE sqrt is correctly rounded, so the SQL
+    * oracle's identical formula derives the identical K.
+    */
+  private[graft] def impactKFor(s: SparkSession, dir: String): Long =
+    s.conf.getOption(ImpactKConf).map(_.toLong).getOrElse(
+      math.max(ImpactKFloor, 16L * math.ceil(math.sqrt(
+        Tables(s, dir, "documents").count().toDouble)).toLong))
+
   private[graft] val PrfFbDocs = 3
   private[graft] val PrfCandCap = 32
   private[graft] val PrfExpTerms = 2
@@ -695,11 +728,16 @@ object TextAnalysis {
       t: graft.StagedTombstones.DocTomb): Seq[String] = {
     val (postT, dlT, dfT, _, _) = ensureLexIndex(s, dir)
     val posT = ensurePosIndex(s, dir)
+    // staged BEFORE the postings rewrite, so the purged lists are the
+    // pre-purge lists minus the masked docs (q182's documented posture)
+    // rather than a silent re-cut over the purged postings
+    val impT = ensureImpactIndex(s, dir)
     val dropDocs = (rel: DataFrame) =>
       graft.StagedTombstones.masked(s, rel, Some(t.ids), "doc_id")
     graft.Bucketing.rewriteInPlace(s, postT, dropDocs)
     graft.Bucketing.rewriteInPlace(s, dlT, dropDocs)
     graft.Bucketing.rewriteInPlace(s, posT, dropDocs)
+    graft.Bucketing.rewriteInPlace(s, impT, dropDocs)
     // df := count-per-term over the purged postings — the identical
     // aggregate the original staging ran, so the rewrite is a recompute,
     // not a delta subtraction (idempotent under re-runs by construction)
@@ -717,7 +755,7 @@ object TextAnalysis {
     val ld = Option(s.table(dlT).agg(sum("dl")).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     lexStats.put((s.sparkContext.applicationId, dir), (nd - present, ld))
-    Seq(postT, dlT, dfT, posT)
+    Seq(postT, dlT, dfT, posT, impT)
   }
 
   /** [[ensurePosIndex]]'s serve-time read surface — the positional
@@ -1063,6 +1101,111 @@ object TextAnalysis {
       .select("qid", "rnk", "doc_id", "score_u", "phrase_tf", "prox_tf",
         "final_u")
   }
+
+  /** Builds (once per session+dir) the IMPACT-ORDERED sidecar of the
+    * staged lexical index (q182's substrate): per term, the
+    * [[impactKFor]] postings with the highest integer tf-normalization
+    * (the per-posting score bound — idf is term-constant, so the
+    * within-term order is the true impact order), ties to the lowest
+    * doc_id, staged term-bucketed exactly like the postings it
+    * shadows. The scale rationale: q148's exact serve fetches the FULL
+    * postings of every query term, and the q160 max-df envelope is the
+    * measured warning that one high-df term makes that fetch
+    * corpus-scale at 100 TB; the impact lists bound it at
+    * [[impactKFor]]·|terms| rows per query with the classic
+    * impact-ordered trade (recall drift measured by q183, not
+    * guessed). Derived from the staged postings/doclen tables (ONE
+    * corpus-stats snapshot — the avgdl quantization `a` is the exact
+    * serve's own), so a post-purge build can never resurrect purged
+    * documents.
+    */
+  private[graft] def ensureImpactIndex(s: SparkSession, dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val impT = s"graft_lex_impact_$tag"
+    if (!s.catalog.tableExists(impT)) {
+      val (postT, dlT, _, n, l) = ensureLexIndex(s, dir)
+      val a = math.max(1L, l / math.max(1L, n))
+      val k = impactKFor(s, dir)
+      val w = Window.partitionBy("term").orderBy(desc("imp"), asc("doc_id"))
+      val lists = s.table(postT).join(s.table(dlT), Seq("doc_id"))
+        .withColumn("imp", expr(
+          s"(${2200 * a} * tf) div (${10 * a} * tf + ${3 * a} + 9 * dl)"))
+        .withColumn("irn", row_number().over(w))
+        .filter(col("irn") <= k)
+        .select("term", "doc_id", "tf", "imp")
+      graft.Bucketing.stage(lists, impT, "term",
+        graft.Bucketing.bucketCountFor(s.table(postT).count()))
+    }
+    impT
+  }
+
+  /** The impact sidecar's serve-time read surface — candidates masked
+    * against a takedown tombstone like every lexical read. TAKEDOWN
+    * POSTURE (the one documented divergence from [[lexRead]]'s
+    * byte-identical re-stage contract): masked documents vanish from
+    * the lists and every SCORE rides the masked df/N/L statistics (so
+    * no masked doc serves and surviving scores are re-stage-exact),
+    * but the per-term cut is NOT re-run — a fresh re-stage over the
+    * reduced corpus could admit different tail documents into a
+    * truncated list (the cut depends on the corpus-wide `a`). q182 is
+    * an APPROXIMATE serve by contract; its membership drift under
+    * erasure is the same class of drift q183 exists to measure, and
+    * re-cutting at read time would cost exactly the full-postings scan
+    * the sidecar exists to avoid. StagedTakedownSpec pins the honest
+    * half: no masked doc served, membership = staged lists minus
+    * deletions, survivor scores equal the exact serve's.
+    */
+  private[graft] def impactRead(s: SparkSession, dir: String,
+      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame =
+    graft.StagedTombstones.masked(
+      s, s.table(ensureImpactIndex(s, dir)), tomb.map(_.ids), "doc_id")
+
+  /** q182's staging half — [[bm25StageFor]] with the candidate fetch
+    * redirected to the impact lists: same capped query terms, same
+    * masked df/idf and corpus scalars, same literal term-IN prune
+    * (bucket-pruned on the term-bucketed sidecar), but the fetch is
+    * bounded at [[impactKFor]]·|terms| rows by the staged cut instead of
+    * the terms' full postings (PlanQualitySpec pins the bound on the
+    * executed plan's filter).
+    */
+  private def impactStageFor(s: SparkSession, dir: String,
+      qtexts: DataFrame,
+      tomb: Option[graft.StagedTombstones.DocTomb])
+      : (DataFrame, DataFrame, DataFrame, Long) = {
+    val imp = impactRead(s, dir, tomb)
+    val (_, dlRel, dfRel, n, l) = lexRead(s, dir, tomb)
+    val a = math.max(1L, l / math.max(1L, n))
+    val qt = cappedTerms(qtexts)
+    val terms: Array[Any] = qt.select("term").distinct().collect()
+      .map(_.getString(0))
+    val dfq = dfRel.filter(col("term").isin(terms: _*))
+    val qtIdf = qt.join(broadcast(dfq), Seq("term"))
+      .withColumn("idf_m", expr(s"(${2 * n} - 2*df + 1) * 1000 div (2*df + 1)"))
+      .select("qid", "term", "idf_m")
+    val cand = imp.filter(col("term").isin(terms: _*))
+      .select("term", "doc_id", "tf")
+    (cand, dlRel, qtIdf, a)
+  }
+
+  private[queries] def impactTopDocs(s: SparkSession, dir: String,
+      qids: DataFrame,
+      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame =
+    impactTopDocsForQ(s, dir, corpusQTexts(s, dir, qids), tomb)
+
+  /** The EXTERNAL-query impact-ordered serve — q182 for a literal
+    * (qid BIGINT, qtext STRING) relation (the [[bm25TopDocsFor]]
+    * contract for the approximate road; RetrievalSpec pins it equal to
+    * q182 on the sampled documents' own texts, and to
+    * [[SqlCatalog.impactSql]]).
+    */
+  def impactTopDocsFor(s: SparkSession, dir: String,
+      qtexts: DataFrame): DataFrame =
+    impactTopDocsForQ(s, dir, qtexts, registryTomb(s, dir))
+
+  private def impactTopDocsForQ(s: SparkSession, dir: String,
+      qtexts: DataFrame,
+      tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame =
+    bm25RankCut(bm25Score(impactStageFor(s, dir, qtexts, tomb)))
 
   /** The EXTERNAL-query BM25 serve — the q148 ranking for a literal
     * (qid BIGINT, qtext STRING) relation (an ad-hoc query string, a
@@ -2103,6 +2246,35 @@ object TextAnalysis {
     "q181_feature_rerank" -> ((s, dir) =>
       featureRerank(s, dir, docModQids(s, dir), registryTomb(s, dir))),
 
+    // impact-ordered APPROXIMATE BM25 serve — q148's ranking with the
+    // candidate fetch bounded at ImpactK·|terms| rows by the staged
+    // per-term impact lists ([[ensureImpactIndex]]): the serve shape
+    // that stays latency-bounded when one query term's df is
+    // corpus-scale (the q160 envelope's warning case). Same query
+    // sample, cap, arithmetic, and cut as q148 — only candidate
+    // MEMBERSHIP is approximate, and q183 measures that drift as data.
+    "q182_impact_bm25_topk" -> ((s, dir) =>
+      impactTopDocs(s, dir, docModQids(s, dir), registryTomb(s, dir))),
+
+    // the impact serve's recall audit — per query, how much of the
+    // exact q148 page the bounded q182 serve retains (the q95
+    // pattern: the scale path ships beside its exact baseline with the
+    // drift measured per rebuild, not guessed). Integer per-mille;
+    // n_exact ≥ 1 per emitted group so the ANSI div is safe.
+    "q183_impact_recall_audit" -> ((s, dir) => {
+      val tomb = registryTomb(s, dir)
+      val qids = docModQids(s, dir)
+      val exact = bm25TopDocs(s, dir, qids, tomb)
+        .select(col("qid"), col("doc_id"))
+      val approx = impactTopDocs(s, dir, qids, tomb)
+        .select(col("qid"), col("doc_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("qid", "doc_id"), "left")
+        .groupBy("qid").agg(
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_pm", expr("(n_hit * 1000) div n_exact"))
+    }),
+
     // intra-document repetition card — the Gopher repetition-rule
     // family beside q45's length/alpha/stopword gates: boilerplate and
     // crawler-loop documents are flagged by WITHIN-document repetition
@@ -3085,6 +3257,34 @@ object TextAnalysis {
        |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc) r
        |WHERE rnk <= $Bm25TopK""".stripMargin
 
+  /** q182's oracle: the q148 chain with the impact-list cut between the
+    * postings and the scoring — per term, the [[impactKFor]] postings
+    * with the highest integer tf-normalization (ties to the lowest
+    * doc_id), exactly the staged sidecar's build (K re-derived from the
+    * corpus count with the identical max/ceil/sqrt formula); candidates
+    * then score through the unmodified q148 arithmetic.
+    */
+  private[queries] def sqlImpactTopDocs(qsSql: String): String =
+    s"""WITH ${sqlBm25Ctes(qsSql)},
+       |imp0 AS (SELECT tf.term, tf.doc_id, tf.tf,
+       |  (2200 * a * tf.tf) // (10 * a * tf.tf + 3 * a + 9 * dl.dl) AS imp
+       |  FROM tf JOIN dl USING (doc_id), av),
+       |impl AS (SELECT term, doc_id, tf FROM (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY term ORDER BY imp DESC, doc_id) AS irn FROM imp0) z
+       |  WHERE irn <= (SELECT GREATEST($ImpactKFloor,
+       |    16 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) FROM documents)),
+       |isc AS (SELECT qt.qid, impl.doc_id,
+       |  CAST(SUM(((2*n - 2*df + 1) * 1000 // (2*df + 1))
+       |    * ((2200 * a * impl.tf) // (10 * a * impl.tf + 3 * a + 9 * dl.dl)))
+       |    AS BIGINT) AS score_u
+       |  FROM impl JOIN qt USING (term) JOIN dfq USING (term)
+       |    JOIN dl USING (doc_id), av
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_u FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY score_u DESC, doc_id) AS rnk FROM isc) r
+       |WHERE rnk <= $Bm25TopK""".stripMargin
+
   /** q172's oracle: the BM25 serve re-staged over the corpus MINUS a
     * takedown set — the ground truth the engine's tombstone mask must
     * hash-match. The index side (tf/dl/df/N/L) reads `live`; the query
@@ -3471,6 +3671,25 @@ object TextAnalysis {
          |SELECT doc_id, term, tf, df, score FROM r WHERE rn <= 3""".stripMargin,
 
     "q148_bm25_topk" -> sqlBm25TopDocs(sqlDocModQs),
+
+    // the impact-ordered approximate serve: the q148 chain with the
+    // per-term top-ImpactK cut between postings and scoring
+    "q182_impact_bm25_topk" -> sqlImpactTopDocs(sqlDocModQs),
+
+    // recall@k of the impact serve against the exact page, per query —
+    // two full chains with clashing CTE names compose as nested WITHs
+    "q183_impact_recall_audit" ->
+      s"""WITH ex AS (${sqlBm25TopDocs(sqlDocModQs)}),
+         |ap AS (${sqlImpactTopDocs(sqlDocModQs)}),
+         |j AS (SELECT ex.qid, COUNT(*) AS n_exact,
+         |  CAST(COALESCE(SUM(CASE WHEN ap.doc_id IS NOT NULL THEN 1
+         |    ELSE 0 END), 0) AS BIGINT) AS n_hit
+         |  FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.doc_id = ex.doc_id
+         |  GROUP BY ex.qid)
+         |SELECT qid, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST((n_hit * 1000) // n_exact AS BIGINT) AS recall_pm
+         |FROM j""".stripMargin,
 
     // the takedown-masked serve: the same ranking re-staged over the
     // corpus minus the request's ids (the engine masks instead — same

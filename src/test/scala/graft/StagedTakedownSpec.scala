@@ -322,7 +322,12 @@ class StagedTakedownSpec extends AnyFunSuite {
     val tagB = dirB.replaceAll("[^a-zA-Z0-9]", "_")
     val serves = Seq("q148_bm25_topk", "q154_phrase_topk",
       "q159_proximity_topk", "q160_lex_index_card", "q68_ann_ivf_staged",
-      "q91_ann_ivf_adc", "q122_ann_serve_batch")
+      "q91_ann_ivf_adc", "q122_ann_serve_batch",
+      // the impact serve's purge invariance holds GENERALLY (the purge
+      // drops masked rows from the staged lists without re-cutting, which
+      // is byte-identical to the masked read) — unlike its re-stage
+      // identity, which is documented approximate (impactRead's posture)
+      "q182_impact_bm25_topk")
     try {
       StagedTombstones.deleteDocs(spark, pd, delDocs, "pg1")
       val preVec = SparkEntry.queries("q68_ann_ivf_staged")(spark, pd)
@@ -330,10 +335,16 @@ class StagedTakedownSpec extends AnyFunSuite {
       val delV = preVec.filter(_ != 0L).take(2).toSeq
       StagedTombstones.deleteVecs(spark, pd, delV, "pg2")
       val before = serves.map(q => q -> run(q, pd)).toMap
+      // the masked impact serve returns no masked doc (the honest half
+      // of the posture — candidates anti-join like every lexical read)
+      val impIds = SparkEntry.queries("q182_impact_bm25_topk")(spark, pd)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(delDocs.forall(!impIds.contains(_)),
+        "the masked impact serve returned a masked doc")
       StagedTombstones.purge(spark, pd)
       // 1. the staged FILES hold zero masked rows (read the tables raw)
       for (t <- Seq(s"graft_lex_postings_$tag", s"graft_lex_doclen_$tag",
-          s"graft_lex_pos_$tag"))
+          s"graft_lex_pos_$tag", s"graft_lex_impact_$tag"))
         assert(spark.table(t)
           .filter(col("doc_id").isin(delDocs.map(Long.box): _*))
           .count() == 0, s"$t still holds masked doc rows post-purge")

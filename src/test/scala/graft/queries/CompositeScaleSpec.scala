@@ -382,6 +382,44 @@ class CompositeScaleSpec extends AnyFunSuite {
     Caches.release(spark)
   }
 
+  test("q182 at 50k docs: the impact serve's candidate fetch is bounded by K·terms; un-truncated lists equal q148") {
+    val served = SparkEntry.queries("q182_impact_bm25_topk")(spark, dir)
+    val rows = served.collect()
+    val k = TextAnalysis.impactKFor(spark, dir)
+    // THE bound the sidecar exists for: the candidate cut above the
+    // impact-table scan may emit at most K rows per capped query term
+    // (8 queries × ≤16 terms) — where q148's cut is bounded only by the
+    // terms' full postings (corpus-tracking when one term's df is).
+    // Matched by TABLE (the pruned ReadSchema drops the imp column).
+    val cuts = collectNodes(served.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FilterExec
+        if collectNodes(f.child).forall(n =>
+          !n.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]) &&
+          collectNodes(f.child).exists {
+            case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+              sc.tableIdentifier.exists(_.table.startsWith("graft_lex_impact"))
+            case _ => false
+          } => f
+    }
+    assert(cuts.nonEmpty, "no impact candidate cut found in the serve plan")
+    cuts.foreach { f =>
+      val n = f.metrics("numOutputRows").value
+      assert(n > 0 && n <= k * 8 * 16,
+        s"impact candidate cut emitted $n rows — the serve's contract is " +
+          s"≤ K·terms = ${k * 8 * 16}")
+    }
+    // at this corpus the derived K (16·⌈√50k⌉ = 3584) exceeds every
+    // query term's df (~1250 at a 2k vocabulary), so the lists are
+    // complete and the approximate serve must EQUAL the exact one —
+    // truncation drift is a property of heavier-tailed dfs (the forced-K
+    // fixture in RetrievalSpec pins that half)
+    val exact = SparkEntry.queries("q148_bm25_topk")(spark, dir).collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      exact.map(_.toString).sorted.toSeq,
+      "un-truncated impact serve drifted from the exact serve")
+    Caches.release(spark)
+  }
+
   test("q154 at 50k docs: the phrase serve reads only the phrase terms' positions; self always present") {
     val served = SparkEntry.queries("q154_phrase_topk")(spark, dir)
     val rows = served.collect()

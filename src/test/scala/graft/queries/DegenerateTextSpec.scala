@@ -84,6 +84,9 @@ class DegenerateTextSpec extends AnyFunSuite {
     // feedback → a defined empty serve, never a crash; q181 re-ranks
     // the same empty page
     "q178_prf_topk", "q181_feature_rerank",
+    // q182 serves the same null-text sample over its impact lists (no
+    // terms → defined empty); q183 folds the two empty pages to zero rows
+    "q182_impact_bm25_topk", "q183_impact_recall_audit",
     // q175 expands the same residue-1 request over q150's labels (every
     // degenerate doc is its own cluster — the request expands to itself)
     "q175_takedown_expand",
@@ -140,6 +143,8 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q172_takedown_bm25", // q148's sample through the takedown mask
         "q178_prf_topk", // same sample: null text -> no round 1 -> no list
         "q181_feature_rerank", // re-ranks the same empty page
+        "q182_impact_bm25_topk", // same sample over the impact lists
+        "q183_impact_recall_audit", // folds two empty pages
         "q175_takedown_expand", // rows only for the request's members
         "q164_diverse_topk", // same sample: no candidates -> empty serve
         "q154_phrase_topk", // same sample: null text -> no phrase -> no list

@@ -492,6 +492,60 @@ class RetrievalSpec extends AnyFunSuite {
       rows(entry("q181_feature_rerank")), "rerankTopDocsFor drifted from q181")
     assert(rows(spark.sql(graft.SqlCatalog.rerankSql("retrieval_ext_q"))) ==
       rows(entry("q181_feature_rerank")), "catalog rerankSql drifted from q181")
+    assert(rows(TextAnalysis.impactTopDocsFor(spark, dir, qtexts)) ==
+      rows(entry("q182_impact_bm25_topk")), "impactTopDocsFor drifted from q182")
+    assert(rows(spark.sql(graft.SqlCatalog.impactSql("retrieval_ext_q"))) ==
+      rows(entry("q182_impact_bm25_topk")), "catalog impactSql drifted from q182")
+    spark.catalog.clearCache()
+  }
+
+  test("q182/q183: forced truncation serves only list heads, the audit reads the overlap, an un-truncated build equals q148") {
+    import spark.implicits._
+    // ids 1..8 → qmod = max(5, ceil(8/8)) = 5 → the one query is doc 5
+    // ("alpha beta"). At impactK=1 each term's list keeps ONE posting —
+    // the highest integer tf-normalization, and docs 1/2 (tf=3 at
+    // dl=3) beat the query doc itself (tf=1 at dl=2): the approximate
+    // page is exactly the two list heads, the self hit is truncated
+    // away, and the audit reads 2-of-3 (exact candidates {1,2,5}).
+    val data = Seq(
+      (1L, "alpha alpha alpha"),
+      (2L, "beta beta beta"),
+      (3L, "golf hotel india juliet"),
+      (4L, "mike november oscar papa"),
+      (5L, "alpha beta"),
+      (6L, "quebec romeo sierra tango"),
+      (7L, "uniform victor whiskey xray"),
+      (8L, "yankee zulu lima kilo"))
+    def mk(): String = {
+      val d = java.nio.file.Files.createTempDirectory("graft-impact").toString
+      data.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+      d
+    }
+    val dTrunc = mk()
+    val dFull = mk()
+    spark.conf.set(TextAnalysis.ImpactKConf, "1")
+    try {
+      val page = graft.SparkEntry.queries("q182_impact_bm25_topk")(
+        spark, dTrunc).collect()
+      assert(page.map(_.getAs[Long]("qid")).toSet == Set(5L))
+      assert(page.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L),
+        s"K=1 page must be exactly the two list heads, got " +
+          page.map(_.getAs[Long]("doc_id")).toSet)
+      val audit = graft.SparkEntry.queries("q183_impact_recall_audit")(
+        spark, dTrunc).collect()
+      assert(audit.length == 1)
+      val a0 = audit.head
+      assert(a0.getAs[Long]("n_exact") == 3L &&
+        a0.getAs[Long]("n_hit") == 2L &&
+        a0.getAs[Long]("recall_pm") == 666L, s"audit drifted: $a0")
+    } finally spark.conf.unset(TextAnalysis.ImpactKConf)
+    // the derived K on the same texts (floor 64 > any df): lists are
+    // complete and the approximate serve equals the exact one
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(graft.SparkEntry.queries("q182_impact_bm25_topk")(spark, dFull)) ==
+      rows(graft.SparkEntry.queries("q148_bm25_topk")(spark, dFull)),
+      "an un-truncated impact serve must equal the exact serve")
     spark.catalog.clearCache()
   }
 
