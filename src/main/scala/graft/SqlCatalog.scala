@@ -394,7 +394,21 @@ object SqlCatalog {
     * (RetrievalSpec pins the three-way identity with q149).
     */
   def hybridSql(qview: String): String =
-    s"""WITH lex AS (${bm25Sql(qview)}),
+    hybridSqlFrom(bm25Sql(qview), qview)
+
+  /** The BOUNDED hybrid serve as ONE SQL statement — q185's contract
+    * for the catalog road: [[hybridSql]]'s fusion with the lexical leg
+    * redirected to [[impactSql]] (the staged per-term top-K lists), so
+    * BOTH legs' scans are bounded at any corpus — the exact statement's
+    * lexical candidate fetch tracks the query terms' dfs. Hash-matches
+    * [[queries.Similarity.boundedHybridTopDocsFor]] on the same queries
+    * (RetrievalSpec pins the three-road identity with q185).
+    */
+  def boundedHybridSql(qview: String): String =
+    hybridSqlFrom(impactSql(qview), qview)
+
+  private def hybridSqlFrom(lexSql: String, qview: String): String =
+    s"""WITH lex AS ($lexSql),
        |sem AS (${adcSql(qview)})
        |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, rrf_u,
        |  lex_rnk, sem_rnk FROM

@@ -824,6 +824,35 @@ object Similarity {
     rrfFuse(lex, sem)
   }
 
+  /** The BOUNDED external-query hybrid serve — [[hybridTopDocsFor]]
+    * with the lexical leg redirected to the impact-ordered sidecar
+    * ([[TextAnalysis.impactTopDocsFor]], q182's K·terms candidate
+    * bound): the production read whose EVERY leg is latency-bounded at
+    * any corpus (the semantic leg's probe set is already bucket-pruned
+    * by construction), where [[hybridTopDocsFor]]'s exact lexical leg
+    * tracks the query terms' dfs — the q160 max-df envelope's
+    * corpus-scale warning case. Fusion is the shared [[rrfFuse]];
+    * RetrievalSpec pins it equal to q185 on the sampled documents' own
+    * (text, embedding) pairs and equal to [[hybridTopDocsFor]] under an
+    * un-truncated impact build.
+    */
+  def boundedHybridTopDocsFor(s: SparkSession, dir: String,
+      queries: DataFrame): DataFrame = {
+    val lex = TextAnalysis.impactTopDocsFor(s, dir,
+        queries.select(col("qid"), col("qtext")))
+      .select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk"))
+    val cents = kmeansCentroids(s, dir)
+    val books = pqCodebooks(s, dir)
+    val idxT = ensureIvfPqIndex(s, dir, cents, books)
+    val sem = adcServeBatchQ(s, dir,
+        graft.StagedTombstones.maskedVecs(s, dir, s.table(idxT)),
+        cents, books,
+        collectQueryVecs(queries.select(col("qid"), col("qvec"))))
+      .select(col("qid"), col("vec_id").as("doc_id"),
+        col("rnk").as("sem_rnk"))
+    rrfFuse(lex, sem)
+  }
+
   /** The bounded (qid, vector) read every batched vector serve plans
     * from — q91's guards (64-dim, no null element, non-zero norm)
     * applied to ANY (qid, qvec) relation, qid-ordered so the driver's
@@ -1485,6 +1514,53 @@ object Similarity {
       val qids = Tables(s, dir, "embeddings")
         .filter(col("vec_id") % qmod === 0).select(col("vec_id").as("qid"))
       hybridServe(s, dir, qids, queries("q122_ann_serve_batch")(s, dir))
+    }),
+
+    // the BOUNDED hybrid serve — q149 with its one unbounded leg closed:
+    // the exact BM25 leg's candidate fetch tracks the query terms' dfs
+    // (corpus-scale for a high-df term — the q160 envelope's warning),
+    // so the production fused read at 100 TB swaps it for the
+    // impact-ordered sidecar (q182 — candidates ≤ K·terms rows at any
+    // corpus) while the semantic leg (q122) is already bucket-pruned by
+    // construction. Same query sample, same exact-lcm RRF, same cut —
+    // ONLY the lexical candidate fetch changes, so q186's audit
+    // attributes every fused-page drift to the impact truncation alone.
+    // Under an un-truncated impact build the fusion is exactly q149
+    // (spec-pinned) — the approximation composes, it doesn't re-rank.
+    "q185_bounded_hybrid" -> ((s, dir) => {
+      val n = Tables(s, dir, "embeddings").count()
+      val qmod = math.max(5L, (n + 7) / 8)
+      val qids = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % qmod === 0).select(col("vec_id").as("qid"))
+      rrfFuse(
+        TextAnalysis.impactTopDocs(s, dir, qids)
+          .select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk")),
+        queries("q122_ann_serve_batch")(s, dir)
+          .select(col("qid"), col("vec_id").as("doc_id"),
+            col("rnk").as("sem_rnk")))
+    }),
+
+    // the bounded hybrid's recall audit — q183's stance lifted to the
+    // FUSED page (the q95 pattern: every approximation ships beside its
+    // exact baseline with the drift measured per corpus, not guessed):
+    // per query, how much of the exact q149 fused page the bounded q185
+    // serve retains. The number an operator reads before routing
+    // production traffic to the bounded path — fusion can MASK lexical
+    // truncation (a dropped lexical hit often re-enters through the
+    // semantic leg), so the fused recall is the deployment-relevant
+    // one, not q183's per-leg read. One equi-join + one map-combined
+    // fold over two ≤ sample·k pages; integer per-mille; n_exact ≥ 1
+    // per emitted group so the ANSI div is safe.
+    "q186_bounded_hybrid_recall" -> ((s, dir) => {
+      val exact = queries("q149_hybrid_rrf")(s, dir)
+        .select(col("qid"), col("doc_id"))
+      val approx = queries("q185_bounded_hybrid")(s, dir)
+        .select(col("qid"), col("doc_id"), lit(1L).as("hit"))
+      exact.join(approx, Seq("qid", "doc_id"), "left")
+        .groupBy("qid").agg(
+          count(lit(1)).as("n_exact"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+        .withColumn("recall_pm", expr("(n_hit * 1000) div n_exact"))
     }),
 
     // retrieval modality-agreement card — the audit a hybrid deployment
@@ -2661,6 +2737,16 @@ object Similarity {
     sqlHybridRrfFrom(TextAnalysis.sqlBm25TopDocs(sqlEmbModQs),
       sqlAnnServeBatchSql)
 
+  /** The complete q185 oracle statement — the IDENTICAL fusion builder
+    * over the impact-serve text (q182's chain with the embedding-modulus
+    * sample) and the same batched-ANN text, so the bounded hybrid's
+    * oracle audits the two REGISTERED legs plus q149's own RRF
+    * arithmetic, nothing reimplemented.
+    */
+  private lazy val sqlBoundedHybridSql: String =
+    sqlHybridRrfFrom(TextAnalysis.sqlImpactTopDocs(sqlEmbModQs),
+      sqlAnnServeBatchSql)
+
   /** The complete q122 oracle statement — a val so the hybrid-fusion
     * oracle (q149) embeds the IDENTICAL batched-ANN text as a
     * subquery (the sqlJaccardPairsSql composition discipline).
@@ -2973,6 +3059,25 @@ object Similarity {
     // two read paths, not reimplementations; the RRF arithmetic is the
     // exact-lcm integer form
     "q149_hybrid_rrf" -> sqlHybridRrfSql,
+
+    // the identical fusion builder over the impact-serve text and the
+    // batched-ANN text — ONLY the lexical leg changes vs q149
+    "q185_bounded_hybrid" -> sqlBoundedHybridSql,
+
+    // recall@k of the bounded fused page against the exact one — the
+    // q183 fold with both hybrid chains embedded verbatim (nested WITHs)
+    "q186_bounded_hybrid_recall" ->
+      s"""WITH ex AS ($sqlHybridRrfSql),
+         |ap AS ($sqlBoundedHybridSql),
+         |j AS (SELECT ex.qid, COUNT(*) AS n_exact,
+         |  CAST(COALESCE(SUM(CASE WHEN ap.doc_id IS NOT NULL THEN 1
+         |    ELSE 0 END), 0) AS BIGINT) AS n_hit
+         |  FROM ex LEFT JOIN ap ON ap.qid = ex.qid AND ap.doc_id = ex.doc_id
+         |  GROUP BY ex.qid)
+         |SELECT qid, CAST(n_exact AS BIGINT) AS n_exact,
+         |  CAST(n_hit AS BIGINT) AS n_hit,
+         |  CAST((n_hit * 1000) // n_exact AS BIGINT) AS recall_pm
+         |FROM j""".stripMargin,
 
     // all three serve statements embedded VERBATIM (nested-WITH), one
     // q163 fold per path

@@ -1192,6 +1192,15 @@ object TextAnalysis {
       tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame =
     impactTopDocsForQ(s, dir, corpusQTexts(s, dir, qids), tomb)
 
+  /** [[impactTopDocs]] under the session's registered takedown mask —
+    * the [[bm25TopDocs]] two-overload shape, so the bounded-hybrid
+    * fusion (q185) rides the same mask discipline as every other
+    * consumer of the lexical family.
+    */
+  private[queries] def impactTopDocs(s: SparkSession, dir: String,
+      qids: DataFrame): DataFrame =
+    impactTopDocs(s, dir, qids, registryTomb(s, dir))
+
   /** The EXTERNAL-query impact-ordered serve — q182 for a literal
     * (qid BIGINT, qtext STRING) relation (the [[bm25TopDocsFor]]
     * contract for the approximate road; RetrievalSpec pins it equal to

@@ -54,7 +54,9 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q171_length_batches", "q175_takedown_expand",
     "q176_takedown_eval_card", "q177_dedup_card", "q178_prf_topk",
     "q179_rocchio_ann", "q180_feedback_eval_card", "q181_feature_rerank",
-    "q182_impact_bm25_topk", "q183_impact_recall_audit")
+    "q182_impact_bm25_topk", "q183_impact_recall_audit",
+    "q184_label_append", "q185_bounded_hybrid",
+    "q186_bounded_hybrid_recall")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

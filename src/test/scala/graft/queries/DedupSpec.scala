@@ -170,6 +170,74 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q184 incremental append equals a fresh clustering of the union corpus") {
+    // the exactness contract on real data: clustering seven-eighths of
+    // the corpus, then appending the residue-3 shard through the
+    // contracted-graph step, must label every document exactly as the
+    // staged fresh closure does (the oracle IS q150's text)
+    def labels(q: String): Map[Long, Long] =
+      graft.SparkEntry.queries(q)(spark, dir).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+        .toMap
+    val fresh = labels("q150_clusters64")
+    val inc = labels("q184_label_append")
+    graft.Caches.release(spark)
+    assert(inc.size == fresh.size, "append must label every document")
+    assert(inc == fresh, "incremental append drifted from the fresh closure")
+    spark.catalog.clearCache()
+  }
+
+  test("q184 planted bridge: a delta doc merges two old clusters; a delta twin joins; a loner stays singleton") {
+    import spark.implicits._
+    // deterministic simhash64 bridge triple (found by sweeping
+    // replaced-suffix sizes over a 64-word base vocabulary; distances
+    // are fixed properties of the tokenizer+hash):
+    //   TA = word001..word064
+    //   TB = TA with the last 4 words swapped for word101..word104
+    //        → d(TA,TB) = 11 — NOT near-dups (bar is 8)
+    //   TBr = TA with word061/word062 swapped for word101/word102
+    //        → d(TA,TBr) = 7, d(TBr,TB) = 6 — near-dup of BOTH, and at
+    //        d ≤ 7 the 8×8-bit band split shares a key by pigeonhole,
+    //        so the pair generator must admit both bridge edges
+    val vocab = (1 to 200).map(i => f"word$i%03d")
+    val base = vocab.take(64)
+    val tA = base.mkString(" ")
+    val tB = (base.dropRight(4) ++ vocab.slice(100, 104)).mkString(" ")
+    val tBr = (base.dropRight(4) ++ vocab.slice(100, 102) ++
+      base.takeRight(4).drop(2)).mkString(" ")
+    val uniq = Seq(
+      "zebra quark lantern oboe marsh violet kestrel dune",
+      "anvil copper glacier heron imprint jasmine kelp lotus",
+      "nimbus orchid parable quince rivet saffron tundra umber")
+    // old shard (% 8 != 3): twin A-cluster {0,1}, twin B-cluster {2,4},
+    // two singletons; delta shard (% 8 = 3): the bridge (3), an
+    // A-family twin (11), a loner (19)
+    val d = java.nio.file.Files.createTempDirectory("graft-append").toString
+    Seq(0L -> tA, 1L -> tA, 2L -> tB, 4L -> tB,
+      5L -> uniq(0), 6L -> uniq(1),
+      3L -> tBr, 11L -> tA, 19L -> uniq(2))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    // precondition: the union pair graph admits both bridge edges but
+    // no direct A-B edge (otherwise the merge tests nothing)
+    val pairs = graft.SparkEntry.queries("q42_simhash64_pairs")(spark, d)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .toSet
+    assert(pairs((0L, 3L)) && pairs((2L, 3L)),
+      s"bridge edges missing from the pair graph: $pairs")
+    assert(!pairs((0L, 2L)) && !pairs((1L, 2L)) &&
+      !pairs((0L, 4L)) && !pairs((1L, 4L)),
+      s"A and B must not pair directly: $pairs")
+    val got = graft.SparkEntry.queries("q184_label_append")(spark, d)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    graft.Caches.release(spark)
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L,
+      11L -> 0L, 5L -> 5L, 6L -> 6L, 19L -> 19L),
+      s"append must merge {0,1}+{2,4} through the bridge to min-id 0, " +
+        s"join the twin, keep loners singleton: $got")
+    spark.catalog.clearCache()
+  }
+
   test("q177 dedup card reads the planted duplication exactly") {
     // 3 identical copies + 2 distinct docs: 5 docs, 3 clusters, the
     // family of 3 is the largest, 2 docs are non-canonical duplicates

@@ -33,6 +33,9 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q36_prep_pipeline", "q40_vocab_topk", "q41_repetition", "q71_dup_ngrams",
     "q94_dup_passage",
     "q43_neardup_clusters", "q44_dedup_survivors", "q150_clusters64",
+    // q184 splits the degenerate corpus into old/delta shards and
+    // appends — every doc (null text included) still labels
+    "q184_label_append",
     "q177_dedup_card",
     "q69_pagerank",
     "q77_triangle_support",
@@ -101,8 +104,9 @@ class DegenerateTextSpec extends AnyFunSuite {
     // the stream) but reports per chunk, not per doc; q166 emits one
     // row per doc (null text -> null model columns, gate false)
     // q170 needs a source column and is fixture-tested in DedupSpec
-    // instead (the q106/q124 convention); q167/q176/q180 need embeddings
-    // and are fixture-tested in RetrievalSpec/StagedTakedownSpec instead
+    // instead (the q106/q124 convention); q167/q176/q180/q185/q186 need
+    // embeddings and are fixture-tested in RetrievalSpec/
+    // StagedTakedownSpec instead
     "q165_multimodal_pack", "q166_nb_quality", "q168_nb_hashed",
     "q169_chunk_curriculum", "q171_length_batches")
 

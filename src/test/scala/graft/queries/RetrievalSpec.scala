@@ -764,4 +764,114 @@ class RetrievalSpec extends AnyFunSuite {
       == truth, "catalog hybridSql drifted from q149")
     spark.catalog.clearCache()
   }
+
+  test("q185: external and catalog roads match the registered serve on the real corpus") {
+    import org.apache.spark.sql.functions._
+    // the real corpus's derived K TRUNCATES its stopword lists (that is
+    // the point of the sidecar — q183/q186 measure it), so this test
+    // pins the three-road identity AT that truncation; the ≡q149
+    // identity is pinned on the un-truncated fixture below
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val truth = rows(graft.SparkEntry.queries("q185_bounded_hybrid")(
+      spark, dir))
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val qmod = math.max(5L, (emb.count() + 7) / 8)
+    val queries = emb.filter(col("vec_id") % qmod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .join(spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text")),
+        col("qid") === col("doc_id"), "left")
+      .select(col("qid"), col("text").as("qtext"), col("qvec"))
+    assert(rows(Similarity.boundedHybridTopDocsFor(spark, dir, queries))
+      == truth, "boundedHybridTopDocsFor drifted from q185")
+    graft.SqlCatalog.register(spark, dir)
+    queries.createOrReplaceTempView("retrieval_bhybrid_q")
+    assert(rows(spark.sql(
+        graft.SqlCatalog.boundedHybridSql("retrieval_bhybrid_q")))
+      == truth, "catalog boundedHybridSql drifted from q185")
+    spark.catalog.clearCache()
+  }
+
+  test("q185: under forced truncation the semantic leg backfills a lexically-truncated hit") {
+    import spark.implicits._
+    // 10 docs → qmod 5 → qids {0, 5}. Query doc 5 is "alpha beta";
+    // docs 1/2 are the K=1 list heads (tf=3 at dl=3 beats everything);
+    // doc 7 matches BOTH query terms (a top exact-BM25 hit) but is the
+    // head of neither list, so K=1 truncates it from the lexical leg —
+    // and its embedding is IDENTICAL to the query's, so the fused page
+    // must recover it through the semantic leg: lex_rnk null, sem_rnk
+    // set. That re-entry is exactly why q186 audits the FUSED page
+    // rather than re-using q183's per-leg read.
+    val texts = Seq(
+      0L -> "golf hotel india juliet",
+      1L -> "alpha alpha alpha",
+      2L -> "beta beta beta",
+      3L -> "mike november oscar papa",
+      4L -> "quebec romeo sierra tango",
+      5L -> "alpha beta",
+      6L -> "uniform victor whiskey xray",
+      7L -> "alpha beta filler filler",
+      8L -> "yankee zulu lima kilo",
+      9L -> "echo foxtrot delta charlie")
+    val d = java.nio.file.Files.createTempDirectory("graft-bhyb").toString
+    texts.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    (0L until 10L).map { i =>
+      val src = if (i == 7L) 5L else i
+      val v = (1 to 64).map(j =>
+        java.lang.Float.valueOf(math.sin(src * 64 + j).toFloat))
+      (i, v, i.toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$d/embeddings.parquet")
+    spark.conf.set(TextAnalysis.ImpactKConf, "1")
+    try {
+      val fused = graft.SparkEntry.queries("q185_bounded_hybrid")(spark, d)
+        .collect().filter(_.getAs[Long]("qid") == 5L)
+      val d7 = fused.filter(_.getAs[Long]("doc_id") == 7L)
+      assert(d7.length == 1, "doc 7 must re-enter the fused page")
+      assert(d7.head.isNullAt(d7.head.fieldIndex("lex_rnk")),
+        "K=1 must truncate doc 7 from the lexical leg")
+      assert(!d7.head.isNullAt(d7.head.fieldIndex("sem_rnk")),
+        "doc 7 must surface through the semantic leg")
+      // the audit's folds agree with a hand intersection of the pages
+      val exRows = graft.SparkEntry.queries("q149_hybrid_rrf")(spark, d)
+        .collect().filter(_.getAs[Long]("qid") == 5L)
+      val ex = exRows.map(_.getAs[Long]("doc_id")).toSet
+      val exD7 = exRows.filter(_.getAs[Long]("doc_id") == 7L)
+      assert(exD7.nonEmpty &&
+        !exD7.head.isNullAt(exD7.head.fieldIndex("lex_rnk")),
+        "the exact hybrid must rank doc 7 lexically")
+      val ap = fused.map(_.getAs[Long]("doc_id")).toSet
+      val audit = graft.SparkEntry.queries("q186_bounded_hybrid_recall")(
+        spark, d).collect().filter(_.getAs[Long]("qid") == 5L).head
+      assert(audit.getAs[Long]("n_exact") == ex.size.toLong &&
+        audit.getAs[Long]("n_hit") == ex.intersect(ap).size.toLong,
+        s"audit drifted: $audit vs exact=$ex approx=$ap")
+    } finally spark.conf.unset(TextAnalysis.ImpactKConf)
+    // the same corpus under the DERIVED K (floor 64 > every df at 10
+    // docs): complete lists, so the bounded fusion must equal q149
+    // exactly and the audit reads 1000 — the approximation composes,
+    // it doesn't re-rank
+    val dFull = java.nio.file.Files.createTempDirectory("graft-bhyb2")
+      .toString
+    texts.toDF("doc_id", "text").write.parquet(s"$dFull/documents.parquet")
+    (0L until 10L).map { i =>
+      val src = if (i == 7L) 5L else i
+      val v = (1 to 64).map(j =>
+        java.lang.Float.valueOf(math.sin(src * 64 + j).toFloat))
+      (i, v, i.toInt)
+    }.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dFull/embeddings.parquet")
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(graft.SparkEntry.queries("q185_bounded_hybrid")(spark, dFull))
+      == rows(graft.SparkEntry.queries("q149_hybrid_rrf")(spark, dFull)),
+      "un-truncated q185 must equal q149")
+    val full = graft.SparkEntry.queries("q186_bounded_hybrid_recall")(
+      spark, dFull).collect()
+    assert(full.nonEmpty && full.forall(_.getAs[Long]("recall_pm") == 1000L),
+      "un-truncated fused recall must read 1000 everywhere")
+    spark.catalog.clearCache()
+  }
 }
