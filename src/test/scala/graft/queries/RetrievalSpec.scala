@@ -765,6 +765,46 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q187: the appended index serves exactly like the fresh full staging, physically incrementally, idempotently") {
+    import org.apache.spark.sql.functions._
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val appended = rows(graft.SparkEntry.queries("q187_lex_append_topk")(
+      spark, dir))
+    assert(appended == rows(graft.SparkEntry.queries("q148_bm25_topk")(
+      spark, dir)), "the appended index must serve exactly like q148")
+    // physical-append pin: stage writes exactly ONE file per bucket,
+    // the delta append adds at most one more per touched bucket — a
+    // file count strictly between nb and 2·nb proves the old shard's
+    // files survived and the delta landed BESIDE them (a silent full
+    // re-stage would read exactly nb again); row count equals the
+    // fresh postings table's (the additive identity, physically)
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val postT = s"graft_lexapp_postings_$tag"
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(postT))
+    val nb = meta.bucketSpec.get.numBuckets
+    def files(): Int = {
+      val p = java.nio.file.Paths.get(new java.net.URI(meta.location.toString))
+      val st = java.nio.file.Files.list(p)
+      try st.filter(_.toString.endsWith(".parquet")).count().toInt
+      finally st.close()
+    }
+    val nf = files()
+    assert(nf > nb && nf <= 2 * nb,
+      s"append must add files beside the staged ones: $nf files, $nb buckets")
+    assert(spark.table(postT).count() ==
+      spark.table(s"graft_lex_postings_$tag").count(),
+      "appended postings must hold exactly the fresh staging's rows")
+    // idempotent re-entry: the done marker makes a second consumer a
+    // pure read — same rows, same files, no double append
+    assert(rows(graft.SparkEntry.queries("q187_lex_append_topk")(
+      spark, dir)) == appended, "re-entry must serve identically")
+    assert(files() == nf, "re-entry must not append again")
+    spark.catalog.clearCache()
+  }
+
   test("q185: external and catalog roads match the registered serve on the real corpus") {
     import org.apache.spark.sql.functions._
     // the real corpus's derived K TRUNCATES its stopword lists (that is
