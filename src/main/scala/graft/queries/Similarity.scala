@@ -1552,9 +1552,27 @@ object Similarity {
     // fold over two ≤ sample·k pages; integer per-mille; n_exact ≥ 1
     // per emitted group so the ANSI div is safe.
     "q186_bounded_hybrid_recall" -> ((s, dir) => {
-      val exact = queries("q149_hybrid_rrf")(s, dir)
+      // ONE q122 DataFrame feeds BOTH fusions (the q167/q176/q180
+      // shared-leg discipline): the two hybrids differ only in their
+      // lexical leg, so building them from the shared semantic list
+      // runs the batched ANN serve once inside the audit instead of
+      // twice — each fusion is still the registered machinery
+      // ([[rrfFuse]] over the registered legs), so the audit audits
+      // the real paths
+      val n = Tables(s, dir, "embeddings").count()
+      val qmod = math.max(5L, (n + 7) / 8)
+      val qids = Tables(s, dir, "embeddings")
+        .filter(col("vec_id") % qmod === 0).select(col("vec_id").as("qid"))
+      val sem = queries("q122_ann_serve_batch")(s, dir)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          col("rnk").as("sem_rnk"))
+      val exact = rrfFuse(
+        TextAnalysis.bm25TopDocs(s, dir, qids)
+          .select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk")), sem)
         .select(col("qid"), col("doc_id"))
-      val approx = queries("q185_bounded_hybrid")(s, dir)
+      val approx = rrfFuse(
+        TextAnalysis.impactTopDocs(s, dir, qids)
+          .select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk")), sem)
         .select(col("qid"), col("doc_id"), lit(1L).as("hit"))
       exact.join(approx, Seq("qid", "doc_id"), "left")
         .groupBy("qid").agg(
