@@ -115,9 +115,18 @@ object TextAnalysis {
     * oracle's identical formula derives the identical K.
     */
   private[graft] def impactKFor(s: SparkSession, dir: String): Long =
+    impactKOf(s, Tables(s, dir, "documents").count())
+
+  /** The impact-list depth for an explicit document count — factored so
+    * the appended demo family derives its old-shard K from the shard's
+    * own count (the honest pre-growth parameter the append then
+    * extends). The conf override applies to both, so the forced-K
+    * fixtures exercise either family.
+    */
+  private[graft] def impactKOf(s: SparkSession, nDocs: Long): Long =
     s.conf.getOption(ImpactKConf).map(_.toLong).getOrElse(
-      math.max(ImpactKFloor, 16L * math.ceil(math.sqrt(
-        Tables(s, dir, "documents").count().toDouble)).toLong))
+      math.max(ImpactKFloor,
+        16L * math.ceil(math.sqrt(nDocs.toDouble)).toLong))
 
   private[graft] val PrfFbDocs = 3
   private[graft] val PrfCandCap = 32
@@ -733,19 +742,39 @@ object TextAnalysis {
     * family without it is dropped and rebuilt.
     */
   private def ensureAppendedLex(s: SparkSession, dir: String)
-      : (String, String, String, Long, Long) = {
+      : (String, String, String, String, String, Long, Long) = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val postT = s"graft_lexapp_postings_$tag"
     val dlT = s"graft_lexapp_doclen_$tag"
     val dfT = s"graft_lexapp_df_$tag"
+    val posT = s"graft_lexapp_pos_$tag"
+    val impT = s"graft_lexapp_impact_$tag"
     val doneT = s"graft_lexapp_done_$tag"
     if (!s.catalog.tableExists(doneT)) {
-      Seq(postT, dlT, dfT, s"${dfT}__rewrite").foreach(t =>
+      Seq(postT, dlT, dfT, posT, impT,
+          s"${dfT}__rewrite", s"${impT}__rewrite").foreach(t =>
         if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE `$t`"))
       val docs = Tables.wide(s, dir, "documents")
-      stageLexFrom(s, docs.filter(col("doc_id") % 8 =!= 3), postT, dlT, dfT)
-      appendLexIndex(s, postT, dlT, dfT,
-        docs.filter(col("doc_id") % 8 === 3))
+      val oldDocs = docs.filter(col("doc_id") % 8 =!= 3)
+      val deltaDocs = docs.filter(col("doc_id") % 8 === 3)
+      // the pre-growth family: lex + positional + impact layers staged
+      // over the old shard with the shard's own honest parameters
+      stageLexFrom(s, oldDocs, postT, dlT, dfT)
+      stagePosFrom(s, oldDocs, posT)
+      val nOld = oldDocs.count()
+      val lOld = Option(s.table(dlT).agg(sum("dl")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val aOld = math.max(1L, lOld / math.max(1L, nOld))
+      val kOld = impactKOf(s, nOld)
+      stageImpactFrom(s, impT, postT, dlT, kOld, aOld)
+      // the growth: every layer appends incrementally
+      appendLexIndex(s, postT, dlT, dfT, deltaDocs)
+      appendPosIndex(s, posT, deltaDocs)
+      val nNew = Tables(s, dir, "documents").count()
+      val lNew = Option(s.table(dlT).agg(sum("dl")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      appendImpactIndex(s, impT, postT, dlT, deltaDocs,
+        kOld, impactKOf(s, nNew), math.max(1L, lNew / math.max(1L, nNew)))
       val ss = s
       import ss.implicits._
       // the Bucketing.stage orphan discipline: files left under the
@@ -765,7 +794,7 @@ object TextAnalysis {
           .map(_.asInstanceOf[Long]).getOrElse(0L)
         (nd, ld)
       })
-    (postT, dlT, dfT, n, l)
+    (postT, dlT, dfT, posT, impT, n, l)
   }
 
   /** The lexical index's SERVE-TIME read surface: [[ensureLexIndex]]'s
@@ -1246,18 +1275,71 @@ object TextAnalysis {
     if (!s.catalog.tableExists(impT)) {
       val (postT, dlT, _, n, l) = ensureLexIndex(s, dir)
       val a = math.max(1L, l / math.max(1L, n))
-      val k = impactKFor(s, dir)
-      val w = Window.partitionBy("term").orderBy(desc("imp"), asc("doc_id"))
-      val lists = s.table(postT).join(s.table(dlT), Seq("doc_id"))
-        .withColumn("imp", expr(
-          s"(${2200 * a} * tf) div (${10 * a} * tf + ${3 * a} + 9 * dl)"))
-        .withColumn("irn", row_number().over(w))
-        .filter(col("irn") <= k)
-        .select("term", "doc_id", "tf", "imp")
-      graft.Bucketing.stage(lists, impT, "term",
-        graft.Bucketing.bucketCountFor(s.table(postT).count()))
+      stageImpactFrom(s, impT, postT, dlT, impactKFor(s, dir), a)
     }
     impT
+  }
+
+  /** The per-term top-K cut over a staged postings/doclen pair — the
+    * [[ensureImpactIndex]] staging body, factored so the appended demo
+    * family (q188) stages its old-shard sidecar through the identical
+    * definition with the shard's own (K, a).
+    */
+  private def stageImpactFrom(s: SparkSession, impT: String, postT: String,
+      dlT: String, k: Long, a: Long): Unit = {
+    val w = Window.partitionBy("term").orderBy(desc("imp"), asc("doc_id"))
+    val lists = s.table(postT).join(s.table(dlT), Seq("doc_id"))
+      .withColumn("imp", expr(
+        s"(${2200 * a} * tf) div (${10 * a} * tf + ${3 * a} + 9 * dl)"))
+      .withColumn("irn", row_number().over(w))
+      .filter(col("irn") <= k)
+      .select("term", "doc_id", "tf", "imp")
+    graft.Bucketing.stage(lists, impT, "term",
+      graft.Bucketing.bucketCountFor(s.table(postT).count()))
+  }
+
+  /** Incremental maintenance of the impact sidecar under a corpus
+    * append — the [[appendLexIndex]] stance for the APPROXIMATE layer,
+    * where blind row-append would be wrong (a delta posting can enter a
+    * term's top-K, and the derived K itself grows with n). The re-cut
+    * set is bounded: a term needs re-cutting only if the delta touched
+    * its postings (delta vocabulary) or its old list was TRUNCATED at
+    * the old K (list length ≥ kOld — its tail may re-enter under the
+    * larger kNew, and its membership was ordered under the old corpus
+    * scalars). Every other term's list IS its complete postings
+    * (df < kOld ≤ kNew), and a complete list is exact under any K or
+    * `a` — the stored `imp` is a CUT artifact, never a serve input
+    * (the serve recomputes scores from tf/dl under the live masked
+    * stats). So the appended sidecar serves exactly like a fresh
+    * full-corpus staging — q188's oracle is q182's text verbatim —
+    * while the re-cut window runs over the re-cut terms' postings
+    * only, never the corpus, and the physical rewrite is sidecar-sized
+    * (≤ K·|vocab| rows, the q182 card's four-orders-under-postings
+    * bound). Idempotent under [[graft.Bucketing.rewriteInPlace]]'s
+    * crash recovery: the re-cut set re-derives from the (stable)
+    * appended postings and the current lists — a recovered re-run
+    * re-cuts the same terms to the same rows.
+    */
+  private[graft] def appendImpactIndex(s: SparkSession, impT: String,
+      postT: String, dlT: String, deltaDocs: DataFrame,
+      kOld: Long, kNew: Long, aNew: Long): Unit = {
+    val deltaVocab = deltaDocs
+      .select(explode(tokens(col("text"))).as("term")).distinct()
+    val truncated = s.table(impT).groupBy("term")
+      .agg(count(lit(1)).as("len")).filter(col("len") >= kOld)
+      .select("term")
+    val recut = deltaVocab.union(truncated).distinct()
+    val w = Window.partitionBy("term").orderBy(desc("imp"), asc("doc_id"))
+    graft.Bucketing.rewriteInPlace(s, impT, t => {
+      val fresh = s.table(postT).join(recut, Seq("term"), "left_semi")
+        .join(s.table(dlT), Seq("doc_id"))
+        .withColumn("imp", expr(s"(${2200 * aNew} * tf) div " +
+          s"(${10 * aNew} * tf + ${3 * aNew} + 9 * dl)"))
+        .withColumn("irn", row_number().over(w))
+        .filter(col("irn") <= kNew)
+        .select("term", "doc_id", "tf", "imp")
+      t.join(recut, Seq("term"), "left_anti").union(fresh)
+    })
   }
 
   /** The impact sidecar's serve-time read surface — candidates masked
@@ -1292,9 +1374,18 @@ object TextAnalysis {
   private def impactStageFor(s: SparkSession, dir: String,
       qtexts: DataFrame,
       tomb: Option[graft.StagedTombstones.DocTomb])
-      : (DataFrame, DataFrame, DataFrame, Long) = {
-    val imp = impactRead(s, dir, tomb)
-    val (_, dlRel, dfRel, n, l) = lexRead(s, dir, tomb)
+      : (DataFrame, DataFrame, DataFrame, Long) =
+    impactStageOver(impactRead(s, dir, tomb), lexRead(s, dir, tomb), qtexts)
+
+  /** The impact staging half over EXPLICIT (masked) relations — the
+    * [[bm25StageOver]] factoring for the approximate road, so the
+    * appended demo family (q188) stages through the identical
+    * definition.
+    */
+  private def impactStageOver(imp: DataFrame,
+      rels: (DataFrame, DataFrame, DataFrame, Long, Long),
+      qtexts: DataFrame): (DataFrame, DataFrame, DataFrame, Long) = {
+    val (_, dlRel, dfRel, n, l) = rels
     val a = math.max(1L, l / math.max(1L, n))
     val qt = cappedTerms(qtexts)
     val terms: Array[Any] = qt.select("term").distinct().collect()
@@ -1385,21 +1476,48 @@ object TextAnalysis {
   private[graft] def ensurePosIndex(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val posT = s"graft_lex_pos_$tag"
-    if (!s.catalog.tableExists(posT)) {
-      val pos = Tables.wide(s, dir, "documents")
-        .select(col("doc_id"),
-          posexplode(tokens(col("text"))).as(Seq("pos", "term")))
-        .select("doc_id", "term", "pos")
-        .persist() // staging scaffolding only — released before return
-      // corpus-adaptive layout from the relation's own count (the
-      // ensureLexIndex discipline): the positional table is the largest
-      // of the lexical family (one row per token OCCURRENCE), so a
-      // pinned count is where a fixed layout hurts first
-      graft.Bucketing.stage(pos, posT,
-        "term", graft.Bucketing.bucketCountFor(pos.count()))
-      pos.unpersist()
-    }
+    if (!s.catalog.tableExists(posT))
+      stagePosFrom(s, Tables.wide(s, dir, "documents"), posT)
     posT
+  }
+
+  /** The positional staging body over an explicit documents relation —
+    * [[ensurePosIndex]]'s build, factored for the appended demo family
+    * (q189). Corpus-adaptive layout from the relation's own count (the
+    * ensureLexIndex discipline): the positional table is the largest of
+    * the lexical family (one row per token OCCURRENCE), so a pinned
+    * count is where a fixed layout hurts first.
+    */
+  private def stagePosFrom(s: SparkSession, docs: DataFrame,
+      posT: String): Unit = {
+    val pos = docs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .select("doc_id", "term", "pos")
+      .persist() // staging scaffolding only — released before return
+    graft.Bucketing.stage(pos, posT,
+      "term", graft.Bucketing.bucketCountFor(pos.count()))
+    pos.unpersist()
+  }
+
+  /** The positional layer's append — positions are per-document rows
+    * (only position DIFFERENCES enter any operator, so the 0-based
+    * per-doc offsets never interact across documents): a delta corpus's
+    * rows APPEND as hash-placed bucket files exactly like the postings'
+    * ([[appendLexIndex]]), and the appended table equals a fresh full
+    * staging row-for-row — q189's oracle is q154's text verbatim.
+    */
+  private[graft] def appendPosIndex(s: SparkSession, posT: String,
+      deltaDocs: DataFrame): Unit = {
+    val nb = s.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(posT))
+      .bucketSpec.map(_.numBuckets).getOrElse(8)
+    deltaDocs
+      .select(col("doc_id"),
+        posexplode(tokens(col("text"))).as(Seq("pos", "term")))
+      .select("doc_id", "term", "pos")
+      .repartition(nb, col("term"))
+      .write.insertInto(posT)
   }
 
   /** The phrase/proximity query table — the first `k` tokens of each
@@ -1531,11 +1649,21 @@ object TextAnalysis {
     */
   private def positionalServe(s: SparkSession, dir: String, qp: DataFrame,
       k: Int, empty: => DataFrame)(
+      fold: (DataFrame, DataFrame) => DataFrame): DataFrame =
+    positionalServeOver(posRead(s, dir, registryTomb(s, dir)), qp, k,
+      empty)(fold)
+
+  /** The positional serve skeleton over an EXPLICIT (masked) positional
+    * relation — the [[bm25StageOver]] factoring for the positional
+    * family, so the appended demo family (q189) serves through the
+    * identical term-pruned definition.
+    */
+  private def positionalServeOver(posRel: DataFrame, qp: DataFrame,
+      k: Int, empty: => DataFrame)(
       fold: (DataFrame, DataFrame) => DataFrame): DataFrame = {
     val terms = phraseTerms(qp, k)
     if (terms.isEmpty) empty
-    else fold(posRead(s, dir, registryTomb(s, dir))
-      .filter(col("term").isin(terms: _*)), qp)
+    else fold(posRel.filter(col("term").isin(terms: _*)), qp)
   }
 
   private def emptySnippetServe(qids: DataFrame): DataFrame =
@@ -2415,11 +2543,43 @@ object TextAnalysis {
     // from a fresh full staging is wrong (postings/doclen/df/N/L are
     // all exactly additive under disjoint doc sets).
     "q187_lex_append_topk" -> ((s, dir) => {
-      val (postT, dlT, dfT, n, l) = ensureAppendedLex(s, dir)
+      val (postT, dlT, dfT, _, _, n, l) = ensureAppendedLex(s, dir)
       bm25RankCut(bm25Score(bm25StageOver(
         lexMaskOver(s, s.table(postT), s.table(dlT), s.table(dfT), n, l,
           registryTomb(s, dir)),
         corpusQTexts(s, dir, docModQids(s, dir)))))
+    }),
+
+    // the appended family's APPROXIMATE layer — the impact sidecar
+    // maintained under the same corpus growth ([[appendImpactIndex]]:
+    // re-cut only the delta-vocabulary and previously-truncated terms;
+    // every other list is complete postings, exact under any K/a) and
+    // served through the identical staging — the oracle is q182's text
+    // verbatim (K and stats derive from the grown corpus, exactly what
+    // the fresh build computes)
+    "q188_impact_append_topk" -> ((s, dir) => {
+      val (postT, dlT, dfT, _, impT, n, l) = ensureAppendedLex(s, dir)
+      val tomb = registryTomb(s, dir)
+      val imp = graft.StagedTombstones.masked(
+        s, s.table(impT), tomb.map(_.ids), "doc_id")
+      bm25RankCut(bm25Score(impactStageOver(imp,
+        lexMaskOver(s, s.table(postT), s.table(dlT), s.table(dfT), n, l,
+          tomb),
+        corpusQTexts(s, dir, docModQids(s, dir)))))
+    }),
+
+    // the appended family's POSITIONAL layer — positions are
+    // per-document rows, so the delta appends exactly like the
+    // postings ([[appendPosIndex]]) and the phrase serve through the
+    // appended table must equal q154 byte-for-byte (its oracle text,
+    // verbatim)
+    "q189_pos_append_topk" -> ((s, dir) => {
+      val (_, _, _, posT, _, _, _) = ensureAppendedLex(s, dir)
+      val qids = docModQids(s, dir)
+      val posRel = graft.StagedTombstones.masked(
+        s, s.table(posT), registryTomb(s, dir).map(_.ids), "doc_id")
+      positionalServeOver(posRel, phraseQueries(s, dir, qids, 2), 2,
+        emptyPhraseServe(qids, "phrase_tf"))(phraseAdjacencyTopDocs(_, _, 2))
     }),
 
     // intra-document repetition card — the Gopher repetition-rule
@@ -3826,6 +3986,14 @@ object TextAnalysis {
     // q148's text VERBATIM — the appended index's exactness contract
     // IS the identity with a fresh full staging (see appendLexIndex)
     "q187_lex_append_topk" -> sqlBm25TopDocs(sqlDocModQs),
+
+    // q182's text VERBATIM — the bounded re-cut reproduces the fresh
+    // sidecar's serve exactly (see appendImpactIndex)
+    "q188_impact_append_topk" -> sqlImpactTopDocs(sqlDocModQs),
+
+    // q154's text VERBATIM — positional rows are per-document, the
+    // append is pure accretion (see appendPosIndex)
+    "q189_pos_append_topk" -> sqlPhraseTopDocs(2),
 
     // recall@k of the impact serve against the exact page, per query —
     // two full chains with clashing CTE names compose as nested WITHs

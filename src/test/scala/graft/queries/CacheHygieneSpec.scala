@@ -56,7 +56,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q179_rocchio_ann", "q180_feedback_eval_card", "q181_feature_rerank",
     "q182_impact_bm25_topk", "q183_impact_recall_audit",
     "q184_label_append", "q185_bounded_hybrid",
-    "q186_bounded_hybrid_recall", "q187_lex_append_topk")
+    "q186_bounded_hybrid_recall", "q187_lex_append_topk",
+    "q188_impact_append_topk", "q189_pos_append_topk")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

@@ -90,9 +90,11 @@ class DegenerateTextSpec extends AnyFunSuite {
     // q182 serves the same null-text sample over its impact lists (no
     // terms → defined empty); q183 folds the two empty pages to zero rows
     "q182_impact_bm25_topk", "q183_impact_recall_audit",
-    // q187 serves the same sample over the appended index family (the
-    // degenerate doc 3 arrives as the delta shard — still appends)
-    "q187_lex_append_topk",
+    // q187/q188/q189 serve the same sample over the appended index
+    // family's three layers (the degenerate doc 3 arrives as the delta
+    // shard — still appends)
+    "q187_lex_append_topk", "q188_impact_append_topk",
+    "q189_pos_append_topk",
     // q175 expands the same residue-1 request over q150's labels (every
     // degenerate doc is its own cluster — the request expands to itself)
     "q175_takedown_expand",
@@ -153,6 +155,8 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q182_impact_bm25_topk", // same sample over the impact lists
         "q183_impact_recall_audit", // folds two empty pages
         "q187_lex_append_topk", // same sample over the appended family
+        "q188_impact_append_topk", // its impact layer
+        "q189_pos_append_topk", // its positional layer
         "q175_takedown_expand", // rows only for the request's members
         "q164_diverse_topk", // same sample: no candidates -> empty serve
         "q154_phrase_topk", // same sample: null text -> no phrase -> no list

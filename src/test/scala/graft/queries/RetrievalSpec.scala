@@ -774,6 +774,20 @@ class RetrievalSpec extends AnyFunSuite {
       spark, dir))
     assert(appended == rows(graft.SparkEntry.queries("q148_bm25_topk")(
       spark, dir)), "the appended index must serve exactly like q148")
+    // the approximate layer: the bounded re-cut must reproduce the
+    // fresh sidecar's serve exactly — and the real corpus exercises
+    // the subtle path (the derived K GROWS with the append, 336→368
+    // here, so the truncated stopword lists re-cut under the union
+    // scalars while untouched complete lists pass through)
+    assert(rows(graft.SparkEntry.queries("q188_impact_append_topk")(
+      spark, dir)) ==
+      rows(graft.SparkEntry.queries("q182_impact_bm25_topk")(spark, dir)),
+      "the appended impact sidecar must serve exactly like q182")
+    // the positional layer: pure accretion
+    assert(rows(graft.SparkEntry.queries("q189_pos_append_topk")(
+      spark, dir)) ==
+      rows(graft.SparkEntry.queries("q154_phrase_topk")(spark, dir)),
+      "the appended positional index must serve exactly like q154")
     // physical-append pin: stage writes exactly ONE file per bucket,
     // the delta append adds at most one more per touched bucket — a
     // file count strictly between nb and 2·nb proves the old shard's
