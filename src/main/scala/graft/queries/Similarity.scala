@@ -968,6 +968,53 @@ object Similarity {
     idxT
   }
 
+  /** Builds (once per session+dir) the APPENDED IVF-PQ demo family —
+    * the q187 batch-append stance for the VECTOR side, completing the
+    * growth story across every staged artifact (labels q184, lexical
+    * q187–q189, vectors here; the streaming sidecar q173 is the
+    * micro-batch dual): the seven-eighths shard's codes stage, then
+    * the residue-3 delta encodes under the SAME frozen centroid/PQ
+    * models through the ONE shared [[pqCodes]] definition and APPENDS
+    * as hash-placed bucket files — 256 B of float32 per delta vector
+    * never touches the historical index, and the appended table equals
+    * a fresh full staging row-for-row (codes are deterministic per
+    * vector under frozen models — the q173 identity, batch-side).
+    * Frozen models retrain on their own cadence (the ensureIvfPqIndex
+    * posture); q190's oracle is q122's text verbatim.
+    */
+  private def ensureAppendedIvf(s: SparkSession, dir: String,
+      cents: Array[(Int, Seq[Double], Double)],
+      books: Array[Array[Array[Double]]]): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val idxT = s"graft_ivfapp_$tag"
+    val doneT = s"graft_ivfapp_done_$tag"
+    if (!s.catalog.tableExists(doneT)) {
+      if (s.catalog.tableExists(idxT)) s.sql(s"DROP TABLE `$idxT`")
+      val emb = Tables(s, dir, "embeddings")
+      graft.Bucketing.stage(
+        pqCodes(emb.filter(col("vec_id") % 8 =!= 3), cents, books),
+        idxT, "cell", graft.Bucketing.bucketCountFor(emb.count()))
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(idxT))
+      val nb = meta.bucketSpec.map(_.numBuckets).getOrElse(8)
+      pqCodes(emb.filter(col("vec_id") % 8 === 3), cents, books)
+        .repartition(nb, col("cell"))
+        .select(s.table(idxT).columns.map(col): _*)
+        .write.insertInto(idxT)
+      // the Bucketing.stage orphan discipline for the marker (files
+      // left by an earlier JVM are invisible to this catalog)
+      val ss = s
+      import ss.implicits._
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(doneT)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      Seq(1L).toDF("done").write.saveAsTable(doneT)
+    }
+    idxT
+  }
+
   /** The vector half of [[graft.StagedTombstones.purge]]: physically
     * rewrite BOTH staged vector-serve tables of (session, dir) — the
     * IVF-PQ code table (q91/q122/q174's substrate) and the q68 IVF cell
@@ -1482,6 +1529,23 @@ object Similarity {
       val books = pqCodebooks(s, dir)
       val idxT = ensureIvfPqIndex(s, dir, cents, books)
       // takedown mask over the pruned scan (see q91)
+      adcServeBatch(s, dir,
+        graft.StagedTombstones.maskedVecs(s, dir, s.table(idxT)),
+        cents, books)
+    }),
+
+    // the appended VECTOR index — q187's batch-append stance for the
+    // ADC serve substrate: the old shard's codes staged, the delta
+    // encoded under the frozen models ([[pqCodes]], the q173 shared
+    // definition) and appended as bucket files, then the IDENTICAL
+    // batched serve over the appended table. Oracle = q122's text
+    // verbatim — an appended code table that serves any differently
+    // from a fresh full staging is wrong (codes are deterministic per
+    // vector under frozen models)
+    "q190_vec_append_serve" -> ((s, dir) => {
+      val cents = kmeansCentroids(s, dir)
+      val books = pqCodebooks(s, dir)
+      val idxT = ensureAppendedIvf(s, dir, cents, books)
       adcServeBatch(s, dir,
         graft.StagedTombstones.maskedVecs(s, dir, s.table(idxT)),
         cents, books)
@@ -3050,6 +3114,11 @@ object Similarity {
     // the q91 chain keyed by qid over the q95 query sample (the
     // factored sqlAnnServeBatchSql — shared with the q149 fusion)
     "q122_ann_serve_batch" -> sqlAnnServeBatchSql,
+
+    // q122's text VERBATIM — the appended code table's exactness
+    // contract IS the identity with a fresh full staging (frozen
+    // models, deterministic codes; see ensureAppendedIvf)
+    "q190_vec_append_serve" -> sqlAnnServeBatchSql,
 
     // the Rocchio loop: round 1 is the q122 statement embedded VERBATIM
     // (nested-WITH, its own scope), the feedback centroid folds per

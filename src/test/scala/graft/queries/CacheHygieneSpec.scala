@@ -57,7 +57,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q182_impact_bm25_topk", "q183_impact_recall_audit",
     "q184_label_append", "q185_bounded_hybrid",
     "q186_bounded_hybrid_recall", "q187_lex_append_topk",
-    "q188_impact_append_topk", "q189_pos_append_topk")
+    "q188_impact_append_topk", "q189_pos_append_topk",
+    "q190_vec_append_serve")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

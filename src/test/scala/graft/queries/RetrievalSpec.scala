@@ -819,6 +819,41 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q190: the appended vector index serves exactly like the fresh staging, physically incrementally, idempotently") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).sorted.toSeq
+    val appended = rows(graft.SparkEntry.queries("q190_vec_append_serve")(
+      spark, dir))
+    assert(appended == rows(graft.SparkEntry.queries("q122_ann_serve_batch")(
+      spark, dir)),
+      "the appended code table must serve exactly like q122")
+    // physical-append pin (the q187 discipline): stage writes one file
+    // per bucket, the delta encode adds at most one more per touched
+    // cell bucket — and the appended rows must equal the fresh index's
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val idxT = s"graft_ivfapp_$tag"
+    val meta = spark.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(idxT))
+    val nb = meta.bucketSpec.get.numBuckets
+    def files(): Int = {
+      val p = java.nio.file.Paths.get(new java.net.URI(meta.location.toString))
+      val st = java.nio.file.Files.list(p)
+      try st.filter(_.toString.endsWith(".parquet")).count().toInt
+      finally st.close()
+    }
+    val nf = files()
+    assert(nf > nb && nf <= 2 * nb,
+      s"append must add files beside the staged ones: $nf files, $nb buckets")
+    assert(spark.table(idxT).count() ==
+      spark.table(s"graft_q91_ivfpq_$tag").count(),
+      "appended codes must hold exactly the fresh staging's rows")
+    assert(rows(graft.SparkEntry.queries("q190_vec_append_serve")(
+      spark, dir)) == appended, "re-entry must serve identically")
+    assert(files() == nf, "re-entry must not append again")
+    spark.catalog.clearCache()
+  }
+
   test("q185: external and catalog roads match the registered serve on the real corpus") {
     import org.apache.spark.sql.functions._
     // the real corpus's derived K TRUNCATES its stopword lists (that is
