@@ -490,6 +490,68 @@ class PlanQualitySpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q187/q188/q189 appended-family serves: the append files keep every pruned-plan contract") {
+    // the physical point of the append design: hash-placed append
+    // files are REAL bucket members, so the serves over the appended
+    // family must keep exactly the fresh family's plan shape —
+    // literal-IN term prune reaching a bucketed scan, broadcast query
+    // side, WindowGroupLimit cut, no nested loop, no range partition.
+    // A file landing without its bucket id would silently void
+    // SelectedBucketsCount here.
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try for (q <- Seq("q187_lex_append_topk", "q188_impact_append_topk",
+        "q189_pos_append_topk")) {
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("Bucketed: true"), s"$q: ${p.take(2000)}")
+      assert(p.contains("SelectedBucketsCount"), s"$q: ${p.take(2000)}")
+      assert(p.contains("BroadcastHashJoin"), s"$q: ${p.take(2000)}")
+      assert(p.contains("WindowGroupLimit"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(2000)}")
+      assert(!p.contains("Exchange rangepartitioning"), s"$q: ${p.take(2000)}")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.catalog.clearCache()
+  }
+
+  test("q190 appended vector serve: bucket-pruned code scan over the appended table, no raw-vector read") {
+    // the q91/q122 pin through the appended family: the probe scan
+    // touches only the probed cells' buckets of the APPENDED code
+    // table (append files included), never the raw embeddings
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q190_vec_append_serve")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount"), s"${p.take(2000)}")
+      assert(!p.contains("embeddings.parquet"),
+        "read path must scan the appended codes, not the raw vectors")
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.catalog.clearCache()
+  }
+
+  test("q185 bounded hybrid: both legs' pruned scans survive the fusion, no cartesian, per-query cut only") {
+    // the fusion must not destroy the legs' plans: the lexical leg's
+    // impact-list scan stays bucket-pruned, the fusion is a qid+doc_id
+    // equi-join (FULL OUTER — never a nested loop), and every rank cut
+    // is a qid-partitioned window
+    spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q185_bounded_hybrid")(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("SelectedBucketsCount"), p.take(2000))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+      assert(!p.contains("Exchange rangepartitioning"), p.take(2000))
+    } finally
+      spark.conf.unset("spark.sql.sources.bucketing.autoBucketedScan.enabled")
+    spark.catalog.clearCache()
+  }
+
   test("q162 repetition card: array-only gram shares, one token aggregate, no sort or cartesian anywhere") {
     // the card's contract: gram shares never explode (array projections
     // only) — the single explode in the plan is max_tf's token
