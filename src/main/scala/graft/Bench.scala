@@ -164,7 +164,8 @@ object Bench {
       results.keys.map(_.takeWhile(_ != '_')).toSet.size == results.size
     def build(kept: Seq[(String, Double)], dec: Int,
         withSpread: Boolean, withStatic: Boolean = true,
-        dsKeys: Boolean = false, idKeys: Boolean = false): String = {
+        dsKeys: Boolean = false, idKeys: Boolean = false,
+        packKeys: Boolean = false): String = {
       // the deciseconds rung keeps the full roster at the SAME 0.1 s
       // resolution as 1-decimal seconds while spending ~2 fewer chars
       // per entry ("q43…":31 vs "q43…":3.1) — the key is renamed so no
@@ -175,14 +176,23 @@ object Bench {
       val key: String => String =
         if (idKeys) k => k.takeWhile(_ != '_') else identity
       val qm =
-        if (dsKeys)
+        if (packKeys)
+          // the densest rung: ONE JSON string "NN:ds,NN:ds,…" — the
+          // digits of each unique qNN id plus its integer deciseconds
+          // (~7 chars/query where the id rung spends ~10), under its
+          // own field name so a reader must consciously unpack it
+          jstr(kept.map { case (k, v) =>
+            key(k).stripPrefix("q") + ":" + math.round(v * 10).toString
+          }.mkString(","))
+        else if (dsKeys)
           kept.map { case (k, v) => jstr(key(k)) + ":" + math.round(v * 10).toString }
             .mkString("{", ",", "}")
         else
           kept.map { case (k, v) => jstr(key(k)) + ":" + jnumAt(v, dec) }
             .mkString("{", ",", "}")
       val qKey =
-        if (dsKeys && idKeys) "queries_ds_id"
+        if (packKeys) "queries_ds_pack"
+        else if (dsKeys && idKeys) "queries_ds_id"
         else if (dsKeys) "queries_ds"
         else "queries"
       val omitted = results.size - kept.size
@@ -223,12 +233,17 @@ object Bench {
           withStatic = false, dsKeys = true)) ++
         (if (idsUnique)
           Iterator.single(build(bySlowest, 1, withSpread = false,
-            withStatic = false, dsKeys = true, idKeys = true))
+            withStatic = false, dsKeys = true, idKeys = true)) ++
+          // the packed-string rung (the 191-query suite crosses it):
+          // full roster at 0.1 s resolution in one "NN:ds,…" string
+          Iterator.single(build(bySlowest, 1, withSpread = false,
+            withStatic = false, dsKeys = true, idKeys = true,
+            packKeys = true))
         else Iterator.empty) ++
         Iterator.iterate(bySlowest.size)(n => n - math.max(1, n / 10))
           .takeWhile(_ > 0).map(n => build(bySlowest.take(n), 1,
             withSpread = false, withStatic = false, dsKeys = true,
-            idKeys = idsUnique))
+            idKeys = idsUnique, packKeys = idsUnique))
     attempts.find(_.length <= LineBudget)
       .getOrElse(build(Seq.empty, 1, withSpread = false, withStatic = false))
   }

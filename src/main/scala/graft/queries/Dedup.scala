@@ -567,6 +567,47 @@ object Dedup {
     // fresh closure stages — q150's bench amortization applies).
     "q184_label_append" -> ((s, dir) => ensureAppendedLabels(s, dir)),
 
+    // append-exactness drift card — the REBUILD SIGNAL beside q184
+    // (the q183/q186 stance for the label append): the append is exact
+    // while corpus growth neither changes the derived band width nor
+    // pushes a band bucket past the cap, and this card MEASURES both
+    // boundaries for the residue-3 split instead of assuming them. One
+    // row: the old shard's and union's derived widths, the bucket
+    // count, how many buckets CROSSED the cap with the growth (old
+    // occupancy ≤ cap < union occupancy — exactly the buckets whose
+    // old-old pairs a fresh build would drop but the append kept), and
+    // the verdict bit. append_exact = 1 is a GUARANTEE (sufficient
+    // condition) — keep appending; 0 only WITHDRAWS the guarantee: the
+    // divergence surface is confined to the crossed buckets' old-old
+    // pairs, which may still be redundant (covered by other bands or
+    // past the hamming bar) — MEASURED at sf0.01, where the card reads
+    // one crossed bucket yet the q184 fresh-closure identity still
+    // holds. The conservative read is the operational one: 0 means
+    // schedule the re-cluster. Plan: ONE narrow union band build + two
+    // map-combined aggregates to one row — all integers, cross-engine
+    // exact.
+    "q191_append_drift_card" -> ((s, dir) => {
+      val docs = Tables.wide(s, dir, "documents")
+      val nOld = docs.filter(col("doc_id") % 8 =!= 3).count()
+      val nU = Tables(s, dir, "documents").count()
+      val wOld = Similarity.bandWidth64For(nOld)
+      val wU = Similarity.bandWidth64For(nU)
+      val (bands, _) = Similarity.band64RelationOver(docs, nU)
+      bands
+        .groupBy("b", "bk").agg(
+          count(lit(1)).as("kc"),
+          sum(when(col("doc_id") % 8 =!= 3, 1L).otherwise(0L)).as("kold"))
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          coalesce(sum(when(col("kold") <= Similarity.MaxBandDocs &&
+            col("kc") > Similarity.MaxBandDocs, 1L).otherwise(0L)), lit(0L))
+            .as("n_crossed"))
+        .select(lit(wOld.toLong).as("w_old"), lit(wU.toLong).as("w_union"),
+          col("n_buckets"), col("n_crossed"),
+          when(lit(wOld == wU) && col("n_crossed") === 0L, 1L)
+            .otherwise(0L).as("append_exact"))
+    }),
+
     // survivor report: one row per component — the kept (minimum) doc_id
     // and how many documents merged into it. `keep_id = doc_id` rows of
     // q43 are the post-dedup corpus; this is its accounting view.
@@ -925,6 +966,30 @@ object Dedup {
     // which holds for the 1/8-shard split at the verified scales)
     "q184_label_append" ->
       s"$sqlClusters64\nSELECT doc_id, cluster_id FROM clusters",
+
+    // the factored 64-bit band CTEs (union width via wp), the old
+    // shard's width derived the same way over the reduced count, and
+    // the cap-crossing fold — all integers
+    "q191_append_drift_card" ->
+      s"""WITH ${Similarity.Sql64BandCtes},
+         |wold AS (SELECT CAST(COALESCE(MIN(j), 32) AS BIGINT) AS w
+         |  FROM (VALUES (8),(16),(32)) t(j)
+         |  WHERE (CAST(1 AS BIGINT) << j) * 25 >=
+         |    (SELECT count(*) FROM documents WHERE doc_id % 8 != 3)),
+         |kch AS (SELECT b, bk, CAST(COUNT(*) AS BIGINT) AS kc,
+         |  CAST(SUM(CASE WHEN doc_id % 8 != 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS kold
+         |  FROM bands GROUP BY b, bk)
+         |SELECT (SELECT w FROM wold) AS w_old, (SELECT w FROM wp) AS w_union,
+         |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+         |  CAST(COALESCE(SUM(CASE WHEN kold <= ${Similarity.MaxBandDocs}
+         |    AND kc > ${Similarity.MaxBandDocs} THEN 1 ELSE 0 END), 0)
+         |    AS BIGINT) AS n_crossed,
+         |  CAST(CASE WHEN (SELECT w FROM wold) = (SELECT w FROM wp)
+         |    AND COALESCE(SUM(CASE WHEN kold <= ${Similarity.MaxBandDocs}
+         |      AND kc > ${Similarity.MaxBandDocs} THEN 1 ELSE 0 END), 0) = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS append_exact
+         |FROM kch""".stripMargin,
 
     // the diversified serve: the q150 closure and the q148 scored
     // candidates spliced into ONE chain (sqlBm25Ctes carries no WITH

@@ -73,8 +73,16 @@ class BenchSpec extends AnyFunSuite {
         case _ => (p \ "queries_ds") match {
           case JObject(_) => (p \ "queries_ds").extract[Map[String, Double]]
             .view.mapValues(_ / 10.0).toMap
-          case _ => (p \ "queries_ds_id").extract[Map[String, Double]]
-            .map { case (id, v) => byId(id) -> v / 10.0 }
+          case _ => (p \ "queries_ds_id") match {
+            case JObject(_) => (p \ "queries_ds_id")
+              .extract[Map[String, Double]]
+              .map { case (id, v) => byId(id) -> v / 10.0 }
+            case _ => (p \ "queries_ds_pack").extract[String]
+              .split(',').filter(_.nonEmpty).map { e =>
+                val Array(id, ds) = e.split(':')
+                byId("q" + id) -> ds.toDouble / 10.0
+              }.toMap
+          }
         }
       }
     }

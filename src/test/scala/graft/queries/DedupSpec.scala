@@ -238,6 +238,38 @@ class DedupSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q191 drift card: certifies the real corpus's append exactness; a planted cap-crossing reads 0") {
+    import spark.implicits._
+    // the card must CERTIFY what the q184 identity test observes on the
+    // real corpus: no band parameter crossed its boundary
+    val real = graft.SparkEntry.queries("q191_append_drift_card")(spark, dir)
+      .collect()
+    graft.Caches.release(spark)
+    assert(real.length == 1)
+    val r = real.head
+    assert(r.getAs[Long]("w_old") == r.getAs[Long]("w_union") &&
+      r.getAs[Long]("n_crossed") == 0L &&
+      r.getAs[Long]("append_exact") == 1L,
+      s"the verified-identical corpus must certify exact: $r")
+    // planted crossing: 51 identical documents, 50 in the old shard and
+    // one arriving as the delta — every band bucket sits AT the cap
+    // before the growth and past it after, so a fresh union build drops
+    // the bucket's pairs while the append kept the old ones: the card
+    // must read all 8 buckets crossed and veto the append
+    val ids = (0L until 200L).filter(_ % 8 != 3).take(50) :+ 3L
+    val d = java.nio.file.Files.createTempDirectory("graft-drift").toString
+    ids.map(i => (i, "same text in every single copy of this document"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val planted = graft.SparkEntry.queries("q191_append_drift_card")(
+      spark, d).collect().head
+    graft.Caches.release(spark)
+    assert(planted.getAs[Long]("n_buckets") == 8L &&
+      planted.getAs[Long]("n_crossed") == 8L &&
+      planted.getAs[Long]("append_exact") == 0L,
+      s"the planted crossing must veto the append: $planted")
+    spark.catalog.clearCache()
+  }
+
   test("q177 dedup card reads the planted duplication exactly") {
     // 3 identical copies + 2 distinct docs: 5 docs, 3 clusters, the
     // family of 3 is the largest, 2 docs are non-canonical duplicates

@@ -95,6 +95,8 @@ class DegenerateTextSpec extends AnyFunSuite {
     // shard — still appends)
     "q187_lex_append_topk", "q188_impact_append_topk",
     "q189_pos_append_topk",
+    // q191 folds the degenerate corpus's band relation to one card row
+    "q191_append_drift_card",
     // q175 expands the same residue-1 request over q150's labels (every
     // degenerate doc is its own cluster — the request expands to itself)
     "q175_takedown_expand",
@@ -157,6 +159,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q187_lex_append_topk", // same sample over the appended family
         "q188_impact_append_topk", // its impact layer
         "q189_pos_append_topk", // its positional layer
+        "q191_append_drift_card", // one card row by construction
         "q175_takedown_expand", // rows only for the request's members
         "q164_diverse_topk", // same sample: no candidates -> empty serve
         "q154_phrase_topk", // same sample: null text -> no phrase -> no list
