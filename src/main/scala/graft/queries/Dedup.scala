@@ -218,6 +218,19 @@ object Dedup {
       oldDocs: DataFrame, newDocs: DataFrame, nUnion: Long): DataFrame = {
     val (oldBands, _) = Similarity.band64RelationOver(oldDocs, nUnion)
     val (newBands, _) = Similarity.band64RelationOver(newDocs, nUnion)
+    appendLabelsFromBands(s, oldLabels, oldBands, newBands,
+      newDocs.select(col("doc_id")))
+  }
+
+  /** [[appendLabels64]]'s core over EXPLICIT band relations — factored
+    * so the streaming dual ([[graft.streaming.LabelStream]]) bands from
+    * its stored epoch sketches under the frozen stream width instead of
+    * re-reading texts. `newIds` is the delta's id set (its null-text
+    * documents band nowhere but still label as singletons).
+    */
+  private[graft] def appendLabelsFromBands(s: SparkSession,
+      oldLabels: DataFrame, oldBands: DataFrame, newBands: DataFrame,
+      newIds0: DataFrame): DataFrame = {
     val cols = Seq("doc_id", "lo", "hi", "b", "bk").map(col)
     val all = oldBands.select(cols: _*).union(newBands.select(cols: _*))
     val rare = all.groupBy("b", "bk")
@@ -225,7 +238,7 @@ object Dedup {
       .filter(col("kc") <= Similarity.MaxBandDocs)
       .select("b", "bk")
     val capped = all.join(rare, Seq("b", "bk"), "left_semi")
-    val newIds = newDocs.select(col("doc_id"))
+    val newIds = newIds0.select(col("doc_id"))
     val newSide = capped.join(newIds, Seq("doc_id"), "left_semi")
     // delta-involving pairs: delta×all on the shared band key (a
     // new-new pair surfaces from both sides — the distinct folds it);
@@ -501,6 +514,13 @@ object Dedup {
   private def clusterLabels(s: SparkSession, dir: String): DataFrame =
     ensureClusterLabels(s, dir)
 
+  /** Per-(application, dir) label-stream roots for q192 — built once
+    * (adopt + two arrival epochs), then every read serves the root
+    * (the adcRoots discipline).
+    */
+  private val labelRoots =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
   /** The near-dup-diversified cut (q164's defining half): suppress each
     * (query, cluster)'s non-best twins BEFORE the per-query rank cut —
     * so lower-ranked DISTINCT documents backfill the page — then cut.
@@ -566,6 +586,40 @@ object Dedup {
     // appended labels are the SAME materialized corpus artifact a
     // fresh closure stages — q150's bench amortization applies).
     "q184_label_append" -> ((s, dir) => ensureAppendedLabels(s, dir)),
+
+    // streaming label maintenance ([[graft.streaming.LabelStream]] —
+    // the q173 stance for the label artifact): the seven-eighths base
+    // ADOPTS (sketches + its honestly-parameterized staged labels, band
+    // width frozen), the residue-3 delta ARRIVES as two exactly-once
+    // epochs, and the served last-write-wins labels must equal the
+    // fresh union closure — q150's oracle text VERBATIM, the identity
+    // is the point. Each epoch stores only the batch's sketch+label
+    // rows plus the CHANGED prior labels (arrival-collision-sized,
+    // never corpus-sized); texts are never re-read after adoption.
+    "q192_label_stream" -> ((s, dir) => {
+      val root = labelRoots.computeIfAbsent(
+        (s.sparkContext.applicationId, dir), _ => {
+          val r = java.nio.file.Files
+            .createTempDirectory("graft-label-stream").toString
+          val docs = Tables.wide(s, dir, "documents")
+          val base = docs.filter(col("doc_id") % 8 =!= 3)
+          val nBase = base.count()
+          val (baseLabels, _) = propagateMin(s,
+            Similarity.simhash64PairsOver(base, nBase)
+              .select(col("doc_a"), col("doc_b")),
+            base.select(col("doc_id")))
+          graft.streaming.LabelStream.initRoot(s, r, base, baseLabels,
+            Similarity.bandWidth64For(nBase))
+          val delta = docs.filter(col("doc_id") % 8 === 3)
+            .select(col("doc_id"), col("text"))
+          graft.streaming.LabelStream.processLabelBatch(s,
+            delta.filter(col("doc_id") % 16 === 3), 0L, r)
+          graft.streaming.LabelStream.processLabelBatch(s,
+            delta.filter(col("doc_id") % 16 === 11), 1L, r)
+          r
+        })
+      graft.streaming.LabelStream.servableLabels(s, root)
+    }),
 
     // append-exactness drift card — the REBUILD SIGNAL beside q184
     // (the q183/q186 stance for the label append): the append is exact
@@ -965,6 +1019,13 @@ object Dedup {
     // whenever the growth moves no band parameter past its boundary,
     // which holds for the 1/8-shard split at the verified scales)
     "q184_label_append" ->
+      s"$sqlClusters64\nSELECT doc_id, cluster_id FROM clusters",
+
+    // the fresh union closure, verbatim — the streamed arrivals must
+    // label exactly like a fresh re-cluster of the grown corpus (the
+    // q173 identity stance; same conditional boundary as q184,
+    // measured by q191)
+    "q192_label_stream" ->
       s"$sqlClusters64\nSELECT doc_id, cluster_id FROM clusters",
 
     // the factored 64-bit band CTEs (union width via wp), the old

@@ -509,17 +509,38 @@ object Similarity {
   private[graft] def band64RelationOver(docs: DataFrame, n: Long)
       : (DataFrame, Int) = {
     val w = bandWidth64For(n)
-    val nb = 64 / w
-    val nbLo = 32 / w
-    val mask = (1L << w) - 1
-    val sim = docs
+    val sim = sketch64(docs)
+      .persist() // released by the consumer's Caches.release hook
+    (bandsFromSketches(sim, w), w)
+  }
+
+  /** The two-half 64-bit sketch projection (doc_id, lo, hi) of a
+    * documents relation — [[band64RelationOver]]'s sketch half,
+    * factored so the streaming label maintenance
+    * ([[graft.streaming.LabelStream]]) can PERSIST an arrival's sketch
+    * in its epoch and band later batches from storage instead of
+    * re-reading texts. Null/absent text sketches to null — such a
+    * document never bands (the q42 posture) but still labels.
+    */
+  private[graft] def sketch64(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), array_distinct(col("tk")).as("dtk"))
       .select(col("doc_id"),
         simHash32(transform(col("dtk"), t => portableHash(t))).as("lo"),
         simHash32(transform(col("dtk"), t => portableHash(t, 1))).as("hi"))
-      .persist() // released by the consumer's Caches.release hook
-    val bands = sim.select(col("doc_id"), col("lo"), col("hi"), explode(array(
+
+  /** The band expansion of a (doc_id, lo, hi) sketch relation at an
+    * EXPLICIT width — [[band64RelationOver]]'s second half, factored
+    * for consumers that band from stored sketches under a frozen width
+    * (the streaming label dual) or at a caller-chosen width (the
+    * incremental append's union-derived one).
+    */
+  private[graft] def bandsFromSketches(sim: DataFrame, w: Int): DataFrame = {
+    val nb = 64 / w
+    val nbLo = 32 / w
+    val mask = (1L << w) - 1
+    sim.select(col("doc_id"), col("lo"), col("hi"), explode(array(
       (0 until nb).map { b =>
         val bk =
           if (b < nbLo) shiftright(col("lo"), w * b).bitwiseAND(lit(mask))
@@ -528,7 +549,6 @@ object Similarity {
       }: _*)).as("x"))
       .select(col("doc_id"), col("lo"), col("hi"),
         col("x.b").as("b"), col("x.bk").as("bk"))
-    (bands, w)
   }
 
   /** q27's pair generator over an EXPLICIT documents relation and count

@@ -58,7 +58,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q184_label_append", "q185_bounded_hybrid",
     "q186_bounded_hybrid_recall", "q187_lex_append_topk",
     "q188_impact_append_topk", "q189_pos_append_topk",
-    "q190_vec_append_serve", "q191_append_drift_card")
+    "q190_vec_append_serve", "q191_append_drift_card",
+    "q192_label_stream")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

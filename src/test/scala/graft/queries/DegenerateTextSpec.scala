@@ -97,6 +97,9 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q189_pos_append_topk",
     // q191 folds the degenerate corpus's band relation to one card row
     "q191_append_drift_card",
+    // q192 adopts the degenerate base and streams doc 3 (its second
+    // batch is EMPTY — a defined no-op epoch); every doc still labels
+    "q192_label_stream",
     // q175 expands the same residue-1 request over q150's labels (every
     // degenerate doc is its own cluster — the request expands to itself)
     "q175_takedown_expand",
