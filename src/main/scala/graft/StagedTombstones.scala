@@ -114,6 +114,13 @@ object StagedTombstones {
   private[graft] def purgedDocIds(s: SparkSession, dir: String): Set[Long] =
     purgedIdsOf(purgedDocReqs, key(s, dir))
 
+  /** The vector-side twin of [[purgedDocIds]] — the union the appended
+    * vector demo's rebuild masks ([[graft.queries.Similarity
+    * .ensureAppendedIvf]]).
+    */
+  private[graft] def purgedVecIds(s: SparkSession, dir: String): Set[Long] =
+    purgedIdsOf(purgedVecReqs, key(s, dir))
+
   private def key(s: SparkSession, dir: String) =
     (s.sparkContext.applicationId, dir)
 
@@ -346,6 +353,13 @@ object StagedTombstones {
         (t.ids ++ purgedIdsOf(purgedDocReqs, k)).distinct))
       purgeAdoptedRoots(s, dir, vecSide = false,
         (t.ids ++ purgedIdsOf(purgedDocReqs, k)).distinct)
+      // the appended DEMO artifacts (q184 labels, the q187–q189 lexapp
+      // family, the q192 stream roots) are session demos derived from
+      // the raw corpus: physical erasure is a drop — their next ensure
+      // rebuilds over the corpus minus the purged ledger (each build
+      // masks it), the never-staged-family posture
+      queries.TextAnalysis.dropAppendedLex(s, dir)
+      queries.Dedup.dropAppendedDemos(s, dir)
       val m = docReqs.remove(k)
       if (m != null) {
         val p = purgedDocReqs.computeIfAbsent(k, _ =>
@@ -358,9 +372,18 @@ object StagedTombstones {
       }
     }
     vecIds(s, dir).foreach { ids =>
-      requireRewritten(s, queries.Similarity.purgeVecs(s, dir, ids))
+      // the rewrite masks the FULL purged union, not just the live
+      // requests: a re-run after a mid-swap crash re-stages the
+      // dropped code table from the raw embeddings — which still hold
+      // every previously erased vector — and an ids-only mask would
+      // resurrect the earlier purges' rows (the purgeLex posture)
+      requireRewritten(s, queries.Similarity.purgeVecs(s, dir,
+        (ids ++ purgedIdsOf(purgedVecReqs, k)).distinct))
       purgeAdoptedRoots(s, dir, vecSide = true,
         (ids ++ purgedIdsOf(purgedVecReqs, k)).distinct)
+      // the appended vector demo (q190) — the same drop-and-rebuild
+      // erasure as the doc-side demo families
+      queries.Similarity.dropAppendedIvf(s, dir)
       val m = vecReqs.remove(k)
       if (m != null) {
         val p = purgedVecReqs.computeIfAbsent(k, _ =>

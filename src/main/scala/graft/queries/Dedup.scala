@@ -135,6 +135,24 @@ object Dedup {
       dir: String): DataFrame =
     ensureLabels(s, dir, "q150", pairs64)
 
+  /** The takedown purge's hook for the label DEMO artifacts — the
+    * q184 staged appended labels and the q192 stream roots: both are
+    * session demos derived from the raw corpus, so physical erasure is
+    * a drop/delete; the next ensure rebuilds over the corpus minus the
+    * purged ledger (their builds mask it). Idempotent.
+    */
+  private[graft] def dropAppendedDemos(s: SparkSession, dir: String): Unit = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val lblT = s"graft_q184_labels_$tag"
+    if (s.catalog.tableExists(lblT)) s.sql(s"DROP TABLE `$lblT`")
+    Option(labelRoots.remove((s.sparkContext.applicationId, dir)))
+      .foreach { r =>
+        val p = new org.apache.hadoop.fs.Path(r)
+        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+  }
+
   /** The takedown purge's LABEL half: drop each staged cluster-label
     * table that exists and rebuild its closure over the mask-filtered
     * corpus — physical erasure for the (doc_id, cluster_id) rows too,
@@ -298,10 +316,19 @@ object Dedup {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val lblT = s"graft_q184_labels_$tag"
     if (!s.catalog.tableExists(lblT)) {
-      val docs = Tables.wide(s, dir, "documents")
+      // build universe = corpus minus the purged ledger (the
+      // ensureLabels posture): a purge DROPS this demo artifact
+      // ([[dropAppendedDemos]]) and the rebuild must not resurrect
+      // erased documents from the raw corpus
+      val purged = graft.StagedTombstones.purgedDocIds(s, dir).toSeq
+      val docs = graft.StagedTombstones.masked(s,
+        Tables.wide(s, dir, "documents"),
+        if (purged.isEmpty) None else Some(purged), "doc_id")
       val oldDocs = docs.filter(col("doc_id") % 8 =!= 3)
       val newDocs = docs.filter(col("doc_id") % 8 === 3)
-      val nUnion = Tables(s, dir, "documents").count()
+      val nUnion =
+        if (purged.isEmpty) Tables(s, dir, "documents").count()
+        else docs.count()
       val before = s.sparkContext.getPersistentRDDs.keySet.toSet
       val (oldLabels, _) = propagateMin(s,
         Similarity.simhash64PairsOver(oldDocs, oldDocs.count())
@@ -601,7 +628,13 @@ object Dedup {
         (s.sparkContext.applicationId, dir), _ => {
           val r = java.nio.file.Files
             .createTempDirectory("graft-label-stream").toString
-          val docs = Tables.wide(s, dir, "documents")
+          // the root's universe excludes the purged ledger (a purge
+          // deletes the root — [[dropAppendedDemos]] — and the rebuild
+          // must not re-adopt erased documents)
+          val purged = graft.StagedTombstones.purgedDocIds(s, dir).toSeq
+          val docs = graft.StagedTombstones.masked(s,
+            Tables.wide(s, dir, "documents"),
+            if (purged.isEmpty) None else Some(purged), "doc_id")
           val base = docs.filter(col("doc_id") % 8 =!= 3)
           val nBase = base.count()
           val (baseLabels, _) = propagateMin(s,

@@ -1010,10 +1010,17 @@ object Similarity {
     val doneT = s"graft_ivfapp_done_$tag"
     if (!s.catalog.tableExists(doneT)) {
       if (s.catalog.tableExists(idxT)) s.sql(s"DROP TABLE `$idxT`")
-      val emb = Tables(s, dir, "embeddings")
+      // the family builds over the embeddings MINUS the purged ledger
+      // (the dropAppendedLex posture, vector side): a purge DROPS this
+      // demo family and the rebuild must not resurrect erased vectors
+      val purged = graft.StagedTombstones.purgedVecIds(s, dir).toSeq
+      val emb = graft.StagedTombstones.masked(s,
+        Tables(s, dir, "embeddings"),
+        if (purged.isEmpty) None else Some(purged), "vec_id")
       graft.Bucketing.stage(
         pqCodes(emb.filter(col("vec_id") % 8 =!= 3), cents, books),
-        idxT, "cell", graft.Bucketing.bucketCountFor(emb.count()))
+        idxT, "cell", graft.Bucketing.bucketCountFor(
+          Tables(s, dir, "embeddings").count()))
       val meta = s.sessionState.catalog.getTableMetadata(
         org.apache.spark.sql.catalyst.TableIdentifier(idxT))
       val nb = meta.bucketSpec.map(_.numBuckets).getOrElse(8)
@@ -1033,6 +1040,17 @@ object Similarity {
       Seq(1L).toDF("done").write.saveAsTable(doneT)
     }
     idxT
+  }
+
+  /** The takedown purge's hook for the appended vector demo (q190) —
+    * the [[graft.queries.TextAnalysis.dropAppendedLex]] posture: DROP
+    * the session-derived tables; the next ensure rebuilds them over
+    * the embeddings minus the purged ledger.
+    */
+  private[graft] def dropAppendedIvf(s: SparkSession, dir: String): Unit = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    Seq(s"graft_ivfapp_$tag", s"graft_ivfapp_done_$tag").foreach(t =>
+      if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE `$t`"))
   }
 
   /** The vector half of [[graft.StagedTombstones.purge]]: physically

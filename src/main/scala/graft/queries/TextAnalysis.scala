@@ -754,7 +754,15 @@ object TextAnalysis {
       Seq(postT, dlT, dfT, posT, impT,
           s"${dfT}__rewrite", s"${impT}__rewrite").foreach(t =>
         if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE `$t`"))
-      val docs = Tables.wide(s, dir, "documents")
+      // the family builds over the corpus MINUS the purged ledger —
+      // the ensureLabels never-staged posture: a purge DROPS this demo
+      // family ([[dropAppendedLex]]) and the rebuild must not
+      // resurrect the erased documents from the raw corpus (with no
+      // purges the mask folds away)
+      val purged = graft.StagedTombstones.purgedDocIds(s, dir).toSeq
+      val docs = graft.StagedTombstones.masked(s,
+        Tables.wide(s, dir, "documents"),
+        if (purged.isEmpty) None else Some(purged), "doc_id")
       val oldDocs = docs.filter(col("doc_id") % 8 =!= 3)
       val deltaDocs = docs.filter(col("doc_id") % 8 === 3)
       // the pre-growth family: lex + positional + impact layers staged
@@ -789,12 +797,37 @@ object TextAnalysis {
     }
     val (n, l) = lexAppStats.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
-        val nd = Tables(s, dir, "documents").count()
+        // N over the corpus minus the purged ledger (the family's own
+        // build universe); L folds the family's (already reduced) dl
+        val purged = graft.StagedTombstones.purgedDocIds(s, dir).toSeq
+        val nd = graft.StagedTombstones.masked(s,
+          Tables(s, dir, "documents"),
+          if (purged.isEmpty) None else Some(purged), "doc_id").count()
         val ld = Option(s.table(dlT).agg(sum("dl")).head.get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
         (nd, ld)
       })
     (postT, dlT, dfT, posT, impT, n, l)
+  }
+
+  /** The takedown purge's hook for the appended demo family
+    * (q187–q189): the tables are session demos DERIVED from the raw
+    * corpus, so physical erasure is a DROP — the next
+    * [[ensureAppendedLex]] rebuilds them over the corpus minus the
+    * purged ledger (the never-staged-family posture of the label
+    * purge). Idempotent; also clears the family's stats memo so the
+    * rebuild recomputes N over the reduced universe.
+    */
+  private[graft] def dropAppendedLex(s: SparkSession, dir: String): Unit = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    Seq(s"graft_lexapp_postings_$tag", s"graft_lexapp_doclen_$tag",
+      s"graft_lexapp_df_$tag", s"graft_lexapp_pos_$tag",
+      s"graft_lexapp_impact_$tag", s"graft_lexapp_done_$tag",
+      s"graft_lexapp_df_${tag}__rewrite",
+      s"graft_lexapp_impact_${tag}__rewrite").foreach(t =>
+      if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE `$t`"))
+    lexAppStats.remove((s.sparkContext.applicationId, dir))
+    ()
   }
 
   /** The lexical index's SERVE-TIME read surface: [[ensureLexIndex]]'s
@@ -871,8 +904,19 @@ object TextAnalysis {
     // pre-purge lists minus the masked docs (q182's documented posture)
     // rather than a silent re-cut over the purged postings
     val impT = ensureImpactIndex(s, dir)
+    // the rewrites mask the FULL purged-id union (this tomb + every
+    // previously purged request), not just this tomb's ids: a purge
+    // re-run after a mid-swap crash finds the dropped table missing
+    // and the ensure* above RE-STAGES it from the raw corpus — which
+    // still holds every previously erased document — so a t.ids-only
+    // mask would silently resurrect the earlier purges' rows in the
+    // restaged table (StagedTakedownSpec pins the two-purge crash
+    // sequence). Dropping an already-absent id is a no-op, so the
+    // union costs nothing on the normal path.
+    val allPurged =
+      (t.ids ++ graft.StagedTombstones.purgedDocIds(s, dir)).distinct
     val dropDocs = (rel: DataFrame) =>
-      graft.StagedTombstones.masked(s, rel, Some(t.ids), "doc_id")
+      graft.StagedTombstones.masked(s, rel, Some(allPurged), "doc_id")
     graft.Bucketing.rewriteInPlace(s, postT, dropDocs)
     graft.Bucketing.rewriteInPlace(s, dlT, dropDocs)
     graft.Bucketing.rewriteInPlace(s, posT, dropDocs)
@@ -883,11 +927,9 @@ object TextAnalysis {
     graft.Bucketing.rewriteInPlace(s, dfT, _ =>
       s.table(postT).groupBy("term").agg(count(lit(1)).as("df")))
     // N/L likewise: L is the purged doclen table's own sum; N is the
-    // corpus count minus the docs the full purged-id union (this tomb
-    // plus every previously purged request) actually names — a
+    // corpus count minus the docs the full purged-id union (the same
+    // `allPurged` the rewrites masked) actually names — a
     // request-sized id-pushdown probe, never a delta fold
-    val allPurged =
-      (t.ids ++ graft.StagedTombstones.purgedDocIds(s, dir)).distinct
     val present = Tables(s, dir, "documents")
       .filter(col("doc_id").isin(allPurged.map(Long.box): _*)).count()
     val nd = Tables(s, dir, "documents").count()
@@ -974,7 +1016,22 @@ object TextAnalysis {
   private def bm25StageOver(
       rels: (DataFrame, DataFrame, DataFrame, Long, Long),
       qtexts: DataFrame): (DataFrame, DataFrame, DataFrame, Long) = {
-    val (post, dlRel, dfRel, n, l) = rels
+    val (post, dlRel, _, _, _) = rels
+    val (qtIdf, a, terms) = lexQueryStage(rels, qtexts)
+    (post.filter(col("term").isin(terms: _*)), dlRel, qtIdf, a)
+  }
+
+  /** The QUERY side every staged lexical serve ranks with — ONE
+    * definition of the capped terms, the bounded driver read that buys
+    * the literal-IN prune, the broadcast df lookup, and the integer
+    * idf fixed point, shared by the exact ([[bm25StageOver]]) and
+    * impact ([[impactStageOver]]) roads so the approximate serve can
+    * never drift from the arithmetic it approximates.
+    */
+  private def lexQueryStage(
+      rels: (DataFrame, DataFrame, DataFrame, Long, Long),
+      qtexts: DataFrame): (DataFrame, Long, Array[Any]) = {
+    val (_, _, dfRel, n, l) = rels
     val a = math.max(1L, l / math.max(1L, n))
     val qt = cappedTerms(qtexts)
     // the bounded driver read that buys the prune: the distinct query
@@ -987,8 +1044,7 @@ object TextAnalysis {
       // truncating `div` and DuckDB's flooring `//` agree
       .withColumn("idf_m", expr(s"(${2 * n} - 2*df + 1) * 1000 div (2*df + 1)"))
       .select("qid", "term", "idf_m")
-    val cand = post.filter(col("term").isin(terms: _*))
-    (cand, dlRel, qtIdf, a)
+    (qtIdf, a, terms)
   }
 
   /** The scored-but-uncut half of the BM25 serve: every candidate
@@ -1385,15 +1441,8 @@ object TextAnalysis {
   private def impactStageOver(imp: DataFrame,
       rels: (DataFrame, DataFrame, DataFrame, Long, Long),
       qtexts: DataFrame): (DataFrame, DataFrame, DataFrame, Long) = {
-    val (_, dlRel, dfRel, n, l) = rels
-    val a = math.max(1L, l / math.max(1L, n))
-    val qt = cappedTerms(qtexts)
-    val terms: Array[Any] = qt.select("term").distinct().collect()
-      .map(_.getString(0))
-    val dfq = dfRel.filter(col("term").isin(terms: _*))
-    val qtIdf = qt.join(broadcast(dfq), Seq("term"))
-      .withColumn("idf_m", expr(s"(${2 * n} - 2*df + 1) * 1000 div (2*df + 1)"))
-      .select("qid", "term", "idf_m")
+    val (_, dlRel, _, _, _) = rels
+    val (qtIdf, a, terms) = lexQueryStage(rels, qtexts)
     val cand = imp.filter(col("term").isin(terms: _*))
       .select("term", "doc_id", "tf")
     (cand, dlRel, qtIdf, a)

@@ -97,18 +97,6 @@ object LabelStream {
         "initRoot must adopt a base before the stream starts"))
   }
 
-  /** Base + served epoch rows with their epoch id (base = -1):
-    * `(doc_id, lo, hi, cluster_id, batch_id)`.
-    */
-  private def allRows(spark: SparkSession, root: String): DataFrame = {
-    val base = spark.read.parquet(s"$root/base")
-      .withColumn("batch_id", lit(-1L))
-    BatchProtocol.readServable(spark, streamRoot(root)).fold(base)(e =>
-      base.unionByName(e.select(
-        col("doc_id"), col("lo"), col("hi"), col("cluster_id"),
-        col("batch_id").cast("long"))))
-  }
-
   /** The PRIOR state a batch folds against: base + COMMITTED epochs
     * only, the current batch's own id excluded — a crash between the
     * epoch write and its marker leaves the epoch's files visible, and
@@ -157,7 +145,16 @@ object LabelStream {
         .agg(expr("max_by(cluster_id, batch_id)").as("cluster_id"))
       val priorSk = prior.filter(col("lo").isNotNull)
         .select("doc_id", "lo", "hi")
+      // an at-least-once source can redeliver a document in a LATER
+      // batch id (the committed-batch guard only catches same-id
+      // replays); an already-labeled doc_id folding through the append
+      // again would emit a second, conflicting label row (its pairs
+      // contract to its own super-node, leaving it an isolated
+      // singleton), so re-arrivals DROP here — label maintenance is
+      // append-only per id, first write wins (LabelStreamSpec pins the
+      // cross-batch redelivery no-op)
       val batchSk = graft.queries.Similarity.sketch64(stable)
+        .join(priorLabels.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .persist() // feeds the band join, the epoch write, and newIds
       val appended = graft.queries.Dedup.appendLabelsFromBands(spark,
         priorLabels,
@@ -193,11 +190,14 @@ object LabelStream {
   }
 
   /** The served label set — last-write-wins per document over (base,
-    * committed epochs): `(doc_id, cluster_id)` for every document ever
-    * adopted or arrived.
+    * COMMITTED epochs): `(doc_id, cluster_id)` for every document ever
+    * adopted or arrived. The committed filter is the same one the fold
+    * input uses: a crash-leftover epoch without its marker is NOT
+    * delivered state and must not serve (its replay will re-commit the
+    * identical rows).
     */
   def servableLabels(spark: SparkSession, root: String): DataFrame =
-    allRows(spark, root)
+    priorRows(spark, root, Long.MinValue)
       .groupBy("doc_id")
       .agg(expr("max_by(cluster_id, batch_id)").as("cluster_id"))
 

@@ -488,6 +488,58 @@ class StagedTakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("purge drops the appended demo families and their rebuilds exclude the purged ids physically") {
+    // the growth demos (q184 staged labels, the q187–q190 appended
+    // index families, the q192 stream root) are session artifacts
+    // DERIVED from the raw corpus: purge's erasure for them is a drop,
+    // and the next ensure must rebuild over the corpus minus the
+    // purged ledger — never resurrect the erased rows from the raw
+    // files (the never-staged-family posture, pinned physically here)
+    val pd = mkCorpus(Set.empty)
+    val tag = pd.replaceAll("[^a-zA-Z0-9]", "_")
+    try {
+      Seq("q184_label_append", "q187_lex_append_topk",
+        "q190_vec_append_serve", "q192_label_stream").foreach(q =>
+        SparkEntry.queries(q)(spark, pd).count())
+      graft.Caches.release(spark)
+      StagedTombstones.deleteDocs(spark, pd, delDocs, "dm1")
+      val delV = Seq(2L, 9L)
+      StagedTombstones.deleteVecs(spark, pd, delV, "dm2")
+      StagedTombstones.purge(spark, pd)
+      Seq(s"graft_lexapp_postings_$tag", s"graft_lexapp_pos_$tag",
+        s"graft_lexapp_impact_$tag", s"graft_lexapp_done_$tag",
+        s"graft_q184_labels_$tag", s"graft_ivfapp_$tag",
+        s"graft_ivfapp_done_$tag").foreach(t =>
+        assert(!spark.catalog.tableExists(t), s"$t must drop at purge"))
+      // rebuilds: the label artifacts never hold the purged docs again
+      for (q <- Seq("q184_label_append", "q192_label_stream")) {
+        val ids = SparkEntry.queries(q)(spark, pd).collect()
+          .map(_.getAs[Long]("doc_id")).toSet
+        assert(delDocs.forall(!ids.contains(_)),
+          s"$q rebuild must exclude the purged docs: $ids")
+        assert(ids.nonEmpty, s"$q rebuild must still label the survivors")
+      }
+      graft.Caches.release(spark)
+      // the rebuilt lexapp FILES hold zero purged rows (not just the
+      // serve — the physical claim)
+      SparkEntry.queries("q187_lex_append_topk")(spark, pd).count()
+      val post = spark.table(s"graft_lexapp_postings_$tag")
+        .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+      assert(delDocs.forall(!post.contains(_)),
+        s"rebuilt appended postings must hold zero purged rows: $post")
+      // the rebuilt vector demo neither serves nor stores purged vecs
+      val served = SparkEntry.queries("q190_vec_append_serve")(spark, pd)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+      assert(delV.forall(!served.contains(_)),
+        s"q190 rebuild must exclude the purged vecs: $served")
+      val stored = spark.table(s"graft_ivfapp_$tag")
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      assert(delV.forall(!stored.contains(_)),
+        s"rebuilt appended codes must hold zero purged rows")
+      graft.Caches.release(spark)
+    } finally spark.catalog.clearCache()
+  }
+
   test("purge re-run after a crashed swap recovers the serve table and converges (no double subtraction)") {
     import org.apache.spark.sql.functions.col
     val pd = mkCorpus(Set.empty)

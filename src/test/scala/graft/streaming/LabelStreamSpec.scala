@@ -90,6 +90,30 @@ class LabelStreamSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("a document redelivered in a LATER batch is a no-op (append-only per id)") {
+    import spark.implicits._
+    // an at-least-once source can replay a doc under a NEW batch id —
+    // the committed-batch guard cannot catch that, so the fold itself
+    // must drop already-labeled ids or it would emit a second,
+    // conflicting label row (the doc's pairs contract to its own
+    // super-node, detaching it as a singleton under max_by ties)
+    val tA = (1 to 64).map(i => f"word$i%03d").mkString(" ")
+    val baseDocs = Seq(0L -> tA, 1L -> tA).toDF("doc_id", "text")
+    val baseLabels = Seq(0L -> 0L, 1L -> 0L).toDF("doc_id", "cluster_id")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-labelstream-redeliver").toString
+    LabelStream.initRoot(spark, root, baseDocs, baseLabels, 8)
+    LabelStream.processLabelBatch(spark,
+      Seq(1L -> tA).toDF("doc_id", "text"), 0L, root)
+    val got = labels(LabelStream.servableLabels(spark, root))
+    assert(got == Map(0L -> 0L, 1L -> 0L),
+      s"a cross-batch redelivery must not move or split labels: $got")
+    // and the epoch it wrote is EMPTY — nothing new arrived
+    assert(spark.read.parquet(s"$root/stream/batch_id=0").count() == 0L,
+      "the redelivery's epoch must hold no rows")
+    spark.catalog.clearCache()
+  }
+
   test("a null-text arrival labels as a singleton and never bands") {
     import spark.implicits._
     val baseDocs = Seq(0L -> "alpha beta gamma delta epsilon zeta")
