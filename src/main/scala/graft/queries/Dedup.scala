@@ -330,18 +330,21 @@ object Dedup {
         if (purged.isEmpty) Tables(s, dir, "documents").count()
         else docs.count()
       val before = s.sparkContext.getPersistentRDDs.keySet.toSet
-      val (oldLabels, _) = propagateMin(s,
-        Similarity.simhash64PairsOver(oldDocs, oldDocs.count())
-          .select(col("doc_a"), col("doc_b")),
-        oldDocs.select(col("doc_id")))
-      val appended = appendLabels64(s, oldLabels, oldDocs, newDocs, nUnion)
-      graft.Bucketing.stage(appended, lblT, "doc_id",
-        graft.Bucketing.bucketCountFor(nUnion))
-      // build scaffolding (pair persists, both closures' checkpoints)
-      // is dead once the table exists — the ensureLabels discipline
-      (s.sparkContext.getPersistentRDDs.keySet.toSet -- before).foreach(
-        id => s.sparkContext.getPersistentRDDs.get(id)
-          .foreach(_.unpersist(false)))
+      // scaffolding frees in a FINALLY (the LabelStream.processLabelBatch
+      // discipline): an exception mid-build must not leak the pair
+      // persists / closure checkpoints until a global Caches.release
+      try {
+        val (oldLabels, _) = propagateMin(s,
+          Similarity.simhash64PairsOver(oldDocs, oldDocs.count())
+            .select(col("doc_a"), col("doc_b")),
+          oldDocs.select(col("doc_id")))
+        val appended = appendLabels64(s, oldLabels, oldDocs, newDocs, nUnion)
+        graft.Bucketing.stage(appended, lblT, "doc_id",
+          graft.Bucketing.bucketCountFor(nUnion))
+      } finally
+        (s.sparkContext.getPersistentRDDs.keySet.toSet -- before).foreach(
+          id => s.sparkContext.getPersistentRDDs.get(id)
+            .foreach(_.unpersist(false)))
     }
     s.table(lblT)
   }
@@ -674,9 +677,21 @@ object Dedup {
     // map-combined aggregates to one row — all integers, cross-engine
     // exact.
     "q191_append_drift_card" -> ((s, dir) => {
-      val docs = Tables.wide(s, dir, "documents")
+      // the card certifies q184/q192 BUILDS, and those builds mask the
+      // purged ledger — measuring widths/crossings over the raw corpus
+      // would let a bucket that is cap-crossed raw but under-cap masked
+      // read as not-crossed for a build sitting exactly at the boundary,
+      // so the card's universe is the builds' own (documented divergence
+      // from the unmasked SQL oracle: they coincide until a purge, and
+      // the oracle session never purges)
+      val purged = graft.StagedTombstones.purgedDocIds(s, dir).toSeq
+      val docs = graft.StagedTombstones.masked(s,
+        Tables.wide(s, dir, "documents"),
+        if (purged.isEmpty) None else Some(purged), "doc_id")
       val nOld = docs.filter(col("doc_id") % 8 =!= 3).count()
-      val nU = Tables(s, dir, "documents").count()
+      val nU =
+        if (purged.isEmpty) Tables(s, dir, "documents").count()
+        else docs.count()
       val wOld = Similarity.bandWidth64For(nOld)
       val wU = Similarity.bandWidth64For(nU)
       val (bands, _) = Similarity.band64RelationOver(docs, nU)

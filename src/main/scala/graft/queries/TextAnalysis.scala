@@ -1364,9 +1364,13 @@ object TextAnalysis {
     * larger kNew, and its membership was ordered under the old corpus
     * scalars). Every other term's list IS its complete postings
     * (df < kOld ≤ kNew), and a complete list is exact under any K or
-    * `a` — the stored `imp` is a CUT artifact, never a serve input
-    * (the serve recomputes scores from tf/dl under the live masked
-    * stats). So the appended sidecar serves exactly like a fresh
+    * `a` — its MEMBERSHIP survives untouched while its stored `imp`
+    * re-derives under the union scalar aNew in the same rewrite, so
+    * the appended table is COLUMN-identical to a fresh staging, not
+    * merely serve-identical (the serve recomputes scores from tf/dl
+    * under the live masked stats either way, but a consumer reading
+    * `imp` directly must not see cut-time-scoped values).
+    * So the appended sidecar serves exactly like a fresh
     * full-corpus staging — q188's oracle is q182's text verbatim —
     * while the re-cut window runs over the re-cut terms' postings
     * only, never the corpus, and the physical rewrite is sidecar-sized
@@ -1394,7 +1398,21 @@ object TextAnalysis {
         .withColumn("irn", row_number().over(w))
         .filter(col("irn") <= kNew)
         .select("term", "doc_id", "tf", "imp")
-      t.join(recut, Seq("term"), "left_anti").union(fresh)
+      // non-re-cut terms keep their MEMBERSHIP (complete lists are exact
+      // under any K) but their stored `imp` re-derives under the union
+      // scalar aNew — without this the appended sidecar is only
+      // serve-identical to a fresh staging (the serve recomputes from
+      // tf/dl), and any future consumer reading `imp` directly (an
+      // impact-mass card) would silently drift. The recompute is
+      // sidecar-sized: one dl join over the kept rows, never a corpus
+      // read (RetrievalSpec pins column identity with the fresh staging).
+      val kept = t.join(recut, Seq("term"), "left_anti")
+        .select("term", "doc_id", "tf")
+        .join(s.table(dlT), Seq("doc_id"))
+        .withColumn("imp", expr(s"(${2200 * aNew} * tf) div " +
+          s"(${10 * aNew} * tf + ${3 * aNew} + 9 * dl)"))
+        .select("term", "doc_id", "tf", "imp")
+      kept.union(fresh)
     })
   }
 

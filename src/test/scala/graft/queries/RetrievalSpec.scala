@@ -783,6 +783,14 @@ class RetrievalSpec extends AnyFunSuite {
       spark, dir)) ==
       rows(graft.SparkEntry.queries("q182_impact_bm25_topk")(spark, dir)),
       "the appended impact sidecar must serve exactly like q182")
+    // COLUMN identity, not just serve identity: the append re-derives
+    // kept rows' stored `imp` under the union scalar, so the appended
+    // table is row-for-row the fresh staging (same corpus, same derived
+    // K, same a) — a consumer reading `imp` directly cannot drift
+    val itag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    assert(rows(spark.table(s"graft_lexapp_impact_$itag")) ==
+      rows(spark.table(s"graft_lex_impact_$itag")),
+      "appended impact rows must be column-identical to the fresh staging")
     // the positional layer: pure accretion
     assert(rows(graft.SparkEntry.queries("q189_pos_append_topk")(
       spark, dir)) ==
