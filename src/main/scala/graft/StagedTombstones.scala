@@ -99,6 +99,16 @@ object StagedTombstones {
   private val adoptedRoots = new java.util.concurrent.ConcurrentHashMap[
     (String, String), scala.collection.mutable.LinkedHashSet[(String, Boolean)]]
 
+  /** LABEL roots ([[graft.streaming.LabelStream]]) adopted into this
+    * session's registry — tracked apart from the index roots because
+    * their purge is a RE-CLUSTER, not a row filter
+    * ([[graft.streaming.LabelStream.purgeRoot]]): min-id labels, sizes,
+    * and chains through a deleted bridge all change, the
+    * `rebuildLabelsAfterPurge` argument applied to the streaming half.
+    */
+  private val adoptedLabelRoots = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), scala.collection.mutable.LinkedHashSet[String]]
+
   private def purgedIdsOf(m: java.util.concurrent.ConcurrentHashMap[
         (String, String), scala.collection.mutable.LinkedHashMap[String, Seq[Long]]],
       k: (String, String)): Set[Long] =
@@ -353,6 +363,8 @@ object StagedTombstones {
         (t.ids ++ purgedIdsOf(purgedDocReqs, k)).distinct))
       purgeAdoptedRoots(s, dir, vecSide = false,
         (t.ids ++ purgedIdsOf(purgedDocReqs, k)).distinct)
+      purgeAdoptedLabelRoots(s, dir,
+        (t.ids ++ purgedIdsOf(purgedDocReqs, k)).distinct)
       // the appended DEMO artifacts (q184 labels, the q187–q189 lexapp
       // family, the q192 stream roots) are session demos derived from
       // the raw corpus: physical erasure is a drop — their next ensure
@@ -429,6 +441,29 @@ object StagedTombstones {
     }
   }
 
+  /** [[purge]]'s reach into the ADOPTED LABEL roots — the same
+    * file-then-erase protocol as [[purgeAdoptedRoots]], with the
+    * erasure step the label artifact demands: the registry's maskable
+    * union files into the root's own ledger under the deterministic
+    * purge identity, then [[graft.streaming.LabelStream.purgeRoot]]
+    * re-clusters the reduced committed state from its stored sketches
+    * and rewrites every file under the root (base swap, epoch
+    * retirement, band-index purge). The ledger survives — takedown
+    * outranks late arrival. Runs BEFORE the requests retire; a crash
+    * anywhere re-runs the whole idempotent sequence.
+    */
+  private def purgeAdoptedLabelRoots(s: SparkSession, dir: String,
+      ids: Seq[Long]): Unit = {
+    val roots = Option(adoptedLabelRoots.get(key(s, dir)))
+      .map(x => x.synchronized(x.toSeq)).getOrElse(Seq.empty)
+    if (roots.isEmpty || ids.isEmpty) return
+    roots.foreach { root =>
+      graft.streaming.Tombstones.delete(s, root, ids,
+        "purge-batch-registry", "doc_id")
+      graft.streaming.LabelStream.purgeRoot(s, root)
+    }
+  }
+
   /** Anti-join mask of `rel` against a tombstone id set — the broadcast
     * side is request-sized by nature. Fold-on-None keeps untouched
     * serves plan-identical.
@@ -475,6 +510,35 @@ object StagedTombstones {
       set.synchronized { set.add((indexPath, vecSide)) }
       set
     })
+    adoptRequests(s, dir, indexPath, vecSide)
+  }
+
+  /** Adopt a LABEL root ([[graft.streaming.LabelStream]]) into this
+    * session's registry — [[adoptStreamRoot]] for the label artifact:
+    * its ledger's requests file into the batch registry under the same
+    * end-to-end identity, and a later [[purge]] extends PHYSICAL
+    * erasure to the root through the re-clustering path
+    * ([[purgeAdoptedLabelRoots]]) instead of the row-filter one.
+    * Returns the number of requests adopted.
+    */
+  def adoptLabelRoot(s: SparkSession, dir: String, root: String): Int = {
+    adoptedLabelRoots.compute(key(s, dir), (_, prev) => {
+      val set = if (prev == null)
+        scala.collection.mutable.LinkedHashSet.empty[String]
+      else prev
+      set.synchronized { set.add(root) }
+      set
+    })
+    adoptRequests(s, dir, root, vecSide = false)
+  }
+
+  /** The request-adoption tail shared by [[adoptStreamRoot]] and
+    * [[adoptLabelRoot]]: each `req=<id>` dir re-files under a
+    * root-namespaced requestId, so re-adoption self-replaces and a
+    * redelivered stream request replaces its adoption too.
+    */
+  private def adoptRequests(s: SparkSession, dir: String,
+      indexPath: String, vecSide: Boolean): Int = {
     val reqs = graft.streaming.Tombstones.requests(s, indexPath,
       if (vecSide) "vec_id" else "doc_id")
     // sanitization is lossy ('/a/b' and '/a_b' both read '_a_b'), so the
@@ -529,6 +593,7 @@ object StagedTombstones {
     purgedDocReqs.remove(key(s, dir))
     purgedVecReqs.remove(key(s, dir))
     adoptedRoots.remove(key(s, dir))
+    adoptedLabelRoots.remove(key(s, dir))
     SqlCatalog.refreshAfterTakedown(s, dir)
   }
 }

@@ -145,12 +145,13 @@ object Dedup {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val lblT = s"graft_q184_labels_$tag"
     if (s.catalog.tableExists(lblT)) s.sql(s"DROP TABLE `$lblT`")
-    Option(labelRoots.remove((s.sparkContext.applicationId, dir)))
-      .foreach { r =>
-        val p = new org.apache.hadoop.fs.Path(r)
-        val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
+    Seq(labelRoots, q184BandRoots).foreach(m =>
+      Option(m.remove((s.sparkContext.applicationId, dir)))
+        .foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        })
   }
 
   /** The takedown purge's LABEL half: drop each staged cluster-label
@@ -226,11 +227,16 @@ object Dedup {
     * ensureIvfPqIndex "frozen models retrain on their own cadence"
     * stance applied to the label artifact.
     *
-    * Cost shape at scale: the old side pays ONE narrow re-sketch scan +
-    * a map-combined band count (linear, no iteration — the honest
-    * price of not staging the band relation; staging it beside the
-    * labels is the next increment if the scan ever dominates), the
-    * closure runs over the contracted graph only.
+    * Cost shape at scale: THIS form (explicit relations) pays one
+    * linear old-side banding pass per call — it exists for callers that
+    * band inline. The staged paths don't: [[ensureAppendedLabels]]
+    * stages the old shard's band relation once beside the labels
+    * ([[graft.streaming.LabelBandIndex]], the closed r18 increment) and
+    * probes only the delta's (b, g) partitions, and the streaming dual
+    * ([[graft.streaming.LabelStream]]) appends one band epoch per batch
+    * with the same pruned probe — old-side banding is paid once at
+    * stage/adoption time, never per append. The closure runs over the
+    * contracted graph only, either way.
     */
   private[graft] def appendLabels64(s: SparkSession, oldLabels: DataFrame,
       oldDocs: DataFrame, newDocs: DataFrame, nUnion: Long): DataFrame = {
@@ -240,17 +246,36 @@ object Dedup {
       newDocs.select(col("doc_id")))
   }
 
-  /** [[appendLabels64]]'s core over EXPLICIT band relations — factored
-    * so the streaming dual ([[graft.streaming.LabelStream]]) bands from
-    * its stored epoch sketches under the frozen stream width instead of
-    * re-reading texts. `newIds` is the delta's id set (its null-text
-    * documents band nowhere but still label as singletons).
+  /** The contracted-closure CORE of an incremental label append over
+    * EXPLICIT band relations — factored below [[appendLabelsFromBands]]
+    * so the streaming dual ([[graft.streaming.LabelStream]]) can
+    * compose the delta labels and the cluster remap WITHOUT ever
+    * materializing the corpus-wide re-rooted label set (its epochs
+    * carry only the delta rows and the CHANGED prior labels).
+    *
+    * `endpointLabelsOf` resolves the current (doc_id, cluster_id) label
+    * of an explicit OLD-endpoint id relation — the batch path passes a
+    * semi-join over its one-row-per-doc label table; the stream passes
+    * a broadcast-probed last-write-wins fold over its stored epochs, so
+    * neither side shuffles anything corpus-sized here (the probe id set
+    * is collision-bounded).
+    *
+    * Returns (delta labels, remap): remap maps every touched old
+    * cluster_id (and delta node id — harmless, delta ids never appear
+    * as old cluster ids) to its contracted component root.
     */
-  private[graft] def appendLabelsFromBands(s: SparkSession,
-      oldLabels: DataFrame, oldBands: DataFrame, newBands: DataFrame,
-      newIds0: DataFrame): DataFrame = {
+  private[graft] def appendComponents(s: SparkSession,
+      endpointLabelsOf: DataFrame => DataFrame,
+      oldBands: DataFrame, newBands: DataFrame,
+      newIds0: DataFrame): (DataFrame, DataFrame) = {
     val cols = Seq("doc_id", "lo", "hi", "b", "bk").map(col)
     val all = oldBands.select(cols: _*).union(newBands.select(cols: _*))
+    // frequency caps over the union band relation: EXACT even when
+    // oldBands is a PRUNED index read (only the delta's (b, g) groups) —
+    // a bucket with at least one delta row lives entirely inside the
+    // pruned partitions (same b, same g), so its count is the true
+    // union count; a bucket with no delta row can admit no
+    // delta-involving pair, so its cap verdict is irrelevant
     val rare = all.groupBy("b", "bk")
       .agg(count(lit(1)).as("kc"))
       .filter(col("kc") <= Similarity.MaxBandDocs)
@@ -260,7 +285,10 @@ object Dedup {
     val newSide = capped.join(newIds, Seq("doc_id"), "left_semi")
     // delta-involving pairs: delta×all on the shared band key (a
     // new-new pair surfaces from both sides — the distinct folds it);
-    // hamming before distinct, the q27/q42 shuffle discipline
+    // hamming before distinct, the q27/q42 shuffle discipline. Persisted:
+    // feeds the endpoint-id probe AND the contraction (callers free the
+    // block via their getPersistentRDDs diff — the ensureLabels
+    // discipline).
     val pairs = newSide.alias("a").join(capped.alias("b"),
         col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
         col("a.doc_id") =!= col("b.doc_id"))
@@ -273,11 +301,19 @@ object Dedup {
       .filter(col("hamming") <= 8)
       .select("doc_a", "doc_b")
       .distinct()
+      .persist()
+    // the pairs' OLD endpoints (delta ids have no old label) — the only
+    // ids whose current label the contraction needs, collision-bounded
+    val endIds = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id")))
+      .distinct()
+      .join(newIds, Seq("doc_id"), "left_anti")
+    val endLbl = endpointLabelsOf(endIds)
     // contract old endpoints to their cluster super-node (delta ids
     // pass through — they have no old label), drop intra-cluster loops
-    val lblA = oldLabels.select(col("doc_id").as("doc_a"),
+    val lblA = endLbl.select(col("doc_id").as("doc_a"),
       col("cluster_id").as("ca"))
-    val lblB = oldLabels.select(col("doc_id").as("doc_b"),
+    val lblB = endLbl.select(col("doc_id").as("doc_b"),
       col("cluster_id").as("cb"))
     val contracted = pairs
       .join(lblA, Seq("doc_a"), "left").join(lblB, Seq("doc_b"), "left")
@@ -289,16 +325,65 @@ object Dedup {
       .union(contracted.select(col("doc_b").as("doc_id")))
       .distinct()
     val (re, _) = propagateMin(s, contracted, nodes)
-    // re-root the old labels through the contracted components; delta
-    // docs take their component label (their own id if untouched)
     val remap = re.select(col("doc_id").as("cluster_id"),
       col("cluster_id").as("root"))
+    val newFinal = re.join(newIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("cluster_id"))
+    (newFinal, remap)
+  }
+
+  /** [[appendLabels64]]'s full-relabel form over EXPLICIT band
+    * relations: the [[appendComponents]] core plus the corpus-wide
+    * re-root of the old labels (two old clusters bridged by a delta doc
+    * merge to the true union min). `newIds` is the delta's id set (its
+    * null-text documents band nowhere but still label as singletons).
+    */
+  private[graft] def appendLabelsFromBands(s: SparkSession,
+      oldLabels: DataFrame, oldBands: DataFrame, newBands: DataFrame,
+      newIds0: DataFrame): DataFrame = {
+    val (newFinal, remap) = appendComponents(s,
+      ids => oldLabels.join(ids, Seq("doc_id"), "left_semi"),
+      oldBands, newBands, newIds0)
+    // re-root the old labels through the contracted components; delta
+    // docs take their component label (their own id if untouched)
     val oldFinal = oldLabels.join(remap, Seq("cluster_id"), "left")
       .select(col("doc_id"),
         coalesce(col("root"), col("cluster_id")).as("cluster_id"))
-    val newFinal = re.join(newIds, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("cluster_id"))
     oldFinal.union(newFinal)
+  }
+
+  /** Fresh transitive clustering from a STORED (doc_id, lo, hi) sketch
+    * relation at an EXPLICIT band width — the re-cluster a label-stream
+    * PURGE runs ([[graft.streaming.LabelStream.purgeRoot]]): texts are
+    * never re-read (the sketches ARE the stored state, the rebandIndex
+    * stance), the width is the root's frozen one, and the pair
+    * semantics are [[Similarity.simhash64PairsOver]]'s verbatim
+    * (cap ≤ MaxBandDocs per bucket, hamming ≤ 8, a < b, distinct) so
+    * the result equals a fresh closure over a corpus that never held
+    * the purged documents whenever the frozen width matches the
+    * reduced-derived one (the stream's documented frozen-model
+    * boundary). Null-sketch docs band nowhere and label as singletons.
+    */
+  private[graft] def labelsFromSketches(s: SparkSession, sk: DataFrame,
+      w: Int): DataFrame = {
+    val bands = Similarity.bandsFromSketches(
+      sk.filter(col("lo").isNotNull), w)
+    val rare = bands.groupBy("b", "bk")
+      .agg(count(lit(1)).as("kc"))
+      .filter(col("kc") <= Similarity.MaxBandDocs)
+      .select("b", "bk")
+    val capped = bands.join(rare, Seq("b", "bk"), "left_semi")
+    val pairs = capped.alias("a").join(capped.alias("b"),
+        col("a.b") === col("b.b") && col("a.bk") === col("b.bk") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        (bit_count(col("a.lo").bitwiseXOR(col("b.lo"))) +
+          bit_count(col("a.hi").bitwiseXOR(col("b.hi"))))
+          .cast("long").as("hamming"))
+      .filter(col("hamming") <= 8)
+      .select("doc_a", "doc_b")
+      .distinct()
+    propagateMin(s, pairs, sk.select(col("doc_id")))._1
   }
 
   /** Builds (once per session+dir) the STAGED appended-label table —
@@ -338,7 +423,27 @@ object Dedup {
           Similarity.simhash64PairsOver(oldDocs, oldDocs.count())
             .select(col("doc_a"), col("doc_b")),
           oldDocs.select(col("doc_id")))
-        val appended = appendLabels64(s, oldLabels, oldDocs, newDocs, nUnion)
+        // the old shard's band relation STAGES beside the labels as a
+        // (b, g)-partitioned artifact ([[graft.streaming.LabelBandIndex]]
+        // — one layout with the stream index), and the append probes
+        // ONLY the delta's own groups: the old side banding is paid
+        // once at stage time, never per append (DedupSpec pins the
+        // pruned probe's numFiles). Width is union-derived — the
+        // append's exactness contract holds only there anyway; a
+        // long-lived deployment freezes it instead (the LabelStream
+        // stance) and watches q191.
+        val wU = Similarity.bandWidth64For(nUnion)
+        val bandDir = java.nio.file.Files
+          .createTempDirectory("graft-q184-bands").toString
+        q184BandRoots.put((s.sparkContext.applicationId, dir), bandDir)
+        graft.streaming.LabelBandIndex.write(s, bandDir,
+          Similarity.sketch64(oldDocs), wU)
+        val newBands = Similarity.bandsFromSketches(
+          Similarity.sketch64(newDocs).filter(col("lo").isNotNull), wU)
+        val oldBands = graft.streaming.LabelBandIndex.prunedRead(s, bandDir,
+          graft.streaming.LabelBandIndex.groupsOf(newBands))
+        val appended = appendLabelsFromBands(s, oldLabels, oldBands,
+          newBands, newDocs.select(col("doc_id")))
         graft.Bucketing.stage(appended, lblT, "doc_id",
           graft.Bucketing.bucketCountFor(nUnion))
       } finally
@@ -549,6 +654,14 @@ object Dedup {
     * (the adcRoots discipline).
     */
   private val labelRoots =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), String]
+
+  /** Per-(application, dir) staged band directories of the q184 build —
+    * the old shard's (b, g)-partitioned band artifact
+    * ([[graft.streaming.LabelBandIndex]]); tracked so a takedown purge
+    * physically drops it with the rest of the demo family.
+    */
+  private[queries] val q184BandRoots =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]
 
   /** The near-dup-diversified cut (q164's defining half): suppress each

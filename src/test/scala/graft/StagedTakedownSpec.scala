@@ -447,6 +447,68 @@ class StagedTakedownSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("purge reaches an adopted PRODUCTION label root: epochs shed the masked ids, the serve equals the reduced re-cluster") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val pd = mkCorpus(Set.empty)
+    try {
+      // a production label deployment over this corpus: docs 0..9 adopt
+      // as the base (honestly clustered from their own sketches at the
+      // base-derived width), docs 10..11 arrive as a stream epoch
+      val root = Files.createTempDirectory("graft-takedown-labelroot").toString
+      val baseDocs = docRows.filter(_._1 <= 9L).toDF("doc_id", "text")
+      val baseLabels = graft.queries.Dedup.labelsFromSketches(spark,
+        graft.queries.Similarity.sketch64(baseDocs), 8)
+      graft.streaming.LabelStream.initRoot(spark, root, baseDocs,
+        baseLabels, 8)
+      graft.streaming.LabelStream.processLabelBatch(spark,
+        docRows.filter(_._1 >= 10L).toDF("doc_id", "text"), 0L, root)
+      StagedTombstones.adoptLabelRoot(spark, pd, root)
+      StagedTombstones.deleteDocs(spark, pd, delDocs, "lr1")
+      StagedTombstones.purge(spark, pd)
+      // 1. no file under the root carries the masked ids anymore —
+      // base, band index, and stream epochs (the latter retire into
+      // the re-clustered base)
+      for (sub <- Seq("base", "bands")) {
+        val ids = spark.read.parquet(s"$root/$sub")
+          .select("doc_id").as[Long].collect().toSet
+        assert(delDocs.forall(!ids.contains(_)),
+          s"$sub still holds masked label-root rows post-purge")
+        assert(ids.nonEmpty, s"$sub must keep the surviving rows")
+      }
+      assert(graft.streaming.BatchProtocol
+        .epochIds(spark, s"$root/stream").isEmpty,
+        "the purge must retire the label-root stream epochs")
+      // 2. the served labels equal a fresh re-cluster of the reduced
+      // corpus (every doc, arrivals included, minus the takedowns)
+      val reduced = docRows.filterNot(r => delDocs.contains(r._1))
+        .toDF("doc_id", "text")
+      val expect = graft.queries.Dedup.labelsFromSketches(spark,
+          graft.queries.Similarity.sketch64(reduced), 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val served = graft.streaming.LabelStream.servableLabels(spark, root)
+        .collect().map(r =>
+          r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(served == expect,
+        s"label-root serve must equal the reduced re-cluster: $served")
+      // 3. the erasure is durable in the root's own ledger (a later
+      // session's re-adoption re-masks the ids)
+      val reqs = graft.streaming.Tombstones.requests(spark, root, "doc_id")
+        .toMap
+      assert(reqs.get("purge-batch-registry").exists(
+        ids => delDocs.forall(ids.contains)),
+        s"purge did not file the registry ids into the root's ledger: $reqs")
+      // 4. idempotent: a purge re-run over an already-purged id
+      StagedTombstones.deleteDocs(spark, pd, Seq(delDocs.head), "lr2")
+      StagedTombstones.purge(spark, pd)
+      assert(graft.streaming.LabelStream.servableLabels(spark, root)
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[Long]("cluster_id")).toMap == expect,
+        "purge re-run over the label root drifted")
+    } finally StagedTombstones.reset(spark, pd)
+    spark.catalog.clearCache()
+  }
+
   test("purge drops and re-clusters the staged label tables over the mask-filtered corpus") {
     import org.apache.spark.sql.functions.col
     val pd = mkCorpus(Set.empty)

@@ -184,6 +184,36 @@ class DedupSpec extends AnyFunSuite {
     graft.Caches.release(spark)
     assert(inc.size == fresh.size, "append must label every document")
     assert(inc == fresh, "incremental append drifted from the fresh closure")
+    // the build leaves the old shard's band relation STAGED as a
+    // (b, g)-partitioned artifact, and a delta-group probe of it reads
+    // only the matching files — the o(old-shard) append pin (the
+    // LabelStreamSpec band-probe pin's batch twin)
+    val bandDir = graft.queries.Dedup.q184BandRoots
+      .get((spark.sparkContext.applicationId, dir))
+    assert(bandDir != null, "q184 must stage its band artifact")
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val g0 = spark.read.parquet(bandDir)
+      .filter(col("b") === 0).select("g").as[Int].head()
+    val probe = graft.streaming.LabelBandIndex.prunedRead(spark, bandDir,
+      Seq((0, g0)))
+    probe.collect()
+    val scan = probe.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.head
+    def parquetFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val st = java.nio.file.Files.walk(p)
+      try st.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    val all = parquetFiles(java.nio.file.Paths.get(bandDir))
+    val matching = all.count(_.toString.contains(s"/b=0/g=$g0/"))
+    assert(matching > 0 && matching < all.size,
+      s"fixture degenerate: $matching/${all.size}")
+    assert(scan.metrics("numFiles").value == matching,
+      s"band probe read ${scan.metrics("numFiles").value} files; only " +
+        s"the $matching under b=0/g=$g0 (of ${all.size}) are allowed")
     spark.catalog.clearCache()
   }
 

@@ -114,6 +114,169 @@ class LabelStreamSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("a batch's band probe reads only its own (b, g) partitions of the staged band index") {
+    import spark.implicits._
+    val vocab = (1 to 200).map(i => f"word$i%03d")
+    val tA = vocab.take(64).mkString(" ")
+    val tC = vocab.slice(100, 164).mkString(" ")
+    val baseDocs = Seq(0L -> tA, 2L -> tC).toDF("doc_id", "text")
+    val baseLabels = Seq(0L -> 0L, 2L -> 2L).toDF("doc_id", "cluster_id")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-labelstream-prune").toString
+    LabelStream.initRoot(spark, root, baseDocs, baseLabels, 8)
+    LabelStream.processLabelBatch(spark,
+      Seq(10L -> tA).toDF("doc_id", "text"), 0L, root)
+    // one (b, g) group actually present: doc 0's band 0
+    val g0 = spark.read.parquet(s"$root/bands")
+      .filter(col("doc_id") === 0L && col("b") === 0)
+      .select("g").as[Int].head()
+    val pruned = LabelStream.prunedBands(spark, root, 99L, Seq((0, g0)))
+    pruned.collect()
+    // the probe's dedup makes the plan adaptive: AQE wraps subtrees in
+    // leaf-like stage nodes TreeNode.collect does not descend into —
+    // recurse explicitly (the LexStreamSpec pin's technique)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def collectScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)
+      case q: QueryStageExec => collectScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(collectScans)
+    }
+    val scan = collectScans(pruned.queryExecution.executedPlan).head
+    val readFiles = scan.metrics("numFiles").value
+    def parquetFiles(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val st = java.nio.file.Files.walk(p)
+      try st.toArray.toSeq.map(_.asInstanceOf[java.nio.file.Path])
+        .filter(_.toString.endsWith(".parquet"))
+      finally st.close()
+    }
+    val all = parquetFiles(java.nio.file.Paths.get(s"$root/bands"))
+    val matching = all.count(_.toString.contains(s"/b=0/g=$g0/"))
+    assert(matching > 0 && matching < all.size,
+      s"fixture degenerate: $matching/${all.size}")
+    assert(readFiles == matching,
+      s"band probe read $readFiles files; only the $matching under " +
+        s"b=0/g=$g0 (of ${all.size}) are allowed — the o(corpus) pin")
+    spark.catalog.clearCache()
+  }
+
+  test("consolidate: invisible to the serve, epochs retire, the stream continues, crash windows recover") {
+    import spark.implicits._
+    // the bridge fixture again: base {0,1}+{2,4}+5, batch 0 a twin,
+    // batch 1 the bridge — then consolidation folds it all into a
+    // fresh base and the stream keeps going against the compacted index
+    val vocab = (1 to 200).map(i => f"word$i%03d")
+    val base64 = vocab.take(64)
+    val tA = base64.mkString(" ")
+    val tB = (base64.dropRight(4) ++ vocab.slice(100, 104)).mkString(" ")
+    val tBr = (base64.dropRight(4) ++ vocab.slice(100, 102) ++
+      base64.takeRight(4).drop(2)).mkString(" ")
+    val baseDocs = Seq(0L -> tA, 1L -> tA, 2L -> tB, 4L -> tB,
+      5L -> "zebra quark lantern oboe marsh violet kestrel dune")
+      .toDF("doc_id", "text")
+    val baseLabels = Seq(0L -> 0L, 1L -> 0L, 2L -> 2L, 4L -> 2L, 5L -> 5L)
+      .toDF("doc_id", "cluster_id")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-labelstream-consolidate").toString
+    LabelStream.initRoot(spark, root, baseDocs, baseLabels, 8)
+    LabelStream.processLabelBatch(spark,
+      Seq(10L -> tA).toDF("doc_id", "text"), 0L, root)
+    LabelStream.processLabelBatch(spark,
+      Seq(11L -> tBr).toDF("doc_id", "text"), 1L, root)
+    val before = labels(LabelStream.servableLabels(spark, root))
+    LabelStream.consolidate(spark, root)
+    assert(labels(LabelStream.servableLabels(spark, root)) == before,
+      "consolidation must be invisible to the served labels")
+    // the stream epochs are gone; the band epochs compacted to ONE
+    val f = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(BatchProtocol.epochIds(spark, s"$root/stream").isEmpty,
+      "stream epochs must retire into the fresh base")
+    assert(BatchProtocol.epochIds(spark, s"$root/bands") == Seq(-3L),
+      "band epochs must compact to the consolidated id -(upTo+2)")
+    // a checkpoint-replayed pre-consolidation batch stays a no-op (the
+    // marker watermark), and a NEW arrival still pairs against the
+    // consolidated bands: a twin of B lands in the merged cluster 0
+    LabelStream.processLabelBatch(spark,
+      Seq(11L -> tBr).toDF("doc_id", "text"), 1L, root)
+    assert(!f.exists(new org.apache.hadoop.fs.Path(s"$root/stream/batch_id=1")),
+      "a replayed pre-watermark batch must not rewrite its epoch")
+    LabelStream.processLabelBatch(spark,
+      Seq(12L -> tB).toDF("doc_id", "text"), 2L, root)
+    val after = labels(LabelStream.servableLabels(spark, root))
+    assert(after == before + (12L -> 0L),
+      s"post-consolidation arrival must pair against the compacted index: $after")
+    // crash window: the swap dies between its two renames — the
+    // recovery preamble renames the complete original back in
+    require(f.rename(new org.apache.hadoop.fs.Path(s"$root/base"),
+      new org.apache.hadoop.fs.Path(s"$root/_base_old")))
+    assert(labels(LabelStream.servableLabels(spark, root)) == after,
+      "the serve must recover a half-landed base swap")
+    // and a second consolidation over the new epoch converges
+    LabelStream.consolidate(spark, root)
+    assert(labels(LabelStream.servableLabels(spark, root)) == after,
+      "re-consolidation drifted the serve")
+    assert(BatchProtocol.epochIds(spark, s"$root/bands") == Seq(-4L),
+      "the second consolidation must supersede the first's epoch")
+    spark.catalog.clearCache()
+  }
+
+  test("purgeRoot: physical erasure re-clusters the reduced state; the ledger outlives the purge") {
+    import spark.implicits._
+    val vocab = (1 to 200).map(i => f"word$i%03d")
+    val base64 = vocab.take(64)
+    val tA = base64.mkString(" ")
+    val tB = (base64.dropRight(4) ++ vocab.slice(100, 104)).mkString(" ")
+    val tBr = (base64.dropRight(4) ++ vocab.slice(100, 102) ++
+      base64.takeRight(4).drop(2)).mkString(" ")
+    val baseDocs = Seq(0L -> tA, 1L -> tA, 2L -> tB, 4L -> tB)
+      .toDF("doc_id", "text")
+    val baseLabels = Seq(0L -> 0L, 1L -> 0L, 2L -> 2L, 4L -> 2L)
+      .toDF("doc_id", "cluster_id")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-labelstream-purge").toString
+    LabelStream.initRoot(spark, root, baseDocs, baseLabels, 8)
+    LabelStream.processLabelBatch(spark,
+      Seq(11L -> tBr).toDF("doc_id", "text"), 0L, root)
+    assert(labels(LabelStream.servableLabels(spark, root))
+      == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 4L -> 0L, 11L -> 0L))
+    // the takedown: the bridge document. The mask is immediate
+    // (membership-only — the merged clusters stay merged until the
+    // purge, the documented impactRead stance)...
+    Tombstones.delete(spark, root, Seq(11L), "req-1", "doc_id")
+    val masked = labels(LabelStream.servableLabels(spark, root))
+    assert(!masked.contains(11L), "a tombstoned id must mask immediately")
+    assert(masked == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 4L -> 0L),
+      s"pre-purge the mask is membership-only: $masked")
+    // ...and the purge is the erasure event: the chain through the
+    // deleted bridge SPLITS (a fresh re-cluster of a corpus that never
+    // held it), and no file under the root carries the id anymore
+    LabelStream.purgeRoot(spark, root)
+    val purged = labels(LabelStream.servableLabels(spark, root))
+    assert(purged == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 4L -> 2L),
+      s"purge must re-cluster the reduced state: $purged")
+    for (sub <- Seq("base", "bands")) {
+      val ids = spark.read.parquet(s"$root/$sub")
+        .select("doc_id").as[Long].collect().toSet
+      assert(!ids.contains(11L), s"$sub still holds the purged id")
+      assert(ids.nonEmpty, s"$sub must keep the surviving rows")
+    }
+    assert(BatchProtocol.epochIds(spark, s"$root/stream").isEmpty,
+      "purge must retire the stream epochs into the reduced base")
+    // idempotent re-run
+    LabelStream.purgeRoot(spark, root)
+    assert(labels(LabelStream.servableLabels(spark, root)) == purged,
+      "purge re-run drifted")
+    // the ledger survives: the id REDELIVERED after its takedown stays
+    // masked (takedown outranks late arrival)
+    LabelStream.processLabelBatch(spark,
+      Seq(11L -> tBr).toDF("doc_id", "text"), 1L, root)
+    assert(!labels(LabelStream.servableLabels(spark, root)).contains(11L),
+      "a post-purge redelivery of a taken-down id must stay masked")
+    spark.catalog.clearCache()
+  }
+
   test("a null-text arrival labels as a singleton and never bands") {
     import spark.implicits._
     val baseDocs = Seq(0L -> "alpha beta gamma delta epsilon zeta")
