@@ -2600,6 +2600,42 @@ object TextAnalysis {
         .withColumn("recall_pm", expr("(n_hit * 1000) div n_exact"))
     }),
 
+    // impact-sidecar K-drift admission card — the q191 stance applied
+    // to q182's artifact: the derived K grows with n and
+    // [[appendImpactIndex]] re-cuts only the terms it can SEE are
+    // truncated (length ≥ the kOld the caller passed), so across many
+    // appends without a rebuild — or after a purge rewrite shrinks a
+    // truncated list below every later kOld — a term's stored list can
+    // silently lag the K a fresh staging would cut at. This card
+    // MEASURES that lag instead of assuming it away: per term, the
+    // stored list length vs least(df, K_derived) — a fresh staging
+    // keeps exactly that many postings — folded to ONE row: the
+    // derived K, the deepest stored list, the term count, how many
+    // terms are STALE (stored < fresh), and the verdict bit
+    // (k_current = 1 ⇒ the sidecar is list-for-list what a fresh
+    // staging at today's K holds; 0 ⇒ schedule the rebuild). Reads the
+    // sidecar's own staged universe (postings-derived df, the tables a
+    // purge physically rewrites — ImpactCard reads the machine state,
+    // not the raw corpus). Plan: two map-combined aggregates over the
+    // two staged narrow tables, one broadcast join, a 1-row fold — all
+    // integers, cross-engine exact. The oracle models the fresh
+    // staging, where stored ≡ least(df, K) per construction.
+    "q193_impact_k_card" -> ((s, dir) => {
+      val impT = ensureImpactIndex(s, dir)
+      val (_, _, dfT, _, _) = ensureLexIndex(s, dir)
+      val k = impactKFor(s, dir)
+      s.table(impT).groupBy("term").agg(count(lit(1)).as("len"))
+        .join(s.table(dfT), Seq("term"))
+        .agg(
+          count(lit(1)).as("n_terms"),
+          coalesce(max("len"), lit(0L)).as("k_max_stored"),
+          coalesce(sum(when(col("len") < least(col("df"), lit(k)), 1L)
+            .otherwise(0L)), lit(0L)).as("n_stale"))
+        .select(lit(k).as("k_derived"), col("k_max_stored"),
+          col("n_terms"), col("n_stale"),
+          when(col("n_stale") === 0L, 1L).otherwise(0L).as("k_current"))
+    }),
+
     // the appended-index serve — incremental lexical-index maintenance
     // demonstrated end to end: the seven-eighths shard stages, the
     // residue-3 delta APPENDS (one delta tokenize, bucket-placed
@@ -4076,6 +4112,25 @@ object TextAnalysis {
          |  CAST(n_hit AS BIGINT) AS n_hit,
          |  CAST((n_hit * 1000) // n_exact AS BIGINT) AS recall_pm
          |FROM j""".stripMargin,
+
+    // the K-drift card's oracle models the FRESH staging (the oracle
+    // session never appends or purges): a fresh per-term cut keeps
+    // exactly least(df, K) postings, so the stored length IS that and
+    // the stale count is identically zero — the engine side measures
+    // the live sidecar against the same formula
+    "q193_impact_k_card" ->
+      s"""WITH t AS (SELECT doc_id, unnest($Toks) AS term FROM documents),
+         |kk AS (SELECT GREATEST($ImpactKFloor,
+         |  16 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k FROM documents),
+         |dft AS (SELECT term, COUNT(DISTINCT doc_id) AS df
+         |  FROM t GROUP BY term),
+         |ln AS (SELECT LEAST(df, (SELECT k FROM kk)) AS len FROM dft)
+         |SELECT (SELECT k FROM kk) AS k_derived,
+         |  CAST(COALESCE(MAX(len), 0) AS BIGINT) AS k_max_stored,
+         |  CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |  CAST(0 AS BIGINT) AS n_stale,
+         |  CAST(1 AS BIGINT) AS k_current
+         |FROM ln""".stripMargin,
 
     // the takedown-masked serve: the same ranking re-staged over the
     // corpus minus the request's ids (the engine masks instead — same

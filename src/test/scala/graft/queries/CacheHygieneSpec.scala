@@ -59,7 +59,7 @@ class CacheHygieneSpec extends AnyFunSuite {
     "q186_bounded_hybrid_recall", "q187_lex_append_topk",
     "q188_impact_append_topk", "q189_pos_append_topk",
     "q190_vec_append_serve", "q191_append_drift_card",
-    "q192_label_stream")
+    "q192_label_stream", "q193_impact_k_card")
 
   for (q <- persisting) test(s"$q leaves zero persistent blocks after release") {
     SparkEntry.queries(q)(spark, dir).count()

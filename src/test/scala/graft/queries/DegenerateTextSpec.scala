@@ -97,6 +97,9 @@ class DegenerateTextSpec extends AnyFunSuite {
     "q189_pos_append_topk",
     // q191 folds the degenerate corpus's band relation to one card row
     "q191_append_drift_card",
+    // q193 folds the degenerate sidecar (few terms, tiny lists — all
+    // complete, so the card certifies) to one row
+    "q193_impact_k_card",
     // q192 adopts the degenerate base and streams doc 3 (its second
     // batch is EMPTY — a defined no-op epoch); every doc still labels
     "q192_label_stream",
@@ -163,6 +166,7 @@ class DegenerateTextSpec extends AnyFunSuite {
         "q188_impact_append_topk", // its impact layer
         "q189_pos_append_topk", // its positional layer
         "q191_append_drift_card", // one card row by construction
+        "q193_impact_k_card", // one card row by construction
         "q175_takedown_expand", // rows only for the request's members
         "q164_diverse_topk", // same sample: no candidates -> empty serve
         "q154_phrase_topk", // same sample: null text -> no phrase -> no list

@@ -549,6 +549,60 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("q193: the K-drift card certifies a fresh sidecar and reads a purge-shrunk truncated list as stale") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.countDistinct
+    // the real corpus: a fresh staging is list-for-list the formula's
+    // cut, so the card must certify it (the oracle's fresh universe)
+    val dir = "/root/testdata/sf0.001"
+    val card = graft.SparkEntry.queries("q193_impact_k_card")(spark, dir)
+      .collect()
+    assert(card.length == 1)
+    val c0 = card.head
+    assert(c0.getAs[Long]("n_stale") == 0L && c0.getAs[Long]("k_current") == 1L,
+      s"a fresh sidecar must read current: $c0")
+    assert(c0.getAs[Long]("n_terms") ==
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(org.apache.spark.sql.functions.explode(
+          graft.functions.TextFunctions.tokens(
+            org.apache.spark.sql.functions.col("text"))).as("t"))
+        .agg(countDistinct("t")).head.getLong(0),
+      "the card must cover the whole vocabulary")
+    // the staleness path the card exists for: a TRUNCATED list (df=3,
+    // K=2 keeps docs 1 and 5 — doc 3's imp loses to doc 5's shorter
+    // dl) shrinks below the cut when a purge erases a member; the
+    // re-derived df still reads 2, so a fresh staging would keep 2
+    // postings where the rewritten list holds 1 — stale, and ONLY
+    // alpha is (beta's post-purge list is its complete postings)
+    val d = java.nio.file.Files.createTempDirectory("graft-kdrift").toString
+    Seq(
+      (1L, "alpha alpha alpha"),
+      (2L, "beta beta beta"),
+      (3L, "alpha golf hotel india"),
+      (5L, "alpha beta"))
+      .toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    spark.conf.set(TextAnalysis.ImpactKConf, "2")
+    try {
+      val pre = graft.SparkEntry.queries("q193_impact_k_card")(spark, d)
+        .collect().head
+      assert(pre.getAs[Long]("k_derived") == 2L &&
+        pre.getAs[Long]("n_stale") == 0L &&
+        pre.getAs[Long]("k_current") == 1L,
+        s"pre-purge the conf-cut sidecar is current: $pre")
+      graft.StagedTombstones.deleteDocs(spark, d, Seq(5L), "kd1")
+      graft.StagedTombstones.purge(spark, d)
+      val post = graft.SparkEntry.queries("q193_impact_k_card")(spark, d)
+        .collect().head
+      assert(post.getAs[Long]("n_stale") == 1L &&
+        post.getAs[Long]("k_current") == 0L,
+        s"the purge-shrunk truncated list must read stale: $post")
+    } finally {
+      spark.conf.unset(TextAnalysis.ImpactKConf)
+      graft.StagedTombstones.reset(spark, d)
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q178 PRF: the expansion recalls a document sharing NO surface term with the query") {
     import spark.implicits._
     // ids 1..8 → qmod = max(5, ceil(8/8)) = 5 → the one query is doc 5.
