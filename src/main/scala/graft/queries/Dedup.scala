@@ -763,6 +763,13 @@ object Dedup {
             .select(col("doc_id"), col("text"))
           graft.streaming.LabelStream.processLabelBatch(s,
             delta.filter(col("doc_id") % 16 === 3), 0L, r)
+          // consolidation sits ON the oracle path: epoch 0 folds into a
+          // fresh base (crash-safe automated re-adoption) and the second
+          // arrival appends AGAINST the consolidated band index — the
+          // served labels must still equal the fresh union closure, so
+          // the driver's hash check exercises adoption, append,
+          // consolidation, and the post-consolidation append in one row
+          graft.streaming.LabelStream.consolidate(s, r)
           graft.streaming.LabelStream.processLabelBatch(s,
             delta.filter(col("doc_id") % 16 === 11), 1L, r)
           r

@@ -519,9 +519,14 @@ class StagedTakedownSpec extends AnyFunSuite {
     // deleted bridge must all match a clustering that never saw the
     // purged documents, which a filtered rewrite of the old labels
     // could not satisfy
+    // q191 rides along: its card masks the purged ledger (the builds it
+    // certifies do), so post-purge it must read exactly what a corpus
+    // that never held the purged docs reads — widths, bucket count,
+    // crossings, verdict
     val labelQueries = Seq("q150_clusters64", "q43_neardup_clusters",
       "q151_survivors64", "q177_dedup_card", "q164_diverse_topk",
-      "q170_takedown_impact", "q175_takedown_expand")
+      "q170_takedown_impact", "q175_takedown_expand",
+      "q191_append_drift_card")
     try {
       // stage BOTH label families pre-purge (the eager-rebuild path)
       run("q150_clusters64", pd)

@@ -222,6 +222,45 @@ class LabelStreamSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("runLabelMaintenance: the streaming entry maintains the root end to end, consolidating on cadence") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val vocab = (1 to 200).map(i => f"word$i%03d")
+    val base64 = vocab.take(64)
+    val tA = base64.mkString(" ")
+    val tB = (base64.dropRight(4) ++ vocab.slice(100, 104)).mkString(" ")
+    val tBr = (base64.dropRight(4) ++ vocab.slice(100, 102) ++
+      base64.takeRight(4).drop(2)).mkString(" ")
+    val baseDocs = Seq(0L -> tA, 1L -> tA, 2L -> tB, 4L -> tB)
+      .toDF("doc_id", "text")
+    val baseLabels = Seq(0L -> 0L, 1L -> 0L, 2L -> 2L, 4L -> 2L)
+      .toDF("doc_id", "cluster_id")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-labelstream-run").toString
+    LabelStream.initRoot(spark, root, baseDocs, baseLabels, 8)
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = LabelStream.runLabelMaintenance(
+      mem.toDF().toDF("doc_id", "text"), root,
+      java.nio.file.Files.createTempDirectory("graft-labelrun-ck").toString,
+      consolidateEvery = 2)
+    try {
+      mem.addData((10L, tA)); q.processAllAvailable()     // batch 0: twin
+      mem.addData((11L, tBr)); q.processAllAvailable()    // batch 1: bridge
+      // consolidation fired after batch 1: epochs folded into the base
+      assert(BatchProtocol.epochIds(spark, s"$root/stream").isEmpty,
+        "consolidateEvery must fold the epochs on cadence")
+      mem.addData((12L, tB)); q.processAllAvailable()     // batch 2: post-fold
+      assert(BatchProtocol.epochIds(spark, s"$root/stream") == Seq(2L),
+        "the post-consolidation batch appends as a fresh epoch")
+      val got = labels(LabelStream.servableLabels(spark, root))
+      assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 4L -> 0L,
+        10L -> 0L, 11L -> 0L, 12L -> 0L),
+        s"the maintained root must serve the full merged closure: $got")
+    } finally q.stop()
+    spark.catalog.clearCache()
+  }
+
   test("purgeRoot: physical erasure re-clusters the reduced state; the ledger outlives the purge") {
     import spark.implicits._
     val vocab = (1 to 200).map(i => f"word$i%03d")
