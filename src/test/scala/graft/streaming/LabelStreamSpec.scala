@@ -222,6 +222,36 @@ class LabelStreamSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("the pruned probe's frequency caps are exact at the boundary: 50 prior copies veto the pair, 49 admit it") {
+    import spark.implicits._
+    // the cap argument behind the pruned band read, pinned at its
+    // boundary: a bucket with at least one delta row lives entirely
+    // inside the probed (b, g) partitions, so its occupancy count is
+    // the TRUE union count — an under-count through the pruning (say,
+    // a missed prior file) would admit a pair the cap must drop. At
+    // MaxBandDocs = 50: 49 prior copies + the arrival = 50 ≤ cap →
+    // the twin merges; 50 prior copies + the arrival = 51 > cap →
+    // every bucket of the identical-sketch family is capped and the
+    // twin stays a singleton (the q191 crossing, streamed).
+    val tA = (1 to 64).map(i => f"word$i%03d").mkString(" ")
+    for ((nCopies, expectJoin) <- Seq((49, true), (50, false))) {
+      val baseDocs = (0 until nCopies).map(i => (i.toLong, tA))
+        .toDF("doc_id", "text")
+      val baseLabels = (0 until nCopies).map(i => (i.toLong, 0L))
+        .toDF("doc_id", "cluster_id")
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft-labelstream-cap$nCopies").toString
+      LabelStream.initRoot(spark, root, baseDocs, baseLabels, 8)
+      LabelStream.processLabelBatch(spark,
+        Seq(1000L -> tA).toDF("doc_id", "text"), 0L, root)
+      val got = labels(LabelStream.servableLabels(spark, root))(1000L)
+      assert(got == (if (expectJoin) 0L else 1000L),
+        s"$nCopies prior copies: arrival labeled $got — the pruned cap " +
+          s"count must read exactly ${nCopies + 1}")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("runLabelMaintenance: the streaming entry maintains the root end to end, consolidating on cadence") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
