@@ -16,20 +16,40 @@ import org.apache.spark.sql.functions._
   *   `<root>/base/`        the ADOPTED pre-stream corpus: one row per
   *                         document `(doc_id, lo, hi, cluster_id)` —
   *                         its 64-bit sketch (null for null text, the
-  *                         q42 posture) and its staged label.
+  *                         q42 posture) and its staged label — laid
+  *                         out under `d=.../c=...` partition dirs,
+  *                         `d = doc_id mod D` and
+  *                         `c = cluster_id mod C`, so the per-batch
+  *                         label-STATE probes prune by FILE on
+  *                         whichever key they hold (the
+  *                         [[LabelBandIndex]] discipline applied to
+  *                         the LABEL relation — see the probe notes
+  *                         below).
   *   `<root>/_width=W`     the band width FROZEN at adoption (derived
   *                         from the base corpus — the frozen-model
   *                         stance: a stream cannot know its final
   *                         corpus size; the q191 drift card is the
   *                         batch-side rebuild signal for the same
   *                         boundary).
+  *   `<root>/_db=D`,
+  *   `<root>/_cb=C`        the label layout's two partition fan-outs,
+  *                         FROZEN at adoption like the width (they are
+  *                         the layout — changing them is a re-adoption)
+  *                         and derived from the base corpus size
+  *                         through [[graft.Bucketing.bucketCountFor]],
+  *                         so the pruned fraction a probe reads shrinks
+  *                         as the corpus grows (the IVF ~√n stance for
+  *                         the label state).
   *   `<root>/stream/`      BatchProtocol epochs `batch_id=N`: the
   *                         batch's sketch+label rows PLUS re-rooted
   *                         override rows `(doc_id, null, null,
   *                         cluster_id)` for previously-labeled
   *                         documents whose cluster merged through an
   *                         arrival — label reads are LAST-WRITE-WINS
-  *                         per doc_id over (base, epochs).
+  *                         per doc_id over (base, epochs). Same
+  *                         `d=.../c=...` layout inside each epoch dir,
+  *                         so one partition filter prunes base and
+  *                         epochs alike.
   *   `<root>/bands/`       the STAGED band-relation index: epochs
   *                         `batch_id=N/b=B/g=G/` of
   *                         `(doc_id, lo, hi, bk)` rows — the base's
@@ -54,10 +74,17 @@ import org.apache.spark.sql.functions._
   * a corpus-wide groupBy), run the shared closure on the collision-sized
   * contracted graph, and emit ONLY the batch's labels plus the CHANGED
   * prior labels — epoch size tracks the arrival's true collisions, never
-  * the corpus. The remaining per-batch O(corpus) cost is a handful of
-  * NARROW label-column scans, each probed by a broadcast semi-join (no
-  * corpus shuffle anywhere); doc_id-ordered base files with min/max
-  * skipping are the next increment if those scans ever dominate.
+  * the corpus. The label-STATE reads are pruned like the band reads:
+  * every probe's id set is batch- or collision-BOUNDED, so its derived
+  * partition-key set is too (≤ D or ≤ C values, one bounded driver read
+  * each — the [[LabelBandIndex.groupsOf]] shape), and the scan reads
+  * only the matching `d=` / `c=` files of base + epochs (LabelStreamSpec
+  * pins the numFiles metric). Three probes, three prune keys: the
+  * already-arrived check and the last-write-wins endpoint fold carry
+  * doc_ids (a document's rows all share its `d`), and the
+  * moved-candidate probe carries the CHANGED cluster ids (a row matches
+  * only if its own cluster_id is among them, and that id is its `c`).
+  * No corpus shuffle and no corpus scan anywhere in the batch path.
   * Exactly-once is [[BatchProtocol]] verbatim: the fold is deterministic
   * in (prior committed state, batch), so the two epoch writes (labels,
   * bands) + marker are the whole crash surface; a redelivered committed
@@ -109,36 +136,73 @@ object LabelStream {
 
   private val WidthPrefix = "_width="
 
+  /** The label layout's partition fan-out markers — frozen at adoption
+    * exactly like the width: the partition VALUES are the layout, so a
+    * different fan-out is a re-adoption, never a knob.
+    */
+  private val DbPrefix = "_db="
+  private val CbPrefix = "_cb="
+
+  /** Stage one label-row directory (`base/`, a stream epoch, or a swap
+    * tmp) under the `d=.../c=...` layout: `d = doc_id mod D` prunes the
+    * doc-keyed probes, `c = cluster_id mod C` the cluster-keyed one.
+    * One shuffle keyed on the layout columns → one file per present
+    * (d, c) group (≤ min(rows, D·C) files — the [[LabelBandIndex
+    * .write]] compaction discipline), so a tiny epoch writes a few
+    * files and the base's file count is the fan-out, not the task
+    * count.
+    */
+  private def writeLabelRows(path: String, rows: DataFrame, db: Int,
+      cb: Int): Unit =
+    rows.select(col("doc_id"), col("lo"), col("hi"), col("cluster_id"))
+      .withColumn("d", pmod(col("doc_id"), lit(db)).cast("int"))
+      .withColumn("c", pmod(col("cluster_id"), lit(cb)).cast("int"))
+      .repartition(col("d"), col("c"))
+      .write.partitionBy("d", "c").mode("overwrite").parquet(path)
+
   /** Adopt the pre-stream corpus: its sketches + staged labels become
     * the base the arrivals append to, its band relation stages as the
-    * index's base epoch, and the band width freezes at the base-derived
-    * value. Idempotent (overwrite + width re-write) — re-adoption
-    * replaces base, bands, and width wholesale.
+    * index's base epoch, and the band width + label-layout fan-outs
+    * freeze at their base-derived values. Idempotent (overwrite +
+    * marker re-write) — re-adoption replaces base, bands, and markers
+    * wholesale.
     */
   def initRoot(spark: SparkSession, root: String, baseDocs: DataFrame,
       baseLabels: DataFrame, width: Int): Unit = {
     val sk = graft.queries.Similarity.sketch64(baseDocs).persist()
-    sk.join(baseLabels, Seq("doc_id"))
-      .write.mode("overwrite").parquet(s"$root/base")
+    // the fan-outs scale with the adopted corpus (bucketCountFor's
+    // rows-per-bucket target), so a probe's pruned fraction keeps
+    // shrinking as deployments grow — at test scale they bottom out at
+    // the minimum and the numFiles pin still proves strict pruning
+    val db = graft.Bucketing.bucketCountFor(sk.count())
+    val cb = db
+    writeLabelRows(s"$root/base", sk.join(baseLabels, Seq("doc_id")), db, cb)
     val f = fs(spark, root)
     f.delete(new Path(bandsRoot(root)), true)
     writeBandEpoch(spark, root, BaseBandEpoch, sk, width)
     sk.unpersist()
-    f.listStatus(new Path(root)).iterator
-      .map(_.getPath).filter(_.getName.startsWith(WidthPrefix))
-      .foreach(p => f.delete(p, false))
-    f.create(new Path(s"$root/$WidthPrefix$width"), true).close()
+    Seq(WidthPrefix -> width, DbPrefix -> db, CbPrefix -> cb).foreach {
+      case (prefix, v) =>
+        f.listStatus(new Path(root)).iterator
+          .map(_.getPath).filter(_.getName.startsWith(prefix))
+          .foreach(p => f.delete(p, false))
+        f.create(new Path(s"$root/$prefix$v"), true).close()
+    }
   }
 
-  private def widthOf(spark: SparkSession, root: String): Int = {
+  private def intMarker(spark: SparkSession, root: String,
+      prefix: String): Int = {
     val f = fs(spark, root)
     f.listStatus(new Path(root)).iterator
-      .map(_.getPath.getName).filter(_.startsWith(WidthPrefix))
-      .map(_.stripPrefix(WidthPrefix).toInt)
+      .map(_.getPath.getName).filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix).toInt)
       .foldLeft(None: Option[Int])((a, b) => Some(a.fold(b)(math.max(_, b))))
-      .getOrElse(sys.error(s"label root $root has no frozen width — " +
-        "initRoot must adopt a base before the stream starts"))
+      .getOrElse(sys.error(s"label root $root has no frozen $prefix " +
+        "marker — initRoot must adopt a base before the stream starts"))
   }
+
+  private def widthOf(spark: SparkSession, root: String): Int =
+    intMarker(spark, root, WidthPrefix)
 
   /** One band epoch of the staged index: the sketches' band rows under
     * the frozen width, `(b, g)`-partitioned so the per-batch probe
@@ -203,19 +267,73 @@ object LabelStream {
     * crash-replay convergence).
     */
   private def priorRows(spark: SparkSession, root: String,
-      batchId: Long): DataFrame = {
+      batchId: Long): DataFrame =
+    priorRowsWhere(spark, root, batchId, lit(true))
+
+  /** [[priorRows]] with a LAYOUT-column predicate pushed to both the
+    * base and the epoch scans: `pf` references only the partition
+    * columns (`d` and/or `c`), so each scan reads only the matching
+    * files — the probe-side half of the [[writeLabelRows]] layout. The
+    * epoch union tolerates an all-empty stream root (a redelivery
+    * no-op's epoch holds no rows, hence no files and no schema — the
+    * [[prunedBands]] posture).
+    */
+  private def priorRowsWhere(spark: SparkSession, root: String,
+      batchId: Long, pf: org.apache.spark.sql.Column): DataFrame = {
     val sroot = streamRoot(root)
-    val base = spark.read.parquet(s"$root/base")
+    val base = spark.read.parquet(s"$root/base").filter(pf)
+      .select(col("doc_id"), col("lo"), col("hi"), col("cluster_id"))
       .withColumn("batch_id", lit(-1L))
-    BatchProtocol.readServable(spark, sroot).fold(base) { e =>
+    try BatchProtocol.readServable(spark, sroot).fold(base) { e =>
       val live = BatchProtocol.epochIds(spark, sroot)
         .filter(id => id != batchId &&
           (id < 0 || BatchProtocol.committed(spark, sroot, id)))
-      base.unionByName(e.select(
+      base.unionByName(e.filter(pf).select(
           col("doc_id"), col("lo"), col("hi"), col("cluster_id"),
           col("batch_id").cast("long"))
         .filter(col("batch_id").isin(live: _*)))
+    } catch { case _: org.apache.spark.sql.AnalysisException =>
+      base // every epoch row-free: no files, no schema — base is the
+           // whole committed state
     }
+  }
+
+  /** The (bounded) distinct partition keys a probe id relation occupies
+    * — the driver-side prune-key read, ≤ the fan-out at ANY probe size
+    * (the [[LabelBandIndex.groupsOf]] shape).
+    */
+  private def keysOf(ids: DataFrame, idCol: String, fanout: Int): Seq[Int] =
+    ids.select(pmod(col(idCol), lit(fanout)).cast("int").as("k"))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+  private def keyFilter(c: org.apache.spark.sql.Column,
+      keys: Seq[Int]): org.apache.spark.sql.Column =
+    if (keys.isEmpty) lit(false) else c.isin(keys.map(Int.box): _*)
+
+  /** The prior label rows that can possibly belong to `ids` (doc_id
+    * probe) — pruned to the ids' `d=` partitions of base + committed
+    * epochs before the broadcast semi-join. A document's rows all share
+    * its `d`, so the pruned read holds EVERY row of every probed id —
+    * the last-write-wins fold over it is exact.
+    */
+  private[streaming] def priorByDoc(spark: SparkSession, root: String,
+      batchId: Long, ids: DataFrame): DataFrame = {
+    val keys = keysOf(ids, "doc_id", intMarker(spark, root, DbPrefix))
+    priorRowsWhere(spark, root, batchId, keyFilter(col("d"), keys))
+      .join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"), "left_semi")
+  }
+
+  /** The prior label rows whose cluster_id is among `cids` (cluster
+    * probe) — pruned to the ids' `c=` partitions: a row matches the
+    * semi-join only if its OWN cluster_id is probed, and that id is
+    * exactly its `c`, so the pruned read holds every matching row.
+    */
+  private[streaming] def priorByCluster(spark: SparkSession, root: String,
+      batchId: Long, cids: DataFrame): DataFrame = {
+    val keys = keysOf(cids, "cluster_id", intMarker(spark, root, CbPrefix))
+    priorRowsWhere(spark, root, batchId, keyFilter(col("c"), keys))
+      .join(broadcast(cids.select(col("cluster_id"))), Seq("cluster_id"),
+        "left_semi")
   }
 
   /** One micro-batch of arriving `(doc_id, text)` documents: the
@@ -235,7 +353,6 @@ object LabelStream {
     val (stable, stableIds) = graft.CheckpointBlocks.pinnedCheckpoint(batch)
     val before = spark.sparkContext.getPersistentRDDs.keySet.toSet
     try {
-      val prior = priorRows(spark, root, batchId)
       val batchAll = graft.queries.Similarity.sketch64(stable)
       // an at-least-once source can redeliver a document in a LATER
       // batch id (the committed-batch guard only catches same-id
@@ -243,14 +360,13 @@ object LabelStream {
       // again would emit a second, conflicting label row, so
       // re-arrivals DROP here — label maintenance is append-only per
       // id, first write wins (LabelStreamSpec pins the cross-batch
-      // redelivery no-op). Two broadcast probes instead of a
-      // corpus-wide anti-join shuffle: the prior ids matching the batch
-      // (batch-bounded) come out of a broadcast semi-join over the
-      // narrow prior scan, then mask the batch by broadcast anti-join.
-      val dupIds = prior.select("doc_id")
-        .join(broadcast(batchAll.select("doc_id")), Seq("doc_id"),
-          "left_semi")
-        .distinct()
+      // redelivery no-op). A d-pruned broadcast probe instead of a
+      // corpus-wide anti-join shuffle: the prior rows that can match
+      // the batch come out of the batch's own d= partitions
+      // ([[priorByDoc]]), then mask the batch by broadcast anti-join.
+      val dupIds = priorByDoc(spark, root, batchId,
+          batchAll.select(col("doc_id")))
+        .select("doc_id").distinct()
       val batchSk = batchAll
         .join(broadcast(dupIds), Seq("doc_id"), "left_anti")
         .persist() // feeds the bands, the epoch writes, and the joins below
@@ -260,11 +376,12 @@ object LabelStream {
       // ANY batch size (the DocStream prune-key discipline)
       val groups = LabelBandIndex.groupsOf(newBands)
       val priorBands = prunedBands(spark, root, batchId, groups)
-      // last-write-wins labels for an EXPLICIT id set — broadcast-probed
-      // over the narrow prior scan, grouped only over the probe's hits
+      // last-write-wins labels for an EXPLICIT id set — d-pruned and
+      // broadcast-probed ([[priorByDoc]] holds every row of every
+      // probed id, so the fold is exact), grouped only over the
+      // probe's hits
       def lwwOf(ids: DataFrame): DataFrame =
-        prior.join(broadcast(ids.select(col("doc_id"))), Seq("doc_id"),
-            "left_semi")
+        priorByDoc(spark, root, batchId, ids)
           .groupBy("doc_id")
           .agg(expr("max_by(cluster_id, batch_id)").as("cluster_id"))
       val (newFinal, remap) = graft.queries.Dedup.appendComponents(spark,
@@ -273,13 +390,12 @@ object LabelStream {
       // for prior documents whose label MOVED (sketch columns null —
       // their sketch lives in its original epoch). Moved docs resolve
       // through the remap's CHANGED rows: any doc with a historical row
-      // in an affected cluster is a candidate (broadcast semi-join),
-      // its true current label is the lww over ALL its rows, and it
-      // moves iff that label re-roots.
+      // in an affected cluster is a candidate (c-pruned broadcast
+      // semi-join — [[priorByCluster]]), its true current label is the
+      // lww over ALL its rows, and it moves iff that label re-roots.
       val changed = remap.filter(col("root") =!= col("cluster_id"))
-      val candIds = prior
-        .join(broadcast(changed.select(col("cluster_id"))),
-          Seq("cluster_id"), "left_semi")
+      val candIds = priorByCluster(spark, root, batchId,
+          changed.select(col("cluster_id")))
         .select("doc_id").distinct()
       val moved = lwwOf(candIds)
         .join(changed, Seq("cluster_id"))
@@ -287,8 +403,9 @@ object LabelStream {
           lit(null).cast("long").as("hi"), col("root").as("cluster_id"))
       val batchRows = batchSk.join(newFinal, Seq("doc_id"))
         .select("doc_id", "lo", "hi", "cluster_id")
-      batchRows.unionByName(moved)
-        .write.mode("overwrite").parquet(s"$sroot/batch_id=$batchId")
+      writeLabelRows(s"$sroot/batch_id=$batchId",
+        batchRows.unionByName(moved),
+        intMarker(spark, root, DbPrefix), intMarker(spark, root, CbPrefix))
       writeBandEpoch(spark, root, batchId, batchSk, w)
       // bands marker BEFORE the stream marker: stream-committed must
       // imply bands-committed (the probe filters on stream markers;
@@ -339,7 +456,8 @@ object LabelStream {
     val tmp = new Path(s"$root/_base_tmp")
     val basep = new Path(s"$root/base")
     val old = new Path(s"$root/_base_old")
-    newBase.write.mode("overwrite").parquet(tmp.toString)
+    writeLabelRows(tmp.toString, newBase,
+      intMarker(spark, root, DbPrefix), intMarker(spark, root, CbPrefix))
     if (f.exists(old)) f.delete(old, true) // completed prior swap's leftover
     require(f.rename(basep, old), s"base swap rename $basep -> $old failed")
     require(f.rename(tmp, basep), s"base swap rename $tmp -> $basep failed")

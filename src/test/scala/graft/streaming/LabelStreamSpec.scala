@@ -108,9 +108,17 @@ class LabelStreamSpec extends AnyFunSuite {
     val got = labels(LabelStream.servableLabels(spark, root))
     assert(got == Map(0L -> 0L, 1L -> 0L),
       s"a cross-batch redelivery must not move or split labels: $got")
-    // and the epoch it wrote is EMPTY — nothing new arrived
-    assert(spark.read.parquet(s"$root/stream/batch_id=0").count() == 0L,
-      "the redelivery's epoch must hold no rows")
+    // and the epoch it wrote is EMPTY — nothing new arrived (a row-free
+    // partitioned write leaves no data files at all, the stronger
+    // physical check)
+    val epFiles = {
+      val st = java.nio.file.Files.walk(
+        java.nio.file.Paths.get(s"$root/stream/batch_id=0"))
+      try st.toArray.toSeq.map(_.toString).count(_.endsWith(".parquet"))
+      finally st.close()
+    }
+    assert(epFiles == 0,
+      s"the redelivery's epoch must hold no rows, found $epFiles files")
     spark.catalog.clearCache()
   }
 
@@ -158,6 +166,78 @@ class LabelStreamSpec extends AnyFunSuite {
     assert(readFiles == matching,
       s"band probe read $readFiles files; only the $matching under " +
         s"b=0/g=$g0 (of ${all.size}) are allowed — the o(corpus) pin")
+    spark.catalog.clearCache()
+  }
+
+  test("a batch's label-STATE probes read only their own d=/c= partitions of base + epochs") {
+    import spark.implicits._
+    // five base docs spread over five d= partitions and three c=
+    // partitions, plus one committed epoch — the doc-keyed probe
+    // (priorByDoc: the dup check and every lww fold) must read only
+    // the probed ids' d= files, and the cluster-keyed probe
+    // (priorByCluster: the moved-candidate resolve) only the probed
+    // cluster ids' c= files, across BOTH the base and the epoch scans
+    val vocab = (1 to 200).map(i => f"word$i%03d")
+    val tA = vocab.take(64).mkString(" ")
+    val tC = vocab.slice(100, 164).mkString(" ")
+    val baseDocs = Seq(0L -> tA, 1L -> tA, 2L -> tC, 4L -> tC,
+      5L -> "zebra quark lantern oboe marsh violet kestrel dune")
+      .toDF("doc_id", "text")
+    val baseLabels = Seq(0L -> 0L, 1L -> 0L, 2L -> 2L, 4L -> 2L, 5L -> 5L)
+      .toDF("doc_id", "cluster_id")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-labelstream-stateprune").toString
+    LabelStream.initRoot(spark, root, baseDocs, baseLabels, 8)
+    LabelStream.processLabelBatch(spark,
+      Seq(10L -> tA).toDF("doc_id", "text"), 0L, root)
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def collectScans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => collectScans(a.executedPlan)
+      case q: QueryStageExec => collectScans(q.plan)
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(collectScans)
+    }
+    def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      collectScans(df.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+    }
+    def labelFiles(sub: String => Boolean): Seq[String] = {
+      val st = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try st.toArray.toSeq.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.contains("/bands/"))
+        .filter(sub)
+      finally st.close()
+    }
+    val all = labelFiles(_ => true)
+    // doc probe: id 2 lives in d = 2 mod 8 = 2; the epoch's arrival
+    // (id 10) shares that partition (10 mod 8 = 2) — the pruned read
+    // must touch exactly the d=2 files of base AND stream, nothing else
+    val docProbe = LabelStream.priorByDoc(spark, root, 99L,
+      Seq(2L).toDF("doc_id"))
+    assert(docProbe.select("doc_id").as[Long].collect().toSet == Set(2L))
+    val dMatch = labelFiles(_.contains("/d=2/"))
+    assert(dMatch.nonEmpty && dMatch.size < all.size,
+      s"fixture degenerate: ${dMatch.size}/${all.size}")
+    assert(filesRead(docProbe) == dMatch.size,
+      s"doc probe read ${filesRead(docProbe)} files; only the " +
+        s"${dMatch.size} under d=2 (of ${all.size}) are allowed — the " +
+        "o(corpus) label-state pin")
+    // cluster probe: cluster 0 lives in c = 0 — base rows (0,1) and the
+    // epoch's arrival row (10 → cluster 0) match; c=2 / c=5 files must
+    // not be read
+    val cluProbe = LabelStream.priorByCluster(spark, root, 99L,
+      Seq(0L).toDF("cluster_id"))
+    assert(cluProbe.select("doc_id").as[Long].collect().toSet
+      == Set(0L, 1L, 10L))
+    val cMatch = labelFiles(_.contains("/c=0/"))
+    assert(cMatch.nonEmpty && cMatch.size < all.size,
+      s"fixture degenerate: ${cMatch.size}/${all.size}")
+    assert(filesRead(cluProbe) == cMatch.size,
+      s"cluster probe read ${filesRead(cluProbe)} files; only the " +
+        s"${cMatch.size} under c=0 (of ${all.size}) are allowed — the " +
+        "o(corpus) label-state pin")
     spark.catalog.clearCache()
   }
 
