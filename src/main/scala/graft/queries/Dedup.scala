@@ -386,6 +386,24 @@ object Dedup {
     propagateMin(s, pairs, sk.select(col("doc_id")))._1
   }
 
+  /** Cap crossings of a growth step, computed over the DELTA-PRUNED
+    * band pair — the q191 card's n_crossed without the full corpus
+    * banding: a bucket that crosses WITH the growth (old occupancy ≤
+    * cap < union occupancy) necessarily gained delta rows, so it lives
+    * wholly inside the delta's (b, g) partitions and the pruned union
+    * counts it exactly (the [[appendComponents]] cap argument, reused
+    * for the verdict — DedupSpec pins the 49/50 boundary).
+    */
+  private[graft] def capCrossings(oldBands: DataFrame,
+      newBands: DataFrame): Long =
+    oldBands.select(col("b"), col("bk"), lit(1L).as("old"))
+      .union(newBands.select(col("b"), col("bk"), lit(0L).as("old")))
+      .groupBy("b", "bk")
+      .agg(count(lit(1)).as("kc"), sum("old").as("kold"))
+      .filter(col("kold") <= Similarity.MaxBandDocs &&
+        col("kc") > Similarity.MaxBandDocs)
+      .count()
+
   /** Builds (once per session+dir) the STAGED appended-label table —
     * q184's artifact: the seven-eighths shard clusters with its own
     * honest parameters (the pre-existing staged labels a growing
@@ -396,6 +414,18 @@ object Dedup {
     * oracle/DedupSpec identity). Bench reps then measure the staged
     * read, the q150 amortization; the one-time build cost is the old
     * closure + the append (PERF.md reports both).
+    *
+    * The q191 drift card's verdict is CONSUMED here, not just
+    * published: before paying the old closure + append, the ensure
+    * runs the card's own exactness test (width drift is a driver
+    * compare of the derived widths; cap crossings come from
+    * [[capCrossings]] over the pruned band pair). Verdict 1 is the
+    * append's exactness GUARANTEE — append. Verdict 0 only withdraws
+    * the guarantee, and the card's documented conservative read is
+    * operational: stage the fresh union closure instead — which is the
+    * session's own q150 artifact, so the "rebuild" is one staged copy,
+    * never a second closure (DedupSpec pins the action on a planted
+    * cap-crossing growth where append and fresh genuinely diverge).
     */
   private def ensureAppendedLabels(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
@@ -419,10 +449,6 @@ object Dedup {
       // discipline): an exception mid-build must not leak the pair
       // persists / closure checkpoints until a global Caches.release
       try {
-        val (oldLabels, _) = propagateMin(s,
-          Similarity.simhash64PairsOver(oldDocs, oldDocs.count())
-            .select(col("doc_a"), col("doc_b")),
-          oldDocs.select(col("doc_id")))
         // the old shard's band relation STAGES beside the labels as a
         // (b, g)-partitioned artifact ([[graft.streaming.LabelBandIndex]]
         // — one layout with the stream index), and the append probes
@@ -431,10 +457,9 @@ object Dedup {
         // pruned probe's numFiles). Width is union-derived — the
         // append's exactness contract holds only there anyway; a
         // long-lived deployment freezes it instead (the LabelStream
-        // stance) and watches q191.
+        // stance) and acts on q191 exactly as this ensure does below.
         val wU = Similarity.bandWidth64For(nUnion)
-        val bandDir = java.nio.file.Files
-          .createTempDirectory("graft-q184-bands").toString
+        val bandDir = warehouseDir(s, s"graft_q184_bands_$tag")
         q184BandRoots.put((s.sparkContext.applicationId, dir), bandDir)
         graft.streaming.LabelBandIndex.write(s, bandDir,
           Similarity.sketch64(oldDocs), wU)
@@ -442,8 +467,22 @@ object Dedup {
           Similarity.sketch64(newDocs).filter(col("lo").isNotNull), wU)
         val oldBands = graft.streaming.LabelBandIndex.prunedRead(s, bandDir,
           graft.streaming.LabelBandIndex.groupsOf(newBands))
-        val appended = appendLabelsFromBands(s, oldLabels, oldBands,
-          newBands, newDocs.select(col("doc_id")))
+        val nOld = oldDocs.count()
+        // the q191 verdict, consulted BEFORE paying the closure: exact
+        // ⇒ append; crossed ⇒ the fresh union closure (q150's staged
+        // artifact — one copy, not a second build)
+        val exact = Similarity.bandWidth64For(nOld) == wU &&
+          capCrossings(oldBands, newBands) == 0L
+        val appended =
+          if (exact) {
+            val (oldLabels, _) = propagateMin(s,
+              Similarity.simhash64PairsOver(oldDocs, nOld)
+                .select(col("doc_a"), col("doc_b")),
+              oldDocs.select(col("doc_id")))
+            appendLabelsFromBands(s, oldLabels, oldBands,
+              newBands, newDocs.select(col("doc_id")))
+          } else ensureClusterLabels64(s, dir)
+            .select(col("doc_id"), col("cluster_id"))
         graft.Bucketing.stage(appended, lblT, "doc_id",
           graft.Bucketing.bucketCountFor(nUnion))
       } finally
@@ -664,6 +703,23 @@ object Dedup {
   private[queries] val q184BandRoots =
     new java.util.concurrent.ConcurrentHashMap[(String, String), String]
 
+  /** A warehouse-rooted directory for a staged DEMO artifact (the q184
+    * band index, the q192 stream root): on a real cluster the session
+    * warehouse is shared storage every executor can read, where a
+    * driver-local temp dir is not — so the demo paths exercise the
+    * production layout. Clears an orphan left by an earlier JVM (the
+    * Bucketing.stage discipline: stale files under the default
+    * warehouse are invisible to this session's in-memory catalog).
+    */
+  private def warehouseDir(s: SparkSession, name: String): String = {
+    val p = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(name)))
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    p.toString
+  }
+
   /** The near-dup-diversified cut (q164's defining half): suppress each
     * (query, cluster)'s non-best twins BEFORE the per-query rank cut —
     * so lower-ranked DISTINCT documents backfill the page — then cut.
@@ -742,8 +798,8 @@ object Dedup {
     "q192_label_stream" -> ((s, dir) => {
       val root = labelRoots.computeIfAbsent(
         (s.sparkContext.applicationId, dir), _ => {
-          val r = java.nio.file.Files
-            .createTempDirectory("graft-label-stream").toString
+          val r = warehouseDir(s,
+            s"graft_q192_root_${dir.replaceAll("[^a-zA-Z0-9]", "_")}")
           // the root's universe excludes the purged ledger (a purge
           // deletes the root — [[dropAppendedDemos]] — and the rebuild
           // must not re-adopt erased documents)
@@ -793,9 +849,12 @@ object Dedup {
     // past the hamming bar) — MEASURED at sf0.01, where the card reads
     // one crossed bucket yet the q184 fresh-closure identity still
     // holds. The conservative read is the operational one: 0 means
-    // schedule the re-cluster. Plan: ONE narrow union band build + two
-    // map-combined aggregates to one row — all integers, cross-engine
-    // exact.
+    // re-cluster — and the verdict is CONSUMED, not just published:
+    // [[ensureAppendedLabels]] runs the same exactness test (width
+    // compare + [[capCrossings]] over its pruned band pair) and stages
+    // the fresh union closure instead of the append when it reads 0.
+    // Plan: ONE narrow union band build + two map-combined aggregates
+    // to one row — all integers, cross-engine exact.
     "q191_append_drift_card" -> ((s, dir) => {
       // the card certifies q184/q192 BUILDS, and those builds mask the
       // purged ledger — measuring widths/crossings over the raw corpus

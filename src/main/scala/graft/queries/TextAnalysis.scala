@@ -936,6 +936,12 @@ object TextAnalysis {
     val ld = Option(s.table(dlT).agg(sum("dl")).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     lexStats.put((s.sparkContext.applicationId, dir), (nd - present, ld))
+    // the rewrite may have shrunk a truncated list below the fresh
+    // cut — clear the K-drift memo so the NEXT ensure consults the
+    // q193 verdict and re-cuts if so (the purge itself stays the
+    // honest erasure event: lists minus deletions, never a silent
+    // re-cut inside the purge)
+    impactCurrent.remove((s.sparkContext.applicationId, dir))
     Seq(postT, dlT, dfT, posT, impT)
   }
 
@@ -1328,13 +1334,58 @@ object TextAnalysis {
   private[graft] def ensureImpactIndex(s: SparkSession, dir: String): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val impT = s"graft_lex_impact_$tag"
+    val memoKey = (s.sparkContext.applicationId, dir)
     if (!s.catalog.tableExists(impT)) {
       val (postT, dlT, _, n, l) = ensureLexIndex(s, dir)
       val a = math.max(1L, l / math.max(1L, n))
       stageImpactFrom(s, impT, postT, dlT, impactKFor(s, dir), a)
+      impactCurrent.put(memoKey, java.lang.Boolean.TRUE) // fresh ≡ current
+    } else if (!impactCurrent.containsKey(memoKey)) {
+      // CONSUME the q193 K-drift verdict instead of only publishing it
+      // — the rebuild ACTION the admission card exists to trigger: a
+      // purge rewrite can shrink a truncated list below the cut a
+      // fresh staging would keep (the card's measured staleness), and
+      // a deployment that only MEASURED would serve the stale sidecar
+      // until an operator read the card. Staleness is the card's own
+      // test (stored length < least(df, K) for any term); when it
+      // holds, the sidecar re-stages at the current (K, a) — restoring
+      // list-for-list freshness (RetrievalSpec pins column identity
+      // with a fresh reduced-corpus staging + the card flipping back
+      // to 1). One sidecar-sized aggregate, once per (session, dir);
+      // [[purgeLex]] clears the memo, the only in-session event that
+      // can shrink stored lists. A current sidecar is untouched, so
+      // every pinned serve plan is byte-identical until a purge lands.
+      val (postT, dlT, dfT, n, l) = ensureLexIndex(s, dir)
+      // a purge re-run can land here INSIDE the df table's crashed
+      // swap window (completed rewrite under the scratch name, serve
+      // table dropped, rename pending) — the consult waits: the purge
+      // recovers the table and clears the memo again, so skipping now
+      // never strands a stale sidecar
+      if (s.catalog.tableExists(dfT)) {
+        val k = impactKFor(s, dir)
+        val stale = s.table(impT).groupBy("term")
+          .agg(count(lit(1)).as("len"))
+          .join(s.table(dfT), Seq("term"))
+          .filter(col("len") < least(col("df"), lit(k)))
+          .limit(1).count() > 0
+        if (stale) {
+          s.sql(s"DROP TABLE `$impT`")
+          stageImpactFrom(s, impT, postT, dlT, k,
+            math.max(1L, l / math.max(1L, n)))
+        }
+        impactCurrent.put(memoKey, java.lang.Boolean.TRUE)
+      }
     }
     impT
   }
+
+  /** Per-(application, dir) memo that the staged impact sidecar passed
+    * the q193 K-drift admission check this session — cleared by
+    * [[purgeLex]] (the one in-session event that shrinks stored
+    * lists), so the next ensure re-consults the verdict and repairs.
+    */
+  private val impactCurrent = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), java.lang.Boolean]
 
   /** The per-term top-K cut over a staged postings/doclen pair — the
     * [[ensureImpactIndex]] staging body, factored so the appended demo
@@ -1430,7 +1481,11 @@ object TextAnalysis {
     * re-cutting at read time would cost exactly the full-postings scan
     * the sidecar exists to avoid. StagedTakedownSpec pins the honest
     * half: no masked doc served, membership = staged lists minus
-    * deletions, survivor scores equal the exact serve's.
+    * deletions, survivor scores equal the exact serve's. The drift is
+    * also BOUNDED IN TIME: after a physical purge shrinks a truncated
+    * list, the next [[ensureImpactIndex]] consults the q193 staleness
+    * measure and re-cuts the sidecar fresh — the measured drift
+    * self-heals at the next ensure instead of waiting on an operator.
     */
   private[graft] def impactRead(s: SparkSession, dir: String,
       tomb: Option[graft.StagedTombstones.DocTomb]): DataFrame =
@@ -2613,7 +2668,10 @@ object TextAnalysis {
     // derived K, the deepest stored list, the term count, how many
     // terms are STALE (stored < fresh), and the verdict bit
     // (k_current = 1 ⇒ the sidecar is list-for-list what a fresh
-    // staging at today's K holds; 0 ⇒ schedule the rebuild). Reads the
+    // staging at today's K holds; 0 ⇒ rebuild — and the verdict is
+    // CONSUMED, not just published: [[ensureImpactIndex]] runs the
+    // same staleness test after any purge and re-cuts, so this card
+    // reads 0 only between the purge and the next ensure). Reads the
     // sidecar's own staged universe (postings-derived df, the tables a
     // purge physically rewrites — ImpactCard reads the machine state,
     // not the raw corpus). Plan: two map-combined aggregates over the

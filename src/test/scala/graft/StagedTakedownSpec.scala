@@ -323,10 +323,14 @@ class StagedTakedownSpec extends AnyFunSuite {
     val serves = Seq("q148_bm25_topk", "q154_phrase_topk",
       "q159_proximity_topk", "q160_lex_index_card", "q68_ann_ivf_staged",
       "q91_ann_ivf_adc", "q122_ann_serve_batch",
-      // the impact serve's purge invariance holds GENERALLY (the purge
-      // drops masked rows from the staged lists without re-cutting, which
-      // is byte-identical to the masked read) — unlike its re-stage
-      // identity, which is documented approximate (impactRead's posture)
+      // the impact serve's purge invariance holds HERE because no list
+      // is truncated at the derived K (floor 64 ≫ every df in this
+      // fixture): the purge drops masked rows from complete lists,
+      // byte-identical to the masked read, and the post-purge K-drift
+      // consult (ensureImpactIndex consuming the q193 verdict) reads
+      // current and re-cuts nothing. A purge that SHRINKS a truncated
+      // list instead re-cuts at the next ensure — RetrievalSpec's q193
+      // case pins that repair path.
       "q182_impact_bm25_topk")
     try {
       StagedTombstones.deleteDocs(spark, pd, delDocs, "pg1")

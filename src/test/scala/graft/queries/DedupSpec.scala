@@ -207,7 +207,8 @@ class DedupSpec extends AnyFunSuite {
         .filter(_.toString.endsWith(".parquet"))
       finally st.close()
     }
-    val all = parquetFiles(java.nio.file.Paths.get(bandDir))
+    val all = parquetFiles(
+      java.nio.file.Paths.get(bandDir.stripPrefix("file:")))
     val matching = all.count(_.toString.contains(s"/b=0/g=$g0/"))
     assert(matching > 0 && matching < all.size,
       s"fixture degenerate: $matching/${all.size}")
@@ -444,6 +445,70 @@ class DedupSpec extends AnyFunSuite {
     assert(got(10L) == got(11L) && got(11L) == got(12L),
       s"symmetric clique members must rank identically: $got")
     assert(got(10L) > base, s"clique members must outrank the isolated doc: $got")
+    spark.catalog.clearCache()
+  }
+
+  test("capCrossings reads the cap boundary exactly over the pruned band pair") {
+    import spark.implicits._
+    // the q191 verdict's in-ensure form: a bucket crosses iff old
+    // occupancy ≤ MaxBandDocs (50) < union occupancy — 50 old rows +
+    // the arrival cross (51 > 50), 49 do not (50 ≤ 50)
+    def oldB(n: Int) = (0 until n).map(i => (i.toLong, 0, 7L))
+      .toDF("doc_id", "b", "bk")
+    val newB = Seq((1000L, 0, 7L)).toDF("doc_id", "b", "bk")
+    assert(Dedup.capCrossings(oldB(50), newB) == 1L,
+      "50 prior rows + the arrival must read as a crossing")
+    assert(Dedup.capCrossings(oldB(49), newB) == 0L,
+      "49 prior rows + the arrival must not")
+    spark.catalog.clearCache()
+  }
+
+  test("q184 consumes the q191 verdict: a cap-crossing growth stages the fresh closure, not the append") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 50 identical old docs sit exactly AT the cap (the old shard's own
+    // honest build merges them); the 51st copy arrives as the delta and
+    // pushes every bucket of the family past it — a fresh union closure
+    // drops all the bucket's pairs (51 > 50) and labels everyone a
+    // singleton, while the append (merges never retract) would keep the
+    // old 50-way cluster. The wired verdict must pick the fresh side.
+    val tA = (1 to 64).map(i => f"word$i%03d").mkString(" ")
+    val oldIds = (0L until 60L).filter(_ % 8 != 3).take(50)
+    val d = java.nio.file.Files
+      .createTempDirectory("graft-q184-cross").toString
+    (oldIds :+ 3L).map(i => (i, tA)).toDF("doc_id", "text")
+      .write.parquet(s"$d/documents.parquet")
+    def labels(q: String): Map[Long, Long] =
+      graft.SparkEntry.queries(q)(spark, d).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+        .toMap
+    val fresh = labels("q150_clusters64")
+    assert(fresh.forall { case (id, c) => id == c },
+      s"51 copies past the cap must all label as singletons: $fresh")
+    val inc = labels("q184_label_append")
+    graft.Caches.release(spark)
+    assert(inc == fresh,
+      "the consumed q191 verdict must stage the fresh closure")
+    // and the verdict genuinely mattered: the naive append over the
+    // same shards diverges (the old build merges its at-cap 50, and an
+    // append never retracts a merge)
+    val dOld = java.nio.file.Files
+      .createTempDirectory("graft-q184-cross-old").toString
+    oldIds.map(i => (i, tA)).toDF("doc_id", "text")
+      .write.parquet(s"$dOld/documents.parquet")
+    val oldLabels = graft.SparkEntry.queries("q150_clusters64")(spark, dOld)
+    assert(oldLabels.collect().forall(_.getAs[Long]("cluster_id") == 0L),
+      "the at-cap old shard's honest build must merge")
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val naive = Dedup.appendLabels64(spark, oldLabels,
+      docs.filter(col("doc_id") % 8 =!= 3),
+      docs.filter(col("doc_id") % 8 === 3), 51L)
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id"))
+      .toMap
+    graft.Caches.release(spark)
+    assert(naive != fresh,
+      "fixture degenerate: the naive append did not diverge from fresh")
     spark.catalog.clearCache()
   }
 }

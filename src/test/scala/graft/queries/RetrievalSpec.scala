@@ -549,7 +549,7 @@ class RetrievalSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
-  test("q193: the K-drift card certifies a fresh sidecar and reads a purge-shrunk truncated list as stale") {
+  test("q193: the card certifies a fresh sidecar; a purge-shrunk stale list re-cuts at the next ensure") {
     import spark.implicits._
     import org.apache.spark.sql.functions.countDistinct
     // the real corpus: a fresh staging is list-for-list the formula's
@@ -591,11 +591,46 @@ class RetrievalSpec extends AnyFunSuite {
         s"pre-purge the conf-cut sidecar is current: $pre")
       graft.StagedTombstones.deleteDocs(spark, d, Seq(5L), "kd1")
       graft.StagedTombstones.purge(spark, d)
+      // the raw post-purge state IS stale (read the tables directly —
+      // the card's own ensure would repair first): alpha's truncated
+      // list shrank to 1 posting where least(df, K) = 2
+      val tag = d.replaceAll("[^a-zA-Z0-9]", "_")
+      import org.apache.spark.sql.functions.{col, count, least, lit}
+      def staleTerms(): Set[String] = spark
+        .table(s"graft_lex_impact_$tag").groupBy("term")
+        .agg(count(lit(1)).as("len"))
+        .join(spark.table(s"graft_lex_df_$tag"), Seq("term"))
+        .filter(col("len") < least(col("df"), lit(2L)))
+        .select("term").collect().map(_.getString(0)).toSet
+      assert(staleTerms() == Set("alpha"),
+        s"the purge-shrunk truncated list must BE stale: ${staleTerms()}")
+      // the verdict is CONSUMED: the next ensure (inside the card)
+      // re-cuts the sidecar, the card flips back to 1, and the
+      // repaired table is COLUMN-identical to a fresh staging over the
+      // reduced corpus
       val post = graft.SparkEntry.queries("q193_impact_k_card")(spark, d)
         .collect().head
-      assert(post.getAs[Long]("n_stale") == 1L &&
-        post.getAs[Long]("k_current") == 0L,
-        s"the purge-shrunk truncated list must read stale: $post")
+      assert(post.getAs[Long]("n_stale") == 0L &&
+        post.getAs[Long]("k_current") == 1L,
+        s"the ensure must consume the stale verdict and re-cut: $post")
+      assert(staleTerms().isEmpty, "the re-cut left a stale list behind")
+      val dFresh = java.nio.file.Files
+        .createTempDirectory("graft-kdrift-fresh").toString
+      Seq(
+        (1L, "alpha alpha alpha"),
+        (2L, "beta beta beta"),
+        (3L, "alpha golf hotel india"))
+        .toDF("doc_id", "text").write.parquet(s"$dFresh/documents.parquet")
+      val tagF = dFresh.replaceAll("[^a-zA-Z0-9]", "_")
+      graft.SparkEntry.queries("q182_impact_bm25_topk")(spark, dFresh)
+        .collect() // stages the fresh family
+      def rows(t: String): Set[(String, Long, Long, Long)] = spark.table(t)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      assert(rows(s"graft_lex_impact_$tag") ==
+        rows(s"graft_lex_impact_$tagF"),
+        "the repaired sidecar must be column-identical to a fresh " +
+          "staging over the reduced corpus")
     } finally {
       spark.conf.unset(TextAnalysis.ImpactKConf)
       graft.StagedTombstones.reset(spark, d)
