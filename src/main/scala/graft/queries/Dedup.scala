@@ -711,7 +711,7 @@ object Dedup {
     * Bucketing.stage discipline: stale files under the default
     * warehouse are invisible to this session's in-memory catalog).
     */
-  private def warehouseDir(s: SparkSession, name: String): String = {
+  private[queries] def warehouseDir(s: SparkSession, name: String): String = {
     val p = new org.apache.hadoop.fs.Path(
       s.sessionState.catalog.defaultTablePath(
         org.apache.spark.sql.catalyst.TableIdentifier(name)))

@@ -731,6 +731,14 @@ object TextAnalysis {
   private val lexAppStats =
     new java.util.concurrent.ConcurrentHashMap[(String, String), (Long, Long)]
 
+  /** Per-(application, dir) accumulated (lex, impact) stream roots for
+    * q194 — built once (two arrival epochs each), then every read
+    * serves the roots (the q192 labelRoots discipline); tracked so a
+    * takedown purge physically drops them with the demo family.
+    */
+  private val q194Roots = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), (String, String)]
+
   /** Builds (once per session+dir) the APPENDED demo index family:
     * the seven-eighths shard stages through [[stageLexFrom]], then the
     * residue-3 delta shard (q184's corpus-growth split) APPENDS through
@@ -827,7 +835,17 @@ object TextAnalysis {
       s"graft_lexapp_impact_${tag}__rewrite").foreach(t =>
       if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE `$t`"))
     lexAppStats.remove((s.sparkContext.applicationId, dir))
-    ()
+    // the q194 stream-root pair is the same class of session demo —
+    // physical erasure is the root deletion, and the next ensure
+    // re-ingests over the corpus minus the purged ledger
+    Option(q194Roots.remove((s.sparkContext.applicationId, dir)))
+      .foreach { case (lr, ir) =>
+        Seq(lr, ir).foreach { r =>
+          val p = new org.apache.hadoop.fs.Path(r)
+          val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+          if (fs.exists(p)) fs.delete(p, true)
+        }
+      }
   }
 
   /** The lexical index's SERVE-TIME read surface: [[ensureLexIndex]]'s
@@ -2711,6 +2729,50 @@ object TextAnalysis {
         corpusQTexts(s, dir, docModQids(s, dir)))))
     }),
 
+    // the STREAMING impact sidecar — q182's latency-bounded serve
+    // shape for stream arrivals ([[graft.streaming.LexStream
+    // .processImpactBatch]]): the corpus arrives as two exactly-once
+    // epochs beside an accumulated lex root (the seven-eighths mass,
+    // then the residue-3 late shard — the q192 arrival split), each
+    // epoch stores its per-term top-K cut under the (a, K) FROZEN at
+    // the first batch plus a per-term df-delta layer, and the serve
+    // re-cuts the pruned union at the frozen K while every score rides
+    // the lex root's LIVE stats. The oracle models exactly that
+    // layered machine: membership = per-term top-K(a0, K0) over the
+    // union postings (the union of per-epoch cuts contains every
+    // global winner — the pigeonhole the sidecar's exactness rests
+    // on), scalars a0/K0 derived from the FIRST batch's corpus,
+    // scoring df/N/L/a from the full union — cross-engine integer
+    // exact. Scalar drift is [[graft.streaming.LexStream
+    // .rebuildImpactIndex]]'s job (spec-pinned), deliberately off this
+    // hash-checked path: a mid-stream rebuild re-derives the cut
+    // scalars, which no closed-form SQL over the raw corpus models.
+    "q194_impact_stream_topk" -> ((s, dir) => {
+      val (lexRoot, impRoot) = q194Roots.computeIfAbsent(
+        (s.sparkContext.applicationId, dir), _ => {
+          val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+          val lr = Dedup.warehouseDir(s, s"graft_q194_lex_$tag")
+          val ir = Dedup.warehouseDir(s, s"graft_q194_imp_$tag")
+          // the roots' universe excludes the purged ledger (a purge
+          // deletes the roots — [[dropAppendedLex]] — and the rebuild
+          // must not re-ingest erased documents)
+          val purged = graft.StagedTombstones.purgedDocIds(s, dir).toSeq
+          val docs = graft.StagedTombstones.masked(s,
+            Tables(s, dir, "documents"),
+            if (purged.isEmpty) None else Some(purged), "doc_id")
+            .select(col("doc_id"), col("text"))
+          for ((b, id) <- Seq(docs.filter(col("doc_id") % 8 =!= 3),
+              docs.filter(col("doc_id") % 8 === 3)).zipWithIndex) {
+            graft.streaming.LexStream.processLexBatch(s, b, id.toLong, lr)
+            graft.streaming.LexStream.processImpactBatch(s, b, id.toLong,
+              ir, lr)
+          }
+          (lr, ir)
+        })
+      graft.streaming.LexStream.impactTopDocs(s, lexRoot, impRoot,
+        corpusQTexts(s, dir, docModQids(s, dir)))
+    }),
+
     // the appended family's APPROXIMATE layer — the impact sidecar
     // maintained under the same corpus growth ([[appendImpactIndex]]:
     // re-cut only the delta-vocabulary and previously-truncated terms;
@@ -3753,6 +3815,42 @@ object TextAnalysis {
        |     ORDER BY score_u DESC, doc_id) AS rnk FROM isc) r
        |WHERE rnk <= $Bm25TopK""".stripMargin
 
+  /** q194's oracle — the STREAMING impact sidecar's layered machine in
+    * closed form: candidate membership is the per-term top-K cut under
+    * the scalars FROZEN at the first batch (`a0`/`k0` derive from the
+    * residue-≠3 arrival mass — the adoption split), while df/N/L/a for
+    * SCORING derive from the full union (the serve recomputes scores
+    * under live stats; only membership rides the frozen cut). The
+    * union-of-per-epoch-cuts = global-top-K identity (every global
+    * winner survives its own epoch's cut a fortiori) is what lets one
+    * window over the union postings model the multi-epoch machine.
+    */
+  private[queries] def sqlImpactStreamTopDocs(qsSql: String): String =
+    s"""WITH ${sqlBm25Ctes(qsSql)},
+       |av0 AS (SELECT GREATEST(1, l0 // GREATEST(n0, 1)) AS a0 FROM
+       |  (SELECT (SELECT COUNT(*) FROM documents WHERE doc_id % 8 <> 3) AS n0,
+       |          (SELECT COUNT(*) FROM t WHERE doc_id % 8 <> 3) AS l0) nl),
+       |k0 AS (SELECT GREATEST($ImpactKFloor,
+       |  16 * CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k
+       |  FROM documents WHERE doc_id % 8 <> 3),
+       |imp0 AS (SELECT tf.term, tf.doc_id, tf.tf,
+       |  (2200 * a0 * tf.tf) // (10 * a0 * tf.tf + 3 * a0 + 9 * dl.dl) AS imp
+       |  FROM tf JOIN dl USING (doc_id), av0),
+       |impl AS (SELECT term, doc_id, tf FROM (SELECT *, ROW_NUMBER() OVER
+       |  (PARTITION BY term ORDER BY imp DESC, doc_id) AS irn FROM imp0) z
+       |  WHERE irn <= (SELECT k FROM k0)),
+       |isc AS (SELECT qt.qid, impl.doc_id,
+       |  CAST(SUM(((2*n - 2*df + 1) * 1000 // (2*df + 1))
+       |    * ((2200 * a * impl.tf) // (10 * a * impl.tf + 3 * a + 9 * dl.dl)))
+       |    AS BIGINT) AS score_u
+       |  FROM impl JOIN qt USING (term) JOIN dfq USING (term)
+       |    JOIN dl USING (doc_id), av
+       |  GROUP BY 1, 2)
+       |SELECT qid, CAST(rnk AS BIGINT) AS rnk, doc_id, score_u FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY score_u DESC, doc_id) AS rnk FROM isc) r
+       |WHERE rnk <= $Bm25TopK""".stripMargin
+
   /** q172's oracle: the BM25 serve re-staged over the corpus MINUS a
     * takedown set — the ground truth the engine's tombstone mask must
     * hash-match. The index side (tf/dl/df/N/L) reads `live`; the query
@@ -4143,6 +4241,7 @@ object TextAnalysis {
     // the impact-ordered approximate serve: the q148 chain with the
     // per-term top-ImpactK cut between postings and scoring
     "q182_impact_bm25_topk" -> sqlImpactTopDocs(sqlDocModQs),
+    "q194_impact_stream_topk" -> sqlImpactStreamTopDocs(sqlDocModQs),
 
     // q148's text VERBATIM — the appended index's exactness contract
     // IS the identity with a fresh full staging (see appendLexIndex)

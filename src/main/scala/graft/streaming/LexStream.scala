@@ -62,6 +62,77 @@ object LexStream {
   private def termBucket(term: org.apache.spark.sql.Column) =
     pmod(hash(term), lit(LexTermBuckets)).cast("int")
 
+  private def fs(spark: SparkSession, p: String) =
+    new org.apache.hadoop.fs.Path(p)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** The impact root's FROZEN corpus scalars — the avgdl quantization
+    * `a` the per-epoch cut orders by and the per-term list depth `K` it
+    * cuts at, adopted from the paired lex root's stats at the FIRST
+    * batch and frozen as root markers (the [[LabelStream]] `_width=`
+    * stance: cut keys must stay comparable across epochs, so a scalar
+    * refresh is [[rebuildImpactIndex]], a migration — never a knob).
+    */
+  private val APrefix = "_a="
+  private val KPrefix = "_k="
+
+  /** The markers live under a hidden `_scalars/` dir (the `_commits`
+    * pattern): a bare `_a=4` file at the root would read as a partition
+    * path (the `=` defeats the hidden-file filter) and break the
+    * epoch scan.
+    */
+  private def scalarsDir(impPath: String) = s"$impPath/_scalars"
+
+  private def readMarker(spark: SparkSession, impPath: String,
+      prefix: String): Option[Long] = {
+    val f = fs(spark, impPath)
+    val root = new org.apache.hadoop.fs.Path(scalarsDir(impPath))
+    if (!f.exists(root)) None
+    else f.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong)
+      .foldLeft(None: Option[Long])((acc, v) =>
+        Some(acc.fold(v)(math.max(_, v))))
+  }
+
+  private def writeScalars(spark: SparkSession, impPath: String, a: Long,
+      k: Long): Unit = {
+    val f = fs(spark, impPath)
+    val root = new org.apache.hadoop.fs.Path(scalarsDir(impPath))
+    f.mkdirs(root)
+    Seq(APrefix -> a, KPrefix -> k).foreach { case (p, v) =>
+      f.listStatus(root).iterator
+        .map(_.getPath).filter(_.getName.startsWith(p))
+        .foreach(x => f.delete(x, false))
+      f.create(new org.apache.hadoop.fs.Path(
+        s"${scalarsDir(impPath)}/$p$v"), true).close()
+    }
+  }
+
+  /** (N, L) of a lex root's stat partition — null-safe for an
+    * all-null-text corpus (L = 0), N counts every arrived document.
+    */
+  private def statScalars(stats: DataFrame): (Long, Long) = {
+    val r = stats.agg(count(lit(1)), sum("dl")).head
+    (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+  }
+
+  private def frozenScalars(spark: SparkSession, impPath: String,
+      lexPath: String): (Long, Long) =
+    (readMarker(spark, impPath, APrefix), readMarker(spark, impPath,
+      KPrefix)) match {
+      case (Some(a), Some(k)) => (a, k)
+      case _ =>
+        val servable = BatchProtocol.readServable(spark, lexPath)
+          .getOrElse(sys.error(s"impact root $impPath adopts its frozen " +
+            "scalars from the paired lex root's stats — fold the lex " +
+            "batch first (the runLexIndex ordering)"))
+        val (n, l) = statScalars(statRows(spark, lexPath, servable))
+        val a = math.max(1L, l / math.max(1L, n))
+        val k = graft.queries.TextAnalysis.impactKOf(spark, n)
+        writeScalars(spark, impPath, a, k)
+        (a, k)
+    }
+
   /** Takedown: mark documents DELETED from an accumulated index (lexical
     * or positional root — each root masks independently; a paired
     * deployment calls this once per root). Full protocol in
@@ -135,16 +206,77 @@ object LexStream {
     } finally graft.CheckpointBlocks.free(spark, stableIds)
   }
 
+  /** The impact-ordered APPROXIMATE layer's `foreachBatch` body — the
+    * [[graft.queries.TextAnalysis.ensureImpactIndex]] sidecar for the
+    * ACCUMULATED index, so stream arrivals can join the
+    * latency-bounded q182-style serve without waiting on a batch
+    * re-stage. One epoch per batch under the SEPARATE `impPath` root
+    * (own `_commits`, own tombstones — the [[processPosBatch]] layer
+    * pairing), two row kinds sharing the postings `tb` partitioning:
+    *
+    *   - the batch's per-term TOP-[[frozenScalars]].K postings
+    *     `(doc_id, term, tf, imp)`, cut by the integer impact under the
+    *     root's frozen `a` — the union of per-epoch cuts contains every
+    *     global top-K row (a row in the global top-K is in its own
+    *     epoch's top-K a fortiori), so [[impactTopDocs]]' serve-time
+    *     re-cut over the pruned union IS the top-K of all arrivals
+    *     under the frozen scalars;
+    *   - one df-delta row per batch term `(doc_id = NULL, term,
+    *     tf = batch df, imp = NULL)` — summed at serve time these give
+    *     the EXACT per-term df without the corpus-scale postings count
+    *     the sidecar exists to avoid (the staged-df-table bound,
+    *     streamed; the lex root derives df by scanning the query
+    *     terms' postings, which is exactly the fetch a high-df term
+    *     makes corpus-scale).
+    *
+    * The frozen (a, K) adopt from the paired lex root's stats at the
+    * first batch — call AFTER [[processLexBatch]] (the [[runLexIndex]]
+    * ordering). Exactly-once is [[BatchProtocol]] verbatim.
+    */
+  def processImpactBatch(spark: SparkSession, batch: DataFrame,
+      batchId: Long, impPath: String, lexPath: String): Unit = {
+    if (BatchProtocol.committed(spark, impPath, batchId))
+      return // replayed, fully committed
+    val (a, k) = frozenScalars(spark, impPath, lexPath)
+    val (stable, stableIds) = graft.CheckpointBlocks.pinnedCheckpoint(batch)
+    try {
+      val tf = stable
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val w = Window.partitionBy("term").orderBy(desc("imp"), asc("doc_id"))
+      val cut = tf.join(dl, Seq("doc_id"))
+        .withColumn("imp", expr(s"(${2200 * a} * tf) div " +
+          s"(${10 * a} * tf + ${3 * a} + 9 * dl)"))
+        .withColumn("irn", row_number().over(w))
+        .filter(col("irn") <= k)
+        .select(col("doc_id"), col("term"), col("tf"), col("imp"))
+      val dfRows = tf.groupBy("term").agg(count(lit(1)).as("tf"))
+        .select(lit(null).cast("long").as("doc_id"), col("term"),
+          col("tf"), lit(null).cast("long").as("imp"))
+      cut.unionByName(dfRows)
+        .withColumn("tb", termBucket(col("term")))
+        .write.partitionBy("tb").mode("overwrite")
+        .parquet(s"$impPath/batch_id=$batchId")
+      BatchProtocol.commit(spark, impPath, batchId)
+    } finally graft.CheckpointBlocks.free(spark, stableIds)
+  }
+
   /** Streaming incremental lexical indexing: every micro-batch of
-    * documents folds into `<lexPath>` — and, when `posPath` is given,
-    * into the positional layer too (ONE stream maintains both serve
-    * substrates, the production retrieval-index shape) — under the
-    * exactly-once protocol; `compactEvery > 0` self-compacts after
-    * every N-th commit (quiescence holds by construction inside
-    * foreachBatch — the [[DocStream.runNearDedup]] cadence contract).
+    * documents folds into `<lexPath>` — and, when `posPath` /
+    * `impactPath` are given, into the positional and impact layers too
+    * (ONE stream maintains all serve substrates, the production
+    * retrieval-index shape) — under the exactly-once protocol;
+    * `compactEvery > 0` self-compacts after every N-th commit
+    * (quiescence holds by construction inside foreachBatch — the
+    * [[DocStream.runNearDedup]] cadence contract). The impact layer
+    * compacts AFTER the lex root in the same call — its consolidated df
+    * layer recomputes from the lex root's just-purged postings, the
+    * ordering [[compactImpactIndex]]'s serve-invariance needs.
     */
   def runLexIndex(docs: DataFrame, lexPath: String, checkpoint: String,
-      compactEvery: Int = 0, posPath: Option[String] = None)
+      compactEvery: Int = 0, posPath: Option[String] = None,
+      impactPath: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -152,12 +284,16 @@ object LexStream {
         processLexBatch(batch.sparkSession, batch, batchId, lexPath)
         posPath.foreach(p =>
           processPosBatch(batch.sparkSession, batch, batchId, p))
+        impactPath.foreach(p =>
+          processImpactBatch(batch.sparkSession, batch, batchId, p, lexPath))
         if (compactEvery > 0 && (batchId + 1) % compactEvery == 0) {
           compactLexIndex(batch.sparkSession, lexPath, batchId)
           // the positional root shares the layout column AND the
           // tombstone protocol — one purging compaction for both layers
           posPath.foreach(p =>
             compactLexIndex(batch.sparkSession, p, batchId))
+          impactPath.foreach(p =>
+            compactImpactIndex(batch.sparkSession, p, lexPath, batchId))
           ()
         }
       }
@@ -291,22 +427,31 @@ object LexStream {
     * corpus scalars and dl come from the stat partition alone; the
     * final cut is a qid-partitioned window (WindowGroupLimit).
     */
-  def lexTopDocs(spark: SparkSession, lexPath: String,
-      queries: DataFrame): DataFrame = {
-    import graft.queries.TextAnalysis.{Bm25QTermCap, Bm25TopK}
+  /** The per-query CAPPED term set plus its bounded driver read (≤
+    * |queries|·cap rows — the bm25Stage discipline): the capped (qid,
+    * term) relation, the distinct term literals, and their buckets —
+    * ONE definition for the exact serve and the impact serve, so the
+    * two roads cannot drift on what "the query's terms" means.
+    */
+  private def cappedTermRows(queries: DataFrame)
+      : (DataFrame, Array[Any], Array[Any]) = {
+    import graft.queries.TextAnalysis.Bm25QTermCap
     val qt0 = queries
       .select(col("qid"), explode(tokens(col("qtext"))).as("term"))
       .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
     val wq = Window.partitionBy("qid").orderBy(desc("qtf"), asc("term"))
     val qt = qt0.withColumn("rn", row_number().over(wq))
       .filter(col("rn") <= Bm25QTermCap).select("qid", "term")
-    // the bounded driver read that buys the prune (the bm25Stage
-    // discipline): capped distinct query terms with their buckets
     val termRows = qt.select(col("term"), termBucket(col("term")).as("tb"))
       .distinct().collect()
-    val terms: Array[Any] = termRows.map(_.getString(0))
-    val tbs: Array[Any] =
-      termRows.map(r => Int.box(r.getInt(1)): Any).distinct
+    (qt, termRows.map(_.getString(0)),
+      termRows.map(r => Int.box(r.getInt(1)): Any).distinct)
+  }
+
+  def lexTopDocs(spark: SparkSession, lexPath: String,
+      queries: DataFrame): DataFrame = {
+    import graft.queries.TextAnalysis.Bm25TopK
+    val (qt, terms, tbs) = cappedTermRows(queries)
     // aggregate-consumer discipline: exclude crash-superseded epochs,
     // and serve a defined empty on an epoch-less new index
     val servable = BatchProtocol.readServable(spark, lexPath)
@@ -320,10 +465,7 @@ object LexStream {
       val stats = statRows(spark, lexPath, servable.get)
       // N counts every arrived document (null text included — the batch
       // convention); L is null-safe for an all-null-text corpus
-      val (n, l) = {
-        val r = stats.agg(count(lit(1)), sum("dl")).head
-        (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
-      }
+      val (n, l) = statScalars(stats)
       val a = math.max(1L, l / math.max(1L, n))
       // the takedown mask applies to candidates AND (via statRows) the
       // corpus scalars/dl, so a deleted doc vanishes from df and idf
@@ -350,5 +492,205 @@ object LexStream {
         .filter(col("rnk") <= Bm25TopK)
         .select("qid", "rnk", "doc_id", "score_u")
     }
+  }
+
+  /** Impact-ordered APPROXIMATE BM25 against the accumulated pair —
+    * q182's serve shape for stream arrivals: the candidate fetch reads
+    * the impact root's pruned `(tb, term)` partitions and re-cuts each
+    * term to the frozen K over the STORED impact order (≤ K·epochs rows
+    * in, ≤ K out — epochs since compaction bound the read, never the
+    * corpus), df folds from the root's df-delta rows (exact — see
+    * [[processImpactBatch]]), and every SCORE rides the lex root's LIVE
+    * masked stats exactly like [[lexTopDocs]] — only candidate
+    * MEMBERSHIP is approximate, and [[impactRecallAudit]] measures that
+    * drift as data (the q183 stance). Takedowns: candidates mask with
+    * the impact root's OWN tombstones, stats/dl with the lex root's
+    * (each root masks independently — the paired-deployment rule), and
+    * the df fold subtracts the lex-deleted documents' still-present
+    * term memberships (a doubly-pruned request-bounded probe), so df
+    * equals the masked lex derivation until compaction realigns the
+    * files (LexStreamSpec pins the masked serve against a batch
+    * rebuild over the corpus minus the deletions).
+    */
+  def impactTopDocs(spark: SparkSession, lexPath: String, impPath: String,
+      queries: DataFrame): DataFrame = {
+    import graft.queries.TextAnalysis.Bm25TopK
+    val (qt, terms, tbs) = cappedTermRows(queries)
+    val servableImp = BatchProtocol.readServable(spark, impPath)
+    val servableLex = BatchProtocol.readServable(spark, lexPath)
+    if (terms.isEmpty || servableImp.isEmpty || servableLex.isEmpty)
+      queries.select(col("qid"), lit(0L).as("rnk"),
+        lit(0L).as("doc_id"), lit(0L).as("score_u")).limit(0)
+    else {
+      val k = readMarker(spark, impPath, KPrefix).getOrElse(
+        sys.error(s"impact root $impPath has no frozen K marker — " +
+          "no batch ever adopted scalars"))
+      val pruned = servableImp.get
+        .filter(col("tb").isin(tbs: _*))
+        .filter(col("term").isin(terms: _*))
+      // serve-time re-cut over the pruned union of per-epoch cuts = the
+      // top-K of all arrivals under the frozen scalars (every global
+      // top-K row survives its own epoch's cut); masking BEFORE the
+      // re-cut lets survivors backfill a deleted head's slot from the
+      // stored tail — the same rows a fresh cut over the reduced
+      // arrivals would keep whenever the tail is stored
+      val wk = Window.partitionBy("term").orderBy(desc("imp"), asc("doc_id"))
+      val cand = masked(spark, impPath, pruned.filter(col("doc_id").isNotNull))
+        .withColumn("irn", row_number().over(wk))
+        .filter(col("irn") <= k)
+        .select("doc_id", "term", "tf")
+      val dfAgg = pruned.filter(col("doc_id").isNull)
+        .groupBy("term").agg(sum("tf").as("df0"))
+      val dfq = Tombstones.ids(spark, lexPath, "doc_id") match {
+        case None => dfAgg.select(col("term"), col("df0").as("df"))
+        case Some(ids) =>
+          val adj = servableLex.get
+            .filter(col("tb").isin(tbs: _*))
+            .filter(col("term").isin(terms: _*))
+            .join(broadcast(ids.distinct()), Seq("doc_id"), "left_semi")
+            .groupBy("term").agg(count(lit(1)).as("ddf"))
+          dfAgg.join(adj, Seq("term"), "left")
+            .select(col("term"),
+              (col("df0") - coalesce(col("ddf"), lit(0L))).as("df"))
+            .filter(col("df") > 0)
+      }
+      val stats = statRows(spark, lexPath, servableLex.get)
+      val (n, l) = statScalars(stats)
+      val a = math.max(1L, l / math.max(1L, n))
+      val qtIdf = qt.join(broadcast(dfq), Seq("term"))
+        .withColumn("idf_m",
+          expr(s"(${2 * n} - 2*df + 1) * 1000 div (2*df + 1)"))
+        .select("qid", "term", "idf_m")
+      val w = Window.partitionBy("qid").orderBy(desc("score_u"), asc("doc_id"))
+      cand.join(broadcast(qtIdf), Seq("term"))
+        .join(stats, Seq("doc_id"))
+        .withColumn("tscore",
+          expr(s"idf_m * ((${2200 * a} * tf) div" +
+            s" (${10 * a} * tf + ${3 * a} + 9 * dl))"))
+        .groupBy("qid", "doc_id").agg(sum("tscore").as("score_u"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= Bm25TopK)
+        .select("qid", "rnk", "doc_id", "score_u")
+    }
+  }
+
+  /** The stream impact serve's recall audit — q183's fold over the
+    * accumulated pair: per query, how much of the exact [[lexTopDocs]]
+    * page the bounded [[impactTopDocs]] serve retains (integer
+    * per-mille; n_exact ≥ 1 per emitted group, so the ANSI div is
+    * safe). The number an operator reads before routing stream traffic
+    * to the bounded road — and the MEASURED signal that the frozen
+    * scalars have drifted past usefulness, [[rebuildImpactIndex]]'s
+    * trigger (the q95/q183 stance: approximations ship beside their
+    * exact baseline with the drift measured per corpus, not guessed).
+    */
+  def impactRecallAudit(spark: SparkSession, lexPath: String,
+      impPath: String, queries: DataFrame): DataFrame = {
+    val exact = lexTopDocs(spark, lexPath, queries)
+      .select(col("qid"), col("doc_id"))
+    val approx = impactTopDocs(spark, lexPath, impPath, queries)
+      .select(col("qid"), col("doc_id"), lit(1L).as("hit"))
+    exact.join(approx, Seq("qid", "doc_id"), "left")
+      .groupBy("qid").agg(
+        count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .withColumn("recall_pm", expr("(n_hit * 1000) div n_exact"))
+  }
+
+  /** Merge the impact root's committed epochs ≤ `upToBatch` into one
+    * consolidated `tb`-partitioned epoch — SERVE-INVARIANT by
+    * construction (LexStreamSpec pins it): the per-term cut rows keep
+    * their stored `imp` (frozen scalars — nothing re-orders), the
+    * tombstoned candidates purge physically (masking already hid
+    * them), and the df-delta layer is REPLACED by a fresh per-term
+    * count over the paired lex root's masked servable postings — which
+    * equals the old deltas minus the deleted documents' still-present
+    * memberships, exactly what [[impactTopDocs]]' serve-time
+    * adjustment computes. Contract: run beside (AFTER) the lex root's
+    * own purging compaction in the same quiesced call at the stream's
+    * max committed id — the [[runLexIndex]] cadence wiring — so the
+    * recomputed df layer covers every arrival and sees the lex purge.
+    */
+  def compactImpactIndex(spark: SparkSession, impPath: String,
+      lexPath: String, upToBatch: Long): Int = {
+    val n = BatchProtocol.compactIndex(spark, impPath, upToBatch, Seq("tb"),
+      rowFilter = rel => {
+        val cut = masked(spark, impPath, rel.filter(col("doc_id").isNotNull))
+          .select("doc_id", "term", "tf", "imp")
+        val dfFresh = BatchProtocol.readServable(spark, lexPath) match {
+          case None => rel.filter(col("doc_id").isNull)
+            .select("doc_id", "term", "tf", "imp").limit(0)
+          case Some(lx) =>
+            masked(spark, lexPath, lx.filter(col("tb") =!= StatBucket)
+                .select("doc_id", "term"))
+              .groupBy("term").agg(count(lit(1)).as("tf"))
+              .select(lit(null).cast("long").as("doc_id"), col("term"),
+                col("tf"), lit(null).cast("long").as("imp"))
+        }
+        // the layout column re-derives (tb is functional in term, so
+        // the recompute equals the stored value on the kept rows)
+        cut.unionByName(dfFresh)
+          .withColumn("tb", termBucket(col("term")))
+      })
+    Tombstones.consolidate(spark, impPath, upToBatch, "doc_id")
+    n
+  }
+
+  /** Scalar-refresh MIGRATION for an impact root — the q193 rebuild
+    * action, streamed: re-derive (a, K) from the lex root's CURRENT
+    * masked stats and rebuild the whole sidecar from its servable
+    * postings under them (per-term top-K at the new order — the one
+    * operation the frozen-scalar epochs cannot express, because stored
+    * cuts only ever drop rows). Rides [[BatchProtocol.compactIndex]]'s
+    * crash-ordered protocol with a replace-all rowFilter, so every
+    * crash window recovers by re-run; the markers rewrite LAST — a
+    * crash between leaves rows cut at the new scalars served at the
+    * old K (a prefix of the new cut: consistent, and the re-run
+    * converges). Quiesced, like every migration ([[DocStream
+    * .rebandIndex]]'s contract). No-op on an epoch-less root.
+    */
+  def rebuildImpactIndex(spark: SparkSession, impPath: String,
+      lexPath: String): Unit = {
+    BatchProtocol.requireQuiesced(spark, impPath)
+    val epochs = BatchProtocol.epochIds(spark, impPath)
+    if (epochs.isEmpty) return
+    val lx = BatchProtocol.readServable(spark, lexPath).getOrElse(
+      sys.error(s"impact root $impPath rebuilds from the paired lex " +
+        s"root's postings — $lexPath holds no epochs"))
+    val stats = statRows(spark, lexPath, lx)
+    val (n, l) = statScalars(stats)
+    val aNew = math.max(1L, l / math.max(1L, n))
+    val kNew = graft.queries.TextAnalysis.impactKOf(spark, n)
+    val post = masked(spark, lexPath, lx.filter(col("tb") =!= StatBucket)
+      .select("doc_id", "term", "tf"))
+    val w = Window.partitionBy("term").orderBy(desc("imp"), asc("doc_id"))
+    val cut = post.join(stats, Seq("doc_id"))
+      .withColumn("imp", expr(s"(${2200 * aNew} * tf) div " +
+        s"(${10 * aNew} * tf + ${3 * aNew} + 9 * dl)"))
+      .withColumn("irn", row_number().over(w))
+      .filter(col("irn") <= kNew)
+      .select(col("doc_id"), col("term"), col("tf"), col("imp"))
+    val dfFresh = post.groupBy("term").agg(count(lit(1)).as("tf"))
+      .select(lit(null).cast("long").as("doc_id"), col("term"),
+        col("tf"), lit(null).cast("long").as("imp"))
+    // the consolidation anchor: compactIndex folds THROUGH a live
+    // stream epoch id. A root whose arrivals all compacted already has
+    // none — append a committed EMPTY epoch one past the watermark (a
+    // no-rows epoch is the redelivery convention, invisible to every
+    // read) purely so the replace-all consolidation has its anchor.
+    val upTo = epochs.filter(_ >= 0) match {
+      case live if live.nonEmpty => live.max
+      case _ =>
+        val anchor = BatchProtocol.compactedThrough(spark, impPath) + 1
+        fs(spark, impPath).mkdirs(
+          new org.apache.hadoop.fs.Path(s"$impPath/batch_id=$anchor"))
+        BatchProtocol.commit(spark, impPath, anchor)
+        anchor
+    }
+    BatchProtocol.compactIndex(spark, impPath, upTo, Seq("tb"),
+      rowFilter = _ => cut.unionByName(dfFresh)
+        .withColumn("tb", termBucket(col("term"))))
+    Tombstones.consolidate(spark, impPath, upTo, "doc_id")
+    writeScalars(spark, impPath, aNew, kNew)
   }
 }

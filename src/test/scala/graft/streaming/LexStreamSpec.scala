@@ -234,6 +234,184 @@ class LexStreamSpec extends AnyFunSuite {
       "the stream-maintained positional layer must serve the batch rows")
   }
 
+  /** Fold the fixture's lex + impact pair; returns (lexPath, impPath). */
+  private def foldImpactFixture(): (String, String) = {
+    val lex = Files.createTempDirectory("graft-impidx-lex").toString
+    val imp = Files.createTempDirectory("graft-impidx").toString
+    for ((b, id) <- Seq(b0, b1, b2).zipWithIndex) {
+      LexStream.processLexBatch(spark, df(b), id.toLong, lex)
+      LexStream.processImpactBatch(spark, df(b), id.toLong, imp, lex)
+    }
+    (lex, imp)
+  }
+
+  private def impactServe(lex: String, imp: String)
+      : Set[(Long, Long, Long, Long)] =
+    LexStream.impactTopDocs(spark, lex, imp, fixtureQueries())
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).toSet
+
+  test("impact layer: epochs append beside the lex root and the complete-list serve equals the exact one") {
+    val (lex, imp) = foldImpactFixture()
+    // the 12-doc fixture's dfs all sit far under the derived K floor
+    // (64): every stored list is its complete postings, so the bounded
+    // serve must equal the exact stream serve AND the batch rebuild —
+    // the q182 complete-list identity, streamed
+    val exact = batchServe()
+    assert(impactServe(lex, imp) == exact,
+      s"${impactServe(lex, imp)} vs $exact")
+    // three epochs, each carrying cut rows AND per-term df-delta rows
+    assert(BatchProtocol.epochIds(spark, imp).sorted == Seq(0L, 1L, 2L))
+    val ep0 = spark.read.parquet(s"$imp/batch_id=0")
+    assert(ep0.filter(col("doc_id").isNotNull).count() > 0 &&
+      ep0.filter(col("doc_id").isNull).count() > 0,
+      "an epoch must carry both the cut rows and the df-delta layer")
+    // the frozen scalars adopted from the lex root's batch-0 stats
+    val f = new org.apache.hadoop.fs.Path(imp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val markers = f.listStatus(new org.apache.hadoop.fs.Path(s"$imp/_scalars"))
+      .map(_.getPath.getName).toSet
+    assert(markers.exists(_.startsWith("_a=")) &&
+      markers.exists(_.startsWith("_k=")), markers.toString)
+    // redelivery of a committed batch no-ops
+    val rows = spark.read.parquet(imp).count()
+    LexStream.processImpactBatch(spark, df(b1), 1L, imp, lex)
+    assert(spark.read.parquet(imp).count() == rows)
+    // the audit reads 1000 per query on complete lists
+    val audit = LexStream.impactRecallAudit(spark, lex, imp,
+      fixtureQueries()).collect()
+    assert(audit.nonEmpty &&
+      audit.forall(_.getAs[Long]("recall_pm") == 1000L),
+      audit.mkString(","))
+  }
+
+  test("impact layer: forced truncation serves the batch q182 page — list heads only") {
+    import spark.implicits._
+    // the RetrievalSpec q182 fixture, streamed in two batches whose
+    // split keeps a(batch 0) = a(union) = 3, so the frozen cut equals
+    // the batch staging's and the stream serve must equal the batch
+    // q182 entry row-for-row: at K=1, alpha/beta's list heads (docs
+    // 1/2, tf=3 at dl=3) beat the query doc itself — the self hit is
+    // truncated away
+    val data = Seq(
+      (1L, "alpha alpha alpha"),
+      (2L, "beta beta beta"),
+      (3L, "golf hotel india juliet"),
+      (4L, "mike november oscar papa"),
+      (5L, "alpha beta"),
+      (6L, "quebec romeo sierra tango"),
+      (7L, "uniform victor whiskey xray"),
+      (8L, "yankee zulu lima kilo"))
+    val d = Files.createTempDirectory("graft-impidx-trunc-dir").toString
+    data.toDF("doc_id", "text").write.parquet(s"$d/documents.parquet")
+    val lex = Files.createTempDirectory("graft-impidx-trunc-lex").toString
+    val imp = Files.createTempDirectory("graft-impidx-trunc").toString
+    spark.conf.set(graft.queries.TextAnalysis.ImpactKConf, "1")
+    try {
+      for ((b, id) <- data.splitAt(4).productIterator.toSeq
+          .map(_.asInstanceOf[Seq[(Long, String)]]).zipWithIndex) {
+        LexStream.processLexBatch(spark, df(b), id.toLong, lex)
+        LexStream.processImpactBatch(spark, df(b), id.toLong, imp, lex)
+      }
+      val stream = LexStream.impactTopDocs(spark, lex, imp,
+        Seq((5L, "alpha beta")).toDF("qid", "qtext"))
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).toSet
+      val batch = graft.SparkEntry.queries("q182_impact_bm25_topk")(spark, d)
+        .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).toSet
+      assert(batch.map(_._3) == Set(1L, 2L),
+        s"batch fixture must truncate to the list heads: $batch")
+      assert(stream == batch, s"stream $stream vs batch $batch")
+    } finally {
+      spark.conf.unset(graft.queries.TextAnalysis.ImpactKConf)
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("impact layer: deleteDocs masks candidates, df, and scalars; compaction purges without changing the serve") {
+    val (lex, imp) = foldImpactFixture()
+    // the paired-deployment rule: one request files to every root
+    LexStream.deleteDocs(spark, lex, Seq(1L), "t1")
+    LexStream.deleteDocs(spark, imp, Seq(1L), "t1")
+    // complete lists ⇒ the masked bounded serve equals the full
+    // rebuild-minus oracle — candidates, df (the delta-row adjustment),
+    // idf, and avgdl all must move, not just the dropped row
+    val oracle = batchRowsIn(minusDir(Set(1L)), "q148_bm25_topk", "score_u")
+    assert(oracle.nonEmpty && impactServe(lex, imp) == oracle,
+      s"${impactServe(lex, imp)} vs $oracle")
+    // paired compaction (lex first — the runLexIndex ordering): the
+    // serve is byte-identical, the tombstoned rows are physically gone,
+    // and the recomputed df layer equals the adjusted one
+    assert(LexStream.compactLexIndex(spark, lex, 2L) == 3)
+    assert(LexStream.compactImpactIndex(spark, imp, lex, 2L) == 3)
+    assert(BatchProtocol.epochIds(spark, imp) == Seq(-4L))
+    assert(spark.read.parquet(imp).filter(col("doc_id") === 1L).count() == 0,
+      "compaction must purge the tombstoned candidate rows")
+    assert(impactServe(lex, imp) == oracle,
+      "the paired compaction must not change the bounded serve")
+  }
+
+  test("impact layer: rebuildImpactIndex is the scalar-drift action — the stale cut re-derives from the lex root") {
+    import spark.implicits._
+    val data = Seq(
+      (1L, "alpha alpha alpha"),
+      (2L, "beta beta beta"),
+      (3L, "golf hotel india juliet"),
+      (5L, "alpha beta"))
+    val lex = Files.createTempDirectory("graft-impidx-reb-lex").toString
+    val imp = Files.createTempDirectory("graft-impidx-reb").toString
+    // adopt under a DRIFTED K (the conf override models a frozen K the
+    // corpus has outgrown): the serve truncates the self hit away
+    spark.conf.set(graft.queries.TextAnalysis.ImpactKConf, "1")
+    try {
+      LexStream.processLexBatch(spark, df(data.take(2)), 0L, lex)
+      LexStream.processImpactBatch(spark, df(data.take(2)), 0L, imp, lex)
+      LexStream.processLexBatch(spark, df(data.drop(2)), 1L, lex)
+      LexStream.processImpactBatch(spark, df(data.drop(2)), 1L, imp, lex)
+    } finally spark.conf.unset(graft.queries.TextAnalysis.ImpactKConf)
+    val qs = Seq((5L, "alpha beta")).toDF("qid", "qtext")
+    def serve() = LexStream.impactTopDocs(spark, lex, imp, qs)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).toSet
+    val exact = LexStream.lexTopDocs(spark, lex, qs)
+      .collect().map(r => (r.getAs[Long]("qid"), r.getAs[Long]("rnk"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).toSet
+    assert(serve() != exact && !serve().exists(_._3 == 5L),
+      s"the drifted cut must truncate the self hit: ${serve()}")
+    // the action: re-derive (a, K) from the lex root's current stats
+    // (derived K = floor 64 > every df ⇒ complete lists) and rebuild —
+    // the bounded serve now equals the exact one
+    LexStream.rebuildImpactIndex(spark, imp, lex)
+    assert(serve() == exact, s"post-rebuild ${serve()} vs $exact")
+    // and the consolidated-only root rebuilds through its anchor epoch
+    // (idempotent re-run converges)
+    LexStream.rebuildImpactIndex(spark, imp, lex)
+    assert(serve() == exact, "rebuild re-run drifted")
+    spark.catalog.clearCache()
+  }
+
+  test("runLexIndex maintains the impact layer on the same stream and cadence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = Files.createTempDirectory("graft-lexrun-imp").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val q = LexStream.runLexIndex(mem.toDF().toDF("doc_id", "text"),
+      s"$base/lex", s"$base/ckpt", compactEvery = 2,
+      impactPath = Some(s"$base/imp"))
+    try {
+      mem.addData(b0: _*); q.processAllAvailable()
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(BatchProtocol.epochIds(spark, s"$base/imp").sorted
+      == Seq(-3L, 2L))
+    assert(impactServe(s"$base/lex", s"$base/imp") == batchServe(),
+      "the stream-maintained impact layer must serve the exact rows " +
+        "on complete lists")
+  }
+
   test("takedown: deleteDocs erases a document from the serve — scores, df and corpus scalars included") {
     val lex = foldFixture()
     // doc 1 is a top hit for query 0 AND carries zebra/quark/the/here/
