@@ -771,18 +771,31 @@ object Similarity {
     * implementation. `codes` is by-name: the scan is built only when
     * the query sample is non-empty.
     */
+  /** The vec-side production query sample's qids — read from the
+    * session-staged sample table ([[TextAnalysis.ensureQuerySample]]):
+    * the same corpus-adaptive residue-0 modulus every serve previously
+    * re-derived per call (an embeddings count + scan each), derived
+    * once per session and read as ≤ ~8 rows everywhere.
+    */
+  private def sampleVecQids(s: SparkSession, dir: String): DataFrame =
+    s.table(TextAnalysis.ensureQuerySample(s, dir))
+      .filter(col("side") === "vec").select(col("qid"))
+
+  /** The vec-side sample's (qid, vector) driver rows — the bounded read
+    * every batched vector serve plans from (q91's guards via
+    * [[collectQueryVecs]]), off the staged sample table.
+    */
+  private def sampleVecRows(s: SparkSession, dir: String)
+      : Array[(Long, Array[Double])] =
+    collectQueryVecs(s.table(TextAnalysis.ensureQuerySample(s, dir))
+      .filter(col("side") === "vec")
+      .select(col("qid"), col("qvec")))
+
   private[graft] def adcServeBatch(s: SparkSession, dir: String,
       codes: => DataFrame,
       cents: Array[(Int, Seq[Double], Double)],
-      books: Array[Array[Array[Double]]]): DataFrame = {
-    val n = Tables(s, dir, "embeddings").count()
-    val qmod = math.max(5L, (n + 7) / 8)
-    // the bounded query-sample read: q95's modulus, q91's guards
-    val qrows = collectQueryVecs(Tables(s, dir, "embeddings")
-      .filter(col("vec_id") % qmod === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
-    adcServeBatchQ(s, dir, codes, cents, books, qrows)
-  }
+      books: Array[Array[Array[Double]]]): DataFrame =
+    adcServeBatchQ(s, dir, codes, cents, books, sampleVecRows(s, dir))
 
   /** q149's serve body over an already-built semantic list — factored
     * so a caller can feed ONE q122 DataFrame to several consumers
@@ -1606,16 +1619,13 @@ object Similarity {
     // build, ONE pruned index scan) already happened inside the two
     // audited serve paths this composes.
     "q149_hybrid_rrf" -> ((s, dir) => {
-      val n = Tables(s, dir, "embeddings").count()
-      val qmod = math.max(5L, (n + 7) / 8)
-      // ONE query-id sample for both modalities: q122 re-derives the
-      // same modulus internally and additionally drops invalid vectors
-      // (len≠64/null/zero-norm) from the SEMANTIC side only — such a
-      // query still serves lexically, the single-modality posture at
-      // the query level too
-      val qids = Tables(s, dir, "embeddings")
-        .filter(col("vec_id") % qmod === 0).select(col("vec_id").as("qid"))
-      hybridServe(s, dir, qids, queries("q122_ann_serve_batch")(s, dir))
+      // ONE query-id sample for both modalities (the session-staged
+      // sample table): q122 reads the same rows and additionally drops
+      // invalid vectors (len≠64/null/zero-norm) from the SEMANTIC side
+      // only — such a query still serves lexically, the
+      // single-modality posture at the query level too
+      hybridServe(s, dir, sampleVecQids(s, dir),
+        queries("q122_ann_serve_batch")(s, dir))
     }),
 
     // the BOUNDED hybrid serve — q149 with its one unbounded leg closed:
@@ -1630,10 +1640,7 @@ object Similarity {
     // Under an un-truncated impact build the fusion is exactly q149
     // (spec-pinned) — the approximation composes, it doesn't re-rank.
     "q185_bounded_hybrid" -> ((s, dir) => {
-      val n = Tables(s, dir, "embeddings").count()
-      val qmod = math.max(5L, (n + 7) / 8)
-      val qids = Tables(s, dir, "embeddings")
-        .filter(col("vec_id") % qmod === 0).select(col("vec_id").as("qid"))
+      val qids = sampleVecQids(s, dir)
       rrfFuse(
         TextAnalysis.impactTopDocs(s, dir, qids)
           .select(col("qid"), col("doc_id"), col("rnk").as("lex_rnk")),
@@ -1661,10 +1668,7 @@ object Similarity {
       // twice — each fusion is still the registered machinery
       // ([[rrfFuse]] over the registered legs), so the audit audits
       // the real paths
-      val n = Tables(s, dir, "embeddings").count()
-      val qmod = math.max(5L, (n + 7) / 8)
-      val qids = Tables(s, dir, "embeddings")
-        .filter(col("vec_id") % qmod === 0).select(col("vec_id").as("qid"))
+      val qids = sampleVecQids(s, dir)
       val sem = queries("q122_ann_serve_batch")(s, dir)
         .select(col("qid"), col("vec_id").as("doc_id"),
           col("rnk").as("sem_rnk"))
@@ -1697,10 +1701,7 @@ object Similarity {
     // outranks every single-modality doc — 2·SCALE/(K+k) > SCALE/(K+1)
     // for k ≤ 10 — so the fused cut never drops one).
     "q152_retrieval_agreement" -> ((s, dir) => {
-      val n = Tables(s, dir, "embeddings").count()
-      val qmod = math.max(5L, (n + 7) / 8)
-      val qids = Tables(s, dir, "embeddings")
-        .filter(col("vec_id") % qmod === 0).select(col("vec_id").as("qid"))
+      val qids = sampleVecQids(s, dir)
       val lex = TextAnalysis.bm25TopDocs(s, dir, qids)
         .select(col("qid"), col("doc_id"), lit(1L).as("in_lex"))
       val sem = queries("q122_ann_serve_batch")(s, dir)
@@ -1742,11 +1743,8 @@ object Similarity {
       // semi-join splits are byte-identical to per-sample serves): one
       // postings fetch instead of two
       val sem = queries("q122_ann_serve_batch")(s, dir)
-      val n = Tables(s, dir, "embeddings").count()
-      val qmod = math.max(5L, (n + 7) / 8)
       val docQids = TextAnalysis.docModQids(s, dir)
-      val hybQids = Tables(s, dir, "embeddings")
-        .filter(col("vec_id") % qmod === 0).select(col("vec_id").as("qid"))
+      val hybQids = sampleVecQids(s, dir)
       val lexAll = TextAnalysis.bm25TopDocs(s, dir,
         docQids.unionByName(hybQids).distinct())
       val hyb = rrfFuse(
@@ -1795,11 +1793,7 @@ object Similarity {
             col("embedding").cast("array<double>").as("v"))
           .collect()
           .map(r => r.getLong(0) -> r.getSeq[Double](1).toArray).toMap
-      val n = Tables(s, dir, "embeddings").count()
-      val qmod = math.max(5L, (n + 7) / 8)
-      val qrows = collectQueryVecs(Tables(s, dir, "embeddings")
-        .filter(col("vec_id") % qmod === 0)
-        .select(col("vec_id").as("qid"), col("embedding").as("qvec")))
+      val qrows = sampleVecRows(s, dir)
       def dot(a: Array[Double]): Double = {
         var acc = 0.0; var i = 0
         while (i < a.length) { acc += a(i) * a(i); i += 1 }
@@ -1892,9 +1886,7 @@ object Similarity {
       // exchange-reuse shape, applied to the expensive leg): one
       // postings fetch instead of two
       val docQids = TextAnalysis.docModQids(s, dir)
-      val hybQids = Tables(s, dir, "embeddings")
-        .filter(col("vec_id") % vmod === 0)
-        .select(col("vec_id").as("qid"))
+      val hybQids = sampleVecQids(s, dir)
       val lexAll = TextAnalysis.bm25TopDocs(s, dir,
         docQids.unionByName(hybQids).distinct(), tomb)
       val lex = lexAll.join(broadcast(docQids), Seq("qid"), "left_semi")

@@ -154,12 +154,78 @@ object TextAnalysis {
         when(col("n_queries") >= 1,
           expr("(n_self_top1 * 1000) div n_queries")).as("self_top1_pm"))
 
-  private[queries] def docModQids(s: SparkSession, dir: String): DataFrame = {
-    val nd = Tables(s, dir, "documents").count()
-    val qmod = math.max(5L, (nd + 7) / 8)
-    Tables(s, dir, "documents")
-      .filter(col("doc_id") % qmod === 0).select(col("doc_id").as("qid"))
+  /** Builds (once per session+dir) the staged PRODUCTION QUERY SAMPLE —
+    * one tiny `(side, qid, qtext, qvec)` table holding the doc-side
+    * sample (the corpus-adaptive residue-0 modulus every lexical serve
+    * and eval card queries with) and the vec-side sample (the same
+    * modulus on the embeddings — the batched ANN serves' and hybrid
+    * legs' qids + query vectors). Before this table, EVERY serve and
+    * eval card re-derived its sample from the raw corpus (two counts,
+    * a documents/embeddings scan, a driver collect — ~25 call sites per
+    * correctness pass); now the derivation runs once and every consumer
+    * reads ≤ ~16 rows. The rows are BY CONSTRUCTION the derivations'
+    * own output, so every oracle stays byte-identical. Purge posture:
+    * the sample is CALLER-side query material, not index content (the
+    * q172 stance: a deleted query document still queries — the
+    * takedown removes it from the INDEX, not from the caller's hands),
+    * so it derives from the raw corpus exactly as the per-call
+    * derivations always did; a physical purge still DROPS the staged
+    * copy with the demo family ([[dropAppendedLex]]) — the engine
+    * retains no erased text — and the next ensure is the caller
+    * re-sending its queries.
+    */
+  private[queries] def ensureQuerySample(s: SparkSession,
+      dir: String): String = {
+    val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val t = s"graft_qsample_$tag"
+    if (!s.catalog.tableExists(t)) {
+      // a side whose table the corpus dir does not carry (a
+      // documents-only or embeddings-only fixture) is the defined
+      // empty sample, not a read error
+      val empty = s.createDataFrame(
+        s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "side STRING, qid BIGINT, qtext STRING, qvec ARRAY<FLOAT>"))
+      val doc =
+        try {
+          val docs = Tables(s, dir, "documents")
+          val nd = docs.count()
+          val dmod = math.max(5L, (nd + 7) / 8)
+          docs.filter(col("doc_id") % dmod === 0)
+            .select(lit("doc").as("side"), col("doc_id").as("qid"),
+              col("text").as("qtext"),
+              lit(null).cast("array<float>").as("qvec"))
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => empty
+        }
+      val vec =
+        try {
+          val embs = Tables(s, dir, "embeddings")
+          val ne = embs.count()
+          val vmod = math.max(5L, (ne + 7) / 8)
+          embs.filter(col("vec_id") % vmod === 0)
+            .select(lit("vec").as("side"), col("vec_id").as("qid"),
+              lit(null).cast("string").as("qtext"),
+              col("embedding").cast("array<float>").as("qvec"))
+        } catch {
+          case _: org.apache.spark.sql.AnalysisException => empty
+        }
+      // the Bucketing.stage orphan discipline: files left under the
+      // default warehouse by an earlier JVM are invisible to this one's
+      // in-memory catalog, and CTAS refuses a non-empty location
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(t)))
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      doc.unionByName(vec).coalesce(1).write.saveAsTable(t)
+    }
+    t
   }
+
+  private[queries] def docModQids(s: SparkSession, dir: String): DataFrame =
+    s.table(ensureQuerySample(s, dir))
+      .filter(col("side") === "doc").select(col("qid"))
 
   /** q87: how many byte-pair-encoding merge rounds to induce. Three keeps
     * the unrolled oracle CTE chain readable; the operator is
@@ -832,7 +898,8 @@ object TextAnalysis {
       s"graft_lexapp_df_$tag", s"graft_lexapp_pos_$tag",
       s"graft_lexapp_impact_$tag", s"graft_lexapp_done_$tag",
       s"graft_lexapp_df_${tag}__rewrite",
-      s"graft_lexapp_impact_${tag}__rewrite").foreach(t =>
+      s"graft_lexapp_impact_${tag}__rewrite",
+      s"graft_qsample_$tag").foreach(t =>
       if (s.catalog.tableExists(t)) s.sql(s"DROP TABLE `$t`"))
     lexAppStats.remove((s.sparkContext.applicationId, dir))
     // the q194 stream-root pair is the same class of session demo —
