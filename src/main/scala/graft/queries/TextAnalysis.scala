@@ -2840,6 +2840,23 @@ object TextAnalysis {
         corpusQTexts(s, dir, docModQids(s, dir)))
     }),
 
+    // the stream pair's measured-recall audit — q183's stance over the
+    // accumulated roots ([[graft.streaming.LexStream
+    // .impactRecallAudit]]): per query, how much of the exact
+    // accumulated-index page (byte-identical to batch q148 —
+    // LexStreamSpec's standing pin) the bounded q194 serve retains.
+    // The number an operator reads before routing stream traffic to
+    // the bounded road, and the measured trigger for
+    // rebuildImpactIndex when the frozen scalars drift. Shares q194's
+    // session roots — the expensive ingest is paid once.
+    "q195_impact_stream_recall" -> ((s, dir) => {
+      queries("q194_impact_stream_topk")(s, dir) // ensures the roots
+      val (lexRoot, impRoot) =
+        q194Roots.get((s.sparkContext.applicationId, dir))
+      graft.streaming.LexStream.impactRecallAudit(s, lexRoot, impRoot,
+        corpusQTexts(s, dir, docModQids(s, dir)))
+    }),
+
     // the appended family's APPROXIMATE layer — the impact sidecar
     // maintained under the same corpus growth ([[appendImpactIndex]]:
     // re-cut only the delta-vocabulary and previously-truncated terms;
@@ -3918,6 +3935,36 @@ object TextAnalysis {
        |     ORDER BY score_u DESC, doc_id) AS rnk FROM isc) r
        |WHERE rnk <= $Bm25TopK""".stripMargin
 
+  /** q195's oracle — q183's recall fold with both pages in closed form:
+    * the exact page is the accumulated index's serve (byte-identical to
+    * the batch q148 staging, so its CTE is the shared `sc`), the
+    * bounded page is q194's frozen-cut machine (`isc` via
+    * [[sqlImpactStreamTopDocs]]'s CTEs). Integer per-mille; n_exact ≥ 1
+    * per emitted group, so the ANSI div is safe.
+    */
+  private[queries] def sqlImpactStreamRecall(qsSql: String): String = {
+    val base = sqlImpactStreamTopDocs(qsSql)
+    // reuse the full CTE chain (…, isc) and re-head the statement as
+    // the recall fold over the two ranked cuts
+    val ctes = base.substring(0, base.lastIndexOf("SELECT qid,")).trim
+    s"""$ctes,
+       |ex AS (SELECT qid, doc_id FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY score_u DESC, doc_id) AS rnk FROM sc) r
+       |  WHERE rnk <= $Bm25TopK),
+       |ap AS (SELECT qid, doc_id FROM
+       |  (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+       |     ORDER BY score_u DESC, doc_id) AS rnk FROM isc) r
+       |  WHERE rnk <= $Bm25TopK)
+       |SELECT qid, n_exact, n_hit,
+       |  CAST((n_hit * 1000) // n_exact AS BIGINT) AS recall_pm FROM
+       |  (SELECT ex.qid, COUNT(*) AS n_exact,
+       |     CAST(SUM(CASE WHEN ap.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_hit
+       |   FROM ex LEFT JOIN ap ON ex.qid = ap.qid AND ex.doc_id = ap.doc_id
+       |   GROUP BY 1) g""".stripMargin
+  }
+
   /** q172's oracle: the BM25 serve re-staged over the corpus MINUS a
     * takedown set — the ground truth the engine's tombstone mask must
     * hash-match. The index side (tf/dl/df/N/L) reads `live`; the query
@@ -4309,6 +4356,7 @@ object TextAnalysis {
     // per-term top-ImpactK cut between postings and scoring
     "q182_impact_bm25_topk" -> sqlImpactTopDocs(sqlDocModQs),
     "q194_impact_stream_topk" -> sqlImpactStreamTopDocs(sqlDocModQs),
+    "q195_impact_stream_recall" -> sqlImpactStreamRecall(sqlDocModQs),
 
     // q148's text VERBATIM — the appended index's exactness contract
     // IS the identity with a fresh full staging (see appendLexIndex)
