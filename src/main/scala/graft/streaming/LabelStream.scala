@@ -590,6 +590,52 @@ object LabelStream {
     })
   }
 
+  /** One-row ops card for a label root — the [[LexStream.indexCard]]
+    * posture for the label artifact: the frozen layout markers (band
+    * width, d/c fan-outs), base size, live stream epochs with their
+    * row split (sketch-carrying arrival rows vs sketch-less rows —
+    * moved-label overrides, plus null-text arrivals, sketch-less by
+    * definition; the collision-sized-epoch contract read as numbers),
+    * band-index epochs, and the takedown posture. Costs one narrow scan of base
+    * + epochs plus the bounded tombstone read; serves nothing itself,
+    * so it is spec-verified against hand-built roots rather than a
+    * DuckDB oracle (the roots exist only at runtime).
+    */
+  def rootCard(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    recoverBase(spark, root)
+    val sroot = streamRoot(root)
+    val width = intMarker(spark, root, WidthPrefix).toLong
+    val db = intMarker(spark, root, DbPrefix).toLong
+    val cb = intMarker(spark, root, CbPrefix).toLong
+    val baseRows = spark.read.parquet(s"$root/base").count()
+    val epochs = BatchProtocol.epochIds(spark, sroot).filter(_ >= 0)
+    val (sketchRows, overrideRows) =
+      try BatchProtocol.readServable(spark, sroot) match {
+        case None => (0L, 0L)
+        case Some(e) =>
+          val r = e.agg(
+            sum(when(col("lo").isNotNull, 1L).otherwise(0L)),
+            sum(when(col("lo").isNull, 1L).otherwise(0L))).head
+          (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
+            Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
+      } catch { case _: org.apache.spark.sql.AnalysisException =>
+        (0L, 0L) // every epoch row-free: no files, no schema
+      }
+    val bandEpochs = BatchProtocol.epochIds(spark, bandsRoot(root))
+    val nTomb = Tombstones.ids(spark, root, "doc_id")
+      .map(_.filter(col("doc_id").isNotNull).distinct().count())
+      .getOrElse(0L)
+    Seq((width, db, cb, baseRows, epochs.size.toLong, sketchRows,
+      overrideRows, bandEpochs.count(_ >= 0).toLong,
+      // the base epoch is the reserved -1, NOT a consolidation —
+      // consolidated ids are ≤ -2 (the BatchProtocol convention)
+      bandEpochs.exists(_ <= -2), nTomb))
+      .toDF("width", "d_buckets", "c_buckets", "base_rows",
+        "n_stream_epochs", "epoch_sketch_rows", "epoch_override_rows",
+        "n_band_epochs", "bands_consolidated", "n_tomb_ids")
+  }
+
   /** Streaming entry: maintain the label root from an unbounded
     * `(doc_id, text)` stream — foreachBatch over
     * [[processLabelBatch]] (the [[EmbedStream.runAdcIngest]] shape).

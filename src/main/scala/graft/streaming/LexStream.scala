@@ -292,8 +292,12 @@ object LexStream {
           // tombstone protocol — one purging compaction for both layers
           posPath.foreach(p =>
             compactLexIndex(batch.sparkSession, p, batchId))
-          impactPath.foreach(p =>
-            compactImpactIndex(batch.sparkSession, p, lexPath, batchId))
+          impactPath.foreach { p =>
+            compactImpactIndex(batch.sparkSession, p, lexPath, batchId)
+            // the drift verdict rides the same cadence — the doubling
+            // policy keeps total re-index work amortized-linear
+            rebuildIfDrifted(batch.sparkSession, p, lexPath)
+          }
           ()
         }
       }
@@ -634,6 +638,53 @@ object LexStream {
       })
     Tombstones.consolidate(spark, impPath, upToBatch, "doc_id")
     n
+  }
+
+  /** One-row scalar-drift card for an impact root — the q193 stance
+    * for the STREAM sidecar: the frozen cut scalars vs the ones a
+    * fresh adoption over today's lex stats would derive, plus the
+    * drift verdict under `growthFactor` (the [[rebuildIfDrifted]]
+    * policy's own test, so the card and the action cannot disagree).
+    * Costs one stat-partition fold; serves nothing itself, so it is
+    * spec-verified against hand-built roots rather than a DuckDB
+    * oracle (the accumulated roots exist only at runtime — the
+    * [[indexCard]] precedent).
+    */
+  def impactScalarsCard(spark: SparkSession, impPath: String,
+      lexPath: String, growthFactor: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    val aF = readMarker(spark, impPath, APrefix).getOrElse(0L)
+    val kF = readMarker(spark, impPath, KPrefix).getOrElse(0L)
+    val (n, l) = BatchProtocol.readServable(spark, lexPath)
+      .map(lx => statScalars(statRows(spark, lexPath, lx)))
+      .getOrElse((0L, 0L))
+    val aC = math.max(1L, l / math.max(1L, n))
+    val kC = graft.queries.TextAnalysis.impactKOf(spark, n)
+    val drifted = kF > 0L && kC.toDouble >= growthFactor * kF
+    Seq((aF, kF, aC, kC, n, if (drifted) 1L else 0L))
+      .toDF("a_frozen", "k_frozen", "a_current", "k_current",
+        "n_docs", "k_drifted")
+  }
+
+  /** The drift verdict, CONSUMED — the doubling-amortized maintenance
+    * policy for the stream sidecar: rebuild when the freshly-derived K
+    * has grown past `growthFactor`× the frozen one (K is monotone in
+    * n, so this fires O(log corpus) times over the index's life; each
+    * rebuild is linear, so total maintenance ≤
+    * factor/(factor−1) × the final build — the classic doubling
+    * argument). Runs on the [[runLexIndex]] compaction cadence, where
+    * quiescence holds by construction; returns whether it rebuilt.
+    * Rebuilding on EVERY derived-K change instead would re-index
+    * near-continuously early in a stream's life for membership the
+    * q195 audit shows barely moves — the factor is the knob between
+    * recall freshness and maintenance cost.
+    */
+  def rebuildIfDrifted(spark: SparkSession, impPath: String,
+      lexPath: String, growthFactor: Double = 2.0): Boolean = {
+    val drifted = impactScalarsCard(spark, impPath, lexPath, growthFactor)
+      .head.getAs[Long]("k_drifted") == 1L
+    if (drifted) rebuildImpactIndex(spark, impPath, lexPath)
+    drifted
   }
 
   /** Scalar-refresh MIGRATION for an impact root — the q193 rebuild

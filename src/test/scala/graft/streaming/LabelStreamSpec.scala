@@ -426,6 +426,49 @@ class LabelStreamSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("rootCard reads the label root's layout, epoch split, and takedown posture") {
+    import spark.implicits._
+    val vocab = (1 to 200).map(i => f"word$i%03d")
+    val base64 = vocab.take(64)
+    val tA = base64.mkString(" ")
+    val tB = (base64.dropRight(4) ++ vocab.slice(100, 104)).mkString(" ")
+    val tBr = (base64.dropRight(4) ++ vocab.slice(100, 102) ++
+      base64.takeRight(4).drop(2)).mkString(" ")
+    val baseDocs = Seq(0L -> tA, 1L -> tA, 2L -> tB, 4L -> tB)
+      .toDF("doc_id", "text")
+    val baseLabels = Seq(0L -> 0L, 1L -> 0L, 2L -> 2L, 4L -> 2L)
+      .toDF("doc_id", "cluster_id")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-labelstream-card").toString
+    LabelStream.initRoot(spark, root, baseDocs, baseLabels, 8)
+    def card() = LabelStream.rootCard(spark, root).collect().head
+    val c0 = card()
+    assert(c0.getAs[Long]("width") == 8L &&
+      c0.getAs[Long]("d_buckets") == 8L &&
+      c0.getAs[Long]("c_buckets") == 8L &&
+      c0.getAs[Long]("base_rows") == 4L &&
+      c0.getAs[Long]("n_stream_epochs") == 0L &&
+      c0.getAs[Long]("n_band_epochs") == 0L &&
+      !c0.getAs[Boolean]("bands_consolidated"), c0.toString)
+    // the bridge batch: 1 arrival sketch row + 2 moved overrides
+    LabelStream.processLabelBatch(spark,
+      Seq(11L -> tBr).toDF("doc_id", "text"), 0L, root)
+    val c1 = card()
+    assert(c1.getAs[Long]("n_stream_epochs") == 1L &&
+      c1.getAs[Long]("epoch_sketch_rows") == 1L &&
+      c1.getAs[Long]("epoch_override_rows") == 2L &&
+      c1.getAs[Long]("n_band_epochs") == 1L, c1.toString)
+    Tombstones.delete(spark, root, Seq(11L), "req-1", "doc_id")
+    assert(card().getAs[Long]("n_tomb_ids") == 1L)
+    // consolidation folds everything into the base; bands compact
+    LabelStream.consolidate(spark, root)
+    val c2 = card()
+    assert(c2.getAs[Long]("n_stream_epochs") == 0L &&
+      c2.getAs[Long]("base_rows") == 5L &&
+      c2.getAs[Boolean]("bands_consolidated"), c2.toString)
+    spark.catalog.clearCache()
+  }
+
   test("a null-text arrival labels as a singleton and never bands") {
     import spark.implicits._
     val baseDocs = Seq(0L -> "alpha beta gamma delta epsilon zeta")

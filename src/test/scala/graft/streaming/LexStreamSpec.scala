@@ -379,11 +379,25 @@ class LexStreamSpec extends AnyFunSuite {
         r.getAs[Long]("doc_id"), r.getAs[Long]("score_u"))).toSet
     assert(serve() != exact && !serve().exists(_._3 == 5L),
       s"the drifted cut must truncate the self hit: ${serve()}")
-    // the action: re-derive (a, K) from the lex root's current stats
-    // (derived K = floor 64 > every df ⇒ complete lists) and rebuild —
-    // the bounded serve now equals the exact one
-    LexStream.rebuildImpactIndex(spark, imp, lex)
+    // the drift CARD reads the same state the action tests: frozen
+    // K=1 vs derived K=64 ⇒ drifted under the doubling policy
+    val pre = LexStream.impactScalarsCard(spark, imp, lex).collect().head
+    assert(pre.getAs[Long]("k_frozen") == 1L &&
+      pre.getAs[Long]("k_current") == 64L &&
+      pre.getAs[Long]("k_drifted") == 1L, pre.toString)
+    // the verdict CONSUMED: rebuildIfDrifted re-derives (a, K) from
+    // the lex root's current stats (derived K = floor 64 > every df ⇒
+    // complete lists) and rebuilds — the bounded serve now equals the
+    // exact one
+    assert(LexStream.rebuildIfDrifted(spark, imp, lex),
+      "a 64× K growth must trigger the doubling-policy rebuild")
     assert(serve() == exact, s"post-rebuild ${serve()} vs $exact")
+    // post-rebuild the card certifies current and the policy no-ops
+    val post = LexStream.impactScalarsCard(spark, imp, lex).collect().head
+    assert(post.getAs[Long]("k_frozen") == 64L &&
+      post.getAs[Long]("k_drifted") == 0L, post.toString)
+    assert(!LexStream.rebuildIfDrifted(spark, imp, lex),
+      "a current sidecar must not rebuild")
     // and the consolidated-only root rebuilds through its anchor epoch
     // (idempotent re-run converges)
     LexStream.rebuildImpactIndex(spark, imp, lex)
