@@ -238,6 +238,12 @@ class LabelStreamSpec extends AnyFunSuite {
       s"cluster probe read ${filesRead(cluProbe)} files; only the " +
         s"${cMatch.size} under c=0 (of ${all.size}) are allowed — the " +
         "o(corpus) label-state pin")
+    // an EMPTY probe id set reads nothing and returns a defined empty
+    // (the key filter degenerates to false, not an empty-IN plan error)
+    val emptyProbe = LabelStream.priorByDoc(spark, root, 99L,
+      Seq.empty[Long].toDF("doc_id"))
+    assert(emptyProbe.collect().isEmpty,
+      "an empty probe must be a defined empty, not an error")
     spark.catalog.clearCache()
   }
 

@@ -277,6 +277,16 @@ class LexStreamSpec extends AnyFunSuite {
     val rows = spark.read.parquet(imp).count()
     LexStream.processImpactBatch(spark, df(b1), 1L, imp, lex)
     assert(spark.read.parquet(imp).count() == rows)
+    // crash AFTER the epoch write, BEFORE the marker: the replay must
+    // overwrite the orphan with identical rows (the frozen scalars
+    // make the fold deterministic) and re-commit — serve unchanged
+    val served = impactServe(lex, imp)
+    Files.delete(java.nio.file.Paths.get(s"$imp/_commits/2"))
+    LexStream.processImpactBatch(spark, df(b2), 2L, imp, lex)
+    assert(BatchProtocol.committed(spark, imp, 2L))
+    assert(spark.read.parquet(imp).count() == rows)
+    assert(impactServe(lex, imp) == served,
+      "crash-before-marker replay must converge to the same serve")
     // the audit reads 1000 per query on complete lists
     val audit = LexStream.impactRecallAudit(spark, lex, imp,
       fixtureQueries()).collect()
