@@ -1525,8 +1525,10 @@ object Similarity {
             .bucketCountFor(Tables(s, dir, "embeddings").count()))
       val root = adcRoots.computeIfAbsent(
         (s.sparkContext.applicationId, dir), _ => {
-          val r = java.nio.file.Files
-            .createTempDirectory("graft-adc-accum").toString
+          // warehouse-rooted, not driver-local: executors on a real
+          // cluster must read the accumulated epochs (the q192/q194
+          // demo-root discipline)
+          val r = Dedup.warehouseDir(s, s"graft_q173_root_$tag")
           val odd = Tables(s, dir, "embeddings")
             .filter(col("vec_id") % 2 === 1)
           graft.streaming.EmbedStream.processAdcBatch(s,
