@@ -60,6 +60,35 @@ object Profile {
         }
     })
 
+    // sweep mode: one warmup + one timed rep of EVERY query, reporting
+    // build time (fn() + analysis/optimization/physical planning, no
+    // execution) vs execution time — the "where does the per-rep floor
+    // go" census. Usage: graft.Profile --sweep
+    if (args.sameElements(Array("--sweep"))) {
+      val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      for ((n, fn) <- all) { // warmup (JIT + session-staged ensures)
+        spark.sparkContext.setJobDescription(s"$n warmup")
+        fn(spark, sfDir).count(); Caches.release(spark)
+      }
+      val rows = for ((n, fn) <- all) yield {
+        spark.sparkContext.setJobDescription(s"$n sweep")
+        jobs.set(0)
+        val t0 = System.nanoTime()
+        val df = fn(spark, sfDir)
+        df.queryExecution.executedPlan // force analyze+optimize+plan
+        val t1 = System.nanoTime()
+        df.count()
+        val t2 = System.nanoTime()
+        val nj = jobs.get()
+        Caches.release(spark)
+        val (b, e) = ((t1 - t0) / 1e9, (t2 - t1) / 1e9)
+        println(f"SWEEP $n build=$b%.3f exec=$e%.3f jobs=$nj")
+        (n, b, e, nj)
+      }
+      val tb = rows.map(_._2).sum; val te = rows.map(_._3).sum
+      println(f"SWEEP-TOTAL build=$tb%.1f exec=$te%.1f jobs=${rows.map(_._4).sum}")
+      spark.stop(); return
+    }
     val names = if (args.nonEmpty) args.toSeq else Seq.empty
     for (n <- names) {
       val fn = SparkEntry.queries.getOrElse(n,

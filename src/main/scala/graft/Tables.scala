@@ -11,13 +11,33 @@ object Tables {
   val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Per-(session, dir, table) memo of the INFERRED parquet schema: the
+    * testdata files under a dir never change within a session, so the
+    * first read infers (footer read + listing) and every later read
+    * supplies the identical schema explicitly — the declared-schema
+    * read a catalog table gets for free, removing the per-read
+    * inference work from every query that re-reads a base table (r21).
+    * The memoized schema is the reader's own inference output, so the
+    * resulting DataFrame is byte-identical.
+    */
+  private val schemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, String), org.apache.spark.sql.types.StructType]
+
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     // events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 refuses natively;
     // with spark.sql.legacy.parquet.nanosAsLong=true (set in every session
     // builder of this project) it reads as nanos-since-epoch LongType, which
     // we truncate to µs — the same truncation DuckDB's CAST(ts AS TIMESTAMP)
     // applies, keeping oracle comparisons exact.
-    val df = spark.read.parquet(s"$dir/$name.parquet")
+    val key = (spark.sparkContext.applicationId, dir, name)
+    val memo = schemaMemo.get(key)
+    val df =
+      if (memo != null) spark.read.schema(memo).parquet(s"$dir/$name.parquet")
+      else {
+        val d = spark.read.parquet(s"$dir/$name.parquet")
+        schemaMemo.put(key, d.schema)
+        d
+      }
     if (name == "events" &&
         df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
       df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))

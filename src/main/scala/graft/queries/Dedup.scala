@@ -712,9 +712,18 @@ object Dedup {
     * warehouse are invisible to this session's in-memory catalog).
     */
   private[queries] def warehouseDir(s: SparkSession, name: String): String = {
+    // scoped by applicationId (r21, the advisor's concurrency fix): the
+    // bare deterministic name meant two sessions sharing a warehouse and
+    // corpus dir would delete each other's LIVE demo roots through the
+    // orphan cleanup below — with the id in the path, the cleanup can
+    // only ever clear this application's own earlier leftovers (a
+    // re-created session id re-uses its path; distinct sessions never
+    // collide). Dead sessions may leave orphans, which is the ordinary
+    // temp-artifact trade and strictly safer than cross-session deletes.
+    val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
     val p = new org.apache.hadoop.fs.Path(
       s.sessionState.catalog.defaultTablePath(
-        org.apache.spark.sql.catalyst.TableIdentifier(name)))
+        org.apache.spark.sql.catalyst.TableIdentifier(s"${name}_$app")))
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
     p.toString

@@ -248,10 +248,12 @@ object LabelStream {
       .filter(LabelBandIndex.groupFilter(groups))
       .select("doc_id", "lo", "hi", "b", "bk")
       .dropDuplicates("doc_id", "b")
-    catch { case _: org.apache.spark.sql.AnalysisException =>
+    catch { case e: org.apache.spark.sql.AnalysisException
+        if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
       LabelBandIndex.empty(spark) // every epoch empty (all-null-sketch
                                   // corpus): no files, no schema — and
-                                  // nothing to band against
+                                  // nothing to band against; any OTHER
+                                  // analysis error surfaces (r21)
     }
   }
 
@@ -292,9 +294,17 @@ object LabelStream {
           col("doc_id"), col("lo"), col("hi"), col("cluster_id"),
           col("batch_id").cast("long"))
         .filter(col("batch_id").isin(live: _*)))
-    } catch { case _: org.apache.spark.sql.AnalysisException =>
-      base // every epoch row-free: no files, no schema — base is the
-           // whole committed state
+    } catch {
+      // NARROW (r21, the advisor's masking-risk fix): only the
+      // every-epoch-row-free condition — no data files anywhere under
+      // the stream root, so the parquet source cannot infer a schema —
+      // reads as "base is the whole committed state". A genuinely
+      // malformed epoch (schema drift, partial column set, corrupt
+      // footer) raises a DIFFERENT condition and now fails loudly
+      // instead of silently dropping committed labels from serves.
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        base
     }
   }
 
@@ -619,8 +629,10 @@ object LabelStream {
             sum(when(col("lo").isNull, 1L).otherwise(0L))).head
           (Option(r.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L),
             Option(r.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L))
-      } catch { case _: org.apache.spark.sql.AnalysisException =>
-        (0L, 0L) // every epoch row-free: no files, no schema
+      } catch { case e: org.apache.spark.sql.AnalysisException
+          if e.getCondition == "UNABLE_TO_INFER_SCHEMA" =>
+        (0L, 0L) // every epoch row-free: no files, no schema; any
+                 // other analysis error surfaces (r21)
       }
     val bandEpochs = BatchProtocol.epochIds(spark, bandsRoot(root))
     val nTomb = Tombstones.ids(spark, root, "doc_id")

@@ -99,12 +99,20 @@ object LexStream {
     val f = fs(spark, impPath)
     val root = new org.apache.hadoop.fs.Path(scalarsDir(impPath))
     f.mkdirs(root)
+    // create-new-THEN-delete-stale (r21, the advisor's crash-window fix):
+    // the old order deleted first, so a crash between the delete and the
+    // create left a marker-LESS root — impactTopDocs would sys.error and
+    // the next processImpactBatch silently re-adopt scalars from current
+    // lex stats instead of surfacing a recoverable crash. With creation
+    // first the root always carries ≥ 1 marker per prefix; readMarker's
+    // max-fold resolves the brief both-files window deterministically.
     Seq(APrefix -> a, KPrefix -> k).foreach { case (p, v) =>
-      f.listStatus(root).iterator
-        .map(_.getPath).filter(_.getName.startsWith(p))
-        .foreach(x => f.delete(x, false))
       f.create(new org.apache.hadoop.fs.Path(
         s"${scalarsDir(impPath)}/$p$v"), true).close()
+      f.listStatus(root).iterator
+        .map(_.getPath).filter(x => x.getName.startsWith(p) &&
+          x.getName != s"$p$v")
+        .foreach(x => f.delete(x, false))
     }
   }
 
