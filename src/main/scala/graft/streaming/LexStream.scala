@@ -344,16 +344,25 @@ object LexStream {
   def posTopDocs(spark: SparkSession, posPath: String,
       queries: DataFrame, k: Int = 2): DataFrame = {
     require(k >= 2, s"a phrase needs at least two tokens, got $k")
-    val qp = queries.select(col("qid"), tokens(col("qtext")).as("tk"))
+    val qp0 = queries.select(col("qid"), tokens(col("qtext")).as("tk"))
       .filter(size(col("tk")) >= k)
       .select(col("qid") +:
         (1 to k).map(i => element_at(col("tk"), i).as(s"t$i")): _*)
-    val termRows = qp
-      .select(explode(array((1 to k).map(i => col(s"t$i")): _*)).as("term"))
-      .select(col("term"), termBucket(col("term")).as("tb"))
-      .distinct().collect()
-    val terms: Array[Any] = termRows.map(_.getString(0))
-    val tbs: Array[Any] = termRows.map(r => Int.box(r.getInt(1)): Any).distinct
+    // ONE bounded collect (≤ |queries| rows) buys the phrase relation AS
+    // a literal (the cappedTermRows discipline: the tokenize subtree
+    // executes once here, not again inside the adjacency action) plus
+    // the term/bucket literals for the pruned index read
+    val rows = qp0.withColumn("tbs",
+      array((1 to k).map(i => termBucket(col(s"t$i"))): _*)).collect()
+    val qp = spark.createDataFrame(
+      java.util.Arrays.asList(rows.map(r => org.apache.spark.sql.Row.fromSeq(
+        r.toSeq.dropRight(1))): _*),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        ("qid BIGINT" +: (1 to k).map(i => s"t$i STRING")).mkString(", ")))
+    val terms: Array[Any] =
+      rows.flatMap(r => (1 to k).map(i => r.getString(i): Any)).distinct
+    val tbs: Array[Any] =
+      rows.flatMap(_.getSeq[Int](k + 1).map(Int.box(_): Any)).distinct
     // the serve AGGREGATES index rows, so it must exclude epochs a
     // crashed compaction left beside their consolidated copy (and an
     // epoch-less new index serves a defined empty, not a schema error)
@@ -452,18 +461,36 @@ object LexStream {
       .select(col("qid"), explode(tokens(col("qtext"))).as("term"))
       .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
     val wq = Window.partitionBy("qid").orderBy(desc("qtf"), asc("term"))
-    val qt = qt0.withColumn("rn", row_number().over(wq))
-      .filter(col("rn") <= Bm25QTermCap).select("qid", "term")
-    val termRows = qt.select(col("term"), termBucket(col("term")).as("tb"))
-      .distinct().collect()
-    (qt, termRows.map(_.getString(0)),
-      termRows.map(r => Int.box(r.getInt(1)): Any).distinct)
+    // collected as the full capped (qid, term, tb) rows rather than just
+    // the distinct (term, tb) pairs: qt then re-enters the serve plan as
+    // a literal relation, so the tokenize → tf-count → window subtree
+    // executes exactly once per serve instead of once in this collect
+    // and AGAIN inside the main action's qtIdf broadcast (r21 — the
+    // batch lexQueryStage discipline; same action count, two fewer
+    // exchanges per serve plan). Spark's own tokenizer/cap/bucket hash
+    // produce the rows, so nothing can drift.
+    val rows = qt0.withColumn("rn", row_number().over(wq))
+      .filter(col("rn") <= Bm25QTermCap)
+      .select(col("qid"), col("term"), termBucket(col("term")).as("tb"))
+      .collect()
+    val qt = queries.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows.map(r =>
+        org.apache.spark.sql.Row(r.getLong(0), r.getString(1))): _*),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "qid BIGINT, term STRING"))
+    (qt, rows.map(_.getString(1): Any).distinct,
+      rows.map(r => Int.box(r.getInt(2)): Any).distinct)
   }
 
   def lexTopDocs(spark: SparkSession, lexPath: String,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame): DataFrame =
+    lexTopDocsFrom(spark, lexPath, queries, cappedTermRows(queries))
+
+  private def lexTopDocsFrom(spark: SparkSession, lexPath: String,
+      queries: DataFrame,
+      capped: (DataFrame, Array[Any], Array[Any])): DataFrame = {
     import graft.queries.TextAnalysis.Bm25TopK
-    val (qt, terms, tbs) = cappedTermRows(queries)
+    val (qt, terms, tbs) = capped
     // aggregate-consumer discipline: exclude crash-superseded epochs,
     // and serve a defined empty on an epoch-less new index
     val servable = BatchProtocol.readServable(spark, lexPath)
@@ -525,9 +552,15 @@ object LexStream {
     * rebuild over the corpus minus the deletions).
     */
   def impactTopDocs(spark: SparkSession, lexPath: String, impPath: String,
-      queries: DataFrame): DataFrame = {
+      queries: DataFrame): DataFrame =
+    impactTopDocsFrom(spark, lexPath, impPath, queries,
+      cappedTermRows(queries))
+
+  private def impactTopDocsFrom(spark: SparkSession, lexPath: String,
+      impPath: String, queries: DataFrame,
+      capped: (DataFrame, Array[Any], Array[Any])): DataFrame = {
     import graft.queries.TextAnalysis.Bm25TopK
-    val (qt, terms, tbs) = cappedTermRows(queries)
+    val (qt, terms, tbs) = capped
     val servableImp = BatchProtocol.readServable(spark, impPath)
     val servableLex = BatchProtocol.readServable(spark, lexPath)
     if (terms.isEmpty || servableImp.isEmpty || servableLex.isEmpty)
@@ -598,9 +631,12 @@ object LexStream {
     */
   def impactRecallAudit(spark: SparkSession, lexPath: String,
       impPath: String, queries: DataFrame): DataFrame = {
-    val exact = lexTopDocs(spark, lexPath, queries)
+    // ONE capped-terms collect feeds both member serves (they share the
+    // queries relation by contract, so the rows are identical — r21)
+    val capped = cappedTermRows(queries)
+    val exact = lexTopDocsFrom(spark, lexPath, queries, capped)
       .select(col("qid"), col("doc_id"))
-    val approx = impactTopDocs(spark, lexPath, impPath, queries)
+    val approx = impactTopDocsFrom(spark, lexPath, impPath, queries, capped)
       .select(col("qid"), col("doc_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("qid", "doc_id"), "left")
       .groupBy("qid").agg(
