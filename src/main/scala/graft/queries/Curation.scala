@@ -1201,6 +1201,12 @@ object Curation {
         .filter(col("doc_id") % BenchMod =!= 0) // eval docs never train
         .join(contaminated, Seq("doc_id"), "left_anti")
         .select(col("doc_id"), col("n_tokens"))
+        // two construction actions consume this chain (shufflePositions'
+        // bucket counts, then the shuffled join under packAssignments'
+        // id-range read); without the persist the dedup-window +
+        // prepScore subtree re-executes once PER ACTION — exchange reuse
+        // never spans driver actions, only persisted data does (r21)
+        .persist()
       val shuffled = shufflePositions(survivors.select(col("doc_id")))
         .join(survivors, Seq("doc_id"))
         .select(col("pos").as("doc_id"), col("n_tokens"))

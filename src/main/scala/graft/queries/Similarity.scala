@@ -783,13 +783,22 @@ object Similarity {
 
   /** The vec-side sample's (qid, vector) driver rows — the bounded read
     * every batched vector serve plans from (q91's guards via
-    * [[collectQueryVecs]]), off the staged sample table.
+    * [[collectQueryVecs]]), off the staged sample table. Memoized per
+    * (session, dir) — the qtextRowsMemo stance (r21): the staged sample
+    * is session-immutable and the rows are caller-side QUERY material
+    * (≤ ~16 vectors), byte-identical to what every serve re-collected
+    * per call; no query result and no index content is memoized, and
+    * masks/purges intentionally never affect what a caller queries with.
     */
+  private val sampleVecRowsMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String), Array[(Long, Array[Double])]]
+
   private def sampleVecRows(s: SparkSession, dir: String)
       : Array[(Long, Array[Double])] =
-    collectQueryVecs(s.table(TextAnalysis.ensureQuerySample(s, dir))
-      .filter(col("side") === "vec")
-      .select(col("qid"), col("qvec")))
+    sampleVecRowsMemo.computeIfAbsent((s.sparkContext.applicationId, dir),
+      _ => collectQueryVecs(s.table(TextAnalysis.ensureQuerySample(s, dir))
+        .filter(col("side") === "vec")
+        .select(col("qid"), col("qvec"))))
 
   private[graft] def adcServeBatch(s: SparkSession, dir: String,
       codes: => DataFrame,

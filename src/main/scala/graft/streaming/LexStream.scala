@@ -482,34 +482,49 @@ object LexStream {
       rows.map(r => Int.box(r.getInt(2)): Any).distinct)
   }
 
+  /** The exact serve's lex-root inputs — servable epochs, masked stat
+    * rows, and the (N, L) scalar fold (ONE bounded `.head` action) —
+    * computed once per serve call, or once per AUDIT call when
+    * [[impactRecallAudit]] shares them across its two member serves
+    * (both read the same root in the same call frame, so the values are
+    * identical by construction; r21). None = no committed epoch.
+    */
+  private def lexServeInputs(spark: SparkSession, lexPath: String)
+      : Option[(DataFrame, DataFrame, Long, Long)] =
+    BatchProtocol.readServable(spark, lexPath).map { sv =>
+      val stats = statRows(spark, lexPath, sv)
+      // N counts every arrived document (null text included — the batch
+      // convention); L is null-safe for an all-null-text corpus
+      val (n, l) = statScalars(stats)
+      (sv, stats, n, l)
+    }
+
   def lexTopDocs(spark: SparkSession, lexPath: String,
       queries: DataFrame): DataFrame =
-    lexTopDocsFrom(spark, lexPath, queries, cappedTermRows(queries))
+    lexTopDocsFrom(spark, lexPath, queries, cappedTermRows(queries),
+      lexServeInputs(spark, lexPath))
 
   private def lexTopDocsFrom(spark: SparkSession, lexPath: String,
       queries: DataFrame,
-      capped: (DataFrame, Array[Any], Array[Any])): DataFrame = {
+      capped: (DataFrame, Array[Any], Array[Any]),
+      inputs: Option[(DataFrame, DataFrame, Long, Long)]): DataFrame = {
     import graft.queries.TextAnalysis.Bm25TopK
     val (qt, terms, tbs) = capped
     // aggregate-consumer discipline: exclude crash-superseded epochs,
     // and serve a defined empty on an epoch-less new index
-    val servable = BatchProtocol.readServable(spark, lexPath)
-    if (terms.isEmpty || servable.isEmpty)
+    if (terms.isEmpty || inputs.isEmpty)
       // no query has a term (null/empty query strings) or no batch has
       // arrived: a defined empty serve with the contract schema, not an
       // empty-IN plan / schema-inference error
       queries.select(col("qid"), lit(0L).as("rnk"),
         lit(0L).as("doc_id"), lit(0L).as("score_u")).limit(0)
     else {
-      val stats = statRows(spark, lexPath, servable.get)
-      // N counts every arrived document (null text included — the batch
-      // convention); L is null-safe for an all-null-text corpus
-      val (n, l) = statScalars(stats)
+      val (servableLex, stats, n, l) = inputs.get
       val a = math.max(1L, l / math.max(1L, n))
       // the takedown mask applies to candidates AND (via statRows) the
       // corpus scalars/dl, so a deleted doc vanishes from df and idf
       // exactly as a rebuild-without-it would have it
-      val post = masked(spark, lexPath, servable.get
+      val post = masked(spark, lexPath, servableLex
         .filter(col("tb").isin(tbs: _*))       // partition prune
         .filter(col("term").isin(terms: _*))   // row cut inside buckets
         .select("doc_id", "term", "tf"))
@@ -554,19 +569,20 @@ object LexStream {
   def impactTopDocs(spark: SparkSession, lexPath: String, impPath: String,
       queries: DataFrame): DataFrame =
     impactTopDocsFrom(spark, lexPath, impPath, queries,
-      cappedTermRows(queries))
+      cappedTermRows(queries), lexServeInputs(spark, lexPath))
 
   private def impactTopDocsFrom(spark: SparkSession, lexPath: String,
       impPath: String, queries: DataFrame,
-      capped: (DataFrame, Array[Any], Array[Any])): DataFrame = {
+      capped: (DataFrame, Array[Any], Array[Any]),
+      inputs: Option[(DataFrame, DataFrame, Long, Long)]): DataFrame = {
     import graft.queries.TextAnalysis.Bm25TopK
     val (qt, terms, tbs) = capped
     val servableImp = BatchProtocol.readServable(spark, impPath)
-    val servableLex = BatchProtocol.readServable(spark, lexPath)
-    if (terms.isEmpty || servableImp.isEmpty || servableLex.isEmpty)
+    if (terms.isEmpty || servableImp.isEmpty || inputs.isEmpty)
       queries.select(col("qid"), lit(0L).as("rnk"),
         lit(0L).as("doc_id"), lit(0L).as("score_u")).limit(0)
     else {
+      val (servableLex, stats, n, l) = inputs.get
       val k = readMarker(spark, impPath, KPrefix).getOrElse(
         sys.error(s"impact root $impPath has no frozen K marker — " +
           "no batch ever adopted scalars"))
@@ -589,7 +605,7 @@ object LexStream {
       val dfq = Tombstones.ids(spark, lexPath, "doc_id") match {
         case None => dfAgg.select(col("term"), col("df0").as("df"))
         case Some(ids) =>
-          val adj = servableLex.get
+          val adj = servableLex
             .filter(col("tb").isin(tbs: _*))
             .filter(col("term").isin(terms: _*))
             .join(broadcast(ids.distinct()), Seq("doc_id"), "left_semi")
@@ -599,8 +615,6 @@ object LexStream {
               (col("df0") - coalesce(col("ddf"), lit(0L))).as("df"))
             .filter(col("df") > 0)
       }
-      val stats = statRows(spark, lexPath, servableLex.get)
-      val (n, l) = statScalars(stats)
       val a = math.max(1L, l / math.max(1L, n))
       val qtIdf = qt.join(broadcast(dfq), Seq("term"))
         .withColumn("idf_m",
@@ -631,12 +645,15 @@ object LexStream {
     */
   def impactRecallAudit(spark: SparkSession, lexPath: String,
       impPath: String, queries: DataFrame): DataFrame = {
-    // ONE capped-terms collect feeds both member serves (they share the
-    // queries relation by contract, so the rows are identical — r21)
+    // ONE capped-terms collect and ONE lex-root stat fold feed both
+    // member serves (they share the queries relation and the lex root by
+    // contract, so the rows and scalars are identical — r21)
     val capped = cappedTermRows(queries)
-    val exact = lexTopDocsFrom(spark, lexPath, queries, capped)
+    val inputs = lexServeInputs(spark, lexPath)
+    val exact = lexTopDocsFrom(spark, lexPath, queries, capped, inputs)
       .select(col("qid"), col("doc_id"))
-    val approx = impactTopDocsFrom(spark, lexPath, impPath, queries, capped)
+    val approx = impactTopDocsFrom(spark, lexPath, impPath, queries, capped,
+        inputs)
       .select(col("qid"), col("doc_id"), lit(1L).as("hit"))
     exact.join(approx, Seq("qid", "doc_id"), "left")
       .groupBy("qid").agg(
