@@ -699,4 +699,19 @@ class LexStreamSpec extends AnyFunSuite {
       Seq((1L, "anything")).toDF("qid", "qtext"))
     assert(e2.collect().isEmpty)
   }
+
+  test("the serve takes the query side as a collected literal — no tokenize subtree in the main action (r21)") {
+    val lex = foldFixture()
+    val served = LexStream.lexTopDocs(spark, lex, fixtureQueries())
+    served.collect() // finalize AQE before inspecting (the plan-pin rule)
+    val plan = served.queryExecution.executedPlan.toString
+    // the capped (qid, term) rows enter the scoring plan as a local
+    // relation (cappedTermRows' one bounded collect)…
+    assert(plan.contains("LocalTableScan"), plan.take(2000))
+    // …so the qtext tokenize chain (split(lower(trim(…)))) executes only
+    // inside that collect, never again in the serve action — the shape
+    // that re-embedded it was two extra exchanges per serve
+    assert(!plan.contains("split(lower(trim"), plan.take(2000))
+    spark.catalog.clearCache()
+  }
 }
