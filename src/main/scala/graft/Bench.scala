@@ -164,37 +164,23 @@ object Bench {
       results.keys.map(_.takeWhile(_ != '_')).toSet.size == results.size
     def build(kept: Seq[(String, Double)], dec: Int,
         withSpread: Boolean, withStatic: Boolean = true,
-        dsKeys: Boolean = false, idKeys: Boolean = false,
-        packKeys: Boolean = false): String = {
-      // the deciseconds rung keeps the full roster at the SAME 0.1 s
-      // resolution as 1-decimal seconds while spending ~2 fewer chars
-      // per entry ("q43…":31 vs "q43…":3.1) — the key is renamed so no
-      // parser can misread the unit. The id rung additionally shortens
-      // each key to its unique qNN prefix ("q43" for "q43_neardup_
-      // clusters", ~18 chars/entry), again under a DIFFERENT field name
-      // so a reader must consciously expand ids via the suite roster.
+        idKeys: Boolean = false): String = {
+      // EVERY rung emits the per-query roster under the literal key
+      // "queries" as FLOAT SECONDS. The r12–r21 ladder renamed the field
+      // per rung (queries_ds / queries_ds_id / queries_ds_pack, integer
+      // deciseconds) "so no parser could misread the unit" — which
+      // guaranteed no parser read it at all: the driver's generic parser
+      // looks for "queries" and every BENCH_r*.json back to r01 carries
+      // parsed: null, leaving PERF_r*.json without per-query data
+      // (VERDICT r21 "what's wrong" #1). Key names may shorten to the
+      // unique qNN id and the FASTEST queries may drop (with an explicit
+      // queries_omitted count), but the field name and the unit never
+      // change again.
       val key: String => String =
         if (idKeys) k => k.takeWhile(_ != '_') else identity
       val qm =
-        if (packKeys)
-          // the densest rung: ONE JSON string "NN:ds,NN:ds,…" — the
-          // digits of each unique qNN id plus its integer deciseconds
-          // (~7 chars/query where the id rung spends ~10), under its
-          // own field name so a reader must consciously unpack it
-          jstr(kept.map { case (k, v) =>
-            key(k).stripPrefix("q") + ":" + math.round(v * 10).toString
-          }.mkString(","))
-        else if (dsKeys)
-          kept.map { case (k, v) => jstr(key(k)) + ":" + math.round(v * 10).toString }
-            .mkString("{", ",", "}")
-        else
-          kept.map { case (k, v) => jstr(key(k)) + ":" + jnumAt(v, dec) }
-            .mkString("{", ",", "}")
-      val qKey =
-        if (packKeys) "queries_ds_pack"
-        else if (dsKeys && idKeys) "queries_ds_id"
-        else if (dsKeys) "queries_ds"
-        else "queries"
+        kept.map { case (k, v) => jstr(key(k)) + ":" + jnumAt(v, dec) }
+          .mkString("{", ",", "}")
       val omitted = results.size - kept.size
       val om = if (omitted > 0) s""","queries_omitted":$omitted""" else ""
       val sp =
@@ -212,38 +198,30 @@ object Bench {
         if (withStatic) s""","full":${jstr(fullPath)},"sf":${jstr(sfDir)}"""
         else ""
       s"""{"metric":"total","value":${jnum(total)},"value_min":${jnum(totalMin)},$staticHead""" +
-        s""""failed":${errors.size},$errField"$qKey":$qm$om""" +
+        s""""failed":${errors.size},$errField"queries":$qm$om""" +
         (if (sp.nonEmpty) "," + sp.stripSuffix(",") else "") +
         staticTail + "}"
     }
-    // degradation ladder, completeness before comfort: precision 3→2→1
-    // with the spread summary, then shed the spread trio (it lives in
-    // bench_full.json anyway) to buy ~90 chars of query entries, then
-    // shed the static context fields (~85 more), then switch the roster
-    // to integer deciseconds (~2 chars/entry at identical resolution),
-    // then shorten keys to their unique qNN ids (~18 more chars/entry —
-    // the 83-query suite crosses this rung), and only THEN drop the
-    // fastest queries with an explicit omitted count
+    // degradation ladder, parseability before completeness (r22):
+    // precision 3→2→1 with the spread summary, then shed the spread trio
+    // (it lives in bench_full.json anyway), then the static context
+    // fields, then shorten keys to their unique qNN ids, and finally
+    // drop the FASTEST queries with an explicit queries_omitted count —
+    // the slow tail (the only per-query data a trend analysis can read
+    // at 0.1 s resolution anyway) always survives, and the full roster
+    // at full precision always lives in bench_full.json
     val attempts =
       Seq(3, 2, 1).iterator.map(build(bySlowest, _, withSpread = true)) ++
         Iterator.single(build(bySlowest, 1, withSpread = false)) ++
         Iterator.single(build(bySlowest, 1, withSpread = false,
           withStatic = false)) ++
-        Iterator.single(build(bySlowest, 1, withSpread = false,
-          withStatic = false, dsKeys = true)) ++
         (if (idsUnique)
           Iterator.single(build(bySlowest, 1, withSpread = false,
-            withStatic = false, dsKeys = true, idKeys = true)) ++
-          // the packed-string rung (the 191-query suite crosses it):
-          // full roster at 0.1 s resolution in one "NN:ds,…" string
-          Iterator.single(build(bySlowest, 1, withSpread = false,
-            withStatic = false, dsKeys = true, idKeys = true,
-            packKeys = true))
+            withStatic = false, idKeys = true))
         else Iterator.empty) ++
         Iterator.iterate(bySlowest.size)(n => n - math.max(1, n / 10))
           .takeWhile(_ > 0).map(n => build(bySlowest.take(n), 1,
-            withSpread = false, withStatic = false, dsKeys = true,
-            idKeys = idsUnique, packKeys = idsUnique))
+            withSpread = false, withStatic = false, idKeys = idsUnique))
     attempts.find(_.length <= LineBudget)
       .getOrElse(build(Seq.empty, 1, withSpread = false, withStatic = false))
   }

@@ -112,6 +112,23 @@ object Bucketing {
     spark.sql(s"ALTER TABLE `$tmp` RENAME TO `$name`")
   }
 
+  /** Per-table-name staging locks — the one-time concurrency audit the
+    * parallel card-member construction needs (r22, guide §2.6): every
+    * `ensure*` staging function is check-then-create
+    * (`if (!tableExists(t)) stage`), which is racy the moment two
+    * member DERIVATIONS build on separate driver threads — both could
+    * see !exists on the warmup pass and CTAS the same name. Ensures
+    * wrap their body in `withStageLock(name)` with the existence check
+    * INSIDE (double-checked): creation runs exactly once per name, the
+    * post-staging steady state pays one uncontended lock + catalog
+    * lookup. Locks are per-name, so independent stagings still overlap.
+    */
+  private val stageLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]
+
+  def withStageLock[A](name: String)(body: => A): A =
+    stageLocks.computeIfAbsent(name, _ => new Object).synchronized(body)
+
   def stage(df: DataFrame, name: String, key: String, buckets: Int): Unit = {
     val spark = df.sparkSession
     // staging OWNS the name: drop a previous registration, and clear an

@@ -13,8 +13,9 @@ import java.util.concurrent.atomic.AtomicInteger
   *   - the Spark JOB count of one rep (scheduling overhead is invisible in
   *     wall-clock at sf0.1 but each job is a driver round-trip at any
   *     scale),
-  *   - `.explain("formatted")` written to plans/r21/<name>_<tag>.txt when
-  *     SPARK_GRAFT_PLAN_TAG is set (before/after evidence for the round).
+  *   - `.explain("formatted")` written to $SPARK_GRAFT_PLAN_DIR (default
+  *     plans/r22)/<name>_<tag>.txt when SPARK_GRAFT_PLAN_TAG is set
+  *     (before/after evidence for the round).
   *
   * Usage: graft.Profile q180_feedback_eval_card [more names...]
   * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32),
@@ -110,11 +111,12 @@ object Profile {
       planTag.foreach { tag =>
         val plan = fn(spark, sfDir).queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
-        val dir = java.nio.file.Paths.get("plans/r21")
+        val planDir = sys.env.getOrElse("SPARK_GRAFT_PLAN_DIR", "plans/r22")
+        val dir = java.nio.file.Paths.get(planDir)
         java.nio.file.Files.createDirectories(dir)
         java.nio.file.Files.write(dir.resolve(s"${n}_$tag.txt"),
           plan.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        println(s"$n plan -> plans/r21/${n}_$tag.txt")
+        println(s"$n plan -> $planDir/${n}_$tag.txt")
       }
     }
     spark.stop()

@@ -101,7 +101,7 @@ object Dedup {
         graft.StagedTombstones.masked(s, rel, mask, "doc_id")
       val docs = maskDocs(Tables(s, dir, "documents").select(col("doc_id")))
       val n =
-        if (maskIds.isEmpty) Tables(s, dir, "documents").count()
+        if (maskIds.isEmpty) Tables.rowCount(s, dir, "documents")
         else docs.count()
       val before = s.sparkContext.getPersistentRDDs.keySet.toSet
       val (labels, _) = propagateMin(s,
@@ -442,7 +442,7 @@ object Dedup {
       val oldDocs = docs.filter(col("doc_id") % 8 =!= 3)
       val newDocs = docs.filter(col("doc_id") % 8 === 3)
       val nUnion =
-        if (purged.isEmpty) Tables(s, dir, "documents").count()
+        if (purged.isEmpty) Tables.rowCount(s, dir, "documents")
         else docs.count()
       val before = s.sparkContext.getPersistentRDDs.keySet.toSet
       // scaffolding frees in a FINALLY (the LabelStream.processLabelBatch
@@ -878,7 +878,7 @@ object Dedup {
         if (purged.isEmpty) None else Some(purged), "doc_id")
       val nOld = docs.filter(col("doc_id") % 8 =!= 3).count()
       val nU =
-        if (purged.isEmpty) Tables(s, dir, "documents").count()
+        if (purged.isEmpty) Tables.rowCount(s, dir, "documents")
         else docs.count()
       val wOld = Similarity.bandWidth64For(nOld)
       val wU = Similarity.bandWidth64For(nU)
@@ -976,7 +976,7 @@ object Dedup {
     // request's broadcast cluster list — member fan-out is
     // request-sized, never corpus-tracking.
     "q175_takedown_expand" -> ((s, dir) => {
-      val nd = Tables(s, dir, "documents").count()
+      val nd = Tables.rowCount(s, dir, "documents")
       val tmod = math.max(5L, (nd + 7) / 8)
       val req = Tables(s, dir, "documents")
         .filter(col("doc_id") % tmod === 1).select(col("doc_id"))
@@ -1090,7 +1090,7 @@ object Dedup {
       val ScaleV = 1000000000000L
       val Iters = 3
       val docs = Tables(s, dir, "documents").select(col("doc_id"))
-      val n = Tables(s, dir, "documents").count()
+      val n = Tables.rowCount(s, dir, "documents")
       if (n == 0L) docs.select(col("doc_id"), lit(0L).as("rank"))
       else {
         val base = ((ScaleV / n) * 15L) / 100L

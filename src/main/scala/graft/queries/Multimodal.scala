@@ -157,7 +157,7 @@ object Multimodal {
         .select(col("media_id"), pixelPlane(col("txt"), col("n")).as("px"))
         .select(col("media_id"), dhashHalf(0).as("lo"), dhashHalf(32).as("hi"))
         .persist() // sketch feeds both sides of the band self-join
-      val w = Similarity.bandWidth64For(Tables(s, dir, "documents").count())
+      val w = Similarity.bandWidth64For(Tables.rowCount(s, dir, "documents"))
       val nb = 64 / w
       val nbLo = 32 / w
       val mask = (1L << w) - 1

@@ -115,7 +115,7 @@ object TextAnalysis {
     * oracle's identical formula derives the identical K.
     */
   private[graft] def impactKFor(s: SparkSession, dir: String): Long =
-    impactKOf(s, Tables(s, dir, "documents").count())
+    impactKOf(s, Tables.rowCount(s, dir, "documents"))
 
   /** The impact-list depth for an explicit document count — factored so
     * the appended demo family derives its old-shard K from the shard's
@@ -178,6 +178,7 @@ object TextAnalysis {
       dir: String): String = {
     val tag = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val t = s"graft_qsample_$tag"
+    graft.Bucketing.withStageLock(t) { // double-checked (r22, §2.6)
     if (!s.catalog.tableExists(t)) {
       // a side whose table the corpus dir does not carry (a
       // documents-only or embeddings-only fixture) is the defined
@@ -227,6 +228,7 @@ object TextAnalysis {
       if (fs.exists(loc)) fs.delete(loc, true)
       doc.unionByName(vec).coalesce(1).write.saveAsTable(t)
     }
+    } // withStageLock
     t
   }
 
@@ -719,14 +721,16 @@ object TextAnalysis {
     val postT = s"graft_lex_postings_$tag"
     val dlT = s"graft_lex_doclen_$tag"
     val dfT = s"graft_lex_df_$tag"
-    if (!s.catalog.tableExists(postT))
-      stageLexFrom(s, Tables.wide(s, dir, "documents"), postT, dlT, dfT)
+    graft.Bucketing.withStageLock(postT) { // double-checked (r22, §2.6)
+      if (!s.catalog.tableExists(postT))
+        stageLexFrom(s, Tables.wide(s, dir, "documents"), postT, dlT, dfT)
+    }
     val (n, l) = lexStats.computeIfAbsent(
       (s.sparkContext.applicationId, dir), _ => {
         // N counts ALL documents (null text included — they shape idf);
         // L folds the doc-count-sized length table, null-safe for an
         // all-null-text corpus (empty dl relation -> L = 0)
-        val nd = Tables(s, dir, "documents").count()
+        val nd = Tables.rowCount(s, dir, "documents")
         val ld = Option(s.table(dlT).agg(sum("dl")).head.get(0))
           .map(_.asInstanceOf[Long]).getOrElse(0L)
         (nd, ld)
@@ -859,7 +863,7 @@ object TextAnalysis {
       // the growth: every layer appends incrementally
       appendLexIndex(s, postT, dlT, dfT, deltaDocs)
       appendPosIndex(s, posT, deltaDocs)
-      val nNew = Tables(s, dir, "documents").count()
+      val nNew = Tables.rowCount(s, dir, "documents")
       val lNew = Option(s.table(dlT).agg(sum("dl")).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
       appendImpactIndex(s, impT, postT, dlT, deltaDocs,
@@ -1024,7 +1028,7 @@ object TextAnalysis {
     // request-sized id-pushdown probe, never a delta fold
     val present = Tables(s, dir, "documents")
       .filter(col("doc_id").isin(allPurged.map(Long.box): _*)).count()
-    val nd = Tables(s, dir, "documents").count()
+    val nd = Tables.rowCount(s, dir, "documents")
     val ld = Option(s.table(dlT).agg(sum("dl")).head.get(0))
       .map(_.asInstanceOf[Long]).getOrElse(0L)
     lexStats.put((s.sparkContext.applicationId, dir), (nd - present, ld))
@@ -1090,8 +1094,13 @@ object TextAnalysis {
     // plan with one In(doc_id, …)-pruned fetch, memoized per session —
     // at corpus scale the old shape re-scanned the documents table per
     // serve just to fetch the sample's texts (r21, guide §6: the filter
-    // now reaches the scan as PushedFilters)
-    val ids = qids.collect().map(_.getLong(0)).toSeq.sorted
+    // now reaches the scan as PushedFilters). The contract is explicit,
+    // not positional (the r21 advisor's note): the qid column is named,
+    // nulls drop (the old inner join dropped them), duplicates collapse
+    // (every current caller passes a distinct single-column relation, so
+    // both are latent — pinned here rather than assumed)
+    val ids = qids.select(col("qid")).filter(col("qid").isNotNull)
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
     val rows = qtextRowsMemo.computeIfAbsent(
       (s.sparkContext.applicationId, dir, ids), _ =>
         Tables(s, dir, "documents")
@@ -1338,19 +1347,34 @@ object TextAnalysis {
     // collect for origTerms (r21)
     val (qt, origTerms) = localQTerms(s, qtexts)
     val wc = Window.partitionBy("qid").orderBy(desc("fw0"), asc("term"))
-    val expCand = fb.join(fbTf, Seq("doc_id"))
+    // the CAPPED candidate set (≤ sample·PrfCandCap rows by the window
+    // cut), collected ONCE and re-entered as a literal (r22): the old
+    // shape collected its distinct terms in one action and then
+    // re-executed the whole feedback subtree (the bounded documents
+    // fetch + tokenize + fold + anti-join + window) AGAIN inside the
+    // expansion-winner collect — exchange reuse never spans actions, a
+    // bounded literal does (the lexQueryStage discipline). Spark's own
+    // tokenizer/cap produce the rows, so nothing can drift.
+    val candRows: Array[org.apache.spark.sql.Row] = fb.join(fbTf, Seq("doc_id"))
       .groupBy("qid", "term").agg(sum("ftf").as("fw0"))
       .join(qt, Seq("qid", "term"), "left_anti") // never re-add a query term
       .withColumn("rn", row_number().over(wc))
       .filter(col("rn") <= PrfCandCap)
-    val candTerms: Array[Any] = expCand.select("term").distinct()
-      .collect().map(_.getString(0))
+      .select("qid", "term", "fw0")
+      .collect()
+    val expCand = s.createDataFrame(
+      java.util.Arrays.asList(candRows: _*),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "qid BIGINT, term STRING, fw0 BIGINT"))
+    val candTerms: Array[Any] =
+      candRows.map(_.getString(1)).distinct.map(t => t: Any)
     val we = Window.partitionBy("qid").orderBy(desc("ew"), asc("term"))
     // the winning expansion terms, COLLECTED (≤ sample·PrfExpTerms rows
     // — the probe-plan discipline): the round-2 scoring plan then takes
     // them as a broadcast literal instead of re-embedding the whole
     // round-1 serve, and the final postings fetch prunes to winners
-    // only, never the 32-wide candidate set
+    // only, never the 32-wide candidate set. This action now costs one
+    // pruned df fetch + a window over the literal candidates (r22).
     val expRows: Seq[(Long, String, Long)] = idfOf(expCand
         .join(broadcast(dfRel.filter(col("term").isin(candTerms: _*))),
           Seq("term")))
@@ -2748,7 +2772,7 @@ object TextAnalysis {
     // is a broadcast anti-join under the same term-pruned bucketed scan
     // q148 runs — a takedown never re-reads the corpus.
     "q172_takedown_bm25" -> ((s, dir) => {
-      val nd = Tables(s, dir, "documents").count()
+      val nd = Tables.rowCount(s, dir, "documents")
       val tmod = math.max(5L, (nd + 7) / 8)
       val delIds = Tables(s, dir, "documents")
         .filter(col("doc_id") % tmod === 1).select(col("doc_id"))
@@ -3033,7 +3057,7 @@ object TextAnalysis {
     // spec-pinned against the exact quartiles; state at 100 TB is the
     // bounded sample, never the corpus.
     "q66_quantile_sketch" -> ((s, dir) => {
-      val n = Tables(s, dir, "documents").count()
+      val n = Tables.rowCount(s, dir, "documents")
       val mod = math.max(1L, (n + QSketchCap - 1) / QSketchCap)
       val hist = sampledLengthHist(Tables(s, dir, "documents"), mod)
       val cumW = Window.partitionBy("lang").orderBy("n_chars")

@@ -73,8 +73,8 @@ object LexStream {
     * stance: cut keys must stay comparable across epochs, so a scalar
     * refresh is [[rebuildImpactIndex]], a migration — never a knob).
     */
-  private val APrefix = "_a="
-  private val KPrefix = "_k="
+  private[streaming] val APrefix = "_a="
+  private[streaming] val KPrefix = "_k="
 
   /** The markers live under a hidden `_scalars/` dir (the `_commits`
     * pattern): a bare `_a=4` file at the root would read as a partition
@@ -83,18 +83,33 @@ object LexStream {
     */
   private def scalarsDir(impPath: String) = s"$impPath/_scalars"
 
-  private def readMarker(spark: SparkSession, impPath: String,
+  private[streaming] def readMarker(spark: SparkSession, impPath: String,
       prefix: String): Option[Long] = {
     val f = fs(spark, impPath)
     val root = new org.apache.hadoop.fs.Path(scalarsDir(impPath))
     if (!f.exists(root)) None
-    else f.listStatus(root).iterator.map(_.getPath.getName)
-      .filter(_.startsWith(prefix)).map(_.stripPrefix(prefix).toLong)
-      .foldLeft(None: Option[Long])((acc, v) =>
-        Some(acc.fold(v)(math.max(_, v))))
+    else {
+      // the both-files crash window (writeScalars creates the new marker
+      // BEFORE deleting the stale one) resolves by NEWEST mtime, not max
+      // value (r22, the advisor's fix): a max-value fold is only correct
+      // while marker values grow monotonically across re-adoptions — a
+      // rebuild that SHRINKS a/K (takedowns reducing N) crashed in the
+      // window would otherwise serve the stale LARGER value silently and
+      // permanently. Ties on mtime (same-clock-tick crash) fall back to
+      // max value — the growth direction the old fold assumed, and the
+      // only remaining ambiguity.
+      f.listStatus(root).iterator
+        .filter(_.getPath.getName.startsWith(prefix))
+        .map(st => (st.getModificationTime,
+          st.getPath.getName.stripPrefix(prefix).toLong))
+        .foldLeft(None: Option[(Long, Long)])((acc, mv) =>
+          Some(acc.fold(mv)(a => if (mv._1 > a._1 ||
+            (mv._1 == a._1 && mv._2 > a._2)) mv else a)))
+        .map(_._2)
+    }
   }
 
-  private def writeScalars(spark: SparkSession, impPath: String, a: Long,
+  private[streaming] def writeScalars(spark: SparkSession, impPath: String, a: Long,
       k: Long): Unit = {
     val f = fs(spark, impPath)
     val root = new org.apache.hadoop.fs.Path(scalarsDir(impPath))
@@ -104,8 +119,12 @@ object LexStream {
     // create left a marker-LESS root — impactTopDocs would sys.error and
     // the next processImpactBatch silently re-adopt scalars from current
     // lex stats instead of surfacing a recoverable crash. With creation
-    // first the root always carries ≥ 1 marker per prefix; readMarker's
-    // max-fold resolves the brief both-files window deterministically.
+    // first the root always carries ≥ 1 marker per prefix; readMarker
+    // resolves the brief both-files window by newest mtime (r22 — max
+    // value was only sound in the growth direction). After the deletes,
+    // assert exactly one marker per prefix: a survivor here means a
+    // concurrent writer or a failed delete, and serving on silently
+    // would reintroduce the ambiguity the protocol exists to close.
     Seq(APrefix -> a, KPrefix -> k).foreach { case (p, v) =>
       f.create(new org.apache.hadoop.fs.Path(
         s"${scalarsDir(impPath)}/$p$v"), true).close()
@@ -113,6 +132,11 @@ object LexStream {
         .map(_.getPath).filter(x => x.getName.startsWith(p) &&
           x.getName != s"$p$v")
         .foreach(x => f.delete(x, false))
+      val left = f.listStatus(root).iterator
+        .map(_.getPath.getName).filter(_.startsWith(p)).toSeq
+      require(left == Seq(s"$p$v"),
+        s"impact root $impPath: marker write left ${left.mkString(",")} " +
+          s"under $p — stale markers survived the delete pass")
     }
   }
 
@@ -500,9 +524,14 @@ object LexStream {
     }
 
   def lexTopDocs(spark: SparkSession, lexPath: String,
-      queries: DataFrame): DataFrame =
-    lexTopDocsFrom(spark, lexPath, queries, cappedTermRows(queries),
-      lexServeInputs(spark, lexPath))
+      queries: DataFrame): DataFrame = {
+    // capped terms first: a term-less query set takes the defined-empty
+    // road without paying the stat-fold action (the r21 advisor's note —
+    // the old order ran lexServeInputs' .head before the isEmpty guard)
+    val capped = cappedTermRows(queries)
+    lexTopDocsFrom(spark, lexPath, queries, capped,
+      if (capped._2.isEmpty) None else lexServeInputs(spark, lexPath))
+  }
 
   private def lexTopDocsFrom(spark: SparkSession, lexPath: String,
       queries: DataFrame,
@@ -567,9 +596,11 @@ object LexStream {
     * rebuild over the corpus minus the deletions).
     */
   def impactTopDocs(spark: SparkSession, lexPath: String, impPath: String,
-      queries: DataFrame): DataFrame =
-    impactTopDocsFrom(spark, lexPath, impPath, queries,
-      cappedTermRows(queries), lexServeInputs(spark, lexPath))
+      queries: DataFrame): DataFrame = {
+    val capped = cappedTermRows(queries) // term-less guard before the fold
+    impactTopDocsFrom(spark, lexPath, impPath, queries, capped,
+      if (capped._2.isEmpty) None else lexServeInputs(spark, lexPath))
+  }
 
   private def impactTopDocsFrom(spark: SparkSession, lexPath: String,
       impPath: String, queries: DataFrame,
@@ -647,9 +678,11 @@ object LexStream {
       impPath: String, queries: DataFrame): DataFrame = {
     // ONE capped-terms collect and ONE lex-root stat fold feed both
     // member serves (they share the queries relation and the lex root by
-    // contract, so the rows and scalars are identical — r21)
+    // contract, so the rows and scalars are identical — r21); a
+    // term-less query set skips the fold (the defined-empty road)
     val capped = cappedTermRows(queries)
-    val inputs = lexServeInputs(spark, lexPath)
+    val inputs =
+      if (capped._2.isEmpty) None else lexServeInputs(spark, lexPath)
     val exact = lexTopDocsFrom(spark, lexPath, queries, capped, inputs)
       .select(col("qid"), col("doc_id"))
     val approx = impactTopDocsFrom(spark, lexPath, impPath, queries, capped,

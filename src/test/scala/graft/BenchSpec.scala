@@ -47,9 +47,13 @@ class BenchSpec extends AnyFunSuite {
 
     // hostile shape: far more queries than fit even at 1 decimal — the
     // line sheds the spread trio first (it lives in bench_full.json),
-    // then context, then switches to deciseconds and qNN-id keys, and
-    // only at true overflow drops the FASTEST queries with an explicit
-    // omitted count; headline totals and the slow tail always survive
+    // then context, then shortens keys to the unique qNN ids, and only
+    // at true overflow drops the FASTEST queries with an explicit
+    // omitted count; headline totals and the slow tail always survive,
+    // and the roster key is the LITERAL "queries" with FLOAT SECONDS on
+    // EVERY rung (r22: the r12–r21 unit-renaming rungs — queries_ds,
+    // queries_ds_id, queries_ds_pack — guaranteed the driver's generic
+    // parser read nothing; parsed: null in every BENCH_r*.json)
     val names = (1 to 90).map(i => f"q$i%02d_hostile_name_length22")
     val results = names.zipWithIndex
       .map { case (n, i) => n -> (90.0 - i) }.toMap // q01 slowest … q90 fastest
@@ -63,55 +67,61 @@ class BenchSpec extends AnyFunSuite {
     assert(math.abs((parsed \ "value").extract[Double] - 671.2345) < 1e-3)
     // the noise-robust companion headline must survive every degradation
     assert(math.abs((parsed \ "value_min").extract[Double] - 444.333) < 1e-3)
-    // json4s extracts JNothing to an EMPTY map, so probe each key's
-    // presence explicitly down the ladder; qNN-id keys expand back to
-    // full names through the suite roster (ids are unique by convention)
+    // the roster is ALWAYS under the literal key "queries", always float
+    // seconds — a generic parser needs no rung-specific logic; qNN-id
+    // keys expand back to full names through the suite roster (ids are
+    // unique by convention)
     def roster(p: JValue, all: Seq[String]): Map[String, Double] = {
       val byId = all.groupBy(_.takeWhile(_ != '_')).view.mapValues(_.head)
-      (p \ "queries") match {
-        case JObject(_) => (p \ "queries").extract[Map[String, Double]]
-        case _ => (p \ "queries_ds") match {
-          case JObject(_) => (p \ "queries_ds").extract[Map[String, Double]]
-            .view.mapValues(_ / 10.0).toMap
-          case _ => (p \ "queries_ds_id") match {
-            case JObject(_) => (p \ "queries_ds_id")
-              .extract[Map[String, Double]]
-              .map { case (id, v) => byId(id) -> v / 10.0 }
-            case _ => (p \ "queries_ds_pack").extract[String]
-              .split(',').filter(_.nonEmpty).map { e =>
-                val Array(id, ds) = e.split(':')
-                byId("q" + id) -> ds.toDouble / 10.0
-              }.toMap
-          }
-        }
-      }
+      (p \ "queries").extract[Map[String, Double]]
+        .map { case (k, v) => byId.getOrElse(k, k) -> v }
     }
+    def noDsKeys(l: String): Unit =
+      assert(!l.contains("queries_ds"),
+        "the unit-renaming rungs must never come back")
+    noDsKeys(line)
     val qs = roster(parsed, names)
     val omitted = (parsed \ "queries_omitted").extractOpt[Int].getOrElse(0)
     assert(qs.size + omitted == 90)
     assert(qs.contains(names.head), "slowest query must survive")
+    assert(math.abs(qs(names.head) - 90.0) < 5e-2 + 1e-9,
+      "slowest query keeps at least 0.1 s resolution in seconds")
 
-    // realistic shape: the ACTUAL shipped query names must fit with every
-    // query present — no omission. Precision and context degrade before
-    // the roster (69 queries fit at 1 decimal once the spread trio
-    // sheds; 74+ also shed the static context fields — unit/reps/full/sf
-    // and the empty error map; 80+ switch to the queries_ds integer-
-    // decisecond roster at identical 0.1 s resolution; 83+ shorten keys
-    // to their unique qNN ids under queries_ds_id); completeness beats
-    // resolution here because the per-query trend analysis reads
-    // bench_full.json (full precision), while this line's job is the
-    // headline total (3 decimals, asserted above) plus a complete
-    // roster.
-    val real = SparkEntry.queries.keys.map(_ -> 1.234567).toMap
+    // realistic shape: the ACTUAL shipped query names. Precision, the
+    // spread trio, the context fields, and the key length degrade first;
+    // at 195 queries the id-keyed float roster still overflows the
+    // window, so the FASTEST queries drop with an explicit
+    // queries_omitted count — parseability (the literal "queries" float
+    // map the driver's PERF comparison reads) now beats completeness,
+    // because an unparseable complete roster is per-query data for
+    // NOBODY (r01–r21), while the full roster at full precision always
+    // lives in bench_full.json. The slow tail — everything a 0.1 s
+    // resolution line can say anything about — must survive.
+    val real = SparkEntry.queries.keys.toSeq.zipWithIndex
+      .map { case (k, i) => k -> (0.05 + 0.01 * i) }.toMap
     val rLine = Bench.compactLine(25.0, 24.0, Map.empty, real,
       real.map { case (k, _) => k -> 0.1 }, "/root/testdata/sf0.1",
       "bench_full.json")
     assert(rLine.length <= 1860, s"real-suite line is ${rLine.length} chars")
+    noDsKeys(rLine)
     val rp = org.json4s.jackson.JsonMethods.parse(rLine)
     val rq = roster(rp, SparkEntry.queries.keys.toSeq)
-    assert(rq.size == real.size, "no real query may be omitted")
-    assert(math.abs(rq(real.keys.head) - 1.234567) < 5e-2 + 1e-9,
-      "per-query times keep at least 0.1 s resolution")
+    val rOmitted = (rp \ "queries_omitted").extractOpt[Int].getOrElse(0)
+    assert(rq.size + rOmitted == real.size,
+      "every query is either present or explicitly counted omitted")
+    assert(rq.size >= real.size / 2, "most of the suite must survive")
+    val slowest = real.maxBy(_._2)._1
+    assert(rq.contains(slowest), "the slowest real query must survive")
+    assert(math.abs(rq(slowest) - real(slowest)) < 5e-2 + 1e-9,
+      "per-query times keep at least 0.1 s resolution, in seconds")
+    // the omitted set is exactly the FASTEST tail: every kept time must
+    // be >= every dropped time (0.05 slack: kept values round to 1 dp)
+    if (rOmitted > 0) {
+      val keptMin = rq.values.min
+      val dropped = real.filterNot { case (k, _) => rq.contains(k) }
+      assert(dropped.values.forall(_ <= keptMin + 5e-2 + 1e-9),
+        "only the fastest queries may be omitted")
+    }
     assert(math.abs((rp \ "value_min").extract[Double] - 24.0) < 1e-3)
   }
 

@@ -700,6 +700,42 @@ class LexStreamSpec extends AnyFunSuite {
     assert(e2.collect().isEmpty)
   }
 
+  test("a both-markers crash window resolves to the NEWEST marker, even when its value is lower (r22)") {
+    // the shrink direction the old max-value fold silently lost: a
+    // rebuild lowering K (takedowns reduced N) crashes between
+    // create-new and delete-stale, leaving _k=64 (stale) beside _k=32
+    // (new, newer mtime) — the serve must adopt 32, not max-fold to 64
+    val imp = Files.createTempDirectory("graft-impmarker").toString
+    LexStream.writeScalars(spark, imp, 4L, 64L)
+    assert(LexStream.readMarker(spark, imp, LexStream.KPrefix)
+      .contains(64L))
+    // simulate the crash window by hand: create the LOWER new marker
+    // with a strictly newer mtime, leave the stale one in place
+    val f = new org.apache.hadoop.fs.Path(imp)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val stale = new org.apache.hadoop.fs.Path(s"$imp/_scalars/_k=64")
+    val fresh = new org.apache.hadoop.fs.Path(s"$imp/_scalars/_k=32")
+    f.create(fresh, true).close()
+    f.setTimes(stale, f.getFileStatus(fresh).getModificationTime - 10, -1)
+    assert(LexStream.readMarker(spark, imp, LexStream.KPrefix)
+      .contains(32L),
+      "the newest marker must win the both-files window, not the largest")
+    // the next completed writeScalars heals the window: one marker per
+    // prefix afterwards (the r22 post-delete assertion), newest wins
+    LexStream.writeScalars(spark, imp, 4L, 32L)
+    assert(f.listStatus(new org.apache.hadoop.fs.Path(s"$imp/_scalars"))
+      .map(_.getPath.getName).count(_.startsWith("_k=")) == 1)
+    assert(LexStream.readMarker(spark, imp, LexStream.KPrefix)
+      .contains(32L))
+    // ties on mtime fall back to max value — the growth direction
+    val tieA = new org.apache.hadoop.fs.Path(s"$imp/_scalars/_a=9")
+    f.create(tieA, true).close()
+    val t0 = f.getFileStatus(tieA).getModificationTime
+    f.setTimes(new org.apache.hadoop.fs.Path(s"$imp/_scalars/_a=4"), t0, -1)
+    assert(LexStream.readMarker(spark, imp, LexStream.APrefix)
+      .contains(9L))
+  }
+
   test("the serve takes the query side as a collected literal — no tokenize subtree in the main action (r21)") {
     val lex = foldFixture()
     val served = LexStream.lexTopDocs(spark, lex, fixtureQueries())
