@@ -137,16 +137,30 @@ object Curation {
       val cellOff = exclusiveOffsets(cellTotals)
       val cumW = Window.partitionBy("cell").orderBy(desc("rank"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // cellOff holds every cell hist itself produced, so the ANSI-mode
-      // element_at (which throws on a missing key) cannot miss
-      val cum = hist.withColumn("cum", sum("gtok").over(cumW) +
-        element_at(typedLit(cellOff), col("cell")))
+      // the boundary GROUP lives in the first cell (ascending = global
+      // rank-DESC order) whose end-of-cell running total crosses the
+      // budget — already known DRIVER-SIDE from the collected histogram
+      // totals (r22, guide §2.3): earlier cells end at ≤ budget, so no
+      // group of theirs can cross, and the crossing cell's last group
+      // provably does. The boundary probe therefore windows ONE cell's
+      // rank groups (with that cell's literal offset) instead of
+      // shuffling the whole rank histogram — at corpus scale the
+      // histogram is one row per distinct rank value, corpus-tracking;
+      // the probed cell is 1-of-QualityCells of it. A budget covering
+      // every cell has no crossing cell and skips the probe job
+      // entirely (the defined None road below).
+      val cStar = cellTotals.sortBy(_._1)
+        .find { case (c, ct) => cellOff(c) + ct > budget }.map(_._1)
       // first group whose running total crosses the budget: its rows
       // get the remaining budget, later groups are out entirely
-      val boundary = cum.filter(col("cum") > budget)
-        .orderBy(desc("rank")).limit(1)
-        .select("rank", "cum", "gtok", "lo_id", "hi_id")
-        .collect().headOption
+      val boundary = cStar.flatMap { cs =>
+        hist.filter(col("cell") === cs)
+          .withColumn("cum", sum("gtok").over(cumW) + lit(cellOff(cs)))
+          .filter(col("cum") > budget)
+          .orderBy(desc("rank")).limit(1)
+          .select("rank", "cum", "gtok", "lo_id", "hi_id")
+          .collect().headOption
+      }
       hist.unpersist()
       boundary match {
         case None =>
@@ -302,18 +316,38 @@ object Curation {
       }
       val cumW = Window.partitionBy("strat", "cell").orderBy(desc("rank"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      // offKey holds every (strat, cell) hist itself produced — the
-      // ANSI element_at cannot miss (budgetedPrefixSelect's argument)
-      val cum = hist.withColumn("cum", sum("gtok").over(cumW) +
-        element_at(element_at(typedLit(offKey), col("strat")), col("cell")))
+      // each stratum's boundary group lives in its first cell whose
+      // end-of-cell running total crosses the stratum quota — known
+      // driver-side from the collected (strat, cell) totals (r22, the
+      // budgetedPrefixSelect argument per stratum): the probe windows
+      // ≤ 1 cell's groups PER STRATUM instead of shuffling the whole
+      // (strat, rank) histogram. Strata whose quota covers their mass
+      // have no crossing cell, produce no boundary row (as before), and
+      // an all-covered corpus skips the probe job entirely.
+      val cStarM: Map[String, Int] = cellTotals.groupBy(_._1)
+        .flatMap { case (st, rows) =>
+          val off = offKey(st)
+          val q = quotas.getOrElse(st, 0L)
+          rows.map(t => (t._2, t._3)).sortBy(_._1)
+            .find { case (c, ct) => off(c) + ct > q }
+            .map(hit => st -> hit._1)
+        }
       val quotaCol = coalesce(
         try_element_at(typedLit(quotas), col("strat")), lit(0L))
       // first over-quota group per stratum: ≤ |strata| boundary rows
       val wB = Window.partitionBy("strat").orderBy(desc("rank"))
-      val bRows = cum.filter(col("cum") > quotaCol)
-        .withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
-        .select("strat", "rank", "cum", "gtok", "lo_id", "hi_id")
-        .collect()
+      val bRows =
+        if (cStarM.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else hist
+          .filter(try_element_at(typedLit(cStarM), col("strat")) ===
+            col("cell"))
+          .withColumn("cum", sum("gtok").over(cumW) +
+            element_at(element_at(typedLit(offKey), col("strat")),
+              col("cell")))
+          .filter(col("cum") > quotaCol)
+          .withColumn("rn", row_number().over(wB)).filter(col("rn") === 1)
+          .select("strat", "rank", "cum", "gtok", "lo_id", "hi_id")
+          .collect()
       hist.unpersist()
       if (bRows.isEmpty) {
         // every stratum's quota covers its whole mass
