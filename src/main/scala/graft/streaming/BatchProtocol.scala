@@ -100,6 +100,20 @@ private[graft] object BatchProtocol {
     * root holds no epoch at all (a new deployment probed before its
     * first batch — "empty index", not a read error).
     */
+  /** Per-(session, root, root-mtime) memo of the root's INFERRED
+    * parquet schema — the [[graft.Tables]] schema-memo stance for the
+    * stream roots (r22): every serve paid a footer-inference job per
+    * read, over a layout that is FROZEN per root kind (epochs add
+    * partition VALUES, never columns). The root directory's mtime rides
+    * in the key, so a new/removed epoch dir (the only events that could
+    * accompany a layout change) re-infers; an in-place epoch overwrite
+    * (crash redelivery) keeps the same writer schema by construction.
+    * The memoized schema is the reader's own inference output — the
+    * DataFrame is byte-identical.
+    */
+  private val rootSchemaMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, String, Long), org.apache.spark.sql.types.StructType]
+
   def readServable(spark: SparkSession, indexPath: String)
       : Option[org.apache.spark.sql.DataFrame] = {
     import org.apache.spark.sql.functions.col
@@ -107,7 +121,17 @@ private[graft] object BatchProtocol {
     if (epochs.isEmpty) None
     else {
       val consolidated = epochs.filter(_ <= -2)
-      val raw = spark.read.parquet(indexPath)
+      val key = (spark.sparkContext.applicationId, indexPath,
+        fs(spark, indexPath).getFileStatus(new Path(indexPath))
+          .getModificationTime)
+      val memo = rootSchemaMemo.get(key)
+      val raw =
+        if (memo != null) spark.read.schema(memo).parquet(indexPath)
+        else {
+          val d = spark.read.parquet(indexPath)
+          rootSchemaMemo.put(key, d.schema)
+          d
+        }
       Some(if (consolidated.isEmpty) raw
       else {
         val keep = consolidated.min // most negative = highest watermark
