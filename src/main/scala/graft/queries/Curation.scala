@@ -249,9 +249,19 @@ object Curation {
     */
   private[graft] def mixtureQuotas(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables(s, dir, "documents")
-    val scored = scoredTokens(docs)
+    mixtureQuotasOver(scoredTokens(docs)
       .join(docs.select(col("doc_id"),
-        coalesce(col("source"), lit(NullSrc)).as("source")), "doc_id")
+        coalesce(col("source"), lit(NullSrc)).as("source")), "doc_id"))
+  }
+
+  /** [[mixtureQuotas]]' apportionment over an EXPLICIT scored relation
+    * carrying (source, n_tokens) — factored (r22) so q156 can feed its
+    * already-PERSISTED scored relation instead of re-executing the
+    * scoring chain a second time inside the quota collect (the q97
+    * lesson: exchange reuse never spans driver actions, a persist
+    * does). q155 keeps the standalone road — same plan, same oracle.
+    */
+  private[graft] def mixtureQuotasOver(scored: DataFrame): DataFrame = {
     val tot = scored.agg(sum("n_tokens").as("t_total"))
     val srcs = scored.select("source").distinct()
       .select(col("source"),
@@ -684,14 +694,21 @@ object Curation {
     // ≤|sources| driver read (value-space bounded).
     "q156_mixture_select" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val quotas: Map[String, Long] = mixtureQuotas(s, dir).collect()
-        .map(r => r.getString(0) -> r.getLong(2)).toMap
+      // ONE scoring-chain materialization (r22): the persisted scored
+      // relation feeds BOTH the quota apportionment's collect and the
+      // stratified selection — the old shape executed scoredTokens +
+      // the source join twice per call (once inside mixtureQuotas'
+      // collect, again materializing this persist). Quota values are
+      // identical by construction: same rows, same apportionment.
       val scored = scoredTokens(docs)
         .join(docs.select(col("doc_id"),
           coalesce(col("source"), lit(NullSrc)).as("source")), "doc_id")
         .select(col("source").as("strat"), col("doc_id"),
           col("n_tokens"), col("quality").as("rank"))
         .persist()
+      val quotas: Map[String, Long] = mixtureQuotasOver(
+          scored.select(col("strat").as("source"), col("n_tokens")))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
       val cell = least(lit(QualityCells - 1), greatest(lit(0),
         floor((lit(1.0) - col("rank")) * QualityCells).cast("int")))
       stratifiedPrefixSelect(scored, cell, quotas)
